@@ -1,0 +1,246 @@
+"""Text analyzers — the ``tokenizeText`` surface (SURVEY §2 B4, §7 hard part 2).
+
+The reference runs a Lucene ``Analyzer`` looked up by Solr fieldType name over
+an input field, appending each token to a multi-valued output field
+(ml/TokenizeTextBuilder.java:83-107).  FieldTypes exercised by its configs/
+schemas (minimr/conf/schema.xml): ``text_en`` (StandardTokenizer +
+EnglishPossessiveFilter + stop words + PorterStemFilter), ``text_general``
+(StandardTokenizer + stop + lowercase), ``lowercase`` (KeywordTokenizer +
+lowercase), plus whitespace/keyword primitives.
+
+Spark-first mapping:
+- ``lowercase`` / ``whitespace`` / ``keyword`` / ``text_general`` are pure
+  builtin-function pipelines (JVM-side, whole-stage-codegen'd, SQL-oracle
+  checkable).
+- ``text_en`` needs possessive-strip + Porter stemming → Arrow-batched pandas
+  UDF.  The Porter stemmer here is a from-scratch implementation of the
+  published algorithm (M.F. Porter, 1980 — public domain), matching Lucene's
+  PorterStemFilter for regular English words.
+
+Tokenizer approximation: Lucene's StandardTokenizer is UAX#29 word-break; we
+approximate with unicode letter/digit runs, which matches it on the
+alphanumeric test corpus the reference exercises.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public constant, 33 words).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+TOKEN_PATTERN = r"[^\p{L}\p{N}]+"  # split on non-letter/digit runs
+
+
+def _split_tokens(col: Column, lowercase: bool = True) -> Column:
+    src = F.lower(col) if lowercase else col
+    return F.filter(F.split(src, TOKEN_PATTERN), lambda t: t != F.lit(""))
+
+
+def tokenize_lowercase(col: Column) -> Column:
+    """``lowercase`` fieldType: KeywordTokenizer + LowerCaseFilter — one token,
+    the whole value lowercased."""
+    return F.array(F.lower(col))
+
+
+def tokenize_keyword(col: Column) -> Column:
+    return F.array(col)
+
+
+def tokenize_whitespace(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def tokenize_text_general(col: Column, remove_stopwords: bool = False) -> Column:
+    """``text_general``-style: unicode word split + lowercase (+ stop removal).
+
+    Stop removal defaults off so the SQL oracle stays trivially expressible;
+    the schema's text_general does apply the (small) stopwords.txt, which is
+    empty in the reference's minimr configs.
+    """
+    toks = _split_tokens(col)
+    if remove_stopwords:
+        stops = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+        toks = F.array_except(toks, stops)
+    return toks
+
+
+def porter_stem(word: str) -> str:
+    """Porter stemming algorithm (Porter 1980), steps 1a-5b.
+
+    From-scratch implementation of the published algorithm; mirrors Lucene's
+    PorterStemFilter behavior for ordinary lowercase English tokens.
+    """
+    if len(word) <= 2:
+        return word
+
+    def is_cons(w: str, i: int) -> bool:
+        c = w[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return i == 0 or not is_cons(w, i - 1)
+        return True
+
+    def measure(stem: str) -> int:
+        # number of VC sequences
+        m = 0
+        i = 0
+        n = len(stem)
+        while i < n and is_cons(stem, i):
+            i += 1
+        while i < n:
+            while i < n and not is_cons(stem, i):
+                i += 1
+            if i >= n:
+                break
+            m += 1
+            while i < n and is_cons(stem, i):
+                i += 1
+        return m
+
+    def has_vowel(stem: str) -> bool:
+        return any(not is_cons(stem, i) for i in range(len(stem)))
+
+    def ends_double_cons(w: str) -> bool:
+        return len(w) >= 2 and w[-1] == w[-2] and is_cons(w, len(w) - 1)
+
+    def cvc(w: str) -> bool:
+        if len(w) < 3:
+            return False
+        if not (is_cons(w, len(w) - 3) and not is_cons(w, len(w) - 2) and is_cons(w, len(w) - 1)):
+            return False
+        return w[-1] not in "wxy"
+
+    w = word
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # Step 1b
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+        elif w.endswith("ing") and has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif measure(w) == 1 and cvc(w):
+                w += "e"
+    # Step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # Step 2
+    step2 = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+        ("logi", "log"),
+    ]
+    for suf, rep in step2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if measure(stem) > 0:
+                w = stem + rep
+            break
+    # Step 3
+    step3 = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+    for suf, rep in step3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if measure(stem) > 0:
+                w = stem + rep
+            break
+    # Step 4
+    step4 = [
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ]
+    for suf in step4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not (stem and stem[-1] in "st"):
+                continue
+            if measure(stem) > 1:
+                w = stem
+            break
+    # Step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = measure(stem)
+        if m > 1 or (m == 1 and not cvc(stem)):
+            w = stem
+    # Step 5b
+    if w.endswith("ll") and measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def _analyze_en(text: str | None) -> list[str] | None:
+    if text is None:
+        return None
+    import re
+
+    tokens = [t for t in re.split(r"[^\w]+|_", text.lower(), flags=re.UNICODE) if t]
+    out = []
+    for t in tokens:
+        # EnglishPossessiveFilter: strip trailing 's (apostrophes already split)
+        if t in ENGLISH_STOP_WORDS:
+            continue
+        out.append(porter_stem(t))
+    return out
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _text_en_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_analyze_en)
+
+
+def tokenize_text_en(col: Column) -> Column:
+    """``text_en`` fieldType: standard-split + lowercase + English stop removal
+    + Porter stemming (minimr/conf/schema.xml fieldType text_en)."""
+    return _text_en_udf(col)
+
+
+ANALYZERS = {
+    "keyword": tokenize_keyword,
+    "lowercase": tokenize_lowercase,
+    "whitespace": tokenize_whitespace,
+    "text_general": tokenize_text_general,
+    "text_en": tokenize_text_en,
+}
+
+
+def tokenize_text(df, input_field: str, output_field: str, analyzer: str = "text_general"):
+    """DataFrame-level tokenizeText: append token array column (B4)."""
+    try:
+        fn = ANALYZERS[analyzer]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {sorted(ANALYZERS)}")
+    return df.withColumn(output_field, fn(F.col(input_field)))

@@ -1,0 +1,189 @@
+"""The end-to-end index build pipeline (SURVEY §2 A5-A21, §3.1, §7 M1).
+
+Reference shape (MapReduceIndexerTool.java:116-149): randomize → extract →
+route/shuffle on unique key → dedup-resolve → per-reducer sorted Lucene index
+→ iterative tree-merge down to S shards → publish.
+
+Spark-first re-expression: the artifact is a **sharded, key-sorted, typed
+columnar table** partitioned by routing shard:
+
+    out/shard=00000/part-*.parquet   (rows sorted by unique key)
+    ...
+    out/shard=0000S/
+    out/_INDEX_MANIFEST.json
+
+- Routing is a column (A8 parity UDF), so the write is
+  ``repartition(shard).sortWithinPartitions(key)`` + ``partitionBy(shard)`` —
+  ONE shuffle for route+dedup+sort, and partition pruning serves point
+  lookups.
+- The mtree merge phase (A19/A20) is unnecessary as a *phase*: Spark writes S
+  shard directories directly regardless of upstream parallelism.  Its
+  surviving concern — segment count per shard (C7, ``--max-segments``) — maps
+  to file count per shard directory, controlled here via ``max_segments`` /
+  ``maxRecordsPerFile`` and the ``compact`` op (small-files compaction).
+- Go-live (A22) is a pluggable ``publish`` hook.
+
+Scale notes: dedup and sort share the shuffle on the routing key; with
+``micro_shards > shards`` parallelism exceeds shard count exactly like the
+reference's reducer oversubscription (A8's micro-shard math), then AQE
+coalescing keeps the writer from producing a small-files mess.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from solr_map_reduce_spark.operators import dedup as dedup_ops
+from solr_map_reduce_spark.operators.keys import generate_sequence_key, require_unique_key
+from solr_map_reduce_spark.operators.routing import with_shard_id
+from solr_map_reduce_spark.schema import IndexSchema
+
+SHARD_COL = "shard"
+MANIFEST = "_INDEX_MANIFEST.json"
+
+
+@dataclass
+class IndexJobConfig:
+    """The ``Options`` analog (MapReduceIndexerTool.java:539-561), reduced to
+    what the Spark engine needs."""
+
+    schema: IndexSchema
+    shards: int = 1
+    micro_shards: int | None = None  # reducers analog; must be multiple of shards
+    dedup: str = "retain_most_recent"  # A10-A14 strategy
+    order_field: str = dedup_ops.DEFAULT_ORDER_FIELD
+    tiebreak: tuple[str, ...] = ()
+    max_segments: int = 1  # files per shard dir (C7 contract)
+    max_records_per_file: int | None = None
+    sanitize_rename_prefix: str | None = None
+
+    def __post_init__(self) -> None:
+        micro = self.micro_shards or self.shards
+        if micro % self.shards != 0:
+            raise ValueError(
+                f"micro_shards ({micro}) must be a multiple of shards ({self.shards})"
+            )
+
+
+class IndexJob:
+    """Builds the sharded index artifact from an input DataFrame."""
+
+    def __init__(self, config: IndexJobConfig):
+        self.config = config
+
+    # -- logical plan ------------------------------------------------------
+    def prepare(self, df: DataFrame, generate_keys_from: str | None = None) -> DataFrame:
+        """extract→key→sanitize→route→dedup as one DataFrame plan."""
+        cfg = self.config
+        key = cfg.schema.unique_key
+        if generate_keys_from is not None:
+            df = generate_sequence_key(df, base_id_col=generate_keys_from, key=key)
+        df = require_unique_key(df, key)
+        df = cfg.schema.sanitize(df, rename_prefix=cfg.sanitize_rename_prefix)
+        df = cfg.schema.apply_types(df)
+        df = with_shard_id(
+            df, key, cfg.shards, cfg.micro_shards, out_col=SHARD_COL
+        )
+        # root shard = micro_shard // (P/S): keep the *root* shard as the
+        # artifact partition so the layout has exactly S directories while the
+        # dedup/sort shuffle still spreads over micro_shards tasks.
+        per_shard = (cfg.micro_shards or cfg.shards) // cfg.shards
+        df = df.withColumn(SHARD_COL, (F.col(SHARD_COL) / per_shard).cast("int"))
+        if cfg.dedup != "none":
+            order = cfg.order_field if cfg.order_field in df.columns else None
+            if order is None and cfg.dedup in ("retain_most_recent", "sort_updates"):
+                # no order column present → degenerate to any-one-wins dedup
+                df = df.withColumn("_ord", F.lit(0))
+                df = dedup_ops.resolve(
+                    df, key, cfg.dedup, "_ord", tiebreak=cfg.tiebreak or None
+                ).drop("_ord")
+            else:
+                df = dedup_ops.resolve(
+                    df, key, cfg.dedup, order, tiebreak=cfg.tiebreak or None
+                )
+        return df
+
+    # -- physical write ----------------------------------------------------
+    def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> dict:
+        """Write the sharded, key-sorted artifact (A17/A18/A21).
+
+        ``repartition(shards, shard)`` + ``sortWithinPartitions(shard, key)``
+        + ``partitionBy(shard)``: each output task owns whole shard
+        directories and writes key-sorted row groups — parquet min/max stats
+        on the key then act like the term index for point lookups.
+        """
+        cfg = self.config
+        key = cfg.schema.unique_key
+        writer_df = (
+            df.repartition(cfg.shards, F.col(SHARD_COL))
+            .sortWithinPartitions(SHARD_COL, key)
+        )
+        writer = writer_df.write.mode(mode).partitionBy(SHARD_COL)
+        if cfg.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        writer.parquet(path)
+        manifest = {
+            "shards": cfg.shards,
+            "unique_key": key,
+            "dedup": cfg.dedup,
+            "order_field": cfg.order_field,
+            "columns": [c for c in df.columns if c != SHARD_COL],
+        }
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest
+
+    def build(
+        self,
+        df: DataFrame,
+        path: str,
+        generate_keys_from: str | None = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        return self.write(self.prepare(df, generate_keys_from), path, mode=mode)
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    """Open the artifact; ``shard`` is a partition column → pruning works."""
+    return spark.read.parquet(path)
+
+
+def compact(spark: SparkSession, path: str, max_segments: int = 1) -> None:
+    """Small-files compaction — the surviving concern of the mtree merge
+    (A19): rewrite each shard directory down to ``max_segments`` files,
+    preserving key order.  Idempotent per shard dir (A29's resumability:
+    rerunning a shard overwrite is safe)."""
+    df = read_index(spark, path)
+    key_cols = [c for c in df.columns if c != SHARD_COL]
+    tmp = path.rstrip("/") + "._compact_tmp"
+    (
+        df.repartition(max_segments * df.select(SHARD_COL).distinct().count(), F.col(SHARD_COL))
+        .sortWithinPartitions(SHARD_COL, key_cols[0])
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+        .parquet(tmp)
+    )
+    # atomic-ish publish: swap directories (A21 rename-to-results analog)
+    import shutil
+
+    bak = path.rstrip("/") + "._old"
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)
+
+
+def segment_counts(path: str) -> dict[str, int]:
+    """C7 introspection: data files per shard directory."""
+    out: dict[str, int] = {}
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full) and entry.startswith(f"{SHARD_COL}="):
+            out[entry] = len(
+                [f for f in os.listdir(full) if f.endswith(".parquet")]
+            )
+    return out

@@ -1,0 +1,237 @@
+"""SolrCloud-compatible hash routing (SURVEY §2 A8, §2 C8).
+
+Reference behavior (re-implemented from observable semantics, NOT copied):
+
+- ``SolrCloudCompositeIdRoutingPartitioner.getPartition``
+  (map-reduce/.../SolrCloudCompositeIdRoutingPartitioner.java:66-97): a doc
+  with unique key ``k`` goes to root shard = the CompositeIdRouter slice whose
+  hash range contains ``murmur3_x86_32(utf8(k), seed=0)``, then to micro shard
+  ``rootShard * (P/S) + ((hash & MAX_INT) % (P/S))`` where P = numPartitions
+  (reducers) and S = shards; P % S == 0 is enforced (java:87-90).
+- Slice ranges come from ``CompositeIdRouter.partitionRange(S, [MIN_INT,
+  MAX_INT])`` (java:108-118) — Apache Solr's public range-splitting algorithm
+  (even 2^32/S steps, rounded to 0x10000 boundaries when the step is large
+  enough; re-derived from Apache Solr's DocRouter/CompositeIdRouter, which is
+  public ASL2 code).
+- Solr's ``Hash.murmurhash3_x86_32(CharSequence, off, len, 0)`` hashes the
+  UTF-8 encoding of the string; composite ids ``shard!doc`` splice the two
+  hashes at a bit boundary (default 16 high bits from the route key).
+
+Golden acceptance fixture (mrt/SolrCloudCompositeIdRoutingPartitionerTest.java:38-39):
+with shards=4, numPartitions=64 → "test" → partition 3, "foobar" → 13.
+
+Scale notes: the slice lookup here is a binary search over sorted ranges (the
+reference has a TODO for exactly this — java:71).  The DataFrame-facing op is
+an Arrow-batched pandas UDF; the per-row cost is a short pure-Python murmur3
+over typically-tiny keys.  Spark's builtin ``F.hash`` is murmur3-32 but with
+seed 42 and non-standard tail handling, so it cannot provide bit parity; if
+routing ever dominates a profile the UDF body is trivially portable to a JVM
+expression, but at index-build scale the write path dominates.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+_MASK32 = 0xFFFFFFFF
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+INT_MIN = -(1 << 31)
+INT_MAX = (1 << 31) - 1
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Standard MurmurHash3 x86 32-bit over ``data``; returns signed int32.
+
+    Matches Solr's ``Hash.murmurhash3_x86_32`` over the UTF-8 bytes of a
+    string (Austin Appleby's public-domain algorithm).
+    """
+    h1 = seed & _MASK32
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k1 = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16) | (data[i + 3] << 24)
+        k1 = (k1 * _C1) & _MASK32
+        k1 = ((k1 << 15) | (k1 >> 17)) & _MASK32
+        k1 = (k1 * _C2) & _MASK32
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & _MASK32
+        h1 = (h1 * 5 + 0xE6546B64) & _MASK32
+    k1 = 0
+    tail = len(data) & 3
+    if tail == 3:
+        k1 ^= data[n + 2] << 16
+    if tail >= 2:
+        k1 ^= data[n + 1] << 8
+    if tail >= 1:
+        k1 ^= data[n]
+        k1 = (k1 * _C1) & _MASK32
+        k1 = ((k1 << 15) | (k1 >> 17)) & _MASK32
+        k1 = (k1 * _C2) & _MASK32
+        h1 ^= k1
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _MASK32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _MASK32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _hash_str(s: str) -> int:
+    return murmur3_x86_32(s.encode("utf-8"), 0)
+
+
+def composite_id_hash(doc_id: str, default_bits: int = 16) -> int:
+    """Hash of a (possibly composite) unique key, Solr CompositeIdRouter style.
+
+    - ``"doc"``            → murmur3(doc)
+    - ``"shard!doc"``      → top ``bits`` bits of murmur3(shard) | low bits of
+      murmur3(doc); ``bits`` defaults to 16 and can be set as ``"shard/8!doc"``
+    - ``"a!b!c"``          → 8 bits of h(a), 8 bits of h(b), 16 bits of h(c)
+      (Solr's tri-level default split)
+    """
+    if "!" not in doc_id:
+        return _hash_str(doc_id)
+    parts = doc_id.split("!")
+    if len(parts) >= 3:
+        a, b, c = parts[0], parts[1], "!".join(parts[2:])
+        h = (
+            (_hash_str(a) & 0xFF000000)
+            | (_hash_str(b) & 0x00FF0000)
+            | (_hash_str(c) & 0x0000FFFF)
+        )
+        return h - (1 << 32) if h >= (1 << 31) else h
+    route, doc = parts[0], parts[1]
+    bits = default_bits
+    if "/" in route:
+        route, bits_str = route.rsplit("/", 1)
+        bits = int(bits_str)
+    if bits == 0:
+        return _hash_str(doc)
+    upper_mask = (_MASK32 << (32 - bits)) & _MASK32
+    h = (_hash_str(route) & upper_mask) | (_hash_str(doc) & (_MASK32 >> bits))
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def partition_ranges(num_shards: int, bits: int = 16) -> list[tuple[int, int]]:
+    """Split the signed 32-bit hash ring into ``num_shards`` contiguous
+    inclusive ranges, Solr ``CompositeIdRouter.partitionRange`` semantics:
+    even ``2^32/S`` steps, each boundary rounded to a 0x10000 multiple when
+    the step is >= 2^bits * 16 (so co-routed composite ids never straddle a
+    shard boundary)."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be > 0, got {num_shards}")
+    range_size = (1 << 32)
+    range_step = max(1, range_size // num_shards)
+    mask = 0x0000FFFF
+    do_round = range_step >= (1 << bits) * 16
+    ranges: list[tuple[int, int]] = []
+    start = INT_MIN
+    target_start = INT_MIN
+    while True:
+        target_end = target_start + range_step
+        end = target_end
+        if do_round and (end & mask) != 0:
+            increment = 1 << bits
+            round_down = (end | mask) - increment
+            round_up = (end | mask) + increment
+            if end - round_down < round_up - end and round_down > start:
+                end = round_down
+            else:
+                end = round_up
+        if len(ranges) == num_shards - 1:
+            end = INT_MAX
+        ranges.append((start, min(end, INT_MAX)))
+        if end >= INT_MAX:
+            break
+        start = end + 1
+        target_start = target_end + 1
+    return ranges
+
+
+@dataclass(frozen=True)
+class ShardRouter:
+    """Routes unique keys to shards / micro-shards with SolrCloud parity.
+
+    ``num_partitions`` is the micro-shard count (the reference's reducer
+    count); must be a multiple of ``shards``
+    (SolrCloudCompositeIdRoutingPartitioner.java:87-90).
+    """
+
+    shards: int
+    num_partitions: int | None = None
+    _ranges: list[tuple[int, int]] = field(init=False, repr=False, default=None)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        p = self.num_partitions if self.num_partitions is not None else self.shards
+        if p % self.shards != 0:
+            raise ValueError(
+                f"num_partitions ({p}) must be a multiple of shards ({self.shards})"
+            )
+        object.__setattr__(self, "_ranges", partition_ranges(self.shards))
+
+    @property
+    def partitions(self) -> int:
+        return self.num_partitions if self.num_partitions is not None else self.shards
+
+    def shard_of(self, doc_id: str) -> int:
+        """Root shard for a key — binary search over sorted hash ranges."""
+        h = composite_id_hash(doc_id)
+        starts = [r[0] for r in self._ranges]
+        idx = bisect.bisect_right(starts, h) - 1
+        lo, hi = self._ranges[idx]
+        if not (lo <= h <= hi):  # pragma: no cover - ranges tile the ring
+            raise AssertionError(f"hash {h} outside range {self._ranges[idx]}")
+        return idx
+
+    def micro_shard_of(self, doc_id: str) -> int:
+        """Micro shard (reducer/partition number) for a key."""
+        per_shard = self.partitions // self.shards
+        root = self.shard_of(doc_id)
+        h = composite_id_hash(doc_id)
+        return root * per_shard + ((h & INT_MAX) % per_shard)
+
+
+def shard_id_column(key: Column | str, shards: int, num_partitions: int | None = None) -> Column:
+    """Column expression: SolrCloud-parity micro-shard id for a key column.
+
+    Arrow-batched pandas UDF (the hash is not expressible bit-exactly with
+    builtin functions — Spark's ``hash()`` uses seed 42 and a different tail
+    mix).  Returns int32.
+    """
+    router = ShardRouter(shards=shards, num_partitions=num_partitions)
+    starts = [r[0] for r in router._ranges]
+    per_shard = router.partitions // router.shards
+
+    @pandas_udf(IntegerType())
+    def _route(ids: pd.Series) -> pd.Series:
+        out = []
+        for s in ids:
+            h = composite_id_hash(s)
+            root = bisect.bisect_right(starts, h) - 1
+            out.append(root * per_shard + ((h & INT_MAX) % per_shard))
+        return pd.Series(out, dtype="int32")
+
+    return _route(F.col(key) if isinstance(key, str) else key)
+
+
+def with_shard_id(
+    df,
+    key: str,
+    shards: int,
+    num_partitions: int | None = None,
+    out_col: str = "_shard",
+):
+    """Attach the routing column.  Downstream the index writer partitions the
+    artifact by this column (``write.partitionBy(out_col)``), which gives
+    partition pruning on point lookups for free."""
+    return df.withColumn(
+        out_col, shard_id_column(F.col(key).cast("string"), shards, num_partitions)
+    )

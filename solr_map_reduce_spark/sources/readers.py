@@ -1,0 +1,79 @@
+"""Reader matrix — the morphline extraction surface as Spark sources
+(SURVEY §2 B5-B13).
+
+| morphline command      | here                                  |
+|------------------------|---------------------------------------|
+| readAvroContainer (B5) | ``format="avro"``                     |
+| readCSV (B9)           | ``format="csv"`` (sep/header/charset) |
+| readJson* (B10)        | ``format="json"``                     |
+| readLine/readText      | ``format="text"``                     |
+| solrCell/Tika (B11)    | ``format="binary"`` + extract UDF     |
+| decompress (B13)       | Spark codecs (``.gz`` transparent)    |
+| parquet (engine native)| ``format="parquet"``                  |
+
+Fault-tolerance policy (B22: isProductionMode / ignore recoverable
+exceptions — mr/morphline/MorphlineMapRunner.java:110-114) maps to
+``mode=PERMISSIVE`` + ``_corrupt_record`` for self-describing formats and
+``ignoreCorruptFiles`` for binary scans.
+
+Hidden files: the reference skips ``.``/``_``-prefixed inputs
+(MapReduceIndexerTool.java:892-959 PathFilter); Spark's file index does the
+same by default — noted here as contract, not code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMAT_ALIASES = {
+    "avro": "avro",
+    "readavrocontainer": "avro",
+    "csv": "csv",
+    "readcsv": "csv",
+    "json": "json",
+    "readjson": "json",
+    "text": "text",
+    "readline": "text",
+    "binary": "binaryFile",
+    "binaryfile": "binaryFile",
+    "solrcell": "binaryFile",
+    "parquet": "parquet",
+}
+
+
+def read_input(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    format: str = "parquet",
+    schema=None,
+    with_metadata: bool = False,
+    permissive: bool = True,
+    **options,
+) -> DataFrame:
+    """Load input files for the index pipeline.
+
+    ``with_metadata=True`` selects the ``_metadata`` struct alongside the data
+    so A6 enrichment can run without re-scanning.  ``permissive`` applies the
+    reference's fault-tolerance stance (keep bad records, don't fail the job).
+    """
+    fmt = _FORMAT_ALIASES.get(format.lower())
+    if fmt is None:
+        raise ValueError(f"unknown input format {format!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt in ("csv", "json") and permissive:
+        options.setdefault("mode", "PERMISSIVE")
+        options.setdefault("columnNameOfCorruptRecord", "_corrupt_record")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", schema is None)
+    reader = reader.options(**{k: str(v) for k, v in options.items()})
+    if isinstance(paths, str):
+        paths = [paths]
+    df = reader.load(list(paths))
+    if with_metadata:
+        df = df.select("*", "_metadata")
+    return df

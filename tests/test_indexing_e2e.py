@@ -1,0 +1,122 @@
+"""End-to-end index build on the sf0.001 documents table — the Milestone-1
+slice (SURVEY §7): ingest → key → sanitize → route → dedup → sorted sharded
+write → read back → C1/C2/C7 checks."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.indexing import (
+    IndexJob,
+    IndexJobConfig,
+    compact,
+    read_index,
+    segment_counts,
+)
+from solr_map_reduce_spark.operators.routing import ShardRouter
+from solr_map_reduce_spark.schema import Field, IndexSchema
+
+DOC_SCHEMA = IndexSchema(
+    fields=(
+        Field("id", "string", required=True),
+        Field("text", "text_en"),
+        Field("lang", "string"),
+        Field("source", "string"),
+        Field("n_chars", "long"),
+    ),
+    unique_key="id",
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index") / "docs_index")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    job = IndexJob(
+        IndexJobConfig(schema=DOC_SCHEMA, shards=4, micro_shards=16, dedup="retain_most_recent",
+                       order_field="n_chars", tiebreak=("id",))
+    )
+    manifest = job.build(docs, out)
+    return out, manifest, docs
+
+
+def test_artifact_layout(built):
+    out, manifest, _ = built
+    counts = segment_counts(out)
+    assert sorted(counts) == [f"shard={i}" for i in range(4)]
+    assert manifest["shards"] == 4
+
+
+def test_count_matches_input(spark, built):
+    out, _, docs = built
+    # doc_id is unique in the fixture → dedup keeps everything (C1)
+    assert read_index(spark, out).count() == docs.count()
+
+
+def test_point_lookup_prunes_to_one_shard(spark, built):
+    out, _, docs = built
+    some_id = docs.select("id").orderBy("id").first()["id"]
+    router = ShardRouter(shards=4, num_partitions=16)
+    expected_shard = router.micro_shard_of(some_id) // 4
+    idx = read_index(spark, out)
+    hit = idx.filter(F.col("id") == some_id)
+    rows = hit.collect()
+    assert len(rows) == 1
+    assert rows[0]["shard"] == expected_shard
+    # partition pruning visible in the physical plan
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan
+
+
+def test_routing_placement_matches_router(spark, built):
+    out, _, _ = built
+    router = ShardRouter(shards=4, num_partitions=16)
+    sample = read_index(spark, out).select("id", "shard").limit(200).collect()
+    for r in sample:
+        assert router.micro_shard_of(r["id"]) // 4 == r["shard"], r["id"]
+
+
+def test_dedup_on_rebuild_upsert(spark, built, tmp_path):
+    """C6 upsert: re-adding docs with same id replaces (retain-most-recent)."""
+    out, _, docs = built
+    updated = docs.withColumn("n_chars", F.col("n_chars") + 1_000_000).withColumn(
+        "text", F.lit("updated")
+    )
+    both = docs.unionByName(updated)
+    job = IndexJob(
+        IndexJobConfig(schema=DOC_SCHEMA, shards=2, dedup="retain_most_recent",
+                       order_field="n_chars", tiebreak=("id",))
+    )
+    out2 = str(tmp_path / "upsert_index")
+    job.build(both, out2)
+    idx = read_index(spark, out2)
+    assert idx.count() == docs.count()
+    assert idx.filter(F.col("text") != "updated").count() == 0
+
+
+def test_sorted_within_shard(spark, built):
+    out, _, _ = built
+    import glob
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{out}/shard=0/*.parquet")
+    assert files
+    ids = pq.read_table(files[0], columns=["id"])["id"].to_pylist()
+    assert ids == sorted(ids)
+
+
+def test_compact_to_single_segment(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    out = str(tmp_path / "compact_index")
+    job = IndexJob(IndexJobConfig(schema=DOC_SCHEMA, shards=2, dedup="none",
+                                  max_records_per_file=100))
+    job.build(docs, out)
+    before = segment_counts(out)
+    assert max(before.values()) > 1
+    compact(spark, out, max_segments=1)
+    after = segment_counts(out)
+    assert set(after.values()) == {1}
+    assert read_index(spark, out).count() == docs.count()
