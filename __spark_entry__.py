@@ -1,38 +1,79 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full reference pipeline shape (ingest →
+key → sanitize → route → dedup → sorted sharded artifact) on sf0.001, summarized
+per shard.  ``queries()``/``oracle_sql()`` — the declared query surface from
+SURVEY.md §2 with DuckDB oracles (solr_map_reduce_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the sharded/deduped/key-sorted index artifact from the
+    sf0.001 documents table and return the per-shard summary."""
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, read_index
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("text", "text_en"),
+            Field("lang", "string"),
+            Field("source", "string"),
+            Field("n_chars", "long"),
+        ),
+        unique_key="id",
+    )
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    job = IndexJob(
+        IndexJobConfig(
+            schema=schema,
+            shards=4,
+            micro_shards=16,
+            dedup="retain_most_recent",
+            order_field="n_chars",
+            tiebreak=("id",),
+        )
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="smrs_entry_"), "index")
+    job.build(docs, out)
+    idx = read_index(spark, out)
+    return (
+        idx.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from solr_map_reduce_spark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.spark for name, qd in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from solr_map_reduce_spark.queries import registry
+
+    return {
+        name: qd.oracle for name, qd in registry().items() if qd.oracle is not None
+    }

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline queries + the index-build pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# the headline subset: reference query shapes + analytics + extension ops
+BENCH_QUERIES = [
+    "c1_count_all",
+    "c4_sort_page",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "star_join_enrich",
+    "facet_event_counts",
+    "a10_dedup_retain_most_recent",
+    "ext_exact_dedup",
+    "ext_token_count",
+    "ext_minhash_dedup",
+    "ext_ann_topk",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without driver-side materialization cost."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_index_build(spark, sf_dir: str) -> float:
+    """The flagship pipeline: route+dedup+sort+sharded-write of lineitem
+    (the largest table) with a composite unique key."""
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("l_orderkey", "long"),
+            Field("l_partkey", "long"),
+            Field("l_quantity", "double"),
+            Field("l_extendedprice", "double"),
+            Field("l_shipdate", "date"),
+            Field("l_returnflag", "string"),
+        ),
+        unique_key="id",
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "id", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="smrs_bench_"), "lineitem_index")
+    job = IndexJob(
+        IndexJobConfig(
+            schema=schema, shards=8, micro_shards=32,
+            dedup="retain_most_recent", order_field="l_shipdate", tiebreak=("id",),
+        )
+    )
+    t0 = time.perf_counter()
+    job.build(li, out)
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return elapsed
+
+
+def main() -> None:
+    from solr_map_reduce_spark.queries import registry
+    from solr_map_reduce_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="smrs-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    # JVM/codegen warmup on a trivial plan
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = reg[name]
+        t0 = time.perf_counter()
+        _force(qd.spark(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["index_build_lineitem"] = round(bench_index_build(spark, SF_DIR), 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_index_build_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

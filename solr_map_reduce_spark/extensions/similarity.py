@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk`` — brute-force exact top-k, entirely JVM-side
+  (``zip_with`` dot product + ``aggregate`` fold, codegen'd): the correctness
+  baseline, O(n) scan per query, embarrassingly parallel.
+- ``IvfIndex`` — inverted-file ANN: k-means centroids fitted driver-side on a
+  bounded sample (centroid count is small by construction), assignment via a
+  vectorized numpy matmul pandas UDF, search prunes to the ``nprobe`` nearest
+  buckets.  At scale the assigned table is written partitioned by bucket so
+  bucket pruning is a partition-pruned scan, mirroring how the index artifact
+  prunes by shard.
+- ``cosine_pairs_lsh`` — near-duplicate pairs by embedding cosine, blocked by
+  random-hyperplane signatures (sign-LSH) so no cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+
+def _as_double(col: F.Column) -> F.Column:
+    return col.cast(T.ArrayType(T.DoubleType()))
+
+
+def dot_product(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential fold — deterministic order, same result every run/engine."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qd = _as_double(q)
+    vd = _as_double(vec_col)
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    return dot_product(vd, qd) / (l2_norm(vd) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_score: bool = True,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity; deterministic tiebreak on
+    id.  The scan is a single stage with no shuffle until the final top-k
+    (``orderBy ... limit`` → TakeOrderedAndProject, which keeps only k rows
+    per partition)."""
+    scored = df.select(
+        F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("score")
+    )
+    out = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    return out if with_score else out.select(id_col)
+
+
+class IvfIndex:
+    """IVF-flat ANN index: centroids + bucket assignment + pruned search."""
+
+    def __init__(self, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_size: int = 10_000,
+        iters: int = 10,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        """Fit k-means centroids on a bounded driver-side sample.  The sample
+        is capped regardless of table size, so this stays cheap at 100 TB;
+        Lloyd iterations run in numpy."""
+        n = df.count()
+        frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+        sample = np.array(
+            df.sample(fraction=frac, seed=seed)
+            .limit(sample_size)
+            .select(vec_col)
+            .toPandas()[vec_col]
+            .tolist(),
+            dtype=np.float64,
+        )
+        rng = np.random.RandomState(seed)
+        k = min(n_centroids, len(sample))
+        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+        for _ in range(iters):
+            d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+        return cls(centroids, id_col, vec_col)
+
+    def assign(self, df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
+        """Vectorized nearest-centroid assignment: one numpy matmul per Arrow
+        batch."""
+        cents = self.centroids
+        cent_sq = (cents**2).sum(axis=1)
+
+        @pandas_udf(T.IntegerType())
+        def _nearest(vecs: pd.Series) -> pd.Series:
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            # argmin over ||v-c||^2 = -2 v.c + ||c||^2 (+ ||v||^2 const)
+            d = -2.0 * (m @ cents.T) + cent_sq[None, :]
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+        return df.withColumn(bucket_col, _nearest(F.col(self.vec_col)))
+
+    def search(
+        self,
+        assigned: DataFrame,
+        query: Sequence[float],
+        k: int = 10,
+        nprobe: int = 2,
+        bucket_col: str = "bucket",
+    ) -> DataFrame:
+        """Top-k within the nprobe buckets nearest to the query — at scale a
+        partition-pruned scan when the assigned table is partitioned by
+        bucket."""
+        q = np.asarray(query, dtype=np.float64)
+        d = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        probe = [int(b) for b in d.argsort()[:nprobe]]
+        pruned = assigned.filter(F.col(bucket_col).isin(probe))
+        return cosine_topk(pruned, query, k, self.id_col, self.vec_col)
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) without a cross join:
+    block on sign-LSH signatures (random hyperplanes), verify exact cosine
+    JVM-side on candidates that agree on any half of the signature."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+
+    @pandas_udf(T.IntegerType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (m @ planes.T) > 0
+        vals = (bits * (1 << np.arange(n_planes))[None, :]).sum(axis=1)
+        return pd.Series(vals.astype(np.int32))
+
+    half = n_planes // 2
+    sigs = df.select(id_col, vec_col).withColumn("_sig", _sig(F.col(vec_col)))
+    sigs = sigs.withColumn("_lo", F.col("_sig") % (1 << half)).withColumn(
+        "_hi", (F.col("_sig") / (1 << half)).cast("int")
+    )
+    blocked = sigs.select(
+        id_col, vec_col, F.explode(F.array(
+            F.concat(F.lit("lo:"), F.col("_lo").cast("string")),
+            F.concat(F.lit("hi:"), F.col("_hi").cast("string")),
+        )).alias("block")
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.block") == F.col("r.block"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+        .distinct()
+    )
+    va, vb = _as_double(F.col("_va")), _as_double(F.col("_vb"))
+    cos = dot_product(va, vb) / (l2_norm(va) * l2_norm(vb))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

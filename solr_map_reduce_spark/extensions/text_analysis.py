@@ -1,0 +1,110 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything here is built from ``pyspark.sql.functions`` only — JVM-side,
+whole-stage-codegen'd, no Python in the hot path — and each op has an exact
+ANSI-SQL equivalent so the DuckDB oracle can replay it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from solr_map_reduce_spark.functions.analyzers import ENGLISH_STOP_WORDS
+
+# Tiny high-frequency stopword probes per language (function words only).
+LANG_PROBES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "es": ("el", "la", "de", "que", "y", "los", "del", "las", "por", "un"),
+    "fr": ("le", "la", "les", "des", "et", "un", "une", "du", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "mit", "des", "ein"),
+}
+
+
+def tokens(col: F.Column) -> F.Column:
+    return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: F.Column) -> F.Column:
+    """Whitespace-token count (long)."""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))).cast("long")
+
+
+def word_token_count(col: F.Column) -> F.Column:
+    """BPE-ish subword proxy: letter/digit-run tokens (long)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1].
+
+    Features: length, token count, alpha ratio, digit ratio, whitespace
+    ratio, mean token length, stopword ratio.  The score is a deterministic
+    hand-weighted combination (a heuristic filter, not a model).
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(t, r"[^ \t\n]", "")).cast("double")
+    toks = tokens(t)
+    ntok = F.size(toks).cast("double")
+    stops = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    nstop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x))).cast("double")
+    safe = F.when(n > 0, n).otherwise(F.lit(1.0))
+    safe_tok = F.when(ntok > 0, ntok).otherwise(F.lit(1.0))
+    alpha_ratio = alpha / safe
+    mean_tok_len = (alpha + digit) / safe_tok
+    stop_ratio = nstop / safe_tok
+    score = (
+        F.least(ntok / F.lit(20.0), F.lit(1.0)) * F.lit(0.4)
+        + alpha_ratio * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        ntok.cast("long").alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        (digit / safe).alias("digit_ratio"),
+        (space / safe).alias("space_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword-probe language ID.
+
+    Scores each language by distinct probe-word hits in the token set; CJK
+    short-circuits on codepoint class.  Returns (id, lang_pred, lang_score).
+    Deterministic ties: language name order.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in probes])))
+        for lang, probes in LANG_PROBES.items()
+    }
+    has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_PROBES, reverse=True):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best_score.cast("long").alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Key-collision fingerprint (normalize → sort unique tokens → digest):
+    documents with the same fingerprint are permutations/duplicates of the
+    same bag of words.  (id, fingerprint)."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col))))))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

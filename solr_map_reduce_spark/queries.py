@@ -1,0 +1,635 @@
+"""The engine's declared query surface (SURVEY §2.C + §5 strategy + the
+LLM-pipeline extensions), each with a DuckDB oracle when ANSI-SQL can express
+it.
+
+Determinism rules (so value-hashes match across engines):
+- Double aggregations go through exact decimal: per-row arithmetic stays in
+  IEEE double (bit-identical across engines), the per-row value is cast to
+  DECIMAL(18,6) (never at a rounding midpoint for binary doubles), summed
+  exactly, and the final result cast back to double.
+- Timestamps are emitted as formatted strings (Spark session is UTC; DuckDB
+  reads the same parquet instants as naive UTC).
+- Every ORDER BY ... LIMIT has a unique-key tiebreak.
+- Aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from solr_map_reduce_spark.extensions import similarity, text_analysis, text_dedup
+from solr_map_reduce_spark.functions.analyzers import ENGLISH_STOP_WORDS
+from solr_map_reduce_spark.operators import dedup
+from solr_map_reduce_spark.operators.keys import generate_sequence_key
+from solr_map_reduce_spark.operators.routing import with_shard_id
+from solr_map_reduce_spark.schema import DynamicField, Field, IndexSchema
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from solr_map_reduce_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_sum(col: F.Column, alias: str) -> F.Column:
+    """Exact double aggregation: per-row double -> decimal(18,6) -> sum -> double."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+_DEC_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# ===========================================================================
+# C. Reference query surface
+# ===========================================================================
+
+@_register(
+    "c1_count_all",
+    "SELECT count(*) AS cnt FROM lineitem",
+    "C1 match-all count (MatchAllDocsQuery/getNumFound parity)",
+)
+def c1_count_all(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_register(
+    "c2_point_lookup",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""",
+    "C2 term query by unique key",
+)
+def c2_point_lookup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    mn = o.agg(F.min("o_orderkey").alias("_k"))
+    return (
+        o.join(F.broadcast(mn), o["o_orderkey"] == F.col("_k"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@_register(
+    "c3_delete_by_query",
+    """SELECT count(*) AS remaining FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
+    "C3 delete-by-query as anti-join + surviving count",
+)
+def c3_delete_by_query(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    doomed = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    survivors = o.join(
+        F.broadcast(doomed), o["o_custkey"] == doomed["c_custkey"], "left_anti"
+    )
+    return survivors.agg(F.count(F.lit(1)).alias("remaining"))
+
+
+@_register(
+    "c4_sort_page",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "C4 sort + paging with deterministic tiebreak",
+)
+def c4_sort_page(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "c5_projection",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    "C5 field projection (column pruning reaches the scan)",
+)
+def c5_projection(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@_register(
+    "c6_upsert_latest",
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, 1 AS version FROM orders),
+         upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, 2 AS version FROM orders
+                 WHERE o_orderkey % 100 = 0),
+         unioned AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                    ORDER BY version DESC) AS rn FROM unioned)
+       SELECT o_orderkey, o_orderstatus, version FROM ranked WHERE rn = 1""",
+    "C6 upsert: re-added docs replace by version (A10 dedup-on-write)",
+)
+def c6_upsert_latest(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", F.lit(1).alias("version"))
+    upd = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", F.lit("U").alias("o_orderstatus"), F.lit(2).alias("version"))
+    )
+    return dedup.retain_most_recent(base.unionByName(upd), "o_orderkey", "version")
+
+
+@_register(
+    "a10_dedup_retain_most_recent",
+    """SELECT user_id, event_id, event_type FROM (
+         SELECT user_id, event_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+    "A10 retain-most-recent per key (argmax by order field, tiebreak id)",
+)
+def a10_dedup_retain_most_recent(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    return dedup.retain_most_recent(e, "user_id", "ts", tiebreak=["event_id"]).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+@_register(
+    "a11_dedup_sort_updates",
+    """SELECT user_id, list(event_id ORDER BY ts, event_id) AS event_ids
+       FROM events GROUP BY user_id""",
+    "A11 per-key updates sorted ascending by order field",
+)
+def a11_dedup_sort_updates(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sorted_updates = dedup.sort_updates(e, "user_id", "ts", tiebreak=["event_id"])
+    return sorted_updates.select(
+        "user_id", F.col("updates.event_id").alias("event_ids")
+    )
+
+
+@_register(
+    "a12_collision_report",
+    """SELECT user_id, count(*) AS n_docs FROM events
+       GROUP BY user_id HAVING count(*) > 1""",
+    "A12 reject-collisions: the violating keys a rejecting build would report",
+)
+def a12_collision_report(spark, sf_dir):
+    return dedup.collision_report(t(spark, sf_dir, "events"), "user_id")
+
+
+@_register(
+    "b3_sequence_key",
+    """SELECT doc_id,
+              concat(source, '#', CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY doc_id) - 1 AS VARCHAR)) AS id
+       FROM documents""",
+    "B3 generateSolrSequenceKey: base#counter per session",
+)
+def b3_sequence_key(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return generate_sequence_key(
+        d, "source", key="id", session_col="source", order_col="doc_id",
+        preserve_existing=False,
+    ).select("doc_id", "id")
+
+
+_SANITIZE_SCHEMA = IndexSchema(
+    fields=(
+        Field("event_id", "long", required=True),
+        Field("event_type", "string"),
+        Field("value", "double"),
+    ),
+    unique_key="event_id",
+    dynamic_fields=(DynamicField("extra_*", "string"),),
+)
+
+
+@_register(
+    "b2_sanitize_fields",
+    "SELECT event_id, event_type, value, props AS extra_props FROM events",
+    "B2 sanitizeUnknownSolrFields: drop/rename-to-dynamic projection",
+)
+def b2_sanitize_fields(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    out = _SANITIZE_SCHEMA.sanitize(e, rename_prefix="extra_")
+    return out.select("event_id", "event_type", "value", "extra_props")
+
+
+@_register(
+    "b4_tokenize_general",
+    r"""SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+            '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        FROM documents""",
+    "B4 tokenizeText(text_general): word split + lowercase, one row per token",
+)
+def b4_tokenize_general(spark, sf_dir):
+    from solr_map_reduce_spark.functions.analyzers import tokenize_text_general
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(tokenize_text_general(F.col("text"))).alias("token")
+    )
+
+
+@_register(
+    "b4_tokenize_lowercase",
+    "SELECT doc_id, lower(text) AS token FROM documents",
+    "B4 tokenizeText(lowercase): keyword tokenizer + lowercase (single token)",
+)
+def b4_tokenize_lowercase(spark, sf_dir):
+    from solr_map_reduce_spark.functions.analyzers import tokenize_lowercase
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(tokenize_lowercase(F.col("text"))).alias("token")
+    )
+
+
+@_register(
+    "b8_convert_timestamp",
+    "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS ts_iso FROM events",
+    "B8 convertTimestamp: canonical Solr date format output",
+)
+def b8_convert_timestamp(spark, sf_dir):
+    from solr_map_reduce_spark.functions.timestamps import format_timestamp
+
+    e = t(spark, sf_dir, "events")
+    return e.select("event_id", format_timestamp(F.col("ts")).alias("ts_iso"))
+
+
+@_register(
+    "facet_event_counts",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "facet-style groupBy count over the artifact (SURVEY §2.C closing note)",
+)
+def facet_event_counts(spark, sf_dir):
+    return t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@_register(
+    "a8_routing_shards",
+    None,  # hash parity is not SQL-expressible; golden-tested in tests/test_routing.py
+    "A8/C8 SolrCloud-parity micro-shard routing of customer keys",
+)
+def a8_routing_shards(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id")
+    )
+    routed = with_shard_id(c, "id", shards=4, num_partitions=16, out_col="micro_shard")
+    return routed.withColumn("root_shard", (F.col("micro_shard") / 4).cast("int"))
+
+
+# ===========================================================================
+# Analytics (bench headliners)
+# ===========================================================================
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_DEC_SQL.format(expr='l_quantity')} AS sum_qty,
+  {_DEC_SQL.format(expr='l_extendedprice')} AS sum_base_price,
+  {_DEC_SQL.format(expr='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {_DEC_SQL.format(expr='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register(
+    "q1_pricing_summary",
+    _Q1_SQL,
+    "flagship scan+agg: TPC-H Q1 shape with exact-decimal aggregation",
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_SQL = f"""
+SELECT o_orderkey,
+  {_DEC_SQL.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+@_register(
+    "q3_top_revenue",
+    _Q3_SQL,
+    "flagship join: broadcast dim filter + shuffle join + top-k",
+)
+def q3_top_revenue(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dec_sum(disc, "revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "star_join_enrich",
+    f"""SELECT r_name, n_name, count(*) AS customers,
+         {_DEC_SQL.format(expr='c_acctbal')} AS total_acctbal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+    "star-schema broadcast join + rollup",
+)
+def star_join_enrich(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+# ===========================================================================
+# Extensions: dedup / similarity / text analysis
+# ===========================================================================
+
+def _docs_with_dupes(spark, sf_dir):
+    """documents ∪ exact copies of every 7th doc under new ids — the dedup
+    fixtures (the raw fixture has no duplicate texts)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(copies)
+
+
+_DUPES_SQL = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+@_register(
+    "ext_exact_dedup",
+    _DUPES_SQL
+    + """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) - 1 AS n_dupes
+         FROM docs2 GROUP BY md5(text)""",
+    "exact dedup: content-digest groupBy, min-id survivor",
+)
+def ext_exact_dedup(spark, sf_dir):
+    return text_dedup.exact_dedup(_docs_with_dupes(spark, sf_dir), "text", "doc_id")
+
+
+@_register(
+    "ext_token_count",
+    r"""SELECT doc_id,
+          CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents""",
+    "whitespace token count",
+)
+def ext_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_analysis.token_count(F.col("text")).alias("n_tokens"))
+
+
+_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
+    CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE) AS space,
+    list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}]+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, n, alpha, digit, space,
+    CAST(length(toks) AS DOUBLE) AS ntok,
+    CAST(length(list_filter(toks, x -> list_contains({stops}, x))) AS DOUBLE) AS nstop,
+    CASE WHEN n > 0 THEN n ELSE 1.0 END AS safe,
+    CASE WHEN length(toks) > 0 THEN CAST(length(toks) AS DOUBLE) ELSE 1.0 END AS safe_tok
+  FROM f
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_chars,
+  CAST(ntok AS BIGINT) AS n_tokens,
+  alpha / safe AS alpha_ratio,
+  digit / safe AS digit_ratio,
+  space / safe AS space_ratio,
+  (alpha + digit) / safe_tok AS mean_token_len,
+  nstop / safe_tok AS stopword_ratio,
+  least(ntok / 20.0, 1.0) * 0.4 + (alpha / safe) * 0.4
+    + least((nstop / safe_tok) * 4.0, 1.0) * 0.2 AS quality_score
+FROM g
+""".format(stops="[" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + "]")
+
+
+@_register(
+    "ext_quality_features",
+    _QUALITY_SQL,
+    "per-document quality features + composite score",
+)
+def ext_quality_features(spark, sf_dir):
+    return text_analysis.quality_features(t(spark, sf_dir, "documents"))
+
+
+_LANG_SQL = r"""
+WITH f AS (
+  SELECT doc_id, text,
+    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                  x -> x <> '')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+    {scores}
+  FROM f
+), b AS (
+  SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM s
+)
+SELECT doc_id,
+  CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+       WHEN best = 0 THEN 'und'
+       WHEN s_de = best THEN 'de'
+       WHEN s_en = best THEN 'en'
+       WHEN s_es = best THEN 'es'
+       WHEN s_fr = best THEN 'fr'
+       ELSE 'und' END AS lang_pred,
+  CAST(best AS BIGINT) AS lang_score
+FROM b
+"""
+
+
+def _lang_sql() -> str:
+    scores = ",\n    ".join(
+        "CAST(length(list_intersect(toks, [{probes}])) AS BIGINT) AS s_{lang}".format(
+            probes=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in sorted(text_analysis.LANG_PROBES.items())
+    )
+    return _LANG_SQL.format(scores=scores)
+
+
+@_register("ext_lang_id", _lang_sql(), "stopword-probe language identification")
+def ext_lang_id(spark, sf_dir):
+    return text_analysis.lang_id(t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ext_fingerprint",
+    r"""SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(
+            list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                        x -> x <> ''))), ' ')) AS fingerprint
+        FROM documents""",
+    "bag-of-words fingerprint (key-collision dedup)",
+)
+def ext_fingerprint(spark, sf_dir):
+    return text_analysis.fingerprint(t(spark, sf_dir, "documents"))
+
+
+_ANN_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT vec_id FROM embeddings, q
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id
+LIMIT 10
+"""
+
+
+@_register(
+    "ext_ann_topk",
+    _ANN_SQL,
+    "brute-force cosine top-k (exact ANN baseline)",
+)
+def ext_ann_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qvec = (
+        e.orderBy("vec_id").select("embedding").first()["embedding"]
+    )
+    return similarity.cosine_topk(e, qvec, k=10, with_score=False)
+
+
+@_register(
+    "ext_minhash_dedup",
+    None,  # LSH banding is not SQL-expressible; validated against exact
+    # jaccard in tests/test_extensions.py
+    "MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.5)",
+)
+def ext_minhash_dedup(spark, sf_dir):
+    docs = _docs_with_dupes(spark, sf_dir)
+    return text_dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.5)
+
+
+@_register(
+    "ext_simhash",
+    None,  # majority-vote bit packing via pandas UDF; deterministic, golden-tested
+    "64-bit SimHash per document",
+)
+def ext_simhash(spark, sf_dir):
+    return text_dedup.simhash64(t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+
+_COS_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.2
+"""
+
+
+@_register(
+    "ext_cosine_pairs",
+    _COS_PAIRS_SQL,
+    "embedding near-dup pairs (exact small-scale path; production path is "
+    "cosine_pairs_lsh which blocks on sign-LSH)",
+)
+def ext_cosine_pairs(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    va = F.col("_va").cast("array<double>")
+    vb = F.col("_vb").cast("array<double>")
+    cos = similarity.dot_product(va, vb) / (similarity.l2_norm(va) * similarity.l2_norm(vb))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= 0.2)
+        .select("id_a", "id_b")
+    )
+
+
+@_register(
+    "ext_ivf_topk",
+    None,  # approximate by design (IVF nprobe pruning)
+    "IVF-bucketed approximate top-k",
+)
+def ext_ivf_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").first()["embedding"]
+    index = similarity.IvfIndex.fit(e, n_centroids=8)
+    assigned = index.assign(e)
+    return index.search(assigned, qvec, k=10, nprobe=3).select("vec_id")
+
+
+def registry() -> dict[str, QueryDef]:
+    return dict(REGISTRY)

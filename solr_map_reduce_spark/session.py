@@ -27,6 +27,9 @@ _ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Broadcast small dimension tables aggressively (region/nation/etc.).
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no ns type);
+    # sources.load_table converts them to microsecond timestamps.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Parquet niceties.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",

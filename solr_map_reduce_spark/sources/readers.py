@@ -43,6 +43,20 @@ _FORMAT_ALIASES = {
 }
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table, normalizing nanosecond-precision parquet
+    timestamps (read as long via ``nanosAsLong``) to microsecond timestamps —
+    integer division keeps full int64 precision; truncation matches how
+    engines with µs timestamps (DuckDB) read the same files."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def read_input(
     spark: SparkSession,
     paths: str | Sequence[str],

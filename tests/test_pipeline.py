@@ -1,0 +1,96 @@
+import pyspark.sql.functions as F
+
+from solr_map_reduce_spark.plans import compile_pipeline
+from solr_map_reduce_spark.schema import Field, IndexSchema
+
+
+def test_pipeline_end_to_end(spark):
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("title", "string"),
+            Field("title_tokens", "string", multi_valued=True),
+            Field("created", "string"),
+        ),
+        unique_key="id",
+    )
+    df = spark.createDataFrame(
+        [
+            ("f1", "Hello World", "2021-01-02T03:04:05Z", "junk"),
+            ("f1", "Another Doc", "2021-06-07T08:09:10Z", "junk"),
+        ],
+        "base string, title string, created string, unknown string",
+    )
+    pipe = compile_pipeline(
+        [
+            {"op": "generate_key", "base_id_col": "base", "key": "id",
+             "session_col": "base", "order_col": "created", "preserve_existing": False},
+            {"op": "convert_timestamp", "field": "created"},
+            {"op": "tokenize", "input_field": "title", "output_field": "title_tokens",
+             "analyzer": "text_general"},
+            {"op": "sanitize", "schema": schema},
+        ]
+    )
+    out = pipe.run(df).orderBy("id").collect()
+    assert [r["id"] for r in out] == ["f1#0", "f1#1"]
+    assert out[0]["title_tokens"] == ["hello", "world"]
+    assert out[0]["created"] == "2021-01-02T03:04:05.000Z"
+    assert "unknown" not in out[0].asDict()
+
+
+def test_flatten_and_extract_paths(spark):
+    df = spark.createDataFrame(
+        [((("x", 1), "top"),)], "root struct<inner: struct<a: string, b: int>, top: string>"
+    )
+    flat = compile_pipeline([{"op": "flatten"}]).run(df)
+    assert flat.columns == ["root_inner_a", "root_inner_b", "root_top"]
+    ext = compile_pipeline(
+        [{"op": "extract_paths", "paths": {"a": "/root/inner/a", "t": "/root/top"}}]
+    ).run(df)
+    row = ext.first()
+    assert row["a"] == "x" and row["t"] == "top"
+
+
+def test_when_rules_routing(spark):
+    df = spark.createDataFrame(
+        [("a.csv", "1"), ("b.json", "2"), ("c.bin", "3")], "name string, v string"
+    )
+    pipe = compile_pipeline(
+        [
+            {
+                "op": "when_rules",
+                "rules": [
+                    (F.col("name").endswith(".csv"), lambda d: d.withColumn("kind", F.lit("csv"))),
+                    (F.col("name").endswith(".json"), lambda d: d.withColumn("kind", F.lit("json"))),
+                ],
+                "otherwise": lambda d: d.withColumn("kind", F.lit("other")),
+            }
+        ]
+    )
+    got = {r["name"]: r["kind"] for r in pipe.run(df).collect()}
+    assert got == {"a.csv": "csv", "b.json": "json", "c.bin": "other"}
+
+
+def test_set_values_uuid_explode(spark):
+    df = spark.createDataFrame([(["x", "y"],)], "atts array<string>")
+    pipe = compile_pipeline(
+        [
+            {"op": "explode", "field": "atts"},
+            {"op": "set_values", "values": {"flag": True}},
+            {"op": "generate_uuid", "field": "uid"},
+        ]
+    )
+    rows = pipe.run(df).collect()
+    assert len(rows) == 2
+    assert all(r["flag"] for r in rows)
+    assert len({r["uid"] for r in rows}) == 2
+
+
+def test_observe_metrics(spark):
+    from pyspark.sql import Observation
+
+    # use the raw DataFrame.observe via our op factory path
+    df = spark.range(10)
+    pipe = compile_pipeline([{"op": "observe", "name": "m1"}])
+    out = pipe.run(df)
+    assert out.count() == 10

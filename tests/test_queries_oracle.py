@@ -1,0 +1,79 @@
+"""Local mirror of the driver's correctness gate: run every ``queries()``
+entry against its ``oracle_sql()`` via DuckDB at sf0.001 and compare
+row-count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return tuple(_norm(x) for x in v.tolist())
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _row_key(row, cols):
+    return tuple(_norm(row[c]) for c in sorted(cols))
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    got_df = QUERIES[name](spark, sf_dir)
+    got = got_df.collect()
+    if name not in ORACLES:
+        # rows-only contract: it must run and produce a stable schema
+        assert got_df.columns
+        return
+    want_pdf = duck.sql(ORACLES[name]).df()
+    assert len(got) == len(want_pdf), f"{name}: row count {len(got)} != {len(want_pdf)}"
+    got_cols = sorted(got_df.columns)
+    want_cols = sorted(want_pdf.columns)
+    assert got_cols == want_cols, f"{name}: columns {got_cols} != {want_cols}"
+    got_keys = sorted(_row_key(r.asDict(), got_cols) for r in got)
+    want_keys = sorted(
+        _row_key(rec, want_cols) for rec in want_pdf.to_dict("records")
+    )
+    mismatches = [
+        (g, w) for g, w in zip(got_keys, want_keys) if g != w
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert sum(r["docs"] for r in rows) == 500

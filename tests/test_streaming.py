@@ -1,0 +1,73 @@
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.indexing import IndexJobConfig, read_index
+from solr_map_reduce_spark.schema import Field, IndexSchema
+from solr_map_reduce_spark.streaming.ingest import stream_ingest, windowed_event_counts
+
+SCHEMA = IndexSchema(
+    fields=(
+        Field("id", "string", required=True),
+        Field("payload", "string"),
+        Field("version", "long"),
+    ),
+    unique_key="id",
+)
+
+
+def test_stream_ingest_upserts(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [("a", "v1", 1), ("b", "v1", 1)], "id string, payload string, version long"
+    )
+    batch1.write.parquet(inp)
+    cfg = IndexJobConfig(schema=SCHEMA, shards=2, dedup="retain_most_recent",
+                         order_field="version", tiebreak=("id",))
+    q = stream_ingest(spark, inp, batch1.schema, cfg, out, ckpt)
+    q.awaitTermination(120)
+    idx1 = {r["id"]: r["payload"] for r in read_index(spark, out).collect()}
+    assert idx1 == {"a": "v1", "b": "v1"}
+
+    # second file arrives: update a, add c
+    batch2 = spark.createDataFrame(
+        [("a", "v2", 2), ("c", "v1", 1)], "id string, payload string, version long"
+    )
+    batch2.write.mode("append").parquet(inp)
+    q2 = stream_ingest(spark, inp, batch1.schema, cfg, out, ckpt)
+    q2.awaitTermination(120)
+    idx2 = {r["id"]: r["payload"] for r in read_index(spark, out).collect()}
+    assert idx2 == {"a": "v2", "b": "v1", "c": "v1"}
+
+
+def test_windowed_event_counts_batch_semantics(spark, sf_dir, tmp_path):
+    """Run the streaming aggregation over the events table via availableNow
+    and check totals against the batch answer."""
+    from solr_map_reduce_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream, "ts", "1 hour", "2 hours", "event_type")
+    out = str(tmp_path / "agg_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # append mode emits only windows closed by the watermark; totals must not
+    # exceed batch counts and must cover the closed windows exactly
+    got = spark.read.parquet(out)
+    batch = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    got_total = got.agg(F.sum("cnt")).first()[0] or 0
+    batch_total = batch.agg(F.sum("cnt")).first()[0]
+    assert got_total <= batch_total
+    assert got.filter(F.col("cnt") <= 0).count() == 0
