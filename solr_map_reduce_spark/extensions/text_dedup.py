@@ -30,6 +30,17 @@ MERSENNE_PRIME = (1 << 61) - 1
 _MAX_HASH = (1 << 32) - 1
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a low-partition input (e.g. one small parquet file) across the
+    cluster before heavy per-row work.  At real scale inputs already have
+    many splits and this is a no-op; without it a single-file input pins the
+    whole shingling stage to one or two cores (observed 3.3x at sf0.1)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -69,11 +80,49 @@ def shingles_column(tokens: F.Column, k: int = 3) -> F.Column:
     )
 
 
+def _rot64(col: F.Column, r: int) -> F.Column:
+    """Bitwise rotate-left on long — shift ops are overflow-free under ANSI."""
+    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+
 def shingle_hashes(df: DataFrame, text_col: str, k: int = 3, out_col: str = "shingle_hashes") -> DataFrame:
-    """text → array of 64-bit shingle hashes, all JVM-side (xxhash64)."""
-    toks = tokens_column(F.col(text_col))
-    sh = shingles_column(toks, k)
-    return df.withColumn(out_col, F.transform(sh, lambda s: F.xxhash64(s)))
+    """text → array of 64-bit shingle hashes, all JVM-side.
+
+    Two performance-critical choices (observed at sf0.1):
+    - Tokens are materialized in their own projection: higher-order array
+      functions are interpreted (no codegen), and inlining the split/filter
+      expression into every consumer re-evaluates it per use (2-3x).
+    - Shingle hashes are computed WITHOUT materializing shingle strings:
+      hash each token once (xxhash64), then combine k consecutive token
+      hashes with position-dependent rotations + xor — pure integer ops
+      instead of per-shingle slice+concat+hash of strings (another ~2x).
+      Jaccard over these hash sets equals Jaccard over shingle sets modulo
+      64-bit collisions.
+    """
+    staged = df.withColumn("_toks", tokens_column(F.col(text_col)))
+    staged = staged.withColumn(
+        "_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    )
+    th = F.col("_th")
+    n = F.size(th)
+
+    def combine(i: F.Column) -> F.Column:
+        # xor of rotated token hashes for positions i .. i+k-1 (1-based
+        # element_at); try_element_at gives null past the end (short docs)
+        acc = None
+        for j in range(k):
+            part = _rot64(
+                F.coalesce(F.try_element_at(th, i + F.lit(j + 1)), F.lit(0)),
+                (j * 21) % 63 + 1,
+            )
+            acc = part if acc is None else acc.bitwiseXOR(part)
+        return acc
+
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    hashes = F.when(n > 0, F.array_distinct(F.transform(idx, combine))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return staged.withColumn(out_col, hashes).drop("_toks", "_th")
 
 
 # ---------------------------------------------------------------------------
@@ -85,6 +134,34 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     a = rng.randint(1, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
     return a, b
+
+
+def signatures_from_hashes(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hashes_col: str = "shingle_hashes",
+    num_perm: int = 128,
+    seed: int = 42,
+    sig_col: str = "signature",
+) -> DataFrame:
+    """(id, shingle_hashes) → (id, signature) — reuses an already-hashed
+    input so pipelines that need both sets and signatures compute the
+    shingling once."""
+    a, b = _perm_params(num_perm, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append([0] * len(a))
+                continue
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64) & _MAX_HASH
+            phv = (np.outer(a, x) + b[:, None]) % MERSENNE_PRIME
+            out.append((phv.min(axis=1) & _MAX_HASH).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return hashed.select(F.col(id_col), _minhash(F.col(hashes_col)).alias(sig_col))
 
 
 def minhash_signatures(
@@ -207,13 +284,31 @@ def minhash_dedup(
     seed: int = 42,
 ) -> DataFrame:
     """Full near-dup pipeline: pairs (id_a < id_b, jaccard) with verified
-    Jaccard >= threshold."""
-    hashed = shingle_hashes(df, text_col, shingle_k, "shingle_hashes").select(
-        id_col, "shingle_hashes"
+    Jaccard >= threshold.
+
+    The shingle-hash table is computed ONCE and persisted: signatures derive
+    from it, the LSH self-join reuses it on both sides, and verification
+    joins back to it (without the persist, Spark re-evaluates the shingling
+    lineage up to four times)."""
+    df = ensure_parallelism(df)
+    hashed = (
+        shingle_hashes(df, text_col, shingle_k, "shingle_hashes")
+        .select(id_col, "shingle_hashes")
+        .persist()
     )
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
-    cands = lsh_candidates(sigs, id_col, "signature", bands)
-    return verified_jaccard(cands, hashed, id_col).filter(F.col("jaccard") >= threshold)
+    try:
+        sigs = signatures_from_hashes(
+            hashed, id_col, "shingle_hashes", num_perm, seed
+        ).persist()
+        cands = lsh_candidates(sigs, id_col, "signature", bands)
+        out = verified_jaccard(cands, hashed, id_col).filter(
+            F.col("jaccard") >= threshold
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
+        sigs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -245,9 +340,12 @@ def simhash64(
             out.append(int(val.astype(np.int64)))
         return pd.Series(out, dtype="int64")
 
-    toks = tokens_column(F.col(text_col))
-    hashed = df.withColumn("_th", F.transform(toks, lambda t: F.xxhash64(t)))
-    return hashed.withColumn(out_col, _simhash(F.col("_th"))).drop("_th")
+    df = ensure_parallelism(df)
+    staged = df.withColumn("_toks", tokens_column(F.col(text_col)))
+    hashed = staged.withColumn(
+        "_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    )
+    return hashed.withColumn(out_col, _simhash(F.col("_th"))).drop("_toks", "_th")
 
 
 def simhash_candidates(
@@ -310,7 +408,19 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard >= threshold, LSH-blocked so it never cross-joins
     the corpus (block_bands minhash bands generate candidates; a lower
     threshold needs more bands)."""
-    hashed = shingle_hashes(df, text_col, k, "shingle_hashes").select(id_col, "shingle_hashes")
-    sigs = minhash_signatures(df, text_col, id_col, num_perm=64, shingle_k=k)
-    cands = lsh_candidates(sigs, id_col, "signature", bands=block_bands)
-    return verified_jaccard(cands, hashed, id_col).filter(F.col("jaccard") >= threshold)
+    df = ensure_parallelism(df)
+    hashed = (
+        shingle_hashes(df, text_col, k, "shingle_hashes")
+        .select(id_col, "shingle_hashes")
+        .persist()
+    )
+    try:
+        sigs = signatures_from_hashes(hashed, id_col, "shingle_hashes", num_perm=64)
+        cands = lsh_candidates(sigs, id_col, "signature", bands=block_bands)
+        out = verified_jaccard(cands, hashed, id_col).filter(
+            F.col("jaccard") >= threshold
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
+    return out

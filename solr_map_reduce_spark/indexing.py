@@ -33,8 +33,10 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Iterator
 from dataclasses import dataclass, field
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,7 +46,31 @@ from solr_map_reduce_spark.operators.routing import with_shard_id
 from solr_map_reduce_spark.schema import IndexSchema
 
 SHARD_COL = "shard"
+MICRO_COL = "_micro_shard"
 MANIFEST = "_INDEX_MANIFEST.json"
+
+
+def _keep_first_sorted(df: DataFrame, key: str) -> DataFrame:
+    """Narrow per-partition dedup: keep the first row of each consecutive
+    same-key run.  Correct only when the partition is clustered+sorted by
+    ``key`` (the write path sorts by (shard, key, order DESC) first) — this is
+    the reference's reducer semantics (sorted shuffle + resolver) in ONE
+    shuffle instead of groupBy + repartition."""
+    schema = df.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_key = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key]
+            keep = keys.ne(keys.shift())
+            if last_key is not None:
+                keep.iat[0] = keys.iat[0] != last_key
+            last_key = keys.iat[-1]
+            yield pdf[keep.to_numpy()]
+
+    return df.mapInPandas(gen, schema)
 
 
 @dataclass
@@ -77,8 +103,10 @@ class IndexJob:
         self.config = config
 
     # -- logical plan ------------------------------------------------------
-    def prepare(self, df: DataFrame, generate_keys_from: str | None = None) -> DataFrame:
-        """extract→key→sanitize→route→dedup as one DataFrame plan."""
+    def route(self, df: DataFrame, generate_keys_from: str | None = None) -> DataFrame:
+        """extract→key→sanitize→route: adds the root ``shard`` column (the
+        artifact partition) and ``_micro_shard`` (the reference's reducer
+        number — write-path parallelism beyond shard count, A8)."""
         cfg = self.config
         key = cfg.schema.unique_key
         if generate_keys_from is not None:
@@ -86,14 +114,15 @@ class IndexJob:
         df = require_unique_key(df, key)
         df = cfg.schema.sanitize(df, rename_prefix=cfg.sanitize_rename_prefix)
         df = cfg.schema.apply_types(df)
-        df = with_shard_id(
-            df, key, cfg.shards, cfg.micro_shards, out_col=SHARD_COL
-        )
-        # root shard = micro_shard // (P/S): keep the *root* shard as the
-        # artifact partition so the layout has exactly S directories while the
-        # dedup/sort shuffle still spreads over micro_shards tasks.
+        df = with_shard_id(df, key, cfg.shards, cfg.micro_shards, out_col=MICRO_COL)
         per_shard = (cfg.micro_shards or cfg.shards) // cfg.shards
-        df = df.withColumn(SHARD_COL, (F.col(SHARD_COL) / per_shard).cast("int"))
+        return df.withColumn(SHARD_COL, (F.col(MICRO_COL) / per_shard).cast("int"))
+
+    def resolve(self, df: DataFrame) -> DataFrame:
+        """Aggregation-based conflict resolution (A10-A14) — used by the slow
+        path and by streaming merge-upserts."""
+        cfg = self.config
+        key = cfg.schema.unique_key
         if cfg.dedup != "none":
             order = cfg.order_field if cfg.order_field in df.columns else None
             if order is None and cfg.dedup in ("retain_most_recent", "sort_updates"):
@@ -108,9 +137,28 @@ class IndexJob:
                 )
         return df
 
+    def prepare(self, df: DataFrame, generate_keys_from: str | None = None) -> DataFrame:
+        """route + resolve as one plan (the two-shuffle slow path; ``build``
+        prefers the single-shuffle write for retain_most_recent/none)."""
+        return self.resolve(self.route(df, generate_keys_from)).drop(MICRO_COL)
+
     # -- physical write ----------------------------------------------------
+    def _manifest(self, columns: list[str], path: str) -> dict:
+        cfg = self.config
+        manifest = {
+            "shards": cfg.shards,
+            "unique_key": cfg.schema.unique_key,
+            "dedup": cfg.dedup,
+            "order_field": cfg.order_field,
+            "columns": [c for c in columns if c not in (SHARD_COL, MICRO_COL)],
+        }
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest
+
     def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> dict:
-        """Write the sharded, key-sorted artifact (A17/A18/A21).
+        """Write an already-resolved DataFrame as the sharded, key-sorted
+        artifact (A17/A18/A21).
 
         ``repartition(shards, shard)`` + ``sortWithinPartitions(shard, key)``
         + ``partitionBy(shard)``: each output task owns whole shard
@@ -119,6 +167,8 @@ class IndexJob:
         """
         cfg = self.config
         key = cfg.schema.unique_key
+        if MICRO_COL in df.columns:
+            df = df.drop(MICRO_COL)
         writer_df = (
             df.repartition(cfg.shards, F.col(SHARD_COL))
             .sortWithinPartitions(SHARD_COL, key)
@@ -127,16 +177,34 @@ class IndexJob:
         if cfg.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
         writer.parquet(path)
-        manifest = {
-            "shards": cfg.shards,
-            "unique_key": key,
-            "dedup": cfg.dedup,
-            "order_field": cfg.order_field,
-            "columns": [c for c in df.columns if c != SHARD_COL],
-        }
-        with open(os.path.join(path, MANIFEST), "w") as f:
-            json.dump(manifest, f, indent=2)
-        return manifest
+        return self._manifest(df.columns, path)
+
+    def _write_sorted_dedup(
+        self, routed: DataFrame, path: str, mode: str = "overwrite"
+    ) -> dict:
+        """Single-shuffle fast path (reference reducer semantics, A9+A10+A17
+        in one exchange): hash-shuffle on the micro shard, sort each
+        partition by (shard, key, order DESC), then a narrow keep-first pass
+        dedups — no separate groupBy shuffle.  Parallelism = micro_shards,
+        exactly the reference's reducers-beyond-shard-count design."""
+        cfg = self.config
+        key = cfg.schema.unique_key
+        sort_cols = [F.col(SHARD_COL), F.col(key)]
+        if cfg.dedup == "retain_most_recent":
+            if cfg.order_field in routed.columns:
+                sort_cols.append(F.desc(cfg.order_field))
+            sort_cols.extend(F.desc(c) for c in cfg.tiebreak if c in routed.columns)
+        partitioned = routed.repartition(
+            cfg.micro_shards or cfg.shards, F.col(MICRO_COL)
+        ).sortWithinPartitions(*sort_cols)
+        if cfg.dedup == "retain_most_recent":
+            partitioned = _keep_first_sorted(partitioned, key)
+        out = partitioned.drop(MICRO_COL)
+        writer = out.write.mode(mode).partitionBy(SHARD_COL)
+        if cfg.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        writer.parquet(path)
+        return self._manifest(out.columns, path)
 
     def build(
         self,
@@ -145,7 +213,33 @@ class IndexJob:
         generate_keys_from: str | None = None,
         mode: str = "overwrite",
     ) -> dict:
-        return self.write(self.prepare(df, generate_keys_from), path, mode=mode)
+        routed = self.route(df, generate_keys_from)
+        if self.config.dedup in ("retain_most_recent", "none") and (
+            self.config.dedup == "none" or self.config.order_field in routed.columns
+        ):
+            return self._write_sorted_dedup(routed, path, mode=mode)
+        return self.write(self.resolve(routed.drop(MICRO_COL)), path, mode=mode)
+
+    def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
+        """A24 dry-run: run the full logical pipeline client-side and return
+        the first ``n`` prepared documents without writing
+        (MapReduceIndexerTool --dry-run, MRIT:1105-1120)."""
+        return self.prepare(df, generate_keys_from).limit(n).collect()
+
+    def observed(self, df: DataFrame, name: str = "indexing"):
+        """A27 metrics: attach counters (docs seen / null keys) as an
+        Observation; returns (df, observation) — read ``observation.get``
+        after an action."""
+        from pyspark.sql import Observation
+
+        key = self.config.schema.unique_key
+        obs = Observation(name)
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.when(F.col(key).isNull(), 1).otherwise(0)).alias("null_keys"),
+        )
+        return out, obs
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:

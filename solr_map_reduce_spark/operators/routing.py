@@ -34,6 +34,7 @@ from __future__ import annotations
 import bisect
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
@@ -82,6 +83,77 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     h1 = (h1 * 0xC2B2AE35) & _MASK32
     h1 ^= h1 >> 16
     return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def murmur3_x86_32_batch(strings: "pd.Series", seed: int = 0) -> np.ndarray:
+    """Vectorized murmur3_x86_32 over the UTF-8 bytes of a string batch.
+
+    Bit-identical to :func:`murmur3_x86_32`; processes all rows lane-by-lane
+    in numpy uint32 arithmetic (natural wraparound), so per-row Python cost is
+    just the UTF-8 encode.  Returns int32 array.
+    """
+    encoded = [s.encode("utf-8") for s in strings]
+    lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+    n = len(encoded)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    maxlen = int(lengths.max()) if n else 0
+    buf = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
+    if maxlen:
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        pos = np.arange(maxlen)
+        mask = pos[None, :] < lengths[:, None]
+        idx = offsets[:, None] + pos[None, :]
+        buf[mask] = flat[idx[mask]]
+
+    c1 = np.uint32(_C1)
+    c2 = np.uint32(_C2)
+    h1 = np.full(n, np.uint32(seed), dtype=np.uint32)
+    nblocks = maxlen // 4
+    with np.errstate(over="ignore"):
+        for blk in range(nblocks):
+            base = blk * 4
+            active = lengths >= base + 4
+            k1 = (
+                buf[:, base].astype(np.uint32)
+                | (buf[:, base + 1].astype(np.uint32) << 8)
+                | (buf[:, base + 2].astype(np.uint32) << 16)
+                | (buf[:, base + 3].astype(np.uint32) << 24)
+            )
+            k1 *= c1
+            k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+            k1 *= c2
+            h1_new = h1 ^ k1
+            h1_new = (h1_new << np.uint32(13)) | (h1_new >> np.uint32(19))
+            h1_new = h1_new * np.uint32(5) + np.uint32(0xE6546B64)
+            h1 = np.where(active, h1_new, h1)
+        # tails (per-row tail length 0-3 at per-row block boundary)
+        tail_len = (lengths & 3).astype(np.int64)
+        tail_base = (lengths & ~3).astype(np.int64)
+        k1 = np.zeros(n, dtype=np.uint32)
+        rows = np.arange(n)
+        m3 = tail_len == 3
+        if m3.any():
+            k1[m3] ^= buf[rows[m3], tail_base[m3] + 2].astype(np.uint32) << np.uint32(16)
+        m2 = tail_len >= 2
+        if m2.any():
+            k1[m2] ^= buf[rows[m2], tail_base[m2] + 1].astype(np.uint32) << np.uint32(8)
+        m1 = tail_len >= 1
+        if m1.any():
+            k1[m1] ^= buf[rows[m1], tail_base[m1]].astype(np.uint32)
+            kt = k1[m1]
+            kt *= c1
+            kt = (kt << np.uint32(15)) | (kt >> np.uint32(17))
+            kt *= c2
+            h1[m1] ^= kt
+        h1 ^= lengths.astype(np.uint32)
+        h1 ^= h1 >> np.uint32(16)
+        h1 *= np.uint32(0x85EBCA6B)
+        h1 ^= h1 >> np.uint32(13)
+        h1 *= np.uint32(0xC2B2AE35)
+        h1 ^= h1 >> np.uint32(16)
+    return h1.view(np.int32)
 
 
 def _hash_str(s: str) -> int:
@@ -208,16 +280,22 @@ def shard_id_column(key: Column | str, shards: int, num_partitions: int | None =
     """
     router = ShardRouter(shards=shards, num_partitions=num_partitions)
     starts = [r[0] for r in router._ranges]
+    starts_arr = np.array(starts, dtype=np.int64)
     per_shard = router.partitions // router.shards
 
     @pandas_udf(IntegerType())
     def _route(ids: pd.Series) -> pd.Series:
-        out = []
-        for s in ids:
-            h = composite_id_hash(s)
-            root = bisect.bisect_right(starts, h) - 1
-            out.append(root * per_shard + ((h & INT_MAX) % per_shard))
-        return pd.Series(out, dtype="int32")
+        # vectorized murmur3 for plain ids; scalar fallback for composite
+        # "shard!doc" ids (rare — one pass flags them)
+        values = ids.astype(str)
+        hashes = murmur3_x86_32_batch(values).astype(np.int64)
+        composite = values.str.contains("!", regex=False).to_numpy()
+        if composite.any():
+            fixes = [composite_id_hash(s) for s in values[composite]]
+            hashes[composite] = np.array(fixes, dtype=np.int64)
+        roots = np.searchsorted(starts_arr, hashes, side="right") - 1
+        micro = roots * per_shard + ((hashes & INT_MAX) % per_shard)
+        return pd.Series(micro.astype(np.int32))
 
     return _route(F.col(key) if isinstance(key, str) else key)
 
