@@ -1,0 +1,161 @@
+"""Full-text search over the indexed artifact (SURVEY §2 C9 + the BM25
+extension flagged there).
+
+The reference's artifact answers full-text queries through Solr; the repo
+itself only exercises index-time analysis (text_en fields).  Here the engine
+answers them natively:
+
+- ``contains_all`` / ``contains_any`` — boolean term queries over the token
+  array (C9's ``array_contains`` shape).
+- ``bm25_search`` — Okapi BM25 ranking (Robertson/Sparck Jones; the classic
+  ``(k1+1)`` formulation) computed as a DataFrame plan: one explode for
+  postings, tiny broadcast joins for document frequencies and corpus stats.
+
+Scale shape: the postings explode is a narrow map; ``df_t`` (per-term doc
+freq, |Q| rows) and corpus stats (1 row) broadcast; the only shuffle of
+consequence is the per-(doc,term) tf aggregation, keyed on the query's terms
+only — documents without query terms are filtered before the shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from solr_map_reduce_spark.extensions.text_dedup import tokens_column
+
+
+def contains_all(
+    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs whose token set contains ALL terms (AND term query)."""
+    toks = tokens_column(F.col(text_col))
+    staged = df.withColumn("_toks", toks)
+    cond = None
+    for term in terms:
+        c = F.array_contains(F.col("_toks"), term)
+        cond = c if cond is None else (cond & c)
+    return staged.filter(cond).select(id_col)
+
+
+def contains_any(
+    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs whose token set contains ANY term (OR term query)."""
+    toks = tokens_column(F.col(text_col))
+    staged = df.withColumn("_toks", toks)
+    cond = None
+    for term in terms:
+        c = F.array_contains(F.col("_toks"), term)
+        cond = c if cond is None else (cond | c)
+    return staged.filter(cond).select(id_col)
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    with_score: bool = True,
+    exact_sum: bool = False,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by BM25.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene-style bounded idf);
+    score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    ``exact_sum`` routes the per-term score sum through DECIMAL(18,6) so the
+    result is independent of summation order (cross-engine oracle parity).
+    """
+    terms = [t.lower() for t in query_terms]
+    staged = df.select(
+        F.col(id_col), tokens_column(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks").cast("double"))
+
+    stats = staged.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    postings = (
+        staged.select(
+            F.col(id_col), F.col("dl"), F.explode("_toks").alias("term")
+        )
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(18,6)")).cast("double").alias("score")
+            if exact_sum
+            else F.sum("term_score").alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return scored if with_score else scored.select(id_col)
+
+
+def bm25_oracle_sql(
+    query_terms: Sequence[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
+    with_score: bool = True, exact_sum: bool = False,
+) -> str:
+    """The matching DuckDB SQL for :func:`bm25_search` over ``documents``."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    score_col = ", score" if with_score else ""
+    score_expr = (
+        "ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))"
+        f" * (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * p.dl / s.avgdl))"
+    )
+    sum_expr = (
+        f"CAST(sum(CAST({score_expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        if exact_sum
+        else f"sum({score_expr})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                x -> x <> '') AS t
+  FROM documents
+), staged AS (
+  SELECT doc_id, t, CAST(length(t) AS DOUBLE) AS dl FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM staged
+), postings AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM staged)
+  WHERE term IN ({terms})
+  GROUP BY doc_id, dl, term
+), df_t AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM postings GROUP BY term
+), scored AS (
+  SELECT p.doc_id, {sum_expr} AS score
+  FROM postings p JOIN df_t d ON p.term = d.term CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id{score_col} FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""

@@ -252,13 +252,23 @@ def compact(spark: SparkSession, path: str, max_segments: int = 1) -> None:
     (A19): rewrite each shard directory down to ``max_segments`` files,
     preserving key order.  Idempotent per shard dir (A29's resumability:
     rerunning a shard overwrite is safe)."""
+    import math
+
     df = read_index(spark, path)
     key_cols = [c for c in df.columns if c != SHARD_COL]
     tmp = path.rstrip("/") + "._compact_tmp"
+    shard_rows = df.groupBy(SHARD_COL).count().collect()
+    n_shards = len(shard_rows)
+    max_rows = max((r["count"] for r in shard_rows), default=0)
+    # one sorted task per shard, rolling a new file every per_file rows →
+    # exactly ceil(rows/per_file) <= max_segments contiguous-key-range
+    # segments per shard (the Lucene forceMerge(maxSegments) contract, A18)
+    per_file = max(1, math.ceil(max_rows / max_segments))
     (
-        df.repartition(max_segments * df.select(SHARD_COL).distinct().count(), F.col(SHARD_COL))
+        df.repartition(max(n_shards, 1), F.col(SHARD_COL))
         .sortWithinPartitions(SHARD_COL, key_cols[0])
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
         .partitionBy(SHARD_COL)
         .parquet(tmp)
     )
@@ -269,6 +279,68 @@ def compact(spark: SparkSession, path: str, max_segments: int = 1) -> None:
     shutil.move(path, bak)
     shutil.move(tmp, path)
     shutil.rmtree(bak)
+
+
+def publish(staging_path: str, live_path: str) -> None:
+    """A21/A22 publish: atomically promote a staged artifact to the live
+    location (rename-swap + _SUCCESS marker) — the go-live analog.  Merging
+    into an external serving system is a pluggable step; the engine's
+    contract ends at an atomic table swap, like the reference's
+    ``results/`` rename (MRIT:818-836)."""
+    import shutil
+
+    bak = None
+    if os.path.exists(live_path):
+        bak = live_path.rstrip("/") + "._prev"
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        shutil.move(live_path, bak)
+    shutil.move(staging_path, live_path)
+    with open(os.path.join(live_path, "_SUCCESS_PUBLISH"), "w") as f:
+        f.write("ok")
+    if bak:
+        shutil.rmtree(bak)
+
+
+ITERATION_FILE = "_ITERATION"
+
+
+def merge_driver(
+    spark: SparkSession,
+    path: str,
+    max_segments: int = 1,
+    fanout: int = 4,
+) -> int:
+    """A29 resumable iterative compaction — the SolrMergeDriver analog.
+
+    Each iteration reduces the per-shard file count by ``fanout`` (rewriting
+    shard dirs), checkpointing progress to an ``_ITERATION`` file
+    (SolrMergeDriver.java:121-129, 235-264) so a crashed run resumes at the
+    last completed iteration instead of restarting.  In Spark a single
+    ``compact`` already reaches max_segments in one pass; the iterative form
+    exists for parity and for bounding per-task merge width at extreme file
+    counts (the reference's mtree rationale, A19).  Returns iterations run.
+    """
+    ckpt = os.path.join(path, ITERATION_FILE)
+    iteration = 0
+    if os.path.exists(ckpt):
+        with open(ckpt) as f:
+            iteration = int(f.read().strip() or 0)
+    ran = 0
+    while True:
+        counts = segment_counts(path)
+        worst = max(counts.values()) if counts else 0
+        if worst <= max_segments:
+            break
+        target = max(max_segments, worst // fanout)
+        compact(spark, path, max_segments=target)
+        iteration += 1
+        ran += 1
+        with open(ckpt, "w") as f:
+            f.write(str(iteration))
+    if os.path.exists(ckpt):
+        os.remove(ckpt)
+    return ran
 
 
 def segment_counts(path: str) -> dict[str, int]:

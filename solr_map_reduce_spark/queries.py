@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from solr_map_reduce_spark.extensions import similarity, text_analysis, text_dedup
+from solr_map_reduce_spark.extensions import search, similarity, text_analysis, text_dedup
 from solr_map_reduce_spark.functions.analyzers import ENGLISH_STOP_WORDS
 from solr_map_reduce_spark.operators import dedup
 from solr_map_reduce_spark.operators.keys import generate_sequence_key
@@ -629,6 +629,49 @@ def ext_ivf_topk(spark, sf_dir):
     index = similarity.IvfIndex.fit(e, n_centroids=8)
     assigned = index.assign(e)
     return index.search(assigned, qvec, k=10, nprobe=3).select("vec_id")
+
+
+# ===========================================================================
+# Extensions: full-text search over the artifact (C9 + BM25)
+# ===========================================================================
+
+_TOKS_SQL = (
+    r"list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"
+)
+
+
+@_register(
+    "c9_contains_all",
+    f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark') AND list_contains(t, 'vector')""",
+    "C9 boolean AND term query over analyzed tokens",
+)
+def c9_contains_all(spark, sf_dir):
+    return search.contains_all(t(spark, sf_dir, "documents"), ["spark", "vector"])
+
+
+@_register(
+    "c9_contains_any",
+    f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark') OR list_contains(t, 'shuffle')""",
+    "C9 boolean OR term query over analyzed tokens",
+)
+def c9_contains_any(spark, sf_dir):
+    return search.contains_any(t(spark, sf_dir, "documents"), ["spark", "shuffle"])
+
+
+_BM25_TERMS = ["spark", "vector", "merge"]
+
+
+@_register(
+    "ext_bm25_topk",
+    search.bm25_oracle_sql(_BM25_TERMS, k=10, exact_sum=True),
+    "Okapi BM25 top-k ranking as a DataFrame plan (exact-decimal score sum)",
+)
+def ext_bm25_topk(spark, sf_dir):
+    return search.bm25_search(
+        t(spark, sf_dir, "documents"), _BM25_TERMS, k=10, exact_sum=True
+    )
 
 
 def registry() -> dict[str, QueryDef]:

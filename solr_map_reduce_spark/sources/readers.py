@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _FORMAT_ALIASES = {
     "avro": "avro",
@@ -41,6 +42,22 @@ _FORMAT_ALIASES = {
     "solrcell": "binaryFile",
     "parquet": "parquet",
 }
+
+
+def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"):
+    """B22 fault-tolerance policy: split a PERMISSIVE-parsed input into
+    (good, bad) — bad records flow to a side output instead of failing the
+    job (the reference's isProductionMode / recoverableExceptionClasses
+    stance, mr/morphline/MorphlineMapRunner.java:110-114).
+
+    The input must be cached or re-readable: Spark computes the corrupt
+    column only when selected, so both branches re-scan.
+    """
+    if corrupt_col not in df.columns:
+        return df, None
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -120,3 +120,72 @@ def test_compact_to_single_segment(spark, sf_dir, tmp_path):
     after = segment_counts(out)
     assert set(after.values()) == {1}
     assert read_index(spark, out).count() == docs.count()
+
+
+def test_merge_driver_iterative_resume(spark, sf_dir, tmp_path, monkeypatch):
+    """A29: iterative fanout compaction with _ITERATION checkpointing and
+    crash-resume (SolrMergeDriverTest.testRetryMerge analog)."""
+    import os
+
+    from solr_map_reduce_spark import indexing
+    from solr_map_reduce_spark.indexing import ITERATION_FILE, merge_driver
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    out = str(tmp_path / "merge_index")
+    job = IndexJob(IndexJobConfig(schema=DOC_SCHEMA, shards=2, dedup="none",
+                                  max_records_per_file=25))
+    job.build(docs, out)
+    before = segment_counts(out)
+    assert max(before.values()) > 4
+    ckpt = os.path.join(out, ITERATION_FILE)
+
+    # crash after the first successful iteration
+    real_compact = indexing.compact
+    calls = {"n": 0}
+
+    def flaky_compact(*a, **kw):
+        if calls["n"] >= 1:
+            raise RuntimeError("injected crash")
+        calls["n"] += 1
+        return real_compact(*a, **kw)
+
+    monkeypatch.setattr(indexing, "compact", flaky_compact)
+    with pytest.raises(RuntimeError):
+        merge_driver(spark, out, max_segments=1, fanout=4)
+    assert open(ckpt).read().strip() == "1"  # checkpoint survived the crash
+    assert 1 < max(segment_counts(out).values()) <= 4  # partial progress kept
+
+    # resume from the checkpoint and converge
+    monkeypatch.setattr(indexing, "compact", real_compact)
+    ran = merge_driver(spark, out, max_segments=1, fanout=4)
+    assert ran >= 1
+    assert set(segment_counts(out).values()) == {1}
+    assert not os.path.exists(ckpt)
+    assert read_index(spark, out).count() == docs.count()
+
+
+def test_publish_atomic_swap(spark, sf_dir, tmp_path):
+    """A21/A22: staged artifact promoted to live path; old version replaced."""
+    import os
+
+    from solr_map_reduce_spark.indexing import publish
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    job = IndexJob(IndexJobConfig(schema=DOC_SCHEMA, shards=2, dedup="none"))
+    live = str(tmp_path / "live")
+
+    stage1 = str(tmp_path / "staging1")
+    job.build(docs.limit(100), stage1)
+    publish(stage1, live)
+    assert read_index(spark, live).count() == 100
+    assert os.path.exists(os.path.join(live, "_SUCCESS_PUBLISH"))
+
+    stage2 = str(tmp_path / "staging2")
+    job.build(docs, stage2)
+    publish(stage2, live)
+    assert read_index(spark, live).count() == docs.count()
+    assert not os.path.exists(stage2)

@@ -94,3 +94,24 @@ def test_observe_metrics(spark):
     pipe = compile_pipeline([{"op": "observe", "name": "m1"}])
     out = pipe.run(df)
     assert out.count() == 10
+
+
+def test_split_corrupt_side_output(spark, tmp_path):
+    """B22 fault tolerance: bad records flow to a side output, not a crash."""
+    from solr_map_reduce_spark.sources.readers import split_corrupt
+
+    p = tmp_path / "mixed.json"
+    p.write_text('{"a": 1}\n{"a": 2}\nNOT JSON AT ALL\n{"a": 3}\n')
+    df = spark.read.schema("a long, _corrupt_record string").json(str(p)).cache()
+    good, bad = split_corrupt(df)
+    assert sorted(r["a"] for r in good.collect()) == [1, 2, 3]
+    assert bad.count() == 1
+    assert "NOT JSON" in bad.first()["_corrupt_record"]
+
+
+def test_split_corrupt_noop_without_column(spark):
+    from solr_map_reduce_spark.sources.readers import split_corrupt
+
+    df = spark.range(3)
+    good, bad = split_corrupt(df)
+    assert bad is None and good.count() == 3

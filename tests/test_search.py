@@ -1,0 +1,84 @@
+"""Full-text search extension (SURVEY §2 C9 + BM25): boolean term queries
+and BM25 ranking golden tests on a tiny hand-checkable corpus."""
+
+import math
+
+import pytest
+
+from solr_map_reduce_spark.extensions import search
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick blue hare sleeps"),
+    (3, "brown bears eat quick fish; brown brown brown"),
+    (4, "nothing relevant here at all"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_contains_all(docs):
+    got = sorted(r["doc_id"] for r in search.contains_all(docs, ["quick", "brown"]).collect())
+    assert got == [1, 3]
+
+
+def test_contains_any(docs):
+    got = sorted(r["doc_id"] for r in search.contains_any(docs, ["hare", "dog"]).collect())
+    assert got == [1, 2]
+
+
+def test_contains_is_token_not_substring(docs):
+    # "rele" is a substring of "relevant" but not a token
+    assert search.contains_any(docs, ["rele"]).count() == 0
+
+
+def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
+    """Independent plain-Python BM25 over the tiny corpus."""
+    # same tokenizer as the engine: split on non-alnum runs
+    import re
+
+    toks = {
+        i: [t for t in re.split(r"[^0-9a-z]+", txt.lower()) if t]
+        for i, txt in corpus
+    }
+    n = float(len(toks))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = float(v.count(t))
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            scores[i] = s
+    return scores
+
+
+def test_bm25_matches_reference_impl(docs):
+    terms = ["quick", "brown"]
+    want = _bm25_ref(CORPUS, terms)
+    got = {r["doc_id"]: r["score"] for r in search.bm25_search(docs, terms, k=10).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+    # doc 3 has tf(brown)=4 and is shortest-normalized → ranks first
+    ranked = [r["doc_id"] for r in search.bm25_search(docs, terms, k=2).collect()]
+    assert ranked[0] == 3
+
+
+def test_bm25_topk_limit_and_order(docs):
+    out = search.bm25_search(docs, ["quick"], k=1).collect()
+    assert len(out) == 1
+
+
+def test_bm25_exact_sum_stable(docs):
+    a = search.bm25_search(docs, ["quick", "brown"], k=10, exact_sum=True).collect()
+    b = search.bm25_search(docs, ["quick", "brown"], k=10, exact_sum=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
