@@ -273,6 +273,133 @@ def verified_jaccard(
     )
 
 
+def minhash_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """One-pass (id, shingle_hashes, signature, band_hashes) per document.
+
+    Token hashing stays JVM-side (split + xxhash64 — one interpreted pass);
+    everything downstream of the token-hash array happens in a SINGLE
+    batch-vectorized pandas UDF: shingle combination (rotate-xor of k
+    consecutive token hashes), the num_perm minhash permutations
+    (``min((a·x+b) mod p)`` via one reduceat over the whole Arrow batch,
+    no per-row Python), and the LSH band hashes (FNV fold over signature
+    segments).  Replaces three separate stages — two interpreted
+    higher-order-function projections and a per-row-loop UDF — with one.
+    Shingle arrays are NOT deduplicated: min() is duplicate-insensitive and
+    ``array_intersect``/``array_union`` dedup internally, so set-Jaccard is
+    unaffected.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    a, b = _perm_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    rots = [(j * 21) % 63 + 1 for j in range(shingle_k)]
+    k = shingle_k
+    max_hash = np.uint64(_MAX_HASH)
+
+    out_type = T.StructType(
+        [
+            T.StructField("shingle_hashes", T.ArrayType(T.LongType())),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+            T.StructField("band_hashes", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _rotl(v: np.ndarray, s: int) -> np.ndarray:
+        return (v << np.uint64(s)) | (v >> np.uint64(64 - s))
+
+    @pandas_udf(out_type)
+    def _feat(th: pd.Series) -> pd.DataFrame:
+        nrows = len(th)
+        arrs = [
+            np.asarray(v, dtype=np.int64).astype(np.uint64)
+            if v is not None and len(v)
+            else np.empty(0, dtype=np.uint64)
+            for v in th
+        ]
+        lens = np.fromiter((x.size for x in arrs), dtype=np.int64, count=nrows)
+        pad = k - 1
+        starts = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(lens + pad, out=starts[1:])
+        x = np.zeros(int(starts[-1]), dtype=np.uint64)
+        for i, arr in enumerate(arrs):
+            if lens[i]:
+                x[starts[i] : starts[i] + lens[i]] = arr
+        # sh_full[j] = xor_i rotl(x[j+i], rot_i); per-row zero padding keeps
+        # shifts from crossing row boundaries (and matches coalesce-to-0 for
+        # docs shorter than k tokens)
+        total = x.size
+        if total >= k:
+            sh_full = _rotl(x[: total - pad], rots[0])
+            for j in range(1, k):
+                sh_full = sh_full ^ _rotl(x[j : total - pad + j], rots[j])
+        else:
+            sh_full = np.empty(0, dtype=np.uint64)
+        m_rows = np.where(lens > 0, np.maximum(lens - pad, 1), 0)
+        n_sh = int(m_rows.sum())
+        sh_starts = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(m_rows, out=sh_starts[1:])
+        # gather each row's shingle slice out of sh_full
+        gidx = np.repeat(starts[:-1], m_rows) + (
+            np.arange(n_sh) - np.repeat(sh_starts[:-1], m_rows)
+        )
+        sh_all = sh_full[gidx] if n_sh else np.empty(0, dtype=np.uint64)
+
+        sig = np.zeros((nrows, num_perm), dtype=np.uint64)
+        # chunk rows so the (num_perm, n_shingles) permutation matrix stays
+        # ~200 MB regardless of Arrow batch size
+        chunk_budget = 200_000
+        i0 = 0
+        while i0 < nrows:
+            i1 = i0 + 1
+            while i1 < nrows and sh_starts[i1 + 1] - sh_starts[i0] <= chunk_budget:
+                i1 += 1
+            seg = sh_all[sh_starts[i0] : sh_starts[i1]]
+            if seg.size:
+                phv = (np.outer(a, seg & max_hash) + b[:, None]) % MERSENNE_PRIME
+                offs = (sh_starts[i0:i1] - sh_starts[i0]).copy()
+                nonzero = m_rows[i0:i1] > 0
+                np.clip(offs, 0, seg.size - 1, out=offs)
+                red = np.minimum.reduceat(phv, offs, axis=1)
+                seg_sig = (red & max_hash).T
+                seg_sig[~nonzero] = 0
+                sig[i0:i1] = seg_sig
+            i0 = i1
+
+        # FNV-1a fold over each band's signature columns, vectorized per band
+        bh = np.empty((nrows, bands), dtype=np.uint64)
+        fnv_offset = np.uint64(1469598103934665603)
+        fnv_prime = np.uint64(1099511628211)
+        for bi in range(bands):
+            h = np.full(nrows, fnv_offset ^ np.uint64(bi), dtype=np.uint64)
+            for c in range(bi * rows_per_band, (bi + 1) * rows_per_band):
+                h = (h ^ sig[:, c]) * fnv_prime
+            bh[:, bi] = h
+
+        sh_i64 = sh_all.view(np.int64)
+        return pd.DataFrame(
+            {
+                "shingle_hashes": np.split(sh_i64, sh_starts[1:-1]),
+                "signature": list(sig.view(np.int64)),
+                "band_hashes": list(bh.view(np.int64)),
+            }
+        )
+
+    staged = df.withColumn(
+        "_th", F.transform(tokens_column(F.col(text_col)), lambda t: F.xxhash64(t))
+    )
+    return staged.select(F.col(id_col), _feat("_th").alias("mh")).select(
+        id_col, "mh.shingle_hashes", "mh.signature", "mh.band_hashes"
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -286,28 +413,42 @@ def minhash_dedup(
     """Full near-dup pipeline: pairs (id_a < id_b, jaccard) with verified
     Jaccard >= threshold.
 
-    The shingle-hash table is computed ONCE and persisted: signatures derive
-    from it, the LSH self-join reuses it on both sides, and verification
-    joins back to it (without the persist, Spark re-evaluates the shingling
-    lineage up to four times)."""
+    The feature table (shingle hashes + signature + band hashes) is computed
+    ONCE by :func:`minhash_features` and persisted: the LSH self-join reuses
+    it on both sides and verification joins back to it.  Only (id,
+    band_hash) rows shuffle for candidate generation — at 100 TB the feature
+    table is orders of magnitude smaller than the corpus."""
     df = ensure_parallelism(df)
-    hashed = (
-        shingle_hashes(df, text_col, shingle_k, "shingle_hashes")
-        .select(id_col, "shingle_hashes")
-        .persist()
-    )
+    feats = minhash_features(
+        df, text_col, id_col, num_perm, bands, shingle_k, seed
+    ).persist()
     try:
-        sigs = signatures_from_hashes(
-            hashed, id_col, "shingle_hashes", num_perm, seed
-        ).persist()
-        cands = lsh_candidates(sigs, id_col, "signature", bands)
-        out = verified_jaccard(cands, hashed, id_col).filter(
+        banded = feats.select(
+            F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash")
+        )
+        left = banded.alias("l")
+        right = banded.alias("r")
+        cands = (
+            left.join(
+                right,
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.band_hash") == F.col("r.band_hash"),
+                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        out = verified_jaccard(cands, feats, id_col).filter(
             F.col("jaccard") >= threshold
         )
         out = out.localCheckpoint(eager=True)
     finally:
-        hashed.unpersist()
-        sigs.unpersist()
+        feats.unpersist()
     return out
 
 

@@ -33,10 +33,8 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Iterator
 from dataclasses import dataclass, field
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,27 +48,6 @@ MICRO_COL = "_micro_shard"
 MANIFEST = "_INDEX_MANIFEST.json"
 
 
-def _keep_first_sorted(df: DataFrame, key: str) -> DataFrame:
-    """Narrow per-partition dedup: keep the first row of each consecutive
-    same-key run.  Correct only when the partition is clustered+sorted by
-    ``key`` (the write path sorts by (shard, key, order DESC) first) — this is
-    the reference's reducer semantics (sorted shuffle + resolver) in ONE
-    shuffle instead of groupBy + repartition."""
-    schema = df.schema
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        last_key = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keys = pdf[key]
-            keep = keys.ne(keys.shift())
-            if last_key is not None:
-                keep.iat[0] = keys.iat[0] != last_key
-            last_key = keys.iat[-1]
-            yield pdf[keep.to_numpy()]
-
-    return df.mapInPandas(gen, schema)
 
 
 @dataclass
@@ -183,23 +160,34 @@ class IndexJob:
         self, routed: DataFrame, path: str, mode: str = "overwrite"
     ) -> dict:
         """Single-shuffle fast path (reference reducer semantics, A9+A10+A17
-        in one exchange): hash-shuffle on the micro shard, sort each
-        partition by (shard, key, order DESC), then a narrow keep-first pass
-        dedups — no separate groupBy shuffle.  Parallelism = micro_shards,
-        exactly the reference's reducers-beyond-shard-count design."""
+        in one exchange): hash-shuffle on the micro shard; dedup is a
+        ``lag(key)`` window over that SAME distribution (the window's
+        ClusteredDistribution(micro) is satisfied by the repartition, so
+        Catalyst inserts only a local sort, no second exchange), keeping the
+        first row per key in (key, order DESC) order — all JVM-side, no
+        Arrow round-trip.  Parallelism = micro_shards, exactly the
+        reference's reducers-beyond-shard-count design."""
+        from pyspark.sql import Window
+
         cfg = self.config
         key = cfg.schema.unique_key
-        sort_cols = [F.col(SHARD_COL), F.col(key)]
-        if cfg.dedup == "retain_most_recent":
-            if cfg.order_field in routed.columns:
-                sort_cols.append(F.desc(cfg.order_field))
-            sort_cols.extend(F.desc(c) for c in cfg.tiebreak if c in routed.columns)
         partitioned = routed.repartition(
             cfg.micro_shards or cfg.shards, F.col(MICRO_COL)
-        ).sortWithinPartitions(*sort_cols)
+        )
         if cfg.dedup == "retain_most_recent":
-            partitioned = _keep_first_sorted(partitioned, key)
-        out = partitioned.drop(MICRO_COL)
+            order_cols = [F.col(key).asc()]
+            if cfg.order_field in routed.columns:
+                order_cols.append(F.desc(cfg.order_field))
+            order_cols.extend(
+                F.desc(c) for c in cfg.tiebreak if c in routed.columns and c != key
+            )
+            w = Window.partitionBy(MICRO_COL).orderBy(*order_cols)
+            partitioned = (
+                partitioned.withColumn("_prev_key", F.lag(key).over(w))
+                .filter(F.col("_prev_key").isNull() | (F.col("_prev_key") != F.col(key)))
+                .drop("_prev_key")
+            )
+        out = partitioned.drop(MICRO_COL).sortWithinPartitions(SHARD_COL, key)
         writer = out.write.mode(mode).partitionBy(SHARD_COL)
         if cfg.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
