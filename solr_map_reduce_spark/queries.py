@@ -631,6 +631,23 @@ def ext_ivf_topk(spark, sf_dir):
     return index.search(assigned, qvec, k=10, nprobe=3).select("vec_id")
 
 
+@_register(
+    "b12_detect_mime",
+    """SELECT doc_id,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 'application/x-empty'
+              ELSE 'text/plain' END AS mime
+       FROM documents""",
+    "B12 detectMimeType: magic-byte sniff (text corpus → text/plain)",
+)
+def b12_detect_mime(spark, sf_dir):
+    from solr_map_reduce_spark.sources.binary import detect_mime_type
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", detect_mime_type(F.encode(F.col("text"), "utf-8")).alias("mime")
+    )
+
+
 # ===========================================================================
 # Extensions: full-text search over the artifact (C9 + BM25)
 # ===========================================================================

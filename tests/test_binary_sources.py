@@ -1,0 +1,157 @@
+"""Binary-document operators (B11-B14): MIME sniffing, decompress, unpack,
+attachment separation, solrCell-analog content extraction."""
+
+import bz2
+import gzip
+import io
+import tarfile
+import zipfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.sources import binary as B
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+PDF = b"%PDF-1.4 fake"
+GZ = gzip.compress(b"hello gzip world")
+BZ = bz2.compress(b"hello bzip2 world")
+XML = b'<?xml version="1.0"?><root/>'
+
+
+def _tar_bytes(entries):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in entries:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def _zip_bytes(entries):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in entries:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bin_df(spark):
+    rows = [
+        ("png", bytearray(PNG)),
+        ("pdf", bytearray(PDF)),
+        ("gz", bytearray(GZ)),
+        ("bz2", bytearray(BZ)),
+        ("xml", bytearray(XML)),
+        ("txt", bytearray(b"plain old text")),
+        ("bin", bytearray(b"\x00\xff\xfe\x01 not utf8 \xff")),
+        ("empty", bytearray(b"")),
+        ("null", None),
+    ]
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def test_detect_mime_type(bin_df):
+    got = {
+        r["path"]: r["mime"]
+        for r in bin_df.select(
+            "path", B.detect_mime_type(F.col("content")).alias("mime")
+        ).collect()
+    }
+    assert got["png"] == "image/png"
+    assert got["pdf"] == "application/pdf"
+    assert got["gz"] == "application/gzip"
+    assert got["bz2"] == "application/x-bzip2"
+    assert got["xml"] == "application/xml"
+    assert got["txt"] == "text/plain"
+    assert got["bin"] == "application/octet-stream"
+    assert got["empty"] == "application/x-empty"
+    assert got["null"] == "application/x-empty"
+
+
+def test_detect_mime_tar(spark):
+    tar = _tar_bytes([("a.txt", b"aaa")])
+    df = spark.createDataFrame([("t", bytearray(tar))], "path string, content binary")
+    got = df.select(B.detect_mime_type(F.col("content")).alias("m")).first()["m"]
+    assert got == "application/x-tar"
+
+
+def test_decompress_roundtrip(bin_df):
+    out = {
+        r["path"]: (bytes(r["content"]) if r["content"] is not None else None)
+        for r in B.decompress(bin_df).collect()
+    }
+    assert out["gz"] == b"hello gzip world"
+    assert out["bz2"] == b"hello bzip2 world"
+    assert out["txt"] == b"plain old text"  # pass-through
+    assert out["png"] == PNG
+    assert out["null"] is None
+
+
+def test_decompress_corrupt_keep(spark):
+    corrupt = b"\x1f\x8b" + b"garbage"
+    df = spark.createDataFrame([("c", bytearray(corrupt))], "path string, content binary")
+    kept = bytes(B.decompress(df, on_error="keep").first()["content"])
+    assert kept == corrupt
+    nulled = B.decompress(df, on_error="null").first()["content"]
+    assert nulled is None
+
+
+def test_unpack_zip_and_tar(spark):
+    z = _zip_bytes([("a.txt", b"AAA"), ("d/b.txt", b"BBB")])
+    t = _tar_bytes([("x.csv", b"1,2,3")])
+    df = spark.createDataFrame(
+        [("z", bytearray(z)), ("t", bytearray(t)), ("p", bytearray(b"loose"))],
+        "path string, content binary",
+    )
+    got = [
+        (r["path"], r["entry_name"], bytes(r["entry_content"]))
+        for r in B.unpack(df).orderBy("path", "entry_name").collect()
+    ]
+    assert ("z", "a.txt", b"AAA") in got
+    assert ("z", "d/b.txt", b"BBB") in got
+    assert ("t", "x.csv", b"1,2,3") in got
+    assert ("p", None, b"loose") in got
+    assert len(got) == 4
+
+
+def test_separate_attachments(spark):
+    df = spark.createDataFrame(
+        [("d1", [bytearray(b"a"), bytearray(b"b")]), ("d2", [bytearray(b"c")])],
+        "doc string, attachments array<binary>",
+    )
+    out = B.separate_attachments(df).collect()
+    assert len(out) == 3
+    assert sorted(bytes(r["attachments"]) for r in out) == [b"a", b"b", b"c"]
+
+
+def test_extract_content_builtin(bin_df):
+    out = {r["path"]: r for r in B.extract_content(bin_df).collect()}
+    assert out["txt"]["content_text"] == "plain old text"
+    assert out["txt"]["content_type"] == "text/plain"
+    assert out["xml"]["content_type"] == "application/xml"
+    assert out["bin"]["content_text"] is None
+    assert out["bin"]["content_type"] == "application/octet-stream"
+    assert out["png"]["content_length"] == len(PNG)
+
+
+def test_extract_content_tika_stub(bin_df):
+    with pytest.raises(NotImplementedError):
+        B.extract_content(bin_df, impl="tika")
+
+
+def test_pipeline_shape_binaryfile_to_index(spark, tmp_path):
+    """B11-B13 end-to-end: binaryFile scan → decompress → extract → typed
+    rows (the solrCell morphline shape, solrCellDocumentTypes.conf:36-97)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt.gz").write_bytes(gzip.compress(b"doc one body"))
+    (src / "b.txt").write_bytes(b"doc two body")
+    df = spark.read.format("binaryFile").load(str(src))
+    out = B.extract_content(B.decompress(df)).select(
+        F.col("path"), "content_text", "content_type"
+    )
+    got = {r["path"].rsplit("/", 1)[-1]: r["content_text"] for r in out.collect()}
+    assert got == {"a.txt.gz": "doc one body", "b.txt": "doc two body"}
