@@ -632,6 +632,29 @@ def ext_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "ext_sessionize",
+    None,  # filled in below (helper builds the SQL)
+    "gap-based sessionization of the event stream (30 min gap)",
+)
+def ext_sessionize(spark, sf_dir):
+    from solr_map_reduce_spark.streaming.sessionize import sessionize
+
+    return sessionize(t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800)
+
+
+def _wire_sessionize_oracle() -> None:
+    from solr_map_reduce_spark.streaming.sessionize import sessionize_oracle_sql
+
+    qd = REGISTRY["ext_sessionize"]
+    REGISTRY["ext_sessionize"] = QueryDef(
+        spark=qd.spark, oracle=sessionize_oracle_sql(gap_seconds=1800), doc=qd.doc
+    )
+
+
+_wire_sessionize_oracle()
+
+
+@_register(
     "b12_detect_mime",
     """SELECT doc_id,
          CASE WHEN text IS NULL OR length(text) = 0 THEN 'application/x-empty'
