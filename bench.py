@@ -27,6 +27,9 @@ BENCH_QUERIES = [
     "c4_sort_page",
     "q1_pricing_summary",
     "q3_top_revenue",
+    "q5_local_supplier",
+    "q6_revenue_change",
+    "window_topn_orders",
     "star_join_enrich",
     "facet_event_counts",
     "a10_dedup_retain_most_recent",

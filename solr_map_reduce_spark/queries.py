@@ -379,6 +379,120 @@ def q3_top_revenue(spark, sf_dir):
     )
 
 
+_Q5_SQL = f"""
+SELECT n_name,
+  {_DEC_SQL.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@_register(
+    "q5_local_supplier",
+    _Q5_SQL,
+    "TPC-H Q5 shape: 6-table join, broadcast dims, same-nation join condition",
+)
+def q5_local_supplier(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_dec_sum(disc, "revenue"))
+    )
+
+
+@_register(
+    "q6_revenue_change",
+    f"""SELECT COALESCE({_DEC_SQL.format(expr='l_extendedprice * l_discount')}, 0.0) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""",
+    "TPC-H Q6 shape: multi-predicate scan + single agg (pushdown showcase)",
+)
+def q6_revenue_change(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "_rev"))
+        .select(F.coalesce(F.col("_rev"), F.lit(0.0)).alias("revenue"))
+    )
+
+
+@_register(
+    "exists_big_order_customers",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "correlated EXISTS as a left-semi join",
+)
+def exists_big_order_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(
+        big, c["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "window_topn_orders",
+    """SELECT c_custkey, o_orderkey, o_totalprice FROM (
+         SELECT c_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM customer JOIN orders ON o_custkey = c_custkey) WHERE rn <= 2""",
+    "window top-N per key (rank within group)",
+)
+def window_topn_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
 @_register(
     "star_join_enrich",
     f"""SELECT r_name, n_name, count(*) AS customers,
