@@ -83,6 +83,8 @@ def bench_index_build(spark, sf_dir: str) -> float:
 
 
 def main() -> None:
+    import pyspark.sql.functions as F
+
     from solr_map_reduce_spark.queries import registry
     from solr_map_reduce_spark.session import get_spark
 
@@ -92,8 +94,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
 
-    # JVM/codegen warmup on a trivial plan
+    # Warmup: JVM/codegen, the Python-worker pool + Arrow path (first pandas
+    # UDF otherwise pays worker fork cost), and table file-index/footer reads
+    # (queries measure execution, not first-listing).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(CPUS).repartition(CPUS).mapInPandas(lambda it: it, "id long").count()
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings",
+              "nation", "region", "supplier", "part"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").select(F.lit(1)).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
