@@ -284,17 +284,19 @@ def minhash_features(
 ) -> DataFrame:
     """One-pass (id, shingle_hashes, signature, band_hashes) per document.
 
-    Token hashing stays JVM-side (split + xxhash64 — one interpreted pass);
-    everything downstream of the token-hash array happens in a SINGLE
-    batch-vectorized pandas UDF: shingle combination (rotate-xor of k
-    consecutive token hashes), the num_perm minhash permutations
-    (``min((a·x+b) mod p)`` via one reduceat over the whole Arrow batch,
-    no per-row Python), and the LSH band hashes (FNV fold over signature
-    segments).  Replaces three separate stages — two interpreted
-    higher-order-function projections and a per-row-loop UDF — with one.
-    Shingle arrays are NOT deduplicated: min() is duplicate-insensitive and
-    ``array_intersect``/``array_union`` dedup internally, so set-Jaccard is
-    unaffected.
+    Tokenization stays JVM-side (one split/filter projection); everything
+    downstream happens in a SINGLE batch-vectorized pandas UDF: token
+    hashing (``pd.util.hash_array`` over the whole flattened batch — C
+    speed, fixed key, deterministic across workers; measured ~2x faster
+    than a per-token ``xxhash64`` higher-order projection), shingle
+    combination (rotate-xor of k consecutive token hashes), the num_perm
+    minhash permutations (``min((a·x+b) mod p)`` via one reduceat over the
+    whole Arrow batch, no per-row Python), and the LSH band hashes (FNV
+    fold over signature segments).  Replaces three separate stages — two
+    interpreted higher-order-function projections and a per-row-loop UDF —
+    with one.  Shingle arrays are NOT deduplicated: min() is
+    duplicate-insensitive and ``array_intersect``/``array_union`` dedup
+    internally, so set-Jaccard is unaffected.
     """
     if num_perm % bands != 0:
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
@@ -316,22 +318,29 @@ def minhash_features(
         return (v << np.uint64(s)) | (v >> np.uint64(64 - s))
 
     @pandas_udf(out_type)
-    def _feat(th: pd.Series) -> pd.DataFrame:
-        nrows = len(th)
-        arrs = [
-            np.asarray(v, dtype=np.int64).astype(np.uint64)
-            if v is not None and len(v)
-            else np.empty(0, dtype=np.uint64)
-            for v in th
-        ]
-        lens = np.fromiter((x.size for x in arrs), dtype=np.int64, count=nrows)
+    def _feat(toks: pd.Series) -> pd.DataFrame:
+        import itertools
+
+        nrows = len(toks)
+        tok_lists = [v if v is not None else [] for v in toks]
+        lens = np.fromiter((len(v) for v in tok_lists), dtype=np.int64, count=nrows)
+        total_tokens = int(lens.sum())
+        flat = np.empty(total_tokens, dtype=object)
+        if total_tokens:
+            flat[:] = list(itertools.chain.from_iterable(tok_lists))
+        th = pd.util.hash_array(flat)  # uint64, fixed key → run-deterministic
         pad = k - 1
         starts = np.zeros(nrows + 1, dtype=np.int64)
         np.cumsum(lens + pad, out=starts[1:])
+        tok_starts = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(lens, out=tok_starts[1:])
         x = np.zeros(int(starts[-1]), dtype=np.uint64)
-        for i, arr in enumerate(arrs):
-            if lens[i]:
-                x[starts[i] : starts[i] + lens[i]] = arr
+        if total_tokens:
+            # scatter each row's token hashes into its zero-padded block
+            pos = np.arange(total_tokens) + np.repeat(
+                starts[:-1] - tok_starts[:-1], lens
+            )
+            x[pos] = th
         # sh_full[j] = xor_i rotl(x[j+i], rot_i); per-row zero padding keeps
         # shifts from crossing row boundaries (and matches coalesce-to-0 for
         # docs shorter than k tokens)
@@ -392,10 +401,8 @@ def minhash_features(
             }
         )
 
-    staged = df.withColumn(
-        "_th", F.transform(tokens_column(F.col(text_col)), lambda t: F.xxhash64(t))
-    )
-    return staged.select(F.col(id_col), _feat("_th").alias("mh")).select(
+    staged = df.withColumn("_toks", tokens_column(F.col(text_col)))
+    return staged.select(F.col(id_col), _feat("_toks").alias("mh")).select(
         id_col, "mh.shingle_hashes", "mh.signature", "mh.band_hashes"
     )
 
