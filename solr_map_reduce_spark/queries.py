@@ -285,6 +285,27 @@ def facet_event_counts(spark, sf_dir):
 
 
 @_register(
+    "window_hourly_counts",
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+              AS window_start,
+              event_type, count(*) AS cnt
+       FROM events GROUP BY 1, 2""",
+    "tumbling 1h window counts (batch form of the streaming facet query)",
+)
+def window_hourly_counts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@_register(
     "a8_routing_shards",
     None,  # hash parity is not SQL-expressible; golden-tested in tests/test_routing.py
     "A8/C8 SolrCloud-parity micro-shard routing of customer keys",

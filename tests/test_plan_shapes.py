@@ -1,0 +1,62 @@
+"""Plan-quality regression tests: the physical plans the engine promises
+(SURVEY §4) — pushdown reaching scans, column pruning, broadcast joins for
+dims, no redundant exchanges.  These lock in the shapes a 100 TB run needs."""
+
+import pytest
+
+from solr_map_reduce_spark.queries import registry
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        registry()[name]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # 7 needed columns, not the full 16-column lineitem schema
+    assert "l_orderkey" not in scan and "l_comment" not in scan
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_top_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "c_mktsegment" in plan  # dim filter pushed below the broadcast
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    # supplier, nation, region all broadcast; no sort-merge join of dims
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_c5_projection_prunes_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "c5_projection")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "c_custkey" in scan and "c_address" not in scan
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "c4_sort_page")
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_exists_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "exists_big_order_customers")
+    assert "LeftSemi" in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
