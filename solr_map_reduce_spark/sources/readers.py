@@ -60,6 +60,17 @@ def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"):
     return good, bad
 
 
+def _avro_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro DataSource module is registered
+    (it is not part of core Spark; some of its classes ARE bundled, so a
+    Class.forName probe lies — ask the DataSource registry instead)."""
+    try:
+        spark.read.format("avro").schema("probe int").load("/__avro_probe__")
+        return True
+    except Exception as ex:  # PATH_NOT_FOUND → source exists; lookup error → missing
+        return "Failed to find data source" not in str(ex)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table, normalizing nanosecond-precision parquet
     timestamps (read as long via ``nanosAsLong``) to microsecond timestamps —
@@ -92,6 +103,13 @@ def read_input(
     fmt = _FORMAT_ALIASES.get(format.lower())
     if fmt is None:
         raise ValueError(f"unknown input format {format!r}")
+    if fmt == "avro" and not _avro_available(spark):
+        raise ImportError(
+            "Avro input (B5 readAvroContainer) needs the external spark-avro "
+            "module (org.apache.spark:spark-avro_2.13:<spark-version>) on the "
+            "cluster classpath — e.g. spark-submit --packages; it is not "
+            "bundled in this environment"
+        )
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)

@@ -115,3 +115,18 @@ def test_split_corrupt_noop_without_column(spark):
     df = spark.range(3)
     good, bad = split_corrupt(df)
     assert bad is None and good.count() == 3
+
+
+def test_avro_gate_raises_clear_error(spark):
+    """B5 avro is env-gated: a missing spark-avro module raises a clear
+    ImportError (instead of an opaque AnalysisException at load time)."""
+    from solr_map_reduce_spark.sources.readers import _avro_available, read_input
+
+    if _avro_available(spark):
+        import pytest as _pt
+
+        _pt.skip("spark-avro present in this environment")
+    import pytest as _pt
+
+    with _pt.raises(ImportError, match="spark-avro"):
+        read_input(spark, "/tmp/whatever", format="avro")

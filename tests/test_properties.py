@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): invariants that golden cases can't
+cover — vectorized/scalar hash parity on arbitrary unicode, routing range
+totality, dedup resolver laws."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from solr_map_reduce_spark.operators.routing import (
+    INT_MAX,
+    INT_MIN,
+    ShardRouter,
+    composite_id_hash,
+    murmur3_x86_32,
+    murmur3_x86_32_batch,
+    partition_ranges,
+)
+
+# -- murmur3 parity ----------------------------------------------------------
+
+texts = st.text(min_size=0, max_size=64)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=50))
+def test_murmur3_batch_matches_scalar(strings):
+    batch = murmur3_x86_32_batch(pd.Series(strings))
+    scalar = [murmur3_x86_32(s.encode("utf-8")) for s in strings]
+    assert batch.tolist() == scalar
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_murmur3_is_int32(s):
+    h = murmur3_x86_32(s.encode("utf-8"))
+    assert INT_MIN <= h <= INT_MAX
+
+
+# -- routing totality / determinism -----------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=64))
+def test_partition_ranges_cover_ring(shards):
+    ranges = partition_ranges(shards)
+    assert len(ranges) == shards
+    assert ranges[0][0] == INT_MIN and ranges[-1][1] == INT_MAX
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert lo2 == hi1 + 1  # contiguous, no gaps or overlaps
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts.filter(lambda s: s), st.integers(min_value=1, max_value=8))
+def test_router_places_every_key(key, shards):
+    router = ShardRouter(shards=shards, num_partitions=shards * 4)
+    micro = router.micro_shard_of(key)
+    assert 0 <= micro < shards * 4
+    # same root shard for every micro of the same key, always
+    assert micro // 4 == router.micro_shard_of(key) // 4
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts.filter(lambda s: s and "!" not in s and "/" not in s),
+       texts.filter(lambda s: s and "!" not in s))
+def test_composite_id_coroutes_with_route_key(route, doc):
+    """shard!doc ids share the top 16 hash bits with the bare route key —
+    Solr's co-location guarantee."""
+    h_comp = composite_id_hash(f"{route}!{doc}") & 0xFFFF0000
+    h_route = composite_id_hash(route) & 0xFFFF0000
+    assert h_comp == h_route
+
+
+# -- dedup resolver laws (driver-side; spark fixture is module-scoped) ------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_retain_most_recent_is_argmax(rows):
+    """Resolver law checked against a plain-Python argmax on random data."""
+    from solr_map_reduce_spark.operators.dedup import retain_most_recent
+    from solr_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name="smrs-tests", master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(rows, "k long, ord long, uid long")
+    got = {
+        r["k"]: (r["ord"], r["uid"])
+        for r in retain_most_recent(df, "k", "ord", tiebreak=["uid"]).collect()
+    }
+    want = {}
+    for k, o, u in rows:
+        if k not in want or (o, u) > want[k]:
+            want[k] = (o, u)
+    assert got == want
