@@ -1,0 +1,133 @@
+"""SearchIndex: the query surface over a built artifact (SURVEY §2.C).
+
+The reference's artifact answers queries through Solr; ours answers them
+natively through Spark SQL with the artifact's physical layout doing the
+work of the inverted index:
+
+- ``shard=N`` partition directories → partition pruning for point lookups
+  (the router tells us the only shard a key can live in — C2/C8);
+- key-sorted row groups → parquet min/max stats prune row groups within the
+  shard (the term-index analog);
+- columnar storage → projection (C5) reads only requested columns.
+
+    idx = SearchIndex.open(spark, path)
+    idx.count()                         # C1
+    idx.get("doc-42")                   # C2 (prunes to one shard)
+    idx.search(filters={"lang": "en"}, sort=[("n_chars", "desc")], limit=10)
+    idx.facet("lang")                   # facet-style counts
+    idx.delete_where(F.col("lang") == "xx", new_path)   # C3 rewrite
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from solr_map_reduce_spark.indexing import MANIFEST, SHARD_COL, read_index
+from solr_map_reduce_spark.operators.routing import ShardRouter
+
+
+class SearchIndex:
+    """Read-side handle on a sharded index artifact."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self.unique_key: str = manifest["unique_key"]
+        self.shards: int = int(manifest["shards"])
+        # root-shard placement only depends on the hash ring split (C8)
+        self._router = ShardRouter(shards=self.shards, num_partitions=self.shards)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "SearchIndex":
+        with open(os.path.join(path, MANIFEST)) as f:
+            manifest = json.load(f)
+        return cls(spark, path, manifest)
+
+    def df(self) -> DataFrame:
+        return read_index(self.spark, self.path)
+
+    # -- C1 ------------------------------------------------------------
+    def count(self) -> int:
+        return self.df().count()
+
+    # -- C2: point lookup with shard pruning ---------------------------
+    def get(self, key: str) -> DataFrame:
+        shard = self._router.micro_shard_of(str(key))
+        return self.df().filter(
+            (F.col(SHARD_COL) == shard) & (F.col(self.unique_key) == key)
+        )
+
+    def get_many(self, keys: Sequence[str]) -> DataFrame:
+        pairs = [(str(k), self._router.micro_shard_of(str(k))) for k in keys]
+        shards = sorted({s for _, s in pairs})
+        return self.df().filter(
+            F.col(SHARD_COL).isin(shards)
+            & F.col(self.unique_key).isin([k for k, _ in pairs])
+        )
+
+    # -- C4/C5: filter + sort + page + project -------------------------
+    def search(
+        self,
+        filters: Mapping[str, object] | None = None,
+        where: F.Column | None = None,
+        select: Sequence[str] | None = None,
+        sort: Sequence[tuple[str, str]] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        out = self.df()
+        for col, val in (filters or {}).items():
+            out = out.filter(F.col(col) == val)
+        if where is not None:
+            out = out.filter(where)
+        if sort:
+            out = out.orderBy(
+                *[
+                    F.desc(c) if d.lower().startswith("desc") else F.asc(c)
+                    for c, d in sort
+                ],
+                F.asc(self.unique_key),  # deterministic page boundaries
+            )
+        if limit is not None:
+            out = out.limit(limit)
+        if select:
+            out = out.select(*select)
+        return out
+
+    # -- facet-style counts --------------------------------------------
+    def facet(self, field: str, top: int | None = None) -> DataFrame:
+        out = (
+            self.df()
+            .groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(field))
+        )
+        return out.limit(top) if top else out
+
+    # -- C3: delete-by-query as filtered rewrite -----------------------
+    def delete_where(self, condition: F.Column, out_path: str) -> "SearchIndex":
+        """Rewrite the artifact without rows matching ``condition`` (the
+        reference's build-time semantics: deletes are rebuild/merge-time
+        rewrites, SURVEY §2 C3/§7 hard-part 5).  Keeps layout and manifest."""
+        survivors = self.df().filter(~condition)
+        (
+            survivors.repartition(self.shards, F.col(SHARD_COL))
+            .sortWithinPartitions(SHARD_COL, self.unique_key)
+            .write.mode("overwrite")
+            .partitionBy(SHARD_COL)
+            .parquet(out_path)
+        )
+        with open(os.path.join(out_path, MANIFEST), "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        return SearchIndex.open(self.spark, out_path)
+
+    # -- C7 ------------------------------------------------------------
+    def segment_counts(self) -> dict[str, int]:
+        from solr_map_reduce_spark.indexing import segment_counts
+
+        return segment_counts(self.path)
