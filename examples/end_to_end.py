@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""End-to-end tour: everything a user of the reference does, on Spark.
+
+  1. build a sharded/deduplicated/key-sorted index from raw documents
+  2. query it (count, pruned point lookup, search, facets)
+  3. compact to the segment contract and publish atomically
+  4. run the training-data extensions (near-dup, quality, language, BM25)
+
+Run:  python examples/end_to_end.py [sf_dir]   (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import pyspark.sql.functions as F
+
+from solr_map_reduce_spark import (
+    Field,
+    IndexJob,
+    IndexJobConfig,
+    IndexSchema,
+    SearchIndex,
+    get_spark,
+    publish,
+)
+from solr_map_reduce_spark.extensions import search, text_analysis, text_dedup
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="smrs-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="smrs_example_")
+
+    # 1. build ---------------------------------------------------------
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("text", "text_en"),
+            Field("lang", "string"),
+            Field("source", "string"),
+            Field("n_chars", "long"),
+        ),
+        unique_key="id",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    staging = os.path.join(work, "staging")
+    job = IndexJob(
+        IndexJobConfig(
+            schema=schema, shards=4, micro_shards=16,
+            dedup="retain_most_recent", order_field="n_chars", tiebreak=("id",),
+        )
+    )
+    manifest = job.build(docs, staging)
+    print(f"built {manifest['shards']} shards at {staging}")
+
+    # 3a. publish atomically ------------------------------------------
+    live = os.path.join(work, "live")
+    publish(staging, live)
+
+    # 2. query ---------------------------------------------------------
+    idx = SearchIndex.open(spark, live)
+    print("count:", idx.count())
+    some_id = docs.select("id").orderBy("id").first()["id"]
+    print("point lookup:", idx.get(some_id).select("id", "lang").first())
+    print("facet by lang:", {r["lang"]: r["cnt"] for r in idx.facet("lang").collect()})
+    top = idx.search(sort=[("n_chars", "desc")], limit=3, select=["id", "n_chars"])
+    print("longest docs:", [tuple(r) for r in top.collect()])
+
+    # 4. extensions ----------------------------------------------------
+    pairs = text_dedup.minhash_dedup(docs, "text", "id", threshold=0.8)
+    print("near-dup pairs (jaccard>=0.8):", pairs.count())
+    quality = text_analysis.quality_features(docs, "text", "id")
+    print("mean quality:", quality.agg(F.avg("quality_score")).first()[0])
+    hits = search.bm25_search(docs, ["spark", "merge"], k=3, id_col="id")
+    print("bm25 top-3:", [(r["id"], round(r["score"], 3)) for r in hits.collect()])
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

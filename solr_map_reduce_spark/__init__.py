@@ -27,3 +27,30 @@ the reference repo's observable behavior (cited by file:line in docstrings).
 """
 
 __version__ = "0.1.0"
+
+from solr_map_reduce_spark.index_reader import SearchIndex  # noqa: E402
+from solr_map_reduce_spark.indexing import (  # noqa: E402
+    IndexJob,
+    IndexJobConfig,
+    compact,
+    merge_driver,
+    publish,
+    read_index,
+)
+from solr_map_reduce_spark.schema import DynamicField, Field, IndexSchema  # noqa: E402
+from solr_map_reduce_spark.session import get_spark  # noqa: E402
+
+__all__ = [
+    "DynamicField",
+    "Field",
+    "IndexJob",
+    "IndexJobConfig",
+    "IndexSchema",
+    "SearchIndex",
+    "compact",
+    "get_spark",
+    "merge_driver",
+    "publish",
+    "read_index",
+    "__version__",
+]

@@ -754,6 +754,21 @@ def ext_cosine_pairs(spark, sf_dir):
 
 
 @_register(
+    "ext_cosine_pairs_lsh",
+    None,  # approximate blocking by design; subset-of-exact validated in tests
+    "embedding near-dup pairs via sign-LSH blocking (the 100 TB path: no "
+    "cross join); fixture = embeddings ∪ copies of every 11th under new ids",
+)
+def ext_cosine_pairs_lsh(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 11 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    both = e.unionByName(copies)
+    return similarity.cosine_pairs_lsh(both, threshold=0.99).select("id_a", "id_b")
+
+
+@_register(
     "ext_ivf_topk",
     None,  # approximate by design (IVF nprobe pruning)
     "IVF-bucketed approximate top-k",
