@@ -1,0 +1,168 @@
+"""Command-line driver — the MapReduceIndexerTool analog (SURVEY §3.1).
+
+The reference's primary interface is a CLI (MapReduceIndexerTool.java:98-501:
+argparse4j surface with an exhaustive validation matrix, tested by
+MapReduceIndexerToolArgumentParserTest).  This is the Spark-first analog:
+
+    python -m solr_map_reduce_spark.cli index \
+        --input /data/docs.parquet --format parquet \
+        --output /tmp/idx --schema schema.json \
+        --shards 4 --micro-shards 16 --dedup retain_most_recent \
+        --order-field n_chars [--dry-run] [--publish-to /serving/idx]
+
+    python -m solr_map_reduce_spark.cli merge \
+        --path /tmp/idx --max-segments 1 --fanout 4
+
+Validation rules mirror the reference where they still apply:
+micro-shards must be a multiple of shards (SolrCloudPartitioner.java:132),
+dedup strategy must be a registered resolver (MRIT:271-284), dry-run skips
+the write (MRIT:346-350), merge fanout >= 2 (SolrMergeDriver.java:90-93).
+
+Schema file format (JSON)::
+
+    {"unique_key": "id",
+     "fields": [{"name": "id", "type": "string", "required": true},
+                {"name": "text", "type": "text_en"}],
+     "dynamic_fields": [{"pattern": "extra_*", "type": "string"}]}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+DEDUP_CHOICES = ("retain_most_recent", "sort_updates", "reject", "none")
+
+
+def load_schema(path: str):
+    from solr_map_reduce_spark.schema import DynamicField, Field, IndexSchema
+
+    with open(path) as f:
+        spec = json.load(f)
+    fields = tuple(
+        Field(
+            f["name"],
+            f.get("type", "string"),
+            required=f.get("required", False),
+            multi_valued=f.get("multi_valued", False),
+        )
+        for f in spec["fields"]
+    )
+    dynamic = tuple(
+        DynamicField(d["pattern"], d.get("type", "string"))
+        for d in spec.get("dynamic_fields", [])
+    )
+    return IndexSchema(
+        fields=fields, unique_key=spec["unique_key"], dynamic_fields=dynamic
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="solr_map_reduce_spark", description=__doc__.splitlines()[0]
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    idx = sub.add_parser("index", help="build a sharded index artifact")
+    idx.add_argument("--input", nargs="+", required=True, help="input paths/globs")
+    idx.add_argument("--format", default="parquet",
+                     help="avro|csv|json|text|binary|parquet")
+    idx.add_argument("--output", required=True)
+    idx.add_argument("--schema", required=True, help="schema JSON file")
+    idx.add_argument("--shards", type=int, default=1)
+    idx.add_argument("--micro-shards", type=int, default=None,
+                     help="write parallelism; multiple of --shards (reducers analog)")
+    idx.add_argument("--dedup", choices=DEDUP_CHOICES, default="retain_most_recent")
+    idx.add_argument("--order-field", default="file_last_modified")
+    idx.add_argument("--tiebreak", nargs="*", default=())
+    idx.add_argument("--max-segments", type=int, default=1)
+    idx.add_argument("--max-records-per-file", type=int, default=None)
+    idx.add_argument("--generate-keys-from", default=None,
+                     help="synthesize base#seq keys from this column (B3)")
+    idx.add_argument("--dry-run", action="store_true",
+                     help="run the pipeline client-side, print docs, no write (A24)")
+    idx.add_argument("--dry-run-rows", type=int, default=20)
+    idx.add_argument("--publish-to", default=None,
+                     help="atomically promote the artifact here after build (A21/A22)")
+    idx.add_argument("--with-file-metadata", action="store_true",
+                     help="attach file_* header columns (A6)")
+
+    mrg = sub.add_parser("merge", help="compact an artifact (SolrMergeDriver analog)")
+    mrg.add_argument("--path", required=True)
+    mrg.add_argument("--max-segments", type=int, default=1)
+    mrg.add_argument("--fanout", type=int, default=4)
+    return p
+
+
+def validate(args: argparse.Namespace) -> None:
+    if args.command == "index":
+        if args.shards < 1:
+            raise SystemExit("--shards must be >= 1")
+        micro = args.micro_shards or args.shards
+        if micro % args.shards != 0:
+            raise SystemExit(
+                f"--micro-shards ({micro}) must be a multiple of --shards "
+                f"({args.shards})"
+            )
+        if args.max_segments < 1:
+            raise SystemExit("--max-segments must be >= 1")
+    elif args.command == "merge":
+        if args.fanout < 2:
+            raise SystemExit("--fanout must be >= 2")
+        if args.max_segments < 1:
+            raise SystemExit("--max-segments must be >= 1")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    validate(args)
+
+    from solr_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name=f"smrs-cli-{args.command}")
+
+    if args.command == "merge":
+        from solr_map_reduce_spark.indexing import merge_driver, segment_counts
+
+        ran = merge_driver(
+            spark, args.path, max_segments=args.max_segments, fanout=args.fanout
+        )
+        print(json.dumps({"iterations": ran, "segments": segment_counts(args.path)}))
+        return 0
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, publish
+    from solr_map_reduce_spark.operators.metadata import enrich_file_metadata
+    from solr_map_reduce_spark.sources.readers import read_input
+
+    schema = load_schema(args.schema)
+    df = read_input(spark, args.input, format=args.format)
+    if args.with_file_metadata:
+        df = enrich_file_metadata(df)
+    job = IndexJob(
+        IndexJobConfig(
+            schema=schema,
+            shards=args.shards,
+            micro_shards=args.micro_shards,
+            dedup=args.dedup,
+            order_field=args.order_field,
+            tiebreak=tuple(args.tiebreak),
+            max_segments=args.max_segments,
+            max_records_per_file=args.max_records_per_file,
+        )
+    )
+    if args.dry_run:
+        rows = job.dry_run(df, args.generate_keys_from, n=args.dry_run_rows)
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+    manifest = job.build(df, args.output, generate_keys_from=args.generate_keys_from)
+    if args.publish_to:
+        publish(args.output, args.publish_to)
+        manifest["published_to"] = args.publish_to
+    print(json.dumps(manifest))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,149 @@
+"""CLI driver: argument validation matrix (the ArgumentParserTest analog,
+mrt/MapReduceIndexerToolArgumentParserTest.java) + end-to-end runs in-process."""
+
+import json
+
+import pytest
+
+from solr_map_reduce_spark import cli
+
+SCHEMA_SPEC = {
+    "unique_key": "id",
+    "fields": [
+        {"name": "id", "type": "string", "required": True},
+        {"name": "text", "type": "text_en"},
+        {"name": "lang", "type": "string"},
+        {"name": "source", "type": "string"},
+        {"name": "n_chars", "type": "long"},
+        {"name": "doc_id", "type": "long"},
+    ],
+    "dynamic_fields": [{"pattern": "extra_*", "type": "string"}],
+}
+
+
+@pytest.fixture(scope="module")
+def schema_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "schema.json"
+    p.write_text(json.dumps(SCHEMA_SPEC))
+    return str(p)
+
+
+# -- validation matrix -------------------------------------------------------
+
+def _index_args(**over):
+    base = {
+        "--input": ["in.parquet"], "--output": "out", "--schema": "s.json",
+    }
+    args = []
+    for k, v in {**base}.items():
+        args.append(k)
+        args.extend(v if isinstance(v, list) else [v])
+    for k, v in over.items():
+        args.append(k)
+        if v is not None:
+            args.extend(v if isinstance(v, list) else [str(v)])
+    return ["index"] + args
+
+
+@pytest.mark.parametrize(
+    "argv,msg",
+    [
+        (_index_args(**{"--shards": 0}), "--shards"),
+        (_index_args(**{"--shards": 4, "--micro-shards": 6}), "multiple"),
+        (_index_args(**{"--max-segments": 0}), "--max-segments"),
+        (["merge", "--path", "p", "--fanout", "1"], "--fanout"),
+        (["merge", "--path", "p", "--max-segments", "0"], "--max-segments"),
+    ],
+)
+def test_validation_rejects(argv, msg):
+    with pytest.raises(SystemExit, match=msg):
+        cli.main(argv)
+
+
+def test_unknown_dedup_rejected(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(_index_args(**{"--dedup": "bogus"}))
+    assert "invalid choice" in capsys.readouterr().err
+
+
+def test_missing_required_args():
+    with pytest.raises(SystemExit):
+        cli.main(["index", "--input", "x"])  # no --output/--schema
+
+
+def test_valid_micro_shard_multiples_pass_validation():
+    args = cli.build_parser().parse_args(
+        _index_args(**{"--shards": 4, "--micro-shards": 16})
+    )
+    cli.validate(args)  # should not raise
+
+
+# -- end-to-end --------------------------------------------------------------
+
+def test_cli_index_build_and_merge(spark, sf_dir, schema_file, tmp_path, capsys):
+    out = str(tmp_path / "cli_idx")
+    rc = cli.main([
+        "index",
+        "--input", f"{sf_dir}/documents.parquet",
+        "--format", "parquet",
+        "--output", out,
+        "--schema", schema_file,
+        "--shards", "2",
+        "--micro-shards", "8",
+        "--dedup", "none",
+        "--generate-keys-from", "source",
+        "--max-records-per-file", "50",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["shards"] == 2
+
+    from solr_map_reduce_spark.indexing import read_index, segment_counts
+
+    assert read_index(spark, out).count() == 500
+    assert max(segment_counts(out).values()) > 1
+
+    rc = cli.main(["merge", "--path", out, "--max-segments", "1", "--fanout", "2"])
+    assert rc == 0
+    merged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(merged["segments"].values()) == {1}
+
+
+def test_cli_dry_run_writes_nothing(spark, sf_dir, schema_file, tmp_path, capsys):
+    out = str(tmp_path / "never_created")
+    rc = cli.main([
+        "index",
+        "--input", f"{sf_dir}/documents.parquet",
+        "--output", out,
+        "--schema", schema_file,
+        "--generate-keys-from", "source",
+        "--dry-run", "--dry-run-rows", "3",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 3
+    assert "id" in json.loads(lines[0])
+    import os
+
+    assert not os.path.exists(out)
+
+
+def test_cli_publish(spark, sf_dir, schema_file, tmp_path, capsys):
+    staging = str(tmp_path / "staging")
+    live = str(tmp_path / "live")
+    rc = cli.main([
+        "index",
+        "--input", f"{sf_dir}/documents.parquet",
+        "--output", staging,
+        "--schema", schema_file,
+        "--generate-keys-from", "source",
+        "--dedup", "none",
+        "--publish-to", live,
+    ])
+    assert rc == 0
+    import os
+
+    from solr_map_reduce_spark.indexing import read_index
+
+    assert not os.path.exists(staging)
+    assert read_index(spark, live).count() == 500
