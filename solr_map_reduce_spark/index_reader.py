@@ -40,6 +40,7 @@ class SearchIndex:
         self.manifest = manifest
         self.unique_key: str = manifest["unique_key"]
         self.shards: int = int(manifest["shards"])
+        self.routing: str = manifest.get("routing", "solr")
         # root-shard placement only depends on the hash ring split (C8)
         self._router = ShardRouter(shards=self.shards, num_partitions=self.shards)
 
@@ -57,19 +58,27 @@ class SearchIndex:
         return self.df().count()
 
     # -- C2: point lookup with shard pruning ---------------------------
+    def _shard_of(self, key: str) -> int | None:
+        """Shard a key must live in, or None when the routing mode can't be
+        reproduced driver-side (native routing hashes inside the JVM —
+        lookups still work, scanning all shards)."""
+        if self.routing != "solr":
+            return None
+        return self._router.micro_shard_of(str(key))
+
     def get(self, key: str) -> DataFrame:
-        shard = self._router.micro_shard_of(str(key))
-        return self.df().filter(
-            (F.col(SHARD_COL) == shard) & (F.col(self.unique_key) == key)
-        )
+        cond = F.col(self.unique_key) == key
+        shard = self._shard_of(key)
+        if shard is not None:
+            cond = (F.col(SHARD_COL) == shard) & cond
+        return self.df().filter(cond)
 
     def get_many(self, keys: Sequence[str]) -> DataFrame:
-        pairs = [(str(k), self._router.micro_shard_of(str(k))) for k in keys]
-        shards = sorted({s for _, s in pairs})
-        return self.df().filter(
-            F.col(SHARD_COL).isin(shards)
-            & F.col(self.unique_key).isin([k for k, _ in pairs])
-        )
+        cond = F.col(self.unique_key).isin([str(k) for k in keys])
+        shards = {self._shard_of(str(k)) for k in keys}
+        if None not in shards:
+            cond = F.col(SHARD_COL).isin(sorted(shards)) & cond
+        return self.df().filter(cond)
 
     # -- C4/C5: filter + sort + page + project -------------------------
     def search(

@@ -64,6 +64,11 @@ class IndexJobConfig:
     max_segments: int = 1  # files per shard dir (C7 contract)
     max_records_per_file: int | None = None
     sanitize_rename_prefix: str | None = None
+    # "solr": bit-exact SolrCloud CompositeIdRouter placement (A8/C8 parity;
+    #   vectorized murmur3 UDF).  "native": Spark's builtin murmur3 (seed 42)
+    #   — same distribution properties, fully JVM-side (~25% cheaper routing
+    #   projection), for artifacts that never co-exist with a live SolrCloud.
+    routing: str = "solr"
 
     def __post_init__(self) -> None:
         micro = self.micro_shards or self.shards
@@ -71,6 +76,8 @@ class IndexJobConfig:
             raise ValueError(
                 f"micro_shards ({micro}) must be a multiple of shards ({self.shards})"
             )
+        if self.routing not in ("solr", "native"):
+            raise ValueError(f"routing must be 'solr' or 'native', got {self.routing!r}")
 
 
 class IndexJob:
@@ -91,8 +98,14 @@ class IndexJob:
         df = require_unique_key(df, key)
         df = cfg.schema.sanitize(df, rename_prefix=cfg.sanitize_rename_prefix)
         df = cfg.schema.apply_types(df)
-        df = with_shard_id(df, key, cfg.shards, cfg.micro_shards, out_col=MICRO_COL)
-        per_shard = (cfg.micro_shards or cfg.shards) // cfg.shards
+        micro = cfg.micro_shards or cfg.shards
+        if cfg.routing == "native":
+            df = df.withColumn(
+                MICRO_COL, F.pmod(F.hash(F.col(key)), F.lit(micro)).cast("int")
+            )
+        else:
+            df = with_shard_id(df, key, cfg.shards, cfg.micro_shards, out_col=MICRO_COL)
+        per_shard = micro // cfg.shards
         return df.withColumn(SHARD_COL, (F.col(MICRO_COL) / per_shard).cast("int"))
 
     def resolve(self, df: DataFrame) -> DataFrame:
@@ -127,6 +140,7 @@ class IndexJob:
             "unique_key": cfg.schema.unique_key,
             "dedup": cfg.dedup,
             "order_field": cfg.order_field,
+            "routing": cfg.routing,
             "columns": [c for c in columns if c not in (SHARD_COL, MICRO_COL)],
         }
         with open(os.path.join(path, MANIFEST), "w") as f:

@@ -189,3 +189,42 @@ def test_publish_atomic_swap(spark, sf_dir, tmp_path):
     publish(stage2, live)
     assert read_index(spark, live).count() == docs.count()
     assert not os.path.exists(stage2)
+
+
+def test_native_routing_build(spark, sf_dir, tmp_path):
+    """routing='native': JVM-side hash placement — same artifact contract,
+    no murmur3-parity UDF in the plan."""
+    import pyspark.sql.functions as F2
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    out = str(tmp_path / "native_idx")
+    job = IndexJob(
+        IndexJobConfig(schema=DOC_SCHEMA, shards=4, micro_shards=16,
+                       dedup="none", routing="native")
+    )
+    job.build(docs, out)
+    idx = SearchIndex.open(spark, out)
+    assert idx.routing == "native"
+    assert idx.count() == docs.count()
+    # placement matches Spark's builtin hash
+    sample = idx.df().select("id", "shard").limit(100).collect()
+    expect = {
+        r["id"]: r["s"]
+        for r in docs.select(
+            "id", (F2.pmod(F2.hash("id"), F2.lit(16)) / 4).cast("int").alias("s")
+        ).collect()
+    }
+    for r in sample:
+        assert expect[r["id"]] == r["shard"]
+    # lookups still correct without driver-side shard math
+    some = docs.orderBy("id").first()["id"]
+    assert idx.get(some).count() == 1
+
+
+def test_invalid_routing_rejected():
+    with pytest.raises(ValueError, match="routing"):
+        IndexJobConfig(schema=DOC_SCHEMA, shards=2, routing="bogus")
