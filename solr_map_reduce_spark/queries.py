@@ -284,6 +284,47 @@ def facet_event_counts(spark, sf_dir):
     )
 
 
+_PIPELINE_SCHEMA = IndexSchema(
+    fields=(
+        Field("id", "string", required=True),
+        Field("event_type", "string"),
+        Field("ts_iso", "string"),
+        Field("value", "double"),
+        Field("pipeline", "string"),
+    ),
+    unique_key="id",
+)
+
+
+@_register(
+    "pipeline_etl_events",
+    """SELECT concat(CAST(user_id AS VARCHAR), '#',
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+                   AS VARCHAR)) AS id,
+              event_type,
+              strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS ts_iso,
+              value,
+              'smrs' AS pipeline
+       FROM events""",
+    "§3.3 morphline-chain analog: spec-compiled key->timestamp->constant->sanitize",
+)
+def pipeline_etl_events(spark, sf_dir):
+    from solr_map_reduce_spark.functions.timestamps import format_timestamp
+    from solr_map_reduce_spark.plans import compile_pipeline
+
+    pipe = compile_pipeline(
+        [
+            {"op": "generate_key", "base_id_col": "user_id", "key": "id",
+             "session_col": "user_id", "order_col": "event_id",
+             "preserve_existing": False},
+            lambda df: df.withColumn("ts_iso", format_timestamp(F.col("ts"))),
+            {"op": "set_values", "values": {"pipeline": "smrs"}},
+            {"op": "sanitize", "schema": _PIPELINE_SCHEMA},
+        ]
+    )
+    return pipe.run(t(spark, sf_dir, "events"))
+
+
 @_register(
     "window_hourly_counts",
     """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
