@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "ext_token_count",
     "ext_minhash_dedup",
     "ext_ann_topk",
+    "ext_bm25_topk",
+    "ext_sessionize",
 ]
 
 

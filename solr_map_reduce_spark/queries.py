@@ -765,6 +765,16 @@ def ext_simhash(spark, sf_dir):
     return text_dedup.simhash64(t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+@_register(
+    "ext_simhash_pairs",
+    None,  # hamming-ball blocking (pigeonhole chunks); verified JVM-side
+    "SimHash near-dup pairs (hamming <= 3) over docs ∪ injected copies",
+)
+def ext_simhash_pairs(spark, sf_dir):
+    sims = text_dedup.simhash64(_docs_with_dupes(spark, sf_dir))
+    return text_dedup.simhash_candidates(sims, max_hamming=3).select("id_a", "id_b")
+
+
 _COS_PAIRS_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
