@@ -347,6 +347,45 @@ def window_hourly_counts(spark, sf_dir):
 
 
 @_register(
+    "c7_segment_contract",
+    None,  # artifact-layout introspection; not a relational query
+    "C7: build -> compact(max_segments=1) -> one file per shard "
+    "(SegmentInfos.size()==1 analog, SolrIndexDriverTest.java:59-61)",
+)
+def c7_segment_contract(spark, sf_dir):
+    import tempfile
+
+    from solr_map_reduce_spark.indexing import (
+        IndexJob, IndexJobConfig, compact, read_index, segment_counts,
+    )
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("text", "text_en"),
+            Field("n_chars", "long"),
+        ),
+        unique_key="id",
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="smrs_c7_") + "/idx"
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=2, micro_shards=8, dedup="none",
+                       max_records_per_file=100)
+    )
+    job.build(docs, out)
+    compact(spark, out, max_segments=1)
+    counts = segment_counts(out)
+    total = read_index(spark, out).count()
+    return spark.createDataFrame(
+        sorted((s, n, total) for s, n in counts.items()),
+        "shard_dir string, segments int, total_docs long",
+    )
+
+
+@_register(
     "a8_routing_shards",
     None,  # hash parity is not SQL-expressible; golden-tested in tests/test_routing.py
     "A8/C8 SolrCloud-parity micro-shard routing of customer keys",
