@@ -133,7 +133,10 @@ class IndexJob:
         return self.resolve(self.route(df, generate_keys_from)).drop(MICRO_COL)
 
     # -- physical write ----------------------------------------------------
-    def _manifest(self, columns: list[str], path: str) -> dict:
+    def _manifest(self, written, path: str) -> dict:
+        """``written`` is the DataFrame as it went to the writer (shard col
+        included); its full schema is persisted so an empty artifact — zero
+        input rows write no parquet files — stays openable."""
         cfg = self.config
         manifest = {
             "shards": cfg.shards,
@@ -141,7 +144,8 @@ class IndexJob:
             "dedup": cfg.dedup,
             "order_field": cfg.order_field,
             "routing": cfg.routing,
-            "columns": [c for c in columns if c not in (SHARD_COL, MICRO_COL)],
+            "columns": [c for c in written.columns if c not in (SHARD_COL, MICRO_COL)],
+            "schema_json": written.schema.json(),
         }
         with open(os.path.join(path, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
@@ -168,7 +172,7 @@ class IndexJob:
         if cfg.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
         writer.parquet(path)
-        return self._manifest(df.columns, path)
+        return self._manifest(df, path)
 
     def _write_sorted_dedup(
         self, routed: DataFrame, path: str, mode: str = "overwrite"
@@ -206,7 +210,7 @@ class IndexJob:
         if cfg.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
         writer.parquet(path)
-        return self._manifest(out.columns, path)
+        return self._manifest(out, path)
 
     def build(
         self,
@@ -245,8 +249,25 @@ class IndexJob:
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
-    """Open the artifact; ``shard`` is a partition column → pruning works."""
-    return spark.read.parquet(path)
+    """Open the artifact; ``shard`` is a partition column → pruning works.
+
+    An empty artifact (zero input rows → no parquet files) can't infer a
+    schema; the manifest's persisted schema backs an empty DataFrame so
+    every read-side op still works."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        manifest_path = os.path.join(path, MANIFEST)
+        if not os.path.exists(manifest_path):
+            raise
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        schema_json = manifest.get("schema_json")
+        if not schema_json:
+            raise
+        import pyspark.sql.types as T
+
+        return spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
 
 
 def compact(spark: SparkSession, path: str, max_segments: int = 1) -> None:

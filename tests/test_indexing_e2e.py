@@ -228,3 +228,20 @@ def test_native_routing_build(spark, sf_dir, tmp_path):
 def test_invalid_routing_rejected():
     with pytest.raises(ValueError, match="routing"):
         IndexJobConfig(schema=DOC_SCHEMA, shards=2, routing="bogus")
+
+
+def test_empty_input_build(spark, tmp_path):
+    """Building from zero rows must produce a valid, openable artifact."""
+    from solr_map_reduce_spark.index_reader import SearchIndex
+
+    empty = spark.createDataFrame(
+        [], "id string, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "empty_idx")
+    job = IndexJob(IndexJobConfig(schema=DOC_SCHEMA, shards=2, dedup="retain_most_recent",
+                                  order_field="n_chars"))
+    job.build(empty, out)
+    idx = SearchIndex.open(spark, out)
+    assert idx.count() == 0
+    assert idx.get("nope").count() == 0
+    assert idx.facet("lang").count() == 0

@@ -71,3 +71,35 @@ def test_windowed_event_counts_batch_semantics(spark, sf_dir, tmp_path):
     batch_total = batch.agg(F.sum("cnt")).first()[0]
     assert got_total <= batch_total
     assert got.filter(F.col("cnt") <= 0).count() == 0
+
+
+def test_windowed_counts_closed_windows_match_batch_exactly(spark, sf_dir, tmp_path):
+    """Stream/batch parity: every window the stream emits (closed by the
+    watermark) must carry EXACTLY the batch count for that (window, type)."""
+    from solr_map_reduce_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream, "ts", "1 hour", "2 hours", "event_type")
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).select("window_start", "event_type", "cnt")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "bcnt")
+    )
+    joined = got.join(batch, ["window_start", "event_type"], "left")
+    assert joined.filter(
+        F.col("bcnt").isNull() | (F.col("cnt") != F.col("bcnt"))
+    ).count() == 0
