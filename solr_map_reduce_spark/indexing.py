@@ -226,6 +226,34 @@ class IndexJob:
             return self._write_sorted_dedup(routed, path, mode=mode)
         return self.write(self.resolve(routed.drop(MICRO_COL)), path, mode=mode)
 
+    def merge_into(
+        self,
+        df: DataFrame,
+        path: str,
+        generate_keys_from: str | None = None,
+    ) -> dict:
+        """Incremental re-index (MorphlineBasicMiniMRTest.java:418-423: run
+        the tool again over new inputs against an existing output; same-key
+        docs replaced per the resolver, new keys appended).
+
+        Union current artifact + new docs, re-resolve, rewrite via a staging
+        dir + atomic swap (a parquet source can't overwrite a path it reads
+        in the same job).  At scale, restrict the rewrite to the shards the
+        batch touches via dynamic partition overwrite."""
+        import shutil
+
+        if not os.path.exists(os.path.join(path, MANIFEST)):
+            return self.build(df, path, generate_keys_from=generate_keys_from)
+        prepared = self.route(df, generate_keys_from).drop(MICRO_COL)
+        current = read_index(df.sparkSession, path)
+        merged = current.select(prepared.columns).unionByName(prepared)
+        resolved = self.resolve(merged)
+        tmp = path.rstrip("/") + "._merge_tmp"
+        manifest = self.write(resolved, tmp)
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+        return manifest
+
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
         """A24 dry-run: run the full logical pipeline client-side and return
         the first ``n`` prepared documents without writing

@@ -46,35 +46,9 @@ def stream_ingest(
         stream = stream.dropDuplicatesWithinWatermark([config.schema.unique_key])
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        prepared = job.prepare(batch_df)
-        try:
-            current = read_index(batch_df.sparkSession, output_path)
-            has_current = True
-        except Exception:
-            has_current = False
-        if has_current:
-            merged = current.select(prepared.columns).unionByName(prepared)
-            from solr_map_reduce_spark.operators.dedup import resolve
-
-            order = config.order_field if config.order_field in merged.columns else None
-            if order is not None:
-                merged = resolve(
-                    merged,
-                    config.schema.unique_key,
-                    config.dedup,
-                    order,
-                    tiebreak=config.tiebreak or None,
-                )
-            # rewrite to a temp dir then swap — parquet sources can't
-            # overwrite a path they are reading in the same job
-            tmp = output_path.rstrip("/") + f"._stream_tmp_{batch_id}"
-            job.write(merged, tmp)
-            import shutil
-
-            shutil.rmtree(output_path)
-            shutil.move(tmp, output_path)
-        else:
-            job.write(prepared, output_path)
+        # per-batch incremental re-index: same-key docs replaced per the
+        # resolver, new keys appended (staging dir + atomic swap inside)
+        job.merge_into(batch_df, output_path)
 
     writer = stream.writeStream.foreachBatch(_upsert).option(
         "checkpointLocation", checkpoint

@@ -245,3 +245,109 @@ def test_empty_input_build(spark, tmp_path):
     assert idx.count() == 0
     assert idx.get("nope").count() == 0
     assert idx.facet("lang").count() == 0
+
+
+def test_merge_into_incremental_reindex(spark, sf_dir, tmp_path):
+    """Incremental re-index: new keys appended, same keys replaced
+    (MorphlineBasicMiniMRTest 20 -> 22 docs analog)."""
+    from solr_map_reduce_spark.indexing import merge_driver  # noqa: F401
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    out = str(tmp_path / "incr_idx")
+    job = IndexJob(
+        IndexJobConfig(schema=DOC_SCHEMA, shards=2, dedup="retain_most_recent",
+                       order_field="n_chars", tiebreak=("id",))
+    )
+    job.build(docs.limit(20), out)
+    assert read_index(spark, out).count() == 20
+
+    batch = docs.limit(22)  # 20 existing + 2 new
+    updated = batch.withColumn("n_chars", F.col("n_chars") + 1_000_000).withColumn(
+        "text", F.lit("updated")
+    )
+    job.merge_into(updated, out)
+    idx = read_index(spark, out)
+    assert idx.count() == 22
+    assert idx.filter(F.col("text") != "updated").count() == 0
+
+
+def test_multivalued_field_through_build(spark, tmp_path):
+    """SURVEY hard-part 3: ArrayType (multiValued) fields survive the full
+    build and answer array_contains queries from the artifact."""
+    from solr_map_reduce_spark.index_reader import SearchIndex
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("title", "string"),
+            Field("tags", "string", multi_valued=True),
+        ),
+        unique_key="id",
+    )
+    df = spark.createDataFrame(
+        [("a", "first", ["x", "y"]), ("b", "second", ["y"]), ("c", "third", [])],
+        "id string, title string, tags array<string>",
+    )
+    out = str(tmp_path / "mv_idx")
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(df, out)
+    idx = SearchIndex.open(spark, out)
+    assert idx.count() == 3
+    got = sorted(
+        r["id"] for r in idx.search(where=F.array_contains("tags", "y")).collect()
+    )
+    assert got == ["a", "b"]
+    assert idx.get("a").first()["tags"] == ["x", "y"]
+
+
+def test_composite_id_coroutes_in_build(spark, tmp_path):
+    """SURVEY hard-part 1: composite route!doc keys land in the route key's
+    shard — co-location through the real build path."""
+    from solr_map_reduce_spark.operators.routing import ShardRouter
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("v", "long")),
+        unique_key="id",
+    )
+    rows = [(f"tenant{t}!doc{d}", t * 100 + d) for t in range(5) for d in range(20)]
+    df = spark.createDataFrame(rows, "id string, v long")
+    out = str(tmp_path / "comp_idx")
+    IndexJob(IndexJobConfig(schema=schema, shards=4, micro_shards=8, dedup="none")).build(df, out)
+    built = read_index(spark, out).select("id", "shard").collect()
+    router = ShardRouter(shards=4, num_partitions=8)
+    by_tenant = {}
+    for r in built:
+        tenant = r["id"].split("!")[0]
+        by_tenant.setdefault(tenant, set()).add(r["shard"])
+        assert router.micro_shard_of(r["id"]) // 2 == r["shard"]
+    # every tenant's docs co-locate on one root shard
+    assert all(len(s) == 1 for s in by_tenant.values())
+
+
+def test_build_plan_single_exchange(spark, sf_dir):
+    """The fast-path build plan contains exactly ONE shuffle (the micro-shard
+    exchange) — route, dedup window, and sort all reuse it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    job = IndexJob(
+        IndexJobConfig(schema=DOC_SCHEMA, shards=4, micro_shards=16,
+                       dedup="retain_most_recent", order_field="n_chars",
+                       tiebreak=("id",))
+    )
+    from pyspark.sql import Window
+
+    from solr_map_reduce_spark.indexing import MICRO_COL, SHARD_COL
+
+    routed = job.route(docs)
+    partitioned = routed.repartition(16, F.col(MICRO_COL))
+    w = Window.partitionBy(MICRO_COL).orderBy(F.col("id").asc(), F.desc("n_chars"))
+    deduped = (
+        partitioned.withColumn("_prev", F.lag("id").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("id")))
+        .drop("_prev", MICRO_COL)
+        .sortWithinPartitions(SHARD_COL, "id")
+    )
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
