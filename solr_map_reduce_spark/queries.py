@@ -805,6 +805,18 @@ def ext_simhash(spark, sf_dir):
 
 
 @_register(
+    "ext_ngram_jaccard",
+    None,  # LSH-blocked candidate generation; Jaccard itself exact (tested
+    # against plain-Python set jaccard in tests/test_extensions.py)
+    "exact word-2gram Jaccard pairs (>= 0.4) over docs ∪ injected copies",
+)
+def ext_ngram_jaccard(spark, sf_dir):
+    return text_dedup.ngram_jaccard_pairs(
+        _docs_with_dupes(spark, sf_dir), "text", "doc_id", k=2, threshold=0.4
+    )
+
+
+@_register(
     "ext_simhash_pairs",
     None,  # hamming-ball blocking (pigeonhole chunks); verified JVM-side
     "SimHash near-dup pairs (hamming <= 3) over docs ∪ injected copies",
