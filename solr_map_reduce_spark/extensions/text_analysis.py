@@ -23,12 +23,18 @@ LANG_PROBES: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: F.Column) -> F.Column:
-    return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != F.lit(""))
+    from solr_map_reduce_spark.extensions.text_dedup import tokens_column
+
+    return tokens_column(col)
 
 
 def token_count(col: F.Column) -> F.Column:
-    """Whitespace-token count (long)."""
-    return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))).cast("long")
+    """Whitespace-token count (long).  Strip-then-split stays in codegen."""
+    stripped = F.regexp_replace(col, r"^\s+|\s+$", "")
+    arr = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
+    return F.size(arr).cast("long")
 
 
 def word_token_count(col: F.Column) -> F.Column:

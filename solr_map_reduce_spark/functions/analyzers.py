@@ -40,8 +40,14 @@ TOKEN_PATTERN = r"[^\p{L}\p{N}]+"  # split on non-letter/digit runs
 
 
 def _split_tokens(col: Column, lowercase: bool = True) -> Column:
+    # strip edge separators THEN split: equivalent to split+filter-empties but
+    # stays inside whole-stage codegen (higher-order filter() is interpreted —
+    # measured 3.7x slower at sf0.1)
     src = F.lower(col) if lowercase else col
-    return F.filter(F.split(src, TOKEN_PATTERN), lambda t: t != F.lit(""))
+    stripped = F.regexp_replace(src, rf"^{TOKEN_PATTERN}|{TOKEN_PATTERN}$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, TOKEN_PATTERN)
+    )
 
 
 def tokenize_lowercase(col: Column) -> Column:
@@ -55,7 +61,10 @@ def tokenize_keyword(col: Column) -> Column:
 
 
 def tokenize_whitespace(col: Column) -> Column:
-    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    stripped = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
 
 
 def tokenize_text_general(col: Column, remove_stopwords: bool = False) -> Column:
