@@ -92,6 +92,17 @@ def build_parser() -> argparse.ArgumentParser:
     mrg.add_argument("--path", required=True)
     mrg.add_argument("--max-segments", type=int, default=1)
     mrg.add_argument("--fanout", type=int, default=4)
+
+    qry = sub.add_parser("query", help="query a built artifact (C1-C7 surface)")
+    qry.add_argument("--path", required=True)
+    qry.add_argument("--count", action="store_true", help="C1 match-all count")
+    qry.add_argument("--get", default=None, metavar="KEY", help="C2 point lookup")
+    qry.add_argument("--facet", default=None, metavar="FIELD", help="facet counts")
+    qry.add_argument("--filter", nargs="*", default=(), metavar="COL=VALUE")
+    qry.add_argument("--sort", default=None, metavar="COL[:desc]")
+    qry.add_argument("--limit", type=int, default=10)
+    qry.add_argument("--select", nargs="*", default=None)
+    qry.add_argument("--segments", action="store_true", help="C7 layout introspection")
     return p
 
 
@@ -129,6 +140,34 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.path, max_segments=args.max_segments, fanout=args.fanout
         )
         print(json.dumps({"iterations": ran, "segments": segment_counts(args.path)}))
+        return 0
+
+    if args.command == "query":
+        from solr_map_reduce_spark.index_reader import SearchIndex
+
+        idx = SearchIndex.open(spark, args.path)
+        if args.count:
+            print(json.dumps({"count": idx.count()}))
+        elif args.segments:
+            print(json.dumps({"segments": idx.segment_counts()}))
+        elif args.get is not None:
+            for r in idx.get(args.get).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.facet is not None:
+            for r in idx.facet(args.facet, top=args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        else:
+            filters = dict(kv.split("=", 1) for kv in args.filter)
+            sort = None
+            if args.sort:
+                col, _, direction = args.sort.partition(":")
+                sort = [(col, direction or "asc")]
+            rows = idx.search(
+                filters=filters or None, sort=sort, limit=args.limit,
+                select=args.select,
+            ).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
         return 0
 
     from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, publish

@@ -98,6 +98,14 @@ class IndexJob:
         df = require_unique_key(df, key)
         df = cfg.schema.sanitize(df, rename_prefix=cfg.sanitize_rename_prefix)
         df = cfg.schema.apply_types(df)
+        return self._with_shard(df)
+
+    def _with_shard(self, df: DataFrame) -> DataFrame:
+        """Attach MICRO_COL + SHARD_COL from the unique key (also used to
+        re-derive the shard after a resolver that collapses columns, e.g.
+        sort_updates' (key, updates) shape)."""
+        cfg = self.config
+        key = cfg.schema.unique_key
         micro = cfg.micro_shards or cfg.shards
         if cfg.routing == "native":
             df = df.withColumn(
@@ -224,7 +232,11 @@ class IndexJob:
             self.config.dedup == "none" or self.config.order_field in routed.columns
         ):
             return self._write_sorted_dedup(routed, path, mode=mode)
-        return self.write(self.resolve(routed.drop(MICRO_COL)), path, mode=mode)
+        resolved = self.resolve(routed.drop(MICRO_COL))
+        if SHARD_COL not in resolved.columns:
+            # resolver collapsed columns (sort_updates) — re-derive placement
+            resolved = self._with_shard(resolved).drop(MICRO_COL)
+        return self.write(resolved, path, mode=mode)
 
     def merge_into(
         self,

@@ -147,3 +147,32 @@ def test_cli_publish(spark, sf_dir, schema_file, tmp_path, capsys):
 
     assert not os.path.exists(staging)
     assert read_index(spark, live).count() == 500
+
+
+def test_cli_query_surface(spark, sf_dir, schema_file, tmp_path, capsys):
+    out = str(tmp_path / "qidx")
+    cli.main([
+        "index", "--input", f"{sf_dir}/documents.parquet", "--output", out,
+        "--schema", schema_file, "--shards", "2", "--dedup", "none",
+        "--generate-keys-from", "source",
+    ])
+    capsys.readouterr()
+
+    assert cli.main(["query", "--path", out, "--count"]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["count"] == 500
+
+    assert cli.main(["query", "--path", out, "--facet", "lang"]) == 0
+    facets = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert sum(f["cnt"] for f in facets) == 500
+
+    assert cli.main(["query", "--path", out, "--filter", "lang=en",
+                     "--sort", "n_chars:desc", "--limit", "3",
+                     "--select", "id", "n_chars"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert len(rows) == 3
+    lens = [r["n_chars"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+
+    assert cli.main(["query", "--path", out, "--segments"]) == 0
+    seg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["segments"]
+    assert sorted(seg) == ["shard=0", "shard=1"]

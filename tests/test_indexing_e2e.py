@@ -351,3 +351,26 @@ def test_build_plan_single_exchange(spark, sf_dir):
     )
     plan = deduped._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_build_with_sort_updates_resolver(spark, tmp_path):
+    """A11 through the full build: one row per key carrying the update list
+    sorted ascending by the order field (apply-in-order semantics)."""
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("v", "long"),
+                Field("ts", "long")),
+        unique_key="id",
+    )
+    df = spark.createDataFrame(
+        [("a", 1, 30), ("a", 2, 10), ("a", 3, 20), ("b", 9, 5)],
+        "id string, v long, ts long",
+    )
+    out = str(tmp_path / "sorted_idx")
+    job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="sort_updates",
+                                  order_field="ts"))
+    job.build(df, out)
+    idx = read_index(spark, out)
+    rows = {r["id"]: r for r in idx.collect()}
+    assert len(rows) == 2
+    assert [u["v"] for u in rows["a"]["updates"]] == [2, 3, 1]  # ts order 10,20,30
+    assert [u["v"] for u in rows["b"]["updates"]] == [9]
