@@ -38,8 +38,22 @@ def token_count(col: F.Column) -> F.Column:
 
 
 def word_token_count(col: F.Column) -> F.Column:
-    """BPE-ish subword proxy: letter/digit-run tokens (long)."""
+    """Letter/digit-run token count (long)."""
     return F.size(tokens(col)).cast("long")
+
+
+# GPT-2-style pre-tokenizer pattern (Radford et al. 2019, public): English
+# contractions, optionally-space-prefixed letter runs / digit runs /
+# punctuation runs.  Counting these pre-tokens tracks BPE token counts
+# closely enough for corpus budgeting without a vocab.
+BPE_PRETOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: F.Column) -> F.Column:
+    """BPE-ish pre-token count via the GPT-2 split regex (long, JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), 0)).cast(
+        "long"
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

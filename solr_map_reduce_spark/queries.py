@@ -698,6 +698,22 @@ FROM g
 
 
 @_register(
+    "ext_bpe_token_count",
+    r"""SELECT doc_id,
+          CAST(length(regexp_extract_all(text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+            AS BIGINT) AS n_bpe_tokens
+        FROM documents""",
+    "BPE-ish pre-token count (GPT-2 split regex) for corpus token budgeting",
+)
+def ext_bpe_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text_analysis.bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+@_register(
     "ext_quality_features",
     _QUALITY_SQL,
     "per-document quality features + composite score",

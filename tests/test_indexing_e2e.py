@@ -374,3 +374,16 @@ def test_build_with_sort_updates_resolver(spark, tmp_path):
     assert len(rows) == 2
     assert [u["v"] for u in rows["a"]["updates"]] == [2, 3, 1]  # ts order 10,20,30
     assert [u["v"] for u in rows["b"]["updates"]] == [9]
+
+
+def test_observed_metrics(spark, sf_dir):
+    """A27: docs-in / null-key counters via df.observe."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    job = IndexJob(IndexJobConfig(schema=DOC_SCHEMA, shards=2, dedup="none"))
+    observed, obs = job.observed(docs)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["docs_in"] == docs.count()
+    assert got["null_keys"] == 0
