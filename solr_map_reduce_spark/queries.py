@@ -595,6 +595,34 @@ def window_topn_orders(spark, sf_dir):
 
 
 @_register(
+    "skew_salted_join",
+    f"""SELECT p_brand, {_DEC_SQL.format(expr='l_quantity')} AS total_qty,
+          count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""",
+    "salted skew-join produces EXACTLY the plain join's result "
+    "(operators/skew.salted_join; hot keys spread over 8 salt buckets)",
+)
+def skew_salted_join(spark, sf_dir):
+    from solr_map_reduce_spark.operators.skew import salted_join
+
+    big = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity"
+    )
+    small = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    return (
+        salted_join(big, small, "partkey", buckets=8)
+        .groupBy("p_brand")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
     "star_join_enrich",
     f"""SELECT r_name, n_name, count(*) AS customers,
          {_DEC_SQL.format(expr='c_acctbal')} AS total_acctbal
