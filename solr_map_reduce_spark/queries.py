@@ -595,6 +595,37 @@ def window_topn_orders(spark, sf_dir):
 
 
 @_register(
+    "ext_asof_join",
+    """SELECT l.event_id,
+              strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS prior_purchase_ts,
+              COALESCE(r.value, -1.0) AS prior_purchase_value
+       FROM events l
+       ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+                       WHERE event_type = 'purchase') r
+       ON l.user_id = r.user_id AND l.ts >= r.ts
+       WHERE l.event_type = 'click'""",
+    "as-of join: each click annotated with the user's latest prior purchase "
+    "(union-tag window form vs DuckDB's native ASOF JOIN)",
+)
+def ext_asof_join(spark, sf_dir):
+    from solr_map_reduce_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts")
+    return joined.select(
+        "event_id",
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("prior_purchase_ts"),
+        F.coalesce(F.col("value_r"), F.lit(-1.0)).alias("prior_purchase_value"),
+    )
+
+
+@_register(
     "skew_salted_join",
     f"""SELECT p_brand, {_DEC_SQL.format(expr='l_quantity')} AS total_qty,
           count(*) AS n_lines
