@@ -626,6 +626,38 @@ def ext_asof_join(spark, sf_dir):
 
 
 @_register(
+    "ext_range_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+       FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+       JOIN (SELECT user_id, event_id,
+                    ts - INTERVAL 1 HOUR AS start_ts,
+                    ts + INTERVAL 1 HOUR AS end_ts
+             FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id
+        AND c.ts >= p.start_ts AND c.ts <= p.end_ts""",
+    "range join: clicks within ±1h of each same-user purchase "
+    "(interval-binned equi-join vs the oracle's inequality join)",
+)
+def ext_range_join(spark, sf_dir):
+    from solr_map_reduce_spark.operators.range_join import range_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    return range_join(
+        clicks, purchases, "ts", "start_ts", "end_ts", on="user_id",
+        bin_seconds=3600,
+    ).select("click_id", "purchase_id")
+
+
+@_register(
     "skew_salted_join",
     f"""SELECT p_brand, {_DEC_SQL.format(expr='l_quantity')} AS total_qty,
           count(*) AS n_lines
