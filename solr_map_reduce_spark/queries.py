@@ -1073,5 +1073,224 @@ def ext_bm25_topk(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Analytics widening: more TPC-H shapes, multi-dim facets, distinct aggs,
+# percentiles, frame windows, and the multimodal decode plumbing — each with
+# a DuckDB oracle.
+# ===========================================================================
+
+@_register(
+    "q4_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority""",
+    "TPC-H Q4 shape: date-pruned scan -> EXISTS semi-join -> priority facet",
+)
+def q4_order_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_register(
+    "q14_promo_revenue",
+    f"""SELECT CAST(100.0 AS DOUBLE)
+             * {_DEC_SQL.format(expr="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {_DEC_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
+             AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-03-01'""",
+    "TPC-H Q14 shape: broadcast dim join + conditional aggregate ratio",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("date"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        (
+            F.lit(100.0).cast("double")
+            * F.sum(promo.cast("decimal(18,6)")).cast("double")
+            / F.sum(rev.cast("decimal(18,6)")).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@_register(
+    "q18_large_orders",
+    f"""WITH big AS (
+          SELECT l_orderkey,
+                 {_DEC_SQL.format(expr="l_quantity")} AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {_DEC_SQL.format(expr="l_quantity")} > 250.0
+        )
+        SELECT c_name, o_orderkey, o_totalprice, total_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "TPC-H Q18 shape: HAVING on aggregated fact -> join back -> top-k",
+)
+def q18_large_orders(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "facet_cube_counts",
+    """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              count(*) AS cnt
+       FROM events GROUP BY CUBE (event_type, day)""",
+    "multi-dimensional facet with subtotals: CUBE(event_type, day) counts "
+    "(pivot-facet analog with rollup totals)",
+)
+def facet_cube_counts(spark, sf_dir):
+    e = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    return e.cube("event_type", "day").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_register(
+    "agg_distinct_users",
+    """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS events
+       FROM events GROUP BY event_type""",
+    "distinct aggregation (two-phase partial agg; exact COUNT DISTINCT)",
+)
+def agg_distinct_users(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+
+
+@_register(
+    "ext_percentiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.5)  AS p50,
+              quantile_cont(l_quantity, 0.9)  AS p90
+       FROM lineitem GROUP BY l_returnflag""",
+    "exact interpolated percentiles per group (Spark percentile == DuckDB "
+    "quantile_cont; at 100 TB swap for approx_percentile's t-digest sketch)",
+)
+def ext_percentiles(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        )
+    )
+
+
+@_register(
+    "window_rolling_sum",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS roll_sum,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS roll_n
+       FROM events""",
+    "frame-bounded rolling aggregate per key (ROWS BETWEEN window)",
+)
+def window_rolling_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+def _hexval(pos: int) -> str:
+    """DuckDB expression: value of hex digit at 1-based ``pos`` of sha256 hex
+    string ``h``."""
+    return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+
+def _sha_byte(i: int) -> str:
+    """DuckDB expression for byte ``i`` (0-based) of the sha256 digest."""
+    return f"({_hexval(2 * i + 1)} * 16 + {_hexval(2 * i + 2)})"
+
+
+@_register(
+    "ext_multimodal_decode",
+    f"""WITH m AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+                 sha256(text) AS h
+          FROM documents
+        )
+        SELECT media_id,
+               CASE WHEN text IS NULL OR text = '' THEN 0
+                    ELSE CAST(64 + {_sha_byte(0)} % 192 AS INT) END AS width,
+               CASE WHEN text IS NULL OR text = '' THEN 0
+                    ELSE CAST(64 + {_sha_byte(1)} % 192 AS INT) END AS height,
+               CASE WHEN text IS NULL OR text = '' THEN 'NONE'
+                    ELSE list_extract(['RGB', 'RGBA', 'L'], {_sha_byte(2)} % 3 + 1)
+                    END AS mode,
+               CASE WHEN text IS NULL OR text = '' THEN 'NONE'
+                    ELSE list_extract(['PNG', 'JPEG', 'WEBP'], {_sha_byte(3)} % 3 + 1)
+                    END AS format,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM m""",
+    "multimodal decode plumbing: binary payload -> mapInPandas decode stub -> "
+    "typed metadata; the deterministic fake decoder (sha256-derived dims) is "
+    "oracle-checked bit-for-bit, proving the Arrow batch path end-to-end",
+)
+def ext_multimodal_decode(spark, sf_dir):
+    from solr_map_reduce_spark.extensions import multimodal
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return multimodal.decode_image(media, "content", "media_id", impl="fake")
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
