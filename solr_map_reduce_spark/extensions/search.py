@@ -71,48 +71,74 @@ def bm25_search(
 
     ``exact_sum`` routes the per-term score sum through DECIMAL(18,6) so the
     result is independent of summation order (cross-engine oracle parity).
+
+    Plan shape (one corpus pass, zero wide shuffles): a single tokenize
+    projection reduces each document to a compact "norms" row
+    ``(id, dl, tf per query term)`` — the analog of Lucene's norms +
+    query-term postings.  That small table is checkpointed (so its two
+    consumers don't re-tokenize the corpus), a one-row aggregate computes
+    ``n_docs``/``avgdl``/``df_t`` for every term simultaneously, and scoring
+    is a broadcast of that row + a per-row expression + TakeOrdered(k).
+    The earlier explode -> groupBy(id, term) -> groupBy(term) formulation
+    evaluated the tokenizer three times and shuffled twice (~4x slower at
+    sf0.1).
     """
     terms = [t.lower() for t in query_terms]
-    staged = df.select(
-        F.col(id_col), tokens_column(F.col(text_col)).alias("_toks")
-    ).withColumn("dl", F.size("_toks").cast("double"))
+    toks = tokens_column(F.col(text_col))
 
-    stats = staged.agg(
+    def _tf(term: str) -> F.Column:
+        # single-parameter lambda: a two-parameter one would make PySpark pass
+        # the element *index* as the second argument, clobbering the default
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [
+        _tf(term).cast("double").alias(f"_tf{i}") for i, term in enumerate(terms)
+    ]
+    compact = df.select(
+        F.col(id_col), F.size(toks).cast("double").alias("dl"), *tf_cols
+    )
+    # Small at any scale: (id, dl, |Q| tfs) per doc.  Checkpoint so the stats
+    # aggregate and the scoring pass share one tokenization of the corpus.
+    compact = compact.localCheckpoint(eager=False)
+
+    stats = compact.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
 
-    postings = (
-        staged.select(
-            F.col(id_col), F.col("dl"), F.explode("_toks").alias("term")
+    def term_score(i: int) -> F.Column:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
         )
-        .filter(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "term", "dl")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
+        tf = F.col(f"_tf{i}")
+        raw = idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        # a term absent from the doc contributes exactly 0 (skip the 0/..
+        # arithmetic so decimal rounding of -0.0 can't diverge)
+        score = F.when(tf > 0, raw).otherwise(F.lit(0.0))
+        return score.cast("decimal(18,6)") if exact_sum else score
 
-    df_t = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df_t")
-    )
+    total = term_score(0)
+    for i in range(1, len(terms)):
+        total = total + term_score(i)
+    if exact_sum:
+        total = total.cast("double")
+
+    hit = None
+    for i in range(len(terms)):
+        c = F.col(f"_tf{i}") > 0
+        hit = c if hit is None else (hit | c)
 
     scored = (
-        postings.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(stats))
-        .withColumn(
-            "idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("term_score").cast("decimal(18,6)")).cast("double").alias("score")
-            if exact_sum
-            else F.sum("term_score").alias("score")
-        )
+        compact.join(F.broadcast(stats))
+        .filter(hit)
+        .select(F.col(id_col), total.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
