@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "q3_top_revenue",
     "q5_local_supplier",
     "q6_revenue_change",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
     "window_topn_orders",
     "star_join_enrich",
     "facet_event_counts",

@@ -1292,5 +1292,450 @@ def ext_multimodal_decode(spark, sf_dir):
     return multimodal.decode_image(media, "content", "media_id", impl="fake")
 
 
+# ===========================================================================
+# TPC-H-shape breadth: the remaining classic plan shapes expressible over the
+# driver's star schema (no partsupp table and no l_shipmode/commitdate
+# columns, so Q2/Q11/Q12/Q14-container variants are re-expressed over the
+# columns that exist).  Every aggregate runs through the exact-decimal path
+# so values hash-match DuckDB bit-for-bit.
+# ===========================================================================
+
+_VOL_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+
+
+@_register(
+    "q7_volume_shipping",
+    f"""SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(vol) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year, {_VOL_DEC} AS vol
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 00:00:00'
+        ) GROUP BY supp_nation, cust_nation, l_year""",
+    "TPC-H Q7 shape: 5-table join, disjunctive nation-pair predicate, "
+    "year rollup (broadcast dims, one fact shuffle)",
+)
+def q7_volume_shipping(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31 00:00:00")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pair = ("NATION_1", "NATION_2")
+    n1 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dec_sum(vol, "revenue"))
+    )
+
+
+@_register(
+    "q8_market_share",
+    f"""SELECT o_year,
+               CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year, {_VOL_DEC} AS vol,
+                 n2.n_name AS nation
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 00:00:00'
+        ) GROUP BY o_year""",
+    "TPC-H Q8 shape: 8-table snowflake join, conditional share-of-total "
+    "aggregation by year",
+)
+def q8_market_share(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31 00:00:00")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    nat_vol = F.when(F.col("nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "q9_profit_by_nation",
+    f"""SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS profit
+        FROM (
+          SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                 {_VOL_DEC} AS amount
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%widget%'
+        ) GROUP BY nation, o_year""",
+    "TPC-H Q9 shape: 5-table join with LIKE-filtered part dim, profit by "
+    "supplier nation and year",
+)
+def q9_profit_by_nation(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    amount = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_dec_sum(amount, "profit"))
+    )
+
+
+@_register(
+    "q10_returned_items",
+    f"""SELECT c_custkey, c_name, CAST(SUM({_VOL_DEC}) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "TPC-H Q10 shape: returned-item revenue per customer, top-20 "
+    "(fact-fact join + broadcast dims + TakeOrdered)",
+)
+def q10_returned_items(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(rev, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q13_order_distribution",
+    """SELECT c_count, count(*) AS custdist
+       FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer
+         LEFT OUTER JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey
+       ) GROUP BY c_count""",
+    "TPC-H Q13 shape: left-outer join with residual predicate, two-level "
+    "aggregation (orders-per-customer distribution)",
+)
+def q13_order_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q15_top_supplier",
+    f"""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM({_VOL_DEC}) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "TPC-H Q15 shape: aggregate view + scalar-subquery max filter (exact "
+    "decimal revenue so the max-equality is deterministic cross-engine)",
+)
+def q15_top_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dec_sum(rev, "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("_max_rev"))
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_register(
+    "q17_small_qty_revenue",
+    """WITH qt AS (
+         SELECT l_partkey AS qt_partkey,
+                0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*)) AS qty_thresh
+         FROM lineitem GROUP BY l_partkey
+       )
+       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+              / 7.0 AS avg_yearly
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN qt ON qt_partkey = l_partkey
+       WHERE p_brand = 'Brand#1' AND l_quantity < qty_thresh""",
+    "TPC-H Q17 shape: per-part average-quantity threshold (decorrelated "
+    "subquery) gating a brand-filtered revenue aggregate",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    qt = l.groupBy(F.col("l_partkey").alias("qt_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thresh")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(qt, F.col("qt_partkey") == l["l_partkey"])
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_register(
+    "q19_discounted_revenue",
+    f"""SELECT CAST(SUM({_VOL_DEC}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)""",
+    "TPC-H Q19 shape: disjunctive multi-attribute predicate spanning both "
+    "join sides (tests predicate evaluation post-join)",
+)
+def q19_discounted_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & q.between(20, 50))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(_dec_sum(rev, "revenue"))
+    )
+
+
+@_register(
+    "q20_heavy_part_suppliers",
+    """SELECT s_suppkey, s_name FROM supplier
+       WHERE s_suppkey IN (
+         SELECT l_suppkey
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_name LIKE '%gear%'
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_suppkey
+         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 50.0
+       )
+       ORDER BY s_suppkey""",
+    "TPC-H Q20 shape: semi-join against a HAVING-filtered aggregate "
+    "(left_semi — no row duplication, no distinct needed)",
+)
+def q20_heavy_part_suppliers(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    heavy = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 50.0)
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q21_last_shipper",
+    """WITH ord AS (
+         SELECT l_orderkey AS o_key, max(l_shipdate) AS last_ship,
+                count(DISTINCT l_suppkey) AS nsupp
+         FROM lineitem GROUP BY l_orderkey
+       )
+       SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+       FROM lineitem
+       JOIN ord ON l_orderkey = o_key
+       JOIN supplier ON s_suppkey = l_suppkey
+       WHERE nsupp > 1 AND l_shipdate = last_ship
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 10""",
+    "TPC-H Q21 shape (adapted: no commit/receipt dates): the supplier whose "
+    "line shipped last in multi-supplier orders — agg + join-back + distinct "
+    "count top-k",
+)
+def q21_last_shipper(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    ord_stats = l.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l.join(ord_stats, (l["l_orderkey"] == F.col("o_key")))
+        .filter((F.col("nsupp") > 1) & (F.col("l_shipdate") == F.col("last_ship")))
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q22_idle_customers",
+    """WITH avg_bal AS (
+         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                / count(*) AS ab
+         FROM customer WHERE c_acctbal > 0.0
+       )
+       SELECT c_mktsegment AS segment, count(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+       FROM customer, avg_bal
+       WHERE c_acctbal > ab
+         AND NOT EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+         )
+       GROUP BY c_mktsegment""",
+    "TPC-H Q22 shape: scalar-subquery threshold + anti-join (customers above "
+    "average balance with no recent orders), grouped totals",
+)
+def q22_idle_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
