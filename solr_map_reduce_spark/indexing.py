@@ -248,23 +248,55 @@ class IndexJob:
         the tool again over new inputs against an existing output; same-key
         docs replaced per the resolver, new keys appended).
 
-        Union current artifact + new docs, re-resolve, rewrite via a staging
-        dir + atomic swap (a parquet source can't overwrite a path it reads
-        in the same job).  At scale, restrict the rewrite to the shards the
-        batch touches via dynamic partition overwrite."""
+        Only the shards the batch routes to are rewritten: routing is
+        key-deterministic, so a key collision can only live in the shard its
+        key hashes to.  The batch's touched-shard set (≤ ``shards`` values —
+        a tiny driver-side list) filters the current artifact via partition
+        pruning; union + re-resolve + rewrite happens per touched shard dir
+        through a staging dir + per-dir atomic swap.  Untouched shard
+        directories are never read or written — at 100 TB a small batch
+        costs O(touched shards), not O(artifact)."""
         import shutil
 
         if not os.path.exists(os.path.join(path, MANIFEST)):
             return self.build(df, path, generate_keys_from=generate_keys_from)
         prepared = self.route(df, generate_keys_from).drop(MICRO_COL)
-        current = read_index(df.sparkSession, path)
+        touched = sorted(
+            r[0] for r in prepared.select(SHARD_COL).distinct().collect()
+        )
+        if not touched:
+            with open(os.path.join(path, MANIFEST)) as f:
+                return json.load(f)
+        current = read_index(df.sparkSession, path).filter(
+            F.col(SHARD_COL).isin(touched)
+        )
         merged = current.select(prepared.columns).unionByName(prepared)
         resolved = self.resolve(merged)
+        if SHARD_COL not in resolved.columns:
+            # resolver collapsed columns (sort_updates) — re-derive placement
+            resolved = self._with_shard(resolved).drop(MICRO_COL)
+        cfg = self.config
+        key = cfg.schema.unique_key
         tmp = path.rstrip("/") + "._merge_tmp"
-        manifest = self.write(resolved, tmp)
-        shutil.rmtree(path)
-        shutil.move(tmp, path)
-        return manifest
+        writer_df = (
+            resolved.repartition(len(touched), F.col(SHARD_COL))
+            .sortWithinPartitions(SHARD_COL, key)
+        )
+        writer = writer_df.write.mode("overwrite").partitionBy(SHARD_COL)
+        if cfg.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        writer.parquet(tmp)
+        for s in touched:
+            dirname = f"{SHARD_COL}={s}"
+            src = os.path.join(tmp, dirname)
+            dst = os.path.join(path, dirname)
+            if not os.path.isdir(src):
+                continue  # resolver emitted no rows for this shard
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return self._manifest(resolved, path)
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
         """A24 dry-run: run the full logical pipeline client-side and return

@@ -273,6 +273,61 @@ def test_merge_into_incremental_reindex(spark, sf_dir, tmp_path):
     assert idx.filter(F.col("text") != "updated").count() == 0
 
 
+def test_merge_into_rewrites_only_touched_shards(spark, tmp_path):
+    """A batch routed entirely to one shard must leave the other shard's
+    files physically untouched (O(touched shards) incremental cost)."""
+    import os
+
+    from solr_map_reduce_spark.indexing import SHARD_COL
+    from solr_map_reduce_spark.operators.routing import ShardRouter
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("payload", "string"),
+            Field("version", "long"),
+        ),
+        unique_key="id",
+    )
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=2, dedup="retain_most_recent",
+                       order_field="version", tiebreak=("id",))
+    )
+    router = ShardRouter(shards=2)
+    ids = [f"k{i}" for i in range(200)]
+    base = spark.createDataFrame(
+        [(i, "v1", 1) for i in ids], "id string, payload string, version long"
+    )
+    out = str(tmp_path / "touched_idx")
+    job.build(base, out)
+
+    def files_with_mtimes(shard):
+        d = os.path.join(out, f"{SHARD_COL}={shard}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    # pick a batch of keys that ALL route to shard 0
+    shard0_keys = [k for k in ids if router.shard_of(k) == 0][:5]
+    assert shard0_keys
+    before_s1 = files_with_mtimes(1)
+    batch = spark.createDataFrame(
+        [(k, "v2", 2) for k in shard0_keys],
+        "id string, payload string, version long",
+    )
+    job.merge_into(batch, out)
+
+    # shard 1's files: identical names and mtimes (never rewritten)
+    assert files_with_mtimes(1) == before_s1
+    idx = read_index(spark, out)
+    assert idx.count() == 200
+    got = {r["id"]: r["payload"] for r in idx.collect()}
+    assert all(got[k] == "v2" for k in shard0_keys)
+    assert sum(1 for v in got.values() if v == "v2") == len(shard0_keys)
+
+
 def test_multivalued_field_through_build(spark, tmp_path):
     """SURVEY hard-part 3: ArrayType (multiValued) fields survive the full
     build and answer array_contains queries from the artifact."""
