@@ -284,6 +284,25 @@ def facet_event_counts(spark, sf_dir):
     )
 
 
+@_register(
+    "facet_range_value",
+    """SELECT CAST(floor(value / 50.0) * 50 AS DOUBLE) AS bucket_start,
+              count(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events WHERE value IS NOT NULL
+       GROUP BY bucket_start""",
+    "Solr range-facet analog: fixed-width numeric buckets with per-bucket "
+    "count + exact sum (facet.range on the events value field)",
+)
+def facet_range_value(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = (F.floor(F.col("value") / 50.0) * 50).cast("double")
+    return e.groupBy(bucket.alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dec_sum(F.col("value"), "sum_value"),
+    )
+
+
 _PIPELINE_SCHEMA = IndexSchema(
     fields=(
         Field("id", "string", required=True),
