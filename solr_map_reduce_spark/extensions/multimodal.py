@@ -112,6 +112,108 @@ def decode_image(
     return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    impl: str = "fake",
+) -> DataFrame:
+    """content → (id, content, width, height) resized via mapInPandas.
+
+    The fake impl passes payload bytes through and stamps the target
+    dimensions (the real impl would re-encode); the Spark contract — binary
+    in, binary out, narrow transform, payloads never shuffle — is identical.
+    """
+    if impl == "pillow":  # pragma: no cover - codec not in this environment
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "Pillow not available; use impl='fake' for plumbing tests"
+            ) from e
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": pdf[content_col],
+                    "width": [target_width if c is not None else 0 for c in pdf[content_col]],
+                    "height": [target_height if c is not None else 0 for c in pdf[content_col]],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_resize, out_schema)
+
+
+def decode_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    impl: str = "fake",
+) -> DataFrame:
+    """content → (id, sample_rate, n_channels, duration_s, codec, n_bytes).
+
+    Same contract as :func:`decode_image` for the audio modality; the fake
+    impl derives metadata deterministically from a payload digest.
+    """
+    if impl == "soundfile":  # pragma: no cover - codec not in this environment
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "soundfile not available; use impl='fake' for plumbing tests"
+            ) from e
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def _meta(content: bytes | None) -> tuple[int, int, float, str]:
+        if not content:
+            return (0, 0, 0.0, "NONE")
+        d = hashlib.sha256(content).digest()
+        rate = [8000, 16000, 22050, 44100, 48000][d[0] % 5]
+        channels = 1 + d[1] % 2
+        duration = round(0.5 + (d[2] | (d[3] << 8)) / 65535.0 * 299.5, 3)
+        codec = ["pcm_s16le", "flac", "opus"][d[4] % 3]
+        return (rate, channels, duration, codec)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_meta(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [m[0] for m in metas],
+                    "n_channels": [m[1] for m in metas],
+                    "duration_s": [m[2] for m in metas],
+                    "codec": [m[3] for m in metas],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf[content_col]],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "media_id") -> DataFrame:
     """Video frame-sampling plumbing: explode frame indices BEFORE decode so
     per-frame work distributes across tasks; the (stubbed) frame decode then

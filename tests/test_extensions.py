@@ -162,3 +162,30 @@ def test_frame_sampling_plumbing(spark):
     df = spark.createDataFrame([("v1", bytearray(b"video"))], "media_id string, content binary")
     frames = multimodal.sample_frames(df, n_frames=3).collect()
     assert [r["frame_idx"] for r in frames] == [0, 1, 2]
+
+
+def test_resize_plumbing(spark):
+    df = spark.createDataFrame(
+        [("m1", bytearray(b"img-bytes")), ("m2", None)],
+        "media_id string, content binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_image(df, 224, 224).collect()}
+    assert (out["m1"]["width"], out["m1"]["height"]) == (224, 224)
+    assert bytes(out["m1"]["content"]) == b"img-bytes"  # payload passes through
+    assert out["m2"]["width"] == 0
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(df, 224, 224, impl="pillow")
+
+
+def test_audio_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [("a1", bytearray(b"wav-1")), ("a2", bytearray(b"wav-2")), ("a3", None)],
+        "media_id string, content binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert out["a1"]["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+    assert out["a1"]["n_channels"] in (1, 2)
+    assert 0.5 <= out["a1"]["duration_s"] <= 300.0
+    assert out["a3"]["codec"] == "NONE" and out["a3"]["n_bytes"] == 0
+    again = {r["media_id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert out["a1"]["duration_s"] == again["a1"]["duration_s"]  # deterministic
