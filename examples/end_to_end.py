@@ -61,9 +61,19 @@ def main() -> None:
     manifest = job.build(docs, staging)
     print(f"built {manifest['shards']} shards at {staging}")
 
-    # 3a. publish atomically ------------------------------------------
+    # 3. compact to the segment contract + publish atomically ----------
+    from solr_map_reduce_spark.indexing import compact, segment_counts
+
+    compact(spark, staging, max_segments=1)
+    print("segments per shard:", segment_counts(staging))
     live = os.path.join(work, "live")
     publish(staging, live)
+
+    # 3b. incremental merge: same-key docs replaced, new keys appended,
+    # only the touched shard dirs rewritten
+    updates = docs.limit(5).withColumn("source", F.lit("updated"))
+    job.merge_into(updates, live)
+    print("after merge_into:", spark.read.parquet(live).filter(F.col("source") == "updated").count(), "updated docs")
 
     # 2. query ---------------------------------------------------------
     idx = SearchIndex.open(spark, live)
@@ -81,6 +91,32 @@ def main() -> None:
     print("mean quality:", quality.agg(F.avg("quality_score")).first()[0])
     hits = search.bm25_search(docs, ["spark", "merge"], k=3, id_col="id")
     print("bm25 top-3:", [(r["id"], round(r["score"], 3)) for r in hits.collect()])
+
+    # 5. streaming: watermarked stateful sessionization over the events
+    # stream (availableNow drains the directory and stops)
+    from solr_map_reduce_spark.streaming.sessionize import sessionize_stream
+
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(events_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    # the driver's parquet stores ts as TIMESTAMP(NANOS) → read as long
+    # (session nanosAsLong); normalize to a µs timestamp like load_table does
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = sessionize_stream(stream, gap_seconds=1800, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", os.path.join(work, "sessions"))
+        .option("checkpointLocation", os.path.join(work, "sessions_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = spark.read.parquet(os.path.join(work, "sessions")).count()
+    print("closed sessions emitted by first drain:", closed)
 
     spark.stop()
 

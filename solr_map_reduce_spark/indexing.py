@@ -367,9 +367,14 @@ def compact(spark: SparkSession, path: str, max_segments: int = 1) -> None:
         .partitionBy(SHARD_COL)
         .parquet(tmp)
     )
-    # atomic-ish publish: swap directories (A21 rename-to-results analog)
+    # carry the artifact metadata over to the rewritten directory — the swap
+    # below discards the old dir wholesale
     import shutil
 
+    manifest_src = os.path.join(path, MANIFEST)
+    if os.path.exists(manifest_src):
+        shutil.copy2(manifest_src, os.path.join(tmp, MANIFEST))
+    # atomic-ish publish: swap directories (A21 rename-to-results analog)
     bak = path.rstrip("/") + "._old"
     shutil.move(path, bak)
     shutil.move(tmp, path)

@@ -273,6 +273,47 @@ def test_merge_into_incremental_reindex(spark, sf_dir, tmp_path):
     assert idx.filter(F.col("text") != "updated").count() == 0
 
 
+def test_compact_preserves_manifest_and_merge_chain(spark, tmp_path):
+    """Regression: compact's directory swap must carry the manifest, or a
+    later merge_into mistakes the artifact for absent and rebuilds from the
+    batch alone (losing every other doc)."""
+    import os
+
+    from solr_map_reduce_spark.indexing import MANIFEST, compact
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("payload", "string"),
+            Field("version", "long"),
+        ),
+        unique_key="id",
+    )
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=2, micro_shards=4,
+                       dedup="retain_most_recent", order_field="version",
+                       tiebreak=("id",))
+    )
+    base = spark.createDataFrame(
+        [(f"k{i}", "v1", 1) for i in range(100)],
+        "id string, payload string, version long",
+    )
+    out = str(tmp_path / "chain_idx")
+    job.build(base, out)
+    compact(spark, out, max_segments=1)
+    assert os.path.exists(os.path.join(out, MANIFEST))
+
+    batch = spark.createDataFrame(
+        [("k0", "v2", 2), ("new1", "v1", 1)],
+        "id string, payload string, version long",
+    )
+    job.merge_into(batch, out)
+    idx = read_index(spark, out)
+    assert idx.count() == 101
+    got = {r["id"]: r["payload"] for r in idx.collect()}
+    assert got["k0"] == "v2" and got["new1"] == "v1" and got["k1"] == "v1"
+
+
 def test_merge_into_rewrites_only_touched_shards(spark, tmp_path):
     """A batch routed entirely to one shard must leave the other shard's
     files physically untouched (O(touched shards) incremental cost)."""
