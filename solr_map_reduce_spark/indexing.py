@@ -367,13 +367,16 @@ def compact(spark: SparkSession, path: str, max_segments: int = 1) -> None:
         .partitionBy(SHARD_COL)
         .parquet(tmp)
     )
-    # carry the artifact metadata over to the rewritten directory — the swap
-    # below discards the old dir wholesale
+    # carry artifact metadata (manifest, publish markers, resume checkpoint)
+    # over to the rewritten directory — the swap below discards the old dir
+    # wholesale, and e.g. a lost manifest makes a later merge_into mistake
+    # the artifact for absent
     import shutil
 
-    manifest_src = os.path.join(path, MANIFEST)
-    if os.path.exists(manifest_src):
-        shutil.copy2(manifest_src, os.path.join(tmp, MANIFEST))
+    for entry in os.listdir(path):
+        src = os.path.join(path, entry)
+        if os.path.isfile(src) and entry != "_SUCCESS":  # tmp has its own
+            shutil.copy2(src, os.path.join(tmp, entry))
     # atomic-ish publish: swap directories (A21 rename-to-results analog)
     bak = path.rstrip("/") + "._old"
     shutil.move(path, bak)
