@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     idx.add_argument("--dry-run-rows", type=int, default=20)
     idx.add_argument("--publish-to", default=None,
                      help="atomically promote the artifact here after build (A21/A22)")
+    idx.add_argument("--merge", action="store_true",
+                     help="merge into an existing artifact at --output "
+                     "(same-key docs replaced per the resolver, new keys "
+                     "appended, only touched shards rewritten — the "
+                     "reference tool's rerun-over-existing-output behavior)")
     idx.add_argument("--with-file-metadata", action="store_true",
                      help="attach file_* header columns (A6)")
 
@@ -195,7 +200,12 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
         return 0
-    manifest = job.build(df, args.output, generate_keys_from=args.generate_keys_from)
+    if args.merge:
+        manifest = job.merge_into(
+            df, args.output, generate_keys_from=args.generate_keys_from
+        )
+    else:
+        manifest = job.build(df, args.output, generate_keys_from=args.generate_keys_from)
     if args.publish_to:
         publish(args.output, args.publish_to)
         manifest["published_to"] = args.publish_to

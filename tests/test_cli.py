@@ -109,6 +109,34 @@ def test_cli_index_build_and_merge(spark, sf_dir, schema_file, tmp_path, capsys)
     assert set(merged["segments"].values()) == {1}
 
 
+def test_cli_index_merge_into_existing(spark, sf_dir, schema_file, tmp_path, capsys):
+    """`index --merge` against an existing artifact: the reference tool's
+    rerun-over-existing-output behavior — same keys replaced, count stable."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "cli_merge_idx")
+    src = str(tmp_path / "keyed.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "id", F.col("doc_id").cast("string")
+    )
+    docs.write.parquet(src)
+    base_args = [
+        "index", "--input", src, "--format", "parquet", "--output", out,
+        "--schema", schema_file, "--shards", "2",
+        "--dedup", "retain_most_recent", "--order-field", "n_chars",
+        "--tiebreak", "id",
+    ]
+    assert cli.main(base_args) == 0
+    capsys.readouterr()
+
+    from solr_map_reduce_spark.indexing import read_index
+
+    assert read_index(spark, out).count() == 500
+    assert cli.main(base_args + ["--merge"]) == 0
+    capsys.readouterr()
+    assert read_index(spark, out).count() == 500  # replaced, not duplicated
+
+
 def test_cli_dry_run_writes_nothing(spark, sf_dir, schema_file, tmp_path, capsys):
     out = str(tmp_path / "never_created")
     rc = cli.main([
