@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
     mrg.add_argument("--path", required=True)
     mrg.add_argument("--max-segments", type=int, default=1)
     mrg.add_argument("--fanout", type=int, default=4)
+    mrg.add_argument("--defer-deletion", action="store_true",
+                     help="keep replaced intermediates as <path>._old.N "
+                     "instead of deleting (SolrMergeDriver --defer-deletion)")
 
     qry = sub.add_parser("query", help="query a built artifact (C1-C7 surface)")
     qry.add_argument("--path", required=True)
@@ -142,7 +145,8 @@ def main(argv: list[str] | None = None) -> int:
         from solr_map_reduce_spark.indexing import merge_driver, segment_counts
 
         ran = merge_driver(
-            spark, args.path, max_segments=args.max_segments, fanout=args.fanout
+            spark, args.path, max_segments=args.max_segments, fanout=args.fanout,
+            defer_deletion=args.defer_deletion,
         )
         print(json.dumps({"iterations": ran, "segments": segment_counts(args.path)}))
         return 0

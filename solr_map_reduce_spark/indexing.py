@@ -298,6 +298,53 @@ class IndexJob:
         shutil.rmtree(tmp, ignore_errors=True)
         return self._manifest(resolved, path)
 
+    def delete_where(self, spark: SparkSession, path: str, condition) -> int:
+        """Delete-by-query against the artifact (C3 as a MUTATION, the
+        GoLive test's delete round-trip: MorphlineGoLiveMiniMRTest.java:439,
+        500-502) — rewrite only the shard directories that contain matches.
+
+        ``condition`` is a Column predicate (or SQL string).  Returns the
+        number of rows deleted.  Deleting by unique key is the deleteById
+        analog: ``delete_where(spark, path, F.col(key) == value)``."""
+        import shutil
+
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        # NULL-safe: a row where the predicate is NULL does NOT match the
+        # delete (SQL DELETE semantics) and must be kept
+        matches = F.coalesce(condition, F.lit(False))
+        current = read_index(spark, path)
+        touched = sorted(
+            r[0]
+            for r in current.filter(matches).select(SHARD_COL).distinct().collect()
+        )
+        if not touched:
+            return 0
+        subset = current.filter(F.col(SHARD_COL).isin(touched))
+        n_before = subset.count()
+        kept = subset.filter(~matches)
+        key = self.config.schema.unique_key
+        tmp = path.rstrip("/") + "._delete_tmp"
+        (
+            kept.repartition(len(touched), F.col(SHARD_COL))
+            .sortWithinPartitions(SHARD_COL, key)
+            .write.mode("overwrite")
+            .partitionBy(SHARD_COL)
+            .parquet(tmp)
+        )
+        n_after = kept.count()
+        for s in touched:
+            dirname = f"{SHARD_COL}={s}"
+            src = os.path.join(tmp, dirname)
+            dst = os.path.join(path, dirname)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+            # else: every row in this shard matched — the dir stays deleted
+        shutil.rmtree(tmp, ignore_errors=True)
+        return n_before - n_after
+
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
         """A24 dry-run: run the full logical pipeline client-side and return
         the first ``n`` prepared documents without writing
@@ -342,11 +389,21 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
 
 
-def compact(spark: SparkSession, path: str, max_segments: int = 1) -> None:
+def compact(
+    spark: SparkSession,
+    path: str,
+    max_segments: int = 1,
+    defer_deletion: bool = False,
+) -> None:
     """Small-files compaction — the surviving concern of the mtree merge
     (A19): rewrite each shard directory down to ``max_segments`` files,
     preserving key order.  Idempotent per shard dir (A29's resumability:
-    rerunning a shard overwrite is safe)."""
+    rerunning a shard overwrite is safe).
+
+    ``defer_deletion`` keeps the replaced directory as ``<path>._old.N``
+    instead of deleting it (SolrMergeDriver --defer-deletion,
+    SolrMergeDriver.java:167-182) so an external process can archive or
+    verify intermediates before reclaiming space."""
     import math
 
     df = read_index(spark, path)
@@ -379,9 +436,15 @@ def compact(spark: SparkSession, path: str, max_segments: int = 1) -> None:
             shutil.copy2(src, os.path.join(tmp, entry))
     # atomic-ish publish: swap directories (A21 rename-to-results analog)
     bak = path.rstrip("/") + "._old"
+    if defer_deletion:
+        i = 0
+        while os.path.exists(f"{bak}.{i}"):
+            i += 1
+        bak = f"{bak}.{i}"
     shutil.move(path, bak)
     shutil.move(tmp, path)
-    shutil.rmtree(bak)
+    if not defer_deletion:
+        shutil.rmtree(bak)
 
 
 def publish(staging_path: str, live_path: str) -> None:
@@ -413,6 +476,7 @@ def merge_driver(
     path: str,
     max_segments: int = 1,
     fanout: int = 4,
+    defer_deletion: bool = False,
 ) -> int:
     """A29 resumable iterative compaction — the SolrMergeDriver analog.
 
@@ -436,7 +500,7 @@ def merge_driver(
         if worst <= max_segments:
             break
         target = max(max_segments, worst // fanout)
-        compact(spark, path, max_segments=target)
+        compact(spark, path, max_segments=target, defer_deletion=defer_deletion)
         iteration += 1
         ran += 1
         with open(ckpt, "w") as f:

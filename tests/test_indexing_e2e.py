@@ -314,6 +314,69 @@ def test_compact_preserves_manifest_and_merge_chain(spark, tmp_path):
     assert got["k0"] == "v2" and got["new1"] == "v1" and got["k1"] == "v1"
 
 
+def test_delete_where_round_trip(spark, tmp_path):
+    """C3 as an artifact mutation (the GoLive delete round-trip analog):
+    delete by id and by predicate, touched shards only."""
+    import os
+
+    from solr_map_reduce_spark.indexing import SHARD_COL
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("payload", "string"),
+            Field("version", "long"),
+        ),
+        unique_key="id",
+    )
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=2, dedup="retain_most_recent",
+                       order_field="version", tiebreak=("id",))
+    )
+    base = spark.createDataFrame(
+        [(f"k{i}", "even" if i % 2 == 0 else "odd", 1) for i in range(100)],
+        "id string, payload string, version long",
+    )
+    out = str(tmp_path / "del_idx")
+    job.build(base, out)
+
+    # deleteById analog
+    assert job.delete_where(spark, out, F.col("id") == "k7") == 1
+    idx = read_index(spark, out)
+    assert idx.count() == 99
+    assert idx.filter(F.col("id") == "k7").count() == 0
+
+    # delete-by-query; NULL predicate rows are kept
+    n = job.delete_where(spark, out, F.col("payload") == "odd")
+    assert n == 49  # k7 already gone
+    idx = read_index(spark, out)
+    assert idx.count() == 50
+    assert idx.filter(F.col("payload") == "odd").count() == 0
+
+    # no-match delete is a no-op
+    assert job.delete_where(spark, out, F.col("id") == "nope") == 0
+    assert read_index(spark, out).count() == 50
+
+
+def test_compact_defer_deletion_keeps_intermediates(spark, tmp_path):
+    import os
+
+    from solr_map_reduce_spark.indexing import compact
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("v", "long")),
+        unique_key="id",
+    )
+    job = IndexJob(IndexJobConfig(schema=schema, shards=2, micro_shards=4,
+                                  dedup="none"))
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(50)], "id string, v long")
+    out = str(tmp_path / "defer_idx")
+    job.build(df, out)
+    compact(spark, out, max_segments=1, defer_deletion=True)
+    assert os.path.isdir(out + "._old.0")
+    assert read_index(spark, out).count() == 50
+
+
 def test_merge_into_rewrites_only_touched_shards(spark, tmp_path):
     """A batch routed entirely to one shard must leave the other shard's
     files physically untouched (O(touched shards) incremental cost)."""
