@@ -60,3 +60,41 @@ def test_exists_is_semi_join(spark, sf_dir):
 def test_sessionize_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_sessionize")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q8_single_fact_scan_pruned(spark, sf_dir):
+    """The 8-table snowflake reads lineitem ONCE with only the 5 needed
+    columns; every dim joins via broadcast at this scale."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan parquet" in l and "lineitem" in l]
+    assert len(li_scans) == 1
+    assert "l_quantity" not in li_scans[0] and "l_shipdate" not in li_scans[0]
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q19_disjunctive_predicate_partial_pushdown(spark, sf_dir):
+    """The quantity bounds (the only single-table conjuncts derivable from
+    the OR) reach the lineitem scan."""
+    plan = _plan(spark, sf_dir, "q19_discounted_revenue")
+    scan = next(l for l in plan.splitlines()
+                if "FileScan parquet" in l and "lineitem" in l)
+    assert "l_quantity" in scan
+
+
+def test_q20_semi_join_no_distinct(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_heavy_part_suppliers")
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
