@@ -72,6 +72,13 @@ def get_spark(
     builder = builder.master(master or f"local[{cores}]")
     conf = dict(_ENGINE_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    # Local mode runs driver + executors in ONE JVM; Spark's 1g default heap
+    # starves 32 concurrent tasks (observed: GC-locker stalls at sf0.1, OOM
+    # at 6M-row builds).  Only effective at JVM launch — a getOrCreate that
+    # joins an existing session keeps that session's heap.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
