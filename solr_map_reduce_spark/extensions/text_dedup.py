@@ -489,19 +489,28 @@ def simhash64(
 
     @pandas_udf(T.LongType())
     def _simhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append(0)
-                continue
-            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 > len(x)
-            val = np.uint64(0)
-            for j in np.nonzero(votes)[0]:
-                val |= np.uint64(1) << np.uint64(j)
-            out.append(int(val.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+        # batch-vectorized: flatten all token hashes, then for each of the
+        # 64 bits one masked reduceat sums the bit across every row at once
+        # (64 passes over the flat array, zero per-row Python)
+        nrows = len(hashes)
+        lists = [v if v is not None else [] for v in hashes]
+        lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=nrows)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(nrows, dtype=np.int64))
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in lists if len(v)]).view(np.uint64)
+        starts = np.zeros(nrows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        offs = np.minimum(starts, total - 1)  # reduceat needs in-range indices
+        nonzero = lens > 0
+        half = lens  # votes*2 > len  <=>  2*ones > len
+        result = np.zeros(nrows, dtype=np.uint64)
+        for j in range(64):
+            bit = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bit, offs)
+            ones[~nonzero] = 0
+            result |= ((ones * 2 > half).astype(np.uint64)) << np.uint64(j)
+        return pd.Series(result.view(np.int64))
 
     df = ensure_parallelism(df)
     staged = df.withColumn("_toks", tokens_column(F.col(text_col)))
