@@ -142,6 +142,45 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _minhash_batch(hashes: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
+    """Whole-batch minhash: one chunked (num_perm, n) permutation matrix +
+    minimum.reduceat over the flattened batch — no per-row Python.  Rows
+    with no hashes get the all-zero signature."""
+    num_perm = len(a)
+    nrows = len(hashes)
+    lists = [v if v is not None else [] for v in hashes]
+    lens = np.fromiter((len(v) for v in lists), dtype=np.int64, count=nrows)
+    total = int(lens.sum())
+    sig = np.zeros((nrows, num_perm), dtype=np.uint64)
+    if total:
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in lists if len(v)])
+            .astype(np.uint64)
+            & _MAX_HASH
+        )
+        starts = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        nonzero = lens > 0
+        max_hash = np.uint64(_MAX_HASH)
+        chunk_budget = 200_000  # keep the permutation matrix ~200 MB
+        i0 = 0
+        while i0 < nrows:
+            i1 = i0 + 1
+            while i1 < nrows and starts[i1 + 1] - starts[i0] <= chunk_budget:
+                i1 += 1
+            seg = flat[starts[i0] : starts[i1]]
+            if seg.size:
+                phv = (np.outer(a, seg) + b[:, None]) % MERSENNE_PRIME
+                offs = (starts[i0:i1] - starts[i0]).copy()
+                np.clip(offs, 0, seg.size - 1, out=offs)
+                red = np.minimum.reduceat(phv, offs, axis=1)
+                seg_sig = (red & max_hash).T
+                seg_sig[~nonzero[i0:i1]] = 0
+                sig[i0:i1] = seg_sig
+            i0 = i1
+    return pd.Series(list(sig.view(np.int64)))
+
+
 def signatures_from_hashes(
     hashed: DataFrame,
     id_col: str = "doc_id",
@@ -157,15 +196,7 @@ def signatures_from_hashes(
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append([0] * len(a))
-                continue
-            x = np.asarray(arr, dtype=np.int64).astype(np.uint64) & _MAX_HASH
-            phv = (np.outer(a, x) + b[:, None]) % MERSENNE_PRIME
-            out.append((phv.min(axis=1) & _MAX_HASH).astype(np.int64).tolist())
-        return pd.Series(out)
+        return _minhash_batch(hashes, a, b)
 
     return hashed.select(F.col(id_col), _minhash(F.col(hashes_col)).alias(sig_col))
 
@@ -181,23 +212,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """id → minhash signature (array<long> of length num_perm).
 
-    Shingle hashing is JVM-side; the Python stage is a vectorized numpy
-    ``min((a*x + b) mod p)`` over an int array per row — Arrow in, Arrow out.
+    Shingle hashing is JVM-side; the Python stage is the whole-batch
+    vectorized ``min((a*x + b) mod p)`` kernel — Arrow in, Arrow out.
     """
     a, b = _perm_params(num_perm, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append([0] * len(a))
-                continue
-            x = np.asarray(arr, dtype=np.int64).astype(np.uint64) & _MAX_HASH
-            # (num_perm, n) broadcast; mod-prime then clamp to 32-bit universe
-            phv = (np.outer(a, x) + b[:, None]) % MERSENNE_PRIME
-            out.append((phv.min(axis=1) & _MAX_HASH).astype(np.int64).tolist())
-        return pd.Series(out)
+        return _minhash_batch(hashes, a, b)
 
     hashed = shingle_hashes(df, text_col, shingle_k, "_sh")
     return hashed.select(F.col(id_col), _minhash(F.col("_sh")).alias(sig_col))
