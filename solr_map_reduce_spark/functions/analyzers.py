@@ -211,24 +211,34 @@ def porter_stem(word: str) -> str:
     return w
 
 
-def _analyze_en(text: str | None) -> list[str] | None:
+def _analyze_en(text: str | None, cache: dict[str, str] | None = None) -> list[str] | None:
     if text is None:
         return None
     import re
 
     tokens = [t for t in re.split(r"[^\w]+|_", text.lower(), flags=re.UNICODE) if t]
     out = []
+    if cache is None:
+        cache = {}
     for t in tokens:
         # EnglishPossessiveFilter: strip trailing 's (apostrophes already split)
         if t in ENGLISH_STOP_WORDS:
             continue
-        out.append(porter_stem(t))
+        s = cache.get(t)
+        if s is None:
+            s = porter_stem(t)
+            cache[t] = s
+        out.append(s)
     return out
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def _text_en_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(_analyze_en)
+    # one stem cache per Arrow batch: token frequency is Zipfian, so the
+    # distinct-token set the stemmer actually runs on is a small fraction of
+    # the token stream
+    cache: dict[str, str] = {}
+    return texts.map(lambda t: _analyze_en(t, cache))
 
 
 def tokenize_text_en(col: Column) -> Column:
