@@ -19,11 +19,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Pandas UDFs unpickle by module reference, so the harness session's
+    Python workers must be able to import ``solr_map_reduce_spark`` — even
+    when the session was NOT created by our ``get_spark`` (which handles
+    this via PYTHONPATH).  ``addPyFile`` with a zip of the package
+    propagates to workers of an already-running session."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.environ["PYTHONPATH"] = (
+        repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+    try:
+        import zipfile
+
+        zip_path = os.path.join(tempfile.gettempdir(), "smrs_pkg.zip")
+        if not os.path.exists(zip_path):
+            pkg = os.path.join(repo, "solr_map_reduce_spark")
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for dirpath, _dirnames, filenames in os.walk(pkg):
+                    for fn in filenames:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            zf.write(full, os.path.relpath(full, repo))
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # PYTHONPATH fallback above still covers driver-spawned workers
+    _SHIPPED_SESSIONS.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the sharded/deduped/key-sorted index artifact from the
     sf0.001 documents table and return the per-shard summary."""
     import pyspark.sql.functions as F
+
+    _ensure_workers_can_import(spark)
 
     from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, read_index
     from solr_map_reduce_spark.schema import Field, IndexSchema
@@ -68,7 +103,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from solr_map_reduce_spark.queries import registry
 
-    return {name: qd.spark for name, qd in registry().items()}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(qd.spark) for name, qd in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
