@@ -171,12 +171,14 @@ def _minhash_batch(hashes: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series
             seg = flat[starts[i0] : starts[i1]]
             if seg.size:
                 phv = (np.outer(a, seg) + b[:, None]) % MERSENNE_PRIME
-                offs = (starts[i0:i1] - starts[i0]).copy()
-                np.clip(offs, 0, seg.size - 1, out=offs)
+                # reduceat over NON-EMPTY rows only: an empty row's offset
+                # equals the next row's start, and clipping it instead would
+                # split the preceding row's segment (dropping hashes from
+                # its min) — caught by the hypothesis kernel-parity test
+                nz = np.flatnonzero(nonzero[i0:i1])
+                offs = starts[i0:i1][nz] - starts[i0]
                 red = np.minimum.reduceat(phv, offs, axis=1)
-                seg_sig = (red & max_hash).T
-                seg_sig[~nonzero[i0:i1]] = 0
-                sig[i0:i1] = seg_sig
+                sig[i0 + nz] = (red & max_hash).T
             i0 = i1
     return pd.Series(list(sig.view(np.int64)))
 
@@ -410,13 +412,12 @@ def minhash_features(
             seg = sh_all[sh_starts[i0] : sh_starts[i1]]
             if seg.size:
                 phv = (np.outer(a, seg & max_hash) + b[:, None]) % MERSENNE_PRIME
-                offs = (sh_starts[i0:i1] - sh_starts[i0]).copy()
-                nonzero = m_rows[i0:i1] > 0
-                np.clip(offs, 0, seg.size - 1, out=offs)
+                # reduceat over NON-EMPTY rows only (an empty row's clipped
+                # offset would split the preceding row's segment)
+                nz = np.flatnonzero(m_rows[i0:i1] > 0)
+                offs = sh_starts[i0:i1][nz] - sh_starts[i0]
                 red = np.minimum.reduceat(phv, offs, axis=1)
-                seg_sig = (red & max_hash).T
-                seg_sig[~nonzero] = 0
-                sig[i0:i1] = seg_sig
+                sig[i0 + nz] = (red & max_hash).T
             i0 = i1
 
         # FNV-1a fold over each band's signature columns, vectorized per band

@@ -46,3 +46,22 @@ def test_resolve_none_is_identity(updates):
 def test_collision_report(updates):
     got = {r["id"]: r["n_docs"] for r in dedup.collision_report(updates, "id").collect()}
     assert got == {"a": 3, "c": 2}
+
+
+def test_minhash_features_empty_doc_does_not_corrupt_neighbors(spark):
+    """Regression: an empty doc's reduceat offset must not split the
+    preceding doc's shingle segment (would silently weaken its signature)."""
+    from solr_map_reduce_spark.extensions.text_dedup import minhash_features
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    with_empty = spark.createDataFrame(
+        [(1, text), (2, ""), (3, text)], "doc_id long, text string"
+    ).coalesce(1)
+    alone = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sig_with = {
+        r["doc_id"]: r["signature"] for r in minhash_features(with_empty).collect()
+    }
+    sig_alone = minhash_features(alone).collect()[0]["signature"]
+    assert sig_with[1] == sig_alone
+    assert sig_with[3] == sig_alone
+    assert sig_with[2] == [0] * len(sig_alone)

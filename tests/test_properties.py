@@ -95,3 +95,40 @@ def test_retain_most_recent_is_argmax(rows):
         if k not in want or (o, u) > want[k]:
             want[k] = (o, u)
     assert got == want
+
+
+# -- batch minhash kernel vs naive reference ---------------------------------
+
+hash_lists = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                 min_size=0, max_size=30),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(hash_lists)
+def test_minhash_batch_matches_naive(lists):
+    import numpy as np
+
+    from solr_map_reduce_spark.extensions.text_dedup import (
+        _MAX_HASH,
+        MERSENNE_PRIME,
+        _minhash_batch,
+        _perm_params,
+    )
+
+    a, b = _perm_params(16, seed=42)
+    got = _minhash_batch(pd.Series(lists, dtype=object), a, b)
+    for arr, sig in zip(lists, got):
+        if arr is None or len(arr) == 0:
+            assert list(sig) == [0] * 16
+            continue
+        x = np.asarray(arr, dtype=np.int64).astype(np.uint64) & _MAX_HASH
+        phv = (np.outer(a, x) + b[:, None]) % MERSENNE_PRIME
+        want = (phv.min(axis=1) & np.uint64(_MAX_HASH)).astype(np.int64)
+        assert list(sig) == want.tolist()
