@@ -498,6 +498,70 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# cluster resolution: near-dup pairs → canonical clusters
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every vertex in the pair graph — cluster_id is
+    the minimum vertex id of the component (canonical representative, the
+    "keep this doc" choice of a dedup pipeline).
+
+    Iterative min-label propagation, the standard distributed CC formulation
+    (GraphX/GraphFrames-style): each round every vertex takes the minimum of
+    its own label and its neighbors' labels; converges in O(graph diameter)
+    rounds.  Per round: ONE shuffle join (edges × labels) + groupBy-min +
+    a single-scalar convergence check.  ``localCheckpoint`` truncates the
+    lineage each round so plan size stays constant regardless of iteration
+    count.  At 100 TB near-dup graphs are forests of tiny components, so
+    diameter — and the round count — stays small.
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("_nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nl").alias("_nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -982,6 +982,29 @@ def ext_cosine_pairs(spark, sf_dir):
 
 
 @_register(
+    "ext_dedup_clusters",
+    f"""WITH RECURSIVE pairs AS ({_COS_PAIRS_SQL}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a""",
+    "dedup cluster resolution: near-dup pair graph -> connected components "
+    "via iterative min-label propagation (O(diameter) rounds, one shuffle "
+    "per round, checkpoint-truncated lineage); cluster_id = min vertex = "
+    "the canonical doc to keep. Oracle: recursive-CTE transitive closure",
+)
+def ext_dedup_clusters(spark, sf_dir):
+    pairs = ext_cosine_pairs(spark, sf_dir)
+    return text_dedup.connected_components(pairs)
+
+
+@_register(
     "ext_cosine_pairs_lsh",
     None,  # approximate blocking by design; subset-of-exact validated in tests
     "embedding near-dup pairs via sign-LSH blocking (the 100 TB path: no "

@@ -65,3 +65,16 @@ def test_minhash_features_empty_doc_does_not_corrupt_neighbors(spark):
     assert sig_with[1] == sig_alone
     assert sig_with[3] == sig_alone
     assert sig_with[2] == [0] * len(sig_alone)
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3-4 (one component), pair 10-11, triangle 20-21-22 with a
+    redundant edge — labels converge to the min vertex of each component."""
+    from solr_map_reduce_spark.extensions.text_dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
