@@ -285,6 +285,35 @@ def facet_event_counts(spark, sf_dir):
 
 
 @_register(
+    "ext_funnel_conversion",
+    """WITH firsts AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+         FROM events GROUP BY user_id
+       )
+       SELECT count(*) AS signed_up,
+              count(CASE WHEN first_purchase > first_signup THEN 1 END)
+                AS converted
+       FROM firsts WHERE first_signup IS NOT NULL""",
+    "funnel/sequence analysis: users whose first purchase follows their "
+    "first signup — conditional-min aggregation, single shuffle on user",
+)
+def ext_funnel_conversion(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.filter(F.col("first_signup").isNotNull()).agg(
+        F.count(F.lit(1)).alias("signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), F.lit(1))
+        ).alias("converted"),
+    )
+
+
+@_register(
     "facet_range_value",
     """SELECT CAST(floor(value / 50.0) * 50 AS DOUBLE) AS bucket_start,
               count(*) AS cnt,
