@@ -511,14 +511,13 @@ def connected_components(
     the minimum vertex id of the component (canonical representative, the
     "keep this doc" choice of a dedup pipeline).
 
-    Iterative min-label propagation, the standard distributed CC formulation
-    (GraphX/GraphFrames-style): each round every vertex takes the minimum of
-    its own label and its neighbors' labels; converges in O(graph diameter)
-    rounds.  Per round: ONE shuffle join (edges × labels) + groupBy-min +
-    a single-scalar convergence check.  ``localCheckpoint`` truncates the
-    lineage each round so plan size stays constant regardless of iteration
-    count.  At 100 TB near-dup graphs are forests of tiny components, so
-    diameter — and the round count — stays small.
+    Iterative min-label propagation WITH pointer jumping (each round a
+    vertex takes min(own, neighbors') label, then follows its label's label
+    — path halving), the standard distributed CC recipe: O(log n) rounds
+    instead of O(diameter).  Per round: one edges×labels shuffle join +
+    groupBy-min, one labels×labels jump join, and a single-scalar
+    convergence check.  ``localCheckpoint`` truncates the lineage each round
+    so plan size stays constant regardless of iteration count.
     """
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = fwd.unionByName(
@@ -539,13 +538,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("_nl").alias("_nbr_label"))
         )
+        cand = labels.join(nbr_min, labels["node"] == nbr_min["a"], "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label ← label(label).  Every label is itself a vertex
+        # id, so the self-join resolves one more hop per round (path halving)
+        parent = cand.select(
+            F.col("node").alias("_pn"), F.col("label").alias("_pl")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            cand.join(parent, cand["label"] == parent["_pn"], "left")
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nbr_label"), F.col("label"))
-                ).alias("label"),
+                "node", F.coalesce(F.col("_pl"), F.col("label")).alias("label")
             )
             .localCheckpoint(eager=True)
         )

@@ -997,17 +997,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 )
 def ext_cosine_pairs(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    va = F.col("_va").cast("array<double>")
-    vb = F.col("_vb").cast("array<double>")
-    cos = similarity.dot_product(va, vb) / (similarity.l2_norm(va) * similarity.l2_norm(vb))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("_cos"))
-        .filter(F.col("_cos") >= 0.2)
-        .select("id_a", "id_b")
-    )
+    return similarity.cosine_pairs_blocked(e, threshold=0.2)
 
 
 @_register(
