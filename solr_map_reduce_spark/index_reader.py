@@ -118,6 +118,25 @@ class SearchIndex:
         )
         return out.limit(top) if top else out
 
+    # -- similarity search over an embedding column --------------------
+    def knn(
+        self,
+        query: "Sequence[float]",
+        k: int = 10,
+        vec_col: str = "embedding",
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """Exact cosine top-k over the artifact's embedding column, with
+        optional metadata pre-filters (pushed to the parquet scan before any
+        distance math — filtered ANN).  Single narrow pass + TakeOrdered."""
+        from solr_map_reduce_spark.extensions.similarity import cosine_topk
+
+        df = self.df()
+        if filters:
+            for col_name, value in filters.items():
+                df = df.filter(F.col(col_name) == value)
+        return cosine_topk(df, query, k=k, id_col=self.unique_key, vec_col=vec_col)
+
     # -- C3: delete-by-query as filtered rewrite -----------------------
     def delete_where(self, condition: F.Column, out_path: str) -> "SearchIndex":
         """Rewrite the artifact without rows matching ``condition`` (the

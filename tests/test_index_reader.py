@@ -92,3 +92,43 @@ def test_routing_agrees_with_artifact(index):
     sample = idx.df().select("id", "shard").limit(100).collect()
     for r in sample:
         assert idx._router.micro_shard_of(r["id"]) == r["shard"]
+
+
+def test_knn_over_artifact(spark, tmp_path):
+    """Filtered similarity search over a built artifact: exact cosine top-k
+    with a metadata pre-filter."""
+    import numpy as np
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (str(i), "even" if i % 2 == 0 else "odd", rng.randn(8).tolist())
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id string, parity string, embedding array<double>")
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("parity", "string"),
+            Field("embedding", "double", multi_valued=True),
+        ),
+        unique_key="id",
+    )
+    out = str(tmp_path / "knn_idx")
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(df, out)
+    idx = SearchIndex.open(spark, out)
+
+    query = rows[0][2]
+    top = idx.knn(query, k=3).collect()
+    assert top[0]["id"] == "0" and abs(top[0]["score"] - 1.0) < 1e-9
+
+    odd_only = idx.knn(query, k=5, filters={"parity": "odd"}).collect()
+    assert all(int(r["id"]) % 2 == 1 for r in odd_only)
+    # brute-force check of the filtered ranking
+    mat = {r[0]: np.asarray(r[2]) for r in rows if int(r[0]) % 2 == 1}
+    q = np.asarray(query)
+    want = sorted(mat, key=lambda i: (-float(mat[i] @ q / (np.linalg.norm(mat[i]) * np.linalg.norm(q))), i))[:5]
+    assert [r["id"] for r in odd_only] == want
