@@ -837,6 +837,32 @@ FROM g
 
 
 @_register(
+    "ext_curation_pipeline",
+    f"""WITH q AS ({_QUALITY_SQL}),
+        keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        SELECT d.doc_id, q.quality_score
+        FROM documents d
+        JOIN q ON d.doc_id = q.doc_id
+        JOIN keep ON d.doc_id = keep.doc_id
+        WHERE d.lang = 'en' AND q.quality_score >= 0.7""",
+    "end-to-end curation: quality-score gate + language filter + exact-dedup "
+    "survivor semi-join — the composed training-data filter chain as one "
+    "declarative plan (one doc scan feeds quality and dedup branches)",
+)
+def ext_curation_pipeline(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    q = text_analysis.quality_features(d).select("doc_id", "quality_score")
+    keep = text_dedup.exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    return (
+        d.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(keep, "doc_id", "left_semi")
+        .filter((F.col("lang") == "en") & (F.col("quality_score") >= 0.7))
+        .select("doc_id", "quality_score")
+    )
+
+
+@_register(
     "ext_bpe_token_count",
     r"""SELECT doc_id,
           CAST(length(regexp_extract_all(text,
