@@ -195,8 +195,12 @@ def composite_id_hash(doc_id: str, default_bits: int = 16) -> int:
     route, doc = parts[0], parts[1]
     bits = default_bits
     if "/" in route:
-        route, bits_str = route.rsplit("/", 1)
-        bits = int(bits_str)
+        maybe_route, bits_str = route.rsplit("/", 1)
+        # only treat "/N" as a bits spec when N parses; a garbage suffix
+        # stays part of the route key instead of failing the whole job
+        # (Solr throws here — a pipeline engine degrades gracefully)
+        if bits_str.isdigit():
+            route, bits = maybe_route, min(int(bits_str), 32)
     if bits == 0:
         return _hash_str(doc)
     upper_mask = (_MASK32 << (32 - bits)) & _MASK32
