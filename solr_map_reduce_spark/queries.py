@@ -314,6 +314,41 @@ def ext_funnel_conversion(spark, sf_dir):
 
 
 @_register(
+    "ext_cohort_retention",
+    """WITH firsts AS (
+         SELECT user_id, date_trunc('day', min(ts)) AS cohort
+         FROM events GROUP BY user_id
+       ),
+       activity AS (
+         SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+       )
+       SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+              CAST(datediff('day', cohort, d) AS INT) AS days_since,
+              count(*) AS active_users
+       FROM activity JOIN firsts USING (user_id)
+       GROUP BY cohort, d""",
+    "cohort retention matrix: users grouped by first-activity day, counted "
+    "per days-since offset — two aggregations sharing the user_id shuffle",
+)
+def ext_cohort_retention(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort")).cast("int").alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@_register(
     "facet_range_value",
     """SELECT CAST(floor(value / 50.0) * 50 AS DOUBLE) AS bucket_start,
               count(*) AS cnt,
