@@ -881,20 +881,22 @@ FROM g
         JOIN keep ON d.doc_id = keep.doc_id
         WHERE d.lang = 'en' AND q.quality_score >= 0.7""",
     "end-to-end curation: quality-score gate + language filter + exact-dedup "
-    "survivor semi-join — the composed training-data filter chain as one "
-    "declarative plan (one doc scan feeds quality and dedup branches)",
+    "survivor — ONE corpus scan and ONE shuffle: the dedup survivor check is "
+    "a window-min over md5(text) instead of a self-join, and the quality "
+    "score is a projection on the survivors",
 )
 def ext_curation_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
     d = t(spark, sf_dir, "documents")
-    q = text_analysis.quality_features(d).select("doc_id", "quality_score")
-    keep = text_dedup.exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-    return (
-        d.select("doc_id", "lang")
-        .join(q, "doc_id")
-        .join(keep, "doc_id", "left_semi")
-        .filter((F.col("lang") == "en") & (F.col("quality_score") >= 0.7))
-        .select("doc_id", "quality_score")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    survivors = (
+        d.withColumn("_keep", F.min("doc_id").over(w))
+        .filter((F.col("lang") == "en") & (F.col("doc_id") == F.col("_keep")))
     )
+    return text_analysis.quality_features(survivors).filter(
+        F.col("quality_score") >= 0.7
+    ).select("doc_id", "quality_score")
 
 
 @_register(
