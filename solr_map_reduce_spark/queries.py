@@ -1861,5 +1861,138 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "pivot_user_activity",
+    """SELECT user_id % 100 AS user_bucket,
+              count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+       FROM events GROUP BY user_bucket""",
+    "pivot/crosstab: event counts per user bucket, one column per event type "
+    "— explicit pivot values keep it a single pass with map-side partial agg",
+)
+def pivot_user_activity(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, _EVENT_TYPES)
+
+
+@_register(
+    "window_lag_delta",
+    """SELECT user_id, event_id, value - prev AS delta
+       FROM (
+         SELECT user_id, event_id, value,
+                lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS prev
+         FROM events
+       )
+       WHERE prev IS NOT NULL AND value IS NOT NULL
+       ORDER BY delta DESC, event_id LIMIT 20""",
+    "lag/lead analytics: largest jump between a user's consecutive event "
+    "values — one shuffle on user_id, per-row IEEE arithmetic stays exact",
+)
+def window_lag_delta(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").withColumn("prev", F.lag("value").over(w))
+    return (
+        e.filter(F.col("prev").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("value") - F.col("prev")).alias("delta"),
+        )
+        .orderBy(F.desc("delta"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+@_register(
+    "setop_viewers_not_buyers",
+    """SELECT user_id, strftime(d, '%Y-%m-%d') AS day FROM (
+         SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+         FROM events WHERE event_type = 'view'
+         EXCEPT
+         SELECT user_id, date_trunc('day', ts) FROM events
+         WHERE event_type = 'purchase'
+       )""",
+    "set operation: (user, day) pairs with views but no purchase that day "
+    "(EXCEPT DISTINCT) — Spark plans this as a left-anti hash join after "
+    "partial distinct",
+)
+def setop_viewers_not_buyers(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    viewers = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", day.alias("d"))
+        .distinct()
+    )
+    buyers = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", day.alias("d")
+    )
+    return viewers.subtract(buyers).select(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("day")
+    )
+
+
+@_register(
+    "ext_stratified_sample",
+    """SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         FROM documents
+       ) WHERE rn % 10 = 1""",
+    "stratified systematic sampling for training mixes: every 10th document "
+    "per language in stable doc_id order — deterministic across engines, "
+    "unlike Bernoulli sampling whose RNG never matches cross-engine",
+)
+def ext_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .drop("rn")
+    )
+
+
+@_register(
+    "ext_quantile_filter",
+    """SELECT lang, count(*) AS kept FROM (
+         SELECT lang, n_chars,
+                median(n_chars) OVER (PARTITION BY lang) AS med
+         FROM documents
+       ) WHERE n_chars > med GROUP BY lang""",
+    "per-group quantile gate: documents longer than their language's median "
+    "— the per-stratum quality-cutoff shape of corpus curation (both engines "
+    "interpolate the even-count median to the same double)",
+)
+def ext_quantile_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    d = t(spark, sf_dir, "documents").withColumn(
+        "med", F.expr("percentile(n_chars, 0.5)").over(w)
+    )
+    return (
+        d.filter(F.col("n_chars") > F.col("med"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

@@ -98,3 +98,29 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_idle_customers")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lag_delta_single_exchange_take_ordered(spark, sf_dir):
+    """One shuffle on user_id feeds the window; top-k avoids a global sort."""
+    plan = _plan(spark, sf_dir, "window_lag_delta")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_stratified_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" not in scan  # full document bodies never leave the scan
+
+
+def test_setop_is_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "setop_viewers_not_buyers")
+    assert "LeftAnti" in plan
+
+
+def test_pivot_no_join_no_expand_blowup(spark, sf_dir):
+    """Explicit pivot values plan as plain aggregates — no join against a
+    distinct-values subquery."""
+    plan = _plan(spark, sf_dir, "pivot_user_activity")
+    assert "Join" not in plan
