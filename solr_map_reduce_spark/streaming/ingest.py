@@ -58,6 +58,30 @@ def stream_ingest(
     return writer.start()
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    streaming row (the morphline setValues/extract analog when the values
+    live in a lookup table, and the streaming face of the C5/star-join
+    shapes).
+
+    With ``broadcast_dim`` the dimension is hash-broadcast to every executor
+    once per micro-batch, so the stream side never shuffles and needs no
+    streaming state — the join stays stateless and append-mode-safe for any
+    `how` that doesn't need the unmatched dim side. At 100 TB the stream is
+    the big side by construction; a dim too large to broadcast should be
+    pre-bucketed on the join key instead (pass ``broadcast_dim=False``).
+    """
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    return stream.join(dim, on=on, how=how)
+
+
 def windowed_event_counts(
     stream: DataFrame,
     event_time_col: str = "ts",

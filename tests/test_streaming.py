@@ -103,3 +103,41 @@ def test_windowed_counts_closed_windows_match_batch_exactly(spark, sf_dir, tmp_p
     assert joined.filter(
         F.col("bcnt").isNull() | (F.col("cnt") != F.col("bcnt"))
     ).count() == 0
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment: streaming events joined to the
+    customer dim must produce exactly the batch join's rows, and the
+    micro-batch plan must not shuffle the stream side."""
+    from solr_map_reduce_spark.sources.readers import load_table
+    from solr_map_reduce_spark.streaming.ingest import enrich_stream
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = enrich_stream(stream, dim, on="user_id")
+    out = str(tmp_path / "out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).groupBy("c_mktsegment").count()
+    want = (
+        events.join(dim, "user_id", "left").groupBy("c_mktsegment").count()
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    # same function on the batch frame: broadcast join, no exchange on events
+    plan = (
+        enrich_stream(events, dim, on="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
