@@ -128,3 +128,86 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     same bag of words.  (id, fingerprint)."""
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col))))))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    budget: int = 4000,
+    group_cols: tuple[str, ...] = ("lang",),
+    order_col: str = "doc_id",
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Greedy sequence packing: walk each group in ``order_col`` order and
+    assign documents to consecutive chunks, starting a new chunk when the
+    running ``weight_col`` total would exceed ``budget`` — the
+    fill-the-context-window step that turns a curated corpus into training
+    sequences.  An oversized single document gets a chunk to itself.
+
+    Packing is inherently sequential per group (each assignment depends on
+    the running total), so it runs as ``applyInPandas`` over ``group_cols``:
+    one shuffle, then an O(n) walk per group.  At 100 TB, group by
+    (stratum, shard) rather than stratum alone so no single group serializes
+    a terabyte through one task — packing quality is unaffected because
+    chunks never span groups anyway.
+
+    Returns ``group_cols + (order_col, weight_col, out_col)``; chunk ids are
+    dense per group starting at 0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_fields = [df.schema[c] for c in (*group_cols, order_col, weight_col)]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += f", {out_col} bigint"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        w = pdf[weight_col].to_numpy()
+        chunks = np.empty(len(w), dtype=np.int64)
+        chunk, filled = 0, 0
+        for i, x in enumerate(w):
+            if i > 0 and filled + x > budget:
+                chunk += 1
+                filled = x
+            else:
+                filled += x
+            chunks[i] = chunk
+        out = pdf[[*group_cols, order_col, weight_col]].copy()
+        out[out_col] = chunks
+        return out
+
+    cols = [*group_cols, order_col, weight_col]
+    return (
+        df.select(*cols)
+        .groupBy(*group_cols)
+        .applyInPandas(_pack, schema=schema)
+    )
+
+
+# PII scrub patterns, restricted to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backreferences.  Order matters only
+# for overlapping matches; these three are disjoint by construction.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d ()-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: F.Column) -> F.Column:
+    """Replace email addresses, IPv4 addresses, and international-format
+    phone numbers with typed placeholder tokens — the curation scrub pass.
+    Pure ``regexp_replace`` chain: JVM-side, codegen'd, no UDF."""
+    for _, pattern, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, token)
+    return col
+
+
+def redact_pii_sql(expr: str) -> str:
+    """The DuckDB-equivalent expression for :func:`redact_pii` (RE2 needs the
+    explicit 'g' flag for replace-all)."""
+    for _, pattern, token in PII_PATTERNS:
+        escaped = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '{token}', 'g')"
+    return expr

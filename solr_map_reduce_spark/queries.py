@@ -1994,5 +1994,72 @@ def ext_quantile_filter(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_pack_sequences",
+    """WITH RECURSIVE d AS (
+         SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         FROM documents
+       ), rec AS (
+         SELECT lang, doc_id, n_chars, rn, CAST(0 AS BIGINT) AS chunk,
+                n_chars AS filled
+         FROM d WHERE rn = 1
+         UNION ALL
+         SELECT d.lang, d.doc_id, d.n_chars, d.rn,
+                CASE WHEN rec.filled + d.n_chars <= 4000
+                     THEN rec.chunk ELSE rec.chunk + 1 END,
+                CASE WHEN rec.filled + d.n_chars <= 4000
+                     THEN rec.filled + d.n_chars ELSE d.n_chars END
+         FROM d JOIN rec ON d.lang = rec.lang AND d.rn = rec.rn + 1
+       )
+       SELECT lang, chunk, count(*) AS docs,
+              CAST(sum(n_chars) AS BIGINT) AS chars
+       FROM rec GROUP BY lang, chunk""",
+    "greedy sequence packing (fill 4000-char chunks per language in doc_id "
+    "order) summarized per chunk — the packing walk is sequential per group, "
+    "so the oracle replays it as a recursive CTE",
+)
+def ext_pack_sequences(spark, sf_dir):
+    packed = text_analysis.pack_sequences(
+        t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        budget=4000,
+        group_cols=("lang",),
+        order_col="doc_id",
+    )
+    return packed.groupBy("lang", "chunk").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@_register(
+    "ext_redact_pii",
+    f"""SELECT doc_id,
+              {text_analysis.redact_pii_sql(
+                  "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+                  "'@example.com at 10.0.0.', CAST(doc_id % 256 AS VARCHAR), "
+                  "' or +1 555 010 1234')"
+              )} AS redacted
+       FROM documents""",
+    "PII scrub: emails / IPv4 / phone numbers replaced with typed tokens "
+    "(regexp_replace chain, JVM-side) — PII is injected deterministically "
+    "so the replacement path is actually exercised",
+)
+def ext_redact_pii(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" or +1 555 010 1234"),
+    )
+    return d.select(
+        "doc_id", text_analysis.redact_pii(seeded).alias("redacted")
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

@@ -189,3 +189,45 @@ def test_audio_decode_plumbing(spark):
     assert out["a3"]["codec"] == "NONE" and out["a3"]["n_bytes"] == 0
     again = {r["media_id"]: r for r in multimodal.decode_audio(df).collect()}
     assert out["a1"]["duration_s"] == again["a1"]["duration_s"]  # deterministic
+
+
+def test_pack_sequences_invariants(spark):
+    """No multi-doc chunk exceeds the budget, chunk ids are dense and
+    monotone in pack order, and every doc is assigned exactly once."""
+    rows = [("g1", i, w) for i, w in enumerate([10, 20, 70, 5, 100, 1, 99, 120, 3])]
+    rows += [("g2", i, w) for i, w in enumerate([100, 100, 100])]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    packed = text_analysis.pack_sequences(
+        df, weight_col="n_chars", budget=100, group_cols=("lang",),
+        order_col="doc_id",
+    ).toPandas()
+    assert len(packed) == len(rows)
+    for lang, grp in packed.groupby("lang"):
+        grp = grp.sort_values("doc_id")
+        # monotone dense chunk ids
+        diffs = grp["chunk"].diff().dropna()
+        assert set(diffs.unique()) <= {0.0, 1.0}
+        assert grp["chunk"].iloc[0] == 0
+        sums = grp.groupby("chunk").agg(w=("n_chars", "sum"), n=("doc_id", "count"))
+        assert ((sums["w"] <= 100) | (sums["n"] == 1)).all()
+
+
+def test_pack_sequences_oversized_doc_gets_own_chunk(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 50), ("g", 2, 500), ("g", 3, 50)],
+        "lang string, doc_id long, n_chars long",
+    )
+    packed = (
+        text_analysis.pack_sequences(df, budget=100)
+        .toPandas().sort_values("doc_id")
+    )
+    assert list(packed["chunk"]) == [0, 1, 2]
+
+
+def test_redact_pii_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.co.uk, ip 192.168.001.42, tel +44 20 7946 0958 end")],
+        "id long, text string",
+    )
+    out = df.select(text_analysis.redact_pii(F.col("text")).alias("r")).first()["r"]
+    assert out == "mail <EMAIL>, ip <IP>, tel <PHONE> end"
