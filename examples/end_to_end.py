@@ -92,6 +92,23 @@ def main() -> None:
     hits = search.bm25_search(docs, ["spark", "merge"], k=3, id_col="id")
     print("bm25 top-3:", [(r["id"], round(r["score"], 3)) for r in hits.collect()])
 
+    # 4b. corpus curation: scrub -> stratify -> pack ------------------
+    scrubbed = docs.withColumn("text", text_analysis.redact_pii(F.col("text")))
+    from pyspark.sql import Window
+
+    strata = Window.partitionBy("lang").orderBy("id")
+    sample = (
+        scrubbed.withColumn("rn", F.row_number().over(strata))
+        .filter(F.col("rn") % 5 == 1)
+        .drop("rn")
+    )
+    packed = text_analysis.pack_sequences(
+        sample, weight_col="n_chars", budget=4000,
+        group_cols=("lang",), order_col="id",
+    )
+    n_chunks = packed.select("lang", "chunk").distinct().count()
+    print("curation: packed", sample.count(), "sampled docs into", n_chunks, "chunks")
+
     # 5. streaming: watermarked stateful sessionization over the events
     # stream (availableNow drains the directory and stops)
     from solr_map_reduce_spark.streaming.sessionize import sessionize_stream
