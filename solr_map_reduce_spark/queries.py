@@ -2061,5 +2061,33 @@ def ext_redact_pii(spark, sf_dir):
     )
 
 
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS "column", count({c}) AS non_null,
+               count(*) - count({c}) AS nulls,
+               count(DISTINCT {c}) AS distinct_cnt,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM events"""
+    for c in ("event_id", "user_id", "event_type")
+)
+
+
+@_register(
+    "ext_profile",
+    _PROFILE_ORACLE,
+    "corpus profiling: per-column null/cardinality/range stats in ONE scan + "
+    "ONE aggregate (exact mode for the oracle; the default approx mode swaps "
+    "in HyperLogLog++ sketches for 100 TB)",
+)
+def ext_profile(spark, sf_dir):
+    from solr_map_reduce_spark.operators.stats import profile
+
+    return profile(
+        t(spark, sf_dir, "events"),
+        cols=("event_id", "user_id", "event_type"),
+        exact=True,
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
