@@ -111,6 +111,15 @@ def build_parser() -> argparse.ArgumentParser:
     qry.add_argument("--limit", type=int, default=10)
     qry.add_argument("--select", nargs="*", default=None)
     qry.add_argument("--segments", action="store_true", help="C7 layout introspection")
+
+    prof = sub.add_parser(
+        "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
+    )
+    prof.add_argument("--input", nargs="+", required=True, help="input paths/globs")
+    prof.add_argument("--format", default="parquet")
+    prof.add_argument("--columns", nargs="*", default=None)
+    prof.add_argument("--exact", action="store_true",
+                      help="exact distinct counts (default: HLL++ sketch)")
     return p
 
 
@@ -177,6 +186,15 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.command == "profile":
+        from solr_map_reduce_spark.operators.stats import profile
+        from solr_map_reduce_spark.sources.readers import read_input
+
+        df = read_input(spark, args.input, format=args.format)
+        for r in profile(df, cols=args.columns, exact=args.exact).collect():
+            print(json.dumps(r.asDict(), default=str))
         return 0
 
     from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, publish

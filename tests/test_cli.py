@@ -204,3 +204,19 @@ def test_cli_query_surface(spark, sf_dir, schema_file, tmp_path, capsys):
     assert cli.main(["query", "--path", out, "--segments"]) == 0
     seg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["segments"]
     assert sorted(seg) == ["shard=0", "shard=1"]
+
+
+def test_cli_profile(capsys, sf_dir):
+    import json as _json
+
+    from solr_map_reduce_spark.cli import main
+
+    rc = main([
+        "profile", "--input", f"{sf_dir}/events.parquet",
+        "--columns", "user_id", "--exact",
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][0]
+    rec = _json.loads(line)
+    assert rec["column"] == "user_id" and rec["nulls"] == 0
+    assert int(rec["distinct_cnt"]) > 0
