@@ -39,14 +39,22 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
         import zipfile
 
         zip_path = os.path.join(tempfile.gettempdir(), "smrs_pkg.zip")
-        if not os.path.exists(zip_path):
-            pkg = os.path.join(repo, "solr_map_reduce_spark")
-            with zipfile.ZipFile(zip_path, "w") as zf:
-                for dirpath, _dirnames, filenames in os.walk(pkg):
-                    for fn in filenames:
-                        if fn.endswith(".py"):
-                            full = os.path.join(dirpath, fn)
-                            zf.write(full, os.path.relpath(full, repo))
+        pkg = os.path.join(repo, "solr_map_reduce_spark")
+        sources = [
+            os.path.join(dirpath, fn)
+            for dirpath, _dirnames, filenames in os.walk(pkg)
+            for fn in filenames
+            if fn.endswith(".py")
+        ]
+        newest = max(os.path.getmtime(f) for f in sources)
+        # rebuild when any source is newer than the zip — a cached stale zip
+        # would ship outdated code to the workers of a foreign session
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) <= newest:
+            tmp = f"{zip_path}.{os.getpid()}.tmp"
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for full in sources:
+                    zf.write(full, os.path.relpath(full, repo))
+            os.replace(tmp, zip_path)
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # PYTHONPATH fallback above still covers driver-spawned workers

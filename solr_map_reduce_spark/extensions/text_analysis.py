@@ -130,6 +130,26 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def pack_weights(weights, budget: int):
+    """The greedy packing kernel: given per-item weights in pack order,
+    return the chunk id for each item.  A new chunk starts when adding the
+    item would push the running total past ``budget``; an oversized single
+    item occupies a chunk alone.  Pure function — property-tested without a
+    SparkSession."""
+    import numpy as np
+
+    chunks = np.empty(len(weights), dtype=np.int64)
+    chunk, filled = 0, 0
+    for i, x in enumerate(weights):
+        if i > 0 and filled + x > budget:
+            chunk += 1
+            filled = x
+        else:
+            filled += x
+        chunks[i] = chunk
+    return chunks
+
+
 def pack_sequences(
     df: DataFrame,
     weight_col: str = "n_chars",
@@ -154,7 +174,6 @@ def pack_sequences(
     Returns ``group_cols + (order_col, weight_col, out_col)``; chunk ids are
     dense per group starting at 0.
     """
-    import numpy as np
     import pandas as pd
 
     out_fields = [df.schema[c] for c in (*group_cols, order_col, weight_col)]
@@ -163,18 +182,8 @@ def pack_sequences(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
-        w = pdf[weight_col].to_numpy()
-        chunks = np.empty(len(w), dtype=np.int64)
-        chunk, filled = 0, 0
-        for i, x in enumerate(w):
-            if i > 0 and filled + x > budget:
-                chunk += 1
-                filled = x
-            else:
-                filled += x
-            chunks[i] = chunk
         out = pdf[[*group_cols, order_col, weight_col]].copy()
-        out[out_col] = chunks
+        out[out_col] = pack_weights(pdf[weight_col].to_numpy(), budget)
         return out
 
     cols = [*group_cols, order_col, weight_col]

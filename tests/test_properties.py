@@ -132,3 +132,36 @@ def test_minhash_batch_matches_naive(lists):
         phv = (np.outer(a, x) + b[:, None]) % MERSENNE_PRIME
         want = (phv.min(axis=1) & np.uint64(_MAX_HASH)).astype(np.int64)
         assert list(sig) == want.tolist()
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=150), max_size=60),
+    budget=st.integers(min_value=1, max_value=120),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_weights_laws(weights, budget):
+    """Greedy packing invariants for any weights/budget: dense monotone chunk
+    ids from 0; every multi-item chunk within budget; greedy tightness (the
+    first item of chunk k+1 would not have fit in chunk k)."""
+    import numpy as np
+
+    from solr_map_reduce_spark.extensions.text_analysis import pack_weights
+
+    chunks = pack_weights(np.asarray(weights, dtype=np.int64), budget)
+    assert len(chunks) == len(weights)
+    if not weights:
+        return
+    assert chunks[0] == 0
+    diffs = np.diff(chunks)
+    assert set(diffs.tolist()) <= {0, 1}  # dense, monotone
+    sums: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for c, w in zip(chunks.tolist(), weights):
+        sums[c] = sums.get(c, 0) + w
+        counts[c] = counts.get(c, 0) + 1
+    for c, s in sums.items():
+        assert s <= budget or counts[c] == 1
+    # tightness: each chunk boundary was forced
+    for i in range(1, len(weights)):
+        if chunks[i] != chunks[i - 1]:
+            assert sums[chunks[i - 1]] + weights[i] > budget

@@ -77,3 +77,20 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert sum(r["docs"] for r in rows) == 500
+
+
+def test_worker_zip_rebuilds_when_stale(spark, tmp_path, monkeypatch):
+    """The addPyFile zip must track package sources: a zip older than any
+    source would ship stale code to foreign-session workers."""
+    import os
+
+    monkeypatch.setattr(entry_mod.tempfile, "gettempdir", lambda: str(tmp_path))
+    entry_mod._SHIPPED_SESSIONS.clear()
+    entry_mod._ensure_workers_can_import(spark)
+    zp = tmp_path / "smrs_pkg.zip"
+    assert zp.exists()
+    os.utime(zp, (1, 1))  # pretend the zip predates every source
+    entry_mod._SHIPPED_SESSIONS.clear()
+    entry_mod._ensure_workers_can_import(spark)
+    assert zp.stat().st_mtime > 1
+    entry_mod._SHIPPED_SESSIONS.clear()
