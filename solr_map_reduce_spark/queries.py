@@ -2089,5 +2089,39 @@ def ext_profile(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_source_mixture",
+    """SELECT doc_id, source, pos FROM (
+         SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                     AS DOUBLE)
+                / (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN 2.0 ELSE 1.0 END) AS pos
+         FROM documents
+       ) ORDER BY pos, source, doc_id LIMIT 200""",
+    "training-mixture schedule: weighted round-robin interleave of sources "
+    "(2x upsample for the first five) — each doc's mix position is its "
+    "within-source rank over the source weight; deterministic, one window "
+    "shuffle + TakeOrdered, no RNG to disagree across engines",
+)
+def ext_source_mixture(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    weight = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            (F.row_number().over(w).cast("double") / weight).alias("pos"),
+        )
+        .orderBy("pos", "source", "doc_id")
+        .limit(200)
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
