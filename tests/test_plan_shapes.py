@@ -124,3 +124,18 @@ def test_pivot_no_join_no_expand_blowup(spark, sf_dir):
     distinct-values subquery."""
     plan = _plan(spark, sf_dir, "pivot_user_activity")
     assert "Join" not in plan
+
+
+def test_quantile_filter_single_exchange(spark, sf_dir):
+    """The per-lang percentile window and the final per-lang aggregate share
+    one hash partitioning."""
+    plan = _plan(spark, sf_dir, "ext_quantile_filter")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_source_mixture_single_exchange_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_source_mixture")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" not in scan  # mixture schedule never reads document bodies
