@@ -2123,5 +2123,35 @@ def ext_source_mixture(spark, sf_dir):
     )
 
 
+@_register(
+    "window_sliding_counts",
+    """SELECT strftime(
+                make_timestamp(
+                  (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                   - k * 1800) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+              count(*) AS cnt
+       FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+       GROUP BY window_start""",
+    "hopping/sliding window counts (1 h windows every 30 min): each event "
+    "lands in exactly duration/slide windows — the oracle replays the "
+    "assignment by cross-joining the two hop offsets",
+)
+def window_sliding_counts(spark, sf_dir):
+    from solr_map_reduce_spark.streaming.ingest import windowed_event_counts
+
+    return windowed_event_counts(
+        t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        watermark="2 hours",
+        group_col=None,
+        slide="30 minutes",
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "cnt",
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

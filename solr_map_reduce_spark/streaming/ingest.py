@@ -88,10 +88,15 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     group_col: str | None = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation — the facet-count analog as a
-    streaming query (late rows beyond the watermark are dropped)."""
-    grouped = [F.window(F.col(event_time_col), window_duration)]
+    """Watermarked window aggregation — the facet-count analog as a
+    streaming query (late rows beyond the watermark are dropped).
+
+    ``slide`` < ``window_duration`` makes the windows hopping/sliding: each
+    row lands in duration/slide windows (that factor, not row count, is the
+    state-size multiplier — keep it small at scale)."""
+    grouped = [F.window(F.col(event_time_col), window_duration, slide or window_duration)]
     if group_col:
         grouped.append(F.col(group_col))
     return (
