@@ -220,3 +220,32 @@ def redact_pii_sql(expr: str) -> str:
         escaped = pattern.replace("'", "''")
         expr = f"regexp_replace({expr}, '{escaped}', '{token}', 'g')"
     return expr
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition: the fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same document — the
+    repeated-passage signal quality filters threshold on (high values mean
+    boilerplate/degenerate text).  Pure array expressions, whole-stage
+    codegen, no shuffle: ``(id, total_ngrams, dup_frac)``.
+    """
+    toks = tokens(F.col(text_col))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    # guard: sequence(1, 0) would DESCEND to [1, 0] and index out of range
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("total_ngrams"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise((total - uniq).cast("double") / total)
+        .alias("dup_frac"),
+    )

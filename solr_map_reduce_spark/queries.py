@@ -2153,5 +2153,35 @@ def window_sliding_counts(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_repetition",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text),
+                            '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+         FROM documents
+       ), grams AS (
+         SELECT doc_id,
+                CASE WHEN length(t) >= 3
+                     THEN list_transform(range(1, length(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END AS g
+         FROM toks
+       )
+       SELECT doc_id,
+              CAST(length(g) AS BIGINT) AS total_ngrams,
+              CASE WHEN length(g) = 0 THEN 0.0
+                   ELSE CAST(length(g) - length(list_distinct(g)) AS DOUBLE)
+                        / length(g) END AS dup_frac
+       FROM grams""",
+    "intra-document repetition (duplicate word-3gram fraction) — the "
+    "repeated-passage quality filter; pure array expressions, no shuffle",
+)
+def ext_repetition(spark, sf_dir):
+    return text_analysis.repetition_score(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

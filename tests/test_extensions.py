@@ -231,3 +231,16 @@ def test_redact_pii_tokens(spark):
     )
     out = df.select(text_analysis.redact_pii(F.col("text")).alias("r")).first()["r"]
     assert out == "mail <EMAIL>, ip <IP>, tel <PHONE> end"
+
+
+def test_repetition_score_flags_degenerate_text(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "a genuinely varied sentence with no repeated trigram at all"),
+        (3, "ab"),  # fewer than 3 tokens -> 0 ngrams, dup_frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_analysis.repetition_score(df).collect()}
+    assert out[1]["total_ngrams"] == 6 and out[1]["dup_frac"] == 5 / 6
+    assert out[2]["dup_frac"] == 0.0
+    assert out[3]["total_ngrams"] == 0 and out[3]["dup_frac"] == 0.0
