@@ -45,3 +45,33 @@ def convert_timestamp(
 ) -> Column:
     """Full convertTimestamp: multi-format parse → canonical string."""
     return format_timestamp(parse_timestamp(col, input_formats, input_timezone), output_format)
+
+
+def epoch_seconds(col: Column) -> Column:
+    """Seconds-since-epoch for any timestamp flavor.
+
+    Parquet fixtures arrive as TIMESTAMP or TIMESTAMP_NTZ depending on how
+    they were written; ``cast("long")`` rejects NTZ outright
+    (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION).  Casting through
+    ``timestamp`` first is exact for both: NTZ→TIMESTAMP interprets the wall
+    clock in the session timezone (pinned UTC by ``session.py``) and
+    TIMESTAMP→TIMESTAMP is a no-op.  Stays JVM-side/codegen'd.
+    """
+    return col.cast("timestamp").cast("long")
+
+
+def ensure_instant(df, *cols):
+    """Cast any TIMESTAMP_NTZ column among ``cols`` to TIMESTAMP.
+
+    Event-time operators (``withWatermark``, window functions over instants)
+    require TimestampType; fixture parquet may carry isAdjustedToUTC=false
+    (read as NTZ).  With the session timezone pinned UTC the cast preserves
+    the wall clock exactly.  Unknown / already-instant columns pass through.
+    """
+    import pyspark.sql.types as T
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c and isinstance(by_name.get(c), T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df

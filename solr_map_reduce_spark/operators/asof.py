@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from solr_map_reduce_spark.functions.timestamps import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -70,7 +72,7 @@ def asof_join(
         # predicate NULL for the remaining payload columns
         out = out.withColumn(
             "_stale",
-            (F.col(ts).cast("long") - F.col(f"{ts}{suffix}").cast("long"))
+            (epoch_seconds(F.col(ts)) - epoch_seconds(F.col(f"{ts}{suffix}")))
             > tolerance_seconds,
         )
         for c in [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload]:

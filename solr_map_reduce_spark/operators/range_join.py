@@ -27,6 +27,8 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from solr_map_reduce_spark.functions.timestamps import epoch_seconds
+
 _BIN = "_range_bin"
 
 
@@ -43,14 +45,14 @@ def range_join(
     """Join left rows to right intervals with ``start <= ts <= end``
     (inclusive bounds), equi-keyed on ``on`` when given."""
     keys = [on] if isinstance(on, str) else list(on or [])
-    lsec = F.col(ts).cast("long")
+    lsec = epoch_seconds(F.col(ts))
     lb = left.withColumn(_BIN, F.floor(lsec / bin_seconds))
     rb = right.withColumn(
         _BIN,
         F.explode(
             F.sequence(
-                F.floor(F.col(start).cast("long") / bin_seconds),
-                F.floor(F.col(end).cast("long") / bin_seconds),
+                F.floor(epoch_seconds(F.col(start)) / bin_seconds),
+                F.floor(epoch_seconds(F.col(end)) / bin_seconds),
             )
         ),
     )

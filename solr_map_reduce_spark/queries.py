@@ -171,15 +171,23 @@ def a10_dedup_retain_most_recent(spark, sf_dir):
 
 @_register(
     "a11_dedup_sort_updates",
-    """SELECT user_id, list(event_id ORDER BY ts, event_id) AS event_ids
+    """SELECT user_id,
+              string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+                AS event_ids
        FROM events GROUP BY user_id""",
     "A11 per-key updates sorted ascending by order field",
 )
 def a11_dedup_sort_updates(spark, sf_dir):
+    # the sorted update list is emitted as a comma-joined string: the array
+    # order IS the contract under test, and a flat string stays hashable for
+    # engine-independent row canonicalization (arrays are unhashable there)
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     sorted_updates = dedup.sort_updates(e, "user_id", "ts", tiebreak=["event_id"])
     return sorted_updates.select(
-        "user_id", F.col("updates.event_id").alias("event_ids")
+        "user_id",
+        F.array_join(
+            F.col("updates.event_id").cast("array<string>"), ","
+        ).alias("event_ids"),
     )
 
 

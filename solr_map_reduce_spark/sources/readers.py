@@ -72,16 +72,27 @@ def _avro_available(spark: SparkSession) -> bool:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a testdata table, normalizing nanosecond-precision parquet
-    timestamps (read as long via ``nanosAsLong``) to microsecond timestamps —
-    integer division keeps full int64 precision; truncation matches how
-    engines with µs timestamps (DuckDB) read the same files."""
+    """Load a testdata table, normalizing timestamp flavor at the boundary.
+
+    The engine must be robust to whatever the fixture parquet carries:
+
+    - nanosecond int64 (read as long via ``nanosAsLong``) → µs timestamp;
+      integer division keeps full int64 precision, truncation matches how
+      µs engines (DuckDB) read the same files;
+    - TIMESTAMP_NTZ (µs, isAdjustedToUTC=false) → TIMESTAMP; exact because
+      the session timezone is pinned UTC (``session.py``), and required by
+      every event-time operator (``withWatermark`` rejects NTZ, as does
+      ``cast("long")`` arithmetic).
+    """
     import pyspark.sql.functions as F
     import pyspark.sql.types as T
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

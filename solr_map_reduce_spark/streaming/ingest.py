@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from solr_map_reduce_spark.functions.timestamps import ensure_instant
 from solr_map_reduce_spark.indexing import SHARD_COL, IndexJob, IndexJobConfig, read_index
 
 
@@ -42,6 +43,7 @@ def stream_ingest(
     job = IndexJob(config)
     stream = spark.readStream.schema(input_schema).parquet(input_path)
     if event_time_col:
+        stream = ensure_instant(stream, event_time_col)
         stream = stream.withWatermark(event_time_col, watermark)
         stream = stream.dropDuplicatesWithinWatermark([config.schema.unique_key])
 
@@ -100,7 +102,8 @@ def windowed_event_counts(
     if group_col:
         grouped.append(F.col(group_col))
     return (
-        stream.withWatermark(event_time_col, watermark)
+        ensure_instant(stream, event_time_col)
+        .withWatermark(event_time_col, watermark)
         .groupBy(*grouped)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(

@@ -26,6 +26,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from solr_map_reduce_spark.functions.timestamps import ensure_instant
+
 ROLLUP_KEYS = ["window_start"]
 
 
@@ -81,6 +83,7 @@ def stream_rollup(
     ``input_path`` (parquet)."""
     dims = dims or []
     stream = spark.readStream.schema(input_schema).parquet(input_path)
+    stream = ensure_instant(stream, ts_col)
     stream = stream.withWatermark(ts_col, watermark)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:

@@ -24,6 +24,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
 
+from solr_map_reduce_spark.functions.timestamps import ensure_instant, epoch_seconds
+
 
 def sessionize(
     df: DataFrame,
@@ -44,7 +46,7 @@ def sessionize(
     prev_ts = F.lag(ts_col).over(w)
     is_new = (
         prev_ts.isNull()
-        | ((F.col(ts_col).cast("long") - prev_ts.cast("long")) > gap_seconds)
+        | ((epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)) > gap_seconds)
     ).cast("long")
     running = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -177,7 +179,8 @@ def sessionize_stream(
             )
 
     return (
-        stream.withWatermark(ts_col, watermark)
+        ensure_instant(stream, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
