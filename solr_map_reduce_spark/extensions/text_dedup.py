@@ -595,15 +595,18 @@ def simhash64(
         flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in lists if len(v)]).view(np.uint64)
         starts = np.zeros(nrows, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        offs = np.minimum(starts, total - 1)  # reduceat needs in-range indices
-        nonzero = lens > 0
-        half = lens  # votes*2 > len  <=>  2*ones > len
+        # reduceat over the NON-EMPTY rows' start offsets only: empty rows
+        # (and especially trailing empties, whose start == total) would
+        # otherwise need clipping, which silently merges the last non-empty
+        # row's final token into the wrong segment and corrupts its vote
+        nonzero_idx = np.flatnonzero(lens > 0)
+        offs = starts[nonzero_idx]  # strictly increasing, all < total
+        half = lens[nonzero_idx]  # votes*2 > len  <=>  2*ones > len
         result = np.zeros(nrows, dtype=np.uint64)
         for j in range(64):
             bit = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
             ones = np.add.reduceat(bit, offs)
-            ones[~nonzero] = 0
-            result |= ((ones * 2 > half).astype(np.uint64)) << np.uint64(j)
+            result[nonzero_idx] |= ((ones * 2 > half).astype(np.uint64)) << np.uint64(j)
         return pd.Series(result.view(np.int64))
 
     df = ensure_parallelism(df)

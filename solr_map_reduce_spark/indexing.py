@@ -407,7 +407,16 @@ def compact(
     import math
 
     df = read_index(spark, path)
-    key_cols = [c for c in df.columns if c != SHARD_COL]
+    # preserve the artifact's key-sorted segment contract: sort by the
+    # manifest's unique_key, NOT whatever column happens to come first —
+    # point-lookup pruning relies on parquet min/max stats over the key
+    sort_key = None
+    manifest_path = os.path.join(path, MANIFEST)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            sort_key = json.load(f).get("unique_key")
+    if sort_key is None or sort_key not in df.columns:
+        sort_key = [c for c in df.columns if c != SHARD_COL][0]
     tmp = path.rstrip("/") + "._compact_tmp"
     shard_rows = df.groupBy(SHARD_COL).count().collect()
     n_shards = len(shard_rows)
@@ -418,7 +427,7 @@ def compact(
     per_file = max(1, math.ceil(max_rows / max_segments))
     (
         df.repartition(max(n_shards, 1), F.col(SHARD_COL))
-        .sortWithinPartitions(SHARD_COL, key_cols[0])
+        .sortWithinPartitions(SHARD_COL, sort_key)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", per_file)
         .partitionBy(SHARD_COL)

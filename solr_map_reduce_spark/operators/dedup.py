@@ -113,13 +113,19 @@ def reject_collisions(df: DataFrame, key: str, eager: bool = True) -> DataFrame:
     guarded = df.join(
         F.broadcast(dup_keys), df[key] == F.col("_dup_key"), "left"
     )
-    guard = F.when(
+    # the guard must live INSIDE a surviving column — a standalone column
+    # that is immediately dropped gets pruned by the optimizer and the check
+    # silently never fires.  Folding it into the key column itself means any
+    # plan that consumes the key (every downstream op — the key is the whole
+    # point) evaluates the raise_error on duplicate rows.
+    key_type = df.schema[key].dataType
+    guarded_key = F.when(
         F.col("_dup_key").isNotNull(),
         F.raise_error(
             F.concat(F.lit("duplicate unique key: "), F.col(key).cast("string"))
-        ),
-    )
-    return guarded.withColumn("_guard", guard).drop("_dup_key", "_guard")
+        ).cast(key_type),
+    ).otherwise(F.col(key))
+    return guarded.withColumn(key, guarded_key).drop("_dup_key").select(df.columns)
 
 
 def resolve(

@@ -7,7 +7,9 @@ Reference behavior (re-implemented from observable semantics, NOT copied):
   with unique key ``k`` goes to root shard = the CompositeIdRouter slice whose
   hash range contains ``murmur3_x86_32(utf8(k), seed=0)``, then to micro shard
   ``rootShard * (P/S) + ((hash & MAX_INT) % (P/S))`` where P = numPartitions
-  (reducers) and S = shards; P % S == 0 is enforced (java:87-90).
+  (reducers), S = shards, and ``hash`` is the murmur3 of the FULL key string
+  (java:91-92 re-hashes the raw key — not the composite-spliced hash — for
+  the within-shard spread); P % S == 0 is enforced (java:87-90).
 - Slice ranges come from ``CompositeIdRouter.partitionRange(S, [MIN_INT,
   MAX_INT])`` (java:108-118) — Apache Solr's public range-splitting algorithm
   (even 2^32/S steps, rounded to 0x10000 boundaries when the step is large
@@ -216,17 +218,25 @@ def partition_ranges(num_shards: int, bits: int = 16) -> list[tuple[int, int]]:
     shard boundary)."""
     if num_shards <= 0:
         raise ValueError(f"num_shards must be > 0, got {num_shards}")
-    range_size = (1 << 32)
+    # Solr parity notes (CompositeIdRouter.partitionRange semantics, observed
+    # on live SolrCloud collections): the ring size is max-min = 2^32 - 1
+    # (NOT 2^32 — e.g. 3 shards step by 0x55555555), the no-round condition is
+    # "end already sits at a 0xFFFF boundary" ((end & mask) == mask), and the
+    # round targets are (end | mask) ± 2^bits.  Getting any of these wrong
+    # shifts boundaries by one 0x10000 block and mis-places keys hashing into
+    # that block relative to a live SolrCloud cluster.
+    range_size = (1 << 32) - 1
     range_step = max(1, range_size // num_shards)
-    mask = 0x0000FFFF
+    mask = (1 << bits) - 1
     do_round = range_step >= (1 << bits) * 16
     ranges: list[tuple[int, int]] = []
     start = INT_MIN
+    end = INT_MIN
     target_start = INT_MIN
-    while True:
+    while end < INT_MAX:
         target_end = target_start + range_step
         end = target_end
-        if do_round and (end & mask) != 0:
+        if do_round and (end & mask) != mask:
             increment = 1 << bits
             round_down = (end | mask) - increment
             round_up = (end | mask) + increment
@@ -237,8 +247,6 @@ def partition_ranges(num_shards: int, bits: int = 16) -> list[tuple[int, int]]:
         if len(ranges) == num_shards - 1:
             end = INT_MAX
         ranges.append((start, min(end, INT_MAX)))
-        if end >= INT_MAX:
-            break
         start = end + 1
         target_start = target_end + 1
     return ranges
@@ -280,10 +288,17 @@ class ShardRouter:
         return idx
 
     def micro_shard_of(self, doc_id: str) -> int:
-        """Micro shard (reducer/partition number) for a key."""
+        """Micro shard (reducer/partition number) for a key.
+
+        Root shard placement uses the composite-spliced hash (co-routes
+        ``shard!doc`` families); the offset WITHIN the root shard uses the
+        murmur3 of the full key string — the reference hashes the raw key
+        again for the reducer spread
+        (SolrCloudCompositeIdRoutingPartitioner.java:91-92), so composite ids
+        sharing a route key still fan out across that shard's reducers."""
         per_shard = self.partitions // self.shards
         root = self.shard_of(doc_id)
-        h = composite_id_hash(doc_id)
+        h = _hash_str(doc_id)
         return root * per_shard + ((h & INT_MAX) % per_shard)
 
 
@@ -302,15 +317,19 @@ def shard_id_column(key: Column | str, shards: int, num_partitions: int | None =
     @pandas_udf(IntegerType())
     def _route(ids: pd.Series) -> pd.Series:
         # vectorized murmur3 for plain ids; scalar fallback for composite
-        # "shard!doc" ids (rare — one pass flags them)
+        # "shard!doc" ids (rare — one pass flags them).  The root shard uses
+        # the composite-spliced hash; the within-shard offset always uses the
+        # full-key murmur3 (the raw batch hash), matching micro_shard_of.
         values = ids.astype(str)
-        hashes = murmur3_x86_32_batch(values).astype(np.int64)
+        raw = murmur3_x86_32_batch(values).astype(np.int64)
+        hashes = raw
         composite = values.str.contains("!", regex=False).to_numpy()
         if composite.any():
+            hashes = raw.copy()
             fixes = [composite_id_hash(s) for s in values[composite]]
             hashes[composite] = np.array(fixes, dtype=np.int64)
         roots = np.searchsorted(starts_arr, hashes, side="right") - 1
-        micro = roots * per_shard + ((hashes & INT_MAX) % per_shard)
+        micro = roots * per_shard + ((raw & INT_MAX) % per_shard)
         return pd.Series(micro.astype(np.int32))
 
     return _route(F.col(key) if isinstance(key, str) else key)

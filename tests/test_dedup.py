@@ -78,3 +78,40 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_reject_lazy_guard_fires(updates):
+    """Regression: the eager=False guard must survive column pruning — it
+    lives inside the key column, so consuming the plan trips it."""
+    from py4j.protocol import Py4JJavaError
+
+    lazy = dedup.reject_collisions(updates, "id", eager=False)
+    with pytest.raises(Exception, match="duplicate unique key") as exc_info:
+        lazy.collect()
+    assert isinstance(exc_info.value, Py4JJavaError) or "duplicate" in str(exc_info.value)
+
+
+def test_reject_lazy_passes_unique(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, ts long")
+    out = dedup.reject_collisions(df, "id", eager=False)
+    assert sorted(r["id"] for r in out.collect()) == ["a", "b"]
+    assert out.columns == ["id", "ts"]
+
+
+def test_simhash_trailing_empty_rows_do_not_corrupt_last_doc(spark):
+    """Regression: trailing empty-token rows used to clip the reduceat
+    offsets to total-1, dropping the last non-empty row's final token from
+    its majority vote.  Per-doc simhash must be independent of batch
+    composition."""
+    from solr_map_reduce_spark.extensions.text_dedup import simhash64
+
+    text = "alpha beta"  # 2 tokens: losing one forces every vote to lose
+    with_empties = spark.createDataFrame(
+        [(1, text), (2, ""), (3, "")], "doc_id long, text string"
+    ).coalesce(1)
+    alone = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(with_empties).collect()}
+    want = simhash64(alone).collect()[0]["simhash"]
+    assert got[1] == want
+    assert want != 0
+    assert got[2] == 0 and got[3] == 0

@@ -546,3 +546,31 @@ def test_observed_metrics(spark, sf_dir):
     got = obs.get
     assert got["docs_in"] == docs.count()
     assert got["null_keys"] == 0
+
+
+def test_compact_sorts_by_manifest_unique_key(spark, tmp_path):
+    """Regression: compact() must preserve the key-sorted segment contract
+    using the manifest's unique_key even when the key is not the first
+    column of the artifact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("payload", "string"), Field("id", "string", required=True)),
+        unique_key="id",
+    )
+    rows = [(f"p{i}", f"k{i:04d}") for i in range(400)]
+    df = spark.createDataFrame(rows, "payload string, id string")
+    out = str(tmp_path / "keyed_index")
+    job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none",
+                                  max_records_per_file=50))
+    job.build(df, out)
+    assert max(segment_counts(out).values()) > 1
+    compact(spark, out, max_segments=1)
+    assert set(segment_counts(out).values()) == {1}
+    for f in glob.glob(f"{out}/shard=*/*.parquet"):
+        ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
+        assert ids == sorted(ids), f
