@@ -1012,8 +1012,8 @@ def ext_ann_topk(spark, sf_dir):
 
 @_register(
     "ext_minhash_dedup",
-    None,  # LSH banding is not SQL-expressible; validated against exact
-    # jaccard in tests/test_extensions.py
+    None,  # LSH banding is not SQL-expressible; exact-precision + recall
+    # oracled against all-pairs ground truth in tests/test_dedup_oracle.py
     "MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.5)",
 )
 def ext_minhash_dedup(spark, sf_dir):
@@ -1032,8 +1032,8 @@ def ext_simhash(spark, sf_dir):
 
 @_register(
     "ext_ngram_jaccard",
-    None,  # LSH-blocked candidate generation; Jaccard itself exact (tested
-    # against plain-Python set jaccard in tests/test_extensions.py)
+    None,  # LSH-blocked candidate generation; exact-precision + recall
+    # oracled against all-pairs ground truth in tests/test_dedup_oracle.py
     "exact word-2gram Jaccard pairs (>= 0.4) over docs ∪ injected copies",
 )
 def ext_ngram_jaccard(spark, sf_dir):
@@ -1044,7 +1044,8 @@ def ext_ngram_jaccard(spark, sf_dir):
 
 @_register(
     "ext_simhash_pairs",
-    None,  # hamming-ball blocking (pigeonhole chunks); verified JVM-side
+    None,  # hamming-ball blocking (pigeonhole chunks); proven complete vs
+    # all-pairs hamming ball in tests/test_dedup_oracle.py
     "SimHash near-dup pairs (hamming <= 3) over docs ∪ injected copies",
 )
 def ext_simhash_pairs(spark, sf_dir):
@@ -1096,7 +1097,8 @@ def ext_dedup_clusters(spark, sf_dir):
 
 @_register(
     "ext_cosine_pairs_lsh",
-    None,  # approximate blocking by design; subset-of-exact validated in tests
+    None,  # approximate blocking by design; exact-precision + copy-recall
+    # oracled against the numpy gram matrix in tests/test_dedup_oracle.py
     "embedding near-dup pairs via sign-LSH blocking (the 100 TB path: no "
     "cross join); fixture = embeddings ∪ copies of every 11th under new ids",
 )
