@@ -115,12 +115,18 @@ def read_input(
     if fmt is None:
         raise ValueError(f"unknown input format {format!r}")
     if fmt == "avro" and not _avro_available(spark):
-        raise ImportError(
-            "Avro input (B5 readAvroContainer) needs the external spark-avro "
-            "module (org.apache.spark:spark-avro_2.13:<spark-version>) on the "
-            "cluster classpath — e.g. spark-submit --packages; it is not "
-            "bundled in this environment"
-        )
+        # spark-avro is an external module; when absent, fall back to the
+        # pure-Python container decoder (binaryFile scan + mapInPandas) so
+        # the reference's flagship tutorial path stays runnable
+        from solr_map_reduce_spark.sources.avro_fallback import read_avro
+
+        if with_metadata:
+            raise NotImplementedError(
+                "with_metadata needs the native spark-avro source; the "
+                "fallback decoder re-shapes rows in mapInPandas, after which "
+                "the scan's _metadata struct is gone"
+            )
+        return read_avro(spark, paths, schema=schema)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
