@@ -32,12 +32,13 @@ coalescing keeps the writer from producing a small-files mess.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from solr_map_reduce_spark.fs import get_fs
+from solr_map_reduce_spark.fs import join as fs_join
 from solr_map_reduce_spark.operators import dedup as dedup_ops
 from solr_map_reduce_spark.operators.keys import generate_sequence_key, require_unique_key
 from solr_map_reduce_spark.operators.routing import with_shard_id
@@ -155,8 +156,8 @@ class IndexJob:
             "columns": [c for c in written.columns if c not in (SHARD_COL, MICRO_COL)],
             "schema_json": written.schema.json(),
         }
-        with open(os.path.join(path, MANIFEST), "w") as f:
-            json.dump(manifest, f, indent=2)
+        fs = get_fs(path, written.sparkSession)
+        fs.write_text(fs_join(path, MANIFEST), json.dumps(manifest, indent=2))
         return manifest
 
     def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> dict:
@@ -255,18 +256,21 @@ class IndexJob:
         pruning; union + re-resolve + rewrite happens per touched shard dir
         through a staging dir + per-dir atomic swap.  Untouched shard
         directories are never read or written — at 100 TB a small batch
-        costs O(touched shards), not O(artifact)."""
-        import shutil
+        costs O(touched shards), not O(artifact).
 
-        if not os.path.exists(os.path.join(path, MANIFEST)):
+        Artifact mutations go through the control-plane FS abstraction
+        (``fs.get_fs``), so the same code serves local paths and any
+        Hadoop-supported scheme — the reference mutates HDFS directly
+        (SolrRecordWriter.java:124-191)."""
+        fs = get_fs(path, df.sparkSession)
+        if not fs.exists(fs_join(path, MANIFEST)):
             return self.build(df, path, generate_keys_from=generate_keys_from)
         prepared = self.route(df, generate_keys_from).drop(MICRO_COL)
         touched = sorted(
             r[0] for r in prepared.select(SHARD_COL).distinct().collect()
         )
         if not touched:
-            with open(os.path.join(path, MANIFEST)) as f:
-                return json.load(f)
+            return json.loads(fs.read_text(fs_join(path, MANIFEST)))
         current = read_index(df.sparkSession, path).filter(
             F.col(SHARD_COL).isin(touched)
         )
@@ -288,14 +292,14 @@ class IndexJob:
         writer.parquet(tmp)
         for s in touched:
             dirname = f"{SHARD_COL}={s}"
-            src = os.path.join(tmp, dirname)
-            dst = os.path.join(path, dirname)
-            if not os.path.isdir(src):
+            src = fs_join(tmp, dirname)
+            dst = fs_join(path, dirname)
+            if not fs.isdir(src):
                 continue  # resolver emitted no rows for this shard
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            shutil.move(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+            if fs.isdir(dst):
+                fs.delete(dst)
+            fs.rename(src, dst)
+        fs.delete(tmp)
         return self._manifest(resolved, path)
 
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
@@ -306,8 +310,7 @@ class IndexJob:
         ``condition`` is a Column predicate (or SQL string).  Returns the
         number of rows deleted.  Deleting by unique key is the deleteById
         analog: ``delete_where(spark, path, F.col(key) == value)``."""
-        import shutil
-
+        fs = get_fs(path, spark)
         if isinstance(condition, str):
             condition = F.expr(condition)
         # NULL-safe: a row where the predicate is NULL does NOT match the
@@ -335,14 +338,14 @@ class IndexJob:
         n_after = kept.count()
         for s in touched:
             dirname = f"{SHARD_COL}={s}"
-            src = os.path.join(tmp, dirname)
-            dst = os.path.join(path, dirname)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
+            src = fs_join(tmp, dirname)
+            dst = fs_join(path, dirname)
+            if fs.isdir(dst):
+                fs.delete(dst)
+            if fs.isdir(src):
+                fs.rename(src, dst)
             # else: every row in this shard matched — the dir stays deleted
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(tmp)
         return n_before - n_after
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
@@ -376,11 +379,11 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.parquet(path)
     except Exception:
-        manifest_path = os.path.join(path, MANIFEST)
-        if not os.path.exists(manifest_path):
+        fs = get_fs(path, spark)
+        manifest_path = fs_join(path, MANIFEST)
+        if not fs.exists(manifest_path):
             raise
-        with open(manifest_path) as f:
-            manifest = json.load(f)
+        manifest = json.loads(fs.read_text(manifest_path))
         schema_json = manifest.get("schema_json")
         if not schema_json:
             raise
@@ -406,15 +409,15 @@ def compact(
     verify intermediates before reclaiming space."""
     import math
 
+    fs = get_fs(path, spark)
     df = read_index(spark, path)
     # preserve the artifact's key-sorted segment contract: sort by the
     # manifest's unique_key, NOT whatever column happens to come first —
     # point-lookup pruning relies on parquet min/max stats over the key
     sort_key = None
-    manifest_path = os.path.join(path, MANIFEST)
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            sort_key = json.load(f).get("unique_key")
+    manifest_path = fs_join(path, MANIFEST)
+    if fs.exists(manifest_path):
+        sort_key = json.loads(fs.read_text(manifest_path)).get("unique_key")
     if sort_key is None or sort_key not in df.columns:
         sort_key = [c for c in df.columns if c != SHARD_COL][0]
     tmp = path.rstrip("/") + "._compact_tmp"
@@ -437,23 +440,21 @@ def compact(
     # over to the rewritten directory — the swap below discards the old dir
     # wholesale, and e.g. a lost manifest makes a later merge_into mistake
     # the artifact for absent
-    import shutil
-
-    for entry in os.listdir(path):
-        src = os.path.join(path, entry)
-        if os.path.isfile(src) and entry != "_SUCCESS":  # tmp has its own
-            shutil.copy2(src, os.path.join(tmp, entry))
+    for entry in fs.listdir(path):
+        src = fs_join(path, entry)
+        if not fs.isdir(src) and entry != "_SUCCESS":  # tmp has its own
+            fs.copy_file(src, fs_join(tmp, entry))
     # atomic-ish publish: swap directories (A21 rename-to-results analog)
     bak = path.rstrip("/") + "._old"
     if defer_deletion:
         i = 0
-        while os.path.exists(f"{bak}.{i}"):
+        while fs.exists(f"{bak}.{i}"):
             i += 1
         bak = f"{bak}.{i}"
-    shutil.move(path, bak)
-    shutil.move(tmp, path)
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
     if not defer_deletion:
-        shutil.rmtree(bak)
+        fs.delete(bak)
 
 
 def publish(staging_path: str, live_path: str) -> None:
@@ -462,19 +463,17 @@ def publish(staging_path: str, live_path: str) -> None:
     into an external serving system is a pluggable step; the engine's
     contract ends at an atomic table swap, like the reference's
     ``results/`` rename (MRIT:818-836)."""
-    import shutil
-
+    fs = get_fs(live_path)
     bak = None
-    if os.path.exists(live_path):
+    if fs.exists(live_path):
         bak = live_path.rstrip("/") + "._prev"
-        if os.path.exists(bak):
-            shutil.rmtree(bak)
-        shutil.move(live_path, bak)
-    shutil.move(staging_path, live_path)
-    with open(os.path.join(live_path, "_SUCCESS_PUBLISH"), "w") as f:
-        f.write("ok")
+        if fs.exists(bak):
+            fs.delete(bak)
+        fs.rename(live_path, bak)
+    fs.rename(staging_path, live_path)
+    fs.write_text(fs_join(live_path, "_SUCCESS_PUBLISH"), "ok")
     if bak:
-        shutil.rmtree(bak)
+        fs.delete(bak)
 
 
 ITERATION_FILE = "_ITERATION"
@@ -497,11 +496,11 @@ def merge_driver(
     exists for parity and for bounding per-task merge width at extreme file
     counts (the reference's mtree rationale, A19).  Returns iterations run.
     """
-    ckpt = os.path.join(path, ITERATION_FILE)
+    fs = get_fs(path, spark)
+    ckpt = fs_join(path, ITERATION_FILE)
     iteration = 0
-    if os.path.exists(ckpt):
-        with open(ckpt) as f:
-            iteration = int(f.read().strip() or 0)
+    if fs.exists(ckpt):
+        iteration = int(fs.read_text(ckpt).strip() or 0)
     ran = 0
     while True:
         counts = segment_counts(path)
@@ -512,20 +511,20 @@ def merge_driver(
         compact(spark, path, max_segments=target, defer_deletion=defer_deletion)
         iteration += 1
         ran += 1
-        with open(ckpt, "w") as f:
-            f.write(str(iteration))
-    if os.path.exists(ckpt):
-        os.remove(ckpt)
+        fs.write_text(ckpt, str(iteration))
+    if fs.exists(ckpt):
+        fs.delete(ckpt)
     return ran
 
 
 def segment_counts(path: str) -> dict[str, int]:
     """C7 introspection: data files per shard directory."""
+    fs = get_fs(path)
     out: dict[str, int] = {}
-    for entry in sorted(os.listdir(path)):
-        full = os.path.join(path, entry)
-        if os.path.isdir(full) and entry.startswith(f"{SHARD_COL}="):
+    for entry in fs.listdir(path):
+        full = fs_join(path, entry)
+        if entry.startswith(f"{SHARD_COL}=") and fs.isdir(full):
             out[entry] = len(
-                [f for f in os.listdir(full) if f.endswith(".parquet")]
+                [f for f in fs.listdir(full) if f.endswith(".parquet")]
             )
     return out

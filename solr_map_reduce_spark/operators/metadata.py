@@ -8,16 +8,15 @@ mr/HdfsFileFieldNames.java:25-40; URI decomposition mr/PathParts.java:31-133).
 
 Spark-first: everything except owner/permissions comes from the scan itself
 via the hidden ``_metadata`` struct (no extra I/O, no UDF).  POSIX
-owner/group/permission bits are not exposed by Spark's file index; when needed
-they come from a driver-side ``os.stat`` over the (small) file list, joined in
-broadcast — the file list is tiny relative to the data.
+owner/group/permission bits are not exposed by Spark's file index; when
+needed they are stat'ed EXECUTOR-side over the distinct-paths DataFrame
+(``mapInPandas``) and broadcast-joined back — the reference's mappers stat
+the filesystem the same way (every task sees the shared FS), and nothing is
+collected to the driver, so a 100M-file corpus costs a distributed pass
+over paths, not a driver loop.
 """
 
 from __future__ import annotations
-
-import os
-import stat
-from urllib.parse import urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -71,32 +70,55 @@ def enrich_file_metadata(df: DataFrame, with_posix: bool = False) -> DataFrame:
         .withColumn("base_id", url)
     )
     if with_posix:
-        spark = df.sparkSession
-        files = [r[0] for r in out.select("file_path").distinct().collect()]
-        rows = []
-        for f in files:
-            local = urlparse(f).path or f
-            try:
-                st = os.stat(local)
-                mode = st.st_mode
-                rows.append(
-                    (
-                        f,
-                        str(st.st_uid),
-                        str(st.st_gid),
-                        stat.filemode(mode)[1:4],
-                        stat.filemode(mode)[4:7],
-                        stat.filemode(mode)[7:10],
-                        bool(mode & stat.S_ISVTX),
-                    )
-                )
-            except OSError:
-                rows.append((f, None, None, None, None, None, None))
-        posix = spark.createDataFrame(
-            rows,
-            "file_path string, file_owner string, file_group string, "
-            "file_permissions_user string, file_permissions_group string, "
-            "file_permissions_other string, file_permissions_stickybit boolean",
-        )
+        posix = _posix_stats(out.select("file_path").distinct())
         out = out.join(F.broadcast(posix), "file_path", "left")
     return out
+
+
+_POSIX_SCHEMA = (
+    "file_path string, file_owner string, file_group string, "
+    "file_permissions_user string, file_permissions_group string, "
+    "file_permissions_other string, file_permissions_stickybit boolean"
+)
+
+
+def _posix_stats(paths_df: DataFrame) -> DataFrame:
+    """Distributed ``os.stat`` over a one-column ``file_path`` DataFrame.
+
+    Runs in ``mapInPandas`` so the stat calls happen where the tasks run
+    (valid whenever executors mount the same filesystem as the scan — local
+    mode, NFS, fuse mounts); unreachable paths yield null fields rather
+    than failing the job (B22 stance)."""
+
+    def stat_batches(batches):
+        import os
+        import stat as stat_mod
+        from urllib.parse import urlparse
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file_path"]:
+                local = urlparse(f).path or f
+                try:
+                    st = os.stat(local)
+                    mode = st.st_mode
+                    fm = stat_mod.filemode(mode)
+                    rows.append(
+                        (f, str(st.st_uid), str(st.st_gid),
+                         fm[1:4], fm[4:7], fm[7:10],
+                         bool(mode & stat_mod.S_ISVTX))
+                    )
+                except OSError:
+                    rows.append((f, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_path", "file_owner", "file_group",
+                    "file_permissions_user", "file_permissions_group",
+                    "file_permissions_other", "file_permissions_stickybit",
+                ],
+            )
+
+    return paths_df.mapInPandas(stat_batches, schema=_POSIX_SCHEMA)

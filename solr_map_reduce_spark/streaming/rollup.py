@@ -19,13 +19,11 @@ watermark is dropped upstream).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from solr_map_reduce_spark.fs import get_fs
 from solr_map_reduce_spark.functions.timestamps import ensure_instant
 
 ROLLUP_KEYS = ["window_start"]
@@ -87,16 +85,17 @@ def stream_rollup(
     stream = stream.withWatermark(ts_col, watermark)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        fs = get_fs(rollup_path, batch_df.sparkSession)
         partial = rollup_aggregate(batch_df, ts_col, value_col, window_duration, dims)
         current = None
-        if os.path.exists(rollup_path):
+        if fs.exists(rollup_path):
             current = batch_df.sparkSession.read.parquet(rollup_path)
         merged = merge_rollup(current, partial, dims)
         tmp = rollup_path.rstrip("/") + f"._rollup_tmp_{batch_id}"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(rollup_path):
-            shutil.rmtree(rollup_path)
-        shutil.move(tmp, rollup_path)
+        if fs.exists(rollup_path):
+            fs.delete(rollup_path)
+        fs.rename(tmp, rollup_path)
 
     writer = stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint

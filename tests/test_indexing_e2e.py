@@ -574,3 +574,53 @@ def test_compact_sorts_by_manifest_unique_key(spark, tmp_path):
     for f in glob.glob(f"{out}/shard=*/*.parquet"):
         ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
         assert ids == sorted(ids), f
+
+
+def test_artifact_lifecycle_over_hadoop_fs_uri(spark, tmp_path):
+    """Full mutation lifecycle against a file:// URI — every control-plane
+    operation runs through the Hadoop FileSystem abstraction rather than
+    POSIX calls (the reference mutates HDFS directly;
+    TreeMergeOutputFormat.java:131-234)."""
+    from solr_map_reduce_spark.fs import HadoopFS, get_fs
+    from solr_map_reduce_spark.indexing import publish
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("v", "long")),
+        unique_key="id",
+    )
+    rows = [(f"k{i:03d}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "id string, v long")
+    staging = f"file://{tmp_path}/staging"
+    live = f"file://{tmp_path}/live"
+    assert isinstance(get_fs(staging, spark), HadoopFS)
+
+    job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none",
+                                  max_records_per_file=40))
+    job.build(df, staging)
+    assert read_index(spark, staging).count() == 300
+
+    # incremental upsert through the URI
+    upd = spark.createDataFrame([("k001", 1000), ("znew", 7)], "id string, v long")
+    job2 = IndexJob(IndexJobConfig(schema=schema, shards=2,
+                                   dedup="retain_most_recent", order_field="v"))
+    job2.merge_into(upd, staging)
+    idx = read_index(spark, staging)
+    assert idx.count() == 301
+    assert idx.filter(F.col("id") == "k001").first()["v"] == 1000
+
+    # compaction + introspection through the URI
+    assert max(segment_counts(staging).values()) > 1
+    compact(spark, staging, max_segments=1)
+    assert set(segment_counts(staging).values()) == {1}
+
+    # delete-by-query through the URI (k001 was upserted to v=1000, so the
+    # matches are k000/k002/k003/k004)
+    n = job2.delete_where(spark, staging, F.col("v") < 5)
+    assert n == 4
+    assert read_index(spark, staging).count() == 297
+
+    # publish swap through the URI
+    publish(staging, live)
+    assert read_index(spark, live).count() == 297
+    assert get_fs(live, spark).exists(f"{live}/_SUCCESS_PUBLISH")

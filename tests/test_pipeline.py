@@ -117,16 +117,16 @@ def test_split_corrupt_noop_without_column(spark):
     assert bad is None and good.count() == 3
 
 
-def test_avro_gate_raises_clear_error(spark):
-    """B5 avro is env-gated: a missing spark-avro module raises a clear
-    ImportError (instead of an opaque AnalysisException at load time)."""
+def test_avro_falls_back_without_spark_avro(spark, tmp_path):
+    """B5 avro no longer env-gates: with spark-avro absent, read_input routes
+    to the pure-Python container decoder (tests/test_avro.py covers decode
+    correctness; here only the dispatch), and a path with no avro files
+    raises a clear error instead of silently returning nothing."""
+    import pytest as _pt
+
     from solr_map_reduce_spark.sources.readers import _avro_available, read_input
 
     if _avro_available(spark):
-        import pytest as _pt
-
         _pt.skip("spark-avro present in this environment")
-    import pytest as _pt
-
-    with _pt.raises(ImportError, match="spark-avro"):
-        read_input(spark, "/tmp/whatever", format="avro")
+    with _pt.raises(Exception, match="avro|PATH_NOT_FOUND|no .*files"):
+        read_input(spark, str(tmp_path / "missing"), format="avro").collect()
