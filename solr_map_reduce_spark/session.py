@@ -30,6 +30,13 @@ _ENGINE_DEFAULTS: dict[str, str] = {
     # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no ns type);
     # sources.load_table converts them to microsecond timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read isAdjustedToUTC=false parquet timestamps as TIMESTAMP, not
+    # TIMESTAMP_NTZ: with the session pinned UTC the instant is identical,
+    # event-time operators (watermarks, epoch arithmetic) require the
+    # instant type, and reading it natively keeps predicate pushdown on the
+    # column (load_table's cast fallback covers foreign sessions where this
+    # flag isn't set, at the cost of a projection).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Parquet niceties.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
