@@ -38,7 +38,11 @@ import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame
 
 from solr_map_reduce_spark.functions.analyzers import tokenize_text
-from solr_map_reduce_spark.functions.timestamps import SOLR_OUTPUT_FORMAT, convert_timestamp
+from solr_map_reduce_spark.functions.timestamps import (
+    SOLR_OUTPUT_FORMAT,
+    convert_timestamp,
+    parse_timestamp,
+)
 from solr_map_reduce_spark.operators.keys import generate_sequence_key
 from solr_map_reduce_spark.schema import IndexSchema
 
@@ -94,10 +98,19 @@ def op_convert_timestamp(
     input_formats: tuple[str, ...] = ("yyyy-MM-dd'T'HH:mm:ss'Z'",),
     input_timezone: str | None = None,
     output_format: str = SOLR_OUTPUT_FORMAT,
+    output_timezone: str | None = None,
 ) -> Transform:
-    return lambda df: df.withColumn(
-        field, convert_timestamp(F.col(field), input_formats, input_timezone, output_format)
-    )
+    """convertTimestamp (B8); ``output_timezone`` shifts the formatted wall
+    clock like the morphline's outputTimezone
+    (tutorialReadAvroContainer.conf:113-119)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        col = parse_timestamp(F.col(field), input_formats, input_timezone)
+        if output_timezone and output_timezone.upper() != "UTC":
+            col = F.from_utc_timestamp(col, output_timezone)
+        return df.withColumn(field, F.date_format(col, output_format))
+
+    return _t
 
 
 def op_tokenize(input_field: str, output_field: str, analyzer: str = "text_general") -> Transform:
