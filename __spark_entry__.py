@@ -124,6 +124,7 @@ _VERDICT_PRIORITY = [
     "setop_viewers_not_buyers", "ext_stratified_sample", "ext_quantile_filter",
     "ext_pack_sequences", "ext_redact_pii", "ext_profile",
     "ext_source_mixture", "ext_repetition", "ext_multimodal_decode",
+    "ext_decontaminate",
 ]
 
 

@@ -693,3 +693,57 @@ def ngram_jaccard_pairs(
     finally:
         hashed.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# train/test decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Flag training documents that share any token n-gram with an eval/test
+    corpus — the standard pre-training decontamination pass (n=13 is the
+    common benchmark-overlap window).
+
+    Returns ``(id_col, n_hits, contaminated)`` for every train doc, where
+    ``n_hits`` counts the distinct contaminated n-grams.  Filter on
+    ``~contaminated`` for the clean corpus.
+
+    Scale shape: the test corpus (benchmarks) is tiny next to a 100 TB train
+    set, so its distinct n-gram hashes BROADCAST; the train side explodes
+    to (id, gram_hash) rows — 8-byte hashes, never text — and the broadcast
+    inner join + per-id count never shuffles documents.  Docs shorter than
+    ``n`` tokens fall back to their whole-token-sequence gram (matching an
+    equally short test doc verbatim still counts); empty docs produce no
+    grams and are never contaminated.
+    """
+
+    def gram_hashes(df: DataFrame) -> F.Column:
+        toks = tokens_column(F.col(text_col))
+        sh = shingles_column(toks, n)
+        sh = F.when(F.size(toks) > 0, sh).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+
+    tr = ensure_parallelism(train).select(
+        F.col(id_col), F.explode_outer(gram_hashes(train)).alias("_g")
+    )
+    te = test.select(F.explode(gram_hashes(test)).alias("_g")).distinct()
+    hits = (
+        tr.join(F.broadcast(te), "_g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1042,6 +1042,51 @@ def ext_ngram_jaccard(spark, sf_dir):
     )
 
 
+_DECON_SQL = r"""
+WITH tr AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+), te AS (
+  SELECT list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id % 13 = 0
+), te_grams AS (
+  SELECT DISTINCT array_to_string(t[g:g+4], ' ') AS g
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS g
+        FROM te WHERE len(t) >= 5)
+  UNION
+  SELECT array_to_string(t, ' ') FROM te WHERE len(t) BETWEEN 1 AND 4
+), tr_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[g:g+4], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS g
+        FROM tr WHERE len(t) >= 5)
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') FROM tr WHERE len(t) BETWEEN 1 AND 4
+), hits AS (
+  SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hits
+  FROM tr_grams JOIN te_grams USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@_register(
+    "ext_decontaminate",
+    _DECON_SQL,
+    "train/test decontamination: flag train docs sharing any token 5-gram "
+    "with the eval split (every 13th doc); broadcast test-gram hashes, "
+    "hash-only shuffle",
+)
+def ext_decontaminate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 13 == 0).select("text")
+    return text_dedup.decontaminate(d, test, n=5)
+
+
 @_register(
     "ext_simhash_pairs",
     None,  # hamming-ball blocking (pigeonhole chunks); proven complete vs
