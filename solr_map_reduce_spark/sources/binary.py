@@ -204,6 +204,50 @@ _EXTRACT_SCHEMA = T.StructType(
     ]
 )
 
+_HEADER_LINE = None  # compiled lazily executor-side (regex import cost)
+_RFC822_HEADERS = {
+    "from", "to", "subject", "received", "message-id", "date",
+    "return-path", "delivered-to", "reply-to", "mime-version",
+}
+
+
+def _extract_rfc822(s: str) -> str | None:
+    """Parse an RFC822 message: headers-of-interest + preferred text body.
+
+    Returns None unless the payload both starts with a header line AND
+    carries at least two well-known mail headers — random prose or
+    colon-containing text doesn't qualify."""
+    global _HEADER_LINE
+    import email
+    import email.policy
+    import re
+
+    if _HEADER_LINE is None:
+        _HEADER_LINE = re.compile(r"^[A-Za-z][A-Za-z0-9-]*:\s")
+    if not _HEADER_LINE.match(s.split("\n", 1)[0]):
+        return None
+    try:
+        msg = email.message_from_string(s, policy=email.policy.default)
+    except Exception:
+        return None
+    if sum(1 for k in msg.keys() if k.lower() in _RFC822_HEADERS) < 2:
+        return None
+    lines = [f"{h}: {msg[h]}" for h in ("From", "To", "Subject", "Date") if msg[h]]
+    body = None
+    try:
+        part = msg.get_body(preferencelist=("plain", "html"))
+        if part is not None:
+            body = part.get_content()
+    except Exception:
+        body = None
+    if body is None:
+        payload = msg.get_payload(decode=True)
+        if isinstance(payload, bytes):
+            body = payload.decode("utf-8", "replace")
+        elif isinstance(payload, str):
+            body = payload
+    return "\n".join(lines) + "\n\n" + (body or "")
+
 
 def extract_content(
     df: DataFrame, content_col: str = "content", impl: str = "builtin"
@@ -214,8 +258,11 @@ def extract_content(
     ``impl="tika"`` is the real-parser slot (PDF/DOC/XLS/…); the lib is not
     in this container so it raises NotImplementedError — the plumbing
     (schema, Arrow batching, column wiring) is identical for both impls.
-    The builtin impl decodes UTF-8 text payloads and types the rest by
-    magic, which covers the reference's text/CSV/XML test corpus shapes.
+    The builtin impl decodes UTF-8 text payloads, parses RFC822 email
+    (stdlib ``email`` — the solrCellDocumentTypes.conf:251 mbox/message
+    parser slot; headers + preferred text body become the content text),
+    and types the rest by magic — covering the reference's
+    text/CSV/XML/eml test corpus shapes.
     """
     if impl == "tika":
         raise NotImplementedError(
@@ -237,7 +284,12 @@ def extract_content(
             lengths.append(len(b))
             try:
                 s = b.decode("utf-8")
+                mail = _extract_rfc822(s)
                 head = s.lstrip()[:64].lower()
+                if mail is not None:
+                    types.append("message/rfc822")
+                    texts.append(mail)
+                    continue
                 if head.startswith("<?xml"):
                     types.append("application/xml")
                 elif head.startswith(("<html", "<!doct")):

@@ -155,3 +155,41 @@ def test_pipeline_shape_binaryfile_to_index(spark, tmp_path):
     )
     got = {r["path"].rsplit("/", 1)[-1]: r["content_text"] for r in out.collect()}
     assert got == {"a.txt.gz": "doc one body", "b.txt": "doc two body"}
+
+
+def test_extract_rfc822_email(spark):
+    """B11 builtin parser handles message/rfc822 (the reference's
+    mbox/message parser slot, solrCellDocumentTypes.conf:251), golden-tested
+    on the reference's own email fixture."""
+    import os
+
+    from solr_map_reduce_spark.sources.binary import extract_content
+
+    fixture = (
+        "/root/reference/morphlines-core/src/test/resources/test-documents/testRFC822"
+    )
+    if not os.path.exists(fixture):
+        import pytest
+
+        pytest.skip("reference fixture absent")
+    df = spark.read.format("binaryFile").load(fixture)
+    row = extract_content(df).select(
+        "content_type", "content_text"
+    ).first()
+    assert row["content_type"] == "message/rfc822"
+    assert "Subject: [jira] Commented: (TIKA-461)" in row["content_text"]
+    assert "mime4j" in row["content_text"]  # body survived
+
+
+def test_extract_plain_text_not_misdetected_as_email(spark):
+    from solr_map_reduce_spark.sources.binary import extract_content
+
+    df = spark.createDataFrame(
+        [
+            (bytearray("note: this has a colon\nbut is not mail".encode()),),
+            (bytearray(b"plain words only"),),
+        ],
+        "content binary",
+    )
+    got = [r["content_type"] for r in extract_content(df).collect()]
+    assert got == ["text/plain", "text/plain"]
