@@ -155,3 +155,38 @@ def test_read_avro_distributed_over_files(spark, tmp_path):
         )
     df = read_avro(spark, str(tmp_path))
     assert df.count() == 40
+
+
+def test_deflate_codec_container():
+    import zlib
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "s", "type": "string"}, {"name": "n", "type": "long"}],
+    }
+    recs = [_enc_str(f"row{i}") + _zz(i * 10) for i in range(50)]
+    body = b"".join(recs)
+    compressed = zlib.compress(body)[2:-4]  # raw deflate: strip zlib header+adler
+    sync = b"S" * 16
+    header = b"Obj\x01"
+    header += _zz(2)
+    header += _enc_str("avro.schema") + _enc_str(json.dumps(schema))
+    header += _enc_str("avro.codec") + _zz(7) + b"deflate"
+    header += _zz(0) + sync
+    data = header + _zz(50) + _zz(len(compressed)) + compressed + sync
+    rows = list(iter_records(data))
+    assert len(rows) == 50
+    assert rows[7] == {"s": "row7", "n": 70}
+
+
+def test_unsupported_codec_raises():
+    schema = {"type": "record", "name": "R", "fields": [{"name": "s", "type": "string"}]}
+    sync = b"S" * 16
+    header = b"Obj\x01" + _zz(2)
+    header += _enc_str("avro.schema") + _enc_str(json.dumps(schema))
+    header += _enc_str("avro.codec") + _zz(6) + b"snappy"
+    header += _zz(0) + sync
+    data = header + _zz(1) + _zz(3) + b"xxx" + sync
+    with pytest.raises(ValueError, match="snappy"):
+        list(iter_records(data))
