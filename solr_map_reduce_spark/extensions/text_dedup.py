@@ -723,16 +723,16 @@ def decontaminate(
     grams and are never contaminated.
     """
 
-    def gram_hashes(df: DataFrame) -> F.Column:
+    def gram_hashes() -> F.Column:
         toks = tokens_column(F.col(text_col))
         sh = shingles_column(toks, n)
         sh = F.when(F.size(toks) > 0, sh).otherwise(F.array().cast("array<string>"))
         return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
 
     tr = ensure_parallelism(train).select(
-        F.col(id_col), F.explode_outer(gram_hashes(train)).alias("_g")
+        F.col(id_col), F.explode(gram_hashes()).alias("_g")
     )
-    te = test.select(F.explode(gram_hashes(test)).alias("_g")).distinct()
+    te = test.select(F.explode(gram_hashes()).alias("_g")).distinct()
     hits = (
         tr.join(F.broadcast(te), "_g")
         .groupBy(id_col)

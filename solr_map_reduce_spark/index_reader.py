@@ -21,7 +21,6 @@ work of the inverted index:
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Mapping, Sequence
 
 import pyspark.sql.functions as F
@@ -46,8 +45,11 @@ class SearchIndex:
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SearchIndex":
-        with open(os.path.join(path, MANIFEST)) as f:
-            manifest = json.load(f)
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        fs = get_fs(path, spark)
+        manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
         return cls(spark, path, manifest)
 
     def df(self) -> DataFrame:
@@ -150,8 +152,11 @@ class SearchIndex:
             .partitionBy(SHARD_COL)
             .parquet(out_path)
         )
-        with open(os.path.join(out_path, MANIFEST), "w") as f:
-            json.dump(self.manifest, f, indent=2)
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        fs = get_fs(out_path, self.spark)
+        fs.write_text(fs_join(out_path, MANIFEST), json.dumps(self.manifest, indent=2))
         return SearchIndex.open(self.spark, out_path)
 
     # -- C7 ------------------------------------------------------------

@@ -457,13 +457,24 @@ def compact(
         fs.delete(bak)
 
 
-def publish(staging_path: str, live_path: str) -> None:
+def publish(staging_path: str, live_path: str, spark: SparkSession | None = None) -> None:
     """A21/A22 publish: atomically promote a staged artifact to the live
     location (rename-swap + _SUCCESS marker) — the go-live analog.  Merging
     into an external serving system is a pluggable step; the engine's
     contract ends at an atomic table swap, like the reference's
-    ``results/`` rename (MRIT:818-836)."""
-    fs = get_fs(live_path)
+    ``results/`` rename (MRIT:818-836).
+
+    Both paths must live on the same filesystem kind — a rename cannot span
+    filesystems (neither can the reference's results/ rename); copy first
+    for a cross-FS promote."""
+    fs = get_fs(live_path, spark)
+    fs_src = get_fs(staging_path, spark)
+    if type(fs) is not type(fs_src):
+        raise ValueError(
+            f"publish needs staging and live on the same filesystem kind; "
+            f"got {type(fs_src).__name__} -> {type(fs).__name__} "
+            f"({staging_path!r} -> {live_path!r}) — copy across first"
+        )
     bak = None
     if fs.exists(live_path):
         bak = live_path.rstrip("/") + "._prev"

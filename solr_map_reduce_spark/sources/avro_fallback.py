@@ -235,13 +235,26 @@ def iter_records(data: bytes) -> Iterator[dict]:
             yield decode_value(bcur, schema)
 
 
-def read_avro_schema(spark: SparkSession, paths: str | Sequence[str]) -> T.StructType:
-    """Writer schema of the first container file, as a Spark schema.
+def read_avro_schema(
+    spark: SparkSession, paths: str | Sequence[str], **options
+) -> T.StructType:
+    """Writer schema of the lexicographically-first container file, as a
+    Spark schema.
 
     One file's header travels to the driver (bounded: headers are tiny, but
     binaryFile materializes the full content row — acceptable for schema
-    inference on a single file)."""
-    first = _binary_scan(spark, paths).select("content").limit(1).collect()
+    inference on a single file).  The min-path choice makes the inferred
+    schema deterministic across runs; with schema evolution across files,
+    records decode with their OWN writer schema but only the inferred
+    file's fields are projected — pass ``schema=`` explicitly to read a
+    union of fields."""
+    first = (
+        _binary_scan(spark, paths, **options)
+        .select("path", "content")
+        .orderBy("path")
+        .limit(1)
+        .collect()
+    )
     if not first:
         raise FileNotFoundError(f"no avro files under {paths!r}")
     schema, _, _, _ = parse_header(bytes(first[0]["content"]))
@@ -251,8 +264,13 @@ def read_avro_schema(spark: SparkSession, paths: str | Sequence[str]) -> T.Struc
     return spark_type
 
 
-def _binary_scan(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+def _binary_scan(spark: SparkSession, paths: str | Sequence[str], **options) -> DataFrame:
     reader = spark.read.format("binaryFile")
+    if options:
+        # scan-level options the native source would honour (pathGlobFilter,
+        # recursiveFileLookup, modifiedAfter/Before, ...) apply to the
+        # binaryFile scan; avro-specific reader options have no equivalent
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
     if isinstance(paths, str):
         paths = [paths]
     return reader.load(list(paths))
@@ -262,9 +280,10 @@ def read_avro(
     spark: SparkSession,
     paths: str | Sequence[str],
     schema: T.StructType | None = None,
+    **options,
 ) -> DataFrame:
     """readAvroContainer without spark-avro: distributed per-file decode."""
-    out_schema = schema or read_avro_schema(spark, paths)
+    out_schema = schema or read_avro_schema(spark, paths, **options)
     names = out_schema.fieldNames()
 
     def _decode(batches):
@@ -281,7 +300,7 @@ def read_avro(
                 )
 
     return (
-        _binary_scan(spark, paths)
+        _binary_scan(spark, paths, **options)
         .select("content")
         .mapInPandas(_decode, schema=out_schema)
     )

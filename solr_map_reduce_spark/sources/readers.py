@@ -87,13 +87,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import pyspark.sql.functions as F
     import pyspark.sql.types as T
 
+    from solr_map_reduce_spark.functions.timestamps import ensure_instant
+
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    return ensure_instant(df, *[f.name for f in df.schema.fields])
 
 
 def read_input(
@@ -126,7 +125,7 @@ def read_input(
                 "fallback decoder re-shapes rows in mapInPandas, after which "
                 "the scan's _metadata struct is gone"
             )
-        return read_avro(spark, paths, schema=schema)
+        return read_avro(spark, paths, schema=schema, **options)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)

@@ -190,3 +190,17 @@ def test_unsupported_codec_raises():
     data = header + _zz(1) + _zz(3) + b"xxx" + sync
     with pytest.raises(ValueError, match="snappy"):
         list(iter_records(data))
+
+
+def test_read_avro_path_glob_filter(spark, tmp_path):
+    """Scan-level options reach the binaryFile scan (a stray non-avro file
+    is filtered out instead of crashing the decode)."""
+    import shutil
+
+    shutil.copy(
+        os.path.join(FIXTURES, "sample-statuses-20120906-141433.avro"),
+        tmp_path / "good.avro",
+    )
+    (tmp_path / "stray.txt").write_text("not avro")
+    df = read_avro(spark, str(tmp_path), pathGlobFilter="*.avro")
+    assert df.count() == 2

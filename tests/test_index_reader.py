@@ -132,3 +132,24 @@ def test_knn_over_artifact(spark, tmp_path):
     q = np.asarray(query)
     want = sorted(mat, key=lambda i: (-float(mat[i] @ q / (np.linalg.norm(mat[i]) * np.linalg.norm(q))), i))[:5]
     assert [r["id"] for r in odd_only] == want
+
+
+def test_search_index_opens_uri_artifact(spark, tmp_path):
+    """The read-side C1-C7 surface opens artifacts at URIs through the FS
+    abstraction, same as the write side."""
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("v", "long")),
+        unique_key="id",
+    )
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(50)], "id string, v long")
+    path = f"file://{tmp_path}/uri_idx"
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(df, path)
+    idx = SearchIndex.open(spark, path)
+    assert idx.count() == 50
+    assert idx.get("k7").first()["v"] == 7
