@@ -244,3 +244,71 @@ def test_repetition_score_flags_degenerate_text(spark):
     assert out[1]["total_ngrams"] == 6 and out[1]["dup_frac"] == 5 / 6
     assert out[2]["dup_frac"] == 0.0
     assert out[3]["total_ngrams"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_builtin_image_metadata_real_formats(spark):
+    """impl='builtin' parses REAL container headers — dimensions crafted
+    independently here, plus the reference's real PNG fixture."""
+    import os
+    import struct
+    import zlib as _zlib
+
+    from solr_map_reduce_spark.extensions.multimodal import decode_image
+
+    ihdr = struct.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr))
+    )
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (15).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 4
+    pgm = b"P5\n# c\n77 55\n255\n" + b"\x00" * 10
+    rows = [("png", bytearray(png)), ("jpg", bytearray(jpeg)),
+            ("gif", bytearray(gif)), ("pgm", bytearray(pgm)),
+            ("junk", bytearray(b"\x00\x01\x02"))]
+    ref_png = "/root/reference/morphlines-core/src/test/resources/test-documents/testPNG.png"
+    if os.path.exists(ref_png):
+        rows.append(("refpng", bytearray(open(ref_png, "rb").read())))
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    got = {r["media_id"]: r for r in decode_image(df, impl="builtin").collect()}
+    assert (got["png"]["width"], got["png"]["height"], got["png"]["mode"],
+            got["png"]["format"]) == (320, 200, "RGB", "PNG")
+    assert (got["jpg"]["width"], got["jpg"]["height"], got["jpg"]["format"]) == (640, 480, "JPEG")
+    assert (got["gif"]["width"], got["gif"]["height"]) == (12, 34)
+    assert (got["pgm"]["width"], got["pgm"]["height"], got["pgm"]["mode"]) == (77, 55, "L")
+    assert got["junk"]["width"] is None and got["junk"]["format"] is None
+    if "refpng" in got:
+        assert got["refpng"]["format"] == "PNG"
+        assert got["refpng"]["width"] > 0 and got["refpng"]["height"] > 0
+
+
+def test_builtin_audio_metadata_wav(spark):
+    """impl='builtin' really decodes WAV via the stdlib reader; the fixture
+    is written with the stdlib writer (independent of the parse path)."""
+    import io
+    import wave as wave_mod
+
+    from solr_map_reduce_spark.extensions.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 2 * 8000)  # 0.5 s stereo
+    df = spark.createDataFrame(
+        [("wav", bytearray(buf.getvalue())), ("junk", bytearray(b"not audio"))],
+        "media_id string, content binary",
+    )
+    got = {r["media_id"]: r for r in decode_audio(df, impl="builtin").collect()}
+    assert got["wav"]["sample_rate"] == 16000
+    assert got["wav"]["n_channels"] == 2
+    assert abs(got["wav"]["duration_s"] - 0.5) < 1e-6
+    assert got["wav"]["codec"] == "pcm_s16le"
+    assert got["junk"]["sample_rate"] is None
