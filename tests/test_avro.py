@@ -204,3 +204,56 @@ def test_read_avro_path_glob_filter(spark, tmp_path):
     (tmp_path / "stray.txt").write_text("not avro")
     df = read_avro(spark, str(tmp_path), pathGlobFilter="*.avro")
     assert df.count() == 2
+
+
+# -- property-based round-trip (hypothesis) ----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _enc_value(v, typ):
+    """Encode one value per the Avro spec (independent of the decoder)."""
+    if typ == "string":
+        return _enc_str(v)
+    if typ == "long":
+        return _zz(v)
+    if typ == "double":
+        return struct.pack("<d", v)
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "bytes":
+        return _zz(len(v)) + v
+    raise AssertionError(typ)
+
+
+_FIELD_TYPES = {
+    "string": st.text(max_size=40),
+    "long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "double": st.floats(allow_nan=False, allow_infinity=False),
+    "boolean": st.booleans(),
+    "bytes": st.binary(max_size=30),
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_roundtrip_random_records(data):
+    n_fields = data.draw(st.integers(min_value=1, max_value=6))
+    types = [data.draw(st.sampled_from(sorted(_FIELD_TYPES))) for _ in range(n_fields)]
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": f"f{i}", "type": t} for i, t in enumerate(types)],
+    }
+    n_records = data.draw(st.integers(min_value=0, max_value=8))
+    records = [
+        {f"f{i}": data.draw(_FIELD_TYPES[t]) for i, t in enumerate(types)}
+        for _ in range(n_records)
+    ]
+    encoded = [
+        b"".join(_enc_value(r[f"f{i}"], t) for i, t in enumerate(types))
+        for r in records
+    ]
+    got = list(iter_records(_container(schema, encoded)))
+    assert got == records
