@@ -84,6 +84,44 @@ def enrich_stream(
     return stream.join(dim, on=on, how=how)
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    the right events of the same key arriving within ``[left_ts, left_ts +
+    max_delay]`` — the impressions⋈clicks attribution pattern, and the
+    streaming face of the batch :func:`~..operators.range_join.range_join`.
+
+    Both sides carry watermarks AND the join predicate bounds event-time
+    distance, so Spark's state store evicts buffered rows once the
+    watermark passes the join window — state is O(in-flight window), not
+    O(stream).  Right-side columns come back suffixed (the two streams
+    usually share ``ts``/key names)."""
+    l = ensure_instant(left, left_ts).withWatermark(left_ts, watermark)
+    renamed = right
+    for c in right.columns:
+        renamed = renamed.withColumnRenamed(c, f"{c}{suffix}")
+    r = ensure_instant(renamed, f"{right_ts}{suffix}").withWatermark(
+        f"{right_ts}{suffix}", watermark
+    )
+    cond = (
+        (F.col(on) == F.col(f"{on}{suffix}"))
+        & (F.col(f"{right_ts}{suffix}") >= F.col(left_ts))
+        & (
+            F.col(f"{right_ts}{suffix}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner").drop(f"{on}{suffix}")
+
+
 def windowed_event_counts(
     stream: DataFrame,
     event_time_col: str = "ts",

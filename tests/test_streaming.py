@@ -141,3 +141,49 @@ def test_enrich_stream_matches_batch_join(spark, sf_dir, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (views ⋈ clicks within 30 min per user)
+    drained via availableNow equals the batch join+filter answer."""
+    from solr_map_reduce_spark.sources.readers import load_table
+    from solr_map_reduce_spark.streaming.ingest import interval_join_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").limit(400)
+    clicks = events.filter(F.col("event_type") == "click").limit(400)
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.write.parquet(vdir)
+    clicks.write.parquet(cdir)
+
+    lstream = spark.readStream.schema(views.schema).parquet(vdir)
+    rstream = spark.readStream.schema(clicks.schema).parquet(cdir)
+    joined = interval_join_stream(
+        lstream, rstream, on="user_id", max_delay="30 minutes", watermark="1 hour"
+    )
+    out = str(tmp_path / "joined")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    v, c = views.alias("v"), clicks.alias("c")
+    want_df = v.join(
+        c,
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("v.ts"))
+        & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 30 minutes")),
+    ).select(F.col("v.event_id"), F.col("c.event_id").alias("event_id_r"))
+    want = {(r["event_id"], r["event_id_r"]) for r in want_df.collect()}
+    assert got == want
+    assert want  # fixture must actually produce matches
