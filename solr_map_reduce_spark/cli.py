@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                      "(same-key docs replaced per the resolver, new keys "
                      "appended, only touched shards rewritten — the "
                      "reference tool's rerun-over-existing-output behavior)")
+    idx.add_argument("--morphline-file", default=None,
+                     help="HOCON morphline config; its read command sets the "
+                          "input format and its commands run as the ETL "
+                          "pipeline (the reference's --morphline-file)")
+    idx.add_argument("--morphline-id", default=None,
+                     help="which morphline in the config (default: first)")
     idx.add_argument("--with-file-metadata", action="store_true",
                      help="attach file_* header columns (A6)")
 
@@ -202,9 +208,23 @@ def main(argv: list[str] | None = None) -> int:
     from solr_map_reduce_spark.sources.readers import read_input
 
     schema = load_schema(args.schema)
-    df = read_input(spark, args.input, format=args.format)
+    pipeline = None
+    fmt = args.format
+    if args.morphline_file:
+        from solr_map_reduce_spark.plans.hocon import compile_morphline
+
+        with open(args.morphline_file) as f:
+            compiled = compile_morphline(
+                f.read(), schema=schema, morphline_id=args.morphline_id
+            )
+        pipeline = compiled.pipeline
+        if compiled.input_format:
+            fmt = compiled.input_format
+    df = read_input(spark, args.input, format=fmt)
     if args.with_file_metadata:
         df = enrich_file_metadata(df)
+    if pipeline is not None:
+        df = pipeline.run(df)
     job = IndexJob(
         IndexJobConfig(
             schema=schema,

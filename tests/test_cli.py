@@ -220,3 +220,46 @@ def test_cli_profile(capsys, sf_dir):
     rec = _json.loads(line)
     assert rec["column"] == "user_id" and rec["nulls"] == 0
     assert int(rec["distinct_cnt"]) > 0
+
+
+def test_cli_index_with_morphline_file(spark, tmp_path, capsys):
+    """The reference tool's --morphline-file flag: the tutorial HOCON config
+    drives format + ETL, end-to-end through the CLI onto its avro fixture."""
+    import os
+
+    fixture = (
+        "/root/reference/morphlines-core/src/test/resources/test-documents/"
+        "sample-statuses-20120906-141433.avro"
+    )
+    conf = (
+        "/root/reference/morphlines-core/src/test/resources/test-morphlines/"
+        "tutorialReadAvroContainer.conf"
+    )
+    if not os.path.exists(fixture):
+        import pytest
+
+        pytest.skip("reference fixtures absent")
+    schema_path = tmp_path / "tutorial_schema.json"
+    schema_path.write_text(json.dumps({
+        "unique_key": "id",
+        "fields": [
+            {"name": "id", "required": True},
+            {"name": "text"},
+            {"name": "user_screen_name"},
+            {"name": "created_at"},
+        ],
+    }))
+    out = str(tmp_path / "tutorial_idx")
+    rc = cli.main([
+        "index", "--input", fixture, "--schema", str(schema_path),
+        "--output", out, "--morphline-file", conf,
+        "--morphline-id", "morphline1", "--shards", "2", "--dedup", "none",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["unique_key"] == "id"
+    from solr_map_reduce_spark.indexing import read_index
+
+    idx = read_index(spark, out)
+    assert idx.count() == 2
+    assert set(idx.columns) >= {"id", "text", "created_at"}
