@@ -139,3 +139,32 @@ def test_source_mixture_single_exchange_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "text" not in scan  # mixture schedule never reads document bodies
+
+
+def test_decontaminate_broadcasts_test_grams(spark, sf_dir):
+    """The test corpus's gram set must broadcast (tiny vs 100 TB train) and
+    the join must never be a cartesian."""
+    plan = _plan(spark, sf_dir, "ext_decontaminate")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Cartesian" not in plan
+
+
+def test_avro_fallback_is_distributed_scan(spark, tmp_path):
+    """The avro fallback plan is binaryFile scan → mapInPandas — no
+    collect-and-parallelize, so files decode where the tasks run."""
+    import os
+    import shutil
+
+    fixture = (
+        "/root/reference/morphlines-core/src/test/resources/test-documents/"
+        "sample-statuses-20120906-141433.avro"
+    )
+    if not os.path.exists(fixture):
+        pytest.skip("reference fixtures absent")
+    from solr_map_reduce_spark.sources.avro_fallback import read_avro
+
+    shutil.copy(fixture, tmp_path / "a.avro")
+    df = read_avro(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan binaryFile" in plan
+    assert "MapInPandas" in plan
