@@ -1,0 +1,84 @@
+"""Incremental MinHash index: per-batch dedup must agree with the one-shot
+pipeline (same seed ⇒ same signatures ⇒ same candidates ⇒ same verified
+pairs), and the dedup-ingest pattern must drop exactly the duplicates."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.extensions.minhash_index import MinHashIndex, MinHashParams
+from solr_map_reduce_spark.extensions.text_dedup import minhash_dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(copies).localCheckpoint(eager=True)
+
+
+def test_incremental_match_equals_one_shot(spark, corpus, tmp_path):
+    half_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    half_b = corpus.filter(F.col("doc_id") % 2 == 1)
+    a_ids = {r["doc_id"] for r in half_a.select("doc_id").collect()}
+
+    idx = MinHashIndex.create(spark, str(tmp_path / "mhidx"))
+    idx.add(half_a)
+    got_pairs = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in idx.match(half_b, threshold=0.5).collect()
+    }
+
+    one_shot = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in minhash_dedup(corpus, threshold=0.5).collect()
+    }
+    # match(B) sees intra-B and A↔B pairs; A-internal pairs are history
+    want = {p for p in one_shot if not p <= a_ids}
+    assert got_pairs == want
+    assert want, "fixture must produce cross/intra-batch duplicate pairs"
+
+
+def test_match_kinds_and_reopen(spark, corpus, tmp_path):
+    path = str(tmp_path / "mhidx2")
+    half_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    half_b = corpus.filter(F.col("doc_id") % 2 == 1)
+    MinHashIndex.create(spark, path).add(half_a)
+    # reopen from the manifest — params persist
+    idx = MinHashIndex.open(spark, path)
+    assert idx.params == MinHashParams()
+    pairs = idx.match(half_b, threshold=0.5)
+    kinds = {r["match_kind"] for r in pairs.select("match_kind").distinct().collect()}
+    assert kinds <= {"intra", "corpus"}
+    b_ids = {r["doc_id"] for r in half_b.select("doc_id").collect()}
+    for r in pairs.collect():
+        assert r["id_a"] in b_ids
+        if r["match_kind"] == "corpus":
+            assert r["id_b"] not in b_ids
+        else:
+            assert r["id_b"] in b_ids and r["id_a"] < r["id_b"]
+
+
+def test_add_unique_drops_duplicates(spark, corpus, tmp_path):
+    idx = MinHashIndex.create(spark, str(tmp_path / "mhidx3"))
+    base = corpus.filter(F.col("doc_id") < 1_000_000)
+    n1, pairs1 = idx.add_unique(base, threshold=0.9)
+    # greedy min-id-wins within the batch: survivors = all minus the ids
+    # that lose (appear as the larger id) in some one-shot near-dup pair
+    losers = {
+        r["id_b"] for r in minhash_dedup(base, threshold=0.9).collect()
+    }
+    assert n1 == base.count() - len(losers)
+
+    # re-ingesting exact copies under new ids indexes NOTHING new
+    copies = base.withColumn("doc_id", F.col("doc_id") + F.lit(5_000_000))
+    n2, pairs2 = idx.add_unique(copies, threshold=0.9)
+    assert n2 == 0
+    assert pairs2.filter(F.col("match_kind") == "corpus").count() >= base.count()
+
+
+def test_empty_index_matches_nothing_cross(spark, corpus, tmp_path):
+    idx = MinHashIndex.create(spark, str(tmp_path / "mhidx4"))
+    pairs = idx.match(corpus.limit(50), threshold=0.5)
+    assert pairs.filter(F.col("match_kind") == "corpus").count() == 0
