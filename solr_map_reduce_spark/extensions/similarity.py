@@ -188,12 +188,74 @@ class IvfIndex:
     ) -> DataFrame:
         """Top-k within the nprobe buckets nearest to the query — at scale a
         partition-pruned scan when the assigned table is partitioned by
-        bucket."""
+        bucket (see :meth:`save` / :meth:`search_stored`)."""
         q = np.asarray(query, dtype=np.float64)
         d = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
         probe = [int(b) for b in d.argsort()[:nprobe]]
         pruned = assigned.filter(F.col(bucket_col).isin(probe))
         return cosine_topk(pruned, query, k, self.id_col, self.vec_col)
+
+    # -- persistence: the serving shape -------------------------------
+    MANIFEST = "_IVF_MANIFEST.json"
+
+    def save(self, path: str, assigned: DataFrame | None = None,
+             bucket_col: str = "bucket") -> None:
+        """Persist the index: centroids (KBs of JSON) + optionally the
+        assigned vector table written ``partitionBy(bucket)`` — the layout
+        that makes :meth:`search_stored` a partition-pruned scan reading
+        only nprobe of the bucket directories."""
+        import json
+
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        spark = assigned.sparkSession if assigned is not None else None
+        fs = get_fs(path, spark)
+        fs.mkdirs(path)
+        if assigned is not None:
+            assigned.write.mode("overwrite").partitionBy(bucket_col).parquet(
+                fs_join(path, "vectors")
+            )
+        fs.write_text(
+            fs_join(path, self.MANIFEST),
+            json.dumps(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                    "bucket_col": bucket_col,
+                }
+            ),
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        fs = get_fs(path, spark)
+        m = json.loads(fs.read_text(fs_join(path, cls.MANIFEST)))
+        return cls(np.asarray(m["centroids"]), m["id_col"], m["vec_col"])
+
+    def search_stored(
+        self,
+        spark,
+        path: str,
+        query: Sequence[float],
+        k: int = 10,
+        nprobe: int = 2,
+        bucket_col: str = "bucket",
+    ) -> DataFrame:
+        """Top-k over a saved index: the ``bucket isin(probe)`` filter hits
+        the partition column, so only nprobe bucket directories are read —
+        the IVF promise (touch 1/n_centroids of the data per probe) made
+        physical."""
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        assigned = spark.read.parquet(fs_join(path, "vectors"))
+        return self.search(assigned, query, k, nprobe, bucket_col)
 
 
 def cosine_pairs_lsh(

@@ -82,3 +82,30 @@ def test_empty_index_matches_nothing_cross(spark, corpus, tmp_path):
     idx = MinHashIndex.create(spark, str(tmp_path / "mhidx4"))
     pairs = idx.match(corpus.limit(50), threshold=0.5)
     assert pairs.filter(F.col("match_kind") == "corpus").count() == 0
+
+
+def test_ivf_index_save_load_search_stored(spark, sf_dir, tmp_path):
+    """Persisted IVF index: stored search partition-prunes to the probed
+    buckets and, with all buckets probed, equals brute-force top-k."""
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex, cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = e.orderBy("vec_id").select("embedding").first()["embedding"]
+    idx = IvfIndex.fit(e, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path, assigned=idx.assign(e))
+
+    reloaded = IvfIndex.load(spark, path)
+    assert reloaded.centroids.shape == idx.centroids.shape
+
+    # all buckets probed == exact brute force
+    got = [r["vec_id"] for r in
+           reloaded.search_stored(spark, path, qvec, k=10, nprobe=8).collect()]
+    want = [r["vec_id"] for r in cosine_topk(e, qvec, k=10).collect()]
+    assert got == want
+
+    # pruned probe reads only the probed bucket directories
+    pruned = reloaded.search_stored(spark, path, qvec, k=10, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert len(pruned.collect()) == 10
