@@ -53,6 +53,27 @@ def contains_any(
     return staged.filter(cond).select(id_col)
 
 
+def match_phrase(
+    df: DataFrame, phrase: str, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact consecutive-token phrase query (Solr's analyzed phrase query
+    with slop 0): the phrase's tokens must appear adjacently, under the
+    same analysis as the index side.
+
+    Implementation stays in whole-stage codegen: tokens contain no spaces,
+    so a single-space token join padded with spaces turns token-adjacency
+    into plain substring containment — no higher-order array scan."""
+    import re
+
+    terms = re.findall(r"[^\W_]+", phrase.lower(), flags=re.UNICODE)
+    if not terms:
+        raise ValueError(f"phrase {phrase!r} has no tokens")
+    needle = " " + " ".join(terms) + " "
+    toks = tokens_column(F.col(text_col))
+    hay = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    return df.filter(hay.contains(needle)).select(id_col)
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: Sequence[str],

@@ -1238,6 +1238,18 @@ def c9_contains_any(spark, sf_dir):
     return search.contains_any(t(spark, sf_dir, "documents"), ["spark", "shuffle"])
 
 
+@_register(
+    "c9_match_phrase",
+    f"""SELECT doc_id FROM (
+          SELECT doc_id, ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS hay
+          FROM documents)
+        WHERE contains(hay, ' table hash ')""",
+    "C9 analyzed phrase query (slop 0): consecutive-token match",
+)
+def c9_match_phrase(spark, sf_dir):
+    return search.match_phrase(t(spark, sf_dir, "documents"), "table hash")
+
+
 _BM25_TERMS = ["spark", "vector", "merge"]
 
 

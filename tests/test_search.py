@@ -82,3 +82,29 @@ def test_bm25_exact_sum_stable(docs):
     a = search.bm25_search(docs, ["quick", "brown"], k=10, exact_sum=True).collect()
     b = search.bm25_search(docs, ["quick", "brown"], k=10, exact_sum=True).collect()
     assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_match_phrase_token_adjacency(spark):
+    from solr_map_reduce_spark.extensions.search import match_phrase
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick... BROWN! dog"),        # punctuation-analyzed: adjacent
+            (3, "quick stealthy brown fox"),   # not adjacent
+            (4, "brown quick"),                # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in match_phrase(df, "Quick Brown").collect())
+    assert got == [1, 2]
+
+
+def test_match_phrase_rejects_empty(spark):
+    import pytest
+
+    from solr_map_reduce_spark.extensions.search import match_phrase
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        match_phrase(df, "!!!")
