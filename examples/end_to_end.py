@@ -120,9 +120,15 @@ def main() -> None:
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    # the driver's parquet stores ts as TIMESTAMP(NANOS) → read as long
-    # (session nanosAsLong); normalize to a µs timestamp like load_table does
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize whatever timestamp flavor the fixture carries, like
+    # load_table does: int64 nanos → µs timestamp; NTZ → instant
+    import pyspark.sql.types as T
+
+    from solr_map_reduce_spark.functions.timestamps import ensure_instant
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = ensure_instant(stream, "ts")
     sessions = sessionize_stream(stream, gap_seconds=1800, watermark="10 minutes")
     q = (
         sessions.writeStream.format("parquet")
@@ -134,6 +140,25 @@ def main() -> None:
     q.awaitTermination(120)
     closed = spark.read.parquet(os.path.join(work, "sessions")).count()
     print("closed sessions emitted by first drain:", closed)
+
+    # 6. incremental near-dup index: a second ingest batch pays O(batch),
+    # never O(corpus) — exact copies are rejected against the stored bands
+    from solr_map_reduce_spark.extensions.minhash_index import MinHashIndex
+
+    mh = MinHashIndex.create(spark, os.path.join(work, "mh_index"))
+    mh.add(docs, "text", "id")
+    batch2 = docs.limit(20).withColumn("id", F.concat(F.lit("copy-"), F.col("id")))
+    n_new, dup_pairs = mh.add_unique(batch2, "text", "id", threshold=0.9)
+    print("ingest batch 2: indexed", n_new, "new docs;",
+          dup_pairs.count(), "duplicate pairs rejected")
+
+    # 7. decontamination + phrase search --------------------------------
+    eval_split = docs.filter(F.col("doc_id") % 13 == 0).select("text")
+    decon = text_dedup.decontaminate(docs, eval_split, "text", "id", n=5)
+    print("decontamination:", decon.filter("contaminated").count(),
+          "train docs overlap the eval split")
+    phrase_hits = search.match_phrase(docs, "table hash", id_col="id").count()
+    print("phrase query 'table hash':", phrase_hits, "docs")
 
     spark.stop()
 
