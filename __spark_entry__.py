@@ -31,6 +31,16 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     key = id(spark)
     if key in _SHIPPED_SESSIONS:
         return
+    # a harness-created session may lack the engine defaults; these two are
+    # runtime-settable and keep timestamp semantics identical to a DuckDB
+    # oracle reading the same parquet: UTC session tz (epoch arithmetic
+    # must not cross a DST-observing zone) and instant-typed reads of
+    # untimezoned parquet timestamps (event-time ops reject NTZ)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # immutable conf on some session types; load_table still copes
     repo = os.path.dirname(os.path.abspath(__file__))
     os.environ["PYTHONPATH"] = (
         repo + os.pathsep + os.environ.get("PYTHONPATH", "")
