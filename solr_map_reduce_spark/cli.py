@@ -220,7 +220,10 @@ def main(argv: list[str] | None = None) -> int:
         pipeline = compiled.pipeline
         if compiled.input_format:
             fmt = compiled.input_format
-    df = read_input(spark, args.input, format=fmt)
+        read_options = compiled.read_options
+    else:
+        read_options = {}
+    df = read_input(spark, args.input, format=fmt, **read_options)
     if args.with_file_metadata:
         df = enrich_file_metadata(df)
     if pipeline is not None:

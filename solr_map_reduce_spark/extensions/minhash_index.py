@@ -102,9 +102,23 @@ class MinHashIndex:
         )
 
     # -- operations ----------------------------------------------------
-    def add(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> int:
-        """Index a batch: append its bands + features.  Returns rows added."""
-        feats = self._features(docs, text_col, id_col).localCheckpoint(eager=True)
+    def add(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        _feats: DataFrame | None = None,
+    ) -> int:
+        """Index a batch: append its bands + features.  Returns rows added.
+
+        ``_feats`` lets :meth:`add_unique` reuse the feature table match()
+        already computed instead of re-running the shingle+permutation
+        stage (the dominant per-batch cost)."""
+        feats = (
+            _feats
+            if _feats is not None
+            else self._features(docs, text_col, id_col).localCheckpoint(eager=True)
+        )
         n = feats.count()
         self._banded(feats, id_col).withColumnRenamed(id_col, "doc_id").write.mode(
             "append"
@@ -121,6 +135,7 @@ class MinHashIndex:
         id_col: str = "doc_id",
         threshold: float = 0.5,
         include_intra_batch: bool = True,
+        _feats: DataFrame | None = None,
     ) -> DataFrame:
         """Near-dup pairs between a NEW batch and the indexed corpus (plus,
         optionally, within the batch itself).
@@ -130,7 +145,10 @@ class MinHashIndex:
         ``"corpus"`` (``id_a`` = batch id, ``id_b`` = indexed id).  The
         corpus band table is probed via a broadcast of the batch's bands —
         history never shuffles."""
-        feats = self._features(docs, text_col, id_col).localCheckpoint(eager=True)
+        if _feats is not None:
+            feats = _feats
+        else:
+            feats = self._features(docs, text_col, id_col).localCheckpoint(eager=True)
         batch_bands = self._banded(feats, id_col)
 
         cand_parts = []
@@ -168,21 +186,36 @@ class MinHashIndex:
             stored_feats = self.spark.read.parquet(self._features_path)
 
         if not cand_parts:
+            import pyspark.sql.types as T
+
+            id_type = docs.schema[id_col].dataType
             return self.spark.createDataFrame(
-                [], "id_a long, id_b long, jaccard double, match_kind string"
+                [],
+                T.StructType([
+                    T.StructField("id_a", id_type),
+                    T.StructField("id_b", id_type),
+                    T.StructField("jaccard", T.DoubleType()),
+                    T.StructField("match_kind", T.StringType()),
+                ]),
             )
         cands = cand_parts[0]
         for part in cand_parts[1:]:
             cands = cands.unionByName(part)
-        cands = cands.distinct()
+        # one row per pair even if a retry re-matched an already-indexed id
+        # under both kinds ("corpus" < "intra" — corpus wins, deterministic)
+        cands = cands.groupBy("id_a", "id_b").agg(
+            F.min("match_kind").alias("match_kind")
+        )
 
         all_feats = feats.select(F.col(id_col).alias("doc_id"), "shingle_hashes")
         if stored_feats is not None:
-            # only candidates' corpus features move: semi-join before union
+            # only candidates' corpus features move: semi-join before union;
+            # a batch id that is ALSO already indexed (ingest retry) would
+            # contribute two identical feature rows — keep one per id
             needed = cands.select(F.col("id_b").alias("doc_id")).distinct()
             all_feats = all_feats.unionByName(
                 stored_feats.join(F.broadcast(needed), "doc_id", "left_semi")
-            )
+            ).dropDuplicates(["doc_id"])
         verified = verified_jaccard(
             cands.select("id_a", "id_b"), all_feats, "doc_id"
         ).filter(F.col("jaccard") >= threshold)
@@ -200,7 +233,8 @@ class MinHashIndex:
         corpus nor a smaller-id doc of the same batch (one greedy pass:
         min-id-wins within the batch, corpus-wins across).  Returns
         ``(n_indexed, dup_pairs)``."""
-        pairs = self.match(docs, text_col, id_col, threshold=threshold)
+        feats = self._features(docs, text_col, id_col).localCheckpoint(eager=True)
+        pairs = self.match(docs, text_col, id_col, threshold=threshold, _feats=feats)
         dup_ids = (
             pairs.select(
                 F.when(F.col("match_kind") == "corpus", F.col("id_a"))
@@ -208,5 +242,5 @@ class MinHashIndex:
                 .alias(id_col)
             )
         ).distinct()
-        survivors = docs.join(F.broadcast(dup_ids), id_col, "left_anti")
-        return self.add(survivors, text_col, id_col), pairs
+        surviving_feats = feats.join(F.broadcast(dup_ids), id_col, "left_anti")
+        return self.add(docs, text_col, id_col, _feats=surviving_feats), pairs

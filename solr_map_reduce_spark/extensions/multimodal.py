@@ -79,7 +79,7 @@ def _builtin_image_meta(b: bytes) -> tuple[int, int, str, str] | None:
     isn't recognized (caller emits nulls)."""
     import struct
 
-    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
         w, h = struct.unpack(">II", b[16:24])
         return (w, h, _PNG_MODES.get(b[25], "RGB"), "PNG")
     if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF
@@ -89,6 +89,9 @@ def _builtin_image_meta(b: bytes) -> tuple[int, int, str, str] | None:
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:  # legal fill byte(s) before a marker
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -124,8 +127,13 @@ def _builtin_image_meta(b: bytes) -> tuple[int, int, str, str] | None:
                     fields.append(b[start:i])
             w, h = int(fields[0]), int(fields[1])
             kind = b[1:2]
-            mode = "L" if kind in b"125" else "RGB" if kind in b"36" else "1"
-            return (w, h, mode, "PPM" if kind in b"36" else "PGM")
+            if kind in b"14":  # P1/P4: 1-bit bitmaps
+                mode, fmt = "1", "PBM"
+            elif kind in b"25":  # P2/P5: grayscale
+                mode, fmt = "L", "PGM"
+            else:  # P3/P6: color
+                mode, fmt = "RGB", "PPM"
+            return (w, h, mode, fmt)
         except (ValueError, IndexError):
             return None
     return None

@@ -122,10 +122,12 @@ def cosine_pairs_blocked(
 class IvfIndex:
     """IVF-flat ANN index: centroids + bucket assignment + pruned search."""
 
-    def __init__(self, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"):
+    def __init__(self, centroids: np.ndarray, id_col: str = "vec_id",
+                 vec_col: str = "embedding", bucket_col: str = "bucket"):
         self.centroids = np.asarray(centroids, dtype=np.float64)
         self.id_col = id_col
         self.vec_col = vec_col
+        self.bucket_col = bucket_col
 
     @classmethod
     def fit(
@@ -199,7 +201,7 @@ class IvfIndex:
     MANIFEST = "_IVF_MANIFEST.json"
 
     def save(self, path: str, assigned: DataFrame | None = None,
-             bucket_col: str = "bucket") -> None:
+             bucket_col: str | None = None) -> None:
         """Persist the index: centroids (KBs of JSON) + optionally the
         assigned vector table written ``partitionBy(bucket)`` — the layout
         that makes :meth:`search_stored` a partition-pruned scan reading
@@ -209,6 +211,7 @@ class IvfIndex:
         from solr_map_reduce_spark.fs import get_fs
         from solr_map_reduce_spark.fs import join as fs_join
 
+        bucket_col = bucket_col or self.bucket_col
         spark = assigned.sparkSession if assigned is not None else None
         fs = get_fs(path, spark)
         fs.mkdirs(path)
@@ -237,7 +240,10 @@ class IvfIndex:
 
         fs = get_fs(path, spark)
         m = json.loads(fs.read_text(fs_join(path, cls.MANIFEST)))
-        return cls(np.asarray(m["centroids"]), m["id_col"], m["vec_col"])
+        return cls(
+            np.asarray(m["centroids"]), m["id_col"], m["vec_col"],
+            m.get("bucket_col", "bucket"),
+        )
 
     def search_stored(
         self,
@@ -246,7 +252,7 @@ class IvfIndex:
         query: Sequence[float],
         k: int = 10,
         nprobe: int = 2,
-        bucket_col: str = "bucket",
+        bucket_col: str | None = None,
     ) -> DataFrame:
         """Top-k over a saved index: the ``bucket isin(probe)`` filter hits
         the partition column, so only nprobe bucket directories are read —
@@ -255,7 +261,9 @@ class IvfIndex:
         from solr_map_reduce_spark.fs import join as fs_join
 
         assigned = spark.read.parquet(fs_join(path, "vectors"))
-        return self.search(assigned, query, k, nprobe, bucket_col)
+        return self.search(
+            assigned, query, k, nprobe, bucket_col or self.bucket_col
+        )
 
 
 def cosine_pairs_lsh(

@@ -263,3 +263,33 @@ def test_cli_index_with_morphline_file(spark, tmp_path, capsys):
     idx = read_index(spark, out)
     assert idx.count() == 2
     assert set(idx.columns) >= {"id", "text", "created_at"}
+
+
+def test_cli_morphline_csv_read_options(spark, tmp_path, capsys):
+    """A readCSV morphline's separator must reach the reader."""
+    (tmp_path / "data.csv").write_text("id\tname\nr1\talpha\nr2\tbeta\n")
+    conf = tmp_path / "csv.conf"
+    conf.write_text("""
+morphlines : [ { id : m1
+  commands : [
+    { readCSV { separator : "\\t" } }
+    { loadSolr { } }
+  ]
+} ]
+""")
+    schema_path = tmp_path / "csv_schema.json"
+    schema_path.write_text(json.dumps({
+        "unique_key": "id",
+        "fields": [{"name": "id", "required": True}, {"name": "name"}],
+    }))
+    out = str(tmp_path / "csv_idx")
+    rc = cli.main([
+        "index", "--input", str(tmp_path / "data.csv"),
+        "--schema", str(schema_path), "--output", out,
+        "--morphline-file", str(conf), "--dedup", "none",
+    ])
+    assert rc == 0
+    from solr_map_reduce_spark.indexing import read_index
+
+    got = {r["id"]: r["name"] for r in read_index(spark, out).collect()}
+    assert got == {"r1": "alpha", "r2": "beta"}

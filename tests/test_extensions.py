@@ -312,3 +312,23 @@ def test_builtin_audio_metadata_wav(spark):
     assert abs(got["wav"]["duration_s"] - 0.5) < 1e-6
     assert got["wav"]["codec"] == "pcm_s16le"
     assert got["junk"]["sample_rate"] is None
+
+
+def test_builtin_image_metadata_malformed_inputs(spark):
+    """Truncated/fill-byte-laden containers: nulls or correct parse, never a
+    task-killing exception."""
+    from solr_map_reduce_spark.extensions.multimodal import _builtin_image_meta
+
+    png_trunc = b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + b"\x00" * 8
+    assert len(png_trunc) == 24 + 1 - 1  # 24 bytes: passes old guard, no color byte
+    assert _builtin_image_meta(png_trunc) is None
+    # JPEG with a legal 0xFF fill byte before SOF0
+    jpeg_fill = (
+        b"\xff\xd8" + b"\xff"  # fill byte
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (10).to_bytes(2, "big") + (20).to_bytes(2, "big") + b"\x01" + b"\x00" * 9
+    )
+    assert _builtin_image_meta(jpeg_fill) == (20, 10, "L", "JPEG")
+    # netpbm bitmap kinds
+    assert _builtin_image_meta(b"P1\n3 2\n" + b"0 " * 6) == (3, 2, "1", "PBM")
+    assert _builtin_image_meta(b"P4\n3 2\n\x00") == (3, 2, "1", "PBM")

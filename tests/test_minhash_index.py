@@ -109,3 +109,35 @@ def test_ivf_index_save_load_search_stored(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
     assert len(pruned.collect()) == 10
+
+
+def test_match_string_ids_empty_index(spark, tmp_path):
+    """Empty-index match keeps the caller's id type (not hard-coded long),
+    so later unions/joins against it resolve."""
+    idx = MinHashIndex.create(spark, str(tmp_path / "mhidx5"))
+    docs = spark.createDataFrame(
+        [("a", "one two three"), ("b", "four five six")], "doc_id string, text string"
+    )
+    pairs = idx.match(docs, include_intra_batch=False)
+    assert pairs.count() == 0
+    assert pairs.schema["id_a"].dataType.typeName() == "string"
+    # unions with a non-empty later match
+    idx.add(docs)
+    more = idx.match(docs.limit(1), threshold=0.9)
+    assert pairs.unionByName(more).count() == more.count()
+
+
+def test_rematch_of_indexed_batch_one_row_per_pair(spark, sf_dir, tmp_path):
+    """Ingest retry: re-matching a batch that is already indexed must not
+    multiply pair rows through duplicated feature rows."""
+    idx = MinHashIndex.create(spark, str(tmp_path / "mhidx6"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batch = d.limit(60).unionByName(
+        d.limit(10).withColumn("doc_id", F.col("doc_id") + F.lit(900_000))
+    )
+    idx.add(batch)
+    pairs = idx.match(batch, threshold=0.9)
+    rows = pairs.select("id_a", "id_b").collect()
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+    # the injected copies are found against the stored corpus
+    assert pairs.filter(F.col("match_kind") == "corpus").count() >= 10
