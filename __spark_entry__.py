@@ -123,7 +123,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # reaches them; the repo's own oracle suite covers all entries regardless
 # (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    "c9_contains_all", "c9_contains_any", "c9_match_phrase", "ext_bm25_topk",
+    "c9_contains_all", "c9_contains_any", "c9_match_phrase",
+    "c9_prefix_match", "c9_contains_none", "ext_bm25_topk",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_profit_by_nation", "q10_returned_items", "q13_order_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",

@@ -53,6 +53,37 @@ def contains_any(
     return staged.filter(cond).select(id_col)
 
 
+def contains_none(
+    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs whose token set contains NONE of the terms (NOT term query —
+    Solr's ``-term`` / prohibited clauses)."""
+    toks = tokens_column(F.col(text_col))
+    staged = df.withColumn("_toks", toks)
+    cond = None
+    for term in terms:
+        c = ~F.array_contains(F.col("_toks"), term)
+        cond = c if cond is None else (cond & c)
+    return staged.filter(cond).select(id_col)
+
+
+def prefix_match(
+    df: DataFrame, prefix: str, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs with any token starting with ``prefix`` (Solr's ``prefix*``
+    wildcard).  Same padded-token-join trick as :func:`match_phrase`:
+    a token boundary is a space, so ``' prefix'`` containment == some
+    token starts with it — whole predicate stays in codegen."""
+    import re
+
+    norm = re.findall(r"[^\W_]+", prefix.lower(), flags=re.UNICODE)
+    if len(norm) != 1:
+        raise ValueError(f"prefix {prefix!r} must normalize to one token")
+    toks = tokens_column(F.col(text_col))
+    hay = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    return df.filter(hay.contains(" " + norm[0])).select(id_col)
+
+
 def match_phrase(
     df: DataFrame, phrase: str, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

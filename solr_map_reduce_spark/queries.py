@@ -1250,6 +1250,28 @@ def c9_match_phrase(spark, sf_dir):
     return search.match_phrase(t(spark, sf_dir, "documents"), "table hash")
 
 
+@_register(
+    "c9_prefix_match",
+    f"""SELECT doc_id FROM (
+          SELECT doc_id, ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS hay
+          FROM documents)
+        WHERE contains(hay, ' cust')""",
+    "C9 prefix (wildcard) term query: any token starting with 'cust'",
+)
+def c9_prefix_match(spark, sf_dir):
+    return search.prefix_match(t(spark, sf_dir, "documents"), "cust")
+
+
+@_register(
+    "c9_contains_none",
+    f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        WHERE NOT list_contains(t, 'spark') AND NOT list_contains(t, 'shuffle')""",
+    "C9 prohibited-clause (NOT) term query",
+)
+def c9_contains_none(spark, sf_dir):
+    return search.contains_none(t(spark, sf_dir, "documents"), ["spark", "shuffle"])
+
+
 _BM25_TERMS = ["spark", "vector", "merge"]
 
 

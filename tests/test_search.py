@@ -108,3 +108,21 @@ def test_match_phrase_rejects_empty(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         match_phrase(df, "!!!")
+
+
+def test_prefix_and_none_queries(spark):
+    from solr_map_reduce_spark.extensions.search import contains_none, prefix_match
+
+    df = spark.createDataFrame(
+        [(1, "shuffle the deck"), (2, "shuffling cards"), (3, "no match here"),
+         (4, "spark plans")],
+        "doc_id long, text string",
+    )
+    assert sorted(r["doc_id"] for r in prefix_match(df, "shuf").collect()) == [1, 2]
+    assert sorted(
+        r["doc_id"] for r in contains_none(df, ["shuffle", "spark"]).collect()
+    ) == [2, 3]
+    import pytest
+
+    with pytest.raises(ValueError):
+        prefix_match(df, "two words")
