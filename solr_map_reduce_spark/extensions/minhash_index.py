@@ -69,10 +69,28 @@ class MinHashIndex:
     # -- lifecycle -----------------------------------------------------
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, params: MinHashParams | None = None
+        cls,
+        spark: SparkSession,
+        path: str,
+        params: MinHashParams | None = None,
+        overwrite: bool = False,
     ) -> "MinHashIndex":
+        """Create a fresh index at ``path``.  Refuses to clobber an existing
+        index unless ``overwrite=True`` — overwriting only the manifest while
+        old bands/features parquet stays behind would silently compare
+        signatures computed under incompatible parameters."""
         params = params or MinHashParams()
         fs = get_fs(path, spark)
+        if fs.exists(fs_join(path, MANIFEST)):
+            if not overwrite:
+                raise FileExistsError(
+                    f"MinHash index already exists at {path!r}; open() it, or "
+                    "pass overwrite=True to discard it (bands/features included)"
+                )
+            for sub in ("bands", "features"):
+                full = fs_join(path, sub)
+                if fs.exists(full):
+                    fs.delete(full)
         fs.mkdirs(path)
         fs.write_text(fs_join(path, MANIFEST), json.dumps(params.__dict__, indent=2))
         return cls(spark, path, params)
@@ -201,10 +219,23 @@ class MinHashIndex:
         cands = cand_parts[0]
         for part in cand_parts[1:]:
             cands = cands.unionByName(part)
-        # one row per pair even if a retry re-matched an already-indexed id
-        # under both kinds ("corpus" < "intra" — corpus wins, deterministic)
-        cands = cands.groupBy("id_a", "id_b").agg(
-            F.min("match_kind").alias("match_kind")
+        # one row per UNORDERED pair: an ingest retry can surface the same
+        # pair under both orientations — intra as (min,max) and corpus as
+        # (batch_id, indexed_id) — so dedupe on (least, greatest), keeping
+        # the corpus row's orientation when present ("corpus" < "intra",
+        # then id_a, both deterministic)
+        cands = (
+            cands.groupBy(
+                F.least("id_a", "id_b").alias("_lo"),
+                F.greatest("id_a", "id_b").alias("_hi"),
+            )
+            .agg(
+                F.min_by(
+                    F.struct("id_a", "id_b", "match_kind"),
+                    F.struct("match_kind", "id_a"),
+                ).alias("_s")
+            )
+            .select("_s.id_a", "_s.id_b", "_s.match_kind")
         )
 
         all_feats = feats.select(F.col(id_col).alias("doc_id"), "shingle_hashes")

@@ -70,53 +70,78 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    blocks: int = 8,
+    blocks: int | None = None,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """ALL exact cosine pairs >= threshold via a block gram-matrix join.
 
     The naive formulation (row-pair cross join + per-pair fold) evaluates an
     interpreted expression per pair — O(n²) Python/interpreter dispatches.
-    Here vectors are packed into ``blocks`` buckets, the upper triangle of
-    bucket pairs is joined (``blocks²/2`` rows instead of ``n²/2``), and each
-    bucket pair computes its full similarity sub-matrix as ONE numpy matmul
-    inside ``mapInPandas`` (measured ~20x at 500 vectors).  This is the
-    canonical distributed block-matrix similarity join: at 100 TB, raise
-    ``blocks`` so each sub-matrix fits executor memory — work per task stays
-    (n/B)² · d with perfect parallelism across the B(B+1)/2 block pairs.
+    Here each vector is tagged with every block-pair it participates in
+    (B rows per vector — the canonical block-matrix replication), and each
+    of the B(B+1)/2 block-pair GROUPS computes its similarity sub-matrix as
+    ONE numpy matmul inside ``applyInPandas``.
+
+    Memory shape: a task holds one block-pair's rows as Arrow batches —
+    ~2n/B ordinary rows, never a single ``collect_list`` row of the corpus
+    (a packed row grows as n/B and hits JVM record limits long before the
+    group path does).  ``blocks=None`` sizes B from the table so a block
+    stays ≈``target_block_rows`` rows (one cheap count() — this operator
+    materializes all pairs, so a count is noise); pass ``blocks`` explicitly
+    to skip the count.  Work per task is (n/B)²·d with perfect parallelism
+    across block pairs; total shuffle is B·n·d (the replication), the
+    standard exact-pairs trade.
     """
+    if blocks is None:
+        import math
+
+        blocks = max(1, math.ceil(df.count() / target_block_rows))
     e = df.select(
         F.col(id_col).cast("long").alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("_blk"),
     )
-    packed = e.groupBy("_blk").agg(
-        F.collect_list(F.struct(F.col("_id"), F.col("_v"))).alias("_items")
+    # replicate: a vector in block p serves side A of pair (p,q) when p<=q,
+    # side B when p>q; the diagonal pair (p,p) gets it once, side A
+    tagged = e.select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("_q"),
+        F.col("_blk"),
+    ).select(
+        "_id",
+        "_v",
+        F.least("_blk", "_q").alias("_pa"),
+        F.greatest("_blk", "_q").alias("_pb"),
+        (F.col("_blk") <= F.col("_q")).alias("_is_a"),
     )
-    a = packed.select(F.col("_blk").alias("_ba"), F.col("_items").alias("_ia"))
-    b = packed.select(F.col("_blk").alias("_bb"), F.col("_items").alias("_ib"))
-    block_pairs = a.join(b, F.col("_ba") <= F.col("_bb"))
 
-    def _gram(batches):
-        for pdf in batches:
-            for ia, ib, ba, bb in zip(pdf["_ia"], pdf["_ib"], pdf["_ba"], pdf["_bb"]):
-                ids_a = np.fromiter((x["_id"] for x in ia), dtype=np.int64, count=len(ia))
-                ids_b = np.fromiter((x["_id"] for x in ib), dtype=np.int64, count=len(ib))
-                A = np.stack([np.asarray(x["_v"], dtype=np.float64) for x in ia])
-                B = np.stack([np.asarray(x["_v"], dtype=np.float64) for x in ib])
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    An = A / np.linalg.norm(A, axis=1, keepdims=True)
-                    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-                    S = An @ Bn.T
-                ii, jj = np.nonzero(S >= threshold)
-                pa, pb = ids_a[ii], ids_b[jj]
-                if ba == bb:
-                    keep = pa < pb  # dedupe the symmetric diagonal block
-                    lo, hi = pa[keep], pb[keep]
-                else:
-                    lo, hi = np.minimum(pa, pb), np.maximum(pa, pb)
-                yield pd.DataFrame({"id_a": lo, "id_b": hi})
+    def _gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        diagonal = pdf["_pa"].iloc[0] == pdf["_pb"].iloc[0]
+        a_side = pdf[pdf["_is_a"]]
+        b_side = a_side if diagonal else pdf[~pdf["_is_a"]]
+        if a_side.empty or b_side.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids_a = a_side["_id"].to_numpy(dtype=np.int64)
+        ids_b = b_side["_id"].to_numpy(dtype=np.int64)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a_side["_v"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b_side["_v"]])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            S = An @ Bn.T
+        ii, jj = np.nonzero(S >= threshold)
+        pa, pb = ids_a[ii], ids_b[jj]
+        if diagonal:
+            keep = pa < pb  # dedupe the symmetric diagonal block
+            lo, hi = pa[keep], pb[keep]
+        else:
+            lo, hi = np.minimum(pa, pb), np.maximum(pa, pb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
 
-    return block_pairs.mapInPandas(_gram, "id_a long, id_b long")
+    return tagged.groupBy("_pa", "_pb").applyInPandas(_gram, "id_a long, id_b long")
 
 
 class IvfIndex:
@@ -277,15 +302,21 @@ def cosine_pairs_lsh(
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold) without a cross join:
     block on sign-LSH signatures (random hyperplanes), verify exact cosine
-    JVM-side on candidates that agree on any half of the signature."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    JVM-side on candidates that agree on any half of the signature.
+
+    The hyperplanes are derived from ``(seed, dim)`` INSIDE the UDF on first
+    batch — plan construction triggers no driver-side action (``dim`` is
+    optional and only pins the dimensionality up front; every worker
+    regenerates the identical planes from the seed)."""
+    fixed_dim = dim
 
     @pandas_udf(T.IntegerType())
     def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
         m = np.array(vecs.tolist(), dtype=np.float64)
+        d = fixed_dim if fixed_dim is not None else m.shape[1]
+        planes = np.random.RandomState(seed).randn(n_planes, d)
         bits = (m @ planes.T) > 0
         vals = (bits * (1 << np.arange(n_planes))[None, :]).sum(axis=1)
         return pd.Series(vals.astype(np.int32))

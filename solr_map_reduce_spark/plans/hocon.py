@@ -291,6 +291,16 @@ def compile_morphline(
                     )
                     if v is not None
                 }
+                # the reference's CSV morphlines
+                # (solrCellDocumentTypes.conf:105-110) rely on these two:
+                # ignoreFirstLine → skip the header row; columns → positional
+                # names (Spark would otherwise keep header rows and default
+                # _c0/_c1 names, silently mismatching every downstream
+                # field-addressed command)
+                read_options["header"] = "true" if args.get("ignoreFirstLine") else "false"
+                cols = args.get("columns")
+                if cols:
+                    spec.append({"op": "rename_positional", "names": list(cols)})
         elif name == "extractAvroPaths":
             if args.get("flatten"):
                 spec.append({"op": "flatten"})

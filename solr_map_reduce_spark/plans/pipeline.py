@@ -117,6 +117,26 @@ def op_tokenize(input_field: str, output_field: str, analyzer: str = "text_gener
     return lambda df: tokenize_text(df, input_field, output_field, analyzer)
 
 
+def op_rename_positional(names: list[str]) -> Transform:
+    """readCSV ``columns``: rename the first N columns positionally (covers
+    Spark's header-less ``_c0/_c1`` defaults AND file-header names —
+    solrCellDocumentTypes.conf:105-110)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        current = df.columns
+        if len(names) > len(current):
+            raise ValueError(
+                f"readCSV columns gives {len(names)} names but the input has "
+                f"only {len(current)} columns"
+            )
+        mapping = dict(zip(current, names))
+        return df.select(
+            [F.col(c).alias(mapping.get(c, c)) for c in current]
+        )
+
+    return _t
+
+
 def op_set_values(values: dict[str, object]) -> Transform:
     def _t(df: DataFrame) -> DataFrame:
         out = df
@@ -170,6 +190,7 @@ _OPS: dict[str, Callable[..., Transform]] = {
     "generate_key": op_generate_key,
     "convert_timestamp": op_convert_timestamp,
     "tokenize": op_tokenize,
+    "rename_positional": op_rename_positional,
     "set_values": op_set_values,
     "generate_uuid": op_generate_uuid,
     "explode": op_explode,

@@ -86,6 +86,17 @@ def get_spark(
     conf.setdefault(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     )
+    # Throughput GC for batch work: Java 17 defaults to G1, whose pause-time
+    # targeting yields run-to-run swings on allocation-heavy plans (sorted
+    # writes, decimal aggregation, localCheckpoint) — measured 10.0-12.8 s
+    # total across identical bench runs, with the spread concentrated in the
+    # GC-heavy third (SCALING.md).  ParallelGC trades pause latency (which
+    # batch jobs don't care about) for steadier throughput.  JVM-launch-only,
+    # like driver.memory.
+    conf.setdefault(
+        "spark.driver.extraJavaOptions",
+        os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -33,6 +33,7 @@ from collections.abc import Iterator, Sequence
 
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MAGIC = b"Obj\x01"
 
@@ -241,22 +242,21 @@ def read_avro_schema(
     """Writer schema of the lexicographically-first container file, as a
     Spark schema.
 
-    One file's header travels to the driver (bounded: headers are tiny, but
-    binaryFile materializes the full content row — acceptable for schema
-    inference on a single file).  The min-path choice makes the inferred
-    schema deterministic across runs; with schema evolution across files,
-    records decode with their OWN writer schema but only the inferred
-    file's fields are projected — pass ``schema=`` explicitly to read a
-    union of fields."""
-    first = (
+    Two cheap passes so inference never reads every file's bytes: a
+    paths-only scan picks min(path) (column pruning drops ``content``, so
+    the listing reads no file data), then ONLY that one file's content is
+    loaded.  The min-path choice makes the inferred schema deterministic
+    across runs; with schema evolution across files, records decode with
+    their OWN writer schema but only the inferred file's fields are
+    projected — pass ``schema=`` explicitly to read a union of fields."""
+    min_path = (
         _binary_scan(spark, paths, **options)
-        .select("path", "content")
-        .orderBy("path")
-        .limit(1)
-        .collect()
+        .agg(F.min("path").alias("p"))
+        .collect()[0]["p"]
     )
-    if not first:
+    if min_path is None:
         raise FileNotFoundError(f"no avro files under {paths!r}")
+    first = _binary_scan(spark, [min_path]).select("content").collect()
     schema, _, _, _ = parse_header(bytes(first[0]["content"]))
     spark_type = avro_to_spark_type(schema)
     if not isinstance(spark_type, T.StructType):
@@ -276,31 +276,61 @@ def _binary_scan(spark: SparkSession, paths: str | Sequence[str], **options) -> 
     return reader.load(list(paths))
 
 
+_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("file_path", T.StringType()),
+        T.StructField("file_name", T.StringType()),
+        T.StructField("file_size", T.LongType()),
+        T.StructField("file_modification_time", T.TimestampType()),
+    ]
+)
+
+
 def read_avro(
     spark: SparkSession,
     paths: str | Sequence[str],
     schema: T.StructType | None = None,
+    with_metadata: bool = False,
     **options,
 ) -> DataFrame:
-    """readAvroContainer without spark-avro: distributed per-file decode."""
+    """readAvroContainer without spark-avro: distributed per-file decode.
+
+    ``with_metadata=True`` carries a ``_metadata`` struct equivalent to the
+    native scan's hidden column (file_path/file_name/file_size/
+    file_modification_time, from the binaryFile row) through the decode so
+    A6 enrichment works on the fallback path too."""
     out_schema = schema or read_avro_schema(spark, paths, **options)
     names = out_schema.fieldNames()
+    if with_metadata:
+        out_schema = T.StructType(
+            list(out_schema.fields) + [T.StructField("_metadata", _METADATA_TYPE)]
+        )
 
     def _decode(batches):
+        import os
+
         import pandas as pd
 
         for pdf in batches:
-            for content in pdf["content"]:
+            for i, content in enumerate(pdf["content"]):
                 rows = list(iter_records(bytes(content)))
                 if rows and not isinstance(rows[0], dict):
                     rows = [{"value": v} for v in rows]  # non-record top level
-                yield pd.DataFrame(
-                    {n: [r.get(n) for r in rows] for n in names},
-                    columns=names,
-                )
+                cols = {n: [r.get(n) for r in rows] for n in names}
+                if with_metadata:
+                    path = pdf["path"].iloc[i]
+                    meta = {
+                        "file_path": path,
+                        "file_name": os.path.basename(path),
+                        "file_size": int(pdf["length"].iloc[i]),
+                        "file_modification_time": pdf["modificationTime"].iloc[i],
+                    }
+                    cols["_metadata"] = [meta] * len(rows)
+                yield pd.DataFrame(cols, columns=list(out_schema.fieldNames()))
 
+    scan_cols = ["path", "length", "modificationTime", "content"] if with_metadata else ["content"]
     return (
         _binary_scan(spark, paths, **options)
-        .select("content")
+        .select(*scan_cols)
         .mapInPandas(_decode, schema=out_schema)
     )

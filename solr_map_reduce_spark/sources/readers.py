@@ -119,13 +119,11 @@ def read_input(
         # the reference's flagship tutorial path stays runnable
         from solr_map_reduce_spark.sources.avro_fallback import read_avro
 
-        if with_metadata:
-            raise NotImplementedError(
-                "with_metadata needs the native spark-avro source; the "
-                "fallback decoder re-shapes rows in mapInPandas, after which "
-                "the scan's _metadata struct is gone"
-            )
-        return read_avro(spark, paths, schema=schema, **options)
+        # the fallback decoder reconstructs the _metadata struct from its
+        # binaryFile scan row, so A6 enrichment works without spark-avro
+        return read_avro(
+            spark, paths, schema=schema, with_metadata=with_metadata, **options
+        )
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)

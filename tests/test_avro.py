@@ -257,3 +257,19 @@ def test_roundtrip_random_records(data):
     ]
     got = list(iter_records(_container(schema, encoded)))
     assert got == records
+
+
+def test_read_input_avro_with_metadata_enrichment(spark):
+    """A6-over-Avro without spark-avro: the fallback reconstructs the
+    _metadata struct from its binaryFile scan, so file enrichment works."""
+    from solr_map_reduce_spark.operators.metadata import enrich_file_metadata
+
+    path = os.path.join(FIXTURES, "sample-statuses-20120521-100919.avro")
+    df = read_input(spark, path, format="avro", with_metadata=True)
+    assert "_metadata" in df.columns
+    out = enrich_file_metadata(df)
+    assert out.count() == GOLDEN["sample-statuses-20120521-100919.avro"]
+    row = out.select("file_name", "file_length", "file_last_modified").first()
+    assert row["file_name"] == "sample-statuses-20120521-100919.avro"
+    assert row["file_length"] == os.path.getsize(path)
+    assert row["file_last_modified"] > 0

@@ -120,3 +120,49 @@ morphlines : [ { id : m1
         compile_morphline(text)
     compiled = compile_morphline(text, strict=False)
     assert compiled.skipped == ["frobnicate"]
+
+
+def test_readcsv_columns_and_ignore_first_line(spark, tmp_path):
+    """readCSV columns→positional names + ignoreFirstLine→header skip
+    (solrCellDocumentTypes.conf:105-110): downstream field-addressed
+    commands see the declared names, not _c0/_c1, and no header row."""
+    from solr_map_reduce_spark.sources.readers import read_input
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("colA\tcolB\n1\tann\n2\tbob\n")
+    text = """
+morphlines : [ { id : m1, commands : [
+  { readCSV { separator : "\\t", ignoreFirstLine : true,
+              columns : [id, name], charset : UTF-8 } }
+  { setValues { source : csv } }
+] } ]
+"""
+    compiled = compile_morphline(text)
+    assert compiled.input_format == "csv"
+    assert compiled.read_options["header"] == "true"
+    df = read_input(
+        spark, str(csv), format="csv", **compiled.read_options
+    )
+    out = compiled.pipeline.run(df)
+    rows = sorted((r["id"], r["name"], r["source"]) for r in out.collect())
+    assert rows == [(1, "ann", "csv"), (2, "bob", "csv")]
+
+
+def test_readcsv_columns_without_header_row(spark, tmp_path):
+    """ignoreFirstLine absent → every line is data; columns still rename the
+    default _c0/_c1 names positionally."""
+    from solr_map_reduce_spark.sources.readers import read_input
+
+    csv = tmp_path / "noheader.csv"
+    csv.write_text("1,ann\n2,bob\n")
+    text = """
+morphlines : [ { id : m1, commands : [
+  { readCSV { separator : ",", columns : [id, name] } }
+] } ]
+"""
+    compiled = compile_morphline(text)
+    assert compiled.read_options["header"] == "false"
+    df = read_input(spark, str(csv), format="csv", **compiled.read_options)
+    out = compiled.pipeline.run(df)
+    rows = sorted((r["id"], r["name"]) for r in out.collect())
+    assert rows == [(1, "ann"), (2, "bob")]

@@ -141,3 +141,41 @@ def test_rematch_of_indexed_batch_one_row_per_pair(spark, sf_dir, tmp_path):
     assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
     # the injected copies are found against the stored corpus
     assert pairs.filter(F.col("match_kind") == "corpus").count() >= 10
+
+
+def test_create_refuses_existing_index(spark, tmp_path):
+    """create() on a path that already holds an index must refuse: replacing
+    only the manifest would leave bands/features computed under incompatible
+    parameters silently in place."""
+    path = str(tmp_path / "mhidx7")
+    idx = MinHashIndex.create(spark, path)
+    docs = spark.createDataFrame(
+        [("a", "one two three four five")], "doc_id string, text string"
+    )
+    idx.add(docs)
+    with pytest.raises(FileExistsError):
+        MinHashIndex.create(spark, path, params=MinHashParams(num_perm=64))
+    # overwrite=True wipes bands/features along with the manifest
+    idx2 = MinHashIndex.create(
+        spark, path, params=MinHashParams(num_perm=64), overwrite=True
+    )
+    assert idx2.params.num_perm == 64
+    assert idx2.match(docs, include_intra_batch=False).count() == 0
+
+
+def test_retry_pair_reported_once_across_orientations(spark, tmp_path):
+    """Ingest retry where the SMALLER-id batch doc is already indexed: the
+    pair surfaces intra as (min,max) and corpus as (batch_id, stored_id) —
+    one unordered pair, so exactly one output row (corpus orientation wins)."""
+    idx = MinHashIndex.create(spark, str(tmp_path / "mhidx8"))
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    stored = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    idx.add(stored)
+    batch = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    pairs = idx.match(batch, threshold=0.9).collect()
+    unordered = {frozenset((r["id_a"], r["id_b"])) for r in pairs}
+    assert len(pairs) == len(unordered), "same unordered pair reported twice"
+    by_pair = {frozenset((r["id_a"], r["id_b"])): r for r in pairs}
+    hit = by_pair[frozenset((1, 2))]
+    assert hit["match_kind"] == "corpus"
+    assert (hit["id_a"], hit["id_b"]) == (2, 1)  # (batch, stored) orientation

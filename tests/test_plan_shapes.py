@@ -168,3 +168,16 @@ def test_avro_fallback_is_distributed_scan(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan binaryFile" in plan
     assert "MapInPandas" in plan
+
+
+def test_cosine_pairs_lsh_no_action_at_plan_time(spark):
+    """Plan construction must not trigger a driver-side action (the old
+    dim-inference ran df.first()); building the plan over an empty frame
+    succeeds and executes to zero rows."""
+    from solr_map_reduce_spark.extensions.similarity import cosine_pairs_lsh
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    plan = cosine_pairs_lsh(empty, threshold=0.9)  # no action here
+    assert plan.collect() == []
