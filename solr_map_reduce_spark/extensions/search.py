@@ -27,11 +27,19 @@ from pyspark.sql import DataFrame
 from solr_map_reduce_spark.extensions.text_dedup import tokens_column
 
 
+def _toks(text_col: str, tokens_col: str | None) -> F.Column:
+    """The analyzed token array: the STORED column when the artifact carries
+    one (analyze-once, the reference's index-time contract), else on-the-fly
+    analysis of the raw text column."""
+    return F.col(tokens_col) if tokens_col else tokens_column(F.col(text_col))
+
+
 def contains_all(
-    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Docs whose token set contains ALL terms (AND term query)."""
-    toks = tokens_column(F.col(text_col))
+    toks = _toks(text_col, tokens_col)
     staged = df.withColumn("_toks", toks)
     cond = None
     for term in terms:
@@ -41,10 +49,11 @@ def contains_all(
 
 
 def contains_any(
-    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Docs whose token set contains ANY term (OR term query)."""
-    toks = tokens_column(F.col(text_col))
+    toks = _toks(text_col, tokens_col)
     staged = df.withColumn("_toks", toks)
     cond = None
     for term in terms:
@@ -54,11 +63,12 @@ def contains_any(
 
 
 def contains_none(
-    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Docs whose token set contains NONE of the terms (NOT term query —
     Solr's ``-term`` / prohibited clauses)."""
-    toks = tokens_column(F.col(text_col))
+    toks = _toks(text_col, tokens_col)
     staged = df.withColumn("_toks", toks)
     cond = None
     for term in terms:
@@ -68,7 +78,8 @@ def contains_none(
 
 
 def prefix_match(
-    df: DataFrame, prefix: str, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, prefix: str, text_col: str = "text", id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Docs with any token starting with ``prefix`` (Solr's ``prefix*``
     wildcard).  Same padded-token-join trick as :func:`match_phrase`:
@@ -79,13 +90,14 @@ def prefix_match(
     norm = re.findall(r"[^\W_]+", prefix.lower(), flags=re.UNICODE)
     if len(norm) != 1:
         raise ValueError(f"prefix {prefix!r} must normalize to one token")
-    toks = tokens_column(F.col(text_col))
+    toks = _toks(text_col, tokens_col)
     hay = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
     return df.filter(hay.contains(" " + norm[0])).select(id_col)
 
 
 def match_phrase(
-    df: DataFrame, phrase: str, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, phrase: str, text_col: str = "text", id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact consecutive-token phrase query (Solr's analyzed phrase query
     with slop 0): the phrase's tokens must appear adjacently, under the
@@ -100,7 +112,7 @@ def match_phrase(
     if not terms:
         raise ValueError(f"phrase {phrase!r} has no tokens")
     needle = " " + " ".join(terms) + " "
-    toks = tokens_column(F.col(text_col))
+    toks = _toks(text_col, tokens_col)
     hay = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
     return df.filter(hay.contains(needle)).select(id_col)
 
@@ -115,6 +127,7 @@ def bm25_search(
     b: float = 0.75,
     with_score: bool = True,
     exact_sum: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query by BM25.
 
@@ -136,7 +149,7 @@ def bm25_search(
     sf0.1).
     """
     terms = [t.lower() for t in query_terms]
-    toks = tokens_column(F.col(text_col))
+    toks = _toks(text_col, tokens_col)
 
     def _tf(term: str) -> F.Column:
         # single-parameter lambda: a two-parameter one would make PySpark pass

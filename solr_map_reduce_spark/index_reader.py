@@ -120,6 +120,82 @@ class SearchIndex:
         )
         return out.limit(top) if top else out
 
+    # -- C9 + BM25: term queries over STORED token arrays --------------
+    # The reference analyzes at index time (TokenizeTextBuilder.java:83-107,
+    # schema.xml text_en:119) so queries hit stored structures; these read
+    # the artifact's `<field>__tokens` column — no per-query re-analysis of
+    # the corpus, and column pruning means the raw text is never scanned.
+    def _tokens_col(self, field: str | None = None) -> str:
+        analyzed: dict = self.manifest.get("analyzed", {})
+        if not analyzed:
+            raise ValueError(
+                "artifact stores no analyzed token columns (schema had no "
+                "text_en/text_general/lowercase field, or store_tokens=False)"
+            )
+        if field is None:
+            if len(analyzed) > 1:
+                raise ValueError(
+                    f"multiple analyzed fields {sorted(analyzed)}; pass field="
+                )
+            field = next(iter(analyzed))
+        if field not in analyzed:
+            raise ValueError(f"field {field!r} is not analyzed; have {sorted(analyzed)}")
+        return analyzed[field]["tokens_col"]
+
+    def contains_all(self, terms: Sequence[str], field: str | None = None) -> DataFrame:
+        from solr_map_reduce_spark.extensions import search
+
+        return search.contains_all(
+            self.df(), terms, id_col=self.unique_key,
+            tokens_col=self._tokens_col(field),
+        )
+
+    def contains_any(self, terms: Sequence[str], field: str | None = None) -> DataFrame:
+        from solr_map_reduce_spark.extensions import search
+
+        return search.contains_any(
+            self.df(), terms, id_col=self.unique_key,
+            tokens_col=self._tokens_col(field),
+        )
+
+    def contains_none(self, terms: Sequence[str], field: str | None = None) -> DataFrame:
+        from solr_map_reduce_spark.extensions import search
+
+        return search.contains_none(
+            self.df(), terms, id_col=self.unique_key,
+            tokens_col=self._tokens_col(field),
+        )
+
+    def prefix(self, prefix: str, field: str | None = None) -> DataFrame:
+        from solr_map_reduce_spark.extensions import search
+
+        return search.prefix_match(
+            self.df(), prefix, id_col=self.unique_key,
+            tokens_col=self._tokens_col(field),
+        )
+
+    def phrase(self, phrase: str, field: str | None = None) -> DataFrame:
+        from solr_map_reduce_spark.extensions import search
+
+        return search.match_phrase(
+            self.df(), phrase, id_col=self.unique_key,
+            tokens_col=self._tokens_col(field),
+        )
+
+    def bm25(
+        self,
+        terms: Sequence[str],
+        k: int = 10,
+        field: str | None = None,
+        **kw,
+    ) -> DataFrame:
+        from solr_map_reduce_spark.extensions import search
+
+        return search.bm25_search(
+            self.df(), terms, k=k, id_col=self.unique_key,
+            tokens_col=self._tokens_col(field), **kw,
+        )
+
     # -- similarity search over an embedding column --------------------
     def knn(
         self,

@@ -47,6 +47,12 @@ from solr_map_reduce_spark.schema import IndexSchema
 SHARD_COL = "shard"
 MICRO_COL = "_micro_shard"
 MANIFEST = "_INDEX_MANIFEST.json"
+TOKENS_SUFFIX = "__tokens"
+# Solr fieldTypes whose values are analyzed at index time (schema.xml
+# text_en/text_general/lowercase; TokenizeTextBuilder.java:83-107) — the
+# artifact stores the token array alongside the raw value so queries read
+# stored structures instead of re-analyzing the corpus per query.
+ANALYZED_TYPES = ("text_en", "text_general", "lowercase")
 
 
 
@@ -70,6 +76,13 @@ class IndexJobConfig:
     #   — same distribution properties, fully JVM-side (~25% cheaper routing
     #   projection), for artifacts that never co-exist with a live SolrCloud.
     routing: str = "solr"
+    # Analyze-at-index-time (the reference's contract: text_en fields are
+    # analyzed when the index is BUILT, schema.xml:119 +
+    # TokenizeTextBuilder.java:83-107; queries then hit stored structures).
+    # For every schema field of an ANALYZED_TYPES fieldType, the artifact
+    # stores `<field>__tokens` (array<string>) next to the raw value, and
+    # SearchIndex term/BM25 queries read it instead of re-tokenizing.
+    store_tokens: bool = True
 
     def __post_init__(self) -> None:
         micro = self.micro_shards or self.shards
@@ -99,7 +112,35 @@ class IndexJob:
         df = require_unique_key(df, key)
         df = cfg.schema.sanitize(df, rename_prefix=cfg.sanitize_rename_prefix)
         df = cfg.schema.apply_types(df)
+        df = self._with_tokens(df)
         return self._with_shard(df)
+
+    def _with_tokens(self, df: DataFrame) -> DataFrame:
+        """Index-time analysis (B4 at build time): store the token array for
+        every analyzed-text schema field so the query side never re-runs the
+        analyzer over the corpus."""
+        cfg = self.config
+        if not cfg.store_tokens:
+            return df
+        from solr_map_reduce_spark.functions.analyzers import ANALYZERS
+
+        for f in cfg.schema.fields:
+            type_name = f.type if isinstance(f.type, str) else None
+            if type_name in ANALYZED_TYPES and f.name in df.columns:
+                df = df.withColumn(
+                    f.name + TOKENS_SUFFIX, ANALYZERS[type_name](F.col(f.name))
+                )
+        return df
+
+    def _analyzed_manifest(self, written_columns) -> dict:
+        cfg = self.config
+        out = {}
+        for f in cfg.schema.fields:
+            type_name = f.type if isinstance(f.type, str) else None
+            tokens_col = f.name + TOKENS_SUFFIX
+            if type_name in ANALYZED_TYPES and tokens_col in written_columns:
+                out[f.name] = {"type": type_name, "tokens_col": tokens_col}
+        return out
 
     def _with_shard(self, df: DataFrame) -> DataFrame:
         """Attach MICRO_COL + SHARD_COL from the unique key (also used to
@@ -154,6 +195,7 @@ class IndexJob:
             "order_field": cfg.order_field,
             "routing": cfg.routing,
             "columns": [c for c in written.columns if c not in (SHARD_COL, MICRO_COL)],
+            "analyzed": self._analyzed_manifest(written.columns),
             "schema_json": written.schema.json(),
         }
         fs = get_fs(path, written.sparkSession)

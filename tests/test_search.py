@@ -126,3 +126,90 @@ def test_prefix_and_none_queries(spark):
 
     with pytest.raises(ValueError):
         prefix_match(df, "two words")
+
+
+# -- stored-token artifact surface (analyze-once, query the artifact) -------
+
+@pytest.fixture(scope="module")
+def artifact_index(spark, tmp_path_factory, docs):
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("doc_id", "long", required=True), Field("text", "text_general")),
+        unique_key="doc_id",
+    )
+    path = str(tmp_path_factory.mktemp("search_idx") / "index")
+    IndexJob(
+        IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+    ).build(docs, path)
+    return SearchIndex.open(spark, path)
+
+
+def test_artifact_stores_token_arrays(artifact_index):
+    df = artifact_index.df()
+    assert "text__tokens" in df.columns
+    row = df.filter(df.doc_id == 2).select("text__tokens").first()
+    assert row[0] == ["the", "quick", "blue", "hare", "sleeps"]
+    assert artifact_index.manifest["analyzed"] == {
+        "text": {"type": "text_general", "tokens_col": "text__tokens"}
+    }
+
+
+def test_stored_token_queries_match_reanalysis(docs, artifact_index):
+    """Every term-query shape gives identical answers whether it re-analyzes
+    raw text or reads the artifact's stored token column."""
+    idx = artifact_index
+    cases = [
+        (search.contains_all(docs, ["quick", "brown"]), idx.contains_all(["quick", "brown"])),
+        (search.contains_any(docs, ["hare", "dog"]), idx.contains_any(["hare", "dog"])),
+        (search.contains_none(docs, ["quick"]), idx.contains_none(["quick"])),
+        (search.prefix_match(docs, "bro"), idx.prefix("bro")),
+        (search.match_phrase(docs, "quick brown fox"), idx.phrase("quick brown fox")),
+    ]
+    for raw, stored in cases:
+        assert sorted(r[0] for r in raw.collect()) == sorted(r[0] for r in stored.collect())
+
+
+def test_stored_bm25_matches_reanalysis(docs, artifact_index):
+    raw = search.bm25_search(docs, ["quick", "brown"], k=3).collect()
+    stored = artifact_index.bm25(["quick", "brown"], k=3).collect()
+    assert [r["doc_id"] for r in raw] == [r["doc_id"] for r in stored]
+    for a, b in zip(raw, stored):
+        assert abs(a["score"] - b["score"]) < 1e-12
+
+
+def test_stored_token_query_prunes_raw_text(artifact_index):
+    """The stored-token plan must read ONLY the token column — the raw text
+    column never leaves the parquet scan (column pruning is the point of
+    analyzing at index time)."""
+    plan = (
+        artifact_index.contains_all(["quick"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "text__tokens" in plan
+    assert "regexp_replace" not in plan, "stored path must not re-analyze"
+    import re
+
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert read_schema and "text__tokens" in read_schema.group(1)
+    assert "text:" not in read_schema.group(1).replace("text__tokens", "")
+
+
+def test_unanalyzed_artifact_raises(spark, tmp_path, docs):
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("doc_id", "long", required=True), Field("text", "string")),
+        unique_key="doc_id",
+    )
+    path = str(tmp_path / "plain_idx")
+    IndexJob(
+        IndexJobConfig(schema=schema, shards=1, dedup="none", routing="native")
+    ).build(docs, path)
+    idx = SearchIndex.open(spark, path)
+    with pytest.raises(ValueError, match="no analyzed token columns"):
+        idx.contains_all(["quick"])
