@@ -84,6 +84,19 @@ def detect_mime_type(content: F.Column) -> F.Column:
     )
 
 
+def _sniff_magic(b: bytes) -> str:
+    """Python-side mirror of :func:`detect_mime_type`'s magic table, for the
+    extract fallback (binary payloads no builtin parser handles are still
+    TYPED, matching Tika's detector behavior)."""
+    for mime, magic in _MAGIC:
+        if magic is None:
+            if b[257:262] == b"ustar":
+                return mime
+        elif b.startswith(bytes.fromhex(magic)):
+            return mime
+    return "application/octet-stream"
+
+
 _DECOMPRESSORS = {
     "application/gzip": gzip.decompress,
     "application/x-bzip2": bz2.decompress,
@@ -201,6 +214,8 @@ _EXTRACT_SCHEMA = T.StructType(
         T.StructField("content_text", T.StringType()),
         T.StructField("content_type", T.StringType()),
         T.StructField("content_length", T.LongType()),
+        T.StructField("content_title", T.StringType()),
+        T.StructField("content_metadata", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -255,58 +270,85 @@ def extract_content(
     """B11 solrCell: binary payload → (content_text, content_type,
     content_length) columns appended.
 
-    ``impl="tika"`` is the real-parser slot (PDF/DOC/XLS/…); the lib is not
-    in this container so it raises NotImplementedError — the plumbing
-    (schema, Arrow batching, column wiring) is identical for both impls.
-    The builtin impl decodes UTF-8 text payloads, parses RFC822 email
-    (stdlib ``email`` — the solrCellDocumentTypes.conf:251 mbox/message
-    parser slot; headers + preferred text body become the content text),
-    and types the rest by magic — covering the reference's
-    text/CSV/XML/eml test corpus shapes.
+    ``impl="tika"`` is the real-parser slot for formats beyond the builtin
+    set (legacy OLE2 .doc/.xls/.ppt, images-EXIF, …); the lib is not in this
+    container so it raises NotImplementedError — the plumbing (schema, Arrow
+    batching, column wiring) is identical for both impls.  The builtin impl
+    covers the public document formats with from-scratch extractors
+    (sources/documents.py: PDF text objects + Info metadata, DOCX/XLSX/PPTX
+    zip+XML, RTF control-word stripping — golden-tested on the reference's
+    own corpus, mlt/resources/test-documents/), parses RFC822 email (stdlib
+    ``email`` — the solrCellDocumentTypes.conf:251 mbox/message parser
+    slot), decodes UTF-8 text/XML/HTML payloads, and types the rest by
+    magic.  Output adds (content_text, content_type, content_length,
+    content_title, content_metadata) — the Tika-metadata-to-fields mapping
+    of solrCell.
     """
     if impl == "tika":
         raise NotImplementedError(
             "Tika parser not available in this environment; use impl='builtin' "
-            "(text/XML/HTML decode + magic typing) or plug a parser with the "
-            "same (bytes) -> (text, type) contract"
+            "(PDF/DOCX/XLSX/PPTX/RTF/text/XML/HTML/eml + magic typing) or plug "
+            "a parser with the same (bytes) -> DocumentContent contract"
         )
     if impl != "builtin":
         raise ValueError(f"unknown impl {impl!r}")
 
     @F.pandas_udf(_EXTRACT_SCHEMA)
     def _extract(content: pd.Series) -> pd.DataFrame:
-        texts, types, lengths = [], [], []
+        from solr_map_reduce_spark.sources.documents import extract_document
+
+        texts, types, lengths, titles, metas = [], [], [], [], []
+
+        def push(text, mime, title=None, meta=None):
+            texts.append(text); types.append(mime)
+            titles.append(title); metas.append(meta or {})
+
         for raw in content:
             if raw is None:
-                texts.append(None); types.append("application/x-empty"); lengths.append(0)
+                lengths.append(0)
+                push(None, "application/x-empty")
                 continue
             b = bytes(raw)
             lengths.append(len(b))
+            try:
+                doc = extract_document(b)
+            except Exception:
+                doc = None  # malformed container: fall through (B22 stance)
+            if doc is not None:
+                push(doc.text, doc.mime, doc.title, doc.metadata)
+                continue
             try:
                 s = b.decode("utf-8")
                 mail = _extract_rfc822(s)
                 head = s.lstrip()[:64].lower()
                 if mail is not None:
-                    types.append("message/rfc822")
-                    texts.append(mail)
+                    push(mail, "message/rfc822")
                     continue
                 if head.startswith("<?xml"):
-                    types.append("application/xml")
+                    mime = "application/xml"
                 elif head.startswith(("<html", "<!doct")):
-                    types.append("text/html")
+                    mime = "text/html"
                 else:
-                    types.append("text/plain")
-                texts.append(s)
+                    mime = "text/plain"
+                push(s, mime)
             except UnicodeDecodeError:
-                types.append("application/octet-stream")
-                texts.append(None)
+                push(None, _sniff_magic(b))
         return pd.DataFrame(
-            {"content_text": texts, "content_type": types, "content_length": lengths}
+            {
+                "content_text": texts,
+                "content_type": types,
+                "content_length": lengths,
+                "content_title": titles,
+                "content_metadata": metas,
+            }
         )
 
     ext = _extract(F.col(content_col))
     return (
         df.withColumn("_ext", ext)
-        .select("*", "_ext.content_text", "_ext.content_type", "_ext.content_length")
+        .select(
+            "*", "_ext.content_text", "_ext.content_type", "_ext.content_length",
+            "_ext.content_title", "_ext.content_metadata",
+        )
         .drop("_ext")
     )

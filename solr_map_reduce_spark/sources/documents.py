@@ -1,0 +1,409 @@
+"""Builtin binary-document text extraction (SURVEY §2 B11 solrCell subset).
+
+The reference's solrCell command parses PDF/Word/Excel/PowerPoint/RTF/…
+through Tika (solrCellDocumentTypes.conf:178-230; corpus
+morphlines-core/src/test/resources/test-documents/).  Tika is not in this
+container, so these are from-scratch extractors for the PUBLIC formats,
+written against their public specifications:
+
+- PDF (ISO 32000 subset): FlateDecode content streams, text-showing
+  operators (Tj/TJ/'/"), literal/hex string decoding, Info-dict metadata
+  (Title/Author, incl. UTF-16BE values).  Limitations: CID/Type0 composite
+  fonts decode without their CMap (garbage for CJK), encrypted PDFs and
+  cross-reference streams are not handled — text objects in plain or
+  Flate-compressed streams cover the reference corpus and the common case.
+- OOXML (ECMA-376 zip+XML): DOCX paragraphs (``w:t`` runs), XLSX shared
+  strings + inline strings, PPTX slide text (``a:t`` runs), core-properties
+  title/creator.
+- RTF (Word RTF spec subset): group-aware control-word stripping —
+  ``\\par``/``\\line`` → newline, ``\\'hh`` cp1252 escapes, ``\\uN`` unicode
+  escapes, destination groups (fonttbl/colortbl/pict/…) skipped.
+
+All extractors are ``bytes -> DocumentContent`` pure functions; the Spark
+side (``binary.extract_content``) calls them inside an Arrow-batched pandas
+UDF — per-row, no shuffle, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import zlib
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DocumentContent:
+    text: str | None
+    mime: str
+    title: str | None = None
+    metadata: dict[str, str] = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# PDF
+# ---------------------------------------------------------------------------
+
+_PDF_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+# one pass over a content stream, in order: literal-string shows, array
+# shows, hex shows, and block/line breaks
+_PDF_TEXT_OP = re.compile(
+    rb"""(?P<lit>\((?:\\.|[^\\()])*\))\s*(?:Tj|'|")   # (string) Tj / ' / "
+       | (?P<arr>\[(?:\\.|[^\]\\])*\])\s*TJ           # [(s) kern (s)] TJ
+       | (?P<hex><[0-9A-Fa-f\s]*>)\s*(?:Tj|'|")      # <hex> Tj
+       | (?P<brk>ET|T\*|TD|Td)                        # text-block / line ops
+    """,
+    re.X,
+)
+_PDF_LIT_IN_ARR = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> bytes:
+    """Decode a PDF literal string body (between the parens)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = raw[i + 1 : i + 2]
+        if nxt.isdigit():  # octal escape \d{1,3}
+            j = i + 1
+            while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in _PDF_ESCAPES:
+            out += _PDF_ESCAPES[nxt]
+            i += 2
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 2
+        else:
+            out += nxt
+            i += 2
+    return bytes(out)
+
+
+def _pdf_string_to_text(b: bytes) -> str:
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1", "replace")
+
+
+def _pdf_hex_to_text(h: bytes) -> str:
+    digits = re.sub(rb"\s", b"", h.strip(b"<>"))
+    if len(digits) % 2:
+        digits += b"0"
+    return _pdf_string_to_text(bytes.fromhex(digits.decode("ascii")))
+
+
+def _pdf_stream_text(stream: bytes) -> str:
+    parts: list[str] = []
+    for m in _PDF_TEXT_OP.finditer(stream):
+        if m.group("lit") is not None:
+            parts.append(_pdf_string_to_text(_pdf_unescape(m.group("lit")[1:-1])))
+        elif m.group("arr") is not None:
+            for s in _PDF_LIT_IN_ARR.findall(m.group("arr")):
+                if s.startswith(b"("):
+                    parts.append(_pdf_string_to_text(_pdf_unescape(s[1:-1])))
+                else:
+                    parts.append(_pdf_hex_to_text(s))
+        elif m.group("hex") is not None:
+            parts.append(_pdf_hex_to_text(m.group("hex")))
+        else:  # text-block end / explicit line move
+            if parts and not parts[-1].endswith("\n"):
+                parts.append("\n")
+    return "".join(parts)
+
+
+_PDF_INFO_VAL = rb"(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)"
+
+
+def _pdf_info(data: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for key in (b"Title", b"Author", b"Creator", b"Producer", b"Subject"):
+        m = re.search(rb"/" + key + rb"\s*(" + _PDF_INFO_VAL + rb")", data)
+        if not m:
+            continue
+        v = m.group(1)
+        text = (
+            _pdf_string_to_text(_pdf_unescape(v[1:-1]))
+            if v.startswith(b"(")
+            else _pdf_hex_to_text(v)
+        )
+        if text:
+            out[key.decode().lower()] = text
+    return out
+
+
+def pdf_extract(data: bytes) -> DocumentContent:
+    """Text + Info metadata from a PDF (see module docstring for scope)."""
+    texts: list[str] = []
+    for m in _PDF_STREAM.finditer(data):
+        dict_part = m.group(1)
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            continue
+        stream = data[start:end].rstrip(b"\r\n")
+        if b"FlateDecode" in dict_part:
+            try:
+                # decompressobj tolerates trailing bytes (Length ambiguity)
+                stream = zlib.decompressobj().decompress(stream)
+            except zlib.error:
+                continue
+        if b"BT" in stream or b"Tj" in stream or b"TJ" in stream:
+            t = _pdf_stream_text(stream)
+            if t.strip():
+                texts.append(t)
+    meta = _pdf_info(data)
+    return DocumentContent(
+        text="\n".join(texts) if texts else None,
+        mime="application/pdf",
+        title=meta.get("title"),
+        metadata=meta,
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOXML (docx / xlsx / pptx)
+# ---------------------------------------------------------------------------
+
+def _xml_unescape(s: str) -> str:
+    from xml.sax.saxutils import unescape
+
+    return unescape(s, {"&quot;": '"', "&apos;": "'"})
+
+
+def _ooxml_core_props(zf: zipfile.ZipFile) -> dict[str, str]:
+    out: dict[str, str] = {}
+    try:
+        core = zf.read("docProps/core.xml").decode("utf-8", "replace")
+    except KeyError:
+        return out
+    for tag, key in (
+        ("dc:title", "title"),
+        ("dc:creator", "author"),
+        ("dc:subject", "subject"),
+    ):
+        m = re.search(rf"<{tag}[^>]*>([^<]*)</{tag}>", core)
+        if m and m.group(1):
+            out[key] = _xml_unescape(m.group(1))
+    return out
+
+
+def _runs(xml: str, tag: str) -> list[str]:
+    return [
+        _xml_unescape(t)
+        for t in re.findall(rf"<{tag}(?:\s[^>]*)?>([^<]*)</{tag}>", xml)
+    ]
+
+
+def docx_extract(data: bytes) -> DocumentContent:
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        xml = zf.read("word/document.xml").decode("utf-8", "replace")
+        meta = _ooxml_core_props(zf)
+    # paragraph boundaries -> newlines; runs within a paragraph concatenate
+    paras = [
+        "".join(_runs(p, "w:t")) for p in re.split(r"</w:p>", xml)
+    ]
+    text = "\n".join(p for p in paras if p)
+    return DocumentContent(
+        text=text or None,
+        mime="application/vnd.openxmlformats-officedocument"
+        ".wordprocessingml.document",
+        title=meta.get("title"),
+        metadata=meta,
+    )
+
+
+def xlsx_extract(data: bytes) -> DocumentContent:
+    parts: list[str] = []
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        names = set(zf.namelist())
+        if "xl/sharedStrings.xml" in names:
+            parts += _runs(
+                zf.read("xl/sharedStrings.xml").decode("utf-8", "replace"), "t"
+            )
+        for n in sorted(names):
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n):
+                # inline strings (t inside is) — shared strings cover the rest
+                sheet = zf.read(n).decode("utf-8", "replace")
+                for m in re.finditer(r"<is>(.*?)</is>", sheet, re.S):
+                    parts += _runs(m.group(1), "t")
+        meta = _ooxml_core_props(zf)
+    return DocumentContent(
+        text="\n".join(p for p in parts if p) or None,
+        mime="application/vnd.openxmlformats-officedocument"
+        ".spreadsheetml.sheet",
+        title=meta.get("title"),
+        metadata=meta,
+    )
+
+
+def pptx_extract(data: bytes) -> DocumentContent:
+    parts: list[str] = []
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        slides = sorted(
+            n for n in zf.namelist()
+            if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+        )
+        for n in slides:
+            xml = zf.read(n).decode("utf-8", "replace")
+            parts += [t for t in _runs(xml, "a:t") if t]
+        meta = _ooxml_core_props(zf)
+    return DocumentContent(
+        text="\n".join(parts) or None,
+        mime="application/vnd.openxmlformats-officedocument"
+        ".presentationml.presentation",
+        title=meta.get("title"),
+        metadata=meta,
+    )
+
+
+_OOXML_KINDS = (
+    ("word/document.xml", docx_extract),
+    ("xl/workbook.xml", xlsx_extract),
+    ("ppt/presentation.xml", pptx_extract),
+)
+
+
+def ooxml_extract(data: bytes) -> DocumentContent | None:
+    """Dispatch a zip payload to the OOXML extractor matching its layout;
+    None for plain (non-OOXML) archives."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+    except zipfile.BadZipFile:
+        return None
+    for marker, fn in _OOXML_KINDS:
+        if marker in names:
+            return fn(data)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# RTF
+# ---------------------------------------------------------------------------
+
+# destination groups whose content is data, not document text
+_RTF_SKIP = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "header", "footer", "themedata", "colorschememapping", "latentstyles",
+    "datastore", "generator", "xmlnstbl", "listtable", "listoverridetable",
+    "rsidtbl", "mmathPr", "wgrffmtfilter", "panose",
+}
+_RTF_CW = re.compile(r"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\([^a-zA-Z])")
+
+
+def rtf_extract(data: bytes) -> DocumentContent:
+    s = data.decode("latin-1", "replace")
+    out: list[str] = []
+    skip_depth: int | None = None
+    depth = 0
+    i = 0
+    uc_skip = 1  # \ucN: bytes to skip after a \uN escape
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "{":
+            depth += 1
+            i += 1
+            continue
+        if c == "}":
+            depth -= 1
+            if skip_depth is not None and depth < skip_depth:
+                skip_depth = None
+            i += 1
+            continue
+        if c == "\\":
+            m = _RTF_CW.match(s, i)
+            if not m:
+                i += 1
+                continue
+            i = m.end()
+            if skip_depth is not None:
+                continue
+            word, num, hexv, sym = m.group(1), m.group(2), m.group(3), m.group(4)
+            if hexv is not None:
+                out.append(bytes([int(hexv, 16)]).decode("cp1252", "replace"))
+            elif sym is not None:
+                if sym == "*":
+                    # \* marks an unknown destination — skip its group
+                    skip_depth = depth
+                elif sym in "{}\\":
+                    out.append(sym)
+                elif sym == "~":
+                    out.append("\u00a0")
+            elif word in ("par", "line", "sect", "page", "row"):
+                out.append("\n")
+            elif word in ("tab", "cell"):
+                out.append("\t")
+            elif word == "uc" and num is not None:
+                uc_skip = int(num)
+            elif word == "u" and num is not None:
+                cp = int(num)
+                out.append(chr(cp + 65536 if cp < 0 else cp))
+                # consume the fallback character(s)
+                skipped = 0
+                while skipped < uc_skip and i < n:
+                    if s[i] == "\\" and i + 3 < n and s[i + 1] == "'":
+                        i += 4
+                    else:
+                        i += 1
+                    skipped += 1
+            elif word in _RTF_SKIP:
+                skip_depth = depth
+            continue
+        if skip_depth is None and c not in "\r\n":
+            out.append(c)
+        i += 1
+    text = re.sub(r"\n{3,}", "\n\n", "".join(out)).strip()
+    return DocumentContent(text=text or None, mime="application/rtf")
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def _fix_surrogates(s: str | None) -> str | None:
+    """Recombine surrogate pairs (RTF encodes non-BMP chars as two ``\\uN``
+    escapes) and replace stray lone surrogates — Arrow/UTF-8 rejects them."""
+    if s is None:
+        return None
+    try:
+        s.encode("utf-8")
+        return s
+    except UnicodeEncodeError:
+        pass
+    try:
+        return s.encode("utf-16", "surrogatepass").decode("utf-16")
+    except UnicodeDecodeError:
+        return "".join(
+            "�" if 0xD800 <= ord(c) <= 0xDFFF else c for c in s
+        )
+
+
+def extract_document(data: bytes) -> DocumentContent | None:
+    """Magic-dispatch to the matching builtin extractor; None when no
+    binary-document format matches (caller falls through to text paths)."""
+    if data.startswith(b"%PDF"):
+        doc = pdf_extract(data)
+    elif data.startswith(b"{\\rtf"):
+        doc = rtf_extract(data)
+    elif data.startswith(b"PK\x03\x04"):
+        doc = ooxml_extract(data)
+    else:
+        return None
+    if doc is not None:
+        doc.text = _fix_surrogates(doc.text)
+        doc.title = _fix_surrogates(doc.title)
+        doc.metadata = {k: _fix_surrogates(v) for k, v in doc.metadata.items()}
+    return doc

@@ -193,3 +193,84 @@ def test_extract_plain_text_not_misdetected_as_email(spark):
     )
     got = [r["content_type"] for r in extract_content(df).collect()]
     assert got == ["text/plain", "text/plain"]
+
+
+# -- B11 builtin document extractors: golden tests on the reference's own
+# corpus (mlt/resources/test-documents — the files solrCell feeds to Tika,
+# solrCellDocumentTypes.conf:178-230) ---------------------------------------
+
+REF_DOCS = "/root/reference/morphlines-core/src/test/resources/test-documents"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DOCS), reason="reference corpus absent"
+)
+class TestReferenceCorpusExtraction:
+    def _extract_one(self, name):
+        from solr_map_reduce_spark.sources.documents import extract_document
+
+        with open(f"{REF_DOCS}/{name}", "rb") as f:
+            return extract_document(f.read())
+
+    def test_pdf_text_and_metadata(self):
+        doc = self._extract_one("testPDF.pdf")
+        assert doc.mime == "application/pdf"
+        assert doc.title == "Apache Tika - Apache Tika"
+        assert "Apache Tika" in doc.text
+        assert "toolkit" in doc.text
+        # UTF-16BE metadata value with octal escapes decodes
+        assert doc.metadata["author"] == "Bertrand Delacrétaz"
+
+    def test_docx_paragraph_text(self):
+        doc = self._extract_one("NullHeader.docx")
+        assert doc.mime.endswith("wordprocessingml.document")
+        assert doc.text.startswith("Hundreds injured in Yemen protest")
+        assert "Taiz" in doc.text
+        # paragraph boundaries become newlines
+        assert "protest\nBBC Middle East" in doc.text
+
+    def test_xlsx_shared_strings_and_title(self):
+        doc = self._extract_one("testEXCEL.xlsx")
+        assert doc.mime.endswith("spreadsheetml.sheet")
+        assert doc.title == "Simple Excel document"
+        assert "Sample Excel Worksheet" in doc.text
+        assert "Number" in doc.text and "Square" in doc.text
+
+    def test_pptx_slide_text(self):
+        doc = self._extract_one("testPPT_various.pptx")
+        assert doc.mime.endswith("presentationml.presentation")
+        assert "Here is a text box" in doc.text
+        assert "Row 1 Col 1" in doc.text
+
+    def test_rtf_text(self):
+        doc = self._extract_one("testRTFVarious.rtf")
+        assert doc.mime == "application/rtf"
+        assert "Here is a list:" in doc.text or "Bold italic underline" in doc.text
+        # control words and group data must not leak
+        assert "\\par" not in doc.text and "fonttbl" not in doc.text
+
+    def test_non_ooxml_zip_falls_through(self):
+        # .pages is a zip but not OOXML — must not misparse
+        assert self._extract_one("testPages.pages") is None
+
+    def test_spark_extract_content_over_corpus(self, spark):
+        """The Spark surface: binaryFile scan over the real corpus →
+        extract_content yields text + title columns for all five formats."""
+        files = [
+            "testPDF.pdf", "NullHeader.docx", "testEXCEL.xlsx",
+            "testPPT_various.pptx", "testRTFVarious.rtf",
+        ]
+        df = spark.read.format("binaryFile").load(
+            [f"{REF_DOCS}/{n}" for n in files]
+        )
+        out = {r["path"].split("/")[-1]: r for r in
+               B.extract_content(df).select(
+                   "path", "content_text", "content_type", "content_title"
+               ).collect()}
+        assert len(out) == 5
+        assert all(r["content_text"] for r in out.values())
+        assert out["testPDF.pdf"]["content_title"] == "Apache Tika - Apache Tika"
+        assert "Yemen" in out["NullHeader.docx"]["content_text"]
+        assert out["testEXCEL.xlsx"]["content_type"].endswith("sheet")
+        assert "text box" in out["testPPT_various.pptx"]["content_text"]
+        assert out["testRTFVarious.rtf"]["content_type"] == "application/rtf"
