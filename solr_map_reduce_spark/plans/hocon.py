@@ -294,11 +294,16 @@ def compile_morphline(
                 # the reference's CSV morphlines
                 # (solrCellDocumentTypes.conf:105-110) rely on these two:
                 # ignoreFirstLine → skip the header row; columns → positional
-                # names (Spark would otherwise keep header rows and default
-                # _c0/_c1 names, silently mismatching every downstream
-                # field-addressed command)
-                read_options["header"] = "true" if args.get("ignoreFirstLine") else "false"
+                # names (previously silently dropped: Spark kept header rows
+                # and default _c0/_c1 names, mismatching every downstream
+                # field-addressed command).  With neither present the
+                # reader's header=true default stands (legacy behavior:
+                # names from the file's first line).
                 cols = args.get("columns")
+                if args.get("ignoreFirstLine"):
+                    read_options["header"] = "true"  # consume the first line
+                elif cols:
+                    read_options["header"] = "false"  # every line is data
                 if cols:
                     spec.append({"op": "rename_positional", "names": list(cols)})
         elif name == "extractAvroPaths":

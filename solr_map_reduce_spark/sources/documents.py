@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import io
 import re
+import struct
 import zipfile
 import zlib
 from dataclasses import dataclass, field
@@ -366,7 +367,256 @@ def rtf_extract(data: bytes) -> DocumentContent:
             out.append(c)
         i += 1
     text = re.sub(r"\n{3,}", "\n\n", "".join(out)).strip()
-    return DocumentContent(text=text or None, mime="application/rtf")
+    # \uN-escaped non-BMP chars arrive as surrogate pairs — recombine here
+    # so direct callers (not just the dispatcher) get valid UTF-8
+    return DocumentContent(text=_fix_surrogates(text) or None, mime="application/rtf")
+
+
+# ---------------------------------------------------------------------------
+# Legacy Office (CFB/OLE2): .doc / .xls / .ppt / .msg — public MS-* specs
+# ---------------------------------------------------------------------------
+
+def _doc_extract_text(cfb) -> str | None:
+    """MS-DOC: piece-table text extraction from the WordDocument stream.
+
+    FIB → fcClx/lcbClx (FibRgFcLcb97 fixed offsets 0x01A2/0x01A6) → Clx in
+    the 0Table/1Table stream (selected by FIB flag bit fWhichTblStm) →
+    PlcPcd pieces; each PCD's fc bit 0x40000000 selects cp1252-at-fc/2 vs
+    UTF-16LE-at-fc (MS-DOC §2.4.1 "Retrieving Text")."""
+    word = cfb.open_stream("WordDocument")
+    if len(word) < 0x01AA or struct.unpack_from("<H", word, 0)[0] != 0xA5EC:
+        return None
+    (flags,) = struct.unpack_from("<H", word, 0x000A)
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    if not cfb.has_stream(table_name):
+        return None
+    table = cfb.open_stream(table_name)
+    (fc_clx,) = struct.unpack_from("<I", word, 0x01A2)
+    (lcb_clx,) = struct.unpack_from("<I", word, 0x01A6)
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    # walk Clx: Prc blocks (0x01 + int16 size) precede the Pcdt (0x02)
+    i = 0
+    plc = b""
+    while i < len(clx):
+        if clx[i] == 0x01:
+            (sz,) = struct.unpack_from("<h", clx, i + 1)
+            i += 3 + sz
+        elif clx[i] == 0x02:
+            (lcb,) = struct.unpack_from("<I", clx, i + 1)
+            plc = clx[i + 5 : i + 5 + lcb]
+            break
+        else:
+            return None
+    if not plc:
+        return None
+    n = (len(plc) - 4) // 12
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    parts: list[str] = []
+    for k in range(n):
+        (fc_raw,) = struct.unpack_from("<I", plc, 4 * (n + 1) + 8 * k + 2)
+        n_chars = cps[k + 1] - cps[k]
+        fc = fc_raw & 0x3FFFFFFF
+        if fc_raw & 0x40000000:
+            chunk = word[fc // 2 : fc // 2 + n_chars]
+            parts.append(chunk.decode("cp1252", "replace"))
+        else:
+            chunk = word[fc : fc + 2 * n_chars]
+            parts.append(chunk.decode("utf-16-le", "replace"))
+    text = "".join(parts)
+    # Word control chars: CR = paragraph, 0x07 = cell/row mark, others drop
+    text = text.replace("\r", "\n").replace("\x07", "\t")
+    text = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", text)
+    return _fix_surrogates(text.strip()) or None
+
+
+def _xls_sst_strings(book: bytes) -> list[str]:
+    """BIFF8 SST shared strings (MS-XLS §2.4.265), CONTINUE-record aware."""
+    # first stitch the SST record with its CONTINUEs into one buffer,
+    # remembering where each continue boundary is (a string may restart
+    # its compression flag at a boundary)
+    i = 0
+    segs: list[bytes] = []
+    while i + 4 <= len(book):
+        rec, ln = struct.unpack_from("<HH", book, i)
+        body = book[i + 4 : i + 4 + ln]
+        if rec == 0x00FC:  # SST
+            segs = [body]
+            j = i + 4 + ln
+            while j + 4 <= len(book):
+                r2, l2 = struct.unpack_from("<HH", book, j)
+                if r2 != 0x003C:  # CONTINUE
+                    break
+                segs.append(book[j + 4 : j + 4 + l2])
+                j += 4 + l2
+            break
+        i += 4 + ln
+    if not segs:
+        return []
+    out: list[str] = []
+    seg_idx, pos = 0, 8  # skip cstTotal/cstUnique
+    def read(nbytes: int) -> bytes:
+        nonlocal seg_idx, pos
+        buf = bytearray()
+        while nbytes > 0 and seg_idx < len(segs):
+            avail = len(segs[seg_idx]) - pos
+            take = min(avail, nbytes)
+            buf += segs[seg_idx][pos : pos + take]
+            pos += take
+            nbytes -= take
+            if pos >= len(segs[seg_idx]):
+                seg_idx += 1
+                pos = 0
+        return bytes(buf)
+
+    while True:
+        hdr = read(3)
+        if len(hdr) < 3:
+            break
+        cch, flags = struct.unpack("<HB", hdr)
+        rich = flags & 0x08
+        ext = flags & 0x04
+        c_run = struct.unpack("<H", read(2))[0] if rich else 0
+        cb_ext = struct.unpack("<i", read(4))[0] if ext else 0
+        # character data may switch width at a CONTINUE boundary; read
+        # char-by-char segment-aware
+        chars: list[str] = []
+        wide = bool(flags & 0x01)
+        remaining = cch
+        while remaining > 0:
+            if seg_idx < len(segs) and pos == 0 and chars:
+                # crossed into a CONTINUE: first byte is a fresh width flag
+                wide = bool(read(1)[0] & 0x01)
+            if seg_idx >= len(segs):
+                break
+            avail_bytes = len(segs[seg_idx]) - pos
+            unit = 2 if wide else 1
+            take_chars = min(remaining, avail_bytes // unit)
+            if take_chars == 0:
+                seg_idx += 1
+                pos = 0
+                continue
+            raw = read(take_chars * unit)
+            chars.append(
+                raw.decode("utf-16-le" if wide else "cp1252", "replace")
+            )
+            remaining -= take_chars
+        read(4 * c_run + max(cb_ext, 0))
+        out.append("".join(chars))
+        if len(out) > 100_000:
+            break
+    return out
+
+
+def xls_extract(data: bytes) -> DocumentContent:
+    from solr_map_reduce_spark.sources.cfb import CfbFile
+
+    cfb = CfbFile(data)
+    name = "Workbook" if cfb.has_stream("Workbook") else "Book"
+    strings = _xls_sst_strings(cfb.open_stream(name))
+    return DocumentContent(
+        text="\n".join(s for s in strings if s.strip()) or None,
+        mime="application/vnd.ms-excel",
+    )
+
+
+def ppt_extract(data: bytes) -> DocumentContent:
+    """MS-PPT: TextCharsAtom (0x0FA0, UTF-16LE) + TextBytesAtom (0x0FA8,
+    cp1252) records in the PowerPoint Document stream."""
+    from solr_map_reduce_spark.sources.cfb import CfbFile
+
+    cfb = CfbFile(data)
+    stream = cfb.open_stream("PowerPoint Document")
+    parts: list[str] = []
+
+    def walk(buf: bytes) -> None:
+        i = 0
+        while i + 8 <= len(buf):
+            ver_inst, rtype, rlen = struct.unpack_from("<HHI", buf, i)
+            body = buf[i + 8 : i + 8 + rlen]
+            if (ver_inst & 0x000F) == 0x000F:  # container: descend
+                walk(body)
+            elif rtype == 0x0FA0:
+                parts.append(body.decode("utf-16-le", "replace"))
+            elif rtype == 0x0FA8:
+                parts.append(body.decode("cp1252", "replace"))
+            i += 8 + rlen
+
+    walk(stream)
+    text = "\n".join(
+        re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", p.replace("\r", "\n")).strip()
+        for p in parts if p.strip()
+    )
+    return DocumentContent(
+        text=_fix_surrogates(text) or None,
+        mime="application/vnd.ms-powerpoint",
+    )
+
+
+_MSG_PROPS = (  # (property id, field) — MS-OXPROPS canonical tags
+    ("0037", "subject"),
+    ("0C1A", "from"),
+    ("0E04", "to"),
+    ("1000", "body"),
+)
+
+
+def msg_extract(data: bytes) -> DocumentContent:
+    """MS-OXMSG: property streams ``__substg1.0_<tag><type>`` (001F =
+    UTF-16LE, 001E = ANSI)."""
+    from solr_map_reduce_spark.sources.cfb import CfbFile
+
+    cfb = CfbFile(data)
+    names = set(cfb.stream_names())
+    meta: dict[str, str] = {}
+    for tag, field_name in _MSG_PROPS:
+        for suffix, enc in (("001F", "utf-16-le"), ("001E", "cp1252")):
+            sname = f"__substg1.0_{tag}{suffix}"
+            if sname in names:
+                val = cfb.open_stream(sname).decode(enc, "replace").strip("\x00")
+                if val:
+                    meta[field_name] = _fix_surrogates(val)
+                break
+    lines = [f"{k.title()}: {meta[k]}" for k in ("from", "to", "subject") if k in meta]
+    body = meta.get("body", "")
+    text = "\n".join(lines) + ("\n\n" + body if body else "")
+    return DocumentContent(
+        text=text.strip() or None,
+        mime="application/vnd.ms-outlook",
+        title=meta.get("subject"),
+        metadata={k: v for k, v in meta.items() if k != "body"},
+    )
+
+
+def doc_extract(data: bytes) -> DocumentContent:
+    from solr_map_reduce_spark.sources.cfb import CfbFile
+
+    cfb = CfbFile(data)
+    return DocumentContent(
+        text=_doc_extract_text(cfb), mime="application/msword"
+    )
+
+
+def cfb_extract(data: bytes) -> DocumentContent | None:
+    """Dispatch a CFB payload by its characteristic stream names."""
+    from solr_map_reduce_spark.sources.cfb import CfbFile
+
+    try:
+        cfb = CfbFile(data)
+    except Exception:
+        return None
+    names = set(cfb.stream_names())
+    try:
+        if "WordDocument" in names:
+            return doc_extract(data)
+        if "Workbook" in names or "Book" in names:
+            return xls_extract(data)
+        if "PowerPoint Document" in names:
+            return ppt_extract(data)
+        if any(n.startswith("__substg1.0_") for n in names):
+            return msg_extract(data)
+    except Exception:
+        pass
+    return DocumentContent(text=None, mime="application/x-ole-storage")
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +650,8 @@ def extract_document(data: bytes) -> DocumentContent | None:
         doc = rtf_extract(data)
     elif data.startswith(b"PK\x03\x04"):
         doc = ooxml_extract(data)
+    elif data.startswith(bytes.fromhex("d0cf11e0a1b11ae1")):
+        doc = cfb_extract(data)
     else:
         return None
     if doc is not None:

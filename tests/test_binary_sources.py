@@ -274,3 +274,47 @@ class TestReferenceCorpusExtraction:
         assert out["testEXCEL.xlsx"]["content_type"].endswith("sheet")
         assert "text box" in out["testPPT_various.pptx"]["content_text"]
         assert out["testRTFVarious.rtf"]["content_type"] == "application/rtf"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DOCS), reason="reference corpus absent"
+)
+class TestLegacyOfficeExtraction:
+    """CFB/OLE2 formats (.doc/.xls/.ppt/.msg) via the minimal MS-CFB reader
+    (sources/cfb.py) + per-format extractors — golden on the reference's
+    Tika corpus."""
+
+    def _extract_one(self, name):
+        from solr_map_reduce_spark.sources.documents import extract_document
+
+        with open(f"{REF_DOCS}/{name}", "rb") as f:
+            return extract_document(f.read())
+
+    def test_doc_piece_table_text(self):
+        doc = self._extract_one("testWORD_various.doc")
+        assert doc.mime == "application/msword"
+        assert "Here is a list:" in doc.text
+        assert "Bold italic underline" in doc.text
+
+    def test_xls_shared_strings(self):
+        doc = self._extract_one("testEXCEL.xls")
+        assert doc.mime == "application/vnd.ms-excel"
+        assert "Sample Excel Worksheet" in doc.text
+        assert "Microsoft Excel X for Mac" in doc.text
+
+    def test_ppt_text_atoms(self):
+        doc = self._extract_one("testPPT_various.ppt")
+        assert doc.mime == "application/vnd.ms-powerpoint"
+        assert "This is the header text." in doc.text
+
+    def test_msg_properties(self):
+        doc = self._extract_one("test-outlook.msg")
+        assert doc.mime == "application/vnd.ms-outlook"
+        assert doc.title == "Microsoft Outlook Express 6"
+        assert doc.text.startswith("From: L'Équipe Microsoft Outlook Express")
+        assert doc.metadata["to"].startswith("Nouvel utilisateur")
+
+    def test_unknown_cfb_typed_not_parsed(self):
+        doc = self._extract_one("testVISIO.vsd")
+        assert doc.mime == "application/x-ole-storage"
+        assert doc.text is None

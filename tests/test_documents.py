@@ -1,0 +1,139 @@
+"""Unit tests for the builtin document extractors (sources/documents.py):
+format-spec edge cases on synthetic inputs — the reference-corpus golden
+tests live in test_binary_sources.py."""
+
+import io
+import struct
+import zipfile
+import zlib
+
+import pytest
+
+from solr_map_reduce_spark.sources.documents import (
+    DocumentContent,
+    _fix_surrogates,
+    _pdf_unescape,
+    extract_document,
+    pdf_extract,
+    rtf_extract,
+)
+
+
+def _mini_pdf(content_ops: bytes, compress: bool = True, info: bytes = b"") -> bytes:
+    body = zlib.compress(content_ops) if compress else content_ops
+    filt = b"/Filter /FlateDecode " if compress else b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< " + filt + b"/Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n" + info + b"\n%%EOF"
+    )
+
+
+class TestPdf:
+    def test_tj_and_array_tj(self):
+        ops = b"BT (Hello) Tj [(Wo) -10 (rld)] TJ ET"
+        doc = pdf_extract(_mini_pdf(ops))
+        assert doc.text.strip() == "HelloWorld"
+
+    def test_uncompressed_stream(self):
+        doc = pdf_extract(_mini_pdf(b"BT (plain) Tj ET", compress=False))
+        assert doc.text.strip() == "plain"
+
+    def test_literal_escapes(self):
+        assert _pdf_unescape(rb"a\(b\)c\\d\n\101") == b"a(b)c\\d\nA"
+
+    def test_hex_string_show(self):
+        ops = b"BT <48 69> Tj ET"  # "Hi" with embedded whitespace
+        assert pdf_extract(_mini_pdf(ops)).text.strip() == "Hi"
+
+    def test_info_dict_utf16_title(self):
+        # UTF-16BE with BOM via octal escapes, as PDF producers emit
+        info = b"2 0 obj\n<< /Title (\\376\\377\\000H\\000i) >>\nendobj"
+        doc = pdf_extract(_mini_pdf(b"BT (x) Tj ET", info=info))
+        assert doc.title == "Hi"
+
+    def test_line_break_on_et(self):
+        ops = b"BT (line1) Tj ET BT (line2) Tj ET"
+        assert pdf_extract(_mini_pdf(ops)).text.splitlines()[:2] == ["line1", "line2"]
+
+    def test_truncated_pdf_no_crash(self):
+        assert pdf_extract(_mini_pdf(b"BT (ok) Tj ET")[:40]).text is None
+
+
+class TestRtf:
+    def test_basic_par_and_escapes(self):
+        doc = rtf_extract(rb"{\rtf1 Hello\par World \'e9 \{x\}}")
+        assert "Hello" in doc.text and "World" in doc.text
+        assert "é" in doc.text and "{x}" in doc.text
+
+    def test_destination_groups_skipped(self):
+        doc = rtf_extract(
+            rb"{\rtf1{\fonttbl{\f0 Arial;}}{\*\generator Acme 1.0;}Visible}"
+        )
+        assert doc.text == "Visible"
+        assert "Arial" not in doc.text and "Acme" not in doc.text
+
+    def test_unicode_escape_with_fallback(self):
+        doc = rtf_extract(rb"{\rtf1 \u8364 ? euro}")
+        assert doc.text.startswith("€")
+        assert "?" not in doc.text.split("euro")[0]  # fallback char consumed
+
+    def test_surrogate_pair_recombined(self):
+        # U+1F600 as an RTF surrogate pair: \ud83d \ude00 (negative \uN form)
+        doc = rtf_extract(rb"{\rtf1 \u-10179 ?\u-8704 ? done}")
+        assert "\U0001f600" in doc.text
+
+
+class TestOoxml:
+    def _zip(self, entries: dict[str, str]) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for name, content in entries.items():
+                zf.writestr(name, content)
+        return buf.getvalue()
+
+    def test_docx_entities_and_paragraphs(self):
+        data = self._zip(
+            {
+                "word/document.xml": (
+                    "<w:document><w:p><w:r><w:t>A &amp; B</w:t></w:r></w:p>"
+                    "<w:p><w:r><w:t xml:space=\"preserve\">second</w:t></w:r></w:p>"
+                    "</w:document>"
+                )
+            }
+        )
+        doc = extract_document(data)
+        assert doc.text == "A & B\nsecond"
+
+    def test_plain_zip_is_not_a_document(self):
+        assert extract_document(self._zip({"readme.txt": "hi"})) is None
+
+    def test_truncated_zip_no_crash(self):
+        data = self._zip({"word/document.xml": "<w:t>x</w:t>"})[:30]
+        # dispatcher sees PK magic but the archive is broken -> None
+        assert extract_document(data) is None
+
+
+class TestSurrogates:
+    def test_pair_recombines(self):
+        assert _fix_surrogates("a😀b") == "a\U0001f600b"
+
+    def test_lone_surrogate_replaced(self):
+        out = _fix_surrogates("a\ud800b")
+        assert "\ud800" not in out and out.startswith("a") and out.endswith("b")
+
+    def test_clean_text_unchanged(self):
+        assert _fix_surrogates("plain") == "plain"
+        assert _fix_surrogates(None) is None
+
+
+class TestCfbRobustness:
+    def test_truncated_cfb_typed_not_crashing(self):
+        data = bytes.fromhex("d0cf11e0a1b11ae1") + b"\x00" * 100
+        doc = extract_document(data)
+        # unparseable container -> None (extract_content then magic-types it)
+        assert doc is None or isinstance(doc, DocumentContent)
+
+    def test_non_document_bytes_none(self):
+        assert extract_document(b"\x00\x01\x02\x03") is None
+        assert extract_document(b"") is None
