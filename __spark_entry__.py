@@ -143,6 +143,8 @@ _VERDICT_PRIORITY = [
     # re-implemented in r4 (stored-token artifact path) — need fresh verdicts
     "c9_contains_all", "c9_contains_any", "c9_match_phrase",
     "c9_prefix_match", "c9_contains_none", "ext_bm25_topk",
+    # new in r4 — never externally checked
+    "ext_passage_dedup", "ext_knn_join", "ext_pq_topk",
 ]
 
 

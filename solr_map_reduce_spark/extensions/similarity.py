@@ -354,3 +354,200 @@ def cosine_pairs_lsh(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-nearest-neighbor join by cosine: for every query vector, the
+    ``k`` most similar corpus vectors, as ``(query_id, neighbor_id,
+    knn_rank)`` with ties broken by neighbor id.
+
+    Scale shape — the canonical broadcast-kNN: the query side is small by
+    contract (a probe/eval set vs a 100 TB corpus), so it is collected into
+    one numpy matrix and broadcast; the corpus streams through ONE
+    ``mapInPandas`` pass computing an Arrow-batch × query matmul and keeping
+    only the per-batch top-k per query — at most ``n_q*k`` candidate rows
+    leave each task, so the shuffle into the final per-query rank is
+    O(partitions * n_q * k), independent of corpus size.  The corpus itself
+    never shuffles and never leaves the JVM except as Arrow batches.
+    """
+    from pyspark.sql import Window
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, Qn))
+    kk = k
+
+    def _partial_topk(batches):
+        ids_b, Qb = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                S = Cn @ Qb.T  # (batch, n_q)
+            top = min(kk, S.shape[0])
+            # per-query top-`top` rows of this batch (argpartition then sort)
+            part = np.argpartition(-S, top - 1, axis=0)[:top, :]
+            rows, qs, sims = [], [], []
+            for j in range(S.shape[1]):
+                sel = part[:, j]
+                rows.append(cids[sel])
+                qs.append(np.full(top, ids_b[j], dtype=np.int64))
+                sims.append(S[sel, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qs),
+                    "neighbor_id": np.concatenate(rows),
+                    "_sim": np.concatenate(sims),
+                }
+            )
+
+    cand = corpus.select(corpus_id, vec_col).mapInPandas(
+        _partial_topk, "query_id long, neighbor_id long, _sim double"
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("_sim"), F.col("neighbor_id")
+        )
+    )
+    return (
+        cand.withColumn("knn_rank", rnk)
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", F.col("knn_rank").cast("long").alias("knn_rank"))
+    )
+
+
+class PqCodec:
+    """Product quantization (Jégou et al. 2011): split a d-dim vector into
+    ``m`` subvectors, k-means each subspace to ``ksub`` centroids, store a
+    vector as ``m`` one-byte-ish codes — a 64-float embedding (256 B)
+    becomes m=8 codes (8 B), a 32x compression that is the difference
+    between a 100 TB raw embedding table and a ~3 TB searchable one.
+
+    Vectors are L2-normalized before encoding so the asymmetric-distance
+    inner product approximates cosine.  Codebooks are fitted driver-side on
+    a bounded sample (m * ksub * dsub floats — KBs); encode and search are
+    vectorized Arrow-batch numpy, no per-row Python.
+    """
+
+    def __init__(self, codebooks: np.ndarray, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        # codebooks: (m, ksub, dsub)
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+        self.m, self.ksub, self.dsub = self.codebooks.shape
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_size: int = 10_000,
+        iters: int = 10,
+        seed: int = 42,
+    ) -> "PqCodec":
+        n = df.count()
+        frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+        sample = np.array(
+            df.sample(fraction=frac, seed=seed)
+            .limit(sample_size)
+            .select(vec_col)
+            .toPandas()[vec_col]
+            .tolist(),
+            dtype=np.float64,
+        )
+        sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        d = sample.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        rng = np.random.RandomState(seed)
+        books = np.empty((m, min(ksub, len(sample)), dsub))
+        for s in range(m):
+            sub = sample[:, s * dsub : (s + 1) * dsub]
+            k = books.shape[1]
+            cents = sub[rng.choice(len(sub), size=k, replace=False)]
+            for _ in range(iters):
+                dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = dist.argmin(axis=1)
+                for c in range(k):
+                    members = sub[assign == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+            books[s] = cents
+        return cls(books, id_col, vec_col)
+
+    def encode(self, df: DataFrame, code_col: str = "pq_code") -> DataFrame:
+        """Vector → array<short> of ``m`` codebook indices (one matmul per
+        subspace per Arrow batch)."""
+        books = self.codebooks
+        m, dsub = self.m, self.dsub
+
+        @pandas_udf(T.ArrayType(T.ShortType()))
+        def _enc(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            X = np.array(vecs.tolist(), dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((X.shape[0], m), dtype=np.int16)
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                cents = books[s]
+                dist = (
+                    -2.0 * (sub @ cents.T)
+                    + (cents**2).sum(axis=1)[None, :]
+                )
+                codes[:, s] = dist.argmin(axis=1).astype(np.int16)
+            return pd.Series(list(codes))
+
+        return df.withColumn(code_col, _enc(F.col(self.vec_col)))
+
+    def topk(
+        self,
+        encoded: DataFrame,
+        query: Sequence[float],
+        k: int = 10,
+        code_col: str = "pq_code",
+    ) -> DataFrame:
+        """Approximate top-k by asymmetric distance: precompute the
+        (m x ksub) inner-product lookup table from the query driver-side,
+        then score each stored code with ``m`` table lookups — the scan
+        reads only ids + m-byte codes (column pruning drops the raw
+        vectors), and only k rows per partition survive into the final
+        TakeOrdered."""
+        q = np.asarray(query, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        lut = np.stack(
+            [
+                self.codebooks[s] @ q[s * self.dsub : (s + 1) * self.dsub]
+                for s in range(self.m)
+            ]
+        )  # (m, ksub)
+
+        @pandas_udf(T.DoubleType())
+        def _adc(codes: pd.Series) -> pd.Series:
+            if len(codes) == 0:
+                return pd.Series([], dtype=np.float64)
+            C = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
+            return pd.Series(lut[np.arange(lut.shape[0])[None, :], C].sum(axis=1))
+
+        scored = encoded.select(
+            F.col(self.id_col), _adc(F.col(code_col)).alias("score")
+        )
+        return scored.orderBy(F.desc("score"), F.col(self.id_col)).limit(k)

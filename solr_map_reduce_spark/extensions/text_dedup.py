@@ -15,6 +15,9 @@ the only Python-side work is a numpy min-reduction over integer arrays
   blocking, verified with ``bit_count(xor)`` (JVM-side).
 - ``ngram_jaccard`` — exact Jaccard on n-gram shingle sets for candidate
   pairs.
+- ``dedup_passages`` — corpus-wide passage-level exact dedup (the C4/CCNet
+  line-dedup pass): first occurrence of each distinct passage wins,
+  documents reassembled from survivors.
 """
 
 from __future__ import annotations
@@ -745,5 +748,74 @@ def decontaminate(
             F.col(id_col),
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# passage-level (line/chunk) corpus-wide exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Corpus-wide passage-level exact dedup — the C4/CCNet "line dedup"
+    pass, generalized: split each document into passages (newline lines when
+    the text has them, else fixed ``chunk_words``-word chunks), keep each
+    distinct passage only at its FIRST occurrence in corpus order
+    (min ``(id, position)``), and reassemble the surviving text per doc.
+
+    Returns ``(id_col, dedup_text, n_kept, n_total)`` — one row per input
+    document (documents whose every passage was seen earlier come back with
+    an empty ``dedup_text`` and ``n_kept = 0``, mirroring the reference
+    pipelines that then drop empties with a filter).
+
+    Scale shape: one shuffle keyed on the passage string for the
+    first-occurrence window (equivalently a groupBy over ~total-passage
+    cardinality), one shuffle back on id for reassembly.  Passages are the
+    natural unit here — a 100 TB corpus has ~1e10 passages, far beyond a
+    broadcast, and the window/groupBy formulation lets AQE handle the skew
+    of boilerplate passages that occur millions of times.  No Python in the
+    plan: split/slice/window/array_join are all codegen'd.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), delimiter)
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), delimiter
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("_pos", "_passage")
+    )
+    first = F.row_number().over(
+        Window.partitionBy("_passage").orderBy(id_col, "_pos")
+    )
+    kept = exploded.withColumn("_rn", first).withColumn(
+        "_keep", F.col("_rn") == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_pos", "_passage"))
+                        )
+                    ),
+                    lambda s: s["_passage"],
+                ),
+                delimiter,
+            ).alias("dedup_text"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
         )
     )

@@ -2323,5 +2323,86 @@ def ext_repetition(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_passage_dedup",
+    """WITH w AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       ), c AS (
+         SELECT doc_id, CAST(i AS INT) AS pos,
+                array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS passage
+         FROM w, UNNEST(range(CAST(greatest(ceil(length(ws) / 10.0), 1)
+                                   AS BIGINT))) AS t(i)
+       ), k AS (
+         SELECT doc_id, pos, passage,
+                row_number() OVER (PARTITION BY passage
+                                   ORDER BY doc_id, pos) AS rn
+         FROM c
+       )
+       SELECT doc_id,
+              coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+                                  ORDER BY pos), '') AS dedup_text,
+              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(count(*) AS BIGINT) AS n_total
+       FROM k GROUP BY doc_id""",
+    "corpus-wide passage-level exact dedup (the C4/CCNet line-dedup pass "
+    "over 10-word chunks): each distinct passage survives only at its first "
+    "(doc_id, position) occurrence; documents reassembled from survivors",
+)
+def ext_passage_dedup(spark, sf_dir):
+    return text_dedup.dedup_passages(
+        t(spark, sf_dir, "documents"), "doc_id", "text", chunk_words=10
+    )
+
+
+@_register(
+    "ext_knn_join",
+    """WITH q AS (
+         SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         FROM embeddings WHERE label = 0
+       ), c AS (
+         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+         FROM embeddings WHERE label <> 0
+       ), s AS (
+         SELECT qid, cid, list_cosine_similarity(qe, ce) AS sim FROM q, c
+       ), r AS (
+         SELECT qid, cid,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, cid) AS rnk
+         FROM s
+       )
+       SELECT qid AS query_id, cid AS neighbor_id,
+              CAST(rnk AS BIGINT) AS knn_rank
+       FROM r WHERE rnk <= 5""",
+    "exact broadcast-kNN join: top-5 cosine neighbors among label<>0 vectors "
+    "for every label=0 query vector; corpus streams once through an Arrow "
+    "matmul, only n_q*k candidates per task shuffle into the final rank",
+)
+def ext_knn_join(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") != 0),
+        k=5,
+    )
+
+
+@_register(
+    "ext_pq_topk",
+    None,  # approximate by construction — golden recall tests vs exact
+    "product-quantized ANN top-k (Jegou 2011): 64-float vectors stored as "
+    "8 one-byte codes (32x), asymmetric-distance scan over codes only; "
+    "recall vs exact cosine is golden-tested (tests/test_similarity_pq.py)",
+)
+def ext_pq_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    codec = similarity.PqCodec.fit(emb, m=8, ksub=16, seed=42)
+    query = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return codec.topk(codec.encode(emb), query, k=10).select("vec_id")
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

@@ -1,0 +1,155 @@
+"""Golden tests for the round-4 similarity/dedup additions: broadcast kNN
+join, product quantization (PQ) ANN, and passage-level corpus dedup."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.extensions.similarity import (
+    PqCodec,
+    cosine_topk,
+    knn_join,
+)
+from solr_map_reduce_spark.extensions.text_dedup import dedup_passages
+from tests.conftest import load
+
+
+# ---------------------------------------------------------------------------
+# knn_join
+# ---------------------------------------------------------------------------
+
+def test_knn_join_matches_per_query_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0).limit(5)
+    corpus = emb.filter(F.col("label") != 0)
+    got = {
+        (r["query_id"], r["knn_rank"]): r["neighbor_id"]
+        for r in knn_join(queries, corpus, k=3).collect()
+    }
+    q_rows = queries.collect()
+    assert len(got) == 3 * len(q_rows)
+    for q in q_rows:
+        expect = [
+            r["vec_id"]
+            for r in cosine_topk(corpus, q["embedding"], k=3).collect()
+        ]
+        assert [got[(q["vec_id"], i + 1)] for i in range(3)] == expect
+
+
+def test_knn_join_rank_is_dense_per_query(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") != 0),
+        k=5,
+    )
+    counts = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("knn_rank").alias("lo"),
+        F.max("knn_rank").alias("hi"),
+    )
+    bad = counts.filter(
+        (F.col("n") != 5) | (F.col("lo") != 1) | (F.col("hi") != 5)
+    )
+    assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PqCodec
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pq(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return emb, PqCodec.fit(emb, m=8, ksub=16, seed=42)
+
+
+def test_pq_code_shape_and_range(pq):
+    emb, codec = pq
+    assert (codec.m, codec.ksub, codec.dsub) == (8, 16, 8)
+    rows = codec.encode(emb).select("pq_code").limit(20).collect()
+    for r in rows:
+        code = r["pq_code"]
+        assert len(code) == 8
+        assert all(0 <= c < 16 for c in code)
+
+
+def test_pq_fit_is_deterministic(pq):
+    emb, codec = pq
+    again = PqCodec.fit(emb, m=8, ksub=16, seed=42)
+    assert np.array_equal(codec.codebooks, again.codebooks)
+
+
+def test_pq_topk_recall_vs_exact(pq):
+    emb, codec = pq
+    encoded = codec.encode(emb).select("vec_id", "pq_code").cache()
+    hits = total = 0
+    for q in emb.orderBy("vec_id").limit(5).collect():
+        query = q["embedding"]
+        exact = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
+        approx = {r["vec_id"] for r in codec.topk(encoded, query, k=10).collect()}
+        hits += len(exact & approx)
+        total += len(exact)
+    # 32x-compressed codes on random synthetic vectors: coarse but must
+    # beat chance by a wide margin (chance recall at 500 rows is 10/500)
+    assert hits / total >= 0.3
+    encoded.unpersist()
+
+
+def test_pq_self_neighbor_rank(pq):
+    # the encoded vector itself should score near the top for its own query
+    emb, codec = pq
+    encoded = codec.encode(emb)
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    top = [r["vec_id"] for r in codec.topk(encoded, q["embedding"], k=10).collect()]
+    assert q["vec_id"] in top
+
+
+# ---------------------------------------------------------------------------
+# dedup_passages
+# ---------------------------------------------------------------------------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_passage_dedup_removes_later_duplicates(spark):
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "a b c d e f"),  # chunk "a b c d" duplicates doc 1's
+            (3, "x y"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_passages(docs, chunk_words=4).collect()
+    }
+    assert out[1]["dedup_text"] == "a b c d"
+    assert out[1]["n_kept"] == 1 and out[1]["n_total"] == 1
+    # doc 2 loses its first chunk but keeps its tail chunk
+    assert out[2]["dedup_text"] == "e f"
+    assert (out[2]["n_kept"], out[2]["n_total"]) == (1, 2)
+    assert out[3]["dedup_text"] == "x y"
+
+
+def test_passage_dedup_fully_duplicated_doc_comes_back_empty(spark):
+    docs = _mk_docs(spark, [(1, "a b"), (2, "a b")])
+    out = {r["doc_id"]: r for r in dedup_passages(docs, chunk_words=4).collect()}
+    assert out[2]["dedup_text"] == ""
+    assert out[2]["n_kept"] == 0 and out[2]["n_total"] == 1
+
+
+def test_passage_dedup_preserves_within_doc_order(spark):
+    docs = _mk_docs(spark, [(1, "a a b b c c")])
+    out = dedup_passages(docs, chunk_words=2).collect()[0]
+    assert out["dedup_text"] == "a a b b c c"
+    assert out["n_kept"] == 3
+
+
+def test_passage_dedup_dedupes_within_one_doc(spark):
+    docs = _mk_docs(spark, [(1, "a b a b c d")])
+    out = dedup_passages(docs, chunk_words=2).collect()[0]
+    assert out["dedup_text"] == "a b c d"
+    assert (out["n_kept"], out["n_total"]) == (2, 3)
