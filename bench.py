@@ -122,10 +122,10 @@ def main() -> None:
     # runs at sf0.1 are dominated by JIT/GC noise (observed +-40% on the
     # write-heavy pipelines), and steady-state throughput is what projects to
     # cluster scale.
-    REPS = 3
+    REPS = 4
     # the GC-sensitive pipelines (persist + checkpoint / full write path) show
     # the widest run-to-run spread — give them one extra rep
-    EXTRA_REPS = {"ext_minhash_dedup": 4, "ext_bm25_topk": 4}
+    EXTRA_REPS = {"ext_minhash_dedup": 5, "ext_bm25_topk": 5}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qd = reg[name]

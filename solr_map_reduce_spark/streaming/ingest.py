@@ -151,3 +151,81 @@ def windowed_event_counts(
             F.col("cnt"),
         )
     )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_path: str,
+    input_schema,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    params=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Near-duplicate dedup AT INGEST: continuously consume document files,
+    drop each microbatch's near-dups (against everything indexed so far AND
+    within the batch, min-id-wins), append the survivors to ``corpus_path``
+    and their signatures to the persistent MinHash index at ``index_path``.
+
+    This is the streaming composition of the incremental
+    :class:`~solr_map_reduce_spark.extensions.minhash_index.MinHashIndex`
+    (``add_unique`` per microbatch): each batch costs O(batch + matching
+    buckets) — the stored band table is probed via a broadcast of the
+    batch's bands and history never shuffles, so steady-state ingest cost is
+    independent of corpus size.  Restart safety: source offsets are
+    checkpointed; the corpus sink writes ``partitionBy(_ingest_batch)``
+    with dynamic partition overwrite so a replayed microbatch REPLACES its
+    own partition instead of double-appending; duplicate band/feature rows
+    from a replayed ``add`` are tolerated by ``match``'s unordered-pair
+    dedup and per-id feature dedup (its documented retry contract).
+
+    Returns the StreamingQuery; with ``available_now=True`` it drains the
+    existing files and stops (the testable batch analog).
+    """
+    from solr_map_reduce_spark.extensions.minhash_index import (
+        MinHashIndex,
+        MinHashParams,
+    )
+    from solr_map_reduce_spark.fs import get_fs
+    from solr_map_reduce_spark.fs import join as fs_join
+
+    fs = get_fs(index_path, spark)
+    if fs.exists(fs_join(index_path, "_MINHASH_MANIFEST.json")):
+        index = MinHashIndex.open(spark, index_path)
+    else:
+        index = MinHashIndex.create(
+            spark, index_path, params or MinHashParams()
+        )
+
+    def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        _n, pairs = index.add_unique(
+            batch_df, text_col=text_col, id_col=id_col, threshold=threshold
+        )
+        dup_ids = pairs.select(
+            F.when(F.col("match_kind") == "corpus", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        ).distinct()
+        survivors = batch_df.join(F.broadcast(dup_ids), id_col, "left_anti")
+        (
+            survivors.withColumn("_ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_ingest_batch")
+            .parquet(corpus_path)
+        )
+
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+    writer = stream.writeStream.foreachBatch(_dedup_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -187,3 +187,83 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
     want = {(r["event_id"], r["event_id_r"]) for r in want_df.collect()}
     assert got == want
     assert want  # fixture must actually produce matches
+
+
+def test_stream_dedup_ingest_drops_near_dups_across_batches(spark, tmp_path):
+    from solr_map_reduce_spark.extensions.minhash_index import MinHashParams
+    from solr_map_reduce_spark.streaming.ingest import stream_dedup_ingest
+
+    inp = str(tmp_path / "docs_in")
+    idx = str(tmp_path / "mh_index")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "dd_ckpt")
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest looking for food and water every day"
+    )
+    uniq = (
+        "completely different content about spark dataframes shuffles and "
+        "partitions running distributed aggregation pipelines at scale"
+    )
+    schema = "doc_id long, text string"
+    params = MinHashParams(num_perm=64, bands=16, shingle_k=3, seed=7)
+
+    # batch 1: a near-dup pair within the batch (min id wins) + one unique
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (10, uniq)], schema
+    ).write.parquet(inp)
+    q = stream_dedup_ingest(
+        spark, inp, spark.createDataFrame([], schema).schema, idx, corpus,
+        ckpt, threshold=0.5, params=params,
+    )
+    q.awaitTermination(180)
+    ids1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids1 == {1, 10}
+
+    # batch 2: a near-dup of the already-indexed doc 1 + a fresh doc
+    fresh = (
+        "yet another entirely unrelated document mentioning volcanoes "
+        "oceans mountains rivers and the long history of cartography"
+    )
+    spark.createDataFrame(
+        [(20, base + " almost"), (30, fresh)], schema
+    ).write.mode("append").parquet(inp)
+    q2 = stream_dedup_ingest(
+        spark, inp, spark.createDataFrame([], schema).schema, idx, corpus,
+        ckpt, threshold=0.5, params=params,
+    )
+    q2.awaitTermination(180)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids2 == {1, 10, 30}
+
+
+def test_stream_dedup_ingest_batch_parity_with_one_shot(spark, sf_dir, tmp_path):
+    """Streaming dedup-at-ingest over the documents table must keep exactly
+    the docs the one-shot minhash_dedup pipeline keeps (same params)."""
+    from solr_map_reduce_spark.extensions.minhash_index import MinHashParams
+    from solr_map_reduce_spark.extensions.text_dedup import minhash_dedup
+    from solr_map_reduce_spark.streaming.ingest import stream_dedup_ingest
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents").limit(120).localCheckpoint()
+    inp = str(tmp_path / "in")
+    docs.write.parquet(inp)
+    params = MinHashParams(num_perm=64, bands=16, shingle_k=3, seed=42)
+    q = stream_dedup_ingest(
+        spark, inp, docs.schema, str(tmp_path / "idx"),
+        str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        threshold=0.5, params=params,
+    )
+    q.awaitTermination(300)
+    kept_stream = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    pairs = minhash_dedup(
+        docs, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
+        seed=42, threshold=0.5,
+    )
+    drop = {max(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    kept_batch = {r["doc_id"] for r in docs.collect()} - drop
+    # one-shot drops max-id of every pair; single-batch streaming greedy
+    # min-id-wins is the same rule when all docs arrive in one batch
+    assert kept_stream == kept_batch
