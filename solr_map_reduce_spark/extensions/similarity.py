@@ -551,3 +551,109 @@ class PqCodec:
             F.col(self.id_col), _adc(F.col(code_col)).alias("score")
         )
         return scored.orderBy(F.desc("score"), F.col(self.id_col)).limit(k)
+
+
+class IvfPqIndex:
+    """IVF + product quantization — the full 100 TB ANN serving shape:
+    coarse k-means buckets give a partition-pruned scan (read nprobe of
+    n_centroids bucket dirs), PQ codes shrink what those buckets store by
+    ~32x (ids + m-byte codes instead of raw float arrays).  A probe
+    therefore touches ``nprobe/n_centroids`` of the corpus at 1/32 of the
+    bytes, both enforced by layout rather than by trust.
+
+    Composition of :class:`IvfIndex` (coarse quantizer / layout) and
+    :class:`PqCodec` (within-bucket compression); search is asymmetric
+    distance over the stored codes.  Recall vs exact cosine is
+    golden-tested (tests/test_similarity_pq.py).
+    """
+
+    MANIFEST = "_IVFPQ_MANIFEST.json"
+
+    def __init__(self, ivf: IvfIndex, pq: PqCodec):
+        if ivf.id_col != pq.id_col or ivf.vec_col != pq.vec_col:
+            raise ValueError("ivf and pq must agree on id/vec columns")
+        self.ivf = ivf
+        self.pq = pq
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 16,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_size: int = 10_000,
+        seed: int = 42,
+    ) -> "IvfPqIndex":
+        ivf = IvfIndex.fit(
+            df, n_centroids, id_col, vec_col, sample_size, seed=seed
+        )
+        pq = PqCodec.fit(
+            df, m, ksub, id_col, vec_col, sample_size, seed=seed
+        )
+        return cls(ivf, pq)
+
+    def build(self, df: DataFrame, path: str) -> None:
+        """Assign buckets, encode to PQ codes, and persist: codebooks +
+        centroids as KBs of JSON, the code table written
+        ``partitionBy(bucket)`` with the raw vectors DROPPED."""
+        import json
+
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        assigned = self.ivf.assign(df, bucket_col=self.ivf.bucket_col)
+        encoded = self.pq.encode(assigned, code_col="pq_code").select(
+            self.ivf.id_col, self.ivf.bucket_col, "pq_code"
+        )
+        fs = get_fs(path, df.sparkSession)
+        fs.mkdirs(path)
+        encoded.write.mode("overwrite").partitionBy(self.ivf.bucket_col).parquet(
+            fs_join(path, "codes")
+        )
+        fs.write_text(
+            fs_join(path, self.MANIFEST),
+            json.dumps(
+                {
+                    "centroids": self.ivf.centroids.tolist(),
+                    "codebooks": self.pq.codebooks.tolist(),
+                    "id_col": self.ivf.id_col,
+                    "vec_col": self.ivf.vec_col,
+                    "bucket_col": self.ivf.bucket_col,
+                }
+            ),
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        import json
+
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        m = json.loads(get_fs(path, spark).read_text(fs_join(path, cls.MANIFEST)))
+        ivf = IvfIndex(
+            np.asarray(m["centroids"]), m["id_col"], m["vec_col"],
+            m["bucket_col"],
+        )
+        pq = PqCodec(np.asarray(m["codebooks"]), m["id_col"], m["vec_col"])
+        return cls(ivf, pq)
+
+    def search_stored(
+        self, spark, path: str, query: Sequence[float], k: int = 10,
+        nprobe: int = 3,
+    ) -> DataFrame:
+        """ADC top-k over the probed buckets of a built index: the bucket
+        filter hits the partition column (partition-pruned scan) and the
+        scan reads only (id, code)."""
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        q = np.asarray(query, dtype=np.float64)
+        d = ((self.ivf.centroids - q[None, :]) ** 2).sum(axis=1)
+        probe = [int(b) for b in d.argsort()[:nprobe]]
+        codes = spark.read.parquet(fs_join(path, "codes")).filter(
+            F.col(self.ivf.bucket_col).isin(probe)
+        )
+        return self.pq.topk(codes, query, k=k)

@@ -181,3 +181,27 @@ def test_cosine_pairs_lsh_no_action_at_plan_time(spark):
     )
     plan = cosine_pairs_lsh(empty, threshold=0.9)  # no action here
     assert plan.collect() == []
+
+
+def test_passage_dedup_bounded_exchanges(spark, sf_dir):
+    # one shuffle on the passage (first-occurrence window) + one back on id
+    # (reassembly) — the floor for corpus-wide passage dedup
+    plan = _plan(spark, sf_dir, "ext_passage_dedup")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_knn_join_shuffles_candidates_not_corpus(spark, sf_dir):
+    # the only exchange is the per-query rank over n_q*k candidate rows;
+    # the corpus feeds mapInPandas directly from the scan
+    plan = _plan(spark, sf_dir, "ext_knn_join")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the corpus scan flows into MapInPandas with no exchange between them:
+    # in the bottom-up plan string the MapInPandas node sits below the only
+    # Exchange, i.e. the Exchange appears before it top-down
+    assert "MapInPandas" in plan
+    assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas")
+
+
+def test_pq_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_pq_topk")
+    assert "TakeOrderedAndProject" in plan

@@ -153,3 +153,54 @@ def test_passage_dedup_dedupes_within_one_doc(spark):
     out = dedup_passages(docs, chunk_words=2).collect()[0]
     assert out["dedup_text"] == "a b c d"
     assert (out["n_kept"], out["n_total"]) == (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# IvfPqIndex
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_build_load_search_and_pruning(spark, sf_dir, tmp_path):
+    from solr_map_reduce_spark.extensions.similarity import IvfPqIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = IvfPqIndex.fit(emb, n_centroids=8, m=8, ksub=16, seed=42)
+    path = str(tmp_path / "ivfpq")
+    idx.build(emb, path)
+
+    # stored table holds only (id, code) + the bucket partition column
+    codes = spark.read.parquet(f"{path}/codes")
+    assert set(codes.columns) == {"vec_id", "pq_code", "bucket"}
+
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    reloaded = IvfPqIndex.load(spark, path)
+    got = reloaded.search_stored(spark, path, q, k=10, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # bucket filter must hit the partition column, not a post-scan filter
+    assert "PartitionFilters" in plan and "bucket" in plan
+    rows = got.collect()
+    assert len(rows) == 10
+
+    # coarse recall sanity vs exact over 3 queries: compressed + pruned
+    # search must still land a solid fraction of the true top-10
+    hits = total = 0
+    for qr in emb.orderBy("vec_id").limit(3).collect():
+        exact = {r["vec_id"] for r in cosine_topk(emb, qr["embedding"], k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in reloaded.search_stored(spark, path, qr["embedding"], k=10, nprobe=4).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    assert hits / total >= 0.2
+
+
+def test_ivfpq_matches_fit_params_roundtrip(spark, sf_dir, tmp_path):
+    from solr_map_reduce_spark.extensions.similarity import IvfPqIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = IvfPqIndex.fit(emb, n_centroids=4, m=4, ksub=8, seed=7)
+    path = str(tmp_path / "ivfpq2")
+    idx.build(emb, path)
+    re = IvfPqIndex.load(spark, path)
+    assert np.array_equal(re.ivf.centroids, idx.ivf.centroids)
+    assert np.array_equal(re.pq.codebooks, idx.pq.codebooks)
