@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""LLM training-data curation, end to end — the pipeline a 100 TB pretraining
+corpus runs, at toy scale:
+
+  1. passage-level exact dedup (C4/CCNet line-dedup pass)
+  2. corpus near-dup removal (MinHash+LSH, min-id-wins)
+  3. quality + language + repetition filtering
+  4. train/test decontamination (benchmark n-gram overlap)
+  5. PII redaction + greedy sequence packing into fixed token budgets
+  6. embedding side: near-dup pairs by cosine (sign-LSH) and an IVF+PQ
+     ANN index built and probed (partition-pruned, 32x-compressed)
+
+Every stage is a DataFrame op whose shuffle carries only ids/hashes/
+signatures — documents and vectors cross the network once at most.
+
+Run:  python examples/llm_data_pipeline.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import pyspark.sql.functions as F
+
+from solr_map_reduce_spark.extensions import text_analysis, text_dedup
+from solr_map_reduce_spark.extensions.similarity import IvfPqIndex, cosine_pairs_lsh
+from solr_map_reduce_spark.session import get_spark
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="llm-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. passage dedup: drop repeated 10-word chunks corpus-wide, keep docs
+    #    that still have content
+    passages = text_dedup.dedup_passages(docs, "doc_id", "text", chunk_words=10)
+    docs = (
+        docs.join(passages.select("doc_id", "dedup_text", "n_kept"), "doc_id")
+        .filter(F.col("n_kept") > 0)
+        .drop("text")
+        .withColumnRenamed("dedup_text", "text")
+    )
+
+    # 2. near-dup removal: MinHash+LSH pairs, larger id loses
+    pairs = text_dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.5)
+    losers = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
+    docs = docs.join(losers, "doc_id", "left_anti")
+
+    # 3. quality gates: composite score, language, intra-doc repetition
+    quality = text_analysis.quality_features(docs, "text", "doc_id")
+    lang = text_analysis.lang_id(docs, "text", "doc_id")
+    rep = text_analysis.repetition_score(docs, "text", "doc_id", n=3)
+    docs = (
+        docs.join(quality.select("doc_id", "quality_score"), "doc_id")
+        .join(lang.select("doc_id", "lang_pred"), "doc_id")
+        .join(rep.select("doc_id", "dup_frac"), "doc_id")
+        .filter((F.col("quality_score") > 0.2) & (F.col("dup_frac") < 0.9))
+    )
+
+    # 4. decontamination against a held-out "benchmark" (here: a slice)
+    bench = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    contam = text_dedup.decontaminate(docs, bench, "text", "doc_id", n=13)
+    docs = docs.join(
+        contam.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
+    )
+
+    # 5. redact PII, pack into 512-char training sequences per source
+    docs = docs.withColumn("text", text_analysis.redact_pii(F.col("text")))
+    packed = text_analysis.pack_sequences(
+        docs.withColumn("n_chars", F.length("text")),
+        weight_col="n_chars",
+        budget=512,
+        group_cols=("source",),
+    )
+
+    out = tempfile.mkdtemp(prefix="llm_corpus_")
+    packed.write.mode("overwrite").parquet(os.path.join(out, "packed"))
+    n_seq = (
+        spark.read.parquet(os.path.join(out, "packed"))
+        .select("source", "chunk")
+        .distinct()
+        .count()
+    )
+    print(f"docs {n0} -> {docs.count()} curated -> {n_seq} packed sequences")
+
+    # 6. embeddings: near-dup pairs without a cross join + IVF+PQ index
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    near = cosine_pairs_lsh(emb, threshold=0.99).count()
+    idx = IvfPqIndex.fit(emb, n_centroids=8, m=8, ksub=16)
+    idx_path = os.path.join(out, "ivfpq")
+    idx.build(emb, idx_path)
+    q = emb.orderBy("vec_id").first()["embedding"]
+    top = IvfPqIndex.load(spark, idx_path).search_stored(
+        spark, idx_path, q, k=5, nprobe=3
+    )
+    print(f"embedding near-dup pairs: {near}; ANN top-5 for vec 0:")
+    top.show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

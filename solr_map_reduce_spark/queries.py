@@ -1183,6 +1183,32 @@ def ext_ivf_topk(spark, sf_dir):
     return index.search_stored(spark, path, qvec, k=10, nprobe=3).select("vec_id")
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+@_register(
+    "ext_ivfpq_topk",
+    None,  # approximate by design (coarse pruning + PQ compression);
+    # recall vs exact golden-tested in tests/test_similarity_pq.py
+    "IVF+PQ approximate top-k: partition-pruned probe over 32x-compressed "
+    "codes (ids + m-byte PQ codes only) — the 100 TB ANN serving shape",
+)
+def ext_ivfpq_topk(spark, sf_dir):
+    import os
+    import tempfile
+
+    e = t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").first()["embedding"]
+    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        index = similarity.IvfPqIndex.fit(e, n_centroids=8, m=8, ksub=16)
+        path = tempfile.mkdtemp(prefix="smrs_ivfpq_")
+        index.build(e, path)
+        _IVFPQ_INDEX_CACHE[sf_dir] = path
+    index = similarity.IvfPqIndex.load(spark, path)
+    return index.search_stored(spark, path, qvec, k=10, nprobe=3).select("vec_id")
+
+
 @_register(
     "ext_sessionize",
     None,  # filled in below (helper builds the SQL)
