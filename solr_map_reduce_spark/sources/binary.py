@@ -264,6 +264,69 @@ def _extract_rfc822(s: str) -> str | None:
     return "\n".join(lines) + "\n\n" + (body or "")
 
 
+def _split_mbox(s: str) -> list[str]:
+    """Split an mbox stream into messages on ``From `` separator lines
+    (mboxo convention), un-escaping ``>From `` body lines."""
+    msgs: list[str] = []
+    cur: list[str] = []
+    for line in s.split("\n"):
+        if line.startswith("From ") and cur:
+            msgs.append("\n".join(cur))
+            cur = []
+        elif line.startswith("From ") and not cur:
+            cur = []  # drop the separator line itself
+        else:
+            cur.append(line[1:] if line.startswith(">From ") else line)
+    if cur:
+        msgs.append("\n".join(cur))
+    return msgs
+
+
+def explode_mbox(
+    df: DataFrame, content_col: str = "content", id_col: str | None = None
+) -> DataFrame:
+    """One output record per mbox message (the B14 explode shape applied to
+    mail archives): each message re-parsed as RFC822 into
+    (message_index, message_text).  Non-mbox payloads produce zero rows.
+    Arrow-batched mapInPandas — no shuffle; a 100 TB mail corpus splits by
+    file and each task explodes its own archives."""
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("message_index", T.IntegerType()),
+            T.StructField("message_text", T.StringType()),
+        ]
+    )
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = r[content_col]
+                if raw is None:
+                    continue
+                try:
+                    s = bytes(raw).decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+                if not s.startswith("From "):
+                    continue
+                for i, m in enumerate(_split_mbox(s)):
+                    parsed = _extract_rfc822(m)
+                    base = {f.name: r[f.name] for f in keep}
+                    base["message_index"] = i
+                    base["message_text"] = parsed if parsed is not None else m
+                    rows.append(base)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in schema.fields}
+            )
+
+    return df.mapInPandas(_explode, schema)
+
+
 def extract_content(
     df: DataFrame, content_col: str = "content", impl: str = "builtin"
 ) -> DataFrame:
@@ -319,6 +382,16 @@ def extract_content(
                 continue
             try:
                 s = b.decode("utf-8")
+                if s.startswith("From "):  # mbox: messages joined, counted
+                    msgs = _split_mbox(s)
+                    parsed = [_extract_rfc822(m) or m for m in msgs]
+                    push(
+                        "\n\n".join(parsed),
+                        "application/mbox",
+                        None,
+                        {"message_count": str(len(msgs))},
+                    )
+                    continue
                 mail = _extract_rfc822(s)
                 head = s.lstrip()[:64].lower()
                 if mail is not None:

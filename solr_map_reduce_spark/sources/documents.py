@@ -652,6 +652,22 @@ def extract_document(data: bytes) -> DocumentContent | None:
         doc = ooxml_extract(data)
     elif data.startswith(bytes.fromhex("d0cf11e0a1b11ae1")):
         doc = cfb_extract(data)
+    elif data.startswith(b"ID3") or (
+        len(data) >= 128 and data[-128:-125] == b"TAG"
+    ):
+        doc = mp3_extract(data)
+    elif data.startswith(b"fLaC"):
+        doc = flac_extract(data)
+    elif data.startswith(b"FORM") and data[8:12] in (b"AIFF", b"AIFC"):
+        doc = aiff_extract(data)
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        doc = tiff_extract(data)
+    elif data.startswith(b"8BPS"):
+        doc = psd_extract(data)
+    elif len(data) >= 12 and data[4:8] == b"ftyp":
+        doc = mp4_extract(data)
+    elif data.startswith(b"FLV\x01"):
+        doc = flv_extract(data)
     else:
         return None
     if doc is not None:
@@ -659,3 +675,236 @@ def extract_document(data: bytes) -> DocumentContent | None:
         doc.title = _fix_surrogates(doc.title)
         doc.metadata = {k: _fix_surrogates(v) for k, v in doc.metadata.items()}
     return doc
+
+
+# ---------------------------------------------------------------------------
+# media metadata (the Tika audio/image/video metadata slice: typed mime +
+# header-derived metadata, no payload decode — solrCellDocumentTypes.conf
+# routes these through Tika parsers whose output the reference maps to
+# fields; here the public format specs are decoded directly)
+# ---------------------------------------------------------------------------
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+_ID3_FIELDS = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album", "TCON": "genre",
+    "TYER": "year", "TDRC": "year", "COMM": "comment",
+    # ID3v2.2 three-letter ids
+    "TT2": "title", "TP1": "artist", "TAL": "album",
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    n = 0
+    for x in b:
+        n = (n << 7) | (x & 0x7F)
+    return n
+
+
+def mp3_extract(data: bytes) -> DocumentContent:
+    """MP3: ID3v2 text frames (ID3v2.2/2.3/2.4 per id3.org) with an ID3v1
+    trailer fallback.  Emits title/artist/album/... metadata; no audio
+    decode."""
+    meta: dict[str, str] = {}
+    if data.startswith(b"ID3") and len(data) >= 10:
+        ver = data[3]
+        size = _syncsafe(data[6:10])
+        pos, end = 10, min(10 + size, len(data))
+        id_len, sz_len = (3, 3) if ver == 2 else (4, 4)
+        while pos + id_len + sz_len <= end:
+            fid = data[pos : pos + id_len].decode("latin-1", "replace")
+            if not fid.strip("\x00").strip():
+                break
+            if ver == 2:
+                fsz = int.from_bytes(data[pos + 3 : pos + 6], "big")
+                hdr = 6
+            else:
+                raw_sz = data[pos + 4 : pos + 8]
+                fsz = _syncsafe(raw_sz) if ver >= 4 else int.from_bytes(raw_sz, "big")
+                hdr = 10
+            frame = data[pos + hdr : pos + hdr + fsz]
+            pos += hdr + fsz
+            key = _ID3_FIELDS.get(fid)
+            if key and frame:
+                enc = _ID3_ENCODINGS.get(frame[0], "latin-1")
+                body = frame[1:]
+                if fid.startswith("COM"):
+                    # COMM: 3-byte language + description + terminator + text
+                    body = body[3:]
+                    if "16" in enc:
+                        # 16-bit terminator must sit on a code-unit boundary
+                        cut = next(
+                            (
+                                i
+                                for i in range(0, len(body) - 1, 2)
+                                if body[i : i + 2] == b"\x00\x00"
+                            ),
+                            -1,
+                        )
+                        if cut >= 0:
+                            body = body[cut + 2 :]
+                    else:
+                        cut = body.find(b"\x00")
+                        if cut >= 0:
+                            body = body[cut + 1 :]
+                try:
+                    val = body.decode(enc, "replace").strip("\x00").strip()
+                except Exception:
+                    val = ""
+                if val and key not in meta:
+                    meta[key] = val
+    if not meta and len(data) >= 128 and data[-128:-125] == b"TAG":
+        tag = data[-128:]
+        for key, lo, hi in (("title", 3, 33), ("artist", 33, 63), ("album", 63, 93)):
+            val = tag[lo:hi].decode("latin-1", "replace").rstrip("\x00 ").strip()
+            if val:
+                meta[key] = val
+    title = meta.get("title")
+    return DocumentContent(None, "audio/mpeg", title=title, metadata=meta)
+
+
+def flac_extract(data: bytes) -> DocumentContent:
+    """FLAC: STREAMINFO (sample rate / channels / bits / total samples) and
+    VORBIS_COMMENT tags, per the FLAC format spec."""
+    meta: dict[str, str] = {}
+    title = None
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if btype == 0 and len(body) >= 18:  # STREAMINFO
+            sr = (int.from_bytes(body[10:13], "big") >> 4) & 0xFFFFF
+            channels = ((body[12] >> 1) & 0x07) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = int.from_bytes(body[13:18], "big") & ((1 << 36) - 1)
+            meta["sample_rate"] = str(sr)
+            meta["channels"] = str(channels)
+            meta["bits_per_sample"] = str(bps)
+            if sr:
+                meta["duration_s"] = f"{total / sr:.3f}"
+        elif btype == 4 and len(body) >= 8:  # VORBIS_COMMENT
+            vlen = int.from_bytes(body[0:4], "little")
+            p = 4 + vlen
+            if p + 4 <= len(body):
+                n = int.from_bytes(body[p : p + 4], "little")
+                p += 4
+                for _ in range(n):
+                    if p + 4 > len(body):
+                        break
+                    clen = int.from_bytes(body[p : p + 4], "little")
+                    p += 4
+                    item = body[p : p + clen].decode("utf-8", "replace")
+                    p += clen
+                    if "=" in item:
+                        k, v = item.split("=", 1)
+                        meta.setdefault(k.lower(), v)
+        pos += 4 + blen
+        if last:
+            break
+    title = meta.get("title")
+    return DocumentContent(None, "audio/x-flac", title=title, metadata=meta)
+
+
+def aiff_extract(data: bytes) -> DocumentContent:
+    """AIFF: COMM chunk — channels, frame count, sample size, and the
+    80-bit extended-float sample rate (IEEE 754 extended, per AIFF-1.3)."""
+    meta: dict[str, str] = {}
+    pos = 12  # FORM + size + AIFF
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM" and len(body) >= 18:
+            channels = int.from_bytes(body[0:2], "big")
+            frames = int.from_bytes(body[2:6], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            exp = int.from_bytes(body[8:10], "big") & 0x7FFF
+            mant = int.from_bytes(body[10:18], "big")
+            rate = mant * 2.0 ** (exp - 16383 - 63) if mant else 0.0
+            meta["channels"] = str(channels)
+            meta["bits_per_sample"] = str(bits)
+            meta["sample_rate"] = str(int(round(rate)))
+            if rate:
+                meta["duration_s"] = f"{frames / rate:.3f}"
+            break
+        pos += 8 + clen + (clen & 1)
+    return DocumentContent(None, "audio/x-aiff", metadata=meta)
+
+
+def tiff_extract(data: bytes) -> DocumentContent:
+    """TIFF: first-IFD ImageWidth/ImageLength (tags 256/257), both byte
+    orders, SHORT and LONG value types (TIFF 6.0 spec)."""
+    meta: dict[str, str] = {}
+    bo = "little" if data[:2] == b"II" else "big"
+    off = int.from_bytes(data[4:8], bo)
+    if off + 2 <= len(data):
+        n = int.from_bytes(data[off : off + 2], bo)
+        for i in range(n):
+            e = off + 2 + i * 12
+            if e + 12 > len(data):
+                break
+            tag = int.from_bytes(data[e : e + 2], bo)
+            typ = int.from_bytes(data[e + 2 : e + 4], bo)
+            if tag in (256, 257):
+                width = 2 if typ == 3 else 4
+                val = int.from_bytes(data[e + 8 : e + 8 + width], bo)
+                meta["width" if tag == 256 else "height"] = str(val)
+    return DocumentContent(None, "image/tiff", metadata=meta)
+
+
+def psd_extract(data: bytes) -> DocumentContent:
+    """PSD header: channels / height / width / depth / color mode."""
+    meta: dict[str, str] = {}
+    if len(data) >= 26:
+        meta["channels"] = str(int.from_bytes(data[12:14], "big"))
+        meta["height"] = str(int.from_bytes(data[14:18], "big"))
+        meta["width"] = str(int.from_bytes(data[18:22], "big"))
+        meta["bits_per_channel"] = str(int.from_bytes(data[22:24], "big"))
+    return DocumentContent(None, "image/vnd.adobe.photoshop", metadata=meta)
+
+
+def mp4_extract(data: bytes) -> DocumentContent:
+    """MP4/M4A: ftyp major brand + mvhd duration/timescale via a bounded
+    ISO-BMFF box walk (containers: moov/trak/mdia descended)."""
+    meta: dict[str, str] = {}
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        pos = lo
+        while pos + 8 <= hi and depth < 6:
+            size = int.from_bytes(data[pos : pos + 4], "big")
+            btype = data[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit size
+                size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            if size < 8:
+                break
+            if btype == b"ftyp":
+                meta["brand"] = data[pos + 8 : pos + 12].decode("latin-1", "replace").strip()
+            elif btype == b"mvhd":
+                v = data[pos + 8]
+                if v == 1:
+                    ts = int.from_bytes(data[pos + 28 : pos + 32], "big")
+                    dur = int.from_bytes(data[pos + 32 : pos + 40], "big")
+                else:
+                    ts = int.from_bytes(data[pos + 20 : pos + 24], "big")
+                    dur = int.from_bytes(data[pos + 24 : pos + 28], "big")
+                if ts:
+                    meta["duration_s"] = f"{dur / ts:.3f}"
+            elif btype in (b"moov", b"trak", b"mdia"):
+                walk(pos + 8, min(pos + size, hi), depth + 1)
+            pos += size
+
+    walk(0, len(data), 0)
+    brand = meta.get("brand", "")
+    mime = "audio/mp4" if brand.startswith("M4A") else "video/mp4"
+    return DocumentContent(None, mime, metadata=meta)
+
+
+def flv_extract(data: bytes) -> DocumentContent:
+    """FLV header: version + audio/video presence flags."""
+    meta: dict[str, str] = {}
+    if len(data) >= 5:
+        meta["version"] = str(data[3])
+        meta["has_audio"] = str(bool(data[4] & 0x04)).lower()
+        meta["has_video"] = str(bool(data[4] & 0x01)).lower()
+    return DocumentContent(None, "video/x-flv", metadata=meta)

@@ -318,3 +318,104 @@ class TestLegacyOfficeExtraction:
         doc = self._extract_one("testVISIO.vsd")
         assert doc.mime == "application/x-ole-storage"
         assert doc.text is None
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DOCS), reason="reference corpus absent"
+)
+class TestMediaMetadataExtraction:
+    """Media/metadata slice of the Tika corpus: typed mime + header-derived
+    metadata from the public format specs (ID3, FLAC, AIFF, TIFF 6.0, PSD,
+    ISO-BMFF, FLV)."""
+
+    def _extract_one(self, name):
+        from solr_map_reduce_spark.sources.documents import extract_document
+
+        with open(f"{REF_DOCS}/{name}", "rb") as f:
+            return extract_document(f.read())
+
+    def test_mp3_id3v2_i18n_tags(self):
+        doc = self._extract_one("testMP3i18n.mp3")
+        assert doc.mime == "audio/mpeg"
+        assert doc.title == "Une chason en Français"
+        assert doc.metadata["artist"] == "Test Artist ⑨①"
+        assert doc.metadata["album"] == "Test Album ①⑨"
+        assert "Comment" in doc.metadata["comment"]
+
+    def test_flac_streaminfo_and_vorbis_comments(self):
+        doc = self._extract_one("testFLAC.flac")
+        assert doc.mime == "audio/x-flac"
+        assert doc.metadata["sample_rate"] == "44100"
+        assert doc.metadata["channels"] == "2"
+        assert doc.metadata["bits_per_sample"] == "16"
+        assert doc.title == "Test Title"
+
+    def test_aiff_comm_chunk(self):
+        doc = self._extract_one("testAIFF.aif")
+        assert doc.mime == "audio/x-aiff"
+        assert doc.metadata["sample_rate"] == "44100"
+        assert doc.metadata["channels"] == "2"
+        assert doc.metadata["bits_per_sample"] == "16"
+
+    def test_tiff_dimensions(self):
+        doc = self._extract_one("testTIFF.tif")
+        assert doc.mime == "image/tiff"
+        assert doc.metadata["width"] == "100"
+        assert doc.metadata["height"] == "75"
+
+    def test_psd_header(self):
+        doc = self._extract_one("testPSD.psd")
+        assert doc.mime == "image/vnd.adobe.photoshop"
+        assert doc.metadata["width"] == "537"
+        assert doc.metadata["height"] == "51"
+
+    def test_m4a_brand_and_duration(self):
+        doc = self._extract_one("testMP4.m4a")
+        assert doc.mime == "audio/mp4"
+        assert doc.metadata["brand"] == "M4A"
+        assert float(doc.metadata["duration_s"]) > 0
+
+    def test_flv_header_flags(self):
+        doc = self._extract_one("testFLV.flv")
+        assert doc.mime == "video/x-flv"
+        assert doc.metadata == {
+            "version": "1", "has_audio": "true", "has_video": "true"
+        }
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DOCS), reason="reference corpus absent"
+)
+class TestMbox:
+    def test_extract_content_types_and_counts_mbox(self, spark):
+        from solr_map_reduce_spark.sources.binary import extract_content
+
+        df = (
+            spark.read.format("binaryFile")
+            .load(f"{REF_DOCS}/complex.mbox")
+            .select("path", "content")
+        )
+        row = extract_content(df).collect()[0]
+        assert row["content_type"] == "application/mbox"
+        assert row["content_metadata"]["message_count"] == "3"
+        assert "shuffle/sort" in row["content_text"]
+
+    def test_explode_mbox_one_row_per_message(self, spark):
+        from solr_map_reduce_spark.sources.binary import explode_mbox
+
+        df = (
+            spark.read.format("binaryFile")
+            .load(f"{REF_DOCS}/complex.mbox")
+            .select("path", "content")
+        )
+        rows = explode_mbox(df).orderBy("message_index").collect()
+        assert [r["message_index"] for r in rows] == [0, 1, 2]
+        assert all("hadoop" in r["message_text"].lower() for r in rows)
+
+    def test_explode_mbox_non_mbox_zero_rows(self, spark):
+        from solr_map_reduce_spark.sources.binary import explode_mbox
+
+        df = spark.createDataFrame(
+            [("x", bytearray(b"plain text, not mail"))], "path string, content binary"
+        )
+        assert explode_mbox(df).count() == 0
