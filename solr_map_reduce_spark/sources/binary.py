@@ -397,8 +397,16 @@ def extract_content(
                 if mail is not None:
                     push(mail, "message/rfc822")
                     continue
-                if head.startswith("<?xml"):
-                    mime = "application/xml"
+                if head.startswith("<?xml") or head.startswith("<svg"):
+                    # XML family refined by root element (Tika detector
+                    # parity for the corpus's svg/rss fixtures)
+                    window = s[:4096]
+                    if "<svg" in window:
+                        mime = "image/svg+xml"
+                    elif "<rss" in window:
+                        mime = "application/rss+xml"
+                    else:
+                        mime = "application/xml"
                 elif head.startswith(("<html", "<!doct")):
                     mime = "text/html"
                 else:

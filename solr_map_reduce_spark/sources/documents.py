@@ -821,7 +821,13 @@ def aiff_extract(data: bytes) -> DocumentContent:
             bits = int.from_bytes(body[6:8], "big")
             exp = int.from_bytes(body[8:10], "big") & 0x7FFF
             mant = int.from_bytes(body[10:18], "big")
-            rate = mant * 2.0 ** (exp - 16383 - 63) if mant else 0.0
+            # clamp the garbage-exponent case (extended-float range far
+            # exceeds IEEE double) rather than overflow
+            rate = (
+                mant * 2.0 ** (exp - 16383 - 63)
+                if mant and -1000 < exp - 16383 < 1000
+                else 0.0
+            )
             meta["channels"] = str(channels)
             meta["bits_per_sample"] = str(bits)
             meta["sample_rate"] = str(int(round(rate)))

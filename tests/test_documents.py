@@ -137,3 +137,46 @@ class TestCfbRobustness:
     def test_non_document_bytes_none(self):
         assert extract_document(b"\x00\x01\x02\x03") is None
         assert extract_document(b"") is None
+
+
+class TestMediaExtractorRobustness:
+    """The extractors must never raise on malformed payloads (B22 stance):
+    truncated/garbage bytes behind each magic prefix still return a typed
+    DocumentContent (or None), never an exception."""
+
+    MAGICS = [
+        b"ID3\x03\x00\x00\x00\x00\x00\x7f",
+        b"fLaC\x00\x00\x00\x22",
+        b"FORM\x00\x00\x00\x10AIFFCOMM",
+        b"II*\x00\x08\x00\x00\x00",
+        b"MM\x00*\x00\x00\x00\x08",
+        b"8BPS\x00\x01",
+        b"\x00\x00\x00\x20ftypM4A ",
+        b"FLV\x01\x05",
+    ]
+
+    def test_truncated_magic_prefixes(self):
+        for magic in self.MAGICS:
+            for cut in range(len(magic) + 1):
+                doc = extract_document(magic[:cut])
+                assert doc is None or doc.mime
+
+    def test_magic_plus_garbage(self):
+        import random
+
+        rng = random.Random(42)
+        for magic in self.MAGICS:
+            for _ in range(20):
+                junk = bytes(rng.randrange(256) for _ in range(rng.randrange(400)))
+                doc = extract_document(magic + junk)
+                assert doc is None or doc.mime
+
+    def test_id3v1_trailer_only(self):
+        tag = b"TAG" + b"My Title".ljust(30, b"\x00") + b"Artist".ljust(30, b"\x00") + b"\x00" * 65
+        data = b"\xff" * 10 + tag[: 128 - 10]  # wrong-size trailer: no crash
+        extract_document(data)
+        full = b"\xff" * 200 + b"TAG" + b"My Title".ljust(30, b"\x00") + b"An Artist".ljust(30, b"\x00") + b"Album".ljust(30, b"\x00") + b"\x00" * 35
+        doc = extract_document(full)
+        assert doc.mime == "audio/mpeg"
+        assert doc.metadata["title"] == "My Title"
+        assert doc.metadata["artist"] == "An Artist"
