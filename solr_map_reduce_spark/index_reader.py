@@ -42,6 +42,7 @@ class SearchIndex:
         self.routing: str = manifest.get("routing", "solr")
         # root-shard placement only depends on the hash ring split (C8)
         self._router = ShardRouter(shards=self.shards, num_partitions=self.shards)
+        self._blooms: dict | None | bool = False  # False = not yet loaded
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SearchIndex":
@@ -142,11 +143,32 @@ class SearchIndex:
             raise ValueError(f"field {field!r} is not analyzed; have {sorted(analyzed)}")
         return analyzed[field]["tokens_col"]
 
+    def _bloom_pruned(self, terms: Sequence[str], field: str | None, mode: str) -> DataFrame:
+        """The artifact scan, restricted to the shards whose term Bloom
+        bitmap admits the query (term_blooms.py sidecar; no false
+        negatives, so results are identical to the full scan).  Without a
+        sidecar this is just ``df()``."""
+        from solr_map_reduce_spark.term_blooms import candidate_shards, load_term_blooms
+
+        if self._blooms is False:
+            self._blooms = load_term_blooms(self.spark, self.path)
+        out = self.df()
+        if not self._blooms:
+            return out
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        if fname is None:
+            return out
+        shards = candidate_shards(self.spark, self._blooms, fname, list(terms), mode)
+        if shards is None:
+            return out
+        return out.filter(F.col(SHARD_COL).isin(shards))
+
     def contains_all(self, terms: Sequence[str], field: str | None = None) -> DataFrame:
         from solr_map_reduce_spark.extensions import search
 
         return search.contains_all(
-            self.df(), terms, id_col=self.unique_key,
+            self._bloom_pruned(terms, field, "all"), terms, id_col=self.unique_key,
             tokens_col=self._tokens_col(field),
         )
 
@@ -154,7 +176,7 @@ class SearchIndex:
         from solr_map_reduce_spark.extensions import search
 
         return search.contains_any(
-            self.df(), terms, id_col=self.unique_key,
+            self._bloom_pruned(terms, field, "any"), terms, id_col=self.unique_key,
             tokens_col=self._tokens_col(field),
         )
 
@@ -175,10 +197,16 @@ class SearchIndex:
         )
 
     def phrase(self, phrase: str, field: str | None = None) -> DataFrame:
+        import re
+
         from solr_map_reduce_spark.extensions import search
 
+        # the SAME normalization match_phrase applies: presence of every
+        # phrase token is necessary for a match, so pruning on them can
+        # never change the result
+        terms = re.findall(r"[^\W_]+", phrase.lower(), flags=re.UNICODE)
         return search.match_phrase(
-            self.df(), phrase, id_col=self.unique_key,
+            self._bloom_pruned(terms, field, "all"), phrase, id_col=self.unique_key,
             tokens_col=self._tokens_col(field),
         )
 

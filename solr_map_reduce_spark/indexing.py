@@ -83,6 +83,11 @@ class IndexJobConfig:
     # stores `<field>__tokens` (array<string>) next to the raw value, and
     # SearchIndex term/BM25 queries read it instead of re-tokenizing.
     store_tokens: bool = True
+    # Per-shard term Bloom bitmaps (_TERM_BLOOMS.json sidecar): term/phrase
+    # queries prune to candidate shards before the scan — the Lucene
+    # touch-only-the-postings cost model approximated at the shard level.
+    # One extra pass over the stored token column at build time.
+    term_blooms: bool = False
 
     def __post_init__(self) -> None:
         micro = self.micro_shards or self.shards
@@ -274,12 +279,18 @@ class IndexJob:
         if self.config.dedup in ("retain_most_recent", "none") and (
             self.config.dedup == "none" or self.config.order_field in routed.columns
         ):
-            return self._write_sorted_dedup(routed, path, mode=mode)
-        resolved = self.resolve(routed.drop(MICRO_COL))
-        if SHARD_COL not in resolved.columns:
-            # resolver collapsed columns (sort_updates) — re-derive placement
-            resolved = self._with_shard(resolved).drop(MICRO_COL)
-        return self.write(resolved, path, mode=mode)
+            manifest = self._write_sorted_dedup(routed, path, mode=mode)
+        else:
+            resolved = self.resolve(routed.drop(MICRO_COL))
+            if SHARD_COL not in resolved.columns:
+                # resolver collapsed columns (sort_updates) — re-derive placement
+                resolved = self._with_shard(resolved).drop(MICRO_COL)
+            manifest = self.write(resolved, path, mode=mode)
+        if self.config.term_blooms and manifest.get("analyzed"):
+            from solr_map_reduce_spark.term_blooms import write_term_blooms
+
+            write_term_blooms(df.sparkSession, path)
+        return manifest
 
     def merge_into(
         self,
@@ -342,7 +353,16 @@ class IndexJob:
                 fs.delete(dst)
             fs.rename(src, dst)
         fs.delete(tmp)
-        return self._manifest(resolved, path)
+        manifest = self._manifest(resolved, path)
+        # a merge ADDS tokens: a stale bloom bitmap would be a false
+        # negative, so refresh the touched shards when a sidecar exists
+        # (deletes never need this — shrinking content keeps the bitmap a
+        # correct superset)
+        from solr_map_reduce_spark.term_blooms import BLOOMS, write_term_blooms
+
+        if manifest.get("analyzed") and fs.exists(fs_join(path, BLOOMS)):
+            write_term_blooms(df.sparkSession, path, shards=touched)
+        return manifest
 
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
         """Delete-by-query against the artifact (C3 as a MUTATION, the

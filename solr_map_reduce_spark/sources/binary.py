@@ -51,6 +51,12 @@ _MAGIC = [
     ("image/gif", "47494638"),
     ("image/bmp", "424D"),
     ("application/x-tar", None),  # ustar at offset 257; handled separately
+    ("audio/mpeg", "494433"),  # ID3
+    ("audio/x-flac", "664C6143"),
+    ("image/tiff", "49492A00"),
+    ("image/tiff", "4D4D002A"),
+    ("image/vnd.adobe.photoshop", "38425053"),
+    ("video/x-flv", "464C5601"),
     ("application/rtf", "7B5C727466"),
     ("application/xml", "3C3F786D6C"),
     ("text/html", "3C68746D6C"),
@@ -73,6 +79,10 @@ def detect_mime_type(content: F.Column) -> F.Column:
         else:
             cond = head_hex.startswith(magic)
         expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    # ISO-BMFF: "ftyp" at offset 4 (mp4/m4a family)
+    expr = expr.when(
+        F.upper(F.hex(F.substring(content, 5, 4))) == "66747970", "video/mp4"
+    )
     text_like = F.try_validate_utf8(content.cast("string")).isNotNull()
     return (
         F.when(F.isnull(content) | (F.length(content) == 0), F.lit("application/x-empty"))
@@ -94,6 +104,8 @@ def _sniff_magic(b: bytes) -> str:
                 return mime
         elif b.startswith(bytes.fromhex(magic)):
             return mime
+    if b[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 

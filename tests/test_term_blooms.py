@@ -1,0 +1,125 @@
+"""Per-shard term Bloom pruning (term_blooms.py): results must be identical
+to the unpruned scan (no false negatives by construction), the plan must
+read fewer shard partitions for localized terms, and merge_into must
+refresh touched shards' bitmaps."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.index_reader import SearchIndex
+from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+from solr_map_reduce_spark.schema import Field, IndexSchema
+from solr_map_reduce_spark.term_blooms import (
+    candidate_shards,
+    load_term_blooms,
+    write_term_blooms,
+)
+
+SCHEMA = IndexSchema(
+    fields=(
+        Field("id", "string", required=True),
+        Field("text", "text_general"),
+    ),
+    unique_key="id",
+)
+
+
+def _cfg(**kw):
+    return IndexJobConfig(
+        schema=SCHEMA, shards=4, dedup="none", routing="native",
+        term_blooms=True, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    # 200 docs of shared words + one rare term in exactly one doc
+    rows = [(str(i), f"common filler words row{i}") for i in range(200)]
+    rows.append(("rare-1", "common filler zanzibar unique"))
+    df = spark.createDataFrame(rows, "id string, text string")
+    path = str(tmp_path_factory.mktemp("bloomidx") / "index")
+    IndexJob(_cfg()).build(df, path)
+    return path
+
+
+def test_sidecar_written_and_loadable(spark, built):
+    blooms = load_term_blooms(spark, built)
+    assert blooms is not None and "text" in blooms
+    assert set(blooms["text"]["shards"]) <= {"0", "1", "2", "3"}
+    assert blooms["text"]["m"] % 8 == 0
+
+
+def test_rare_term_prunes_to_few_shards(spark, built):
+    blooms = load_term_blooms(spark, built)
+    shards = candidate_shards(spark, blooms, "text", ["zanzibar"], "all")
+    assert shards is not None and 1 <= len(shards) < 4
+    # common word: every shard admits it
+    assert len(candidate_shards(spark, blooms, "text", ["common"], "all")) == 4
+    # absent term: no shard admits it (modulo bloom false positives at this
+    # tiny fill factor there are none)
+    assert candidate_shards(spark, blooms, "text", ["notinthecorpus"], "all") == []
+
+
+def test_results_identical_with_and_without_pruning(spark, built):
+    idx = SearchIndex.open(spark, built)
+    pruned = {r["id"] for r in idx.contains_all(["zanzibar"]).collect()}
+    assert pruned == {"rare-1"}
+    # phrase + any paths
+    assert {r["id"] for r in idx.phrase("zanzibar unique").collect()} == {"rare-1"}
+    got_any = {r["id"] for r in idx.contains_any(["zanzibar", "row5"]).collect()}
+    assert got_any == {"rare-1", "5"}
+    # absent term -> empty, not an error
+    assert idx.contains_all(["notinthecorpus"]).count() == 0
+
+
+def test_plan_has_partition_pruning_for_rare_term(spark, built):
+    idx = SearchIndex.open(spark, built)
+    plan = (
+        idx.contains_all(["zanzibar"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "shard" in plan
+
+
+def test_merge_into_refreshes_touched_shard_bitmaps(spark, built, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "index")
+    shutil.copytree(built, path)
+    idx = SearchIndex.open(spark, path)
+    assert idx.contains_all(["quetzalcoatl"]).count() == 0
+
+    add = spark.createDataFrame(
+        [("new-1", "common quetzalcoatl arrives")], "id string, text string"
+    )
+    IndexJob(_cfg()).merge_into(add, path)
+    # fresh handle (bloom cache per instance)
+    idx2 = SearchIndex.open(spark, path)
+    assert {r["id"] for r in idx2.contains_all(["quetzalcoatl"]).collect()} == {"new-1"}
+    blooms = load_term_blooms(spark, path)
+    assert candidate_shards(spark, blooms, "text", ["quetzalcoatl"], "all")
+
+
+def test_no_sidecar_means_full_scan_same_results(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "gamma delta")], "id string, text string"
+    )
+    path = str(tmp_path / "nobloom")
+    cfg = IndexJobConfig(schema=SCHEMA, shards=2, dedup="none", routing="native")
+    IndexJob(cfg).build(df, path)
+    idx = SearchIndex.open(spark, path)
+    assert {r["id"] for r in idx.contains_all(["gamma"]).collect()} == {"b"}
+
+
+def test_write_term_blooms_subset_merges(spark, built, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "index2")
+    shutil.copytree(built, path)
+    before = load_term_blooms(spark, path)["text"]["shards"]
+    write_term_blooms(spark, path, shards=[0])
+    after = load_term_blooms(spark, path)["text"]["shards"]
+    assert set(after) == set(before)  # untouched shards preserved
+    for s in before:
+        if s != "0":
+            assert after[s] == before[s]
