@@ -128,8 +128,18 @@ def bm25_search(
     with_score: bool = True,
     exact_sum: bool = False,
     tokens_col: str | None = None,
+    stored_stats: tuple[int, int, int] | None = None,
+    stored_dfs: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query by BM25.
+
+    ``stored_stats=(n_docs, sum_dl, n_dl)`` + ``stored_dfs={term: df}`` switch to
+    the serve-from-the-artifact path: corpus statistics come from the build
+    time sidecar instead of a per-query stats pass, so the plan is ONE scan
+    (which the caller may additionally shard-prune) + TakeOrdered.  Scores
+    are bit-identical to the computed-stats path: dl sums and df counts are
+    integers, exact in IEEE doubles far beyond any corpus size, so
+    ``avgdl = sum_dl/n_docs`` reproduces ``avg(dl)`` exactly.
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene-style bounded idf);
     score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
@@ -162,18 +172,31 @@ def bm25_search(
     compact = df.select(
         F.col(id_col), F.size(toks).cast("double").alias("dl"), *tf_cols
     )
-    # Small at any scale: (id, dl, |Q| tfs) per doc.  Checkpoint so the stats
-    # aggregate and the scoring pass share one tokenization of the corpus.
-    compact = compact.localCheckpoint(eager=False)
-
-    stats = compact.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
-            for i in range(len(terms))
-        ],
-    )
+    if stored_stats is not None and stored_dfs is not None:
+        # n_docs = count(*) (idf denominator base); avgdl = sum(dl)/count(dl)
+        # over non-null dl — exactly F.avg's semantics, exact because both
+        # are integer-valued
+        n_docs, sum_dl, n_dl = stored_stats
+        stats_cols = [
+            F.lit(float(n_docs)).alias("n_docs"),
+            F.lit(float(sum_dl) / float(n_dl) if n_dl else 0.0).alias("avgdl"),
+        ] + [
+            F.lit(float(stored_dfs.get(term, 0))).alias(f"_df{i}")
+            for i, term in enumerate(terms)
+        ]
+        stats = df.sparkSession.range(1).select(*stats_cols)
+    else:
+        # Small at any scale: (id, dl, |Q| tfs) per doc.  Checkpoint so the
+        # stats aggregate and the scoring pass share one tokenization.
+        compact = compact.localCheckpoint(eager=False)
+        stats = compact.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+                for i in range(len(terms))
+            ],
+        )
 
     def term_score(i: int) -> F.Column:
         idf = F.log(

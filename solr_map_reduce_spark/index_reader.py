@@ -217,10 +217,31 @@ class SearchIndex:
         field: str | None = None,
         **kw,
     ) -> DataFrame:
+        """BM25 top-k.  With a ``_SEARCH_STATS.json`` sidecar (built via
+        ``IndexJobConfig.search_stats``), corpus statistics and the query
+        terms' document frequencies come from stored structures and the
+        plan is one scan + TakeOrdered — scores identical either way (all
+        stored quantities are integers, exact in doubles).  Stored stats
+        also make Bloom shard-pruning safe (only docs containing a query
+        term score, and statistics no longer derive from the scan); the
+        computed-stats fallback never prunes, since its statistics are
+        defined over the whole collection."""
         from solr_map_reduce_spark.extensions import search
+        from solr_map_reduce_spark.search_stats import load_search_stats, term_dfs
 
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        stats = load_search_stats(self.spark, self.path)
+        scan = self.df()
+        if stats and fname in stats:
+            s = stats[fname]
+            norm_terms = [t.lower() for t in terms]
+            kw = dict(kw)
+            kw["stored_stats"] = (s["n_docs"], s["sum_dl"], s["n_dl"])
+            kw["stored_dfs"] = term_dfs(self.spark, self.path, fname, norm_terms)
+            scan = self._bloom_pruned(norm_terms, fname, "any")
         return search.bm25_search(
-            self.df(), terms, k=k, id_col=self.unique_key,
+            scan, terms, k=k, id_col=self.unique_key,
             tokens_col=self._tokens_col(field), **kw,
         )
 

@@ -88,6 +88,10 @@ class IndexJobConfig:
     # touch-only-the-postings cost model approximated at the shard level.
     # One extra pass over the stored token column at build time.
     term_blooms: bool = False
+    # Stored BM25 statistics + term dictionary (_SEARCH_STATS.json +
+    # _vocab/): bm25 queries serve from build-time structures instead of a
+    # per-query stats pass (search_stats.py); invalidated on mutation.
+    search_stats: bool = False
 
     def __post_init__(self) -> None:
         micro = self.micro_shards or self.shards
@@ -290,6 +294,10 @@ class IndexJob:
             from solr_map_reduce_spark.term_blooms import write_term_blooms
 
             write_term_blooms(df.sparkSession, path)
+        if self.config.search_stats and manifest.get("analyzed"):
+            from solr_map_reduce_spark.search_stats import write_search_stats
+
+            write_search_stats(df.sparkSession, path)
         return manifest
 
     def merge_into(
@@ -362,6 +370,12 @@ class IndexJob:
 
         if manifest.get("analyzed") and fs.exists(fs_join(path, BLOOMS)):
             write_term_blooms(df.sparkSession, path, shards=touched)
+        # global BM25 statistics changed — refresh if stored (one pass; a
+        # stale sidecar would silently skew every subsequent score)
+        from solr_map_reduce_spark.search_stats import STATS, write_search_stats
+
+        if manifest.get("analyzed") and fs.exists(fs_join(path, STATS)):
+            write_search_stats(df.sparkSession, path)
         return manifest
 
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
@@ -408,6 +422,12 @@ class IndexJob:
                 fs.rename(src, dst)
             # else: every row in this shard matched — the dir stays deleted
         fs.delete(tmp)
+        # stored BM25 statistics are global — stale ones would skew every
+        # later score, so invalidate (queries fall back to computing them);
+        # term blooms stay: a shrunk corpus keeps them a correct superset
+        from solr_map_reduce_spark.search_stats import drop_search_stats
+
+        drop_search_stats(spark, path)
         return n_before - n_after
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):

@@ -1285,7 +1285,7 @@ def _docs_search_index(spark, sf_dir):
         job = IndexJob(
             IndexJobConfig(
                 schema=schema, shards=4, micro_shards=8, dedup="none",
-                routing="native", term_blooms=True,
+                routing="native", term_blooms=True, search_stats=True,
             )
         )
         path = os.path.join(tempfile.mkdtemp(prefix="smrs_docs_idx_"), "index")

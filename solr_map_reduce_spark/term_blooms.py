@@ -44,16 +44,25 @@ def _positions_col(token: F.Column, m: int, k: int) -> F.Column:
     )
 
 
+_POSITIONS_MEMO: dict[tuple[int, int, str], list[int]] = {}
+
+
 def _terms_positions(
     spark: SparkSession, terms: list[str], m: int, k: int
 ) -> dict[str, list[int]]:
     """Positions for query terms, computed by the SAME JVM expression used
-    at build time (one tiny local job on a |terms|-row DataFrame)."""
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select(
-        "term", _positions_col(F.col("term"), m, k).alias("pos")
-    ).collect()
-    return {r["term"]: list(r["pos"]) for r in rows}
+    at build time (one tiny local job on a |terms|-row DataFrame).
+    Memoized per (m, k, term): repeated queries — the serving pattern —
+    skip the job entirely."""
+    missing = [t for t in terms if (m, k, t) not in _POSITIONS_MEMO]
+    if missing:
+        df = spark.createDataFrame([(t,) for t in missing], "term string")
+        rows = df.select(
+            "term", _positions_col(F.col("term"), m, k).alias("pos")
+        ).collect()
+        for r in rows:
+            _POSITIONS_MEMO[(m, k, r["term"])] = list(r["pos"])
+    return {t: _POSITIONS_MEMO[(m, k, t)] for t in terms}
 
 
 def write_term_blooms(

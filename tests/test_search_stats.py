@@ -1,0 +1,118 @@
+"""Stored BM25 statistics (search_stats.py): scores must be bit-identical
+to the computed-stats path, the stored plan must skip the stats pass, and
+mutations must invalidate or refresh."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.index_reader import SearchIndex
+from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+from solr_map_reduce_spark.schema import Field, IndexSchema
+from solr_map_reduce_spark.search_stats import (
+    load_search_stats,
+    term_dfs,
+    write_search_stats,
+)
+
+SCHEMA = IndexSchema(
+    fields=(
+        Field("id", "string", required=True),
+        Field("text", "text_general"),
+    ),
+    unique_key="id",
+)
+
+
+def _cfg(**kw):
+    return IndexJobConfig(
+        schema=SCHEMA, shards=4, dedup="none", routing="native",
+        term_blooms=True, search_stats=True, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    rows = [
+        (str(i), f"alpha beta common word{i % 7} " + ("target " * (i % 3)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    path = str(tmp_path_factory.mktemp("statsidx") / "index")
+    IndexJob(_cfg()).build(df, path)
+    return path
+
+
+def test_stats_sidecar_contents(spark, built):
+    stats = load_search_stats(spark, built)
+    assert stats["text"]["n_docs"] == 120
+    assert stats["text"]["n_dl"] == 120
+    assert stats["text"]["sum_dl"] > 0
+    dfs = term_dfs(spark, built, "text", ["alpha", "target", "missingterm"])
+    assert dfs["alpha"] == 120
+    assert dfs["target"] == 80  # i % 3 != 0
+    assert dfs["missingterm"] == 0
+
+
+def test_bm25_scores_identical_stored_vs_computed(spark, built, tmp_path):
+    import shutil
+
+    idx = SearchIndex.open(spark, built)
+    stored = idx.bm25(["target", "alpha"], k=10, exact_sum=True).collect()
+
+    # same artifact without the sidecars -> computed path
+    bare = str(tmp_path / "bare")
+    shutil.copytree(built, bare)
+    import os
+
+    os.remove(os.path.join(bare, "_SEARCH_STATS.json"))
+    shutil.rmtree(os.path.join(bare, "_vocab"))
+    os.remove(os.path.join(bare, "_TERM_BLOOMS.json"))
+    computed = SearchIndex.open(spark, bare).bm25(
+        ["target", "alpha"], k=10, exact_sum=True
+    ).collect()
+
+    assert [(r["id"], r["score"]) for r in stored] == [
+        (r["id"], r["score"]) for r in computed
+    ]
+
+
+def test_stored_plan_is_single_pass(spark, built):
+    idx = SearchIndex.open(spark, built)
+    plan = (
+        idx.bm25(["target"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the computed path checkpoints the compact table; the stored path must
+    # not (no scan of an RDD checkpoint, one FileScan of the artifact)
+    assert "ExistingRDD" not in plan and "Scan ExistingRDD" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_merge_into_refreshes_stats(spark, built, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "index")
+    shutil.copytree(built, path)
+    add = spark.createDataFrame(
+        [("new-1", "alpha target target freshterm")], "id string, text string"
+    )
+    IndexJob(_cfg()).merge_into(add, path)
+    stats = load_search_stats(spark, path)
+    assert stats["text"]["n_docs"] == 121
+    assert term_dfs(spark, path, "text", ["freshterm"])["freshterm"] == 1
+
+
+def test_delete_where_invalidates_stats(spark, built, tmp_path):
+    import os
+    import shutil
+
+    path = str(tmp_path / "index")
+    shutil.copytree(built, path)
+    job = IndexJob(_cfg())
+    n = job.delete_where(spark, path, F.col("id") == "5")
+    assert n == 1
+    assert load_search_stats(spark, path) is None
+    # bm25 falls back to computing stats and still answers
+    idx = SearchIndex.open(spark, path)
+    assert len(idx.bm25(["target"], k=5).collect()) == 5
