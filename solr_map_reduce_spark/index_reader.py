@@ -245,6 +245,75 @@ class SearchIndex:
             tokens_col=self._tokens_col(field), **kw,
         )
 
+    def term_facet(self, field: str | None = None, top: int = 20) -> DataFrame:
+        """Top terms by document frequency — served straight from the stored
+        term dictionary (``_vocab/``) when present: zero corpus scan, a
+        KB-scale parquet read + TakeOrdered.  Falls back to one
+        explode/groupBy pass over the stored token column."""
+        from solr_map_reduce_spark.fs import join as fs_join
+        from solr_map_reduce_spark.search_stats import VOCAB_DIR, load_search_stats
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        stats = load_search_stats(self.spark, self.path)
+        if stats and fname in stats:
+            vocab = self.spark.read.parquet(
+                fs_join(self.path, f"{VOCAB_DIR}/{fname}")
+            )
+            return vocab.orderBy(F.desc("df"), F.asc("term")).limit(top)
+        tokens_col = self._tokens_col(fname)
+        return (
+            self.df()
+            .select(F.explode(F.array_distinct(F.col(tokens_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(top)
+        )
+
+    def highlight(
+        self,
+        terms: "Sequence[str]",
+        field: str | None = None,
+        window: int = 6,
+        mode: str = "all",
+    ) -> DataFrame:
+        """Matching docs with a snippet: ``window`` stored tokens around the
+        first occurrence of the first matching term, the hit wrapped in
+        ``<em>`` (the Solr highlighting shape).  Pure array expressions over
+        the stored token column — codegen, shard-pruned like the underlying
+        term query, no Python."""
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        tokens_col = self._tokens_col(fname)
+        scan = self._bloom_pruned(list(terms), fname, mode)
+        toks = F.col(tokens_col)
+        cond = None
+        for t in terms:
+            c = F.array_contains(toks, t)
+            cond = c if cond is None else (cond & c if mode == "all" else cond | c)
+        hits = scan.filter(cond)
+        # first matching term's first position (array_position is 1-based)
+        pos = F.least(
+            *[
+                F.nullif(F.array_position(toks, t), F.lit(0))
+                for t in terms
+            ]
+        ) if len(terms) > 1 else F.nullif(F.array_position(toks, terms[0]), F.lit(0))
+        start = F.greatest(pos - window // 2, F.lit(1))
+        snippet_toks = F.slice(toks, start, window + 1)
+        term_set = F.array(*[F.lit(t) for t in terms])
+        marked = F.transform(
+            snippet_toks,
+            lambda x: F.when(
+                F.array_contains(term_set, x), F.concat(F.lit("<em>"), x, F.lit("</em>"))
+            ).otherwise(x),
+        )
+        return hits.select(
+            F.col(self.unique_key),
+            F.array_join(marked, " ").alias("snippet"),
+        )
+
     # -- similarity search over an embedding column --------------------
     def knn(
         self,

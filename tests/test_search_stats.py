@@ -116,3 +116,32 @@ def test_delete_where_invalidates_stats(spark, built, tmp_path):
     # bm25 falls back to computing stats and still answers
     idx = SearchIndex.open(spark, path)
     assert len(idx.bm25(["target"], k=5).collect()) == 5
+
+
+def test_term_facet_from_vocab(spark, built):
+    idx = SearchIndex.open(spark, built)
+    top = idx.term_facet(top=3).collect()
+    assert top[0]["df"] == 120  # alpha/beta/common all hit every doc
+    assert {r["term"] for r in top} <= {"alpha", "beta", "common"}
+    plan = idx.term_facet(top=3)._jdf.queryExecution().executedPlan().toString()
+    assert "_vocab" in plan  # served from the dictionary, not the corpus
+
+
+def test_term_facet_fallback_without_vocab(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "x y"), ("b", "x z")], "id string, text string"
+    )
+    path = str(tmp_path / "novocab")
+    IndexJob(
+        IndexJobConfig(schema=SCHEMA, shards=2, dedup="none", routing="native")
+    ).build(df, path)
+    top = {r["term"]: r["df"] for r in SearchIndex.open(spark, path).term_facet(top=10).collect()}
+    assert top == {"x": 2, "y": 1, "z": 1}
+
+
+def test_highlight_snippets(spark, built):
+    idx = SearchIndex.open(spark, built)
+    rows = idx.highlight(["target"], window=4).collect()
+    assert rows  # 80 docs contain it
+    for r in rows[:5]:
+        assert "<em>target</em>" in r["snippet"]
