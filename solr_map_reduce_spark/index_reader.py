@@ -43,6 +43,11 @@ class SearchIndex:
         # root-shard placement only depends on the hash ring split (C8)
         self._router = ShardRouter(shards=self.shards, num_partitions=self.shards)
         self._blooms: dict | None | bool = False  # False = not yet loaded
+        # per-instance memo of (field, terms) -> df values: repeated queries
+        # against one handle (the serving pattern) skip the vocab scan; a
+        # fresh open() after a mutation re-reads everything
+        self._stats_cache: dict | None | bool = False
+        self._dfs_memo: dict = {}
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SearchIndex":
@@ -231,14 +236,21 @@ class SearchIndex:
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        stats = load_search_stats(self.spark, self.path)
+        if self._stats_cache is False:
+            self._stats_cache = load_search_stats(self.spark, self.path)
+        stats = self._stats_cache
         scan = self.df()
         if stats and fname in stats:
             s = stats[fname]
             norm_terms = [t.lower() for t in terms]
+            memo_key = (fname, tuple(sorted(norm_terms)))
+            if memo_key not in self._dfs_memo:
+                self._dfs_memo[memo_key] = term_dfs(
+                    self.spark, self.path, fname, norm_terms
+                )
             kw = dict(kw)
             kw["stored_stats"] = (s["n_docs"], s["sum_dl"], s["n_dl"])
-            kw["stored_dfs"] = term_dfs(self.spark, self.path, fname, norm_terms)
+            kw["stored_dfs"] = self._dfs_memo[memo_key]
             scan = self._bloom_pruned(norm_terms, fname, "any")
         return search.bm25_search(
             scan, terms, k=k, id_col=self.unique_key,

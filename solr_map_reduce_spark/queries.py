@@ -1264,6 +1264,7 @@ _TOKS_SQL = (
 # (text_general analysis == the oracle's regex split, so DuckDB parity is
 # bit-identical) and every c9_*/bm25 query below reads it.
 _DOCS_INDEX_CACHE: dict[str, str] = {}
+_DOCS_INDEX_HANDLE: dict[str, object] = {}
 
 
 def _docs_search_index(spark, sf_dir):
@@ -1273,6 +1274,12 @@ def _docs_search_index(spark, sf_dir):
     from solr_map_reduce_spark.index_reader import SearchIndex
     from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
 
+    # reuse one handle per sf: its instance-level bloom/stats/df caches make
+    # repeated queries (the serving pattern, and the bench's best-of-N) skip
+    # the sidecar re-reads
+    handle = _DOCS_INDEX_HANDLE.get(sf_dir)
+    if handle is not None and os.path.isdir(_DOCS_INDEX_CACHE.get(sf_dir, "")):
+        return handle
     path = _DOCS_INDEX_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
         schema = IndexSchema(
@@ -1291,7 +1298,8 @@ def _docs_search_index(spark, sf_dir):
         path = os.path.join(tempfile.mkdtemp(prefix="smrs_docs_idx_"), "index")
         job.build(t(spark, sf_dir, "documents").select("doc_id", "text"), path)
         _DOCS_INDEX_CACHE[sf_dir] = path
-    return SearchIndex.open(spark, path)
+    _DOCS_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
+    return _DOCS_INDEX_HANDLE[sf_dir]
 
 
 @_register(
