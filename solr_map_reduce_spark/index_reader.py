@@ -326,6 +326,56 @@ class SearchIndex:
             F.array_join(marked, " ").alias("snippet"),
         )
 
+    def more_like_this(
+        self,
+        key: str,
+        k: int = 10,
+        field: str | None = None,
+        max_terms: int = 10,
+        min_df: int = 1,
+        **kw,
+    ) -> DataFrame:
+        """Solr's MoreLikeThis: find documents similar to the one with
+        unique key ``key``.  The source doc's most distinctive terms are
+        selected by tf·idf — idf from the stored term dictionary when the
+        artifact carries one (KB-scale lookup), tf-only otherwise — and fed
+        to :meth:`bm25`; the source doc itself is excluded.
+
+        The point-lookup fetch is shard-pruned (C2) and the interesting-term
+        selection touches |doc| terms driver-side — MLT is a per-document
+        operation, not a corpus scan."""
+        import math
+
+        from solr_map_reduce_spark.search_stats import load_search_stats, term_dfs
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        tokens_col = self._tokens_col(fname)
+        rows = self.get(key).select(tokens_col).collect()
+        if not rows or not rows[0][0]:
+            raise KeyError(f"no document with {self.unique_key}={key!r} (or empty)")
+        toks = rows[0][0]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        if self._stats_cache is False:
+            self._stats_cache = load_search_stats(self.spark, self.path)
+        stats = self._stats_cache
+        if stats and fname in stats:
+            n_docs = stats[fname]["n_docs"]
+            dfs = term_dfs(self.spark, self.path, fname, sorted(tf))
+            scored = [
+                (t, tf[t] * math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+                for t in tf
+                if dfs[t] >= min_df
+            ]
+        else:
+            scored = [(t, float(c)) for t, c in tf.items()]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        terms = [t for t, _ in scored[:max_terms]]
+        hits = self.bm25(terms, k=k + 1, field=fname, **kw)
+        return hits.filter(F.col(self.unique_key) != key).limit(k)
+
     # -- similarity search over an embedding column --------------------
     def knn(
         self,

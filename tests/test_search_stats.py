@@ -145,3 +145,21 @@ def test_highlight_snippets(spark, built):
     assert rows  # 80 docs contain it
     for r in rows[:5]:
         assert "<em>target</em>" in r["snippet"]
+
+
+def test_more_like_this(spark, built):
+    idx = SearchIndex.open(spark, built)
+    # doc "1": "alpha beta common word1 target" — similar docs share word1/target
+    got = idx.more_like_this("1", k=5).collect()
+    ids = [r["id"] for r in got]
+    assert "1" not in ids and len(ids) == 5
+    # word1 appears in docs i % 7 == 1 — the top hits should be from that set
+    # or target-heavy docs; assert overlap with the word1 family
+    word1_family = {str(i) for i in range(120) if i % 7 == 1}
+    assert set(ids) & word1_family
+
+
+def test_more_like_this_missing_key_raises(spark, built):
+    idx = SearchIndex.open(spark, built)
+    with pytest.raises(KeyError):
+        idx.more_like_this("no-such-doc")

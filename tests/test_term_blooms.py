@@ -123,3 +123,31 @@ def test_write_term_blooms_subset_merges(spark, built, tmp_path):
     for s in before:
         if s != "0":
             assert after[s] == before[s]
+
+
+def test_no_false_negatives_randomized(spark, tmp_path):
+    """Property: for every term actually present in some shard, that shard
+    must be in the candidate set (Bloom guarantees it; this guards the
+    query-side position computation staying bit-identical to build-side)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = [
+        (str(i), " ".join(rng.sample(vocab, rng.randrange(3, 12))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    path = str(tmp_path / "fuzzidx")
+    IndexJob(_cfg()).build(df, path)
+    blooms = load_term_blooms(spark, path)
+
+    from solr_map_reduce_spark.indexing import read_index
+
+    truth = {}
+    for r in read_index(spark, path).select("shard", "text__tokens").collect():
+        for t in set(r["text__tokens"]):
+            truth.setdefault(t, set()).add(int(r["shard"]))
+    for term in rng.sample(sorted(truth), 40):
+        cand = set(candidate_shards(spark, blooms, "text", [term], "all"))
+        assert truth[term] <= cand, f"false negative for {term}"
