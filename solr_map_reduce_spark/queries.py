@@ -1356,6 +1356,20 @@ def c9_contains_none(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).contains_none(["spark", "shuffle"])
 
 
+@_register(
+    "c9_term_facet",
+    f"""WITH toks AS (
+          SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents
+        ), u AS (SELECT unnest(t) AS term FROM toks)
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM u GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+    "top terms by document frequency — served from the artifact's STORED "
+    "term dictionary (_vocab/ sidecar), zero corpus scan",
+)
+def c9_term_facet(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).term_facet(top=20)
+
+
 _BM25_TERMS = ["spark", "vector", "merge"]
 
 
