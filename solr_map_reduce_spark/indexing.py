@@ -92,6 +92,10 @@ class IndexJobConfig:
     # _vocab/): bm25 queries serve from build-time structures instead of a
     # per-query stats pass (search_stats.py); invalidated on mutation.
     search_stats: bool = False
+    # Parquet codec for artifact files.  None = session default (snappy).
+    # At 100 TB prefer "zstd": ~30-40% smaller files for a few % CPU — the
+    # scan is I/O-bound at scale, so smaller wins.
+    codec: str | None = None
 
     def __post_init__(self) -> None:
         micro = self.micro_shards or self.shards
@@ -231,6 +235,8 @@ class IndexJob:
         writer = writer_df.write.mode(mode).partitionBy(SHARD_COL)
         if cfg.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        if cfg.codec:
+            writer = writer.option("compression", cfg.codec)
         writer.parquet(path)
         return self._manifest(df, path)
 
@@ -269,6 +275,8 @@ class IndexJob:
         writer = out.write.mode(mode).partitionBy(SHARD_COL)
         if cfg.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        if cfg.codec:
+            writer = writer.option("compression", cfg.codec)
         writer.parquet(path)
         return self._manifest(out, path)
 
@@ -350,6 +358,8 @@ class IndexJob:
         writer = writer_df.write.mode("overwrite").partitionBy(SHARD_COL)
         if cfg.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        if cfg.codec:
+            writer = writer.option("compression", cfg.codec)
         writer.parquet(tmp)
         for s in touched:
             dirname = f"{SHARD_COL}={s}"

@@ -624,3 +624,29 @@ def test_artifact_lifecycle_over_hadoop_fs_uri(spark, tmp_path):
     publish(staging, live)
     assert read_index(spark, live).count() == 297
     assert get_fs(live, spark).exists(f"{live}/_SUCCESS_PUBLISH")
+
+
+def test_codec_option_produces_zstd_files(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("v", "long")),
+        unique_key="id",
+    )
+    df = spark.createDataFrame([(str(i), i) for i in range(100)], "id string, v long")
+    path = str(tmp_path / "zidx")
+    IndexJob(
+        IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native",
+                       codec="zstd")
+    ).build(df, path)
+    files = glob.glob(f"{path}/shard=*/**/*.parquet", recursive=True)
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+    # artifact still reads back complete
+    assert spark.read.parquet(path).count() == 100
