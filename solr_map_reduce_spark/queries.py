@@ -1370,6 +1370,30 @@ def c9_term_facet(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).term_facet(top=20)
 
 
+@_register(
+    "c9_highlight",
+    f"""WITH toks AS (
+          SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), hit AS (
+          SELECT doc_id, t, list_position(t, 'spark') AS pos
+          FROM toks WHERE list_contains(t, 'spark')
+        ), sn AS (
+          SELECT doc_id,
+                 t[greatest(pos - 3, 1):(greatest(pos - 3, 1) + 6)] AS st
+          FROM hit
+        )
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(st, x -> CASE WHEN x = 'spark'
+                      THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
+        FROM sn""",
+    "search-hit highlighting: a 7-token snippet around the first match from "
+    "the STORED token column, hits wrapped in <em> (Solr highlighter shape)",
+)
+def c9_highlight(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).highlight(["spark"], window=6)
+
+
 _BM25_TERMS = ["spark", "vector", "merge"]
 
 
