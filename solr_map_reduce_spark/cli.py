@@ -96,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
                           "pipeline (the reference's --morphline-file)")
     idx.add_argument("--morphline-id", default=None,
                      help="which morphline in the config (default: first)")
+    idx.add_argument("--term-blooms", action="store_true",
+                     help="build per-shard term Bloom bitmaps (shard-pruned "
+                          "term/phrase queries)")
+    idx.add_argument("--search-stats", action="store_true",
+                     help="store BM25 collection stats + term dictionary "
+                          "(bm25 served from the artifact)")
+    idx.add_argument("--codec", default=None,
+                     help="parquet codec for artifact files (e.g. zstd)")
     idx.add_argument("--with-file-metadata", action="store_true",
                      help="attach file_* header columns (A6)")
 
@@ -238,6 +246,9 @@ def main(argv: list[str] | None = None) -> int:
             tiebreak=tuple(args.tiebreak),
             max_segments=args.max_segments,
             max_records_per_file=args.max_records_per_file,
+            term_blooms=args.term_blooms,
+            search_stats=args.search_stats,
+            codec=args.codec,
         )
     )
     if args.dry_run:

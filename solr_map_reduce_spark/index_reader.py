@@ -148,6 +148,26 @@ class SearchIndex:
             raise ValueError(f"field {field!r} is not analyzed; have {sorted(analyzed)}")
         return analyzed[field]["tokens_col"]
 
+    def analyze_terms(
+        self, terms: Sequence[str], field: str | None = None
+    ) -> list[str]:
+        """Query-time analysis (Solr applies the field's analyzer to query
+        terms too): run the artifact field's analyzer over the given terms
+        and return the flattened token list — e.g. for a ``text_en`` field,
+        ``["Tables"] -> ["tabl"]``; stopwords drop out.  Pass the result to
+        ``contains_*``/``bm25`` so query terms meet the stored tokens under
+        the same analysis."""
+        from solr_map_reduce_spark.functions.analyzers import ANALYZERS
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        if fname not in analyzed:
+            raise ValueError(f"field {fname!r} is not analyzed; have {sorted(analyzed)}")
+        fn = ANALYZERS[analyzed[fname]["type"]]
+        df = self.spark.createDataFrame([(t,) for t in terms], "t string")
+        rows = df.select(fn(F.col("t")).alias("toks")).collect()
+        return [tok for r in rows for tok in (r["toks"] or [])]
+
     def _bloom_pruned(self, terms: Sequence[str], field: str | None, mode: str) -> DataFrame:
         """The artifact scan, restricted to the shards whose term Bloom
         bitmap admits the query (term_blooms.py sidecar; no false

@@ -293,3 +293,33 @@ morphlines : [ { id : m1
 
     got = {r["id"]: r["name"] for r in read_index(spark, out).collect()}
     assert got == {"r1": "alpha", "r2": "beta"}
+
+
+def test_cli_index_with_search_structures(spark, sf_dir, schema_file, tmp_path):
+    import os
+
+    out = str(tmp_path / "cli_idx_search")
+    rc = cli.main([
+        "index",
+        "--input", f"{sf_dir}/documents.parquet",
+        "--output", out,
+        "--schema", schema_file,
+        "--shards", "2",
+        "--dedup", "none",
+        "--generate-keys-from", "source",
+        "--term-blooms", "--search-stats", "--codec", "zstd",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "_TERM_BLOOMS.json"))
+    assert os.path.exists(os.path.join(out, "_SEARCH_STATS.json"))
+    assert os.path.isdir(os.path.join(out, "_vocab", "text"))
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+
+    idx = SearchIndex.open(spark, out)
+    # text_en stores stemmed tokens; analyze_terms maps the raw query word
+    # through the same analyzer ("table" -> "tabl") — Solr's query-time
+    # analysis contract
+    terms = idx.analyze_terms(["table"])
+    assert terms == ["tabl"]
+    assert idx.bm25(terms, k=3).count() == 3
