@@ -107,8 +107,15 @@ def _builtin_image_meta(b: bytes) -> tuple[int, int, str, str] | None:
         w, h = struct.unpack("<HH", b[6:10])
         return (w, h, "P", "GIF")
     if len(b) >= 26 and b[:2] == b"BM":
-        w, h = struct.unpack("<ii", b[18:26])
-        return (w, abs(h), "RGB", "BMP")
+        # "BM" alone collides with plain text ("BMW to Make…" — the corpus's
+        # testBMPfp.txt); require a real DIB header size at offset 14
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib in (12, 16, 40, 52, 56, 64, 108, 124):
+            w, h = struct.unpack("<ii", b[18:26])
+            if dib == 12:  # BITMAPCOREHEADER: 16-bit width/height
+                w, h = struct.unpack("<hh", b[18:22])
+            return (w, abs(h), "RGB", "BMP")
+        return None
     if len(b) >= 2 and b[:1] == b"P" and b[1:2] in b"1234567":  # netpbm
         try:
             fields: list[bytes] = []

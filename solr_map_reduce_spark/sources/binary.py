@@ -61,6 +61,13 @@ _MAGIC = [
     ("application/xml", "3C3F786D6C"),
     ("text/html", "3C68746D6C"),
     ("text/html", "3C21444F4354"),
+    ("application/avro", "4F626A01"),  # Obj\x01 container magic
+    ("application/x-ole-storage", "D0CF11E0A1B11AE1"),  # CFB/OLE2
+]
+# two-part magics: (mime, prefix-4-bytes, bytes at offset 8)
+_MAGIC_PAIRED = [
+    ("audio/x-wav", b"RIFF", (b"WAVE",)),
+    ("audio/x-aiff", b"FORM", (b"AIFF", b"AIFC")),
 ]
 
 
@@ -73,12 +80,25 @@ def detect_mime_type(content: F.Column) -> F.Column:
     """
     head_hex = F.upper(F.hex(F.substring(content, 1, 8)))
     expr = None
+    # paired magics first: RIFF/FORM prefixes are more specific than any
+    # single-prefix row and must win over the generic fallbacks
+    for mime, prefix, at8s in _MAGIC_PAIRED:
+        cond = (F.upper(F.hex(F.substring(content, 1, 4))) == prefix.hex().upper()) & (
+            F.upper(F.hex(F.substring(content, 9, 4))).isin(
+                [a.hex().upper() for a in at8s]
+            )
+        )
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
     for mime, magic in _MAGIC:
         if magic is None:
             cond = F.upper(F.hex(F.substring(content, 258, 5))) == "7573746172"
         else:
             cond = head_hex.startswith(magic)
-        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+        if mime == "image/bmp":
+            # "BM" collides with text ("BMW …"); real BMPs zero the
+            # reserved word at offset 6
+            cond = cond & (F.hex(F.substring(content, 7, 4)) == "00000000")
+        expr = expr.when(cond, mime)
     # ISO-BMFF: "ftyp" at offset 4 (mp4/m4a family)
     expr = expr.when(
         F.upper(F.hex(F.substring(content, 5, 4))) == "66747970", "video/mp4"
@@ -98,6 +118,9 @@ def _sniff_magic(b: bytes) -> str:
     """Python-side mirror of :func:`detect_mime_type`'s magic table, for the
     extract fallback (binary payloads no builtin parser handles are still
     TYPED, matching Tika's detector behavior)."""
+    for mime, prefix, at8s in _MAGIC_PAIRED:
+        if b[:4] == prefix and b[8:12] in at8s:
+            return mime
     for mime, magic in _MAGIC:
         if magic is None:
             if b[257:262] == b"ustar":
@@ -339,6 +362,75 @@ def explode_mbox(
     return df.mapInPandas(_explode, schema)
 
 
+_COMPRESSION_CODECS = (
+    (b"\x1f\x8b", "gzip", gzip.decompress),
+    (b"BZh", "bzip2", bz2.decompress),
+    (b"\xfd7zXZ\x00", "xz", lzma.decompress),
+)
+
+
+def _extract_payload(
+    b: bytes, _depth: int = 0
+) -> tuple[str | None, str, str | None, dict[str, str]]:
+    """One payload through the full solrCell chain:
+    (content_text, content_type, content_title, content_metadata).
+
+    Compressed payloads (gzip/bz2/xz) are decompressed and re-extracted —
+    the reference's decompress → callParentPipe recursion
+    (solrCellDocumentTypes.conf:88-97); the inner document's type/text win
+    and the metadata records the compression codec.  Bounded to one level so
+    a zip-bomb chain can't recurse."""
+    from solr_map_reduce_spark.sources.documents import extract_document
+
+    if _depth < 1:
+        for magic, codec_name, fn in _COMPRESSION_CODECS:
+            if b.startswith(magic):
+                try:
+                    inner = fn(b)
+                except Exception:
+                    break  # corrupt stream: fall through to magic typing
+                text, mime, title, meta = _extract_payload(inner, _depth + 1)
+                return text, mime, title, {**meta, "compression": codec_name}
+    try:
+        doc = extract_document(b)
+    except Exception:
+        doc = None  # malformed container: fall through (B22 stance)
+    if doc is not None:
+        return doc.text, doc.mime, doc.title, dict(doc.metadata)
+    try:
+        s = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return None, _sniff_magic(b), None, {}
+    if s.startswith("From "):  # mbox: messages joined, counted
+        msgs = _split_mbox(s)
+        parsed = [_extract_rfc822(m) or m for m in msgs]
+        return (
+            "\n\n".join(parsed),
+            "application/mbox",
+            None,
+            {"message_count": str(len(msgs))},
+        )
+    mail = _extract_rfc822(s)
+    if mail is not None:
+        return mail, "message/rfc822", None, {}
+    head = s.lstrip()[:64].lower()
+    if head.startswith("<?xml") or head.startswith("<svg"):
+        # XML family refined by root element (Tika detector parity for the
+        # corpus's svg/rss fixtures)
+        window = s[:4096]
+        if "<svg" in window:
+            mime = "image/svg+xml"
+        elif "<rss" in window:
+            mime = "application/rss+xml"
+        else:
+            mime = "application/xml"
+    elif head.startswith(("<html", "<!doct")):
+        mime = "text/html"
+    else:
+        mime = "text/plain"
+    return s, mime, None, {}
+
+
 def extract_content(
     df: DataFrame, content_col: str = "content", impl: str = "builtin"
 ) -> DataFrame:
@@ -370,62 +462,17 @@ def extract_content(
 
     @F.pandas_udf(_EXTRACT_SCHEMA)
     def _extract(content: pd.Series) -> pd.DataFrame:
-        from solr_map_reduce_spark.sources.documents import extract_document
-
         texts, types, lengths, titles, metas = [], [], [], [], []
-
-        def push(text, mime, title=None, meta=None):
-            texts.append(text); types.append(mime)
-            titles.append(title); metas.append(meta or {})
-
         for raw in content:
             if raw is None:
                 lengths.append(0)
-                push(None, "application/x-empty")
-                continue
-            b = bytes(raw)
-            lengths.append(len(b))
-            try:
-                doc = extract_document(b)
-            except Exception:
-                doc = None  # malformed container: fall through (B22 stance)
-            if doc is not None:
-                push(doc.text, doc.mime, doc.title, doc.metadata)
-                continue
-            try:
-                s = b.decode("utf-8")
-                if s.startswith("From "):  # mbox: messages joined, counted
-                    msgs = _split_mbox(s)
-                    parsed = [_extract_rfc822(m) or m for m in msgs]
-                    push(
-                        "\n\n".join(parsed),
-                        "application/mbox",
-                        None,
-                        {"message_count": str(len(msgs))},
-                    )
-                    continue
-                mail = _extract_rfc822(s)
-                head = s.lstrip()[:64].lower()
-                if mail is not None:
-                    push(mail, "message/rfc822")
-                    continue
-                if head.startswith("<?xml") or head.startswith("<svg"):
-                    # XML family refined by root element (Tika detector
-                    # parity for the corpus's svg/rss fixtures)
-                    window = s[:4096]
-                    if "<svg" in window:
-                        mime = "image/svg+xml"
-                    elif "<rss" in window:
-                        mime = "application/rss+xml"
-                    else:
-                        mime = "application/xml"
-                elif head.startswith(("<html", "<!doct")):
-                    mime = "text/html"
-                else:
-                    mime = "text/plain"
-                push(s, mime)
-            except UnicodeDecodeError:
-                push(None, _sniff_magic(b))
+                text, mime, title, meta = None, "application/x-empty", None, {}
+            else:
+                b = bytes(raw)
+                lengths.append(len(b))
+                text, mime, title, meta = _extract_payload(b)
+            texts.append(text); types.append(mime)
+            titles.append(title); metas.append(meta)
         return pd.DataFrame(
             {
                 "content_text": texts,

@@ -269,6 +269,32 @@ def pptx_extract(data: bytes) -> DocumentContent:
     )
 
 
+def pages_extract(data: bytes) -> DocumentContent:
+    """Apple iWork Pages '09: zip container with the document serialized as
+    ``index.xml`` (optionally gzipped).  Text lives in ``sf:p`` paragraphs of
+    the ``sf:text-storage`` body; inline formatting tags are stripped per
+    paragraph (the Tika iWork parser's text surface — corpus fixture
+    mlt/resources/test-documents/testPages.pages)."""
+    import gzip as _gzip
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        names = set(zf.namelist())
+        entry = "index.xml.gz" if "index.xml.gz" in names else "index.xml"
+        raw = zf.read(entry)
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gzip.decompress(raw)
+    xml = raw.decode("utf-8", "replace")
+    paras = []
+    for m in re.finditer(r"<sf:p(?:\s[^>]*)?>(.*?)</sf:p>", xml, re.S):
+        t = _xml_unescape(re.sub(r"<[^>]+>", "", m.group(1))).strip()
+        if t:
+            paras.append(t)
+    return DocumentContent(
+        text="\n".join(paras) or None,
+        mime="application/vnd.apple.pages",
+    )
+
+
 _OOXML_KINDS = (
     ("word/document.xml", docx_extract),
     ("xl/workbook.xml", xlsx_extract),
@@ -287,6 +313,8 @@ def ooxml_extract(data: bytes) -> DocumentContent | None:
     for marker, fn in _OOXML_KINDS:
         if marker in names:
             return fn(data)
+    if "index.xml" in names or "index.xml.gz" in names:
+        return pages_extract(data)
     return None
 
 
@@ -616,6 +644,10 @@ def cfb_extract(data: bytes) -> DocumentContent | None:
             return msg_extract(data)
     except Exception:
         pass
+    # remaining CFB payloads typed by their characteristic stream (Tika
+    # detector parity for the corpus's Visio fixture); no text decode
+    if "VisioDocument" in names:
+        return DocumentContent(text=None, mime="application/vnd.visio")
     return DocumentContent(text=None, mime="application/x-ole-storage")
 
 
@@ -668,8 +700,14 @@ def extract_document(data: bytes) -> DocumentContent | None:
         doc = mp4_extract(data)
     elif data.startswith(b"FLV\x01"):
         doc = flv_extract(data)
+    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        doc = wav_extract(data)
+    elif data.startswith(b"Obj\x01"):
+        doc = avro_extract(data)
     else:
-        return None
+        doc = image_extract(data)  # PNG/JPEG/GIF/BMP/netpbm headers
+        if doc is None:
+            return None
     if doc is not None:
         doc.text = _fix_surrogates(doc.text)
         doc.title = _fix_surrogates(doc.title)
@@ -838,25 +876,154 @@ def aiff_extract(data: bytes) -> DocumentContent:
     return DocumentContent(None, "audio/x-aiff", metadata=meta)
 
 
+# TIFF 6.0 value-type byte widths (type id -> element size)
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+# IFD tags surfaced as named metadata (TIFF 6.0 / EXIF 2.3 baseline set)
+_IFD_TAGS = {
+    256: "width", 257: "height", 271: "make", 272: "model",
+    274: "orientation", 305: "software", 306: "datetime",
+    315: "artist", 33432: "copyright",
+}
+
+
+def _tiff_ifd(data: bytes, off: int, bo: str) -> dict[int, str]:
+    """Decode one TIFF IFD into tag -> stringified value (ASCII, SHORT,
+    LONG, RATIONAL); values longer than 4 bytes follow their offset pointer.
+    Shared by the TIFF extractor and the JPEG APP1/EXIF reader."""
+    out: dict[int, str] = {}
+    if off < 0 or off + 2 > len(data):
+        return out
+    n = int.from_bytes(data[off : off + 2], bo)
+    for i in range(n):
+        e = off + 2 + i * 12
+        if e + 12 > len(data):
+            break
+        tag = int.from_bytes(data[e : e + 2], bo)
+        typ = int.from_bytes(data[e + 2 : e + 4], bo)
+        cnt = int.from_bytes(data[e + 4 : e + 8], bo)
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            continue
+        if size <= 4:
+            raw = data[e + 8 : e + 8 + size]
+        else:
+            voff = int.from_bytes(data[e + 8 : e + 12], bo)
+            raw = data[voff : voff + size]
+        if len(raw) < size:
+            continue
+        if typ == 2:  # ASCII, NUL-terminated
+            out[tag] = raw.split(b"\x00")[0].decode("ascii", "replace").strip()
+        elif typ == 3:
+            out[tag] = str(int.from_bytes(raw[:2], bo))
+        elif typ == 4:
+            out[tag] = str(int.from_bytes(raw[:4], bo))
+        elif typ == 5:
+            num = int.from_bytes(raw[:4], bo)
+            den = int.from_bytes(raw[4:8], bo)
+            out[tag] = str(num) if den == 1 else f"{num}/{den}"
+    return out
+
+
+def _named_ifd_meta(entries: dict[int, str]) -> dict[str, str]:
+    return {name: entries[tag] for tag, name in _IFD_TAGS.items() if tag in entries}
+
+
 def tiff_extract(data: bytes) -> DocumentContent:
-    """TIFF: first-IFD ImageWidth/ImageLength (tags 256/257), both byte
-    orders, SHORT and LONG value types (TIFF 6.0 spec)."""
-    meta: dict[str, str] = {}
+    """TIFF: first-IFD baseline tags (ImageWidth/Length 256/257 plus the
+    named EXIF-adjacent ASCII tags), both byte orders (TIFF 6.0 spec)."""
     bo = "little" if data[:2] == b"II" else "big"
     off = int.from_bytes(data[4:8], bo)
-    if off + 2 <= len(data):
-        n = int.from_bytes(data[off : off + 2], bo)
-        for i in range(n):
-            e = off + 2 + i * 12
-            if e + 12 > len(data):
-                break
-            tag = int.from_bytes(data[e : e + 2], bo)
-            typ = int.from_bytes(data[e + 2 : e + 4], bo)
-            if tag in (256, 257):
-                width = 2 if typ == 3 else 4
-                val = int.from_bytes(data[e + 8 : e + 8 + width], bo)
-                meta["width" if tag == 256 else "height"] = str(val)
+    meta = _named_ifd_meta(_tiff_ifd(data, off, bo))
     return DocumentContent(None, "image/tiff", metadata=meta)
+
+
+def _jpeg_exif(data: bytes) -> dict[str, str]:
+    """EXIF IFD0 tags from a JPEG APP1 segment (``Exif\\0\\0`` + embedded
+    TIFF blob — EXIF 2.3 §4.5.2); empty when the image carries no EXIF."""
+    i = 2
+    while i + 4 < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = data[i + 10 : i + 2 + seglen]
+            if tiff[:2] in (b"II", b"MM") and len(tiff) >= 8:
+                bo = "little" if tiff[:2] == b"II" else "big"
+                off = int.from_bytes(tiff[4:8], bo)
+                return _named_ifd_meta(_tiff_ifd(tiff, off, bo))
+            return {}
+        if marker == 0xDA:  # start of scan: no EXIF ahead
+            break
+        i += 2 + seglen
+    return {}
+
+
+_IMAGE_MIMES = {
+    "PNG": "image/png", "JPEG": "image/jpeg", "GIF": "image/gif",
+    "BMP": "image/bmp", "PBM": "image/x-portable-bitmap",
+    "PGM": "image/x-portable-graymap", "PPM": "image/x-portable-pixmap",
+}
+
+
+def image_extract(data: bytes) -> DocumentContent | None:
+    """PNG/JPEG/GIF/BMP/netpbm: typed mime + width/height from the container
+    header (the shared parser of the multimodal decode tier); JPEG
+    additionally surfaces EXIF IFD0 tags via the TIFF walker.  None when the
+    payload is not a recognized raster image."""
+    from solr_map_reduce_spark.extensions.multimodal import _builtin_image_meta
+
+    parsed = _builtin_image_meta(data)
+    if parsed is None:
+        return None
+    w, h, _mode, fmt = parsed
+    meta = {"width": str(w), "height": str(h)}
+    if fmt == "JPEG":
+        try:
+            meta.update(_jpeg_exif(data))
+        except Exception:
+            pass
+    return DocumentContent(None, _IMAGE_MIMES[fmt], metadata=meta)
+
+
+def wav_extract(data: bytes) -> DocumentContent:
+    """WAV/RIFF: fmt-chunk metadata (sample rate, channels, duration, PCM
+    codec) via the multimodal tier's stdlib ``wave`` parser."""
+    from solr_map_reduce_spark.extensions.multimodal import _builtin_audio_meta
+
+    meta: dict[str, str] = {}
+    parsed = _builtin_audio_meta(data)
+    if parsed is not None:
+        rate, channels, duration, codec = parsed
+        meta = {
+            "sample_rate": str(rate), "channels": str(channels),
+            "duration_s": str(duration), "codec": codec,
+        }
+    return DocumentContent(None, "audio/x-wav", metadata=meta)
+
+
+def avro_extract(data: bytes) -> DocumentContent:
+    """Avro object container: typed + writer-schema name and codec read from
+    the container header (sources/avro_fallback.parse_header) — the payload
+    itself is decoded by ``read_avro``/B5, not the solrCell path."""
+    from solr_map_reduce_spark.sources.avro_fallback import parse_header
+
+    meta: dict[str, str] = {}
+    try:
+        schema, codec, _sync, _pos = parse_header(data)
+        if isinstance(schema, dict) and schema.get("name"):
+            meta["schema_name"] = str(schema["name"])
+        meta["codec"] = codec
+    except Exception:
+        pass
+    return DocumentContent(None, "application/avro", metadata=meta)
 
 
 def psd_extract(data: bytes) -> DocumentContent:

@@ -249,9 +249,12 @@ class TestReferenceCorpusExtraction:
         # control words and group data must not leak
         assert "\\par" not in doc.text and "fonttbl" not in doc.text
 
-    def test_non_ooxml_zip_falls_through(self):
-        # .pages is a zip but not OOXML — must not misparse
-        assert self._extract_one("testPages.pages") is None
+    def test_pages_zip_extracted(self):
+        # .pages is a zip but not OOXML — routed to the iWork index.xml path
+        doc = self._extract_one("testPages.pages")
+        assert doc.mime == "application/vnd.apple.pages"
+        assert doc.text.startswith("Lorem ipsum dolor sit amet")
+        assert "Consectetur adipiscing elit" in doc.text
 
     def test_spark_extract_content_over_corpus(self, spark):
         """The Spark surface: binaryFile scan over the real corpus →
@@ -314,9 +317,9 @@ class TestLegacyOfficeExtraction:
         assert doc.text.startswith("From: L'Équipe Microsoft Outlook Express")
         assert doc.metadata["to"].startswith("Nouvel utilisateur")
 
-    def test_unknown_cfb_typed_not_parsed(self):
+    def test_visio_cfb_typed_not_parsed(self):
         doc = self._extract_one("testVISIO.vsd")
-        assert doc.mime == "application/x-ole-storage"
+        assert doc.mime == "application/vnd.visio"
         assert doc.text is None
 
 
@@ -381,6 +384,80 @@ class TestMediaMetadataExtraction:
         assert doc.metadata == {
             "version": "1", "has_audio": "true", "has_video": "true"
         }
+
+    def test_wav_fmt_chunk(self):
+        doc = self._extract_one("testWAV.wav")
+        assert doc.mime == "audio/x-wav"
+        assert doc.metadata["sample_rate"] == "44100"
+        assert doc.metadata["channels"] == "2"
+        assert doc.metadata["codec"] == "pcm_s16le"
+
+    def test_jpeg_exif_ifd0(self):
+        # EXIF IFD0 via the shared TIFF walker (APP1 Exif\0\0 blob)
+        doc = self._extract_one("testJPEG_EXIF.jpg")
+        assert doc.mime == "image/jpeg"
+        assert doc.metadata["width"] == "100"
+        assert doc.metadata["height"] == "68"
+        assert doc.metadata["make"] == "Canon"
+        assert doc.metadata["model"] == "Canon EOS 40D"
+
+    def test_png_bmp_dimensions(self):
+        png = self._extract_one("testPNG.png")
+        assert (png.mime, png.metadata["width"], png.metadata["height"]) == (
+            "image/png", "100", "75",
+        )
+        bmp = self._extract_one("testBMP.bmp")
+        assert (bmp.mime, bmp.metadata["width"], bmp.metadata["height"]) == (
+            "image/bmp", "100", "75",
+        )
+
+    def test_avro_container_typed_with_schema_name(self):
+        doc = self._extract_one("sample-statuses-20120521-100919.avro")
+        assert doc.mime == "application/avro"
+        assert doc.metadata["schema_name"] == "Doc"
+        assert doc.metadata["codec"] == "null"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DOCS), reason="reference corpus absent"
+)
+class TestCompressedPayloadRecursion:
+    """decompress → callParentPipe parity (solrCellDocumentTypes.conf:88-97):
+    gzip/bz2 payloads are decompressed and the INNER document's type, text,
+    and metadata win, with the codec recorded."""
+
+    def _payload(self, name):
+        from solr_map_reduce_spark.sources.binary import _extract_payload
+
+        with open(f"{REF_DOCS}/{name}", "rb") as f:
+            return _extract_payload(f.read())
+
+    def test_gzip_csv(self):
+        text, mime, _title, meta = self._payload("cars.csv.gz")
+        assert mime == "text/plain"
+        assert meta["compression"] == "gzip"
+        assert text.startswith("Age,Color,Extras,Type,Used")
+
+    def test_bzip2_text(self):
+        text, mime, _title, meta = self._payload(
+            "sample-statuses-20120906-141433.bz2"
+        )
+        assert mime == "text/plain"
+        assert meta["compression"] == "bzip2"
+        assert "sample tweet one" in text
+
+    def test_gzip_jpeg_inner_exif_wins(self):
+        _text, mime, _title, meta = self._payload("testJPEG_EXIF.jpg.gz")
+        assert mime == "image/jpeg"
+        assert meta["compression"] == "gzip"
+        assert meta["model"] == "Canon EOS 40D"
+
+    def test_corrupt_gzip_falls_through_to_magic(self):
+        from solr_map_reduce_spark.sources.binary import _extract_payload
+
+        text, mime, _title, meta = _extract_payload(b"\x1f\x8b\x08garbage!!")
+        assert mime == "application/gzip"
+        assert text is None and "compression" not in meta
 
 
 @pytest.mark.skipif(

@@ -153,6 +153,12 @@ class TestMediaExtractorRobustness:
         b"8BPS\x00\x01",
         b"\x00\x00\x00\x20ftypM4A ",
         b"FLV\x01\x05",
+        b"RIFF\x00\x00\x00\x10WAVEfmt ",
+        b"Obj\x01\x04\x14avro",
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR",
+        b"\xff\xd8\xff\xe1\x00\x20Exif\x00\x00II*\x00",
+        b"GIF89a\x10\x00",
+        b"P6\n100 75\n255\n",
     ]
 
     def test_truncated_magic_prefixes(self):
