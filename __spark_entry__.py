@@ -145,7 +145,7 @@ _VERDICT_PRIORITY = [
     "c9_prefix_match", "c9_contains_none", "ext_bm25_topk",
     # new in r4 — never externally checked
     "ext_passage_dedup", "ext_knn_join", "ext_pq_topk", "ext_ivfpq_topk",
-    "c9_term_facet", "c9_highlight",
+    "c9_term_facet", "c9_highlight", "c2_segment_lookup",
 ]
 
 

@@ -43,6 +43,7 @@ class SearchIndex:
         # root-shard placement only depends on the hash ring split (C8)
         self._router = ShardRouter(shards=self.shards, num_partitions=self.shards)
         self._blooms: dict | None | bool = False  # False = not yet loaded
+        self._key_ranges: dict | None | bool = False  # False = not yet loaded
         # per-instance memo of (field, terms) -> df values: repeated queries
         # against one handle (the serving pattern) skip the vocab scan; a
         # fresh open() after a mutation re-reads everything
@@ -74,8 +75,37 @@ class SearchIndex:
             return None
         return self._router.micro_shard_of(str(key))
 
+    def _segment_pruned(self, keys: Sequence[object]) -> DataFrame | None:
+        """Segment-file pruning via the ``_KEY_RANGES.json`` sidecar
+        (key_ranges.py): a DataFrame over ONLY the segment files whose
+        stored [min, max] admits one of the keys — the Lucene per-segment
+        term-dictionary cost model.  None when no sidecar is stored
+        (callers fall back to the shard-pruned scan).  Works under
+        ``routing="native"`` too, where driver-side shard math is
+        unavailable: the ranges alone restore the pruning."""
+        from solr_map_reduce_spark.fs import join as fs_join
+        from solr_map_reduce_spark.key_ranges import candidate_files, load_key_ranges
+
+        if self._key_ranges is False:
+            self._key_ranges = load_key_ranges(self.spark, self.path)
+        if not self._key_ranges:
+            return None
+        shards = {self._shard_of(str(k)) for k in keys}
+        shard = shards.pop() if len(shards) == 1 and None not in shards else None
+        cands = candidate_files(self._key_ranges, keys, shard=shard)
+        if cands is None:
+            return None
+        if not cands:  # no segment can hold any of the keys
+            return self.spark.createDataFrame([], self.df().schema)
+        paths = [fs_join(self.path, f"{SHARD_COL}={s}", f) for s, f in cands]
+        out = self.spark.read.option("basePath", self.path).parquet(*paths)
+        return out.select(self.df().columns)
+
     def get(self, key: str) -> DataFrame:
         cond = F.col(self.unique_key) == key
+        pruned = self._segment_pruned([key])
+        if pruned is not None:
+            return pruned.filter(cond)
         shard = self._shard_of(key)
         if shard is not None:
             cond = (F.col(SHARD_COL) == shard) & cond
@@ -83,6 +113,9 @@ class SearchIndex:
 
     def get_many(self, keys: Sequence[str]) -> DataFrame:
         cond = F.col(self.unique_key).isin([str(k) for k in keys])
+        pruned = self._segment_pruned(list(keys))
+        if pruned is not None:
+            return pruned.filter(cond)
         shards = {self._shard_of(str(k)) for k in keys}
         if None not in shards:
             cond = F.col(SHARD_COL).isin(sorted(shards)) & cond

@@ -92,6 +92,11 @@ class IndexJobConfig:
     # _vocab/): bm25 queries serve from build-time structures instead of a
     # per-query stats pass (search_stats.py); invalidated on mutation.
     search_stats: bool = False
+    # Per-segment key-range sidecar (_KEY_RANGES.json): point lookups read
+    # only the segment files whose [min, max] admits the key — the Lucene
+    # per-segment term-dictionary cost model (key_ranges.py).  One extra
+    # column-pruned pass over the key column at build time.
+    key_ranges: bool = False
     # Parquet codec for artifact files.  None = session default (snappy).
     # At 100 TB prefer "zstd": ~30-40% smaller files for a few % CPU — the
     # scan is I/O-bound at scale, so smaller wins.
@@ -306,6 +311,10 @@ class IndexJob:
             from solr_map_reduce_spark.search_stats import write_search_stats
 
             write_search_stats(df.sparkSession, path)
+        if self.config.key_ranges:
+            from solr_map_reduce_spark.key_ranges import write_key_ranges
+
+            write_key_ranges(df.sparkSession, path)
         return manifest
 
     def merge_into(
@@ -386,6 +395,12 @@ class IndexJob:
 
         if manifest.get("analyzed") and fs.exists(fs_join(path, STATS)):
             write_search_stats(df.sparkSession, path)
+        # rewritten shard dirs have NEW segment file names — a stale range
+        # entry would be a false negative, so refresh the touched shards
+        from solr_map_reduce_spark.key_ranges import KEY_RANGES, write_key_ranges
+
+        if fs.exists(fs_join(path, KEY_RANGES)):
+            write_key_ranges(df.sparkSession, path, shards=touched)
         return manifest
 
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
@@ -438,6 +453,12 @@ class IndexJob:
         from solr_map_reduce_spark.search_stats import drop_search_stats
 
         drop_search_stats(spark, path)
+        # segment files were renamed by the rewrite: refresh the touched
+        # shards' key ranges (stale names would be false negatives)
+        from solr_map_reduce_spark.key_ranges import KEY_RANGES, write_key_ranges
+
+        if fs.exists(fs_join(path, KEY_RANGES)):
+            write_key_ranges(spark, path, shards=touched)
         return n_before - n_after
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
@@ -547,6 +568,12 @@ def compact(
     fs.rename(tmp, path)
     if not defer_deletion:
         fs.delete(bak)
+    # every segment file was renamed by the rewrite: the copied-over key
+    # range sidecar is stale (false negatives) — recompute it
+    from solr_map_reduce_spark.key_ranges import KEY_RANGES, write_key_ranges
+
+    if fs.exists(fs_join(path, KEY_RANGES)):
+        write_key_ranges(spark, path)
 
 
 def publish(staging_path: str, live_path: str, spark: SparkSession | None = None) -> None:

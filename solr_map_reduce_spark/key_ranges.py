@@ -1,0 +1,161 @@
+"""Per-segment key-range sidecar — file pruning for point lookups.
+
+The reference's artifact is a Lucene index: a point lookup walks each
+segment's term dictionary and touches only the segment(s) containing the
+key.  This engine's artifact writes key-sorted segment files per shard
+(``indexing.write``: ``sortWithinPartitions(shard, key)`` +
+``maxRecordsPerFile``), so every segment file covers a contiguous key
+range — but a stock parquet scan still lists and opens every file in the
+shard to learn that from the footers.  The sidecar hoists those ranges
+driver-side:
+
+    out/_KEY_RANGES.json   {"key_type": "long"|"string",
+                            "shards": {"0": {"part-...parquet": [min, max, rows]}}}
+
+Build: one column-pruned pass over the key column grouped by
+``input_file_name()`` — no shuffle wider than (file, min, max).
+
+Query: ``SearchIndex.get/get_many`` intersect the key with each file's
+[min, max] and read ONLY the admitted files (plus the shard partition
+filter when the routing mode is reproducible driver-side).  Because the
+comparison uses the stored parquet values themselves, pruning has no false
+negatives; a file whose range admits the key but lacks it costs one extra
+file read.  Under ``routing="native"`` (hash computed inside the JVM, no
+driver-side parity) this restores point-lookup pruning entirely from the
+sidecar.
+
+Mutation safety: any rewrite changes file names, so a stale sidecar could
+MISS rows (false negative).  Engine mutation paths either refresh the
+touched shards' entries (``merge_into``) or delete the sidecar
+(``delete_where``/``compact`` — degrade to the shard scan) in the same
+operation.
+
+At 100 TB: thousands of segments per shard; a point lookup goes from
+"open every footer in the shard" to "open one file", and the sidecar
+itself stays tiny (two key values per segment).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+KEY_RANGES = "_KEY_RANGES.json"
+
+_NUMERIC_TYPES = {
+    "byte", "short", "integer", "long", "float", "double", "int", "bigint",
+}
+
+
+def _relative_file(full: str, shard: int) -> str:
+    """File URI → name relative to its shard dir (artifact-relocatable)."""
+    marker = f"shard={shard}/"
+    i = full.rfind(marker)
+    return full[i + len(marker):] if i >= 0 else full.rsplit("/", 1)[-1]
+
+
+def write_key_ranges(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> dict:
+    """Compute and persist per-file (min, max, rows) of the unique key.
+    ``shards`` restricts the recompute to those shard dirs (partition-pruned
+    scan) and merges into the existing sidecar — the ``merge_into`` refresh
+    path.  Returns the sidecar dict."""
+    from solr_map_reduce_spark.fs import get_fs
+    from solr_map_reduce_spark.fs import join as fs_join
+    from solr_map_reduce_spark.indexing import MANIFEST, SHARD_COL, read_index
+
+    fs = get_fs(path, spark)
+    manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
+    key = manifest["unique_key"]
+
+    idx = read_index(spark, path)
+    if shards is not None:
+        idx = idx.filter(F.col(SHARD_COL).isin([int(s) for s in shards]))
+    per_file = (
+        idx.select(
+            F.col(SHARD_COL).alias("_s"),
+            F.input_file_name().alias("_f"),
+            F.col(key).alias("_k"),
+        )
+        .groupBy("_s", "_f")
+        .agg(
+            F.min("_k").alias("_lo"),
+            F.max("_k").alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()
+    )
+
+    key_type = idx.schema[key].dataType.simpleString()
+    existing: dict = {}
+    if shards is not None and fs.exists(fs_join(path, KEY_RANGES)):
+        existing = json.loads(fs.read_text(fs_join(path, KEY_RANGES))).get("shards", {})
+        for s in shards:  # rewritten dirs: old file names are gone
+            existing.pop(str(int(s)), None)
+
+    shard_maps: dict = dict(existing)
+    for row in per_file:
+        s = str(int(row["_s"]))
+        shard_maps.setdefault(s, {})[_relative_file(row["_f"], int(row["_s"]))] = [
+            row["_lo"], row["_hi"], row["_n"],
+        ]
+    sidecar = {"key_type": key_type, "shards": shard_maps}
+    fs.write_text(fs_join(path, KEY_RANGES), json.dumps(sidecar, default=str))
+    return sidecar
+
+
+def load_key_ranges(spark: SparkSession, path: str) -> dict | None:
+    from solr_map_reduce_spark.fs import get_fs
+    from solr_map_reduce_spark.fs import join as fs_join
+
+    fs = get_fs(path, spark)
+    full = fs_join(path, KEY_RANGES)
+    if not fs.exists(full):
+        return None
+    return json.loads(fs.read_text(full))
+
+
+def drop_key_ranges(spark: SparkSession, path: str) -> None:
+    """Remove the sidecar (mutations that rewrite files without refreshing
+    MUST call this — a stale entry would be a false negative)."""
+    from solr_map_reduce_spark.fs import get_fs
+    from solr_map_reduce_spark.fs import join as fs_join
+
+    fs = get_fs(path, spark)
+    full = fs_join(path, KEY_RANGES)
+    if fs.exists(full):
+        fs.delete(full)
+
+
+def _coerce(ranges: dict, value):
+    if ranges.get("key_type") in _NUMERIC_TYPES:
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            return float(value)
+    return str(value)
+
+
+def candidate_files(
+    ranges: dict, keys, shard: int | None = None
+) -> list[tuple[int, str]] | None:
+    """(shard, file) pairs whose [min, max] admits ANY of the keys, or None
+    when the sidecar can't answer (unknown key type coercion failure).
+    ``shard`` narrows the walk to one shard when the router already placed
+    the key."""
+    try:
+        wanted = [_coerce(ranges, k) for k in keys]
+    except (TypeError, ValueError):
+        return None
+    out: list[tuple[int, str]] = []
+    for s, files in ranges.get("shards", {}).items():
+        if shard is not None and int(s) != int(shard):
+            continue
+        for fname, (lo, hi, _n) in files.items():
+            lo_c, hi_c = _coerce(ranges, lo), _coerce(ranges, hi)
+            if any(lo_c <= k <= hi_c for k in wanted):
+                out.append((int(s), fname))
+    return sorted(out)

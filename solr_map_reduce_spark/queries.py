@@ -1293,6 +1293,7 @@ def _docs_search_index(spark, sf_dir):
             IndexJobConfig(
                 schema=schema, shards=4, micro_shards=8, dedup="none",
                 routing="native", term_blooms=True, search_stats=True,
+                key_ranges=True,
             )
         )
         path = os.path.join(tempfile.mkdtemp(prefix="smrs_docs_idx_"), "index")
@@ -1300,6 +1301,17 @@ def _docs_search_index(spark, sf_dir):
         _DOCS_INDEX_CACHE[sf_dir] = path
     _DOCS_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
     return _DOCS_INDEX_HANDLE[sf_dir]
+
+
+@_register(
+    "c2_segment_lookup",
+    "SELECT doc_id, text FROM documents WHERE doc_id = 7",
+    "C2 point lookup served through the _KEY_RANGES.json segment sidecar: "
+    "only the segment files whose stored [min, max] admits the key are read "
+    "(key_ranges.py — the Lucene per-segment term-dictionary cost model)",
+)
+def c2_segment_lookup(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).get(7).select("doc_id", "text")
 
 
 @_register(

@@ -1,0 +1,186 @@
+"""Per-segment key-range sidecar (key_ranges.py): file pruning for point
+lookups, mutation-safe refresh — the Lucene per-segment term-dictionary
+cost model over the sharded parquet artifact."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.index_reader import SearchIndex
+from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, compact
+from solr_map_reduce_spark.key_ranges import (
+    KEY_RANGES,
+    candidate_files,
+    load_key_ranges,
+)
+from solr_map_reduce_spark.schema import Field, IndexSchema
+
+SCHEMA = IndexSchema(
+    fields=(
+        Field("id", "string", required=True),
+        Field("val", "long"),
+    ),
+    unique_key="id",
+)
+
+
+def _job(**over):
+    cfg = dict(
+        schema=SCHEMA, shards=2, micro_shards=4, dedup="none",
+        key_ranges=True, max_records_per_file=40,
+    )
+    cfg.update(over)
+    return IndexJob(IndexJobConfig(**cfg))
+
+
+def _docs(spark, n=400, start=0):
+    return spark.range(start, start + n).select(
+        F.format_string("k%05d", F.col("id")).alias("id"),
+        F.col("id").alias("val"),
+    )
+
+
+@pytest.fixture(scope="module")
+def artifact(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kr") / "idx")
+    _job().build(_docs(spark), out)
+    return out
+
+
+class TestSidecar:
+    def test_sidecar_covers_every_segment_file(self, spark, artifact):
+        import os
+
+        ranges = load_key_ranges(spark, artifact)
+        assert ranges is not None and ranges["key_type"] == "string"
+        listed = set()
+        for shard_dir in os.listdir(artifact):
+            if shard_dir.startswith("shard="):
+                s = shard_dir.split("=", 1)[1]
+                for f in os.listdir(os.path.join(artifact, shard_dir)):
+                    if f.endswith(".parquet"):
+                        listed.add((s, f))
+        stored = {
+            (s, f) for s, files in ranges["shards"].items() for f in files
+        }
+        assert stored == listed and len(listed) > 2  # multi-segment fixture
+
+    def test_ranges_are_sorted_key_spans(self, spark, artifact):
+        ranges = load_key_ranges(spark, artifact)
+        for files in ranges["shards"].values():
+            for lo, hi, n in files.values():
+                assert lo <= hi and n > 0
+
+    def test_candidate_files_narrow(self, spark, artifact):
+        ranges = load_key_ranges(spark, artifact)
+        total = sum(len(f) for f in ranges["shards"].values())
+        cands = candidate_files(ranges, ["k00007"])
+        assert 0 < len(cands) < total
+
+
+class TestPrunedLookup:
+    def test_get_reads_only_admitted_files(self, spark, artifact):
+        idx = SearchIndex.open(spark, artifact)
+        hit = idx.get("k00123")
+        rows = hit.collect()
+        assert len(rows) == 1 and rows[0]["val"] == 123
+        ranges = load_key_ranges(spark, artifact)
+        total = sum(len(f) for f in ranges["shards"].values())
+        assert 0 < len(hit.inputFiles()) < total
+
+    def test_every_key_retrievable(self, spark, artifact):
+        idx = SearchIndex.open(spark, artifact)
+        for k, want in (("k00000", 0), ("k00199", 199), ("k00399", 399)):
+            rows = idx.get(k).collect()
+            assert len(rows) == 1 and rows[0]["val"] == want
+
+    def test_missing_key_zero_rows_zero_files(self, spark, artifact):
+        idx = SearchIndex.open(spark, artifact)
+        out = idx.get("zzz-not-there")
+        assert out.count() == 0
+        assert out.inputFiles() == []
+
+    def test_get_many_across_shards(self, spark, artifact):
+        idx = SearchIndex.open(spark, artifact)
+        keys = ["k00001", "k00250", "k00399"]
+        got = {r["id"]: r["val"] for r in idx.get_many(keys).collect()}
+        assert got == {"k00001": 1, "k00250": 250, "k00399": 399}
+
+    def test_native_routing_still_prunes(self, spark, tmp_path):
+        # native routing has no driver-side shard math — the sidecar alone
+        # restores point-lookup pruning
+        out = str(tmp_path / "idx_native")
+        _job(routing="native").build(_docs(spark), out)
+        idx = SearchIndex.open(spark, out)
+        hit = idx.get("k00042")
+        assert [r["val"] for r in hit.collect()] == [42]
+        ranges = load_key_ranges(spark, out)
+        total = sum(len(f) for f in ranges["shards"].values())
+        assert 0 < len(hit.inputFiles()) < total
+
+    def test_numeric_key_type(self, spark, tmp_path):
+        out = str(tmp_path / "idx_num")
+        schema = IndexSchema(
+            fields=(Field("doc_id", "long", required=True), Field("val", "long")),
+            unique_key="doc_id",
+        )
+        df = spark.range(0, 300).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 2).alias("val")
+        )
+        IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, micro_shards=4, dedup="none",
+                routing="native", key_ranges=True, max_records_per_file=50,
+            )
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        ranges = load_key_ranges(spark, out)
+        assert ranges["key_type"] == "bigint"
+        rows = idx.get(137).collect()
+        assert len(rows) == 1 and rows[0]["val"] == 274
+        total = sum(len(f) for f in ranges["shards"].values())
+        assert 0 < len(idx.get(137).inputFiles()) < total
+
+
+class TestMutationRefresh:
+    def test_merge_into_refreshes_new_keys_found(self, spark, tmp_path):
+        out = str(tmp_path / "idx_merge")
+        job = _job()
+        job.build(_docs(spark), out)
+        # new keys OUTSIDE every stored range: stale sidecar would miss them
+        job.merge_into(_docs(spark, n=50, start=1000), out)
+        idx = SearchIndex.open(spark, out)
+        rows = idx.get("k01020").collect()
+        assert len(rows) == 1 and rows[0]["val"] == 1020
+        # and the sidecar has no dangling (pre-rewrite) file names
+        import os
+
+        ranges = load_key_ranges(spark, out)
+        for s, files in ranges["shards"].items():
+            for f in files:
+                assert os.path.exists(os.path.join(out, f"shard={s}", f))
+
+    def test_delete_where_refreshes(self, spark, tmp_path):
+        out = str(tmp_path / "idx_del")
+        job = _job()
+        job.build(_docs(spark), out)
+        n = job.delete_where(spark, out, F.col("id") == "k00100")
+        assert n == 1
+        idx = SearchIndex.open(spark, out)
+        assert idx.get("k00100").count() == 0
+        rows = idx.get("k00101").collect()  # stale names would error/miss
+        assert len(rows) == 1 and rows[0]["val"] == 101
+
+    def test_compact_recomputes(self, spark, tmp_path):
+        import os
+
+        out = str(tmp_path / "idx_compact")
+        job = _job()
+        job.build(_docs(spark), out)
+        compact(spark, out, max_segments=1)
+        assert os.path.exists(os.path.join(out, KEY_RANGES))
+        ranges = load_key_ranges(spark, out)
+        for files in ranges["shards"].values():
+            assert len(files) == 1  # one segment per shard after compact
+        idx = SearchIndex.open(spark, out)
+        rows = idx.get("k00333").collect()
+        assert len(rows) == 1 and rows[0]["val"] == 333
