@@ -137,7 +137,7 @@ _VERDICT_PRIORITY = [
     "ext_quality_features", "ext_lang_id", "ext_fingerprint",
     "ext_ann_topk", "ext_cosine_pairs", "ext_dedup_clusters",
     "ext_sessionize", "b12_detect_mime",
-    "c7_segment_contract", "a8_routing_shards", "ext_minhash_dedup",
+    "a8_routing_shards", "ext_minhash_dedup",
     "ext_simhash", "ext_ngram_jaccard", "ext_simhash_pairs",
     "ext_cosine_pairs_lsh", "ext_ivf_topk",
     # re-implemented in r4 (stored-token artifact path) — need fresh verdicts
@@ -145,7 +145,7 @@ _VERDICT_PRIORITY = [
     "c9_prefix_match", "c9_contains_none", "ext_bm25_topk",
     # new in r4 — never externally checked
     "ext_passage_dedup", "ext_knn_join", "ext_pq_topk", "ext_ivfpq_topk",
-    "c9_term_facet", "c9_highlight", "c2_segment_lookup",
+    "c9_term_facet", "c9_highlight", "c2_segment_lookup", "c2_key_range",
 ]
 
 

@@ -93,13 +93,71 @@ class SearchIndex:
         shards = {self._shard_of(str(k)) for k in keys}
         shard = shards.pop() if len(shards) == 1 and None not in shards else None
         cands = candidate_files(self._key_ranges, keys, shard=shard)
+        return self._files_df(cands)
+
+    def _files_df(self, cands: list[tuple[int, str]] | None) -> DataFrame | None:
+        from solr_map_reduce_spark.fs import join as fs_join
+
         if cands is None:
             return None
-        if not cands:  # no segment can hold any of the keys
+        if not cands:  # no segment can hold any admitted key
             return self.spark.createDataFrame([], self.df().schema)
         paths = [fs_join(self.path, f"{SHARD_COL}={s}", f) for s, f in cands]
         out = self.spark.read.option("basePath", self.path).parquet(*paths)
         return out.select(self.df().columns)
+
+    def key_range(self, lo=None, hi=None) -> DataFrame:
+        """Contiguous key scan ``lo <= key <= hi`` (either bound None =
+        unbounded), segment-pruned through the key-range sidecar when one
+        is stored: only files whose span overlaps the range are read."""
+        if self._key_ranges is False:
+            from solr_map_reduce_spark.key_ranges import load_key_ranges
+
+            self._key_ranges = load_key_ranges(self.spark, self.path)
+        out = None
+        if self._key_ranges:
+            from solr_map_reduce_spark.key_ranges import candidate_files_range
+
+            out = self._files_df(
+                candidate_files_range(self._key_ranges, lo=lo, hi=hi)
+            )
+        if out is None:
+            out = self.df()
+        key = F.col(self.unique_key)
+        if lo is not None:
+            out = out.filter(key >= lo)
+        if hi is not None:
+            out = out.filter(key <= hi)
+        return out
+
+    def prefix_key(self, prefix: str) -> DataFrame:
+        """All docs whose unique key starts with ``prefix`` — the Solr
+        composite-id scan (``root!*``): with composite routing a root's
+        docs are co-sharded and sort-adjacent, so this touches one shard's
+        few segments."""
+        if self._key_ranges is False:
+            from solr_map_reduce_spark.key_ranges import load_key_ranges
+
+            self._key_ranges = load_key_ranges(self.spark, self.path)
+        out = None
+        # pruning only under a string key: a numeric sidecar coerces the
+        # prefix to a NUMBER, whose range is not the string-prefix range
+        # ("12" would wrongly exclude 120)
+        if self._key_ranges and self._key_ranges.get("key_type") == "string":
+            from solr_map_reduce_spark.key_ranges import (
+                candidate_files_range,
+                next_prefix,
+            )
+
+            nxt = next_prefix(prefix)
+            out = self._files_df(
+                candidate_files_range(
+                    self._key_ranges, lo=prefix, hi=nxt, hi_exclusive=nxt is not None
+                )
+            )
+        if out is None:
+            out = self.df()
+        return out.filter(F.col(self.unique_key).startswith(prefix))
 
     def get(self, key: str) -> DataFrame:
         cond = F.col(self.unique_key) == key

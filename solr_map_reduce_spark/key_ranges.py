@@ -139,6 +139,48 @@ def _coerce(ranges: dict, value):
     return str(value)
 
 
+def candidate_files_range(
+    ranges: dict, lo=None, hi=None, hi_exclusive: bool = False
+) -> list[tuple[int, str]] | None:
+    """(shard, file) pairs whose [min, max] OVERLAPS the key range
+    [lo, hi] (either bound may be None = unbounded), or None when the
+    sidecar can't answer.  Used for contiguous key scans — with composite
+    ids (``root!suffix``, Solr's routing syntax) all of a root's docs are
+    both co-sharded and sort-adjacent, so a ``root!`` prefix scan touches
+    one shard's few segments."""
+    try:
+        lo_c = _coerce(ranges, lo) if lo is not None else None
+        hi_c = _coerce(ranges, hi) if hi is not None else None
+    except (TypeError, ValueError):
+        return None
+    out: list[tuple[int, str]] = []
+    for s, files in ranges.get("shards", {}).items():
+        for fname, (flo, fhi, _n) in files.items():
+            flo_c, fhi_c = _coerce(ranges, flo), _coerce(ranges, fhi)
+            if lo_c is not None and fhi_c < lo_c:
+                continue
+            if hi_c is not None and (
+                flo_c >= hi_c if hi_exclusive else flo_c > hi_c
+            ):
+                continue
+            out.append((int(s), fname))
+    return sorted(out)
+
+
+def next_prefix(prefix: str) -> str | None:
+    """Smallest string strictly greater than every string with ``prefix``
+    (increment-with-carry on the last codepoint); None when no such string
+    exists (prefix is all U+10FFFF)."""
+    chars = list(prefix)
+    while chars:
+        cp = ord(chars[-1])
+        if cp < 0x10FFFF:
+            chars[-1] = chr(cp + 1)
+            return "".join(chars)
+        chars.pop()
+    return None
+
+
 def candidate_files(
     ranges: dict, keys, shard: int | None = None
 ) -> list[tuple[int, str]] | None:

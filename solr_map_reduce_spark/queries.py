@@ -1315,6 +1315,20 @@ def c2_segment_lookup(spark, sf_dir):
 
 
 @_register(
+    "c2_key_range",
+    "SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 120",
+    "Contiguous key-range scan segment-pruned through _KEY_RANGES.json "
+    "(the composite-id root!* scan shape, key_ranges.py)",
+)
+def c2_key_range(spark, sf_dir):
+    return (
+        _docs_search_index(spark, sf_dir)
+        .key_range(100, 120)
+        .select("doc_id", "text")
+    )
+
+
+@_register(
     "c9_contains_all",
     f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
         WHERE list_contains(t, 'spark') AND list_contains(t, 'vector')""",

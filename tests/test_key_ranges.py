@@ -141,6 +141,72 @@ class TestPrunedLookup:
         assert 0 < len(idx.get(137).inputFiles()) < total
 
 
+class TestRangeAndPrefixScan:
+    def test_key_range_pruned_and_exact(self, spark, artifact):
+        idx = SearchIndex.open(spark, artifact)
+        out = idx.key_range("k00100", "k00119")
+        vals = sorted(r["val"] for r in out.collect())
+        assert vals == list(range(100, 120))
+        ranges = load_key_ranges(spark, artifact)
+        total = sum(len(f) for f in ranges["shards"].values())
+        assert 0 < len(out.inputFiles()) < total
+
+    def test_key_range_open_bounds(self, spark, artifact):
+        idx = SearchIndex.open(spark, artifact)
+        assert idx.key_range(lo="k00390").count() == 10
+        assert idx.key_range(hi="k00009").count() == 10
+        assert idx.key_range().count() == 400
+
+    def test_prefix_scan(self, spark, artifact):
+        idx = SearchIndex.open(spark, artifact)
+        out = idx.prefix_key("k0039")
+        assert sorted(r["val"] for r in out.collect()) == list(range(390, 400))
+        ranges = load_key_ranges(spark, artifact)
+        total = sum(len(f) for f in ranges["shards"].values())
+        assert 0 < len(out.inputFiles()) < total
+
+    def test_composite_id_prefix_colocated(self, spark, tmp_path):
+        # Solr composite ids (root!suffix): a root's docs co-shard AND sort
+        # adjacently -> a root!* scan touches few segments of one shard
+        out = str(tmp_path / "idx_comp")
+        df = spark.range(0, 300).select(
+            F.format_string("c%03d!d%05d", (F.col("id") / 10).cast("int"), F.col("id")).alias("id"),
+            F.col("id").alias("val"),
+        )
+        _job(routing="solr").build(df, out)
+        idx = SearchIndex.open(spark, out)
+        hits = idx.prefix_key("c007!")
+        assert sorted(r["val"] for r in hits.collect()) == list(range(70, 80))
+        ranges = load_key_ranges(spark, out)
+        total = sum(len(f) for f in ranges["shards"].values())
+        assert 0 < len(hits.inputFiles()) < total
+
+    def test_numeric_key_prefix_not_pruned_but_correct(self, spark, tmp_path):
+        out = str(tmp_path / "idx_num_prefix")
+        schema = IndexSchema(
+            fields=(Field("doc_id", "long", required=True),), unique_key="doc_id"
+        )
+        df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, micro_shards=4, dedup="none",
+                routing="native", key_ranges=True, max_records_per_file=50,
+            )
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        # "12" must match 12, 120..129 (string semantics) — numeric sidecar
+        # pruning is bypassed, correctness preserved
+        got = sorted(r["doc_id"] for r in idx.prefix_key("12").collect())
+        assert got == [12] + list(range(120, 130))
+
+    def test_next_prefix_carry(self):
+        from solr_map_reduce_spark.key_ranges import next_prefix
+
+        assert next_prefix("abc") == "abd"
+        assert next_prefix("ab" + chr(0x10FFFF)) == "ac"
+        assert next_prefix(chr(0x10FFFF)) is None
+
+
 class TestMutationRefresh:
     def test_merge_into_refreshes_new_keys_found(self, spark, tmp_path):
         out = str(tmp_path / "idx_merge")
