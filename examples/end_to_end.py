@@ -56,6 +56,7 @@ def main() -> None:
         IndexJobConfig(
             schema=schema, shards=4, micro_shards=16,
             dedup="retain_most_recent", order_field="n_chars", tiebreak=("id",),
+            key_ranges=True,  # per-segment key spans -> file-pruned lookups
         )
     )
     manifest = job.build(docs, staging)
@@ -79,7 +80,10 @@ def main() -> None:
     idx = SearchIndex.open(spark, live)
     print("count:", idx.count())
     some_id = docs.select("id").orderBy("id").first()["id"]
-    print("point lookup:", idx.get(some_id).select("id", "lang").first())
+    hit = idx.get(some_id)  # reads only the segment files admitting the key
+    print("point lookup:", hit.select("id", "lang").first(),
+          f"({len(hit.inputFiles())} segment file(s) read)")
+    print("key range 100..109:", idx.key_range("100", "109").count(), "docs")
     print("facet by lang:", {r["lang"]: r["cnt"] for r in idx.facet("lang").collect()})
     top = idx.search(sort=[("n_chars", "desc")], limit=3, select=["id", "n_chars"])
     print("longest docs:", [tuple(r) for r in top.collect()])

@@ -95,16 +95,35 @@ class SearchIndex:
         cands = candidate_files(self._key_ranges, keys, shard=shard)
         return self._files_df(cands)
 
+    @property
+    def columns(self) -> list[str]:
+        """Artifact column order (data columns + shard), from the manifest —
+        no file listing needed."""
+        cols = self.manifest.get("columns")
+        if cols:
+            return list(cols) + [SHARD_COL]
+        return self.df().columns
+
+    def _read_schema(self):
+        import pyspark.sql.types as T
+
+        sj = self.manifest.get("schema_json")
+        if sj:
+            st = T.StructType.fromJson(json.loads(sj))
+            if set(st.fieldNames()) == set(self.columns):
+                return T.StructType([st[c] for c in self.columns])
+        return self.df().schema
+
     def _files_df(self, cands: list[tuple[int, str]] | None) -> DataFrame | None:
         from solr_map_reduce_spark.fs import join as fs_join
 
         if cands is None:
             return None
         if not cands:  # no segment can hold any admitted key
-            return self.spark.createDataFrame([], self.df().schema)
+            return self.spark.createDataFrame([], self._read_schema())
         paths = [fs_join(self.path, f"{SHARD_COL}={s}", f) for s, f in cands]
         out = self.spark.read.option("basePath", self.path).parquet(*paths)
-        return out.select(self.df().columns)
+        return out.select(self.columns)
 
     def key_range(self, lo=None, hi=None) -> DataFrame:
         """Contiguous key scan ``lo <= key <= hi`` (either bound None =
