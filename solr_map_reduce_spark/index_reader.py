@@ -413,6 +413,40 @@ class SearchIndex:
             .limit(top)
         )
 
+    def suggest(
+        self, prefix: str, field: str | None = None, top: int = 10
+    ) -> DataFrame:
+        """Prefix autocomplete — the Solr suggester analog, served from the
+        stored term dictionary (``_vocab/``) when present: a predicate-
+        pushdown ``startswith`` scan of a KB-scale parquet + TakeOrdered,
+        ranked by document frequency.  Falls back to one explode/groupBy
+        pass over the stored token column."""
+        from solr_map_reduce_spark.fs import join as fs_join
+        from solr_map_reduce_spark.search_stats import VOCAB_DIR, load_search_stats
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        stats = load_search_stats(self.spark, self.path)
+        if stats and fname in stats:
+            vocab = self.spark.read.parquet(
+                fs_join(self.path, f"{VOCAB_DIR}/{fname}")
+            )
+            return (
+                vocab.filter(F.col("term").startswith(prefix))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(top)
+            )
+        tokens_col = self._tokens_col(fname)
+        return (
+            self.df()
+            .select(F.explode(F.array_distinct(F.col(tokens_col))).alias("term"))
+            .filter(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(top)
+        )
+
     def highlight(
         self,
         terms: "Sequence[str]",

@@ -1397,6 +1397,21 @@ def c9_term_facet(spark, sf_dir):
 
 
 @_register(
+    "c9_suggest",
+    f"""WITH toks AS (
+          SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents
+        ), u AS (SELECT unnest(t) AS term FROM toks)
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM u WHERE term LIKE 's%'
+        GROUP BY term ORDER BY df DESC, term LIMIT 10""",
+    "prefix autocomplete (the Solr suggester analog) — a pushdown scan of "
+    "the artifact's STORED term dictionary ranked by document frequency",
+)
+def c9_suggest(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).suggest("s", top=10)
+
+
+@_register(
     "c9_highlight",
     f"""WITH toks AS (
           SELECT doc_id, {_TOKS_SQL} AS t FROM documents

@@ -139,6 +139,27 @@ def test_term_facet_fallback_without_vocab(spark, tmp_path):
     assert top == {"x": 2, "y": 1, "z": 1}
 
 
+def test_suggest_from_vocab(spark, built):
+    idx = SearchIndex.open(spark, built)
+    got = idx.suggest("al", top=5).collect()
+    assert got and got[0]["term"] == "alpha" and got[0]["df"] == 120
+    assert all(r["term"].startswith("al") for r in got)
+    plan = idx.suggest("al", top=5)._jdf.queryExecution().executedPlan().toString()
+    assert "_vocab" in plan and "StartsWith" in plan  # pushdown dictionary scan
+
+
+def test_suggest_fallback_without_vocab(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "xray xylo"), ("b", "xray zed")], "id string, text string"
+    )
+    path = str(tmp_path / "novocab_sg")
+    IndexJob(
+        IndexJobConfig(schema=SCHEMA, shards=2, dedup="none", routing="native")
+    ).build(df, path)
+    got = {r["term"]: r["df"] for r in SearchIndex.open(spark, path).suggest("x").collect()}
+    assert got == {"xray": 2, "xylo": 1}
+
+
 def test_highlight_snippets(spark, built):
     idx = SearchIndex.open(spark, built)
     rows = idx.highlight(["target"], window=4).collect()
