@@ -83,17 +83,23 @@ class SearchIndex:
         (callers fall back to the shard-pruned scan).  Works under
         ``routing="native"`` too, where driver-side shard math is
         unavailable: the ranges alone restore the pruning."""
-        from solr_map_reduce_spark.fs import join as fs_join
-        from solr_map_reduce_spark.key_ranges import candidate_files, load_key_ranges
+        from solr_map_reduce_spark.key_ranges import candidate_files
 
-        if self._key_ranges is False:
-            self._key_ranges = load_key_ranges(self.spark, self.path)
-        if not self._key_ranges:
+        if not self._load_key_ranges():
             return None
         shards = {self._shard_of(str(k)) for k in keys}
         shard = shards.pop() if len(shards) == 1 and None not in shards else None
         cands = candidate_files(self._key_ranges, keys, shard=shard)
         return self._files_df(cands)
+
+    def _load_key_ranges(self) -> dict | None:
+        """Lazy per-handle memo of the key-range sidecar (mirrors the
+        _blooms/_stats_cache pattern)."""
+        if self._key_ranges is False:
+            from solr_map_reduce_spark.key_ranges import load_key_ranges
+
+            self._key_ranges = load_key_ranges(self.spark, self.path)
+        return self._key_ranges
 
     @property
     def columns(self) -> list[str]:
@@ -129,12 +135,8 @@ class SearchIndex:
         """Contiguous key scan ``lo <= key <= hi`` (either bound None =
         unbounded), segment-pruned through the key-range sidecar when one
         is stored: only files whose span overlaps the range are read."""
-        if self._key_ranges is False:
-            from solr_map_reduce_spark.key_ranges import load_key_ranges
-
-            self._key_ranges = load_key_ranges(self.spark, self.path)
         out = None
-        if self._key_ranges:
+        if self._load_key_ranges():
             from solr_map_reduce_spark.key_ranges import candidate_files_range
 
             out = self._files_df(
@@ -154,15 +156,12 @@ class SearchIndex:
         composite-id scan (``root!*``): with composite routing a root's
         docs are co-sharded and sort-adjacent, so this touches one shard's
         few segments."""
-        if self._key_ranges is False:
-            from solr_map_reduce_spark.key_ranges import load_key_ranges
-
-            self._key_ranges = load_key_ranges(self.spark, self.path)
         out = None
         # pruning only under a string key: a numeric sidecar coerces the
         # prefix to a NUMBER, whose range is not the string-prefix range
         # ("12" would wrongly exclude 120)
-        if self._key_ranges and self._key_ranges.get("key_type") == "string":
+        ranges = self._load_key_ranges()
+        if ranges and ranges.get("key_type") == "string":
             from solr_map_reduce_spark.key_ranges import (
                 candidate_files_range,
                 next_prefix,
@@ -397,7 +396,9 @@ class SearchIndex:
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        stats = load_search_stats(self.spark, self.path)
+        if self._stats_cache is False:
+            self._stats_cache = load_search_stats(self.spark, self.path)
+        stats = self._stats_cache
         if stats and fname in stats:
             vocab = self.spark.read.parquet(
                 fs_join(self.path, f"{VOCAB_DIR}/{fname}")
@@ -426,7 +427,9 @@ class SearchIndex:
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        stats = load_search_stats(self.spark, self.path)
+        if self._stats_cache is False:
+            self._stats_cache = load_search_stats(self.spark, self.path)
+        stats = self._stats_cache
         if stats and fname in stats:
             vocab = self.spark.read.parquet(
                 fs_join(self.path, f"{VOCAB_DIR}/{fname}")

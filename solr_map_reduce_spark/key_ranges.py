@@ -25,10 +25,12 @@ driver-side parity) this restores point-lookup pruning entirely from the
 sidecar.
 
 Mutation safety: any rewrite changes file names, so a stale sidecar could
-MISS rows (false negative).  Engine mutation paths either refresh the
-touched shards' entries (``merge_into``) or delete the sidecar
-(``delete_where``/``compact`` — degrade to the shard scan) in the same
-operation.
+MISS rows (false negative).  Every engine mutation path refreshes the
+sidecar in the same operation — ``merge_into`` and ``delete_where``
+recompute the touched shards, ``compact`` recomputes all (its rewrite
+renames every segment).  External mutators that bypass the engine must
+call ``write_key_ranges`` or ``drop_key_ranges`` (degrade to the shard
+scan) themselves.
 
 At 100 TB: thousands of segments per shard; a point lookup goes from
 "open every footer in the shard" to "open one file", and the sidecar
@@ -44,9 +46,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 KEY_RANGES = "_KEY_RANGES.json"
 
-_NUMERIC_TYPES = {
-    "byte", "short", "integer", "long", "float", "double", "int", "bigint",
-}
+# Spark DataType.simpleString() names (what write_key_ranges stores)
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
 
 
 def _relative_file(full: str, shard: int) -> str:
@@ -119,8 +121,10 @@ def load_key_ranges(spark: SparkSession, path: str) -> dict | None:
 
 
 def drop_key_ranges(spark: SparkSession, path: str) -> None:
-    """Remove the sidecar (mutations that rewrite files without refreshing
-    MUST call this — a stale entry would be a false negative)."""
+    """Remove the sidecar — the escape hatch for EXTERNAL mutators that
+    rewrite artifact files without refreshing (engine paths refresh via
+    ``write_key_ranges`` instead); a stale entry would be a false
+    negative, absence merely degrades to the shard scan."""
     from solr_map_reduce_spark.fs import get_fs
     from solr_map_reduce_spark.fs import join as fs_join
 
@@ -131,12 +135,25 @@ def drop_key_ranges(spark: SparkSession, path: str) -> None:
 
 
 def _coerce(ranges: dict, value):
-    if ranges.get("key_type") in _NUMERIC_TYPES:
-        try:
-            return int(value)
-        except (TypeError, ValueError):
-            return float(value)
-    return str(value)
+    """Coerce a bound/key to the key column's comparison domain.  Raises
+    (TypeError/ValueError) when the value can't inhabit that domain —
+    callers then SKIP pruning rather than risk a divergent comparison.
+
+    String keys require actual ``str`` inputs: Spark compares a string
+    column against a numeric literal by CASTING THE COLUMN ("007" == 7
+    matches), which lexicographic pruning would wrongly exclude."""
+    kt = ranges.get("key_type", "string")
+    if kt in _INT_TYPES:
+        return int(str(value))  # int("3.5") raises -> no pruning, stays exact
+    if kt in _FLOAT_TYPES:
+        return float(value)
+    if kt.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(str(value))
+    if not isinstance(value, str):
+        raise TypeError(f"string key domain needs str bounds, got {type(value)}")
+    return value
 
 
 def candidate_files_range(

@@ -126,6 +126,8 @@ def _sniff_magic(b: bytes) -> str:
             if b[257:262] == b"ustar":
                 return mime
         elif b.startswith(bytes.fromhex(magic)):
+            if mime == "image/bmp" and b[6:10] != b"\x00\x00\x00\x00":
+                continue  # "BM" text collision guard, mirrors detect_mime_type
             return mime
     if b[4:8] == b"ftyp":
         return "video/mp4"

@@ -269,11 +269,21 @@ def pptx_extract(data: bytes) -> DocumentContent:
     )
 
 
-def pages_extract(data: bytes) -> DocumentContent:
-    """Apple iWork Pages '09: zip container with the document serialized as
-    ``index.xml`` (optionally gzipped).  Text lives in ``sf:p`` paragraphs of
-    the ``sf:text-storage`` body; inline formatting tags are stripped per
-    paragraph (the Tika iWork parser's text surface — corpus fixture
+_IWORK_ROOTS = {
+    "sl:document": "application/vnd.apple.pages",
+    "ls:document": "application/vnd.apple.numbers",
+    "key:presentation": "application/vnd.apple.keynote",
+}
+
+
+def iwork_extract(data: bytes) -> DocumentContent | None:
+    """Apple iWork '09: zip container with the document serialized as
+    ``index.xml`` (optionally gzipped), typed by its root element
+    (sl:document = Pages, ls:document = Numbers, key:presentation =
+    Keynote — the Tika iWork parser gates on the same markers, so a
+    generic archive that merely contains an index.xml falls through).
+    Text lives in ``sf:p`` paragraphs; inline formatting tags are stripped
+    per paragraph (corpus fixture
     mlt/resources/test-documents/testPages.pages)."""
     import gzip as _gzip
 
@@ -284,15 +294,16 @@ def pages_extract(data: bytes) -> DocumentContent:
     if raw[:2] == b"\x1f\x8b":
         raw = _gzip.decompress(raw)
     xml = raw.decode("utf-8", "replace")
+    root = re.search(r"<\s*([a-z]+:[a-zA-Z-]+)[\s>]", xml)
+    mime = _IWORK_ROOTS.get(root.group(1)) if root else None
+    if mime is None:
+        return None  # not an iWork document — plain zip fall-through
     paras = []
     for m in re.finditer(r"<sf:p(?:\s[^>]*)?>(.*?)</sf:p>", xml, re.S):
         t = _xml_unescape(re.sub(r"<[^>]+>", "", m.group(1))).strip()
         if t:
             paras.append(t)
-    return DocumentContent(
-        text="\n".join(paras) or None,
-        mime="application/vnd.apple.pages",
-    )
+    return DocumentContent(text="\n".join(paras) or None, mime=mime)
 
 
 _OOXML_KINDS = (
@@ -314,7 +325,7 @@ def ooxml_extract(data: bytes) -> DocumentContent | None:
         if marker in names:
             return fn(data)
     if "index.xml" in names or "index.xml.gz" in names:
-        return pages_extract(data)
+        return iwork_extract(data)
     return None
 
 

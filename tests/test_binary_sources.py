@@ -256,6 +256,19 @@ class TestReferenceCorpusExtraction:
         assert doc.text.startswith("Lorem ipsum dolor sit amet")
         assert "Consectetur adipiscing elit" in doc.text
 
+    def test_generic_zip_with_index_xml_not_iwork(self):
+        # a plain archive that merely CONTAINS index.xml must not be typed
+        # as Pages — the root-element gate (Tika parity)
+        import io
+        import zipfile
+
+        from solr_map_reduce_spark.sources.documents import extract_document
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("index.xml", "<?xml version='1.0'?><site><p>x</p></site>")
+        assert extract_document(buf.getvalue()) is None
+
     def test_spark_extract_content_over_corpus(self, spark):
         """The Spark surface: binaryFile scan over the real corpus →
         extract_content yields text + title columns for all five formats."""

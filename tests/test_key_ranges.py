@@ -199,6 +199,34 @@ class TestRangeAndPrefixScan:
         got = sorted(r["doc_id"] for r in idx.prefix_key("12").collect())
         assert got == [12] + list(range(120, 130))
 
+    def test_string_key_numeric_bounds_skip_pruning(self, spark, artifact):
+        # numeric bounds against a string key: Spark casts the COLUMN
+        # (ANSI: errors loudly; legacy: numeric compare) — lexicographic
+        # pruning would silently diverge, so the sidecar declines to prune
+        from solr_map_reduce_spark.key_ranges import candidate_files_range
+
+        ranges = load_key_ranges(spark, artifact)
+        assert candidate_files_range(ranges, lo=100, hi=109) is None
+        assert candidate_files(ranges, [100]) is None
+
+    def test_float_key_no_truncation(self, spark, tmp_path):
+        out = str(tmp_path / "idx_float")
+        schema = IndexSchema(
+            fields=(Field("k", "double", required=True),), unique_key="k"
+        )
+        df = spark.range(0, 100).select((F.col("id") / 10.0).alias("k"))
+        IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, micro_shards=4, dedup="none",
+                routing="native", key_ranges=True, max_records_per_file=25,
+            )
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        # 3.5 sits INSIDE a segment whose bounds int() would truncate away
+        rows = idx.get(3.5).collect()
+        assert len(rows) == 1 and rows[0]["k"] == 3.5
+        assert idx.key_range(3.5, 3.7).count() == 3
+
     def test_next_prefix_carry(self):
         from solr_map_reduce_spark.key_ranges import next_prefix
 
