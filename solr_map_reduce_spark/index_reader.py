@@ -64,6 +64,18 @@ class SearchIndex:
 
     # -- C1 ------------------------------------------------------------
     def count(self) -> int:
+        """Match-all count.  Served O(1) driver-side from the key-range
+        sidecar's per-segment row counts when one is stored (Lucene keeps
+        the same docCount in segment metadata) — every engine mutation
+        refreshes the sidecar, so the counts are exact; without a sidecar,
+        a parquet metadata-only count (still no data scan)."""
+        ranges = self._load_key_ranges()
+        if ranges:
+            return sum(
+                int(n)
+                for files in ranges.get("shards", {}).values()
+                for (_lo, _hi, n) in files.values()
+            )
         return self.df().count()
 
     # -- C2: point lookup with shard pruning ---------------------------

@@ -264,6 +264,17 @@ class TestMutationRefresh:
         rows = idx.get("k00101").collect()  # stale names would error/miss
         assert len(rows) == 1 and rows[0]["val"] == 101
 
+    def test_count_served_from_sidecar_stays_exact(self, spark, tmp_path):
+        out = str(tmp_path / "idx_count")
+        job = _job()
+        job.build(_docs(spark), out)
+        idx = SearchIndex.open(spark, out)
+        assert idx.count() == 400 == idx.df().count()
+        job.merge_into(_docs(spark, n=25, start=1000), out)
+        assert SearchIndex.open(spark, out).count() == 425
+        job.delete_where(spark, out, F.col("val") < 10)
+        assert SearchIndex.open(spark, out).count() == 415
+
     def test_compact_recomputes(self, spark, tmp_path):
         import os
 

@@ -43,6 +43,40 @@ def test_stream_ingest_upserts(spark, tmp_path):
     assert idx2 == {"a": "v2", "b": "v1", "c": "v1"}
 
 
+def test_stream_ingest_maintains_key_ranges(spark, tmp_path):
+    """Streaming upsert goes through merge_into, which must keep the
+    key-range sidecar fresh — a stale segment name after the per-batch
+    rewrite would silently hide newly ingested docs from point lookups."""
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.key_ranges import load_key_ranges
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [("a", "v1", 1), ("b", "v1", 1)], "id string, payload string, version long"
+    )
+    batch1.write.parquet(inp)
+    cfg = IndexJobConfig(schema=SCHEMA, shards=2, dedup="retain_most_recent",
+                         order_field="version", tiebreak=("id",),
+                         key_ranges=True)
+    stream_ingest(spark, inp, batch1.schema, cfg, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(
+        [("z-new", "v1", 1)], "id string, payload string, version long"
+    ).write.mode("append").parquet(inp)
+    stream_ingest(spark, inp, batch1.schema, cfg, out, ckpt).awaitTermination(120)
+    idx = SearchIndex.open(spark, out)
+    assert idx.count() == 3
+    rows = idx.get("z-new").collect()
+    assert len(rows) == 1 and rows[0]["payload"] == "v1"
+    import os
+
+    ranges = load_key_ranges(spark, out)
+    for s, files in ranges["shards"].items():
+        for f in files:
+            assert os.path.exists(os.path.join(out, f"shard={s}", f))
+
+
 def test_windowed_event_counts_batch_semantics(spark, sf_dir, tmp_path):
     """Run the streaming aggregation over the events table via availableNow
     and check totals against the batch answer."""
