@@ -138,7 +138,7 @@ _VERDICT_PRIORITY = [
     "ext_ann_topk", "ext_cosine_pairs", "ext_dedup_clusters",
     "ext_sessionize", "b12_detect_mime",
     "ext_minhash_dedup",
-    "ext_simhash", "ext_ngram_jaccard", "ext_simhash_pairs",
+    "ext_ngram_jaccard", "ext_simhash_pairs",
     "ext_cosine_pairs_lsh", "ext_ivf_topk",
     # re-implemented in r4 (stored-token artifact path) — need fresh verdicts
     "c9_contains_all", "c9_contains_any", "c9_match_phrase",
@@ -146,7 +146,7 @@ _VERDICT_PRIORITY = [
     # new in r4 — never externally checked
     "ext_passage_dedup", "ext_knn_join", "ext_pq_topk", "ext_ivfpq_topk",
     "c9_term_facet", "c9_highlight", "c2_segment_lookup", "c2_key_range",
-    "c9_suggest",
+    "c9_suggest", "b6_extract_json",
 ]
 
 

@@ -183,8 +183,26 @@ def op_observe(name: str, *metrics: Column) -> Transform:
     return lambda df: df.observe(name, *(metrics or (F.count(F.lit(1)).alias("n_records"),)))
 
 
+def op_extract_json(field: str, paths: dict[str, str], drop: bool = True) -> Transform:
+    """extractJsonPaths (the kite-morphlines JSON sibling of B6's
+    extractAvroPaths): ``{out_field: "/a/b"}`` path expressions evaluated
+    against a JSON string column, JVM-side via ``get_json_object`` —
+    stays in whole-stage codegen, no UDF.  ``drop`` removes the raw JSON
+    column afterwards (sanitize-to-schema stance)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        out = df
+        for name, path in paths.items():
+            jpath = "$." + path.strip("/").replace("/", ".")
+            out = out.withColumn(name, F.get_json_object(F.col(field), jpath))
+        return out.drop(field) if drop else out
+
+    return _t
+
+
 _OPS: dict[str, Callable[..., Transform]] = {
     "extract_paths": op_extract_paths,
+    "extract_json": op_extract_json,
     "flatten": op_flatten,
     "sanitize": op_sanitize,
     "generate_key": op_generate_key,

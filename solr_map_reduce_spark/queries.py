@@ -240,6 +240,32 @@ def b2_sanitize_fields(spark, sf_dir):
 
 
 @_register(
+    "b6_extract_json",
+    """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         count(*) AS n
+       FROM events GROUP BY event_type""",
+    "extractJsonPaths (the kite-morphlines JSON sibling of B6): path "
+    "expressions over a JSON string column, JVM-side get_json_object, "
+    "aggregated per event type",
+)
+def b6_extract_json(spark, sf_dir):
+    from solr_map_reduce_spark.plans.pipeline import compile_pipeline
+
+    e = t(spark, sf_dir, "events")
+    pipe = compile_pipeline([{"op": "extract_json", "field": "props",
+                              "paths": {"k": "/k"}}])
+    return (
+        pipe.run(e)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
     "b4_tokenize_general",
     r"""SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
             '[^\p{L}\p{N}]+'), x -> x <> '')) AS token

@@ -51,6 +51,27 @@ def test_flatten_and_extract_paths(spark):
     assert row["a"] == "x" and row["t"] == "top"
 
 
+def test_extract_json_paths(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"b": 7}, "tag": "x"}',), ('{"tag": "y"}',), (None,)],
+        "props string",
+    )
+    out = compile_pipeline(
+        [{"op": "extract_json", "field": "props",
+          "paths": {"ab": "/a/b", "tag": "/tag"}}]
+    ).run(df)
+    assert "props" not in out.columns  # drop=True default
+    rows = out.collect()
+    assert (rows[0]["ab"], rows[0]["tag"]) == ("7", "x")
+    assert (rows[1]["ab"], rows[1]["tag"]) == (None, "y")
+    assert (rows[2]["ab"], rows[2]["tag"]) == (None, None)
+    kept = compile_pipeline(
+        [{"op": "extract_json", "field": "props", "paths": {"tag": "/tag"},
+          "drop": False}]
+    ).run(df)
+    assert "props" in kept.columns
+
+
 def test_when_rules_routing(spark):
     df = spark.createDataFrame(
         [("a.csv", "1"), ("b.json", "2"), ("c.bin", "3")], "name string, v string"
