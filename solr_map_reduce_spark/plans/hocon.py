@@ -344,6 +344,13 @@ def compile_morphline(
             spec.append({"op": "set_values", "values": dict(args)})
         elif name == "generateUUID":
             spec.append({"op": "generate_uuid", "field": args.get("field", "id")})
+        elif name == "extractJsonPaths":
+            spec.append({
+                "op": "extract_json",
+                "field": str(args.get("field", "props")),
+                "paths": {k: str(v) for k, v in dict(args.get("paths", {})).items()},
+                "drop": bool(args.get("drop", True)),
+            })
         elif name == "separateAttachments":
             spec.append({"op": "explode", "field": args.get("field", "_attachment_body")})
         elif name == "logDebug":

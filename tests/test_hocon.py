@@ -166,3 +166,21 @@ morphlines : [ { id : m1, commands : [
     out = compiled.pipeline.run(df)
     rows = sorted((r["id"], r["name"]) for r in out.collect())
     assert rows == [(1, "ann"), (2, "bob")]
+
+
+def test_extract_json_paths_command(spark):
+    """extractJsonPaths (kite-morphlines JSON command): path expressions
+    over a JSON string column compile to the JVM-side extract_json op."""
+    text = """
+morphlines : [ { id : m1, commands : [
+  { extractJsonPaths { field : payload, paths : { uid : /user/id, tag : /tag } } }
+] } ]
+"""
+    compiled = compile_morphline(text)
+    assert compiled.skipped == []
+    df = spark.createDataFrame(
+        [('{"user": {"id": 9}, "tag": "t1"}',)], "payload string"
+    )
+    row = compiled.pipeline.run(df).first()
+    assert (row["uid"], row["tag"]) == ("9", "t1")
+    assert "payload" not in compiled.pipeline.run(df).columns
