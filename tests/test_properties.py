@@ -165,3 +165,77 @@ def test_pack_weights_laws(weights, budget):
     for i in range(1, len(weights)):
         if chunks[i] != chunks[i - 1]:
             assert sums[chunks[i - 1]] + weights[i] > budget
+
+
+# -- key-range sidecar pruning laws -----------------------------------------
+
+from solr_map_reduce_spark.key_ranges import (  # noqa: E402
+    candidate_files,
+    candidate_files_range,
+    next_prefix,
+)
+
+
+def _ranges_from(spans, key_type):
+    return {
+        "key_type": key_type,
+        "shards": {"0": {f"f{i}.parquet": [lo, hi, 1] for i, (lo, hi) in enumerate(spans)}},
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-10**9, 10**9), st.integers(-10**9, 10**9)).map(
+            lambda t: (min(t), max(t))
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.data(),
+)
+def test_candidate_files_no_false_negatives_int(spans, data):
+    """A key inside ANY stored span must keep that span's file — pruning may
+    over-select, never under-select."""
+    ranges = _ranges_from(spans, "bigint")
+    i = data.draw(st.integers(0, len(spans) - 1))
+    lo, hi = spans[i]
+    key = data.draw(st.integers(lo, hi))
+    cands = candidate_files(ranges, [key])
+    assert (0, f"f{i}.parquet") in cands
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=8), st.text(min_size=1, max_size=8)).map(
+            lambda t: (min(t), max(t))
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.data(),
+)
+def test_candidate_files_range_overlap_complete_str(spans, data):
+    """Every file whose span intersects the query range is admitted."""
+    ranges = _ranges_from(spans, "string")
+    i = data.draw(st.integers(0, len(spans) - 1))
+    flo, fhi = spans[i]
+    # a query range guaranteed to intersect span i (anchored at its lo)
+    cands = candidate_files_range(ranges, lo=flo, hi=fhi)
+    assert (0, f"f{i}.parquet") in cands
+    for j, (jlo, jhi) in enumerate(spans):
+        if jhi >= flo and jlo <= fhi:  # intersects -> must be admitted
+            assert (0, f"f{j}.parquet") in cands
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=1, max_size=12), st.text(min_size=0, max_size=12))
+def test_next_prefix_bounds_every_extension(prefix, suffix):
+    """p <= p+s and (next_prefix(p) is None or p+s < next_prefix(p)) — the
+    exact property prefix pruning relies on."""
+    s = prefix + suffix
+    assert prefix <= s
+    nxt = next_prefix(prefix)
+    if nxt is not None:
+        assert s < nxt
