@@ -152,6 +152,19 @@ def validate(args: argparse.Namespace) -> None:
             )
         if args.max_segments < 1:
             raise SystemExit("--max-segments must be >= 1")
+        if args.micro_shards is not None and args.micro_shards < 1:
+            raise SystemExit("--micro-shards must be >= 1")
+        if args.max_records_per_file is not None and args.max_records_per_file < 1:
+            raise SystemExit("--max-records-per-file must be >= 1")
+        if args.dry_run_rows < 1:
+            raise SystemExit("--dry-run-rows must be >= 1")
+        # the reference tool rejects dry-run combined with go-live/output
+        # mutation modes (MRIT verifyGoLiveArgs / --dry-run semantics):
+        # a dry run writes nothing, so there is nothing to publish or merge
+        if args.dry_run and args.publish_to:
+            raise SystemExit("--dry-run writes nothing; drop --publish-to")
+        if args.dry_run and args.merge:
+            raise SystemExit("--dry-run writes nothing; drop --merge")
     elif args.command == "merge":
         if args.fanout < 2:
             raise SystemExit("--fanout must be >= 2")

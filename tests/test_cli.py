@@ -51,6 +51,11 @@ def _index_args(**over):
         (_index_args(**{"--shards": 0}), "--shards"),
         (_index_args(**{"--shards": 4, "--micro-shards": 6}), "multiple"),
         (_index_args(**{"--max-segments": 0}), "--max-segments"),
+        (_index_args(**{"--micro-shards": 0}), "--micro-shards"),
+        (_index_args(**{"--max-records-per-file": 0}), "--max-records-per-file"),
+        (_index_args(**{"--dry-run-rows": 0}), "--dry-run-rows"),
+        (_index_args(**{"--dry-run": None, "--publish-to": "live"}), "publish"),
+        (_index_args(**{"--dry-run": None, "--merge": None}), "merge"),
         (["merge", "--path", "p", "--fanout", "1"], "--fanout"),
         (["merge", "--path", "p", "--max-segments", "0"], "--max-segments"),
     ],
