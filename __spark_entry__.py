@@ -138,15 +138,14 @@ _VERDICT_PRIORITY = [
     "ext_ann_topk", "ext_cosine_pairs", "ext_dedup_clusters",
     "ext_sessionize", "b12_detect_mime",
     "ext_minhash_dedup",
-    "ext_ngram_jaccard", "ext_simhash_pairs",
-    "ext_cosine_pairs_lsh", "ext_ivf_topk",
+    "ext_simhash_pairs", "ext_ivf_topk",
     # re-implemented in r4 (stored-token artifact path) — need fresh verdicts
     "c9_contains_all", "c9_contains_any", "c9_match_phrase",
     "c9_prefix_match", "c9_contains_none", "ext_bm25_topk",
     # new in r4 — never externally checked
     "ext_passage_dedup", "ext_knn_join", "ext_pq_topk", "ext_ivfpq_topk",
     "c9_term_facet", "c9_highlight", "c2_segment_lookup", "c2_key_range",
-    "c9_suggest", "b6_extract_json",
+    "c9_suggest", "b6_extract_json", "ext_knn_classify", "ext_source_cap",
 ]
 
 

@@ -428,6 +428,48 @@ def knn_join(
     )
 
 
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label propagation: majority label of the ``k`` nearest corpus
+    vectors per query — the embedding-space classifier a curation pipeline
+    uses to extend a small labeled set (quality/domain tags) over a huge
+    corpus.  Ties break to the smallest label (deterministic).
+
+    Scale shape: :func:`knn_join` streams the corpus once (broadcast query
+    matrix, no corpus shuffle); the n_q*k neighbor rows are then BROADCAST
+    back against the corpus's (id, label) projection, so labeling is a
+    second stream — the corpus never shuffles.  Returns
+    (query_id, predicted_label, votes)."""
+    from pyspark.sql import Window
+
+    nn = knn_join(queries, corpus, k, query_id, corpus_id, vec_col)
+    labeled = corpus.select(
+        F.col(corpus_id).alias("_nid"), F.col(label_col)
+    ).join(F.broadcast(nn), F.col("_nid") == F.col("neighbor_id"))
+    votes = labeled.groupBy("query_id", label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col(label_col).alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+
+
 class PqCodec:
     """Product quantization (Jégou et al. 2011): split a d-dim vector into
     ``m`` subvectors, k-means each subspace to ``ksub`` centroids, store a

@@ -249,3 +249,34 @@ def repetition_score(
         .otherwise((total - uniq).cast("double") / total)
         .alias("dup_frac"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Deterministic per-group document cap — the per-domain cap of web
+    curation pipelines (keep at most ``n`` docs per source/domain, best
+    first), distinct from probabilistic stratified sampling.
+
+    One shuffle keyed on the group column (a window row_number).  Skew
+    note: a single hot domain serializes into one task's sort; at 100 TB
+    with pathological domains, pre-filter with an approximate per-group
+    quantile threshold (operators/stats) so the window only ranks
+    survivors.
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    if tiebreak_col:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

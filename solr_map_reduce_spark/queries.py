@@ -2527,6 +2527,63 @@ def ext_knn_join(spark, sf_dir):
 
 
 @_register(
+    "ext_knn_classify",
+    """WITH q AS (
+         SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         FROM embeddings WHERE label = 0
+       ), c AS (
+         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce, label
+         FROM embeddings WHERE label <> 0
+       ), s AS (
+         SELECT qid, cid, label, list_cosine_similarity(qe, ce) AS sim FROM q, c
+       ), r AS (
+         SELECT qid, cid, label,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, cid) AS rnk
+         FROM s
+       ), v AS (
+         SELECT qid, label, count(*) AS votes FROM r WHERE rnk <= 5
+         GROUP BY qid, label
+       ), p AS (
+         SELECT qid, label, votes,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY votes DESC, label) AS pr
+         FROM v
+       )
+       SELECT qid AS query_id, label AS predicted_label,
+              CAST(votes AS BIGINT) AS votes
+       FROM p WHERE pr = 1""",
+    "kNN label propagation (majority label of the 5 cosine-nearest "
+    "labeled vectors per unlabeled query) — the embedding-space classifier "
+    "a curation pipeline uses to extend a small labeled set over the corpus",
+)
+def ext_knn_classify(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.knn_classify(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") != 0),
+        k=5,
+    )
+
+
+@_register(
+    "ext_source_cap",
+    """SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents) WHERE rn <= 10""",
+    "deterministic per-source document cap (keep the 10 longest docs per "
+    "source — the per-domain cap of web curation pipelines)",
+)
+def ext_source_cap(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.text_analysis import cap_per_group
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_group(d, "source", "n_chars", 10, tiebreak_col="doc_id")
+
+
+@_register(
     "ext_pq_topk",
     None,  # approximate by construction — golden recall tests vs exact
     "product-quantized ANN top-k (Jegou 2011): 64-float vectors stored as "

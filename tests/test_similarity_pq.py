@@ -204,3 +204,60 @@ def test_ivfpq_matches_fit_params_roundtrip(spark, sf_dir, tmp_path):
     re = IvfPqIndex.load(spark, path)
     assert np.array_equal(re.ivf.centroids, idx.ivf.centroids)
     assert np.array_equal(re.pq.codebooks, idx.pq.codebooks)
+
+
+# ---------------------------------------------------------------------------
+# knn_classify
+# ---------------------------------------------------------------------------
+
+def test_knn_classify_majority_with_ties_to_smallest_label(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.similarity import knn_classify, knn_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0).limit(8)
+    corpus = emb.filter(F.col("label") != 0)
+    got = {
+        r["query_id"]: (r["predicted_label"], r["votes"])
+        for r in knn_classify(queries, corpus, k=5).collect()
+    }
+    assert len(got) == queries.count()
+    # recompute the expectation from knn_join + driver-side counting
+    labels = {r["vec_id"]: r["label"] for r in corpus.select("vec_id", "label").collect()}
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for r in knn_join(queries, corpus, k=5).collect():
+        nbrs[r["query_id"]].append(labels[r["neighbor_id"]])
+    for qid, lab_list in nbrs.items():
+        counts = Counter(lab_list)
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert got[qid] == (best[0], best[1]), qid
+
+
+def test_knn_classify_one_row_per_query(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.similarity import knn_classify
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = knn_classify(
+        emb.filter(F.col("label") == 0), emb.filter(F.col("label") != 0), k=3
+    )
+    n_q = emb.filter(F.col("label") == 0).count()
+    assert out.count() == n_q
+    assert out.select("query_id").distinct().count() == n_q
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group
+# ---------------------------------------------------------------------------
+
+def test_cap_per_group_deterministic_top_n(spark):
+    from solr_map_reduce_spark.extensions.text_analysis import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 20), ("b", 5, 1)],
+        "src string, id long, score long",
+    )
+    out = cap_per_group(df, "src", "score", 2, tiebreak_col="id")
+    got = sorted((r["src"], r["id"]) for r in out.collect())
+    # a: score-30 rows win, tie broken by smaller id (2 then 3); b keeps its one
+    assert got == [("a", 2), ("a", 3), ("b", 5)]
