@@ -65,6 +65,12 @@ def main() -> None:
         .filter((F.col("quality_score") > 0.2) & (F.col("dup_frac") < 0.9))
     )
 
+    # 3b. per-source cap: keep at most 15 best docs per source (the
+    # per-domain cap of web curation — deterministic, unlike sampling)
+    docs = text_analysis.cap_per_group(
+        docs, "source", "quality_score", 15, tiebreak_col="doc_id"
+    )
+
     # 4. decontamination against a held-out "benchmark" (here: a slice)
     bench = spark.read.parquet(f"{SF}/documents.parquet").filter(
         F.col("doc_id") % 97 == 0
@@ -105,6 +111,16 @@ def main() -> None:
     )
     print(f"embedding near-dup pairs: {near}; ANN top-5 for vec 0:")
     top.show()
+
+    # 7. kNN label propagation: extend the labeled slice's tags over the
+    # unlabeled vectors (embedding-space quality/domain classifier)
+    from solr_map_reduce_spark.extensions.similarity import knn_classify
+
+    pred = knn_classify(
+        emb.filter(F.col("label") == 0), emb.filter(F.col("label") != 0), k=5
+    )
+    print("label propagation over unlabeled vectors:")
+    pred.groupBy("predicted_label").count().orderBy("predicted_label").show()
     spark.stop()
 
 
