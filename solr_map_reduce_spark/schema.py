@@ -40,7 +40,36 @@ _TYPE_ALIASES: dict[str, T.DataType] = {
     "text_en": T.StringType(),
     "text_general": T.StringType(),
     "lowercase": T.StringType(),
+    # spatial (solr.LatLonType / PointType — declared in the reference's
+    # schemas, minimr/conf/schema.xml fieldTypes location/point, never
+    # exercised by its tests; SURVEY §1.3): a plain (lat, lon) struct —
+    # bounding-box queries are two range predicates, fully pushdown-able
+    "latlon": T.StructType(
+        [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+    ),
+    "point": T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+    ),
 }
+
+
+def within_box(
+    col: str | F.Column,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+) -> F.Column:
+    """Bounding-box predicate over a ``latlon`` struct column — the Solr
+    spatial bbox filter as two range predicates (both reach the parquet
+    scan as pushed filters; no geo library needed for rectangles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (c["lat"] >= lat_min)
+        & (c["lat"] <= lat_max)
+        & (c["lon"] >= lon_min)
+        & (c["lon"] <= lon_max)
+    )
 
 
 def spark_type(name: str | T.DataType) -> T.DataType:

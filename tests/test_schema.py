@@ -56,3 +56,30 @@ def test_struct_type_multivalued(schema):
     st = schema.struct_type()
     assert st["tags"].dataType == T.ArrayType(T.StringType())
     assert st["count"].dataType == T.IntegerType()
+
+
+class TestSpatial:
+    def test_latlon_type_maps_to_struct(self):
+        from solr_map_reduce_spark.schema import Field, spark_type
+
+        t = spark_type("latlon")
+        assert [f.name for f in t.fields] == ["lat", "lon"]
+        assert Field("loc", "latlon").spark_type == t
+
+    def test_within_box_filters_and_pushes_down(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from solr_map_reduce_spark.schema import within_box
+
+        df = spark.createDataFrame(
+            [(1, (10.0, 20.0)), (2, (50.0, 60.0)), (3, (10.5, 19.0))],
+            "id long, loc struct<lat: double, lon: double>",
+        )
+        p = str(tmp_path / "geo")
+        df.write.parquet(p)
+        back = spark.read.parquet(p)
+        hit = back.filter(within_box("loc", 9.0, 11.0, 18.0, 21.0))
+        assert sorted(r["id"] for r in hit.collect()) == [1, 3]
+        plan = hit._jdf.queryExecution().executedPlan().toString()
+        # bbox = range predicates on the nested fields, pushed to the scan
+        assert "GreaterThanOrEqual(loc.lat,9.0)" in plan
