@@ -62,7 +62,11 @@ def main() -> None:
         docs.join(quality.select("doc_id", "quality_score"), "doc_id")
         .join(lang.select("doc_id", "lang_pred"), "doc_id")
         .join(rep.select("doc_id", "dup_frac"), "doc_id")
-        .filter((F.col("quality_score") > 0.2) & (F.col("dup_frac") < 0.9))
+        .filter(
+            (F.col("quality_score") > 0.2)
+            & (F.col("dup_frac") < 0.9)
+            & (F.col("lang_pred") == "en")
+        )
     )
 
     # 3b. per-source cap: keep at most 15 best docs per source (the

@@ -349,7 +349,12 @@ def explode_mbox(
                     continue
                 if not s.startswith("From "):
                     continue
-                for i, m in enumerate(_split_mbox(s)):
+                msgs = _split_mbox(s)
+                # same mbox gate as _extract_payload: the first message
+                # must parse as RFC822, else this is prose starting "From "
+                if not msgs or _extract_rfc822(msgs[0]) is None:
+                    continue
+                for i, m in enumerate(msgs):
                     parsed = _extract_rfc822(m)
                     base = {f.name: r[f.name] for f in keep}
                     base["message_index"] = i
@@ -403,15 +408,20 @@ def _extract_payload(
         s = b.decode("utf-8")
     except UnicodeDecodeError:
         return None, _sniff_magic(b), None, {}
-    if s.startswith("From "):  # mbox: messages joined, counted
+    if s.startswith("From "):
+        # mbox gate: "From " alone collides with ordinary prose ("From the
+        # desk of…") — only treat as mbox when the first separated message
+        # actually parses as RFC822 mail; otherwise fall through to the
+        # text paths with the payload INTACT (no separator-line loss)
         msgs = _split_mbox(s)
-        parsed = [_extract_rfc822(m) or m for m in msgs]
-        return (
-            "\n\n".join(parsed),
-            "application/mbox",
-            None,
-            {"message_count": str(len(msgs))},
-        )
+        if msgs and _extract_rfc822(msgs[0]) is not None:
+            parsed = [_extract_rfc822(m) or m for m in msgs]
+            return (
+                "\n\n".join(parsed),
+                "application/mbox",
+                None,
+                {"message_count": str(len(msgs))},
+            )
     mail = _extract_rfc822(s)
     if mail is not None:
         return mail, "message/rfc822", None, {}

@@ -75,9 +75,9 @@ def _pdf_unescape(raw: bytes) -> bytes:
             i += 1
             continue
         nxt = raw[i + 1 : i + 2]
-        if nxt.isdigit():  # octal escape \d{1,3}
+        if nxt and nxt in b"01234567":  # octal escape \[0-7]{1,3} — \8 \9 are NOT octal
             j = i + 1
-            while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+            while j < len(raw) and j < i + 4 and raw[j : j + 1] in b"01234567":
                 j += 1
             out.append(int(raw[i + 1 : j], 8) & 0xFF)
             i = j
@@ -1058,24 +1058,27 @@ def mp4_extract(data: bytes) -> DocumentContent:
         while pos + 8 <= hi and depth < 6:
             size = int.from_bytes(data[pos : pos + 4], "big")
             btype = data[pos + 4 : pos + 8]
-            if size == 1:  # 64-bit size
+            hdr = 8
+            if size == 1:  # largesize form: 16-byte header, payload at +16
                 size = int.from_bytes(data[pos + 8 : pos + 16], "big")
-            if size < 8:
+                hdr = 16
+            if size < hdr:
                 break
+            body = pos + hdr
             if btype == b"ftyp":
-                meta["brand"] = data[pos + 8 : pos + 12].decode("latin-1", "replace").strip()
+                meta["brand"] = data[body : body + 4].decode("latin-1", "replace").strip()
             elif btype == b"mvhd":
-                v = data[pos + 8]
+                v = data[body] if body < len(data) else 0
                 if v == 1:
-                    ts = int.from_bytes(data[pos + 28 : pos + 32], "big")
-                    dur = int.from_bytes(data[pos + 32 : pos + 40], "big")
+                    ts = int.from_bytes(data[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(data[body + 24 : body + 32], "big")
                 else:
-                    ts = int.from_bytes(data[pos + 20 : pos + 24], "big")
-                    dur = int.from_bytes(data[pos + 24 : pos + 28], "big")
+                    ts = int.from_bytes(data[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(data[body + 16 : body + 20], "big")
                 if ts:
                     meta["duration_s"] = f"{dur / ts:.3f}"
             elif btype in (b"moov", b"trak", b"mdia"):
-                walk(pos + 8, min(pos + size, hi), depth + 1)
+                walk(body, min(pos + size, hi), depth + 1)
             pos += size
 
     walk(0, len(data), 0)

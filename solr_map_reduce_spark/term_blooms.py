@@ -88,8 +88,20 @@ def write_term_blooms(
         return None
 
     existing: dict = {}
-    if shards is not None and fs.exists(fs_join(path, BLOOMS)):
-        existing = json.loads(fs.read_text(fs_join(path, BLOOMS)))
+    if shards is not None:
+        if fs.exists(fs_join(path, BLOOMS)):
+            existing = json.loads(fs.read_text(fs_join(path, BLOOMS)))
+        # a subset refresh can only MERGE into a compatible sidecar: if the
+        # sidecar is absent or any field's (m, k) differ, the untouched
+        # shards' bitmaps can't be kept (params changed) nor recomputed from
+        # the filtered scan — escalate to a full rebuild, else the missing
+        # shards would silently become query false negatives
+        if not existing or any(
+            existing.get(f, {}).get("m") != m or existing.get(f, {}).get("k") != k
+            for f in analyzed
+        ):
+            shards = None
+            existing = {}
 
     idx = read_index(spark, path)
     if shards is not None:

@@ -509,3 +509,23 @@ class TestMbox:
             [("x", bytearray(b"plain text, not mail"))], "path string, content binary"
         )
         assert explode_mbox(df).count() == 0
+
+
+class TestMboxGate:
+    def test_prose_starting_with_from_is_plain_text(self):
+        from solr_map_reduce_spark.sources.binary import _extract_payload
+
+        text, mime, _t, _m = _extract_payload(
+            b"From the desk of the editor:\nhello world"
+        )
+        assert mime == "text/plain"
+        assert text.startswith("From the desk")  # first line NOT eaten
+
+    def test_explode_mbox_skips_prose(self, spark):
+        from solr_map_reduce_spark.sources.binary import explode_mbox
+
+        df = spark.createDataFrame(
+            [("p1", bytearray(b"From here to there\nno mail at all"))],
+            "path string, content binary",
+        )
+        assert explode_mbox(df).count() == 0

@@ -186,3 +186,24 @@ class TestMediaExtractorRobustness:
         assert doc.mime == "audio/mpeg"
         assert doc.metadata["title"] == "My Title"
         assert doc.metadata["artist"] == "An Artist"
+
+
+class TestExtractorRegressions:
+    def test_pdf_backslash_89_not_octal(self):
+        from solr_map_reduce_spark.sources.documents import _pdf_unescape
+
+        assert _pdf_unescape(rb"a\9b") == b"a9b"
+        assert _pdf_unescape(rb"a\8\9z") == b"a89z"
+        assert _pdf_unescape(rb"a\101b") == b"aAb"  # real octal still decodes
+        assert _pdf_unescape(rb"a\0b") == b"a\x00b"
+
+    def test_mp4_largesize_box_header(self):
+        import struct
+
+        from solr_map_reduce_spark.sources.documents import mp4_extract
+
+        # size==1 (largesize) form: 16-byte header, payload at +16
+        data = struct.pack(">I4sQ4s", 1, b"ftyp", 20, b"M4A ") + b"mp42"
+        doc = mp4_extract(data)
+        assert doc.metadata["brand"] == "M4A"
+        assert doc.mime == "audio/mp4"

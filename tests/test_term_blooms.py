@@ -151,3 +151,34 @@ def test_no_false_negatives_randomized(spark, tmp_path):
     for term in rng.sample(sorted(truth), 40):
         cand = set(candidate_shards(spark, blooms, "text", [term], "all"))
         assert truth[term] <= cand, f"false negative for {term}"
+
+
+def test_subset_refresh_with_param_change_escalates_to_full(spark, tmp_path):
+    """A shards= refresh against a sidecar built with different (m, k) must
+    rebuild ALL shards — merging is impossible and keeping only the touched
+    shards would silently drop the others' bitmaps (query false negatives)."""
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+    from solr_map_reduce_spark.term_blooms import load_term_blooms, write_term_blooms
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("text", "text_general")),
+        unique_key="id",
+    )
+    out = str(tmp_path / "idx")
+    df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    IndexJob(
+        IndexJobConfig(schema=schema, shards=4, micro_shards=8, dedup="none")
+    ).build(df, out)
+    write_term_blooms(spark, out, m=1 << 14)  # non-default params
+    # subset refresh with DEFAULT params (what merge_into issues)
+    write_term_blooms(spark, out, shards=[0])
+    blooms = load_term_blooms(spark, out)
+    info = blooms["text"]
+    assert info["m"] == 1 << 16  # rebuilt at the requested params
+    assert set(info["shards"]) == {"0", "1", "2", "3"}  # NO shard lost
