@@ -104,6 +104,14 @@ class SearchIndex:
         cands = candidate_files(self._key_ranges, keys, shard=shard)
         return self._files_df(cands)
 
+    def _load_stats(self) -> dict | None:
+        """Lazy per-handle memo of the search-stats sidecar."""
+        if self._stats_cache is False:
+            from solr_map_reduce_spark.search_stats import load_search_stats
+
+            self._stats_cache = load_search_stats(self.spark, self.path)
+        return self._stats_cache
+
     def _load_key_ranges(self) -> dict | None:
         """Lazy per-handle memo of the key-range sidecar (mirrors the
         _blooms/_stats_cache pattern)."""
@@ -377,9 +385,7 @@ class SearchIndex:
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        if self._stats_cache is False:
-            self._stats_cache = load_search_stats(self.spark, self.path)
-        stats = self._stats_cache
+        stats = self._load_stats()
         scan = self.df()
         if stats and fname in stats:
             s = stats[fname]
@@ -408,9 +414,7 @@ class SearchIndex:
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        if self._stats_cache is False:
-            self._stats_cache = load_search_stats(self.spark, self.path)
-        stats = self._stats_cache
+        stats = self._load_stats()
         if stats and fname in stats:
             vocab = self.spark.read.parquet(
                 fs_join(self.path, f"{VOCAB_DIR}/{fname}")
@@ -439,9 +443,7 @@ class SearchIndex:
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        if self._stats_cache is False:
-            self._stats_cache = load_search_stats(self.spark, self.path)
-        stats = self._stats_cache
+        stats = self._load_stats()
         if stats and fname in stats:
             vocab = self.spark.read.parquet(
                 fs_join(self.path, f"{VOCAB_DIR}/{fname}")
@@ -537,9 +539,7 @@ class SearchIndex:
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
-        if self._stats_cache is False:
-            self._stats_cache = load_search_stats(self.spark, self.path)
-        stats = self._stats_cache
+        stats = self._load_stats()
         if stats and fname in stats:
             n_docs = stats[fname]["n_docs"]
             dfs = term_dfs(self.spark, self.path, fname, sorted(tf))

@@ -73,6 +73,21 @@ def write_key_ranges(
     manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
     key = manifest["unique_key"]
 
+    existing: dict = {}
+    if shards is not None:
+        if fs.exists(fs_join(path, KEY_RANGES)):
+            existing = json.loads(
+                fs.read_text(fs_join(path, KEY_RANGES))
+            ).get("shards", {})
+            for s in shards:  # rewritten dirs: old file names are gone
+                existing.pop(str(int(s)), None)
+        else:
+            # no sidecar to merge into: a subset write would cover ONLY the
+            # refreshed shards and silently hide every other shard's rows
+            # from pruned lookups/count — escalate to a full build (same
+            # policy as write_term_blooms)
+            shards = None
+
     idx = read_index(spark, path)
     if shards is not None:
         idx = idx.filter(F.col(SHARD_COL).isin([int(s) for s in shards]))
@@ -92,12 +107,6 @@ def write_key_ranges(
     )
 
     key_type = idx.schema[key].dataType.simpleString()
-    existing: dict = {}
-    if shards is not None and fs.exists(fs_join(path, KEY_RANGES)):
-        existing = json.loads(fs.read_text(fs_join(path, KEY_RANGES))).get("shards", {})
-        for s in shards:  # rewritten dirs: old file names are gone
-            existing.pop(str(int(s)), None)
-
     shard_maps: dict = dict(existing)
     for row in per_file:
         s = str(int(row["_s"]))
@@ -156,6 +165,10 @@ def _coerce(ranges: dict, value):
     return value
 
 
+def _is_nan(x) -> bool:
+    return isinstance(x, float) and x != x
+
+
 def candidate_files_range(
     ranges: dict, lo=None, hi=None, hi_exclusive: bool = False
 ) -> list[tuple[int, str]] | None:
@@ -170,10 +183,15 @@ def candidate_files_range(
         hi_c = _coerce(ranges, hi) if hi is not None else None
     except (TypeError, ValueError):
         return None
+    if _is_nan(lo_c) or _is_nan(hi_c):
+        return None  # NaN bound: comparison semantics diverge — no pruning
     out: list[tuple[int, str]] = []
     for s, files in ranges.get("shards", {}).items():
         for fname, (flo, fhi, _n) in files.items():
             flo_c, fhi_c = _coerce(ranges, flo), _coerce(ranges, fhi)
+            if _is_nan(flo_c) or _is_nan(fhi_c):
+                out.append((int(s), fname))  # unknown span: keep (superset)
+                continue
             if lo_c is not None and fhi_c < lo_c:
                 continue
             if hi_c is not None and (
@@ -209,12 +227,16 @@ def candidate_files(
         wanted = [_coerce(ranges, k) for k in keys]
     except (TypeError, ValueError):
         return None
+    if any(_is_nan(k) for k in wanted):
+        return None  # NaN key: comparison semantics diverge — no pruning
     out: list[tuple[int, str]] = []
     for s, files in ranges.get("shards", {}).items():
         if shard is not None and int(s) != int(shard):
             continue
         for fname, (lo, hi, _n) in files.items():
             lo_c, hi_c = _coerce(ranges, lo), _coerce(ranges, hi)
-            if any(lo_c <= k <= hi_c for k in wanted):
+            if _is_nan(lo_c) or _is_nan(hi_c):
+                out.append((int(s), fname))  # unknown span: keep (superset)
+            elif any(lo_c <= k <= hi_c for k in wanted):
                 out.append((int(s), fname))
     return sorted(out)

@@ -191,11 +191,20 @@ def op_extract_json(field: str, paths: dict[str, str], drop: bool = True) -> Tra
     column afterwards (sanitize-to-schema stance)."""
 
     def _t(df: DataFrame) -> DataFrame:
-        out = df
-        for name, path in paths.items():
-            jpath = "$." + path.strip("/").replace("/", ".")
-            out = out.withColumn(name, F.get_json_object(F.col(field), jpath))
-        return out.drop(field) if drop else out
+        # one select, every path evaluated against the ORIGINAL column —
+        # extract-in-place ({out: path} where out == field) and multiple
+        # paths therefore never read an already-replaced value
+        exprs = [
+            F.get_json_object(F.col(field), "$." + p.strip("/").replace("/", "."))
+            .alias(name)
+            for name, p in paths.items()
+        ]
+        keep = [
+            F.col(c)
+            for c in df.columns
+            if c not in paths and not (drop and c == field)
+        ]
+        return df.select(*keep, *exprs)
 
     return _t
 

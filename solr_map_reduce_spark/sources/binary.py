@@ -350,12 +350,13 @@ def explode_mbox(
                 if not s.startswith("From "):
                     continue
                 msgs = _split_mbox(s)
-                # same mbox gate as _extract_payload: the first message
+                # same mbox gate as _extract_payload: at least one message
                 # must parse as RFC822, else this is prose starting "From "
-                if not msgs or _extract_rfc822(msgs[0]) is None:
+                # (parse once, reuse per row)
+                parsed_all = [_extract_rfc822(m) for m in msgs]
+                if not any(p is not None for p in parsed_all):
                     continue
-                for i, m in enumerate(msgs):
-                    parsed = _extract_rfc822(m)
+                for i, (m, parsed) in enumerate(zip(msgs, parsed_all)):
                     base = {f.name: r[f.name] for f in keep}
                     base["message_index"] = i
                     base["message_text"] = parsed if parsed is not None else m
@@ -410,14 +411,16 @@ def _extract_payload(
         return None, _sniff_magic(b), None, {}
     if s.startswith("From "):
         # mbox gate: "From " alone collides with ordinary prose ("From the
-        # desk of…") — only treat as mbox when the first separated message
-        # actually parses as RFC822 mail; otherwise fall through to the
-        # text paths with the payload INTACT (no separator-line loss)
+        # desk of…") — only treat as mbox when AT LEAST ONE separated
+        # message parses as RFC822 mail (not just the first: a truncated
+        # leading message must not discard a valid archive); otherwise fall
+        # through to the text paths with the payload INTACT (no
+        # separator-line loss).  Messages are parsed once and reused.
         msgs = _split_mbox(s)
-        if msgs and _extract_rfc822(msgs[0]) is not None:
-            parsed = [_extract_rfc822(m) or m for m in msgs]
+        parsed = [_extract_rfc822(m) for m in msgs]
+        if any(p is not None for p in parsed):
             return (
-                "\n\n".join(parsed),
+                "\n\n".join(p if p is not None else m for p, m in zip(parsed, msgs)),
                 "application/mbox",
                 None,
                 {"message_count": str(len(msgs))},

@@ -529,3 +529,22 @@ class TestMboxGate:
             "path string, content binary",
         )
         assert explode_mbox(df).count() == 0
+
+
+class TestMboxGateRecall:
+    def test_mbox_with_malformed_first_message_still_mbox(self):
+        """A truncated/headerless first message must not discard a valid
+        archive: any parsing message keeps mbox handling."""
+        from solr_map_reduce_spark.sources.binary import _extract_payload
+
+        data = (
+            "From broken@x Mon Jan 1 00:00:00 2020\n"
+            "this first message has no headers at all\n"
+            "From alice@example.com Mon Jan 1 00:00:01 2020\n"
+            "From: alice@example.com\nTo: bob@example.com\n"
+            "Subject: hi\n\nreal body\n"
+        ).encode()
+        text, mime, _t, meta = _extract_payload(data)
+        assert mime == "application/mbox"
+        assert meta["message_count"] == "2"
+        assert "real body" in text

@@ -289,3 +289,43 @@ class TestMutationRefresh:
         idx = SearchIndex.open(spark, out)
         rows = idx.get("k00333").collect()
         assert len(rows) == 1 and rows[0]["val"] == 333
+
+
+class TestReviewRegressions:
+    def test_subset_write_without_sidecar_builds_full(self, spark, tmp_path):
+        """write_key_ranges(shards=[0]) with NO existing sidecar must cover
+        every shard — a partial sidecar would hide other shards' rows from
+        pruned lookups and count()."""
+        from solr_map_reduce_spark.key_ranges import write_key_ranges
+
+        out = str(tmp_path / "idx_partial")
+        _job(key_ranges=False).build(_docs(spark), out)
+        write_key_ranges(spark, out, shards=[0])
+        ranges = load_key_ranges(spark, out)
+        assert set(ranges["shards"]) == {"0", "1"}  # both shards present
+        idx = SearchIndex.open(spark, out)
+        assert idx.count() == 400
+        assert idx.get("k00399").count() == 1
+
+    def test_nan_key_bound_never_hides_rows(self, spark, tmp_path):
+        from solr_map_reduce_spark.key_ranges import candidate_files
+
+        out = str(tmp_path / "idx_nan")
+        schema = IndexSchema(
+            fields=(Field("k", "double", required=True),), unique_key="k"
+        )
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),)], "k double"
+        )
+        IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=1, dedup="none", routing="native",
+                key_ranges=True,
+            )
+        ).build(df, out)
+        ranges = load_key_ranges(spark, out)
+        # the NaN-poisoned span still admits ordinary keys (superset rule)
+        cands = candidate_files(ranges, [2.0])
+        assert cands, ranges
+        idx = SearchIndex.open(spark, out)
+        assert idx.get(2.0).count() == 1

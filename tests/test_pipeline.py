@@ -151,3 +151,18 @@ def test_avro_falls_back_without_spark_avro(spark, tmp_path):
         _pt.skip("spark-avro present in this environment")
     with _pt.raises(Exception, match="avro|PATH_NOT_FOUND|no .*files"):
         read_input(spark, str(tmp_path / "missing"), format="avro").collect()
+
+
+def test_extract_json_in_place_and_multi_path(spark):
+    """Extract-in-place ({out == field}) and multiple paths all read the
+    ORIGINAL JSON column — no path sees an already-replaced value."""
+    df = spark.createDataFrame(
+        [('{"k": 7, "tag": "x"}',)], "props string"
+    )
+    out = compile_pipeline(
+        [{"op": "extract_json", "field": "props",
+          "paths": {"props": "/k", "tag": "/tag"}}]
+    ).run(df)
+    row = out.first()
+    assert row["props"] == "7" and row["tag"] == "x"
+    assert set(out.columns) == {"props", "tag"}
