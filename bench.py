@@ -49,6 +49,24 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _release_leftovers(spark) -> None:
+    """Release persisted/localCheckpoint blocks left by prior executions.
+
+    Checkpointed RDDs stay pinned in executor STORAGE memory until the
+    driver GCs their references (ContextCleaner is GC-driven); across ~100
+    bench executions the leftovers squeeze unified EXECUTION memory and the
+    join-heavy plans (q9/q13) intermittently spill 2-4x slower.  Forcing a
+    Python + JVM GC between queries makes every timed rep see the same
+    memory state — the bench measures the query, not its neighbors' trash."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def bench_index_build(spark, sf_dir: str) -> float:
     """The flagship pipeline: route+dedup+sort+sharded-write of lineitem
     (the largest table) with a composite unique key."""
@@ -125,6 +143,7 @@ def main() -> None:
             _force(reg[name].spark(spark, SF_DIR))
         except Exception:
             pass
+    _release_leftovers(spark)
 
     # Each plan is timed as the best of REPS full-scale executions: single
     # runs at sf0.1 are dominated by JIT/GC noise (observed +-40% on the
@@ -143,6 +162,7 @@ def main() -> None:
             _force(qd.spark(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        _release_leftovers(spark)
 
     if os.path.isdir(warm_dir):
         bench_index_build(spark, warm_dir)  # JIT-warm the write path too
