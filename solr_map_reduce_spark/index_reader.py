@@ -100,7 +100,7 @@ class SearchIndex:
         if not self._load_key_ranges():
             return None
         shards = {self._shard_of(str(k)) for k in keys}
-        shard = shards.pop() if len(shards) == 1 and None not in shards else None
+        shard = shards if None not in shards else None
         cands = candidate_files(self._key_ranges, keys, shard=shard)
         return self._files_df(cands)
 
@@ -253,7 +253,7 @@ class SearchIndex:
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc(field))
         )
-        return out.limit(top) if top else out
+        return out.limit(top) if top is not None else out
 
     # -- C9 + BM25: term queries over STORED token arrays --------------
     # The reference analyzes at index time (TokenizeTextBuilder.java:83-107,
@@ -381,7 +381,7 @@ class SearchIndex:
         computed-stats fallback never prunes, since its statistics are
         defined over the whole collection."""
         from solr_map_reduce_spark.extensions import search
-        from solr_map_reduce_spark.search_stats import load_search_stats, term_dfs
+        from solr_map_reduce_spark.search_stats import term_dfs
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
@@ -410,7 +410,7 @@ class SearchIndex:
         KB-scale parquet read + TakeOrdered.  Falls back to one
         explode/groupBy pass over the stored token column."""
         from solr_map_reduce_spark.fs import join as fs_join
-        from solr_map_reduce_spark.search_stats import VOCAB_DIR, load_search_stats
+        from solr_map_reduce_spark.search_stats import VOCAB_DIR
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
@@ -439,7 +439,7 @@ class SearchIndex:
         ranked by document frequency.  Falls back to one explode/groupBy
         pass over the stored token column."""
         from solr_map_reduce_spark.fs import join as fs_join
-        from solr_map_reduce_spark.search_stats import VOCAB_DIR, load_search_stats
+        from solr_map_reduce_spark.search_stats import VOCAB_DIR
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
@@ -476,6 +476,8 @@ class SearchIndex:
         ``<em>`` (the Solr highlighting shape).  Pure array expressions over
         the stored token column — codegen, shard-pruned like the underlying
         term query, no Python."""
+        if not terms:
+            raise ValueError("highlight needs at least one term")
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
         tokens_col = self._tokens_col(fname)
@@ -527,7 +529,7 @@ class SearchIndex:
         operation, not a corpus scan."""
         import math
 
-        from solr_map_reduce_spark.search_stats import load_search_stats, term_dfs
+        from solr_map_reduce_spark.search_stats import term_dfs
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
@@ -578,8 +580,11 @@ class SearchIndex:
     def delete_where(self, condition: F.Column, out_path: str) -> "SearchIndex":
         """Rewrite the artifact without rows matching ``condition`` (the
         reference's build-time semantics: deletes are rebuild/merge-time
-        rewrites, SURVEY §2 C3/§7 hard-part 5).  Keeps layout and manifest."""
-        survivors = self.df().filter(~condition)
+        rewrites, SURVEY §2 C3/§7 hard-part 5).  Keeps layout and manifest.
+
+        SQL DELETE NULL semantics (same as ``IndexJob.delete_where``): a row
+        where the predicate is NULL does NOT match and is kept."""
+        survivors = self.df().filter(~F.coalesce(condition, F.lit(False)))
         (
             survivors.repartition(self.shards, F.col(SHARD_COL))
             .sortWithinPartitions(SHARD_COL, self.unique_key)
@@ -592,6 +597,17 @@ class SearchIndex:
 
         fs = get_fs(out_path, self.spark)
         fs.write_text(fs_join(out_path, MANIFEST), json.dumps(self.manifest, indent=2))
+        # sidecars: a pre-existing key-range file at out_path would name
+        # dead segments (false negatives) — drop it, then rebuild when the
+        # SOURCE artifact carried one, so the result keeps pruned lookups
+        from solr_map_reduce_spark.key_ranges import (
+            drop_key_ranges,
+            write_key_ranges,
+        )
+
+        drop_key_ranges(self.spark, out_path)
+        if self._load_key_ranges():
+            write_key_ranges(self.spark, out_path)
         return SearchIndex.open(self.spark, out_path)
 
     # -- C7 ------------------------------------------------------------

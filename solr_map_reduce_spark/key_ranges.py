@@ -160,6 +160,12 @@ def _coerce(ranges: dict, value):
         from decimal import Decimal
 
         return Decimal(str(value))
+    if kt != "string":
+        # timestamp/date/boolean/binary…: Python-side comparison of the
+        # json-serialized bounds does NOT reproduce Spark's typed compare
+        # (e.g. '2020-01-05 23:00' vs a '2020-01-05T12:00' literal orders
+        # by ' ' < 'T') — refuse to prune rather than risk hiding rows
+        raise TypeError(f"unprunable key domain {kt!r}")
     if not isinstance(value, str):
         raise TypeError(f"string key domain needs str bounds, got {type(value)}")
     return value
@@ -217,21 +223,25 @@ def next_prefix(prefix: str) -> str | None:
 
 
 def candidate_files(
-    ranges: dict, keys, shard: int | None = None
+    ranges: dict, keys, shard=None
 ) -> list[tuple[int, str]] | None:
     """(shard, file) pairs whose [min, max] admits ANY of the keys, or None
     when the sidecar can't answer (unknown key type coercion failure).
-    ``shard`` narrows the walk to one shard when the router already placed
-    the key."""
+    ``shard`` (an int or a set of ints) narrows the walk to the shards the
+    router already placed the keys in — a key can only live in its routed
+    shard, so files elsewhere are skipped even if their span matches."""
     try:
         wanted = [_coerce(ranges, k) for k in keys]
     except (TypeError, ValueError):
         return None
     if any(_is_nan(k) for k in wanted):
         return None  # NaN key: comparison semantics diverge — no pruning
+    allowed = None
+    if shard is not None:
+        allowed = {int(shard)} if isinstance(shard, int) else {int(x) for x in shard}
     out: list[tuple[int, str]] = []
     for s, files in ranges.get("shards", {}).items():
-        if shard is not None and int(s) != int(shard):
+        if allowed is not None and int(s) not in allowed:
             continue
         for fname, (lo, hi, _n) in files.items():
             lo_c, hi_c = _coerce(ranges, lo), _coerce(ranges, hi)

@@ -329,3 +329,53 @@ class TestReviewRegressions:
         assert cands, ranges
         idx = SearchIndex.open(spark, out)
         assert idx.get(2.0).count() == 1
+
+
+class TestThirdReviewRegressions:
+    def test_timestamp_key_refuses_pruning(self):
+        from solr_map_reduce_spark.key_ranges import (
+            candidate_files,
+            candidate_files_range,
+        )
+
+        ranges = {
+            "key_type": "timestamp",
+            "shards": {"0": {"f0.parquet": ["2020-01-05 23:00:00", "2020-01-06 00:00:00", 2]}},
+        }
+        # Python string compare of serialized timestamps diverges from
+        # Spark's typed compare ('T' vs ' ') — pruning must decline
+        assert candidate_files(ranges, ["2020-01-05T12:00"]) is None
+        assert candidate_files_range(ranges, lo="2020-01-05T12:00") is None
+
+    def test_get_many_narrows_to_routed_shards(self, spark, artifact):
+        from solr_map_reduce_spark.key_ranges import candidate_files
+
+        idx = SearchIndex.open(spark, artifact)
+        keys = ["k00001", "k00399"]
+        routed = {idx._shard_of(k) for k in keys}
+        if None in routed:
+            pytest.skip("solr routing unavailable")
+        cands = candidate_files(load_key_ranges(spark, artifact), keys, shard=routed)
+        assert cands and {s for s, _ in cands} <= routed
+
+    def test_reader_delete_where_keeps_null_predicate_rows(self, spark, tmp_path):
+        # SQL DELETE semantics: predicate NULL -> row kept (parity with
+        # IndexJob.delete_where)
+        out = str(tmp_path / "idx_nulldel")
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("tag", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "xx"), ("b", None), ("c", "keep")], "id string, tag string"
+        )
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", key_ranges=True)
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        res = idx.delete_where(F.col("tag") == "xx", str(tmp_path / "idx_out"))
+        ids = sorted(r["id"] for r in res.df().select("id").collect())
+        assert ids == ["b", "c"]  # NULL-tag row survives
+        # and the result carries a FRESH key-range sidecar (count + lookup)
+        assert res.count() == 2
+        assert res.get("b").count() == 1
