@@ -68,7 +68,11 @@ class IndexJobConfig:
     dedup: str = "retain_most_recent"  # A10-A14 strategy
     order_field: str = dedup_ops.DEFAULT_ORDER_FIELD
     tiebreak: tuple[str, ...] = ()
-    max_segments: int = 1  # files per shard dir (C7 contract)
+    # C7 segment contract TARGET, enforced by the separate compact()/
+    # merge_driver() pass (the reference's forceMerge/mtree step) — build()
+    # itself writes micro_shards/shards files per shard (its write
+    # parallelism); run compact(path, max_segments) to reach the target
+    max_segments: int = 1
     max_records_per_file: int | None = None
     sanitize_rename_prefix: str | None = None
     # "solr": bit-exact SolrCloud CompositeIdRouter placement (A8/C8 parity;
@@ -352,8 +356,39 @@ class IndexJob:
         current = read_index(df.sparkSession, path).filter(
             F.col(SHARD_COL).isin(touched)
         )
+        # the batch must carry the artifact's full column set: silently
+        # selecting the intersection would DROP columns from every
+        # pre-existing row in the touched shards (and leave untouched
+        # shards on the old schema)
+        missing = set(current.columns) - set(prepared.columns)
+        extra = set(prepared.columns) - set(current.columns)
+        if missing or extra:
+            raise ValueError(
+                "merge_into batch schema mismatch vs artifact: "
+                f"missing {sorted(missing)}, unexpected {sorted(extra)} — "
+                "run the same IndexJob config over inputs with the "
+                "artifact's columns (the reference reruns the same job)"
+            )
         merged = current.select(prepared.columns).unionByName(prepared)
-        resolved = self.resolve(merged)
+        cfg = self.config
+        if (
+            cfg.dedup in ("retain_most_recent", "sort_updates")
+            and cfg.order_field not in merged.columns
+        ):
+            # no order column: without one the resolver is any-one-wins and
+            # could nondeterministically keep the STALE artifact row — give
+            # the batch priority explicitly (upsert semantics, C6)
+            merged = current.select(prepared.columns).withColumn(
+                "_upsert_ord", F.lit(0)
+            ).unionByName(prepared.withColumn("_upsert_ord", F.lit(1)))
+            resolved = dedup_ops.resolve(
+                merged, cfg.schema.unique_key, cfg.dedup, "_upsert_ord",
+                tiebreak=cfg.tiebreak or None,
+            )
+            if "_upsert_ord" in resolved.columns:
+                resolved = resolved.drop("_upsert_ord")
+        else:
+            resolved = self.resolve(merged)
         if SHARD_COL not in resolved.columns:
             # resolver collapsed columns (sort_updates) — re-derive placement
             resolved = self._with_shard(resolved).drop(MICRO_COL)
@@ -370,15 +405,7 @@ class IndexJob:
         if cfg.codec:
             writer = writer.option("compression", cfg.codec)
         writer.parquet(tmp)
-        for s in touched:
-            dirname = f"{SHARD_COL}={s}"
-            src = fs_join(tmp, dirname)
-            dst = fs_join(path, dirname)
-            if not fs.isdir(src):
-                continue  # resolver emitted no rows for this shard
-            if fs.isdir(dst):
-                fs.delete(dst)
-            fs.rename(src, dst)
+        _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
         fs.delete(tmp)
         manifest = self._manifest(resolved, path)
         # a merge ADDS tokens: a stale bloom bitmap would be a false
@@ -437,15 +464,10 @@ class IndexJob:
             .parquet(tmp)
         )
         n_after = kept.count()
-        for s in touched:
-            dirname = f"{SHARD_COL}={s}"
-            src = fs_join(tmp, dirname)
-            dst = fs_join(path, dirname)
-            if fs.isdir(dst):
-                fs.delete(dst)
-            if fs.isdir(src):
-                fs.rename(src, dst)
-            # else: every row in this shard matched — the dir stays deleted
+        _swap_shard_dirs(
+            fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched],
+            remove_empty=True,
+        )
         fs.delete(tmp)
         # stored BM25 statistics are global — stale ones would skew every
         # later score, so invalidate (queries fall back to computing them);
@@ -483,6 +505,39 @@ class IndexJob:
         return out, obs
 
 
+_SWAP_TRASH = "_trash_swap"
+
+
+def _swap_shard_dirs(
+    fs, path: str, tmp: str, shard_names: list[str], remove_empty: bool = False
+) -> None:
+    """Replace shard directories with their rewritten versions via
+    rename-aside: old dirs move into ``<path>/_trash_swap/`` (an
+    underscore-prefixed dir, invisible to Spark's partition discovery)
+    BEFORE the new dir renames in, and the trash is deleted only at the
+    end.  A crash mid-swap therefore never leaves a shard deleted with no
+    replacement — worst case the aside copy survives for manual recovery
+    (the old delete-then-rename order lost the whole shard on a crash
+    between the two calls)."""
+    trash = fs_join(path, _SWAP_TRASH)
+    if fs.exists(trash):
+        fs.delete(trash)  # stale trash from an interrupted earlier swap
+    fs.mkdirs(trash)
+    for dirname in shard_names:
+        src = fs_join(tmp, dirname)
+        dst = fs_join(path, dirname)
+        if not fs.isdir(src):
+            # rewrite emitted no rows for this shard: for a delete that
+            # means every row matched — retire the old dir; a merge keeps it
+            if remove_empty and fs.isdir(dst):
+                fs.rename(dst, fs_join(trash, dirname))
+            continue
+        if fs.isdir(dst):
+            fs.rename(dst, fs_join(trash, dirname))
+        fs.rename(src, dst)
+    fs.delete(trash)
+
+
 def read_index(spark: SparkSession, path: str) -> DataFrame:
     """Open the artifact; ``shard`` is a partition column → pruning works.
 
@@ -496,6 +551,16 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
         manifest_path = fs_join(path, MANIFEST)
         if not fs.exists(manifest_path):
             raise
+        # the empty-DataFrame fallback is ONLY for a genuinely dataless
+        # artifact (zero input rows wrote no parquet files).  If any shard
+        # dir holds data files, the read failed for a real reason (corrupt
+        # footer, transient IO) — surface it; returning empty would make
+        # queries silently report zero rows
+        for entry in fs.listdir(path):
+            full = fs_join(path, entry)
+            if entry.startswith(f"{SHARD_COL}=") and fs.isdir(full):
+                if any(f.endswith(".parquet") for f in fs.listdir(full)):
+                    raise
         manifest = json.loads(fs.read_text(manifest_path))
         schema_json = manifest.get("schema_json")
         if not schema_json:
@@ -574,6 +639,17 @@ def compact(
 
     if fs.exists(fs_join(path, KEY_RANGES)):
         write_key_ranges(spark, path)
+    # the metadata carry-over copies FILES only: a surviving
+    # _SEARCH_STATS.json without its _vocab/ directory would crash the next
+    # stats-served query — invalidate (queries fall back to computing)
+    from solr_map_reduce_spark.search_stats import (
+        STATS,
+        VOCAB_DIR,
+        drop_search_stats,
+    )
+
+    if fs.exists(fs_join(path, STATS)) and not fs.isdir(fs_join(path, VOCAB_DIR)):
+        drop_search_stats(spark, path)
 
 
 def publish(staging_path: str, live_path: str, spark: SparkSession | None = None) -> None:

@@ -45,7 +45,14 @@ def stream_ingest(
     if event_time_col:
         stream = ensure_instant(stream, event_time_col)
         stream = stream.withWatermark(event_time_col, watermark)
-        stream = stream.dropDuplicatesWithinWatermark([config.schema.unique_key])
+        # dedupe on (key, order_field), NOT key alone: within-watermark
+        # dropDuplicates keeps the FIRST ARRIVAL, so deduping by key would
+        # discard a newer update that arrives after an older one — distinct
+        # versions must all reach merge_into's resolver (A10 recency wins)
+        dedup_cols = [config.schema.unique_key]
+        if config.order_field in [f.name for f in input_schema.fields]:
+            dedup_cols.append(config.order_field)
+        stream = stream.dropDuplicatesWithinWatermark(dedup_cols)
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         # per-batch incremental re-index: same-key docs replaced per the

@@ -650,3 +650,89 @@ def test_codec_option_produces_zstd_files(spark, tmp_path):
     assert meta.row_group(0).column(0).compression.lower() == "zstd"
     # artifact still reads back complete
     assert spark.read.parquet(path).count() == 100
+
+
+class TestCoreReviewRegressions:
+    def _schema(self):
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        return IndexSchema(
+            fields=(Field("id", "string", required=True), Field("v", "long")),
+            unique_key="id",
+        )
+
+    def test_merge_into_schema_mismatch_raises(self, spark, tmp_path):
+        import pytest as _pt
+
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+        out = str(tmp_path / "idx")
+        job = IndexJob(IndexJobConfig(schema=self._schema(), shards=2, dedup="none"))
+        job.build(
+            spark.createDataFrame([("a", 1)], "id string, v long"), out
+        )
+        # batch missing column v: silently dropping it from old rows is the
+        # failure mode — must raise a clear error instead
+        with _pt.raises(ValueError, match="schema mismatch"):
+            job.merge_into(spark.createDataFrame([("b",)], "id string"), out)
+
+    def test_merge_without_order_field_batch_wins(self, spark, tmp_path):
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, read_index
+
+        out = str(tmp_path / "idx_bw")
+        job = IndexJob(
+            IndexJobConfig(
+                schema=self._schema(), shards=2,
+                dedup="retain_most_recent", order_field="not_present",
+            )
+        )
+        job.build(spark.createDataFrame([("a", 1), ("b", 2)], "id string, v long"), out)
+        job.merge_into(spark.createDataFrame([("a", 99)], "id string, v long"), out)
+        got = {r["id"]: r["v"] for r in read_index(spark, out).collect()}
+        assert got == {"a": 99, "b": 2}  # the batch row replaced the old one
+
+    def test_read_index_corrupt_file_raises_not_empty(self, spark, tmp_path):
+        import os
+
+        import pytest as _pt
+
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, read_index
+
+        out = str(tmp_path / "idx_corrupt")
+        IndexJob(IndexJobConfig(schema=self._schema(), shards=1, dedup="none")).build(
+            spark.createDataFrame([("a", 1)], "id string, v long"), out
+        )
+        shard = os.path.join(out, "shard=0")
+        victim = [f for f in os.listdir(shard) if f.endswith(".parquet")][0]
+        with open(os.path.join(shard, victim), "wb") as f:
+            f.write(b"NOT A PARQUET FILE")
+        with _pt.raises(Exception):
+            read_index(spark, out).collect()  # must NOT return empty
+
+    def test_compact_invalidates_stats_without_vocab(self, spark, tmp_path):
+        import os
+
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, compact
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_general")),
+            unique_key="id",
+        )
+        out = str(tmp_path / "idx_stats")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", search_stats=True)
+        ).build(
+            spark.createDataFrame(
+                [("a", "alpha beta"), ("b", "alpha gamma")], "id string, text string"
+            ),
+            out,
+        )
+        assert os.path.exists(os.path.join(out, "_SEARCH_STATS.json"))
+        compact(spark, out, max_segments=1)
+        # file-only carry-over loses _vocab/: the stats sidecar must be
+        # invalidated, and bm25 must still answer via the fallback
+        assert not os.path.exists(os.path.join(out, "_SEARCH_STATS.json"))
+        idx = SearchIndex.open(spark, out)
+        assert len(idx.bm25(["alpha"], k=2).collect()) == 2

@@ -301,3 +301,36 @@ def test_stream_dedup_ingest_batch_parity_with_one_shot(spark, sf_dir, tmp_path)
     # one-shot drops max-id of every pair; single-batch streaming greedy
     # min-id-wins is the same rule when all docs arrive in one batch
     assert kept_stream == kept_batch
+
+
+def test_stream_ingest_keeps_newest_version_within_watermark(spark, tmp_path):
+    """Two updates for one key in the same drain: deduping by key alone
+    keeps the FIRST ARRIVAL; the subset must include the order field so the
+    resolver sees both versions and recency wins (A10)."""
+    import datetime as dt
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 12, 0, 5)
+    df = spark.createDataFrame(
+        [("a", "old", t0), ("a", "new", t1)],
+        "id string, payload string, ts timestamp",
+    )
+    df.write.parquet(inp)
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("payload", "string"),
+            Field("ts", "date"),
+        ),
+        unique_key="id",
+    )
+    cfg = IndexJobConfig(schema=schema, shards=2, dedup="retain_most_recent",
+                         order_field="ts", tiebreak=("id",))
+    q = stream_ingest(spark, inp, df.schema, cfg, out, ckpt,
+                      event_time_col="ts")
+    q.awaitTermination(120)
+    got = {r["id"]: r["payload"] for r in read_index(spark, out).collect()}
+    assert got == {"a": "new"}
