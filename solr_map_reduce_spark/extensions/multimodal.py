@@ -112,8 +112,8 @@ def _builtin_image_meta(b: bytes) -> tuple[int, int, str, str] | None:
         dib = struct.unpack("<I", b[14:18])[0]
         if dib in (12, 16, 40, 52, 56, 64, 108, 124):
             w, h = struct.unpack("<ii", b[18:26])
-            if dib == 12:  # BITMAPCOREHEADER: 16-bit width/height
-                w, h = struct.unpack("<hh", b[18:22])
+            if dib == 12:  # BITMAPCOREHEADER: UNSIGNED 16-bit width/height
+                w, h = struct.unpack("<HH", b[18:22])
             return (w, abs(h), "RGB", "BMP")
         return None
     if len(b) >= 2 and b[:1] == b"P" and b[1:2] in b"1234567":  # netpbm
@@ -167,6 +167,63 @@ def _builtin_audio_meta(b: bytes) -> tuple[int, int, float, str] | None:
         return None
 
 
+def _builtin_image_row(c) -> tuple:
+    return (_builtin_image_meta(bytes(c)) if c is not None else None) or (
+        None, None, None, None,
+    )
+
+
+def _fake_image_row(c) -> tuple:
+    return _fake_decode(c)
+
+
+def _pillow_image_row(c) -> tuple:
+    """REAL full-codec decode via Pillow (when installed): ``Image.open`` is
+    lazy — it parses the header for size/mode/format without decompressing
+    pixel data, the same cost model as the builtin parser but covering
+    every format Pillow knows.  Unreadable payloads → nulls."""
+    import io
+
+    from PIL import Image
+
+    if not c:
+        return (None, None, None, None)
+    try:
+        with Image.open(io.BytesIO(bytes(c))) as img:
+            return (
+                int(img.width),
+                int(img.height),
+                str(img.mode),
+                str(img.format or "UNKNOWN"),
+            )
+    except Exception:
+        return (None, None, None, None)
+
+
+# impl -> row decoder.  Plan-time dispatch picks the function ONCE (a missing
+# library raises NotImplementedError at plan time, never a silent fake
+# fallthrough — r4 review finding), and the module-level functions pickle by
+# reference into the Arrow workers.
+IMAGE_DECODERS = {
+    "builtin": _builtin_image_row,
+    "fake": _fake_image_row,
+    "pillow": _pillow_image_row,
+}
+
+
+def _require(impl: str, module: str) -> None:
+    import importlib
+
+    try:
+        importlib.import_module(module)
+    except ImportError as e:
+        raise NotImplementedError(
+            f"{module} is not installed in this environment; impl={impl!r} "
+            "needs it — use impl='builtin' (real header metadata, no codec "
+            "libs) or impl='fake' (deterministic plumbing) instead"
+        ) from e
+
+
 def decode_image(
     df: DataFrame,
     content_col: str = "content",
@@ -182,18 +239,14 @@ def decode_image(
     ``impl="builtin"`` parses REAL metadata from PNG/JPEG/GIF/BMP/netpbm
     headers (pure byte parsing, no codec libs; unknown formats → nulls);
     ``impl="fake"`` derives deterministic metadata from a digest (any
-    payload, for plumbing tests); ``impl="pillow"`` is the full-codec slot.
+    payload, for plumbing tests); ``impl="pillow"`` is the REAL full-codec
+    path (requires Pillow; raises NotImplementedError when absent).
     """
-    if impl == "pillow":  # pragma: no cover - codec not in this environment
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "Pillow not available in this environment; use impl='fake' "
-                "for plumbing tests"
-            ) from e
-    if impl not in ("fake", "builtin", "pillow"):
+    if impl not in IMAGE_DECODERS:
         raise ValueError(f"unknown impl {impl!r}")
+    if impl == "pillow":
+        _require(impl, "PIL")
+    row_fn = IMAGE_DECODERS[impl]
 
     out_schema = T.StructType(
         [
@@ -206,16 +259,9 @@ def decode_image(
         ]
     )
 
-    def _meta(c):
-        if impl == "builtin":
-            return (_builtin_image_meta(bytes(c)) if c is not None else None) or (
-                None, None, None, None,
-            )
-        return _fake_decode(c)
-
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_meta(c) for c in pdf[content_col]]
+            metas = [row_fn(c) for c in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -230,6 +276,38 @@ def decode_image(
     return df.select(id_col, content_col).mapInPandas(_decode, out_schema)
 
 
+def _fake_resize_row(c, tw: int, th: int) -> tuple:
+    """Passes payload bytes through and stamps the target dimensions — the
+    plumbing-test impl (contract-identical shape, no codec)."""
+    if c is None:
+        return (None, 0, 0)
+    return (bytes(c), tw, th)
+
+
+def _pillow_resize_row(c, tw: int, th: int) -> tuple:
+    """REAL resample via Pillow: decode, bilinear-resize, re-encode in the
+    source container format (PNG when unknown).  Unreadable payloads →
+    null content."""
+    import io
+
+    from PIL import Image
+
+    if not c:
+        return (None, 0, 0)
+    try:
+        with Image.open(io.BytesIO(bytes(c))) as img:
+            fmt = img.format or "PNG"
+            resized = img.resize((tw, th), resample=Image.BILINEAR)
+            buf = io.BytesIO()
+            resized.save(buf, format=fmt)
+            return (buf.getvalue(), tw, th)
+    except Exception:
+        return (None, None, None)
+
+
+RESIZE_IMPLS = {"fake": _fake_resize_row, "pillow": _pillow_resize_row}
+
+
 def resize_image(
     df: DataFrame,
     target_width: int,
@@ -240,17 +318,17 @@ def resize_image(
 ) -> DataFrame:
     """content → (id, content, width, height) resized via mapInPandas.
 
-    The fake impl passes payload bytes through and stamps the target
-    dimensions (the real impl would re-encode); the Spark contract — binary
-    in, binary out, narrow transform, payloads never shuffle — is identical.
+    ``impl="pillow"`` REALLY resamples (decode → bilinear resize →
+    re-encode; requires Pillow, raises NotImplementedError when absent);
+    ``impl="fake"`` passes payload bytes through and stamps the target
+    dimensions.  The Spark contract — binary in, binary out, narrow
+    transform, payloads never shuffle — is identical for both.
     """
-    if impl == "pillow":  # pragma: no cover - codec not in this environment
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "Pillow not available; use impl='fake' for plumbing tests"
-            ) from e
+    if impl not in RESIZE_IMPLS:
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "pillow":
+        _require(impl, "PIL")
+    row_fn = RESIZE_IMPLS[impl]
 
     out_schema = T.StructType(
         [
@@ -263,16 +341,63 @@ def resize_image(
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            rows = [row_fn(c, target_width, target_height) for c in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "content": pdf[content_col],
-                    "width": [target_width if c is not None else 0 for c in pdf[content_col]],
-                    "height": [target_height if c is not None else 0 for c in pdf[content_col]],
+                    "content": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
                 }
             )
 
     return df.select(id_col, content_col).mapInPandas(_resize, out_schema)
+
+
+def _builtin_audio_row(c) -> tuple:
+    return (_builtin_audio_meta(bytes(c)) if c is not None else None) or (
+        None, None, None, None,
+    )
+
+
+def _fake_audio_row(content) -> tuple:
+    if not content:
+        return (0, 0, 0.0, "NONE")
+    d = hashlib.sha256(content).digest()
+    rate = [8000, 16000, 22050, 44100, 48000][d[0] % 5]
+    channels = 1 + d[1] % 2
+    duration = round(0.5 + (d[2] | (d[3] << 8)) / 65535.0 * 299.5, 3)
+    codec = ["pcm_s16le", "flac", "opus"][d[4] % 3]
+    return (rate, channels, duration, codec)
+
+
+def _soundfile_audio_row(c) -> tuple:
+    """REAL full-codec audio metadata via soundfile/libsndfile (when
+    installed): sample rate, channels, exact duration, subtype codec name.
+    Unreadable payloads → nulls."""
+    import io
+
+    import soundfile as sf
+
+    if not c:
+        return (None, None, None, None)
+    try:
+        info = sf.info(io.BytesIO(bytes(c)))
+        return (
+            int(info.samplerate),
+            int(info.channels),
+            round(float(info.duration), 6),
+            str(info.subtype or info.format).lower(),
+        )
+    except Exception:
+        return (None, None, None, None)
+
+
+AUDIO_DECODERS = {
+    "builtin": _builtin_audio_row,
+    "fake": _fake_audio_row,
+    "soundfile": _soundfile_audio_row,
+}
 
 
 def decode_audio(
@@ -287,17 +412,14 @@ def decode_audio(
     ``impl="builtin"`` REALLY decodes WAV/RIFF via the stdlib ``wave``
     reader (rate/channels/exact duration/PCM codec; non-WAV → nulls);
     ``impl="fake"`` derives deterministic metadata from a digest;
-    ``impl="soundfile"`` is the full-codec slot.
+    ``impl="soundfile"`` is the REAL full-codec path (requires soundfile;
+    raises NotImplementedError when absent).
     """
-    if impl == "soundfile":  # pragma: no cover - codec not in this environment
-        try:
-            import soundfile  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "soundfile not available; use impl='fake' for plumbing tests"
-            ) from e
-    if impl not in ("fake", "builtin", "soundfile"):
+    if impl not in AUDIO_DECODERS:
         raise ValueError(f"unknown impl {impl!r}")
+    if impl == "soundfile":
+        _require(impl, "soundfile")
+    row_fn = AUDIO_DECODERS[impl]
 
     out_schema = T.StructType(
         [
@@ -310,26 +432,9 @@ def decode_audio(
         ]
     )
 
-    def _meta(content: bytes | None) -> tuple[int, int, float, str]:
-        if not content:
-            return (0, 0, 0.0, "NONE")
-        d = hashlib.sha256(content).digest()
-        rate = [8000, 16000, 22050, 44100, 48000][d[0] % 5]
-        channels = 1 + d[1] % 2
-        duration = round(0.5 + (d[2] | (d[3] << 8)) / 65535.0 * 299.5, 3)
-        codec = ["pcm_s16le", "flac", "opus"][d[4] % 3]
-        return (rate, channels, duration, codec)
-
-    def _row_meta(c):
-        if impl == "builtin":
-            return (_builtin_audio_meta(bytes(c)) if c is not None else None) or (
-                None, None, None, None,
-            )
-        return _meta(c)
-
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_row_meta(c) for c in pdf[content_col]]
+            metas = [row_fn(c) for c in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -353,6 +458,146 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "media_id") ->
         F.col("content"),
         F.posexplode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_pos", "frame_idx"),
     ).drop("frame_pos")
+
+
+def _netpbm_pixels(b: bytes):
+    """Decode netpbm P2/P3 (ASCII) / P5/P6 (binary) pixel values into a flat
+    int list — REAL pixel data with zero codec dependencies (the formats are
+    uncompressed by spec).  None when not netpbm or malformed."""
+    if len(b) < 2 or b[:1] != b"P" or b[1:2] not in b"2356":
+        return None
+    try:
+        kind = b[1:2]
+        # header: width, height, maxval as whitespace/comment-separated ints
+        fields: list[bytes] = []
+        i = 2
+        while len(fields) < 3 and i < len(b):
+            c = b[i : i + 1]
+            if c == b"#":
+                while i < len(b) and b[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                start = i
+                while i < len(b) and not b[i : i + 1].isspace():
+                    i += 1
+                fields.append(b[start:i])
+        w, h, maxval = (int(f) for f in fields)
+        n = w * h * (3 if kind in b"36" else 1)
+        if kind in b"56":  # binary: exactly ONE whitespace byte after maxval
+            i += 1
+            step = 2 if maxval > 255 else 1
+            raw = b[i : i + n * step]
+            if len(raw) < n * step:
+                return None
+            if step == 1:
+                return list(raw)
+            return [
+                int.from_bytes(raw[j : j + 2], "big") for j in range(0, len(raw), 2)
+            ]
+        vals = b[i:].split()
+        if len(vals) < n:
+            return None
+        return [int(v) for v in vals[:n]]
+    except (ValueError, IndexError):
+        return None
+
+
+def _builtin_pixel_row(c) -> tuple:
+    """Real pixel stats for the uncompressed formats the builtin tier can
+    decode (netpbm); other formats → nulls."""
+    import math
+
+    px = _netpbm_pixels(bytes(c)) if c else None
+    if not px:
+        return (None, None, None, None)
+    n = len(px)
+    mean = sum(px) / n
+    var = sum((v - mean) ** 2 for v in px) / n
+    return (round(mean, 6), round(math.sqrt(var), 6), float(min(px)), float(max(px)))
+
+
+def _fake_pixel_row(c) -> tuple:
+    if not c:
+        return (None, None, None, None)
+    d = hashlib.sha256(c).digest()
+    return (float(d[0]), float(d[1] % 64), float(d[2] % 16), float(240 + d[3] % 16))
+
+
+def _pillow_pixel_row(c) -> tuple:
+    """REAL pixel stats via Pillow: decode, convert to grayscale, aggregate
+    mean/std/min/max over the pixel buffer."""
+    import io
+
+    from PIL import Image, ImageStat
+
+    if not c:
+        return (None, None, None, None)
+    try:
+        with Image.open(io.BytesIO(bytes(c))) as img:
+            gray = img.convert("L")
+            stat = ImageStat.Stat(gray)
+            lo, hi = gray.getextrema()
+            return (
+                round(stat.mean[0], 6),
+                round(stat.stddev[0], 6),
+                float(lo),
+                float(hi),
+            )
+    except Exception:
+        return (None, None, None, None)
+
+
+PIXEL_IMPLS = {
+    "builtin": _builtin_pixel_row,
+    "fake": _fake_pixel_row,
+    "pillow": _pillow_pixel_row,
+}
+
+
+def pixel_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    impl: str = "builtin",
+) -> DataFrame:
+    """content → (id, px_mean, px_std, px_min, px_max): REAL pixel-level
+    statistics for image quality filtering (flat/blank detection, exposure
+    outliers).  ``impl="builtin"`` decodes uncompressed netpbm pixels with
+    no codec libs; ``impl="pillow"`` covers every Pillow format (grayscale-
+    converted); ``impl="fake"`` is digest-derived plumbing.  Narrow
+    ``mapInPandas`` — payloads never shuffle, only the 4 floats flow on."""
+    if impl not in PIXEL_IMPLS:
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "pillow":
+        _require(impl, "PIL")
+    row_fn = PIXEL_IMPLS[impl]
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("px_mean", T.DoubleType()),
+            T.StructField("px_std", T.DoubleType()),
+            T.StructField("px_min", T.DoubleType()),
+            T.StructField("px_max", T.DoubleType()),
+        ]
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [row_fn(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "px_mean": [r[0] for r in rows],
+                    "px_std": [r[1] for r in rows],
+                    "px_min": [r[2] for r in rows],
+                    "px_max": [r[3] for r in rows],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_stats, out_schema)
 
 
 def feature_extract(

@@ -363,6 +363,7 @@ def knn_join(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact k-nearest-neighbor join by cosine: for every query vector, the
     ``k`` most similar corpus vectors, as ``(query_id, neighbor_id,
@@ -376,9 +377,24 @@ def knn_join(
     leave each task, so the shuffle into the final per-query rank is
     O(partitions * n_q * k), independent of corpus size.  The corpus itself
     never shuffles and never leaves the JVM except as Arrow batches.
+
+    The small-query contract is ENFORCED: more than ``max_queries`` rows on
+    the query side raises (a cheap ``limit(n+1)`` probe, not a full count)
+    instead of collecting an unbounded DataFrame onto the driver — for a
+    large query side use the blocked exact pairs (``cosine_pairs``) or the
+    LSH/IVF paths, which keep both sides distributed.
     """
     from pyspark.sql import Window
 
+    probe = queries.select(query_id).limit(max_queries + 1).collect()
+    if len(probe) > max_queries:
+        raise ValueError(
+            f"knn_join query side exceeds max_queries={max_queries} — it is "
+            "collected and broadcast, so a large query set would OOM the "
+            "driver.  Raise max_queries deliberately, or use cosine_pairs "
+            "(blocked exact) / lsh_cosine_pairs / IvfIndex for a "
+            "distributed-both-sides search"
+        )
     q_rows = queries.select(query_id, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)

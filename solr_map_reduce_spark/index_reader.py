@@ -70,12 +70,8 @@ class SearchIndex:
         refreshes the sidecar, so the counts are exact; without a sidecar,
         a parquet metadata-only count (still no data scan)."""
         ranges = self._load_key_ranges()
-        if ranges:
-            return sum(
-                int(n)
-                for files in ranges.get("shards", {}).values()
-                for (_lo, _hi, n) in files.values()
-            )
+        if ranges is not None:
+            return ranges.total_rows()
         return self.df().count()
 
     # -- C2: point lookup with shard pruning ---------------------------

@@ -307,17 +307,32 @@ class IndexJob:
                 # resolver collapsed columns (sort_updates) — re-derive placement
                 resolved = self._with_shard(resolved).drop(MICRO_COL)
             manifest = self.write(resolved, path, mode=mode)
-        if self.config.term_blooms and manifest.get("analyzed"):
-            from solr_map_reduce_spark.term_blooms import write_term_blooms
+        # sidecar refresh mirrors the mutation paths (merge_into/delete_where/
+        # compact): gate on fs.exists as well as the config flag.  A
+        # mode="append" over an artifact whose sidecar was built by an
+        # EARLIER config (key_ranges=True then, False now) must still
+        # refresh — the appended files would otherwise be invisible to
+        # pruned lookups (false negatives) and count() would undercount.
+        # (mode="overwrite" wipes the directory, so exists() is False there.)
+        fs = get_fs(path, df.sparkSession)
+        from solr_map_reduce_spark.term_blooms import BLOOMS, write_term_blooms
 
+        if manifest.get("analyzed") and (
+            self.config.term_blooms or fs.exists(fs_join(path, BLOOMS))
+        ):
             write_term_blooms(df.sparkSession, path)
-        if self.config.search_stats and manifest.get("analyzed"):
-            from solr_map_reduce_spark.search_stats import write_search_stats
+        from solr_map_reduce_spark.search_stats import STATS, write_search_stats
 
+        if manifest.get("analyzed") and (
+            self.config.search_stats or fs.exists(fs_join(path, STATS))
+        ):
             write_search_stats(df.sparkSession, path)
-        if self.config.key_ranges:
-            from solr_map_reduce_spark.key_ranges import write_key_ranges
+        from solr_map_reduce_spark.key_ranges import (
+            sidecar_exists,
+            write_key_ranges,
+        )
 
+        if self.config.key_ranges or sidecar_exists(fs, path):
             write_key_ranges(df.sparkSession, path)
         return manifest
 
@@ -424,9 +439,10 @@ class IndexJob:
             write_search_stats(df.sparkSession, path)
         # rewritten shard dirs have NEW segment file names — a stale range
         # entry would be a false negative, so refresh the touched shards
-        from solr_map_reduce_spark.key_ranges import KEY_RANGES, write_key_ranges
+        # (rewrites only those shards' span files: O(touched) sidecar I/O)
+        from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
 
-        if fs.exists(fs_join(path, KEY_RANGES)):
+        if sidecar_exists(fs, path):
             write_key_ranges(df.sparkSession, path, shards=touched)
         return manifest
 
@@ -477,9 +493,9 @@ class IndexJob:
         drop_search_stats(spark, path)
         # segment files were renamed by the rewrite: refresh the touched
         # shards' key ranges (stale names would be false negatives)
-        from solr_map_reduce_spark.key_ranges import KEY_RANGES, write_key_ranges
+        from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
 
-        if fs.exists(fs_join(path, KEY_RANGES)):
+        if sidecar_exists(fs, path):
             write_key_ranges(spark, path, shards=touched)
         return n_before - n_after
 
@@ -599,6 +615,12 @@ def compact(
     if sort_key is None or sort_key not in df.columns:
         sort_key = [c for c in df.columns if c != SHARD_COL][0]
     tmp = path.rstrip("/") + "._compact_tmp"
+    # capture BEFORE the swap: the sidecar dir is not carried over by the
+    # file-only metadata copy below (and would be stale if it were — every
+    # segment file gets renamed), so recompute afterwards when one existed
+    from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
+
+    had_key_ranges = sidecar_exists(fs, path)
     shard_rows = df.groupBy(SHARD_COL).count().collect()
     n_shards = len(shard_rows)
     max_rows = max((r["count"] for r in shard_rows), default=0)
@@ -633,11 +655,13 @@ def compact(
     fs.rename(tmp, path)
     if not defer_deletion:
         fs.delete(bak)
-    # every segment file was renamed by the rewrite: the copied-over key
-    # range sidecar is stale (false negatives) — recompute it
-    from solr_map_reduce_spark.key_ranges import KEY_RANGES, write_key_ranges
+    # every segment file was renamed by the rewrite: recompute the key-range
+    # sidecar when the pre-compact artifact carried one (a stale or
+    # copied-over entry would be a false negative)
+    if had_key_ranges:
+        from solr_map_reduce_spark.key_ranges import drop_key_ranges
 
-    if fs.exists(fs_join(path, KEY_RANGES)):
+        drop_key_ranges(spark, path)  # a copied-over legacy file is stale
         write_key_ranges(spark, path)
     # the metadata carry-over copies FILES only: a surviving
     # _SEARCH_STATS.json without its _vocab/ directory would crash the next

@@ -282,7 +282,10 @@ class TestMutationRefresh:
         job = _job()
         job.build(_docs(spark), out)
         compact(spark, out, max_segments=1)
-        assert os.path.exists(os.path.join(out, KEY_RANGES))
+        from solr_map_reduce_spark.fs import LocalFS
+        from solr_map_reduce_spark.key_ranges import sidecar_exists
+
+        assert sidecar_exists(LocalFS(), out)
         ranges = load_key_ranges(spark, out)
         for files in ranges["shards"].values():
             assert len(files) == 1  # one segment per shard after compact
@@ -379,3 +382,137 @@ class TestThirdReviewRegressions:
         # and the result carries a FRESH key-range sidecar (count + lookup)
         assert res.count() == 2
         assert res.get("b").count() == 1
+
+
+class TestPartitionedSidecar:
+    """Round-5 layout: per-shard span files (_key_ranges/shard_N.json,
+    spans sorted for bisect) loaded lazily — per-lookup work is bounded by
+    the admitted shard, not total file count; count() is O(1) from META."""
+
+    def test_layout_on_disk(self, spark, artifact):
+        import os
+
+        base = os.path.join(artifact, "_key_ranges")
+        assert os.path.isfile(os.path.join(base, "_META.json"))
+        shard_files = [f for f in os.listdir(base) if f.startswith("shard_")]
+        assert len(shard_files) == 2  # one span file per shard
+        assert not os.path.exists(os.path.join(artifact, KEY_RANGES))
+
+    def test_point_lookup_loads_only_admitted_shard(self, spark, tmp_path):
+        # artificially high segment count: 16 micro-shards, 10-row files
+        out = str(tmp_path / "idx_many")
+        _job(
+            shards=4, micro_shards=16, max_records_per_file=10
+        ).build(_docs(spark, n=800), out)
+        ranges = load_key_ranges(spark, out)
+        assert ranges.loaded_shards() == set()  # nothing read at open
+        idx = SearchIndex.open(spark, out)
+        routed = idx._shard_of("k00123")
+        assert routed is not None
+        hit = idx.get("k00123").collect()
+        assert len(hit) == 1 and hit[0]["val"] == 123
+        # the handle inside the SearchIndex loaded ONLY the routed shard's
+        # span file — work bounded by the admitted shard, not total files
+        assert idx._key_ranges.loaded_shards() == {str(routed)}
+        # and the admitted file set is tiny vs the artifact's segment count
+        import os
+
+        total_files = sum(
+            len(os.listdir(os.path.join(out, d)))
+            for d in os.listdir(out)
+            if d.startswith("shard=")
+        )
+        assert total_files >= 20
+        # ≤ micro-shards-per-shard files can admit a key (their spans
+        # interleave within the shard) — far below the 20+ total
+        assert 0 < len(idx.get("k00123").inputFiles()) <= 4
+
+    def test_count_is_meta_only(self, spark, artifact):
+        ranges = load_key_ranges(spark, artifact)
+        assert ranges.total_rows() == 400
+        assert ranges.loaded_shards() == set()  # no span file was read
+
+    def test_bisect_matches_linear_walk(self, spark, artifact):
+        from solr_map_reduce_spark.key_ranges import candidate_files
+
+        ranges = load_key_ranges(spark, artifact)
+        legacy = {"key_type": ranges["key_type"], "shards": ranges["shards"]}
+        for key in ("k00000", "k00123", "k00399", "zzz"):
+            assert candidate_files(ranges, [key]) == candidate_files(legacy, [key])
+
+    def test_legacy_monolithic_still_readable(self, spark, tmp_path):
+        """An externally produced _KEY_RANGES.json (format 1) keeps working
+        end to end — compat fallback."""
+        import json
+        import os
+        import shutil
+
+        out = str(tmp_path / "idx_legacy")
+        src_job = _job()
+        src_job.build(_docs(spark), out)
+        ranges = load_key_ranges(spark, out)
+        legacy = {"key_type": ranges["key_type"], "shards": ranges["shards"]}
+        shutil.rmtree(os.path.join(out, "_key_ranges"))
+        with open(os.path.join(out, KEY_RANGES), "w") as f:
+            json.dump(legacy, f)
+        idx = SearchIndex.open(spark, out)
+        assert idx.count() == 400
+        rows = idx.get("k00123").collect()
+        assert len(rows) == 1 and rows[0]["val"] == 123
+        assert 0 < len(idx.get("k00123").inputFiles()) < 10
+
+    def test_subset_refresh_rewrites_only_touched_span_files(self, spark, tmp_path):
+        import os
+
+        out = str(tmp_path / "idx_touch")
+        job = _job()
+        job.build(_docs(spark), out)
+        base = os.path.join(out, "_key_ranges")
+        before = {
+            f: os.path.getmtime(os.path.join(base, f))
+            for f in os.listdir(base)
+            if f.startswith("shard_")
+        }
+        # route a one-key batch; merge_into refreshes shards=touched
+        batch = _docs(spark, n=1, start=5000)
+        routed = job.route(batch).select("shard").distinct().collect()
+        touched = {str(r["shard"]) for r in routed}
+        assert len(touched) == 1
+        job.merge_into(batch, out)
+        after = {
+            f: os.path.getmtime(os.path.join(base, f))
+            for f in os.listdir(base)
+            if f.startswith("shard_")
+        }
+        for f in before:
+            s = f[len("shard_"):-len(".json")]
+            if s in touched:
+                assert after[f] != before[f]  # rewritten
+            else:
+                assert after[f] == before[f]  # untouched span file intact
+
+    def test_malformed_bounds_keep_file_superset(self):
+        """ADVICE r4: a hand-edited sidecar entry with null/malformed
+        bounds must not raise out of get()/key_range() — the file is kept
+        (superset rule), matching the NaN-span handling."""
+        from solr_map_reduce_spark.key_ranges import (
+            KeyRanges,
+            candidate_files,
+            candidate_files_range,
+        )
+
+        legacy = {
+            "key_type": "bigint",
+            "shards": {"0": {"ok.parquet": [10, 20, 5], "bad.parquet": [None, "x", 3]}},
+        }
+        assert candidate_files(legacy, [15]) == [(0, "bad.parquet"), (0, "ok.parquet")]
+        assert candidate_files(legacy, [999]) == [(0, "bad.parquet")]
+        assert candidate_files_range(legacy, lo=11, hi=12) == [
+            (0, "bad.parquet"), (0, "ok.parquet"),
+        ]
+        handle = KeyRanges("bigint", eager=legacy["shards"])
+        assert handle.candidate_files([15]) == [(0, "bad.parquet"), (0, "ok.parquet")]
+        assert handle.candidate_files([999]) == [(0, "bad.parquet")]
+        assert handle.candidate_files_range(lo=11, hi=12) == [
+            (0, "bad.parquet"), (0, "ok.parquet"),
+        ]

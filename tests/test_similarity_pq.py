@@ -261,3 +261,21 @@ def test_cap_per_group_deterministic_top_n(spark):
     got = sorted((r["src"], r["id"]) for r in out.collect())
     # a: score-30 rows win, tie broken by smaller id (2 then 3); b keeps its one
     assert got == [("a", 2), ("a", 3), ("b", 5)]
+
+
+# ---------------------------------------------------------------------------
+# knn_join query-side guard (r4 advice: the small-query contract is enforced)
+# ---------------------------------------------------------------------------
+
+def test_knn_join_rejects_oversized_query_side(spark):
+    import pyspark.sql.functions as F
+
+    big = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join(big, big, k=2, max_queries=10)
+    # explicit raise of the cap restores the old behavior
+    out = knn_join(big.limit(12), big, k=2, max_queries=12)
+    assert out.count() == 24
