@@ -120,32 +120,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Rotating verdict window (the harness checks the first 50 registry
 # entries per round): list first the queries whose LATEST external verdict
-# is oldest — for round 4 that is the 37 entries outside round 3's window
-# (all green in r01/r02 or golden-tested) — plus the 6 whose implementation
-# changed this round (c9_*/bm25 now query the artifact's stored tokens).
+# is oldest — for round 5 that is the 49 entries NOT in round 4's window
+# (all green in r03 or golden-tested), plus c2_segment_lookup/c2_key_range
+# (their sidecar serving path was re-implemented this round — the
+# shard-partitioned _key_ranges/ layout — so they need fresh verdicts).
 # The repo's own oracle suite covers all entries every pytest run
 # regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # unchecked in r03 (r01/r02-green or golden), registry order
-    "b8_convert_timestamp", "facet_event_counts", "ext_funnel_conversion",
-    "ext_cohort_retention", "facet_range_value", "pipeline_etl_events",
-    "window_hourly_counts", "q1_pricing_summary", "q3_top_revenue",
-    "q5_local_supplier", "q6_revenue_change", "exists_big_order_customers",
-    "window_topn_orders", "ext_asof_join", "ext_range_join",
-    "skew_salted_join", "star_join_enrich", "ext_exact_dedup",
-    "ext_token_count", "ext_curation_pipeline", "ext_bpe_token_count",
-    "ext_quality_features", "ext_lang_id", "ext_fingerprint",
-    "ext_ann_topk", "ext_cosine_pairs", "ext_dedup_clusters",
-    "ext_sessionize", "b12_detect_mime",
-    "ext_minhash_dedup",
-    "ext_simhash_pairs", "ext_ivf_topk",
-    # re-implemented in r4 (stored-token artifact path) — need fresh verdicts
-    "c9_contains_all", "c9_contains_any", "c9_match_phrase",
-    "c9_prefix_match", "c9_contains_none", "ext_bm25_topk",
-    # new in r4 — never externally checked
-    "ext_passage_dedup", "ext_knn_join", "ext_pq_topk", "ext_ivfpq_topk",
-    "c9_term_facet", "c9_highlight", "c2_segment_lookup", "c2_key_range",
-    "c9_suggest", "b6_extract_json", "ext_knn_classify", "ext_source_cap",
+    # serving path re-implemented in r5 (shard-partitioned key-range
+    # sidecar) — fresh verdicts first even though r04-green
+    "c2_segment_lookup", "c2_key_range",
+    # r03-green (or golden) entries outside the r04 window, registry order
+    "c1_count_all", "c2_point_lookup", "c3_delete_by_query",
+    "c4_sort_page", "c5_projection", "c6_upsert_latest",
+    "a10_dedup_retain_most_recent", "a11_dedup_sort_updates",
+    "a12_collision_report", "b3_sequence_key", "b2_sanitize_fields",
+    "b4_tokenize_general", "b4_tokenize_lowercase", "c7_segment_contract",
+    "a8_routing_shards", "ext_simhash", "ext_ngram_jaccard",
+    "ext_decontaminate", "ext_cosine_pairs_lsh", "q4_order_priority",
+    "q14_promo_revenue", "q18_large_orders", "facet_cube_counts",
+    "agg_distinct_users", "ext_percentiles", "window_rolling_sum",
+    "ext_multimodal_decode", "q7_volume_shipping", "q8_market_share",
+    "q9_profit_by_nation", "q10_returned_items", "q13_order_distribution",
+    "q15_top_supplier", "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q20_heavy_part_suppliers", "q21_last_shipper", "q22_idle_customers",
+    "pivot_user_activity", "window_lag_delta", "setop_viewers_not_buyers",
+    "ext_stratified_sample", "ext_quantile_filter", "ext_pack_sequences",
+    "ext_redact_pii", "ext_profile", "ext_source_mixture",
+    "window_sliding_counts", "ext_repetition",
 ]
 
 

@@ -135,9 +135,23 @@ def main() -> None:
                 _force(reg[name].spark(spark, warm_dir))
             except Exception:
                 pass
-    # One untimed full-scale priming rep per query: builds the per-sf cached
-    # artifacts (docs search index for c9/bm25) and reaches steady-state JIT
-    # so the timed reps measure query execution, not one-time index builds.
+    # Cold-build accounting (r5, keeps the priming protocol honest): the
+    # c9/bm25 queries serve from a one-time per-sf artifact (docs search
+    # index + term-bloom/stats/key-range sidecars).  That build cost is
+    # real but one-time, so it is timed HERE — code paths JIT-warmed by the
+    # smoke-scale loop above, artifact cold — and reported as its own JSON
+    # key (cold_build_docs_index_sec) next to the steady-state total
+    # instead of silently hiding inside the untimed priming rep.
+    from solr_map_reduce_spark.queries import _docs_search_index
+
+    t0 = time.perf_counter()
+    _docs_search_index(spark, SF_DIR)
+    cold_build = round(time.perf_counter() - t0, 3)
+    _release_leftovers(spark)
+
+    # One untimed full-scale priming rep per query: reaches steady-state
+    # JIT (the per-sf artifacts are already built and timed above) so the
+    # timed reps measure query execution, not one-time index builds.
     for name in BENCH_QUERIES:
         try:
             _force(reg[name].spark(spark, SF_DIR))
@@ -183,6 +197,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_build_docs_index_sec": cold_build,
                 "sf": sf_val,
             }
         )

@@ -247,12 +247,137 @@ def tokenize_text_en(col: Column) -> Column:
     return _text_en_udf(col)
 
 
+# ---------------------------------------------------------------------------
+# Language-variant analyzers (the reference schema declares ~30 text_<lang>
+# fieldTypes — minimr/conf/schema.xml; these two show the registry
+# generalizes the same way: per-language stop list + light stemmer).
+# Stop lists are from the public Snowball project lists (abridged to the
+# high-frequency function words); stemmers are from-scratch implementations
+# of Savoy's published MINIMAL stemmers (J. Savoy, CLEF / SIGIR Forum —
+# the same algorithms behind Lucene's French/GermanMinimalStemFilter).
+# ---------------------------------------------------------------------------
+
+# Snowball French stop list (abridged) + elision remnants: French tokenizes
+# l'avion -> [l, avion] under the word-split rule, so the elided articles
+# (l', d', j', …) surface as one-letter tokens and must drop like stopwords
+# (Lucene uses ElisionFilter for the same purpose).
+FRENCH_STOP_WORDS = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il ils je la le les
+    leur lui ma mais me meme mes moi mon ne nos notre nous on ou par pas
+    pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre
+    vous c d j l m n s t y este etait etaient suis es est sommes etes sont
+    sera seront ai as avons avez ont""".split()
+)
+
+# Snowball German stop list (abridged).
+GERMAN_STOP_WORDS = frozenset(
+    """aber alle als also am an auch auf aus bei bin bis bist da damit dann
+    das dass dein deine dem den der des dessen die dies diese dir doch dort
+    du durch ein eine einem einen einer eines er es euer eure fur hatte
+    hatten hier hinter ich ihr ihre im in ist ja jede jedem jeden jeder
+    jedes jener kann kein konnen mein meine mit muss nach nicht nichts noch
+    nun nur ob oder ohne sehr sein seine sich sie sind so uber um und uns
+    unser unter vom von vor wann war waren warum was weiter weitere wenn
+    wer werde werden wie wieder will wir wird wirst wo zu zum zur""".split()
+)
+
+
+def french_minimal_stem(w: str) -> str:
+    """Savoy's minimal French stemmer (plural/gender endings; the
+    FrenchMinimalStemFilter algorithm).  Words under 6 letters pass
+    through untouched."""
+    if len(w) < 6:
+        return w
+    if w.endswith("x"):
+        if w.endswith("aux"):
+            return w[:-2] + "l"  # chevaux -> cheval
+        return w[:-1]
+    if w.endswith("s"):
+        w = w[:-1]
+    if w.endswith("r"):
+        w = w[:-1]
+    if w.endswith("e"):
+        w = w[:-1]
+    if w.endswith("é"):
+        w = w[:-1]
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1].isalpha():
+        w = w[:-1]
+    return w
+
+
+def german_minimal_stem(w: str) -> str:
+    """Savoy's minimal German stemmer (declension endings; the
+    GermanMinimalStemFilter algorithm)."""
+    if len(w) > 5 and w.endswith("nen"):
+        return w[:-3]
+    if len(w) > 4 and w[-2] == "e" and w[-1] in "nsmr":
+        return w[:-2]
+    if len(w) > 3 and w[-1] in "nsre":
+        return w[:-1]
+    return w
+
+
+def _analyze_lang(
+    text: str | None,
+    stops: frozenset,
+    stem,
+    cache: dict[str, str] | None = None,
+) -> list[str] | None:
+    if text is None:
+        return None
+    import re
+
+    tokens = [t for t in re.split(r"[^\w]+|_", text.lower(), flags=re.UNICODE) if t]
+    out = []
+    if cache is None:
+        cache = {}
+    for t in tokens:
+        if t in stops:
+            continue
+        s = cache.get(t)
+        if s is None:
+            s = stem(t)
+            cache[t] = s
+        out.append(s)
+    return out
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _text_fr_udf(texts: pd.Series) -> pd.Series:
+    cache: dict[str, str] = {}
+    return texts.map(
+        lambda t: _analyze_lang(t, FRENCH_STOP_WORDS, french_minimal_stem, cache)
+    )
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _text_de_udf(texts: pd.Series) -> pd.Series:
+    cache: dict[str, str] = {}
+    return texts.map(
+        lambda t: _analyze_lang(t, GERMAN_STOP_WORDS, german_minimal_stem, cache)
+    )
+
+
+def tokenize_text_fr(col: Column) -> Column:
+    """``text_fr``-style: word split + lowercase + elision/stop removal +
+    Savoy minimal French stemming."""
+    return _text_fr_udf(col)
+
+
+def tokenize_text_de(col: Column) -> Column:
+    """``text_de``-style: word split + lowercase + stop removal + Savoy
+    minimal German stemming."""
+    return _text_de_udf(col)
+
+
 ANALYZERS = {
     "keyword": tokenize_keyword,
     "lowercase": tokenize_lowercase,
     "whitespace": tokenize_whitespace,
     "text_general": tokenize_text_general,
     "text_en": tokenize_text_en,
+    "text_fr": tokenize_text_fr,
+    "text_de": tokenize_text_de,
 }
 
 

@@ -52,7 +52,7 @@ TOKENS_SUFFIX = "__tokens"
 # text_en/text_general/lowercase; TokenizeTextBuilder.java:83-107) — the
 # artifact stores the token array alongside the raw value so queries read
 # stored structures instead of re-analyzing the corpus per query.
-ANALYZED_TYPES = ("text_en", "text_general", "lowercase")
+ANALYZED_TYPES = ("text_en", "text_general", "lowercase", "text_fr", "text_de")
 
 
 
@@ -420,6 +420,24 @@ class IndexJob:
         if cfg.codec:
             writer = writer.option("compression", cfg.codec)
         writer.parquet(tmp)
+        # global BM25 statistics changed — DELTA-maintain them, O(touched):
+        # old = touched shards pre-swap (still on disk), new = the staging
+        # rewrite; stats adjust by the difference and the term dictionary
+        # gets a df-delta merge.  All scans run here, BEFORE the swap; the
+        # closure finalizes (vocab promote + stats write) after it.  A
+        # full-corpus rebuild happens only when the sidecar is incomplete.
+        from solr_map_reduce_spark.search_stats import (
+            STATS,
+            prepare_stats_delta,
+            write_search_stats,
+        )
+
+        stats_finalize = None
+        stats_stored = fs.exists(fs_join(path, STATS))
+        if stats_stored:
+            stats_finalize = prepare_stats_delta(
+                df.sparkSession, path, current, df.sparkSession.read.parquet(tmp)
+            )
         _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
         fs.delete(tmp)
         manifest = self._manifest(resolved, path)
@@ -431,12 +449,11 @@ class IndexJob:
 
         if manifest.get("analyzed") and fs.exists(fs_join(path, BLOOMS)):
             write_term_blooms(df.sparkSession, path, shards=touched)
-        # global BM25 statistics changed — refresh if stored (one pass; a
-        # stale sidecar would silently skew every subsequent score)
-        from solr_map_reduce_spark.search_stats import STATS, write_search_stats
-
-        if manifest.get("analyzed") and fs.exists(fs_join(path, STATS)):
-            write_search_stats(df.sparkSession, path)
+        if stats_stored and manifest.get("analyzed"):
+            if stats_finalize is not None:
+                stats_finalize()
+            else:
+                write_search_stats(df.sparkSession, path)
         # rewritten shard dirs have NEW segment file names — a stale range
         # entry would be a false negative, so refresh the touched shards
         # (rewrites only those shards' span files: O(touched) sidecar I/O)
@@ -480,17 +497,27 @@ class IndexJob:
             .parquet(tmp)
         )
         n_after = kept.count()
+        # stored BM25 statistics are global — DELTA-maintain them like
+        # merge_into (old = touched pre-swap, new = the kept rows; ``kept``
+        # is a pure deterministic filter over the still-present old files,
+        # so it can be scanned directly pre-swap).  Fall back to
+        # invalidation only when the sidecar is incomplete.  Term blooms
+        # stay: a shrunk corpus keeps them a correct superset.
+        from solr_map_reduce_spark.search_stats import (
+            drop_search_stats,
+            prepare_stats_delta,
+        )
+
+        stats_finalize = prepare_stats_delta(spark, path, subset, kept)
         _swap_shard_dirs(
             fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched],
             remove_empty=True,
         )
         fs.delete(tmp)
-        # stored BM25 statistics are global — stale ones would skew every
-        # later score, so invalidate (queries fall back to computing them);
-        # term blooms stay: a shrunk corpus keeps them a correct superset
-        from solr_map_reduce_spark.search_stats import drop_search_stats
-
-        drop_search_stats(spark, path)
+        if stats_finalize is not None:
+            stats_finalize()
+        else:
+            drop_search_stats(spark, path)
         # segment files were renamed by the rewrite: refresh the touched
         # shards' key ranges (stale names would be false negatives)
         from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
@@ -653,6 +680,14 @@ def compact(
         bak = f"{bak}.{i}"
     fs.rename(path, bak)
     fs.rename(tmp, path)
+    # compaction does not change CONTENT, so the stats sidecar stays valid —
+    # the file carry-over brought _SEARCH_STATS.json; move the _vocab/
+    # directory across too (a rename, no copy) so bm25/term_facet/suggest
+    # keep serving from stored structures after compaction
+    from solr_map_reduce_spark.search_stats import VOCAB_DIR as _VOCAB
+
+    if fs.isdir(fs_join(bak, _VOCAB)) and not fs.isdir(fs_join(path, _VOCAB)):
+        fs.rename(fs_join(bak, _VOCAB), fs_join(path, _VOCAB))
     if not defer_deletion:
         fs.delete(bak)
     # every segment file was renamed by the rewrite: recompute the key-range

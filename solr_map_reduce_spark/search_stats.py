@@ -20,9 +20,15 @@ and no checkpoint.  Scores are bit-identical to the computed path: every
 stored quantity is an integer (exact in IEEE doubles), and
 ``avgdl = sum_dl / n_dl`` is exactly what ``avg(dl)`` evaluates to.
 
-Mutation: ``merge_into``/``delete_where`` change global statistics, so the
-sidecar is deleted on mutation (queries fall back to computing stats);
-rebuild with :func:`write_search_stats` after a batch of mutations.
+Mutation: ``merge_into`` and ``delete_where`` DELTA-MAINTAIN the sidecar
+(:func:`prepare_stats_delta`): n_docs/sum_dl/n_dl are adjusted by the
+touched shards' before/after difference and the term dictionary gets a
+df-delta merge — the incremental path scans only the touched shards plus
+the (small) stored vocabulary, never the corpus.  ``compact`` preserves it
+unchanged (content is identical).  Invalidation (queries fall back to
+computing stats) remains the fallback when a sidecar is found incomplete.
+At 100 TB this is the difference between a 1 GB batch paying a 1 GB stats
+pass and paying a 100 TB one.
 """
 
 from __future__ import annotations
@@ -53,25 +59,121 @@ def write_search_stats(spark: SparkSession, path: str) -> dict | None:
     stats: dict = {}
     for field, info in analyzed.items():
         tokens_col = info["tokens_col"]
-        row = idx.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.col(tokens_col))).alias("sum_dl"),
-            F.count(F.size(F.col(tokens_col))).alias("n_dl"),
-        ).collect()[0]
-        stats[field] = {
-            "n_docs": int(row["n_docs"]),
-            "sum_dl": int(row["sum_dl"] or 0),
-            "n_dl": int(row["n_dl"]),
-        }
+        n_docs, sum_dl, n_dl = _field_aggregates(idx, tokens_col)
+        stats[field] = {"n_docs": n_docs, "sum_dl": sum_dl, "n_dl": n_dl}
         (
-            idx.select(F.explode(F.array_distinct(F.col(tokens_col))).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
+            _term_df(idx, tokens_col, "df")
             .write.mode("overwrite")
             .parquet(fs_join(path, f"{VOCAB_DIR}/{field}"))
         )
     fs.write_text(fs_join(path, STATS), json.dumps(stats))
     return stats
+
+
+def _field_aggregates(df, tokens_col: str) -> tuple[int, int, int]:
+    """(n_docs, sum_dl, n_dl) of one token column over ``df``."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.col(tokens_col))).alias("sum_dl"),
+        F.count(F.size(F.col(tokens_col))).alias("n_dl"),
+    ).collect()[0]
+    return (int(row["n_docs"]), int(row["sum_dl"] or 0), int(row["n_dl"]))
+
+
+def _term_df(df, tokens_col: str, out_name: str):
+    return (
+        df.select(F.explode(F.array_distinct(F.col(tokens_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias(out_name))
+    )
+
+
+def prepare_stats_delta(spark: SparkSession, path: str, old_subset, new_subset):
+    """O(touched) delta maintenance for a touched-shard rewrite (the
+    ``merge_into`` path).  ``old_subset`` is the artifact content of the
+    touched shards BEFORE the swap (still readable); ``new_subset`` is the
+    rewritten content (read back from the staging dir, already
+    materialized).  All scans run HERE, pre-swap:
+
+    - per analyzed field, ``stats' = stats - agg(old) + agg(new)`` (exact
+      integer arithmetic — identical to a full rebuild by associativity of
+      count/sum);
+    - the term dictionary gets a df-delta merge: ``df'(t) = df_stored(t)
+      - df_old(t) + df_new(t)``, terms reaching 0 dropped — written to a
+      ``<field>__pending`` staging dir inside ``_vocab/``.
+
+    Returns a ``finalize()`` closure to call AFTER the artifact swap; it
+    promotes the pending vocab dirs (rename-aside, crash-safe: the old
+    vocab survives in a trash dir until the new one is in place) and writes
+    the updated ``_SEARCH_STATS.json``.  Returns None when the artifact has
+    no (complete) stats sidecar — the caller should fall back to
+    ``write_search_stats`` or skip."""
+    from solr_map_reduce_spark.fs import get_fs
+    from solr_map_reduce_spark.fs import join as fs_join
+    from solr_map_reduce_spark.indexing import MANIFEST
+
+    fs = get_fs(path, spark)
+    stats = load_search_stats(spark, path)
+    if not stats:
+        return None
+    manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
+    analyzed: dict = manifest.get("analyzed", {})
+    if not analyzed or set(stats) != set(analyzed):
+        return None  # sidecar out of step with the schema: full rebuild
+    for field in analyzed:
+        if not fs.exists(fs_join(path, f"{VOCAB_DIR}/{field}")):
+            return None  # vocab missing (corrupt/partial): full rebuild
+
+    new_stats: dict = {}
+    pending: list[str] = []
+    for field, info in analyzed.items():
+        tokens_col = info["tokens_col"]
+        o = _field_aggregates(old_subset, tokens_col)
+        n = _field_aggregates(new_subset, tokens_col)
+        s = stats[field]
+        new_stats[field] = {
+            "n_docs": int(s["n_docs"]) - o[0] + n[0],
+            "sum_dl": int(s["sum_dl"]) - o[1] + n[1],
+            "n_dl": int(s["n_dl"]) - o[2] + n[2],
+        }
+        vocab = spark.read.parquet(fs_join(path, f"{VOCAB_DIR}/{field}"))
+        delta = _term_df(old_subset, tokens_col, "_df_old").join(
+            _term_df(new_subset, tokens_col, "_df_new"), "term", "full_outer"
+        )
+        merged = (
+            vocab.join(delta, "term", "full_outer")
+            .select(
+                "term",
+                (
+                    F.coalesce(F.col("df"), F.lit(0))
+                    - F.coalesce(F.col("_df_old"), F.lit(0))
+                    + F.coalesce(F.col("_df_new"), F.lit(0))
+                ).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+        )
+        # materialize NOW (reads old shard files + stored vocab, both of
+        # which move/disappear at swap time)
+        merged.write.mode("overwrite").parquet(
+            fs_join(path, f"{VOCAB_DIR}/{field}__pending")
+        )
+        pending.append(field)
+
+    def finalize() -> dict:
+        trash = fs_join(path, VOCAB_DIR, "__trash")
+        if fs.exists(trash):
+            fs.delete(trash)
+        fs.mkdirs(trash)
+        for field in pending:
+            cur = fs_join(path, f"{VOCAB_DIR}/{field}")
+            if fs.exists(cur):
+                fs.rename(cur, fs_join(trash, field))
+            fs.rename(fs_join(path, f"{VOCAB_DIR}/{field}__pending"), cur)
+        fs.delete(trash)
+        fs.write_text(fs_join(path, STATS), json.dumps(new_stats))
+        return new_stats
+
+    return finalize
 
 
 def load_search_stats(spark: SparkSession, path: str) -> dict | None:

@@ -68,3 +68,78 @@ def test_tokenize_text_df_api(spark):
     df = spark.createDataFrame([("1", "Some TEXT")], "id string, body string")
     out = analyzers.tokenize_text(df, "body", "body_tokens", "text_general").first()
     assert out["body_tokens"] == ["some", "text"]
+
+
+class TestLanguageVariantAnalyzers:
+    """r5: the analyzer registry generalizes the way the reference schema
+    declares its ~30 text_<lang> fieldTypes — per-language stop list +
+    published minimal stemmer (Savoy), golden-tested."""
+
+    def test_french_tokens_golden(self, spark):
+        from solr_map_reduce_spark.functions.analyzers import tokenize_text
+
+        df = spark.createDataFrame(
+            [("1", "Les chevaux mangent l'avoine dans les grandes prairies")],
+            "id string, text string",
+        )
+        toks = tokenize_text(df, "text", "toks", analyzer="text_fr").collect()[0]["toks"]
+        # les/dans/l' drop (stop + elision); chevaux->cheval (aux->al);
+        # avoine->avoin (-e); grandes->grand; prairies->prairi (plural+e)
+        assert toks == ["cheval", "mangent", "avoin", "grand", "prairi"]
+
+    def test_german_tokens_golden(self, spark):
+        from solr_map_reduce_spark.functions.analyzers import tokenize_text
+
+        df = spark.createDataFrame(
+            [("1", "Die Kinder spielen in den alten Straßen der Stadt")],
+            "id string, text string",
+        )
+        toks = tokenize_text(df, "text", "toks", analyzer="text_de").collect()[0]["toks"]
+        # die/in/den/der drop; kinder->kind (er); spielen->spiel (en);
+        # alten->alt (en); straßen->straß (en); stadt unchanged
+        assert toks == ["kind", "spiel", "alt", "straß", "stadt"]
+
+    def test_minimal_stemmers_unit(self):
+        from solr_map_reduce_spark.functions.analyzers import (
+            french_minimal_stem,
+            german_minimal_stem,
+        )
+
+        assert french_minimal_stem("chevaux") == "cheval"
+        assert french_minimal_stem("grandes") == "grand"
+        assert french_minimal_stem("chat") == "chat"  # < 6 letters untouched
+        assert german_minimal_stem("lehrerinnen") == "lehrerin"
+        assert german_minimal_stem("hauses") == "haus"
+        assert german_minimal_stem("tag") == "tag"
+
+    def test_analyzed_field_build_with_text_fr(self, spark, tmp_path):
+        """An index built over a text_fr field stores the analyzed token
+        column and serves term queries from it — same contract as
+        text_en."""
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_fr")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [
+                ("a", "Les chevaux galopent"),
+                ("b", "Le cheval dort"),
+                ("c", "Rien d'autre ici"),
+            ],
+            "id string, text string",
+        )
+        out = str(tmp_path / "fr_idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        # query-side analysis maps the surface form to the same stem, so
+        # singular and plural meet in the stored token space
+        terms = idx.analyze_terms(["chevaux"])
+        assert terms == ["cheval"]
+        hits = sorted(r["id"] for r in idx.contains_any(terms).collect())
+        assert hits == ["a", "b"]

@@ -731,8 +731,19 @@ class TestCoreReviewRegressions:
         )
         assert os.path.exists(os.path.join(out, "_SEARCH_STATS.json"))
         compact(spark, out, max_segments=1)
-        # file-only carry-over loses _vocab/: the stats sidecar must be
-        # invalidated, and bm25 must still answer via the fallback
-        assert not os.path.exists(os.path.join(out, "_SEARCH_STATS.json"))
+        # r5: compaction does not change content — the stats sidecar AND its
+        # _vocab/ dictionary survive (the vocab dir renames across the swap)
+        assert os.path.exists(os.path.join(out, "_SEARCH_STATS.json"))
+        assert os.path.isdir(os.path.join(out, "_vocab"))
         idx = SearchIndex.open(spark, out)
         assert len(idx.bm25(["alpha"], k=2).collect()) == 2
+        # but a stats file whose _vocab/ was genuinely lost still gets
+        # invalidated by the safety guard (a dangling STATS would crash the
+        # next stats-served query)
+        import shutil
+
+        shutil.rmtree(os.path.join(out, "_vocab"))
+        compact(spark, out, max_segments=1)
+        assert not os.path.exists(os.path.join(out, "_SEARCH_STATS.json"))
+        idx2 = SearchIndex.open(spark, out)
+        assert len(idx2.bm25(["alpha"], k=2).collect()) == 2  # computed fallback

@@ -103,8 +103,10 @@ def test_merge_into_refreshes_stats(spark, built, tmp_path):
     assert term_dfs(spark, path, "text", ["freshterm"])["freshterm"] == 1
 
 
-def test_delete_where_invalidates_stats(spark, built, tmp_path):
-    import os
+def test_delete_where_delta_maintains_stats(spark, built, tmp_path):
+    """r5: deletes delta-maintain the stats sidecar (previously they
+    invalidated it) — stats stay equal to a full rebuild and BM25 keeps
+    serving from stored structures."""
     import shutil
 
     path = str(tmp_path / "index")
@@ -112,8 +114,19 @@ def test_delete_where_invalidates_stats(spark, built, tmp_path):
     job = IndexJob(_cfg())
     n = job.delete_where(spark, path, F.col("id") == "5")
     assert n == 1
-    assert load_search_stats(spark, path) is None
-    # bm25 falls back to computing stats and still answers
+    delta_stats = load_search_stats(spark, path)
+    assert delta_stats is not None and delta_stats["text"]["n_docs"] == 119
+    delta_vocab = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(path + "/_vocab/text").collect()
+    }
+    rebuilt = write_search_stats(spark, path)
+    full_vocab = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(path + "/_vocab/text").collect()
+    }
+    assert delta_stats == rebuilt
+    assert delta_vocab == full_vocab
     idx = SearchIndex.open(spark, path)
     assert len(idx.bm25(["target"], k=5).collect()) == 5
 
@@ -184,3 +197,150 @@ def test_more_like_this_missing_key_raises(spark, built):
     idx = SearchIndex.open(spark, built)
     with pytest.raises(KeyError):
         idx.more_like_this("no-such-doc")
+
+
+class TestIncrementalStatsDelta:
+    """r5: merge_into delta-maintains the stats sidecar in O(touched) —
+    proven equal to a full rebuild, and proven NOT to scan untouched
+    shards (tamper test)."""
+
+    def test_delta_equals_full_rebuild(self, spark, built, tmp_path):
+        import shutil
+
+        path = str(tmp_path / "index")
+        shutil.copytree(built, path)
+        add = spark.createDataFrame(
+            [
+                ("new-1", "alpha target target freshterm"),
+                ("new-2", "beta common freshterm othernew"),
+                ("7", "alpha replaced entirely"),  # same key (dedup=none: appends)
+            ],
+            "id string, text string",
+        )
+        IndexJob(_cfg()).merge_into(add, path)
+        delta_stats = load_search_stats(spark, path)
+        delta_vocab = {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(path + "/_vocab/text").collect()
+        }
+        # ground truth: full rebuild over the merged artifact
+        rebuilt = write_search_stats(spark, path)
+        full_vocab = {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(path + "/_vocab/text").collect()
+        }
+        assert delta_stats == rebuilt
+        assert delta_vocab == full_vocab
+        assert delta_stats["text"]["n_docs"] == 123  # 120 + 3 (dedup=none)
+
+    def test_merge_never_scans_untouched_shards(self, spark, built, tmp_path):
+        """Tamper test: corrupt every parquet file in the shards the batch
+        does NOT route to.  If ANY part of merge_into (union, stats delta,
+        bloom/key-range refresh) scanned an untouched shard, the job would
+        fail or the stats would diverge from the pre-tamper expectation."""
+        import os
+        import shutil
+
+        path = str(tmp_path / "index")
+        shutil.copytree(built, path)
+        job = IndexJob(_cfg())
+        add = spark.createDataFrame(
+            [("tamper-new", "alpha target freshterm")], "id string, text string"
+        )
+        routed = job.route(add).select("shard").distinct().collect()
+        touched = {int(r["shard"]) for r in routed}
+        assert len(touched) == 1
+        untouched = [
+            d for d in os.listdir(path)
+            if d.startswith("shard=") and int(d.split("=")[1]) not in touched
+        ]
+        assert untouched  # the fixture has 4 shards
+        for d in untouched:
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(path, d, f), "wb") as fh:
+                        fh.write(b"NOT A PARQUET FILE - scan me and crash")
+        before = load_search_stats(spark, path)
+        IndexJob(_cfg()).merge_into(add, path)  # must not read tampered files
+        after = load_search_stats(spark, path)
+        assert after["text"]["n_docs"] == before["text"]["n_docs"] + 1
+        assert term_dfs(spark, path, "text", ["freshterm"])["freshterm"] == 1
+
+    def test_delta_handles_term_disappearing(self, spark, tmp_path):
+        """A term whose every occurrence is replaced drops out of the
+        dictionary (df reaches 0) — the full-outer delta must remove it,
+        not leave df=0 rows behind."""
+        df = spark.createDataFrame(
+            [("a", "unique singleton"), ("b", "other words")],
+            "id string, text string",
+        )
+        path = str(tmp_path / "vanish")
+        job = IndexJob(
+            IndexJobConfig(
+                schema=SCHEMA, shards=1, dedup="retain_most_recent",
+                routing="native", term_blooms=True, search_stats=True,
+            )
+        )
+        job.build(df, path)
+        assert term_dfs(spark, path, "text", ["singleton"])["singleton"] == 1
+        job.merge_into(
+            spark.createDataFrame([("a", "replaced now")], "id string, text string"),
+            path,
+        )
+        vocab = {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(path + "/_vocab/text").collect()
+        }
+        assert "singleton" not in vocab
+        assert vocab == {
+            "other": 1, "words": 1, "replaced": 1, "now": 1,
+        }
+        stats = load_search_stats(spark, path)
+        assert stats["text"] == {"n_docs": 2, "sum_dl": 4, "n_dl": 2}
+
+    def test_bm25_scores_after_delta_match_computed(self, spark, built, tmp_path):
+        """Serving equality end to end: after an incremental merge, stored-
+        stats BM25 must equal the computed-stats path on the same corpus."""
+        import os
+        import shutil
+
+        path = str(tmp_path / "index")
+        shutil.copytree(built, path)
+        add = spark.createDataFrame(
+            [("new-1", "alpha target target freshterm")], "id string, text string"
+        )
+        IndexJob(_cfg()).merge_into(add, path)
+        stored = SearchIndex.open(spark, path).bm25(
+            ["target", "alpha"], k=10, exact_sum=True
+        ).collect()
+        bare = str(tmp_path / "bare")
+        shutil.copytree(path, bare)
+        os.remove(os.path.join(bare, "_SEARCH_STATS.json"))
+        shutil.rmtree(os.path.join(bare, "_vocab"))
+        os.remove(os.path.join(bare, "_TERM_BLOOMS.json"))
+        computed = SearchIndex.open(spark, bare).bm25(
+            ["target", "alpha"], k=10, exact_sum=True
+        ).collect()
+        assert [(r["id"], r["score"]) for r in stored] == [
+            (r["id"], r["score"]) for r in computed
+        ]
+
+
+def test_compact_preserves_stats_sidecar(spark, built, tmp_path):
+    """Compaction rewrites files but not content: the stats sidecar (and
+    its _vocab/ dictionary) must survive and keep serving."""
+    import shutil
+
+    from solr_map_reduce_spark.indexing import compact
+
+    path = str(tmp_path / "index")
+    shutil.copytree(built, path)
+    before = load_search_stats(spark, path)
+    compact(spark, path, max_segments=1)
+    after = load_search_stats(spark, path)
+    assert after == before
+    idx = SearchIndex.open(spark, path)
+    plan = idx.bm25(["target"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "_vocab" not in plan  # dfs come from the dictionary lookup, plan
+    assert plan.count("FileScan parquet") == 1  # still the stored-stats shape
+    assert len(idx.bm25(["target"], k=5).collect()) == 5
