@@ -263,22 +263,26 @@ def tokenize_text_en(col: Column) -> Column:
 # (Lucene uses ElisionFilter for the same purpose).
 FRENCH_STOP_WORDS = frozenset(
     """au aux avec ce ces dans de des du elle en et eux il ils je la le les
-    leur lui ma mais me meme mes moi mon ne nos notre nous on ou par pas
+    leur lui ma mais me même mes moi mon ne nos notre nous on ou où par pas
     pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre
-    vous c d j l m n s t y este etait etaient suis es est sommes etes sont
-    sera seront ai as avons avez ont""".split()
+    vous c d j l m n s t y été étée étées étés étant était étaient suis es
+    est sommes êtes sont sera seront serai seras ai as avons avez ont
+    meme ou ete etait etaient etes""".split()
+    # last line: ASCII-folded variants for accent-stripped text
 )
 
 # Snowball German stop list (abridged).
 GERMAN_STOP_WORDS = frozenset(
     """aber alle als also am an auch auf aus bei bin bis bist da damit dann
-    das dass dein deine dem den der des dessen die dies diese dir doch dort
-    du durch ein eine einem einen einer eines er es euer eure fur hatte
-    hatten hier hinter ich ihr ihre im in ist ja jede jedem jeden jeder
-    jedes jener kann kein konnen mein meine mit muss nach nicht nichts noch
-    nun nur ob oder ohne sehr sein seine sich sie sind so uber um und uns
-    unser unter vom von vor wann war waren warum was weiter weitere wenn
-    wer werde werden wie wieder will wir wird wirst wo zu zum zur""".split()
+    das dass daß dein deine dem den der des dessen die dies diese dir doch
+    dort du durch ein eine einem einen einer eines er es euer eure für
+    hatte hatten hier hinter ich ihr ihre im in ist ja jede jedem jeden
+    jeder jedes jener kann kein können mein meine mit muss muß nach nicht
+    nichts noch nun nur ob oder ohne sehr sein seine sich sie sind so über
+    um und uns unser unter vom von vor wann war waren warum was weiter
+    weitere wenn wer werde werden wie wieder will wir wird wirst wo zu zum
+    zur fur uber konnen""".split()
+    # last entries: ASCII-folded variants for umlaut-stripped text
 )
 
 

@@ -143,3 +143,19 @@ class TestLanguageVariantAnalyzers:
         assert terms == ["cheval"]
         hits = sorted(r["id"] for r in idx.contains_any(terms).collect())
         assert hits == ["a", "b"]
+
+    def test_accented_stopwords_drop(self, spark):
+        """Stop lists must carry the real accented forms — 'était'/'für'
+        are function words even though ASCII-folding would miss them."""
+        from solr_map_reduce_spark.functions.analyzers import tokenize_text
+
+        fr = spark.createDataFrame(
+            [("1", "Ils étaient où même ici")], "id string, text string"
+        )
+        toks = tokenize_text(fr, "text", "toks", analyzer="text_fr").collect()[0]["toks"]
+        assert toks == ["ici"]
+        de = spark.createDataFrame(
+            [("1", "Wir können über die Brücke gehen")], "id string, text string"
+        )
+        toks = tokenize_text(de, "text", "toks", analyzer="text_de").collect()[0]["toks"]
+        assert toks == ["brück", "geh"]
