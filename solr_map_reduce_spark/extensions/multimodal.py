@@ -513,9 +513,9 @@ def _builtin_pixel_row(c) -> tuple:
     if not px:
         return (None, None, None, None)
     n = len(px)
-    mean = sum(px) / n
+    mean = sum(px) / n  # exact integer sum, one division: bit-stable
     var = sum((v - mean) ** 2 for v in px) / n
-    return (round(mean, 6), round(math.sqrt(var), 6), float(min(px)), float(max(px)))
+    return (mean, math.sqrt(var), float(min(px)), float(max(px)))
 
 
 def _fake_pixel_row(c) -> tuple:
@@ -539,12 +539,7 @@ def _pillow_pixel_row(c) -> tuple:
             gray = img.convert("L")
             stat = ImageStat.Stat(gray)
             lo, hi = gray.getextrema()
-            return (
-                round(stat.mean[0], 6),
-                round(stat.stddev[0], 6),
-                float(lo),
-                float(hi),
-            )
+            return (float(stat.mean[0]), float(stat.stddev[0]), float(lo), float(hi))
     except Exception:
         return (None, None, None, None)
 

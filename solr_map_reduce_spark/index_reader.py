@@ -604,6 +604,24 @@ class SearchIndex:
         drop_key_ranges(self.spark, out_path)
         if self._load_key_ranges():
             write_key_ranges(self.spark, out_path)
+        # serving structures the source carried must not silently vanish
+        # from the result: term blooms stay a correct SUPERSET under
+        # deletion (copy the bitmap file); BM25 stats change globally, so
+        # rebuild them over the survivors (this path already rewrites the
+        # whole artifact, so a stats pass is within its cost class — the
+        # in-place IndexJob.delete_where uses the O(touched) delta instead)
+        from solr_map_reduce_spark.fs import get_fs as _get_fs
+        from solr_map_reduce_spark.search_stats import write_search_stats
+        from solr_map_reduce_spark.term_blooms import BLOOMS
+
+        src_fs = _get_fs(self.path, self.spark)
+        if src_fs.exists(fs_join(self.path, BLOOMS)):
+            fs.write_text(
+                fs_join(out_path, BLOOMS),
+                src_fs.read_text(fs_join(self.path, BLOOMS)),
+            )
+        if self._load_stats():
+            write_search_stats(self.spark, out_path)
         return SearchIndex.open(self.spark, out_path)
 
     # -- C7 ------------------------------------------------------------

@@ -1695,6 +1695,55 @@ def ext_multimodal_decode(spark, sf_dir):
     return multimodal.decode_image(media, "content", "media_id", impl="fake")
 
 
+@_register(
+    "ext_pixel_stats",
+    """SELECT CAST(doc_id AS VARCHAR) AS media_id,
+              AVG(px) AS px_mean,
+              CAST(MIN(px) AS DOUBLE) AS px_min,
+              CAST(MAX(px) AS DOUBLE) AS px_max
+       FROM (SELECT doc_id, CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE) AS px
+             FROM documents, range(24) t(i))
+       GROUP BY doc_id""",
+    "REAL pixel-level statistics (r5 pixel_features, impl=builtin): each doc "
+    "becomes a deterministic uncompressed netpbm P6 image whose 24 pixel "
+    "bytes follow (doc_id*7 + i*13) % 256; the engine DECODES the actual "
+    "raster (no codec library) and aggregates mean/min/max per image — the "
+    "oracle recomputes the same statistics arithmetically, so a single "
+    "wrong pixel fails the hash.  Payload build and decode are both narrow "
+    "mapInPandas stages; binaries never shuffle",
+)
+def ext_pixel_stats(spark, sf_dir):
+    import pandas as pd
+
+    from solr_map_reduce_spark.extensions import multimodal
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("doc_id").alias("_id"),
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            content = [
+                b"P6\n4 2\n255\n"
+                + bytes((int(d) * 7 + i * 13) % 256 for i in range(24))
+                for d in pdf["_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": content})
+
+    payloads = media.mapInPandas(_make, "media_id string, content binary")
+    # px_std is two-pass population variance engine-side vs Welford in SQL
+    # engines — not bit-stable across engines, so the oracled projection
+    # keeps the bit-exact columns (mean is sum/24: the identical double on
+    # both sides; min/max are integers)
+    return multimodal.pixel_features(payloads, impl="builtin").select(
+        "media_id",
+        F.col("px_mean").cast("double").alias("px_mean"),
+        "px_min",
+        "px_max",
+    )
+
+
 # ===========================================================================
 # TPC-H-shape breadth: the remaining classic plan shapes expressible over the
 # driver's star schema (no partsupp table and no l_shipmode/commitdate

@@ -344,3 +344,21 @@ def test_compact_preserves_stats_sidecar(spark, built, tmp_path):
     assert "_vocab" not in plan  # dfs come from the dictionary lookup, plan
     assert plan.count("FileScan parquet") == 1  # still the stored-stats shape
     assert len(idx.bm25(["target"], k=5).collect()) == 5
+
+
+def test_reader_delete_where_carries_serving_structures(spark, built, tmp_path):
+    """SearchIndex.delete_where writes a NEW artifact: the source's term
+    blooms (still a correct superset under deletion) and BM25 stats must
+    follow it — previously the result silently lost stored-stats serving."""
+    import os
+
+    idx = SearchIndex.open(spark, built)
+    out = str(tmp_path / "deleted")
+    res = idx.delete_where(F.col("id") == "5", out)
+    assert os.path.exists(os.path.join(out, "_TERM_BLOOMS.json"))
+    stats = load_search_stats(spark, out)
+    assert stats is not None and stats["text"]["n_docs"] == 119
+    rebuilt = write_search_stats(spark, out)
+    assert stats == rebuilt
+    plan = res.bm25(["target"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1  # stored-stats single-pass shape

@@ -334,3 +334,46 @@ def test_stream_ingest_keeps_newest_version_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"]: r["payload"] for r in read_index(spark, out).collect()}
     assert got == {"a": "new"}
+
+
+def test_stream_ingest_maintains_search_stats(spark, tmp_path):
+    """Streaming upsert goes through merge_into, whose r5 stats delta must
+    keep the BM25 sidecar exact across micro-batches (no full-corpus
+    rebuild per batch, no stale statistics)."""
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+    from solr_map_reduce_spark.search_stats import (
+        load_search_stats,
+        write_search_stats,
+    )
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("text", "text_general"),
+            Field("version", "long"),
+        ),
+        unique_key="id",
+    )
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [("a", "alpha beta", 1), ("b", "alpha gamma", 1)],
+        "id string, text string, version long",
+    )
+    b1.write.parquet(inp)
+    cfg = IndexJobConfig(
+        schema=schema, shards=2, dedup="retain_most_recent",
+        order_field="version", tiebreak=("id",), routing="native",
+        search_stats=True,
+    )
+    stream_ingest(spark, inp, b1.schema, cfg, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(
+        [("a", "alpha delta", 2), ("c", "epsilon", 1)],
+        "id string, text string, version long",
+    ).write.mode("append").parquet(inp)
+    stream_ingest(spark, inp, b1.schema, cfg, out, ckpt).awaitTermination(120)
+    stats = load_search_stats(spark, out)
+    assert stats["text"]["n_docs"] == 3  # a upserted, b kept, c new
+    rebuilt = write_search_stats(spark, out)
+    assert stats == rebuilt
