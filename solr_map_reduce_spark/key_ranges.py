@@ -204,7 +204,13 @@ class KeyRanges(Mapping):
     def shard_ids(self) -> list[str]:
         return sorted(self._shard_rows, key=lambda s: int(s))
 
-    def _load_raw(self, s: str) -> dict:
+    def _load_raw(self, s: str) -> dict | None:
+        """That shard's {file: [lo, hi, n]} — or None when the shard is
+        listed in META but its span file is MISSING (a torn sidecar, e.g.
+        an interrupted migration).  None means "unknown file set": callers
+        must decline pruning for queries touching that shard — returning {}
+        would silently hide every row of the shard (a legitimately empty
+        shard has an empty span FILE, distinguishing the two)."""
         if s not in self._raw:
             if self._base is None:
                 self._raw[s] = {}
@@ -213,7 +219,7 @@ class KeyRanges(Mapping):
 
                 full = fs_join(self._base, f"shard_{s}.json")
                 if not self._fs.exists(full):
-                    self._raw[s] = {}
+                    self._raw[s] = None
                 else:
                     data = json.loads(self._fs.read_text(full))
                     self._raw[s] = {
@@ -221,11 +227,14 @@ class KeyRanges(Mapping):
                     }
         return self._raw[s]
 
-    def _load_spans(self, s: str) -> _ShardSpans:
+    def _load_spans(self, s: str) -> _ShardSpans | None:
+        raw = self._load_raw(s)
+        if raw is None:
+            return None
         if s not in self._spans:
             self._spans[s] = _ShardSpans(
                 self.key_type,
-                ((name, lo, hi, n) for name, (lo, hi, n) in self._load_raw(s).items()),
+                ((name, lo, hi, n) for name, (lo, hi, n) in raw.items()),
             )
         return self._spans[s]
 
@@ -258,6 +267,8 @@ class KeyRanges(Mapping):
             if allowed is not None and int(s) not in allowed:
                 continue
             spans = self._load_spans(s)
+            if spans is None:
+                return None  # torn sidecar: unknown file set — no pruning
             for k in wanted:
                 for name in spans.stab(k):
                     out.add((int(s), name))
@@ -280,6 +291,8 @@ class KeyRanges(Mapping):
         out: list[tuple[int, str]] = []
         for s in self.shard_ids():
             spans = self._load_spans(s)
+            if spans is None:
+                return None  # torn sidecar: unknown file set — no pruning
             out.extend((int(s), name) for name in spans.overlap(lo_c, hi_c, hi_exclusive))
         return sorted(out)
 
@@ -287,7 +300,7 @@ class KeyRanges(Mapping):
     def _all_shards(self) -> dict:
         for s in self.shard_ids():
             self._load_raw(s)
-        return {s: self._raw[s] for s in self.shard_ids()}
+        return {s: (self._raw[s] or {}) for s in self.shard_ids()}
 
     def __getitem__(self, k):
         if k == "key_type":
@@ -375,6 +388,16 @@ def write_key_ranges(
         # a touched shard whose rewrite produced no rows still needs its
         # stale span file replaced (with an empty one)
         refreshed.update(str(int(s)) for s in shards)
+        # ... and every carried-over shard whose span file is not on disk
+        # must be written too: after a migration from the legacy monolithic
+        # layout (its entries live only in `existing`) a META that lists a
+        # shard with no span file would leave that shard's rows invisible
+        # to pruned lookups
+        for s in shard_maps:
+            if s not in refreshed and not fs.exists(
+                fs_join(path, KEY_RANGES_DIR, f"shard_{s}.json")
+            ):
+                refreshed.add(s)
     else:
         refreshed = set(shard_maps)
 

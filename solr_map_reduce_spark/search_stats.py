@@ -107,7 +107,14 @@ def prepare_stats_delta(spark: SparkSession, path: str, old_subset, new_subset):
     vocab survives in a trash dir until the new one is in place) and writes
     the updated ``_SEARCH_STATS.json``.  Returns None when the artifact has
     no (complete) stats sidecar — the caller should fall back to
-    ``write_search_stats`` or skip."""
+    ``write_search_stats`` or skip.
+
+    Crash window: the stats file and the vocab dirs are two objects, so a
+    crash inside ``finalize`` can leave new vocab with old scalar stats (a
+    small score skew, not a wrong result set).  ``write_search_stats``
+    repairs it; a mutation that crashed mid-operation needs operator
+    attention anyway (the artifact swap itself is the earlier, bigger
+    non-atomic step)."""
     from solr_map_reduce_spark.fs import get_fs
     from solr_map_reduce_spark.fs import join as fs_join
     from solr_map_reduce_spark.indexing import MANIFEST

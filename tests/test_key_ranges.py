@@ -516,3 +516,60 @@ class TestPartitionedSidecar:
         assert handle.candidate_files_range(lo=11, hi=12) == [
             (0, "bad.parquet"), (0, "ok.parquet"),
         ]
+
+
+class TestFifthReviewRegressions:
+    def test_legacy_migration_on_subset_refresh_covers_all_shards(
+        self, spark, tmp_path
+    ):
+        """r5 self-review: merge_into over an artifact carrying a LEGACY
+        monolithic sidecar migrates to the partitioned layout — the
+        untouched shards' span files must be written from the legacy
+        entries, or their rows would vanish from pruned lookups."""
+        import json
+        import os
+        import shutil
+
+        out = str(tmp_path / "idx_mig")
+        job = _job()
+        job.build(_docs(spark), out)
+        # rewrite the sidecar back to the legacy format
+        ranges = load_key_ranges(spark, out)
+        legacy = {"key_type": ranges["key_type"], "shards": ranges["shards"]}
+        shutil.rmtree(os.path.join(out, "_key_ranges"))
+        with open(os.path.join(out, KEY_RANGES), "w") as f:
+            json.dump(legacy, f)
+        # a one-key merge touches ONE shard; the refresh migrates formats
+        batch = _docs(spark, n=1, start=7000)
+        routed = job.route(batch).select("shard").distinct().collect()
+        touched = {int(r["shard"]) for r in routed}
+        job.merge_into(batch, out)
+        assert not os.path.exists(os.path.join(out, KEY_RANGES))  # migrated
+        base = os.path.join(out, "_key_ranges")
+        span_files = {f for f in os.listdir(base) if f.startswith("shard_")}
+        assert span_files == {"shard_0.json", "shard_1.json"}  # BOTH shards
+        idx = SearchIndex.open(spark, out)
+        # keys in the UNTOUCHED shard must still be retrievable via pruning
+        untouched_keys = [
+            k for k in ("k00000", "k00123", "k00399")
+            if idx._shard_of(k) not in touched
+        ]
+        assert untouched_keys
+        for k in untouched_keys:
+            assert idx.get(k).count() == 1, k
+        assert idx.count() == 401
+
+    def test_missing_span_file_declines_pruning_not_empty(self, spark, tmp_path):
+        """A torn sidecar (META lists a shard whose span file is gone) must
+        fall back to the full scan — never an empty result."""
+        import os
+
+        out = str(tmp_path / "idx_torn")
+        _job().build(_docs(spark), out)
+        os.remove(os.path.join(out, "_key_ranges", "shard_1.json"))
+        idx = SearchIndex.open(spark, out)
+        found = sum(
+            idx.get(f"k{i:05d}").count() for i in (0, 123, 250, 399)
+        )
+        assert found == 4  # every key still found
+        assert idx.key_range("k00100", "k00119").count() == 20
