@@ -385,6 +385,43 @@ ANALYZERS = {
 }
 
 
+def make_language_analyzer(stop_words, stem):
+    """Analyzer factory for further ``text_<lang>`` fieldTypes: lowercase
+    word-split + stop removal + the given stemmer (any picklable
+    ``str -> str``), Arrow-batched like the built-ins.  The reference
+    schema declares ~30 language variants (minimr/conf/schema.xml); with
+    this each is one line: a stop set and a stemmer."""
+    stops = frozenset(stop_words)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        cache: dict[str, str] = {}
+        return texts.map(lambda t: _analyze_lang(t, stops, stem, cache))
+
+    def analyzer(col: Column) -> Column:
+        return _udf(col)
+
+    return analyzer
+
+
+def register_text_analyzer(name: str, fn) -> None:
+    """Register a custom analyzed fieldType end to end: usable as a schema
+    field type (string-valued), analyzed at index time with the token
+    array stored (``<field>__tokens``), and applied to query terms by
+    ``SearchIndex.analyze_terms`` — exactly how the built-in text_* types
+    behave.
+
+        register_text_analyzer(
+            "text_es", make_language_analyzer(SPANISH_STOPS, spanish_stem))
+    """
+    from solr_map_reduce_spark import indexing, schema
+
+    ANALYZERS[name] = fn
+    if name not in indexing.ANALYZED_TYPES:
+        indexing.ANALYZED_TYPES = tuple(indexing.ANALYZED_TYPES) + (name,)
+    schema._TYPE_ALIASES.setdefault(name, schema.T.StringType())
+
+
 def tokenize_text(df, input_field: str, output_field: str, analyzer: str = "text_general"):
     """DataFrame-level tokenizeText: append token array column (B4)."""
     try:

@@ -159,3 +159,41 @@ class TestLanguageVariantAnalyzers:
         )
         toks = tokenize_text(de, "text", "toks", analyzer="text_de").collect()[0]["toks"]
         assert toks == ["brück", "geh"]
+
+    def test_register_custom_language_end_to_end(self, spark, tmp_path):
+        """register_text_analyzer: a user-supplied text_<lang> becomes a
+        schema type, is analyzed at build time with stored tokens, and
+        analyze_terms applies it to query terms — the path the reference's
+        other ~26 declared language fieldTypes would take."""
+        from solr_map_reduce_spark.functions.analyzers import (
+            make_language_analyzer,
+            register_text_analyzer,
+        )
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        register_text_analyzer(
+            "text_es",
+            make_language_analyzer(
+                {"el", "la", "los", "las", "de", "en", "y"},
+                lambda w: w[:-1] if w.endswith("s") and len(w) > 3 else w,
+            ),
+        )
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_es")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "Los gatos duermen"), ("b", "El gato come en la casa")],
+            "id string, text string",
+        )
+        out = str(tmp_path / "es_idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        terms = idx.analyze_terms(["gatos"])
+        assert terms == ["gato"]
+        hits = sorted(r["id"] for r in idx.contains_any(terms).collect())
+        assert hits == ["a", "b"]
