@@ -280,3 +280,54 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+# Regex for tracking query parameters (matched against one `k=v` token,
+# anchored at the key): the standard C4/CCNet-style canonicalize-before-
+# URL-dedup scrub list.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|yclid|ref|ref_src)(=|$)"
+_URL_PREFIX_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+
+def normalize_url(col: F.Column) -> F.Column:
+    """Canonical form of a URL column: strip the ``#fragment``, lowercase
+    the ``scheme://host`` prefix (path/query keep their case — they are
+    case-sensitive per RFC 3986), drop tracking query parameters
+    (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``yclid``, ``ref``),
+    and drop a query string that emptied out.  Web-crawl curation dedups
+    on this canonical URL before any content pass (the C4/CCNet URL-dedup
+    stage).  Pure JVM string expressions — no UDF."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    prefix = F.regexp_extract(u, _URL_PREFIX_RE, 0)
+    lowered = F.concat(F.lower(prefix), u.substr(F.length(prefix) + 1, F.lit(1 << 30)))
+    base = F.regexp_extract(lowered, r"^[^?]*", 0)
+    query = F.regexp_extract(lowered, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.rlike(TRACKING_PARAM_RE)) & (p != ""),
+    )
+    return F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-keyed exact dedup: canonicalize with :func:`normalize_url`,
+    keep the smallest id per canonical URL (deterministic first-wins), and
+    report the duplicate count.  Returns (canonical_url, keep_id, n_dupes).
+
+    Scale shape: one hash aggregation on the canonical URL — only
+    (url, id) pairs shuffle, never documents; the canonicalization itself
+    is codegen'd into the scan projection."""
+    return (
+        df.select(normalize_url(F.col(url_col)).alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+    )

@@ -1744,6 +1744,39 @@ def ext_pixel_stats(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_url_dedup",
+    """SELECT 'https://example.com/' || source || '/page-'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || '?id=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url,
+              MIN(doc_id) AS keep_id,
+              CAST(COUNT(*) - 1 AS BIGINT) AS n_dupes
+       FROM documents
+       GROUP BY 1""",
+    "URL canonicalization + URL-keyed exact dedup (the C4/CCNet "
+    "dedup-by-URL stage): each doc gets a deliberately messy URL "
+    "(uppercase host, utm_source/fbclid tracking params, #fragment); the "
+    "engine canonicalizes with pure JVM string expressions and dedups on "
+    "the canonical form.  The oracle states the canonical URL "
+    "analytically, so any canonicalization defect (case, param scrub, "
+    "fragment) breaks the value hash",
+)
+def ext_url_dedup(spark, sf_dir):
+    urls = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("HTTPS://Example.COM/"),
+            F.col("source"),
+            F.lit("/page-"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&fbclid=abc123#section-2"),
+        ).alias("url"),
+    )
+    return text_analysis.url_dedup(urls)
+
+
 # ===========================================================================
 # TPC-H-shape breadth: the remaining classic plan shapes expressible over the
 # driver's star schema (no partsupp table and no l_shipmode/commitdate

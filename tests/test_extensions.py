@@ -332,3 +332,40 @@ def test_builtin_image_metadata_malformed_inputs(spark):
     # netpbm bitmap kinds
     assert _builtin_image_meta(b"P1\n3 2\n" + b"0 " * 6) == (3, 2, "1", "PBM")
     assert _builtin_image_meta(b"P4\n3 2\n\x00") == (3, 2, "1", "PBM")
+
+
+def test_normalize_url_edges(spark):
+    from solr_map_reduce_spark.extensions.text_analysis import normalize_url
+
+    cases = [
+        # lowercases scheme://host only; path keeps case
+        ("HTTPS://Example.COM/Path/To?id=3", "https://example.com/Path/To?id=3"),
+        # tracking params scrubbed wherever they sit; order of rest kept
+        ("http://a.b/x?utm_source=f&id=1&gclid=z&q=Y", "http://a.b/x?id=1&q=Y"),
+        # query emptied out -> dropped entirely
+        ("http://a.b/x?utm_campaign=c&fbclid=1", "http://a.b/x"),
+        # fragment stripped
+        ("http://a.b/x#frag", "http://a.b/x"),
+        # no scheme: string untouched except fragment/query rules
+        ("a.b/X?ref=tw", "a.b/X"),
+        # bare 'ref' without '=' is also scrubbed; 'refresh=1' is NOT
+        ("http://a.b/x?ref&refresh=1", "http://a.b/x?refresh=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(normalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_first_wins(spark):
+    from solr_map_reduce_spark.extensions.text_analysis import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://A.b/p?utm_source=x"),
+            (2, "http://a.b/p"),
+            (3, "http://a.b/q"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["canonical_url"]: (r["keep_id"], r["n_dupes"]) for r in url_dedup(df).collect()}
+    assert got == {"http://a.b/p": (1, 1), "http://a.b/q": (3, 0)}
