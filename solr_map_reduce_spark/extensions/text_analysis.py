@@ -331,3 +331,40 @@ def url_dedup(
             (F.count(F.lit(1)) - 1).alias("n_dupes"),
         )
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, the published
+    C4 recipe): keep only lines that end in a terminal punctuation mark,
+    have at least ``min_words`` words, and do not contain the boilerplate
+    markers (``javascript``/``cookie``/``lorem ipsum``); drop documents
+    left with fewer than ``min_kept_lines`` surviving lines.  Returns
+    (id, clean_text, n_lines_kept, n_lines_dropped).
+
+    Entirely JVM array/string expressions over a line split — no UDF, no
+    extra shuffle (a narrow projection; the filter composes into the
+    scan's projection at any scale)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line):
+        t = F.trim(line)
+        return (
+            t.rlike(r'[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= min_words)
+            & ~F.lower(t).rlike("javascript|lorem ipsum|cookie")
+        )
+
+    kept = F.filter(lines, _keep)
+    out = df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+    )
+    return out.filter(F.col("n_lines_kept") >= min_kept_lines)

@@ -1777,6 +1777,59 @@ def ext_url_dedup(spark, sf_dir):
     return text_analysis.url_dedup(urls)
 
 
+@_register(
+    "ext_c4_clean",
+    r"""WITH m AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                           text || '.',
+                           'Enable javascript now.',
+                           regexp_extract(text, '^(\S+\s+\S+)', 1) || '.',
+                           text) AS text
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split(text, chr(10)),
+                   l -> regexp_matches(trim(l), '[.!?"]$')
+                        AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+                        AND NOT regexp_matches(lower(trim(l)),
+                                               'javascript|lorem ipsum|cookie')
+                 ) AS kept,
+                 string_split(text, chr(10)) AS all_lines
+          FROM m
+        )
+        SELECT doc_id,
+               array_to_string(kept, chr(10)) AS clean_text,
+               CAST(len(kept) AS BIGINT) AS n_lines_kept,
+               CAST(len(all_lines) - len(kept) AS BIGINT) AS n_lines_dropped
+        FROM f
+        WHERE len(kept) >= 1""",
+    "the C4 line-level cleaning pass (published C4 recipe: keep lines "
+    "ending in terminal punctuation with >=3 words and no javascript/"
+    "cookie/lorem-ipsum boilerplate; drop docs left empty).  Each doc "
+    "becomes a 4-line page — its text as a punctuated sentence (kept), a "
+    "javascript-boilerplate line, a 2-word fragment, and the raw "
+    "unpunctuated text (all dropped) — so the surviving clean_text varies "
+    "per doc and the DuckDB mirror of the same rules checks every line "
+    "decision.  JVM array expressions, no UDF",
+)
+def ext_c4_clean(spark, sf_dir):
+    pages = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("Enable javascript now."),
+            F.concat(
+                F.regexp_extract(F.col("text"), r"^(\S+\s+\S+)", 1), F.lit(".")
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return text_analysis.c4_line_filter(pages)
+
+
 # ===========================================================================
 # TPC-H-shape breadth: the remaining classic plan shapes expressible over the
 # driver's star schema (no partsupp table and no l_shipmode/commitdate

@@ -369,3 +369,27 @@ def test_url_dedup_first_wins(spark):
     )
     got = {r["canonical_url"]: (r["keep_id"], r["n_dupes"]) for r in url_dedup(df).collect()}
     assert got == {"http://a.b/p": (1, 1), "http://a.b/q": (3, 0)}
+
+
+def test_c4_line_filter_rules(spark):
+    from solr_map_reduce_spark.extensions.text_analysis import c4_line_filter
+
+    doc = "\n".join([
+        "This line survives the filter.",          # kept
+        "Too short.",                              # < 3 words
+        "no terminal punctuation here",            # no ./!/?
+        "Enable JavaScript to view this page.",    # boilerplate marker
+        "Please accept our cookie policy today.",  # boilerplate marker
+        "Another good sentence stays here!",       # kept
+        "",                                        # empty
+    ])
+    df = spark.createDataFrame(
+        [(1, doc), (2, "no survivors here"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert set(rows) == {1}  # doc 2 empties out, doc 3 is null
+    assert rows[1]["clean_text"] == (
+        "This line survives the filter.\nAnother good sentence stays here!"
+    )
+    assert rows[1]["n_lines_kept"] == 2 and rows[1]["n_lines_dropped"] == 5
