@@ -1745,6 +1745,40 @@ def ext_pixel_stats(spark, sf_dir):
 
 
 @_register(
+    "ext_spatial_bbox",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(MIN(event_id) AS BIGINT) AS min_event
+       FROM events
+       WHERE ((user_id % 90) - 45 + value / 1000.0) BETWEEN -10 AND 25
+         AND ((event_id % 360) - 180 + value / 500.0) BETWEEN 30 AND 90
+       GROUP BY event_type""",
+    "spatial bounding-box filter over the schema's latlon struct type "
+    "(solr.LatLonType, declared in the reference's minimr/conf/schema.xml "
+    "but unexercised by its tests): events get deterministic coordinates, "
+    "within_box compiles to four range predicates on the struct fields — "
+    "pushdown-able, no geo library — and the oracle mirrors the same "
+    "arithmetic on the raw columns",
+)
+def ext_spatial_bbox(spark, sf_dir):
+    from solr_map_reduce_spark.schema import within_box
+
+    located = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.struct(
+            ((F.col("user_id") % 90) - 45 + F.col("value") / 1000.0).alias("lat"),
+            ((F.col("event_id") % 360) - 180 + F.col("value") / 500.0).alias("lon"),
+        ).alias("loc"),
+    )
+    hits = located.filter(within_box("loc", -10, 25, 30, 90))
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_event"),
+    )
+
+
+@_register(
     "ext_url_dedup",
     """SELECT 'https://example.com/' || source || '/page-'
               || CAST(doc_id % 100 AS VARCHAR)
