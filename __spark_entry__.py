@@ -134,6 +134,7 @@ _VERDICT_PRIORITY = [
     "c2_segment_lookup", "c2_key_range",
     # new in r5 — never externally checked
     "ext_pixel_stats", "ext_url_dedup", "ext_c4_clean", "ext_spatial_bbox",
+    "c6_atomic_update",
     # r03-green (or golden) entries outside the r04 window, registry order
     "c1_count_all", "c2_point_lookup", "c3_delete_by_query",
     "c4_sort_page", "c5_projection", "c6_upsert_latest",

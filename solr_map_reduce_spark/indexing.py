@@ -463,6 +463,172 @@ class IndexJob:
             write_key_ranges(df.sparkSession, path, shards=touched)
         return manifest
 
+    def update_fields(
+        self,
+        updates: DataFrame,
+        path: str,
+        missing: str = "error",
+    ) -> dict:
+        """Atomic field updates (the Solr ``{"set": ...}`` atomic-update
+        semantics): ``updates`` carries the unique key plus a SUBSET of the
+        artifact's data columns; matched documents get those fields SET to
+        the update's values (including explicit NULLs — Solr's
+        set-to-null), all other fields keep their stored values.  Analyzed
+        fields that were updated get their stored token arrays re-analyzed.
+        ``missing`` controls keys with no stored document: ``"error"``
+        (default), ``"skip"``, or ``"insert"`` (create the doc with NULLs
+        in the untouched fields — Solr creates on atomic update too).
+
+        Scale shape: identical to :meth:`merge_into` — only the shards the
+        update keys route to are read and rewritten (partition-pruned join
+        against a broadcast-size batch), the stats sidecar delta-maintains,
+        and term-bloom/key-range refreshes touch only those shards."""
+        if missing not in ("error", "skip", "insert"):
+            raise ValueError(f"missing must be error|skip|insert, got {missing!r}")
+        spark = updates.sparkSession
+        cfg = self.config
+        key = cfg.schema.unique_key
+        fs = get_fs(path, spark)
+        if not fs.exists(fs_join(path, MANIFEST)):
+            raise FileNotFoundError(f"no index artifact at {path}")
+        manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
+        data_cols = [c for c in manifest["columns"]]
+        if key not in updates.columns:
+            raise ValueError(f"updates must carry the unique key {key!r}")
+        upd_cols = [c for c in updates.columns if c != key]
+        unknown = [c for c in upd_cols if c not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"updates carry columns not in the artifact: {sorted(unknown)}"
+            )
+        analyzed: dict = manifest.get("analyzed", {})
+        if any(c in {i["tokens_col"] for i in analyzed.values()} for c in upd_cols):
+            raise ValueError(
+                "update the raw analyzed field, not its stored __tokens "
+                "column — tokens are recomputed from the new value"
+            )
+        updates = require_unique_key(updates, key)
+        # duplicate keys in one batch would fan the set-join out into
+        # duplicated documents — reject loudly (the batch is update-sized,
+        # so this check is one tiny aggregate)
+        dup = (
+            updates.groupBy(key).count().filter(F.col("count") > 1)
+            .select(key).limit(3).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate update rows for key(s) {[r[0] for r in dup]} — "
+                "collapse the batch to one row per key first"
+            )
+        routed = self._with_shard(updates).drop(MICRO_COL)
+        touched = sorted(
+            r[0] for r in routed.select(SHARD_COL).distinct().collect()
+        )
+        if not touched:
+            return manifest
+        current = read_index(spark, path).filter(F.col(SHARD_COL).isin(touched))
+
+        # unknown-key policy (the batch is update-sized: broadcast anti-join)
+        missing_keys = routed.join(
+            current.select(F.col(key).alias("_k")),
+            routed[key] == F.col("_k"),
+            "left_anti",
+        )
+        inserts = None
+        if missing == "error":
+            sample = [r[0] for r in missing_keys.select(key).limit(3).collect()]
+            if sample:
+                raise KeyError(
+                    f"atomic update for absent key(s) {sample} (and possibly "
+                    "more) — use missing='insert' or 'skip'"
+                )
+        elif missing == "insert":
+            inserts = missing_keys
+        # matched updates: set-if-matched per updated column
+        u = routed.select(
+            F.col(key).alias("_uk"),
+            F.lit(True).alias("_matched"),
+            *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+        )
+        joined = current.join(F.broadcast(u), current[key] == F.col("_uk"), "left")
+        out_cols = []
+        for c in current.columns:
+            if c in upd_cols:
+                out_cols.append(
+                    F.when(F.col("_matched"), F.col(f"_u_{c}"))
+                    .otherwise(current[c])
+                    .alias(c)
+                )
+            else:
+                out_cols.append(current[c])
+        updated = joined.select(*out_cols)
+        if inserts is not None:
+            # absent keys become new docs: typed NULL for every
+            # un-supplied column
+            cur_schema = {f.name: f.dataType for f in current.schema.fields}
+            full = inserts.select(
+                *[
+                    (
+                        F.col(c)
+                        if c in inserts.columns
+                        else F.lit(None).cast(cur_schema[c])
+                    ).alias(c)
+                    for c in [x for x in current.columns if x != SHARD_COL]
+                ],
+                F.col(SHARD_COL),
+            )
+            updated = updated.unionByName(full)
+        # re-analyze stored token arrays for updated analyzed fields (the
+        # analyzer is deterministic, so recomputing unmatched rows too is a
+        # no-op — keeps the plan one narrow projection over touched shards)
+        from solr_map_reduce_spark.functions.analyzers import ANALYZERS
+
+        for field, info in analyzed.items():
+            if field in upd_cols or inserts is not None:
+                updated = updated.withColumn(
+                    info["tokens_col"], ANALYZERS[info["type"]](F.col(field))
+                )
+        tmp = path.rstrip("/") + "._update_tmp"
+        writer_df = (
+            updated.repartition(len(touched), F.col(SHARD_COL))
+            .sortWithinPartitions(SHARD_COL, key)
+        )
+        writer = writer_df.write.mode("overwrite").partitionBy(SHARD_COL)
+        if cfg.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        if cfg.codec:
+            writer = writer.option("compression", cfg.codec)
+        writer.parquet(tmp)
+        from solr_map_reduce_spark.search_stats import (
+            STATS,
+            prepare_stats_delta,
+            write_search_stats,
+        )
+
+        stats_finalize = None
+        stats_stored = fs.exists(fs_join(path, STATS))
+        if stats_stored:
+            stats_finalize = prepare_stats_delta(
+                spark, path, current, spark.read.parquet(tmp)
+            )
+        _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
+        fs.delete(tmp)
+        # an update can ADD tokens to a shard: refresh blooms like merge
+        from solr_map_reduce_spark.term_blooms import BLOOMS, write_term_blooms
+
+        if analyzed and fs.exists(fs_join(path, BLOOMS)):
+            write_term_blooms(spark, path, shards=touched)
+        if stats_stored and analyzed:
+            if stats_finalize is not None:
+                stats_finalize()
+            else:
+                write_search_stats(spark, path)
+        from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
+
+        if sidecar_exists(fs, path):
+            write_key_ranges(spark, path, shards=touched)
+        return manifest
+
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
         """Delete-by-query against the artifact (C3 as a MUTATION, the
         GoLive test's delete round-trip: MorphlineGoLiveMiniMRTest.java:439,

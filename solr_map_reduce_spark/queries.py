@@ -1745,6 +1745,45 @@ def ext_pixel_stats(spark, sf_dir):
 
 
 @_register(
+    "c6_atomic_update",
+    """SELECT doc_id,
+              CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars END
+                   AS BIGINT) AS n_chars
+       FROM documents""",
+    "Solr atomic-update semantics (update_fields): build the artifact, SET "
+    "n_chars=-1 on every tenth document through the O(touched) atomic "
+    "update path, read everything back — the oracle applies the same "
+    "update as a CASE expression, so a doc updated twice, missed, or "
+    "duplicated breaks the value hash",
+)
+def c6_atomic_update(spark, sf_dir):
+    import tempfile
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, read_index
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("n_chars", "long")),
+        unique_key="id",
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="smrs_upd_") + "/idx"
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=4, dedup="none", routing="native")
+    )
+    job.build(docs, out)
+    upd = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit(-1).cast("long").alias("n_chars"),
+    )
+    job.update_fields(upd, out)
+    return read_index(spark, out).select(
+        F.col("id").cast("long").alias("doc_id"), "n_chars"
+    )
+
+
+@_register(
     "ext_spatial_bbox",
     """SELECT event_type,
               CAST(COUNT(*) AS BIGINT) AS n,

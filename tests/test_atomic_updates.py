@@ -1,0 +1,153 @@
+"""Atomic field updates (IndexJob.update_fields): Solr's {"set": ...}
+semantics over the sharded artifact — matched docs get the supplied
+fields set (including explicit NULL), analyzed fields re-tokenize,
+only touched shards rewrite, and every serving sidecar stays exact."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.index_reader import SearchIndex
+from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+from solr_map_reduce_spark.schema import Field, IndexSchema
+
+SCHEMA = IndexSchema(
+    fields=(
+        Field("id", "string", required=True),
+        Field("text", "text_general"),
+        Field("rank", "long"),
+    ),
+    unique_key="id",
+)
+
+
+def _job(**over):
+    cfg = dict(
+        schema=SCHEMA, shards=4, dedup="none", routing="native",
+        term_blooms=True, search_stats=True, key_ranges=True,
+    )
+    cfg.update(over)
+    return IndexJob(IndexJobConfig(**cfg))
+
+
+def _build(spark, path, n=60):
+    df = spark.createDataFrame(
+        [(str(i), f"alpha common word{i % 5}", i) for i in range(n)],
+        "id string, text string, rank long",
+    )
+    job = _job()
+    job.build(df, path)
+    return job
+
+
+def test_set_semantics_and_untouched_fields(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    job = _build(spark, path)
+    upd = spark.createDataFrame(
+        [("7", 700), ("9", 900)], "id string, rank long"
+    )
+    job.update_fields(upd, path)
+    idx = SearchIndex.open(spark, path)
+    rows = {r["id"]: r for r in idx.get_many(["7", "8", "9"]).collect()}
+    assert rows["7"]["rank"] == 700 and rows["9"]["rank"] == 900
+    assert rows["8"]["rank"] == 8  # untouched doc
+    assert rows["7"]["text"] == "alpha common word2"  # untouched field
+    assert idx.count() == 60  # no doc created or lost
+
+
+def test_set_to_null(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    job = _build(spark, path)
+    upd = spark.createDataFrame([("3", None)], "id string, rank long")
+    job.update_fields(upd, path)
+    row = SearchIndex.open(spark, path).get("3").collect()[0]
+    assert row["rank"] is None  # Solr set-to-null removes the value
+
+
+def test_analyzed_field_retokenizes_and_stats_stay_exact(spark, tmp_path):
+    from solr_map_reduce_spark.search_stats import (
+        load_search_stats,
+        write_search_stats,
+    )
+
+    path = str(tmp_path / "idx")
+    job = _build(spark, path)
+    upd = spark.createDataFrame(
+        [("5", "totally fresh zebra content")], "id string, text string"
+    )
+    job.update_fields(upd, path)
+    idx = SearchIndex.open(spark, path)
+    # term queries see the NEW tokens (stored tokens were re-analyzed)
+    assert [r["id"] for r in idx.contains_all(["zebra"]).collect()] == ["5"]
+    assert "5" not in {r["id"] for r in idx.contains_all(["alpha"]).collect()}
+    # delta-maintained stats equal a full rebuild
+    delta = load_search_stats(spark, path)
+    rebuilt = write_search_stats(spark, path)
+    assert delta == rebuilt
+    # bm25 finds the new term through the refreshed blooms + stats
+    assert [r["id"] for r in idx.bm25(["zebra"], k=3).collect()] == ["5"]
+
+
+def test_missing_key_policies(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    job = _build(spark, path)
+    ghost = spark.createDataFrame([("no-such", 1)], "id string, rank long")
+    with pytest.raises(KeyError, match="no-such"):
+        job.update_fields(ghost, path)
+    job.update_fields(ghost, path, missing="skip")
+    idx = SearchIndex.open(spark, path)
+    assert idx.count() == 60 and idx.get("no-such").count() == 0
+    job.update_fields(ghost, path, missing="insert")
+    idx = SearchIndex.open(spark, path)
+    row = idx.get("no-such").collect()[0]
+    assert row["rank"] == 1 and row["text"] is None
+    assert idx.count() == 61
+
+
+def test_rejects_bad_batches(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    job = _build(spark, path)
+    with pytest.raises(ValueError, match="duplicate"):
+        job.update_fields(
+            spark.createDataFrame([("1", 5), ("1", 6)], "id string, rank long"),
+            path,
+        )
+    with pytest.raises(ValueError, match="not in the artifact"):
+        job.update_fields(
+            spark.createDataFrame([("1", 5)], "id string, bogus long"), path
+        )
+    with pytest.raises(ValueError, match="__tokens"):
+        job.update_fields(
+            spark.createDataFrame(
+                [("1", ["x"])], "id string, text__tokens array<string>"
+            ),
+            path,
+        )
+
+
+def test_only_touched_shards_rewritten_and_lookups_stay_pruned(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "idx")
+    job = _build(spark, path)
+    upd = spark.createDataFrame([("7", 700)], "id string, rank long")
+    routed = job.route(
+        upd.withColumn("text", F.lit(None).cast("string"))
+    ).select("shard").distinct().collect()
+    touched = {int(r["shard"]) for r in routed}
+    before = {}
+    for d in os.listdir(path):
+        if d.startswith("shard="):
+            s = int(d.split("=")[1])
+            before[s] = sorted(os.listdir(os.path.join(path, d)))
+    job.update_fields(upd, path)
+    for d in os.listdir(path):
+        if d.startswith("shard="):
+            s = int(d.split("=")[1])
+            after = sorted(os.listdir(os.path.join(path, d)))
+            if s in touched:
+                assert after != before[s]  # rewritten (new file names)
+            else:
+                assert after == before[s]  # untouched
+    idx = SearchIndex.open(spark, path)
+    assert idx.get("7").collect()[0]["rank"] == 700
+    assert idx.count() == 60  # key-range sidecar refreshed exactly
