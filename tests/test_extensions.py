@@ -393,3 +393,24 @@ def test_c4_line_filter_rules(spark):
         "This line survives the filter.\nAnother good sentence stays here!"
     )
     assert rows[1]["n_lines_kept"] == 2 and rows[1]["n_lines_dropped"] == 5
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalization must be a projection: normalize(normalize(u)) ==
+    normalize(u) — a second pass over already-clean URLs changes nothing
+    (re-running a curation stage is a no-op, important for resumable
+    pipelines)."""
+    from solr_map_reduce_spark.extensions.text_analysis import normalize_url
+
+    urls = [
+        "HTTPS://Example.COM/Path?utm_source=a&id=1&fbclid=2#x",
+        "http://a.b/x?ref",
+        "ftp://Host.Net/File.TXT",
+        "no-scheme/path?gclid=1&keep=2",
+        "http://h/p?a=1&b=2&c=3",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(normalize_url(F.col("url")).alias("url"))
+    twice = once.select(normalize_url(F.col("url")).alias("url"))
+    assert [r["url"] for r in once.collect()] == [r["url"] for r in twice.collect()]

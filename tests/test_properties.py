@@ -239,3 +239,61 @@ def test_next_prefix_bounds_every_extension(prefix, suffix):
     nxt = next_prefix(prefix)
     if nxt is not None:
         assert s < nxt
+
+
+# -- r5: partitioned-sidecar bisect path equals the linear walk -------------
+
+from solr_map_reduce_spark.key_ranges import KeyRanges  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-10**6, 10**6), st.integers(-10**6, 10**6)).map(
+            lambda t: (min(t), max(t))
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.lists(st.integers(-10**6 - 5, 10**6 + 5), min_size=1, max_size=5),
+)
+def test_keyranges_bisect_equals_linear_int(spans, keys):
+    """The class's sorted-span bisect must admit EXACTLY the same files as
+    the legacy linear walk, for point keys and for ranges."""
+    legacy = _ranges_from(spans, "bigint")
+    handle = KeyRanges("bigint", eager=legacy["shards"])
+    assert handle.candidate_files(keys) == candidate_files(legacy, keys)
+    lo, hi = min(keys), max(keys)
+    assert handle.candidate_files_range(lo=lo, hi=hi) == candidate_files_range(
+        legacy, lo=lo, hi=hi
+    )
+    assert handle.candidate_files_range(
+        lo=lo, hi=hi, hi_exclusive=True
+    ) == candidate_files_range(legacy, lo=lo, hi=hi, hi_exclusive=True)
+    assert handle.candidate_files_range(lo=None, hi=hi) == candidate_files_range(
+        legacy, lo=None, hi=hi
+    )
+    assert handle.candidate_files_range(lo=lo, hi=None) == candidate_files_range(
+        legacy, lo=lo, hi=None
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=6), st.text(min_size=1, max_size=6)).map(
+            lambda t: (min(t), max(t))
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=4),
+)
+def test_keyranges_bisect_equals_linear_str(spans, keys):
+    legacy = _ranges_from(spans, "string")
+    handle = KeyRanges("string", eager=legacy["shards"])
+    assert handle.candidate_files(keys) == candidate_files(legacy, keys)
+    lo, hi = min(keys), max(keys)
+    assert handle.candidate_files_range(lo=lo, hi=hi) == candidate_files_range(
+        legacy, lo=lo, hi=hi
+    )
