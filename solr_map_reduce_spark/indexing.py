@@ -409,59 +409,60 @@ class IndexJob:
             resolved = self._with_shard(resolved).drop(MICRO_COL)
         cfg = self.config
         key = cfg.schema.unique_key
-        tmp = path.rstrip("/") + "._merge_tmp"
-        writer_df = (
-            resolved.repartition(len(touched), F.col(SHARD_COL))
-            .sortWithinPartitions(SHARD_COL, key)
-        )
-        writer = writer_df.write.mode("overwrite").partitionBy(SHARD_COL)
-        if cfg.max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
-        if cfg.codec:
-            writer = writer.option("compression", cfg.codec)
-        writer.parquet(tmp)
-        # global BM25 statistics changed — DELTA-maintain them, O(touched):
-        # old = touched shards pre-swap (still on disk), new = the staging
-        # rewrite; stats adjust by the difference and the term dictionary
-        # gets a df-delta merge.  All scans run here, BEFORE the swap; the
-        # closure finalizes (vocab promote + stats write) after it.  A
-        # full-corpus rebuild happens only when the sidecar is incomplete.
-        from solr_map_reduce_spark.search_stats import (
-            STATS,
-            prepare_stats_delta,
-            write_search_stats,
-        )
-
-        stats_finalize = None
-        stats_stored = fs.exists(fs_join(path, STATS))
-        if stats_stored:
-            stats_finalize = prepare_stats_delta(
-                df.sparkSession, path, current, df.sparkSession.read.parquet(tmp)
+        with _mutation_lock(fs, path, "merge_into"):
+            tmp = path.rstrip("/") + "._merge_tmp"
+            writer_df = (
+                resolved.repartition(len(touched), F.col(SHARD_COL))
+                .sortWithinPartitions(SHARD_COL, key)
             )
-        _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
-        fs.delete(tmp)
-        manifest = self._manifest(resolved, path)
-        # a merge ADDS tokens: a stale bloom bitmap would be a false
-        # negative, so refresh the touched shards when a sidecar exists
-        # (deletes never need this — shrinking content keeps the bitmap a
-        # correct superset)
-        from solr_map_reduce_spark.term_blooms import BLOOMS, write_term_blooms
+            writer = writer_df.write.mode("overwrite").partitionBy(SHARD_COL)
+            if cfg.max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+            if cfg.codec:
+                writer = writer.option("compression", cfg.codec)
+            writer.parquet(tmp)
+            # global BM25 statistics changed — DELTA-maintain them, O(touched):
+            # old = touched shards pre-swap (still on disk), new = the staging
+            # rewrite; stats adjust by the difference and the term dictionary
+            # gets a df-delta merge.  All scans run here, BEFORE the swap; the
+            # closure finalizes (vocab promote + stats write) after it.  A
+            # full-corpus rebuild happens only when the sidecar is incomplete.
+            from solr_map_reduce_spark.search_stats import (
+                STATS,
+                prepare_stats_delta,
+                write_search_stats,
+            )
 
-        if manifest.get("analyzed") and fs.exists(fs_join(path, BLOOMS)):
-            write_term_blooms(df.sparkSession, path, shards=touched)
-        if stats_stored and manifest.get("analyzed"):
-            if stats_finalize is not None:
-                stats_finalize()
-            else:
-                write_search_stats(df.sparkSession, path)
-        # rewritten shard dirs have NEW segment file names — a stale range
-        # entry would be a false negative, so refresh the touched shards
-        # (rewrites only those shards' span files: O(touched) sidecar I/O)
-        from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
+            stats_finalize = None
+            stats_stored = fs.exists(fs_join(path, STATS))
+            if stats_stored:
+                stats_finalize = prepare_stats_delta(
+                    df.sparkSession, path, current, df.sparkSession.read.parquet(tmp)
+                )
+            _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
+            fs.delete(tmp)
+            manifest = self._manifest(resolved, path)
+            # a merge ADDS tokens: a stale bloom bitmap would be a false
+            # negative, so refresh the touched shards when a sidecar exists
+            # (deletes never need this — shrinking content keeps the bitmap a
+            # correct superset)
+            from solr_map_reduce_spark.term_blooms import BLOOMS, write_term_blooms
 
-        if sidecar_exists(fs, path):
-            write_key_ranges(df.sparkSession, path, shards=touched)
-        return manifest
+            if manifest.get("analyzed") and fs.exists(fs_join(path, BLOOMS)):
+                write_term_blooms(df.sparkSession, path, shards=touched)
+            if stats_stored and manifest.get("analyzed"):
+                if stats_finalize is not None:
+                    stats_finalize()
+                else:
+                    write_search_stats(df.sparkSession, path)
+            # rewritten shard dirs have NEW segment file names — a stale range
+            # entry would be a false negative, so refresh the touched shards
+            # (rewrites only those shards' span files: O(touched) sidecar I/O)
+            from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
+
+            if sidecar_exists(fs, path):
+                write_key_ranges(df.sparkSession, path, shards=touched)
+            return manifest
 
     def update_fields(
         self,
@@ -588,46 +589,47 @@ class IndexJob:
                 updated = updated.withColumn(
                     info["tokens_col"], ANALYZERS[info["type"]](F.col(field))
                 )
-        tmp = path.rstrip("/") + "._update_tmp"
-        writer_df = (
-            updated.repartition(len(touched), F.col(SHARD_COL))
-            .sortWithinPartitions(SHARD_COL, key)
-        )
-        writer = writer_df.write.mode("overwrite").partitionBy(SHARD_COL)
-        if cfg.max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
-        if cfg.codec:
-            writer = writer.option("compression", cfg.codec)
-        writer.parquet(tmp)
-        from solr_map_reduce_spark.search_stats import (
-            STATS,
-            prepare_stats_delta,
-            write_search_stats,
-        )
-
-        stats_finalize = None
-        stats_stored = fs.exists(fs_join(path, STATS))
-        if stats_stored:
-            stats_finalize = prepare_stats_delta(
-                spark, path, current, spark.read.parquet(tmp)
+        with _mutation_lock(fs, path, "update_fields"):
+            tmp = path.rstrip("/") + "._update_tmp"
+            writer_df = (
+                updated.repartition(len(touched), F.col(SHARD_COL))
+                .sortWithinPartitions(SHARD_COL, key)
             )
-        _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
-        fs.delete(tmp)
-        # an update can ADD tokens to a shard: refresh blooms like merge
-        from solr_map_reduce_spark.term_blooms import BLOOMS, write_term_blooms
+            writer = writer_df.write.mode("overwrite").partitionBy(SHARD_COL)
+            if cfg.max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+            if cfg.codec:
+                writer = writer.option("compression", cfg.codec)
+            writer.parquet(tmp)
+            from solr_map_reduce_spark.search_stats import (
+                STATS,
+                prepare_stats_delta,
+                write_search_stats,
+            )
 
-        if analyzed and fs.exists(fs_join(path, BLOOMS)):
-            write_term_blooms(spark, path, shards=touched)
-        if stats_stored and analyzed:
-            if stats_finalize is not None:
-                stats_finalize()
-            else:
-                write_search_stats(spark, path)
-        from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
+            stats_finalize = None
+            stats_stored = fs.exists(fs_join(path, STATS))
+            if stats_stored:
+                stats_finalize = prepare_stats_delta(
+                    spark, path, current, spark.read.parquet(tmp)
+                )
+            _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
+            fs.delete(tmp)
+            # an update can ADD tokens to a shard: refresh blooms like merge
+            from solr_map_reduce_spark.term_blooms import BLOOMS, write_term_blooms
 
-        if sidecar_exists(fs, path):
-            write_key_ranges(spark, path, shards=touched)
-        return manifest
+            if analyzed and fs.exists(fs_join(path, BLOOMS)):
+                write_term_blooms(spark, path, shards=touched)
+            if stats_stored and analyzed:
+                if stats_finalize is not None:
+                    stats_finalize()
+                else:
+                    write_search_stats(spark, path)
+            from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
+
+            if sidecar_exists(fs, path):
+                write_key_ranges(spark, path, shards=touched)
+            return manifest
 
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
         """Delete-by-query against the artifact (C3 as a MUTATION, the
@@ -654,43 +656,44 @@ class IndexJob:
         n_before = subset.count()
         kept = subset.filter(~matches)
         key = self.config.schema.unique_key
-        tmp = path.rstrip("/") + "._delete_tmp"
-        (
-            kept.repartition(len(touched), F.col(SHARD_COL))
-            .sortWithinPartitions(SHARD_COL, key)
-            .write.mode("overwrite")
-            .partitionBy(SHARD_COL)
-            .parquet(tmp)
-        )
-        n_after = kept.count()
-        # stored BM25 statistics are global — DELTA-maintain them like
-        # merge_into (old = touched pre-swap, new = the kept rows; ``kept``
-        # is a pure deterministic filter over the still-present old files,
-        # so it can be scanned directly pre-swap).  Fall back to
-        # invalidation only when the sidecar is incomplete.  Term blooms
-        # stay: a shrunk corpus keeps them a correct superset.
-        from solr_map_reduce_spark.search_stats import (
-            drop_search_stats,
-            prepare_stats_delta,
-        )
+        with _mutation_lock(fs, path, "delete_where"):
+            tmp = path.rstrip("/") + "._delete_tmp"
+            (
+                kept.repartition(len(touched), F.col(SHARD_COL))
+                .sortWithinPartitions(SHARD_COL, key)
+                .write.mode("overwrite")
+                .partitionBy(SHARD_COL)
+                .parquet(tmp)
+            )
+            n_after = kept.count()
+            # stored BM25 statistics are global — DELTA-maintain them like
+            # merge_into (old = touched pre-swap, new = the kept rows; ``kept``
+            # is a pure deterministic filter over the still-present old files,
+            # so it can be scanned directly pre-swap).  Fall back to
+            # invalidation only when the sidecar is incomplete.  Term blooms
+            # stay: a shrunk corpus keeps them a correct superset.
+            from solr_map_reduce_spark.search_stats import (
+                drop_search_stats,
+                prepare_stats_delta,
+            )
 
-        stats_finalize = prepare_stats_delta(spark, path, subset, kept)
-        _swap_shard_dirs(
-            fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched],
-            remove_empty=True,
-        )
-        fs.delete(tmp)
-        if stats_finalize is not None:
-            stats_finalize()
-        else:
-            drop_search_stats(spark, path)
-        # segment files were renamed by the rewrite: refresh the touched
-        # shards' key ranges (stale names would be false negatives)
-        from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
+            stats_finalize = prepare_stats_delta(spark, path, subset, kept)
+            _swap_shard_dirs(
+                fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched],
+                remove_empty=True,
+            )
+            fs.delete(tmp)
+            if stats_finalize is not None:
+                stats_finalize()
+            else:
+                drop_search_stats(spark, path)
+            # segment files were renamed by the rewrite: refresh the touched
+            # shards' key ranges (stale names would be false negatives)
+            from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
 
-        if sidecar_exists(fs, path):
-            write_key_ranges(spark, path, shards=touched)
-        return n_before - n_after
+            if sidecar_exists(fs, path):
+                write_key_ranges(spark, path, shards=touched)
+            return n_before - n_after
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
         """A24 dry-run: run the full logical pipeline client-side and return
@@ -712,6 +715,56 @@ class IndexJob:
             F.sum(F.when(F.col(key).isNull(), 1).otherwise(0)).alias("null_keys"),
         )
         return out, obs
+
+
+MUTATION_LOCK = "_MUTATION_LOCK"
+
+
+class ArtifactLockedError(RuntimeError):
+    """Another mutation holds the artifact's advisory lock."""
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _mutation_lock(fs, path: str, op: str):
+    """Advisory exclusivity for artifact mutations (merge/delete/update/
+    compact): two concurrent mutators would share staging-dir names and
+    interleave shard swaps — silent corruption.  The lock is a marker file
+    written before the first byte of staging output and removed after the
+    mutation completes (success or Python-level failure); a crash that
+    kills the process leaves it behind DELIBERATELY, because a crashed
+    mutation needs operator attention (``clear_mutation_lock`` after
+    verifying no mutator is running).  The reference gets the same
+    exclusivity implicitly from MapReduce job-level output commit."""
+    import os
+    import time
+
+    lock = fs_join(path, MUTATION_LOCK)
+    if fs.exists(lock):
+        raise ArtifactLockedError(
+            f"artifact at {path} is locked by another mutation "
+            f"({fs.read_text(lock).strip()}); if that process is dead, "
+            "verify the artifact and clear_mutation_lock(path)"
+        )
+    fs.write_text(lock, json.dumps({"op": op, "pid": os.getpid(), "ts": time.time()}))
+    try:
+        yield
+    finally:
+        if fs.exists(lock):
+            fs.delete(lock)
+
+
+def clear_mutation_lock(path: str, spark: SparkSession | None = None) -> bool:
+    """Remove a stale mutation lock left by a crashed mutator.  Returns
+    True when a lock was present."""
+    fs = get_fs(path, spark)
+    lock = fs_join(path, MUTATION_LOCK)
+    if fs.exists(lock):
+        fs.delete(lock)
+        return True
+    return False
 
 
 _SWAP_TRASH = "_trash_swap"
@@ -807,74 +860,75 @@ def compact(
         sort_key = json.loads(fs.read_text(manifest_path)).get("unique_key")
     if sort_key is None or sort_key not in df.columns:
         sort_key = [c for c in df.columns if c != SHARD_COL][0]
-    tmp = path.rstrip("/") + "._compact_tmp"
-    # capture BEFORE the swap: the sidecar dir is not carried over by the
-    # file-only metadata copy below (and would be stale if it were — every
-    # segment file gets renamed), so recompute afterwards when one existed
-    from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
+    with _mutation_lock(fs, path, "compact"):
+        tmp = path.rstrip("/") + "._compact_tmp"
+        # capture BEFORE the swap: the sidecar dir is not carried over by the
+        # file-only metadata copy below (and would be stale if it were — every
+        # segment file gets renamed), so recompute afterwards when one existed
+        from solr_map_reduce_spark.key_ranges import sidecar_exists, write_key_ranges
 
-    had_key_ranges = sidecar_exists(fs, path)
-    shard_rows = df.groupBy(SHARD_COL).count().collect()
-    n_shards = len(shard_rows)
-    max_rows = max((r["count"] for r in shard_rows), default=0)
-    # one sorted task per shard, rolling a new file every per_file rows →
-    # exactly ceil(rows/per_file) <= max_segments contiguous-key-range
-    # segments per shard (the Lucene forceMerge(maxSegments) contract, A18)
-    per_file = max(1, math.ceil(max_rows / max_segments))
-    (
-        df.repartition(max(n_shards, 1), F.col(SHARD_COL))
-        .sortWithinPartitions(SHARD_COL, sort_key)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", per_file)
-        .partitionBy(SHARD_COL)
-        .parquet(tmp)
-    )
-    # carry artifact metadata (manifest, publish markers, resume checkpoint)
-    # over to the rewritten directory — the swap below discards the old dir
-    # wholesale, and e.g. a lost manifest makes a later merge_into mistake
-    # the artifact for absent
-    for entry in fs.listdir(path):
-        src = fs_join(path, entry)
-        if not fs.isdir(src) and entry != "_SUCCESS":  # tmp has its own
-            fs.copy_file(src, fs_join(tmp, entry))
-    # atomic-ish publish: swap directories (A21 rename-to-results analog)
-    bak = path.rstrip("/") + "._old"
-    if defer_deletion:
-        i = 0
-        while fs.exists(f"{bak}.{i}"):
-            i += 1
-        bak = f"{bak}.{i}"
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
-    # compaction does not change CONTENT, so the stats sidecar stays valid —
-    # the file carry-over brought _SEARCH_STATS.json; move the _vocab/
-    # directory across too (a rename, no copy) so bm25/term_facet/suggest
-    # keep serving from stored structures after compaction
-    from solr_map_reduce_spark.search_stats import VOCAB_DIR as _VOCAB
+        had_key_ranges = sidecar_exists(fs, path)
+        shard_rows = df.groupBy(SHARD_COL).count().collect()
+        n_shards = len(shard_rows)
+        max_rows = max((r["count"] for r in shard_rows), default=0)
+        # one sorted task per shard, rolling a new file every per_file rows →
+        # exactly ceil(rows/per_file) <= max_segments contiguous-key-range
+        # segments per shard (the Lucene forceMerge(maxSegments) contract, A18)
+        per_file = max(1, math.ceil(max_rows / max_segments))
+        (
+            df.repartition(max(n_shards, 1), F.col(SHARD_COL))
+            .sortWithinPartitions(SHARD_COL, sort_key)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", per_file)
+            .partitionBy(SHARD_COL)
+            .parquet(tmp)
+        )
+        # carry artifact metadata (manifest, publish markers, resume checkpoint)
+        # over to the rewritten directory — the swap below discards the old dir
+        # wholesale, and e.g. a lost manifest makes a later merge_into mistake
+        # the artifact for absent
+        for entry in fs.listdir(path):
+            src = fs_join(path, entry)
+            if not fs.isdir(src) and entry != "_SUCCESS":  # tmp has its own
+                fs.copy_file(src, fs_join(tmp, entry))
+        # atomic-ish publish: swap directories (A21 rename-to-results analog)
+        bak = path.rstrip("/") + "._old"
+        if defer_deletion:
+            i = 0
+            while fs.exists(f"{bak}.{i}"):
+                i += 1
+            bak = f"{bak}.{i}"
+        fs.rename(path, bak)
+        fs.rename(tmp, path)
+        # compaction does not change CONTENT, so the stats sidecar stays valid —
+        # the file carry-over brought _SEARCH_STATS.json; move the _vocab/
+        # directory across too (a rename, no copy) so bm25/term_facet/suggest
+        # keep serving from stored structures after compaction
+        from solr_map_reduce_spark.search_stats import VOCAB_DIR as _VOCAB
 
-    if fs.isdir(fs_join(bak, _VOCAB)) and not fs.isdir(fs_join(path, _VOCAB)):
-        fs.rename(fs_join(bak, _VOCAB), fs_join(path, _VOCAB))
-    if not defer_deletion:
-        fs.delete(bak)
-    # every segment file was renamed by the rewrite: recompute the key-range
-    # sidecar when the pre-compact artifact carried one (a stale or
-    # copied-over entry would be a false negative)
-    if had_key_ranges:
-        from solr_map_reduce_spark.key_ranges import drop_key_ranges
+        if fs.isdir(fs_join(bak, _VOCAB)) and not fs.isdir(fs_join(path, _VOCAB)):
+            fs.rename(fs_join(bak, _VOCAB), fs_join(path, _VOCAB))
+        if not defer_deletion:
+            fs.delete(bak)
+        # every segment file was renamed by the rewrite: recompute the key-range
+        # sidecar when the pre-compact artifact carried one (a stale or
+        # copied-over entry would be a false negative)
+        if had_key_ranges:
+            from solr_map_reduce_spark.key_ranges import drop_key_ranges
 
-        drop_key_ranges(spark, path)  # a copied-over legacy file is stale
-        write_key_ranges(spark, path)
-    # the metadata carry-over copies FILES only: a surviving
-    # _SEARCH_STATS.json without its _vocab/ directory would crash the next
-    # stats-served query — invalidate (queries fall back to computing)
-    from solr_map_reduce_spark.search_stats import (
-        STATS,
-        VOCAB_DIR,
-        drop_search_stats,
-    )
+            drop_key_ranges(spark, path)  # a copied-over legacy file is stale
+            write_key_ranges(spark, path)
+        # the metadata carry-over copies FILES only: a surviving
+        # _SEARCH_STATS.json without its _vocab/ directory would crash the next
+        # stats-served query — invalidate (queries fall back to computing)
+        from solr_map_reduce_spark.search_stats import (
+            STATS,
+            VOCAB_DIR,
+            drop_search_stats,
+        )
 
-    if fs.exists(fs_join(path, STATS)) and not fs.isdir(fs_join(path, VOCAB_DIR)):
-        drop_search_stats(spark, path)
+        if fs.exists(fs_join(path, STATS)) and not fs.isdir(fs_join(path, VOCAB_DIR)):
+            drop_search_stats(spark, path)
 
 
 def publish(staging_path: str, live_path: str, spark: SparkSession | None = None) -> None:

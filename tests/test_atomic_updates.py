@@ -151,3 +151,59 @@ def test_only_touched_shards_rewritten_and_lookups_stay_pruned(spark, tmp_path):
     idx = SearchIndex.open(spark, path)
     assert idx.get("7").collect()[0]["rank"] == 700
     assert idx.count() == 60  # key-range sidecar refreshed exactly
+
+
+class TestMutationLock:
+    """Advisory exclusivity: two concurrent mutators on one artifact would
+    share staging names and interleave swaps — the second must fail fast."""
+
+    def test_concurrent_mutation_rejected_and_lock_cleared(self, spark, tmp_path):
+        import os
+
+        from solr_map_reduce_spark.indexing import (
+            MUTATION_LOCK,
+            ArtifactLockedError,
+            clear_mutation_lock,
+        )
+
+        path = str(tmp_path / "idx")
+        job = _build(spark, path, n=20)
+        # simulate a mutation in flight
+        with open(os.path.join(path, MUTATION_LOCK), "w") as f:
+            f.write('{"op": "merge_into", "pid": 1}')
+        upd = spark.createDataFrame([("1", 11)], "id string, rank long")
+        with pytest.raises(ArtifactLockedError, match="locked"):
+            job.update_fields(upd, path)
+        with pytest.raises(ArtifactLockedError):
+            job.delete_where(spark, path, F.col("id") == "1")
+        with pytest.raises(ArtifactLockedError):
+            job.merge_into(
+                spark.createDataFrame(
+                    [("99", "t", 1)], "id string, text string, rank long"
+                ),
+                path,
+            )
+        # operator clears the stale lock; mutations proceed and re-release
+        assert clear_mutation_lock(path) is True
+        job.update_fields(upd, path)
+        assert not os.path.exists(os.path.join(path, MUTATION_LOCK))
+        idx = SearchIndex.open(spark, path)
+        assert idx.get("1").collect()[0]["rank"] == 11
+
+    def test_lock_released_on_python_failure(self, spark, tmp_path):
+        import os
+
+        from solr_map_reduce_spark.indexing import MUTATION_LOCK
+
+        path = str(tmp_path / "idx")
+        job = _build(spark, path, n=20)
+        # a batch that fails INSIDE the locked section (Spark job error:
+        # rank column carries a non-castable value via a poisoned plan)
+        bad = spark.createDataFrame([("1", "x")], "id string, text string")
+        bad = bad.withColumn(
+            "rank", F.raise_error(F.lit("boom")).cast("long")
+        ).select("id", "rank")
+        with pytest.raises(Exception, match="boom"):
+            job.update_fields(bad, path)
+        # Python-level failure released the advisory lock
+        assert not os.path.exists(os.path.join(path, MUTATION_LOCK))
