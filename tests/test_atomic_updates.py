@@ -207,3 +207,23 @@ class TestMutationLock:
             job.update_fields(bad, path)
         # Python-level failure released the advisory lock
         assert not os.path.exists(os.path.join(path, MUTATION_LOCK))
+
+
+def test_update_with_solr_composite_routing(spark, tmp_path):
+    """Placement under routing='solr' (the SolrCloud-parity hash ring) must
+    agree between build and update — an update routed to the wrong shard
+    would duplicate the doc instead of setting its field."""
+    path = str(tmp_path / "idx_solr")
+    job = _job(routing="solr", micro_shards=8)
+    df = spark.createDataFrame(
+        [(str(i), f"alpha word{i % 5}", i) for i in range(40)],
+        "id string, text string, rank long",
+    )
+    job.build(df, path)
+    job.update_fields(
+        spark.createDataFrame([("11", 1100)], "id string, rank long"), path
+    )
+    idx = SearchIndex.open(spark, path)
+    rows = idx.get("11").collect()
+    assert len(rows) == 1 and rows[0]["rank"] == 1100  # set once, no dup
+    assert idx.count() == 40
