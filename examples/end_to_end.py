@@ -76,6 +76,19 @@ def main() -> None:
     job.merge_into(updates, live)
     print("after merge_into:", spark.read.parquet(live).filter(F.col("source") == "updated").count(), "updated docs")
 
+    # 3c. atomic field updates (Solr's {"set": ...}): supply the key plus
+    # only the fields to change — other fields keep their stored values,
+    # and only the touched shards rewrite
+    some = docs.select("id").orderBy("id").limit(2)
+    job.update_fields(
+        some.withColumn("source", F.lit("atomically-set")), live
+    )
+    print(
+        "after update_fields:",
+        spark.read.parquet(live).filter(F.col("source") == "atomically-set").count(),
+        "docs had source set atomically",
+    )
+
     # 2. query ---------------------------------------------------------
     idx = SearchIndex.open(spark, live)
     print("count:", idx.count())
