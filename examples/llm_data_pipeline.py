@@ -39,6 +39,38 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n0 = docs.count()
 
+    # 0. URL-keyed dedup (the cheapest pass runs FIRST — before any content
+    #    work): canonicalize crawl URLs (case, tracking params, fragments)
+    #    and keep one doc per canonical URL.  Toy URLs synthesized here; a
+    #    real crawl carries them natively.
+    with_urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://Example.COM/"), F.col("source"), F.lit("/"),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit("?utm_source=crawl#top"),
+        ),
+    )
+    keep = text_analysis.url_dedup(with_urls, "url", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs = docs.join(keep, "doc_id")
+    n_url = docs.count()
+    print(f"url dedup: {n0} -> {n_url} docs (one per canonical URL)")
+
+    # 0b. C4 line-level cleaning: drop boilerplate lines (terminal
+    #     punctuation / min-words / javascript-cookie rules), drop docs
+    #     left empty.  The synthetic corpus is unpunctuated, so re-line and
+    #     punctuate it first; a real crawl applies the rules directly.
+    relined = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("."))
+    )
+    cleaned = text_analysis.c4_line_filter(relined, "text", "doc_id")
+    docs = docs.drop("text").join(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    )
+    print(f"c4 clean: {n_url} -> {docs.count()} docs with surviving lines")
+
     # 1. passage dedup: drop repeated 10-word chunks corpus-wide, keep docs
     #    that still have content
     passages = text_dedup.dedup_passages(docs, "doc_id", "text", chunk_words=10)
