@@ -129,6 +129,23 @@ def build_parser() -> argparse.ArgumentParser:
     qry.add_argument("--select", nargs="*", default=None)
     qry.add_argument("--segments", action="store_true", help="C7 layout introspection")
 
+    upd = sub.add_parser(
+        "update",
+        help="atomic field updates against a built artifact (Solr set "
+        "semantics; O(touched shards))",
+    )
+    upd.add_argument("--input", nargs="+", required=True,
+                     help="update rows: unique key + the columns to set")
+    upd.add_argument("--format", default="parquet")
+    upd.add_argument("--path", required=True, help="artifact to update")
+    upd.add_argument("--schema", required=True, help="schema JSON file")
+    upd.add_argument("--shards", type=int, default=1)
+    upd.add_argument("--micro-shards", type=int, default=None)
+    upd.add_argument("--routing", choices=("solr", "native"), default="solr")
+    upd.add_argument("--missing", choices=("error", "skip", "insert"),
+                     default="error",
+                     help="policy for update keys with no stored document")
+
     prof = sub.add_parser(
         "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
     )
@@ -225,6 +242,23 @@ def main(argv: list[str] | None = None) -> int:
         df = read_input(spark, args.input, format=args.format)
         for r in profile(df, cols=args.columns, exact=args.exact).collect():
             print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.command == "update":
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.sources.readers import read_input
+
+        job = IndexJob(
+            IndexJobConfig(
+                schema=load_schema(args.schema),
+                shards=args.shards,
+                micro_shards=args.micro_shards,
+                routing=args.routing,
+            )
+        )
+        updates = read_input(spark, args.input, format=args.format)
+        job.update_fields(updates, args.path, missing=args.missing)
+        print(json.dumps({"updated_from": args.input, "path": args.path}))
         return 0
 
     from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, publish

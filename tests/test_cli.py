@@ -328,3 +328,43 @@ def test_cli_index_with_search_structures(spark, sf_dir, schema_file, tmp_path):
     terms = idx.analyze_terms(["table"])
     assert terms == ["tabl"]
     assert idx.bm25(terms, k=3).count() == 3
+
+
+def test_cli_update_subcommand(spark, tmp_path):
+    """`update` applies atomic field updates through the CLI."""
+    import json as _json
+
+    from solr_map_reduce_spark.cli import main
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("rank", "long")),
+        unique_key="id",
+    )
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(_json.dumps({
+        "unique_key": "id",
+        "fields": [
+            {"name": "id", "type": "string", "required": True},
+            {"name": "rank", "type": "long"},
+        ],
+    }))
+    art = str(tmp_path / "idx")
+    IndexJob(
+        IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+    ).build(
+        spark.createDataFrame([(str(i), i) for i in range(20)], "id string, rank long"),
+        art,
+    )
+    upd_path = str(tmp_path / "upd.parquet")
+    spark.createDataFrame([("7", 700)], "id string, rank long").write.parquet(upd_path)
+    rc = main([
+        "update", "--input", upd_path, "--path", art,
+        "--schema", str(schema_file), "--shards", "2", "--routing", "native",
+    ])
+    assert rc == 0
+    idx = SearchIndex.open(spark, art)
+    assert idx.get("7").collect()[0]["rank"] == 700
+    assert idx.count() == 20
