@@ -362,6 +362,11 @@ class IndexJob:
         fs = get_fs(path, df.sparkSession)
         if not fs.exists(fs_join(path, MANIFEST)):
             return self.build(df, path, generate_keys_from=generate_keys_from)
+        _require_placement_parity(
+            self.config,
+            json.loads(fs.read_text(fs_join(path, MANIFEST))),
+            "merge_into",
+        )
         prepared = self.route(df, generate_keys_from).drop(MICRO_COL)
         touched = sorted(
             r[0] for r in prepared.select(SHARD_COL).distinct().collect()
@@ -493,6 +498,7 @@ class IndexJob:
         if not fs.exists(fs_join(path, MANIFEST)):
             raise FileNotFoundError(f"no index artifact at {path}")
         manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
+        _require_placement_parity(self.config, manifest, "update_fields")
         data_cols = [c for c in manifest["columns"]]
         if key not in updates.columns:
             raise ValueError(f"updates must carry the unique key {key!r}")
@@ -715,6 +721,24 @@ class IndexJob:
             F.sum(F.when(F.col(key).isNull(), 1).otherwise(0)).alias("null_keys"),
         )
         return out, obs
+
+
+def _require_placement_parity(cfg: IndexJobConfig, manifest: dict, op: str) -> None:
+    """Incremental mutations route new/updated keys with the CALLER's
+    config; if its shard count or routing mode differs from what the
+    artifact was built with, keys land in the wrong shard directories and
+    documents silently duplicate instead of replacing.  The manifest
+    records the build-time truth — enforce it."""
+    want_shards = int(manifest.get("shards", cfg.shards))
+    want_routing = manifest.get("routing", "solr")
+    if cfg.shards != want_shards or cfg.routing != want_routing:
+        raise ValueError(
+            f"{op} config places keys differently than the artifact was "
+            f"built: config (shards={cfg.shards}, routing={cfg.routing!r}) "
+            f"vs manifest (shards={want_shards}, routing={want_routing!r}) "
+            "— run the same IndexJob configuration the artifact was built "
+            "with (the reference reruns the same job)"
+        )
 
 
 MUTATION_LOCK = "_MUTATION_LOCK"

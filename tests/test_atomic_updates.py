@@ -227,3 +227,23 @@ def test_update_with_solr_composite_routing(spark, tmp_path):
     rows = idx.get("11").collect()
     assert len(rows) == 1 and rows[0]["rank"] == 1100  # set once, no dup
     assert idx.count() == 40
+
+
+def test_mutation_rejects_placement_mismatch(spark, tmp_path):
+    """A mutation run with a different shard count or routing mode than the
+    artifact was built with would place keys in the wrong shard and
+    silently duplicate documents — both incremental paths must refuse."""
+    path = str(tmp_path / "idx")
+    _build(spark, path, n=20)
+    wrong_shards = _job(shards=2)
+    upd = spark.createDataFrame([("1", 11)], "id string, rank long")
+    with pytest.raises(ValueError, match="places keys differently"):
+        wrong_shards.update_fields(upd, path)
+    wrong_routing = _job(routing="solr", micro_shards=8)
+    with pytest.raises(ValueError, match="places keys differently"):
+        wrong_routing.merge_into(
+            spark.createDataFrame(
+                [("99", "t", 1)], "id string, text string, rank long"
+            ),
+            path,
+        )
