@@ -270,6 +270,25 @@ class IvfIndex:
             m.get("bucket_col", "bucket"),
         )
 
+    def add(self, df: DataFrame, path: str) -> None:
+        """Incremental ANN ingest: assign the NEW vectors to their nearest
+        stored centroids and APPEND them into the bucket directories — the
+        index grows without touching a byte of the existing vectors
+        (centroids stay fixed, the standard IVF incremental contract;
+        re-``fit`` + rebuild when drift degrades recall).  At 100 TB this
+        is the difference between an O(batch) nightly ingest and an
+        O(corpus) rebuild.  ``search_stored`` sees appended vectors
+        immediately: the probe reads whole bucket directories, appended
+        files included."""
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        assigned = self.assign(df, self.bucket_col)
+        (
+            assigned.write.mode("append")
+            .partitionBy(self.bucket_col)
+            .parquet(fs_join(path, "vectors"))
+        )
+
     def search_stored(
         self,
         spark,

@@ -279,3 +279,59 @@ def test_knn_join_rejects_oversized_query_side(spark):
     # explicit raise of the cap restores the old behavior
     out = knn_join(big.limit(12), big, k=2, max_queries=12)
     assert out.count() == 24
+
+
+# ---------------------------------------------------------------------------
+# IvfIndex.add — incremental ANN ingest (r5)
+# ---------------------------------------------------------------------------
+
+def test_ivf_incremental_add_equals_one_shot(spark, sf_dir, tmp_path):
+    """Append-ingesting the second half of the corpus must yield the SAME
+    stored-search results as assigning everything at once (same centroids),
+    and must not rewrite any existing bucket file (O(batch) proof)."""
+    import os
+
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    ivf = IvfIndex.fit(first, n_centroids=8)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    ivf.save(inc_path, assigned=ivf.assign(first))
+    vec_dir = os.path.join(inc_path, "vectors")
+    before = {
+        os.path.join(b, f)
+        for b in os.listdir(vec_dir)
+        if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(vec_dir, b))
+        if f.endswith(".parquet")
+    }
+    ivf.add(second, inc_path)
+    after = {
+        os.path.join(b, f)
+        for b in os.listdir(vec_dir)
+        if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(vec_dir, b))
+        if f.endswith(".parquet")
+    }
+    assert before <= after and len(after) > len(before)  # pure append
+
+    one_path = str(tmp_path / "ivf_one")
+    ivf.save(one_path, assigned=ivf.assign(emb))
+
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    inc = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in IvfIndex.load(spark, inc_path)
+        .search_stored(spark, inc_path, q, k=8, nprobe=3)
+        .collect()
+    ]
+    one = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in IvfIndex.load(spark, one_path)
+        .search_stored(spark, one_path, q, k=8, nprobe=3)
+        .collect()
+    ]
+    assert inc == one and len(inc) == 8
