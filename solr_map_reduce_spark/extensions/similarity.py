@@ -703,6 +703,25 @@ class IvfPqIndex:
             ),
         )
 
+    def add(self, df: DataFrame, path: str) -> None:
+        """Incremental ingest (the :meth:`IvfIndex.add` contract for the
+        compressed index): assign new vectors with the STORED centroids,
+        encode with the STORED codebooks, and append (id, code) rows into
+        the bucket directories — O(batch), existing codes untouched.
+        Re-``fit`` + rebuild when centroid/codebook drift degrades
+        recall."""
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        assigned = self.ivf.assign(df, bucket_col=self.ivf.bucket_col)
+        encoded = self.pq.encode(assigned, code_col="pq_code").select(
+            self.ivf.id_col, self.ivf.bucket_col, "pq_code"
+        )
+        (
+            encoded.write.mode("append")
+            .partitionBy(self.ivf.bucket_col)
+            .parquet(fs_join(path, "codes"))
+        )
+
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":
         import json

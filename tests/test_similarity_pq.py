@@ -335,3 +335,36 @@ def test_ivf_incremental_add_equals_one_shot(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert inc == one and len(inc) == 8
+
+
+def test_ivfpq_incremental_add_equals_one_shot(spark, sf_dir, tmp_path):
+    """Appending the second half into a built IVF-PQ index must produce the
+    same ADC search results as building over the full corpus with the same
+    centroids+codebooks."""
+    from solr_map_reduce_spark.extensions.similarity import IvfPqIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = IvfPqIndex.fit(first, n_centroids=8, m=8, ksub=16)
+
+    inc_path = str(tmp_path / "ivfpq_inc")
+    idx.build(first, inc_path)
+    idx.add(second, inc_path)
+    one_path = str(tmp_path / "ivfpq_one")
+    idx.build(emb, one_path)
+
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    inc = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in IvfPqIndex.load(spark, inc_path)
+        .search_stored(spark, inc_path, q, k=8, nprobe=3)
+        .collect()
+    ]
+    one = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in IvfPqIndex.load(spark, one_path)
+        .search_stored(spark, one_path, q, k=8, nprobe=3)
+        .collect()
+    ]
+    assert inc == one and len(inc) == 8
