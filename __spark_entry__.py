@@ -121,20 +121,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotating verdict window (the harness checks the first 50 registry
 # entries per round): lead with (a) the two queries whose serving path was
 # re-implemented this round (shard-partitioned _key_ranges/ layout), (b)
-# the five brand-new r5 queries (never externally checked), then (c) the
+# the six brand-new r5 queries (never externally checked), then (c) the
 # 49 entries NOT in round 4's window (all green in r03 or golden-tested)
-# in registry order — the last 6 of those (ext_pack_sequences,
-# ext_redact_pii, ext_profile, ext_source_mixture, window_sliding_counts,
-# ext_repetition; unchanged since their r03 green) overflow the 50-slot
-# window and rotate to r06.  The repo's own oracle suite covers all
-# entries every pytest run regardless (tests/test_queries_oracle.py).
+# in registry order — the last 7 of those (ext_quantile_filter onward;
+# unchanged since their r03 green) overflow the 50-slot window and rotate
+# to r06.  The repo's own oracle suite covers all entries every pytest
+# run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
     # serving path re-implemented in r5 (shard-partitioned key-range
     # sidecar) — fresh verdicts first even though r04-green
     "c2_segment_lookup", "c2_key_range",
     # new in r5 — never externally checked
     "ext_pixel_stats", "ext_url_dedup", "ext_c4_clean", "ext_spatial_bbox",
-    "c6_atomic_update",
+    "c6_atomic_update", "ext_hash_split",
     # r03-green (or golden) entries outside the r04 window, registry order
     "c1_count_all", "c2_point_lookup", "c3_delete_by_query",
     "c4_sort_page", "c5_projection", "c6_upsert_latest",

@@ -368,3 +368,33 @@ def c4_line_filter(
         (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
     )
     return out.filter(F.col("n_lines_kept") >= min_kept_lines)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    buckets: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, key-stable train/val/test assignment: the key's md5
+    (first 8 hex digits → integer, mod ``buckets``) lands in cumulative
+    weight ranges.  The split is a pure function of the key — re-running,
+    appending data, or changing partitioning never moves a document
+    between splits (the property random() splits lack), and the SAME rule
+    is expressible in any engine with md5 (DuckDB-oracled bit-for-bit).
+    Codegen'd string/arith expressions — no UDF, no shuffle."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        hi = int(round(acc * buckets))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(list(weights)[-1]))

@@ -1745,6 +1745,28 @@ def ext_pixel_stats(spark, sf_dir):
 
 
 @_register(
+    "ext_hash_split",
+    """SELECT doc_id,
+              CASE
+                WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 < 9000 THEN 'val'
+                ELSE 'test'
+              END AS split
+       FROM documents""",
+    "deterministic key-stable train/val/test split (md5-bucket ranges, "
+    "80/10/10): the assignment is a pure function of the key — appends or "
+    "re-partitioning never move a document between splits — and the oracle "
+    "recomputes every per-document assignment bit-for-bit",
+)
+def ext_hash_split(spark, sf_dir):
+    return text_analysis.hash_split(
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    ).select("doc_id", "split")
+
+
+@_register(
     "c6_atomic_update",
     """SELECT doc_id,
               CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars END

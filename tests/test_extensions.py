@@ -414,3 +414,23 @@ def test_normalize_url_idempotent(spark):
     once = df.select(normalize_url(F.col("url")).alias("url"))
     twice = once.select(normalize_url(F.col("url")).alias("url"))
     assert [r["url"] for r in once.collect()] == [r["url"] for r in twice.collect()]
+
+
+def test_hash_split_stability_and_proportions(spark):
+    from solr_map_reduce_spark.extensions.text_analysis import hash_split
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    # stability: a shuffled, appended-to input assigns identically
+    df2 = df.repartition(7).union(
+        spark.range(5000, 5100).select(F.col("id").alias("doc_id"))
+    )
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(df2, "doc_id").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    # proportions: within a few points of 80/10/10 at n=5000
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
