@@ -270,7 +270,7 @@ class IvfIndex:
             m.get("bucket_col", "bucket"),
         )
 
-    def add(self, df: DataFrame, path: str) -> None:
+    def add(self, df: DataFrame, path: str, batch_tag: str | None = None) -> None:
         """Incremental ANN ingest: assign the NEW vectors to their nearest
         stored centroids and APPEND them into the bucket directories — the
         index grows without touching a byte of the existing vectors
@@ -279,15 +279,52 @@ class IvfIndex:
         is the difference between an O(batch) nightly ingest and an
         O(corpus) rebuild.  ``search_stored`` sees appended vectors
         immediately: the probe reads whole bucket directories, appended
-        files included."""
+        files included.
+
+        ``batch_tag`` makes the append REPLAY-IDEMPOTENT (the streaming
+        foreachBatch contract): the batch stages to a side directory, any
+        files from a previous attempt of the same tag are removed, and the
+        staged files move into the bucket dirs under tag-prefixed names —
+        re-delivering a batch (including after a mid-append crash) yields
+        exactly one copy."""
+        from solr_map_reduce_spark.fs import get_fs
         from solr_map_reduce_spark.fs import join as fs_join
 
         assigned = self.assign(df, self.bucket_col)
+        vectors = fs_join(path, "vectors")
+        if batch_tag is None:
+            (
+                assigned.write.mode("append")
+                .partitionBy(self.bucket_col)
+                .parquet(vectors)
+            )
+            return
+        fs = get_fs(path, df.sparkSession)
+        stage = fs_join(path, f"_ingest_{batch_tag}")
         (
-            assigned.write.mode("append")
+            assigned.write.mode("overwrite")
             .partitionBy(self.bucket_col)
-            .parquet(fs_join(path, "vectors"))
+            .parquet(stage)
         )
+        prefix = f"b{batch_tag}-"
+        # sweep any partial files from a previous attempt of this batch
+        if fs.isdir(vectors):
+            for bdir in fs.listdir(vectors):
+                full = fs_join(vectors, bdir)
+                if bdir.startswith(f"{self.bucket_col}=") and fs.isdir(full):
+                    for f in fs.listdir(full):
+                        if f.startswith(prefix):
+                            fs.delete(fs_join(full, f))
+        for bdir in fs.listdir(stage):
+            src_dir = fs_join(stage, bdir)
+            if not (bdir.startswith(f"{self.bucket_col}=") and fs.isdir(src_dir)):
+                continue
+            dst_dir = fs_join(vectors, bdir)
+            fs.mkdirs(dst_dir)
+            for f in fs.listdir(src_dir):
+                if f.endswith(".parquet"):
+                    fs.rename(fs_join(src_dir, f), fs_join(dst_dir, prefix + f))
+        fs.delete(stage)
 
     def search_stored(
         self,

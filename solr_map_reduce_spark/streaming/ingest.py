@@ -236,3 +236,38 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    input_path: str,
+    input_schema,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ANN ingest: continuously append arriving vectors (parquet
+    files under ``input_path``) into a persisted :class:`IvfIndex` at
+    ``index_path`` — assign to the STORED centroids, bucket-directory
+    append, O(batch) per micro-batch.
+
+    Replay idempotence: each micro-batch appends under its Structured
+    Streaming batch id as a file-name tag (``IvfIndex.add(batch_tag=...)``)
+    — a batch re-delivered after a crash (foreachBatch's at-least-once
+    contract) first sweeps its own partial files, so the index holds
+    exactly one copy of every vector.  Stored searches see each batch as
+    soon as its append completes."""
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    ivf = IvfIndex.load(spark, index_path)
+    stream = spark.readStream.schema(input_schema).parquet(input_path)
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        ivf.add(batch_df, index_path, batch_tag=str(batch_id))
+
+    writer = stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -368,3 +368,54 @@ def test_ivfpq_incremental_add_equals_one_shot(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert inc == one and len(inc) == 8
+
+
+def test_ivf_batch_tag_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivering the same tagged batch (the foreachBatch at-least-once
+    contract, including a partial first attempt) must leave exactly one
+    copy of every vector."""
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    batch = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    ivf = IvfIndex.fit(base, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    ivf.save(path, assigned=ivf.assign(base))
+    ivf.add(batch, path, batch_tag="7")
+    ivf.add(batch, path, batch_tag="7")  # replay: must not duplicate
+    stored = spark.read.parquet(path + "/vectors")
+    assert stored.count() == 150
+    assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_stream_ivf_ingest_end_to_end(spark, sf_dir, tmp_path):
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+    from solr_map_reduce_spark.streaming.ingest import stream_ivf_ingest
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    ivf = IvfIndex.fit(base, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    ivf.save(path, assigned=ivf.assign(base))
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 160)).write.parquet(inp)
+    stream_ivf_ingest(spark, inp, emb.schema, path, ckpt).awaitTermination(120)
+    # second drain with more files: only the new ones ingest (checkpoint)
+    emb.filter((F.col("vec_id") >= 160) & (F.col("vec_id") < 200)).write.mode(
+        "append"
+    ).parquet(inp)
+    stream_ivf_ingest(spark, inp, emb.schema, path, ckpt).awaitTermination(120)
+    stored = spark.read.parquet(path + "/vectors")
+    assert stored.count() == 200
+    assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
+    # a streamed vector is findable through the stored probe
+    q = emb.filter(F.col("vec_id") == 180).select("embedding").collect()[0][0]
+    got = [
+        r["vec_id"]
+        for r in IvfIndex.load(spark, path)
+        .search_stored(spark, path, q, k=3, nprobe=4)
+        .collect()
+    ]
+    assert 180 in got
