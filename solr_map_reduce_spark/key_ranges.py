@@ -204,6 +204,26 @@ class KeyRanges(Mapping):
     def shard_ids(self) -> list[str]:
         return sorted(self._shard_rows, key=lambda s: int(s))
 
+    @property
+    def is_partitioned(self) -> bool:
+        """True for the shard-partitioned (format 2) layout."""
+        return self._base is not None
+
+    @property
+    def shard_rows(self) -> dict:
+        """Per-shard row totals from META — readable WITHOUT span files."""
+        return dict(self._shard_rows)
+
+    def has_span_file(self, s) -> bool:
+        """True when shard ``s``'s span file is on disk (existence check
+        only — the file is NOT read).  A shard listed in META without a
+        span file is a torn sidecar (e.g. an interrupted migration)."""
+        if self._base is None:
+            return str(s) in self._raw or str(int(s)) in self._raw
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        return self._fs.exists(fs_join(self._base, f"shard_{int(s)}.json"))
+
     def _load_raw(self, s: str) -> dict | None:
         """That shard's {file: [lo, hi, n]} — or None when the shard is
         listed in META but its span file is MISSING (a torn sidecar, e.g.
@@ -332,9 +352,15 @@ def write_key_ranges(
     the shard-partitioned layout (``_key_ranges/``).  ``shards`` restricts
     the recompute to those shard dirs (partition-pruned scan) and rewrites
     ONLY those shards' span files — the ``merge_into`` refresh path is
-    O(touched) in both the scan and the sidecar write.  A legacy monolithic
-    ``_KEY_RANGES.json`` found here is migrated (absorbed then deleted).
-    Returns the sidecar as a plain format-1-shaped dict."""
+    O(touched) in the scan, the sidecar write, AND the driver-side reads
+    (untouched shards contribute only their META row totals; their span
+    files are never opened).  A shard META lists but whose span file is
+    missing (torn sidecar) is recomputed from its parquet alongside the
+    touched shards — never written as empty, which would hide its rows.
+    A legacy monolithic ``_KEY_RANGES.json`` found here is migrated
+    (absorbed then deleted).  Returns a format-1-shaped dict covering the
+    shards this call computed or migrated (the full artifact on a full
+    rebuild)."""
     from solr_map_reduce_spark.fs import get_fs
     from solr_map_reduce_spark.fs import join as fs_join
     from solr_map_reduce_spark.indexing import MANIFEST, SHARD_COL, read_index
@@ -343,19 +369,45 @@ def write_key_ranges(
     manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
     key = manifest["unique_key"]
 
-    existing: dict = {}
+    carried_rows: dict[str, int] = {}  # untouched shard -> prior META total
+    carried_spans: dict[str, dict] = {}  # legacy-migrated untouched shards
     if shards is not None:
         prior = load_key_ranges(spark, path)
-        if prior is not None:
-            existing = dict(prior["shards"])
-            for s in shards:  # rewritten dirs: old file names are gone
-                existing.pop(str(int(s)), None)
-        else:
+        if prior is None:
             # no sidecar to merge into: a subset write would cover ONLY the
             # refreshed shards and silently hide every other shard's rows
             # from pruned lookups/count — escalate to a full build (same
             # policy as write_term_blooms)
             shards = None
+        elif prior.is_partitioned:
+            # O(touched) in driver reads too: untouched shards' span files
+            # are never OPENED — only their META row totals carry forward
+            # (has_span_file is an existence check, not a read)
+            torn: set[int] = set()
+            touched = {str(int(s)) for s in shards}
+            for s in prior.shard_ids():
+                if s in touched:
+                    continue
+                if prior.has_span_file(s):
+                    carried_rows[s] = int(prior.shard_rows[s])
+                else:
+                    # torn sidecar: META lists the shard but its span file
+                    # is missing.  NEVER synthesize an empty span file
+                    # (readers would treat the shard as having zero rows —
+                    # silent false negatives); recompute that shard's spans
+                    # from its parquet alongside the touched shards.
+                    torn.add(int(s))
+            if torn:
+                shards = sorted({int(s) for s in shards} | torn)
+        else:
+            # legacy monolithic prior: the single file is already parsed in
+            # memory — absorb every untouched shard into the new layout
+            touched = {str(int(s)) for s in shards}
+            for s, files in prior["shards"].items():
+                if s in touched:
+                    continue
+                carried_spans[s] = dict(files)
+                carried_rows[s] = sum(int(v[2]) for v in files.values())
 
     idx = read_index(spark, path)
     if shards is not None:
@@ -376,8 +428,11 @@ def write_key_ranges(
     )
 
     key_type = idx.schema[key].dataType.simpleString()
-    shard_maps: dict = dict(existing)
-    refreshed: set[str] = set()
+    # carried_spans (legacy-migration absorbs) always need their span files
+    # written: the monolithic source file is deleted below, so a META that
+    # listed them without span files would tear the sidecar
+    shard_maps: dict = dict(carried_spans)
+    refreshed: set[str] = set(carried_spans)
     for row in per_file:
         s = str(int(row["_s"]))
         refreshed.add(s)
@@ -388,16 +443,6 @@ def write_key_ranges(
         # a touched shard whose rewrite produced no rows still needs its
         # stale span file replaced (with an empty one)
         refreshed.update(str(int(s)) for s in shards)
-        # ... and every carried-over shard whose span file is not on disk
-        # must be written too: after a migration from the legacy monolithic
-        # layout (its entries live only in `existing`) a META that lists a
-        # shard with no span file would leave that shard's rows invisible
-        # to pruned lookups
-        for s in shard_maps:
-            if s not in refreshed and not fs.exists(
-                fs_join(path, KEY_RANGES_DIR, f"shard_{s}.json")
-            ):
-                refreshed.add(s)
     else:
         refreshed = set(shard_maps)
 
@@ -428,14 +473,10 @@ def write_key_ranges(
         fs.write_text(fs_join(base, f"shard_{s}.json"), json.dumps(body, default=str))
         if not files:
             shard_maps[s] = {}
-    meta = {
-        "format": 2,
-        "key_type": key_type,
-        "shard_rows": {
-            s: sum(int(v[2]) for v in files.values())
-            for s, files in shard_maps.items()
-        },
-    }
+    shard_rows = dict(carried_rows)  # untouched shards: prior totals, no reads
+    for s in refreshed:
+        shard_rows[s] = sum(int(v[2]) for v in shard_maps.get(s, {}).values())
+    meta = {"format": 2, "key_type": key_type, "shard_rows": shard_rows}
     # META written LAST: a reader needs it, so a crash mid-write leaves the
     # old META (stale but self-consistent with the still-present old span
     # files) or no sidecar at all — never a partial new one

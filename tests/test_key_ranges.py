@@ -573,3 +573,71 @@ class TestFifthReviewRegressions:
         )
         assert found == 4  # every key still found
         assert idx.key_range("k00100", "k00119").count() == 20
+
+
+class TestSixthReviewRegressions:
+    def test_torn_shard_heals_on_subset_refresh(self, spark, tmp_path):
+        """ADVICE r5 (medium): a touched-shard refresh over a TORN sidecar
+        (an untouched shard's span file missing) must recompute that
+        shard's spans from its parquet — the old code wrote an empty
+        shard_N.json (shard_rows=0), turning the tear into permanent
+        silent false negatives."""
+        import json
+        import os
+
+        out = str(tmp_path / "idx_heal")
+        job = _job()
+        job.build(_docs(spark), out)
+        batch = _docs(spark, n=1, start=9000)
+        routed = {r["shard"] for r in job.route(batch).select("shard").distinct().collect()}
+        assert len(routed) == 1
+        torn = ({0, 1} - routed).pop()
+        os.remove(os.path.join(out, "_key_ranges", f"shard_{torn}.json"))
+        job.merge_into(batch, out)
+        # the torn shard's span file was REGENERATED from parquet, not
+        # synthesized empty
+        with open(os.path.join(out, "_key_ranges", f"shard_{torn}.json")) as f:
+            spans = json.load(f)["files"]
+        assert spans, "torn shard must be recomputed, never written empty"
+        with open(os.path.join(out, "_key_ranges", "_META.json")) as f:
+            meta = json.load(f)
+        assert int(meta["shard_rows"][str(torn)]) > 0
+        idx = SearchIndex.open(spark, out)
+        assert idx.count() == 401
+        # every key routed to the formerly-torn shard is retrievable
+        torn_keys = [
+            f"k{i:05d}" for i in range(400)
+            if idx._shard_of(f"k{i:05d}") == torn
+        ][:3]
+        assert torn_keys
+        for k in torn_keys:
+            assert idx.get(k).count() == 1, k
+
+    def test_subset_refresh_never_opens_untouched_span_files(self, spark, tmp_path):
+        """ADVICE r5 (low): the touched-shard refresh must be O(touched) in
+        driver-side READS too — untouched shards contribute only their
+        META row totals.  Proven by poisoning the untouched shard's span
+        file with invalid JSON: any read would crash the refresh."""
+        import json
+        import os
+
+        out = str(tmp_path / "idx_noread")
+        job = _job()
+        job.build(_docs(spark), out)
+        batch = _docs(spark, n=1, start=9100)
+        routed = {r["shard"] for r in job.route(batch).select("shard").distinct().collect()}
+        assert len(routed) == 1
+        untouched = ({0, 1} - routed).pop()
+        with open(os.path.join(out, "_key_ranges", "_META.json")) as f:
+            prior_rows = json.load(f)["shard_rows"]
+        poison_path = os.path.join(out, "_key_ranges", f"shard_{untouched}.json")
+        with open(poison_path, "w") as f:
+            f.write("NOT JSON {{{")  # any json.loads on this file crashes
+        job.merge_into(batch, out)  # must not read the poisoned file
+        with open(poison_path) as f:
+            assert f.read() == "NOT JSON {{{"  # ... and must not rewrite it
+        with open(os.path.join(out, "_key_ranges", "_META.json")) as f:
+            meta = json.load(f)
+        # untouched shard's row total carried forward from the prior META
+        assert meta["shard_rows"][str(untouched)] == prior_rows[str(untouched)]
+        assert sum(int(n) for n in meta["shard_rows"].values()) == 401
