@@ -146,6 +146,16 @@ def build_parser() -> argparse.ArgumentParser:
                      default="error",
                      help="policy for update keys with no stored document")
 
+    ulk = sub.add_parser(
+        "unlock",
+        help="inspect / force-clear a stale mutation lock left by a "
+        "crashed mutator (prints owner pid/host/ts; refuses without "
+        "--force)",
+    )
+    ulk.add_argument("--path", required=True, help="locked artifact")
+    ulk.add_argument("--force", action="store_true",
+                     help="actually remove the lock (default: inspect only)")
+
     prof = sub.add_parser(
         "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
     )
@@ -192,6 +202,30 @@ def validate(args: argparse.Namespace) -> None:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     validate(args)
+
+    if args.command == "unlock":
+        # driver-side control plane only — no Spark session needed for
+        # local paths (URI schemes reuse an active session if one exists)
+        from solr_map_reduce_spark.indexing import (
+            clear_mutation_lock,
+            inspect_mutation_lock,
+        )
+
+        info = inspect_mutation_lock(args.path)
+        if info is None:
+            print(json.dumps({"locked": False}))
+            return 0
+        if not args.force:
+            print(json.dumps({
+                "locked": True, "removed": False, "owner": info,
+                "hint": "re-run with --force after verifying the owner "
+                        "process is dead",
+            }, default=str))
+            return 1
+        removed = clear_mutation_lock(args.path)
+        print(json.dumps({"locked": True, "removed": removed, "owner": info},
+                         default=str))
+        return 0
 
     from solr_map_reduce_spark.session import get_spark
 

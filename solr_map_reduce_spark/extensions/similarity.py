@@ -286,7 +286,14 @@ class IvfIndex:
         files from a previous attempt of the same tag are removed, and the
         staged files move into the bucket dirs under tag-prefixed names —
         re-delivering a batch (including after a mid-append crash) yields
-        exactly one copy."""
+        exactly one copy.  The replay sweep visits ONLY the buckets this
+        batch stages into (plus any bucket dirs left in a crashed earlier
+        attempt's staging dir) — per-batch ingest cost stays O(batch)
+        however many buckets/files the index has accumulated.  That bound
+        is sound because assignment is deterministic (fixed stored
+        centroids, same foreachBatch data): a replay stages into exactly
+        the buckets the failed attempt did, and a partially-moved attempt
+        leaves its staging bucket dirs behind as a record."""
         from solr_map_reduce_spark.fs import get_fs
         from solr_map_reduce_spark.fs import join as fs_join
 
@@ -301,24 +308,35 @@ class IvfIndex:
             return
         fs = get_fs(path, df.sparkSession)
         stage = fs_join(path, f"_ingest_{batch_tag}")
+        is_bucket = lambda name: name.startswith(f"{self.bucket_col}=")  # noqa: E731
+        # a surviving staging dir records which buckets a crashed earlier
+        # attempt may have (partially) moved files into — read it BEFORE
+        # the overwrite clears it
+        prior_buckets = (
+            {b for b in fs.listdir(stage) if is_bucket(b)}
+            if fs.isdir(stage)
+            else set()
+        )
         (
             assigned.write.mode("overwrite")
             .partitionBy(self.bucket_col)
             .parquet(stage)
         )
+        staged_buckets = {
+            b for b in fs.listdir(stage)
+            if is_bucket(b) and fs.isdir(fs_join(stage, b))
+        }
         prefix = f"b{batch_tag}-"
-        # sweep any partial files from a previous attempt of this batch
-        if fs.isdir(vectors):
-            for bdir in fs.listdir(vectors):
-                full = fs_join(vectors, bdir)
-                if bdir.startswith(f"{self.bucket_col}=") and fs.isdir(full):
-                    for f in fs.listdir(full):
-                        if f.startswith(prefix):
-                            fs.delete(fs_join(full, f))
-        for bdir in fs.listdir(stage):
+        # sweep partial files from a previous attempt of this batch —
+        # only in the buckets that attempt could have touched
+        for bdir in sorted(prior_buckets | staged_buckets):
+            full = fs_join(vectors, bdir)
+            if fs.isdir(full):
+                for f in fs.listdir(full):
+                    if f.startswith(prefix):
+                        fs.delete(fs_join(full, f))
+        for bdir in sorted(staged_buckets):
             src_dir = fs_join(stage, bdir)
-            if not (bdir.startswith(f"{self.bucket_col}=") and fs.isdir(src_dir)):
-                continue
             dst_dir = fs_join(vectors, bdir)
             fs.mkdirs(dst_dir)
             for f in fs.listdir(src_dir):

@@ -73,6 +73,19 @@ class LocalFS:
         with open(path, "w", encoding="utf-8") as f:
             f.write(text)
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Atomically create ``path`` with ``text`` iff it does not exist.
+        Returns False when another writer already created it — the lock
+        primitive (plain exists-then-write races: two mutators can both
+        pass the exists check and both believe they hold the lock)."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+        return True
+
 
 class HadoopFS:
     """Hadoop FileSystem control plane via the session JVM (py4j).
@@ -138,6 +151,23 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Atomic create-if-absent via ``FileSystem.create(overwrite=false)``
+        — atomic on HDFS (namenode-arbitrated); on stores without atomic
+        create (S3A) callers should verify the written token after
+        acquisition (``_mutation_lock`` does)."""
+        try:
+            out = self._fs(path).create(self._path(path), False)
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            if "xist" in str(e):  # [aA]lready[eE]xists / file exists
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
 
 def get_fs(path: str, spark=None):

@@ -759,25 +759,85 @@ def _mutation_lock(fs, path: str, op: str):
     written before the first byte of staging output and removed after the
     mutation completes (success or Python-level failure); a crash that
     kills the process leaves it behind DELIBERATELY, because a crashed
-    mutation needs operator attention (``clear_mutation_lock`` after
-    verifying no mutator is running).  The reference gets the same
-    exclusivity implicitly from MapReduce job-level output commit."""
+    mutation needs operator attention (``clear_mutation_lock`` /
+    ``smrs unlock --force`` after verifying no mutator is running).  The
+    reference gets the same exclusivity implicitly from MapReduce
+    job-level output commit.
+
+    Acquisition is ATOMIC (``fs.create_exclusive``: O_EXCL locally,
+    ``create(overwrite=false)`` on Hadoop) — the old exists-then-write
+    pair let two racing mutators both pass the exists check and
+    interleave staging writes.  After creation the written token is read
+    back and verified, catching stores without atomic create semantics.
+    The lock body records owner metadata (op/pid/host/ts/token) so an
+    operator can tell a live mutator from a dead one before forcing."""
     import os
+    import socket
     import time
+    import uuid
 
     lock = fs_join(path, MUTATION_LOCK)
-    if fs.exists(lock):
+    token = uuid.uuid4().hex
+    body = json.dumps({
+        "op": op,
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "ts": time.time(),
+        "token": token,
+    })
+    if not fs.create_exclusive(lock, body):
+        try:
+            holder = fs.read_text(lock).strip()
+        except Exception:
+            holder = "<unreadable — racing mutator mid-write>"
         raise ArtifactLockedError(
-            f"artifact at {path} is locked by another mutation "
-            f"({fs.read_text(lock).strip()}); if that process is dead, "
-            "verify the artifact and clear_mutation_lock(path)"
+            f"artifact at {path} is locked by another mutation ({holder}); "
+            "if that process is dead, verify the artifact and "
+            "clear_mutation_lock(path) or `smrs unlock --force`"
         )
-    fs.write_text(lock, json.dumps({"op": op, "pid": os.getpid(), "ts": time.time()}))
+    # verify we won: on stores without atomic create-exclusive, two racers
+    # can both "succeed" — last-writer-wins on the token settles it
+    try:
+        held = json.loads(fs.read_text(lock)).get("token")
+    except Exception:
+        held = None
+    if held != token:
+        raise ArtifactLockedError(
+            f"artifact at {path}: lost lock race to another mutation "
+            f"(stored token {held!r})"
+        )
     try:
         yield
     finally:
         if fs.exists(lock):
             fs.delete(lock)
+
+
+def inspect_mutation_lock(path: str, spark: SparkSession | None = None) -> dict | None:
+    """Owner metadata of the mutation lock at ``path`` (op/pid/host/ts,
+    plus ``pid_alive_here`` when the lock's host matches this one), or
+    None when unlocked.  Lets an operator distinguish a live mutator from
+    a crashed one before forcing the lock."""
+    import os
+    import socket
+
+    fs = get_fs(path, spark)
+    lock = fs_join(path, MUTATION_LOCK)
+    if not fs.exists(lock):
+        return None
+    try:
+        info = json.loads(fs.read_text(lock))
+        if not isinstance(info, dict):
+            info = {"raw": info}
+    except Exception:
+        info = {"raw": "<unparseable lock body>"}
+    if info.get("host") == socket.gethostname() and "pid" in info:
+        try:
+            os.kill(int(info["pid"]), 0)
+            info["pid_alive_here"] = True
+        except (OSError, ValueError):
+            info["pid_alive_here"] = False
+    return info
 
 
 def clear_mutation_lock(path: str, spark: SparkSession | None = None) -> bool:

@@ -208,6 +208,84 @@ class TestMutationLock:
         # Python-level failure released the advisory lock
         assert not os.path.exists(os.path.join(path, MUTATION_LOCK))
 
+    def test_acquire_is_atomic_create_exclusive(self, tmp_path):
+        """ADVICE r5: exists-then-write races — two mutators can both pass
+        the exists check.  The primitive must be create-if-absent."""
+        from solr_map_reduce_spark.fs import LocalFS
+
+        fs = LocalFS()
+        lock = str(tmp_path / "_LOCK")
+        assert fs.create_exclusive(lock, "first") is True
+        # a second creator loses and the first writer's body is intact
+        assert fs.create_exclusive(lock, "second") is False
+        assert fs.read_text(lock) == "first"
+
+    def test_lock_body_carries_owner_metadata(self, tmp_path):
+        import json
+        import os
+        import socket
+
+        from solr_map_reduce_spark.fs import LocalFS
+        from solr_map_reduce_spark.indexing import MUTATION_LOCK, _mutation_lock
+
+        path = str(tmp_path)
+        with _mutation_lock(LocalFS(), path, "test-op"):
+            with open(os.path.join(path, MUTATION_LOCK)) as f:
+                info = json.load(f)
+            assert info["op"] == "test-op"
+            assert info["pid"] == os.getpid()
+            assert info["host"] == socket.gethostname()
+            assert info["ts"] > 0 and info["token"]
+        assert not os.path.exists(os.path.join(path, MUTATION_LOCK))
+
+    def test_inspect_reports_liveness(self, tmp_path):
+        import json
+        import os
+        import socket
+        import subprocess
+
+        from solr_map_reduce_spark.indexing import (
+            MUTATION_LOCK,
+            inspect_mutation_lock,
+        )
+
+        path = str(tmp_path)
+        assert inspect_mutation_lock(path) is None
+        # a lock held by THIS live process
+        with open(os.path.join(path, MUTATION_LOCK), "w") as f:
+            json.dump({"op": "merge_into", "pid": os.getpid(),
+                       "host": socket.gethostname(), "ts": 1.0}, f)
+        assert inspect_mutation_lock(path)["pid_alive_here"] is True
+        # a lock held by a DEAD process (spawn + reap a child for its pid)
+        child = subprocess.Popen(["true"])
+        child.wait()
+        with open(os.path.join(path, MUTATION_LOCK), "w") as f:
+            json.dump({"op": "compact", "pid": child.pid,
+                       "host": socket.gethostname(), "ts": 1.0}, f)
+        assert inspect_mutation_lock(path)["pid_alive_here"] is False
+
+    def test_cli_unlock_refuses_then_forces(self, tmp_path, capsys):
+        import json
+        import os
+
+        from solr_map_reduce_spark import cli
+        from solr_map_reduce_spark.indexing import MUTATION_LOCK
+
+        path = str(tmp_path)
+        assert cli.main(["unlock", "--path", path]) == 0  # not locked
+        assert json.loads(capsys.readouterr().out)["locked"] is False
+        with open(os.path.join(path, MUTATION_LOCK), "w") as f:
+            json.dump({"op": "merge_into", "pid": 1, "host": "h", "ts": 1.0}, f)
+        # without --force: inspect only, non-zero exit, lock stays
+        assert cli.main(["unlock", "--path", path]) == 1
+        out = json.loads(capsys.readouterr().out)
+        assert out["owner"]["op"] == "merge_into" and out["removed"] is False
+        assert os.path.exists(os.path.join(path, MUTATION_LOCK))
+        # with --force: removed
+        assert cli.main(["unlock", "--path", path, "--force"]) == 0
+        assert json.loads(capsys.readouterr().out)["removed"] is True
+        assert not os.path.exists(os.path.join(path, MUTATION_LOCK))
+
 
 def test_update_with_solr_composite_routing(spark, tmp_path):
     """Placement under routing='solr' (the SolrCloud-parity hash ring) must

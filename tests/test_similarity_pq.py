@@ -389,6 +389,52 @@ def test_ivf_batch_tag_replay_idempotent(spark, sf_dir, tmp_path):
     assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
 
 
+def test_ivf_replay_sweep_touches_only_batch_buckets(spark, sf_dir, tmp_path):
+    """ADVICE r5: the replay-idempotence sweep must be O(batch) — it
+    visits only the buckets this batch stages into (plus buckets a
+    crashed attempt's staging dir recorded), never the whole index.
+    Proven behaviorally: a tag-prefixed decoy in an unrelated bucket
+    survives, while a partial file in a bucket the stale staging dir
+    recorded is swept."""
+    import os
+
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    batch = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    ivf = IvfIndex.fit(base, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    ivf.save(path, assigned=ivf.assign(base))
+
+    staged = {
+        r["bucket"] for r in ivf.assign(batch).select("bucket").distinct().collect()
+    }
+    unused = sorted(set(range(8)) - staged - {0})[-2:]
+    assert len(unused) == 2  # tiny batch cannot cover every bucket id
+    decoy_b, crashed_b = unused
+    vec_dir = os.path.join(path, "vectors")
+    # decoy: tag-prefixed file in a bucket NEITHER staged NOR recorded by
+    # a prior attempt — an O(index) sweep would delete it; O(batch) must
+    # never even visit that bucket
+    os.makedirs(os.path.join(vec_dir, f"bucket={decoy_b}"), exist_ok=True)
+    decoy = os.path.join(vec_dir, f"bucket={decoy_b}", "b7-decoy.parquet")
+    with open(decoy, "w") as f:
+        f.write("x")
+    # crashed earlier attempt of tag 7: its staging dir recorded a bucket
+    # and a partial tag-prefixed file landed there
+    os.makedirs(os.path.join(path, "_ingest_7", f"bucket={crashed_b}"))
+    os.makedirs(os.path.join(vec_dir, f"bucket={crashed_b}"), exist_ok=True)
+    partial = os.path.join(vec_dir, f"bucket={crashed_b}", "b7-part.parquet")
+    with open(partial, "w") as f:
+        f.write("y")
+
+    ivf.add(batch, path, batch_tag="7")
+    assert os.path.exists(decoy)  # unrelated bucket never visited
+    assert not os.path.exists(partial)  # recorded crash bucket swept
+    assert not os.path.exists(os.path.join(path, "_ingest_7"))
+
+
 def test_stream_ivf_ingest_end_to_end(spark, sf_dir, tmp_path):
     from solr_map_reduce_spark.extensions.similarity import IvfIndex
     from solr_map_reduce_spark.streaming.ingest import stream_ivf_ingest
