@@ -414,7 +414,7 @@ class SearchIndex:
         if stats and fname in stats:
             vocab = self.spark.read.parquet(
                 fs_join(self.path, f"{VOCAB_DIR}/{fname}")
-            )
+            ).select("term", "df")  # drop the bucket partition column
             return vocab.orderBy(F.desc("df"), F.asc("term")).limit(top)
         tokens_col = self._tokens_col(fname)
         return (
@@ -443,7 +443,7 @@ class SearchIndex:
         if stats and fname in stats:
             vocab = self.spark.read.parquet(
                 fs_join(self.path, f"{VOCAB_DIR}/{fname}")
-            )
+            ).select("term", "df")  # drop the bucket partition column
             return (
                 vocab.filter(F.col("term").startswith(prefix))
                 .orderBy(F.desc("df"), F.asc("term"))

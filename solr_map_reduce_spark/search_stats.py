@@ -5,44 +5,87 @@ frequency) and a term dictionary with document frequencies; BM25 serving
 reads them instead of re-aggregating the corpus per query.  This sidecar
 gives the parquet artifact the same property:
 
-    out/_SEARCH_STATS.json      {field: {n_docs, sum_dl, n_dl}}
-    out/_vocab/<field>/         parquet (term, df)   [underscore dir —
-                                 invisible to the artifact's own scans]
+    out/_SEARCH_STATS.json       {field: {n_docs, sum_dl, n_dl}}
+    out/_vocab/_VOCAB_META.json  {n_buckets, hash}
+    out/_vocab/<field>/bucket=N/ parquet (term, df), N = crc32(term) %
+                                 n_buckets  [underscore dir — invisible
+                                 to the artifact's own scans]
 
 Build: one pass over the stored token column — ``n_docs`` (all rows),
 ``sum_dl``/``n_dl`` (token-array lengths), and the term dictionary via
 ``explode(array_distinct) → groupBy(term).count()``.
 
 Query: ``SearchIndex.bm25`` reads the |Q| needed df values with a
-predicate-pushdown vocab scan and embeds all statistics as literals — the
-query plan is then ONE corpus pass + TakeOrdered, with no stats aggregate
-and no checkpoint.  Scores are bit-identical to the computed path: every
-stored quantity is an integer (exact in IEEE doubles), and
-``avgdl = sum_dl / n_dl`` is exactly what ``avg(dl)`` evaluates to.
+bucket-partition-pruned + predicate-pushdown vocab scan (the query
+terms' buckets are computed driver-side with the same crc32) and embeds
+all statistics as literals — the query plan is then ONE corpus pass +
+TakeOrdered, with no stats aggregate and no checkpoint.  Scores are
+bit-identical to the computed path: every stored quantity is an integer
+(exact in IEEE doubles), and ``avgdl = sum_dl / n_dl`` is exactly what
+``avg(dl)`` evaluates to.
 
 Mutation: ``merge_into`` and ``delete_where`` DELTA-MAINTAIN the sidecar
 (:func:`prepare_stats_delta`): n_docs/sum_dl/n_dl are adjusted by the
 touched shards' before/after difference and the term dictionary gets a
-df-delta merge — the incremental path scans only the touched shards plus
-the (small) stored vocabulary, never the corpus.  ``compact`` preserves it
-unchanged (content is identical).  Invalidation (queries fall back to
-computing stats) remains the fallback when a sidecar is found incomplete.
-At 100 TB this is the difference between a 1 GB batch paying a 1 GB stats
-pass and paying a 100 TB one.
+df-delta merge that READS and REWRITES only the hash buckets containing
+changed terms — the incremental path is O(touched shards + changed-term
+buckets) end to end, never O(corpus) and never O(|vocab|).  At 100 TB a
+term dictionary is billions of rows; a 1 GB batch touches a bounded set
+of buckets instead of rewriting the whole dictionary.  ``compact``
+preserves the sidecar unchanged (content is identical).
+
+Crash consistency: ``_SEARCH_STATS.json`` doubles as the COMMIT MARKER.
+Every reader gates stored-vocab use on the stats file, so finalize
+deletes it FIRST, promotes the vocab buckets, and rewrites it LAST — a
+crash anywhere between leaves readers on the computed-stats fallback
+(correct scores from the post-swap corpus, merely slower) instead of the
+old skew state (new vocab served against old scalars).
+``write_search_stats`` repairs a torn sidecar from scratch.
 """
 
 from __future__ import annotations
 
 import json
+import zlib
 
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 STATS = "_SEARCH_STATS.json"
 VOCAB_DIR = "_vocab"
+VOCAB_META = "_VOCAB_META.json"
+N_VOCAB_BUCKETS = 64
+_VOCAB_SCHEMA = "term string, df bigint, bucket int"
 
 
-def write_search_stats(spark: SparkSession, path: str) -> dict | None:
+def _bucket_expr(n_buckets: int):
+    """JVM-side bucket id of the ``term`` column: crc32 of the UTF-8
+    bytes mod n_buckets — reproducible driver-side (:func:`term_bucket`),
+    which is what lets point df-lookups prune to |Q| partition dirs."""
+    return F.pmod(
+        F.crc32(F.encode(F.col("term"), "UTF-8")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`_bucket_expr` (zlib.crc32 == Hadoop's
+    CRC-32 over the same bytes)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def load_vocab_meta(fs, path: str) -> dict | None:
+    """The vocab layout descriptor, or None for a legacy unbucketed dir."""
+    from solr_map_reduce_spark.fs import join as fs_join
+
+    full = fs_join(path, VOCAB_DIR, VOCAB_META)
+    if not fs.exists(full):
+        return None
+    return json.loads(fs.read_text(full))
+
+
+def write_search_stats(
+    spark: SparkSession, path: str, n_buckets: int = N_VOCAB_BUCKETS
+) -> dict | None:
     """Compute and persist BM25 statistics + the term dictionary for every
     analyzed field of the artifact at ``path``.  Returns the stats dict
     (None when the artifact has no analyzed fields)."""
@@ -55,6 +98,10 @@ def write_search_stats(spark: SparkSession, path: str) -> dict | None:
     analyzed: dict = manifest.get("analyzed", {})
     if not analyzed:
         return None
+    # commit marker DOWN while the vocab dirs are in flux (a rebuild over
+    # an existing sidecar would otherwise serve old scalars + new vocab)
+    if fs.exists(fs_join(path, STATS)):
+        fs.delete(fs_join(path, STATS))
     idx = read_index(spark, path)
     stats: dict = {}
     for field, info in analyzed.items():
@@ -63,10 +110,16 @@ def write_search_stats(spark: SparkSession, path: str) -> dict | None:
         stats[field] = {"n_docs": n_docs, "sum_dl": sum_dl, "n_dl": n_dl}
         (
             _term_df(idx, tokens_col, "df")
+            .withColumn("bucket", _bucket_expr(n_buckets))
             .write.mode("overwrite")
+            .partitionBy("bucket")
             .parquet(fs_join(path, f"{VOCAB_DIR}/{field}"))
         )
-    fs.write_text(fs_join(path, STATS), json.dumps(stats))
+    fs.write_text(
+        fs_join(path, VOCAB_DIR, VOCAB_META),
+        json.dumps({"n_buckets": int(n_buckets), "hash": "crc32"}),
+    )
+    fs.write_text(fs_join(path, STATS), json.dumps(stats))  # marker UP last
     return stats
 
 
@@ -99,22 +152,22 @@ def prepare_stats_delta(spark: SparkSession, path: str, old_subset, new_subset):
       integer arithmetic — identical to a full rebuild by associativity of
       count/sum);
     - the term dictionary gets a df-delta merge: ``df'(t) = df_stored(t)
-      - df_old(t) + df_new(t)``, terms reaching 0 dropped — written to a
-      ``<field>__pending`` staging dir inside ``_vocab/``.
+      - df_old(t) + df_new(t)``, terms reaching 0 dropped.  Only terms in
+      the old/new subsets can change, so the merge reads the stored vocab
+      with a BUCKET-PRUNED scan (partition filter on the changed terms'
+      buckets) and writes only those buckets to a ``<field>__pending``
+      staging dir — the vocab write is O(changed-term buckets), not
+      O(|vocab|).  A legacy unbucketed vocab is migrated to the bucketed
+      layout in the same operation (one full rewrite, then O(changed)
+      forever after).
 
     Returns a ``finalize()`` closure to call AFTER the artifact swap; it
-    promotes the pending vocab dirs (rename-aside, crash-safe: the old
-    vocab survives in a trash dir until the new one is in place) and writes
-    the updated ``_SEARCH_STATS.json``.  Returns None when the artifact has
-    no (complete) stats sidecar — the caller should fall back to
-    ``write_search_stats`` or skip.
-
-    Crash window: the stats file and the vocab dirs are two objects, so a
-    crash inside ``finalize`` can leave new vocab with old scalar stats (a
-    small score skew, not a wrong result set).  ``write_search_stats``
-    repairs it; a mutation that crashed mid-operation needs operator
-    attention anyway (the artifact swap itself is the earlier, bigger
-    non-atomic step)."""
+    takes the ``_SEARCH_STATS.json`` commit marker DOWN (readers fall
+    back to computed stats — correct, never skewed), swaps in the pending
+    bucket dirs (rename-aside, old buckets survive in a trash dir until
+    the new ones are in place), and writes the updated stats file LAST.
+    Returns None when the artifact has no (complete) stats sidecar — the
+    caller should fall back to ``write_search_stats`` or skip."""
     from solr_map_reduce_spark.fs import get_fs
     from solr_map_reduce_spark.fs import join as fs_join
     from solr_map_reduce_spark.indexing import MANIFEST
@@ -131,8 +184,12 @@ def prepare_stats_delta(spark: SparkSession, path: str, old_subset, new_subset):
         if not fs.exists(fs_join(path, f"{VOCAB_DIR}/{field}")):
             return None  # vocab missing (corrupt/partial): full rebuild
 
+    meta = load_vocab_meta(fs, path)
+    n_buckets = int(meta["n_buckets"]) if meta else N_VOCAB_BUCKETS
+    migrating = meta is None  # legacy unbucketed vocab: full rewrite once
+
     new_stats: dict = {}
-    pending: list[str] = []
+    pending: dict[str, list[int] | None] = {}  # field -> touched buckets
     for field, info in analyzed.items():
         tokens_col = info["tokens_col"]
         o = _field_aggregates(old_subset, tokens_col)
@@ -143,12 +200,37 @@ def prepare_stats_delta(spark: SparkSession, path: str, old_subset, new_subset):
             "sum_dl": int(s["sum_dl"]) - o[1] + n[1],
             "n_dl": int(s["n_dl"]) - o[2] + n[2],
         }
-        vocab = spark.read.parquet(fs_join(path, f"{VOCAB_DIR}/{field}"))
-        delta = _term_df(old_subset, tokens_col, "_df_old").join(
-            _term_df(new_subset, tokens_col, "_df_new"), "term", "full_outer"
+        delta = (
+            _term_df(old_subset, tokens_col, "_df_old")
+            .join(_term_df(new_subset, tokens_col, "_df_new"), "term", "full_outer")
+            # a term whose df is identical before and after the rewrite
+            # contributes nothing — dropping it here is what makes the
+            # bucket set O(genuinely-changed terms), not O(shard vocab)
+            .filter(
+                F.coalesce(F.col("_df_old"), F.lit(0))
+                != F.coalesce(F.col("_df_new"), F.lit(0))
+            )
         )
+        vocab_dir = fs_join(path, f"{VOCAB_DIR}/{field}")
+        if migrating:
+            vocab = spark.read.parquet(vocab_dir).select("term", "df")
+            touched: list[int] | None = None  # whole-dir swap
+        else:
+            delta = delta.withColumn("bucket", _bucket_expr(n_buckets))
+            touched = sorted(
+                int(r["bucket"])
+                for r in delta.select("bucket").distinct().collect()
+            )
+            # explicit schema: planning never opens data-file footers, so
+            # untouched buckets are never read even at analysis time
+            vocab = (
+                spark.read.schema(_VOCAB_SCHEMA)
+                .parquet(vocab_dir)
+                .filter(F.col("bucket").isin(touched))
+                .select("term", "df")
+            )
         merged = (
-            vocab.join(delta, "term", "full_outer")
+            vocab.join(delta.select("term", "_df_old", "_df_new"), "term", "full_outer")
             .select(
                 "term",
                 (
@@ -158,25 +240,53 @@ def prepare_stats_delta(spark: SparkSession, path: str, old_subset, new_subset):
                 ).alias("df"),
             )
             .filter(F.col("df") > 0)
+            .withColumn("bucket", _bucket_expr(n_buckets))
         )
-        # materialize NOW (reads old shard files + stored vocab, both of
-        # which move/disappear at swap time)
-        merged.write.mode("overwrite").parquet(
+        # materialize NOW (reads old shard files + stored vocab buckets,
+        # both of which move/disappear at swap time)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
             fs_join(path, f"{VOCAB_DIR}/{field}__pending")
         )
-        pending.append(field)
+        pending[field] = touched
 
     def finalize() -> dict:
+        # marker DOWN: from here until the final write, readers see no
+        # stats file and fall back to computing statistics — correct
+        # post-swap scores, never new-vocab-with-old-scalars skew
+        if fs.exists(fs_join(path, STATS)):
+            fs.delete(fs_join(path, STATS))
         trash = fs_join(path, VOCAB_DIR, "__trash")
         if fs.exists(trash):
             fs.delete(trash)
         fs.mkdirs(trash)
-        for field in pending:
+        for field, touched in pending.items():
             cur = fs_join(path, f"{VOCAB_DIR}/{field}")
-            if fs.exists(cur):
-                fs.rename(cur, fs_join(trash, field))
-            fs.rename(fs_join(path, f"{VOCAB_DIR}/{field}__pending"), cur)
+            pend = fs_join(path, f"{VOCAB_DIR}/{field}__pending")
+            if touched is None:
+                # legacy migration: whole-dir swap into the bucketed layout
+                if fs.exists(cur):
+                    fs.rename(cur, fs_join(trash, field))
+                fs.rename(pend, cur)
+                continue
+            # bucketed: swap ONLY the touched buckets' partition dirs; a
+            # touched bucket with no pending dir lost all its terms —
+            # remove it (its old contents would otherwise serve stale dfs)
+            fs.mkdirs(fs_join(trash, field))
+            for b in touched:
+                bname = f"bucket={b}"
+                cur_b = fs_join(cur, bname)
+                if fs.exists(cur_b):
+                    fs.rename(cur_b, fs_join(trash, field, bname))
+                pend_b = fs_join(pend, bname)
+                if fs.exists(pend_b):
+                    fs.rename(pend_b, cur_b)
+            fs.delete(pend)
         fs.delete(trash)
+        if migrating:
+            fs.write_text(
+                fs_join(path, VOCAB_DIR, VOCAB_META),
+                json.dumps({"n_buckets": int(n_buckets), "hash": "crc32"}),
+            )
         fs.write_text(fs_join(path, STATS), json.dumps(new_stats))
         return new_stats
 
@@ -211,11 +321,27 @@ def term_dfs(
     spark: SparkSession, path: str, field: str, terms: list[str]
 ) -> dict[str, int]:
     """df for each query term from the stored vocabulary — a |terms|-row
-    predicate-pushdown scan of the term dictionary; absent terms get 0."""
+    predicate-pushdown scan, partition-pruned to the |Q| buckets the query
+    terms hash into (computed driver-side); absent terms get 0.  At 100 TB
+    the term dictionary is billions of rows across the bucket dirs; a
+    query touches only its own terms' buckets."""
+    from solr_map_reduce_spark.fs import get_fs
     from solr_map_reduce_spark.fs import join as fs_join
 
-    vocab = spark.read.parquet(fs_join(path, f"{VOCAB_DIR}/{field}"))
-    rows = vocab.filter(F.col("term").isin(list(terms))).collect()
+    fs = get_fs(path, spark)
+    meta = load_vocab_meta(fs, path)
+    vocab_dir = fs_join(path, f"{VOCAB_DIR}/{field}")
+    if meta is None:  # legacy unbucketed layout
+        vocab = spark.read.parquet(vocab_dir)
+    else:
+        n = int(meta["n_buckets"])
+        buckets = sorted({term_bucket(t, n) for t in terms})
+        vocab = (
+            spark.read.schema(_VOCAB_SCHEMA)
+            .parquet(vocab_dir)
+            .filter(F.col("bucket").isin(buckets))
+        )
+    rows = vocab.filter(F.col("term").isin(list(terms))).select("term", "df").collect()
     out = {t: 0 for t in terms}
     out.update({r["term"]: int(r["df"]) for r in rows})
     return out

@@ -373,3 +373,186 @@ def test_reader_delete_where_carries_serving_structures(spark, built, tmp_path):
     assert stats == rebuilt
     plan = res.bm25(["target"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1  # stored-stats single-pass shape
+
+
+class TestBucketedVocab:
+    """Round-6: the term dictionary is hash-bucketed
+    (``_vocab/<field>/bucket=N/``, N = crc32(term) % n_buckets) so
+    incremental mutations read and rewrite only the buckets containing
+    changed terms — the last O(|vocab|) step in the mutation path removed
+    (the reference's incremental re-index contract,
+    MorphlineBasicMiniMRTest.java:418-423)."""
+
+    def test_bucketed_layout_on_disk(self, spark, built):
+        import json
+        import os
+
+        base = os.path.join(built, "_vocab")
+        with open(os.path.join(base, "_VOCAB_META.json")) as f:
+            meta = json.load(f)
+        assert meta["n_buckets"] == 64 and meta["hash"] == "crc32"
+        buckets = [
+            d for d in os.listdir(os.path.join(base, "text"))
+            if d.startswith("bucket=")
+        ]
+        assert len(buckets) > 1  # the fixture vocab spans many buckets
+
+    def test_driver_bucket_matches_jvm_bucket(self, spark, built):
+        """zlib.crc32 (driver pruning) and F.crc32 (write path) must agree
+        or point df-lookups would look in the wrong partition dir."""
+        import os
+
+        from solr_map_reduce_spark.search_stats import term_bucket
+
+        # every on-disk term must live in the dir the driver would probe
+        vocab = spark.read.parquet(os.path.join(built, "_vocab", "text"))
+        for r in vocab.select("term", "bucket").collect():
+            assert term_bucket(r["term"], 64) == int(r["bucket"]), r["term"]
+
+    def test_merge_rewrites_only_changed_term_buckets(self, spark, built, tmp_path):
+        """Tamper test (the bucket analog of the untouched-shards proof):
+        every parquet file in vocab buckets NOT containing a changed term
+        is overwritten with garbage bytes before a 1-doc merge.  Any
+        full-vocab READ would crash on the garbage; any full-vocab
+        REWRITE would replace it.  The merge must succeed, leave the
+        garbage bytes exactly in place, and serve correct dfs for the
+        changed terms."""
+        import os
+        import shutil
+
+        from solr_map_reduce_spark.search_stats import term_bucket
+
+        path = str(tmp_path / "index")
+        shutil.copytree(built, path)
+        add = spark.createDataFrame(
+            [("bk-new", "alpha freshbucketterm")], "id string, text string"
+        )
+        changed = {"alpha", "freshbucketterm"}
+        changed_buckets = {term_bucket(t, 64) for t in changed}
+        vocab_dir = os.path.join(path, "_vocab", "text")
+        poisoned = {}
+        for d in os.listdir(vocab_dir):
+            if not d.startswith("bucket="):
+                continue
+            if int(d.split("=")[1]) in changed_buckets:
+                continue
+            for f in os.listdir(os.path.join(vocab_dir, d)):
+                if f.endswith(".parquet"):
+                    full = os.path.join(vocab_dir, d, f)
+                    with open(full, "wb") as fh:
+                        fh.write(b"GARBAGE NOT PARQUET")
+                    poisoned[full] = os.path.getmtime(full)
+        assert len(poisoned) >= 3  # the tamper actually covers buckets
+        IndexJob(_cfg()).merge_into(add, path)
+        for full, mtime in poisoned.items():
+            with open(full, "rb") as fh:
+                assert fh.read() == b"GARBAGE NOT PARQUET", full
+            assert os.path.getmtime(full) == mtime, full
+        dfs = term_dfs(spark, path, "text", ["alpha", "freshbucketterm"])
+        assert dfs["alpha"] == 121 and dfs["freshbucketterm"] == 1
+
+    def test_legacy_unbucketed_vocab_migrates_on_merge(self, spark, built, tmp_path):
+        """An artifact whose vocab predates bucketing (flat parquet, no
+        _VOCAB_META.json) is migrated to the bucketed layout by the next
+        incremental merge — one full rewrite, then O(changed) forever."""
+        import os
+        import shutil
+
+        path = str(tmp_path / "index")
+        shutil.copytree(built, path)
+        flat = (
+            spark.read.parquet(os.path.join(path, "_vocab", "text"))
+            .select("term", "df")
+        )
+        flat_rows = flat.collect()
+        shutil.rmtree(os.path.join(path, "_vocab"))
+        spark.createDataFrame(flat_rows, "term string, df bigint").write.parquet(
+            os.path.join(path, "_vocab", "text")
+        )
+        add = spark.createDataFrame(
+            [("mig-new", "alpha migterm")], "id string, text string"
+        )
+        IndexJob(_cfg()).merge_into(add, path)
+        assert os.path.exists(os.path.join(path, "_vocab", "_VOCAB_META.json"))
+        assert any(
+            d.startswith("bucket=")
+            for d in os.listdir(os.path.join(path, "_vocab", "text"))
+        )
+        dfs = term_dfs(spark, path, "text", ["alpha", "migterm"])
+        assert dfs["alpha"] == 121 and dfs["migterm"] == 1
+
+
+class TestStatsCommitMarker:
+    """Round-6: ``_SEARCH_STATS.json`` is the commit marker for the whole
+    stats sidecar.  Finalize deletes it FIRST and rewrites it LAST, so a
+    crash anywhere during vocab promotion leaves readers on the
+    computed-stats fallback (correct post-mutation scores) instead of the
+    old skew state (new vocab against old scalars)."""
+
+    def _crash_merge(self, spark, built, tmp_path, monkeypatch, boom_when):
+        import shutil
+
+        from solr_map_reduce_spark.fs import LocalFS
+
+        path = str(tmp_path / "index")
+        shutil.copytree(built, path)
+        add = spark.createDataFrame(
+            [("crash-new", "alpha target crashterm")], "id string, text string"
+        )
+        orig_write = LocalFS.write_text
+        orig_rename = LocalFS.rename
+
+        def write_text(self, p, text):
+            if boom_when == "stats_write" and p.endswith("_SEARCH_STATS.json"):
+                raise RuntimeError("crash-inject: before stats write")
+            return orig_write(self, p, text)
+
+        def rename(self, src, dst):
+            if boom_when == "vocab_promote" and "__trash" in dst:
+                raise RuntimeError("crash-inject: mid vocab promote")
+            return orig_rename(self, src, dst)
+
+        monkeypatch.setattr(LocalFS, "write_text", write_text)
+        monkeypatch.setattr(LocalFS, "rename", rename)
+        with pytest.raises(RuntimeError, match="crash-inject"):
+            IndexJob(_cfg()).merge_into(add, path)
+        monkeypatch.undo()
+        return path
+
+    @pytest.mark.parametrize("boom_when", ["vocab_promote", "stats_write"])
+    def test_crash_in_finalize_serves_correct_scores(
+        self, spark, built, tmp_path, monkeypatch, boom_when
+    ):
+        import os
+        import shutil
+
+        path = self._crash_merge(spark, built, tmp_path, monkeypatch, boom_when)
+        # marker is down: readers must NOT serve stored structures
+        assert load_search_stats(spark, path) is None
+        crashed = SearchIndex.open(spark, path).bm25(
+            ["target", "alpha"], k=10, exact_sum=True
+        ).collect()
+        # reference: the same post-merge corpus with the sidecars stripped
+        # (pure computed path) — scores must match exactly, no stale-stats
+        # skew.  NOTE the artifact swap precedes finalize, so the merge's
+        # DATA is committed; only serving-structure freshness is lost.
+        bare = str(tmp_path / "bare")
+        shutil.copytree(path, bare)
+        if os.path.isdir(os.path.join(bare, "_vocab")):
+            shutil.rmtree(os.path.join(bare, "_vocab"))
+        if os.path.exists(os.path.join(bare, "_TERM_BLOOMS.json")):
+            os.remove(os.path.join(bare, "_TERM_BLOOMS.json"))
+        computed = SearchIndex.open(spark, bare).bm25(
+            ["target", "alpha"], k=10, exact_sum=True
+        ).collect()
+        assert [(r["id"], r["score"]) for r in crashed] == [
+            (r["id"], r["score"]) for r in computed
+        ]
+        # write_search_stats repairs the torn sidecar in place
+        assert write_search_stats(spark, path) is not None
+        repaired = SearchIndex.open(spark, path).bm25(
+            ["target", "alpha"], k=10, exact_sum=True
+        ).collect()
+        assert [(r["id"], r["score"]) for r in repaired] == [
+            (r["id"], r["score"]) for r in computed
+        ]
