@@ -321,6 +321,53 @@ def german_minimal_stem(w: str) -> str:
     return w
 
 
+# Snowball Spanish stop list (abridged to the high-frequency function words).
+SPANISH_STOP_WORDS = frozenset(
+    """a al algo ante antes como con contra cual cuando de del desde donde
+    durante e el ella ellas ellos en entre era eres es esa esas ese eso esos
+    esta estas este esto estos fue ha han hasta hay la las le les lo los mas
+    más me mi mis mucho muy nada ni no nos nosotros nuestra nuestro o os otra
+    otro para pero poco por porque que quien se sin sobre son su sus también
+    tambien te tu tus un una unas uno unos y ya yo""".split()
+)
+
+# Snowball Italian stop list (abridged).
+ITALIAN_STOP_WORDS = frozenset(
+    """a ad agli ai al alla alle allo anche ancora che chi ci come con cui da
+    dal dalla dalle dallo degli dei del della delle dello di dove e ed fra gli
+    ha hanno ho i il in io la le lei lo loro lui ma mia mie miei mio ne negli
+    nei nel nella nelle nello noi non nostra nostre nostri nostro o per perche
+    perché più piu quale quando questa queste questi questo se sei si sia
+    siamo siete sono su sua sue sugli sui sul sulla sulle sullo suo suoi tra
+    tu tua tue tuo tuoi tutti tutto un una uno vi voi vostra vostre vostri
+    vostro è""".split()
+)
+
+
+def spanish_minimal_stem(w: str) -> str:
+    """Minimal Spanish plural stemmer (Savoy's minimal-stemming approach,
+    the SpanishMinimalStemFilter algorithm family): strip plural -s/-es
+    and map -ces back to -z; words under 4 letters pass through."""
+    if len(w) < 4 or not w.endswith("s"):
+        return w
+    if w.endswith("ces"):
+        return w[:-3] + "z"  # luces -> luz
+    if len(w) >= 5 and w.endswith("es") and w[-3] in "rndjlm":
+        return w[:-2]  # colores -> color, leones -> leon
+    return w[:-1]  # gatos -> gato, casas -> casa
+
+
+def italian_minimal_stem(w: str) -> str:
+    """Minimal Italian stemmer (Savoy's minimal-stemming approach): strip
+    one final inflection vowel (plural/gender -i/-e/-o/-a) from words of
+    six letters or more; shorter words pass through untouched."""
+    if len(w) < 6 or w[-1] not in "iaeo":
+        return w
+    if w.endswith("ie") or w.endswith("he"):
+        return w[:-2]  # amiche -> amich, grigie -> grig
+    return w[:-1]  # gatti -> gatt, libri -> libr
+
+
 def _analyze_lang(
     text: str | None,
     stops: frozenset,
@@ -374,6 +421,34 @@ def tokenize_text_de(col: Column) -> Column:
     return _text_de_udf(col)
 
 
+@pandas_udf(T.ArrayType(T.StringType()))
+def _text_es_udf(texts: pd.Series) -> pd.Series:
+    cache: dict[str, str] = {}
+    return texts.map(
+        lambda t: _analyze_lang(t, SPANISH_STOP_WORDS, spanish_minimal_stem, cache)
+    )
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _text_it_udf(texts: pd.Series) -> pd.Series:
+    cache: dict[str, str] = {}
+    return texts.map(
+        lambda t: _analyze_lang(t, ITALIAN_STOP_WORDS, italian_minimal_stem, cache)
+    )
+
+
+def tokenize_text_es(col: Column) -> Column:
+    """``text_es``-style: word split + lowercase + stop removal + minimal
+    Spanish plural stemming."""
+    return _text_es_udf(col)
+
+
+def tokenize_text_it(col: Column) -> Column:
+    """``text_it``-style: word split + lowercase + stop removal + minimal
+    Italian stemming."""
+    return _text_it_udf(col)
+
+
 ANALYZERS = {
     "keyword": tokenize_keyword,
     "lowercase": tokenize_lowercase,
@@ -382,6 +457,41 @@ ANALYZERS = {
     "text_en": tokenize_text_en,
     "text_fr": tokenize_text_fr,
     "text_de": tokenize_text_de,
+    "text_es": tokenize_text_es,
+    "text_it": tokenize_text_it,
+}
+
+
+def _py_text_general(text: str | None) -> list[str] | None:
+    if text is None:
+        return None
+    import re
+
+    return [t for t in re.split(r"[^\w]+|_", text.lower(), flags=re.UNICODE) if t]
+
+
+def _py_whitespace(text: str | None) -> list[str] | None:
+    if text is None:
+        return None
+    return text.split()
+
+
+# Driver-side row kernels, one per analyzer: SearchIndex.analyze_terms runs
+# these in-process over the handful of query terms instead of launching a
+# Spark job (the |terms|-row createDataFrame + UDF + collect cost ~100 ms on
+# the serving hot path).  Each MUST tokenize identically to its Column twin
+# above — parity-tested in tests/test_analyzers.py.
+PY_ANALYZERS = {
+    # F.array(col) wraps a NULL value as [None] — mirror it exactly
+    "keyword": lambda t: [t],
+    "lowercase": lambda t: [t.lower() if t is not None else None],
+    "whitespace": _py_whitespace,
+    "text_general": _py_text_general,
+    "text_en": _analyze_en,
+    "text_fr": lambda t: _analyze_lang(t, FRENCH_STOP_WORDS, french_minimal_stem),
+    "text_de": lambda t: _analyze_lang(t, GERMAN_STOP_WORDS, german_minimal_stem),
+    "text_es": lambda t: _analyze_lang(t, SPANISH_STOP_WORDS, spanish_minimal_stem),
+    "text_it": lambda t: _analyze_lang(t, ITALIAN_STOP_WORDS, italian_minimal_stem),
 }
 
 
@@ -390,7 +500,9 @@ def make_language_analyzer(stop_words, stem):
     word-split + stop removal + the given stemmer (any picklable
     ``str -> str``), Arrow-batched like the built-ins.  The reference
     schema declares ~30 language variants (minimr/conf/schema.xml); with
-    this each is one line: a stop set and a stemmer."""
+    this each is one line: a stop set and a stemmer.  The returned
+    analyzer carries a ``py_kernel`` attribute (the same tokenization as
+    a plain Python callable) so query-term analysis stays driver-side."""
     stops = frozenset(stop_words)
 
     @pandas_udf(T.ArrayType(T.StringType()))
@@ -401,6 +513,7 @@ def make_language_analyzer(stop_words, stem):
     def analyzer(col: Column) -> Column:
         return _udf(col)
 
+    analyzer.py_kernel = lambda t: _analyze_lang(t, stops, stem)
     return analyzer
 
 
@@ -409,7 +522,9 @@ def register_text_analyzer(name: str, fn) -> None:
     field type (string-valued), analyzed at index time with the token
     array stored (``<field>__tokens``), and applied to query terms by
     ``SearchIndex.analyze_terms`` — exactly how the built-in text_* types
-    behave.
+    behave.  When ``fn`` carries a ``py_kernel`` attribute
+    (:func:`make_language_analyzer` sets one), query-term analysis runs
+    driver-side; otherwise ``analyze_terms`` falls back to a Spark job.
 
         register_text_analyzer(
             "text_es", make_language_analyzer(SPANISH_STOPS, spanish_stem))
@@ -417,6 +532,9 @@ def register_text_analyzer(name: str, fn) -> None:
     from solr_map_reduce_spark import indexing, schema
 
     ANALYZERS[name] = fn
+    py = getattr(fn, "py_kernel", None)
+    if py is not None:
+        PY_ANALYZERS[name] = py
     if name not in indexing.ANALYZED_TYPES:
         indexing.ANALYZED_TYPES = tuple(indexing.ANALYZED_TYPES) + (name,)
     schema._TYPE_ALIASES.setdefault(name, schema.T.StringType())

@@ -281,14 +281,27 @@ class SearchIndex:
         and return the flattened token list — e.g. for a ``text_en`` field,
         ``["Tables"] -> ["tabl"]``; stopwords drop out.  Pass the result to
         ``contains_*``/``bm25`` so query terms meet the stored tokens under
-        the same analysis."""
-        from solr_map_reduce_spark.functions.analyzers import ANALYZERS
+        the same analysis.
+
+        Runs DRIVER-SIDE (the analyzers' row kernels are pure Python,
+        parity-tested against their Column twins) — no Spark job for a
+        handful of query terms on the serving hot path.  A custom
+        analyzer registered without a ``py_kernel`` falls back to the
+        distributed path."""
+        from solr_map_reduce_spark.functions.analyzers import (
+            ANALYZERS,
+            PY_ANALYZERS,
+        )
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
         if fname not in analyzed:
             raise ValueError(f"field {fname!r} is not analyzed; have {sorted(analyzed)}")
-        fn = ANALYZERS[analyzed[fname]["type"]]
+        atype = analyzed[fname]["type"]
+        py = PY_ANALYZERS.get(atype)
+        if py is not None:
+            return [tok for t in terms for tok in (py(t) or [])]
+        fn = ANALYZERS[atype]
         df = self.spark.createDataFrame([(t,) for t in terms], "t string")
         rows = df.select(fn(F.col("t")).alias("toks")).collect()
         return [tok for r in rows for tok in (r["toks"] or [])]

@@ -52,7 +52,10 @@ TOKENS_SUFFIX = "__tokens"
 # text_en/text_general/lowercase; TokenizeTextBuilder.java:83-107) — the
 # artifact stores the token array alongside the raw value so queries read
 # stored structures instead of re-analyzing the corpus per query.
-ANALYZED_TYPES = ("text_en", "text_general", "lowercase", "text_fr", "text_de")
+ANALYZED_TYPES = (
+    "text_en", "text_general", "lowercase", "text_fr", "text_de",
+    "text_es", "text_it",
+)
 
 
 

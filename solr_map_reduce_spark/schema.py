@@ -42,6 +42,8 @@ _TYPE_ALIASES: dict[str, T.DataType] = {
     "lowercase": T.StringType(),
     "text_fr": T.StringType(),
     "text_de": T.StringType(),
+    "text_es": T.StringType(),
+    "text_it": T.StringType(),
     # spatial (solr.LatLonType / PointType — declared in the reference's
     # schemas, minimr/conf/schema.xml fieldTypes location/point, never
     # exercised by its tests; SURVEY §1.3): a plain (lat, lon) struct —

@@ -1,4 +1,5 @@
 import pyspark.sql.functions as F
+import pytest
 
 from solr_map_reduce_spark.functions import analyzers
 
@@ -197,3 +198,149 @@ class TestLanguageVariantAnalyzers:
         assert terms == ["gato"]
         hits = sorted(r["id"] for r in idx.contains_any(terms).collect())
         assert hits == ["a", "b"]
+
+
+class TestDriverSideQueryAnalysis:
+    """Round-6: analyze_terms runs the analyzers' Python row kernels
+    in-process — no Spark job for |Q| query terms on the serving path."""
+
+    CORPUS = [
+        None, "", "   ", "Tables are RUNNING quickly",
+        "l'éléphant  mange, vite!", "foo_bar baz-qux 42x 007",
+        "Wir können über die Brücke gehen", "UPPER lower MiXeD",
+    ]
+
+    @pytest.mark.parametrize(
+        "atype",
+        ["keyword", "lowercase", "whitespace", "text_general", "text_en",
+         "text_fr", "text_de"],
+    )
+    def test_py_kernel_matches_column_analyzer(self, spark, atype):
+        """Every driver-side kernel must tokenize EXACTLY like its Column
+        twin (which is what built the stored token columns)."""
+        from solr_map_reduce_spark.functions.analyzers import (
+            ANALYZERS,
+            PY_ANALYZERS,
+        )
+
+        df = spark.createDataFrame([(t,) for t in self.CORPUS], "t string")
+        jvm = [
+            r["toks"]
+            for r in df.select(ANALYZERS[atype](F.col("t")).alias("toks")).collect()
+        ]
+        py = [PY_ANALYZERS[atype](t) for t in self.CORPUS]
+        assert py == jvm
+
+    def test_analyze_terms_launches_no_spark_job(self, spark, tmp_path, monkeypatch):
+        """The old path built a |terms|-row DataFrame + UDF + collect per
+        query (~100 ms serving latency).  Poisoning createDataFrame proves
+        the built-in analyzers never touch Spark from analyze_terms."""
+        from pyspark.sql import SparkSession
+
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_en")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "tables running"), ("b", "other words")],
+            "id string, text string",
+        )
+        out = str(tmp_path / "idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=1, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+
+        def boom(*a, **k):
+            raise AssertionError("analyze_terms must not launch a Spark job")
+
+        monkeypatch.setattr(SparkSession, "createDataFrame", boom)
+        assert idx.analyze_terms(["Tables", "the"]) == ["tabl"]
+
+    def test_registered_analyzer_gets_driver_kernel(self):
+        from solr_map_reduce_spark.functions.analyzers import (
+            PY_ANALYZERS,
+            make_language_analyzer,
+            register_text_analyzer,
+        )
+
+        register_text_analyzer(
+            "text_pt_test",
+            make_language_analyzer(
+                {"os", "as", "de"}, lambda w: w.rstrip("s") if len(w) > 3 else w
+            ),
+        )
+        assert PY_ANALYZERS["text_pt_test"]("Os gatos de casa") == ["gato", "casa"]
+
+
+class TestSpanishItalianAnalyzers:
+    """Round-6 built-ins via the same public-spec pattern as fr/de:
+    Snowball stop lists (abridged) + minimal plural stemmers."""
+
+    def test_spanish_goldens(self):
+        from solr_map_reduce_spark.functions.analyzers import (
+            PY_ANALYZERS,
+            spanish_minimal_stem,
+        )
+
+        assert spanish_minimal_stem("gatos") == "gato"
+        assert spanish_minimal_stem("casas") == "casa"
+        assert spanish_minimal_stem("luces") == "luz"
+        assert spanish_minimal_stem("colores") == "color"
+        assert spanish_minimal_stem("leones") == "leon"
+        assert spanish_minimal_stem("mes") == "mes"  # < 4 letters: untouched
+        assert PY_ANALYZERS["text_es"]("Los gatos y las casas") == ["gato", "casa"]
+
+    def test_italian_goldens(self):
+        from solr_map_reduce_spark.functions.analyzers import (
+            PY_ANALYZERS,
+            italian_minimal_stem,
+        )
+
+        assert italian_minimal_stem("gattini") == "gattin"
+        assert italian_minimal_stem("amiche") == "amic"  # -he strips 2: meets singular amica -> amic
+        assert italian_minimal_stem("libretto") == "librett"
+        assert italian_minimal_stem("libro") == "libro"  # < 6 letters: untouched
+        assert italian_minimal_stem("casa") == "casa"  # < 6 letters: untouched
+        assert PY_ANALYZERS["text_it"]("I gattini e le amiche") == ["gattin", "amic"]
+
+    @pytest.mark.parametrize("atype", ["text_es", "text_it"])
+    def test_py_kernel_matches_column(self, spark, atype):
+        from solr_map_reduce_spark.functions.analyzers import (
+            ANALYZERS,
+            PY_ANALYZERS,
+        )
+
+        corpus = [None, "", "Los gatos duermen bien", "I gattini dormono bene"]
+        df = spark.createDataFrame([(t,) for t in corpus], "t string")
+        jvm = [
+            r["toks"]
+            for r in df.select(ANALYZERS[atype](F.col("t")).alias("toks")).collect()
+        ]
+        assert [PY_ANALYZERS[atype](t) for t in corpus] == jvm
+
+    def test_spanish_field_builds_and_serves(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_es")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "Los gatos duermen"), ("b", "El perro come en la casa")],
+            "id string, text string",
+        )
+        out = str(tmp_path / "es_builtin_idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        terms = idx.analyze_terms(["gatos"])
+        assert terms == ["gato"]
+        assert sorted(r["id"] for r in idx.contains_any(terms).collect()) == ["a"]
