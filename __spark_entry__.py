@@ -119,39 +119,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round): lead with (a) the two queries whose serving path was
-# re-implemented this round (shard-partitioned _key_ranges/ layout), (b)
-# the six brand-new r5 queries (never externally checked), then (c) the
-# 49 entries NOT in round 4's window (all green in r03 or golden-tested)
-# in registry order — the last 7 of those (ext_quantile_filter onward;
-# unchanged since their r03 green) overflow the 50-slot window and rotate
-# to r06.  The repo's own oracle suite covers all entries every pytest
-# run regardless (tests/test_queries_oracle.py).
+# entries per round), r06 rotation: lead with (a) the 7 entries whose last
+# external check is two rounds old (the r05 window overflow — never let
+# them age further), (b) the term-search family whose SERVING PATH changed
+# this round (hash-bucketed _vocab/ sidecar + driver-side query analysis):
+# all c9_* + ext_bm25_topk, plus ext_simhash / ext_ngram_jaccard which
+# gained DuckDB oracles this round (previously no_oracle), then (c) the
+# rest of the r04-checked cohort in its r04 order.  The final 7 of the
+# r04 cohort (ext_passage_dedup, ext_knn_join, ext_pq_topk,
+# ext_ivfpq_topk, b6_extract_json, ext_knn_classify, ext_source_cap)
+# overflow this 50-slot window and MUST lead the r07 rotation.  The
+# repo's own oracle suite covers all entries every pytest run regardless
+# (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # serving path re-implemented in r5 (shard-partitioned key-range
-    # sidecar) — fresh verdicts first even though r04-green
-    "c2_segment_lookup", "c2_key_range",
-    # new in r5 — never externally checked
-    "ext_pixel_stats", "ext_url_dedup", "ext_c4_clean", "ext_spatial_bbox",
-    "c6_atomic_update", "ext_hash_split",
-    # r03-green (or golden) entries outside the r04 window, registry order
-    "c1_count_all", "c2_point_lookup", "c3_delete_by_query",
-    "c4_sort_page", "c5_projection", "c6_upsert_latest",
-    "a10_dedup_retain_most_recent", "a11_dedup_sort_updates",
-    "a12_collision_report", "b3_sequence_key", "b2_sanitize_fields",
-    "b4_tokenize_general", "b4_tokenize_lowercase", "c7_segment_contract",
-    "a8_routing_shards", "ext_simhash", "ext_ngram_jaccard",
-    "ext_decontaminate", "ext_cosine_pairs_lsh", "q4_order_priority",
-    "q14_promo_revenue", "q18_large_orders", "facet_cube_counts",
-    "agg_distinct_users", "ext_percentiles", "window_rolling_sum",
-    "ext_multimodal_decode", "q7_volume_shipping", "q8_market_share",
-    "q9_profit_by_nation", "q10_returned_items", "q13_order_distribution",
-    "q15_top_supplier", "q17_small_qty_revenue", "q19_discounted_revenue",
-    "q20_heavy_part_suppliers", "q21_last_shipper", "q22_idle_customers",
-    "pivot_user_activity", "window_lag_delta", "setop_viewers_not_buyers",
-    "ext_stratified_sample", "ext_quantile_filter", "ext_pack_sequences",
-    "ext_redact_pii", "ext_profile", "ext_source_mixture",
-    "window_sliding_counts", "ext_repetition",
+    # (a) external check aged 2 rounds (r05 overflow) — checked first
+    "ext_quantile_filter", "ext_pack_sequences", "ext_redact_pii",
+    "ext_profile", "ext_source_mixture", "window_sliding_counts",
+    "ext_repetition",
+    # (b) serving path re-implemented in r6 (bucketed vocab, driver-side
+    # term analysis) + newly oracled ops
+    "ext_bm25_topk", "c9_term_facet", "c9_suggest", "c9_contains_all",
+    "c9_contains_any", "c9_match_phrase", "c9_prefix_match",
+    "c9_contains_none", "c9_highlight",
+    "ext_simhash", "ext_ngram_jaccard",
+    # (c) r04-checked cohort, r04 order (first 32; rest lead r07)
+    "b8_convert_timestamp", "facet_event_counts", "ext_funnel_conversion",
+    "ext_cohort_retention", "facet_range_value", "pipeline_etl_events",
+    "window_hourly_counts", "q1_pricing_summary", "q3_top_revenue",
+    "q5_local_supplier", "q6_revenue_change", "exists_big_order_customers",
+    "window_topn_orders", "ext_asof_join", "ext_range_join",
+    "skew_salted_join", "star_join_enrich", "ext_exact_dedup",
+    "ext_token_count", "ext_curation_pipeline", "ext_bpe_token_count",
+    "ext_quality_features", "ext_lang_id", "ext_fingerprint",
+    "ext_ann_topk", "ext_cosine_pairs", "ext_dedup_clusters",
+    "ext_sessionize", "b12_detect_mime", "ext_minhash_dedup",
+    "ext_simhash_pairs", "ext_ivf_topk",
 ]
 
 

@@ -580,9 +580,16 @@ def simhash64(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "simhash",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over token hashes (Charikar sign-random-projection):
-    bit j of the result = majority vote of bit j across token hashes."""
+    bit j of the result = majority vote of bit j across token hashes.
+
+    ``hash_fn``: ``"xxhash64"`` (default — the fastest JVM hash, the right
+    choice at 100 TB) or ``"md5_60"`` (60-bit integer from the md5 hex
+    prefix via ``conv``; slower, but reproducible in ANSI SQL, which lets
+    an external engine cross-check the whole majority-vote bit pipeline —
+    the profile the DuckDB correctness oracle runs)."""
 
     @pandas_udf(T.LongType())
     def _simhash(hashes: pd.Series) -> pd.Series:
@@ -612,10 +619,18 @@ def simhash64(
             result[nonzero_idx] |= ((ones * 2 > half).astype(np.uint64)) << np.uint64(j)
         return pd.Series(result.view(np.int64))
 
+    if hash_fn == "xxhash64":
+        def token_hash(t):
+            return F.xxhash64(t)
+    elif hash_fn == "md5_60":
+        def token_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}")
     df = ensure_parallelism(df)
     staged = df.withColumn("_toks", tokens_column(F.col(text_col)))
     hashed = staged.withColumn(
-        "_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+        "_th", F.transform(F.col("_toks"), token_hash)
     )
     return hashed.withColumn(out_col, _simhash(F.col("_th"))).drop("_toks", "_th")
 

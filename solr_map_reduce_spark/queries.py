@@ -1049,17 +1049,71 @@ def ext_minhash_dedup(spark, sf_dir):
 
 @_register(
     "ext_simhash",
-    None,  # majority-vote bit packing via pandas UDF; deterministic, golden-tested
-    "64-bit SimHash per document",
+    # r6: the whole majority-vote bit pipeline is DuckDB-oracled by running
+    # the op under its SQL-reproducible hash profile (md5_60: 60-bit int
+    # from the md5 hex prefix — identical tokens, votes, and packing; only
+    # the token-hash function differs from the xxhash64 production default,
+    # which stays golden-tested in tests/test_dedup.py)
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(u.tok), 1, 15))::bigint AS h
+  FROM tok, unnest(t) AS u(tok)
+),
+bits AS (
+  SELECT doc_id, b.bit, sum((h >> b.bit) & 1) AS ones, count(*) AS n
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN ones * 2 > n THEN (1::bigint << bit) ELSE 0 END)::bigint AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sh.simhash, 0)::bigint AS simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+""",
+    "64-bit SimHash per document (SQL-reproducible md5_60 hash profile)",
 )
 def ext_simhash(spark, sf_dir):
-    return text_dedup.simhash64(t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    return text_dedup.simhash64(
+        t(spark, sf_dir, "documents"), hash_fn="md5_60"
+    ).select("doc_id", "simhash")
 
 
 @_register(
     "ext_ngram_jaccard",
-    None,  # LSH-blocked candidate generation; exact-precision + recall
-    # oracled against all-pairs ground truth in tests/test_dedup_oracle.py
+    # r6: DuckDB-oracled against ALL-PAIRS exact Jaccard — also a standing
+    # 100% recall check on the LSH blocking at this threshold/corpus (the
+    # repo's own all-pairs ground-truth tests proved the same)
+    _DUPES_SQL
+    + """,
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM docs2
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_distinct([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM tok
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, inter / CAST(uni AS DOUBLE) AS jaccard
+FROM p WHERE inter / CAST(uni AS DOUBLE) >= 0.4
+""",
     "exact word-2gram Jaccard pairs (>= 0.4) over docs ∪ injected copies",
 )
 def ext_ngram_jaccard(spark, sf_dir):
