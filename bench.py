@@ -149,40 +149,44 @@ def main() -> None:
     cold_build = round(time.perf_counter() - t0, 3)
     _release_leftovers(spark)
 
-    # One untimed full-scale priming rep per query: reaches steady-state
-    # JIT (the per-sf artifacts are already built and timed above) so the
-    # timed reps measure query execution, not one-time index builds.
-    for name in BENCH_QUERIES:
-        try:
-            _force(reg[name].spark(spark, SF_DIR))
-        except Exception:
-            pass
-    _release_leftovers(spark)
-
-    # Each plan is timed as the best of REPS full-scale executions: single
-    # runs at sf0.1 are dominated by JIT/GC noise (observed +-40% on the
-    # write-heavy pipelines), and steady-state throughput is what projects to
-    # cluster scale.
-    REPS = 4
-    # the GC-sensitive pipelines (persist + checkpoint / full write path) show
-    # the widest run-to-run spread — give them one extra rep
-    EXTRA_REPS = {"ext_minhash_dedup": 5, "ext_bm25_topk": 5}
+    # r6 protocol: per plan, 2 UNTIMED full-scale warmups (a 6-rep probe
+    # showed the write-heavy plans still JIT-warming past rep 3 —
+    # SCALING.md), then MEDIAN of 5 timed reps.  Median, not best-of:
+    # best-of understates steady-state cost and made round-over-round
+    # deltas unreadable (r4->r5 showed a uniform 1.3x "regression" that was
+    # pure draw noise); the median of 5 post-warm reps is stable to <=10%
+    # (rep_spread_pct reports the observed per-plan spread as proof).
+    WARMS, REPS = 2, 5
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+
+    def _median_timed(run) -> tuple[float, float]:
+        for _ in range(WARMS):
+            run()
+        _release_leftovers(spark)
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            run()
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        med = reps[len(reps) // 2]
+        # IQR spread: the median's stability depends on the middle reps,
+        # not the occasional GC-hit outlier that max-min would report
+        return med, 100.0 * (reps[3] - reps[1]) / med
+
     for name in BENCH_QUERIES:
         qd = reg[name]
-        best = float("inf")
-        for _ in range(EXTRA_REPS.get(name, REPS)):
-            t0 = time.perf_counter()
-            _force(qd.spark(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        med, spread = _median_timed(lambda: _force(qd.spark(spark, SF_DIR)))
+        timings[name] = round(med, 3)
+        spreads[name] = round(spread, 1)
         _release_leftovers(spark)
 
     if os.path.isdir(warm_dir):
         bench_index_build(spark, warm_dir)  # JIT-warm the write path too
-    timings["index_build_lineitem"] = round(
-        min(bench_index_build(spark, SF_DIR) for _ in range(3)), 3
-    )
+    med, spread = _median_timed(lambda: bench_index_build(spark, SF_DIR))
+    timings["index_build_lineitem"] = round(med, 3)
+    spreads["index_build_lineitem"] = round(spread, 1)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -197,6 +201,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rep_spread_pct": spreads,
+                "protocol": f"median-of-{REPS} after {WARMS} untimed warmups",
                 "cold_build_docs_index_sec": cold_build,
                 "sf": sf_val,
             }
