@@ -1038,8 +1038,36 @@ def ext_ann_topk(spark, sf_dir):
 
 @_register(
     "ext_minhash_dedup",
-    None,  # LSH banding is not SQL-expressible; exact-precision + recall
-    # oracled against all-pairs ground truth in tests/test_dedup_oracle.py
+    # r6: DuckDB-oracled against ALL-PAIRS exact 3-gram Jaccard — the
+    # oracle is a standing exact-precision AND 100% recall check of the
+    # full LSH pipeline (banding, candidate join, verification) at this
+    # threshold/corpus; the repo's own all-pairs ground-truth tests
+    # (tests/test_dedup_oracle.py) prove the same independently
+    _DUPES_SQL
+    + """,
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM docs2
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN generate_series(1, len(t) - 2)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM tok
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, inter / CAST(uni AS DOUBLE) AS jaccard
+FROM p WHERE inter / CAST(uni AS DOUBLE) >= 0.5
+""",
     "MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.5)",
 )
 def ext_minhash_dedup(spark, sf_dir):
@@ -1169,12 +1197,44 @@ def ext_decontaminate(spark, sf_dir):
 
 @_register(
     "ext_simhash_pairs",
-    None,  # hamming-ball blocking (pigeonhole chunks); proven complete vs
-    # all-pairs hamming ball in tests/test_dedup_oracle.py
+    # r6: DuckDB-oracled end to end under the md5_60 hash profile — the
+    # oracle recomputes every simhash in SQL and takes the ALL-PAIRS
+    # hamming ball, so it checks both the hashes and the pigeonhole
+    # chunk-blocking's completeness (which is exact by construction, no
+    # probabilistic recall: any pair within hamming 3 shares a chunk)
+    _DUPES_SQL
+    + """,
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM docs2
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(u.tok), 1, 15))::bigint AS h
+  FROM tok, unnest(t) AS u(tok)
+),
+bits AS (
+  SELECT doc_id, b.bit, sum((h >> b.bit) & 1) AS ones, count(*) AS n
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+shh AS (
+  SELECT doc_id, sum(CASE WHEN ones * 2 > n THEN (1::bigint << bit) ELSE 0 END)::bigint AS simhash
+  FROM bits GROUP BY doc_id
+),
+allsim AS (
+  SELECT d.doc_id, coalesce(shh.simhash, 0)::bigint AS simhash
+  FROM docs2 d LEFT JOIN shh ON d.doc_id = shh.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
     "SimHash near-dup pairs (hamming <= 3) over docs ∪ injected copies",
 )
 def ext_simhash_pairs(spark, sf_dir):
-    sims = text_dedup.simhash64(_docs_with_dupes(spark, sf_dir))
+    sims = text_dedup.simhash64(_docs_with_dupes(spark, sf_dir), hash_fn="md5_60")
     return text_dedup.simhash_candidates(sims, max_hamming=3).select("id_a", "id_b")
 
 
@@ -1222,8 +1282,24 @@ def ext_dedup_clusters(spark, sf_dir):
 
 @_register(
     "ext_cosine_pairs_lsh",
-    None,  # approximate blocking by design; exact-precision + copy-recall
-    # oracled against the numpy gram matrix in tests/test_dedup_oracle.py
+    # r6: DuckDB-oracled against the ALL-PAIRS exact cosine graph — exact
+    # precision is guaranteed (candidates verify against true cosine);
+    # the oracle additionally witnesses 100% recall of the sign-LSH
+    # blocking at this threshold/corpus (near-exact copies collide in
+    # every plane bucket with overwhelming probability; the numpy gram-
+    # matrix tests in tests/test_dedup_oracle.py prove copy-recall
+    # independently)
+    """
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 11 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.99
+""",
     "embedding near-dup pairs via sign-LSH blocking (the 100 TB path: no "
     "cross join); fixture = embeddings ∪ copies of every 11th under new ids",
 )
