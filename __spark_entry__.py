@@ -125,8 +125,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round (hash-bucketed _vocab/ sidecar + driver-side query analysis):
 # all c9_* + ext_bm25_topk, plus ext_simhash / ext_ngram_jaccard which
 # gained DuckDB oracles this round (previously no_oracle), then (c) the
-# rest of the r04-checked cohort in its r04 order.  The final 7 of the
-# r04 cohort (ext_passage_dedup, ext_knn_join, ext_pq_topk,
+# rest of the r04-checked cohort in its r04 order.  The final 8 of the
+# r04 cohort (ext_ivf_topk, ext_passage_dedup, ext_knn_join, ext_pq_topk,
 # ext_ivfpq_topk, b6_extract_json, ext_knn_classify, ext_source_cap)
 # overflow this 50-slot window and MUST lead the r07 rotation.  The
 # repo's own oracle suite covers all entries every pytest run regardless
@@ -136,8 +136,10 @@ _VERDICT_PRIORITY = [
     "ext_quantile_filter", "ext_pack_sequences", "ext_redact_pii",
     "ext_profile", "ext_source_mixture", "window_sliding_counts",
     "ext_repetition",
-    # (b) serving path re-implemented in r6 (bucketed vocab, driver-side
-    # term analysis) + newly oracled ops
+    # (b) new in r6 (never externally checked), serving path
+    # re-implemented in r6 (bucketed vocab, driver-side term analysis),
+    # and newly oracled ops
+    "ext_gopher_rules",
     "ext_bm25_topk", "c9_term_facet", "c9_suggest", "c9_contains_all",
     "c9_contains_any", "c9_match_phrase", "c9_prefix_match",
     "c9_contains_none", "c9_highlight",
@@ -153,7 +155,7 @@ _VERDICT_PRIORITY = [
     "ext_quality_features", "ext_lang_id", "ext_fingerprint",
     "ext_ann_topk", "ext_cosine_pairs", "ext_dedup_clusters",
     "ext_sessionize", "b12_detect_mime", "ext_minhash_dedup",
-    "ext_simhash_pairs", "ext_ivf_topk",
+    "ext_simhash_pairs",
 ]
 
 

@@ -95,6 +95,100 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# The 8 "must contain >= 2" words from the published Gopher quality rules
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1).
+GOPHER_STOP_PROBE = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    App. A1.1) as one JVM-expression pass — per document, every rule's
+    measurement plus the combined ``passes`` verdict:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# or ellipsis) <= 0.1
+    - <= 90% of lines start with a bullet
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 probe stop words present
+
+    Everything is built from builtin SQL functions (whole-stage codegen;
+    the two higher-order ``filter`` lambdas are per-line/per-word
+    predicates over already-split arrays), so at 100 TB this is a single
+    map-only scan with full column pruning — no shuffle, no Python."""
+    t = F.col(text_col)
+    stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
+    words = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
+    n_words = F.size(words).cast("long")
+    safe_w = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
+    # sum of word lengths == non-whitespace characters (words are the
+    # whitespace split) — keeps the mean in codegen, no aggregate lambda
+    nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+    mean_word_len = nonspace / safe_w
+    n_hash = (F.length(t) - F.length(F.regexp_replace(t, r"#", ""))).cast("double")
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0)).cast("double")
+    symbol_ratio = (n_hash + n_ellipsis) / safe_w
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("double")
+    safe_l = F.when(n_lines > 0, n_lines).otherwise(F.lit(1.0))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.trim(x).startswith("•")
+                | F.trim(x).startswith("-")
+                | F.trim(x).startswith("*"),
+            )
+        ).cast("double")
+        / safe_l
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).endswith("..."))).cast("double")
+        / safe_l
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / safe_w
+    )
+    toks = tokens(t)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOP_PROBE])
+        )
+    ).cast("long")
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        passes.alias("passes"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram/stopword-probe language ID.
 

@@ -958,6 +958,56 @@ def ext_quality_features(spark, sf_dir):
     return text_analysis.quality_features(t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "ext_gopher_rules",
+    r"""
+WITH f AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CASE WHEN len(words) > 0 THEN len(words) ELSE 1 END AS safe_w,
+    CASE WHEN len(lines) > 0 THEN len(lines) ELSE 1 END AS safe_l,
+    length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+    len(list_filter(lines, x -> starts_with(trim(x), '•')
+                          OR starts_with(trim(x), '-')
+                          OR starts_with(trim(x), '*'))) AS n_bullet,
+    len(list_filter(lines, x -> ends_with(trim(x), '...'))) AS n_ell_end,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    CAST(len(list_intersect(toks,
+      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+  FROM f
+)
+SELECT doc_id, n_words,
+  nonspace / CAST(safe_w AS DOUBLE) AS mean_word_len,
+  (n_hash + n_ellipsis) / CAST(safe_w AS DOUBLE) AS symbol_word_ratio,
+  n_bullet / CAST(safe_l AS DOUBLE) AS bullet_line_frac,
+  n_ell_end / CAST(safe_l AS DOUBLE) AS ellipsis_line_frac,
+  n_alpha / CAST(safe_w AS DOUBLE) AS alpha_word_frac,
+  stop_hits,
+  (n_words BETWEEN 50 AND 100000)
+    AND nonspace / CAST(safe_w AS DOUBLE) BETWEEN 3.0 AND 10.0
+    AND (n_hash + n_ellipsis) / CAST(safe_w AS DOUBLE) <= 0.1
+    AND n_bullet / CAST(safe_l AS DOUBLE) <= 0.9
+    AND n_ell_end / CAST(safe_l AS DOUBLE) <= 0.3
+    AND n_alpha / CAST(safe_w AS DOUBLE) >= 0.8
+    AND stop_hits >= 2 AS passes
+FROM m
+""",
+    "published Gopher quality rules (word count, mean word length, symbol/"
+    "bullet/ellipsis ratios, alpha fraction, stop probe) + pass verdict",
+)
+def ext_gopher_rules(spark, sf_dir):
+    return text_analysis.gopher_rules(t(spark, sf_dir, "documents"))
+
+
 _LANG_SQL = r"""
 WITH f AS (
   SELECT doc_id, text,

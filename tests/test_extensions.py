@@ -434,3 +434,60 @@ def test_hash_split_stability_and_proportions(spark):
     assert abs(c["train"] / 5000 - 0.8) < 0.03
     assert abs(c["val"] / 5000 - 0.1) < 0.02
     assert abs(c["test"] / 5000 - 0.1) < 0.02
+
+
+class TestGopherRules:
+    """Round-6: the published Gopher quality rules (Rae et al. 2021,
+    App. A1.1) as one JVM-expression pass, DuckDB-oracled in the registry
+    (ext_gopher_rules)."""
+
+    def _run(self, spark, rows, **kw):
+        from solr_map_reduce_spark.extensions.text_analysis import gopher_rules
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r.asDict() for r in gopher_rules(df, **kw).collect()
+        }
+
+    def test_good_document_passes(self, spark):
+        text = " ".join(
+            "the quick brown fox jumps over that lazy dog and we have fun with it"
+            .split() * 5
+        )  # 70 words, ordinary prose
+        out = self._run(spark, [(1, text)])
+        assert out[1]["passes"] is True
+        assert out[1]["n_words"] == 75
+        assert out[1]["stop_hits"] >= 2
+
+    def test_word_count_bounds(self, spark):
+        short = "the and of that"  # 4 words < 50
+        out = self._run(spark, [(1, short)])
+        assert out[1]["passes"] is False
+        # with a lowered floor the same text passes the count rule
+        out2 = self._run(spark, [(1, short)], min_words=2)
+        assert out2[1]["n_words"] == 4
+        assert bool(out2[1]["passes"]) is True
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        bullets = "\n".join(f"• item {i} of the list" for i in range(20))
+        out = self._run(spark, [(1, bullets)], min_words=10)
+        assert out[1]["bullet_line_frac"] == 1.0
+        assert out[1]["passes"] is False  # > 90% bullet lines
+        dots = "\n".join(f"the sentence {i} trails off..." for i in range(20))
+        out = self._run(spark, [(2, dots)], min_words=10)
+        assert out[2]["ellipsis_line_frac"] == 1.0
+        assert out[2]["passes"] is False  # > 30% ellipsis-terminated
+
+    def test_symbol_ratio_and_alpha_fraction(self, spark):
+        hashy = "the " * 10 + "# " * 10  # 10 hashes / 20 words = 0.5 > 0.1
+        out = self._run(spark, [(1, hashy)], min_words=5)
+        assert out[1]["symbol_word_ratio"] == 0.5
+        assert out[1]["passes"] is False
+        nums = "the be of " + "123 456 " * 20  # alpha fraction 3/43 << 0.8
+        out = self._run(spark, [(2, nums)], min_words=5)
+        assert out[2]["passes"] is False
+
+    def test_empty_and_null_safe(self, spark):
+        out = self._run(spark, [(1, ""), (2, "   \n  ")])
+        assert out[1]["n_words"] == 0 and out[1]["passes"] is False
+        assert out[2]["n_words"] == 0 and out[2]["passes"] is False
