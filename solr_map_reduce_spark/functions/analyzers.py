@@ -449,6 +449,87 @@ def tokenize_text_it(col: Column) -> Column:
     return _text_it_udf(col)
 
 
+# --- further language variants, built with the registry factory below
+# (each really is one stop list + one minimal stemmer — the pattern the
+# reference's ~30 declared text_<lang> fieldTypes expand through) -------
+
+# Snowball Portuguese stop list (abridged).
+PORTUGUESE_STOP_WORDS = frozenset(
+    """a ao aos as às até com como da das de dela dele deles do dos e ela
+    elas ele eles em entre era essa essas esse esses esta estas este estes
+    eu foi isso isto já lhe mais mas me mesmo meu minha muito na nas não
+    nem no nos nós o os ou para pela pelas pelo pelos por qual quando que
+    quem se sem ser seu sua são só também te tem um uma você vocês""".split()
+)
+
+# Snowball Swedish stop list (abridged).
+SWEDISH_STOP_WORDS = frozenset(
+    """alla att av blev bli den denna deras dess det detta du där då efter
+    ej eller en er ett från för ha hade han hans har hon hur här i icke
+    ingen inom inte jag ju kan kunde man med mellan men mig min mot mycket
+    ni nu när någon något några och om oss på samma sedan sig sin sina
+    sitta själv skulle som så till under upp us vad var vara varför varit
+    vi vid vilken än är åt över""".split()
+)
+
+# Snowball Norwegian stop list (abridged).
+NORWEGIAN_STOP_WORDS = frozenset(
+    """alle at av bare begge ble da de deg den denne der det dette din
+    disse du eller en er et etter for fra ha hadde han hans har hun hva
+    hvem hvis hvor i ikke ingen inn jeg kan kom kun kunne man med meg
+    mellom men mer min mot må ned noe noen nå og også om opp oss over på
+    seg selv sin sine sitt skal skulle som så til ut var ved vi vil
+    ville vår være vært""".split()
+)
+
+
+def portuguese_minimal_stem(w: str) -> str:
+    """Minimal Portuguese plural stemmer (Savoy's minimal-stemming
+    approach, the PortugueseMinimalStemFilter algorithm family): undo the
+    regular plural transformations; words under 4 letters pass through."""
+    if len(w) < 4 or not w.endswith("s"):
+        return w
+    if w.endswith("ões") or w.endswith("ães"):
+        return w[:-3] + "ão"  # limões -> limão, pães -> pão
+    if w.endswith("ais"):
+        return w[:-2] + "l"  # animais -> animal
+    if w.endswith("éis"):
+        return w[:-3] + "el"  # papéis -> papel
+    if w.endswith("ns"):
+        return w[:-2] + "m"  # bens -> bem
+    if w.endswith("zes") or w.endswith("res"):
+        return w[:-2]  # luzes -> luz, flores -> flor
+    if len(w) >= 2 and w[-2] in "aeiou":
+        return w[:-1]  # gatos -> gato, casas -> casa
+    return w
+
+
+def swedish_minimal_stem(w: str) -> str:
+    """Minimal Swedish stemmer (Savoy's light-stemming approach): strip
+    the regular plural/definite suffixes, longest first."""
+    if len(w) < 5:
+        return w
+    for suf in ("heterna", "heten", "orna", "erna", "arna"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    for suf in ("ande", "arne", "aste", "orn", "ar", "er", "or", "en",
+                "et", "na", "a", "e"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+def norwegian_minimal_stem(w: str) -> str:
+    """Minimal Norwegian stemmer (the NorwegianMinimalStemFilter
+    algorithm family): strip the regular plural/definite noun endings."""
+    if len(w) < 5:
+        return w
+    for suf in ("ene", "ane", "er", "en", "et", "a", "e"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
 ANALYZERS = {
     "keyword": tokenize_keyword,
     "lowercase": tokenize_lowercase,
@@ -515,6 +596,21 @@ def make_language_analyzer(stop_words, stem):
 
     analyzer.py_kernel = lambda t: _analyze_lang(t, stops, stem)
     return analyzer
+
+
+# pt/sv/no ship as factory-built built-ins — each IS the advertised
+# one-liner (stop list + minimal stemmer), exercising the same path a
+# user's register_text_analyzer call takes
+tokenize_text_pt = make_language_analyzer(PORTUGUESE_STOP_WORDS, portuguese_minimal_stem)
+tokenize_text_sv = make_language_analyzer(SWEDISH_STOP_WORDS, swedish_minimal_stem)
+tokenize_text_no = make_language_analyzer(NORWEGIAN_STOP_WORDS, norwegian_minimal_stem)
+for _name, _fn in (
+    ("text_pt", tokenize_text_pt),
+    ("text_sv", tokenize_text_sv),
+    ("text_no", tokenize_text_no),
+):
+    ANALYZERS[_name] = _fn
+    PY_ANALYZERS[_name] = _fn.py_kernel
 
 
 def register_text_analyzer(name: str, fn) -> None:

@@ -344,3 +344,88 @@ class TestSpanishItalianAnalyzers:
         terms = idx.analyze_terms(["gatos"])
         assert terms == ["gato"]
         assert sorted(r["id"] for r in idx.contains_any(terms).collect()) == ["a"]
+
+
+class TestPtSvNoAnalyzers:
+    """Round-6: three more language variants shipped through the factory
+    itself (stop list + minimal stemmer each) — the path every further
+    declared text_<lang> fieldType takes."""
+
+    def test_portuguese_goldens(self):
+        from solr_map_reduce_spark.functions.analyzers import (
+            PY_ANALYZERS,
+            portuguese_minimal_stem,
+        )
+
+        assert portuguese_minimal_stem("gatos") == "gato"
+        assert portuguese_minimal_stem("limões") == "limão"
+        assert portuguese_minimal_stem("animais") == "animal"
+        assert portuguese_minimal_stem("papéis") == "papel"
+        assert portuguese_minimal_stem("bens") == "bem"
+        assert portuguese_minimal_stem("luzes") == "luz"
+        assert portuguese_minimal_stem("flores") == "flor"
+        assert portuguese_minimal_stem("mas") == "mas"  # < 4 letters
+        assert PY_ANALYZERS["text_pt"]("Os gatos e as flores") == ["gato", "flor"]
+
+    def test_swedish_goldens(self):
+        from solr_map_reduce_spark.functions.analyzers import (
+            PY_ANALYZERS,
+            swedish_minimal_stem,
+        )
+
+        assert swedish_minimal_stem("flickorna") == "flick"
+        assert swedish_minimal_stem("husen") == "hus"
+        assert swedish_minimal_stem("bilar") == "bil"
+        assert swedish_minimal_stem("hus") == "hus"  # < 5 letters
+        assert PY_ANALYZERS["text_sv"]("alla bilar och husen") == ["bil", "hus"]
+
+    def test_norwegian_goldens(self):
+        from solr_map_reduce_spark.functions.analyzers import (
+            PY_ANALYZERS,
+            norwegian_minimal_stem,
+        )
+
+        assert norwegian_minimal_stem("husene") == "hus"
+        assert norwegian_minimal_stem("biler") == "bil"
+        assert norwegian_minimal_stem("bilene") == "bil"
+        assert norwegian_minimal_stem("huset") == "hus"
+        assert PY_ANALYZERS["text_no"]("alle bilene og huset") == ["bil", "hus"]
+
+    @pytest.mark.parametrize("atype", ["text_pt", "text_sv", "text_no"])
+    def test_py_kernel_matches_column(self, spark, atype):
+        from solr_map_reduce_spark.functions.analyzers import (
+            ANALYZERS,
+            PY_ANALYZERS,
+        )
+
+        corpus = [None, "", "Os limões e os animais", "alla flickorna i husen",
+                  "alle husene og bilene"]
+        df = spark.createDataFrame([(t,) for t in corpus], "t string")
+        jvm = [
+            r["toks"]
+            for r in df.select(ANALYZERS[atype](F.col("t")).alias("toks")).collect()
+        ]
+        assert [PY_ANALYZERS[atype](t) for t in corpus] == jvm
+
+    def test_pt_field_builds_and_serves(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_pt")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "Os gatos dormem"), ("b", "O cão corre no parque")],
+            "id string, text string",
+        )
+        out = str(tmp_path / "pt_idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        assert idx.analyze_terms(["gatos"]) == ["gato"]
+        assert sorted(
+            r["id"] for r in idx.contains_any(idx.analyze_terms(["gatos"])).collect()
+        ) == ["a"]
