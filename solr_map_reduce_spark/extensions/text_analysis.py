@@ -224,6 +224,65 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the standard
+    long-document splitting stage upstream of sequence packing (a doc
+    longer than the model context becomes stride-spaced windows so no
+    span is lost at a window boundary).
+
+    Windows are whitespace-token slices of ``chunk_tokens`` tokens with
+    ``overlap`` tokens shared between neighbors (stride = chunk_tokens -
+    overlap); the final window is shorter, never dropped; empty documents
+    yield no chunks.  Returns ``(id, chunk_idx, chunk_text, n_tokens)``.
+
+    Scale shape: pure builtin expressions (split → sequence → posexplode
+    → slice), one map-side pass, no shuffle, no Python — output rows are
+    bounded by total-token-count / stride."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    t = F.col(text_col)
+    stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
+    toks = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
+    n = F.size(toks).cast("long")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            ((n - chunk_tokens + stride - 1) / stride).cast("long") + 1
+        )
+    )
+    staged = df.select(
+        F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc")
+    ).filter(F.col("_nc") > 0)
+    exploded = staged.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+        F.col("_toks"),
+    )
+    window = F.slice(
+        F.col("_toks"), F.col("_i") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.concat_ws(" ", window).alias("chunk_text"),
+        F.size(window).cast("long").alias("n_tokens"),
+    )
+
+
 def pack_weights(weights, budget: int):
     """The greedy packing kernel: given per-item weights in pack order,
     return the chunk id for each item.  A new chunk starts when adding the

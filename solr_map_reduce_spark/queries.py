@@ -959,6 +959,38 @@ def ext_quality_features(spark, sf_dir):
 
 
 @_register(
+    "ext_chunk_docs",
+    r"""
+WITH f AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) <= 0 THEN 0
+         WHEN len(toks) <= 64 THEN 1
+         ELSE (len(toks) - 64 + 48 - 1) // 48 + 1 END AS n_chunks
+  FROM f
+), e AS (
+  SELECT doc_id, toks, i AS chunk_idx
+  FROM c, unnest(generate_series(0, CAST(n_chunks AS INT) - 1)) AS u(i)
+  WHERE n_chunks > 0
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens
+FROM e
+""",
+    "overlapping token-window chunks (64-token windows, 16-token overlap) "
+    "— long-document splitting upstream of sequence packing",
+)
+def ext_chunk_docs(spark, sf_dir):
+    return text_analysis.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@_register(
     "ext_gopher_rules",
     r"""
 WITH f AS (

@@ -491,3 +491,58 @@ class TestGopherRules:
         out = self._run(spark, [(1, ""), (2, "   \n  ")])
         assert out[1]["n_words"] == 0 and out[1]["passes"] is False
         assert out[2]["n_words"] == 0 and out[2]["passes"] is False
+
+
+class TestChunkDocuments:
+    """Round-6: overlapping token-window chunking (the long-doc splitting
+    stage upstream of pack_sequences), DuckDB-oracled as ext_chunk_docs."""
+
+    def _chunks(self, spark, text, **kw):
+        from solr_map_reduce_spark.extensions.text_analysis import chunk_documents
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_documents(df, **kw).orderBy("chunk_idx").collect()
+        return [(r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in rows]
+
+    def test_short_doc_single_chunk(self, spark):
+        out = self._chunks(spark, "a b c", chunk_tokens=10, overlap=2)
+        assert out == [(0, "a b c", 3)]
+
+    def test_empty_doc_no_chunks(self, spark):
+        assert self._chunks(spark, "", chunk_tokens=10, overlap=2) == []
+        assert self._chunks(spark, "   ", chunk_tokens=10, overlap=2) == []
+
+    def test_windows_cover_all_tokens_with_exact_overlap(self, spark):
+        words = [f"w{i}" for i in range(300)]
+        out = self._chunks(spark, " ".join(words), chunk_tokens=128, overlap=32)
+        assert len(out) == 3  # ceil((300-128)/96)+1
+        stride = 96
+        for idx, text, n in out:
+            got = text.split()
+            want = words[idx * stride: idx * stride + 128]
+            assert got == want
+        # neighbors share exactly `overlap` tokens
+        a, b = out[0][1].split(), out[1][1].split()
+        assert a[-32:] == b[:32]
+        # the final chunk is shorter, never dropped: last token present
+        assert out[-1][1].split()[-1] == "w299"
+        # every token position covered
+        covered = set()
+        for idx, text, _ in out:
+            covered.update(text.split())
+        assert covered == set(words)
+
+    def test_exact_multiple_no_phantom_chunk(self, spark):
+        # n == chunk_tokens: exactly one chunk
+        words = [f"w{i}" for i in range(128)]
+        out = self._chunks(spark, " ".join(words), chunk_tokens=128, overlap=32)
+        assert len(out) == 1 and out[0][2] == 128
+
+    def test_overlap_must_be_smaller(self, spark):
+        import pytest as _pytest
+
+        from solr_map_reduce_spark.extensions.text_analysis import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, chunk_tokens=8, overlap=8)
