@@ -273,3 +273,238 @@ WITH toks AS (
 )
 SELECT doc_id{score_col} FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Boolean query language (the Solr/Lucene syntax subset the reference's
+# users write: terms, "quoted phrases", AND / OR / NOT (and && / || / -),
+# parentheses; default operator OR, Solr's q.op default).  Parsed
+# driver-side into a tiny AST, compiled to ONE Column predicate over the
+# stored token array — a single scan however complex the query.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+class QuerySyntaxError(ValueError):
+    """Malformed boolean query string."""
+
+
+def parse_query(q: str):
+    """Parse a boolean query string into an AST of tuples:
+    ``("term", text)``, ``("phrase", text)``, ``("and", [..])``,
+    ``("or", [..])``, ``("not", node)``.  Precedence NOT > AND > OR;
+    bare juxtaposition is OR (Solr's default operator)."""
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c == "(":
+            toks.append(("LP", c)); i += 1
+        elif c == ")":
+            toks.append(("RP", c)); i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise QuerySyntaxError(f"unterminated phrase in {q!r}")
+            toks.append(("PHRASE", q[i + 1:j])); i = j + 1
+        elif c == "-":
+            toks.append(("NOT", c)); i += 1
+        elif q.startswith("&&", i):
+            toks.append(("AND", "&&")); i += 2
+        elif q.startswith("||", i):
+            toks.append(("OR", "||")); i += 2
+        else:
+            m = _re.match(r"[^\s()\"]+", q[i:])
+            word = m.group(0)
+            i += len(word)
+            up = word.upper()
+            if up == "AND":
+                toks.append(("AND", word))
+            elif up == "OR":
+                toks.append(("OR", word))
+            elif up == "NOT":
+                toks.append(("NOT", word))
+            else:
+                toks.append(("TERM", word))
+    pos = 0
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        parts = [parse_and()]
+        while True:
+            k = peek()
+            if k == "OR":
+                take()
+                parts.append(parse_and())
+            elif k in ("TERM", "PHRASE", "NOT", "LP"):
+                parts.append(parse_and())  # juxtaposition: default OR
+            else:
+                break
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and():
+        parts = [parse_not()]
+        while peek() == "AND":
+            take()
+            parts.append(parse_not())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_not():
+        if peek() == "NOT":
+            take()
+            return ("not", parse_not())
+        return parse_atom()
+
+    def parse_atom():
+        k = peek()
+        if k == "LP":
+            take()
+            node = parse_or()
+            if peek() != "RP":
+                raise QuerySyntaxError(f"missing ')' in {q!r}")
+            take()
+            return node
+        if k == "PHRASE":
+            return ("phrase", take()[1])
+        if k == "TERM":
+            return ("term", take()[1])
+        raise QuerySyntaxError(f"unexpected token at clause position in {q!r}")
+
+    if not toks:
+        raise QuerySyntaxError("empty query")
+    node = parse_or()
+    if pos != len(toks):
+        raise QuerySyntaxError(f"trailing tokens in {q!r}")
+    return node
+
+
+def _analyze_node(node, analyze):
+    """Replace term/phrase text with ANALYZED token lists (the field's own
+    analyzer applied to query text, Solr's query-side analysis contract).
+    A clause whose analysis drops every token (pure stopwords) is removed,
+    Solr-style; returns None for a fully-dropped node."""
+    kind = node[0]
+    if kind in ("term", "phrase"):
+        toks = [t for t in (analyze(node[1]) or []) if t]
+        if not toks:
+            return None
+        return ("tokens", toks)
+    if kind == "not":
+        child = _analyze_node(node[1], analyze)
+        return None if child is None else ("not", child)
+    children = [_analyze_node(c, analyze) for c in node[1]]
+    children = [c for c in children if c is not None]
+    if not children:
+        return None
+    return children[0] if len(children) == 1 else (kind, children)
+
+
+def _compile_node(node, toks_col: F.Column) -> F.Column:
+    kind = node[0]
+    if kind == "tokens":
+        toks = node[1]
+        if len(toks) == 1:
+            pred = F.array_contains(toks_col, toks[0])
+        else:
+            # analyzed multi-token clause = adjacency (phrase, slop 0):
+            # tokens contain no spaces, so padded space-join turns
+            # adjacency into substring containment (codegen-friendly)
+            hay = F.concat(F.lit(" "), F.array_join(toks_col, " "), F.lit(" "))
+            pred = hay.contains(" " + " ".join(toks) + " ")
+        # null token column (doc without the field) must read as
+        # no-match, so NOT over it correctly matches the doc
+        return F.coalesce(pred, F.lit(False))
+    if kind == "not":
+        return ~_compile_node(node[1], toks_col)
+    preds = [_compile_node(c, toks_col) for c in node[1]]
+    out = preds[0]
+    for p in preds[1:]:
+        out = (out & p) if kind == "and" else (out | p)
+    return out
+
+
+def _required_tokens(node) -> set:
+    """Tokens that EVERY matching document must contain — the safe
+    'all'-mode Bloom pruning set (conjunctive spine; for OR, a token
+    required by every disjunct is required overall)."""
+    kind = node[0]
+    if kind == "tokens":
+        return set(node[1])
+    if kind == "not":
+        return set()
+    if kind == "and":
+        out: set = set()
+        for c in node[1]:
+            out |= _required_tokens(c)
+        return out
+    sets = [_required_tokens(c) for c in node[1]]
+    out = sets[0]
+    for s in sets[1:]:
+        out &= s
+    return out
+
+
+def _positive_tokens(node) -> set:
+    kind = node[0]
+    if kind == "tokens":
+        return set(node[1])
+    if kind == "not":
+        return set()
+    out: set = set()
+    for c in node[1]:
+        out |= _positive_tokens(c)
+    return out
+
+
+def _can_match_term_free(node) -> bool:
+    """True when a document containing NONE of the query's tokens can
+    still satisfy the query (e.g. a pure-negative clause) — in that case
+    'any'-mode Bloom pruning would hide matches and must be skipped."""
+    kind = node[0]
+    if kind == "tokens":
+        return False
+    if kind == "not":
+        return True  # its child is False on a term-free doc -> NOT is True
+    if kind == "and":
+        return all(_can_match_term_free(c) for c in node[1])
+    return any(_can_match_term_free(c) for c in node[1])
+
+
+def boolean_query(
+    df: DataFrame,
+    q: str,
+    analyze,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> tuple[DataFrame, dict]:
+    """Compile and run a boolean query over the token array.  Returns
+    ``(matches, plan_info)`` where plan_info carries the pruning sets
+    (``required`` / ``positive`` / ``prunable``) for callers that can
+    shard-prune (SearchIndex.query does).  ``analyze`` is the query-side
+    analyzer (``str -> list[str]``)."""
+    ast = _analyze_node(parse_query(q), analyze)
+    if ast is None:
+        raise QuerySyntaxError(
+            f"query {q!r} has no effective clauses after analysis "
+            "(all tokens were stopwords)"
+        )
+    toks = _toks(text_col, tokens_col)
+    pred = _compile_node(ast, toks)
+    info = {
+        "required": sorted(_required_tokens(ast)),
+        "positive": sorted(_positive_tokens(ast)),
+        "prunable": not _can_match_term_free(ast),
+    }
+    return df.filter(pred).select(id_col), info

@@ -327,6 +327,37 @@ class SearchIndex:
             return out
         return out.filter(F.col(SHARD_COL).isin(shards))
 
+    def query(self, q: str, field: str | None = None) -> DataFrame:
+        """Boolean query over the analyzed field — the Solr/Lucene syntax
+        subset its users write: terms, ``"quoted phrases"``, AND / OR /
+        NOT (also ``&&`` / ``||`` / ``-``), parentheses; default operator
+        OR.  Query text is analyzed with the FIELD'S analyzer driver-side
+        (stopword-only clauses drop, Solr-style), the tree compiles to a
+        single Column predicate (one scan regardless of query shape), and
+        shard Bloom pruning applies automatically: 'all'-mode on the
+        query's conjunctive spine when it has one, else 'any'-mode over
+        the positive tokens when no term-free document can match."""
+        from solr_map_reduce_spark.extensions import search
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
+        matches, info = search.boolean_query(
+            self.df(), q, analyze, id_col=self.unique_key,
+            tokens_col=self._tokens_col(fname),
+        )
+        scan = None
+        if info["required"]:
+            scan = self._bloom_pruned(info["required"], fname, "all")
+        elif info["prunable"] and info["positive"]:
+            scan = self._bloom_pruned(info["positive"], fname, "any")
+        if scan is not None:
+            matches, _ = search.boolean_query(
+                scan, q, analyze, id_col=self.unique_key,
+                tokens_col=self._tokens_col(fname),
+            )
+        return matches
+
     def contains_all(self, terms: Sequence[str], field: str | None = None) -> DataFrame:
         from solr_map_reduce_spark.extensions import search
 

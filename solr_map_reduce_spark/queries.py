@@ -1621,6 +1621,24 @@ def c9_contains_none(spark, sf_dir):
 
 
 @_register(
+    "c9_boolean_query",
+    f"""SELECT doc_id FROM (
+          SELECT doc_id, {_TOKS_SQL} AS t,
+                 ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS hay
+          FROM documents)
+        WHERE (list_contains(t, 'spark') AND list_contains(t, 'vector'))
+           OR (contains(hay, ' table hash ') AND NOT list_contains(t, 'shuffle'))""",
+    "C9 composed boolean query — the Solr/Lucene syntax subset (terms, "
+    "phrases, AND/OR/NOT, parens) parsed driver-side and compiled to ONE "
+    "scan predicate over the stored token arrays",
+)
+def c9_boolean_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query(
+        '(spark AND vector) OR ("table hash" AND NOT shuffle)'
+    )
+
+
+@_register(
     "c9_term_facet",
     f"""WITH toks AS (
           SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents

@@ -213,3 +213,131 @@ def test_unanalyzed_artifact_raises(spark, tmp_path, docs):
     idx = SearchIndex.open(spark, path)
     with pytest.raises(ValueError, match="no analyzed token columns"):
         idx.contains_all(["quick"])
+
+
+class TestBooleanQuery:
+    """Round-6: the Solr/Lucene boolean syntax subset — parse driver-side,
+    compile to one scan predicate, Bloom-prune when safe.  DuckDB-oracled
+    end to end as c9_boolean_query."""
+
+    def test_parser_precedence_and_default_or(self):
+        from solr_map_reduce_spark.extensions.search import parse_query
+
+        # NOT > AND > OR; bare juxtaposition is OR (Solr default q.op)
+        assert parse_query("a AND b OR c") == (
+            "or", [("and", [("term", "a"), ("term", "b")]), ("term", "c")]
+        )
+        assert parse_query("a b") == ("or", [("term", "a"), ("term", "b")])
+        assert parse_query("NOT a AND b") == (
+            "and", [("not", ("term", "a")), ("term", "b")]
+        )
+        assert parse_query('a && -"x y"') == (
+            "and", [("term", "a"), ("not", ("phrase", "x y"))]
+        )
+        assert parse_query("(a OR b) AND c") == (
+            "and", [("or", [("term", "a"), ("term", "b")]), ("term", "c")]
+        )
+
+    def test_parser_errors(self):
+        import pytest as _pytest
+
+        from solr_map_reduce_spark.extensions.search import (
+            QuerySyntaxError,
+            parse_query,
+        )
+
+        for bad in ("", "(a", 'a AND "unterminated', "AND", "a )"):
+            with _pytest.raises(QuerySyntaxError):
+                parse_query(bad)
+
+    def test_semantics_vs_manual_predicates(self, spark):
+        from solr_map_reduce_spark.extensions.search import boolean_query
+
+        rows = [
+            (1, ["spark", "vector", "join"]),
+            (2, ["table", "hash", "shuffle"]),
+            (3, ["table", "hash", "scan"]),
+            (4, ["spark", "shuffle"]),
+            (5, []),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+        ana = lambda s: s.lower().split()  # noqa: E731
+
+        def run(q):
+            out, info = boolean_query(df, q, ana, tokens_col="toks")
+            return sorted(r["doc_id"] for r in out.collect()), info
+
+        got, info = run("(spark AND vector) OR (\"table hash\" AND NOT shuffle)")
+        assert got == [1, 3]
+        assert info["required"] == [] and info["prunable"] is True
+        got, _ = run("spark OR table")
+        assert got == [1, 2, 3, 4]
+        got, info = run("spark AND NOT shuffle")
+        assert got == [1]
+        assert info["required"] == ["spark"]
+        # pure-negative query matches token-free AND null-token docs
+        got, info = run("NOT spark")
+        assert got == [2, 3, 5, 6]
+        assert info["prunable"] is False  # 'any' pruning would hide 5/6
+        # phrase adjacency: "hash table" (reversed) matches nothing
+        got, _ = run('"hash table"')
+        assert got == []
+
+    def test_stopword_clauses_drop(self, spark):
+        from solr_map_reduce_spark.extensions.search import (
+            QuerySyntaxError,
+            boolean_query,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ["tabl"]), (2, ["chair"])], "doc_id long, toks array<string>"
+        )
+        from solr_map_reduce_spark.functions.analyzers import PY_ANALYZERS
+
+        ana = PY_ANALYZERS["text_en"]
+        out, _ = boolean_query(df, "the AND tables", ana, tokens_col="toks")
+        assert sorted(r["doc_id"] for r in out.collect()) == [1]
+        import pytest as _pytest
+
+        with _pytest.raises(QuerySyntaxError, match="stopwords"):
+            boolean_query(df, "the of that", ana, tokens_col="toks")
+
+    def test_index_query_end_to_end_with_pruning(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_en")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [
+                ("a", "the spark vector joins"),
+                ("b", "a table hash scan"),
+                ("c", "table hash with shuffle"),
+                ("d", "nothing relevant"),
+            ],
+            "id string, text string",
+        )
+        out = str(tmp_path / "bq_idx")
+        IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, dedup="none", routing="native",
+                term_blooms=True, search_stats=True,
+            )
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        got = sorted(
+            r["id"] for r in idx.query(
+                '(spark AND vector) OR ("table hash" AND NOT shuffle)'
+            ).collect()
+        )
+        assert got == ["a", "b"]
+        # conjunctive query agrees with contains_all
+        q = sorted(r["id"] for r in idx.query("table AND hash").collect())
+        ca = sorted(
+            r["id"] for r in idx.contains_all(idx.analyze_terms(["table", "hash"])).collect()
+        )
+        assert q == ca == ["b", "c"]
