@@ -236,8 +236,14 @@ def bm25_search(
 def bm25_oracle_sql(
     query_terms: Sequence[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
     with_score: bool = True, exact_sum: bool = False,
+    fq_sql: str | None = None,
 ) -> str:
-    """The matching DuckDB SQL for :func:`bm25_search` over ``documents``."""
+    """The matching DuckDB SQL for :func:`bm25_search` over ``documents``.
+
+    ``fq_sql`` (a predicate over the token list ``t``, e.g.
+    ``"list_contains(t, 'database')"``) mirrors Solr's filter-query
+    semantics: it restricts the CANDIDATES, never the statistics —
+    n_docs/avgdl/df stay collection-wide, so scores are fq-invariant."""
     terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
     score_col = ", score" if with_score else ""
     score_expr = (
@@ -248,6 +254,11 @@ def bm25_oracle_sql(
         f"CAST(sum(CAST({score_expr} AS DECIMAL(18,6))) AS DOUBLE)"
         if exact_sum
         else f"sum({score_expr})"
+    )
+    cand_filter = (
+        f"\n  WHERE p.doc_id IN (SELECT doc_id FROM toks WHERE {fq_sql})"
+        if fq_sql
+        else ""
     )
     return f"""
 WITH toks AS (
@@ -268,7 +279,7 @@ WITH toks AS (
   SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM postings GROUP BY term
 ), scored AS (
   SELECT p.doc_id, {sum_expr} AS score
-  FROM postings p JOIN df_t d ON p.term = d.term CROSS JOIN stats s
+  FROM postings p JOIN df_t d ON p.term = d.term CROSS JOIN stats s{cand_filter}
   GROUP BY p.doc_id
 )
 SELECT doc_id{score_col} FROM scored ORDER BY score DESC, doc_id LIMIT {k}
@@ -481,6 +492,26 @@ def _can_match_term_free(node) -> bool:
     return any(_can_match_term_free(c) for c in node[1])
 
 
+def boolean_predicate(q: str, analyze, toks_col: F.Column) -> tuple[F.Column, dict]:
+    """Compile a boolean query string to ONE Column predicate over the
+    given token-array column, plus the pruning info dict (``required`` /
+    ``positive`` / ``prunable``).  The building block behind both
+    :func:`boolean_query` (q) and BM25's ``fq`` filter queries."""
+    ast = _analyze_node(parse_query(q), analyze)
+    if ast is None:
+        raise QuerySyntaxError(
+            f"query {q!r} has no effective clauses after analysis "
+            "(all tokens were stopwords)"
+        )
+    pred = _compile_node(ast, toks_col)
+    info = {
+        "required": sorted(_required_tokens(ast)),
+        "positive": sorted(_positive_tokens(ast)),
+        "prunable": not _can_match_term_free(ast),
+    }
+    return pred, info
+
+
 def boolean_query(
     df: DataFrame,
     q: str,
@@ -494,17 +525,5 @@ def boolean_query(
     (``required`` / ``positive`` / ``prunable``) for callers that can
     shard-prune (SearchIndex.query does).  ``analyze`` is the query-side
     analyzer (``str -> list[str]``)."""
-    ast = _analyze_node(parse_query(q), analyze)
-    if ast is None:
-        raise QuerySyntaxError(
-            f"query {q!r} has no effective clauses after analysis "
-            "(all tokens were stopwords)"
-        )
-    toks = _toks(text_col, tokens_col)
-    pred = _compile_node(ast, toks)
-    info = {
-        "required": sorted(_required_tokens(ast)),
-        "positive": sorted(_positive_tokens(ast)),
-        "prunable": not _can_match_term_free(ast),
-    }
+    pred, info = boolean_predicate(q, analyze, _toks(text_col, tokens_col))
     return df.filter(pred).select(id_col), info

@@ -409,6 +409,7 @@ class SearchIndex:
         terms: Sequence[str],
         k: int = 10,
         field: str | None = None,
+        fq: str | None = None,
         **kw,
     ) -> DataFrame:
         """BM25 top-k.  With a ``_SEARCH_STATS.json`` sidecar (built via
@@ -419,7 +420,15 @@ class SearchIndex:
         also make Bloom shard-pruning safe (only docs containing a query
         term score, and statistics no longer derive from the scan); the
         computed-stats fallback never prunes, since its statistics are
-        defined over the whole collection."""
+        defined over the whole collection.
+
+        ``fq`` is Solr's filter query: a boolean query string (the
+        :meth:`query` syntax) that restricts CANDIDATES without touching
+        statistics — n_docs/avgdl/df stay collection-wide, so a document's
+        score is identical with or without the filter (exact Solr
+        semantics).  Without a stats sidecar, collection statistics are
+        derived inline before the filter applies, preserving the same
+        invariance."""
         from solr_map_reduce_spark.extensions import search
         from solr_map_reduce_spark.search_stats import term_dfs
 
@@ -439,6 +448,35 @@ class SearchIndex:
             kw["stored_stats"] = (s["n_docs"], s["sum_dl"], s["n_dl"])
             kw["stored_dfs"] = self._dfs_memo[memo_key]
             scan = self._bloom_pruned(norm_terms, fname, "any")
+        elif fq is not None:
+            # no sidecar: derive collection-wide stats BEFORE filtering so
+            # fq can't skew scores (two aggregates + a |Q|-term df pass —
+            # the cost the computed path pays anyway)
+            from solr_map_reduce_spark.search_stats import (
+                _field_aggregates,
+                _term_df,
+            )
+
+            tc = self._tokens_col(fname)
+            norm_terms = [t.lower() for t in terms]
+            dfs = {t: 0 for t in norm_terms}
+            dfs.update(
+                {
+                    r["term"]: int(r["df"])
+                    for r in _term_df(self.df(), tc, "df")
+                    .filter(F.col("term").isin(norm_terms))
+                    .collect()
+                }
+            )
+            kw = dict(kw)
+            kw["stored_stats"] = _field_aggregates(self.df(), tc)
+            kw["stored_dfs"] = dfs
+        if fq is not None:
+            analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
+            pred, _info = search.boolean_predicate(
+                fq, analyze, F.col(self._tokens_col(fname))
+            )
+            scan = scan.filter(pred)
         return search.bm25_search(
             scan, terms, k=k, id_col=self.unique_key,
             tokens_col=self._tokens_col(field), **kw,

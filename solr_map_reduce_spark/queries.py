@@ -1706,6 +1706,22 @@ def ext_bm25_topk(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_bm25_filtered",
+    search.bm25_oracle_sql(
+        _BM25_TERMS, k=10, exact_sum=True,
+        fq_sql="list_contains(t, 'table') AND NOT list_contains(t, 'shuffle')",
+    ),
+    "BM25 with a Solr filter query (fq): candidates restricted to "
+    "'table AND NOT shuffle', statistics collection-wide — scores "
+    "fq-invariant, exact Solr q+fq semantics",
+)
+def ext_bm25_filtered(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).bm25(
+        _BM25_TERMS, k=10, exact_sum=True, fq="table AND NOT shuffle"
+    )
+
+
 # ===========================================================================
 # Analytics widening: more TPC-H shapes, multi-dim facets, distinct aggs,
 # percentiles, frame windows, and the multimodal decode plumbing — each with

@@ -341,3 +341,64 @@ class TestBooleanQuery:
             r["id"] for r in idx.contains_all(idx.analyze_terms(["table", "hash"])).collect()
         )
         assert q == ca == ["b", "c"]
+
+
+class TestBm25FilterQuery:
+    """Round-6: Solr q+fq semantics — the filter query restricts
+    candidates but never statistics, so a doc's score is identical with
+    or without the filter (both stored-stats and computed paths)."""
+
+    def _index(self, spark, tmp_path, with_stats):
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_general")),
+            unique_key="id",
+        )
+        rows = [
+            ("a", "spark vector merge table"),
+            ("b", "spark vector merge shuffle"),
+            ("c", "spark table scan"),
+            ("d", "vector table index"),
+            ("e", "unrelated words entirely"),
+        ]
+        df = spark.createDataFrame(rows, "id string, text string")
+        out = str(tmp_path / ("idx_s" if with_stats else "idx_ns"))
+        IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, dedup="none", routing="native",
+                term_blooms=with_stats, search_stats=with_stats,
+            )
+        ).build(df, out)
+        from solr_map_reduce_spark.index_reader import SearchIndex
+
+        return SearchIndex.open(spark, out)
+
+    @pytest.mark.parametrize("with_stats", [True, False])
+    def test_fq_restricts_candidates_but_not_scores(self, spark, tmp_path, with_stats):
+        idx = self._index(spark, tmp_path, with_stats)
+        unfiltered = {
+            r["id"]: r["score"]
+            for r in idx.bm25(["spark", "vector", "merge"], k=10, exact_sum=True).collect()
+        }
+        filtered = {
+            r["id"]: r["score"]
+            for r in idx.bm25(
+                ["spark", "vector", "merge"], k=10, exact_sum=True,
+                fq="table AND NOT shuffle",
+            ).collect()
+        }
+        # candidates: scored docs must satisfy the fq (have 'table', no
+        # 'shuffle') AND contain a query term
+        assert set(filtered) == {"a", "c", "d"}
+        # scores are fq-invariant: every surviving doc keeps its exact score
+        for doc, score in filtered.items():
+            assert score == unfiltered[doc], doc
+
+    def test_fq_parse_error_surfaces(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        idx = self._index(spark, tmp_path, True)
+        with pytest.raises(QuerySyntaxError):
+            idx.bm25(["spark"], fq="(table").collect()
