@@ -129,8 +129,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r04 cohort (ext_ivf_topk, ext_passage_dedup, ext_knn_join, ext_pq_topk,
 # ext_ivfpq_topk, b6_extract_json, ext_knn_classify, ext_source_cap)
 # overflow this 50-slot window and MUST lead the r07 rotation, along
-# with ext_chunk_docs, c9_boolean_query, and ext_bm25_filtered (new in
-# r6, oracled, no slot left this round).  The
+# with the six new r6 oracled queries (ext_chunk_docs, c9_boolean_query,
+# ext_bm25_filtered, c9_search_request, c9_facet_query, ext_gopher_rules
+# is already windowed).  The
 # repo's own oracle suite covers all entries every pytest run regardless
 # (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [

@@ -221,8 +221,14 @@ class SearchIndex:
         select: Sequence[str] | None = None,
         sort: Sequence[tuple[str, str]] | None = None,
         limit: int | None = None,
+        q: str | None = None,
+        field: str | None = None,
     ) -> DataFrame:
-        out = self.df()
+        """The full Solr request shape in one call: ``q`` (boolean query
+        over the analyzed field, the :meth:`query` syntax), column
+        ``filters`` / arbitrary ``where`` (fq analogs), ``sort`` +
+        ``limit`` (C4 paging), ``select`` (fl projection)."""
+        out = self._query_scan(q, field) if q is not None else self.df()
         for col, val in (filters or {}).items():
             out = out.filter(F.col(col) == val)
         if where is not None:
@@ -242,9 +248,16 @@ class SearchIndex:
         return out
 
     # -- facet-style counts --------------------------------------------
-    def facet(self, field: str, top: int | None = None) -> DataFrame:
+    def facet(
+        self, field: str, top: int | None = None,
+        q: str | None = None, query_field: str | None = None,
+    ) -> DataFrame:
+        """Value counts of ``field`` — over the whole collection, or
+        (``q`` given) over a boolean query's result set, Solr's
+        q + facet.field request shape."""
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
         out = (
-            self.df()
+            scan
             .groupBy(field)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc(field))
@@ -327,6 +340,26 @@ class SearchIndex:
             return out
         return out.filter(F.col(SHARD_COL).isin(shards))
 
+    def _query_scan(self, q: str, field: str | None = None) -> DataFrame:
+        """Full rows matching a boolean query string — the shared engine
+        behind :meth:`query` (ids), :meth:`search` (q + filters/sort/
+        paging), and :meth:`facet` (query-scoped counts).  Compiles to a
+        single Column predicate and Bloom-prunes shards when safe."""
+        from solr_map_reduce_spark.extensions import search
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
+        pred, info = search.boolean_predicate(
+            q, analyze, F.col(self._tokens_col(fname))
+        )
+        scan = self.df()
+        if info["required"]:
+            scan = self._bloom_pruned(info["required"], fname, "all")
+        elif info["prunable"] and info["positive"]:
+            scan = self._bloom_pruned(info["positive"], fname, "any")
+        return scan.filter(pred)
+
     def query(self, q: str, field: str | None = None) -> DataFrame:
         """Boolean query over the analyzed field — the Solr/Lucene syntax
         subset its users write: terms, ``"quoted phrases"``, AND / OR /
@@ -337,26 +370,7 @@ class SearchIndex:
         shard Bloom pruning applies automatically: 'all'-mode on the
         query's conjunctive spine when it has one, else 'any'-mode over
         the positive tokens when no term-free document can match."""
-        from solr_map_reduce_spark.extensions import search
-
-        analyzed: dict = self.manifest.get("analyzed", {})
-        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
-        matches, info = search.boolean_query(
-            self.df(), q, analyze, id_col=self.unique_key,
-            tokens_col=self._tokens_col(fname),
-        )
-        scan = None
-        if info["required"]:
-            scan = self._bloom_pruned(info["required"], fname, "all")
-        elif info["prunable"] and info["positive"]:
-            scan = self._bloom_pruned(info["positive"], fname, "any")
-        if scan is not None:
-            matches, _ = search.boolean_query(
-                scan, q, analyze, id_col=self.unique_key,
-                tokens_col=self._tokens_col(fname),
-            )
-        return matches
+        return self._query_scan(q, field).select(self.unique_key)
 
     def contains_all(self, terms: Sequence[str], field: str | None = None) -> DataFrame:
         from solr_map_reduce_spark.extensions import search

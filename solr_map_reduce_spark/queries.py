@@ -1524,6 +1524,8 @@ def _docs_search_index(spark, sf_dir):
             fields=(
                 Field("doc_id", "long", required=True),
                 Field("text", "text_general"),
+                Field("lang", "string"),
+                Field("source", "string"),
             ),
             unique_key="doc_id",
         )
@@ -1535,7 +1537,10 @@ def _docs_search_index(spark, sf_dir):
             )
         )
         path = os.path.join(tempfile.mkdtemp(prefix="smrs_docs_idx_"), "index")
-        job.build(t(spark, sf_dir, "documents").select("doc_id", "text"), path)
+        job.build(
+            t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source"),
+            path,
+        )
         _DOCS_INDEX_CACHE[sf_dir] = path
     _DOCS_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
     return _DOCS_INDEX_HANDLE[sf_dir]
@@ -1636,6 +1641,34 @@ def c9_boolean_query(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).query(
         '(spark AND vector) OR ("table hash" AND NOT shuffle)'
     )
+
+
+@_register(
+    "c9_search_request",
+    f"""SELECT doc_id, lang FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+        WHERE (list_contains(t, 'spark') OR list_contains(t, 'vector'))
+          AND lang = 'en'
+        ORDER BY doc_id DESC LIMIT 10""",
+    "the full Solr request shape in one call: q (boolean query) + fq "
+    "(column filter) + sort + rows + fl over the artifact",
+)
+def c9_search_request(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).search(
+        q="spark OR vector", filters={"lang": "en"},
+        sort=[("doc_id", "desc")], limit=10, select=["doc_id", "lang"],
+    )
+
+
+@_register(
+    "c9_facet_query",
+    f"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark') OR list_contains(t, 'vector')
+        GROUP BY lang ORDER BY cnt DESC, lang""",
+    "Solr q + facet.field: value counts over a boolean query's result set",
+)
+def c9_facet_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).facet("lang", q="spark OR vector")
 
 
 @_register(
