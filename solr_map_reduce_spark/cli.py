@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     qry.add_argument("--path", required=True)
     qry.add_argument("--count", action="store_true", help="C1 match-all count")
     qry.add_argument("--get", default=None, metavar="KEY", help="C2 point lookup")
+    qry.add_argument("--q", default=None, metavar="QUERY",
+                     help="boolean query over the analyzed field (Solr "
+                          "syntax subset: terms, \"phrases\", AND/OR/NOT, "
+                          "parens; default operator OR)")
     qry.add_argument("--facet", default=None, metavar="FIELD", help="facet counts")
     qry.add_argument("--filter", nargs="*", default=(), metavar="COL=VALUE")
     qry.add_argument("--sort", default=None, metavar="COL[:desc]")
@@ -253,7 +257,7 @@ def main(argv: list[str] | None = None) -> int:
             for r in idx.get(args.get).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.facet is not None:
-            for r in idx.facet(args.facet, top=args.limit).collect():
+            for r in idx.facet(args.facet, top=args.limit, q=args.q).collect():
                 print(json.dumps(r.asDict(), default=str))
         else:
             filters = dict(kv.split("=", 1) for kv in args.filter)
@@ -263,7 +267,7 @@ def main(argv: list[str] | None = None) -> int:
                 sort = [(col, direction or "asc")]
             rows = idx.search(
                 filters=filters or None, sort=sort, limit=args.limit,
-                select=args.select,
+                select=args.select, q=args.q,
             ).collect()
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))

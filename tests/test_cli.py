@@ -368,3 +368,35 @@ def test_cli_update_subcommand(spark, tmp_path):
     idx = SearchIndex.open(spark, art)
     assert idx.get("7").collect()[0]["rank"] == 700
     assert idx.count() == 20
+
+
+def test_cli_boolean_query_and_scoped_facet(spark, sf_dir, schema_file, tmp_path, capsys):
+    """Round-6: `query --q` runs the Solr-syntax boolean query through the
+    CLI; `--facet FIELD --q ...` scopes the counts to the query's result
+    set (q + facet.field)."""
+    import json as _json
+
+    out = str(tmp_path / "cli_idx_q")
+    rc = cli.main([
+        "index",
+        "--input", f"{sf_dir}/documents.parquet",
+        "--output", out,
+        "--schema", schema_file,
+        "--shards", "2",
+        "--dedup", "none",
+        "--generate-keys-from", "source",
+        "--term-blooms", "--search-stats",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert cli.main([
+        "query", "--path", out, "--q", "table OR vector",
+        "--select", "id", "--limit", "5",
+    ]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(rows) <= 5 and all("id" in r for r in rows)
+    assert cli.main([
+        "query", "--path", out, "--facet", "lang", "--q", "table OR vector",
+    ]) == 0
+    facets = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert facets and all(f["cnt"] > 0 for f in facets)
