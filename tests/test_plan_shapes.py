@@ -246,3 +246,56 @@ def test_update_fields_plan_broadcasts_and_prunes(spark, tmp_path):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "PartitionFilters" in plan and f"{SHARD_COL}#" in plan
     assert "SortMergeJoin" not in plan  # no artifact-side key shuffle
+
+
+def test_boolean_query_is_single_scan(spark, sf_dir):
+    """However complex the boolean tree, the compiled plan is ONE FileScan
+    with no join or exchange — the predicate is a single Column."""
+    plan = _plan(spark, sf_dir, "c9_boolean_query")
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_search_request_is_single_scan_take_ordered(spark, sf_dir):
+    """q + filters + sort + limit compiles to scan -> filter ->
+    TakeOrderedAndProject: no full sort, no shuffle."""
+    plan = _plan(spark, sf_dir, "c9_search_request")
+    assert plan.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_bm25_filtered_single_corpus_pass(spark, sf_dir):
+    """The fq predicate folds into the same single corpus scan the stored-
+    stats BM25 plan already makes (stats from sidecar literals)."""
+    plan = _plan(spark, sf_dir, "ext_bm25_filtered")
+    assert plan.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "ExistingRDD" not in plan  # no computed-stats checkpoint
+
+
+def test_conjunctive_query_bloom_prunes_shards(spark, sf_dir):
+    """A query with a conjunctive spine restricts the scan to the shards
+    whose Bloom bitmap admits ALL required tokens (partition filter on the
+    shard column)."""
+    from solr_map_reduce_spark.queries import _docs_search_index
+
+    idx = _docs_search_index(spark, sf_dir)
+    # a term that exists somewhere (so the result is non-trivial) AND'ed
+    # with itself still prunes via the 'all' mode spine
+    out = idx.query("spark AND vector")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan  # the shard partition column participates
+    # correctness: identical result to the unpruned manual predicate
+    import pyspark.sql.functions as F
+
+    manual = sorted(
+        r["doc_id"]
+        for r in idx.df()
+        .filter(
+            F.array_contains("text__tokens", "spark")
+            & F.array_contains("text__tokens", "vector")
+        )
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == manual
