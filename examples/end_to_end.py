@@ -177,6 +177,19 @@ def main() -> None:
     phrase_hits = search.match_phrase(docs, "table hash", id_col="id").count()
     print("phrase query 'table hash':", phrase_hits, "docs")
 
+    # 8. boolean queries + the full Solr request shape -----------------
+    # (terms, "phrases", AND/OR/NOT, parens; default operator OR — parsed
+    # driver-side, compiled to ONE scan predicate, Bloom-pruned)
+    idx = SearchIndex.open(spark, live)
+    bq = idx.query('(spark AND vector) OR ("table hash" AND NOT shuffle)')
+    print("boolean query:", bq.count(), "docs")
+    # q + fq + sort + rows + fl in one call; fq never changes BM25 scores
+    page = idx.search(q="spark OR vector", sort=[("id", "asc")], limit=5,
+                      select=["id"])
+    ranked = idx.bm25(["spark", "vector"], k=5, fq="table AND NOT shuffle")
+    print("request page:", [r["id"] for r in page.collect()],
+          "| filtered BM25 hits:", ranked.count())
+
     spark.stop()
 
 

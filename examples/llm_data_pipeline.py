@@ -135,6 +135,21 @@ def main() -> None:
     )
     print(f"docs {n0} -> {docs.count()} curated -> {n_seq} packed sequences")
 
+    # 5b. Gopher quality rules: the published heuristic battery (word
+    # count, mean word length, symbol/bullet/ellipsis ratios, alpha
+    # fraction, stop probe) as one map-only pass — inspect the per-rule
+    # measurements, gate on `passes` for real crawls
+    gq = text_analysis.gopher_rules(docs)
+    print("gopher rules:", gq.filter("passes").count(), "of", gq.count(),
+          "docs pass the published thresholds")
+
+    # 5c. long-document chunking: overlapping token windows (stride =
+    # chunk - overlap) upstream of packing, so no span is lost at a
+    # window boundary
+    chunks = text_analysis.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    print("chunking:", docs.count(), "docs ->", chunks.count(),
+          "64-token windows (16-token overlap)")
+
     # 6. embeddings: near-dup pairs without a cross join + IVF+PQ index
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     near = cosine_pairs_lsh(emb, threshold=0.99).count()
