@@ -297,3 +297,131 @@ def test_keyranges_bisect_equals_linear_str(spans, keys):
     assert handle.candidate_files_range(lo=lo, hi=hi) == candidate_files_range(
         legacy, lo=lo, hi=hi
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean query parser: round-trip + evaluation model (round-6 surface)
+# ---------------------------------------------------------------------------
+
+_bq_terms = st.text(alphabet="abcdefgxyz", min_size=1, max_size=6).filter(
+    lambda s: s.upper() not in ("AND", "OR", "NOT")
+)
+
+
+def _bq_trees(depth=3):
+    leaf = st.one_of(
+        _bq_terms.map(lambda t: ("term", t)),
+        st.lists(_bq_terms, min_size=1, max_size=3).map(
+            lambda ts: ("phrase", " ".join(ts))
+        ),
+    )
+    return st.recursive(
+        leaf,
+        lambda kids: st.one_of(
+            st.lists(kids, min_size=2, max_size=3).map(lambda cs: ("and", cs)),
+            st.lists(kids, min_size=2, max_size=3).map(lambda cs: ("or", cs)),
+            kids.map(lambda c: ("not", c)),
+        ),
+        max_leaves=8,
+    )
+
+
+def _bq_render(node) -> str:
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "phrase":
+        return f'"{node[1]}"'
+    if kind == "not":
+        return f"NOT ({_bq_render(node[1])})"
+    op = f" {kind.upper()} "
+    return "(" + op.join(f"({_bq_render(c)})" for c in node[1]) + ")"
+
+
+def _bq_eval(node, present: set) -> bool:
+    kind = node[0]
+    if kind == "term":
+        return node[1] in present
+    if kind == "phrase":
+        # evaluation model over a SET ignores adjacency; restrict to
+        # 1-token phrases for the semantic check (multi-token adjacency
+        # has its own explicit tests in test_search.py)
+        toks = node[1].split()
+        return all(t in present for t in toks)
+    if kind == "not":
+        return not _bq_eval(node[1], present)
+    results = [_bq_eval(c, present) for c in node[1]]
+    return all(results) if kind == "and" else any(results)
+
+
+def _strip_parens(node):
+    """Normalize an AST for comparison: the parser flattens what explicit
+    parens kept nested only when shapes force it, so compare by EVALUATION
+    over token subsets instead of tree equality."""
+    return node
+
+
+@settings(max_examples=300, deadline=None)
+@given(_bq_trees())
+def test_boolean_query_roundtrip_preserves_semantics(tree):
+    """render -> parse preserves the query's truth table: for a sample of
+    token-presence sets, the parsed tree evaluates identically to the
+    generated one (parenthesized rendering makes precedence explicit, so
+    any divergence is a parser bug)."""
+    from solr_map_reduce_spark.extensions.search import parse_query
+
+    parsed = parse_query(_bq_render(tree))
+    tokens = sorted(
+        {t for k, v in _iter_leaves(tree) for t in (v.split() if k == "phrase" else [v])}
+    )
+    # all subsets up to a cap, plus empty and full
+    import itertools
+
+    subsets = [set(), set(tokens)]
+    for r in (1, 2):
+        subsets.extend(set(c) for c in itertools.combinations(tokens, r))
+    for present in subsets[:40]:
+        assert _bq_eval(parsed, present) == _bq_eval(tree, present), (
+            _bq_render(tree), sorted(present)
+        )
+
+
+def _iter_leaves(node):
+    kind = node[0]
+    if kind in ("term", "phrase"):
+        yield kind, node[1]
+    elif kind == "not":
+        yield from _iter_leaves(node[1])
+    else:
+        for c in node[1]:
+            yield from _iter_leaves(c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_bq_trees())
+def test_boolean_query_pruning_sets_are_sound(tree):
+    """required ⊆ positive, and whenever the query is marked prunable the
+    empty token set must NOT satisfy it (the safety property 'any'-mode
+    Bloom pruning depends on)."""
+    from solr_map_reduce_spark.extensions.search import (
+        _analyze_node,
+        _can_match_term_free,
+        _positive_tokens,
+        _required_tokens,
+    )
+
+    from solr_map_reduce_spark.extensions.search import parse_query
+
+    ast = _analyze_node(parse_query(_bq_render(tree)), lambda s: s.lower().split())
+    assert ast is not None
+    req, pos = _required_tokens(ast), _positive_tokens(ast)
+    assert req <= pos
+    if not _can_match_term_free(ast):
+        assert not _bq_eval(tree, set())
+    # and required tokens really are necessary: removing any one required
+    # token from the full set must make the query false... only when the
+    # query is true on the full set
+    full = {t for k, v in _iter_leaves(tree) for t in (v.split() if k == "phrase" else [v])}
+    if _bq_eval(tree, full):
+        for t in req:
+            assert not _bq_eval(tree, full - {t}) or t not in full
