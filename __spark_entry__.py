@@ -129,9 +129,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r04 cohort (ext_ivf_topk, ext_passage_dedup, ext_knn_join, ext_pq_topk,
 # ext_ivfpq_topk, b6_extract_json, ext_knn_classify, ext_source_cap)
 # overflow this 50-slot window and MUST lead the r07 rotation, along
-# with the six new r6 oracled queries (ext_chunk_docs, c9_boolean_query,
-# ext_bm25_filtered, c9_search_request, c9_facet_query, ext_gopher_rules
-# is already windowed).  The
+# with the five r6-new oracled queries that did not get a slot
+# (ext_chunk_docs, c9_boolean_query, ext_bm25_filtered,
+# c9_search_request, c9_facet_query; ext_gopher_rules IS windowed).  The
 # repo's own oracle suite covers all entries every pytest run regardless
 # (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
@@ -147,7 +147,7 @@ _VERDICT_PRIORITY = [
     "c9_contains_any", "c9_match_phrase", "c9_prefix_match",
     "c9_contains_none", "c9_highlight",
     "ext_simhash", "ext_ngram_jaccard",
-    # (c) r04-checked cohort, r04 order (first 32; rest lead r07)
+    # (c) r04-checked cohort, r04 order (first 31; rest lead r07)
     "b8_convert_timestamp", "facet_event_counts", "ext_funnel_conversion",
     "ext_cohort_retention", "facet_range_value", "pipeline_etl_events",
     "window_hourly_counts", "q1_pricing_summary", "q3_top_revenue",

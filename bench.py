@@ -173,7 +173,9 @@ def main() -> None:
         med = reps[len(reps) // 2]
         # IQR spread: the median's stability depends on the middle reps,
         # not the occasional GC-hit outlier that max-min would report
-        return med, 100.0 * (reps[3] - reps[1]) / med
+        # (quartile indices derived from len so REPS stays a free knob)
+        q1, q3 = reps[len(reps) // 4], reps[(3 * len(reps)) // 4]
+        return med, 100.0 * (q3 - q1) / med
 
     for name in BENCH_QUERIES:
         qd = reg[name]

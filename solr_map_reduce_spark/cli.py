@@ -201,6 +201,12 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--fanout must be >= 2")
         if args.max_segments < 1:
             raise SystemExit("--max-segments must be >= 1")
+    elif args.command == "query":
+        if args.q is not None and args.get is not None:
+            raise SystemExit(
+                "--get is a point lookup by key; it cannot combine with "
+                "--q (use --q with --select/--sort/--limit, or --count)"
+            )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -250,7 +256,8 @@ def main(argv: list[str] | None = None) -> int:
 
         idx = SearchIndex.open(spark, args.path)
         if args.count:
-            print(json.dumps({"count": idx.count()}))
+            n = idx.query(args.q).count() if args.q else idx.count()
+            print(json.dumps({"count": n}))
         elif args.segments:
             print(json.dumps({"segments": idx.segment_counts()}))
         elif args.get is not None:

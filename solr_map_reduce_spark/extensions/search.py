@@ -305,7 +305,11 @@ def parse_query(q: str):
     """Parse a boolean query string into an AST of tuples:
     ``("term", text)``, ``("phrase", text)``, ``("and", [..])``,
     ``("or", [..])``, ``("not", node)``.  Precedence NOT > AND > OR;
-    bare juxtaposition is OR (Solr's default operator)."""
+    bare juxtaposition is OR (Solr's default operator) — EXCEPT that a
+    juxtaposed negative clause (``table -shuffle`` / ``table NOT
+    shuffle``) is a Lucene prohibit: MUST_NOT over the clause list, i.e.
+    ``(table) AND NOT (shuffle)``.  An explicitly OR-joined negation
+    (``a OR NOT b``) stays a true disjunct."""
     toks: list[tuple[str, str]] = []
     i, n = 0, len(q)
     while i < n:
@@ -352,30 +356,58 @@ def parse_query(q: str):
         return t
 
     def parse_or():
-        parts = [parse_and()]
+        # parts: (node, direct_neg, explicit_or) — direct_neg marks a
+        # clause the user wrote with NOT/- AT THIS LEVEL (a parenthesized
+        # sub-query that merely EVALUATES to a negation is not direct)
+        parts = [parse_and() + (False,)]
         while True:
             k = peek()
             if k == "OR":
                 take()
-                parts.append(parse_and())
+                parts.append(parse_and() + (True,))
             elif k in ("TERM", "PHRASE", "NOT", "LP"):
-                parts.append(parse_and())  # juxtaposition: default OR
+                parts.append(parse_and() + (False,))  # juxtaposition
             else:
                 break
-        return parts[0] if len(parts) == 1 else ("or", parts)
+        if len(parts) == 1:
+            return parts[0][0]
+        # Lucene prohibit semantics for the standard exclusion idiom:
+        # a JUXTAPOSED directly-negative clause ('table -shuffle',
+        # 'table NOT shuffle') is a MUST_NOT over the whole clause list —
+        # the query means (table) AND NOT (shuffle), not (table OR NOT
+        # shuffle).  An EXPLICITLY OR-joined negation ('a OR NOT b') and
+        # a parenthesized one ('(NOT a) OR b') stay true disjuncts: there
+        # the user spelled out the algebra (Lucene itself is famously
+        # surprising here; the spelled-out forms are where users expect
+        # plain boolean behavior).
+        prohibit = [n[1] for (n, direct, exp) in parts if direct and not exp]
+        others = [n for (n, direct, exp) in parts if not (direct and not exp)]
+        if not prohibit:
+            return ("or", others)
+        nots = [("not", p) for p in prohibit]
+        if not others:  # pure-negative list (Solr allows it top-level)
+            return nots[0] if len(nots) == 1 else ("and", nots)
+        base = others[0] if len(others) == 1 else ("or", others)
+        return ("and", [base] + nots)
 
     def parse_and():
-        parts = [parse_not()]
+        # returns (node, direct_neg-of-single-clause)
+        first = parse_not()
+        parts = [first]
         while peek() == "AND":
             take()
             parts.append(parse_not())
-        return parts[0] if len(parts) == 1 else ("and", parts)
+        if len(parts) == 1:
+            return first
+        return ("and", [n for n, _ in parts]), False
 
     def parse_not():
+        # returns (node, direct_neg)
         if peek() == "NOT":
             take()
-            return ("not", parse_not())
-        return parse_atom()
+            inner, _ = parse_not()
+            return ("not", inner), True
+        return parse_atom(), False
 
     def parse_atom():
         k = peek()

@@ -28,13 +28,20 @@ def tokens(col: F.Column) -> F.Column:
     return tokens_column(col)
 
 
-def token_count(col: F.Column) -> F.Column:
-    """Whitespace-token count (long).  Strip-then-split stays in codegen."""
+def ws_tokens(col: F.Column) -> F.Column:
+    """Whitespace-split words (the shared token expression behind
+    token_count / gopher_rules / chunk_documents — ONE definition so the
+    empty/whitespace edge semantics and the DuckDB-oracle mirror can
+    never diverge between ops).  Strip-then-split stays in codegen."""
     stripped = F.regexp_replace(col, r"^\s+|\s+$", "")
-    arr = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
         F.split(stripped, r"\s+")
     )
-    return F.size(arr).cast("long")
+
+
+def token_count(col: F.Column) -> F.Column:
+    """Whitespace-token count (long)."""
+    return F.size(ws_tokens(col)).cast("long")
 
 
 def word_token_count(col: F.Column) -> F.Column:
@@ -122,12 +129,13 @@ def gopher_rules(
     Everything is built from builtin SQL functions (whole-stage codegen;
     the two higher-order ``filter`` lambdas are per-line/per-word
     predicates over already-split arrays), so at 100 TB this is a single
-    map-only scan with full column pruning — no shuffle, no Python."""
-    t = F.col(text_col)
-    stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
-    words = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(stripped, r"\s+")
-    )
+    map-only scan with full column pruning — no shuffle, no Python.
+
+    NULL text reads as an empty document (n_words 0, ``passes`` False) —
+    a row must never carry a NULL verdict that escapes both the pass and
+    the fail gate."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = ws_tokens(t)
     n_words = F.size(words).cast("long")
     safe_w = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
     # sum of word lengths == non-whitespace characters (words are the
@@ -249,11 +257,7 @@ def chunk_documents(
             f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
         )
     stride = chunk_tokens - overlap
-    t = F.col(text_col)
-    stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
-    toks = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(stripped, r"\s+")
-    )
+    toks = ws_tokens(F.col(text_col))
     n = F.size(toks).cast("long")
     n_chunks = (
         F.when(n <= 0, F.lit(0))

@@ -160,7 +160,16 @@ class HadoopFS:
         try:
             out = self._fs(path).create(self._path(path), False)
         except Exception as e:  # py4j wraps FileAlreadyExistsException
-            if "xist" in str(e):  # [aA]lready[eE]xists / file exists
+            import re as _re
+
+            s = str(e)
+            # classify ONLY genuine already-exists contention; anything
+            # else ('Parent path does not exist', permission errors, ...)
+            # is a real filesystem failure and must surface, not read as
+            # a phantom lock
+            if "FileAlreadyExistsException" in s or _re.search(
+                r"already\s+exists", s, _re.IGNORECASE
+            ):
                 return False
             raise
         try:

@@ -464,27 +464,29 @@ class SearchIndex:
             scan = self._bloom_pruned(norm_terms, fname, "any")
         elif fq is not None:
             # no sidecar: derive collection-wide stats BEFORE filtering so
-            # fq can't skew scores (two aggregates + a |Q|-term df pass —
-            # the cost the computed path pays anyway)
-            from solr_map_reduce_spark.search_stats import (
-                _field_aggregates,
-                _term_df,
-            )
-
+            # fq can't skew scores.  ONE aggregation job over one
+            # tokenization pass: n_docs/sum_dl/n_dl plus per-term df
+            # (array_contains presence sums) in the same agg — the same
+            # single stats pass the computed path pays
             tc = self._tokens_col(fname)
             norm_terms = [t.lower() for t in terms]
-            dfs = {t: 0 for t in norm_terms}
-            dfs.update(
-                {
-                    r["term"]: int(r["df"])
-                    for r in _term_df(self.df(), tc, "df")
-                    .filter(F.col("term").isin(norm_terms))
-                    .collect()
-                }
-            )
+            toks = F.col(tc)
+            row = self.df().agg(
+                F.count(F.lit(1)).alias("_n_docs"),
+                F.sum(F.size(toks)).alias("_sum_dl"),
+                F.count(F.size(toks)).alias("_n_dl"),
+                *[
+                    F.sum(F.array_contains(toks, t).cast("long")).alias(f"_df_{i}")
+                    for i, t in enumerate(norm_terms)
+                ],
+            ).collect()[0]
             kw = dict(kw)
-            kw["stored_stats"] = _field_aggregates(self.df(), tc)
-            kw["stored_dfs"] = dfs
+            kw["stored_stats"] = (
+                int(row["_n_docs"]), int(row["_sum_dl"] or 0), int(row["_n_dl"]),
+            )
+            kw["stored_dfs"] = {
+                t: int(row[f"_df_{i}"] or 0) for i, t in enumerate(norm_terms)
+            }
         if fq is not None:
             analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
             pred, _info = search.boolean_predicate(

@@ -771,9 +771,17 @@ def _mutation_lock(fs, path: str, op: str):
     ``create(overwrite=false)`` on Hadoop) — the old exists-then-write
     pair let two racing mutators both pass the exists check and
     interleave staging writes.  After creation the written token is read
-    back and verified, catching stores without atomic create semantics.
-    The lock body records owner metadata (op/pid/host/ts/token) so an
-    operator can tell a live mutator from a dead one before forcing."""
+    back: a DIFFERENT token means another writer overwrote us on a store
+    without atomic create semantics, so we lost.  This NARROWS (does not
+    fully close) the race window on such stores — two writers can still
+    interleave create/read in an order where both see their own token;
+    artifact mutation on an object store without atomic create needs an
+    external coordinator for hard exclusion.  An unreadable lock after a
+    successful exclusive create is treated as held (creation is the
+    authoritative signal; a transient read failure must not strand our
+    own lock on disk).  The lock body records owner metadata
+    (op/pid/host/ts/token) so an operator can tell a live mutator from a
+    dead one before forcing."""
     import os
     import socket
     import time
@@ -798,12 +806,14 @@ def _mutation_lock(fs, path: str, op: str):
             "if that process is dead, verify the artifact and "
             "clear_mutation_lock(path) or `smrs unlock --force`"
         )
-    # verify we won: on stores without atomic create-exclusive, two racers
-    # can both "succeed" — last-writer-wins on the token settles it
+    # verify we won: on stores without atomic create-exclusive, a racer
+    # may have overwritten the body — a foreign token means we lost.  A
+    # read FAILURE is not a loss: creation succeeded exclusively, and
+    # raising here would strand our own lock file on disk.
     try:
         held = json.loads(fs.read_text(lock)).get("token")
     except Exception:
-        held = None
+        held = token
     if held != token:
         raise ArtifactLockedError(
             f"artifact at {path}: lost lock race to another mutation "

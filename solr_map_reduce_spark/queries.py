@@ -994,10 +994,10 @@ def ext_chunk_docs(spark, sf_dir):
     "ext_gopher_rules",
     r"""
 WITH f AS (
-  SELECT doc_id, text,
-    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
-    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
-    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+  SELECT doc_id, coalesce(text, '') AS text,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '') AS words,
+    list_filter(string_split(coalesce(text, ''), chr(10)), x -> trim(x) <> '') AS lines,
+    list_distinct(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                   x -> x <> '')) AS toks
   FROM documents
 ), m AS (

@@ -325,3 +325,28 @@ def test_mutation_rejects_placement_mismatch(spark, tmp_path):
             ),
             path,
         )
+
+    def test_transient_lock_readback_failure_keeps_our_lock(self, tmp_path, monkeypatch):
+        """Self-review r6: a read failure AFTER a successful exclusive
+        create must not raise (which would strand our own lock file) —
+        creation is the authoritative signal."""
+        import os
+
+        from solr_map_reduce_spark.fs import LocalFS
+        from solr_map_reduce_spark.indexing import MUTATION_LOCK, _mutation_lock
+
+        orig = LocalFS.read_text
+
+        def flaky(self, p):
+            if p.endswith(MUTATION_LOCK):
+                raise OSError("transient read failure")
+            return orig(self, p)
+
+        monkeypatch.setattr(LocalFS, "read_text", flaky)
+        path = str(tmp_path)
+        ran = False
+        with _mutation_lock(LocalFS(), path, "test-op"):
+            ran = True
+            assert os.path.exists(os.path.join(path, MUTATION_LOCK))
+        assert ran
+        assert not os.path.exists(os.path.join(path, MUTATION_LOCK))

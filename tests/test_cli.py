@@ -400,3 +400,24 @@ def test_cli_boolean_query_and_scoped_facet(spark, sf_dir, schema_file, tmp_path
     ]) == 0
     facets = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert facets and all(f["cnt"] > 0 for f in facets)
+
+
+def test_cli_count_respects_q_and_get_rejects_q(spark, sf_dir, schema_file, tmp_path, capsys):
+    import json as _json
+
+    out = str(tmp_path / "cli_idx_cq")
+    assert cli.main([
+        "index", "--input", f"{sf_dir}/documents.parquet", "--output", out,
+        "--schema", schema_file, "--shards", "2", "--dedup", "none",
+        "--generate-keys-from", "source",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main(["query", "--path", out, "--count"]) == 0
+    total = _json.loads(capsys.readouterr().out)["count"]
+    assert cli.main(["query", "--path", out, "--count", "--q", "table OR vector"]) == 0
+    scoped = _json.loads(capsys.readouterr().out)["count"]
+    assert 0 < scoped < total  # --q actually scopes the count
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="--get"):
+        cli.main(["query", "--path", out, "--get", "k1", "--q", "x"])

@@ -546,3 +546,18 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_gopher_null_text_fails_not_null(spark):
+    """Self-review r6: NULL text must produce passes=False (an empty doc),
+    never a NULL verdict that escapes both the pass and the fail gate."""
+    from solr_map_reduce_spark.extensions.text_analysis import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick fox")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[1]["passes"] is False and out[1]["n_words"] == 0
+    # gating on passes / NOT passes covers every row
+    gq = gopher_rules(df)
+    assert gq.filter("passes").count() + gq.filter("NOT passes").count() == 2

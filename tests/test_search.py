@@ -402,3 +402,45 @@ class TestBm25FilterQuery:
         idx = self._index(spark, tmp_path, True)
         with pytest.raises(QuerySyntaxError):
             idx.bm25(["spark"], fq="(table").collect()
+
+
+class TestProhibitClauseSemantics:
+    """Self-review r6: the standard Solr exclusion idiom 'table -shuffle' /
+    'table NOT shuffle' is a Lucene PROHIBIT (MUST_NOT over the clause
+    list) — (table) AND NOT (shuffle) — not a disjunct.  Explicit
+    'a OR NOT b' stays a true disjunct (documented deviation where the
+    user spelled out OR)."""
+
+    def test_parse_prohibit_forms(self):
+        from solr_map_reduce_spark.extensions.search import parse_query
+
+        want = ("and", [("term", "table"), ("not", ("term", "shuffle"))])
+        assert parse_query("table -shuffle") == want
+        assert parse_query("table NOT shuffle") == want
+        # multiple prohibits + multiple shoulds: (a|b) & !c & !d
+        got = parse_query("a b -c -d")
+        assert got == ("and", [
+            ("or", [("term", "a"), ("term", "b")]),
+            ("not", ("term", "c")), ("not", ("term", "d")),
+        ])
+        # explicit OR keeps the true disjunction
+        assert parse_query("a OR NOT b") == (
+            "or", [("term", "a"), ("not", ("term", "b"))]
+        )
+        # pure-negative juxtaposed list: !a & !b (Solr-style top level)
+        assert parse_query("-a -b") == (
+            "and", [("not", ("term", "a")), ("not", ("term", "b"))]
+        )
+        assert parse_query("-a") == ("not", ("term", "a"))
+
+    def test_prohibit_evaluation(self, spark):
+        from solr_map_reduce_spark.extensions.search import boolean_query
+
+        rows = [(1, ["table"]), (2, ["table", "shuffle"]), (3, ["cat"])]
+        df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+        ana = lambda s: s.lower().split()  # noqa: E731
+        out, _ = boolean_query(df, "table -shuffle", ana, tokens_col="toks")
+        # the review's exact failure case: old parse returned {1, 3}
+        assert sorted(r["doc_id"] for r in out.collect()) == [1]
+        out, _ = boolean_query(df, "table NOT shuffle", ana, tokens_col="toks")
+        assert sorted(r["doc_id"] for r in out.collect()) == [1]
