@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
     idx.add_argument("--dry-run-rows", type=int, default=20)
     idx.add_argument("--publish-to", default=None,
                      help="atomically promote the artifact here after build (A21/A22)")
+    idx.add_argument("--go-live", default=None, metavar="LIVE_PATH",
+                     help="after build, merge the staged artifact INTO the "
+                     "live serving artifact at LIVE_PATH (same-key docs "
+                     "resolved, sidecars delta-maintained; promotes "
+                     "wholesale when no live artifact exists) — the "
+                     "reference tool's --go-live analog")
     idx.add_argument("--merge", action="store_true",
                      help="merge into an existing artifact at --output "
                      "(same-key docs replaced per the resolver, new keys "
@@ -196,6 +202,13 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--dry-run writes nothing; drop --publish-to")
         if args.dry_run and args.merge:
             raise SystemExit("--dry-run writes nothing; drop --merge")
+        if args.dry_run and args.go_live:
+            raise SystemExit("--dry-run writes nothing; drop --go-live")
+        if args.publish_to and args.go_live:
+            raise SystemExit(
+                "--publish-to (wholesale promote) and --go-live (merge into "
+                "live) are different promotion modes; pick one"
+            )
     elif args.command == "merge":
         if args.fanout < 2:
             raise SystemExit("--fanout must be >= 2")
@@ -361,6 +374,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.publish_to:
         publish(args.output, args.publish_to)
         manifest["published_to"] = args.publish_to
+    if args.go_live:
+        job.go_live(spark, args.output, args.go_live)
+        manifest["went_live_to"] = args.go_live
     print(json.dumps(manifest))
     return 0
 

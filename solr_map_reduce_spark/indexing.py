@@ -339,6 +339,37 @@ class IndexJob:
             write_key_ranges(df.sparkSession, path)
         return manifest
 
+    def go_live(
+        self, spark: SparkSession, staged_path: str, live_path: str
+    ) -> dict:
+        """A22 go-live: merge a STAGED artifact's documents into a LIVE
+        serving artifact — the engine-native analog of the reference's
+        GoLive step (mr/GoLive.java:46-168 merges freshly built shard
+        indexes into a running SolrCloud collection).
+
+        - No live artifact yet: the staged one is PROMOTED wholesale
+          (atomic rename publish; the staged directory moves to the live
+          path — the cheapest possible go-live).
+        - Live artifact present: every staged document flows through
+          ``merge_into``'s resolver against the live artifact (same-key
+          docs replaced per the dedup policy, new keys appended, only the
+          touched live shards rewrite, every serving sidecar
+          delta-maintains) and the STAGED artifact is left intact, like
+          the reference leaves its HDFS shard dirs after the SolrCloud
+          merge.  Placement parity against the live manifest is enforced
+          (a mismatched shard count/routing is refused loudly).
+
+        Internal columns (shard id, stored ``__tokens``) are stripped from
+        the staged rows; the merge re-routes and re-analyzes them under
+        the LIVE artifact's configuration."""
+        fs = get_fs(live_path, spark)
+        if not fs.exists(fs_join(live_path, MANIFEST)):
+            publish(staged_path, live_path, spark)
+            return json.loads(fs.read_text(fs_join(live_path, MANIFEST)))
+        staged = read_index(spark, staged_path)
+        drop = [SHARD_COL] + [c for c in staged.columns if c.endswith("__tokens")]
+        return self.merge_into(staged.drop(*drop), live_path)
+
     def merge_into(
         self,
         df: DataFrame,

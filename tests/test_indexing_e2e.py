@@ -747,3 +747,105 @@ class TestCoreReviewRegressions:
         assert not os.path.exists(os.path.join(out, "_SEARCH_STATS.json"))
         idx2 = SearchIndex.open(spark, out)
         assert len(idx2.bm25(["alpha"], k=2).collect()) == 2  # computed fallback
+
+
+class TestGoLive:
+    """Round-6: the A22 go-live merge — a staged artifact's documents land
+    in a LIVE serving artifact through the resolver (the reference's
+    GoLive merges built shards into a running SolrCloud; here the live
+    artifact IS the serving system)."""
+
+    SCHEMA = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("text", "text_general"),
+            Field("rank", "long"),
+        ),
+        unique_key="id",
+    )
+
+    def _job(self):
+        return IndexJob(
+            IndexJobConfig(
+                schema=self.SCHEMA, shards=2, dedup="retain_most_recent",
+                order_field="rank", routing="native",
+                term_blooms=True, search_stats=True, key_ranges=True,
+            )
+        )
+
+    def test_promotes_when_no_live_artifact(self, spark, tmp_path):
+        job = self._job()
+        staged = str(tmp_path / "staged")
+        live = str(tmp_path / "live")
+        df = spark.createDataFrame(
+            [(str(i), f"alpha word{i}", i) for i in range(30)],
+            "id string, text string, rank long",
+        )
+        job.build(df, staged)
+        manifest = job.go_live(spark, staged, live)
+        assert manifest["unique_key"] == "id"
+        from solr_map_reduce_spark.index_reader import SearchIndex
+
+        assert SearchIndex.open(spark, live).count() == 30
+
+    def test_merges_into_existing_live(self, spark, tmp_path):
+        import os
+
+        from solr_map_reduce_spark.index_reader import SearchIndex
+
+        job = self._job()
+        live = str(tmp_path / "live")
+        base = spark.createDataFrame(
+            [(str(i), f"alpha word{i}", i) for i in range(40)],
+            "id string, text string, rank long",
+        )
+        job.build(base, live)
+        # a staged batch: 5 updated docs (higher rank) + 5 new keys
+        staged = str(tmp_path / "staged")
+        batch = spark.createDataFrame(
+            [(str(i), "updated zulu text", 1000 + i) for i in range(5)]
+            + [(str(100 + i), "brand new doc", i) for i in range(5)],
+            "id string, text string, rank long",
+        )
+        job.build(batch, staged)
+        job.go_live(spark, staged, live)
+        idx = SearchIndex.open(spark, live)
+        assert idx.count() == 45  # 40 + 5 new, updates replaced in place
+        assert idx.get("3").collect()[0]["rank"] == 1003  # resolver: newest
+        assert idx.get("102").collect()[0]["text"] == "brand new doc"
+        # serving structures delta-maintained: term query + bm25 see the
+        # staged docs' re-analyzed tokens
+        assert sorted(r["id"] for r in idx.contains_all(["zulu"]).collect()) == [
+            "0", "1", "2", "3", "4",
+        ]
+        from solr_map_reduce_spark.search_stats import (
+            load_search_stats,
+            write_search_stats,
+        )
+
+        delta = load_search_stats(spark, live)
+        assert delta == write_search_stats(spark, live)  # equal to rebuild
+        # ... and the staged artifact is left intact (reference contract)
+        assert os.path.isdir(staged)
+        assert SearchIndex.open(spark, staged).count() == 10
+
+    def test_placement_mismatch_refused(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex  # noqa: F401
+
+        job = self._job()
+        live = str(tmp_path / "live")
+        df = spark.createDataFrame(
+            [(str(i), "x", i) for i in range(10)],
+            "id string, text string, rank long",
+        )
+        job.build(df, live)
+        staged = str(tmp_path / "staged")
+        job.build(df, staged)
+        wrong = IndexJob(
+            IndexJobConfig(
+                schema=self.SCHEMA, shards=4, dedup="retain_most_recent",
+                order_field="rank", routing="native",
+            )
+        )
+        with pytest.raises(ValueError, match="places keys differently"):
+            wrong.go_live(spark, staged, live)
