@@ -94,3 +94,29 @@ def test_worker_zip_rebuilds_when_stale(spark, tmp_path, monkeypatch):
     entry_mod._ensure_workers_can_import(spark)
     assert zp.stat().st_mtime > 1
     entry_mod._SHIPPED_SESSIONS.clear()
+
+
+def test_verdict_window_is_consistent():
+    """The rotating external-check window must stay exactly 50 unique
+    registry names (the harness checks the first 50 queries() entries);
+    a typo'd or stale name would silently shrink external coverage."""
+    import __spark_entry__ as e
+
+    window = e._VERDICT_PRIORITY
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    reg = set(QUERIES)
+    missing = [n for n in window if n not in reg]
+    assert not missing, f"window names absent from registry: {missing}"
+    # ordering contract: queries() leads with the window, in order
+    assert list(QUERIES)[:50] == window
+
+
+def test_oracle_sql_runs_for_every_entry(duck):
+    """Every oracle string must at least be executable DuckDB SQL against
+    the registered views (a syntax error would fail the external gate)."""
+    for name, sql in ORACLES.items():
+        try:
+            duck.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"oracle for {name} is not runnable: {exc}")
