@@ -307,6 +307,10 @@ class IvfIndex:
             )
             return
         fs = get_fs(path, df.sparkSession)
+        if batch_tag in self._absorbed_tags(fs, path):
+            # this batch's rows were folded into compacted files — the
+            # replay is a no-op, not a re-append
+            return
         stage = fs_join(path, f"_ingest_{batch_tag}")
         is_bucket = lambda name: name.startswith(f"{self.bucket_col}=")  # noqa: E731
         # a surviving staging dir records which buckets a crashed earlier
@@ -343,6 +347,75 @@ class IvfIndex:
                 if f.endswith(".parquet"):
                     fs.rename(fs_join(src_dir, f), fs_join(dst_dir, prefix + f))
         fs.delete(stage)
+
+    ABSORBED_TAGS = "_ABSORBED_TAGS.json"
+
+    def _absorbed_tags(self, fs, path: str) -> set:
+        import json
+
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        full = fs_join(path, self.ABSORBED_TAGS)
+        if not fs.exists(full):
+            return set()
+        return set(json.loads(fs.read_text(full)))
+
+    def compact(self, spark, path: str) -> int:
+        """Maintenance for a streaming-aged index: each tagged micro-batch
+        appends files into the bucket dirs, so file counts grow without
+        bound (the segment-accumulation problem; the reference answers it
+        with the mtree merge, A19).  Compaction rewrites the vector store
+        to ~one file per bucket and records every absorbed batch tag in
+        ``_ABSORBED_TAGS.json`` — a late REPLAY of an absorbed tag is a
+        NO-OP (its rows are already durable in the compacted files), so
+        exactly-once survives compaction.  Crash-safe: the rewrite stages
+        to a side dir and swaps via rename-aside; the absorbed-tag record
+        is written before the swap (recording early only ever suppresses
+        a re-append of data that exists in both pre- and post-swap
+        states).  Returns the number of files removed."""
+        import json
+        import re
+
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        fs = get_fs(path, spark)
+        vectors = fs_join(path, "vectors")
+        tags: set = set(self._absorbed_tags(fs, path))
+        n_before = 0
+        for bdir in fs.listdir(vectors):
+            full = fs_join(vectors, bdir)
+            if not (bdir.startswith(f"{self.bucket_col}=") and fs.isdir(full)):
+                continue
+            for f in fs.listdir(full):
+                if f.endswith(".parquet"):
+                    n_before += 1
+                    m = re.match(r"^b(.+?)-part-", f)
+                    if m:
+                        tags.add(m.group(1))
+        fs.write_text(fs_join(path, self.ABSORBED_TAGS), json.dumps(sorted(tags)))
+        stage = fs_join(path, "vectors__compact")
+        (
+            spark.read.parquet(vectors)
+            .repartition(self.bucket_col)  # whole buckets per task: one
+            .write.mode("overwrite")       # file per bucket directory
+            .partitionBy(self.bucket_col)
+            .parquet(stage)
+        )
+        old = fs_join(path, "vectors__old")
+        if fs.exists(old):
+            fs.delete(old)
+        fs.rename(vectors, old)
+        fs.rename(stage, vectors)
+        fs.delete(old)
+        n_after = sum(
+            1
+            for bdir in fs.listdir(vectors)
+            if bdir.startswith(f"{self.bucket_col}=")
+            for f in fs.listdir(fs_join(vectors, bdir))
+            if f.endswith(".parquet")
+        )
+        return n_before - n_after
 
     def search_stored(
         self,

@@ -465,3 +465,58 @@ def test_stream_ivf_ingest_end_to_end(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert 180 in got
+
+
+def test_ivf_compact_preserves_results_and_replay_idempotence(spark, sf_dir, tmp_path):
+    """Round-6: bucket compaction for a streaming-aged index — file count
+    drops to ~one per bucket, search results are identical, and a LATE
+    REPLAY of an absorbed batch tag is a no-op (exactly-once survives
+    compaction)."""
+    import os
+
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    ivf = IvfIndex.fit(base, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    ivf.save(path, assigned=ivf.assign(base))
+    # age the index: several tagged micro-batches
+    for tag, lo in (("10", 100), ("11", 130), ("12", 160)):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30))
+        ivf.add(batch, path, batch_tag=tag)
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    before = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in ivf.search_stored(spark, path, q, k=8, nprobe=4).collect()
+    ]
+    vec_dir = os.path.join(path, "vectors")
+
+    def count_files():
+        return sum(
+            1
+            for b in os.listdir(vec_dir)
+            if b.startswith("bucket=")
+            for f in os.listdir(os.path.join(vec_dir, b))
+            if f.endswith(".parquet")
+        )
+
+    n_buckets = sum(1 for b in os.listdir(vec_dir) if b.startswith("bucket="))
+    assert count_files() > n_buckets  # the batches really did accumulate
+    removed = ivf.compact(spark, path)
+    assert removed > 0
+    assert count_files() == n_buckets  # ~one file per bucket
+    after = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in ivf.search_stored(spark, path, q, k=8, nprobe=4).collect()
+    ]
+    assert after == before  # identical results
+    # late replay of an absorbed tag: must NOT re-append
+    replay = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+    ivf.add(replay, path, batch_tag="10")
+    stored = spark.read.parquet(vec_dir)
+    assert stored.count() == 190
+    assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
+    # a genuinely NEW tag still appends normally after compaction
+    ivf.add(emb.filter((F.col("vec_id") >= 190) & (F.col("vec_id") < 200)), path, batch_tag="13")
+    assert spark.read.parquet(vec_dir).count() == 200
