@@ -65,6 +65,9 @@ class LocalFS:
     def copy_file(self, src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
     def read_text(self, path: str) -> str:
         with open(path, encoding="utf-8") as f:
             return f.read()
@@ -133,6 +136,12 @@ class HadoopFS:
             False,  # keep source
             True,   # overwrite
             self._conf,
+        )
+
+    def mtime(self, path: str) -> float:
+        return (
+            self._fs(path).getFileStatus(self._path(path)).getModificationTime()
+            / 1000.0
         )
 
     def read_text(self, path: str) -> str:

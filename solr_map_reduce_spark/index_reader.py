@@ -45,10 +45,45 @@ class SearchIndex:
         self._blooms: dict | None | bool = False  # False = not yet loaded
         self._key_ranges: dict | None | bool = False  # False = not yet loaded
         # per-instance memo of (field, terms) -> df values: repeated queries
-        # against one handle (the serving pattern) skip the vocab scan; a
-        # fresh open() after a mutation re-reads everything
+        # against one handle (the serving pattern) skip the vocab scan
         self._stats_cache: dict | None | bool = False
         self._dfs_memo: dict = {}
+        # generation guard: every engine mutation rewrites the manifest, so
+        # its mtime detects an artifact mutated UNDER a long-lived handle —
+        # stale cached blooms/key-ranges would silently hide rows (false
+        # negatives) and stale stats would skew scores.  Checked (one stat
+        # call) before any cached sidecar is served; on change every cache
+        # drops and the manifest reloads.
+        self._generation = self._current_generation()
+
+    def _current_generation(self) -> float | None:
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        try:
+            return get_fs(self.path, self.spark).mtime(
+                fs_join(self.path, MANIFEST)
+            )
+        except Exception:
+            return None
+
+    def _check_generation(self) -> None:
+        gen = self._current_generation()
+        if gen == self._generation:
+            return
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        self._generation = gen
+        self._blooms = False
+        self._key_ranges = False
+        self._stats_cache = False
+        self._dfs_memo = {}
+        try:
+            fs = get_fs(self.path, self.spark)
+            self.manifest = json.loads(fs.read_text(fs_join(self.path, MANIFEST)))
+        except Exception:
+            pass  # manifest mid-rewrite: keep the old one, caches cleared
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SearchIndex":
@@ -102,6 +137,7 @@ class SearchIndex:
 
     def _load_stats(self) -> dict | None:
         """Lazy per-handle memo of the search-stats sidecar."""
+        self._check_generation()
         if self._stats_cache is False:
             from solr_map_reduce_spark.search_stats import load_search_stats
 
@@ -111,6 +147,7 @@ class SearchIndex:
     def _load_key_ranges(self) -> dict | None:
         """Lazy per-handle memo of the key-range sidecar (mirrors the
         _blooms/_stats_cache pattern)."""
+        self._check_generation()
         if self._key_ranges is False:
             from solr_map_reduce_spark.key_ranges import load_key_ranges
 
@@ -326,6 +363,7 @@ class SearchIndex:
         sidecar this is just ``df()``."""
         from solr_map_reduce_spark.term_blooms import candidate_shards, load_term_blooms
 
+        self._check_generation()
         if self._blooms is False:
             self._blooms = load_term_blooms(self.spark, self.path)
         out = self.df()

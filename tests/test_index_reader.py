@@ -153,3 +153,57 @@ def test_search_index_opens_uri_artifact(spark, tmp_path):
     idx = SearchIndex.open(spark, path)
     assert idx.count() == 50
     assert idx.get("k7").first()["v"] == 7
+
+
+class TestGenerationGuard:
+    """Round-6: a long-lived SearchIndex handle must not serve stale
+    cached sidecars after the artifact is mutated underneath it — stale
+    blooms/key-ranges would silently HIDE rows, stale stats would skew
+    scores."""
+
+    def test_open_handle_sees_mutation(self, spark, tmp_path):
+        import time
+
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [(str(i), f"alpha word{i}") for i in range(30)],
+            "id string, text string",
+        )
+        job = IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, dedup="none", routing="native",
+                term_blooms=True, search_stats=True, key_ranges=True,
+            )
+        )
+        path = str(tmp_path / "idx")
+        job.build(df, path)
+        idx = SearchIndex.open(spark, path)
+        # warm every cache on the handle
+        assert idx.count() == 30
+        assert idx.get("7").count() == 1
+        assert idx.contains_all(["alpha"]).count() == 30
+        assert idx.bm25(["alpha"], k=3).count() == 3
+        time.sleep(1.1)  # mtime granularity on some filesystems
+        # mutate UNDER the open handle: new doc with a new term
+        job.merge_into(
+            spark.createDataFrame(
+                [("new-1", "alpha zeta-fresh")], "id string, text string"
+            ),
+            path,
+        )
+        # the SAME handle must see the new doc everywhere:
+        assert idx.count() == 31  # key-range sidecar cache refreshed
+        assert idx.get("new-1").count() == 1  # pruned lookup finds it
+        # bloom cache refreshed: the new term is findable (stale blooms
+        # would prune every shard and silently return nothing)
+        assert [r["id"] for r in idx.contains_all(["zeta"]).collect()] == ["new-1"]
+        # stats cache refreshed: stored-path BM25 equals a fresh handle's
+        got = [(r["id"], r["score"]) for r in idx.bm25(["alpha"], k=5, exact_sum=True).collect()]
+        fresh = [(r["id"], r["score"]) for r in SearchIndex.open(spark, path).bm25(["alpha"], k=5, exact_sum=True).collect()]
+        assert got == fresh
