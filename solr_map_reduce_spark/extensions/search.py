@@ -421,7 +421,17 @@ def parse_query(q: str):
         if k == "PHRASE":
             return ("phrase", take()[1])
         if k == "TERM":
-            return ("term", take()[1])
+            word = take()[1]
+            if ":" in word:  # Solr fielded clause: field:value / field:"..."
+                fname, _, value = word.partition(":")
+                if not fname:
+                    raise QuerySyntaxError(f"empty field name in {word!r} ({q!r})")
+                if value:
+                    return ("fterm", fname, value)
+                if peek() == "PHRASE":  # field:"quoted phrase"
+                    return ("fphrase", fname, take()[1])
+                raise QuerySyntaxError(f"field {fname!r} has no value in {q!r}")
+            return ("term", word)
         raise QuerySyntaxError(f"unexpected token at clause position in {q!r}")
 
     if not toks:
@@ -432,42 +442,68 @@ def parse_query(q: str):
     return node
 
 
-def _analyze_node(node, analyze):
+def _analyze_node(node, analyze, resolver=None):
     """Replace term/phrase text with ANALYZED token lists (the field's own
     analyzer applied to query text, Solr's query-side analysis contract).
     A clause whose analysis drops every token (pure stopwords) is removed,
-    Solr-style; returns None for a fully-dropped node."""
+    Solr-style; returns None for a fully-dropped node.
+
+    Fielded clauses (``field:value``) resolve through ``resolver(field)``:
+    ``("analyzed", analyze_fn, toks_col)`` applies that field's analyzer
+    (→ ``("ftokens", toks, toks_col)``), ``("column", col)`` becomes a
+    plain equality (→ ``("feq", value, col)``)."""
     kind = node[0]
     if kind in ("term", "phrase"):
         toks = [t for t in (analyze(node[1]) or []) if t]
         if not toks:
             return None
         return ("tokens", toks)
+    if kind in ("fterm", "fphrase"):
+        if resolver is None:
+            raise QuerySyntaxError(
+                f"fielded clause {node[1]!r}:{node[2]!r} needs a field "
+                "resolver (query through SearchIndex.query/search)"
+            )
+        mode, *rest = resolver(node[1])
+        if mode == "analyzed":
+            fn, toks_col = rest
+            toks = [t for t in (fn(node[2]) or []) if t]
+            if not toks:
+                return None
+            return ("ftokens", toks, toks_col)
+        return ("feq", node[2], rest[0])
     if kind == "not":
-        child = _analyze_node(node[1], analyze)
+        child = _analyze_node(node[1], analyze, resolver)
         return None if child is None else ("not", child)
-    children = [_analyze_node(c, analyze) for c in node[1]]
+    children = [_analyze_node(c, analyze, resolver) for c in node[1]]
     children = [c for c in children if c is not None]
     if not children:
         return None
     return children[0] if len(children) == 1 else (kind, children)
 
 
+def _token_match(toks_col: F.Column, toks: list) -> F.Column:
+    if len(toks) == 1:
+        pred = F.array_contains(toks_col, toks[0])
+    else:
+        # analyzed multi-token clause = adjacency (phrase, slop 0):
+        # tokens contain no spaces, so padded space-join turns
+        # adjacency into substring containment (codegen-friendly)
+        hay = F.concat(F.lit(" "), F.array_join(toks_col, " "), F.lit(" "))
+        pred = hay.contains(" " + " ".join(toks) + " ")
+    # null token column (doc without the field) must read as no-match,
+    # so NOT over it correctly matches the doc
+    return F.coalesce(pred, F.lit(False))
+
+
 def _compile_node(node, toks_col: F.Column) -> F.Column:
     kind = node[0]
     if kind == "tokens":
-        toks = node[1]
-        if len(toks) == 1:
-            pred = F.array_contains(toks_col, toks[0])
-        else:
-            # analyzed multi-token clause = adjacency (phrase, slop 0):
-            # tokens contain no spaces, so padded space-join turns
-            # adjacency into substring containment (codegen-friendly)
-            hay = F.concat(F.lit(" "), F.array_join(toks_col, " "), F.lit(" "))
-            pred = hay.contains(" " + " ".join(toks) + " ")
-        # null token column (doc without the field) must read as
-        # no-match, so NOT over it correctly matches the doc
-        return F.coalesce(pred, F.lit(False))
+        return _token_match(toks_col, node[1])
+    if kind == "ftokens":
+        return _token_match(node[2], node[1])
+    if kind == "feq":
+        return F.coalesce(node[2] == F.lit(node[1]), F.lit(False))
     if kind == "not":
         return ~_compile_node(node[1], toks_col)
     preds = [_compile_node(c, toks_col) for c in node[1]]
@@ -478,13 +514,15 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
 
 
 def _required_tokens(node) -> set:
-    """Tokens that EVERY matching document must contain — the safe
-    'all'-mode Bloom pruning set (conjunctive spine; for OR, a token
-    required by every disjunct is required overall)."""
+    """DEFAULT-FIELD tokens that EVERY matching document must contain —
+    the safe 'all'-mode Bloom pruning set (conjunctive spine; for OR, a
+    token required by every disjunct is required overall).  Fielded
+    clauses contribute nothing: the per-shard Bloom bitmaps are keyed by
+    the default field's tokens."""
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind == "not":
+    if kind in ("not", "ftokens", "feq"):
         return set()
     if kind == "and":
         out: set = set()
@@ -502,7 +540,7 @@ def _positive_tokens(node) -> set:
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind == "not":
+    if kind in ("not", "ftokens", "feq"):
         return set()
     out: set = set()
     for c in node[1]:
@@ -511,12 +549,15 @@ def _positive_tokens(node) -> set:
 
 
 def _can_match_term_free(node) -> bool:
-    """True when a document containing NONE of the query's tokens can
-    still satisfy the query (e.g. a pure-negative clause) — in that case
-    'any'-mode Bloom pruning would hide matches and must be skipped."""
+    """True when a document containing NONE of the query's DEFAULT-FIELD
+    tokens can still satisfy the query (pure-negative or fielded clauses)
+    — in that case 'any'-mode Bloom pruning would hide matches and must
+    be skipped."""
     kind = node[0]
     if kind == "tokens":
         return False
+    if kind in ("ftokens", "feq"):
+        return True  # satisfiable regardless of default-field tokens
     if kind == "not":
         return True  # its child is False on a term-free doc -> NOT is True
     if kind == "and":
@@ -524,12 +565,16 @@ def _can_match_term_free(node) -> bool:
     return any(_can_match_term_free(c) for c in node[1])
 
 
-def boolean_predicate(q: str, analyze, toks_col: F.Column) -> tuple[F.Column, dict]:
+def boolean_predicate(
+    q: str, analyze, toks_col: F.Column, resolver=None
+) -> tuple[F.Column, dict]:
     """Compile a boolean query string to ONE Column predicate over the
     given token-array column, plus the pruning info dict (``required`` /
     ``positive`` / ``prunable``).  The building block behind both
-    :func:`boolean_query` (q) and BM25's ``fq`` filter queries."""
-    ast = _analyze_node(parse_query(q), analyze)
+    :func:`boolean_query` (q) and BM25's ``fq`` filter queries.
+    ``resolver(field_name)`` enables Solr fielded clauses
+    (``lang:en``, ``title:"exact phrase"``) — see :func:`_analyze_node`."""
+    ast = _analyze_node(parse_query(q), analyze, resolver)
     if ast is None:
         raise QuerySyntaxError(
             f"query {q!r} has no effective clauses after analysis "

@@ -378,6 +378,31 @@ class SearchIndex:
             return out
         return out.filter(F.col(SHARD_COL).isin(shards))
 
+    def _field_resolver(self):
+        """Resolver for Solr fielded clauses (``lang:en`` / ``text:word``):
+        an ANALYZED field routes through its own analyzer and stored token
+        column; any other artifact column becomes a plain equality."""
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        cols = set(self.columns)
+
+        def resolver(fname: str):
+            if fname in analyzed:
+                return (
+                    "analyzed",
+                    lambda text: self.analyze_terms([text], field=fname),
+                    F.col(analyzed[fname]["tokens_col"]),
+                )
+            if fname in cols:
+                return ("column", F.col(fname))
+            raise QuerySyntaxError(
+                f"unknown field {fname!r}; analyzed={sorted(analyzed)}, "
+                f"columns={sorted(cols)}"
+            )
+
+        return resolver
+
     def _query_scan(self, q: str, field: str | None = None) -> DataFrame:
         """Full rows matching a boolean query string — the shared engine
         behind :meth:`query` (ids), :meth:`search` (q + filters/sort/
@@ -389,7 +414,8 @@ class SearchIndex:
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
         analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
         pred, info = search.boolean_predicate(
-            q, analyze, F.col(self._tokens_col(fname))
+            q, analyze, F.col(self._tokens_col(fname)),
+            resolver=self._field_resolver(),
         )
         scan = self.df()
         if info["required"]:
@@ -528,7 +554,8 @@ class SearchIndex:
         if fq is not None:
             analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
             pred, _info = search.boolean_predicate(
-                fq, analyze, F.col(self._tokens_col(fname))
+                fq, analyze, F.col(self._tokens_col(fname)),
+                resolver=self._field_resolver(),
             )
             scan = scan.filter(pred)
         return search.bm25_search(

@@ -1644,6 +1644,21 @@ def c9_boolean_query(spark, sf_dir):
 
 
 @_register(
+    "c9_fielded_query",
+    f"""SELECT doc_id FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark') AND lang = 'en'
+           OR (lang = 'de' AND NOT list_contains(t, 'shuffle'))""",
+    "Solr fielded clauses (field:value) mixed with default-field terms: "
+    "analyzed fields route through their analyzer + stored tokens, plain "
+    "columns become equality predicates — still ONE scan",
+)
+def c9_fielded_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query(
+        "(spark AND lang:en) OR (lang:de -shuffle)"
+    )
+
+
+@_register(
     "c9_search_request",
     f"""SELECT doc_id, lang FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
         WHERE (list_contains(t, 'spark') OR list_contains(t, 'vector'))

@@ -444,3 +444,76 @@ class TestProhibitClauseSemantics:
         assert sorted(r["doc_id"] for r in out.collect()) == [1]
         out, _ = boolean_query(df, "table NOT shuffle", ana, tokens_col="toks")
         assert sorted(r["doc_id"] for r in out.collect()) == [1]
+
+
+class TestFieldedQueries:
+    """Round-6: Solr fielded clauses — field:value routes to that field's
+    analyzer + stored tokens (analyzed) or a plain equality (column),
+    composable with the whole boolean grammar in one scan."""
+
+    def _index(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(
+                Field("id", "string", required=True),
+                Field("text", "text_en"),
+                Field("lang", "string"),
+            ),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [
+                ("a", "running tables", "en"),
+                ("b", "der tisch", "de"),
+                ("c", "tables and shuffles", "de"),
+                ("d", "nothing here", "en"),
+            ],
+            "id string, text string, lang string",
+        )
+        out = str(tmp_path / "fielded_idx")
+        IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, dedup="none", routing="native",
+                term_blooms=True, search_stats=True,
+            )
+        ).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_column_equality_and_analyzed_field(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path)
+        # column clause composes with a default-field term
+        got = sorted(r["id"] for r in idx.query("tables AND lang:en").collect())
+        assert got == ["a"]
+        # explicit text: clause goes through the text_en analyzer —
+        # 'text:Tables' stems to 'tabl' and meets the stored tokens
+        got = sorted(r["id"] for r in idx.query("text:Tables").collect())
+        assert got == ["a", "c"]
+        # fielded prohibit
+        got = sorted(r["id"] for r in idx.query("tables -lang:de").collect())
+        assert got == ["a"]
+        # pure column query (no default-field term at all)
+        got = sorted(r["id"] for r in idx.query("lang:de").collect())
+        assert got == ["b", "c"]
+
+    def test_unknown_field_raises(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        idx = self._index(spark, tmp_path)
+        with pytest.raises(QuerySyntaxError, match="unknown field"):
+            idx.query("bogusfield:x").collect()
+
+    def test_fielded_clause_blocks_unsafe_pruning(self, spark, tmp_path):
+        """A disjunct satisfiable without any default-field token (a pure
+        column clause) must disable any-mode Bloom pruning — docs whose
+        shard lacks every default-field query token still match."""
+        idx = self._index(spark, tmp_path)
+        got = sorted(r["id"] for r in idx.query("running OR lang:de").collect())
+        assert got == ["a", "b", "c"]
+
+    def test_fq_accepts_fielded_clauses(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path)
+        hits = {r["id"] for r in idx.bm25(idx.analyze_terms(["tables"]), k=10, fq="lang:de").collect()}
+        assert hits == {"c"}
