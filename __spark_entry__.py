@@ -131,7 +131,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # overflow this 50-slot window and MUST lead the r07 rotation, along
 # with the five r6-new oracled queries that did not get a slot
 # (ext_chunk_docs, c9_boolean_query, ext_bm25_filtered,
-# c9_search_request, c9_facet_query, c9_fielded_query; ext_gopher_rules
+# c9_search_request, c9_facet_query, c9_fielded_query,
+# c9_range_query; ext_gopher_rules
 # IS windowed).  The
 # repo's own oracle suite covers all entries every pytest run regardless
 # (tests/test_queries_oracle.py).

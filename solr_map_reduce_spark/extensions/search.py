@@ -426,6 +426,25 @@ def parse_query(q: str):
                 fname, _, value = word.partition(":")
                 if not fname:
                     raise QuerySyntaxError(f"empty field name in {word!r} ({q!r})")
+                if value.startswith("[") or value.startswith("{"):
+                    # Solr range: field:[lo TO hi] / {lo TO hi} (exclusive)
+                    lo_incl = value.startswith("[")
+                    lo = value[1:]
+                    if peek() != "TERM" or toks[pos][1].upper() != "TO":
+                        raise QuerySyntaxError(f"range in {q!r} needs 'TO'")
+                    take()
+                    if peek() != "TERM":
+                        raise QuerySyntaxError(f"range in {q!r} missing upper bound")
+                    hi_tok = take()[1]
+                    if hi_tok.endswith("]"):
+                        hi_incl, hi = True, hi_tok[:-1]
+                    elif hi_tok.endswith("}"):
+                        hi_incl, hi = False, hi_tok[:-1]
+                    else:
+                        raise QuerySyntaxError(
+                            f"range in {q!r} must close with ] or }}"
+                        )
+                    return ("frange", fname, lo, hi, lo_incl, hi_incl)
                 if value:
                     return ("fterm", fname, value)
                 if peek() == "PHRASE":  # field:"quoted phrase"
@@ -458,13 +477,22 @@ def _analyze_node(node, analyze, resolver=None):
         if not toks:
             return None
         return ("tokens", toks)
-    if kind in ("fterm", "fphrase"):
+    if kind in ("fterm", "fphrase", "frange"):
         if resolver is None:
             raise QuerySyntaxError(
-                f"fielded clause {node[1]!r}:{node[2]!r} needs a field "
-                "resolver (query through SearchIndex.query/search)"
+                f"fielded clause on {node[1]!r} needs a field resolver "
+                "(query through SearchIndex.query/search)"
             )
         mode, *rest = resolver(node[1])
+        if kind == "frange":
+            if mode == "analyzed":
+                raise QuerySyntaxError(
+                    f"range clause on analyzed field {node[1]!r} is not "
+                    "supported (range over stemmed tokens is rarely what "
+                    "anyone means); use a stored copy column"
+                )
+            col = rest[0] if mode == "column" else rest[1]
+            return ("fcmp", col, node[2], node[3], node[4], node[5])
         if mode == "analyzed":
             fn, toks_col = rest
             toks = [t for t in (fn(node[2]) or []) if t]
@@ -504,6 +532,30 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
         return _token_match(node[2], node[1])
     if kind == "feq":
         return F.coalesce(node[2] == F.lit(node[1]), F.lit(False))
+    if kind == "fcmp":
+        _, col, lo, hi, lo_incl, hi_incl = node
+
+        def bound(raw):
+            # numeric-looking bounds compare numerically (Spark would
+            # otherwise cast a numeric COLUMN to string and compare
+            # lexicographically); '*' is the Solr open bound
+            if raw == "*":
+                return None
+            try:
+                return int(raw)
+            except ValueError:
+                try:
+                    return float(raw)
+                except ValueError:
+                    return raw
+
+        lo_v, hi_v = bound(lo), bound(hi)
+        pred = F.lit(True)
+        if lo_v is not None:
+            pred = pred & (col >= F.lit(lo_v) if lo_incl else col > F.lit(lo_v))
+        if hi_v is not None:
+            pred = pred & (col <= F.lit(hi_v) if hi_incl else col < F.lit(hi_v))
+        return F.coalesce(pred, F.lit(False))
     if kind == "not":
         return ~_compile_node(node[1], toks_col)
     preds = [_compile_node(c, toks_col) for c in node[1]]
@@ -522,7 +574,7 @@ def _required_tokens(node) -> set:
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind in ("not", "ftokens", "feq"):
+    if kind in ("not", "ftokens", "feq", "fcmp"):
         return set()
     if kind == "and":
         out: set = set()
@@ -540,7 +592,7 @@ def _positive_tokens(node) -> set:
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind in ("not", "ftokens", "feq"):
+    if kind in ("not", "ftokens", "feq", "fcmp"):
         return set()
     out: set = set()
     for c in node[1]:
@@ -556,7 +608,7 @@ def _can_match_term_free(node) -> bool:
     kind = node[0]
     if kind == "tokens":
         return False
-    if kind in ("ftokens", "feq"):
+    if kind in ("ftokens", "feq", "fcmp"):
         return True  # satisfiable regardless of default-field tokens
     if kind == "not":
         return True  # its child is False on a term-free doc -> NOT is True

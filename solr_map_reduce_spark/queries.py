@@ -1659,6 +1659,19 @@ def c9_fielded_query(spark, sf_dir):
 
 
 @_register(
+    "c9_range_query",
+    f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark') AND doc_id >= 100 AND doc_id < 300""",
+    "Solr range clause: field:[lo TO hi] / {exclusive}, numeric bounds "
+    "compare numerically, * = open — composed with a term clause",
+)
+def c9_range_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query(
+        "spark AND doc_id:[100 TO 300}"
+    )
+
+
+@_register(
     "c9_search_request",
     f"""SELECT doc_id, lang FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
         WHERE (list_contains(t, 'spark') OR list_contains(t, 'vector'))

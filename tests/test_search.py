@@ -517,3 +517,76 @@ class TestFieldedQueries:
         idx = self._index(spark, tmp_path)
         hits = {r["id"] for r in idx.bm25(idx.analyze_terms(["tables"]), k=10, fq="lang:de").collect()}
         assert hits == {"c"}
+
+
+class TestRangeClauses:
+    """Round-6: Solr range syntax — field:[lo TO hi] inclusive,
+    {lo TO hi} exclusive, * open-ended; numeric bounds compare
+    numerically."""
+
+    def test_parse_and_evaluate_ranges(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(
+                Field("id", "string", required=True),
+                Field("text", "text_general"),
+                Field("n", "long"),
+            ),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "alpha words", 50), ("b", "alpha stuff", 150),
+             ("c", "alpha more", 250), ("d", "other", None)],
+            "id string, text string, n long",
+        )
+        out = str(tmp_path / "range_idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+
+        def q(s_):
+            return sorted(r["id"] for r in idx.query(s_).collect())
+
+        assert q("n:[100 TO 200]") == ["b"]
+        assert q("n:[50 TO 250]") == ["a", "b", "c"]
+        assert q("n:{50 TO 250}") == ["b"]  # exclusive bounds
+        assert q("n:[* TO 100]") == ["a"]
+        assert q("n:[200 TO *]") == ["c"]
+        assert q("alpha AND n:[100 TO *]") == ["b", "c"]
+        assert q("alpha -n:[100 TO *]") == ["a"]  # prohibit range
+        # NULL n never matches the range, and NOT over it matches ('d'
+        # has no alpha so excluded; 'a' has n=50 excluded from range)
+        assert q("n:[0 TO *]") == ["a", "b", "c"]  # null row absent
+
+    def test_range_parse_errors(self):
+        from solr_map_reduce_spark.extensions.search import (
+            QuerySyntaxError,
+            parse_query,
+        )
+
+        for bad in ("n:[1 200]", "n:[1 TO", "n:[1 TO 2", "n:[1 TO 2)"):
+            with pytest.raises(QuerySyntaxError):
+                parse_query(bad)
+
+    def test_range_on_analyzed_field_rejected(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_en")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame([("a", "words")], "id string, text string")
+        out = str(tmp_path / "rng_bad")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=1, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        with pytest.raises(QuerySyntaxError, match="analyzed"):
+            idx.query("text:[a TO b]").collect()
