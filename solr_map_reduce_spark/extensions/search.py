@@ -450,6 +450,11 @@ def parse_query(q: str):
                 if peek() == "PHRASE":  # field:"quoted phrase"
                     return ("fphrase", fname, take()[1])
                 raise QuerySyntaxError(f"field {fname!r} has no value in {q!r}")
+            if word.endswith("*") and len(word) > 1:
+                # Solr wildcard prefix term; like Solr, wildcard terms skip
+                # analysis (only lowercased) — 'run*' matches 'running'
+                # even under a stemming analyzer
+                return ("prefix", word[:-1].lower())
             return ("term", word)
         raise QuerySyntaxError(f"unexpected token at clause position in {q!r}")
 
@@ -477,6 +482,8 @@ def _analyze_node(node, analyze, resolver=None):
         if not toks:
             return None
         return ("tokens", toks)
+    if kind == "prefix":
+        return node  # wildcard terms skip analysis (Solr behavior)
     if kind in ("fterm", "fphrase", "frange"):
         if resolver is None:
             raise QuerySyntaxError(
@@ -530,6 +537,9 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
         return _token_match(toks_col, node[1])
     if kind == "ftokens":
         return _token_match(node[2], node[1])
+    if kind == "prefix":
+        hay = F.concat(F.lit(" "), F.array_join(toks_col, " "), F.lit(" "))
+        return F.coalesce(hay.contains(" " + node[1]), F.lit(False))
     if kind == "feq":
         return F.coalesce(node[2] == F.lit(node[1]), F.lit(False))
     if kind == "fcmp":
@@ -574,7 +584,7 @@ def _required_tokens(node) -> set:
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind in ("not", "ftokens", "feq", "fcmp"):
+    if kind in ("not", "ftokens", "feq", "fcmp", "prefix"):
         return set()
     if kind == "and":
         out: set = set()
@@ -592,7 +602,7 @@ def _positive_tokens(node) -> set:
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind in ("not", "ftokens", "feq", "fcmp"):
+    if kind in ("not", "ftokens", "feq", "fcmp", "prefix"):
         return set()
     out: set = set()
     for c in node[1]:
@@ -608,7 +618,7 @@ def _can_match_term_free(node) -> bool:
     kind = node[0]
     if kind == "tokens":
         return False
-    if kind in ("ftokens", "feq", "fcmp"):
+    if kind in ("ftokens", "feq", "fcmp", "prefix"):
         return True  # satisfiable regardless of default-field tokens
     if kind == "not":
         return True  # its child is False on a term-free doc -> NOT is True

@@ -590,3 +590,36 @@ class TestRangeClauses:
         idx = SearchIndex.open(spark, out)
         with pytest.raises(QuerySyntaxError, match="analyzed"):
             idx.query("text:[a TO b]").collect()
+
+
+class TestWildcardPrefixClauses:
+    """Round-6: Solr wildcard prefix terms (run*) in the boolean grammar —
+    like Solr, wildcard terms skip analysis (lowercase only)."""
+
+    def test_prefix_in_grammar(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "running fast"), ("b", "runner up"), ("c", "walking slow")],
+            "id string, text string",
+        )
+        out = str(tmp_path / "wc_idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        assert sorted(r["id"] for r in idx.query("Run*").collect()) == ["a", "b"]
+        assert sorted(r["id"] for r in idx.query("run* -fast").collect()) == ["b"]
+        assert sorted(r["id"] for r in idx.query("walk* OR runner").collect()) == ["b", "c"]
+        # a lone '*' is not a clause (Solr's match-all is *:* which we
+        # don't claim) — it analyzes to nothing and fails loudly
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError):
+            idx.query("*").count()
