@@ -88,9 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     idx.add_argument("--go-live", default=None, metavar="LIVE_PATH",
                      help="after build, merge the staged artifact INTO the "
                      "live serving artifact at LIVE_PATH (same-key docs "
-                     "resolved, sidecars delta-maintained; promotes "
-                     "wholesale when no live artifact exists) — the "
-                     "reference tool's --go-live analog")
+                     "resolved, sidecars delta-maintained; staged left "
+                     "intact).  When NO live artifact exists yet the "
+                     "staged artifact is promoted wholesale instead — "
+                     "it MOVES to LIVE_PATH and --output no longer "
+                     "exists afterwards — the reference tool's --go-live "
+                     "analog")
     idx.add_argument("--merge", action="store_true",
                      help="merge into an existing artifact at --output "
                      "(same-key docs replaced per the resolver, new keys "

@@ -433,9 +433,13 @@ def parse_query(q: str):
                     if peek() != "TERM" or toks[pos][1].upper() != "TO":
                         raise QuerySyntaxError(f"range in {q!r} needs 'TO'")
                     take()
+                    neg = ""
+                    if peek() == "NOT":  # '-5]': the lexer split the sign off
+                        take()
+                        neg = "-"
                     if peek() != "TERM":
                         raise QuerySyntaxError(f"range in {q!r} missing upper bound")
-                    hi_tok = take()[1]
+                    hi_tok = neg + take()[1]
                     if hi_tok.endswith("]"):
                         hi_incl, hi = True, hi_tok[:-1]
                     elif hi_tok.endswith("}"):
@@ -444,8 +448,17 @@ def parse_query(q: str):
                         raise QuerySyntaxError(
                             f"range in {q!r} must close with ] or }}"
                         )
+                    for b in (lo, hi):
+                        if any(ch in b for ch in "[]{}"):
+                            raise QuerySyntaxError(
+                                f"malformed range bound {b!r} in {q!r}"
+                            )
                     return ("frange", fname, lo, hi, lo_incl, hi_incl)
                 if value:
+                    if value.endswith("*") and len(value) > 1:
+                        # fielded wildcard: same skip-analysis prefix
+                        # semantics as the unfielded form
+                        return ("fprefix", fname, value[:-1].lower())
                     return ("fterm", fname, value)
                 if peek() == "PHRASE":  # field:"quoted phrase"
                     return ("fphrase", fname, take()[1])
@@ -484,7 +497,7 @@ def _analyze_node(node, analyze, resolver=None):
         return ("tokens", toks)
     if kind == "prefix":
         return node  # wildcard terms skip analysis (Solr behavior)
-    if kind in ("fterm", "fphrase", "frange"):
+    if kind in ("fterm", "fphrase", "frange", "fprefix"):
         if resolver is None:
             raise QuerySyntaxError(
                 f"fielded clause on {node[1]!r} needs a field resolver "
@@ -500,6 +513,12 @@ def _analyze_node(node, analyze, resolver=None):
                 )
             col = rest[0] if mode == "column" else rest[1]
             return ("fcmp", col, node[2], node[3], node[4], node[5])
+        if kind == "fprefix":
+            if mode == "analyzed":
+                # wildcard terms skip analysis (Solr) — prefix over the
+                # field's STORED tokens
+                return ("fptoks", node[2], rest[1])
+            return ("fpcol", node[2], rest[0])
         if mode == "analyzed":
             fn, toks_col = rest
             toks = [t for t in (fn(node[2]) or []) if t]
@@ -533,6 +552,11 @@ def _token_match(toks_col: F.Column, toks: list) -> F.Column:
 
 def _compile_node(node, toks_col: F.Column) -> F.Column:
     kind = node[0]
+    if kind in ("tokens", "prefix") and toks_col is None:
+        raise QuerySyntaxError(
+            "unfielded clause needs a default analyzed field; pass "
+            "field=... or write fielded clauses (field:value)"
+        )
     if kind == "tokens":
         return _token_match(toks_col, node[1])
     if kind == "ftokens":
@@ -540,6 +564,11 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
     if kind == "prefix":
         hay = F.concat(F.lit(" "), F.array_join(toks_col, " "), F.lit(" "))
         return F.coalesce(hay.contains(" " + node[1]), F.lit(False))
+    if kind == "fptoks":
+        hay = F.concat(F.lit(" "), F.array_join(node[2], " "), F.lit(" "))
+        return F.coalesce(hay.contains(" " + node[1]), F.lit(False))
+    if kind == "fpcol":
+        return F.coalesce(node[2].startswith(node[1]), F.lit(False))
     if kind == "feq":
         return F.coalesce(node[2] == F.lit(node[1]), F.lit(False))
     if kind == "fcmp":
@@ -560,7 +589,9 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
                     return raw
 
         lo_v, hi_v = bound(lo), bound(hi)
-        pred = F.lit(True)
+        # isNotNull base: field:[* TO *] is Solr's FIELD-EXISTS idiom, and
+        # NULL values must never satisfy any range
+        pred = col.isNotNull()
         if lo_v is not None:
             pred = pred & (col >= F.lit(lo_v) if lo_incl else col > F.lit(lo_v))
         if hi_v is not None:
@@ -584,7 +615,7 @@ def _required_tokens(node) -> set:
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind in ("not", "ftokens", "feq", "fcmp", "prefix"):
+    if kind in ("not", "ftokens", "feq", "fcmp", "prefix", "fptoks", "fpcol"):
         return set()
     if kind == "and":
         out: set = set()
@@ -602,7 +633,7 @@ def _positive_tokens(node) -> set:
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind in ("not", "ftokens", "feq", "fcmp", "prefix"):
+    if kind in ("not", "ftokens", "feq", "fcmp", "prefix", "fptoks", "fpcol"):
         return set()
     out: set = set()
     for c in node[1]:
@@ -618,7 +649,7 @@ def _can_match_term_free(node) -> bool:
     kind = node[0]
     if kind == "tokens":
         return False
-    if kind in ("ftokens", "feq", "fcmp", "prefix"):
+    if kind in ("ftokens", "feq", "fcmp", "prefix", "fptoks", "fpcol"):
         return True  # satisfiable regardless of default-field tokens
     if kind == "not":
         return True  # its child is False on a term-free doc -> NOT is True

@@ -372,15 +372,46 @@ class IvfIndex:
         to a side dir and swaps via rename-aside; the absorbed-tag record
         is written before the swap (recording early only ever suppresses
         a re-append of data that exists in both pre- and post-swap
-        states).  Returns the number of files removed."""
+        states).  Returns the number of files removed.
+
+        STOP THE INGEST STREAM FIRST.  Compaction holds the artifact's
+        advisory mutation lock and REFUSES while any ``_ingest_<tag>``
+        staging dir survives: a crashed mid-move batch has rows still in
+        staging, and absorbing its tag would turn the batch's replay into
+        a no-op that loses them — replay the batch (or clear a junk
+        staging dir) first.  A batch committing concurrently with the
+        directory swap would likewise be silently dropped; the lock plus
+        the staging-dir check make that loud instead."""
         import json
         import re
 
         from solr_map_reduce_spark.fs import get_fs
         from solr_map_reduce_spark.fs import join as fs_join
+        from solr_map_reduce_spark.indexing import _mutation_lock
 
         fs = get_fs(path, spark)
+        with _mutation_lock(fs, path, "ivf_compact"):
+            return self._compact_locked(spark, fs, path)
+
+    def _compact_locked(self, spark, fs, path: str) -> int:
+        import json
+        import re
+
+        from solr_map_reduce_spark.fs import join as fs_join
+
         vectors = fs_join(path, "vectors")
+        leftover = [
+            d for d in fs.listdir(path)
+            if d.startswith("_ingest_") and fs.isdir(fs_join(path, d))
+        ]
+        if leftover:
+            raise RuntimeError(
+                f"IVF index at {path} has in-flight/crashed ingest staging "
+                f"dirs {leftover}: replay those batches (add with the same "
+                "batch_tag completes them idempotently) or remove junk "
+                "staging dirs, then compact — absorbing a partially-moved "
+                "batch's tag would make its replay a data-losing no-op"
+            )
         tags: set = set(self._absorbed_tags(fs, path))
         n_before = 0
         for bdir in fs.listdir(vectors):

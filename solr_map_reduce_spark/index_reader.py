@@ -82,6 +82,15 @@ class SearchIndex:
         try:
             fs = get_fs(self.path, self.spark)
             self.manifest = json.loads(fs.read_text(fs_join(self.path, MANIFEST)))
+            # refresh the DERIVED routing state too: a promoted rebuild can
+            # change shard count/routing, and a stale router would prune
+            # point lookups to the wrong shard (silent empty results)
+            self.unique_key = self.manifest["unique_key"]
+            self.shards = int(self.manifest["shards"])
+            self.routing = self.manifest.get("routing", "solr")
+            self._router = ShardRouter(
+                shards=self.shards, num_partitions=self.shards
+            )
         except Exception:
             pass  # manifest mid-rewrite: keep the old one, caches cleared
 
@@ -412,10 +421,24 @@ class SearchIndex:
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
+        # a PURELY FIELDED query (lang:en) needs no default field at all —
+        # resolve the default token column lazily so artifacts with zero
+        # or multiple analyzed fields still answer it; an unfielded term
+        # then fails loudly at its own clause
+        if fname is not None and fname in analyzed:
+            analyze = lambda text: self.analyze_terms([text], field=fname)  # noqa: E731
+            toks_col = F.col(self._tokens_col(fname))
+        else:
+            def analyze(text):
+                raise search.QuerySyntaxError(
+                    f"query {q!r} has an unfielded clause but no default "
+                    f"analyzed field resolves (analyzed={sorted(analyzed)}); "
+                    "pass field=... or write fielded clauses (field:value)"
+                )
+
+            toks_col = None
         pred, info = search.boolean_predicate(
-            q, analyze, F.col(self._tokens_col(fname)),
-            resolver=self._field_resolver(),
+            q, analyze, toks_col, resolver=self._field_resolver(),
         )
         scan = self.df()
         if info["required"]:

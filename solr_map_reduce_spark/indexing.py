@@ -348,8 +348,9 @@ class IndexJob:
         indexes into a running SolrCloud collection).
 
         - No live artifact yet: the staged one is PROMOTED wholesale
-          (atomic rename publish; the staged directory moves to the live
-          path — the cheapest possible go-live).
+          (atomic rename publish; NOTE the staged directory MOVES to the
+          live path and no longer exists afterwards — the cheapest
+          possible go-live; a copy would be O(artifact) for nothing).
         - Live artifact present: every staged document flows through
           ``merge_into``'s resolver against the live artifact (same-key
           docs replaced per the dedup policy, new keys appended, only the

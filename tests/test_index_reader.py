@@ -207,3 +207,42 @@ class TestGenerationGuard:
         got = [(r["id"], r["score"]) for r in idx.bm25(["alpha"], k=5, exact_sum=True).collect()]
         fresh = [(r["id"], r["score"]) for r in SearchIndex.open(spark, path).bm25(["alpha"], k=5, exact_sum=True).collect()]
         assert got == fresh
+
+    def test_generation_refreshes_router_after_reshard(self, spark, tmp_path):
+        """Second self-review: a promoted rebuild can change shard count;
+        the stale router would prune point lookups to the wrong shard
+        (silent empty result)."""
+        import shutil
+        import time
+
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("v", "long")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [(f"k{i:03d}", i) for i in range(60)], "id string, v long"
+        )
+        live = str(tmp_path / "live")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", key_ranges=True)
+        ).build(df, live)
+        idx = SearchIndex.open(spark, live)
+        assert idx.count() == 60 and idx.shards == 2
+        keys = [f"k{i:03d}" for i in range(60)]
+        assert all(idx.get(k).count() == 1 for k in keys[:5])
+        time.sleep(1.1)
+        # rebuild with 4 shards and promote over the live path
+        staged = str(tmp_path / "staged")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=4, dedup="none", key_ranges=True)
+        ).build(df, staged)
+        shutil.rmtree(live)
+        shutil.move(staged, live)
+        # the SAME handle must route against the NEW shard layout
+        assert idx.count() == 60
+        assert idx.shards == 4
+        missing = [k for k in keys if idx.get(k).count() != 1]
+        assert missing == []

@@ -623,3 +623,100 @@ class TestWildcardPrefixClauses:
 
         with pytest.raises(QuerySyntaxError):
             idx.query("*").count()
+
+
+class TestSecondReviewRegressions:
+    """Round-6 second self-review: fielded wildcards, field-exists ranges,
+    negative/garbage bounds, default-field-free fielded queries."""
+
+    def _index(self, spark, tmp_path, name="srr_idx"):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(
+                Field("id", "string", required=True),
+                Field("text", "text_en"),
+                Field("lang", "string"),
+                Field("n", "long"),
+            ),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [
+                ("a", "running fast", "en", -10),
+                ("b", "runner up", "english", -5),
+                ("c", "walking slow", "de", 7),
+                ("d", "nothing", None, None),
+            ],
+            "id string, text string, lang string, n long",
+        )
+        out = str(tmp_path / name)
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+        ).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_fielded_wildcard(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "fw")
+        # analyzed field: skip-analysis prefix over STORED tokens — 'run*'
+        # matches the stemmed tokens 'run'/'runner' docs
+        got = sorted(r["id"] for r in idx.query("text:run*").collect())
+        assert got == ["a", "b"]
+        # column field: startswith
+        got = sorted(r["id"] for r in idx.query("lang:en*").collect())
+        assert got == ["a", "b"]
+
+    def test_field_exists_range_idiom(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "fe")
+        # [* TO *] = field exists (Solr idiom); NULL excluded
+        got = sorted(r["id"] for r in idx.query("n:[* TO *]").collect())
+        assert got == ["a", "b", "c"]
+        # -field:[* TO *] = field missing
+        got = sorted(r["id"] for r in idx.query("lang:[* TO *] -n:[* TO *]").collect())
+        assert got == []
+        got = sorted(r["id"] for r in idx.query("running -n:[* TO *]").collect())
+        assert got == []
+
+    def test_negative_bounds(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "nb")
+        got = sorted(r["id"] for r in idx.query("n:[-10 TO -5]").collect())
+        assert got == ["a", "b"]
+        got = sorted(r["id"] for r in idx.query("n:[-8 TO *]").collect())
+        assert got == ["b", "c"]
+
+    def test_garbage_bounds_rejected(self):
+        from solr_map_reduce_spark.extensions.search import (
+            QuerySyntaxError,
+            parse_query,
+        )
+
+        for bad in ("n:[1 TO 2]]", "n:[1 TO 2x]]", "n:[[1 TO 2]"):
+            with pytest.raises(QuerySyntaxError, match="range|malformed"):
+                parse_query(bad)
+
+    def test_pure_fielded_query_without_default_field(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        # artifact with NO analyzed field at all
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("lang", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "en"), ("b", "de")], "id string, lang string"
+        )
+        out = str(tmp_path / "nodefault")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=1, dedup="none", routing="native")
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        assert sorted(r["id"] for r in idx.query("lang:de").collect()) == ["b"]
+        # an unfielded clause still fails loudly with guidance
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="unfielded"):
+            idx.query("de").collect()

@@ -520,3 +520,37 @@ def test_ivf_compact_preserves_results_and_replay_idempotence(spark, sf_dir, tmp
     # a genuinely NEW tag still appends normally after compaction
     ivf.add(emb.filter((F.col("vec_id") >= 190) & (F.col("vec_id") < 200)), path, batch_tag="13")
     assert spark.read.parquet(vec_dir).count() == 200
+
+
+def test_ivf_compact_refuses_inflight_staging_and_takes_lock(spark, sf_dir, tmp_path):
+    """Second self-review: compact must refuse while a crashed/in-flight
+    ingest staging dir survives (absorbing its tag would turn the replay
+    into a data-losing no-op), and must hold the artifact mutation lock."""
+    import os
+
+    import pytest as _pytest
+
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+    from solr_map_reduce_spark.indexing import ArtifactLockedError
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    ivf = IvfIndex.fit(base, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    ivf.save(path, assigned=ivf.assign(base))
+    ivf.add(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130)),
+            path, batch_tag="7")
+    # simulate a crashed mid-move attempt: surviving staging dir
+    os.makedirs(os.path.join(path, "_ingest_8", "bucket=0"))
+    with _pytest.raises(RuntimeError, match="staging"):
+        ivf.compact(spark, path)
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "_ingest_8"))
+    # a held mutation lock blocks compaction
+    with open(os.path.join(path, "_MUTATION_LOCK"), "w") as f:
+        f.write('{"op": "x", "pid": 1}')
+    with _pytest.raises(ArtifactLockedError):
+        ivf.compact(spark, path)
+    os.remove(os.path.join(path, "_MUTATION_LOCK"))
+    assert ivf.compact(spark, path) > 0  # clean state compacts fine
