@@ -519,6 +519,28 @@ def swedish_minimal_stem(w: str) -> str:
     return w
 
 
+# Snowball Danish stop list (abridged).
+DANISH_STOP_WORDS = frozenset(
+    """af alle alt anden at blev blive bliver da de dem den denne der deres
+    det dette dig din disse dog du efter eller en end er et for fra ham han
+    hans har havde have hende hendes her hos hun hvad hvis hvor i ikke ind
+    jeg jer jo kunne man mange med meget men mig min mine mit mod ned noget
+    nogle nu når og også om op os over på selv sig sin sine sit skal skulle
+    som sådan thi til ud under var vi vil ville vor være været""".split()
+)
+
+
+def danish_minimal_stem(w: str) -> str:
+    """Minimal Danish stemmer (the same published minimal-stemming family
+    as Norwegian): strip the regular plural/definite noun endings."""
+    if len(w) < 5:
+        return w
+    for suf in ("erne", "ene", "er", "en", "et", "e"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
 def norwegian_minimal_stem(w: str) -> str:
     """Minimal Norwegian stemmer (the NorwegianMinimalStemFilter
     algorithm family): strip the regular plural/definite noun endings."""
@@ -604,10 +626,12 @@ def make_language_analyzer(stop_words, stem):
 tokenize_text_pt = make_language_analyzer(PORTUGUESE_STOP_WORDS, portuguese_minimal_stem)
 tokenize_text_sv = make_language_analyzer(SWEDISH_STOP_WORDS, swedish_minimal_stem)
 tokenize_text_no = make_language_analyzer(NORWEGIAN_STOP_WORDS, norwegian_minimal_stem)
+tokenize_text_da = make_language_analyzer(DANISH_STOP_WORDS, danish_minimal_stem)
 for _name, _fn in (
     ("text_pt", tokenize_text_pt),
     ("text_sv", tokenize_text_sv),
     ("text_no", tokenize_text_no),
+    ("text_da", tokenize_text_da),
 ):
     ANALYZERS[_name] = _fn
     PY_ANALYZERS[_name] = _fn.py_kernel

@@ -54,7 +54,7 @@ TOKENS_SUFFIX = "__tokens"
 # stored structures instead of re-analyzing the corpus per query.
 ANALYZED_TYPES = (
     "text_en", "text_general", "lowercase", "text_fr", "text_de",
-    "text_es", "text_it", "text_pt", "text_sv", "text_no",
+    "text_es", "text_it", "text_pt", "text_sv", "text_no", "text_da",
 )
 
 

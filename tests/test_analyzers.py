@@ -429,3 +429,22 @@ class TestPtSvNoAnalyzers:
         assert sorted(
             r["id"] for r in idx.contains_any(idx.analyze_terms(["gatos"])).collect()
         ) == ["a"]
+
+
+def test_danish_analyzer_goldens(spark):
+    from solr_map_reduce_spark.functions.analyzers import (
+        ANALYZERS,
+        PY_ANALYZERS,
+        danish_minimal_stem,
+    )
+
+    assert danish_minimal_stem("hundene") == "hund"
+    assert danish_minimal_stem("husene") == "hus"
+    assert danish_minimal_stem("bilen") == "bil"
+    assert danish_minimal_stem("hus") == "hus"  # < 5 letters: untouched
+    assert PY_ANALYZERS["text_da"]("alle hundene og husene") == ["hund", "hus"]
+    # Column/kernel parity
+    corpus = [None, "", "alle hundene løber hurtigt"]
+    df = spark.createDataFrame([(t,) for t in corpus], "t string")
+    jvm = [r["k"] for r in df.select(ANALYZERS["text_da"](F.col("t")).alias("k")).collect()]
+    assert [PY_ANALYZERS["text_da"](t) for t in corpus] == jvm
