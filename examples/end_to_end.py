@@ -189,6 +189,9 @@ def main() -> None:
     ranked = idx.bm25(["spark", "vector"], k=5, fq="table AND NOT shuffle")
     print("request page:", [r["id"] for r in page.collect()],
           "| filtered BM25 hits:", ranked.count())
+    # fielded clauses, ranges, and wildcards compose in the same grammar
+    fielded = idx.query('lang:en AND spark* -id:[* TO 100}')
+    print("fielded+range+wildcard query:", fielded.count(), "docs")
 
     spark.stop()
 

@@ -132,9 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
     qry.add_argument("--count", action="store_true", help="C1 match-all count")
     qry.add_argument("--get", default=None, metavar="KEY", help="C2 point lookup")
     qry.add_argument("--q", default=None, metavar="QUERY",
-                     help="boolean query over the analyzed field (Solr "
-                          "syntax subset: terms, \"phrases\", AND/OR/NOT, "
-                          "parens; default operator OR)")
+                     help="boolean query (Solr syntax subset: terms, "
+                          "\"phrases\", AND/OR/NOT with prohibit '-', "
+                          "parens, field:value, ranges n:[lo TO hi], "
+                          "wildcards run*; default operator OR)")
     qry.add_argument("--facet", default=None, metavar="FIELD", help="facet counts")
     qry.add_argument("--filter", nargs="*", default=(), metavar="COL=VALUE")
     qry.add_argument("--sort", default=None, metavar="COL[:desc]")
