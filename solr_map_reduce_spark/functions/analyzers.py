@@ -530,26 +530,27 @@ DANISH_STOP_WORDS = frozenset(
 )
 
 
+def _strip_suffixes(w: str, suffixes, min_word: int = 5, min_stem: int = 3) -> str:
+    """Shared minimal-stemming strip loop (longest suffix first wins):
+    the whole Scandinavian family differs only in its suffix tuple."""
+    if len(w) < min_word:
+        return w
+    for suf in suffixes:
+        if w.endswith(suf) and len(w) - len(suf) >= min_stem:
+            return w[: -len(suf)]
+    return w
+
+
 def danish_minimal_stem(w: str) -> str:
     """Minimal Danish stemmer (the same published minimal-stemming family
     as Norwegian): strip the regular plural/definite noun endings."""
-    if len(w) < 5:
-        return w
-    for suf in ("erne", "ene", "er", "en", "et", "e"):
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            return w[: -len(suf)]
-    return w
+    return _strip_suffixes(w, ("erne", "ene", "er", "en", "et", "e"))
 
 
 def norwegian_minimal_stem(w: str) -> str:
     """Minimal Norwegian stemmer (the NorwegianMinimalStemFilter
     algorithm family): strip the regular plural/definite noun endings."""
-    if len(w) < 5:
-        return w
-    for suf in ("ene", "ane", "er", "en", "et", "a", "e"):
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            return w[: -len(suf)]
-    return w
+    return _strip_suffixes(w, ("ene", "ane", "er", "en", "et", "a", "e"))
 
 
 ANALYZERS = {
@@ -620,7 +621,7 @@ def make_language_analyzer(stop_words, stem):
     return analyzer
 
 
-# pt/sv/no ship as factory-built built-ins — each IS the advertised
+# pt/sv/no/da ship as factory-built built-ins — each IS the advertised
 # one-liner (stop list + minimal stemmer), exercising the same path a
 # user's register_text_analyzer call takes
 tokenize_text_pt = make_language_analyzer(PORTUGUESE_STOP_WORDS, portuguese_minimal_stem)
