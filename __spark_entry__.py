@@ -119,48 +119,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round), r06 rotation: lead with (a) the 7 entries whose last
-# external check is two rounds old (the r05 window overflow — never let
-# them age further), (b) the term-search family whose SERVING PATH changed
-# this round (hash-bucketed _vocab/ sidecar + driver-side query analysis):
-# all c9_* + ext_bm25_topk, plus ext_simhash / ext_ngram_jaccard which
-# gained DuckDB oracles this round (previously no_oracle), then (c) the
-# rest of the r04-checked cohort in its r04 order.  The final 8 of the
-# r04 cohort (ext_ivf_topk, ext_passage_dedup, ext_knn_join, ext_pq_topk,
-# ext_ivfpq_topk, b6_extract_json, ext_knn_classify, ext_source_cap)
-# overflow this 50-slot window and MUST lead the r07 rotation, along
-# with the five r6-new oracled queries that did not get a slot
-# (ext_chunk_docs, c9_boolean_query, ext_bm25_filtered,
-# c9_search_request, c9_facet_query, c9_fielded_query,
-# c9_range_query; ext_gopher_rules
-# IS windowed).  The
-# repo's own oracle suite covers all entries every pytest run regardless
-# (tests/test_queries_oracle.py).
+# entries per round), r07 rotation — exactly the r06 verdict's ask: lead
+# with (a) the 16 entries lacking a CURRENT driver-green row — the 7
+# r6-new queries (never externally checked), the 8-entry cohort whose
+# last check is r04, and ext_cosine_pairs_lsh (its all-pairs exact
+# oracle landed AFTER its last driver check, so it is green only as
+# no_oracle); then (b) entries NEW this round (r7) so they get a
+# first-class external check immediately; then (c) the 47-entry cohort
+# last checked in r05, in its r05 order (the first ~32 fit; the
+# overflow — plus everything r06-checked — leads the r08 rotation).
+# The repo's own oracle suite covers all entries every pytest run
+# regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a) external check aged 2 rounds (r05 overflow) — checked first
-    "ext_quantile_filter", "ext_pack_sequences", "ext_redact_pii",
-    "ext_profile", "ext_source_mixture", "window_sliding_counts",
-    "ext_repetition",
-    # (b) new in r6 (never externally checked), serving path
-    # re-implemented in r6 (bucketed vocab, driver-side term analysis),
-    # and newly oracled ops
-    "ext_gopher_rules",
-    "ext_bm25_topk", "c9_term_facet", "c9_suggest", "c9_contains_all",
-    "c9_contains_any", "c9_match_phrase", "c9_prefix_match",
-    "c9_contains_none", "c9_highlight",
-    "ext_simhash", "ext_ngram_jaccard",
-    # (c) r04-checked cohort, r04 order (first 31; rest lead r07)
-    "b8_convert_timestamp", "facet_event_counts", "ext_funnel_conversion",
-    "ext_cohort_retention", "facet_range_value", "pipeline_etl_events",
-    "window_hourly_counts", "q1_pricing_summary", "q3_top_revenue",
-    "q5_local_supplier", "q6_revenue_change", "exists_big_order_customers",
-    "window_topn_orders", "ext_asof_join", "ext_range_join",
-    "skew_salted_join", "star_join_enrich", "ext_exact_dedup",
-    "ext_token_count", "ext_curation_pipeline", "ext_bpe_token_count",
-    "ext_quality_features", "ext_lang_id", "ext_fingerprint",
-    "ext_ann_topk", "ext_cosine_pairs", "ext_dedup_clusters",
-    "ext_sessionize", "b12_detect_mime", "ext_minhash_dedup",
-    "ext_simhash_pairs",
+    # (a1) r6-new, never externally checked
+    "c9_boolean_query", "c9_fielded_query", "c9_range_query",
+    "c9_search_request", "c9_facet_query", "ext_bm25_filtered",
+    "ext_chunk_docs",
+    # (a2) last checked r04
+    "ext_ivf_topk", "ext_passage_dedup", "ext_knn_join", "ext_pq_topk",
+    "ext_ivfpq_topk", "b6_extract_json", "ext_knn_classify",
+    "ext_source_cap",
+    # (a3) oracle added after last driver check
+    "ext_cosine_pairs_lsh",
+    # (b) new in r7
+    "c9_phrase_slop", "c9_date_range", "c9_boosted_query",
+    "c9_fuzzy_query",
+    # (c) last checked r05, r05 order (overflow + r06 cohort lead r08)
+    "c2_segment_lookup", "c2_key_range", "ext_pixel_stats",
+    "ext_url_dedup", "ext_c4_clean", "ext_spatial_bbox",
+    "c6_atomic_update", "ext_hash_split", "c1_count_all",
+    "c2_point_lookup", "c3_delete_by_query", "c4_sort_page",
+    "c5_projection", "c6_upsert_latest", "a10_dedup_retain_most_recent",
+    "a11_dedup_sort_updates", "a12_collision_report", "b3_sequence_key",
+    "b2_sanitize_fields", "b4_tokenize_general", "b4_tokenize_lowercase",
+    "c7_segment_contract", "a8_routing_shards", "ext_decontaminate",
+    "q4_order_priority", "q14_promo_revenue", "q18_large_orders",
+    "facet_cube_counts", "agg_distinct_users", "ext_percentiles",
 ]
 
 

@@ -97,22 +97,28 @@ def prefix_match(
 
 def match_phrase(
     df: DataFrame, phrase: str, text_col: str = "text", id_col: str = "doc_id",
-    tokens_col: str | None = None,
+    tokens_col: str | None = None, slop: int = 0,
 ) -> DataFrame:
-    """Exact consecutive-token phrase query (Solr's analyzed phrase query
-    with slop 0): the phrase's tokens must appear adjacently, under the
-    same analysis as the index side.
+    """Analyzed phrase query (Solr's ``"a b"`` / ``"a b"~N``): with
+    ``slop=0`` the phrase's tokens must appear adjacently; with
+    ``slop=N`` they must appear IN ORDER with at most ``N`` extra
+    positions between first and last (see :func:`_slop_match`) — under
+    the same analysis as the index side.
 
-    Implementation stays in whole-stage codegen: tokens contain no spaces,
-    so a single-space token join padded with spaces turns token-adjacency
-    into plain substring containment — no higher-order array scan."""
+    The slop-0 implementation stays in whole-stage codegen: tokens
+    contain no spaces, so a single-space token join padded with spaces
+    turns token-adjacency into plain substring containment — no
+    higher-order array scan.  The sloppy path is higher-order array
+    functions over token positions, still fully JVM-side."""
     import re
 
     terms = re.findall(r"[^\W_]+", phrase.lower(), flags=re.UNICODE)
     if not terms:
         raise ValueError(f"phrase {phrase!r} has no tokens")
-    needle = " " + " ".join(terms) + " "
     toks = _toks(text_col, tokens_col)
+    if slop and len(terms) > 1:
+        return df.filter(_slop_match(toks, terms, slop)).select(id_col)
+    needle = " " + " ".join(terms) + " "
     hay = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
     return df.filter(hay.contains(needle)).select(id_col)
 
@@ -130,8 +136,13 @@ def bm25_search(
     tokens_col: str | None = None,
     stored_stats: tuple[int, int, int] | None = None,
     stored_dfs: "dict[str, int] | None" = None,
+    boosts: "dict[str, float] | None" = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query by BM25.
+
+    ``boosts={term: weight}`` applies Lucene query-time term boosts
+    (``term^2``): the term's BM25 contribution is multiplied by the
+    weight.  Boosts never change WHICH documents match, only ranking.
 
     ``stored_stats=(n_docs, sum_dl, n_dl)`` + ``stored_dfs={term: df}`` switch to
     the serve-from-the-artifact path: corpus statistics come from the build
@@ -198,6 +209,8 @@ def bm25_search(
             ],
         )
 
+    norm_boosts = {t.lower(): float(w) for t, w in (boosts or {}).items()}
+
     def term_score(i: int) -> F.Column:
         idf = F.log(
             F.lit(1.0)
@@ -207,6 +220,9 @@ def bm25_search(
         raw = idf * (tf * (k1 + 1)) / (
             tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
         )
+        w = norm_boosts.get(terms[i], 1.0)
+        if w != 1.0:
+            raw = raw * F.lit(w)
         # a term absent from the doc contributes exactly 0 (skip the 0/..
         # arithmetic so decimal rounding of -0.0 can't diverge)
         score = F.when(tf > 0, raw).otherwise(F.lit(0.0))
@@ -237,19 +253,28 @@ def bm25_oracle_sql(
     query_terms: Sequence[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
     with_score: bool = True, exact_sum: bool = False,
     fq_sql: str | None = None,
+    boosts: "dict[str, float] | None" = None,
 ) -> str:
     """The matching DuckDB SQL for :func:`bm25_search` over ``documents``.
 
     ``fq_sql`` (a predicate over the token list ``t``, e.g.
     ``"list_contains(t, 'database')"``) mirrors Solr's filter-query
     semantics: it restricts the CANDIDATES, never the statistics —
-    n_docs/avgdl/df stay collection-wide, so scores are fq-invariant."""
+    n_docs/avgdl/df stay collection-wide, so scores are fq-invariant.
+    ``boosts`` mirrors :func:`bm25_search`'s term boosts (same multiply-
+    then-round order, so exact_sum scores stay bit-identical)."""
     terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
     score_col = ", score" if with_score else ""
     score_expr = (
         "ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))"
         f" * (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * p.dl / s.avgdl))"
     )
+    norm_boosts = {t.lower(): float(w) for t, w in (boosts or {}).items()}
+    if any(w != 1.0 for w in norm_boosts.values()):
+        cases = " ".join(
+            f"WHEN '{t}' THEN {w!r}" for t, w in sorted(norm_boosts.items())
+        )
+        score_expr = f"({score_expr}) * (CASE p.term {cases} ELSE 1.0 END)"
     sum_expr = (
         f"CAST(sum(CAST({score_expr} AS DECIMAL(18,6))) AS DOUBLE)"
         if exact_sum
@@ -309,8 +334,17 @@ def parse_query(q: str):
     juxtaposed negative clause (``table -shuffle`` / ``table NOT
     shuffle``) is a Lucene prohibit: MUST_NOT over the clause list, i.e.
     ``(table) AND NOT (shuffle)``.  An explicitly OR-joined negation
-    (``a OR NOT b``) stays a true disjunct."""
-    toks: list[tuple[str, str]] = []
+    (``a OR NOT b``) stays a true disjunct.
+
+    Operators are recognized in UPPERCASE only (Lucene/Solr contract):
+    ``black and white`` is three terms OR-ed, ``black AND white`` a
+    conjunction.  ``"a b"~N`` is a sloppy phrase (``("phrase", text,
+    slop)``), ``term~``/``term~N`` a fuzzy term (``("fuzzy", text,
+    max_edits)``, N defaulting to Lucene's 2), and a trailing ``^boost``
+    is accepted anywhere a term is (boosts never change MATCHING —
+    Lucene semantics — so the boolean AST simply drops them; the scored
+    path, :meth:`SearchIndex.bm25`, takes boosts explicitly)."""
+    toks: list[tuple] = []
     i, n = 0, len(q)
     while i < n:
         c = q[i]
@@ -324,7 +358,17 @@ def parse_query(q: str):
             j = q.find('"', i + 1)
             if j < 0:
                 raise QuerySyntaxError(f"unterminated phrase in {q!r}")
-            toks.append(("PHRASE", q[i + 1:j])); i = j + 1
+            text = q[i + 1:j]
+            i = j + 1
+            slop = 0
+            m = _re.match(r"~(\d+)", q[i:])
+            if m:  # Solr phrase slop: "a b"~2
+                slop = int(m.group(1))
+                i += m.end()
+            m = _re.match(r"\^\d+(\.\d+)?", q[i:])
+            if m:  # phrase boost: matching is boost-invariant — drop
+                i += m.end()
+            toks.append(("PHRASE", (text, slop)))
         elif c == "-":
             toks.append(("NOT", c)); i += 1
         elif q.startswith("&&", i):
@@ -335,12 +379,13 @@ def parse_query(q: str):
             m = _re.match(r"[^\s()\"]+", q[i:])
             word = m.group(0)
             i += len(word)
-            up = word.upper()
-            if up == "AND":
+            # operators must be spelled in uppercase (Lucene/Solr):
+            # lowercase 'and'/'or'/'not' are ordinary indexed terms
+            if word == "AND":
                 toks.append(("AND", word))
-            elif up == "OR":
+            elif word == "OR":
                 toks.append(("OR", word))
-            elif up == "NOT":
+            elif word == "NOT":
                 toks.append(("NOT", word))
             else:
                 toks.append(("TERM", word))
@@ -409,6 +454,38 @@ def parse_query(q: str):
             return ("not", inner), True
         return parse_atom(), False
 
+    def _term_node(word: str, fname: str | None = None):
+        """A (possibly fuzzy/boosted/wildcard) term atom.  Boost suffixes
+        (``^2`` / ``^0.5``) are parsed and DROPPED: boosts affect scoring
+        only, never matching (Lucene), and the scored path takes boosts
+        explicitly.  ``word~`` / ``word~N`` is a fuzzy term (Lucene
+        default max edits 2)."""
+        m = _re.match(r"^(.*?)\^\d+(?:\.\d+)?$", word)
+        if m and m.group(1):
+            word = m.group(1)
+        m = _re.match(r"^(.+?)~(\d*)$", word)
+        if m:
+            base, n_s = m.group(1), m.group(2)
+            max_edits = int(n_s) if n_s else 2
+            if fname is not None:
+                return ("ffuzzy", fname, base, max_edits)
+            return ("fuzzy", base, max_edits)
+        if word.endswith("*") and len(word) > 1:
+            if fname is not None:
+                # fielded wildcard: RAW prefix in the AST — case folding
+                # is an ANALYZER property, applied only when the field
+                # resolves to analyzed tokens (Solr only case-folds
+                # wildcard terms when the field's analyzer lowercases);
+                # a plain stored column matches case-sensitively, same
+                # as the fielded equality form
+                return ("fprefix", fname, word[:-1])
+            # unfielded wildcard targets the default ANALYZED field whose
+            # stored tokens are always lowercased — fold here
+            return ("prefix", word[:-1].lower())
+        if fname is not None:
+            return ("fterm", fname, word)
+        return ("term", word)
+
     def parse_atom():
         k = peek()
         if k == "LP":
@@ -419,7 +496,8 @@ def parse_query(q: str):
             take()
             return node
         if k == "PHRASE":
-            return ("phrase", take()[1])
+            text, slop = take()[1]
+            return ("phrase", text, slop) if slop else ("phrase", text)
         if k == "TERM":
             word = take()[1]
             if ":" in word:  # Solr fielded clause: field:value / field:"..."
@@ -430,8 +508,10 @@ def parse_query(q: str):
                     # Solr range: field:[lo TO hi] / {lo TO hi} (exclusive)
                     lo_incl = value.startswith("[")
                     lo = value[1:]
-                    if peek() != "TERM" or toks[pos][1].upper() != "TO":
-                        raise QuerySyntaxError(f"range in {q!r} needs 'TO'")
+                    if peek() != "TERM" or toks[pos][1] != "TO":
+                        raise QuerySyntaxError(
+                            f"range in {q!r} needs 'TO' (uppercase)"
+                        )
                     take()
                     neg = ""
                     if peek() == "NOT":  # '-5]': the lexer split the sign off
@@ -455,20 +535,14 @@ def parse_query(q: str):
                             )
                     return ("frange", fname, lo, hi, lo_incl, hi_incl)
                 if value:
-                    if value.endswith("*") and len(value) > 1:
-                        # fielded wildcard: same skip-analysis prefix
-                        # semantics as the unfielded form
-                        return ("fprefix", fname, value[:-1].lower())
-                    return ("fterm", fname, value)
-                if peek() == "PHRASE":  # field:"quoted phrase"
-                    return ("fphrase", fname, take()[1])
+                    return _term_node(value, fname=fname)
+                if peek() == "PHRASE":  # field:"quoted phrase"[~N]
+                    text, slop = take()[1]
+                    if slop:
+                        return ("fphrase", fname, text, slop)
+                    return ("fphrase", fname, text)
                 raise QuerySyntaxError(f"field {fname!r} has no value in {q!r}")
-            if word.endswith("*") and len(word) > 1:
-                # Solr wildcard prefix term; like Solr, wildcard terms skip
-                # analysis (only lowercased) — 'run*' matches 'running'
-                # even under a stemming analyzer
-                return ("prefix", word[:-1].lower())
-            return ("term", word)
+            return _term_node(word)
         raise QuerySyntaxError(f"unexpected token at clause position in {q!r}")
 
     if not toks:
@@ -494,10 +568,16 @@ def _analyze_node(node, analyze, resolver=None):
         toks = [t for t in (analyze(node[1]) or []) if t]
         if not toks:
             return None
+        if kind == "phrase" and len(node) > 2 and len(toks) > 1:
+            return ("tokens_slop", toks, node[2])
         return ("tokens", toks)
     if kind == "prefix":
         return node  # wildcard terms skip analysis (Solr behavior)
-    if kind in ("fterm", "fphrase", "frange", "fprefix"):
+    if kind == "fuzzy":
+        # fuzzy terms skip analysis like wildcards; the default field's
+        # stored tokens are lowercased, so fold the needle
+        return ("fuzzytoks", node[1].lower(), node[2], None)
+    if kind in ("fterm", "fphrase", "frange", "fprefix", "ffuzzy"):
         if resolver is None:
             raise QuerySyntaxError(
                 f"fielded clause on {node[1]!r} needs a field resolver "
@@ -511,20 +591,35 @@ def _analyze_node(node, analyze, resolver=None):
                     "supported (range over stemmed tokens is rarely what "
                     "anyone means); use a stored copy column"
                 )
-            col = rest[0] if mode == "column" else rest[1]
-            return ("fcmp", col, node[2], node[3], node[4], node[5])
+            col = rest[0]
+            dtype = rest[1] if len(rest) > 1 else None
+            return ("fcmp", col, node[2], node[3], node[4], node[5], dtype)
         if kind == "fprefix":
             if mode == "analyzed":
                 # wildcard terms skip analysis (Solr) — prefix over the
-                # field's STORED tokens
-                return ("fptoks", node[2], rest[1])
+                # field's STORED tokens, which that analyzer lowercased:
+                # fold the needle to match.  A plain COLUMN field keeps
+                # the raw case (no analyzer => no case folding, same as
+                # the fielded equality form)
+                return ("fptoks", node[2].lower(), rest[1])
             return ("fpcol", node[2], rest[0])
+        if kind == "ffuzzy":
+            if mode == "analyzed":
+                return ("fuzzytoks", node[2].lower(), node[3], rest[1])
+            return ("fuzzycol", node[2], node[3], rest[0])
         if mode == "analyzed":
-            fn, toks_col = rest
+            fn, toks_col = rest[0], rest[1]
             toks = [t for t in (fn(node[2]) or []) if t]
             if not toks:
                 return None
+            if kind == "fphrase" and len(node) > 3 and len(toks) > 1:
+                return ("ftokens_slop", toks, toks_col, node[3])
             return ("ftokens", toks, toks_col)
+        if kind == "fphrase" and len(node) > 3:
+            raise QuerySyntaxError(
+                f"phrase slop on non-analyzed field {node[1]!r} is not "
+                "supported (a plain column has no token positions)"
+            )
         return ("feq", node[2], rest[0])
     if kind == "not":
         child = _analyze_node(node[1], analyze, resolver)
@@ -550,9 +645,89 @@ def _token_match(toks_col: F.Column, toks: list) -> F.Column:
     return F.coalesce(pred, F.lit(False))
 
 
+def _positions_of(toks_col: F.Column, term: str) -> F.Column:
+    """0-based positions of ``term`` in the token array — a transform +
+    filter over the stored tokens, fully JVM-side."""
+    tagged = F.transform(toks_col, lambda x, i: F.when(x == F.lit(term), i))
+    return F.filter(tagged, lambda p: p.isNotNull())
+
+
+def _slop_match(toks_col: F.Column, toks: list, slop: int) -> F.Column:
+    """Sloppy phrase predicate (Solr ``"a b"~N``): the phrase's analyzed
+    tokens appear IN ORDER at positions ``i1 < … < im`` with total slack
+    ``im - i1 - (m-1) <= slop`` (slop 0 == exact adjacency).  Positions
+    are over the STORED token array (no position gaps for removed
+    stopwords — documented divergence from Lucene's position-increment
+    gaps; reordered matches, which Lucene admits at slop >= 2, are NOT
+    matched — this is the ordered-window contract).
+
+    Implementation: for each candidate start position of the first token,
+    greedily chase the earliest following occurrence of each next token —
+    greedy minimizes the end position for a given start, so an ordered
+    witness within the slack exists iff the greedy chain finds one.  All
+    higher-order array functions: stays in the JVM, no Python."""
+    pos = [_positions_of(toks_col, t) for t in toks]
+    m = len(toks)
+
+    def _earliest_after(arr: F.Column, prev: F.Column) -> F.Column:
+        # closure over a function ARGUMENT, not a lambda default: PySpark
+        # inspects the lambda's signature, and a defaulted second param
+        # would be bound to the element INDEX (see bm25_search's _tf note)
+        return F.array_min(F.filter(arr, lambda p: p > prev))
+
+    def last_pos(i1):
+        cur = i1
+        for k in range(1, m):
+            cur = _earliest_after(pos[k], cur)
+        return cur
+
+    pred = F.exists(
+        pos[0],
+        lambda i1: F.coalesce(
+            last_pos(i1) - i1 - F.lit(m - 1) <= F.lit(slop), F.lit(False)
+        ),
+    )
+    return F.coalesce(pred, F.lit(False))
+
+
+def _fuzzy_match(toks_col: F.Column, needle: str, max_edits: int) -> F.Column:
+    """Fuzzy term predicate (Lucene ``term~N``): any stored token within
+    Levenshtein distance ``max_edits`` of the needle.  ``F.levenshtein``
+    inside an ``exists`` — JVM-side, no dictionary expansion needed.
+    Documented divergence: CLASSIC Levenshtein (Spark's built-in), so a
+    transposition counts as 2 edits where Lucene's default
+    Damerau-Levenshtein counts 1."""
+    pred = F.exists(
+        toks_col, lambda t: F.levenshtein(t, F.lit(needle)) <= F.lit(max_edits)
+    )
+    return F.coalesce(pred, F.lit(False))
+
+
+def _parse_solr_date(raw: str, q_repr: str):
+    """A Solr date bound (ISO-8601, optional trailing ``Z`` — Solr dates
+    are always UTC) as a naive ``datetime`` (the engine pins the session
+    timezone to UTC, so a naive literal IS the UTC instant).  Refuses
+    anything non-ISO loudly: silently string-comparing a date bound
+    against a timestamp column is the bug this branch exists to kill."""
+    from datetime import datetime
+
+    s = raw[:-1] if raw.endswith("Z") else raw
+    try:
+        return datetime.fromisoformat(s)
+    except ValueError:
+        raise QuerySyntaxError(
+            f"range bound {raw!r} in {q_repr} targets a date/timestamp "
+            "field and must be ISO-8601 (e.g. 2024-01-01T00:00:00Z or "
+            "2024-01-01), or * for an open bound"
+        ) from None
+
+
 def _compile_node(node, toks_col: F.Column) -> F.Column:
     kind = node[0]
-    if kind in ("tokens", "prefix") and toks_col is None:
+    unfielded = kind in ("tokens", "tokens_slop", "prefix") or (
+        kind == "fuzzytoks" and node[3] is None
+    )
+    if unfielded and toks_col is None:
         raise QuerySyntaxError(
             "unfielded clause needs a default analyzed field; pass "
             "field=... or write fielded clauses (field:value)"
@@ -561,6 +736,18 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
         return _token_match(toks_col, node[1])
     if kind == "ftokens":
         return _token_match(node[2], node[1])
+    if kind == "tokens_slop":
+        return _slop_match(toks_col, node[1], node[2])
+    if kind == "ftokens_slop":
+        return _slop_match(node[2], node[1], node[3])
+    if kind == "fuzzytoks":
+        tc = node[3] if node[3] is not None else toks_col
+        return _fuzzy_match(tc, node[1], node[2])
+    if kind == "fuzzycol":
+        return F.coalesce(
+            F.levenshtein(node[3], F.lit(node[1])) <= F.lit(node[2]),
+            F.lit(False),
+        )
     if kind == "prefix":
         hay = F.concat(F.lit(" "), F.array_join(toks_col, " "), F.lit(" "))
         return F.coalesce(hay.contains(" " + node[1]), F.lit(False))
@@ -572,14 +759,22 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
     if kind == "feq":
         return F.coalesce(node[2] == F.lit(node[1]), F.lit(False))
     if kind == "fcmp":
-        _, col, lo, hi, lo_incl, hi_incl = node
+        _, col, lo, hi, lo_incl, hi_incl, *rest = node
+        dtype = rest[0] if rest else None
 
         def bound(raw):
-            # numeric-looking bounds compare numerically (Spark would
-            # otherwise cast a numeric COLUMN to string and compare
-            # lexicographically); '*' is the Solr open bound
+            # '*' is the Solr open bound.  A date/timestamp-typed column
+            # (Solr tdate — dates are first-class, SURVEY §1.3) parses
+            # its bounds as ISO-8601 instants EXPLICITLY instead of
+            # leaning on string-to-timestamp cast coincidences; numeric-
+            # looking bounds compare numerically (Spark would otherwise
+            # cast a numeric COLUMN to string and compare
+            # lexicographically)
             if raw == "*":
                 return None
+            if dtype is not None and dtype.startswith(("timestamp", "date")):
+                v = _parse_solr_date(raw, repr(raw))
+                return v.date() if dtype == "date" else v
             try:
                 return int(raw)
             except ValueError:
@@ -615,7 +810,12 @@ def _required_tokens(node) -> set:
     kind = node[0]
     if kind == "tokens":
         return set(node[1])
-    if kind in ("not", "ftokens", "feq", "fcmp", "prefix", "fptoks", "fpcol"):
+    if kind == "tokens_slop":
+        return set(node[1])  # every phrase token is necessary, slop or not
+    if kind in (
+        "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
+        "fptoks", "fpcol", "fuzzytoks", "fuzzycol",
+    ):
         return set()
     if kind == "and":
         out: set = set()
@@ -631,9 +831,12 @@ def _required_tokens(node) -> set:
 
 def _positive_tokens(node) -> set:
     kind = node[0]
-    if kind == "tokens":
+    if kind in ("tokens", "tokens_slop"):
         return set(node[1])
-    if kind in ("not", "ftokens", "feq", "fcmp", "prefix", "fptoks", "fpcol"):
+    if kind in (
+        "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
+        "fptoks", "fpcol", "fuzzytoks", "fuzzycol",
+    ):
         return set()
     out: set = set()
     for c in node[1]:
@@ -647,9 +850,12 @@ def _can_match_term_free(node) -> bool:
     — in that case 'any'-mode Bloom pruning would hide matches and must
     be skipped."""
     kind = node[0]
-    if kind == "tokens":
+    if kind in ("tokens", "tokens_slop"):
         return False
-    if kind in ("ftokens", "feq", "fcmp", "prefix", "fptoks", "fpcol"):
+    if kind in (
+        "ftokens", "ftokens_slop", "feq", "fcmp", "prefix", "fptoks",
+        "fpcol", "fuzzytoks", "fuzzycol",
+    ):
         return True  # satisfiable regardless of default-field tokens
     if kind == "not":
         return True  # its child is False on a term-free doc -> NOT is True

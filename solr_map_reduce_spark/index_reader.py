@@ -390,11 +390,16 @@ class SearchIndex:
     def _field_resolver(self):
         """Resolver for Solr fielded clauses (``lang:en`` / ``text:word``):
         an ANALYZED field routes through its own analyzer and stored token
-        column; any other artifact column becomes a plain equality."""
+        column; any other artifact column becomes a plain equality.  The
+        column mode also reports the column's Spark type name so range
+        clauses over date/timestamp fields (Solr ``tdate`` — dates are
+        first-class) parse their bounds as ISO-8601 instants instead of
+        strings."""
         from solr_map_reduce_spark.extensions.search import QuerySyntaxError
 
         analyzed: dict = self.manifest.get("analyzed", {})
         cols = set(self.columns)
+        dtypes = {f.name: f.dataType.typeName() for f in self._read_schema()}
 
         def resolver(fname: str):
             if fname in analyzed:
@@ -404,7 +409,7 @@ class SearchIndex:
                     F.col(analyzed[fname]["tokens_col"]),
                 )
             if fname in cols:
-                return ("column", F.col(fname))
+                return ("column", F.col(fname), dtypes.get(fname))
             raise QuerySyntaxError(
                 f"unknown field {fname!r}; analyzed={sorted(analyzed)}, "
                 f"columns={sorted(cols)}"
@@ -491,7 +496,12 @@ class SearchIndex:
             tokens_col=self._tokens_col(field),
         )
 
-    def phrase(self, phrase: str, field: str | None = None) -> DataFrame:
+    def phrase(
+        self, phrase: str, field: str | None = None, slop: int = 0
+    ) -> DataFrame:
+        """Analyzed phrase query; ``slop=N`` is Solr's ``"a b"~N`` (tokens
+        in order within N extra positions).  Bloom pruning stays safe
+        under slop: every phrase token is still necessary for a match."""
         import re
 
         from solr_map_reduce_spark.extensions import search
@@ -502,7 +512,7 @@ class SearchIndex:
         terms = re.findall(r"[^\W_]+", phrase.lower(), flags=re.UNICODE)
         return search.match_phrase(
             self._bloom_pruned(terms, field, "all"), phrase, id_col=self.unique_key,
-            tokens_col=self._tokens_col(field),
+            tokens_col=self._tokens_col(field), slop=slop,
         )
 
     def bm25(

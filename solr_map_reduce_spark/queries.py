@@ -1672,6 +1672,99 @@ def c9_range_query(spark, sf_dir):
 
 
 @_register(
+    "c9_phrase_slop",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        pos AS (SELECT doc_id, unnest(t) AS term,
+                       generate_subscripts(t, 1) AS ord FROM toks)
+        SELECT DISTINCT p1.doc_id AS doc_id
+        FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id
+        WHERE p1.term = 'table' AND p2.term = 'hash'
+          AND p2.ord > p1.ord AND p2.ord - p1.ord - 1 <= 2""",
+    "Solr phrase slop ('table hash'~2): phrase tokens in order within N "
+    "extra positions, matched by higher-order array functions over the "
+    "STORED token positions — JVM-side, one scan, Bloom-prunable (every "
+    "phrase token stays necessary)",
+)
+def c9_phrase_slop(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query('"table hash"~2')
+
+
+@_register(
+    "c9_fuzzy_query",
+    f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        WHERE len(list_filter(t, x -> levenshtein(x, 'spak') <= 1)) > 0""",
+    "Lucene fuzzy term (spak~1): any stored token within Levenshtein "
+    "distance N — F.levenshtein inside exists(), no dictionary expansion",
+)
+def c9_fuzzy_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query("spak~1")
+
+
+# Build-once events index (timestamp-typed unique-key artifact) for the
+# date-typed range clause — Solr dates are first-class (tdate, SURVEY §1.3)
+_EVENTS_INDEX_CACHE: dict[str, str] = {}
+_EVENTS_INDEX_HANDLE: dict[str, object] = {}
+
+
+def _events_search_index(spark, sf_dir):
+    import os
+    import tempfile
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+    handle = _EVENTS_INDEX_HANDLE.get(sf_dir)
+    if handle is not None and os.path.isdir(_EVENTS_INDEX_CACHE.get(sf_dir, "")):
+        return handle
+    path = _EVENTS_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        schema = IndexSchema(
+            fields=(
+                Field("event_id", "long", required=True),
+                Field("ts", "tdate"),
+                Field("user_id", "long"),
+                Field("event_type", "string"),
+                Field("value", "double"),
+            ),
+            unique_key="event_id",
+        )
+        job = IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=4, micro_shards=8, dedup="none",
+                routing="native", key_ranges=True,
+            )
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="smrs_events_idx_"), "index")
+        job.build(
+            t(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ),
+            path,
+        )
+        _EVENTS_INDEX_CACHE[sf_dir] = path
+    _EVENTS_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
+    return _EVENTS_INDEX_HANDLE[sf_dir]
+
+
+@_register(
+    "c9_date_range",
+    """SELECT event_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+         AND ts < TIMESTAMP '2024-01-04 06:30:00'
+         AND event_type = 'purchase'""",
+    "Solr date-typed range clause over a tdate column: ISO-8601/Z bounds "
+    "parse to timestamp literals (explicit, not string-cast coincidence), "
+    "composed with a fielded equality — one pushdown scan of the events "
+    "artifact",
+)
+def c9_date_range(spark, sf_dir):
+    return _events_search_index(spark, sf_dir).query(
+        "ts:[2024-01-02T00:00:00Z TO 2024-01-04T06:30:00Z} "
+        "AND event_type:purchase"
+    )
+
+
+@_register(
     "c9_search_request",
     f"""SELECT doc_id, lang FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
         WHERE (list_contains(t, 'spark') OR list_contains(t, 'vector'))
@@ -1780,6 +1873,21 @@ def ext_bm25_topk(spark, sf_dir):
 def ext_bm25_filtered(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).bm25(
         _BM25_TERMS, k=10, exact_sum=True, fq="table AND NOT shuffle"
+    )
+
+
+@_register(
+    "c9_boosted_query",
+    search.bm25_oracle_sql(
+        _BM25_TERMS, k=10, exact_sum=True, boosts={"vector": 2.5}
+    ),
+    "Lucene query-time term boosts (vector^2.5): the boosted term's BM25 "
+    "contribution scales by the weight — ranking changes, matching does "
+    "not; same one-scan serving plan as ext_bm25_topk",
+)
+def c9_boosted_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).bm25(
+        _BM25_TERMS, k=10, exact_sum=True, boosts={"vector": 2.5}
     )
 
 

@@ -720,3 +720,211 @@ class TestSecondReviewRegressions:
 
         with pytest.raises(QuerySyntaxError, match="unfielded"):
             idx.query("de").collect()
+
+
+class TestRound7QueryLanguage:
+    """Round-7 surface: uppercase-only operators, raw-case fielded
+    wildcards (ADVICE r6), phrase slop, fuzzy terms, boosts, and
+    date-typed range bounds."""
+
+    def test_lowercase_operators_are_terms(self):
+        from solr_map_reduce_spark.extensions.search import parse_query
+
+        # Lucene/Solr recognize only uppercase operators: 'black and
+        # white' is three OR-ed terms, not a conjunction
+        assert parse_query("black and white") == (
+            "or", [("term", "black"), ("term", "and"), ("term", "white")]
+        )
+        assert parse_query("to not or") == (
+            "or", [("term", "to"), ("term", "not"), ("term", "or")]
+        )
+        assert parse_query("black AND white") == (
+            "and", [("term", "black"), ("term", "white")]
+        )
+
+    def test_lowercase_to_in_range_rejected(self):
+        from solr_map_reduce_spark.extensions.search import (
+            QuerySyntaxError,
+            parse_query,
+        )
+
+        with pytest.raises(QuerySyntaxError, match="TO"):
+            parse_query("n:[1 to 5]")
+
+    def test_slop_and_fuzzy_and_boost_parse(self):
+        from solr_map_reduce_spark.extensions.search import parse_query
+
+        assert parse_query('"a b"~2') == ("phrase", "a b", 2)
+        assert parse_query('"a b"~0') == ("phrase", "a b")
+        assert parse_query('f:"a b"~3') == ("fphrase", "f", "a b", 3)
+        assert parse_query("run~1") == ("fuzzy", "run", 1)
+        assert parse_query("run~") == ("fuzzy", "run", 2)
+        assert parse_query("f:run~1") == ("ffuzzy", "f", "run", 1)
+        # boosts never change matching: parsed and dropped
+        assert parse_query("spark^2") == ("term", "spark")
+        assert parse_query("spark^2.5 OR vector") == (
+            "or", [("term", "spark"), ("term", "vector")]
+        )
+        assert parse_query('"a b"^2') == ("phrase", "a b")
+        assert parse_query("run~1^2") == ("fuzzy", "run", 1)
+
+    def _index(self, spark, tmp_path, name):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(
+                Field("id", "string", required=True),
+                Field("text", "text_general"),
+                Field("source", "string"),
+                Field("ts", "tdate"),
+            ),
+            unique_key="id",
+        )
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [
+                ("a", "table hash join", "WebCrawl", datetime(2024, 1, 1)),
+                ("b", "table scan then a hash", "WebCrawl", datetime(2024, 1, 2)),
+                ("c", "table a b c d e hash", "books", datetime(2024, 1, 3)),
+                ("d", "hash before table", "Books", datetime(2024, 1, 4)),
+                ("e", "spark sql", None, None),
+            ],
+            "id string, text string, source string, ts timestamp",
+        )
+        out = str(tmp_path / name)
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+        ).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_fielded_wildcard_keeps_column_case(self, spark, tmp_path):
+        # ADVICE r6 (medium): source:Web* must match 'WebCrawl' on a raw
+        # stored column — the prefix keeps its case, same as the equality
+        # form; case folding applies only to analyzer-lowercased tokens
+        idx = self._index(spark, tmp_path, "wc_case")
+        got = sorted(r["id"] for r in idx.query("source:Web*").collect())
+        assert got == ["a", "b"]
+        got = sorted(r["id"] for r in idx.query("source:web*").collect())
+        assert got == []
+        got = sorted(r["id"] for r in idx.query("source:Books").collect())
+        assert got == ["d"]
+        # analyzed-field wildcard still folds (stored tokens are lowercase)
+        got = sorted(r["id"] for r in idx.query("text:TABL*").collect())
+        assert got == ["a", "b", "c", "d"]
+
+    def test_phrase_slop_semantics(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "slop")
+        # slop 0 = adjacency
+        assert sorted(r["id"] for r in idx.query('"table hash"').collect()) == ["a"]
+        # in order within N interveners — 'b' has 3 (scan then a), 'c'
+        # has 5, 'd' is reversed (never matches: ordered contract)
+        assert sorted(r["id"] for r in idx.query('"table hash"~2').collect()) == ["a"]
+        assert sorted(r["id"] for r in idx.query('"table hash"~3').collect()) == ["a", "b"]
+        assert sorted(r["id"] for r in idx.query('"table hash"~5').collect()) == ["a", "b", "c"]
+        # method form
+        assert sorted(r["id"] for r in idx.phrase("table hash", slop=3).collect()) == ["a", "b"]
+
+    def test_slop_greedy_multi_position_regression(self, spark):
+        # the round-7 bug the oracle caught: multiple occurrences of both
+        # tokens, none within the window — a lambda-default capture made
+        # the inner filter compare against the element INDEX and match
+        import pyspark.sql.functions as F
+
+        from solr_map_reduce_spark.extensions.search import _slop_match
+
+        toks = ["t"] * 60
+        for i in (20, 49):
+            toks[i] = "table"
+        for i in (46, 57):
+            toks[i] = "hash"
+        df = spark.createDataFrame([(toks,)], "t array<string>")
+        got = df.select(_slop_match(F.col("t"), ["table", "hash"], 2).alias("m")).collect()
+        assert got[0]["m"] is False
+        got = df.select(_slop_match(F.col("t"), ["table", "hash"], 25).alias("m")).collect()
+        assert got[0]["m"] is True
+
+    def test_three_token_slop(self, spark):
+        import pyspark.sql.functions as F
+
+        from solr_map_reduce_spark.extensions.search import _slop_match
+
+        rows = [
+            (1, ["a", "b", "c"]),          # exact: slack 0
+            (2, ["a", "x", "b", "c"]),     # slack 1
+            (3, ["a", "b", "x", "x", "c"]),  # slack 2
+            (4, ["c", "b", "a"]),          # reversed: never (ordered contract)
+            (5, ["a", "c", "b"]),          # b after c only: no ordered chain
+        ]
+        df = spark.createDataFrame(rows, "id int, t array<string>")
+        m = _slop_match(F.col("t"), ["a", "b", "c"], 1)
+        got = sorted(r["id"] for r in df.filter(m).collect())
+        assert got == [1, 2]
+        m = _slop_match(F.col("t"), ["a", "b", "c"], 2)
+        got = sorted(r["id"] for r in df.filter(m).collect())
+        assert got == [1, 2, 3]
+
+    def test_fuzzy_query(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "fuzzy")
+        # 'tabl~1' edit-distance-1 (one deletion) of stored 'table'.
+        # NOTE: classic Levenshtein (Spark's F.levenshtein): a
+        # transposition ('tabel') counts as TWO edits, unlike Lucene's
+        # Damerau default — documented divergence
+        got = sorted(r["id"] for r in idx.query("tabl~1").collect())
+        assert got == ["a", "b", "c", "d"]
+        got = sorted(r["id"] for r in idx.query("tabel~1").collect())
+        assert got == []
+        got = sorted(r["id"] for r in idx.query("tabel~2").collect())
+        assert got == ["a", "b", "c", "d"]
+        # distance 2 catches 'spark' from 'spork~2'? spork->spark is 1 edit
+        got = sorted(r["id"] for r in idx.query("spork~1").collect())
+        assert got == ["e"]
+        # fielded fuzzy on a plain column: raw-case levenshtein —
+        # 'Wobcrawl' is 2 edits from 'WebCrawl' (e→o, C→c), 'wobcrawl' 3
+        got = sorted(r["id"] for r in idx.query("source:Wobcrawl~2").collect())
+        assert got == ["a", "b"]
+        got = sorted(r["id"] for r in idx.query("source:wobcrawl~2").collect())
+        assert got == []
+        got = sorted(r["id"] for r in idx.query("source:WobCrawl~1").collect())
+        assert got == ["a", "b"]
+        # negation composes
+        got = sorted(r["id"] for r in idx.query("tabl~1 -scan").collect())
+        assert got == ["a", "c", "d"]
+
+    def test_date_range_clause(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "dates")
+        got = sorted(
+            r["id"]
+            for r in idx.query("ts:[2024-01-02T00:00:00Z TO 2024-01-03T00:00:00Z]").collect()
+        )
+        assert got == ["b", "c"]
+        # exclusive upper
+        got = sorted(
+            r["id"]
+            for r in idx.query("ts:[2024-01-02T00:00:00Z TO 2024-01-03T00:00:00Z}").collect()
+        )
+        assert got == ["b"]
+        # date-only form, open upper; NULL ts never matches
+        got = sorted(r["id"] for r in idx.query("ts:[2024-01-03 TO *]").collect())
+        assert got == ["c", "d"]
+        # non-ISO bound on a timestamp column refuses loudly
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="ISO-8601"):
+            idx.query("ts:[yesterday TO *]").collect()
+
+    def test_slop_on_plain_column_rejected(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        idx = self._index(spark, tmp_path, "slopcol")
+        with pytest.raises(QuerySyntaxError, match="slop"):
+            idx.query('source:"Web Crawl"~2').collect()
+
+    def test_bm25_boosts_change_ranking_not_matching(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "boost")
+        plain = idx.bm25(["table", "spark"], k=5).collect()
+        boosted = idx.bm25(["table", "spark"], k=5, boosts={"spark": 50.0}).collect()
+        assert {r["id"] for r in plain} == {r["id"] for r in boosted}
+        assert boosted[0]["id"] == "e"  # the spark doc outranks under boost
