@@ -372,7 +372,11 @@ class IvfIndex:
         to a side dir and swaps via rename-aside; the absorbed-tag record
         is written before the swap (recording early only ever suppresses
         a re-append of data that exists in both pre- and post-swap
-        states).  Returns the number of files removed.
+        states), and a rerun self-heals a crash BETWEEN the two swap
+        renames by rolling the swap forward from the completed stage (or
+        back to the old dir) before proceeding
+        (:meth:`_repair_interrupted_swap`).  Returns the number of files
+        removed.
 
         STOP THE INGEST STREAM FIRST.  Compaction holds the artifact's
         advisory mutation lock and REFUSES while any ``_ingest_<tag>``
@@ -393,6 +397,38 @@ class IvfIndex:
         with _mutation_lock(fs, path, "ivf_compact"):
             return self._compact_locked(spark, fs, path)
 
+    def _repair_interrupted_swap(self, fs, path: str, vectors: str) -> None:
+        """Make the two-rename swap crash-safe in effect: a crash between
+        ``vectors -> vectors__old`` and ``vectors__compact -> vectors``
+        leaves no live ``vectors`` dir.  On entry, roll the swap FORWARD
+        when the fully-written compacted stage exists (it is always
+        materialized before any rename), else BACK to the old dir — so
+        reads and a compact rerun always find a complete vector store.
+        A leftover stage beside a live ``vectors`` (crash before the
+        first rename) is junk from an aborted rewrite: drop it."""
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        old = fs_join(path, "vectors__old")
+        stage = fs_join(path, "vectors__compact")
+        if fs.exists(vectors):
+            # live store intact: clear crash leftovers (old = absorbed
+            # pre-swap copy, stage = incomplete pre-rename rewrite)
+            for leftover in (old, stage):
+                if fs.exists(leftover):
+                    fs.delete(leftover)
+            return
+        if fs.exists(stage):
+            fs.rename(stage, vectors)  # roll forward: stage was complete
+            if fs.exists(old):
+                fs.delete(old)
+        elif fs.exists(old):
+            fs.rename(old, vectors)  # roll back
+        else:
+            raise RuntimeError(
+                f"IVF index at {path} has no vectors/, vectors__old/ or "
+                "vectors__compact/ dir — not a recoverable swap state"
+            )
+
     def _compact_locked(self, spark, fs, path: str) -> int:
         import json
         import re
@@ -400,6 +436,7 @@ class IvfIndex:
         from solr_map_reduce_spark.fs import join as fs_join
 
         vectors = fs_join(path, "vectors")
+        self._repair_interrupted_swap(fs, path, vectors)
         leftover = [
             d for d in fs.listdir(path)
             if d.startswith("_ingest_") and fs.isdir(fs_join(path, d))

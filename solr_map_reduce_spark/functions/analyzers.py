@@ -468,7 +468,7 @@ SWEDISH_STOP_WORDS = frozenset(
     ej eller en er ett från för ha hade han hans har hon hur här i icke
     ingen inom inte jag ju kan kunde man med mellan men mig min mot mycket
     ni nu när någon något några och om oss på samma sedan sig sin sina
-    sitta själv skulle som så till under upp us vad var vara varför varit
+    sitta själv skulle som så till under upp vad var vara varför varit
     vi vid vilken än är åt över""".split()
 )
 

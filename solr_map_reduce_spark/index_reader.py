@@ -45,27 +45,40 @@ class SearchIndex:
         self._blooms: dict | None | bool = False  # False = not yet loaded
         self._key_ranges: dict | None | bool = False  # False = not yet loaded
         # per-instance memo of (field, terms) -> df values: repeated queries
-        # against one handle (the serving pattern) skip the vocab scan
+        # against one handle (the serving pattern) skip the vocab scan.
+        # LRU-capped: a long-lived serving handle fielding millions of
+        # DISTINCT queries must not grow a dict without bound
+        from collections import OrderedDict
+
         self._stats_cache: dict | None | bool = False
-        self._dfs_memo: dict = {}
-        # generation guard: every engine mutation rewrites the manifest, so
-        # its mtime detects an artifact mutated UNDER a long-lived handle —
-        # stale cached blooms/key-ranges would silently hide rows (false
-        # negatives) and stale stats would skew scores.  Checked (one stat
-        # call) before any cached sidecar is served; on change every cache
-        # drops and the manifest reloads.
+        self._dfs_memo: "OrderedDict" = OrderedDict()
+        self._dfs_memo_cap = 1024
+        self._warned_no_stats_fq = False
+        # generation guard: every engine mutation rewrites the manifest
+        # (with a bumped generation counter + fresh uuid), so a CONTENT
+        # hash of it detects an artifact mutated UNDER a long-lived
+        # handle — stale cached blooms/key-ranges would silently hide
+        # rows (false negatives) and stale stats would skew scores.
+        # Content, not mtime: filesystem mtime is millisecond-or-coarser
+        # granular, so two mutations in one timestamp quantum would slip
+        # past an mtime compare.  Checked (one small read) before any
+        # cached sidecar is served; on change every cache drops and the
+        # manifest reloads.
         self._generation = self._current_generation()
 
-    def _current_generation(self) -> float | None:
+    def _current_generation(self) -> str | None:
+        import hashlib
+
         from solr_map_reduce_spark.fs import get_fs
         from solr_map_reduce_spark.fs import join as fs_join
 
         try:
-            return get_fs(self.path, self.spark).mtime(
+            text = get_fs(self.path, self.spark).read_text(
                 fs_join(self.path, MANIFEST)
             )
         except Exception:
             return None
+        return hashlib.sha1(text.encode("utf-8")).hexdigest()
 
     def _check_generation(self) -> None:
         gen = self._current_generation()
@@ -74,11 +87,13 @@ class SearchIndex:
         from solr_map_reduce_spark.fs import get_fs
         from solr_map_reduce_spark.fs import join as fs_join
 
+        from collections import OrderedDict
+
         self._generation = gen
         self._blooms = False
         self._key_ranges = False
         self._stats_cache = False
-        self._dfs_memo = {}
+        self._dfs_memo = OrderedDict()
         try:
             fs = get_fs(self.path, self.spark)
             self.manifest = json.loads(fs.read_text(fs_join(self.path, MANIFEST)))
@@ -551,10 +566,14 @@ class SearchIndex:
             s = stats[fname]
             norm_terms = [t.lower() for t in terms]
             memo_key = (fname, tuple(sorted(norm_terms)))
-            if memo_key not in self._dfs_memo:
+            if memo_key in self._dfs_memo:
+                self._dfs_memo.move_to_end(memo_key)  # LRU touch
+            else:
                 self._dfs_memo[memo_key] = term_dfs(
                     self.spark, self.path, fname, norm_terms
                 )
+                while len(self._dfs_memo) > self._dfs_memo_cap:
+                    self._dfs_memo.popitem(last=False)
             kw = dict(kw)
             kw["stored_stats"] = (s["n_docs"], s["sum_dl"], s["n_dl"])
             kw["stored_dfs"] = self._dfs_memo[memo_key]
@@ -564,7 +583,21 @@ class SearchIndex:
             # fq can't skew scores.  ONE aggregation job over one
             # tokenization pass: n_docs/sum_dl/n_dl plus per-term df
             # (array_contains presence sums) in the same agg — the same
-            # single stats pass the computed path pays
+            # single stats pass the computed path pays.  At scale that is
+            # a silent corpus pass PER QUERY — warn once per handle
+            if not self._warned_no_stats_fq:
+                self._warned_no_stats_fq = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "bm25(fq=...) without a _SEARCH_STATS.json sidecar "
+                    "computes collection-wide statistics with a full "
+                    "corpus aggregate on EVERY query (Solr's fq-invariant "
+                    "score contract requires collection stats); build the "
+                    "artifact with IndexJobConfig(search_stats=True) or "
+                    "run write_search_stats() to serve stats from the "
+                    "stored sidecar instead"
+                )
             tc = self._tokens_col(fname)
             norm_terms = [t.lower() for t in terms]
             toks = F.col(tc)
@@ -787,8 +820,15 @@ class SearchIndex:
         from solr_map_reduce_spark.fs import get_fs
         from solr_map_reduce_spark.fs import join as fs_join
 
+        import uuid
+
         fs = get_fs(out_path, self.spark)
-        fs.write_text(fs_join(out_path, MANIFEST), json.dumps(self.manifest, indent=2))
+        out_manifest = dict(self.manifest)
+        out_manifest["generation"] = int(out_manifest.get("generation", 0)) + 1
+        out_manifest["generation_id"] = uuid.uuid4().hex
+        fs.write_text(
+            fs_join(out_path, MANIFEST), json.dumps(out_manifest, indent=2)
+        )
         # sidecars: a pre-existing key-range file at out_path would name
         # dead segments (false negatives) — drop it, then rebuild when the
         # SOURCE artifact carried one, so the result keeps pruned lookups

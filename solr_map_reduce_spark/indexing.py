@@ -224,6 +224,23 @@ class IndexJob:
             "schema_json": written.schema.json(),
         }
         fs = get_fs(path, written.sparkSession)
+        # monotonic generation + unique id: live handles detect a mutated
+        # artifact by manifest CONTENT, immune to mtime granularity (two
+        # mutations in one ms quantum) and to identical-content rewrites
+        prev_gen = 0
+        try:
+            if fs.exists(fs_join(path, MANIFEST)):
+                prev_gen = int(
+                    json.loads(fs.read_text(fs_join(path, MANIFEST))).get(
+                        "generation", 0
+                    )
+                )
+        except Exception:
+            prev_gen = 0  # unreadable/torn: the fresh uuid still differs
+        import uuid
+
+        manifest["generation"] = prev_gen + 1
+        manifest["generation_id"] = uuid.uuid4().hex
         fs.write_text(fs_join(path, MANIFEST), json.dumps(manifest, indent=2))
         return manifest
 

@@ -11,6 +11,15 @@ gives the parquet artifact the same property:
                                  n_buckets  [underscore dir — invisible
                                  to the artifact's own scans]
 
+Rows are TERM-SORTED within each bucket file (repartition by bucket +
+sortWithinPartitions), so parquet row-group min/max statistics turn a
+prefix scan (``SearchIndex.suggest`` / autocomplete) into a seek: only
+the row groups whose [min, max] overlap the prefix range are read — the
+Lucene sorted-term-dictionary/FST-prefix-seek cost model.  Hash
+bucketing prunes POINT df lookups to |Q| buckets; in-bucket term order
+prunes PREFIX scans within every bucket.  The repartition also yields
+one file per bucket dir instead of one per writing task.
+
 Build: one pass over the stored token column — ``n_docs`` (all rows),
 ``sum_dl``/``n_dl`` (token-array lengths), and the term dictionary via
 ``explode(array_distinct) → groupBy(term).count()``.
@@ -111,6 +120,8 @@ def write_search_stats(
         (
             _term_df(idx, tokens_col, "df")
             .withColumn("bucket", _bucket_expr(n_buckets))
+            .repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "term")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(fs_join(path, f"{VOCAB_DIR}/{field}"))
@@ -244,8 +255,12 @@ def prepare_stats_delta(spark: SparkSession, path: str, old_subset, new_subset):
         )
         # materialize NOW (reads old shard files + stored vocab buckets,
         # both of which move/disappear at swap time)
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(
-            fs_join(path, f"{VOCAB_DIR}/{field}__pending")
+        (
+            merged.repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(fs_join(path, f"{VOCAB_DIR}/{field}__pending"))
         )
         pending[field] = touched
 

@@ -448,3 +448,20 @@ def test_danish_analyzer_goldens(spark):
     df = spark.createDataFrame([(t,) for t in corpus], "t string")
     jvm = [r["k"] for r in df.select(ANALYZERS["text_da"](F.col("t")).alias("k")).collect()]
     assert [PY_ANALYZERS["text_da"](t) for t in corpus] == jvm
+
+
+def test_swedish_stop_list_keeps_english_us(spark):
+    """Round-7 (ADVICE r6): 'us' is not a Swedish stop word (Snowball has
+    'oss'); English 'us' tokens in mixed-language text must survive."""
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.functions.analyzers import (
+        SWEDISH_STOP_WORDS,
+        tokenize_text_sv,
+    )
+
+    assert "us" not in SWEDISH_STOP_WORDS
+    assert "oss" in SWEDISH_STOP_WORDS
+    df = spark.createDataFrame([("kontakta us via oss",)], "t string")
+    got = df.select(tokenize_text_sv(F.col("t")).alias("toks")).collect()[0]["toks"]
+    assert "us" in got and "oss" not in got

@@ -189,7 +189,8 @@ class TestGenerationGuard:
         assert idx.get("7").count() == 1
         assert idx.contains_all(["alpha"]).count() == 30
         assert idx.bm25(["alpha"], k=3).count() == 3
-        time.sleep(1.1)  # mtime granularity on some filesystems
+        # no sleep: the guard compares manifest CONTENT (generation
+        # counter + uuid), so mtime granularity is irrelevant (round-7)
         # mutate UNDER the open handle: new doc with a new term
         job.merge_into(
             spark.createDataFrame(
@@ -233,7 +234,6 @@ class TestGenerationGuard:
         assert idx.count() == 60 and idx.shards == 2
         keys = [f"k{i:03d}" for i in range(60)]
         assert all(idx.get(k).count() == 1 for k in keys[:5])
-        time.sleep(1.1)
         # rebuild with 4 shards and promote over the live path
         staged = str(tmp_path / "staged")
         IndexJob(
@@ -246,3 +246,73 @@ class TestGenerationGuard:
         assert idx.shards == 4
         missing = [k for k in keys if idx.get(k).count() != 1]
         assert missing == []
+
+
+class TestGenerationGuardContentBased:
+    """Round-7 (ADVICE r6): the guard must trip even when a mutation lands
+    in the SAME mtime quantum — manifest content (generation counter +
+    uuid), not timestamps, is what's compared."""
+
+    def test_same_mtime_quantum_mutation_detected(self, spark, tmp_path):
+        import os
+
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [(str(i), f"alpha word{i}") for i in range(20)],
+            "id string, text string",
+        )
+        job = IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, dedup="none", routing="native",
+                term_blooms=True, key_ranges=True,
+            )
+        )
+        path = str(tmp_path / "idx")
+        job.build(df, path)
+        idx = SearchIndex.open(spark, path)
+        assert idx.count() == 20
+        man = os.path.join(path, "_INDEX_MANIFEST.json")
+        st = os.stat(man)
+        job.merge_into(
+            spark.createDataFrame(
+                [("new-1", "alpha zeta-fresh")], "id string, text string"
+            ),
+            path,
+        )
+        # force the manifest mtime back to its PRE-mutation value: an
+        # mtime-based guard would now serve stale caches
+        os.utime(man, (st.st_atime, st.st_mtime))
+        assert idx.count() == 21
+        assert idx.get("new-1").count() == 1
+        assert [r["id"] for r in idx.contains_all(["zeta"]).collect()] == ["new-1"]
+
+    def test_manifest_carries_monotonic_generation(self, spark, tmp_path):
+        import json
+        import os
+
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("v", "long")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame([(str(i), i) for i in range(10)], "id string, v long")
+        job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none"))
+        path = str(tmp_path / "gen_idx")
+        job.build(df, path)
+        man = os.path.join(path, "_INDEX_MANIFEST.json")
+        m1 = json.loads(open(man).read())
+        assert m1["generation"] == 1 and m1["generation_id"]
+        job.merge_into(
+            spark.createDataFrame([("x", 99)], "id string, v long"), path
+        )
+        m2 = json.loads(open(man).read())
+        assert m2["generation"] == m1["generation"] + 1
+        assert m2["generation_id"] != m1["generation_id"]

@@ -554,3 +554,52 @@ def test_ivf_compact_refuses_inflight_staging_and_takes_lock(spark, sf_dir, tmp_
         ivf.compact(spark, path)
     os.remove(os.path.join(path, "_MUTATION_LOCK"))
     assert ivf.compact(spark, path) > 0  # clean state compacts fine
+
+
+def test_ivf_compact_recovers_interrupted_swap(spark, sf_dir, tmp_path):
+    """Round-7 (ADVICE r6): a crash BETWEEN the two swap renames leaves no
+    live vectors/ dir — a compact rerun must roll the swap forward from
+    the completed stage (or back to the old dir), not die in listdir."""
+    import os
+    import shutil
+
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    ivf = IvfIndex.fit(base, n_centroids=4)
+    path = str(tmp_path / "ivf_crash")
+    ivf.save(path, assigned=ivf.assign(base))
+    ivf.add(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130)),
+            path, batch_tag="t1")
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    want = [(r["vec_id"], round(r["score"], 9))
+            for r in ivf.search_stored(spark, path, q, k=8, nprobe=4).collect()]
+    vec = os.path.join(path, "vectors")
+
+    # crash state A: vectors renamed aside, stage complete, swap-in missed
+    shutil.copytree(vec, os.path.join(path, "vectors__compact"))
+    os.rename(vec, os.path.join(path, "vectors__old"))
+    removed = ivf.compact(spark, path)  # must self-heal, then compact
+    assert removed >= 0 and os.path.isdir(vec)
+    assert not os.path.exists(os.path.join(path, "vectors__old"))
+    assert not os.path.exists(os.path.join(path, "vectors__compact"))
+    got = [(r["vec_id"], round(r["score"], 9))
+           for r in ivf.search_stored(spark, path, q, k=8, nprobe=4).collect()]
+    assert got == want
+
+    # crash state B: only the renamed-aside old dir survives (no stage)
+    os.rename(vec, os.path.join(path, "vectors__old"))
+    removed = ivf.compact(spark, path)
+    assert os.path.isdir(vec)
+    got = [(r["vec_id"], round(r["score"], 9))
+           for r in ivf.search_stored(spark, path, q, k=8, nprobe=4).collect()]
+    assert got == want
+
+    # crash state C: stale stage beside a LIVE store is junk — dropped
+    shutil.copytree(vec, os.path.join(path, "vectors__compact"))
+    ivf.compact(spark, path)
+    assert not os.path.exists(os.path.join(path, "vectors__compact"))
+    got = [(r["vec_id"], round(r["score"], 9))
+           for r in ivf.search_stored(spark, path, q, k=8, nprobe=4).collect()]
+    assert got == want
