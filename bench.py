@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "ext_minhash_dedup",
     "ext_ann_topk",
     "ext_bm25_topk",
+    "c9_search_request",
     "ext_sessionize",
 ]
 

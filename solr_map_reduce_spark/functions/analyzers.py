@@ -553,6 +553,50 @@ def norwegian_minimal_stem(w: str) -> str:
     return _strip_suffixes(w, ("ene", "ane", "er", "en", "et", "a", "e"))
 
 
+# Snowball Dutch stop list (abridged).
+DUTCH_STOP_WORDS = frozenset(
+    """aan al alles als altijd andere ben bij daar dan dat de der deze die
+    dit doch doen door dus een eens en er ge geen geweest haar had heb
+    hebben heeft hem het hier hij hoe hun iemand iets ik in is ja je kan
+    kon kunnen maar me meer men met mij mijn moet na naar niet niets nog
+    nu of om omdat ons ook op over reeds te tegen toch toen tot u uit uw
+    van veel voor want waren was wat werd wezen wie wil worden wordt zal
+    ze zelf zich zij zijn zo zonder zou""".split()
+)
+
+# Snowball Finnish stop list (abridged).
+FINNISH_STOP_WORDS = frozenset(
+    """ei eivät emme en et ette että he hän ja jo joka jos jotka kanssa
+    kuin kun me mikä minä mitä mutta myös ne niin nyt ole oli olla on
+    ovat se sekä sinä tai te tämä tässä vaan vain vielä voi""".split()
+)
+
+
+def dutch_minimal_stem(w: str) -> str:
+    """Minimal Dutch stemmer (the same published light-stemming family):
+    undo regular plural forms; ``-heden`` restores ``-heid``."""
+    if len(w) >= 8 and w.endswith("heden"):
+        return w[:-5] + "heid"  # mogelijkheden -> mogelijkheid
+    return _strip_suffixes(w, ("eren", "en", "se", "s", "e"))
+
+
+def finnish_minimal_stem(w: str) -> str:
+    """LIGHT Finnish stemmer: strip the most regular case endings
+    (inessive/elative/adessive/ablative/allative/translative, plural
+    variants, genitive/partitive -n/-a).  Finnish is agglutinative, so a
+    minimal stemmer is deliberately conservative — it conflates the
+    common surface forms without attempting full morphology."""
+    w = _strip_suffixes(
+        w,
+        ("issa", "issä", "ista", "istä", "illa", "illä", "ilta", "iltä",
+         "ille", "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä",
+         "lle", "ksi"),
+        min_word=6, min_stem=4,
+    )
+    return _strip_suffixes(w, ("en", "in", "an", "än", "a", "ä", "n", "t"),
+                           min_word=6, min_stem=4)
+
+
 ANALYZERS = {
     "keyword": tokenize_keyword,
     "lowercase": tokenize_lowercase,
@@ -628,11 +672,15 @@ tokenize_text_pt = make_language_analyzer(PORTUGUESE_STOP_WORDS, portuguese_mini
 tokenize_text_sv = make_language_analyzer(SWEDISH_STOP_WORDS, swedish_minimal_stem)
 tokenize_text_no = make_language_analyzer(NORWEGIAN_STOP_WORDS, norwegian_minimal_stem)
 tokenize_text_da = make_language_analyzer(DANISH_STOP_WORDS, danish_minimal_stem)
+tokenize_text_nl = make_language_analyzer(DUTCH_STOP_WORDS, dutch_minimal_stem)
+tokenize_text_fi = make_language_analyzer(FINNISH_STOP_WORDS, finnish_minimal_stem)
 for _name, _fn in (
     ("text_pt", tokenize_text_pt),
     ("text_sv", tokenize_text_sv),
     ("text_no", tokenize_text_no),
     ("text_da", tokenize_text_da),
+    ("text_nl", tokenize_text_nl),
+    ("text_fi", tokenize_text_fi),
 ):
     ANALYZERS[_name] = _fn
     PY_ANALYZERS[_name] = _fn.py_kernel

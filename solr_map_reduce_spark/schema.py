@@ -48,6 +48,8 @@ _TYPE_ALIASES: dict[str, T.DataType] = {
     "text_sv": T.StringType(),
     "text_no": T.StringType(),
     "text_da": T.StringType(),
+    "text_nl": T.StringType(),
+    "text_fi": T.StringType(),
     # spatial (solr.LatLonType / PointType — declared in the reference's
     # schemas, minimr/conf/schema.xml fieldTypes location/point, never
     # exercised by its tests; SURVEY §1.3): a plain (lat, lon) struct —

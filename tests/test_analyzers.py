@@ -465,3 +465,73 @@ def test_swedish_stop_list_keeps_english_us(spark):
     df = spark.createDataFrame([("kontakta us via oss",)], "t string")
     got = df.select(tokenize_text_sv(F.col("t")).alias("toks")).collect()[0]["toks"]
     assert "us" in got and "oss" not in got
+
+
+def test_dutch_analyzer_goldens(spark):
+    from solr_map_reduce_spark.functions.analyzers import (
+        ANALYZERS,
+        PY_ANALYZERS,
+        dutch_minimal_stem,
+    )
+
+    assert dutch_minimal_stem("katten") == "katt"
+    assert dutch_minimal_stem("kinderen") == "kind"
+    assert dutch_minimal_stem("mogelijkheden") == "mogelijkheid"
+    assert dutch_minimal_stem("boeken") == "boek"
+    assert dutch_minimal_stem("kat") == "kat"  # short: untouched
+    assert PY_ANALYZERS["text_nl"]("de katten en de boeken") == ["katt", "boek"]
+    corpus = [None, "", "alle kinderen lezen boeken"]
+    df = spark.createDataFrame([(t,) for t in corpus], "t string")
+    jvm = [r["k"] for r in df.select(ANALYZERS["text_nl"](F.col("t")).alias("k")).collect()]
+    assert [PY_ANALYZERS["text_nl"](t) for t in corpus] == jvm
+
+
+def test_finnish_analyzer_goldens(spark):
+    from solr_map_reduce_spark.functions.analyzers import (
+        ANALYZERS,
+        PY_ANALYZERS,
+        finnish_minimal_stem,
+    )
+
+    assert finnish_minimal_stem("talossa") == "talo"   # inessive
+    assert finnish_minimal_stem("taloissa") == "talo"  # plural inessive
+    assert finnish_minimal_stem("autolla") == "auto"   # adessive
+    assert finnish_minimal_stem("kissat") == "kissa"   # nominative plural
+    assert finnish_minimal_stem("talo") == "talo"      # short: untouched
+    assert PY_ANALYZERS["text_fi"]("kissat ja koirat talossa") == [
+        "kissa", "koira", "talo"
+    ]
+    corpus = [None, "", "autolla taloissa ja kissat"]
+    df = spark.createDataFrame([(t,) for t in corpus], "t string")
+    jvm = [r["k"] for r in df.select(ANALYZERS["text_fi"](F.col("t")).alias("k")).collect()]
+    assert [PY_ANALYZERS["text_fi"](t) for t in corpus] == jvm
+
+
+def test_nl_fi_fields_build_and_serve(spark, tmp_path):
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("nl", "text_nl"),
+            Field("fi", "text_fi"),
+        ),
+        unique_key="id",
+    )
+    df = spark.createDataFrame(
+        [("a", "de katten slapen", "kissat nukkuvat talossa"),
+         ("b", "kinderen lezen boeken", "koirat juoksevat")],
+        "id string, nl string, fi string",
+    )
+    out = str(tmp_path / "nlfi_idx")
+    IndexJob(
+        IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native")
+    ).build(df, out)
+    idx = SearchIndex.open(spark, out)
+    assert idx.analyze_terms(["katten"], field="nl") == ["katt"]
+    assert idx.analyze_terms(["talossa"], field="fi") == ["talo"]
+    assert sorted(r["id"] for r in idx.query("nl:katten").collect()) == ["a"]
+    assert sorted(r["id"] for r in idx.query("fi:talossa").collect()) == ["a"]
+    assert sorted(r["id"] for r in idx.query("nl:kinderen OR fi:koirat").collect()) == ["b"]
