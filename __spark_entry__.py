@@ -143,7 +143,7 @@ _VERDICT_PRIORITY = [
     "ext_cosine_pairs_lsh",
     # (b) new in r7
     "c9_phrase_slop", "c9_date_range", "c9_boosted_query",
-    "c9_fuzzy_query",
+    "c9_fuzzy_query", "c9_field_group",
     # (c) last checked r05, r05 order (overflow + r06 cohort lead r08)
     "c2_segment_lookup", "c2_key_range", "ext_pixel_stats",
     "ext_url_dedup", "ext_c4_clean", "ext_spatial_bbox",
@@ -154,7 +154,7 @@ _VERDICT_PRIORITY = [
     "b2_sanitize_fields", "b4_tokenize_general", "b4_tokenize_lowercase",
     "c7_segment_contract", "a8_routing_shards", "ext_decontaminate",
     "q4_order_priority", "q14_promo_revenue", "q18_large_orders",
-    "facet_cube_counts", "agg_distinct_users", "ext_percentiles",
+    "facet_cube_counts", "agg_distinct_users",
 ]
 
 

@@ -471,20 +471,39 @@ def parse_query(q: str):
                 return ("ffuzzy", fname, base, max_edits)
             return ("fuzzy", base, max_edits)
         if word.endswith("*") and len(word) > 1:
+            # RAW prefix in the AST — case folding is an ANALYZER
+            # property, applied in _analyze_node only when the clause
+            # resolves to analyzer-lowercased tokens (Solr only
+            # case-folds wildcard terms when the field's analyzer
+            # lowercases); a plain stored column matches
+            # case-sensitively, same as the fielded equality form
             if fname is not None:
-                # fielded wildcard: RAW prefix in the AST — case folding
-                # is an ANALYZER property, applied only when the field
-                # resolves to analyzed tokens (Solr only case-folds
-                # wildcard terms when the field's analyzer lowercases);
-                # a plain stored column matches case-sensitively, same
-                # as the fielded equality form
                 return ("fprefix", fname, word[:-1])
-            # unfielded wildcard targets the default ANALYZED field whose
-            # stored tokens are always lowercased — fold here
-            return ("prefix", word[:-1].lower())
+            return ("prefix", word[:-1])
         if fname is not None:
             return ("fterm", fname, word)
         return ("term", word)
+
+    def _scope_to_field(node, fname: str):
+        """Solr field scoping ``field:(a OR "b c"~2 OR d*)``: rewrite the
+        group's UNFIELDED leaves onto the field; explicitly-fielded inner
+        clauses keep their own field."""
+        kind = node[0]
+        if kind == "term":
+            return ("fterm", fname, node[1])
+        if kind == "phrase":
+            if len(node) > 2:
+                return ("fphrase", fname, node[1], node[2])
+            return ("fphrase", fname, node[1])
+        if kind == "prefix":
+            return ("fprefix", fname, node[1])
+        if kind == "fuzzy":
+            return ("ffuzzy", fname, node[1], node[2])
+        if kind == "not":
+            return ("not", _scope_to_field(node[1], fname))
+        if kind in ("and", "or"):
+            return (kind, [_scope_to_field(c, fname) for c in node[1]])
+        return node  # already fielded (inner field wins) / match-all
 
     def parse_atom():
         k = peek()
@@ -500,6 +519,8 @@ def parse_query(q: str):
             return ("phrase", text, slop) if slop else ("phrase", text)
         if k == "TERM":
             word = take()[1]
+            if word == "*:*":  # Solr's canonical match-all query
+                return ("all",)
             if ":" in word:  # Solr fielded clause: field:value / field:"..."
                 fname, _, value = word.partition(":")
                 if not fname:
@@ -541,6 +562,13 @@ def parse_query(q: str):
                     if slop:
                         return ("fphrase", fname, text, slop)
                     return ("fphrase", fname, text)
+                if peek() == "LP":  # field:(grouped clauses) — Solr scoping
+                    take()
+                    group = parse_or()
+                    if peek() != "RP":
+                        raise QuerySyntaxError(f"missing ')' in {q!r}")
+                    take()
+                    return _scope_to_field(group, fname)
                 raise QuerySyntaxError(f"field {fname!r} has no value in {q!r}")
             return _term_node(word)
         raise QuerySyntaxError(f"unexpected token at clause position in {q!r}")
@@ -571,8 +599,12 @@ def _analyze_node(node, analyze, resolver=None):
         if kind == "phrase" and len(node) > 2 and len(toks) > 1:
             return ("tokens_slop", toks, node[2])
         return ("tokens", toks)
+    if kind == "all":
+        return node  # *:* — matches every document
     if kind == "prefix":
-        return node  # wildcard terms skip analysis (Solr behavior)
+        # wildcard terms skip analysis (Solr behavior); the default
+        # field's stored tokens are analyzer-lowercased, so fold here
+        return ("prefix", node[1].lower())
     if kind == "fuzzy":
         # fuzzy terms skip analysis like wildcards; the default field's
         # stored tokens are lowercased, so fold the needle
@@ -732,6 +764,8 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
             "unfielded clause needs a default analyzed field; pass "
             "field=... or write fielded clauses (field:value)"
         )
+    if kind == "all":
+        return F.lit(True)  # *:* match-all
     if kind == "tokens":
         return _token_match(toks_col, node[1])
     if kind == "ftokens":
@@ -814,7 +848,7 @@ def _required_tokens(node) -> set:
         return set(node[1])  # every phrase token is necessary, slop or not
     if kind in (
         "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
-        "fptoks", "fpcol", "fuzzytoks", "fuzzycol",
+        "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all",
     ):
         return set()
     if kind == "and":
@@ -835,7 +869,7 @@ def _positive_tokens(node) -> set:
         return set(node[1])
     if kind in (
         "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
-        "fptoks", "fpcol", "fuzzytoks", "fuzzycol",
+        "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all",
     ):
         return set()
     out: set = set()
@@ -854,7 +888,7 @@ def _can_match_term_free(node) -> bool:
         return False
     if kind in (
         "ftokens", "ftokens_slop", "feq", "fcmp", "prefix", "fptoks",
-        "fpcol", "fuzzytoks", "fuzzycol",
+        "fpcol", "fuzzytoks", "fuzzycol", "all",
     ):
         return True  # satisfiable regardless of default-field tokens
     if kind == "not":

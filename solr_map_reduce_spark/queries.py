@@ -1672,6 +1672,22 @@ def c9_range_query(spark, sf_dir):
 
 
 @_register(
+    "c9_field_group",
+    f"""SELECT doc_id FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+        WHERE (lang = 'en' OR lang = 'de')
+          AND (list_contains(t, 'spark') OR list_contains(t, 'vector'))
+          AND NOT list_contains(t, 'shuffle')""",
+    "Solr field scoping lang:(en OR de) + grouped default-field terms and "
+    "a prohibit — still compiled to ONE scan predicate; *:* match-all is "
+    "part of the same grammar",
+)
+def c9_field_group(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query(
+        "lang:(en OR de) AND text:(spark OR vector) -shuffle"
+    )
+
+
+@_register(
     "c9_phrase_slop",
     f"""WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
         pos AS (SELECT doc_id, unnest(t) AS term,

@@ -928,3 +928,92 @@ class TestRound7QueryLanguage:
         boosted = idx.bm25(["table", "spark"], k=5, boosts={"spark": 50.0}).collect()
         assert {r["id"] for r in plain} == {r["id"] for r in boosted}
         assert boosted[0]["id"] == "e"  # the spark doc outranks under boost
+
+
+class TestFieldScopingAndMatchAll:
+    """Round-7 second batch: Solr field scoping field:(...) and the
+    canonical *:* match-all."""
+
+    def test_parse_shapes(self):
+        from solr_map_reduce_spark.extensions.search import parse_query
+
+        assert parse_query("*:*") == ("all",)
+        assert parse_query("lang:(en OR de)") == (
+            "or", [("fterm", "lang", "en"), ("fterm", "lang", "de")]
+        )
+        # default operator inside a group is still OR
+        assert parse_query("lang:(en de)") == (
+            "or", [("fterm", "lang", "en"), ("fterm", "lang", "de")]
+        )
+        assert parse_query('text:(run* OR "a b"~2)') == (
+            "or", [("fprefix", "text", "run"), ("fphrase", "text", "a b", 2)]
+        )
+        assert parse_query("f:(a AND b~1)") == (
+            "and", [("fterm", "f", "a"), ("ffuzzy", "f", "b", 1)]
+        )
+        # a juxtaposed prohibit inside a group keeps Lucene semantics
+        assert parse_query("f:(a -b)") == (
+            "and", [("fterm", "f", "a"), ("not", ("fterm", "f", "b"))]
+        )
+        # an explicitly-fielded inner clause keeps its own field
+        assert parse_query("f:(a OR g:b)") == (
+            "or", [("fterm", "f", "a"), ("fterm", "g", "b")]
+        )
+
+    def _index(self, spark, tmp_path, name):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(
+                Field("id", "string", required=True),
+                Field("text", "text_general"),
+                Field("lang", "string"),
+            ),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [
+                ("a", "spark vector merge", "en"),
+                ("b", "table hash shuffle", "de"),
+                ("c", "spark shuffle", "fr"),
+                ("d", "nothing here", None),
+            ],
+            "id string, text string, lang string",
+        )
+        out = str(tmp_path / name)
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none", routing="native",
+                           term_blooms=True)
+        ).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_match_all_and_scoped_groups(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "fg")
+        assert idx.query("*:*").count() == 4
+        # match-all composes with prohibits and filters
+        got = sorted(r["id"] for r in idx.query("*:* -shuffle").collect())
+        assert got == ["a", "d"]
+        got = sorted(r["id"] for r in idx.query("lang:(en OR de)").collect())
+        assert got == ["a", "b"]
+        got = sorted(r["id"] for r in idx.query("lang:(en de)").collect())
+        assert got == ["a", "b"]
+        got = sorted(
+            r["id"] for r in idx.query("lang:(en OR fr) AND text:(vector OR hash)").collect()
+        )
+        assert got == ["a"]
+        # scoped wildcard keeps analyzer case folding on analyzed fields
+        got = sorted(r["id"] for r in idx.query("text:(SPAR* OR hash)").collect())
+        assert got == ["a", "b", "c"]
+
+    def test_match_all_search_request(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path, "fg2")
+        # the filters-only request shape: q=*:* + fq + sort + rows
+        got = [
+            r["id"]
+            for r in idx.search(q="*:*", filters={"lang": "en"},
+                                sort=[("id", "asc")], limit=5,
+                                select=["id"]).collect()
+        ]
+        assert got == ["a"]
