@@ -788,10 +788,16 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
     if kind == "fptoks":
         hay = F.concat(F.lit(" "), F.array_join(node[2], " "), F.lit(" "))
         return F.coalesce(hay.contains(" " + node[1]), F.lit(False))
+    # plain-column predicates guard NULL with isNotNull() AND, never
+    # coalesce(): Kleene logic makes the conjunction non-null (FALSE AND
+    # NULL = FALSE) with the same never-match-NULL semantics, while
+    # staying a pushable parquet filter — a coalesce() wrapper would
+    # block predicate pushdown, turning a ts range over a 100 TB
+    # artifact into a full scan (plan-tested in test_plan_shapes.py)
     if kind == "fpcol":
-        return F.coalesce(node[2].startswith(node[1]), F.lit(False))
+        return node[2].isNotNull() & node[2].startswith(node[1])
     if kind == "feq":
-        return F.coalesce(node[2] == F.lit(node[1]), F.lit(False))
+        return node[2].isNotNull() & (node[2] == F.lit(node[1]))
     if kind == "fcmp":
         _, col, lo, hi, lo_incl, hi_incl, *rest = node
         dtype = rest[0] if rest else None
@@ -819,13 +825,16 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
 
         lo_v, hi_v = bound(lo), bound(hi)
         # isNotNull base: field:[* TO *] is Solr's FIELD-EXISTS idiom, and
-        # NULL values must never satisfy any range
+        # NULL values must never satisfy any range.  The isNotNull-led
+        # conjunction is never NULL (FALSE AND NULL = FALSE), so no
+        # coalesce — the whole range reaches the parquet scan as pushed
+        # filters (GreaterThanOrEqual/LessThan + IsNotNull)
         pred = col.isNotNull()
         if lo_v is not None:
             pred = pred & (col >= F.lit(lo_v) if lo_incl else col > F.lit(lo_v))
         if hi_v is not None:
             pred = pred & (col <= F.lit(hi_v) if hi_incl else col < F.lit(hi_v))
-        return F.coalesce(pred, F.lit(False))
+        return pred
     if kind == "not":
         return ~_compile_node(node[1], toks_col)
     preds = [_compile_node(c, toks_col) for c in node[1]]

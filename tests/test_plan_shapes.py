@@ -299,3 +299,39 @@ def test_conjunctive_query_bloom_prunes_shards(spark, sf_dir):
         .collect()
     )
     assert sorted(r["doc_id"] for r in out.collect()) == manual
+
+
+def test_c9_date_range_pushes_filters_to_scan(spark, sf_dir):
+    """Round-7: fielded column predicates (ranges, equalities) must reach
+    the parquet scan as PushedFilters — a coalesce() null-guard would
+    block pushdown and turn a ts range over a 100 TB artifact into a
+    full read.  NULL semantics (never match) come from an isNotNull-led
+    conjunction instead."""
+    # the PushedFilters display truncates at maxMetadataStringLength —
+    # raise it so every pushed filter is visible to the assertions
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, sf_dir, "c9_date_range")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(ts)" in plan
+    assert "GreaterThanOrEqual(ts," in plan
+    assert "LessThan(ts," in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_c9_field_group_equalities_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "c9_field_group")
+    # the disjunction of lang equalities is a pushable Or filter
+    assert "Or(EqualTo(lang,en),EqualTo(lang,de))" in plan
+
+
+def test_c9_search_request_single_scan_take_ordered(spark, sf_dir):
+    """The composed request (q + fq + sort + rows) is ONE artifact scan +
+    TakeOrdered — no joins, no extra exchanges, filter pushed."""
+    plan = _plan(spark, sf_dir, "c9_search_request")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(lang,en)" in plan
+    assert plan.count("Scan parquet") == 1
