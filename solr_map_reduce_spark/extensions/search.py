@@ -354,6 +354,9 @@ def parse_query(q: str):
             toks.append(("LP", c)); i += 1
         elif c == ")":
             toks.append(("RP", c)); i += 1
+            m = _re.match(r"\^\d+(\.\d+)?", q[i:])
+            if m:  # group boost (a OR b)^2: matching is boost-invariant
+                i += m.end()
         elif c == '"':
             j = q.find('"', i + 1)
             if j < 0:
@@ -581,7 +584,7 @@ def parse_query(q: str):
     return node
 
 
-def _analyze_node(node, analyze, resolver=None):
+def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None):
     """Replace term/phrase text with ANALYZED token lists (the field's own
     analyzer applied to query text, Solr's query-side analysis contract).
     A clause whose analysis drops every token (pure stopwords) is removed,
@@ -590,7 +593,16 @@ def _analyze_node(node, analyze, resolver=None):
     Fielded clauses (``field:value``) resolve through ``resolver(field)``:
     ``("analyzed", analyze_fn, toks_col)`` applies that field's analyzer
     (→ ``("ftokens", toks, toks_col)``), ``("column", col)`` becomes a
-    plain equality (→ ``("feq", value, col)``)."""
+    plain equality (→ ``("feq", value, col)``).
+
+    ``fuzzy_expand(field_or_None, needle, max_edits) -> list[str] | None``
+    rewrites fuzzy terms against a stored term DICTIONARY (the Lucene
+    FuzzyQuery term-automaton cost model): the needle expands to its
+    concrete in-vocabulary matches, and the clause becomes a plain
+    token-OR — exact same result set as the per-token Levenshtein scan,
+    but the expensive edit-distance work runs over |vocab| terms instead
+    of every token of every document, and the expanded terms are
+    Bloom-prunable.  Returning None falls back to the corpus scan."""
     kind = node[0]
     if kind in ("term", "phrase"):
         toks = [t for t in (analyze(node[1]) or []) if t]
@@ -608,7 +620,12 @@ def _analyze_node(node, analyze, resolver=None):
     if kind == "fuzzy":
         # fuzzy terms skip analysis like wildcards; the default field's
         # stored tokens are lowercased, so fold the needle
-        return ("fuzzytoks", node[1].lower(), node[2], None)
+        needle = node[1].lower()
+        if fuzzy_expand is not None:
+            exp = fuzzy_expand(None, needle, node[2])
+            if exp is not None:
+                return ("tokens_any", sorted(exp)) if exp else ("none",)
+        return ("fuzzytoks", needle, node[2], None)
     if kind in ("fterm", "fphrase", "frange", "fprefix", "ffuzzy"):
         if resolver is None:
             raise QuerySyntaxError(
@@ -637,7 +654,14 @@ def _analyze_node(node, analyze, resolver=None):
             return ("fpcol", node[2], rest[0])
         if kind == "ffuzzy":
             if mode == "analyzed":
-                return ("fuzzytoks", node[2].lower(), node[3], rest[1])
+                needle = node[2].lower()
+                if fuzzy_expand is not None:
+                    exp = fuzzy_expand(node[1], needle, node[3])
+                    if exp is not None:
+                        if not exp:
+                            return ("none",)
+                        return ("ftokens_any", sorted(exp), rest[1])
+                return ("fuzzytoks", needle, node[3], rest[1])
             return ("fuzzycol", node[2], node[3], rest[0])
         if mode == "analyzed":
             fn, toks_col = rest[0], rest[1]
@@ -654,9 +678,9 @@ def _analyze_node(node, analyze, resolver=None):
             )
         return ("feq", node[2], rest[0])
     if kind == "not":
-        child = _analyze_node(node[1], analyze, resolver)
+        child = _analyze_node(node[1], analyze, resolver, fuzzy_expand)
         return None if child is None else ("not", child)
-    children = [_analyze_node(c, analyze, resolver) for c in node[1]]
+    children = [_analyze_node(c, analyze, resolver, fuzzy_expand) for c in node[1]]
     children = [c for c in children if c is not None]
     if not children:
         return None
@@ -756,7 +780,7 @@ def _parse_solr_date(raw: str, q_repr: str):
 
 def _compile_node(node, toks_col: F.Column) -> F.Column:
     kind = node[0]
-    unfielded = kind in ("tokens", "tokens_slop", "prefix") or (
+    unfielded = kind in ("tokens", "tokens_slop", "tokens_any", "prefix") or (
         kind == "fuzzytoks" and node[3] is None
     )
     if unfielded and toks_col is None:
@@ -766,6 +790,18 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
         )
     if kind == "all":
         return F.lit(True)  # *:* match-all
+    if kind == "none":
+        return F.lit(False)  # e.g. a fuzzy term with zero vocab matches
+    if kind == "tokens_any":
+        return F.coalesce(
+            F.arrays_overlap(toks_col, F.array(*[F.lit(t) for t in node[1]])),
+            F.lit(False),
+        )
+    if kind == "ftokens_any":
+        return F.coalesce(
+            F.arrays_overlap(node[2], F.array(*[F.lit(t) for t in node[1]])),
+            F.lit(False),
+        )
     if kind == "tokens":
         return _token_match(toks_col, node[1])
     if kind == "ftokens":
@@ -855,9 +891,13 @@ def _required_tokens(node) -> set:
         return set(node[1])
     if kind == "tokens_slop":
         return set(node[1])  # every phrase token is necessary, slop or not
+    if kind == "tokens_any":
+        # a single-expansion fuzzy IS a required term; wider sets are not
+        return set(node[1]) if len(node[1]) == 1 else set()
     if kind in (
         "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
-        "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all",
+        "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all", "none",
+        "ftokens_any",
     ):
         return set()
     if kind == "and":
@@ -874,11 +914,12 @@ def _required_tokens(node) -> set:
 
 def _positive_tokens(node) -> set:
     kind = node[0]
-    if kind in ("tokens", "tokens_slop"):
+    if kind in ("tokens", "tokens_slop", "tokens_any"):
         return set(node[1])
     if kind in (
         "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
-        "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all",
+        "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all", "none",
+        "ftokens_any",
     ):
         return set()
     out: set = set()
@@ -893,11 +934,11 @@ def _can_match_term_free(node) -> bool:
     — in that case 'any'-mode Bloom pruning would hide matches and must
     be skipped."""
     kind = node[0]
-    if kind in ("tokens", "tokens_slop"):
-        return False
+    if kind in ("tokens", "tokens_slop", "tokens_any", "none"):
+        return False  # ("none" matches nothing, so pruning cannot hide it)
     if kind in (
         "ftokens", "ftokens_slop", "feq", "fcmp", "prefix", "fptoks",
-        "fpcol", "fuzzytoks", "fuzzycol", "all",
+        "fpcol", "fuzzytoks", "fuzzycol", "all", "ftokens_any",
     ):
         return True  # satisfiable regardless of default-field tokens
     if kind == "not":
@@ -908,7 +949,7 @@ def _can_match_term_free(node) -> bool:
 
 
 def boolean_predicate(
-    q: str, analyze, toks_col: F.Column, resolver=None
+    q: str, analyze, toks_col: F.Column, resolver=None, fuzzy_expand=None
 ) -> tuple[F.Column, dict]:
     """Compile a boolean query string to ONE Column predicate over the
     given token-array column, plus the pruning info dict (``required`` /
@@ -916,7 +957,7 @@ def boolean_predicate(
     :func:`boolean_query` (q) and BM25's ``fq`` filter queries.
     ``resolver(field_name)`` enables Solr fielded clauses
     (``lang:en``, ``title:"exact phrase"``) — see :func:`_analyze_node`."""
-    ast = _analyze_node(parse_query(q), analyze, resolver)
+    ast = _analyze_node(parse_query(q), analyze, resolver, fuzzy_expand)
     if ast is None:
         raise QuerySyntaxError(
             f"query {q!r} has no effective clauses after analysis "

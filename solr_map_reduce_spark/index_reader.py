@@ -54,6 +54,12 @@ class SearchIndex:
         self._dfs_memo: "OrderedDict" = OrderedDict()
         self._dfs_memo_cap = 1024
         self._warned_no_stats_fq = False
+        # per-generation memo of the artifact DataFrame: spark.read
+        # analysis (file listing + footer schema) costs tens of ms per
+        # call — a serving handle pays it once per artifact generation,
+        # not once per query (dropped by _check_generation on mutation)
+        self._df_memo: DataFrame | None = None
+        self._schema_memo = None  # parsed read schema, same lifetime
         # generation guard: every engine mutation rewrites the manifest
         # (with a bumped generation counter + fresh uuid), so a CONTENT
         # hash of it detects an artifact mutated UNDER a long-lived
@@ -94,6 +100,8 @@ class SearchIndex:
         self._key_ranges = False
         self._stats_cache = False
         self._dfs_memo = OrderedDict()
+        self._df_memo = None
+        self._schema_memo = None
         try:
             fs = get_fs(self.path, self.spark)
             self.manifest = json.loads(fs.read_text(fs_join(self.path, MANIFEST)))
@@ -119,7 +127,10 @@ class SearchIndex:
         return cls(spark, path, manifest)
 
     def df(self) -> DataFrame:
-        return read_index(self.spark, self.path)
+        self._check_generation()
+        if self._df_memo is None:
+            self._df_memo = read_index(self.spark, self.path)
+        return self._df_memo
 
     # -- C1 ------------------------------------------------------------
     def count(self) -> int:
@@ -190,12 +201,16 @@ class SearchIndex:
     def _read_schema(self):
         import pyspark.sql.types as T
 
+        if self._schema_memo is not None:
+            return self._schema_memo
         sj = self.manifest.get("schema_json")
         if sj:
             st = T.StructType.fromJson(json.loads(sj))
             if set(st.fieldNames()) == set(self.columns):
-                return T.StructType([st[c] for c in self.columns])
-        return self.df().schema
+                self._schema_memo = T.StructType([st[c] for c in self.columns])
+                return self._schema_memo
+        self._schema_memo = self.df().schema
+        return self._schema_memo
 
     def _files_df(self, cands: list[tuple[int, str]] | None) -> DataFrame | None:
         from solr_map_reduce_spark.fs import join as fs_join
@@ -432,6 +447,57 @@ class SearchIndex:
 
         return resolver
 
+    def _fuzzy_expansions(
+        self, fname: str, needle: str, max_edits: int
+    ) -> list[str] | None:
+        """Concrete in-vocabulary matches for a fuzzy term — the Lucene
+        FuzzyQuery cost model: edit distance runs over the |vocab|-row
+        stored term DICTIONARY (``_vocab/``), not over every token of
+        every document, and the expanded terms compile to a plain
+        Bloom-prunable token-OR.  None when no vocab sidecar exists
+        (callers fall back to the per-token corpus scan).  Memoized
+        per handle (LRU), like the BM25 df memo."""
+        stats = self._load_stats()
+        if not stats or fname not in stats:
+            return None
+        key = ("__fuzzy__", fname, needle, max_edits)
+        if key in self._dfs_memo:
+            self._dfs_memo.move_to_end(key)
+            return self._dfs_memo[key]
+        from solr_map_reduce_spark.fs import join as fs_join
+        from solr_map_reduce_spark.search_stats import _VOCAB_SCHEMA, VOCAB_DIR
+
+        vocab = self.spark.read.schema(_VOCAB_SCHEMA).parquet(
+            fs_join(self.path, f"{VOCAB_DIR}/{fname}")
+        )
+        n = len(needle)
+        rows = (
+            vocab
+            # cheap length band first: |len(term) - len(needle)| <= edits
+            .filter(F.length("term").between(n - max_edits, n + max_edits))
+            .filter(F.levenshtein(F.col("term"), F.lit(needle)) <= max_edits)
+            .select("term")
+            .collect()
+        )
+        out = sorted(r["term"] for r in rows)
+        self._dfs_memo[key] = out
+        while len(self._dfs_memo) > self._dfs_memo_cap:
+            self._dfs_memo.popitem(last=False)
+        return out
+
+    def _fuzzy_expander(self, default_field: str | None):
+        """The ``fuzzy_expand`` hook for boolean_predicate, bound to this
+        artifact's vocab sidecars."""
+        analyzed: dict = self.manifest.get("analyzed", {})
+
+        def expand(field: str | None, needle: str, max_edits: int):
+            f = field or default_field
+            if f is None or f not in analyzed:
+                return None
+            return self._fuzzy_expansions(f, needle, max_edits)
+
+        return expand
+
     def _query_scan(self, q: str, field: str | None = None) -> DataFrame:
         """Full rows matching a boolean query string — the shared engine
         behind :meth:`query` (ids), :meth:`search` (q + filters/sort/
@@ -459,12 +525,14 @@ class SearchIndex:
             toks_col = None
         pred, info = search.boolean_predicate(
             q, analyze, toks_col, resolver=self._field_resolver(),
+            fuzzy_expand=self._fuzzy_expander(fname),
         )
-        scan = self.df()
         if info["required"]:
             scan = self._bloom_pruned(info["required"], fname, "all")
         elif info["prunable"] and info["positive"]:
             scan = self._bloom_pruned(info["positive"], fname, "any")
+        else:
+            scan = self.df()
         return scan.filter(pred)
 
     def query(self, q: str, field: str | None = None) -> DataFrame:
@@ -622,6 +690,7 @@ class SearchIndex:
             pred, _info = search.boolean_predicate(
                 fq, analyze, F.col(self._tokens_col(fname)),
                 resolver=self._field_resolver(),
+                fuzzy_expand=self._fuzzy_expander(fname),
             )
             scan = scan.filter(pred)
         return search.bm25_search(

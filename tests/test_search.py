@@ -767,6 +767,14 @@ class TestRound7QueryLanguage:
         )
         assert parse_query('"a b"^2') == ("phrase", "a b")
         assert parse_query("run~1^2") == ("fuzzy", "run", 1)
+        # group boost (Lucene (a OR b)^2) is dropped too, not a term
+        assert parse_query("(a OR b)^2") == (
+            "or", [("term", "a"), ("term", "b")]
+        )
+        assert parse_query("(a OR b)^2 AND c") == (
+            "and",
+            [("or", [("term", "a"), ("term", "b")]), ("term", "c")],
+        )
 
     def _index(self, spark, tmp_path, name):
         from solr_map_reduce_spark.index_reader import SearchIndex
@@ -1017,3 +1025,78 @@ class TestFieldScopingAndMatchAll:
                                 select=["id"]).collect()
         ]
         assert got == ["a"]
+
+
+class TestFuzzyVocabExpansion:
+    """Round-7: with a term-dictionary sidecar, fuzzy terms expand against
+    the |vocab|-row dictionary (Lucene FuzzyQuery cost model) instead of
+    per-token Levenshtein over the corpus — same result set, and the
+    expansion compiles to a Bloom-prunable token-OR."""
+
+    def _build(self, spark, tmp_path, stats):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("a", "table scan"), ("b", "tablet stylus"), ("c", "cable tv"),
+             ("d", "fable book"), ("e", "nothing")],
+            "id string, text string",
+        )
+        out = str(tmp_path / f"fz_{stats}")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none",
+                           routing="native", search_stats=stats)
+        ).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_expansion_equals_scan_path(self, spark, tmp_path):
+        with_vocab = self._build(spark, tmp_path, True)
+        without = self._build(spark, tmp_path, False)
+        for q in ("table~1", "tible~2", "zzz~1", "table~1 -scan",
+                  "text:cable~1"):
+            a = sorted(r["id"] for r in with_vocab.query(q).collect())
+            b = sorted(r["id"] for r in without.query(q).collect())
+            assert a == b, q
+
+    def test_expansion_values(self, spark, tmp_path):
+        idx = self._build(spark, tmp_path, True)
+        # table -> {table(0), cable(1), fable(1)}; tablet is 1 insert away
+        assert idx._fuzzy_expansions("text", "table", 1) == [
+            "cable", "fable", "table", "tablet"
+        ]
+        assert idx._fuzzy_expansions("text", "zzzzz", 1) == []
+        # zero-expansion fuzzy matches nothing but does not error
+        assert idx.query("zzzzz~1").count() == 0
+        # memo: second call is a dict hit
+        key = ("__fuzzy__", "text", "table", 1)
+        assert key in idx._dfs_memo
+
+    def test_expansion_path_prunes_blooms(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [(str(i), "filler words here" if i else "unique zebra") for i in range(40)],
+            "id string, text string",
+        )
+        out = str(tmp_path / "fz_bloom")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=4, dedup="none",
+                           routing="native", search_stats=True, term_blooms=True)
+        ).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        # 'zebra~0' expands to exactly ['zebra'] -> a REQUIRED token ->
+        # 'all'-mode bloom pruning engages (plan shows a shard isin filter)
+        plan = idx.query("zebra~0")._jdf.queryExecution().executedPlan().toString()
+        got = sorted(r["id"] for r in idx.query("zebra~1").collect())
+        assert got == ["0"]
