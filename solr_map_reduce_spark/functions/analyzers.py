@@ -580,6 +580,116 @@ def dutch_minimal_stem(w: str) -> str:
     return _strip_suffixes(w, ("eren", "en", "se", "s", "e"))
 
 
+# Snowball Russian stop list (abridged).
+RUSSIAN_STOP_WORDS = frozenset(
+    """а без будет будто бы был была были было быть в вам вас вдруг ведь
+    во вот вы г где да даже для до его ее ей ему если есть еще ж же за
+    зачем и из или им иногда их к как кто ли лучше меня мне много может
+    можно мой мы на над надо наконец нас не него нее ней нет ни нибудь
+    никогда ним них ничего но ну о об он она они опять от перед по под
+    после потом потому при про раз разве с сам свою себе себя сказать со
+    так такой там тебя тем теперь то тогда того тоже только том ты у уж
+    уже хоть чего чем через что чтоб чтобы чуть эти этого этой этом этот
+    эту я""".split()
+)
+
+# Lucene/Snowball Romanian stop list (abridged; modern comma-below
+# diacritics ș/ț, with the legacy cedilla forms ş/ţ included too since
+# both encodings appear in real Romanian text).
+ROMANIAN_STOP_WORDS = frozenset(
+    """acea această aceste acestui acel acest al ale am ar are aș aş au
+    că care ce cel ci cine cu cum da dacă dar de despre din după ea ei
+    el ele era este eu fără fi fie fost iar în înainte între își îşi la
+    le lor lui mai mea mele mult nu o ori pe pentru prin sa sale sau se
+    și şi sunt tot toate un una unde unei unui vă voi""".split()
+)
+
+# Hungarian stop list (abridged, the Snowball/Lucene set).
+HUNGARIAN_STOP_WORDS = frozenset(
+    """a az ahogy ahol aki akik akkor alatt általában amely amelyek ami
+    amikor amit annak arra arról át azok azon azt azzal azért be belül
+    benne cikk csak de e ebben egy egyes egyetlen egyik egyre ekkor el
+    ellen elő először előtt én éppen ez ezek ezen ezt ezzel fel felé
+    hanem hogy hogyan igen így ill illetve ilyen ilyenkor is itt jó jól
+    kell kellett keresztül ki kívül között közül le lehet lenne lenni
+    lesz lett maga más másik meg még mely melyek mert mi mint mintha
+    mit mivel most nagy nagyobb nagyon ne nekem neki nem néha nincs
+    olyan ott össze ő ők őket pedig rá s saját sem semmi sok sokat
+    sokkal számára szemben szerint szinte talán tehát teljes tovább
+    továbbá több úgy ugyanis új újabb újra után utána utolsó vagy vagyis
+    valaki valami valamint való van vannak volt voltak voltam voltunk
+    vissza vele viszont volna""".split()
+)
+
+# Lucene/Snowball Turkish stop list (abridged).
+TURKISH_STOP_WORDS = frozenset(
+    """acaba altı ama ancak artık aslında az bana bazı belki ben benden
+    beni benim beri beş bile bin bir biri birkaç birşey biz bize bizden
+    bizi bizim böyle böylece bu buna bunda bundan bunlar bunları bunun
+    burada çok çünkü da daha de defa değil diğer diye dokuz dolayı dört
+    eğer en gibi hem hep hepsi her hiç için iki ile ilgili ise işte
+    kadar katrilyon kez ki kim kimden kime kimi mı mi mu mü nasıl ne
+    neden nedenle nerde nerede nereye niçin niye on ona ondan onlar
+    onlardan onları onların onu onun orada öyle pek sanki sekiz seksen
+    sen senden seni senin siz sizden sizi sizin şey şeyden şeyi şeyler
+    şöyle şu şuna şunda şundan şunları şunu tüm ve veya ya yani yedi
+    yerine yetmiş yine yirmi yoksa zaten""".split()
+)
+
+
+def russian_light_stem(w: str) -> str:
+    """LIGHT Russian stemmer (the published RussianLightStemFilter
+    family): strip the regular adjective/noun case endings, longest
+    first — a conservative subset that conflates the common surface
+    forms without full Snowball morphology."""
+    return _strip_suffixes(
+        w,
+        ("иями", "ями", "ами", "иях", "ьях", "ях", "ах", "ием", "нем",
+         "ого", "его", "ому", "ему", "ыми", "ими", "ией", "ей", "ый",
+         "ий", "ой", "ая", "яя", "ую", "юю", "ем", "ам", "ом", "ов",
+         "ев", "ие", "ье", "ия", "ья", "и", "ы", "а", "я", "о", "у",
+         "е", "ь", "ю", "й"),
+        min_word=5, min_stem=3,
+    )
+
+
+def romanian_minimal_stem(w: str) -> str:
+    """Minimal Romanian stemmer (light-stemming family): strip the
+    regular plural / definite-article endings."""
+    return _strip_suffixes(
+        w,
+        ("urilor", "ilor", "elor", "ului", "uri", "ile", "ele", "ii",
+         "ul", "ei", "le", "ea", "i", "e", "a"),
+        min_word=5, min_stem=3,
+    )
+
+
+def hungarian_light_stem(w: str) -> str:
+    """LIGHT Hungarian stemmer: strip the most regular case endings
+    (inessive/dative/instrumental/sublative/etc.) then plural/accusative
+    — conservative, vowel-harmony pairs listed explicitly."""
+    w = _strip_suffixes(
+        w,
+        ("ban", "ben", "nak", "nek", "val", "vel", "tól", "től", "ból",
+         "ből", "hoz", "hez", "höz", "ról", "ről", "ra", "re", "ig"),
+        min_word=5, min_stem=3,
+    )
+    return _strip_suffixes(
+        w, ("ok", "ek", "ök", "ak", "at", "et", "ot", "öt", "t", "k"),
+        min_word=5, min_stem=3,
+    )
+
+
+def turkish_minimal_stem(w: str) -> str:
+    """Minimal Turkish stemmer: strip the regular plural and the
+    plural+possessive endings (agglutinative long tail left intact —
+    deliberately conservative)."""
+    # min_stem 2: Turkish has common 2-letter noun roots (ev, su, el)
+    return _strip_suffixes(
+        w, ("ları", "leri", "lar", "ler"), min_word=4, min_stem=2
+    )
+
+
 def finnish_minimal_stem(w: str) -> str:
     """LIGHT Finnish stemmer: strip the most regular case endings
     (inessive/elative/adessive/ablative/allative/translative, plural
@@ -674,6 +784,10 @@ tokenize_text_no = make_language_analyzer(NORWEGIAN_STOP_WORDS, norwegian_minima
 tokenize_text_da = make_language_analyzer(DANISH_STOP_WORDS, danish_minimal_stem)
 tokenize_text_nl = make_language_analyzer(DUTCH_STOP_WORDS, dutch_minimal_stem)
 tokenize_text_fi = make_language_analyzer(FINNISH_STOP_WORDS, finnish_minimal_stem)
+tokenize_text_ru = make_language_analyzer(RUSSIAN_STOP_WORDS, russian_light_stem)
+tokenize_text_ro = make_language_analyzer(ROMANIAN_STOP_WORDS, romanian_minimal_stem)
+tokenize_text_hu = make_language_analyzer(HUNGARIAN_STOP_WORDS, hungarian_light_stem)
+tokenize_text_tr = make_language_analyzer(TURKISH_STOP_WORDS, turkish_minimal_stem)
 for _name, _fn in (
     ("text_pt", tokenize_text_pt),
     ("text_sv", tokenize_text_sv),
@@ -681,6 +795,10 @@ for _name, _fn in (
     ("text_da", tokenize_text_da),
     ("text_nl", tokenize_text_nl),
     ("text_fi", tokenize_text_fi),
+    ("text_ru", tokenize_text_ru),
+    ("text_ro", tokenize_text_ro),
+    ("text_hu", tokenize_text_hu),
+    ("text_tr", tokenize_text_tr),
 ):
     ANALYZERS[_name] = _fn
     PY_ANALYZERS[_name] = _fn.py_kernel

@@ -299,11 +299,20 @@ class SearchIndex:
         limit: int | None = None,
         q: str | None = None,
         field: str | None = None,
+        start: int = 0,
     ) -> DataFrame:
         """The full Solr request shape in one call: ``q`` (boolean query
         over the analyzed field, the :meth:`query` syntax), column
         ``filters`` / arbitrary ``where`` (fq analogs), ``sort`` +
-        ``limit`` (C4 paging), ``select`` (fl projection)."""
+        ``start``/``limit`` (C4 paging — Solr's start/rows params; page
+        boundaries are deterministic because the unique key is always
+        the final sort tiebreak), ``select`` (fl projection)."""
+        if start and not sort:
+            raise ValueError(
+                "start= (Solr's paging offset) needs sort= — an offset "
+                "into an unordered result set is a different page every "
+                "run"
+            )
         out = self._query_scan(q, field) if q is not None else self.df()
         for col, val in (filters or {}).items():
             out = out.filter(F.col(col) == val)
@@ -317,6 +326,8 @@ class SearchIndex:
                 ],
                 F.asc(self.unique_key),  # deterministic page boundaries
             )
+        if start:
+            out = out.offset(start)
         if limit is not None:
             out = out.limit(limit)
         if select:

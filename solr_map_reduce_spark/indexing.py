@@ -55,7 +55,7 @@ TOKENS_SUFFIX = "__tokens"
 ANALYZED_TYPES = (
     "text_en", "text_general", "lowercase", "text_fr", "text_de",
     "text_es", "text_it", "text_pt", "text_sv", "text_no", "text_da",
-    "text_nl", "text_fi",
+    "text_nl", "text_fi", "text_ru", "text_ro", "text_hu", "text_tr",
 )
 
 

@@ -50,6 +50,10 @@ _TYPE_ALIASES: dict[str, T.DataType] = {
     "text_da": T.StringType(),
     "text_nl": T.StringType(),
     "text_fi": T.StringType(),
+    "text_ru": T.StringType(),
+    "text_ro": T.StringType(),
+    "text_hu": T.StringType(),
+    "text_tr": T.StringType(),
     # spatial (solr.LatLonType / PointType — declared in the reference's
     # schemas, minimr/conf/schema.xml fieldTypes location/point, never
     # exercised by its tests; SURVEY §1.3): a plain (lat, lon) struct —

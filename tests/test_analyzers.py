@@ -535,3 +535,37 @@ def test_nl_fi_fields_build_and_serve(spark, tmp_path):
     assert sorted(r["id"] for r in idx.query("nl:katten").collect()) == ["a"]
     assert sorted(r["id"] for r in idx.query("fi:talossa").collect()) == ["a"]
     assert sorted(r["id"] for r in idx.query("nl:kinderen OR fi:koirat").collect()) == ["b"]
+
+
+@pytest.mark.parametrize(
+    "atype,text,want",
+    [
+        # книгами (instrumental pl) -> книг; старый -> стар
+        ("text_ru", "старый книгами и", ["стар", "книг"]),
+        # copiilor (gen/dat pl def) -> copi; cărțile -> cărț (conflates
+        # with bare plural cărți -> cărț)
+        ("text_ro", "copiilor și cărțile", ["copi", "cărț"]),
+        ("text_ro", "cărți", ["cărț"]),
+        # házban (inessive) -> ház; könyvek (plural) -> könyv
+        ("text_hu", "a házban könyvek", ["ház", "könyv"]),
+        # kitaplar -> kitap, evleri -> ev
+        ("text_tr", "kitaplar ve evleri", ["kitap", "ev"]),
+    ],
+)
+def test_r7_language_analyzer_goldens(spark, atype, text, want):
+    from solr_map_reduce_spark.functions.analyzers import ANALYZERS, PY_ANALYZERS
+
+    assert PY_ANALYZERS[atype](text) == want
+    # Column/kernel parity incl. null/empty
+    corpus = [None, "", text]
+    df = spark.createDataFrame([(t,) for t in corpus], "t string")
+    jvm = [r["k"] for r in df.select(ANALYZERS[atype](F.col("t")).alias("k")).collect()]
+    assert [PY_ANALYZERS[atype](t) for t in corpus] == jvm
+
+
+def test_r7_analyzed_types_registered():
+    from solr_map_reduce_spark import indexing, schema
+
+    for atype in ("text_ru", "text_ro", "text_hu", "text_tr"):
+        assert atype in indexing.ANALYZED_TYPES
+        assert atype in schema._TYPE_ALIASES

@@ -316,3 +316,36 @@ class TestGenerationGuardContentBased:
         m2 = json.loads(open(man).read())
         assert m2["generation"] == m1["generation"] + 1
         assert m2["generation_id"] != m1["generation_id"]
+
+
+class TestSearchPaging:
+    """Round-7: Solr's start/rows paging on the composed request."""
+
+    def test_start_offset_pages_deterministically(self, spark, tmp_path):
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("v", "long")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [(f"k{i:02d}", i % 3) for i in range(20)], "id string, v long"
+        )
+        path = str(tmp_path / "page_idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(df, path)
+        idx = SearchIndex.open(spark, path)
+        pages = [
+            [r["id"] for r in idx.search(sort=[("v", "asc")], start=s, limit=5,
+                                         select=["id"]).collect()]
+            for s in (0, 5, 10, 15)
+        ]
+        flat = [i for p in pages for i in p]
+        assert len(flat) == 20 and len(set(flat)) == 20  # disjoint, complete
+        # page boundaries are stable: same request, same page
+        again = [r["id"] for r in idx.search(sort=[("v", "asc")], start=5,
+                                             limit=5, select=["id"]).collect()]
+        assert again == pages[1]
+        # offset without a sort is refused (nondeterministic page)
+        with pytest.raises(ValueError, match="start"):
+            idx.search(start=5, limit=5)
