@@ -688,6 +688,7 @@ class IndexJob:
 
             if sidecar_exists(fs, path):
                 write_key_ranges(spark, path, shards=touched)
+            bump_generation(fs, path)  # live handles must drop caches
             return manifest
 
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
@@ -752,6 +753,7 @@ class IndexJob:
 
             if sidecar_exists(fs, path):
                 write_key_ranges(spark, path, shards=touched)
+            bump_generation(fs, path)  # live handles must drop caches
             return n_before - n_after
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
@@ -917,6 +919,24 @@ def clear_mutation_lock(path: str, spark: SparkSession | None = None) -> bool:
 _SWAP_TRASH = "_trash_swap"
 
 
+def bump_generation(fs, path: str) -> None:
+    """Rewrite the manifest with ``generation + 1`` and a fresh uuid.
+    EVERY in-place mutation that does not already rewrite the manifest
+    through ``_manifest()`` must call this: live ``SearchIndex`` handles
+    detect mutation by manifest CONTENT (index_reader._check_generation)
+    and would otherwise keep serving cached sidecars — and a memoized
+    DataFrame over segment files the mutation just renamed away."""
+    import uuid
+
+    mp = fs_join(path, MANIFEST)
+    if not fs.exists(mp):
+        return
+    m = json.loads(fs.read_text(mp))
+    m["generation"] = int(m.get("generation", 0)) + 1
+    m["generation_id"] = uuid.uuid4().hex
+    fs.write_text(mp, json.dumps(m, indent=2))
+
+
 def _swap_shard_dirs(
     fs, path: str, tmp: str, shard_names: list[str], remove_empty: bool = False
 ) -> None:
@@ -1076,6 +1096,9 @@ def compact(
 
         if fs.exists(fs_join(path, STATS)) and not fs.isdir(fs_join(path, VOCAB_DIR)):
             drop_search_stats(spark, path)
+        # the carry-over copied the manifest byte-identical; every segment
+        # file was just renamed, so live handles MUST see a new generation
+        bump_generation(fs, path)
 
 
 def publish(staging_path: str, live_path: str, spark: SparkSession | None = None) -> None:

@@ -349,3 +349,76 @@ class TestSearchPaging:
         # offset without a sort is refused (nondeterministic page)
         with pytest.raises(ValueError, match="start"):
             idx.search(start=5, limit=5)
+
+
+class TestGenerationGuardAllMutators:
+    """Round-7: update_fields, delete_where (in-place), and compact did
+    not rewrite the manifest, so NO generation guard (mtime or content)
+    ever fired for them — a live handle kept stale sidecar caches, and
+    with the round-7 DataFrame memo would reference segment files the
+    mutation renamed away.  Every in-place mutator now bumps the
+    manifest generation."""
+
+    def _build(self, spark, tmp_path):
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [(str(i), f"alpha word{i}") for i in range(30)],
+            "id string, text string",
+        )
+        job = IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=2, dedup="none", routing="native",
+                term_blooms=True, search_stats=True, key_ranges=True,
+            )
+        )
+        path = str(tmp_path / "idx")
+        job.build(df, path)
+        return job, path
+
+    def test_update_fields_under_open_handle(self, spark, tmp_path):
+        job, path = self._build(spark, tmp_path)
+        idx = SearchIndex.open(spark, path)
+        assert idx.count() == 30 and idx.contains_all(["alpha"]).count() == 30
+        job.update_fields(
+            spark.createDataFrame([("7", "alpha zeta-fresh")], "id string, text string"),
+            path,
+        )
+        # same handle: memoized df dropped, new tokens visible
+        assert idx.count() == 30
+        assert [r["id"] for r in idx.contains_all(["zeta"]).collect()] == ["7"]
+        got = idx.get("7").select("text").first()["text"]
+        assert got == "alpha zeta-fresh"
+
+    def test_delete_where_under_open_handle(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        job, path = self._build(spark, tmp_path)
+        idx = SearchIndex.open(spark, path)
+        assert idx.count() == 30
+        n = job.delete_where(spark, path, F.col("id") == "7")
+        assert n == 1
+        assert idx.count() == 29
+        assert idx.get("7").count() == 0
+        # bm25 still serves (stats delta-maintained or recomputed)
+        assert idx.bm25(["alpha"], k=3).count() == 3
+
+    def test_compact_under_open_handle(self, spark, tmp_path):
+        from solr_map_reduce_spark.indexing import compact, segment_counts
+
+        job, path = self._build(spark, tmp_path)
+        idx = SearchIndex.open(spark, path)
+        assert idx.count() == 30
+        # warm the DataFrame memo so stale file references would be fatal
+        assert idx.contains_all(["alpha"]).count() == 30
+        compact(spark, path, max_segments=1)
+        assert max(segment_counts(path).values()) <= 1
+        # the SAME handle must keep answering over the renamed files
+        assert idx.count() == 30
+        assert idx.contains_all(["alpha"]).count() == 30
+        assert idx.get("7").count() == 1
