@@ -119,42 +119,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round), r07 rotation — exactly the r06 verdict's ask: lead
-# with (a) the 16 entries lacking a CURRENT driver-green row — the 7
-# r6-new queries (never externally checked), the 8-entry cohort whose
-# last check is r04, and ext_cosine_pairs_lsh (its all-pairs exact
-# oracle landed AFTER its last driver check, so it is green only as
-# no_oracle); then (b) entries NEW this round (r7) so they get a
-# first-class external check immediately; then (c) the 47-entry cohort
-# last checked in r05, in its r05 order (the first ~32 fit; the
-# overflow — plus everything r06-checked — leads the r08 rotation).
-# The repo's own oracle suite covers all entries every pytest run
-# regardless (tests/test_queries_oracle.py).
+# entries per round), r08 rotation: every entry was green at its last
+# driver check (r07: 50/50), so the window leads with (a) the 18-entry
+# cohort whose last check is oldest (r05), then (b) entries NEW this
+# round (r8) so they get a first-class external check immediately, then
+# (c) the 50-entry r06 cohort in its r06 order (the overflow plus the
+# r07-checked cohort leads the r09 rotation).  The repo's own oracle
+# suite covers all entries every pytest run regardless
+# (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a1) r6-new, never externally checked
-    "c9_boolean_query", "c9_fielded_query", "c9_range_query",
-    "c9_search_request", "c9_facet_query", "ext_bm25_filtered",
-    "ext_chunk_docs",
-    # (a2) last checked r04
-    "ext_ivf_topk", "ext_passage_dedup", "ext_knn_join", "ext_pq_topk",
-    "ext_ivfpq_topk", "b6_extract_json", "ext_knn_classify",
-    "ext_source_cap",
-    # (a3) oracle added after last driver check
-    "ext_cosine_pairs_lsh",
-    # (b) new in r7
-    "c9_phrase_slop", "c9_date_range", "c9_boosted_query",
-    "c9_fuzzy_query", "c9_field_group",
-    # (c) last checked r05, r05 order (overflow + r06 cohort lead r08)
-    "c2_segment_lookup", "c2_key_range", "ext_pixel_stats",
-    "ext_url_dedup", "ext_c4_clean", "ext_spatial_bbox",
-    "c6_atomic_update", "ext_hash_split", "c1_count_all",
-    "c2_point_lookup", "c3_delete_by_query", "c4_sort_page",
-    "c5_projection", "c6_upsert_latest", "a10_dedup_retain_most_recent",
-    "a11_dedup_sort_updates", "a12_collision_report", "b3_sequence_key",
-    "b2_sanitize_fields", "b4_tokenize_general", "b4_tokenize_lowercase",
-    "c7_segment_contract", "a8_routing_shards", "ext_decontaminate",
-    "q4_order_priority", "q14_promo_revenue", "q18_large_orders",
-    "facet_cube_counts", "agg_distinct_users",
+    # (a) last checked r05
+    "ext_percentiles", "window_rolling_sum", "ext_multimodal_decode",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
+    "q10_returned_items", "q13_order_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q20_heavy_part_suppliers", "q21_last_shipper", "q22_idle_customers",
+    "pivot_user_activity", "window_lag_delta", "setop_viewers_not_buyers",
+    "ext_stratified_sample",
+    # (b) new in r8 (appended as they land)
+    # (c) last checked r06, r06 order (overflow leads r09)
+    "b8_convert_timestamp", "facet_event_counts", "ext_funnel_conversion",
+    "ext_cohort_retention", "facet_range_value", "pipeline_etl_events",
+    "window_hourly_counts", "q1_pricing_summary", "q3_top_revenue",
+    "q5_local_supplier", "q6_revenue_change",
+    "exists_big_order_customers", "window_topn_orders", "ext_asof_join",
+    "ext_range_join", "skew_salted_join", "star_join_enrich",
+    "ext_exact_dedup", "ext_token_count", "ext_curation_pipeline",
+    "ext_bpe_token_count", "ext_quality_features", "ext_gopher_rules",
+    "ext_lang_id", "ext_fingerprint", "ext_ann_topk",
+    "ext_minhash_dedup", "ext_simhash", "ext_ngram_jaccard",
+    "ext_simhash_pairs", "ext_cosine_pairs", "ext_dedup_clusters",
 ]
 
 

@@ -470,6 +470,14 @@ def parse_query(q: str):
         if m:
             base, n_s = m.group(1), m.group(2)
             max_edits = int(n_s) if n_s else 2
+            if max_edits > 2:
+                # Lucene caps FuzzyQuery at 2 edits (LevenshteinAutomata
+                # limit); beyond that the dictionary expansion degrades
+                # to a near-whole-vocabulary token-OR
+                raise QuerySyntaxError(
+                    f"fuzzy term {word!r}: max edit distance is 2 "
+                    "(Lucene FuzzyQuery limit)"
+                )
             if fname is not None:
                 return ("ffuzzy", fname, base, max_edits)
             return ("fuzzy", base, max_edits)
@@ -642,7 +650,8 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None):
                 )
             col = rest[0]
             dtype = rest[1] if len(rest) > 1 else None
-            return ("fcmp", col, node[2], node[3], node[4], node[5], dtype)
+            return ("fcmp", col, node[2], node[3], node[4], node[5], dtype,
+                    node[1])
         if kind == "fprefix":
             if mode == "analyzed":
                 # wildcard terms skip analysis (Solr) — prefix over the
@@ -759,7 +768,7 @@ def _fuzzy_match(toks_col: F.Column, needle: str, max_edits: int) -> F.Column:
     return F.coalesce(pred, F.lit(False))
 
 
-def _parse_solr_date(raw: str, q_repr: str):
+def _parse_solr_date(raw: str, where: str):
     """A Solr date bound (ISO-8601, optional trailing ``Z`` — Solr dates
     are always UTC) as a naive ``datetime`` (the engine pins the session
     timezone to UTC, so a naive literal IS the UTC instant).  Refuses
@@ -772,7 +781,7 @@ def _parse_solr_date(raw: str, q_repr: str):
         return datetime.fromisoformat(s)
     except ValueError:
         raise QuerySyntaxError(
-            f"range bound {raw!r} in {q_repr} targets a date/timestamp "
+            f"range bound {raw!r} on {where} targets a date/timestamp "
             "field and must be ISO-8601 (e.g. 2024-01-01T00:00:00Z or "
             "2024-01-01), or * for an open bound"
         ) from None
@@ -837,6 +846,7 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
     if kind == "fcmp":
         _, col, lo, hi, lo_incl, hi_incl, *rest = node
         dtype = rest[0] if rest else None
+        fname = rest[1] if len(rest) > 1 else "?"
 
         def bound(raw):
             # '*' is the Solr open bound.  A date/timestamp-typed column
@@ -849,7 +859,7 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
             if raw == "*":
                 return None
             if dtype is not None and dtype.startswith(("timestamp", "date")):
-                v = _parse_solr_date(raw, repr(raw))
+                v = _parse_solr_date(raw, f"field {fname!r}")
                 return v.date() if dtype == "date" else v
             try:
                 return int(raw)

@@ -368,17 +368,27 @@ def italian_minimal_stem(w: str) -> str:
     return w[:-1]  # gatti -> gatt, libri -> libr
 
 
+def turkish_fold(text: str) -> str:
+    """Turkish-aware case fold (Lucene TurkishLowerCaseFilter): dotless
+    uppercase ``I`` folds to dotless ``ı`` and dotted ``İ`` to ``i`` —
+    the locale-neutral ``str.lower()`` maps ``I``→``i``, which merges
+    distinct Turkish words (``KITAP``→``kitap`` instead of ``kıtap``)."""
+    return text.replace("İ", "i").replace("I", "ı").lower()
+
+
 def _analyze_lang(
     text: str | None,
     stops: frozenset,
     stem,
     cache: dict[str, str] | None = None,
+    fold=None,
 ) -> list[str] | None:
     if text is None:
         return None
     import re
 
-    tokens = [t for t in re.split(r"[^\w]+|_", text.lower(), flags=re.UNICODE) if t]
+    folded = fold(text) if fold is not None else text.lower()
+    tokens = [t for t in re.split(r"[^\w]+|_", folded, flags=re.UNICODE) if t]
     out = []
     if cache is None:
         cache = {}
@@ -753,25 +763,28 @@ PY_ANALYZERS = {
 }
 
 
-def make_language_analyzer(stop_words, stem):
+def make_language_analyzer(stop_words, stem, fold=None):
     """Analyzer factory for further ``text_<lang>`` fieldTypes: lowercase
     word-split + stop removal + the given stemmer (any picklable
     ``str -> str``), Arrow-batched like the built-ins.  The reference
     schema declares ~30 language variants (minimr/conf/schema.xml); with
-    this each is one line: a stop set and a stemmer.  The returned
-    analyzer carries a ``py_kernel`` attribute (the same tokenization as
-    a plain Python callable) so query-term analysis stays driver-side."""
+    this each is one line: a stop set and a stemmer.  ``fold`` replaces
+    the locale-neutral ``str.lower()`` for languages whose case mapping
+    diverges (Turkish dotted/dotless I → :func:`turkish_fold`, matching
+    Lucene's TurkishLowerCaseFilter).  The returned analyzer carries a
+    ``py_kernel`` attribute (the same tokenization as a plain Python
+    callable) so query-term analysis stays driver-side."""
     stops = frozenset(stop_words)
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def _udf(texts: pd.Series) -> pd.Series:
         cache: dict[str, str] = {}
-        return texts.map(lambda t: _analyze_lang(t, stops, stem, cache))
+        return texts.map(lambda t: _analyze_lang(t, stops, stem, cache, fold))
 
     def analyzer(col: Column) -> Column:
         return _udf(col)
 
-    analyzer.py_kernel = lambda t: _analyze_lang(t, stops, stem)
+    analyzer.py_kernel = lambda t: _analyze_lang(t, stops, stem, fold=fold)
     return analyzer
 
 
@@ -787,7 +800,9 @@ tokenize_text_fi = make_language_analyzer(FINNISH_STOP_WORDS, finnish_minimal_st
 tokenize_text_ru = make_language_analyzer(RUSSIAN_STOP_WORDS, russian_light_stem)
 tokenize_text_ro = make_language_analyzer(ROMANIAN_STOP_WORDS, romanian_minimal_stem)
 tokenize_text_hu = make_language_analyzer(HUNGARIAN_STOP_WORDS, hungarian_light_stem)
-tokenize_text_tr = make_language_analyzer(TURKISH_STOP_WORDS, turkish_minimal_stem)
+tokenize_text_tr = make_language_analyzer(
+    TURKISH_STOP_WORDS, turkish_minimal_stem, fold=turkish_fold
+)
 for _name, _fn in (
     ("text_pt", tokenize_text_pt),
     ("text_sv", tokenize_text_sv),

@@ -550,6 +550,10 @@ def test_nl_fi_fields_build_and_serve(spark, tmp_path):
         ("text_hu", "a házban könyvek", ["ház", "könyv"]),
         # kitaplar -> kitap, evleri -> ev
         ("text_tr", "kitaplar ve evleri", ["kitap", "ev"]),
+        # Turkish-aware case fold (Lucene TurkishLowerCaseFilter):
+        # dotless I folds I->ı (KITAP -> kıtap, NOT kitap) and dotted
+        # İ folds to i (İstanbul -> istanbul)
+        ("text_tr", "KITAP İstanbul ILIK", ["kıtap", "istanbul", "ılık"]),
     ],
 )
 def test_r7_language_analyzer_goldens(spark, atype, text, want):

@@ -776,6 +776,22 @@ class TestRound7QueryLanguage:
             [("or", [("term", "a"), ("term", "b")]), ("term", "c")],
         )
 
+    def test_fuzzy_max_edits_capped_at_two(self):
+        """Lucene caps FuzzyQuery at 2 edits (LevenshteinAutomata limit);
+        term~3+ must be rejected at parse time, not expanded against the
+        whole vocabulary."""
+        import pytest as _pytest
+
+        from solr_map_reduce_spark.extensions.search import (
+            QuerySyntaxError,
+            parse_query,
+        )
+
+        assert parse_query("run~2") == ("fuzzy", "run", 2)
+        for bad in ("run~3", "run~9", "f:run~3"):
+            with _pytest.raises(QuerySyntaxError, match="edit distance"):
+                parse_query(bad)
+
     def _index(self, spark, tmp_path, name):
         from solr_map_reduce_spark.index_reader import SearchIndex
         from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
@@ -1096,7 +1112,11 @@ class TestFuzzyVocabExpansion:
         ).build(df, out)
         idx = SearchIndex.open(spark, out)
         # 'zebra~0' expands to exactly ['zebra'] -> a REQUIRED token ->
-        # 'all'-mode bloom pruning engages (plan shows a shard isin filter)
+        # 'all'-mode bloom pruning engages: the scan's PartitionFilters
+        # restrict the shard column (a 1-element isin simplifies to =)
+        import re
+
         plan = idx.query("zebra~0")._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*shard#\d+ (=|IN)", plan), plan
         got = sorted(r["id"] for r in idx.query("zebra~1").collect())
         assert got == ["0"]
