@@ -376,6 +376,33 @@ def turkish_fold(text: str) -> str:
     return text.replace("İ", "i").replace("I", "ı").lower()
 
 
+# Python's ``\w`` excludes combining marks (Unicode Mn/Mc), which are
+# word-INTERNAL in abugida scripts — Devanagari matras, Thai vowel signs —
+# and in decomposed text.  The language-analyzer split treats the mark
+# blocks the shipped analyzers can see as word characters so किताबें /
+# หนังสือ tokenize as whole words instead of shattering at every matra.
+_COMBINING_MARKS = (
+    "̀-ͯ"  # combining diacriticals (decomposed Latin/Greek/Cyrillic)
+    "҃-҉"  # Cyrillic combining
+    "֑-ׇ"  # Hebrew points
+    "ؐ-ًؚ-ٰٟۖ-ۜ۟-۪ۨ-ۭ"  # Arabic
+    "ऀ-ःऺ-ॏ॑-ॗॢॣ"  # Devanagari
+    "ัิ-ฺ็-๎"  # Thai
+)
+_LANG_SPLIT_RE = None
+
+
+def _lang_split(text: str) -> list[str]:
+    global _LANG_SPLIT_RE
+    if _LANG_SPLIT_RE is None:
+        import re
+
+        _LANG_SPLIT_RE = re.compile(
+            rf"[^\w{_COMBINING_MARKS}]+|_", flags=re.UNICODE
+        )
+    return [t for t in _LANG_SPLIT_RE.split(text) if t]
+
+
 def _analyze_lang(
     text: str | None,
     stops: frozenset,
@@ -385,10 +412,9 @@ def _analyze_lang(
 ) -> list[str] | None:
     if text is None:
         return None
-    import re
 
     folded = fold(text) if fold is not None else text.lower()
-    tokens = [t for t in re.split(r"[^\w]+|_", folded, flags=re.UNICODE) if t]
+    tokens = _lang_split(folded)
     out = []
     if cache is None:
         cache = {}
@@ -817,6 +843,631 @@ for _name, _fn in (
 ):
     ANALYZERS[_name] = _fn
     PY_ANALYZERS[_name] = _fn.py_kernel
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the REMAINDER of the reference's declared text_* fieldTypes
+# (minimr + solrcelltest schema.xml declare 37 distinct ones).  Language
+# variants follow the same public light/minimal-stemmer family as above
+# (Savoy CLEF light stemmers / the algorithms behind Lucene's
+# <Lang>LightStemFilter + <Lang>NormalizationFilter classes, re-implemented
+# from their published descriptions); the structural ones (whitespace,
+# char-norm, CJK bigram, word-delimiter splitting, reversed-wildcard)
+# implement the filter-chain semantics the schema declares.
+# ---------------------------------------------------------------------------
+
+ARABIC_STOP_WORDS = frozenset(
+    """في من على ان أن إن الى إلى عن مع هذا هذه ذلك تلك هو هي هم كان كانت
+    يكون التي الذي الذين ما لا لم لن و أو ثم بل قد كل بعض غير بين عند حتى
+    اذا إذا كما لكن منذ خلال بعد قبل حيث فيه فيها له لها لهم به بها هناك
+    نحن انت أنت انا أنا ايضا أيضا اي أي كيف متى أين اين""".split()
+)
+
+# ArabicNormalizationFilter (public algorithm): strip tashkeel (U+064B-0652)
+# and tatweel (U+0640), fold alef variants to bare alef, alef maksura to
+# yeh, teh marbuta to heh
+_AR_STRIP = dict.fromkeys([0x0640, *range(0x064B, 0x0653)])
+
+
+def arabic_fold(text: str) -> str:
+    return (
+        text.translate(_AR_STRIP)
+        .replace("أ", "ا").replace("إ", "ا")
+        .replace("آ", "ا")  # أ إ آ -> ا
+        .replace("ى", "ي")  # ى -> ي
+        .replace("ة", "ه")  # ة -> ه
+        .lower()
+    )
+
+
+def arabic_light_stem(w: str) -> str:
+    """Light10-family Arabic stemmer (Larkey/Ballesteros/Connell, SIGIR
+    2002 — the algorithm behind Lucene's ArabicStemFilter): strip the
+    definite-article prefixes and the regular suffixes."""
+    if len(w) > 3 and w.startswith("و"):  # leading waw (and-)
+        w = w[1:]
+    for pre in ("ال", "وال", "بال",
+                "كال", "فال", "لل"):
+        if w.startswith(pre) and len(w) - len(pre) >= 2:
+            w = w[len(pre):]
+            break
+    return _strip_suffixes(
+        w,
+        ("ها", "ان", "ات", "ون",
+         "ين", "يه", "يها", "ه",
+         "ي"),
+        min_word=4, min_stem=2,
+    )
+
+
+BULGARIAN_STOP_WORDS = frozenset(
+    """а автентичен аз ако ала бе без беше би бил била били било благодаря
+    близо бъдат бъде бяха в вас ваш ваша вероятно вече взема ви вие винаги
+    все всеки всички всичко всяка във въпреки върху г ги главен главна
+    главно глас го д да дали два двама двамата две двете ден днес дни до
+    добра добре добро добър докато докога дори досега доста друг друга
+    други е евтин едва един една еднаква еднакви еднакъв едно екип ето
+    живот за забавям зад заедно заради засега заспал затова защо защото и
+    из или им има имат иска й каза как каква какво както какъв като кога
+    когато което които кой който колко която къде където към лесен лесно
+    ли лош м май малко ме между мек мен месец ми много мнозина мога могат
+    може мокър моля момента му н на над назад най направи напред например
+    нас не него нещо нея ни ние никой нито нищо но нов нова нови новина
+    някои някой няколко няма обаче около освен особено от отгоре отново
+    още пак по повече повечето под поне поради после почти прави пред
+    преди през при пък първата първи първо пъти равен равна с са сам само
+    се сега си син скоро след следващ сме смях според сред срещу сте съм
+    със също т тази така такива такъв там твой те тези ти то това тогава
+    този той толкова точно три трябва тук тъй тя тях у утре харесва хиляди
+    ч часа че често чрез ще щом юмрук я як""".split()
+)
+
+
+def bulgarian_light_stem(w: str) -> str:
+    """LIGHT Bulgarian stemmer (the BulStem / Lucene BulgarianStemmer
+    family): strip the definite articles and regular plural endings."""
+    return _strip_suffixes(
+        w,
+        ("ията", "ият", "овете", "евете", "ище", "ът", "ят", "та", "то",
+         "те", "ия", "ове", "еве", "и", "е", "а", "я", "о"),
+        min_word=5, min_stem=3,
+    )
+
+
+# Catalan tokenizes l'home -> [l, home] under the word-split rule, so the
+# elided articles (l', d', m', t', s', n' — Lucene ElisionFilter) surface
+# as one-letter tokens and drop as stopwords
+CATALAN_STOP_WORDS = frozenset(
+    """a abans al als amb antre aquell aquelles aquells aquesta aquestes
+    aquests així bé cada com contra d de del dels des després durant e el
+    elles ells els em en encara ens entre era eren es essent est esta
+    estan estava estem esteu estic està estàvem estàveu fins fora fou ha
+    han has havia he hem heu hi ho i igual iguals ja l la les li lo los m
+    mentre molt molts n ni no nosaltres nostra nostre o on pel pels per
+    perquè però poc poca pocs podem poden podeu puc qual quan quant que
+    qui quin quina quines quins s sa sense ser ses seu seus seva si sobre
+    sota sou sóc són t tal també tant te tene tenim teniu teu tinc tot
+    una unes uns us vaig vam van vas veu vosaltres vostra vostre y""".split()
+)
+
+
+def catalan_minimal_stem(w: str) -> str:
+    """Minimal Catalan stemmer (Savoy light family): strip the regular
+    plural endings."""
+    return _strip_suffixes(w, ("es", "s"), min_word=4, min_stem=3)
+
+
+CZECH_STOP_WORDS = frozenset(
+    """a aby ale ani ano až bez bude budem budeš by byl byla byli bylo být
+    co což či další dnes do ho i jak jake jako je jeho jej její jejich jen
+    ještě ji jiné jiz již jsem jseš jsme jsou jšte k kam kde kdo když ke
+    která které kterou který kteři kteří ku ma mají mate me mezi mi mít
+    mne mnou mně muj musí může my má máte můj na nad nam napište naši ne
+    nebo nechť nejsou neni není nez než ni nic nové nový ná nám nás náš
+    němu o od ode on ona oni ono ony pak po pod podle pokud pouze prave
+    pro proč proto protože první před přede při s se si sice snad spolu
+    sta sto strana své svých svým svými ta tak take takže tato te tedy
+    ten tento teto tim timto tipy to tohle toho tohoto tom tomto tomuto
+    toto tu tuto ty tyto téma této tím tímto u už v vam vaše ve vedle
+    více vsak vy vám vás váš však vše z za zda zde ze zpet zprávy že""".split()
+)
+
+
+def czech_light_stem(w: str) -> str:
+    """LIGHT Czech stemmer (the published Dolamic/Savoy light stemmer
+    behind Lucene's CzechStemmer): strip case endings, longest first."""
+    return _strip_suffixes(
+        w,
+        ("atech", "ětem", "atům", "ech", "ich", "ích", "ého", "ěmi",
+         "emi", "ému", "ete", "eti", "iho", "ího", "ími", "imu", "ách",
+         "ata", "aty", "ých", "ama", "ami", "ové", "ovi", "ými", "em",
+         "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým", "mi",
+         "ou", "e", "i", "í", "ě", "u", "y", "ů", "a", "o", "á", "é",
+         "ý"),
+        min_word=5, min_stem=4,
+    )
+
+
+GREEK_STOP_WORDS = frozenset(
+    """ο η το οι τα του τησ των τον την και κι κ ειμαι εισαι ειναι ειμαστε
+    ειστε στο στον στη στην μα αλλα απο για προσ με σε ωσ παρα αντι κατα
+    μετα θα να δε δεν μη μην επι ενω εαν αν τοτε που πωσ ποιοσ ποια ποιο
+    ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη αυτο αυτοι αυτων αυτουσ αυτεσ
+    αυτα εκεινοσ εκεινη εκεινο εκεινοι εκεινεσ εκεινα εκεινων εκεινουσ
+    οπωσ ομωσ ισωσ οσο οτι""".split()
+)
+
+_GREEK_UNACCENT = str.maketrans(
+    "άέήίόύώϊϋΐΰ", "αεηιουωιυιυ"
+)
+
+
+def greek_fold(text: str) -> str:
+    """GreekLowerCaseFilter semantics: lowercase, fold final sigma ς→σ,
+    strip the tonos/dialytika accents."""
+    return text.lower().replace("ς", "σ").translate(_GREEK_UNACCENT)
+
+
+def greek_light_stem(w: str) -> str:
+    """LIGHT Greek stemmer (Ntais/Saroukos family behind Lucene's
+    GreekStemmer, reduced to the regular noun/adjective endings; tokens
+    arrive tonos-stripped and final-sigma-folded)."""
+    return _strip_suffixes(
+        w,
+        ("ματων", "ματα", "ματοσ", "εων", "ουσ", "εισ", "ων", "ασ",
+         "εσ", "οσ", "ησ", "οι", "αι", "ου", "α", "η", "ο", "ι"),
+        min_word=5, min_stem=3,
+    )
+
+
+BASQUE_STOP_WORDS = frozenset(
+    """al anitz arabera asko baina bat batean batek bati batzuei batzuek
+    batzuetan batzuk bera beraiek berau berauek bere berori beroriek beste
+    bezala da dago dira ditu du dute edo egin ere eta eurak ez gainera gu
+    gutxi guzti haiei haiek haietan hainbeste hala han handik hango hara
+    hari hark hartan hau hauei hauek hauetan hemen hemendik hemengo hi hona
+    honek honela honetan honi hor hori horiei horiek horietan horko horra
+    horrek horrela horretan horri hortik hura izan ni noiz nola non nondik
+    nongo nor nora ze zein zen zenbait zenbat zer zergatik ziren zituen zu
+    zuek zuen zuten""".split()
+)
+
+
+def basque_light_stem(w: str) -> str:
+    """LIGHT Basque stemmer: strip the regular case/article endings
+    (absolutive/ergative/dative/locative, singular and plural)."""
+    return _strip_suffixes(
+        w,
+        ("etako", "etan", "aren", "ekin", "ari", "ean", "eko", "ak",
+         "ek", "en", "ei", "a"),
+        min_word=5, min_stem=3,
+    )
+
+
+PERSIAN_STOP_WORDS = frozenset(
+    """از در به که را با این است برای آن یک خود تا کرد بر هم نیز وی ها می
+    های شده بود باشد اما نه ان او ما شما آنها همه هر دو بین پس اگر چه چون
+    حتی بدون دیگر یا و هیچ بی شد کند شود دارد بودند هستند کنند شوند گفت
+    روی مورد باید البته یعنی بلکه آیا چرا کجا چگونه کسی چیزی هنوز فقط""".split()
+)
+
+
+def persian_fold(text: str) -> str:
+    """PersianCharFilter + Arabic/PersianNormalizationFilter semantics:
+    zero-width non-joiner becomes a separator, Arabic yeh/kaf fold to
+    their Farsi forms, teh marbuta to heh, diacritics stripped."""
+    return (
+        text.replace("‌", " ")  # ZWNJ
+        .translate(_AR_STRIP)
+        .replace("ي", "ی")  # Arabic yeh -> Farsi yeh
+        .replace("ى", "ی")  # alef maksura -> Farsi yeh
+        .replace("ك", "ک")  # Arabic kaf -> keheh
+        .replace("ة", "ه")  # teh marbuta -> heh
+        .lower()
+    )
+
+
+IRISH_STOP_WORDS = frozenset(
+    """a ach ag agus an aon ar arna as b bhfuil bhí beirt cad caoga ceathair
+    ceathrar chomh chtó chuig chun cois céad cúig cúigear d daichead dar de
+    deich deichniúr den dhá do don dtí dá dár dó faoi faoin faoina faoinár
+    fara fiche gach gan go gur haon hocht i iad idir in ina ins inár is le
+    leis lena lenár m mar mo mé na nach naoi naonúr ná ní níor nó nócha ocht
+    ochtar os roimh sa seacht seachtar seachtó seasca seisear siad sibh sinn
+    sna sé sí tar thar thú triúr trí trína trínár tríocha tú um ár é éis í
+    ó ón óna ónár t n h""".split()
+)
+
+
+def irish_light_stem(w: str) -> str:
+    """LIGHT Irish stemmer: strip the regular plural/genitive endings
+    (lenition/eclipsis prefixes surface as separate hyphen-split tokens
+    and drop as stopwords)."""
+    return _strip_suffixes(
+        w, ("aíochta", "íochta", "anna", "acha", "aí", "í"),
+        min_word=5, min_stem=3,
+    )
+
+
+GALICIAN_STOP_WORDS = frozenset(
+    """a aínda alí aquel aquela aquelas aqueles aquilo aquí ao aos as así
+    á ben cando che co coa comigo con connosco contigo convosco coas cos
+    cun cunha cunhas cuns da dalgunha dalgunhas dalgún dalgúns das de del
+    dela delas deles desde deste do dos dun dunha dunhas duns e el ela
+    elas eles en era eran esa esas ese eses esta estar estaba está están
+    este estes estiven estou eu é facer foi foron fun había hai iso isto
+    la lle lles lo los mais me meu meus min miña miñas moi na nas neste
+    nin no non nos nosa nosas noso nosos nós nun nunha nunhas nuns o os
+    ou ó ós para pero pode pois pola polas polo polos por que se senón
+    ser seu seus sexa sido sobre súa súas tamén tan te ten teñen teño
+    teu teus ti tido tiña tiven túa túas un unha unhas uns vos vosa
+    vosas voso vosos vós""".split()
+)
+
+
+def galician_minimal_stem(w: str) -> str:
+    """Minimal Galician stemmer (same published minimal family as
+    Portuguese): strip the regular plural endings."""
+    if len(w) >= 5 and w.endswith("ns"):
+        return w[:-1]  # camións -> camión
+    return _strip_suffixes(w, ("es", "s"), min_word=4, min_stem=3)
+
+
+HINDI_STOP_WORDS = frozenset(
+    """का के की को में से है हैं था थे थी पर इस उस यह वह और भी नहीं तो ही
+    एक दो हो ने अपने उनके इसके उसके लिए साथ बाद कुछ सब कई जो कि या अब जब
+    तब क्या कौन कहाँ कैसे मैं हम तुम आप वे ये इन उन करने किया करते हुए हुई
+    हुआ गया गई गए रहा रही रहे सकता सकती सकते वाला वाली वाले द्वारा""".split()
+)
+
+
+def hindi_fold(text: str) -> str:
+    """HindiNormalizationFilter's spelling normalization, reduced to the
+    nukta fold: decompose and drop U+093C so क़/ज़-style variants merge
+    with their base consonants."""
+    import unicodedata
+
+    return unicodedata.normalize(
+        "NFC",
+        "".join(
+            c for c in unicodedata.normalize("NFD", text.lower())
+            if c != "़"
+        ),
+    )
+
+
+def hindi_light_stem(w: str) -> str:
+    """LIGHT Hindi stemmer (Ramanathan & Rao 2003, the algorithm behind
+    Lucene's HindiStemmer): strip the regular matra/plural endings."""
+    return _strip_suffixes(
+        w,
+        ("ियों", "ियाँ", "ियां", "ाओं", "ाएं", "ाएँ", "ुओं", "ुएं",
+         "ों", "ें", "ाँ", "ां", "ो", "े", "ी", "ि", "ा", "ू", "ु",
+         "ै", "ौ"),
+        min_word=4, min_stem=2,
+    )
+
+
+ARMENIAN_STOP_WORDS = frozenset(
+    """այդ այլ այն այս դու դուք եմ են ենք ես եք է էի էին էինք էիր էիք էր ըստ
+    թ ի ին իսկ իր կամ համար հետ հետո մենք մեջ մի ն նա նաև նրա նրանք որ որը
+    որոնք որպես ու ում պիտի վրա և""".split()
+)
+
+
+def armenian_light_stem(w: str) -> str:
+    """LIGHT Armenian stemmer: strip the regular plural and case
+    endings."""
+    return _strip_suffixes(
+        w,
+        ("ներին", "ներով", "ները", "ների", "ներ", "երով", "երի", "եր",
+         "ում", "ից", "ով", "ին", "ի", "ը"),
+        min_word=5, min_stem=3,
+    )
+
+
+INDONESIAN_STOP_WORDS = frozenset(
+    """ada adalah akan aku anda antara apa atau bagi bahwa banyak belum
+    bisa bukan dalam dan dapat dari dengan di dia harus hanya ia ini itu
+    jika juga kami kamu karena ke kepada kita lagi lain lebih maka masih
+    mereka oleh pada para per pun saat saja sama sampai saya sebagai
+    sebuah sedang semua seperti serta setelah suatu sudah tanpa telah
+    tentang tersebut tetapi tidak untuk yaitu yang""".split()
+)
+
+
+def indonesian_light_stem(w: str) -> str:
+    """LIGHT Indonesian stemmer (Tala 2003 family, conservative subset):
+    strip the enclitic particles and possessives, one derivational
+    suffix, and one derivational prefix."""
+    w = _strip_suffixes(w, ("lah", "kah", "tah", "pun"), min_word=5, min_stem=3)
+    w = _strip_suffixes(w, ("nya", "ku", "mu"), min_word=5, min_stem=3)
+    w = _strip_suffixes(w, ("kan", "an", "i"), min_word=6, min_stem=4)
+    for pre in ("meng", "meny", "men", "mem", "me", "peng", "peny", "pen",
+                "pem", "di", "ke", "se", "ter", "ber", "per"):
+        if w.startswith(pre) and len(w) - len(pre) >= 3:
+            return w[len(pre):]
+    return w
+
+
+LATVIAN_STOP_WORDS = frozenset(
+    """aiz ap ar arī bet bez bija būs būt caur d diezin droši duka es gan
+    gar iekš ir it itin iz ja jau jeb jebšu je jel jo jūs ka kamēr kaut kā
+    kļuva kļūs kļūt ko kur kurš labad lai līdz man mans mēs ne nebūt nedz
+    nekā nevis nezin no nu o pa par pat pie pirms pret priekš pār pēc
+    starp tad tai tak tam tas tav te tie tik tika tikai tiks tikt tiku
+    to tomēr tu tur turpretī tā tādēļ tālab tāpēc un uz vai var varēja
+    varēs varēt vien viņa viņš viss zem ēc šai šis šī žēl""".split()
+)
+
+
+def latvian_light_stem(w: str) -> str:
+    """LIGHT Latvian stemmer (the published light stemmer behind
+    Lucene's LatvianStemmer): strip the regular declension endings."""
+    return _strip_suffixes(
+        w,
+        ("iem", "ajam", "ajai", "ais", "ām", "ās", "ai", "am", "as",
+         "em", "es", "ēm", "im", "is", "īm", "os", "us", "u", "s", "š",
+         "a", "ā", "e", "ē", "i", "ī", "o"),
+        min_word=5, min_stem=3,
+    )
+
+
+THAI_STOP_WORDS = frozenset(
+    """การ ของ ใน และ ที่ ได้ ให้ เป็น มี ว่า ไม่ จะ มา ไป กับ แต่ หรือ ก็ ถ้า
+    เมื่อ แล้ว อยู่ คือ จาก โดย นี้ นั้น ซึ่ง ต้อง ถูก ตาม เขา เรา คุณ ฉัน มัน
+    ทุก บาง อีก ด้วย เพราะ จึง ยัง เคย กว่า มาก ควร""".split()
+)
+
+# DIVERGENCE (documented): Solr's ThaiTokenizer segments Thai via a
+# dictionary-backed BreakIterator; without a dictionary this analyzer
+# tokenizes maximal Thai character runs (Thai text uses spaces between
+# phrases, not words), so multi-word runs stay fused.  Stop filtering
+# applies to runs that exactly equal a stop word.
+tokenize_text_th = make_language_analyzer(THAI_STOP_WORDS, lambda w: w)
+
+
+def _make_kernel_analyzer(py_fn):
+    """Wrap a plain ``str | None -> list[str] | None`` kernel as an
+    Arrow-batched Column analyzer carrying the driver-side ``py_kernel``
+    attribute (the make_language_analyzer contract, for analyzers whose
+    shape isn't stop-list + stemmer)."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(py_fn)
+
+    def analyzer(col: Column) -> Column:
+        return _udf(col)
+
+    analyzer.py_kernel = py_fn
+    return analyzer
+
+
+def _py_text_char_norm(text: str | None) -> list[str] | None:
+    """text_char_norm: MappingCharFilter(ISOLatin1Accent) + whitespace
+    tokenizer — accent fold WITHOUT lowercasing (the declared chain has
+    no LowerCaseFilter).  NFKD-strip folds the full combining range, a
+    superset of the Latin-1 mapping file."""
+    if text is None:
+        return None
+    import unicodedata
+
+    folded = "".join(
+        c
+        for c in unicodedata.normalize("NFKD", text)
+        if not unicodedata.combining(c)
+    )
+    return [t for t in folded.split() if t]
+
+
+_CJK_RANGE = (
+    "ᄀ-ᇿ"  # Hangul Jamo
+    "぀-ヿ"  # Hiragana + Katakana
+    "㐀-䶿一-鿿"  # Han
+    "가-힯"  # Hangul syllables
+)
+
+
+def _py_text_cjk(text: str | None) -> list[str] | None:
+    """text_cjk: width normalization (CJKWidthFilter ⊂ NFKC) + lowercase
+    + CJK bigrams (CJKBigramFilter: Han/Hiragana/Katakana/Hangul runs
+    emit overlapping bigrams, a lone CJK char emits a unigram); non-CJK
+    word runs pass through standard-split."""
+    if text is None:
+        return None
+    import re
+    import unicodedata
+
+    t = unicodedata.normalize("NFKC", text).lower()
+    out: list[str] = []
+    for run in _lang_split(t):
+        for m in re.finditer(
+            f"[{_CJK_RANGE}]+|[^{_CJK_RANGE}]+", run, flags=re.UNICODE
+        ):
+            span = m.group(0)
+            if re.match(f"[{_CJK_RANGE}]", span[0]):
+                if len(span) == 1:
+                    out.append(span)
+                else:
+                    out.extend(span[i : i + 2] for i in range(len(span) - 1))
+            else:
+                out.append(span)
+    return out
+
+
+def _word_delimiter_parts(
+    token: str, *, generate: bool, catenate: bool, split_case: bool
+) -> list[str]:
+    """WordDelimiterFilter semantics over one token: split on intra-token
+    delimiters, letter/digit boundaries, and (optionally) case changes;
+    ``generate`` emits the parts, ``catenate`` emits each same-class run
+    joined (catenateWords=1 / catenateNumbers=1).  A token with nothing
+    to split passes through unchanged."""
+    import re
+
+    parts: list[str] = []
+    for chunk in re.split(r"[\W_]+", token):
+        if not chunk:
+            continue
+        for sub in re.findall(r"\d+|[^\W\d_]+", chunk, flags=re.UNICODE):
+            if split_case and re.search(r"[A-Z]", sub):
+                parts.extend(
+                    re.findall(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[^A-Z]+", sub)
+                )
+            else:
+                parts.append(sub)
+    if len(parts) <= 1:
+        return parts if parts else []
+    out: list[str] = list(parts) if generate else []
+    if catenate:
+        # catenate same-class runs (words with words, numbers with numbers)
+        run: list[str] = []
+        run_digit: bool | None = None
+        for p in [*parts, None]:
+            d = p.isdigit() if p is not None else None
+            if p is not None and d == run_digit:
+                run.append(p)
+            else:
+                if run:
+                    cat = "".join(run)
+                    if len(run) > 1 or not generate:
+                        out.append(cat)
+                run, run_digit = ([p], d) if p is not None else ([], None)
+    # preserve order, drop exact duplicates (RemoveDuplicatesTokenFilter)
+    seen: set[str] = set()
+    uniq = []
+    for p in out:
+        if p not in seen:
+            seen.add(p)
+            uniq.append(p)
+    return uniq
+
+
+def _py_text_en_splitting(text: str | None) -> list[str] | None:
+    """text_en_splitting: whitespace split + English stop removal +
+    WordDelimiter(generate word/number parts, catenate words+numbers,
+    splitOnCaseChange) + lowercase + Porter stem."""
+    if text is None:
+        return None
+    out: list[str] = []
+    cache: dict[str, str] = {}
+    for tok in text.split():
+        if tok.lower() in ENGLISH_STOP_WORDS:
+            continue
+        for part in _word_delimiter_parts(
+            tok, generate=True, catenate=True, split_case=True
+        ):
+            p = part.lower()
+            s = cache.get(p)
+            if s is None:
+                s = porter_stem(p)
+                cache[p] = s
+            out.append(s)
+    return out
+
+
+def english_minimal_stem(w: str) -> str:
+    """EnglishMinimalStemFilter (Savoy's minimal English stemmer):
+    strip a plural -s unless the word ends in -ss/-us/-is."""
+    if len(w) > 3 and w.endswith("s") and w[-2] not in ("s", "u", "i"):
+        return w[:-1]
+    return w
+
+
+def _py_text_en_splitting_tight(text: str | None) -> list[str] | None:
+    """text_en_splitting_tight: whitespace split + stop removal +
+    WordDelimiter(generate=0, catenateWords+catenateNumbers) + lowercase
+    + EnglishMinimalStem + duplicate removal."""
+    if text is None:
+        return None
+    out: list[str] = []
+    for tok in text.split():
+        if tok.lower() in ENGLISH_STOP_WORDS:
+            continue
+        for part in _word_delimiter_parts(
+            tok, generate=False, catenate=True, split_case=False
+        ):
+            out.append(english_minimal_stem(part.lower()))
+    return out
+
+
+def _py_text_general_rev_index(text: str | None) -> list[str] | None:
+    """text_general_rev INDEX analyzer: the text_general tokens plus a
+    reversed copy of each, marked with the U+0001 prefix
+    (ReversedWildcardFilter withOriginal=true) — the stored form that
+    makes leading-wildcard queries a prefix scan."""
+    toks = _py_text_general(text)
+    if toks is None:
+        return None
+    out = []
+    for t in toks:
+        out.append(t)
+        out.append("" + t[::-1])
+    return out
+
+
+tokenize_text_ar = make_language_analyzer(
+    ARABIC_STOP_WORDS, arabic_light_stem, fold=arabic_fold
+)
+tokenize_text_bg = make_language_analyzer(BULGARIAN_STOP_WORDS, bulgarian_light_stem)
+tokenize_text_ca = make_language_analyzer(CATALAN_STOP_WORDS, catalan_minimal_stem)
+tokenize_text_cz = make_language_analyzer(CZECH_STOP_WORDS, czech_light_stem)
+tokenize_text_el = make_language_analyzer(
+    GREEK_STOP_WORDS, greek_light_stem, fold=greek_fold
+)
+tokenize_text_eu = make_language_analyzer(BASQUE_STOP_WORDS, basque_light_stem)
+tokenize_text_fa = make_language_analyzer(
+    PERSIAN_STOP_WORDS, lambda w: w, fold=persian_fold
+)
+tokenize_text_ga = make_language_analyzer(IRISH_STOP_WORDS, irish_light_stem)
+tokenize_text_gl = make_language_analyzer(GALICIAN_STOP_WORDS, galician_minimal_stem)
+tokenize_text_hi = make_language_analyzer(
+    HINDI_STOP_WORDS, hindi_light_stem, fold=hindi_fold
+)
+tokenize_text_hy = make_language_analyzer(ARMENIAN_STOP_WORDS, armenian_light_stem)
+tokenize_text_id = make_language_analyzer(INDONESIAN_STOP_WORDS, indonesian_light_stem)
+tokenize_text_lv = make_language_analyzer(LATVIAN_STOP_WORDS, latvian_light_stem)
+tokenize_text_char_norm = _make_kernel_analyzer(_py_text_char_norm)
+tokenize_text_cjk = _make_kernel_analyzer(_py_text_cjk)
+tokenize_text_en_splitting = _make_kernel_analyzer(_py_text_en_splitting)
+tokenize_text_en_splitting_tight = _make_kernel_analyzer(
+    _py_text_en_splitting_tight
+)
+tokenize_text_general_rev = _make_kernel_analyzer(_py_text_general_rev_index)
+
+for _name, _fn in (
+    ("text_ar", tokenize_text_ar),
+    ("text_bg", tokenize_text_bg),
+    ("text_ca", tokenize_text_ca),
+    ("text_cz", tokenize_text_cz),
+    ("text_el", tokenize_text_el),
+    ("text_greek", tokenize_text_el),  # schema alias: GreekAnalyzer
+    ("text_eu", tokenize_text_eu),
+    ("text_fa", tokenize_text_fa),
+    ("text_ga", tokenize_text_ga),
+    ("text_gl", tokenize_text_gl),
+    ("text_hi", tokenize_text_hi),
+    ("text_hy", tokenize_text_hy),
+    ("text_id", tokenize_text_id),
+    ("text_lv", tokenize_text_lv),
+    ("text_th", tokenize_text_th),
+    ("text_char_norm", tokenize_text_char_norm),
+    ("text_cjk", tokenize_text_cjk),
+    ("text_en_splitting", tokenize_text_en_splitting),
+    ("text_en_splitting_tight", tokenize_text_en_splitting_tight),
+    ("text_general_rev", tokenize_text_general_rev),
+):
+    ANALYZERS[_name] = _fn
+    PY_ANALYZERS[_name] = _fn.py_kernel
+# text_ws is the declared whitespace fieldType (text_ws == whitespace)
+ANALYZERS["text_ws"] = ANALYZERS["whitespace"]
+PY_ANALYZERS["text_ws"] = PY_ANALYZERS["whitespace"]
+# text_general_rev's QUERY analyzer is plain text_general (Solr declares
+# separate index/query chains): query terms analyze WITHOUT the reversed
+# copies — the stored originals still match, and the reversed forms exist
+# for leading-wildcard prefix scans
+PY_ANALYZERS["text_general_rev"] = _py_text_general
 
 
 def register_text_analyzer(name: str, fn) -> None:

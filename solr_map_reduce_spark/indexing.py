@@ -56,6 +56,12 @@ ANALYZED_TYPES = (
     "text_en", "text_general", "lowercase", "text_fr", "text_de",
     "text_es", "text_it", "text_pt", "text_sv", "text_no", "text_da",
     "text_nl", "text_fi", "text_ru", "text_ro", "text_hu", "text_tr",
+    # round 8: the remainder of the reference's declared text_* types
+    "text_ar", "text_bg", "text_ca", "text_cz", "text_el", "text_greek",
+    "text_eu", "text_fa", "text_ga", "text_gl", "text_hi", "text_hy",
+    "text_id", "text_lv", "text_th", "text_ws", "text_char_norm",
+    "text_cjk", "text_en_splitting", "text_en_splitting_tight",
+    "text_general_rev",
 )
 
 

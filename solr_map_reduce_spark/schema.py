@@ -54,6 +54,28 @@ _TYPE_ALIASES: dict[str, T.DataType] = {
     "text_ro": T.StringType(),
     "text_hu": T.StringType(),
     "text_tr": T.StringType(),
+    # round 8: the remainder of the reference's declared text_* types
+    "text_ar": T.StringType(),
+    "text_bg": T.StringType(),
+    "text_ca": T.StringType(),
+    "text_cz": T.StringType(),
+    "text_el": T.StringType(),
+    "text_greek": T.StringType(),
+    "text_eu": T.StringType(),
+    "text_fa": T.StringType(),
+    "text_ga": T.StringType(),
+    "text_gl": T.StringType(),
+    "text_hi": T.StringType(),
+    "text_hy": T.StringType(),
+    "text_id": T.StringType(),
+    "text_lv": T.StringType(),
+    "text_th": T.StringType(),
+    "text_ws": T.StringType(),
+    "text_char_norm": T.StringType(),
+    "text_cjk": T.StringType(),
+    "text_en_splitting": T.StringType(),
+    "text_en_splitting_tight": T.StringType(),
+    "text_general_rev": T.StringType(),
     # spatial (solr.LatLonType / PointType — declared in the reference's
     # schemas, minimr/conf/schema.xml fieldTypes location/point, never
     # exercised by its tests; SURVEY §1.3): a plain (lat, lon) struct —
