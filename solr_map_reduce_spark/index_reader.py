@@ -351,6 +351,244 @@ class SearchIndex:
         )
         return out.limit(top) if top is not None else out
 
+    def range_facet(
+        self,
+        field: str,
+        start,
+        end,
+        gap,
+        q: str | None = None,
+        query_field: str | None = None,
+        include_empty: bool = True,
+    ) -> DataFrame:
+        """Solr ``facet.range``: counts per ``[start + i*gap, start +
+        (i+1)*gap)`` bucket over a numeric or timestamp column, optionally
+        over a boolean query's result set.  ``include_empty`` keeps
+        zero-count buckets (Solr's ``facet.mincount=0`` default) via a
+        broadcast join against the tiny generated bucket spine — the
+        corpus side stays one map-side-combined aggregate at any scale.
+
+        For timestamp columns pass datetimes for ``start``/``end`` and a
+        ``timedelta`` (or seconds) ``gap``; buckets are computed on epoch
+        seconds, returned as ``bucket_start`` timestamps."""
+        from datetime import datetime, timedelta
+
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        is_time = isinstance(start, datetime)
+        if is_time:
+            gap_s = gap.total_seconds() if isinstance(gap, timedelta) else float(gap)
+            lo, hi = start.timestamp(), end.timestamp()
+            col = F.unix_timestamp(F.col(field)).cast("double")
+        else:
+            gap_s, lo, hi = float(gap), float(start), float(end)
+            col = F.col(field).cast("double")
+        if gap_s <= 0 or hi <= lo:
+            raise ValueError("range_facet needs gap > 0 and end > start")
+        n_buckets = int(-(-(hi - lo) // gap_s))  # ceil
+        bucket = F.floor((col - F.lit(lo)) / F.lit(gap_s)).cast("long")
+        counts = (
+            scan.filter(col.isNotNull() & (col >= lo) & (col < hi))
+            .groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if include_empty:
+            spine = self.spark.range(n_buckets).select(F.col("id").alias("_b"))
+            counts = spine.join(F.broadcast(counts), "_b", "left").fillna(
+                0, subset=["cnt"]
+            )
+        start_expr = F.lit(lo) + F.col("_b") * F.lit(gap_s)
+        if is_time:
+            start_expr = F.timestamp_seconds(start_expr)
+        return (
+            counts.select(
+                start_expr.alias("bucket_start"), F.col("cnt").cast("long").alias("cnt")
+            )
+            .orderBy("bucket_start")
+        )
+
+    def pivot_facet(
+        self,
+        fields: Sequence[str],
+        top: int | None = None,
+        q: str | None = None,
+        query_field: str | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.pivot=f1,f2``: nested value counts, flattened to
+        ``(f1, f2, cnt, f1_cnt)`` rows — each level top-``top``-limited by
+        count within its parent (Solr's per-level ``facet.limit``), parents
+        ordered by their own counts.  One groupBy of the corpus; the
+        per-level ranking runs over the tiny distinct-pairs result."""
+        from pyspark.sql import Window
+
+        if len(fields) != 2:
+            raise ValueError("pivot_facet takes exactly two fields (f1, f2)")
+        f1, f2 = fields
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        pairs = scan.groupBy(f1, f2).agg(F.count(F.lit(1)).alias("cnt"))
+        totals = Window.partitionBy(f1)
+        within = Window.partitionBy(f1).orderBy(F.desc("cnt"), F.asc(f2))
+        out = pairs.withColumn("f1_cnt", F.sum("cnt").over(totals)).withColumn(
+            "_rk", F.row_number().over(within)
+        )
+        if top is not None:
+            lvl1 = Window.orderBy(F.desc("f1_cnt"), F.asc(f1))
+            heads = (
+                out.select(f1, "f1_cnt")
+                .distinct()
+                .withColumn("_rk1", F.row_number().over(lvl1))
+                .filter(F.col("_rk1") <= top)
+                .select(f1)
+            )
+            out = out.join(F.broadcast(heads), f1).filter(F.col("_rk") <= top)
+        return out.select(f1, f2, "cnt", "f1_cnt").orderBy(
+            F.desc("f1_cnt"), F.asc(f1), F.desc("cnt"), F.asc(f2)
+        )
+
+    def stats(
+        self, field: str, q: str | None = None, query_field: str | None = None
+    ) -> DataFrame:
+        """Solr stats component (``stats.field``): min / max / count /
+        missing / sum / sumOfSquares / mean / stddev (sample, Solr's
+        definition) in ONE map-side-combined aggregate pass."""
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        col = F.col(field).cast("double")
+        return scan.agg(
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.count(col).alias("count"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("missing"),
+            F.sum(col).alias("sum"),
+            F.sum(col * col).alias("sum_of_squares"),
+            F.avg(col).alias("mean"),
+            F.stddev_samp(col).alias("stddev"),
+        )
+
+    def grouped(
+        self,
+        group_field: str,
+        sort: tuple[str, str] | None = None,
+        group_limit: int = 1,
+        limit: int | None = None,
+        q: str | None = None,
+        query_field: str | None = None,
+        select: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Solr result grouping / field collapse (``group.field`` /
+        ``group.limit``): the top ``group_limit`` docs per distinct
+        ``group_field`` value, groups ordered by their HEAD doc's sort key
+        (Solr's contract), ``limit`` = number of groups returned.  One
+        window over the grouping shuffle — no self-join, no collect.
+        Output adds ``n_in_group`` (Solr's per-group numFound) and ``_rk``
+        (1-based position within the group)."""
+        from pyspark.sql import Window
+
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        s_col, s_dir = sort if sort is not None else (self.unique_key, "asc")
+        order = [
+            F.desc(s_col) if s_dir.lower().startswith("desc") else F.asc(s_col),
+            F.asc(self.unique_key),
+        ]
+        w = Window.partitionBy(group_field).orderBy(*order)
+        wall = Window.partitionBy(group_field)
+        out = (
+            scan.withColumn("_rk", F.row_number().over(w))
+            .withColumn("n_in_group", F.count(F.lit(1)).over(wall))
+            .withColumn("_head", F.first(s_col).over(w))
+            .filter(F.col("_rk") <= group_limit)
+        )
+        if limit is not None:
+            heads = Window.orderBy(
+                F.desc("_head") if s_dir.lower().startswith("desc")
+                else F.asc("_head"),
+                F.asc(group_field),
+            )
+            out = (
+                out.withColumn(
+                    "_grk",
+                    F.dense_rank().over(heads),
+                )
+                .filter(F.col("_grk") <= limit)
+                .drop("_grk")
+            )
+        head_order = (
+            F.desc("_head") if s_dir.lower().startswith("desc") else F.asc("_head")
+        )
+        out = out.orderBy(head_order, F.asc(group_field), F.asc("_rk")).drop("_head")
+        if select:
+            out = out.select(group_field, "n_in_group", "_rk", *select)
+        return out
+
+    # -- cursorMark deep paging ----------------------------------------
+    def cursor_page(
+        self,
+        sort: Sequence[tuple[str, str]],
+        limit: int,
+        cursor_mark: str = "*",
+        q: str | None = None,
+        field: str | None = None,
+        filters: Mapping[str, object] | None = None,
+        select: Sequence[str] | None = None,
+    ) -> tuple[list, str | None]:
+        """Solr cursorMark deep paging: keyset pagination instead of
+        offset.  ``start=N`` paging reads and discards N rows per page —
+        O(start + rows) per request, quadratic over a full sweep and
+        hopeless at 100 TB.  A cursor instead filters ``(sort tuple) >
+        (last seen tuple)`` — the first sort column's bound reaches the
+        parquet scan as a pushed filter, so each page costs O(page).
+
+        The unique key is always appended as the final ascending tiebreak
+        (Solr REQUIRES uniqueKey in a cursor sort for the same reason:
+        deterministic, gapless page boundaries).  Sort columns must be
+        non-null (Solr's practical constraint too).
+
+        Returns ``(rows, next_cursor_mark)`` — ``next_cursor_mark`` is an
+        opaque base64 token (pass it back for the next page), or None when
+        the sweep is exhausted.  ``cursor_mark='*'`` starts a sweep."""
+        import base64
+
+        full_sort = [*sort, (self.unique_key, "asc")]
+        scan = self._query_scan(q, field) if q is not None else self.df()
+        for col, val in (filters or {}).items():
+            scan = scan.filter(F.col(col) == val)
+        if cursor_mark != "*":
+            vals = json.loads(base64.urlsafe_b64decode(cursor_mark.encode()))
+            if len(vals) != len(full_sort):
+                raise ValueError(
+                    "cursor_mark does not match the sort spec "
+                    f"({len(vals)} values for {len(full_sort)} sort fields)"
+                )
+            # keyset predicate: OR_i (AND_{j<i} c_j = v_j) AND c_i AFTER v_i
+            pred = None
+            for i, (c, d) in enumerate(full_sort):
+                after = (
+                    F.col(c) < F.lit(vals[i])
+                    if d.lower().startswith("desc")
+                    else F.col(c) > F.lit(vals[i])
+                )
+                clause = after
+                for j in range(i):
+                    clause = (F.col(full_sort[j][0]) == F.lit(vals[j])) & clause
+                pred = clause if pred is None else pred | clause
+            scan = scan.filter(pred)
+        page = scan.orderBy(
+            *[
+                F.desc(c) if d.lower().startswith("desc") else F.asc(c)
+                for c, d in full_sort
+            ]
+        ).limit(limit)
+        if select:
+            # the sort columns ride along so the next cursor can be cut
+            keep = list(dict.fromkeys([*select, *[c for c, _ in full_sort]]))
+            page = page.select(*keep)
+        rows = page.collect()
+        if len(rows) < limit:
+            return rows, None  # exhausted — Solr signals via repeated mark
+        last = rows[-1]
+        nxt = base64.urlsafe_b64encode(
+            json.dumps([last[c] for c, _ in full_sort], default=str).encode()
+        ).decode()
+        return rows, nxt
+
     # -- C9 + BM25: term queries over STORED token arrays --------------
     # The reference analyzes at index time (TokenizeTextBuilder.java:83-107,
     # schema.xml text_en:119) so queries hit stored structures; these read

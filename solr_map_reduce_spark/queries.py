@@ -3261,5 +3261,136 @@ def ext_pq_topk(spark, sf_dir):
     return codec.topk(codec.encode(emb), query, k=10).select("vec_id")
 
 
+# -- round 8: the Solr response-writer components (facet.range,
+# facet.pivot, stats, grouping, cursorMark) over the built artifacts ------
+
+@_register(
+    "c9_range_facet",
+    """WITH spine AS (SELECT unnest(generate_series(0, 7)) AS b),
+       c AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS b,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM events
+             WHERE event_type = 'purchase' AND value >= 0 AND value < 200
+             GROUP BY 1)
+       SELECT b * 25.0 AS bucket_start,
+              CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+       FROM spine LEFT JOIN c USING (b) ORDER BY bucket_start""",
+    "Solr facet.range: bucketed counts with the zero-count buckets kept "
+    "(facet.mincount=0) — one map-side-combined aggregate + a broadcast "
+    "join against the generated bucket spine",
+)
+def c9_range_facet(spark, sf_dir):
+    return _events_search_index(spark, sf_dir).range_facet(
+        "value", 0, 200, 25, q="event_type:purchase"
+    )
+
+
+@_register(
+    "c9_pivot_facet",
+    f"""WITH pairs AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT lang, source, {_TOKS_SQL} AS t FROM documents)
+          WHERE list_contains(t, 'spark') OR list_contains(t, 'vector')
+          GROUP BY lang, source),
+        ranked AS (
+          SELECT lang, source, cnt,
+                 SUM(cnt) OVER (PARTITION BY lang) AS f1_cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY cnt DESC, source) AS rk
+          FROM pairs),
+        l1 AS (
+          SELECT lang, ROW_NUMBER() OVER (ORDER BY f1_cnt DESC, lang) AS rk1
+          FROM (SELECT DISTINCT lang, f1_cnt FROM ranked))
+       SELECT r.lang, r.source, r.cnt, CAST(r.f1_cnt AS BIGINT) AS f1_cnt
+       FROM ranked r JOIN l1 USING (lang)
+       WHERE r.rk <= 3 AND l1.rk1 <= 3
+       ORDER BY f1_cnt DESC, lang, cnt DESC, source""",
+    "Solr facet.pivot=lang,source over a boolean query's result set: "
+    "nested counts, each level top-3 by count within its parent — one "
+    "corpus groupBy, ranking over the tiny distinct-pairs result",
+)
+def c9_pivot_facet(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).pivot_facet(
+        ["lang", "source"], top=3, q="spark OR vector"
+    )
+
+
+@_register(
+    "c9_stats_field",
+    """SELECT round(min(value), 4) AS min, round(max(value), 4) AS max,
+              CAST(count(value) AS BIGINT) AS count,
+              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS missing,
+              round(sum(value), 4) AS sum,
+              round(avg(value), 4) AS mean,
+              round(stddev_samp(value), 4) AS stddev
+       FROM events WHERE event_type = 'purchase'""",
+    "Solr stats component (stats.field=value over an fq): min/max/count/"
+    "missing/sum/mean/stddev(sample) in ONE map-side-combined pass",
+)
+def c9_stats_field(spark, sf_dir):
+    out = _events_search_index(spark, sf_dir).stats(
+        "value", q="event_type:purchase"
+    )
+    # fixed-precision contract for the float-summation order difference
+    # between engines (same convention as window_rolling_sum)
+    return out.select(
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        "count",
+        "missing",
+        F.round("sum", 4).alias("sum"),
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+    )
+
+
+@_register(
+    "c9_grouped",
+    """WITH g AS (
+         SELECT event_type, event_id, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id) AS _rk,
+                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS n_in_group,
+                FIRST_VALUE(value) OVER (PARTITION BY event_type
+                                         ORDER BY value DESC, event_id)
+                  AS _head
+         FROM events)
+       SELECT event_type, n_in_group, _rk, event_id, value
+       FROM g WHERE _rk <= 2""",
+    "Solr result grouping (group.field=event_type, group.limit=2, sorted "
+    "by value desc): top docs per group + per-group numFound, one window "
+    "over the grouping shuffle — no self-join",
+)
+def c9_grouped(spark, sf_dir):
+    return _events_search_index(spark, sf_dir).grouped(
+        "event_type", sort=("value", "desc"), group_limit=2,
+        select=["event_id", "value"],
+    )
+
+
+@_register(
+    "c9_cursor_page",
+    """SELECT event_id, value FROM events WHERE event_type = 'purchase'
+       ORDER BY value DESC, event_id LIMIT 20 OFFSET 20""",
+    "Solr cursorMark deep paging: page 2 fetched via the KEYSET predicate "
+    "(sort tuple AFTER the page-1 cursor), not an offset — O(page) per "
+    "request where start=N paging is O(N + page); equals the offset "
+    "oracle because cursor paging is gapless and deterministic",
+)
+def c9_cursor_page(spark, sf_dir):
+    idx = _events_search_index(spark, sf_dir)
+    _rows1, mark = idx.cursor_page(
+        sort=[("value", "desc")], limit=20, q="event_type:purchase",
+        select=["event_id", "value"],
+    )
+    rows2, _next = idx.cursor_page(
+        sort=[("value", "desc")], limit=20, cursor_mark=mark,
+        q="event_type:purchase", select=["event_id", "value"],
+    )
+    return spark.createDataFrame(rows2).select("event_id", "value")
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
