@@ -137,6 +137,20 @@ def build_parser() -> argparse.ArgumentParser:
                           "parens, field:value, ranges n:[lo TO hi], "
                           "wildcards run*; default operator OR)")
     qry.add_argument("--facet", default=None, metavar="FIELD", help="facet counts")
+    qry.add_argument("--range-facet", default=None, nargs=4,
+                     metavar=("FIELD", "START", "END", "GAP"),
+                     help="Solr facet.range: numeric bucket counts")
+    qry.add_argument("--pivot", default=None, nargs=2, metavar=("F1", "F2"),
+                     help="Solr facet.pivot=f1,f2 (use --limit for per-level top-k)")
+    qry.add_argument("--stats", default=None, metavar="FIELD",
+                     help="Solr stats component over a numeric field")
+    qry.add_argument("--group", default=None, metavar="FIELD",
+                     help="Solr result grouping (with --sort / --limit as "
+                          "group.limit)")
+    qry.add_argument("--cursor", default=None, metavar="MARK",
+                     help="cursorMark deep paging: '*' starts a sweep; pass "
+                          "the printed nextCursorMark for the next page "
+                          "(needs --sort)")
     qry.add_argument("--filter", nargs="*", default=(), metavar="COL=VALUE")
     qry.add_argument("--sort", default=None, metavar="COL[:desc]")
     qry.add_argument("--limit", type=int, default=10)
@@ -283,6 +297,43 @@ def main(argv: list[str] | None = None) -> int:
         elif args.facet is not None:
             for r in idx.facet(args.facet, top=args.limit, q=args.q).collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.range_facet is not None:
+            fld, lo, hi, gap = args.range_facet
+            rf = idx.range_facet(fld, float(lo), float(hi), float(gap), q=args.q)
+            for r in rf.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.pivot is not None:
+            pv = idx.pivot_facet(list(args.pivot), top=args.limit, q=args.q)
+            for r in pv.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.stats is not None:
+            row = idx.stats(args.stats, q=args.q).collect()[0]
+            print(json.dumps(row.asDict(), default=str))
+        elif args.group is not None:
+            g_sort = None
+            if args.sort:
+                col, _, direction = args.sort.partition(":")
+                g_sort = (col, direction or "asc")
+            rows = idx.grouped(
+                args.group, sort=g_sort, group_limit=args.limit, q=args.q,
+                select=args.select,
+            ).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cursor is not None:
+            if not args.sort:
+                print("--cursor needs --sort", file=sys.stderr)
+                return 2
+            col, _, direction = args.sort.partition(":")
+            rows, nxt = idx.cursor_page(
+                sort=[(col, direction or "asc")], limit=args.limit,
+                cursor_mark=args.cursor, q=args.q,
+                filters=dict(kv.split("=", 1) for kv in args.filter) or None,
+                select=args.select,
+            )
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+            print(json.dumps({"nextCursorMark": nxt}))
         else:
             filters = dict(kv.split("=", 1) for kv in args.filter)
             sort = None

@@ -211,6 +211,58 @@ def test_cli_query_surface(spark, sf_dir, schema_file, tmp_path, capsys):
     assert sorted(seg) == ["shard=0", "shard=1"]
 
 
+def test_cli_query_components_r8(spark, sf_dir, schema_file, tmp_path, capsys):
+    """The round-8 response-writer components through the CLI: range
+    facets, pivots, stats, grouping, and a two-page cursor sweep."""
+    out = str(tmp_path / "qidx8")
+    cli.main([
+        "index", "--input", f"{sf_dir}/documents.parquet", "--output", out,
+        "--schema", schema_file, "--shards", "2", "--dedup", "none",
+        "--generate-keys-from", "source",
+    ])
+    capsys.readouterr()
+
+    assert cli.main(["query", "--path", out, "--range-facet",
+                     "n_chars", "0", "2000", "500"]) == 0
+    buckets = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+               if l.startswith("{")]
+    assert len(buckets) == 4
+    assert all("bucket_start" in b and "cnt" in b for b in buckets)
+
+    assert cli.main(["query", "--path", out, "--pivot", "lang", "source",
+                     "--limit", "2"]) == 0
+    pv = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+          if l.startswith("{")]
+    assert pv and len({p["lang"] for p in pv}) <= 2
+
+    assert cli.main(["query", "--path", out, "--stats", "n_chars"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["count"] == 500 and st["missing"] == 0
+
+    assert cli.main(["query", "--path", out, "--group", "lang",
+                     "--sort", "n_chars:desc", "--limit", "1"]) == 0
+    grp = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+           if l.startswith("{")]
+    assert all(g["_rk"] == 1 for g in grp)
+
+    assert cli.main(["query", "--path", out, "--cursor", "*",
+                     "--sort", "n_chars:desc", "--limit", "5",
+                     "--select", "id", "n_chars"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    mark = json.loads(lines[-1])["nextCursorMark"]
+    assert mark
+    page1 = [json.loads(l)["id"] for l in lines[:-1] if l.startswith("{")]
+    assert cli.main(["query", "--path", out, "--cursor", mark,
+                     "--sort", "n_chars:desc", "--limit", "5",
+                     "--select", "id", "n_chars"]) == 0
+    lines2 = capsys.readouterr().out.strip().splitlines()
+    page2 = [json.loads(l)["id"] for l in lines2[:-1] if l.startswith("{")]
+    assert len(page2) == 5 and not set(page1) & set(page2)
+
+    # --cursor without --sort is a loud usage error
+    assert cli.main(["query", "--path", out, "--cursor", "*"]) == 2
+
+
 def test_cli_profile(capsys, sf_dir):
     import json as _json
 
