@@ -147,6 +147,8 @@ def build_parser() -> argparse.ArgumentParser:
     qry.add_argument("--group", default=None, metavar="FIELD",
                      help="Solr result grouping (with --sort / --limit as "
                           "group.limit)")
+    qry.add_argument("--spellcheck", default=None, metavar="TERM",
+                     help="did-you-mean suggestions from the term dictionary")
     qry.add_argument("--cursor", default=None, metavar="MARK",
                      help="cursorMark deep paging: '*' starts a sweep; pass "
                           "the printed nextCursorMark for the next page "
@@ -305,6 +307,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.pivot is not None:
             pv = idx.pivot_facet(list(args.pivot), top=args.limit, q=args.q)
             for r in pv.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.spellcheck is not None:
+            for r in idx.spellcheck(args.spellcheck, top=args.limit).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.stats is not None:
             row = idx.stats(args.stats, q=args.q).collect()[0]

@@ -1007,6 +1007,59 @@ class SearchIndex:
             .limit(top)
         )
 
+    def spellcheck(
+        self,
+        term: str,
+        field: str | None = None,
+        top: int = 5,
+        max_edits: int = 2,
+    ) -> DataFrame:
+        """Solr spellcheck component (did-you-mean): correction candidates
+        from the stored term dictionary, ranked by (edit distance asc,
+        document frequency desc, term) — Lucene's DirectSpellChecker cost
+        model.  Served from the ``_vocab/`` sidecar when present: a length
+        band (``|len(t) - len(needle)| <= max_edits``, a Levenshtein lower
+        bound) prunes before the edit-distance evaluation, all over the
+        KB-scale dictionary — the corpus is never scanned.  Falls back to
+        one explode/groupBy vocabulary pass.  The needle is analyzed with
+        the field's analyzer first (query terms meet stored tokens under
+        the same analysis)."""
+        if max_edits > 2:
+            raise ValueError("max edit distance is 2 (Lucene FuzzyQuery limit)")
+        from solr_map_reduce_spark.fs import join as fs_join
+        from solr_map_reduce_spark.search_stats import VOCAB_DIR
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        toks = self.analyze_terms([term], fname)
+        needle = toks[0] if toks else term.lower()
+        stats = self._load_stats()
+        if stats and fname in stats:
+            vocab = self.spark.read.parquet(
+                fs_join(self.path, f"{VOCAB_DIR}/{fname}")
+            ).select("term", "df")
+        else:
+            tokens_col = self._tokens_col(fname)
+            vocab = (
+                self.df()
+                .select(
+                    F.explode(F.array_distinct(F.col(tokens_col))).alias("term")
+                )
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+        n = len(needle)
+        dist = F.levenshtein(F.col("term"), F.lit(needle))
+        return (
+            vocab.filter(F.col("term") != needle)
+            .filter(F.length("term").between(n - max_edits, n + max_edits))
+            .withColumn("dist", dist.cast("int"))
+            .filter(F.col("dist") <= max_edits)
+            .select(F.col("term").alias("suggestion"), "df", "dist")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("suggestion"))
+            .limit(top)
+        )
+
     def highlight(
         self,
         terms: "Sequence[str]",

@@ -3392,5 +3392,26 @@ def c9_cursor_page(spark, sf_dir):
     return spark.createDataFrame(rows2).select("event_id", "value")
 
 
+@_register(
+    "c9_spellcheck",
+    f"""WITH toks AS (
+          SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents),
+        u AS (SELECT unnest(t) AS term FROM toks),
+        v AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM u GROUP BY term)
+       SELECT term AS suggestion, df,
+              CAST(levenshtein(term, 'sparc') AS INTEGER) AS dist
+       FROM v
+       WHERE term <> 'sparc' AND length(term) BETWEEN 3 AND 7
+         AND levenshtein(term, 'sparc') <= 2
+       ORDER BY dist, df DESC, suggestion LIMIT 5""",
+    "Solr spellcheck (did-you-mean): correction candidates ranked by "
+    "(edit distance, df) — served from the STORED term dictionary with a "
+    "length-band prune, Lucene's DirectSpellChecker cost model; the "
+    "corpus is never scanned",
+)
+def c9_spellcheck(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).spellcheck("sparc", top=5)
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

@@ -134,6 +134,66 @@ class TestPivotStats:
         assert abs(r["mean"] - sum(nums) / len(nums)) < 1e-9
 
 
+class TestSpellcheck:
+    @pytest.fixture(scope="class")
+    def sp_idx(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(
+                Field("id", "string", required=True),
+                Field("text", "text_general"),
+            ),
+            unique_key="id",
+        )
+        docs = [("1", "spark spark spark shark"), ("2", "spark spars"),
+                ("3", "space spade spark")]
+        df = spark.createDataFrame(docs, "id string, text string")
+        out = str(tmp_path_factory.mktemp("sp") / "idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none",
+                           search_stats=True)
+        ).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_ranked_by_distance_then_df(self, sp_idx):
+        got = [(r["suggestion"], r["dist"]) for r in
+               sp_idx.spellcheck("sparc", top=3).collect()]
+        # distance-1 candidates first, highest-df first: spark (df 3)
+        assert got[0] == ("spark", 1)
+        assert all(d <= 2 for _, d in got)
+        # the needle itself is never suggested
+        assert "sparc" not in [s for s, _ in got]
+
+    def test_analyzes_needle(self, sp_idx):
+        # query-time analysis: 'SPARC' folds to 'sparc' before matching
+        got = [r["suggestion"] for r in sp_idx.spellcheck("SPARC", top=1).collect()]
+        assert got == ["spark"]
+
+    def test_max_edits_clamped(self, sp_idx):
+        with pytest.raises(ValueError, match="edit distance"):
+            sp_idx.spellcheck("sparc", max_edits=3)
+
+    def test_fallback_without_sidecar(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame([("1", "spark rules")], "id string, text string")
+        out = str(tmp_path / "nosc")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        got = [r["suggestion"] for r in idx.spellcheck("sparc").collect()]
+        assert got == ["spark"]
+
+
 class TestGrouped:
     def test_head_per_group_and_numfound(self, idx):
         got = idx.grouped("grp", sort=("num", "desc"), group_limit=1).collect()
