@@ -481,6 +481,13 @@ def parse_query(q: str):
             if fname is not None:
                 return ("ffuzzy", fname, base, max_edits)
             return ("fuzzy", base, max_edits)
+        if word.startswith("*") and word.endswith("*") and len(word) > 2:
+            # infix wildcard *sub*: substring over stored tokens (Lucene
+            # WildcardQuery; no index structure accelerates it — an honest
+            # scan, like Lucene without an n-gram subfield)
+            if fname is not None:
+                return ("finfix", fname, word[1:-1])
+            return ("infix", word[1:-1])
         if word.endswith("*") and len(word) > 1:
             # RAW prefix in the AST — case folding is an ANALYZER
             # property, applied in _analyze_node only when the clause
@@ -491,6 +498,13 @@ def parse_query(q: str):
             if fname is not None:
                 return ("fprefix", fname, word[:-1])
             return ("prefix", word[:-1])
+        if word.startswith("*") and len(word) > 1:
+            # leading wildcard *suffix: a reversed-token PREFIX when the
+            # field stores ReversedWildcardFilter copies
+            # (text_general_rev), else an endswith scan
+            if fname is not None:
+                return ("fsuffix", fname, word[1:])
+            return ("suffix", word[1:])
         if fname is not None:
             return ("fterm", fname, word)
         return ("term", word)
@@ -508,6 +522,10 @@ def parse_query(q: str):
             return ("fphrase", fname, node[1])
         if kind == "prefix":
             return ("fprefix", fname, node[1])
+        if kind == "suffix":
+            return ("fsuffix", fname, node[1])
+        if kind == "infix":
+            return ("finfix", fname, node[1])
         if kind == "fuzzy":
             return ("ffuzzy", fname, node[1], node[2])
         if kind == "not":
@@ -592,7 +610,8 @@ def parse_query(q: str):
     return node
 
 
-def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None):
+def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
+                  default_field=None):
     """Replace term/phrase text with ANALYZED token lists (the field's own
     analyzer applied to query text, Solr's query-side analysis contract).
     A clause whose analysis drops every token (pure stopwords) is removed,
@@ -625,6 +644,20 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None):
         # wildcard terms skip analysis (Solr behavior); the default
         # field's stored tokens are analyzer-lowercased, so fold here
         return ("prefix", node[1].lower())
+    if kind in ("suffix", "infix"):
+        # route through the fielded path when the default field is known
+        # (it carries the analyzer TYPE, enabling the reversed-token
+        # rewrite for text_general_rev); else an honest token scan
+        if default_field is not None and resolver is not None:
+            return _analyze_node(
+                ("fsuffix" if kind == "suffix" else "finfix",
+                 default_field, node[1]),
+                analyze, resolver, fuzzy_expand, default_field,
+            )
+        return (
+            "suffixtoks" if kind == "suffix" else "infixtoks",
+            node[1].lower(),
+        )
     if kind == "fuzzy":
         # fuzzy terms skip analysis like wildcards; the default field's
         # stored tokens are lowercased, so fold the needle
@@ -634,7 +667,8 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None):
             if exp is not None:
                 return ("tokens_any", sorted(exp)) if exp else ("none",)
         return ("fuzzytoks", needle, node[2], None)
-    if kind in ("fterm", "fphrase", "frange", "fprefix", "ffuzzy"):
+    if kind in ("fterm", "fphrase", "frange", "fprefix", "ffuzzy",
+                "fsuffix", "finfix"):
         if resolver is None:
             raise QuerySyntaxError(
                 f"fielded clause on {node[1]!r} needs a field resolver "
@@ -661,6 +695,22 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None):
                 # the fielded equality form)
                 return ("fptoks", node[2].lower(), rest[1])
             return ("fpcol", node[2], rest[0])
+        if kind == "fsuffix":
+            if mode == "analyzed":
+                needle = node[2].lower()
+                atype = rest[2] if len(rest) > 2 else None
+                if atype == "text_general_rev":
+                    # ReversedWildcardFilter contract: the leading
+                    # wildcard becomes a PREFIX over the stored
+                    # \x01-marked reversed tokens — an indexable seek,
+                    # not an endswith scan of every token
+                    return ("fptoks", "\x01" + needle[::-1], rest[1])
+                return ("fsuftoks", needle, rest[1])
+            return ("fsufcol", node[2], rest[0])
+        if kind == "finfix":
+            if mode == "analyzed":
+                return ("finftoks", node[2].lower(), rest[1])
+            return ("finfcol", node[2], rest[0])
         if kind == "ffuzzy":
             if mode == "analyzed":
                 needle = node[2].lower()
@@ -687,9 +737,13 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None):
             )
         return ("feq", node[2], rest[0])
     if kind == "not":
-        child = _analyze_node(node[1], analyze, resolver, fuzzy_expand)
+        child = _analyze_node(node[1], analyze, resolver, fuzzy_expand,
+                              default_field)
         return None if child is None else ("not", child)
-    children = [_analyze_node(c, analyze, resolver, fuzzy_expand) for c in node[1]]
+    children = [
+        _analyze_node(c, analyze, resolver, fuzzy_expand, default_field)
+        for c in node[1]
+    ]
     children = [c for c in children if c is not None]
     if not children:
         return None
@@ -833,6 +887,18 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
     if kind == "fptoks":
         hay = F.concat(F.lit(" "), F.array_join(node[2], " "), F.lit(" "))
         return F.coalesce(hay.contains(" " + node[1]), F.lit(False))
+    if kind in ("suffixtoks", "fsuftoks"):
+        toks = toks_col if kind == "suffixtoks" else node[2]
+        pred = F.exists(toks, lambda t: t.endswith(node[1]))
+        return F.coalesce(pred, F.lit(False))
+    if kind in ("infixtoks", "finftoks"):
+        toks = toks_col if kind == "infixtoks" else node[2]
+        pred = F.exists(toks, lambda t: t.contains(node[1]))
+        return F.coalesce(pred, F.lit(False))
+    if kind == "fsufcol":
+        return node[2].isNotNull() & node[2].endswith(node[1])
+    if kind == "finfcol":
+        return node[2].isNotNull() & node[2].contains(node[1])
     # plain-column predicates guard NULL with isNotNull() AND, never
     # coalesce(): Kleene logic makes the conjunction non-null (FALSE AND
     # NULL = FALSE) with the same never-match-NULL semantics, while
@@ -907,7 +973,8 @@ def _required_tokens(node) -> set:
     if kind in (
         "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
         "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all", "none",
-        "ftokens_any",
+        "ftokens_any", "suffixtoks", "fsuftoks", "infixtoks", "finftoks",
+        "fsufcol", "finfcol",
     ):
         return set()
     if kind == "and":
@@ -929,7 +996,8 @@ def _positive_tokens(node) -> set:
     if kind in (
         "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
         "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all", "none",
-        "ftokens_any",
+        "ftokens_any", "suffixtoks", "fsuftoks", "infixtoks", "finftoks",
+        "fsufcol", "finfcol",
     ):
         return set()
     out: set = set()
@@ -949,6 +1017,8 @@ def _can_match_term_free(node) -> bool:
     if kind in (
         "ftokens", "ftokens_slop", "feq", "fcmp", "prefix", "fptoks",
         "fpcol", "fuzzytoks", "fuzzycol", "all", "ftokens_any",
+        "suffixtoks", "fsuftoks", "infixtoks", "finftoks", "fsufcol",
+        "finfcol",
     ):
         return True  # satisfiable regardless of default-field tokens
     if kind == "not":
@@ -959,15 +1029,20 @@ def _can_match_term_free(node) -> bool:
 
 
 def boolean_predicate(
-    q: str, analyze, toks_col: F.Column, resolver=None, fuzzy_expand=None
+    q: str, analyze, toks_col: F.Column, resolver=None, fuzzy_expand=None,
+    default_field=None,
 ) -> tuple[F.Column, dict]:
     """Compile a boolean query string to ONE Column predicate over the
     given token-array column, plus the pruning info dict (``required`` /
     ``positive`` / ``prunable``).  The building block behind both
     :func:`boolean_query` (q) and BM25's ``fq`` filter queries.
     ``resolver(field_name)`` enables Solr fielded clauses
-    (``lang:en``, ``title:"exact phrase"``) — see :func:`_analyze_node`."""
-    ast = _analyze_node(parse_query(q), analyze, resolver, fuzzy_expand)
+    (``lang:en``, ``title:"exact phrase"``); ``default_field`` names the
+    field ``toks_col`` belongs to, letting UNFIELDED leading-wildcard
+    clauses use its analyzer metadata (the reversed-token rewrite) — see
+    :func:`_analyze_node`."""
+    ast = _analyze_node(parse_query(q), analyze, resolver, fuzzy_expand,
+                        default_field)
     if ast is None:
         raise QuerySyntaxError(
             f"query {q!r} has no effective clauses after analysis "

@@ -686,6 +686,10 @@ class SearchIndex:
                     "analyzed",
                     lambda text: self.analyze_terms([text], field=fname),
                     F.col(analyzed[fname]["tokens_col"]),
+                    # the fieldType name: leading-wildcard clauses compile
+                    # to a reversed-token PREFIX when the field stores
+                    # ReversedWildcardFilter copies (text_general_rev)
+                    analyzed[fname].get("type"),
                 )
             if fname in cols:
                 return ("column", F.col(fname), dtypes.get(fname))
@@ -775,6 +779,7 @@ class SearchIndex:
         pred, info = search.boolean_predicate(
             q, analyze, toks_col, resolver=self._field_resolver(),
             fuzzy_expand=self._fuzzy_expander(fname),
+            default_field=fname if fname in analyzed else None,
         )
         if info["required"]:
             scan = self._bloom_pruned(info["required"], fname, "all")
@@ -940,6 +945,7 @@ class SearchIndex:
                 fq, analyze, F.col(self._tokens_col(fname)),
                 resolver=self._field_resolver(),
                 fuzzy_expand=self._fuzzy_expander(fname),
+                default_field=fname,
             )
             scan = scan.filter(pred)
         return search.bm25_search(

@@ -3413,5 +3413,24 @@ def c9_spellcheck(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).spellcheck("sparc", top=5)
 
 
+@_register(
+    "c9_leading_wildcard",
+    f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        WHERE len(list_filter(t, x -> x LIKE '%tion')) > 0
+           OR len(list_filter(t, x -> x LIKE '%ampl%')) > 0""",
+    "Lucene leading/infix wildcards (*tion, *ampl*): suffix clauses "
+    "compile to a reversed-token PREFIX seek on text_general_rev fields "
+    "(ReversedWildcardFilter contract) and an honest endswith token scan "
+    "elsewhere; infix is a substring scan, as in Lucene without an "
+    "n-gram subfield",
+)
+def c9_leading_wildcard(spark, sf_dir):
+    return (
+        _docs_search_index(spark, sf_dir)
+        .query("*tion OR *ampl*")
+        .select("doc_id")
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

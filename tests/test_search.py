@@ -776,6 +776,19 @@ class TestRound7QueryLanguage:
             [("or", [("term", "a"), ("term", "b")]), ("term", "c")],
         )
 
+    def test_leading_and_infix_wildcards_parse(self):
+        from solr_map_reduce_spark.extensions.search import parse_query
+
+        assert parse_query("*world") == ("suffix", "world")
+        assert parse_query("*orld*") == ("infix", "orld")
+        assert parse_query("f:*world") == ("fsuffix", "f", "world")
+        assert parse_query("f:*orld*") == ("finfix", "f", "orld")
+        assert parse_query("f:(*world OR x)") == (
+            "or", [("fsuffix", "f", "world"), ("fterm", "f", "x")]
+        )
+        # a bare * is not a wildcard term; *:* stays match-all
+        assert parse_query("*:*") == ("all",)
+
     def test_fuzzy_max_edits_capped_at_two(self):
         """Lucene caps FuzzyQuery at 2 edits (LevenshteinAutomata limit);
         term~3+ must be rejected at parse time, not expanded against the
@@ -1120,3 +1133,73 @@ class TestFuzzyVocabExpansion:
         assert re.search(r"PartitionFilters: \[[^\]]*shard#\d+ (=|IN)", plan), plan
         got = sorted(r["id"] for r in idx.query("zebra~1").collect())
         assert got == ["0"]
+
+
+class TestLeadingWildcards:
+    """Round-8: *suffix and *infix* wildcard terms.  On a
+    text_general_rev field the suffix compiles to a PREFIX over the
+    stored \\x01-marked reversed tokens (ReversedWildcardFilter's seekable
+    contract); on any other analyzed field it's an honest endswith token
+    scan — both must return identical results."""
+
+    def _build(self, spark, tmp_path, atype):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("text", atype)),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "Hello worldwide web"), ("2", "the world turns"),
+             ("3", "underworld stories"), ("4", "nothing here")],
+            "id string, text string",
+        )
+        out = str(tmp_path / f"wc_{atype}")
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_rev_and_plain_agree(self, spark, tmp_path):
+        plain = self._build(spark, tmp_path, "text_general")
+        rev = self._build(spark, tmp_path, "text_general_rev")
+        for q, want in [("*world", ["2", "3"]), ("*orld*", ["1", "2", "3"]),
+                        ("world*", ["1", "2"]), ("text:*world", ["2", "3"]),
+                        ("*world OR nothing", ["2", "3", "4"])]:
+            got_p = sorted(r["id"] for r in plain.query(q).collect())
+            got_r = sorted(r["id"] for r in rev.query(q).collect())
+            assert got_p == want, (q, got_p)
+            assert got_r == want, (q, got_r)
+
+    def test_rev_suffix_is_prefix_seek_not_scan(self, spark, tmp_path):
+        rev = self._build(spark, tmp_path, "text_general_rev")
+        plan = rev.query("*world")._jdf.queryExecution().analyzed().toString()
+        # the reversed rewrite: containment over the space-joined token
+        # string (the fptoks prefix form), no per-token exists() scan
+        assert "array_join" in plan
+        assert "exists" not in plan.lower()
+
+    def test_plain_suffix_is_exists_scan(self, spark, tmp_path):
+        plain = self._build(spark, tmp_path, "text_general")
+        plan = plain.query("*world")._jdf.queryExecution().analyzed().toString()
+        assert "exists" in plan.lower()
+
+    def test_infix_never_matches_null(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame([("1", "world"), ("2", None)],
+                                   "id string, text string")
+        out = str(tmp_path / "wc_null")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        assert sorted(r["id"] for r in idx.query("*orld*").collect()) == ["1"]
+        # prohibited wildcard: NULL docs count as non-matching, so -*orld*
+        # keeps them (Kleene-safe coalesce)
+        assert sorted(r["id"] for r in idx.query("*:* AND -*orld*").collect()) == ["2"]
