@@ -610,8 +610,31 @@ def parse_query(q: str):
     return node
 
 
+def _expand_synonyms(node, synonyms, make_member):
+    """Query-time synonym expansion (Solr SynonymFilterFactory in the
+    QUERY analyzer chain, expand=true): a term whose surface form is in
+    the map becomes an OR over its group — every member (original
+    included) is ANALYZED like any query term, so multi-word synonyms
+    match as PHRASES (SynonymGraphFilter's positional-run contract) and
+    stemming applies after expansion, exactly the filter-chain order.
+    Returns None when no member survives analysis."""
+    members = [node] + [str(s) for s in synonyms[node.lower()]]
+    children = [c for c in (make_member(m) for m in members) if c is not None]
+    if not children:
+        return None
+    # dedupe identical analyzed forms (e.g. two surface variants stemming
+    # to the same tokens)
+    uniq, seen = [], set()
+    for c in children:
+        key = repr(c)
+        if key not in seen:
+            seen.add(key)
+            uniq.append(c)
+    return uniq[0] if len(uniq) == 1 else ("or", uniq)
+
+
 def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
-                  default_field=None):
+                  default_field=None, synonyms=None):
     """Replace term/phrase text with ANALYZED token lists (the field's own
     analyzer applied to query text, Solr's query-side analysis contract).
     A clause whose analysis drops every token (pure stopwords) is removed,
@@ -632,6 +655,16 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
     Bloom-prunable.  Returning None falls back to the corpus scan."""
     kind = node[0]
     if kind in ("term", "phrase"):
+        if (
+            kind == "term"
+            and synonyms
+            and node[1].lower() in synonyms
+        ):
+            def _member(m):
+                mt = [t for t in (analyze(m) or []) if t]
+                return ("tokens", mt) if mt else None
+
+            return _expand_synonyms(node[1], synonyms, _member)
         toks = [t for t in (analyze(node[1]) or []) if t]
         if not toks:
             return None
@@ -652,7 +685,7 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
             return _analyze_node(
                 ("fsuffix" if kind == "suffix" else "finfix",
                  default_field, node[1]),
-                analyze, resolver, fuzzy_expand, default_field,
+                analyze, resolver, fuzzy_expand, default_field, synonyms,
             )
         return (
             "suffixtoks" if kind == "suffix" else "infixtoks",
@@ -724,6 +757,16 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
             return ("fuzzycol", node[2], node[3], rest[0])
         if mode == "analyzed":
             fn, toks_col = rest[0], rest[1]
+            if (
+                kind == "fterm"
+                and synonyms
+                and node[2].lower() in synonyms
+            ):
+                def _member(m):
+                    mt = [t for t in (fn(m) or []) if t]
+                    return ("ftokens", mt, toks_col) if mt else None
+
+                return _expand_synonyms(node[2], synonyms, _member)
             toks = [t for t in (fn(node[2]) or []) if t]
             if not toks:
                 return None
@@ -738,10 +781,11 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
         return ("feq", node[2], rest[0])
     if kind == "not":
         child = _analyze_node(node[1], analyze, resolver, fuzzy_expand,
-                              default_field)
+                              default_field, synonyms)
         return None if child is None else ("not", child)
     children = [
-        _analyze_node(c, analyze, resolver, fuzzy_expand, default_field)
+        _analyze_node(c, analyze, resolver, fuzzy_expand, default_field,
+                      synonyms)
         for c in node[1]
     ]
     children = [c for c in children if c is not None]
@@ -1030,7 +1074,7 @@ def _can_match_term_free(node) -> bool:
 
 def boolean_predicate(
     q: str, analyze, toks_col: F.Column, resolver=None, fuzzy_expand=None,
-    default_field=None,
+    default_field=None, synonyms=None,
 ) -> tuple[F.Column, dict]:
     """Compile a boolean query string to ONE Column predicate over the
     given token-array column, plus the pruning info dict (``required`` /
@@ -1042,7 +1086,7 @@ def boolean_predicate(
     clauses use its analyzer metadata (the reversed-token rewrite) — see
     :func:`_analyze_node`."""
     ast = _analyze_node(parse_query(q), analyze, resolver, fuzzy_expand,
-                        default_field)
+                        default_field, synonyms)
     if ast is None:
         raise QuerySyntaxError(
             f"query {q!r} has no effective clauses after analysis "

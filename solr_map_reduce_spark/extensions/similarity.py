@@ -949,3 +949,50 @@ class IvfPqIndex:
             F.col(self.ivf.bucket_col).isin(probe)
         )
         return self.pq.topk(codes, query, k=k)
+
+
+def semantic_dedup(
+    df: "DataFrame",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    **lsh_kwargs,
+) -> "DataFrame":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    whose EMBEDDINGS are near-duplicates, keeping one representative per
+    semantic cluster — the embedding-space sibling of MinHash text dedup,
+    catching paraphrases exact n-gram methods miss.
+
+    Pipeline: cosine near-dup pair graph (sign-LSH blocked at scale —
+    only (id, band) pairs shuffle, never an all-pairs join — or the exact
+    blocked gram-matrix path for small corpora) → connected components
+    (iterative min-label propagation, O(diameter) rounds) → keep the
+    min-id representative of each cluster, dropping the rest via one
+    left-anti join.  Returns the SURVIVING rows of ``df``.
+
+    100 TB shape: every stage is the already-scale-shaped building block
+    (cosine_pairs_lsh / connected_components); the final anti-join
+    broadcasts when the dropped set is small (the common case — dup
+    rates are single-digit percentages) and shuffles on the id otherwise.
+    """
+    pairs = (
+        cosine_pairs_lsh(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            **lsh_kwargs,
+        )
+        if use_lsh
+        else cosine_pairs_blocked(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    ).select("id_a", "id_b")
+    from solr_map_reduce_spark.extensions.text_dedup import (
+        connected_components,
+    )
+
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("cluster_id") != F.col("id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -300,6 +300,7 @@ class SearchIndex:
         q: str | None = None,
         field: str | None = None,
         start: int = 0,
+        synonyms: "Mapping[str, Sequence[str]] | None" = None,
     ) -> DataFrame:
         """The full Solr request shape in one call: ``q`` (boolean query
         over the analyzed field, the :meth:`query` syntax), column
@@ -313,7 +314,11 @@ class SearchIndex:
                 "into an unordered result set is a different page every "
                 "run"
             )
-        out = self._query_scan(q, field) if q is not None else self.df()
+        out = (
+            self._query_scan(q, field, synonyms)
+            if q is not None
+            else self.df()
+        )
         for col, val in (filters or {}).items():
             out = out.filter(F.col(col) == val)
         if where is not None:
@@ -751,7 +756,10 @@ class SearchIndex:
 
         return expand
 
-    def _query_scan(self, q: str, field: str | None = None) -> DataFrame:
+    def _query_scan(
+        self, q: str, field: str | None = None,
+        synonyms: "Mapping[str, Sequence[str]] | None" = None,
+    ) -> DataFrame:
         """Full rows matching a boolean query string — the shared engine
         behind :meth:`query` (ids), :meth:`search` (q + filters/sort/
         paging), and :meth:`facet` (query-scoped counts).  Compiles to a
@@ -780,6 +788,8 @@ class SearchIndex:
             q, analyze, toks_col, resolver=self._field_resolver(),
             fuzzy_expand=self._fuzzy_expander(fname),
             default_field=fname if fname in analyzed else None,
+            synonyms={k.lower(): list(v) for k, v in synonyms.items()}
+            if synonyms else None,
         )
         if info["required"]:
             scan = self._bloom_pruned(info["required"], fname, "all")
@@ -789,7 +799,10 @@ class SearchIndex:
             scan = self.df()
         return scan.filter(pred)
 
-    def query(self, q: str, field: str | None = None) -> DataFrame:
+    def query(
+        self, q: str, field: str | None = None,
+        synonyms: "Mapping[str, Sequence[str]] | None" = None,
+    ) -> DataFrame:
         """Boolean query over the analyzed field — the Solr/Lucene syntax
         subset its users write: terms, ``"quoted phrases"``, AND / OR /
         NOT (also ``&&`` / ``||`` / ``-``), parentheses; default operator
@@ -798,8 +811,16 @@ class SearchIndex:
         single Column predicate (one scan regardless of query shape), and
         shard Bloom pruning applies automatically: 'all'-mode on the
         query's conjunctive spine when it has one, else 'any'-mode over
-        the positive tokens when no term-free document can match."""
-        return self._query_scan(q, field).select(self.unique_key)
+        the positive tokens when no term-free document can match.
+
+        ``synonyms={"surface": ["alt", ...]}`` applies Solr query-time
+        synonym expansion (SynonymFilterFactory, expand=true): a TERM
+        whose surface form is in the map becomes an OR over its group,
+        every member analyzed like any query term (multi-word synonyms
+        match as PHRASES — SynonymGraphFilter's positional-run contract;
+        stemming applies after expansion — the declared filter-chain
+        order)."""
+        return self._query_scan(q, field, synonyms).select(self.unique_key)
 
     def contains_all(self, terms: Sequence[str], field: str | None = None) -> DataFrame:
         from solr_map_reduce_spark.extensions import search

@@ -3432,5 +3432,57 @@ def c9_leading_wildcard(spark, sf_dir):
     )
 
 
+@_register(
+    "c9_synonym_query",
+    f"""SELECT doc_id FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+        WHERE (list_contains(t, 'spark') OR list_contains(t, 'shuffle')
+               OR list_contains(t, 'vector'))
+          AND lang = 'en'""",
+    "Solr query-time synonym expansion (SynonymFilterFactory, "
+    "expand=true): the term 'spark' expands to its group (shuffle, "
+    "vector), each member analyzed like any query term, composed with a "
+    "fielded filter — still ONE compiled predicate on one scan",
+)
+def c9_synonym_query(spark, sf_dir):
+    return (
+        _docs_search_index(spark, sf_dir)
+        .query(
+            "spark AND lang:en",
+            synonyms={"spark": ["shuffle", "vector"]},
+        )
+        .select("doc_id")
+    )
+
+
+@_register(
+    "ext_semdedup",
+    f"""WITH RECURSIVE pairs AS ({_COS_PAIRS_SQL}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        dropped AS (
+          SELECT a AS id FROM reach GROUP BY a HAVING min(b) <> a
+        )
+       SELECT vec_id FROM embeddings
+       WHERE vec_id NOT IN (SELECT id FROM dropped)""",
+    "SemDeDup (Abbas 2023): embedding-space near-dup removal — cosine "
+    "pair graph -> connected components -> keep the min-id representative "
+    "per semantic cluster; the paraphrase-catching sibling of MinHash "
+    "text dedup. Oracle: recursive-CTE closure over the exact all-pairs "
+    "cosine graph",
+)
+def ext_semdedup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e, threshold=0.2, use_lsh=False
+    ).select("vec_id")
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

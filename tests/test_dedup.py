@@ -115,3 +115,51 @@ def test_simhash_trailing_empty_rows_do_not_corrupt_last_doc(spark):
     assert got[1] == want
     assert want != 0
     assert got[2] == 0 and got[3] == 0
+
+
+class TestSemanticDedup:
+    """Round-8 SemDeDup: embedding near-dup clusters keep one
+    representative; the LSH-blocked path must agree with the exact
+    blocked gram-matrix path."""
+
+    def _emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(6, 8))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, [float(x) for x in v]))
+        # 10/11: near-copies of vec 0 (same direction, scaled/noised)
+        rows.append((10, [float(x * 2.0) for x in base[0]]))
+        rows.append((11, [float(x) for x in base[0] + 1e-4 * base[1]]))
+        # 12: near-copy of vec 3
+        rows.append((12, [float(x * 0.5) for x in base[3]]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_keeps_min_id_per_cluster(self, spark):
+        from solr_map_reduce_spark.extensions.similarity import semantic_dedup
+
+        emb = self._emb(spark)
+        kept = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(emb, threshold=0.99, use_lsh=False).collect()
+        )
+        # clusters {0,10,11} and {3,12} keep their min ids; singletons stay
+        assert kept == [0, 1, 2, 3, 4, 5]
+
+    def test_lsh_path_agrees_with_exact(self, spark):
+        from solr_map_reduce_spark.extensions.similarity import semantic_dedup
+
+        emb = self._emb(spark)
+        exact = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(emb, threshold=0.99, use_lsh=False).collect()
+        )
+        lsh = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                emb, threshold=0.99, use_lsh=True, n_planes=8
+            ).collect()
+        )
+        assert lsh == exact

@@ -1203,3 +1203,94 @@ class TestLeadingWildcards:
         # prohibited wildcard: NULL docs count as non-matching, so -*orld*
         # keeps them (Kleene-safe coalesce)
         assert sorted(r["id"] for r in idx.query("*:* AND -*orld*").collect()) == ["2"]
+
+
+class TestQuerySynonyms:
+    """Round-8: Solr query-time synonym expansion (SynonymFilterFactory
+    in the QUERY analyzer chain, expand=true): a term whose surface form
+    is in the map becomes an OR over its analyzed group; multi-word
+    synonyms become conjunctive token runs; stemming applies AFTER
+    expansion (the declared filter-chain order)."""
+
+    @pytest.fixture(scope="class")
+    def syn_idx(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_en")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "the quick fox"), ("2", "a fast car"),
+             ("3", "speedy delivery running"), ("4", "slow snail")],
+            "id string, text string",
+        )
+        out = str(tmp_path_factory.mktemp("syn") / "idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_expansion_is_or_over_group(self, syn_idx):
+        syn = {"quick": ["fast", "speedy"]}
+        got = sorted(r["id"] for r in syn_idx.query("quick", synonyms=syn).collect())
+        assert got == ["1", "2", "3"]
+        # without synonyms: the literal term only
+        assert sorted(r["id"] for r in syn_idx.query("quick").collect()) == ["1"]
+
+    def test_composes_with_boolean_operators(self, syn_idx):
+        syn = {"quick": ["fast", "speedy"]}
+        got = sorted(
+            r["id"] for r in syn_idx.query("quick AND -car", synonyms=syn).collect()
+        )
+        assert got == ["1", "3"]
+
+    def test_fielded_term_expands(self, syn_idx):
+        syn = {"quick": ["fast", "speedy"]}
+        got = sorted(
+            r["id"] for r in syn_idx.query("text:quick", synonyms=syn).collect()
+        )
+        assert got == ["1", "2", "3"]
+
+    def test_multiword_member_is_a_phrase(self, syn_idx):
+        # a multi-word member matches as a PHRASE (SynonymGraphFilter:
+        # multi-token synonyms are positional runs): doc 3 has the
+        # adjacent stems 'deliveri run' but NOT 'run deliveri'
+        got = sorted(
+            r["id"]
+            for r in syn_idx.query(
+                "quick", synonyms={"quick": ["delivery running"]}
+            ).collect()
+        )
+        assert got == ["1", "3"]
+        got = sorted(
+            r["id"]
+            for r in syn_idx.query(
+                "quick", synonyms={"quick": ["running delivery"]}
+            ).collect()
+        )
+        assert got == ["1"]  # wrong order: the phrase member can't match
+
+    def test_members_are_stemmed(self, syn_idx):
+        # the member surface form 'speedily'-like variants stem the same
+        # way a typed query would; 'delivery' matches doc 3's 'delivery'
+        # through the stem 'deliveri'
+        got = sorted(
+            r["id"]
+            for r in syn_idx.query("quick", synonyms={"quick": ["deliveries"]}).collect()
+        )
+        assert got == ["1", "3"]
+
+    def test_unmapped_terms_unaffected(self, syn_idx):
+        syn = {"quick": ["fast"]}
+        assert sorted(
+            r["id"] for r in syn_idx.query("snail", synonyms=syn).collect()
+        ) == ["4"]
+
+    def test_search_request_takes_synonyms(self, syn_idx):
+        rows = syn_idx.search(
+            q="quick", synonyms={"quick": ["fast", "speedy"]},
+            sort=[("id", "asc")], limit=10, select=["id"],
+        ).collect()
+        assert [r["id"] for r in rows] == ["1", "2", "3"]
