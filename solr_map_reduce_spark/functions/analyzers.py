@@ -1247,16 +1247,21 @@ def _make_kernel_analyzer(py_fn):
 def _py_text_char_norm(text: str | None) -> list[str] | None:
     """text_char_norm: MappingCharFilter(ISOLatin1Accent) + whitespace
     tokenizer — accent fold WITHOUT lowercasing (the declared chain has
-    no LowerCaseFilter).  NFKD-strip folds the full combining range, a
-    superset of the Latin-1 mapping file."""
+    no LowerCaseFilter).  Only the LATIN combining range (U+0300-036F)
+    is stripped after NFKD — the mapping file folds Latin-1 accents, and
+    stripping every mark would destroy abugida scripts (Devanagari
+    matras are letters, not accents); NFC recomposes what remains."""
     if text is None:
         return None
     import unicodedata
 
-    folded = "".join(
-        c
-        for c in unicodedata.normalize("NFKD", text)
-        if not unicodedata.combining(c)
+    folded = unicodedata.normalize(
+        "NFC",
+        "".join(
+            c
+            for c in unicodedata.normalize("NFKD", text)
+            if not ("̀" <= c <= "ͯ")
+        ),
     )
     return [t for t in folded.split() if t]
 

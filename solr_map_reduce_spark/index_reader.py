@@ -383,7 +383,10 @@ class SearchIndex:
         if is_time:
             gap_s = gap.total_seconds() if isinstance(gap, timedelta) else float(gap)
             lo, hi = start.timestamp(), end.timestamp()
-            col = F.unix_timestamp(F.col(field)).cast("double")
+            # cast, not unix_timestamp(): the cast keeps fractional
+            # seconds, so sub-second gaps and milli-stamped events land
+            # in the right bucket
+            col = F.col(field).cast("double")
         else:
             gap_s, lo, hi = float(gap), float(start), float(end)
             col = F.col(field).cast("double")

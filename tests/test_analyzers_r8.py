@@ -52,6 +52,9 @@ GOLDENS = [
     # char_norm: accent fold WITHOUT lowercase (no LowerCaseFilter in the
     # declared chain), whitespace tokenizer
     ("text_char_norm", "Café RÉSUMÉ naïve", ["Cafe", "RESUME", "naive"]),
+    # only the LATIN combining block folds — abugida marks are letters
+    # and survive (a full combining strip would destroy Devanagari)
+    ("text_char_norm", "किताबें यहाँ", ["किताबें", "यहाँ"]),
     # CJK: width fold (half-width katakana), lowercase, bigrams; a lone
     # CJK char is a unigram; non-CJK runs pass through
     ("text_cjk", "Hello 世界人民 ｶﾀｶﾅ test123", ["hello", "世界", "界人", "人民", "カタ", "タカ", "カナ", "test123"]),

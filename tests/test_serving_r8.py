@@ -110,6 +110,29 @@ class TestRangeFacet:
         assert [r["cnt"] for r in got] == [24, 24, 12]
         assert got[0]["bucket_start"] == datetime(2024, 1, 1)
 
+    def test_subsecond_gap_keeps_fractional_seconds(self, spark, tmp_path):
+        """The timestamp path buckets on the CAST (fractional seconds
+        kept), not unix_timestamp (which truncates millis)."""
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("ts", "tdate")),
+            unique_key="id",
+        )
+        base = datetime(2024, 1, 1)
+        rows = [(str(i), base + timedelta(milliseconds=250 * i)) for i in range(8)]
+        df = spark.createDataFrame(rows, "id string, ts timestamp")
+        out = str(tmp_path / "ms")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        got = idx.range_facet(
+            "ts", base, base + timedelta(seconds=2), timedelta(milliseconds=500)
+        ).collect()
+        # 8 events at 250ms spacing over [0s, 2s): exactly 2 per 500ms bucket
+        assert [r["cnt"] for r in got] == [2, 2, 2, 2]
+
     def test_rejects_bad_gap(self, idx):
         with pytest.raises(ValueError, match="gap > 0"):
             idx.range_facet("num", 0, 10, 0)
