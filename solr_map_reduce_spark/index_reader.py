@@ -356,6 +356,49 @@ class SearchIndex:
         )
         return out.limit(top) if top is not None else out
 
+    _FACET_AGGS = {
+        "sum": F.sum,
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "stddev": F.stddev_samp,
+        "unique": F.countDistinct,
+    }
+
+    def facet_stats(
+        self,
+        field: str,
+        metrics: Mapping[str, tuple[str, str]],
+        top: int | None = None,
+        q: str | None = None,
+        query_field: str | None = None,
+    ) -> DataFrame:
+        """Solr JSON Facet API sub-aggregations (``json.facet`` with
+        nested stat facets): per-bucket metrics alongside the counts —
+        ``metrics={"avg_len": ("avg", "n_chars"), "users": ("unique",
+        "user_id")}``.  Supported: sum/avg/min/max/stddev (sample) /
+        unique (exact countDistinct).  ONE groupBy of the (optionally
+        query-scoped) corpus — every agg is algebraic, so the shuffle
+        carries map-side partials, and `unique` adds a partial-distinct
+        the same way SQL COUNT(DISTINCT) plans."""
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        aggs = [F.count(F.lit(1)).alias("cnt")]
+        for name, (fn, col) in metrics.items():
+            try:
+                agg = self._FACET_AGGS[fn]
+            except KeyError:
+                raise ValueError(
+                    f"unknown facet metric {fn!r}; supported: "
+                    f"{sorted(self._FACET_AGGS)}"
+                ) from None
+            aggs.append(agg(F.col(col)).alias(name))
+        out = (
+            scan.groupBy(field)
+            .agg(*aggs)
+            .orderBy(F.desc("cnt"), F.asc(field))
+        )
+        return out.limit(top) if top is not None else out
+
     def range_facet(
         self,
         field: str,

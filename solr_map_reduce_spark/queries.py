@@ -3484,5 +3484,30 @@ def ext_semdedup(spark, sf_dir):
     ).select("vec_id")
 
 
+@_register(
+    "c9_facet_stats",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              round(avg(value), 4) AS avg_value,
+              round(sum(value), 4) AS sum_value,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS users
+       FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""",
+    "Solr JSON Facet API sub-aggregations (json.facet nested stats): "
+    "per-bucket avg/sum/unique alongside counts, ONE map-side-combined "
+    "groupBy of the corpus",
+)
+def c9_facet_stats(spark, sf_dir):
+    out = _events_search_index(spark, sf_dir).facet_stats(
+        "event_type",
+        {"avg_value": ("avg", "value"), "sum_value": ("sum", "value"),
+         "users": ("unique", "user_id")},
+    )
+    return out.select(
+        "event_type", "cnt",
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("sum_value", 4).alias("sum_value"),
+        "users",
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

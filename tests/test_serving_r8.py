@@ -148,6 +148,23 @@ class TestPivotStats:
             for r in got
         )
 
+    def test_facet_stats_per_bucket(self, idx):
+        got = {
+            r["grp"]: r
+            for r in idx.facet_stats(
+                "grp", {"max_num": ("max", "num"), "ids": ("unique", "id")}
+            ).collect()
+        }
+        assert set(got) == {"a", "b", "c"}
+        for g, r in got.items():
+            manual = [x["num"] for x in idx.df().filter(F.col("grp") == g).collect()]
+            assert r["cnt"] == len(manual) == r["ids"]
+            assert r["max_num"] == max(manual)
+
+    def test_facet_stats_unknown_metric(self, idx):
+        with pytest.raises(ValueError, match="unknown facet metric"):
+            idx.facet_stats("grp", {"x": ("median", "num")})
+
     def test_stats_matches_manual(self, idx):
         r = idx.stats("num").collect()[0]
         nums = [x["num"] for x in idx.df().select("num").collect()]
