@@ -249,6 +249,156 @@ def bm25_search(
     return scored if with_score else scored.select(id_col)
 
 
+def bm25_dismax(
+    df: DataFrame,
+    field_specs: "Mapping[str, dict]",
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie: float = 0.0,
+    exact_sum: bool = False,
+    with_score: bool = True,
+) -> DataFrame:
+    """Multi-field DisMax ranking — Solr's (e)dismax ``qf=title^2 body``
+    (Lucene DisjunctionMaxQuery): for each query WORD, every field scores
+    it independently (its own analysis, statistics, and boost); the
+    word's score is the MAX over fields plus ``tie`` times the rest
+    (``tie=0`` pure dismax, ``tie=1`` sum-of-fields); document score is
+    the sum over words.
+
+    ``field_specs`` maps field name -> ``{"weight": w, "tokens_col": c,
+    "word_tokens": [[tok, ...] per query word], "stored_stats":
+    (n_docs, sum_dl, n_dl) | None, "stored_dfs": {tok: df} | None}`` —
+    the per-field analysis happens at the CALLER (each field analyzes
+    the raw words with its own analyzer, Solr's per-field query
+    analysis), and BM25 statistics are PER FIELD (Lucene's per-field
+    norms/docCount).  When every field carries stored stats the plan is
+    ONE scan + TakeOrdered; otherwise one extra aggregate over the same
+    checkpointed compact projection derives all fields' statistics
+    simultaneously.
+
+    ``exact_sum`` routes each (word, field) contribution through
+    DECIMAL(18,6) before the max/tie/sum combination, making scores
+    independent of engine-internal float ordering (cross-engine oracle
+    parity — see :func:`bm25_dismax_oracle_sql`)."""
+    fields = list(field_specs)
+
+    def _tf_of(toks_c: F.Column, term: str) -> F.Column:
+        # single-parameter lambda: a two-parameter one would make PySpark
+        # pass the element INDEX as the second argument (same pitfall as
+        # bm25_search's _tf)
+        return F.size(F.filter(toks_c, lambda x: x == F.lit(term)))
+
+    # compact projection: per field its dl + a tf per needed token
+    proj: list = [F.col(id_col)]
+    tok_idx: dict = {}
+    for f in fields:
+        spec = field_specs[f]
+        toks = F.col(spec["tokens_col"])
+        proj.append(F.size(toks).cast("double").alias(f"_dl_{f}"))
+        for wtoks in spec["word_tokens"]:
+            for t in wtoks:
+                if (f, t) not in tok_idx:
+                    i = len(tok_idx)
+                    tok_idx[(f, t)] = i
+                    proj.append(
+                        _tf_of(toks, t).cast("double").alias(f"_tf_{i}")
+                    )
+    compact = df.select(*proj)
+    all_stored = all(
+        field_specs[f].get("stored_stats")
+        and field_specs[f].get("stored_dfs") is not None
+        for f in fields
+    )
+    if all_stored:
+        scols = []
+        for f in fields:
+            n, sdl, ndl = field_specs[f]["stored_stats"]
+            scols.append(F.lit(float(n)).alias(f"_n_{f}"))
+            scols.append(
+                F.lit(float(sdl) / float(ndl) if ndl else 0.0).alias(f"_avgdl_{f}")
+            )
+        for (f, t), i in tok_idx.items():
+            scols.append(
+                F.lit(float(field_specs[f]["stored_dfs"].get(t, 0))).alias(f"_df_{i}")
+            )
+        stats = df.sparkSession.range(1).select(*scols)
+    else:
+        compact = compact.localCheckpoint(eager=False)
+        aggs = []
+        for f in fields:
+            aggs.append(F.count(F.col(f"_dl_{f}")).cast("double").alias(f"_n_{f}"))
+            aggs.append(F.avg(f"_dl_{f}").alias(f"_avgdl_{f}"))
+        for (_f, _t), i in tok_idx.items():
+            aggs.append(
+                F.sum((F.col(f"_tf_{i}") > 0).cast("double")).alias(f"_df_{i}")
+            )
+        stats = compact.agg(*aggs)
+
+    def tok_score(f: str, i: int) -> F.Column:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col(f"_n_{f}") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5)
+        )
+        tf = F.col(f"_tf_{i}")
+        raw = idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col(f"_dl_{f}") / F.col(f"_avgdl_{f}"))
+        )
+        return F.when(tf > 0, raw).otherwise(F.lit(0.0))
+
+    n_words = max(len(field_specs[f]["word_tokens"]) for f in fields)
+    word_scores = []
+    for w in range(n_words):
+        per_field = []
+        for f in fields:
+            spec = field_specs[f]
+            wtoks = spec["word_tokens"][w] if w < len(spec["word_tokens"]) else []
+            if not wtoks:
+                continue
+            s = None
+            for t in wtoks:
+                c = tok_score(f, tok_idx[(f, t)])
+                s = c if s is None else s + c
+            s = s * F.lit(float(spec.get("weight", 1.0)))
+            if exact_sum:
+                s = s.cast("decimal(18,6)")
+            per_field.append(s)
+        if not per_field:
+            continue
+        if len(per_field) == 1:
+            word_scores.append(per_field[0])
+        else:
+            mx = F.greatest(*per_field)
+            if tie:
+                total_f = per_field[0]
+                for c in per_field[1:]:
+                    total_f = total_f + c
+                word_scores.append(mx + F.lit(float(tie)) * (total_f - mx))
+            else:
+                word_scores.append(mx)
+    if not word_scores:
+        raise ValueError("dismax query has no analyzable words in any field")
+    total = word_scores[0]
+    for s in word_scores[1:]:
+        total = total + s
+    if exact_sum:
+        total = total.cast("double")
+    hit = None
+    for i in range(len(tok_idx)):
+        c = F.col(f"_tf_{i}") > 0
+        hit = c if hit is None else (hit | c)
+    scored = (
+        compact.join(F.broadcast(stats))
+        .filter(hit)
+        .select(F.col(id_col), total.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return scored if with_score else scored.select(id_col)
+
+
 def bm25_oracle_sql(
     query_terms: Sequence[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
     with_score: bool = True, exact_sum: bool = False,

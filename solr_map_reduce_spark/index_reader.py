@@ -1020,6 +1020,63 @@ class SearchIndex:
             tokens_col=self._tokens_col(field), **kw,
         )
 
+    def dismax(
+        self,
+        words: Sequence[str],
+        qf: Mapping[str, float],
+        k: int = 10,
+        tie: float = 0.0,
+        **kw,
+    ) -> DataFrame:
+        """Solr (e)dismax multi-field ranking: ``qf={"title": 2.0,
+        "body": 1.0}`` scores each query WORD in every listed analyzed
+        field (each field's OWN analyzer and OWN BM25 statistics —
+        Lucene's per-field docCount/norms), takes the max-plus-``tie``
+        combination per word (DisjunctionMaxQuery), and sums over words.
+
+        With a stats sidecar covering every qf field, statistics and
+        term dfs come from stored structures — ONE scan + TakeOrdered;
+        otherwise one extra aggregate over the shared compact projection
+        derives all fields' statistics simultaneously."""
+        from solr_map_reduce_spark.extensions import search
+        from solr_map_reduce_spark.search_stats import term_dfs
+
+        analyzed: dict = self.manifest.get("analyzed", {})
+        stats = self._load_stats()
+        specs: dict = {}
+        for fname, weight in qf.items():
+            if fname not in analyzed:
+                raise ValueError(
+                    f"dismax qf field {fname!r} is not an analyzed field "
+                    f"(analyzed={sorted(analyzed)})"
+                )
+            word_tokens = [
+                self.analyze_terms([w], field=fname) or [] for w in words
+            ]
+            spec = {
+                "weight": float(weight),
+                "tokens_col": analyzed[fname]["tokens_col"],
+                "word_tokens": word_tokens,
+            }
+            if stats and fname in stats:
+                s = stats[fname]
+                toks = sorted({t for wt in word_tokens for t in wt})
+                memo_key = (fname, tuple(toks))
+                if memo_key in self._dfs_memo:
+                    self._dfs_memo.move_to_end(memo_key)
+                else:
+                    self._dfs_memo[memo_key] = term_dfs(
+                        self.spark, self.path, fname, toks
+                    )
+                    while len(self._dfs_memo) > self._dfs_memo_cap:
+                        self._dfs_memo.popitem(last=False)
+                spec["stored_stats"] = (s["n_docs"], s["sum_dl"], s["n_dl"])
+                spec["stored_dfs"] = self._dfs_memo[memo_key]
+            specs[fname] = spec
+        return search.bm25_dismax(
+            self.df(), specs, k=k, id_col=self.unique_key, tie=tie, **kw
+        )
+
     def term_facet(self, field: str | None = None, top: int = 20) -> DataFrame:
         """Top terms by document frequency — served straight from the stored
         term dictionary (``_vocab/``) when present: zero corpus scan, a

@@ -3509,5 +3509,118 @@ def c9_facet_stats(spark, sf_dir):
     )
 
 
+_DISMAX_INDEX_CACHE: dict[str, str] = {}
+_DISMAX_INDEX_HANDLE: dict[str, object] = {}
+
+
+def _dismax_search_index(spark, sf_dir):
+    """A TWO-analyzed-field artifact (text: text_general, lang:
+    lowercase) for the multi-field dismax entry — each qf field carries
+    its own stored BM25 statistics (Lucene's per-field docCount/norms)."""
+    import os
+    import tempfile
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+    handle = _DISMAX_INDEX_HANDLE.get(sf_dir)
+    if handle is not None and os.path.isdir(_DISMAX_INDEX_CACHE.get(sf_dir, "")):
+        return handle
+    path = _DISMAX_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        schema = IndexSchema(
+            fields=(
+                Field("doc_id", "long", required=True),
+                Field("text", "text_general"),
+                Field("lang", "lowercase"),
+            ),
+            unique_key="doc_id",
+        )
+        job = IndexJob(
+            IndexJobConfig(
+                schema=schema, shards=4, micro_shards=8, dedup="none",
+                routing="native", search_stats=True,
+            )
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="smrs_dismax_idx_"), "index")
+        job.build(
+            t(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
+            path,
+        )
+        _DISMAX_INDEX_CACHE[sf_dir] = path
+    _DISMAX_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
+    return _DISMAX_INDEX_HANDLE[sf_dir]
+
+
+def _dismax_word_sql(word: str, k1: float = 1.2, b: float = 0.75) -> str:
+    """Per-word dismax score: greatest over the text field (weight 1.0)
+    and the lang field (weight 0.5), each through DECIMAL(18,6) — the
+    exact expression tree bm25_dismax builds with exact_sum=True."""
+    t_raw = (
+        f"ln(1.0 + (n_t - df_t_{word} + 0.5) / (df_t_{word} + 0.5))"
+        f" * (tf_t_{word} * ({k1} + 1))"
+        f" / (tf_t_{word} + {k1} * (1 - {b} + {b} * dl_t / avgdl_t))"
+    )
+    l_raw = (
+        f"ln(1.0 + (n_l - df_l_{word} + 0.5) / (df_l_{word} + 0.5))"
+        f" * (tf_l_{word} * ({k1} + 1))"
+        f" / (tf_l_{word} + {k1} * (1 - {b} + {b} * dl_l / avgdl_l))"
+    )
+    return (
+        "greatest("
+        f"CAST((CASE WHEN tf_t_{word} > 0 THEN {t_raw} ELSE 0.0 END) * 1.0"
+        " AS DECIMAL(18,6)), "
+        f"CAST((CASE WHEN tf_l_{word} > 0 THEN {l_raw} ELSE 0.0 END) * 0.5"
+        " AS DECIMAL(18,6)))"
+    )
+
+
+@_register(
+    "ext_dismax_topk",
+    f"""WITH t1 AS (
+          SELECT doc_id, {_TOKS_SQL} AS tt, lower(lang) AS lt FROM documents
+        ), staged AS (
+          SELECT doc_id,
+            CAST(length(tt) AS DOUBLE) AS dl_t, 1.0 AS dl_l,
+            CAST(length(list_filter(tt, x -> x = 'spark')) AS DOUBLE)
+              AS tf_t_spark,
+            CAST(length(list_filter(tt, x -> x = 'en')) AS DOUBLE)
+              AS tf_t_en,
+            CASE WHEN lt = 'spark' THEN 1.0 ELSE 0.0 END AS tf_l_spark,
+            CASE WHEN lt = 'en' THEN 1.0 ELSE 0.0 END AS tf_l_en
+          FROM t1
+        ), stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_t, avg(dl_t) AS avgdl_t,
+                 CAST(count(*) AS DOUBLE) AS n_l, 1.0 AS avgdl_l,
+                 sum(CASE WHEN tf_t_spark > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_t_spark,
+                 sum(CASE WHEN tf_t_en > 0 THEN 1.0 ELSE 0.0 END) AS df_t_en,
+                 sum(CASE WHEN tf_l_spark > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_l_spark,
+                 sum(CASE WHEN tf_l_en > 0 THEN 1.0 ELSE 0.0 END) AS df_l_en
+          FROM staged
+        ), scored AS (
+          SELECT doc_id,
+            CAST({_dismax_word_sql('spark')} + {_dismax_word_sql('en')}
+                 AS DOUBLE) AS score,
+            (tf_t_spark > 0 OR tf_l_spark > 0 OR tf_t_en > 0 OR tf_l_en > 0)
+              AS hit
+          FROM staged CROSS JOIN stats
+        )
+       SELECT doc_id, score FROM scored WHERE hit
+       ORDER BY score DESC, doc_id LIMIT 10""",
+    "Solr (e)dismax multi-field ranking (qf='text^1.0 lang^0.5'): each "
+    "query WORD scored independently per field (own analyzer + own BM25 "
+    "statistics, Lucene's per-field docCount/norms), combined as "
+    "DisjunctionMaxQuery (max over fields), summed over words — served "
+    "from per-field stored stats, ONE scan + TakeOrdered",
+)
+def ext_dismax_topk(spark, sf_dir):
+    return _dismax_search_index(spark, sf_dir).dismax(
+        ["spark", "en"], qf={"text": 1.0, "lang": 0.5}, k=10,
+        exact_sum=True,
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
