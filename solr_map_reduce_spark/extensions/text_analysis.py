@@ -555,3 +555,63 @@ def hash_split(
         cond = bucket < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr.otherwise(list(weights)[-1]))
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_df: DataFrame | None = None,
+    lm_text_col: str | None = None,
+) -> DataFrame:
+    """Perplexity-PROXY quality scoring with a corpus unigram LM — the
+    cheap stand-in for KenLM-style perplexity filtering (CCNet/Gopher use
+    an LM over a reference corpus to rank documents; a unigram model
+    captures the same "how ordinary are these words" signal with plain
+    aggregates).  Returns ``(id, n_tokens, surprisal)`` where
+    ``surprisal`` is the mean per-token negative log Laplace-smoothed
+    probability ``-ln((cnt_t + 1) / (N + V))`` — perplexity =
+    ``exp(surprisal)``; HIGHER = rarer vocabulary.
+
+    ``lm_df`` scores ``df`` under a DIFFERENT corpus's distribution
+    (train the LM on held-out reference text, score the crawl — the
+    CCNet recipe); unseen tokens get the smoothed OOV mass ``1/(N+V)``.
+
+    100 TB shape: the LM is ONE explode + map-side-combined groupBy
+    (token counts); scoring joins the exploded (id, token) stream with
+    the count table on the token key — AQE picks broadcast when the
+    vocabulary fits, sort-merge otherwise — then one avg by id.  No
+    Python anywhere."""
+    lm_src = lm_df if lm_df is not None else df
+    lm_toks = tokens(F.col(lm_text_col or text_col))
+    vocab = (
+        lm_src.select(F.explode(lm_toks).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    totals = vocab.agg(
+        F.sum("_cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    doc_toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    scored = (
+        doc_toks.join(vocab, "_t", "left")
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("_cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_n") + F.col("_v"))
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("_s").alias("surprisal"),
+        )
+    )

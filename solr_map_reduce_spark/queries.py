@@ -3622,5 +3622,35 @@ def ext_dismax_topk(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_unigram_surprisal",
+    f"""WITH toks AS (
+          SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), u AS (SELECT unnest(t) AS term FROM toks),
+        vocab AS (SELECT term, count(*) AS cnt FROM u GROUP BY term),
+        totals AS (
+          SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+          FROM vocab
+        ),
+        doc_toks AS (SELECT doc_id, unnest(t) AS term FROM toks)
+       SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(avg(-ln((vocab.cnt + 1.0) / (totals.n + totals.v))), 6)
+                AS surprisal
+       FROM doc_toks d JOIN vocab USING (term) CROSS JOIN totals
+       GROUP BY d.doc_id""",
+    "perplexity-proxy quality score (CCNet/Gopher LM-filter stand-in): "
+    "mean per-token negative log Laplace-smoothed corpus-unigram "
+    "probability — the LM is one map-side-combined token count, scoring "
+    "is an exploded join on the token key + one avg by doc",
+)
+def ext_unigram_surprisal(spark, sf_dir):
+    out = text_analysis.unigram_surprisal(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return out.select(
+        "doc_id", "n_tokens", F.round("surprisal", 6).alias("surprisal")
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
