@@ -193,6 +193,30 @@ def main() -> None:
     fielded = idx.query('lang:en AND spark* -id:[* TO 100}')
     print("fielded+range+wildcard query:", fielded.count(), "docs")
 
+    # 9. round-8 serving components -------------------------------------
+    # cursorMark deep paging: keyset pagination — O(page) per request
+    rows, mark = idx.cursor_page(sort=[("n_chars", "desc")], limit=5,
+                                 select=["id", "n_chars"])
+    rows2, _ = idx.cursor_page(sort=[("n_chars", "desc")], limit=5,
+                               cursor_mark=mark, select=["id", "n_chars"])
+    print("cursor pages:", [r["id"] for r in rows], "|",
+          [r["id"] for r in rows2])
+    # range/pivot facets, per-bucket stats, grouping, spellcheck
+    rf = idx.range_facet("n_chars", 0, 2000, 500)
+    print("range facet:", [(int(r["bucket_start"]), r["cnt"]) for r in rf.collect()])
+    fs = idx.facet_stats("lang", {"avg_len": ("avg", "n_chars")}, top=3)
+    print("facet stats:", [(r["lang"], r["cnt"], round(r["avg_len"], 1))
+                           for r in fs.collect()])
+    grp = idx.grouped("lang", sort=("n_chars", "desc"), group_limit=1,
+                      select=["id", "n_chars"])
+    print("top doc per lang:", [(r["lang"], r["id"]) for r in grp.collect()[:4]])
+    print("did-you-mean 'sparc':",
+          [r["suggestion"] for r in idx.spellcheck("sparc", top=3).collect()])
+    # synonyms expand at query time; leading wildcards are seekable on
+    # text_general_rev fields
+    syn = idx.query("spark", synonyms={"spark": ["vector"]})
+    print("synonym-expanded query:", syn.count(), "docs")
+
     spark.stop()
 
 
