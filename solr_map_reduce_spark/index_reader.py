@@ -1366,3 +1366,128 @@ class SearchIndex:
         from solr_map_reduce_spark.indexing import segment_counts
 
         return segment_counts(self.path)
+
+
+class MultiIndex:
+    """Solr COLLECTION-ALIAS analog: one read facade over several
+    artifacts — the time-partitioned-collections pattern (daily/monthly
+    artifacts behind one query alias, Solr's time-routed aliases).
+
+    Every member keeps its OWN serving structures, and the facade
+    composes them instead of flattening: ``count()`` sums the members'
+    O(1) sidecar counts, ``get`` unions the members' shard/segment-pruned
+    point lookups, and ``query`` unions each member's Bloom-pruned scan —
+    a term missing from an entire day's artifact skips that artifact's
+    data files completely.  At 100 TB split across N time slices that is
+    the alias's whole point: queries touch the slices that can match.
+
+    Members must share the unique-key name (the alias contract); schemas
+    may differ by ADDED columns (unionByName with missing-column nulls —
+    Solr's schema-evolution-across-collections reality)."""
+
+    def __init__(self, members: "Sequence[SearchIndex]"):
+        if not members:
+            raise ValueError("MultiIndex needs at least one member artifact")
+        keys = {m.unique_key for m in members}
+        if len(keys) > 1:
+            raise ValueError(
+                f"alias members disagree on the unique key: {sorted(keys)}"
+            )
+        self.members = list(members)
+        self.unique_key = members[0].unique_key
+        self.spark = members[0].spark
+
+    @classmethod
+    def open(cls, spark: SparkSession, paths: "Sequence[str]") -> "MultiIndex":
+        return cls([SearchIndex.open(spark, p) for p in paths])
+
+    def _union(self, frames: "Sequence[DataFrame]") -> DataFrame:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def df(self) -> DataFrame:
+        return self._union([m.df() for m in self.members])
+
+    def count(self) -> int:
+        """Sum of the members' counts — O(1) per member with sidecars."""
+        return sum(m.count() for m in self.members)
+
+    def get(self, key: str) -> DataFrame:
+        """Point lookup across the alias: each member's shard/segment
+        pruning applies before the union."""
+        return self._union([m.get(key) for m in self.members])
+
+    def query(
+        self, q: str, field: str | None = None,
+        synonyms: "Mapping[str, Sequence[str]] | None" = None,
+    ) -> DataFrame:
+        """Boolean query across the alias: each member compiles and
+        Bloom-prunes INDEPENDENTLY (per-member dictionaries/bitmaps), so
+        an artifact whose Blooms reject the query contributes a
+        zero-file scan."""
+        return self._union(
+            [m.query(q, field, synonyms) for m in self.members]
+        )
+
+    def search(
+        self,
+        filters: "Mapping[str, object] | None" = None,
+        where: F.Column | None = None,
+        select: "Sequence[str] | None" = None,
+        sort: "Sequence[tuple[str, str]] | None" = None,
+        limit: int | None = None,
+        q: str | None = None,
+        field: str | None = None,
+        start: int = 0,
+        synonyms: "Mapping[str, Sequence[str]] | None" = None,
+    ) -> DataFrame:
+        """The full request shape over the alias: per-member pruned scans
+        union FIRST, then global sort/paging (one TakeOrdered over the
+        union — exactly how a distributed Solr alias merges per-shard
+        top-k)."""
+        if start and not sort:
+            raise ValueError("start= needs sort= (deterministic paging)")
+        scans = [
+            m._query_scan(q, field, synonyms) if q is not None else m.df()
+            for m in self.members
+        ]
+        out = self._union(scans)
+        for col, val in (filters or {}).items():
+            out = out.filter(F.col(col) == val)
+        if where is not None:
+            out = out.filter(where)
+        if sort:
+            out = out.orderBy(
+                *[
+                    F.desc(c) if d.lower().startswith("desc") else F.asc(c)
+                    for c, d in sort
+                ],
+                F.asc(self.unique_key),
+            )
+        if start:
+            out = out.offset(start)
+        if limit is not None:
+            out = out.limit(limit)
+        if select:
+            out = out.select(*select)
+        return out
+
+    def facet(
+        self, field: str, top: int | None = None,
+        q: str | None = None, query_field: str | None = None,
+    ) -> DataFrame:
+        """Value counts across the alias — per-member pruned scans, one
+        global map-side-combined aggregate over the union."""
+        scans = [
+            m._query_scan(q, query_field) if q is not None else m.df()
+            for m in self.members
+        ]
+        out = (
+            self._union([s.select(field) for s in scans])
+            .groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(field))
+        )
+        return out.limit(top) if top is not None else out

@@ -3652,5 +3652,60 @@ def ext_unigram_surprisal(spark, sf_dir):
     )
 
 
+_ALIAS_INDEX_CACHE: dict[str, list] = {}
+
+
+def _alias_index(spark, sf_dir):
+    """A two-member collection alias (documents split by doc_id parity
+    into two artifacts — the time-partitioned-collections pattern)."""
+    import os
+    import tempfile
+
+    from solr_map_reduce_spark.index_reader import MultiIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+    paths = _ALIAS_INDEX_CACHE.get(sf_dir)
+    if paths is None or not all(os.path.isdir(p) for p in paths):
+        schema = IndexSchema(
+            fields=(
+                Field("doc_id", "long", required=True),
+                Field("text", "text_general"),
+                Field("lang", "string"),
+            ),
+            unique_key="doc_id",
+        )
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        base = tempfile.mkdtemp(prefix="smrs_alias_")
+        paths = []
+        for part in (0, 1):
+            out = os.path.join(base, f"slice{part}")
+            IndexJob(
+                IndexJobConfig(schema=schema, shards=2, dedup="none",
+                               routing="native", term_blooms=True,
+                               key_ranges=True)
+            ).build(docs.filter(F.col("doc_id") % 2 == part), out)
+            paths.append(out)
+        _ALIAS_INDEX_CACHE[sf_dir] = paths
+    return MultiIndex.open(spark, paths)
+
+
+@_register(
+    "c9_alias_query",
+    f"""SELECT doc_id FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark') AND NOT list_contains(t, 'shuffle')
+          AND lang = 'en'""",
+    "Solr collection-alias analog (MultiIndex over two time-slice "
+    "artifacts): one boolean query fans out to each member's own "
+    "Bloom-pruned compiled scan and unions — results identical to the "
+    "unpartitioned collection (the alias contract)",
+)
+def c9_alias_query(spark, sf_dir):
+    return (
+        _alias_index(spark, sf_dir)
+        .query("spark AND -shuffle AND lang:en")
+        .select("doc_id")
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

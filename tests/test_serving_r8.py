@@ -250,3 +250,102 @@ class TestGrouped:
         ).collect()
         assert len(got) == 4  # 2 groups x 2 docs
         assert list(got[0].asDict()) == ["grp", "n_in_group", "_rk", "id", "num"]
+
+
+class TestMultiIndexAlias:
+    """Solr collection-alias analog: one facade over several artifacts
+    (time-partitioned collections); per-member pruning composes under
+    the union."""
+
+    @pytest.fixture(scope="class")
+    def alias(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import MultiIndex, SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("num", "long")),
+            unique_key="id",
+        )
+        rows = [(str(i), f"doc {'alpha' if i % 3 == 0 else 'beta'} number", i)
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "id string, text string, num long")
+        base = tmp_path_factory.mktemp("alias")
+        paths = []
+        for part in (0, 1):
+            out = str(base / f"slice{part}")
+            IndexJob(
+                IndexJobConfig(schema=schema, shards=2, dedup="none",
+                               key_ranges=True)
+            ).build(df.filter(F.col("num") % 2 == part), out)
+            paths.append(out)
+        return (MultiIndex.open(spark, paths),
+                df)
+
+    def test_count_sums_members(self, alias):
+        multi, df = alias
+        assert multi.count() == df.count()
+
+    def test_get_and_query_union(self, alias):
+        multi, df = alias
+        assert [r["id"] for r in multi.get("7").collect()] == ["7"]
+        got = sorted(int(r["id"]) for r in multi.query("alpha").collect())
+        want = sorted(r["num"] for r in df.collect() if r["num"] % 3 == 0)
+        assert got == want
+
+    def test_search_global_sort(self, alias):
+        multi, _ = alias
+        rows = multi.search(sort=[("num", "desc")], limit=5,
+                            select=["id", "num"]).collect()
+        nums = [r["num"] for r in rows]
+        assert nums == [39, 38, 37, 36, 35]  # global order ACROSS slices
+
+    def test_facet_across_members(self, alias):
+        multi, df = alias
+        got = {r["text"]: r["cnt"] for r in multi.facet("text").collect()}
+        assert sum(got.values()) == df.count()
+
+    def test_schema_evolution_member(self, spark, alias, tmp_path):
+        """A member with an ADDED column joins the alias; missing columns
+        read as nulls (unionByName contract)."""
+        from solr_map_reduce_spark.index_reader import MultiIndex, SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        multi, _ = alias
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("num", "long"),
+                    Field("extra", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame([("100", "alpha gamma", 100, "x")],
+                                   "id string, text string, num long, extra string")
+        out = str(tmp_path / "evolved")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        wider = MultiIndex(multi.members + [SearchIndex.open(spark, out)])
+        assert wider.count() == multi.count() + 1
+        row = {r["id"]: r for r in wider.search(
+            filters={"text": None} if False else None,
+            where=F.col("id").isin("100", "0"), select=["id", "extra"],
+        ).collect()}
+        assert row["100"]["extra"] == "x" and row["0"]["extra"] is None
+
+    def test_unique_key_mismatch_is_loud(self, spark, alias, tmp_path):
+        from solr_map_reduce_spark.index_reader import MultiIndex, SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        multi, _ = alias
+        schema = IndexSchema(
+            fields=(Field("other", "string", required=True),),
+            unique_key="other",
+        )
+        df = spark.createDataFrame([("1",)], "other string")
+        out = str(tmp_path / "mismatch")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        with pytest.raises(ValueError, match="disagree on the unique key"):
+            MultiIndex(multi.members + [SearchIndex.open(spark, out)])
