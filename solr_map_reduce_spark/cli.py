@@ -285,9 +285,37 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "query":
-        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.index_reader import MultiIndex, SearchIndex
 
-        idx = SearchIndex.open(spark, args.path)
+        # a comma-separated --path is a collection ALIAS (MultiIndex):
+        # the query fans out to every member's own pruned scan.  The
+        # alias serves the core read surface (count/get/q/filter/sort/
+        # select/facet); per-artifact components name a single path
+        if "," in args.path:
+            idx = MultiIndex.open(
+                spark, [p for p in args.path.split(",") if p]
+            )
+            unsupported = [
+                flag for flag, val in (
+                    ("--segments", args.segments),
+                    ("--range-facet", args.range_facet),
+                    ("--pivot", args.pivot),
+                    ("--stats", args.stats),
+                    ("--group", args.group),
+                    ("--cursor", args.cursor),
+                    ("--spellcheck", args.spellcheck),
+                ) if val
+            ]
+            if unsupported:
+                print(
+                    f"{', '.join(unsupported)} need a single artifact "
+                    "--path (alias serves count/get/--q/--facet/--filter/"
+                    "--sort/--select)",
+                    file=sys.stderr,
+                )
+                return 2
+        else:
+            idx = SearchIndex.open(spark, args.path)
         if args.count:
             n = idx.query(args.q).count() if args.q else idx.count()
             print(json.dumps({"count": n}))

@@ -263,6 +263,34 @@ def test_cli_query_components_r8(spark, sf_dir, schema_file, tmp_path, capsys):
     assert cli.main(["query", "--path", out, "--cursor", "*"]) == 2
 
 
+def test_cli_alias_query(spark, sf_dir, schema_file, tmp_path, capsys):
+    """A comma-separated --path is a collection alias: counts sum, a
+    boolean query unions per-member pruned scans; per-artifact
+    components refuse with a usage error."""
+    outs = []
+    for part in (0, 1):
+        out = str(tmp_path / f"slice{part}")
+        cli.main([
+            "index", "--input", f"{sf_dir}/documents.parquet",
+            "--output", out, "--schema", schema_file, "--shards", "2",
+            "--dedup", "none", "--generate-keys-from", "source",
+        ])
+        outs.append(out)
+    capsys.readouterr()
+    alias = ",".join(outs)
+
+    assert cli.main(["query", "--path", alias, "--count"]) == 0
+    n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["count"]
+    assert n == 1000  # both slices indexed the full table here: 2 x 500
+
+    assert cli.main(["query", "--path", alias, "--facet", "lang"]) == 0
+    facets = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+              if l.startswith("{")]
+    assert sum(f["cnt"] for f in facets) == 1000
+
+    assert cli.main(["query", "--path", alias, "--stats", "n_chars"]) == 2
+
+
 def test_cli_profile(capsys, sf_dir):
     import json as _json
 
