@@ -335,3 +335,34 @@ def test_c9_search_request_single_scan_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(lang,en)" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_dismax_is_one_scan_plus_takeordered(spark, sf_dir):
+    """Round-8 dismax with per-field stored stats: the WHOLE multi-field
+    ranked query is ONE corpus scan + a broadcast of the one-row stats +
+    TakeOrdered — no per-field scan, no shuffle of document rows."""
+    from solr_map_reduce_spark.queries import _dismax_search_index
+
+    idx = _dismax_search_index(spark, sf_dir)
+    plan = (
+        idx.dismax(["spark", "en"], qf={"text": 1.0, "lang": 0.5}, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_facet_broadcasts_bucket_spine(spark, sf_dir):
+    """facet.range: the corpus side is one partial-aggregated pass; the
+    generated bucket spine joins via broadcast (never a shuffle of the
+    counts against a KB-scale spine)."""
+    from solr_map_reduce_spark.queries import _events_search_index
+
+    idx = _events_search_index(spark, sf_dir)
+    plan = (
+        idx.range_facet("value", 0, 200, 25, q="event_type:purchase")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
