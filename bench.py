@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ext_ann_topk",
     "ext_bm25_topk",
     "c9_search_request",
+    "ext_dismax_topk",
     "ext_sessionize",
 ]
 

@@ -281,7 +281,8 @@ def bm25_dismax(
     ``exact_sum`` routes each (word, field) contribution through
     DECIMAL(18,6) before the max/tie/sum combination, making scores
     independent of engine-internal float ordering (cross-engine oracle
-    parity — see :func:`bm25_dismax_oracle_sql`)."""
+    parity — the ext_dismax_topk entry's DuckDB mirror builds the same
+    expression tree)."""
     fields = list(field_specs)
 
     def _tf_of(toks_c: F.Column, term: str) -> F.Column:

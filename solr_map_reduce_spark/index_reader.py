@@ -419,13 +419,22 @@ class SearchIndex:
         For timestamp columns pass datetimes for ``start``/``end`` and a
         ``timedelta`` (or seconds) ``gap``; buckets are computed on epoch
         seconds, returned as ``bucket_start`` timestamps."""
-        from datetime import datetime, timedelta
+        from datetime import datetime, timedelta, timezone
+
+        def _epoch(dt: datetime) -> float:
+            # a NAIVE bound is a UTC instant (the engine pins the session
+            # timezone to UTC) — datetime.timestamp() on a naive value
+            # would use the SYSTEM-LOCAL zone, shifting every bucket on a
+            # non-UTC host
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return dt.timestamp()
 
         scan = self._query_scan(q, query_field) if q is not None else self.df()
         is_time = isinstance(start, datetime)
         if is_time:
             gap_s = gap.total_seconds() if isinstance(gap, timedelta) else float(gap)
-            lo, hi = start.timestamp(), end.timestamp()
+            lo, hi = _epoch(start), _epoch(end)
             # cast, not unix_timestamp(): the cast keeps fractional
             # seconds, so sub-second gaps and milli-stamped events land
             # in the right bucket
