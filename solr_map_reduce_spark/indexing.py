@@ -533,6 +533,7 @@ class IndexJob:
         updates: DataFrame,
         path: str,
         missing: str = "error",
+        ops: "dict[str, str] | None" = None,
     ) -> dict:
         """Atomic field updates (the Solr ``{"set": ...}`` atomic-update
         semantics): ``updates`` carries the unique key plus a SUBSET of the
@@ -543,6 +544,17 @@ class IndexJob:
         ``missing`` controls keys with no stored document: ``"error"``
         (default), ``"skip"``, or ``"insert"`` (create the doc with NULLs
         in the untouched fields — Solr creates on atomic update too).
+
+        ``ops`` selects Solr's OTHER atomic-update operations per column
+        (default ``"set"``): ``"inc"`` adds the update value to the stored
+        numeric (a missing/NULL stored value counts as 0, Solr's inc-on-
+        absent contract); ``"add"`` appends the update's elements to a
+        multiValued (array) column; ``"add-distinct"`` appends only absent
+        elements; ``"remove"`` deletes every occurrence of the update's
+        elements.  Array ops take an ARRAY-typed update column (wrap a
+        scalar in ``F.array``); a NULL update value leaves the stored
+        value unchanged for inc/add/remove (no-op), unlike set's
+        explicit set-to-null.
 
         Scale shape: identical to :meth:`merge_into` — only the shards the
         update keys route to are read and rewritten (partition-pruned join
@@ -573,6 +585,20 @@ class IndexJob:
                 "update the raw analyzed field, not its stored __tokens "
                 "column — tokens are recomputed from the new value"
             )
+        ops = dict(ops or {})
+        _OPS = ("set", "inc", "add", "add-distinct", "remove")
+        for c, op in ops.items():
+            if c not in upd_cols:
+                raise ValueError(
+                    f"ops names column {c!r} absent from the update batch"
+                )
+            if op not in _OPS:
+                raise ValueError(f"unknown atomic op {op!r}; one of {_OPS}")
+            if op != "set" and c in analyzed:
+                raise ValueError(
+                    f"atomic op {op!r} on analyzed field {c!r} is not "
+                    "supported — set the full text (tokens re-analyze)"
+                )
         updates = require_unique_key(updates, key)
         # duplicate keys in one batch would fan the set-join out into
         # duplicated documents — reject loudly (the batch is update-sized,
@@ -620,10 +646,38 @@ class IndexJob:
         out_cols = []
         for c in current.columns:
             if c in upd_cols:
+                op = ops.get(c, "set")
+                uv, sv = F.col(f"_u_{c}"), current[c]
+                if op == "set":
+                    new = uv
+                elif op == "inc":
+                    # inc on an absent/NULL stored value starts from 0
+                    # (Solr); a NULL delta is a no-op
+                    new = F.when(
+                        uv.isNotNull(), F.coalesce(sv, F.lit(0)) + uv
+                    ).otherwise(sv)
+                elif op == "add":
+                    empty = F.array().cast(dict(current.dtypes)[c])
+                    new = F.when(
+                        uv.isNotNull(), F.concat(F.coalesce(sv, empty), uv)
+                    ).otherwise(sv)
+                elif op == "add-distinct":
+                    # append only the elements not already present —
+                    # array_union would ALSO dedupe the stored list
+                    # (Solr's add-distinct leaves existing dups alone)
+                    empty = F.array().cast(dict(current.dtypes)[c])
+                    base = F.coalesce(sv, empty)
+                    new = F.when(
+                        uv.isNotNull(),
+                        F.concat(base, F.array_except(uv, base)),
+                    ).otherwise(sv)
+                else:  # remove
+                    new = F.when(
+                        uv.isNotNull() & sv.isNotNull(),
+                        F.array_except(sv, uv),
+                    ).otherwise(sv)
                 out_cols.append(
-                    F.when(F.col("_matched"), F.col(f"_u_{c}"))
-                    .otherwise(current[c])
-                    .alias(c)
+                    F.when(F.col("_matched"), new).otherwise(sv).alias(c)
                 )
             else:
                 out_cols.append(current[c])
@@ -635,7 +689,12 @@ class IndexJob:
             full = inserts.select(
                 *[
                     (
-                        F.col(c)
+                        # remove-on-absent creates the doc with the field
+                        # EMPTY (there is nothing to remove from), never
+                        # with the removal list as the value
+                        F.lit(None).cast(cur_schema[c])
+                        if ops.get(c) == "remove"
+                        else F.col(c)
                         if c in inserts.columns
                         else F.lit(None).cast(cur_schema[c])
                     ).alias(c)

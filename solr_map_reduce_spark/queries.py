@@ -3707,5 +3707,44 @@ def c9_alias_query(spark, sf_dir):
     )
 
 
+@_register(
+    "c6_atomic_inc",
+    """SELECT doc_id,
+              CAST(n_chars + CASE WHEN doc_id % 7 = 0 THEN 100 ELSE 0 END
+                   AS BIGINT) AS n_chars
+       FROM documents""",
+    "Solr atomic-update inc operation (update_fields ops={'inc'}): the "
+    "stored numeric gains the delta for matched docs only, through the "
+    "same O(touched-shards) rewrite as set — the oracle applies the "
+    "increment as arithmetic, so a doc inc'd twice, missed, or reset "
+    "breaks the value hash",
+)
+def c6_atomic_inc(spark, sf_dir):
+    import tempfile
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, read_index
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("n_chars", "long")),
+        unique_key="id",
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="smrs_inc_") + "/idx"
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=4, dedup="none", routing="native")
+    )
+    job.build(docs, out)
+    upd = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit(100).cast("long").alias("n_chars"),
+    )
+    job.update_fields(upd, out, ops={"n_chars": "inc"})
+    return read_index(spark, out).select(
+        F.col("id").cast("long").alias("doc_id"), "n_chars"
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

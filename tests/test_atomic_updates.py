@@ -350,3 +350,102 @@ def test_mutation_rejects_placement_mismatch(spark, tmp_path):
             assert os.path.exists(os.path.join(path, MUTATION_LOCK))
         assert ran
         assert not os.path.exists(os.path.join(path, MUTATION_LOCK))
+
+
+class TestAtomicOps:
+    """Round-8: the remaining Solr atomic-update operations — inc on
+    numerics, add / add-distinct / remove on multiValued (array)
+    columns."""
+
+    SCHEMA_MV = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("rank", "long"),
+            Field("tags", "string", multi_valued=True),
+        ),
+        unique_key="id",
+    )
+
+    def _build(self, spark, path):
+        df = spark.createDataFrame(
+            [("1", 10, ["a", "b"]), ("2", 20, None), ("3", None, ["x"])],
+            "id string, rank long, tags array<string>",
+        )
+        job = IndexJob(IndexJobConfig(schema=self.SCHEMA_MV, shards=2,
+                                      dedup="none", routing="native"))
+        job.build(df, path)
+        return job
+
+    def _rows(self, spark, path):
+        from solr_map_reduce_spark.indexing import read_index
+
+        return {
+            r["id"]: r
+            for r in read_index(spark, path).orderBy("id").collect()
+        }
+
+    def test_inc(self, spark, tmp_path):
+        path = str(tmp_path / "inc")
+        job = self._build(spark, path)
+        upd = spark.createDataFrame(
+            [("1", 5), ("3", 7)], "id string, rank long"
+        )
+        job.update_fields(upd, path, ops={"rank": "inc"})
+        rows = self._rows(spark, path)
+        assert rows["1"]["rank"] == 15
+        assert rows["2"]["rank"] == 20       # untouched
+        assert rows["3"]["rank"] == 7        # inc on NULL starts from 0
+
+    def test_inc_null_delta_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "incnull")
+        job = self._build(spark, path)
+        upd = spark.createDataFrame([("1", None)], "id string, rank long")
+        job.update_fields(upd, path, ops={"rank": "inc"})
+        assert self._rows(spark, path)["1"]["rank"] == 10
+
+    def test_add_and_add_distinct(self, spark, tmp_path):
+        path = str(tmp_path / "add")
+        job = self._build(spark, path)
+        upd = spark.createDataFrame(
+            [("1", ["b", "c"]), ("2", ["z"])], "id string, tags array<string>"
+        )
+        job.update_fields(upd, path, ops={"tags": "add"})
+        rows = self._rows(spark, path)
+        assert rows["1"]["tags"] == ["a", "b", "b", "c"]  # add keeps dups
+        assert rows["2"]["tags"] == ["z"]                 # add to NULL
+        upd2 = spark.createDataFrame(
+            [("1", ["c", "d"])], "id string, tags array<string>"
+        )
+        job.update_fields(upd2, path, ops={"tags": "add-distinct"})
+        rows = self._rows(spark, path)
+        assert rows["1"]["tags"] == ["a", "b", "b", "c", "d"]
+
+    def test_remove(self, spark, tmp_path):
+        path = str(tmp_path / "rm")
+        job = self._build(spark, path)
+        upd = spark.createDataFrame(
+            [("1", ["b", "nope"])], "id string, tags array<string>"
+        )
+        job.update_fields(upd, path, ops={"tags": "remove"})
+        rows = self._rows(spark, path)
+        assert rows["1"]["tags"] == ["a"]
+        assert rows["3"]["tags"] == ["x"]  # untouched
+
+    def test_remove_on_insert_creates_empty(self, spark, tmp_path):
+        path = str(tmp_path / "rmins")
+        job = self._build(spark, path)
+        upd = spark.createDataFrame(
+            [("99", ["gone"])], "id string, tags array<string>"
+        )
+        job.update_fields(upd, path, missing="insert", ops={"tags": "remove"})
+        rows = self._rows(spark, path)
+        assert rows["99"]["tags"] is None  # never the removal list
+
+    def test_bad_ops_are_loud(self, spark, tmp_path):
+        path = str(tmp_path / "bad")
+        job = self._build(spark, path)
+        upd = spark.createDataFrame([("1", 5)], "id string, rank long")
+        with pytest.raises(ValueError, match="unknown atomic op"):
+            job.update_fields(upd, path, ops={"rank": "mult"})
+        with pytest.raises(ValueError, match="absent from the update batch"):
+            job.update_fields(upd, path, ops={"tags": "add"})
