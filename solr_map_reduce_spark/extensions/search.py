@@ -632,13 +632,24 @@ def parse_query(q: str):
             if fname is not None:
                 return ("ffuzzy", fname, base, max_edits)
             return ("fuzzy", base, max_edits)
-        if word.startswith("*") and word.endswith("*") and len(word) > 2:
+        if word.startswith("*") and word.endswith("*") and len(word) > 2 \
+                and "*" not in word[1:-1] and "?" not in word:
             # infix wildcard *sub*: substring over stored tokens (Lucene
             # WildcardQuery; no index structure accelerates it — an honest
             # scan, like Lucene without an n-gram subfield)
             if fname is not None:
                 return ("finfix", fname, word[1:-1])
             return ("infix", word[1:-1])
+        if ("?" in word or "*" in word.rstrip("*").lstrip("*")) and any(
+            ch not in "*?" for ch in word
+        ):
+            # GENERAL wildcard (te?t, a*b, c?t*): full Lucene WildcardQuery
+            # glob — ? one char, * any run — matched as an anchored regex
+            # over each stored token.  The simpler shapes above keep their
+            # faster containment forms.
+            if fname is not None:
+                return ("fwild", fname, word)
+            return ("wild", word)
         if word.endswith("*") and len(word) > 1:
             # RAW prefix in the AST — case folding is an ANALYZER
             # property, applied in _analyze_node only when the clause
@@ -677,6 +688,8 @@ def parse_query(q: str):
             return ("fsuffix", fname, node[1])
         if kind == "infix":
             return ("finfix", fname, node[1])
+        if kind == "wild":
+            return ("fwild", fname, node[1])
         if kind == "fuzzy":
             return ("ffuzzy", fname, node[1], node[2])
         if kind == "not":
@@ -842,6 +855,10 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
             "suffixtoks" if kind == "suffix" else "infixtoks",
             node[1].lower(),
         )
+    if kind == "wild":
+        # general wildcard skips analysis (Solr); analyzer-lowercased
+        # stored tokens -> fold the pattern
+        return ("wildtoks", node[1].lower())
     if kind == "fuzzy":
         # fuzzy terms skip analysis like wildcards; the default field's
         # stored tokens are lowercased, so fold the needle
@@ -852,7 +869,7 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
                 return ("tokens_any", sorted(exp)) if exp else ("none",)
         return ("fuzzytoks", needle, node[2], None)
     if kind in ("fterm", "fphrase", "frange", "fprefix", "ffuzzy",
-                "fsuffix", "finfix"):
+                "fsuffix", "finfix", "fwild"):
         if resolver is None:
             raise QuerySyntaxError(
                 f"fielded clause on {node[1]!r} needs a field resolver "
@@ -895,6 +912,10 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
             if mode == "analyzed":
                 return ("finftoks", node[2].lower(), rest[1])
             return ("finfcol", node[2], rest[0])
+        if kind == "fwild":
+            if mode == "analyzed":
+                return ("fwildtoks", node[2].lower(), rest[1])
+            return ("fwildcol", node[2], rest[0])
         if kind == "ffuzzy":
             if mode == "analyzed":
                 needle = node[2].lower()
@@ -1017,6 +1038,22 @@ def _fuzzy_match(toks_col: F.Column, needle: str, max_edits: int) -> F.Column:
     return F.coalesce(pred, F.lit(False))
 
 
+def _glob_to_regex(pattern: str) -> str:
+    """Lucene wildcard glob → anchored regex: ``*`` any run, ``?`` one
+    char, everything else literal."""
+    import re as _re2
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re2.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
 def _parse_solr_date(raw: str, where: str):
     """A Solr date bound (ISO-8601, optional trailing ``Z`` — Solr dates
     are always UTC) as a naive ``datetime`` (the engine pins the session
@@ -1094,6 +1131,13 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
         return node[2].isNotNull() & node[2].endswith(node[1])
     if kind == "finfcol":
         return node[2].isNotNull() & node[2].contains(node[1])
+    if kind in ("wildtoks", "fwildtoks"):
+        toks = toks_col if kind == "wildtoks" else node[2]
+        rx = _glob_to_regex(node[1])
+        pred = F.exists(toks, lambda t: t.rlike(rx))
+        return F.coalesce(pred, F.lit(False))
+    if kind == "fwildcol":
+        return node[2].isNotNull() & node[2].rlike(_glob_to_regex(node[1]))
     # plain-column predicates guard NULL with isNotNull() AND, never
     # coalesce(): Kleene logic makes the conjunction non-null (FALSE AND
     # NULL = FALSE) with the same never-match-NULL semantics, while
@@ -1170,6 +1214,7 @@ def _required_tokens(node) -> set:
         "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all", "none",
         "ftokens_any", "suffixtoks", "fsuftoks", "infixtoks", "finftoks",
         "fsufcol", "finfcol",
+        "wildtoks", "fwildtoks", "fwildcol",
     ):
         return set()
     if kind == "and":
@@ -1193,6 +1238,7 @@ def _positive_tokens(node) -> set:
         "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all", "none",
         "ftokens_any", "suffixtoks", "fsuftoks", "infixtoks", "finftoks",
         "fsufcol", "finfcol",
+        "wildtoks", "fwildtoks", "fwildcol",
     ):
         return set()
     out: set = set()
@@ -1214,6 +1260,7 @@ def _can_match_term_free(node) -> bool:
         "fpcol", "fuzzytoks", "fuzzycol", "all", "ftokens_any",
         "suffixtoks", "fsuftoks", "infixtoks", "finftoks", "fsufcol",
         "finfcol",
+        "wildtoks", "fwildtoks", "fwildcol",
     ):
         return True  # satisfiable regardless of default-field tokens
     if kind == "not":

@@ -3708,6 +3708,24 @@ def c9_alias_query(spark, sf_dir):
 
 
 @_register(
+    "c9_wildcard_general",
+    f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        WHERE len(list_filter(t, x -> regexp_matches(x, '^s.ark$'))) > 0
+           OR len(list_filter(t, x -> regexp_matches(x, '^sh.*le$'))) > 0""",
+    "full Lucene WildcardQuery globs (s?ark, sh*le — ? one char, * any "
+    "run, anywhere in the term) matched as anchored regexes over the "
+    "stored tokens; the pure prefix/suffix/infix shapes keep their "
+    "faster containment forms",
+)
+def c9_wildcard_general(spark, sf_dir):
+    return (
+        _docs_search_index(spark, sf_dir)
+        .query("s?ark OR sh*le")
+        .select("doc_id")
+    )
+
+
+@_register(
     "c6_atomic_inc",
     """SELECT doc_id,
               CAST(n_chars + CASE WHEN doc_id % 7 = 0 THEN 100 ELSE 0 END

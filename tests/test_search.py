@@ -789,6 +789,18 @@ class TestRound7QueryLanguage:
         # a bare * is not a wildcard term; *:* stays match-all
         assert parse_query("*:*") == ("all",)
 
+    def test_general_wildcards_parse(self):
+        from solr_map_reduce_spark.extensions.search import parse_query
+
+        assert parse_query("te?t") == ("wild", "te?t")
+        assert parse_query("a*b") == ("wild", "a*b")
+        assert parse_query("c?t*") == ("wild", "c?t*")
+        assert parse_query("f:te?t") == ("fwild", "f", "te?t")
+        # the simpler shapes keep their faster containment forms
+        assert parse_query("run*") == ("prefix", "run")
+        assert parse_query("*run") == ("suffix", "run")
+        assert parse_query("*u*") == ("infix", "u")
+
     def test_fuzzy_max_edits_capped_at_two(self):
         """Lucene caps FuzzyQuery at 2 edits (LevenshteinAutomata limit);
         term~3+ must be rejected at parse time, not expanded against the
@@ -1374,3 +1386,44 @@ class TestDismax:
         idx, _ = dm
         with pytest.raises(ValueError, match="no analyzable words"):
             idx.dismax(["the"], qf={"body": 1.0})
+
+
+class TestGeneralWildcards:
+    """Round-8: full Lucene WildcardQuery globs (? one char, * any run,
+    anywhere in the term) as anchored regexes over stored tokens."""
+
+    @pytest.fixture(scope="class")
+    def w_idx(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "test text"), ("2", "tent toast"), ("3", "taste nothing"),
+             ("4", "Telt stuff")],
+            "id string, text string",
+        )
+        out = str(tmp_path_factory.mktemp("gw") / "idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_question_mark_and_midword_star(self, w_idx):
+        assert sorted(r["id"] for r in w_idx.query("te?t").collect()) == ["1", "2", "4"]
+        assert sorted(r["id"] for r in w_idx.query("t*t").collect()) == ["1", "2", "4"]
+        assert sorted(r["id"] for r in w_idx.query("ta?te").collect()) == ["3"]
+        # case folds like the analyzer (Telt -> telt matches te?t)
+        assert sorted(r["id"] for r in w_idx.query("text:te?t").collect()) == ["1", "2", "4"]
+
+    def test_regex_metachars_are_literal(self, w_idx):
+        # a dot in the pattern is a LITERAL dot, not regex any-char —
+        # 'te.t' must match nothing (no token contains a dot)
+        assert w_idx.query("te.t?").count() == 0
+
+    def test_composes_with_boolean(self, w_idx):
+        got = sorted(r["id"] for r in w_idx.query("te?t AND -toast").collect())
+        assert got == ["1", "4"]
