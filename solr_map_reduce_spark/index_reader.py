@@ -343,16 +343,28 @@ class SearchIndex:
     def facet(
         self, field: str, top: int | None = None,
         q: str | None = None, query_field: str | None = None,
+        missing: bool = False, sort: str = "count",
     ) -> DataFrame:
         """Value counts of ``field`` — over the whole collection, or
         (``q`` given) over a boolean query's result set, Solr's
-        q + facet.field request shape."""
+        q + facet.field request shape.  ``missing=True`` appends the
+        NULL-valued bucket (Solr ``facet.missing``; excluded by default,
+        Solr's contract); ``sort="index"`` orders lexicographically by
+        value instead of by count (Solr ``facet.sort=index``)."""
+        if sort not in ("count", "index"):
+            raise ValueError(f"facet sort must be count|index, got {sort!r}")
         scan = self._query_scan(q, query_field) if q is not None else self.df()
+        if not missing:
+            scan = scan.filter(F.col(field).isNotNull())
+        order = (
+            [F.asc(field)] if sort == "index"
+            else [F.desc("cnt"), F.asc(field)]
+        )
         out = (
             scan
             .groupBy(field)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc(field))
+            .orderBy(*order)
         )
         return out.limit(top) if top is not None else out
 

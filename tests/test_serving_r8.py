@@ -138,6 +138,33 @@ class TestRangeFacet:
             idx.range_facet("num", 0, 10, 0)
 
 
+class TestFacetOptions:
+    def test_missing_bucket_and_index_sort(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("g", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "b"), ("2", "a"), ("3", "b"), ("4", None)],
+            "id string, g string",
+        )
+        out = str(tmp_path / "fm")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        # Solr contract: the NULL bucket is EXCLUDED unless facet.missing
+        assert {r["g"]: r["cnt"] for r in idx.facet("g").collect()} == {"b": 2, "a": 1}
+        withm = {r["g"]: r["cnt"] for r in idx.facet("g", missing=True).collect()}
+        assert withm == {"b": 2, "a": 1, None: 1}
+        # facet.sort=index: lexicographic by value
+        assert [r["g"] for r in idx.facet("g", sort="index").collect()] == ["a", "b"]
+        with pytest.raises(ValueError, match="count|index"):
+            idx.facet("g", sort="weird")
+
+
 class TestPivotStats:
     def test_pivot_levels_and_totals(self, idx):
         got = idx.pivot_facet(["grp", "num"], top=2).collect()
