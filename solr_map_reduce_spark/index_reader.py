@@ -1158,6 +1158,24 @@ class SearchIndex:
             .limit(top)
         )
 
+    def term_vectors(
+        self, keys: Sequence[str], field: str | None = None
+    ) -> DataFrame:
+        """Solr TermVectorComponent: per-document term frequencies
+        ``(key, term, tf)`` for the requested docs — served from the
+        STORED token arrays of the shard/segment-pruned point lookups
+        (tf.tv=true's per-doc view; document count stays bounded by the
+        request, so the explode is request-sized, never corpus-sized)."""
+        if not keys:
+            raise ValueError("term_vectors needs at least one key")
+        tokens_col = self._tokens_col(field)
+        return (
+            self.get_many([str(k) for k in keys])
+            .select(self.unique_key, F.explode(F.col(tokens_col)).alias("term"))
+            .groupBy(self.unique_key, "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
     def spellcheck(
         self,
         term: str,

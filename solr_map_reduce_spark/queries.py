@@ -3726,6 +3726,20 @@ def c9_wildcard_general(spark, sf_dir):
 
 
 @_register(
+    "c9_term_vectors",
+    f"""SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+              WHERE doc_id IN (3, 7, 11))
+        GROUP BY doc_id, term""",
+    "Solr TermVectorComponent (tv): per-document term frequencies for "
+    "requested docs, served from the STORED token arrays of segment-"
+    "pruned point lookups — request-sized explode, never corpus-sized",
+)
+def c9_term_vectors(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).term_vectors([3, 7, 11])
+
+
+@_register(
     "c6_atomic_inc",
     """SELECT doc_id,
               CAST(n_chars + CASE WHEN doc_id % 7 = 0 THEN 100 ELSE 0 END
