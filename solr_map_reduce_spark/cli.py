@@ -175,6 +175,9 @@ def build_parser() -> argparse.ArgumentParser:
     upd.add_argument("--missing", choices=("error", "skip", "insert"),
                      default="error",
                      help="policy for update keys with no stored document")
+    upd.add_argument("--op", nargs="*", default=(), metavar="COL=OP",
+                     help="atomic op per column (set|inc|add|add-distinct|"
+                          "remove); unlisted columns use set")
 
     ulk = sub.add_parser(
         "unlock",
@@ -403,7 +406,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         updates = read_input(spark, args.input, format=args.format)
-        job.update_fields(updates, args.path, missing=args.missing)
+        ops = dict(kv.split("=", 1) for kv in args.op) or None
+        job.update_fields(updates, args.path, missing=args.missing, ops=ops)
         print(json.dumps({"updated_from": args.input, "path": args.path}))
         return 0
 

@@ -449,6 +449,17 @@ def test_cli_update_subcommand(spark, tmp_path):
     assert idx.get("7").collect()[0]["rank"] == 700
     assert idx.count() == 20
 
+    # round-8: --op col=inc routes through the atomic-op path
+    upd2 = str(tmp_path / "upd2.parquet")
+    spark.createDataFrame([("7", 30)], "id string, rank long").write.parquet(upd2)
+    rc = main([
+        "update", "--input", upd2, "--path", art,
+        "--schema", str(schema_file), "--shards", "2", "--routing", "native",
+        "--op", "rank=inc",
+    ])
+    assert rc == 0
+    assert SearchIndex.open(spark, art).get("7").collect()[0]["rank"] == 730
+
 
 def test_cli_boolean_query_and_scoped_facet(spark, sf_dir, schema_file, tmp_path, capsys):
     """Round-6: `query --q` runs the Solr-syntax boolean query through the
