@@ -615,3 +615,69 @@ def unigram_surprisal(
             F.avg("_s").alias("surprisal"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_df: DataFrame | None = None,
+    lm_text_col: str | None = None,
+) -> DataFrame:
+    """Conditional (bigram) perplexity proxy — one step closer to the
+    KenLM-style filter than :func:`unigram_surprisal`: scores how
+    ordinary each word is GIVEN its predecessor, so word-salad text with
+    common words but improbable transitions ranks high.  Returns
+    ``(id, n_bigrams, surprisal)`` with
+    ``-ln p(w2|w1) = -ln((c(w1,w2) + 1) / (c(w1) + V))`` (Laplace)
+    averaged over the document's bigrams; unseen transitions get the
+    smoothed ``1/(c(w1)+V)`` mass (``c(w1)=0`` for OOV contexts).
+    Single-token documents have no bigrams and drop out.
+
+    100 TB shape: the LM is one explode into (w1, w2) pairs + two
+    map-side-combined counts (bigram, unigram-context); scoring joins
+    the exploded bigram stream on the pair key then the context key —
+    AQE broadcasts small models — then one avg by id.  No Python."""
+    lm_src = lm_df if lm_df is not None else df
+
+    def _bigrams(toks_expr: F.Column) -> F.Column:
+        n = F.size(toks_expr)
+        return F.arrays_zip(
+            F.slice(toks_expr, 1, n - 1).alias("w1"),
+            F.slice(toks_expr, 2, n - 1).alias("w2"),
+        )
+
+    lm_toks = tokens(F.col(lm_text_col or text_col))
+    lm_pairs = lm_src.select(F.explode(_bigrams(lm_toks)).alias("_p")).select(
+        F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
+    )
+    bi = lm_pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    uni = (
+        lm_src.select(F.explode(lm_toks).alias("_w1"))
+        .groupBy("_w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    totals = uni.agg(F.count(F.lit(1)).alias("_v"))
+    doc_pairs = df.select(
+        F.col(id_col), F.explode(_bigrams(tokens(F.col(text_col)))).alias("_p")
+    ).select(
+        id_col, F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
+    )
+    scored = (
+        doc_pairs.join(bi, ["_w1", "_w2"], "left")
+        .join(uni, "_w1", "left")
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v"))
+                )
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_s").alias("surprisal"),
+    )

@@ -3652,6 +3652,41 @@ def ext_unigram_surprisal(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_bigram_surprisal",
+    f"""WITH toks AS (
+          SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), pos AS (
+          SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS p
+          FROM toks
+        ), pairs AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        ), bi AS (
+          SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+        ), uni AS (
+          SELECT w AS w1, count(*) AS c1 FROM pos GROUP BY w
+        ), totals AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni)
+       SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(avg(-ln((bi.c12 + 1.0) / (uni.c1 + totals.v))), 6)
+                AS surprisal
+       FROM pairs d JOIN bi USING (w1, w2) JOIN uni USING (w1)
+            CROSS JOIN totals
+       GROUP BY d.doc_id""",
+    "conditional (bigram) perplexity proxy: mean -ln p(w2|w1) under the "
+    "Laplace-smoothed corpus bigram LM — flags word-salad text whose "
+    "words are common but whose transitions are improbable; LM = two "
+    "map-side-combined counts, scoring = pair-key joins + one avg",
+)
+def ext_bigram_surprisal(spark, sf_dir):
+    out = text_analysis.bigram_surprisal(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return out.select(
+        "doc_id", "n_bigrams", F.round("surprisal", 6).alias("surprisal")
+    )
+
+
 _ALIAS_INDEX_CACHE: dict[str, list] = {}
 
 
