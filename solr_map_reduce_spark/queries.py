@@ -3761,6 +3761,52 @@ def c9_wildcard_general(spark, sf_dir):
 
 
 @_register(
+    "ext_geofilt",
+    """WITH pts AS (
+         SELECT event_id, event_type,
+                ((user_id % 90) - 45 + value / 1000.0) AS lat,
+                ((event_id % 360) - 180 + value / 500.0) AS lon
+         FROM events)
+       SELECT event_id,
+              round(2 * 6371.0088 * asin(sqrt(
+                pow(sin(radians(10 - lat) / 2), 2)
+                + cos(radians(lat)) * cos(radians(10))
+                  * pow(sin(radians(60 - lon) / 2), 2))), 4) AS dist_km
+       FROM pts
+       WHERE 2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(10 - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(10))
+                 * pow(sin(radians(60 - lon) / 2), 2))) <= 3000
+         AND event_type = 'purchase'""",
+    "Solr spatial distance: {!geofilt pt=10,60 d=3000} + the geodist() "
+    "pseudo-field — haversine over the mean Earth radius as ONE codegen "
+    "expression (filter, sort key, or returned column); no geo library, "
+    "the oracle mirrors the same trigonometry",
+)
+def ext_geofilt(spark, sf_dir):
+    from solr_map_reduce_spark.schema import geo_distance_km, within_radius
+
+    located = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.struct(
+            ((F.col("user_id") % 90) - 45 + F.col("value") / 1000.0).alias("lat"),
+            ((F.col("event_id") % 360) - 180 + F.col("value") / 500.0).alias("lon"),
+        ).alias("loc"),
+    )
+    return (
+        located.filter(
+            within_radius("loc", 10, 60, 3000)
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "event_id",
+            F.round(geo_distance_km("loc", 10, 60), 4).alias("dist_km"),
+        )
+    )
+
+
+@_register(
     "c9_term_vectors",
     f"""SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
         FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents

@@ -108,6 +108,36 @@ def within_box(
     )
 
 
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius, Solr's default
+
+
+def geo_distance_km(
+    col: str | F.Column, lat: float, lon: float
+) -> F.Column:
+    """Great-circle distance (km) from a ``latlon`` struct column to a
+    fixed point — the Solr ``geodist()`` function (haversine over the
+    mean Earth radius, Solr's own model).  Pure JVM trigonometry in one
+    codegen expression; composes as a filter (``{!geofilt}``), a sort
+    key, or a returned pseudo-field."""
+    c = F.col(col) if isinstance(col, str) else col
+    lat1, lat2 = F.radians(c["lat"]), F.radians(F.lit(float(lat)))
+    dlat = F.radians(F.lit(float(lat)) - c["lat"]) / 2
+    dlon = F.radians(F.lit(float(lon)) - c["lon"]) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(lat1) * F.cos(lat2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def within_radius(
+    col: str | F.Column, lat: float, lon: float, km: float
+) -> F.Column:
+    """Solr ``{!geofilt pt=lat,lon d=km}``: true where the point lies
+    within ``km`` of the centre (haversine)."""
+    return geo_distance_km(col, lat, lon) <= F.lit(float(km))
+
+
 def spark_type(name: str | T.DataType) -> T.DataType:
     if isinstance(name, T.DataType):
         return name

@@ -376,3 +376,33 @@ class TestMultiIndexAlias:
         IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
         with pytest.raises(ValueError, match="disagree on the unique key"):
             MultiIndex(multi.members + [SearchIndex.open(spark, out)])
+
+
+class TestGeoDistance:
+    def test_haversine_known_distance(self, spark):
+        """Paris (48.8566, 2.3522) to London (51.5074, -0.1278) is
+        ~343.5 km — the standard haversine sanity pair."""
+        from solr_map_reduce_spark.schema import geo_distance_km
+
+        df = spark.createDataFrame([(48.8566, 2.3522)], "lat double, lon double")
+        got = df.select(
+            geo_distance_km(F.struct(F.col("lat"), F.col("lon")), 51.5074, -0.1278)
+            .alias("d")
+        ).collect()[0]["d"]
+        assert abs(got - 343.5) < 1.0
+
+    def test_within_radius_filter_and_zero_distance(self, spark):
+        from solr_map_reduce_spark.schema import geo_distance_km, within_radius
+
+        df = spark.createDataFrame(
+            [(1, 10.0, 60.0), (2, 10.1, 60.1), (3, -40.0, -170.0)],
+            "id long, lat double, lon double",
+        ).select("id", F.struct("lat", "lon").alias("loc"))
+        got = sorted(
+            r["id"] for r in df.filter(within_radius("loc", 10, 60, 50)).collect()
+        )
+        assert got == [1, 2]
+        d0 = df.filter("id = 1").select(
+            geo_distance_km("loc", 10, 60).alias("d")
+        ).collect()[0]["d"]
+        assert d0 == 0.0
