@@ -142,13 +142,13 @@ _VERDICT_PRIORITY = [
     "c9_synonym_query", "ext_semdedup", "c9_facet_stats",
     "ext_dismax_topk", "ext_unigram_surprisal", "ext_bigram_surprisal",
     "c9_alias_query", "c6_atomic_inc", "c9_wildcard_general", "c9_term_vectors",
-    "ext_geofilt",
+    "ext_geofilt", "c9_boost_function",
     # (c) last checked r06, r06 order (overflow leads r09)
     "b8_convert_timestamp", "facet_event_counts", "ext_funnel_conversion",
     "ext_cohort_retention", "facet_range_value", "pipeline_etl_events",
     "window_hourly_counts", "q1_pricing_summary", "q3_top_revenue",
     "q5_local_supplier", "q6_revenue_change",
-    "exists_big_order_customers", "window_topn_orders", "ext_asof_join",
+    "exists_big_order_customers", "window_topn_orders",
 ]
 
 

@@ -137,8 +137,14 @@ def bm25_search(
     stored_stats: tuple[int, int, int] | None = None,
     stored_dfs: "dict[str, int] | None" = None,
     boosts: "dict[str, float] | None" = None,
+    boost_col: "F.Column | None" = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query by BM25.
+
+    ``boost_col`` is Solr's edismax MULTIPLICATIVE function-query boost
+    (``boost=recip(ms(NOW,date),...)``): an arbitrary Column expression
+    over the document's stored fields, multiplied into the final score —
+    recency/popularity boosting without touching matching.
 
     ``boosts={term: weight}`` applies Lucene query-time term boosts
     (``term^2``): the term's BM25 contribution is multiplied by the
@@ -171,6 +177,11 @@ def bm25_search(
     """
     terms = [t.lower() for t in query_terms]
     toks = _toks(text_col, tokens_col)
+    boost_proj = (
+        [boost_col.cast("double").alias("_fnboost")]
+        if boost_col is not None
+        else []
+    )
 
     def _tf(term: str) -> F.Column:
         # single-parameter lambda: a two-parameter one would make PySpark pass
@@ -181,7 +192,8 @@ def bm25_search(
         _tf(term).cast("double").alias(f"_tf{i}") for i, term in enumerate(terms)
     ]
     compact = df.select(
-        F.col(id_col), F.size(toks).cast("double").alias("dl"), *tf_cols
+        F.col(id_col), F.size(toks).cast("double").alias("dl"), *tf_cols,
+        *boost_proj,
     )
     if stored_stats is not None and stored_dfs is not None:
         # n_docs = count(*) (idf denominator base); avgdl = sum(dl)/count(dl)
@@ -233,6 +245,11 @@ def bm25_search(
         total = total + term_score(i)
     if exact_sum:
         total = total.cast("double")
+    if boost_col is not None:
+        # multiplicative function boost AFTER the (possibly decimal-
+        # exact) term sum: identical double operands give bit-identical
+        # products cross-engine
+        total = total * F.coalesce(F.col("_fnboost"), F.lit(1.0))
 
     hit = None
     for i in range(len(terms)):
@@ -405,6 +422,7 @@ def bm25_oracle_sql(
     with_score: bool = True, exact_sum: bool = False,
     fq_sql: str | None = None,
     boosts: "dict[str, float] | None" = None,
+    boost_sql: str | None = None,
 ) -> str:
     """The matching DuckDB SQL for :func:`bm25_search` over ``documents``.
 
@@ -436,6 +454,11 @@ def bm25_oracle_sql(
         if fq_sql
         else ""
     )
+    # multiplicative function-query boost (edismax boost=): applied AFTER
+    # the (decimal-exact) sum, mirroring bm25_search's boost_col order
+    boost_mul = f" * ({boost_sql})" if boost_sql else ""
+    boost_join = " JOIN documents doc ON doc.doc_id = p.doc_id" if boost_sql else ""
+    boost_group = f", ({boost_sql})" if boost_sql else ""
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -454,9 +477,9 @@ WITH toks AS (
 ), df_t AS (
   SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM postings GROUP BY term
 ), scored AS (
-  SELECT p.doc_id, {sum_expr} AS score
-  FROM postings p JOIN df_t d ON p.term = d.term CROSS JOIN stats s{cand_filter}
-  GROUP BY p.doc_id
+  SELECT p.doc_id, {sum_expr}{boost_mul} AS score
+  FROM postings p JOIN df_t d ON p.term = d.term CROSS JOIN stats s{boost_join}{cand_filter}
+  GROUP BY p.doc_id{boost_group}
 )
 SELECT doc_id{score_col} FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """

@@ -3761,6 +3761,26 @@ def c9_wildcard_general(spark, sf_dir):
 
 
 @_register(
+    "c9_boost_function",
+    search.bm25_oracle_sql(
+        ["spark", "vector", "merge"], k=10, exact_sum=True,
+        boost_sql="CASE WHEN doc.lang = 'en' THEN 1.5 ELSE 1.0 END",
+    ),
+    "Solr edismax multiplicative function-query boost (boost=...): an "
+    "arbitrary stored-field expression multiplied into the BM25 score "
+    "AFTER the decimal-exact term sum — recency/popularity boosting "
+    "without touching matching; same one-scan serving plan",
+)
+def c9_boost_function(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).bm25(
+        ["spark", "vector", "merge"], k=10, exact_sum=True,
+        boost_col=F.when(F.col("lang") == "en", F.lit(1.5)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+
+
+@_register(
     "ext_geofilt",
     """WITH pts AS (
          SELECT event_id, event_type,
