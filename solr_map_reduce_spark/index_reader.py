@@ -53,6 +53,14 @@ class SearchIndex:
         self._stats_cache: dict | None | bool = False
         self._dfs_memo: "OrderedDict" = OrderedDict()
         self._dfs_memo_cap = 1024
+        # compiled-query memo (the Solr queryResultCache analog's PLAN
+        # half): repeated identical queries skip the parse + analyze +
+        # Bloom-prune plan build.  Execution still runs — results are
+        # never cached stale — and _check_generation drops the memo on
+        # any artifact mutation (the embedded file listing would be
+        # stale).  LRU-capped like the df memo.
+        self._plan_memo: "OrderedDict" = OrderedDict()
+        self._plan_memo_cap = 256
         self._warned_no_stats_fq = False
         # per-generation memo of the artifact DataFrame: spark.read
         # analysis (file listing + footer schema) costs tens of ms per
@@ -100,6 +108,7 @@ class SearchIndex:
         self._key_ranges = False
         self._stats_cache = False
         self._dfs_memo = OrderedDict()
+        self._plan_memo = OrderedDict()
         self._df_memo = None
         self._schema_memo = None
         try:
@@ -830,8 +839,21 @@ class SearchIndex:
         """Full rows matching a boolean query string — the shared engine
         behind :meth:`query` (ids), :meth:`search` (q + filters/sort/
         paging), and :meth:`facet` (query-scoped counts).  Compiles to a
-        single Column predicate and Bloom-prunes shards when safe."""
+        single Column predicate and Bloom-prunes shards when safe.
+        Compiled plans memoize per handle (generation-guarded LRU) so a
+        serving process answering the same query repeatedly skips the
+        parse/analyze/prune build."""
         from solr_map_reduce_spark.extensions import search
+
+        self._check_generation()
+        memo_key = (
+            q, field,
+            tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
+            if synonyms else None,
+        )
+        if memo_key in self._plan_memo:
+            self._plan_memo.move_to_end(memo_key)
+            return self._plan_memo[memo_key]
 
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
@@ -864,7 +886,11 @@ class SearchIndex:
             scan = self._bloom_pruned(info["positive"], fname, "any")
         else:
             scan = self.df()
-        return scan.filter(pred)
+        out = scan.filter(pred)
+        self._plan_memo[memo_key] = out
+        while len(self._plan_memo) > self._plan_memo_cap:
+            self._plan_memo.popitem(last=False)
+        return out
 
     def query(
         self, q: str, field: str | None = None,

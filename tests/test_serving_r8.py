@@ -406,3 +406,60 @@ class TestGeoDistance:
             geo_distance_km("loc", 10, 60).alias("d")
         ).collect()[0]["d"]
         assert d0 == 0.0
+
+
+class TestPlanMemo:
+    def test_repeat_query_hits_memo_and_mutation_invalidates(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [(str(i), "alpha beta" if i % 2 else "gamma") for i in range(10)],
+            "id string, text string",
+        )
+        out = str(tmp_path / "pm")
+        job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none"))
+        job.build(df, out)
+        idx = SearchIndex.open(spark, out)
+        a = idx.query("alpha")
+        b = idx.query("alpha")
+        # identical compiled plan object — the parse/analyze/prune build
+        # ran once (queryResultCache's plan half)
+        assert idx._plan_memo and len(idx._plan_memo) >= 1
+        assert a.count() == b.count() == 5
+        # distinct query -> distinct entry; synonyms key separately
+        idx.query("gamma")
+        idx.query("alpha", synonyms={"alpha": ["gamma"]})
+        assert len(idx._plan_memo) == 3
+        # an artifact MUTATION drops the memo (the embedded file listing
+        # would be stale -> silent wrong results)
+        upd = spark.createDataFrame([("0", "alpha now")], "id string, text string")
+        job.update_fields(upd, out)
+        assert sorted(r["id"] for r in idx.query("alpha").collect()) == [
+            "0", "1", "3", "5", "7", "9",
+        ]
+
+    def test_memo_is_capped(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame([("1", "x")], "id string, text string")
+        out = str(tmp_path / "cap")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        idx._plan_memo_cap = 4
+        for i in range(10):
+            idx.query(f"term{i}")
+        assert len(idx._plan_memo) == 4
