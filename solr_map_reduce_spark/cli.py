@@ -157,6 +157,10 @@ def build_parser() -> argparse.ArgumentParser:
     qry.add_argument("--sort", default=None, metavar="COL[:desc]")
     qry.add_argument("--limit", type=int, default=10)
     qry.add_argument("--select", nargs="*", default=None)
+    qry.add_argument("--write", default=None, metavar="FORMAT:PATH",
+                     help="write the result set distributed (parquet:/out, "
+                          "csv:/out, json:/out) instead of printing rows — "
+                          "the export path never collects to the driver")
     qry.add_argument("--segments", action="store_true", help="C7 layout introspection")
 
     upd = sub.add_parser(
@@ -188,6 +192,15 @@ def build_parser() -> argparse.ArgumentParser:
     ulk.add_argument("--path", required=True, help="locked artifact")
     ulk.add_argument("--force", action="store_true",
                      help="actually remove the lock (default: inspect only)")
+
+    ana = sub.add_parser(
+        "analyze",
+        help="show how text tokenizes under a fieldType (the Solr "
+             "/analysis debug endpoint) — runs driver-side, no Spark job",
+    )
+    ana.add_argument("--type", required=True, help="analyzer fieldType name")
+    ana.add_argument("--text", required=True, nargs="+",
+                     help="text to analyze (joined with spaces)")
 
     prof = sub.add_parser(
         "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
@@ -248,6 +261,31 @@ def validate(args: argparse.Namespace) -> None:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     validate(args)
+
+    if args.command == "analyze":
+        # the Solr /analysis debug endpoint: pure driver-side row kernels,
+        # no Spark session — instant feedback on tokenization
+        from solr_map_reduce_spark.functions.analyzers import (
+            ANALYZERS,
+            PY_ANALYZERS,
+        )
+
+        if args.type not in PY_ANALYZERS and args.type not in ANALYZERS:
+            print(
+                f"unknown fieldType {args.type!r}; known: "
+                f"{', '.join(sorted(set(ANALYZERS) | set(PY_ANALYZERS)))}",
+                file=sys.stderr,
+            )
+            return 2
+        text = " ".join(args.text)
+        kernel = PY_ANALYZERS.get(args.type)
+        if kernel is None:
+            print(f"fieldType {args.type!r} has no driver-side kernel",
+                  file=sys.stderr)
+            return 2
+        print(json.dumps({"type": args.type, "text": text,
+                          "tokens": kernel(text)}, ensure_ascii=False))
+        return 0
 
     if args.command == "unlock":
         # driver-side control plane only — no Spark session needed for
@@ -376,12 +414,27 @@ def main(argv: list[str] | None = None) -> int:
             if args.sort:
                 col, _, direction = args.sort.partition(":")
                 sort = [(col, direction or "asc")]
-            rows = idx.search(
-                filters=filters or None, sort=sort, limit=args.limit,
+            out = idx.search(
+                filters=filters or None, sort=sort,
+                limit=None if args.write else args.limit,
                 select=args.select, q=args.q,
-            ).collect()
-            for r in rows:
-                print(json.dumps(r.asDict(), default=str))
+            )
+            if args.write:
+                fmt, _, dest = args.write.partition(":")
+                if fmt not in ("parquet", "csv", "json") or not dest:
+                    print("--write takes FORMAT:PATH with format parquet|"
+                          "csv|json", file=sys.stderr)
+                    return 2
+                # distributed export: the FULL result set (no --limit cap)
+                # writes executor-side — nothing collects to the driver
+                w = out.write.mode("overwrite")
+                if fmt == "csv":
+                    w = w.option("header", "true")
+                w.format(fmt).save(dest)
+                print(json.dumps({"written": dest, "format": fmt}))
+            else:
+                for r in out.collect():
+                    print(json.dumps(r.asDict(), default=str))
         return 0
 
     if args.command == "profile":

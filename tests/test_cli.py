@@ -512,3 +512,33 @@ def test_cli_count_respects_q_and_get_rejects_q(spark, sf_dir, schema_file, tmp_
 
     with _pytest.raises(SystemExit, match="--get"):
         cli.main(["query", "--path", out, "--get", "k1", "--q", "x"])
+
+
+def test_cli_analyze_endpoint(capsys):
+    """`analyze` is the Solr /analysis debug endpoint: driver-side
+    tokenization, no Spark session."""
+    assert cli.main(["analyze", "--type", "text_en", "--text", "Running", "Tables"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["tokens"] == ["run", "tabl"]
+    assert cli.main(["analyze", "--type", "nope", "--text", "x"]) == 2
+
+
+def test_cli_query_write_export(spark, sf_dir, schema_file, tmp_path, capsys):
+    """`query --write parquet:PATH` exports the FULL result set
+    distributed (no --limit cap, nothing collected to the driver)."""
+    art = str(tmp_path / "exp_idx")
+    cli.main([
+        "index", "--input", f"{sf_dir}/documents.parquet", "--output", art,
+        "--schema", schema_file, "--shards", "2", "--dedup", "none",
+        "--generate-keys-from", "source",
+    ])
+    capsys.readouterr()
+    dest = str(tmp_path / "export")
+    rc = cli.main(["query", "--path", art, "--filter", "lang=en",
+                   "--select", "id", "n_chars", "--write", f"parquet:{dest}"])
+    assert rc == 0
+    got = spark.read.parquet(dest)
+    assert got.columns == ["id", "n_chars"]
+    assert got.count() > 10  # the full filtered set, not --limit-capped
+    # malformed spec is a usage error
+    assert cli.main(["query", "--path", art, "--write", "xml:/nope"]) == 2
