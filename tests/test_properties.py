@@ -425,3 +425,57 @@ def test_boolean_query_pruning_sets_are_sound(tree):
     if _bq_eval(tree, full):
         for t in req:
             assert not _bq_eval(tree, full - {t}) or t not in full
+
+
+# -- round-8: wildcard glob machinery ---------------------------------------
+
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("abc*?.[]+()^$\\|{}")), min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_glob_to_regex_matches_fnmatch(pattern):
+    """_glob_to_regex must agree with Python's fnmatch on every glob —
+    regex metacharacters in the pattern stay LITERAL, * is any run,
+    ? exactly one char."""
+    import fnmatch
+    import re
+
+    from solr_map_reduce_spark.extensions.search import _glob_to_regex
+
+    rx = re.compile(_glob_to_regex(pattern))
+    probes = ["", "a", "ab", "abc", "a.c", "a[b]", "x" * 5,
+              pattern.replace("*", "").replace("?", "x")]
+    for probe in probes:
+        # fnmatchcase implements exactly the *,? glob subset when the
+        # pattern has no [] classes (ours treats [] as literal, fnmatch
+        # does not — skip those)
+        if "[" in pattern or "]" in pattern:
+            continue
+        want = fnmatch.fnmatchcase(probe, pattern)
+        assert bool(rx.match(probe)) == want, (pattern, probe)
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("ab*? ():-\"~^")), min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_parse_query_total_on_wildcard_soup(q):
+    """The parser either returns an AST or raises QuerySyntaxError —
+    never hangs, never throws anything else — on arbitrary wildcard/
+    operator soup."""
+    from solr_map_reduce_spark.extensions.search import (
+        QuerySyntaxError,
+        parse_query,
+    )
+
+    try:
+        ast = parse_query(q)
+        assert isinstance(ast, tuple) and ast
+    except QuerySyntaxError:
+        pass
