@@ -216,6 +216,10 @@ def main() -> None:
     # text_general_rev fields
     syn = idx.query("spark", synonyms={"spark": ["vector"]})
     print("synonym-expanded query:", syn.count(), "docs")
+    # general wildcards (? one char, * any run) and term vectors
+    print("s?ark wildcard:", idx.query("s?ark").count(), "docs")
+    tv = idx.term_vectors(["1", "2"]).orderBy("id", "term").limit(5)
+    print("term vectors:", [(r["id"], r["term"], r["tf"]) for r in tv.collect()])
 
     spark.stop()
 
