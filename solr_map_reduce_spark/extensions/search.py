@@ -27,11 +27,15 @@ from pyspark.sql import DataFrame
 from solr_map_reduce_spark.extensions.text_dedup import tokens_column
 
 
-def _toks(text_col: str, tokens_col: str | None) -> F.Column:
+def _toks(text_col: str, tokens_col: "str | F.Column | None") -> F.Column:
     """The analyzed token array: the STORED column when the artifact carries
     one (analyze-once, the reference's index-time contract), else on-the-fly
-    analysis of the raw text column."""
-    return F.col(tokens_col) if tokens_col else tokens_column(F.col(text_col))
+    analysis of the raw text column.  Accepts a pre-built Column so
+    callers can hand in a cleaned view (e.g. reversed-marker copies
+    filtered out for text_general_rev fields)."""
+    if tokens_col is None:
+        return tokens_column(F.col(text_col))
+    return F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
 
 
 def contains_all(
@@ -299,7 +303,16 @@ def bm25_dismax(
     DECIMAL(18,6) before the max/tie/sum combination, making scores
     independent of engine-internal float ordering (cross-engine oracle
     parity — the ext_dismax_topk entry's DuckDB mirror builds the same
-    expression tree)."""
+    expression tree).
+
+    MAINTENANCE: this intentionally mirrors bm25_search's machinery
+    (compact tf projection, stored-vs-computed stats, the BM25 term
+    expression, broadcast + TakeOrdered tail) generalized to per-field
+    statistics and the word-level max/tie combiner.  A change to the
+    scoring formula or stats handling in either function must be
+    mirrored in the other — their score parity is pinned by
+    tests/test_search.py::TestDismax (stored==computed) and both
+    oracled entries."""
     fields = list(field_specs)
 
     def _tf_of(toks_c: F.Column, term: str) -> F.Column:
@@ -313,7 +326,8 @@ def bm25_dismax(
     tok_idx: dict = {}
     for f in fields:
         spec = field_specs[f]
-        toks = F.col(spec["tokens_col"])
+        tc = spec["tokens_col"]
+        toks = F.col(tc) if isinstance(tc, str) else tc
         proj.append(F.size(toks).cast("double").alias(f"_dl_{f}"))
         for wtoks in spec["word_tokens"]:
             for t in wtoks:
@@ -655,41 +669,45 @@ def parse_query(q: str):
             if fname is not None:
                 return ("ffuzzy", fname, base, max_edits)
             return ("fuzzy", base, max_edits)
-        if word.startswith("*") and word.endswith("*") and len(word) > 2 \
-                and "*" not in word[1:-1] and "?" not in word:
-            # infix wildcard *sub*: substring over stored tokens (Lucene
-            # WildcardQuery; no index structure accelerates it — an honest
-            # scan, like Lucene without an n-gram subfield)
+        if ("*" in word or "?" in word) and word != "*":
+            # Lucene WildcardQuery: collapse star runs first ('**tion' ==
+            # '*tion'), then pick the cheapest shape — pure trailing /
+            # leading / both-ends stars compile to containment forms, and
+            # everything else (te?t, a*b, ?*, c?t*) is the general glob
+            # matched as an anchored regex over each stored token.  RAW
+            # needles in the AST — case folding is an ANALYZER property,
+            # applied in _analyze_node only when the clause resolves to
+            # analyzer-lowercased tokens; the fsuffix form becomes a
+            # reversed-token PREFIX on ReversedWildcardFilter fields.
+            w = _re.sub(r"\*{2,}", "*", word)
+            if w == "*":
+                # '**' collapses to a bare star — not a wildcard term
+                return ("fterm", fname, word) if fname is not None else ("term", word)
+            inner = w[1:-1]
+            if (
+                len(w) > 2 and w.startswith("*") and w.endswith("*")
+                and "*" not in inner and "?" not in inner
+            ):
+                if fname is not None:
+                    return ("finfix", fname, inner)
+                return ("infix", inner)
+            if (
+                len(w) > 1 and w.endswith("*")
+                and "*" not in w[:-1] and "?" not in w[:-1]
+            ):
+                if fname is not None:
+                    return ("fprefix", fname, w[:-1])
+                return ("prefix", w[:-1])
+            if (
+                len(w) > 1 and w.startswith("*")
+                and "*" not in w[1:] and "?" not in w[1:]
+            ):
+                if fname is not None:
+                    return ("fsuffix", fname, w[1:])
+                return ("suffix", w[1:])
             if fname is not None:
-                return ("finfix", fname, word[1:-1])
-            return ("infix", word[1:-1])
-        if ("?" in word or "*" in word.rstrip("*").lstrip("*")) and any(
-            ch not in "*?" for ch in word
-        ):
-            # GENERAL wildcard (te?t, a*b, c?t*): full Lucene WildcardQuery
-            # glob — ? one char, * any run — matched as an anchored regex
-            # over each stored token.  The simpler shapes above keep their
-            # faster containment forms.
-            if fname is not None:
-                return ("fwild", fname, word)
-            return ("wild", word)
-        if word.endswith("*") and len(word) > 1:
-            # RAW prefix in the AST — case folding is an ANALYZER
-            # property, applied in _analyze_node only when the clause
-            # resolves to analyzer-lowercased tokens (Solr only
-            # case-folds wildcard terms when the field's analyzer
-            # lowercases); a plain stored column matches
-            # case-sensitively, same as the fielded equality form
-            if fname is not None:
-                return ("fprefix", fname, word[:-1])
-            return ("prefix", word[:-1])
-        if word.startswith("*") and len(word) > 1:
-            # leading wildcard *suffix: a reversed-token PREFIX when the
-            # field stores ReversedWildcardFilter copies
-            # (text_general_rev), else an endswith scan
-            if fname is not None:
-                return ("fsuffix", fname, word[1:])
-            return ("suffix", word[1:])
+                return ("fwild", fname, w)
+            return ("wild", w)
         if fname is not None:
             return ("fterm", fname, word)
         return ("term", word)
@@ -989,14 +1007,31 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
     return children[0] if len(children) == 1 else (kind, children)
 
 
+REV_MARK = "\x01"  # ReversedWildcardFilter's reversed-copy marker
+
+
+def _visible_toks(toks_col: F.Column) -> F.Column:
+    """The REAL tokens of a stored array: ``text_general_rev`` interleaves
+    U+0001-marked reversed copies for the leading-wildcard seek, and every
+    positional / scan operation except that seek must ignore them —
+    otherwise phrases lose adjacency (false negatives) and substring /
+    edit-distance scans match reversed garbage (false positives).  A
+    no-op single array pass for ordinary fields (no analyzer emits the
+    marker)."""
+    return F.filter(toks_col, lambda t: ~t.startswith(REV_MARK))
+
+
 def _token_match(toks_col: F.Column, toks: list) -> F.Column:
     if len(toks) == 1:
         pred = F.array_contains(toks_col, toks[0])
     else:
         # analyzed multi-token clause = adjacency (phrase, slop 0):
         # tokens contain no spaces, so padded space-join turns
-        # adjacency into substring containment (codegen-friendly)
-        hay = F.concat(F.lit(" "), F.array_join(toks_col, " "), F.lit(" "))
+        # adjacency into substring containment (codegen-friendly);
+        # reversed-copy markers would break adjacency — drop them
+        hay = F.concat(
+            F.lit(" "), F.array_join(_visible_toks(toks_col), " "), F.lit(" ")
+        )
         pred = hay.contains(" " + " ".join(toks) + " ")
     # null token column (doc without the field) must read as no-match,
     # so NOT over it correctly matches the doc
@@ -1024,7 +1059,8 @@ def _slop_match(toks_col: F.Column, toks: list, slop: int) -> F.Column:
     greedy minimizes the end position for a given start, so an ordered
     witness within the slack exists iff the greedy chain finds one.  All
     higher-order array functions: stays in the JVM, no Python."""
-    pos = [_positions_of(toks_col, t) for t in toks]
+    vis = _visible_toks(toks_col)
+    pos = [_positions_of(vis, t) for t in toks]
     m = len(toks)
 
     def _earliest_after(arr: F.Column, prev: F.Column) -> F.Column:
@@ -1056,7 +1092,8 @@ def _fuzzy_match(toks_col: F.Column, needle: str, max_edits: int) -> F.Column:
     transposition counts as 2 edits where Lucene's default
     Damerau-Levenshtein counts 1."""
     pred = F.exists(
-        toks_col, lambda t: F.levenshtein(t, F.lit(needle)) <= F.lit(max_edits)
+        _visible_toks(toks_col),
+        lambda t: F.levenshtein(t, F.lit(needle)) <= F.lit(max_edits),
     )
     return F.coalesce(pred, F.lit(False))
 
@@ -1144,11 +1181,11 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
         return F.coalesce(hay.contains(" " + node[1]), F.lit(False))
     if kind in ("suffixtoks", "fsuftoks"):
         toks = toks_col if kind == "suffixtoks" else node[2]
-        pred = F.exists(toks, lambda t: t.endswith(node[1]))
+        pred = F.exists(_visible_toks(toks), lambda t: t.endswith(node[1]))
         return F.coalesce(pred, F.lit(False))
     if kind in ("infixtoks", "finftoks"):
         toks = toks_col if kind == "infixtoks" else node[2]
-        pred = F.exists(toks, lambda t: t.contains(node[1]))
+        pred = F.exists(_visible_toks(toks), lambda t: t.contains(node[1]))
         return F.coalesce(pred, F.lit(False))
     if kind == "fsufcol":
         return node[2].isNotNull() & node[2].endswith(node[1])
@@ -1157,7 +1194,7 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
     if kind in ("wildtoks", "fwildtoks"):
         toks = toks_col if kind == "wildtoks" else node[2]
         rx = _glob_to_regex(node[1])
-        pred = F.exists(toks, lambda t: t.rlike(rx))
+        pred = F.exists(_visible_toks(toks), lambda t: t.rlike(rx))
         return F.coalesce(pred, F.lit(False))
     if kind == "fwildcol":
         return node[2].isNotNull() & node[2].rlike(_glob_to_regex(node[1]))

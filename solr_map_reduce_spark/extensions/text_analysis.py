@@ -641,10 +641,13 @@ def bigram_surprisal(
     lm_src = lm_df if lm_df is not None else df
 
     def _bigrams(toks_expr: F.Column) -> F.Column:
-        n = F.size(toks_expr)
+        # clamp at 0: slice() throws on negative length, and an empty /
+        # punctuation-only document has zero tokens (same guard as
+        # shingles_column)
+        n = F.greatest(F.size(toks_expr) - 1, F.lit(0))
         return F.arrays_zip(
-            F.slice(toks_expr, 1, n - 1).alias("w1"),
-            F.slice(toks_expr, 2, n - 1).alias("w2"),
+            F.slice(toks_expr, 1, n).alias("w1"),
+            F.slice(toks_expr, 2, n).alias("w2"),
         )
 
     lm_toks = tokens(F.col(lm_text_col or text_col))

@@ -891,10 +891,12 @@ def arabic_light_stem(w: str) -> str:
         if w.startswith(pre) and len(w) - len(pre) >= 2:
             w = w[len(pre):]
             break
+    # LONGEST first — _strip_suffixes returns on the first match, so
+    # يها must precede ها (light10 strips the longer possessive form)
     return _strip_suffixes(
         w,
-        ("ها", "ان", "ات", "ون",
-         "ين", "يه", "يها", "ه",
+        ("يها", "ها", "ان", "ات",
+         "ون", "ين", "يه", "ه",
          "ي"),
         min_word=4, min_stem=2,
     )

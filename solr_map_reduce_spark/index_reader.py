@@ -675,6 +675,14 @@ class SearchIndex:
     # schema.xml text_en:119) so queries hit stored structures; these read
     # the artifact's `<field>__tokens` column — no per-query re-analysis of
     # the corpus, and column pruning means the raw text is never scanned.
+    @staticmethod
+    def _real_toks(tokens_col: str) -> F.Column:
+        """The REAL tokens of a stored array: text_general_rev interleaves
+        U+0001-marked reversed copies (the leading-wildcard seek); term
+        dictionaries, term vectors, suggestions, and BM25 lengths must
+        ignore them.  No-op for ordinary fields."""
+        return F.filter(F.col(tokens_col), lambda t: ~t.startswith("\x01"))
+
     def _tokens_col(self, field: str | None = None) -> str:
         analyzed: dict = self.manifest.get("analyzed", {})
         if not analyzed:
@@ -1036,7 +1044,7 @@ class SearchIndex:
                 )
             tc = self._tokens_col(fname)
             norm_terms = [t.lower() for t in terms]
-            toks = F.col(tc)
+            toks = self._real_toks(tc)  # rev copies must not inflate dl
             row = self.df().agg(
                 F.count(F.lit(1)).alias("_n_docs"),
                 F.sum(F.size(toks)).alias("_sum_dl"),
@@ -1062,9 +1070,13 @@ class SearchIndex:
                 default_field=fname,
             )
             scan = scan.filter(pred)
+        tc = self._tokens_col(field)
+        if analyzed.get(fname, {}).get("type") == "text_general_rev":
+            # rev-marker copies must not inflate dl / match terms
+            tc = self._real_toks(tc)
         return search.bm25_search(
             scan, terms, k=k, id_col=self.unique_key,
-            tokens_col=self._tokens_col(field), **kw,
+            tokens_col=tc, **kw,
         )
 
     def dismax(
@@ -1100,9 +1112,15 @@ class SearchIndex:
             word_tokens = [
                 self.analyze_terms([w], field=fname) or [] for w in words
             ]
+            tc = analyzed[fname]["tokens_col"]
             spec = {
                 "weight": float(weight),
-                "tokens_col": analyzed[fname]["tokens_col"],
+                # rev fields hand bm25_dismax a CLEANED column view
+                "tokens_col": (
+                    self._real_toks(tc)
+                    if analyzed[fname].get("type") == "text_general_rev"
+                    else tc
+                ),
                 "word_tokens": word_tokens,
             }
             if stats and fname in stats:
@@ -1143,7 +1161,7 @@ class SearchIndex:
         tokens_col = self._tokens_col(fname)
         return (
             self.df()
-            .select(F.explode(F.array_distinct(F.col(tokens_col))).alias("term"))
+            .select(F.explode(F.array_distinct(self._real_toks(tokens_col))).alias("term"))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
             .orderBy(F.desc("df"), F.asc("term"))
@@ -1176,7 +1194,7 @@ class SearchIndex:
         tokens_col = self._tokens_col(fname)
         return (
             self.df()
-            .select(F.explode(F.array_distinct(F.col(tokens_col))).alias("term"))
+            .select(F.explode(F.array_distinct(self._real_toks(tokens_col))).alias("term"))
             .filter(F.col("term").startswith(prefix))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -1197,7 +1215,7 @@ class SearchIndex:
         tokens_col = self._tokens_col(field)
         return (
             self.get_many([str(k) for k in keys])
-            .select(self.unique_key, F.explode(F.col(tokens_col)).alias("term"))
+            .select(self.unique_key, F.explode(self._real_toks(tokens_col)).alias("term"))
             .groupBy(self.unique_key, "term")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         )
@@ -1238,7 +1256,7 @@ class SearchIndex:
             vocab = (
                 self.df()
                 .select(
-                    F.explode(F.array_distinct(F.col(tokens_col))).alias("term")
+                    F.explode(F.array_distinct(self._real_toks(tokens_col))).alias("term")
                 )
                 .groupBy("term")
                 .agg(F.count(F.lit(1)).alias("df"))
@@ -1273,7 +1291,9 @@ class SearchIndex:
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
         tokens_col = self._tokens_col(fname)
         scan = self._bloom_pruned(list(terms), fname, mode)
-        toks = F.col(tokens_col)
+        # snippets show REAL tokens only (rev-marker copies would garble
+        # the window and distort positions)
+        toks = self._real_toks(tokens_col)
         cond = None
         for t in terms:
             c = F.array_contains(toks, t)
@@ -1328,7 +1348,7 @@ class SearchIndex:
         rows = self.get(key).select(tokens_col).collect()
         if not rows or not rows[0][0]:
             raise KeyError(f"no document with {self.unique_key}={key!r} (or empty)")
-        toks = rows[0][0]
+        toks = [t for t in rows[0][0] if not t.startswith("\x01")]
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
@@ -1542,17 +1562,30 @@ class MultiIndex:
     def facet(
         self, field: str, top: int | None = None,
         q: str | None = None, query_field: str | None = None,
+        missing: bool = False, sort: str = "count",
     ) -> DataFrame:
         """Value counts across the alias — per-member pruned scans, one
-        global map-side-combined aggregate over the union."""
+        global map-side-combined aggregate over the union.  Same Solr
+        contract as the single-artifact facet (results identical to the
+        unpartitioned collection): the NULL bucket is excluded unless
+        ``missing=True``; ``sort="index"`` orders by value."""
+        if sort not in ("count", "index"):
+            raise ValueError(f"facet sort must be count|index, got {sort!r}")
         scans = [
             m._query_scan(q, query_field) if q is not None else m.df()
             for m in self.members
         ]
+        unioned = self._union([s.select(field) for s in scans])
+        if not missing:
+            unioned = unioned.filter(F.col(field).isNotNull())
+        order = (
+            [F.asc(field)] if sort == "index"
+            else [F.desc("cnt"), F.asc(field)]
+        )
         out = (
-            self._union([s.select(field) for s in scans])
+            unioned
             .groupBy(field)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc(field))
+            .orderBy(*order)
         )
         return out.limit(top) if top is not None else out

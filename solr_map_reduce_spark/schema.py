@@ -127,7 +127,12 @@ def geo_distance_km(
         F.sin(dlat) * F.sin(dlat)
         + F.cos(lat1) * F.cos(lat2) * F.sin(dlon) * F.sin(dlon)
     )
-    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+    # clamp: near-antipodal points can round a epsilon past 1.0, and
+    # asin(>1) is NaN — which would silently DROP rows from a radius
+    # filter (Lucene's haversin clamps the same way)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(
+        F.least(F.sqrt(a), F.lit(1.0))
+    )
 
 
 def within_radius(

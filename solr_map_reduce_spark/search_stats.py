@@ -134,19 +134,29 @@ def write_search_stats(
     return stats
 
 
+def _real_toks(tokens_col: str) -> F.Column:
+    """The REAL tokens: text_general_rev interleaves U+0001-marked
+    reversed copies for the leading-wildcard seek; BM25 statistics
+    (document lengths, term dfs) and the term dictionary must ignore
+    them or scores skew and suggest/spellcheck surface reversed garbage.
+    A no-op filter for ordinary fields."""
+    return F.filter(F.col(tokens_col), lambda t: ~t.startswith("\x01"))
+
+
 def _field_aggregates(df, tokens_col: str) -> tuple[int, int, int]:
     """(n_docs, sum_dl, n_dl) of one token column over ``df``."""
+    toks = _real_toks(tokens_col)
     row = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.col(tokens_col))).alias("sum_dl"),
-        F.count(F.size(F.col(tokens_col))).alias("n_dl"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+        F.count(F.size(toks)).alias("n_dl"),
     ).collect()[0]
     return (int(row["n_docs"]), int(row["sum_dl"] or 0), int(row["n_dl"]))
 
 
 def _term_df(df, tokens_col: str, out_name: str):
     return (
-        df.select(F.explode(F.array_distinct(F.col(tokens_col))).alias("term"))
+        df.select(F.explode(F.array_distinct(_real_toks(tokens_col))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias(out_name))
     )

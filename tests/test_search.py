@@ -1427,3 +1427,86 @@ class TestGeneralWildcards:
     def test_composes_with_boolean(self, w_idx):
         got = sorted(r["id"] for r in w_idx.query("te?t AND -toast").collect())
         assert got == ["1", "4"]
+
+
+class TestRevMarkerHygiene:
+    """Code-review round-8: text_general_rev interleaves \\x01-marked
+    reversed copies into the stored array for the leading-wildcard seek;
+    every OTHER operation must see only real tokens — phrases keep
+    adjacency (no false negatives), substring/edit-distance scans never
+    match reversed garbage (no false positives), and BM25 lengths /
+    sidecar statistics count real tokens only."""
+
+    @pytest.fixture(scope="class")
+    def rev_idx(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general_rev")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "hello world"), ("2", "world aby hello"), ("3", "other stuff")],
+            "id string, text string",
+        )
+        out = str(tmp_path_factory.mktemp("revh") / "idx")
+        IndexJob(
+            IndexJobConfig(schema=schema, shards=2, dedup="none",
+                           search_stats=True)
+        ).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_phrase_adjacency_survives_rev_copies(self, rev_idx):
+        # stored: ['hello','\x01olleh','world','\x01dlrow'] — the phrase
+        # 'hello world' must still match doc 1 (adjacency over REAL
+        # tokens) and must NOT match doc 2 (hello after world)
+        got = sorted(r["id"] for r in rev_idx.query('"hello world"').collect())
+        assert got == ["1"]
+        got = sorted(r["id"] for r in rev_idx.query('"hello world"~2').collect())
+        assert got == ["1"]
+
+    def test_infix_and_wildcard_ignore_reversed_copies(self, rev_idx):
+        # '\x01dlrow' contains 'lro' but no REAL token does
+        assert rev_idx.query("*lro*").count() == 0
+        # '?yba' would regex-match '\x01yba' (reversed 'aby')
+        assert rev_idx.query("?yba").count() == 0
+        # real matches still work
+        assert sorted(r["id"] for r in rev_idx.query("*orld").collect()) == ["1", "2"]
+
+    def test_fuzzy_never_matches_reversed(self, rev_idx):
+        # '\x01olleh' is levenshtein-1 from 'xolleh'-ish needles; a fuzzy
+        # query that matches no real token must return nothing
+        assert rev_idx.query("dlrow~1").count() == 0
+
+    def test_bm25_and_sidecar_count_real_tokens_only(self, rev_idx):
+        stats = rev_idx._load_stats()["text"]
+        # 7 REAL tokens across the corpus (2 + 3 + 2), not 14
+        assert stats["sum_dl"] == 7
+        # vocab has no marker terms; spellcheck/suggest never surface them
+        sugg = [r["suggestion"] for r in rev_idx.spellcheck("worl").collect()]
+        assert all(not s.startswith("\x01") for s in sugg)
+        hits = rev_idx.bm25(["hello"], k=5).collect()
+        assert sorted(r["id"] for r in hits) == ["1", "2"]
+
+    def test_term_vectors_and_highlight_clean(self, rev_idx):
+        tv = rev_idx.term_vectors(["1"]).collect()
+        assert sorted(r["term"] for r in tv) == ["hello", "world"]
+        snip = rev_idx.highlight(["world"]).collect()
+        assert all("\x01" not in r["snippet"] for r in snip)
+
+
+class TestDegenerateGlobs:
+    def test_star_runs_collapse_and_metachar_only(self):
+        from solr_map_reduce_spark.extensions.search import parse_query
+
+        assert parse_query("**tion") == ("suffix", "tion")
+        assert parse_query("run**") == ("prefix", "run")
+        assert parse_query("**a**") == ("infix", "a")
+        # metachar-only patterns are GENERAL wildcards (Lucene: ?* is
+        # one-or-more chars), never literal terms
+        assert parse_query("?*") == ("wild", "?*")
+        assert parse_query("??") == ("wild", "??")
+        assert parse_query("**") == ("term", "**")  # collapses to bare *

@@ -463,3 +463,55 @@ class TestPlanMemo:
         for i in range(10):
             idx.query(f"term{i}")
         assert len(idx._plan_memo) == 4
+
+
+class TestReviewRegressions:
+    def test_haversine_antipode_never_nan(self, spark):
+        """asin(sqrt(a)) with a rounded epsilon past 1.0 is NaN; the
+        clamp keeps antipodal distances finite (half Earth circumference)."""
+        import math
+
+        from solr_map_reduce_spark.schema import geo_distance_km
+
+        df = spark.createDataFrame(
+            [(10.0, 60.0), (-10.0, -120.0), (0.0, 180.0)],
+            "lat double, lon double",
+        ).select(F.struct("lat", "lon").alias("loc"))
+        vals = [
+            r["d"]
+            for r in df.select(
+                geo_distance_km("loc", -10.0, -120.0).alias("d")
+            ).collect()
+        ]
+        assert all(not math.isnan(v) for v in vals)
+        assert abs(max(vals) - math.pi * 6371.0088) < 50  # ~antipodal
+
+    def test_multiindex_facet_matches_single_artifact_contract(
+        self, spark, tmp_path
+    ):
+        """Alias facet must give the same rows as the unpartitioned
+        collection: NULL bucket excluded unless missing=True."""
+        from solr_map_reduce_spark.index_reader import MultiIndex, SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("g", "string")),
+            unique_key="id",
+        )
+        rows = [("1", "a"), ("2", None), ("3", "a"), ("4", "b")]
+        df = spark.createDataFrame(rows, "id string, g string")
+        paths = []
+        for part in (0, 1):
+            out = str(tmp_path / f"s{part}")
+            IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(
+                df.filter((F.col("id").cast("long") % 2) == part), out
+            )
+            paths.append(out)
+        multi = MultiIndex.open(spark, paths)
+        assert {r["g"]: r["cnt"] for r in multi.facet("g").collect()} == {
+            "a": 2, "b": 1,
+        }
+        withm = {r["g"]: r["cnt"] for r in multi.facet("g", missing=True).collect()}
+        assert withm == {"a": 2, "b": 1, None: 1}
+        assert [r["g"] for r in multi.facet("g", sort="index").collect()] == ["a", "b"]

@@ -93,3 +93,16 @@ class TestBigramSurprisal:
             [(1, "word"), (2, "two words")], "doc_id long, text string"
         )
         assert [r["doc_id"] for r in bigram_surprisal(df).collect()] == [2]
+
+
+def test_bigram_surprisal_survives_empty_documents(spark):
+    """Review finding: slice() throws on negative length — an empty or
+    punctuation-only doc must not crash the whole job."""
+    from solr_map_reduce_spark.extensions.text_analysis import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, ""), (3, "!!!"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in bigram_surprisal(df).collect()}
+    assert got == {1}  # token-less docs contribute nothing, no crash
