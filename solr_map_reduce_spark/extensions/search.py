@@ -127,6 +127,21 @@ def match_phrase(
     return df.filter(hay.contains(needle)).select(id_col)
 
 
+def _bm25_term_expr(
+    tf: F.Column, dl: F.Column, n_docs: F.Column, df_t: F.Column,
+    avgdl: F.Column, k1: float, b: float,
+) -> F.Column:
+    """THE BM25 per-term score expression — the single definition both
+    :func:`bm25_search` and :func:`bm25_dismax` build from (a formula
+    change here changes both, by construction):
+    ``ln(1 + (N - df + 0.5)/(df + 0.5)) · tf(k1+1)/(tf + k1(1 - b +
+    b·dl/avgdl))``, and an absent term contributes exactly 0 (skipping
+    the 0/x arithmetic so decimal rounding of -0.0 can't diverge)."""
+    idf = F.log(F.lit(1.0) + (n_docs - df_t + 0.5) / (df_t + 0.5))
+    raw = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    return F.when(tf > 0, raw).otherwise(F.lit(0.0))
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: Sequence[str],
@@ -228,20 +243,13 @@ def bm25_search(
     norm_boosts = {t.lower(): float(w) for t, w in (boosts or {}).items()}
 
     def term_score(i: int) -> F.Column:
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
-        )
-        tf = F.col(f"_tf{i}")
-        raw = idf * (tf * (k1 + 1)) / (
-            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        score = _bm25_term_expr(
+            F.col(f"_tf{i}"), F.col("dl"), F.col("n_docs"),
+            F.col(f"_df{i}"), F.col("avgdl"), k1, b,
         )
         w = norm_boosts.get(terms[i], 1.0)
         if w != 1.0:
-            raw = raw * F.lit(w)
-        # a term absent from the doc contributes exactly 0 (skip the 0/..
-        # arithmetic so decimal rounding of -0.0 can't diverge)
-        score = F.when(tf > 0, raw).otherwise(F.lit(0.0))
+            score = score * F.lit(w)
         return score.cast("decimal(18,6)") if exact_sum else score
 
     total = term_score(0)
@@ -369,16 +377,10 @@ def bm25_dismax(
         stats = compact.agg(*aggs)
 
     def tok_score(f: str, i: int) -> F.Column:
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col(f"_n_{f}") - F.col(f"_df_{i}") + 0.5)
-            / (F.col(f"_df_{i}") + 0.5)
+        return _bm25_term_expr(
+            F.col(f"_tf_{i}"), F.col(f"_dl_{f}"), F.col(f"_n_{f}"),
+            F.col(f"_df_{i}"), F.col(f"_avgdl_{f}"), k1, b,
         )
-        tf = F.col(f"_tf_{i}")
-        raw = idf * (tf * (k1 + 1)) / (
-            tf + k1 * (1 - b + b * F.col(f"_dl_{f}") / F.col(f"_avgdl_{f}"))
-        )
-        return F.when(tf > 0, raw).otherwise(F.lit(0.0))
 
     n_words = max(len(field_specs[f]["word_tokens"]) for f in fields)
     word_scores = []
