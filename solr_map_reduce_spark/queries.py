@@ -21,7 +21,13 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from solr_map_reduce_spark.extensions import search, similarity, text_analysis, text_dedup
+from solr_map_reduce_spark.extensions import (
+    hybrid,
+    search,
+    similarity,
+    text_analysis,
+    text_dedup,
+)
 from solr_map_reduce_spark.functions.analyzers import ENGLISH_STOP_WORDS
 from solr_map_reduce_spark.operators import dedup
 from solr_map_reduce_spark.operators.keys import generate_sequence_key
@@ -1904,6 +1910,49 @@ def ext_bm25_filtered(spark, sf_dir):
 def c9_boosted_query(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).bm25(
         _BM25_TERMS, k=10, exact_sum=True, boosts={"vector": 2.5}
+    )
+
+
+_HYBRID_SQL = f"""
+WITH bm AS ({search.bm25_oracle_sql(_BM25_TERMS, k=50, exact_sum=True)}),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+cs AS (
+  SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), v) AS score
+  FROM embeddings, qv ORDER BY score DESC, vec_id LIMIT 50
+),
+csr AS (
+  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r FROM cs
+),
+fused AS (
+  SELECT coalesce(bmr.doc_id, csr.vec_id) AS doc_id,
+         coalesce(1.0 / (60 + bmr.r), 0) + coalesce(1.0 / (60 + csr.r), 0)
+           AS rrf_score
+  FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.vec_id
+)
+SELECT doc_id, rrf_score FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@_register(
+    "ext_hybrid_rrf",
+    _HYBRID_SQL,
+    "hybrid lexical+vector retrieval: BM25 (stored-token artifact, one "
+    "scan) and brute-force cosine each to a 50-candidate pool, fused by "
+    "Reciprocal Rank Fusion (1/(60+rank), SIGIR'09) — the standard "
+    "two-tower serving shape; fusion cost independent of corpus size",
+)
+def ext_hybrid_rrf(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").first()["embedding"]
+    return hybrid.hybrid_rrf(
+        _docs_search_index(spark, sf_dir), _BM25_TERMS, e, qvec,
+        k=10, pool=50, exact_sum=True,
     )
 
 
