@@ -1142,11 +1142,12 @@ class SearchIndex:
             self.df(), specs, k=k, id_col=self.unique_key, tie=tie, **kw
         )
 
-    def term_facet(self, field: str | None = None, top: int = 20) -> DataFrame:
-        """Top terms by document frequency — served straight from the stored
-        term dictionary (``_vocab/``) when present: zero corpus scan, a
-        KB-scale parquet read + TakeOrdered.  Falls back to one
-        explode/groupBy pass over the stored token column."""
+    def _term_dictionary(self, field: str | None) -> tuple[str | None, DataFrame]:
+        """``(resolved_field, (term, df) DataFrame)`` — the stored term
+        dictionary (``_vocab/`` sidecar, a KB-scale parquet read) when the
+        field has one, else one explode/groupBy pass over the stored token
+        column.  Every dictionary-shaped component (term_facet, suggest,
+        spellcheck, terms) serves from this."""
         from solr_map_reduce_spark.fs import join as fs_join
         from solr_map_reduce_spark.search_stats import VOCAB_DIR
 
@@ -1157,16 +1158,65 @@ class SearchIndex:
             vocab = self.spark.read.parquet(
                 fs_join(self.path, f"{VOCAB_DIR}/{fname}")
             ).select("term", "df")  # drop the bucket partition column
-            return vocab.orderBy(F.desc("df"), F.asc("term")).limit(top)
+            return fname, vocab
         tokens_col = self._tokens_col(fname)
-        return (
+        return fname, (
             self.df()
             .select(F.explode(F.array_distinct(self._real_toks(tokens_col))).alias("term"))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(top)
         )
+
+    def term_facet(self, field: str | None = None, top: int = 20) -> DataFrame:
+        """Top terms by document frequency — served straight from the stored
+        term dictionary (``_vocab/``) when present: zero corpus scan, a
+        KB-scale parquet read + TakeOrdered.  Falls back to one
+        explode/groupBy pass over the stored token column."""
+        _fname, vocab = self._term_dictionary(field)
+        return vocab.orderBy(F.desc("df"), F.asc("term")).limit(top)
+
+    def terms(
+        self,
+        field: str | None = None,
+        prefix: str | None = None,
+        lower: str | None = None,
+        upper: str | None = None,
+        lower_incl: bool = True,
+        upper_incl: bool = False,
+        regex: str | None = None,
+        mincount: int = 1,
+        maxcount: int | None = None,
+        limit: int = 10,
+        sort: str = "count",
+    ) -> DataFrame:
+        """Solr TermsComponent (``terms.fl/prefix/lower/upper/regex/
+        mincount/maxcount/limit/sort``): enumerate indexed terms with their
+        document frequencies straight from the term dictionary — the raw
+        field-value inspection endpoint (no query, no corpus scan when the
+        ``_vocab/`` sidecar exists).  ``sort`` is ``count`` (df desc, the
+        Solr default) or ``index`` (term order).  Bound inclusivity matches
+        Solr: ``terms.lower.incl`` defaults true, ``terms.upper.incl``
+        defaults false."""
+        if sort not in ("count", "index"):
+            raise ValueError(f"terms.sort must be 'count' or 'index', got {sort!r}")
+        _fname, vocab = self._term_dictionary(field)
+        t = F.col("term")
+        if prefix is not None:
+            vocab = vocab.filter(t.startswith(prefix))
+        if lower is not None:
+            vocab = vocab.filter(t >= lower if lower_incl else t > lower)
+        if upper is not None:
+            vocab = vocab.filter(t <= upper if upper_incl else t < upper)
+        if regex is not None:
+            vocab = vocab.filter(t.rlike(regex))
+        if mincount > 1:
+            vocab = vocab.filter(F.col("df") >= mincount)
+        if maxcount is not None:
+            vocab = vocab.filter(F.col("df") <= maxcount)
+        order = (
+            [F.desc("df"), F.asc("term")] if sort == "count" else [F.asc("term")]
+        )
+        return vocab.orderBy(*order).limit(limit)
 
     def suggest(
         self, prefix: str, field: str | None = None, top: int = 10
@@ -1176,28 +1226,9 @@ class SearchIndex:
         pushdown ``startswith`` scan of a KB-scale parquet + TakeOrdered,
         ranked by document frequency.  Falls back to one explode/groupBy
         pass over the stored token column."""
-        from solr_map_reduce_spark.fs import join as fs_join
-        from solr_map_reduce_spark.search_stats import VOCAB_DIR
-
-        analyzed: dict = self.manifest.get("analyzed", {})
-        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
-        stats = self._load_stats()
-        if stats and fname in stats:
-            vocab = self.spark.read.parquet(
-                fs_join(self.path, f"{VOCAB_DIR}/{fname}")
-            ).select("term", "df")  # drop the bucket partition column
-            return (
-                vocab.filter(F.col("term").startswith(prefix))
-                .orderBy(F.desc("df"), F.asc("term"))
-                .limit(top)
-            )
-        tokens_col = self._tokens_col(fname)
+        _fname, vocab = self._term_dictionary(field)
         return (
-            self.df()
-            .select(F.explode(F.array_distinct(self._real_toks(tokens_col))).alias("term"))
-            .filter(F.col("term").startswith(prefix))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
+            vocab.filter(F.col("term").startswith(prefix))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(top)
         )
@@ -1239,28 +1270,9 @@ class SearchIndex:
         the same analysis)."""
         if max_edits > 2:
             raise ValueError("max edit distance is 2 (Lucene FuzzyQuery limit)")
-        from solr_map_reduce_spark.fs import join as fs_join
-        from solr_map_reduce_spark.search_stats import VOCAB_DIR
-
-        analyzed: dict = self.manifest.get("analyzed", {})
-        fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
+        fname, vocab = self._term_dictionary(field)
         toks = self.analyze_terms([term], fname)
         needle = toks[0] if toks else term.lower()
-        stats = self._load_stats()
-        if stats and fname in stats:
-            vocab = self.spark.read.parquet(
-                fs_join(self.path, f"{VOCAB_DIR}/{fname}")
-            ).select("term", "df")
-        else:
-            tokens_col = self._tokens_col(fname)
-            vocab = (
-                self.df()
-                .select(
-                    F.explode(F.array_distinct(self._real_toks(tokens_col))).alias("term")
-                )
-                .groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df"))
-            )
         n = len(needle)
         dist = F.levenshtein(F.col("term"), F.lit(needle))
         return (

@@ -1844,6 +1844,25 @@ def c9_suggest(spark, sf_dir):
 
 
 @_register(
+    "c9_terms_component",
+    f"""WITH toks AS (
+          SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents
+        ), u AS (SELECT unnest(t) AS term FROM toks)
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM u WHERE term >= 's' AND term < 'u'
+        GROUP BY term HAVING count(*) >= 3
+        ORDER BY term LIMIT 25""",
+    "Solr TermsComponent: raw term enumeration with df from the STORED "
+    "term dictionary — terms.lower='s' (incl), terms.upper='u' (excl), "
+    "terms.mincount=3, terms.sort=index; zero corpus scan",
+)
+def c9_terms_component(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).terms(
+        lower="s", upper="u", mincount=3, limit=25, sort="index"
+    )
+
+
+@_register(
     "c9_highlight",
     f"""WITH toks AS (
           SELECT doc_id, {_TOKS_SQL} AS t FROM documents
