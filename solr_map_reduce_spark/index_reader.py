@@ -21,6 +21,7 @@ work of the inverted index:
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Mapping, Sequence
 
 import pyspark.sql.functions as F
@@ -485,6 +486,84 @@ class SearchIndex:
                 start_expr.alias("bucket_start"), F.col("cnt").cast("long").alias("cnt")
             )
             .orderBy("bucket_start")
+        )
+
+    _INTERVAL_RE = re.compile(
+        r"^\s*([\[\(])\s*([^,]+?)\s*,\s*([^\]\)]+?)\s*([\]\)])\s*$"
+    )
+
+    def interval_facet(
+        self,
+        field: str,
+        intervals: "Sequence[str] | Mapping[str, str]",
+        q: str | None = None,
+        query_field: str | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.interval``: counts for ARBITRARY (possibly
+        overlapping, possibly gapped) intervals over a numeric or string
+        column — the set-arithmetic cousin of ``facet.range``.  Interval
+        syntax is Solr's: ``[`` / ``]`` inclusive, ``(`` / ``)``
+        exclusive, ``*`` unbounded — e.g. ``"[0,100)"``, ``"(100,*]"``.
+        Pass a mapping to label buckets (Solr ``{!key=label}``); a plain
+        sequence labels each bucket with its own spec string.
+
+        Plan shape: every interval is a conditional sum in ONE map-side-
+        combined aggregate over one (optionally query-scoped) scan — no
+        shuffle grows with the interval count, and a doc landing in three
+        overlapping intervals counts in all three (exactly what
+        ``facet.range`` cannot express).  Returns ``(interval, cnt)`` in
+        the given order."""
+        items = (
+            list(intervals.items())
+            if isinstance(intervals, Mapping)
+            else [(spec, spec) for spec in intervals]
+        )
+        if not items:
+            raise ValueError("interval_facet needs at least one interval")
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        col = F.col(field)
+
+        def _bound(raw: str):
+            if raw == "*":
+                return None
+            try:
+                return int(raw)
+            except ValueError:
+                try:
+                    return float(raw)
+                except ValueError:
+                    return raw  # string-typed column bounds compare as strings
+
+        preds = []
+        for _label, spec in items:
+            m = self._INTERVAL_RE.match(spec)
+            if not m:
+                raise ValueError(
+                    f"bad interval {spec!r}: expected Solr syntax like [0,100) or (5,*]"
+                )
+            lo_b, lo_raw, hi_raw, hi_b = m.groups()
+            lo, hi = _bound(lo_raw), _bound(hi_raw)
+            pred = col.isNotNull()
+            if lo is not None:
+                pred = pred & (col >= lo if lo_b == "[" else col > lo)
+            if hi is not None:
+                pred = pred & (col <= hi if hi_b == "]" else col < hi)
+            preds.append(pred)
+        aggs = [
+            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"_i{i}")
+            for i, p in enumerate(preds)
+        ]
+        row = scan.agg(*aggs)
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("interval"), F.col(f"_i{i}").alias("cnt")
+                )
+                for i, (label, _spec) in enumerate(items)
+            ]
+        )
+        return row.select(F.explode(buckets).alias("b")).select(
+            "b.interval", "b.cnt"
         )
 
     def pivot_facet(

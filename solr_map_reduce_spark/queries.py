@@ -1532,6 +1532,7 @@ def _docs_search_index(spark, sf_dir):
                 Field("text", "text_general"),
                 Field("lang", "string"),
                 Field("source", "string"),
+                Field("n_chars", "long"),
             ),
             unique_key="doc_id",
         )
@@ -1544,7 +1545,9 @@ def _docs_search_index(spark, sf_dir):
         )
         path = os.path.join(tempfile.mkdtemp(prefix="smrs_docs_idx_"), "index")
         job.build(
-            t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source"),
+            t(spark, sf_dir, "documents").select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            ),
             path,
         )
         _DOCS_INDEX_CACHE[sf_dir] = path
@@ -1841,6 +1844,36 @@ def c9_term_facet(spark, sf_dir):
 )
 def c9_suggest(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).suggest("s", top=10)
+
+
+@_register(
+    "c9_interval_facet",
+    f"""WITH toks AS (
+          SELECT doc_id, n_chars, {_TOKS_SQL} AS t FROM documents
+        ), hits AS (
+          SELECT n_chars FROM toks WHERE list_contains(t, 'spark')
+        )
+        SELECT 'short' AS interval,
+               CAST(sum(CASE WHEN n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+        FROM hits
+        UNION ALL
+        SELECT 'mid',
+               CAST(sum(CASE WHEN n_chars >= 200 AND n_chars <= 600 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM hits
+        UNION ALL
+        SELECT 'long',
+               CAST(sum(CASE WHEN n_chars > 600 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM hits""",
+    "Solr facet.interval: arbitrary OVERLAPPING intervals ([*,300), "
+    "[200,600], (600,*]) over a query's result set — every interval a "
+    "conditional sum in ONE map-side-combined aggregate, one scan",
+)
+def c9_interval_facet(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).interval_facet(
+        "n_chars",
+        {"short": "[*,300)", "mid": "[200,600]", "long": "(600,*]"},
+        q="spark",
+    )
 
 
 @_register(

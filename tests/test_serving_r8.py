@@ -515,3 +515,58 @@ class TestReviewRegressions:
         withm = {r["g"]: r["cnt"] for r in multi.facet("g", missing=True).collect()}
         assert withm == {"a": 2, "b": 1, None: 1}
         assert [r["g"] for r in multi.facet("g", sort="index").collect()] == ["a", "b"]
+
+
+class TestIntervalFacet:
+    """facet.interval: arbitrary overlapping/gapped intervals, Solr
+    bracket semantics, one-aggregate plan."""
+
+    def test_overlapping_and_labels(self, idx):
+        # num = i*7 % 50 over 60 docs; overlapping intervals double-count
+        got = {r["interval"]: r["cnt"]
+               for r in idx.interval_facet(
+                   "num",
+                   {"low": "[0,25)", "mid": "[20,40)", "all": "[*,*]"},
+               ).collect()}
+        rows = [r["num"] for r in idx.df().collect()]
+        assert got == {
+            "low": sum(1 for n in rows if 0 <= n < 25),
+            "mid": sum(1 for n in rows if 20 <= n < 40),
+            "all": len(rows),
+        }
+        assert got["low"] + got["mid"] > got["all"] - got["all"] // 2  # overlap real
+
+    def test_bracket_inclusivity(self, idx):
+        rows = [r["num"] for r in idx.df().collect()]
+        got = {r["interval"]: r["cnt"]
+               for r in idx.interval_facet(
+                   "num", ["[7,14]", "(7,14)", "[7,14)", "(7,14]"]).collect()}
+        assert got["[7,14]"] == sum(1 for n in rows if 7 <= n <= 14)
+        assert got["(7,14)"] == sum(1 for n in rows if 7 < n < 14)
+        assert got["[7,14)"] == sum(1 for n in rows if 7 <= n < 14)
+        assert got["(7,14]"] == sum(1 for n in rows if 7 < n <= 14)
+
+    def test_string_column_and_order(self, idx):
+        out = idx.interval_facet("grp", ["[a,a]", "[b,c)", "(*,*)"]).collect()
+        assert [r["interval"] for r in out] == ["[a,a]", "[b,c)", "(*,*)"]
+        rows = [r["grp"] for r in idx.df().collect()]
+        got = {r["interval"]: r["cnt"] for r in out}
+        assert got["[a,a]"] == rows.count("a")
+        assert got["[b,c)"] == rows.count("b")
+        assert got["(*,*)"] == len(rows)
+
+    def test_bad_spec_and_empty(self, idx):
+        import pytest
+
+        with pytest.raises(ValueError, match="bad interval"):
+            idx.interval_facet("num", ["0..10"])
+        with pytest.raises(ValueError, match="at least one"):
+            idx.interval_facet("num", [])
+
+    def test_single_aggregate_plan(self, idx):
+        # interval count does not add exchanges: one scan, one agg row
+        plan = (
+            idx.interval_facet("num", ["[0,10)", "[10,20)", "[20,*]"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 1, plan
