@@ -1158,6 +1158,58 @@ class SearchIndex:
             tokens_col=tc, **kw,
         )
 
+    def elevated(
+        self,
+        terms: Sequence[str],
+        elevate: Sequence[object],
+        exclude: Sequence[object] = (),
+        k: int = 10,
+        **bm25_kwargs,
+    ) -> DataFrame:
+        """Solr QueryElevationComponent (elevate.xml): pin ``elevate`` docs
+        to the top IN THE GIVEN ORDER — included even when they don't match
+        the query (Solr's forceElevation/inclusion contract) — drop
+        ``exclude`` docs entirely, and fill the rest organically by BM25.
+        Returns ``(unique_key, elevated)`` top-``k``.
+
+        Plan shape: the organic side is the one-scan BM25 TakeOrdered with
+        the pool widened by ``len(elevate) + len(exclude)`` (so pins and
+        drops can't starve the page); the elevated side is a segment-pruned
+        ``get_many`` point lookup — both bounded, corpus scanned once."""
+        elevate = list(elevate)
+        exclude = list(exclude)
+        if not elevate:
+            raise ValueError("elevated() needs at least one doc to elevate")
+        key = self.unique_key
+        pool_k = k + len(elevate) + len(exclude)
+        pool = self.bm25(list(terms), k=pool_k, **bm25_kwargs)
+        organic = pool.filter(~F.col(key).isin(elevate + exclude)).select(
+            F.col(key),
+            F.lit(False).alias("elevated"),
+            F.lit(None).cast("int").alias("_pos"),
+            F.col("score").alias("_score"),
+        )
+        pos_map = F.create_map(
+            *[x for i, e in enumerate(elevate) for x in (F.lit(e), F.lit(i))]
+        )
+        pinned = self.get_many([str(e) for e in elevate]).select(
+            F.col(key),
+            F.lit(True).alias("elevated"),
+            pos_map[F.col(key)].alias("_pos"),
+            F.lit(None).cast("double").alias("_score"),
+        )
+        return (
+            pinned.unionByName(organic)
+            .orderBy(
+                F.desc("elevated"),
+                F.asc_nulls_last("_pos"),
+                F.desc_nulls_last("_score"),
+                F.col(key),
+            )
+            .limit(k)
+            .select(key, "elevated")
+        )
+
     def dismax(
         self,
         words: Sequence[str],

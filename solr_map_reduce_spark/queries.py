@@ -1965,6 +1965,33 @@ def c9_boosted_query(spark, sf_dir):
     )
 
 
+@_register(
+    "c9_elevated_query",
+    f"""WITH bm AS ({search.bm25_oracle_sql(_BM25_TERMS, k=13, exact_sum=True)}),
+organic AS (
+  SELECT doc_id, FALSE AS elevated, CAST(NULL AS INTEGER) AS pos, score
+  FROM bm WHERE doc_id NOT IN (7, 3, 0)
+),
+pinned AS (
+  SELECT d.doc_id, TRUE AS elevated, v.pos, CAST(NULL AS DOUBLE) AS score
+  FROM (VALUES (7, 0), (3, 1)) AS v(doc_id, pos)
+  JOIN documents d ON d.doc_id = v.doc_id
+)
+SELECT doc_id, elevated FROM (
+  SELECT * FROM pinned UNION ALL SELECT * FROM organic
+) ORDER BY elevated DESC, pos ASC NULLS LAST, score DESC NULLS LAST, doc_id
+LIMIT 10""",
+    "Solr QueryElevationComponent: docs 7,3 pinned top in elevation order "
+    "(included even if they don't match), doc 0 editorially excluded, the "
+    "rest organic BM25 — pinned side a segment-pruned point lookup, "
+    "organic side the one-scan BM25 TakeOrdered",
+)
+def c9_elevated_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).elevated(
+        _BM25_TERMS, elevate=[7, 3], exclude=[0], k=10, exact_sum=True
+    )
+
+
 _HYBRID_SQL = f"""
 WITH bm AS ({search.bm25_oracle_sql(_BM25_TERMS, k=50, exact_sum=True)}),
 bmr AS (

@@ -570,3 +570,53 @@ class TestIntervalFacet:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange") <= 1, plan
+
+
+class TestElevation:
+    """QueryElevationComponent: pinned order, inclusion of non-matching
+    docs, editorial exclusion, page not starved by pins/drops."""
+
+    @pytest.fixture(scope="class")
+    def eidx(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        rows = [("m%d" % i, "needle " * (9 - i)) for i in range(6)]
+        rows += [("x1", "hay only"), ("x2", "more hay")]
+        df = spark.createDataFrame(rows, "id string, text string")
+        out = str(tmp_path_factory.mktemp("elev") / "idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none",
+                                search_stats=True)).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_pin_order_inclusion_exclusion(self, eidx):
+        # x2 does NOT match 'needle' but is pinned in; m0 (top organic
+        # score) is excluded; pins come first in elevation order
+        out = eidx.elevated(["needle"], elevate=["x2", "m3"],
+                            exclude=["m0"], k=5).collect()
+        ids = [r["id"] for r in out]
+        flags = {r["id"]: r["elevated"] for r in out}
+        assert ids[:2] == ["x2", "m3"]
+        assert flags["x2"] and flags["m3"]
+        assert "m0" not in ids
+        # organic remainder ranked by score (tf-decreasing m1, m2, ...)
+        assert ids[2:] == ["m1", "m2", "m4"]
+        assert not flags["m1"]
+
+    def test_page_not_starved(self, eidx):
+        # k=5 with 2 pins + 1 drop still returns 5 rows
+        assert len(eidx.elevated(["needle"], elevate=["x2", "m3"],
+                                 exclude=["m0"], k=5).collect()) == 5
+
+    def test_unknown_elevated_id_skipped_and_empty_elevate_rejected(self, eidx):
+        out = eidx.elevated(["needle"], elevate=["ghost", "m2"], k=4).collect()
+        ids = [r["id"] for r in out]
+        assert "ghost" not in ids and ids[0] == "m2"
+        with pytest.raises(ValueError, match="at least one"):
+            eidx.elevated(["needle"], elevate=[])
