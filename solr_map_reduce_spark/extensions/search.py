@@ -516,6 +516,33 @@ class QuerySyntaxError(ValueError):
     """Malformed boolean query string."""
 
 
+_LOCAL_PARAMS_RE = _re.compile(r"^\s*\{!\s*(\w+)((?:\s+[\w.]+=(?:'[^']*'|\"[^\"]*\"|\S+?(?=\s|\})))*)\s*\}(.*)$", _re.DOTALL)
+_LOCAL_PARAM_KV_RE = _re.compile(r"([\w.]+)=('[^']*'|\"[^\"]*\"|\S+)")
+
+
+def parse_local_params(q: str):
+    """Solr local-params prefix: ``{!type key=value key='quoted'}rest``.
+
+    Returns ``(qtype, params, rest)`` when ``q`` starts with a local-params
+    block, else ``None`` (the plain query path).  Values may be single- or
+    double-quoted (quotes stripped) — Solr's LocalParams syntax.  A
+    malformed block (``{!``... without a closing ``}``) raises
+    :class:`QuerySyntaxError` rather than silently parsing ``{!join`` as
+    terms."""
+    if not q.lstrip().startswith("{!"):
+        return None
+    m = _LOCAL_PARAMS_RE.match(q)
+    if not m:
+        raise QuerySyntaxError(f"malformed local params in {q!r}")
+    qtype, raw, rest = m.group(1), m.group(2), m.group(3)
+    params = {}
+    for k, v in _LOCAL_PARAM_KV_RE.findall(raw):
+        if v and v[0] in "'\"" and v[-1] == v[0]:
+            v = v[1:-1]
+        params[k] = v
+    return qtype, params, rest.strip()
+
+
 def parse_query(q: str):
     """Parse a boolean query string into an AST of tuples:
     ``("term", text)``, ``("phrase", text)``, ``("and", [..])``,

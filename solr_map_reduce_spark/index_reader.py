@@ -942,6 +942,35 @@ class SearchIndex:
             self._plan_memo.move_to_end(memo_key)
             return self._plan_memo[memo_key]
 
+        lp = search.parse_local_params(q)
+        if lp is not None:
+            qtype, params, inner = lp
+            out = self._local_params_scan(qtype, params, inner, field, synonyms)
+        else:
+            pred, info, fname = self._compile_predicate(q, field, synonyms)
+            if info["required"]:
+                scan = self._bloom_pruned(info["required"], fname, "all")
+            elif info["prunable"] and info["positive"]:
+                scan = self._bloom_pruned(info["positive"], fname, "any")
+            else:
+                scan = self.df()
+            out = scan.filter(pred)
+        self._plan_memo[memo_key] = out
+        while len(self._plan_memo) > self._plan_memo_cap:
+            self._plan_memo.popitem(last=False)
+        return out
+
+    def _compile_predicate(
+        self, q: str, field: str | None = None,
+        synonyms: "Mapping[str, Sequence[str]] | None" = None,
+    ):
+        """``(Column predicate, pruning info, resolved default field)`` for
+        a boolean query string — the parse/analyze/compile core of
+        :meth:`_query_scan`, reusable wherever a query must become a bare
+        predicate (join/block-join inner clauses negate and combine
+        predicates, which a filtered scan cannot express)."""
+        from solr_map_reduce_spark.extensions import search
+
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
         # a PURELY FIELDED query (lang:en) needs no default field at all —
@@ -967,17 +996,91 @@ class SearchIndex:
             synonyms={k.lower(): list(v) for k, v in synonyms.items()}
             if synonyms else None,
         )
-        if info["required"]:
-            scan = self._bloom_pruned(info["required"], fname, "all")
-        elif info["prunable"] and info["positive"]:
-            scan = self._bloom_pruned(info["positive"], fname, "any")
-        else:
-            scan = self.df()
-        out = scan.filter(pred)
-        self._plan_memo[memo_key] = out
-        while len(self._plan_memo) > self._plan_memo_cap:
-            self._plan_memo.popitem(last=False)
-        return out
+        return pred, info, fname
+
+    ROOT_COL = "_root_"
+
+    def _local_params_scan(
+        self, qtype: str, params: Mapping[str, str], inner: str,
+        field: str | None, synonyms,
+    ) -> DataFrame:
+        """Solr local-params query types over the artifact:
+
+        - ``{!join from=f to=t}q`` (JoinQParserPlugin): rows whose ``t``
+          value appears among the ``f`` values of rows matching ``q`` —
+          a distinct-project of the inner result semi-joined back.  AQE
+          picks broadcast when the key set is small (the common case) and
+          falls back to a shuffled semi-join when it isn't — exactly the
+          two executions you'd hand-pick at either scale.
+        - ``{!parent which=pf}childq`` (ToParentBlockJoinQuery): parents
+          (rows matching ``pf``) having >= 1 child (non-parent) matching
+          ``childq``; children carry their parent's key in ``_root_``
+          (Solr's nested-document root field; override with ``root=``).
+        - ``{!child of=pf}parentq``: children of parents matching both
+          ``pf`` and ``parentq``.
+
+        Block-join shape: predicates are compiled Columns over ONE scan
+        lineage; the only shuffle is the distinct root-key semi-join,
+        which AQE broadcasts when small."""
+        from solr_map_reduce_spark.extensions import search
+
+        if qtype == "join":
+            try:
+                f_from, f_to = params["from"], params["to"]
+            except KeyError:
+                raise search.QuerySyntaxError(
+                    "{!join} needs from= and to= local params"
+                ) from None
+            if not inner:
+                raise search.QuerySyntaxError("{!join} needs an inner query")
+            keys = (
+                self._query_scan(inner, field, synonyms)
+                .filter(F.col(f_from).isNotNull())
+                .select(F.col(f_from).alias(f_to))
+                .distinct()
+            )
+            return self.df().join(keys, on=f_to, how="left_semi")
+        if qtype in ("parent", "child"):
+            root = params.get("root", self.ROOT_COL)
+            anchor = "which" if qtype == "parent" else "of"
+            pf = params.get(anchor)
+            if not pf:
+                raise search.QuerySyntaxError(
+                    f"{{!{qtype}}} needs the {anchor}= parent-filter param"
+                )
+            parents_pred, _info, _f = self._compile_predicate(pf, field, synonyms)
+            base = self.df()
+            if qtype == "parent":
+                matched = base.filter(~parents_pred)
+                if inner:
+                    child_pred, _i, _f2 = self._compile_predicate(
+                        inner, field, synonyms
+                    )
+                    matched = matched.filter(child_pred)
+                roots = (
+                    matched.filter(F.col(root).isNotNull())
+                    .select(F.col(root).alias(self.unique_key))
+                    .distinct()
+                )
+                return base.filter(parents_pred).join(
+                    roots, on=self.unique_key, how="left_semi"
+                )
+            matched = base.filter(parents_pred)
+            if inner:
+                parent_pred, _i, _f2 = self._compile_predicate(
+                    inner, field, synonyms
+                )
+                matched = matched.filter(parent_pred)
+            roots = matched.select(
+                F.col(self.unique_key).alias(root)
+            ).distinct()
+            return base.filter(~parents_pred).join(
+                roots, on=root, how="left_semi"
+            )
+        raise search.QuerySyntaxError(
+            f"unsupported local-params query type {{!{qtype}}}; "
+            "supported: join, parent, child"
+        )
 
     def query(
         self, q: str, field: str | None = None,

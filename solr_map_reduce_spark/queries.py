@@ -1555,6 +1555,124 @@ def _docs_search_index(spark, sf_dir):
     return _DOCS_INDEX_HANDLE[sf_dir]
 
 
+# Nested (parent/child) artifact: orders as parent docs, their lineitems as
+# child docs carrying the parent key in `_root_` — Solr's nested-document
+# block contract, over which {!parent}/{!child} block joins run.  Built once
+# per sf_dir and process, like the docs artifact above.
+_NESTED_INDEX_CACHE: dict[str, str] = {}
+_NESTED_INDEX_HANDLE: dict[str, object] = {}
+
+
+def _nested_orders_index(spark, sf_dir):
+    import os
+    import tempfile
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+    handle = _NESTED_INDEX_HANDLE.get(sf_dir)
+    if handle is not None and os.path.isdir(_NESTED_INDEX_CACHE.get(sf_dir, "")):
+        return handle
+    path = _NESTED_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        schema = IndexSchema(
+            fields=(
+                Field("id", "string", required=True),
+                Field("_root_", "string"),
+                Field("kind", "string"),
+                Field("orderkey", "long"),
+                Field("priority", "string"),
+                Field("totalprice", "double"),
+                Field("quantity", "double"),
+            ),
+            unique_key="id",
+        )
+        o = t(spark, sf_dir, "orders").select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("id"),
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("_root_"),
+            F.lit("parent").alias("kind"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.lit(None).cast("double").alias("quantity"),
+        )
+        li = t(spark, sf_dir, "lineitem").select(
+            F.concat(
+                F.lit("l"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")
+            ).alias("id"),
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("_root_"),
+            F.lit("child").alias("kind"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.lit(None).cast("string").alias("priority"),
+            F.lit(None).cast("double").alias("totalprice"),
+            F.col("l_quantity").cast("double").alias("quantity"),
+        )
+        job = IndexJob(
+            IndexJobConfig(schema=schema, shards=4, micro_shards=8, dedup="none")
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="smrs_nested_idx_"), "index")
+        job.build(o.unionByName(li), path)
+        _NESTED_INDEX_CACHE[sf_dir] = path
+    _NESTED_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
+    return _NESTED_INDEX_HANDLE[sf_dir]
+
+
+@_register(
+    "c9_join_query",
+    f"""WITH toks AS (
+          SELECT doc_id, source, lang, {_TOKS_SQL} AS t FROM documents
+        )
+        SELECT doc_id FROM toks
+        WHERE source IN (
+          SELECT source FROM toks
+          WHERE lang = 'de' AND list_contains(t, 'spark') AND source IS NOT NULL
+        )""",
+    "Solr JoinQParserPlugin {!join from=source to=source}: docs sharing a "
+    "source with any German doc containing 'spark' — inner query's distinct "
+    "from-values semi-joined back (AQE broadcasts the small key set)",
+)
+def c9_join_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query(
+        "{!join from=source to=source}lang:de AND spark"
+    )
+
+
+@_register(
+    "c9_block_join_parent",
+    """SELECT 'o' || o_orderkey AS id, o_orderpriority AS priority
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_quantity >= 45)""",
+    "Solr ToParentBlockJoinQuery {!parent which=kind:parent}: parent "
+    "(order) docs having >= 1 child (lineitem) doc with quantity >= 45, "
+    "children carrying the parent key in _root_ (nested-document contract)",
+)
+def c9_block_join_parent(spark, sf_dir):
+    return _nested_orders_index(spark, sf_dir).search(
+        q="{!parent which=kind:parent}quantity:[45 TO *]",
+        select=["id", "priority"],
+    )
+
+
+@_register(
+    "c9_block_join_child",
+    """SELECT 'l' || l_orderkey || '-' || l_linenumber AS id,
+              l_quantity AS quantity
+       FROM lineitem
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_orderkey = l_orderkey
+                       AND o_totalprice >= 180000)""",
+    "Solr {!child of=kind:parent}: child (lineitem) docs of parent "
+    "(order) docs with totalprice >= 180000 — parent keys distinct-"
+    "projected and semi-joined against the children's _root_",
+)
+def c9_block_join_child(spark, sf_dir):
+    return _nested_orders_index(spark, sf_dir).search(
+        q="{!child of=kind:parent}totalprice:[180000 TO *]",
+        select=["id", "quantity"],
+    )
+
+
 @_register(
     "c2_segment_lookup",
     "SELECT doc_id, text FROM documents WHERE doc_id = 7",
