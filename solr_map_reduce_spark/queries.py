@@ -1124,6 +1124,42 @@ def ext_ann_topk(spark, sf_dir):
     return similarity.cosine_topk(e, qvec, k=10, with_score=False)
 
 
+_SQ_SQL = """
+WITH s AS (
+  SELECT min(u) AS mn, max(u) AS mx
+  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings)
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), sc AS (
+  SELECT greatest(abs(mn), abs(mx)) / 127 AS scale FROM s
+), enc AS (
+  SELECT e.vec_id,
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+           x -> least(greatest(CAST(floor(x / sc.scale + 0.5) AS BIGINT), -127), 127)) AS c,
+         list_transform(q.qv,
+           x -> least(greatest(CAST(floor(x / sc.scale + 0.5) AS BIGINT), -127), 127)) AS qc
+  FROM embeddings e, sc, q
+)
+SELECT vec_id, CAST(list_inner_product(c, qc) AS BIGINT) AS score
+FROM enc ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@_register(
+    "ext_sq_topk",
+    _SQ_SQL,
+    "symmetric int8 scalar-quantized top-k (the Lucene/FAISS SQ8 serving "
+    "shape): codes from a one-pass global max-abs fit, score an EXACT "
+    "integer dot-product fold monotone in the decoded dot — 4x smaller "
+    "than float32, no float drift, one scan + TakeOrdered",
+)
+def ext_sq_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").first()["embedding"]
+    return similarity.sq_topk(e, qvec, k=10)
+
+
 @_register(
     "ext_minhash_dedup",
     # r6: DuckDB-oracled against ALL-PAIRS exact 3-gram Jaccard — the

@@ -603,3 +603,70 @@ def test_ivf_compact_recovers_interrupted_swap(spark, sf_dir, tmp_path):
     got = [(r["vec_id"], round(r["score"], 9))
            for r in ivf.search_stored(spark, path, q, k=8, nprobe=4).collect()]
     assert got == want
+
+
+class TestScalarQuantization:
+    """int8 SQ: code error bound, recall vs the exact dot-product scan,
+    clamping of out-of-range serve-time values, degenerate corpus."""
+
+    def _vecs(self, n=200, d=16, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=(n, d)).astype("float32")
+
+    def test_code_error_bound_and_roundtrip(self, spark):
+        import numpy as np
+
+        from solr_map_reduce_spark.extensions.similarity import (
+            sq_code_col, sq_fit, _sq_scale,
+        )
+        import pyspark.sql.functions as F
+
+        v = self._vecs()
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(v)],
+            "vec_id long, embedding array<float>",
+        )
+        mn, mx = sq_fit(df)
+        assert mn == float(v.min()) and mx == float(v.max())
+        scale = _sq_scale(mn, mx, 8)
+        rows = df.select(
+            "vec_id", sq_code_col(F.col("embedding"), mn, mx).alias("c"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        ).collect()
+        for r in rows:
+            assert all(-127 <= c <= 127 for c in r["c"])
+            decoded = np.array(r["c"]) * scale
+            assert np.abs(decoded - np.array(r["e"])).max() <= scale / 2 + 1e-12
+
+    def test_recall_vs_exact_dot(self, spark):
+        import numpy as np
+
+        from solr_map_reduce_spark.extensions.similarity import sq_fit, sq_topk
+
+        v = self._vecs()
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(v)],
+            "vec_id long, embedding array<float>",
+        )
+        q = v[0]
+        exact = set(np.argsort(-(v.astype("float64") @ q.astype("float64")))[:10].tolist())
+        mn, mx = sq_fit(df)
+        got = {r["vec_id"] for r in sq_topk(df, q.tolist(), k=10, mn=mn, mx=mx).collect()}
+        assert len(got & exact) >= 8  # 8-bit codes: near-perfect recall
+
+    def test_out_of_range_query_clamps(self, spark):
+        from solr_map_reduce_spark.extensions.similarity import sq_encode_query
+
+        assert sq_encode_query([-99.0, 99.0, 0.0], mn=-1.0, mx=1.0) == [-127, 127, 0]
+
+    def test_degenerate_constant_corpus(self, spark):
+        from solr_map_reduce_spark.extensions.similarity import sq_topk
+
+        df = spark.createDataFrame(
+            [(i, [1.0, 1.0]) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        out = sq_topk(df, [1.0, 1.0], k=3).collect()
+        assert [r["vec_id"] for r in out] == [0, 1, 2]  # ties -> id order
