@@ -163,6 +163,89 @@ def sq_topk(
     return out if with_score else out.select(id_col)
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified top-``k``: greedily pick the candidate maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)``,
+    relevance and inter-candidate similarity both cosine.
+
+    Scale shape: the RELEVANCE pass is the distributed one-scan
+    ``cosine_topk`` TakeOrdered down to ``pool`` candidates; only that
+    bounded pool (ids, vectors, scores — ``pool`` rows) is collected, and
+    the inherently sequential greedy selection runs driver-side in
+    O(k * pool) float comparisons (the guarded bounded-collect serving
+    contract, same as the exact-kNN path).  Pairwise similarities use the
+    same sequential left-to-right double fold as the JVM/SQL cosine, so
+    an external SQL engine replays the selection exactly.
+
+    Returns ``(id_col, mmr_rank)`` with rank 1..k in selection order.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k > pool:
+        raise ValueError(f"k ({k}) cannot exceed the candidate pool ({pool})")
+    scored = (
+        df.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("_v"),
+            cosine_to_query(F.col(vec_col), query).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.col(id_col))
+        .limit(pool)
+    )
+    rows = scored.collect()  # bounded: exactly `pool` rows
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _norm(a):
+        import math
+
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    ids = [r[id_col] for r in rows]
+    rel = {r[id_col]: r["rel"] for r in rows}
+    vecs = {r[id_col]: [float(x) for x in r["_v"]] for r in rows}
+    norms = {i: _norm(v) for i, v in vecs.items()}
+
+    def _sim(a, b):
+        return _dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+
+    selected: list = []
+    remaining = set(ids)
+    while remaining and len(selected) < k:
+        if not selected:
+            # anchor: pure relevance (no diversity term yet)
+            best = max(sorted(remaining), key=lambda c: rel[c])
+        else:
+            def mmr(c):
+                worst = max(_sim(c, s) for s in selected)
+                return lam * rel[c] - (1.0 - lam) * worst
+
+            best = max(sorted(remaining), key=mmr)
+        selected.append(best)
+        remaining.discard(best)
+    out_rows = [(i, r + 1) for r, i in enumerate(selected)]
+    id_field = scored.schema[id_col]
+    return df.sparkSession.createDataFrame(
+        out_rows, T.StructType([id_field, T.StructField("mmr_rank", T.IntegerType(), False)])
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     threshold: float,

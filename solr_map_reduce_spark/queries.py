@@ -1124,6 +1124,52 @@ def ext_ann_topk(spark, sf_dir):
     return similarity.cosine_topk(e, qvec, k=10, with_score=False)
 
 
+_MMR_SQL = """
+WITH RECURSIVE q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), cand AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS rel
+  FROM embeddings e, q ORDER BY rel DESC, e.vec_id LIMIT 50
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, list_cosine_similarity(a.v, b.v) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+), sel AS (
+  SELECT 1 AS step,
+         (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1) AS picked,
+         [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)] AS ids
+  UNION ALL
+  SELECT s.step + 1, nxt.vec_id, list_append(s.ids, nxt.vec_id)
+  FROM sel s, LATERAL (
+    SELECT c.vec_id FROM cand c
+    WHERE NOT list_contains(s.ids, c.vec_id)
+    ORDER BY 0.7 * c.rel - 0.3 * (
+      SELECT max(p.sim) FROM pairs p
+      WHERE p.ia = c.vec_id AND list_contains(s.ids, p.ib)
+    ) DESC, c.vec_id
+    LIMIT 1
+  ) nxt
+  WHERE s.step < 10
+)
+SELECT picked AS vec_id, CAST(step AS INTEGER) AS mmr_rank FROM sel
+"""
+
+
+@_register(
+    "ext_mmr_rerank",
+    _MMR_SQL,
+    "Maximal Marginal Relevance diversified top-10 (SIGIR'98): greedy "
+    "0.7*rel - 0.3*max-sim-to-selected over a 50-candidate cosine pool — "
+    "relevance pass distributed, bounded pool collected, the inherently "
+    "sequential greedy replayed exactly by a recursive-CTE oracle",
+)
+def ext_mmr_rerank(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").first()["embedding"]
+    return similarity.mmr_rerank(e, qvec, k=10, pool=50, lam=0.7)
+
+
 _SQ_SQL = """
 WITH s AS (
   SELECT min(u) AS mn, max(u) AS mx

@@ -670,3 +670,91 @@ class TestScalarQuantization:
         )
         out = sq_topk(df, [1.0, 1.0], k=3).collect()
         assert [r["vec_id"] for r in out] == [0, 1, 2]  # ties -> id order
+
+
+class TestMmrRerank:
+    """MMR diversification: the near-duplicate of the top hit is demoted,
+    lam=1 degenerates to pure relevance, guards are loud."""
+
+    def _df(self, spark):
+        # v0: query direction; v1: near-duplicate of v0; v2: relevant but
+        # diverse; v3: orthogonal filler
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.8, 0.0, 0.6]),
+            (3, [0.0, 1.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_matches_reference_greedy_and_diversifies(self, spark):
+        import numpy as np
+
+        from solr_map_reduce_spark.extensions.similarity import mmr_rerank
+
+        rng = np.random.default_rng(11)
+        v = rng.normal(size=(20, 8)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(v)],
+            "vec_id long, embedding array<float>",
+        )
+        q = v[0].tolist()
+        got = [
+            r["vec_id"]
+            for r in mmr_rerank(df, q, k=5, pool=20, lam=0.5)
+            .orderBy("mmr_rank").collect()
+        ]
+
+        # 10-line reference greedy in float64
+        vd = v.astype("float64")
+        qd = np.asarray(q, dtype="float64")
+        rel = vd @ qd / (np.linalg.norm(vd, axis=1) * np.linalg.norm(qd))
+        sims = (vd @ vd.T) / np.outer(
+            np.linalg.norm(vd, axis=1), np.linalg.norm(vd, axis=1)
+        )
+        sel = [int(np.lexsort((np.arange(20), -rel))[0])]
+        while len(sel) < 5:
+            best, best_s = None, None
+            for c in range(20):
+                if c in sel:
+                    continue
+                s = 0.5 * rel[c] - 0.5 * max(sims[c][j] for j in sel)
+                if best_s is None or s > best_s + 1e-12:
+                    best, best_s = c, s
+            sel.append(best)
+        assert got == sel
+        # and the diversity term actually reorders vs pure relevance
+        pure = np.lexsort((np.arange(20), -rel))[:5].tolist()
+        assert got != pure
+
+    def test_lam_one_is_pure_relevance(self, spark):
+        from solr_map_reduce_spark.extensions.similarity import (
+            cosine_topk, mmr_rerank,
+        )
+
+        df = self._df(spark)
+        want = [r["vec_id"] for r in cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()]
+        got = [
+            r["vec_id"]
+            for r in mmr_rerank(df, [1.0, 0.0, 0.0], k=3, pool=4, lam=1.0)
+            .orderBy("mmr_rank").collect()
+        ]
+        assert got == want
+
+    def test_guards(self, spark):
+        import pytest
+
+        from solr_map_reduce_spark.extensions.similarity import mmr_rerank
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="cannot exceed"):
+            mmr_rerank(df, [1.0, 0.0, 0.0], k=5, pool=4)
+        with pytest.raises(ValueError, match="lam"):
+            mmr_rerank(df, [1.0, 0.0, 0.0], k=2, pool=4, lam=1.5)
+
+    def test_small_pool_returns_all(self, spark):
+        from solr_map_reduce_spark.extensions.similarity import mmr_rerank
+
+        out = mmr_rerank(self._df(spark), [1.0, 0.0, 0.0], k=4, pool=4).collect()
+        assert len(out) == 4
+        assert sorted(r["mmr_rank"] for r in out) == [1, 2, 3, 4]
