@@ -1018,12 +1018,44 @@ class SearchIndex:
           (Solr's nested-document root field; override with ``root=``).
         - ``{!child of=pf}parentq``: children of parents matching both
           ``pf`` and ``parentq``.
+        - ``{!terms f=x}a,b,c`` / ``{!prefix f=x}val`` / ``{!field f=x}val``
+          (TermsQParser / PrefixQParser / FieldQParser): raw un-analyzed
+          column predicates — set membership, startswith, exact equality —
+          each a single pushed filter on one scan.
 
         Block-join shape: predicates are compiled Columns over ONE scan
         lineage; the only shuffle is the distinct root-key semi-join,
         which AQE broadcasts when small."""
         from solr_map_reduce_spark.extensions import search
 
+        if qtype == "terms":
+            # TermsQParser {!terms f=field}v1,v2,v3 — a raw set-membership
+            # filter over a PLAIN column (no analysis, Solr's docvalues IN
+            # semantics): one isin predicate, pushed to the scan
+            f = params.get("f")
+            if not f:
+                raise search.QuerySyntaxError("{!terms} needs the f= param")
+            if not inner:
+                raise search.QuerySyntaxError(
+                    "{!terms} needs a comma-separated value list"
+                )
+            sep = params.get("separator", ",")
+            vals = [v for v in inner.split(sep)]
+            return self.df().filter(F.col(f).isin(vals))
+        if qtype == "prefix":
+            # PrefixQParser {!prefix f=field}val — raw startswith, no
+            # analysis, no glob escaping (Solr's contract)
+            f = params.get("f")
+            if not f:
+                raise search.QuerySyntaxError("{!prefix} needs the f= param")
+            return self.df().filter(F.col(f).startswith(inner))
+        if qtype == "field":
+            # FieldQParser {!field f=field}value — exact raw value match
+            # (spaces and specials included, never tokenized)
+            f = params.get("f")
+            if not f:
+                raise search.QuerySyntaxError("{!field} needs the f= param")
+            return self.df().filter(F.col(f) == inner)
         if qtype == "join":
             try:
                 f_from, f_to = params["from"], params["to"]
@@ -1079,7 +1111,7 @@ class SearchIndex:
             )
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
-            "supported: join, parent, child"
+            "supported: join, parent, child, terms, prefix, field"
         )
 
     def query(

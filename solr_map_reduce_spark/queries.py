@@ -1720,6 +1720,17 @@ def c9_join_query(spark, sf_dir):
 
 
 @_register(
+    "c9_terms_filter",
+    "SELECT doc_id FROM documents WHERE lang IN ('de', 'fr')",
+    "Solr TermsQParser {!terms f=lang}de,fr: raw un-analyzed set-"
+    "membership filter — ONE isin predicate pushed into the scan "
+    "(the docvalues terms-filter shape)",
+)
+def c9_terms_filter(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query("{!terms f=lang}de,fr")
+
+
+@_register(
     "c9_block_join_parent",
     """SELECT 'o' || o_orderkey AS id, o_orderpriority AS priority
        FROM orders

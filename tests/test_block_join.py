@@ -85,3 +85,34 @@ class TestBlockJoin:
         rows = nidx.search(q="{!parent which=kind:parent}num:[40 TO *]",
                            select=["id", "grp"]).collect()
         assert [(r["id"], r["grp"]) for r in rows] == [("p1", "a")]
+
+
+class TestRawFieldParsers:
+    """{!terms} / {!prefix} / {!field}: raw un-analyzed column predicates."""
+
+    def test_terms_parser(self, nidx):
+        assert _ids(nidx.query("{!terms f=grp}b")) == ["c1-2", "c3x", "p2"]
+        assert _ids(nidx.query("{!terms f=kind}parent")) == ["p1", "p2", "p3"]
+        # custom separator
+        assert _ids(nidx.query("{!terms f=grp separator=|}a|b")) == sorted(
+            ["p1", "p2", "p3", "c1-1", "c1-2", "c2-1", "c3x"]
+        )
+
+    def test_prefix_and_field_parsers(self, nidx):
+        assert _ids(nidx.query("{!prefix f=id}c1")) == ["c1-1", "c1-2"]
+        assert _ids(nidx.query("{!field f=id}p2")) == ["p2"]
+
+    def test_missing_f_is_loud(self, nidx):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+        import pytest
+
+        for q in ("{!terms}a,b", "{!prefix}x", "{!field}x"):
+            with pytest.raises(QuerySyntaxError, match="f= param"):
+                nidx.query(q)
+
+    def test_terms_filter_pushed_to_scan(self, nidx):
+        plan = (
+            nidx._query_scan("{!terms f=grp}a,b")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PushedFilters" in plan and "In(grp" in plan, plan
