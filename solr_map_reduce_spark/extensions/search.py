@@ -272,9 +272,9 @@ def bm25_search(
         compact.join(F.broadcast(stats))
         .filter(hit)
         .select(F.col(id_col), total.alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
     )
+    if k is not None:  # k=None: every matching doc, unordered (rerank feeds)
+        scored = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     return scored if with_score else scored.select(id_col)
 
 
@@ -434,7 +434,7 @@ def bm25_dismax(
 
 
 def bm25_oracle_sql(
-    query_terms: Sequence[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
+    query_terms: Sequence[str], k: int | None = 10, k1: float = 1.2, b: float = 0.75,
     with_score: bool = True, exact_sum: bool = False,
     fq_sql: str | None = None,
     boosts: "dict[str, float] | None" = None,
@@ -472,6 +472,7 @@ def bm25_oracle_sql(
     )
     # multiplicative function-query boost (edismax boost=): applied AFTER
     # the (decimal-exact) sum, mirroring bm25_search's boost_col order
+    limit_clause = f" LIMIT {k}" if k is not None else ""
     boost_mul = f" * ({boost_sql})" if boost_sql else ""
     boost_join = " JOIN documents doc ON doc.doc_id = p.doc_id" if boost_sql else ""
     boost_group = f", ({boost_sql})" if boost_sql else ""
@@ -497,7 +498,7 @@ WITH toks AS (
   FROM postings p JOIN df_t d ON p.term = d.term CROSS JOIN stats s{boost_join}{cand_filter}
   GROUP BY p.doc_id{boost_group}
 )
-SELECT doc_id{score_col} FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+SELECT doc_id{score_col} FROM scored ORDER BY score DESC, doc_id{limit_clause}
 """
 
 

@@ -1345,6 +1345,47 @@ class SearchIndex:
             .select(key, "elevated")
         )
 
+    def rerank(
+        self,
+        terms: Sequence[str],
+        rerank_terms: Sequence[str],
+        k: int = 10,
+        rerank_docs: int = 50,
+        rerank_weight: float = 2.0,
+        **bm25_kwargs,
+    ) -> DataFrame:
+        """Solr ReRankQParser (``rq={!rerank reRankQuery=... reRankDocs=N
+        reRankWeight=W}``): the main query's top-``rerank_docs`` candidates
+        are re-scored as ``main + W * rerank_score`` (a candidate not
+        matching the rerank query keeps its main score — Solr's additive
+        contract) and the page is cut from the re-sorted candidates.
+
+        Plan shape: main pass is the one-scan BM25 TakeOrdered; the rerank
+        pass scores the rerank query's matching docs in one more scan and
+        left-joins against the ``rerank_docs``-row candidate side (AQE
+        broadcasts it).  Both scores stay decimal-exact under
+        ``exact_sum=True``, so the combined ranking is engine-reproducible."""
+        if k > rerank_docs:
+            raise ValueError(
+                f"k ({k}) cannot exceed reRankDocs ({rerank_docs}): only the "
+                "top reRankDocs candidates are reranked (Solr contract)"
+            )
+        key = self.unique_key
+        main = self.bm25(list(terms), k=rerank_docs, **bm25_kwargs)
+        second = self.bm25(list(rerank_terms), k=None, **bm25_kwargs)
+        m = main.select(F.col(key), F.col("score").alias("_main"))
+        r = second.select(F.col(key), F.col("score").alias("_rr"))
+        combined = (
+            F.col("_main")
+            + F.lit(float(rerank_weight)) * F.coalesce(F.col("_rr"), F.lit(0.0))
+        )
+        return (
+            m.join(r, on=key, how="left")
+            .select(F.col(key), combined.alias("score"))
+            .orderBy(F.desc("score"), F.col(key))
+            .limit(k)
+        )
+
     def dismax(
         self,
         words: Sequence[str],

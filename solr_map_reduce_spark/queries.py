@@ -2177,6 +2177,25 @@ def c9_boosted_query(spark, sf_dir):
 
 
 @_register(
+    "ext_rerank_query",
+    f"""WITH m AS ({search.bm25_oracle_sql(_BM25_TERMS, k=30, exact_sum=True)}),
+r AS ({search.bm25_oracle_sql(["table", "hash"], k=None, exact_sum=True)})
+SELECT m.doc_id, m.score + 2.0 * coalesce(r.score, 0.0) AS score
+FROM m LEFT JOIN r ON m.doc_id = r.doc_id
+ORDER BY score DESC, m.doc_id LIMIT 10""",
+    "Solr ReRankQParser rq={!rerank reRankDocs=30 reRankWeight=2.0}: main "
+    "BM25 top-30 candidates re-scored additively by a second query "
+    "(non-matching candidates keep their main score) — second pass one "
+    "scan, candidate side broadcast, decimal-exact both passes",
+)
+def ext_rerank_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).rerank(
+        _BM25_TERMS, ["table", "hash"], k=10, rerank_docs=30,
+        rerank_weight=2.0, exact_sum=True,
+    )
+
+
+@_register(
     "c9_elevated_query",
     f"""WITH bm AS ({search.bm25_oracle_sql(_BM25_TERMS, k=13, exact_sum=True)}),
 organic AS (

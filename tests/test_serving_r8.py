@@ -620,3 +620,51 @@ class TestElevation:
         assert "ghost" not in ids and ids[0] == "m2"
         with pytest.raises(ValueError, match="at least one"):
             eidx.elevated(["needle"], elevate=[])
+
+
+class TestRerank:
+    """ReRankQParser: additive re-scoring of the main query's top-N."""
+
+    @pytest.fixture(scope="class")
+    def ridx(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        rows = [
+            ("a", "needle needle needle"),      # main 3x
+            ("b", "needle needle boost"),       # main 2x + rerank hit
+            ("c", "needle boost boost"),        # main 1x + strong rerank
+            ("d", "boost boost boost"),         # rerank only: NOT a candidate
+        ]
+        df = spark.createDataFrame(rows, "id string, text string")
+        out = str(tmp_path_factory.mktemp("rr") / "idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none",
+                                search_stats=True)).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_rerank_reorders_and_requires_main_match(self, ridx):
+        base = [r["id"] for r in ridx.bm25(["needle"], k=3).collect()]
+        assert base == ["a", "b", "c"]
+        out = ridx.rerank(["needle"], ["boost"], k=3, rerank_docs=3,
+                          rerank_weight=5.0)
+        ids = [r["id"] for r in out.collect()]
+        # strong rerank hits outrank the pure-main doc; d never enters
+        assert set(ids) == {"a", "b", "c"} and ids[-1] == "a"
+        assert ids.index("c") < ids.index("b") < ids.index("a")
+
+    def test_non_matching_candidate_keeps_main_score(self, ridx):
+        main = {r["id"]: r["score"] for r in ridx.bm25(["needle"], k=3).collect()}
+        out = {r["id"]: r["score"]
+               for r in ridx.rerank(["needle"], ["zzzabsent"], k=3,
+                                    rerank_docs=3).collect()}
+        assert out == pytest.approx(main)
+
+    def test_k_capped_by_rerank_docs(self, ridx):
+        with pytest.raises(ValueError, match="reRankDocs"):
+            ridx.rerank(["needle"], ["boost"], k=10, rerank_docs=5)
