@@ -354,16 +354,43 @@ class SearchIndex:
         self, field: str, top: int | None = None,
         q: str | None = None, query_field: str | None = None,
         missing: bool = False, sort: str = "count",
+        filters: "Mapping[str, object] | None" = None,
+        exclude: "str | Sequence[str] | None" = None,
     ) -> DataFrame:
         """Value counts of ``field`` — over the whole collection, or
         (``q`` given) over a boolean query's result set, Solr's
         q + facet.field request shape.  ``missing=True`` appends the
         NULL-valued bucket (Solr ``facet.missing``; excluded by default,
         Solr's contract); ``sort="index"`` orders lexicographically by
-        value instead of by count (Solr ``facet.sort=index``)."""
+        value instead of by count (Solr ``facet.sort=index``).
+
+        ``filters`` are fq equality filters (field -> value, or a list of
+        admitted values); ``exclude`` names filter KEYS to ignore while
+        counting — Solr's tagged-filter exclusion (``fq={!tag=t}f:v`` +
+        ``facet.field={!ex=t}f``), the multi-select faceting contract: a
+        user's own selection must not collapse their facet's other
+        options.  Queries and filters stay ONE scan predicate."""
         if sort not in ("count", "index"):
             raise ValueError(f"facet sort must be count|index, got {sort!r}")
         scan = self._query_scan(q, query_field) if q is not None else self.df()
+        if filters:
+            skip = (
+                {exclude} if isinstance(exclude, str) else set(exclude or ())
+            )
+            unknown = skip - set(filters)
+            if unknown:
+                raise ValueError(
+                    f"exclude names unknown filter keys: {sorted(unknown)}"
+                )
+            for fkey, fval in filters.items():
+                if fkey in skip:
+                    continue
+                col = F.col(fkey)
+                scan = scan.filter(
+                    col.isin(list(fval))
+                    if isinstance(fval, (list, tuple, set))
+                    else col == fval
+                )
         if not missing:
             scan = scan.filter(F.col(field).isNotNull())
         order = (

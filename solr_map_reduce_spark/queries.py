@@ -2029,6 +2029,27 @@ def c9_facet_query(spark, sf_dir):
 
 
 @_register(
+    "c9_multiselect_facet",
+    f"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, lang, source, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark')
+          AND source IN ('src1', 'src2', 'src3')
+          AND lang IS NOT NULL
+        GROUP BY lang ORDER BY cnt DESC, lang""",
+    "multi-select faceting (fq={!tag=l}lang:de + facet.field={!ex=l}lang): "
+    "the user's own lang selection is EXCLUDED from the lang facet while "
+    "the source filter still applies — Solr's tagged-filter exclusion, "
+    "still one scan predicate",
+)
+def c9_multiselect_facet(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).facet(
+        "lang", q="spark",
+        filters={"lang": "de", "source": ["src1", "src2", "src3"]},
+        exclude="lang",
+    )
+
+
+@_register(
     "c9_term_facet",
     f"""WITH toks AS (
           SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents

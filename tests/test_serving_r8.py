@@ -668,3 +668,34 @@ class TestRerank:
     def test_k_capped_by_rerank_docs(self, ridx):
         with pytest.raises(ValueError, match="reRankDocs"):
             ridx.rerank(["needle"], ["boost"], k=10, rerank_docs=5)
+
+
+class TestMultiSelectFacet:
+    """Tagged-filter exclusion: the facet's own filter is dropped, other
+    filters stay — and excluding an unknown key is loud."""
+
+    def test_exclusion_semantics(self, idx):
+        # select grp='a' and num<... via filters; facet on grp excluding grp
+        base = {r["grp"]: r["cnt"] for r in idx.facet("grp").collect()}
+        sel = {r["grp"]: r["cnt"]
+               for r in idx.facet("grp", filters={"grp": "a"}).collect()}
+        multi = {r["grp"]: r["cnt"]
+                 for r in idx.facet("grp", filters={"grp": "a"},
+                                    exclude="grp").collect()}
+        assert set(sel) == {"a"}          # filter applied -> collapsed
+        assert multi == base              # excluded -> full option counts
+
+    def test_other_filters_still_apply(self, idx):
+        rows = idx.df().collect()
+        want = {}
+        for r in rows:
+            if r["num"] < 20:
+                want[r["grp"]] = want.get(r["grp"], 0) + 1
+        got = {r["grp"]: r["cnt"]
+               for r in idx.facet("grp", filters={"grp": "b", "num": [n for n in range(20)]},
+                                  exclude="grp").collect()}
+        assert got == want
+
+    def test_unknown_exclude_key_is_loud(self, idx):
+        with pytest.raises(ValueError, match="unknown filter keys"):
+            idx.facet("grp", filters={"grp": "a"}, exclude="nope")
