@@ -120,15 +120,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Rotating verdict window (the harness checks the first 50 registry
 # entries per round), r08 rotation: every entry was green at its last
-# driver check (r07: 50/50), so the window leads with (a) the 18-entry
-# cohort whose last check is oldest (r05), then (b) entries NEW this
-# round (r8) so they get a first-class external check immediately, then
-# (c) the 50-entry r06 cohort in its r06 order (the overflow plus the
-# r07-checked cohort leads the r09 rotation).  The repo's own oracle
-# suite covers all entries every pytest run regardless
-# (tests/test_queries_oracle.py).
+# driver check (r07: 50/50).  NEVER-externally-checked entries lead —
+# (a) the 19 added just after the r07 check ran, then (b) the 12 added
+# this round (hybrid RRF, terms component, interval/multiselect facets,
+# elevation, {!join}/block joins, {!terms} filter, SQ8 ANN, MMR,
+# rerank) — then (c) the 18-entry cohort whose last green check is
+# oldest (r05), then (d) the start of the r06 cohort.  The r05/r06
+# overflow leads the r09 rotation.  The repo's own oracle suite covers
+# all entries every pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a) last checked r05
+    # (a) never checked: landed after the r07 window was recorded
+    "c9_range_facet", "c9_pivot_facet", "c9_stats_field", "c9_grouped",
+    "c9_cursor_page", "c9_spellcheck", "c9_leading_wildcard",
+    "c9_synonym_query", "ext_semdedup", "c9_facet_stats",
+    "ext_dismax_topk", "ext_unigram_surprisal", "ext_bigram_surprisal",
+    "c9_alias_query", "c6_atomic_inc", "c9_wildcard_general", "c9_term_vectors",
+    "ext_geofilt", "c9_boost_function",
+    # (b) never checked: new this round
+    "ext_hybrid_rrf", "c9_terms_component", "c9_interval_facet",
+    "c9_elevated_query", "c9_join_query", "c9_block_join_parent",
+    "c9_block_join_child", "c9_terms_filter", "ext_sq_topk",
+    "ext_mmr_rerank", "ext_rerank_query", "c9_multiselect_facet",
+    # (c) last checked r05
     "ext_percentiles", "window_rolling_sum", "ext_multimodal_decode",
     "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
     "q10_returned_items", "q13_order_distribution", "q15_top_supplier",
@@ -136,19 +149,8 @@ _VERDICT_PRIORITY = [
     "q20_heavy_part_suppliers", "q21_last_shipper", "q22_idle_customers",
     "pivot_user_activity", "window_lag_delta", "setop_viewers_not_buyers",
     "ext_stratified_sample",
-    # (b) new in r8 (appended as they land)
-    "c9_range_facet", "c9_pivot_facet", "c9_stats_field", "c9_grouped",
-    "c9_cursor_page", "c9_spellcheck", "c9_leading_wildcard",
-    "c9_synonym_query", "ext_semdedup", "c9_facet_stats",
-    "ext_dismax_topk", "ext_unigram_surprisal", "ext_bigram_surprisal",
-    "c9_alias_query", "c6_atomic_inc", "c9_wildcard_general", "c9_term_vectors",
-    "ext_geofilt", "c9_boost_function",
-    # (c) last checked r06, r06 order (overflow leads r09)
-    "b8_convert_timestamp", "facet_event_counts", "ext_funnel_conversion",
-    "ext_cohort_retention", "facet_range_value", "pipeline_etl_events",
-    "window_hourly_counts", "q1_pricing_summary", "q3_top_revenue",
-    "q5_local_supplier", "q6_revenue_change",
-    "exists_big_order_customers", "window_topn_orders",
+    # (d) last checked r06, r06 order (overflow leads r09)
+    "b8_convert_timestamp",
 ]
 
 

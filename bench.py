@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "ext_bm25_topk",
     "c9_search_request",
     "ext_dismax_topk",
+    "ext_hybrid_rrf",
+    "ext_sq_topk",
+    "c9_block_join_parent",
     "ext_sessionize",
 ]
 
@@ -144,11 +147,15 @@ def main() -> None:
     # smoke-scale loop above, artifact cold — and reported as its own JSON
     # key (cold_build_docs_index_sec) next to the steady-state total
     # instead of silently hiding inside the untimed priming rep.
-    from solr_map_reduce_spark.queries import _docs_search_index
+    from solr_map_reduce_spark.queries import _docs_search_index, _nested_orders_index
 
     t0 = time.perf_counter()
     _docs_search_index(spark, SF_DIR)
     cold_build = round(time.perf_counter() - t0, 3)
+    # same honesty for the r8 nested (orders+lineitem) block-join artifact
+    t0 = time.perf_counter()
+    _nested_orders_index(spark, SF_DIR)
+    cold_build_nested = round(time.perf_counter() - t0, 3)
     _release_leftovers(spark)
 
     # r6 protocol: per plan, 2 UNTIMED full-scale warmups (a 6-rep probe
@@ -208,6 +215,7 @@ def main() -> None:
                 "rep_spread_pct": spreads,
                 "protocol": f"median-of-{REPS} after {WARMS} untimed warmups",
                 "cold_build_docs_index_sec": cold_build,
+                "cold_build_nested_index_sec": cold_build_nested,
                 "sf": sf_val,
             }
         )
