@@ -121,13 +121,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotating verdict window (the harness checks the first 50 registry
 # entries per round), r08 rotation: every entry was green at its last
 # driver check (r07: 50/50).  NEVER-externally-checked entries lead —
-# (a) the 19 added just after the r07 check ran, then (b) the 12 added
-# this round (hybrid RRF, terms component, interval/multiselect facets,
-# elevation, {!join}/block joins, {!terms} filter, SQ8 ANN, MMR,
+# (a) the 19 added just after the r07 check ran, then (b) the 13 added
+# this round (hybrid RRF, terms component, interval/multiselect/query
+# facets, elevation, {!join}/block joins, {!terms} filter, SQ8 ANN, MMR,
 # rerank) — then (c) the 18-entry cohort whose last green check is
-# oldest (r05), then (d) the start of the r06 cohort.  The r05/r06
-# overflow leads the r09 rotation.  The repo's own oracle suite covers
-# all entries every pytest run regardless (tests/test_queries_oracle.py).
+# oldest (r05).  The r06 cohort overflow leads the r09 rotation.  The
+# repo's own oracle suite covers all entries every pytest run regardless
+# (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
     # (a) never checked: landed after the r07 window was recorded
     "c9_range_facet", "c9_pivot_facet", "c9_stats_field", "c9_grouped",
@@ -141,6 +141,7 @@ _VERDICT_PRIORITY = [
     "c9_elevated_query", "c9_join_query", "c9_block_join_parent",
     "c9_block_join_child", "c9_terms_filter", "ext_sq_topk",
     "ext_mmr_rerank", "ext_rerank_query", "c9_multiselect_facet",
+    "c9_query_facets",
     # (c) last checked r05
     "ext_percentiles", "window_rolling_sum", "ext_multimodal_decode",
     "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
@@ -149,8 +150,6 @@ _VERDICT_PRIORITY = [
     "q20_heavy_part_suppliers", "q21_last_shipper", "q22_idle_customers",
     "pivot_user_activity", "window_lag_delta", "setop_viewers_not_buyers",
     "ext_stratified_sample",
-    # (d) last checked r06, r06 order (overflow leads r09)
-    "b8_convert_timestamp",
 ]
 
 

@@ -515,6 +515,44 @@ class SearchIndex:
             .orderBy("bucket_start")
         )
 
+    def query_facets(
+        self,
+        queries: "Mapping[str, str]",
+        q: str | None = None,
+        query_field: str | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.query``: counts for ARBITRARY boolean subqueries
+        as named buckets over the (optionally ``q``-scoped) corpus —
+        ``{"cheap": "price:[* TO 10]", "spark docs": "spark -legacy"}``.
+        Each subquery compiles to a Column predicate and becomes a
+        conditional sum in ONE map-side-combined aggregate: N facet
+        queries never cost N scans.  Returns ``(facet_query, cnt)`` in
+        the given order."""
+        if not queries:
+            raise ValueError("query_facets needs at least one facet query")
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        items = list(queries.items())
+        preds = [
+            self._compile_predicate(qs, query_field)[0] for _label, qs in items
+        ]
+        aggs = [
+            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"_q{i}")
+            for i, p in enumerate(preds)
+        ]
+        row = scan.agg(*aggs)
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("facet_query"),
+                    F.col(f"_q{i}").alias("cnt"),
+                )
+                for i, (label, _qs) in enumerate(items)
+            ]
+        )
+        return row.select(F.explode(buckets).alias("b")).select(
+            "b.facet_query", "b.cnt"
+        )
+
     _INTERVAL_RE = re.compile(
         r"^\s*([\[\(])\s*([^,]+?)\s*,\s*([^\]\)]+?)\s*([\]\)])\s*$"
     )

@@ -1170,6 +1170,8 @@ def ext_mmr_rerank(spark, sf_dir):
     return similarity.mmr_rerank(e, qvec, k=10, pool=50, lam=0.7)
 
 
+_SQ_FIT_CACHE: dict[str, tuple[float, float]] = {}
+
 _SQ_SQL = """
 WITH s AS (
   SELECT min(u) AS mn, max(u) AS mx
@@ -1200,9 +1202,6 @@ FROM enc ORDER BY score DESC, vec_id LIMIT 10
     "integer dot-product fold monotone in the decoded dot — 4x smaller "
     "than float32, no float drift, one scan + TakeOrdered",
 )
-_SQ_FIT_CACHE: dict[str, tuple[float, float]] = {}
-
-
 def ext_sq_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     qvec = e.orderBy("vec_id").select("embedding").first()["embedding"]
@@ -2034,6 +2033,40 @@ def c9_search_request(spark, sf_dir):
 )
 def c9_facet_query(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).facet("lang", q="spark OR vector")
+
+
+@_register(
+    "c9_query_facets",
+    f"""WITH toks AS (
+          SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents
+        )
+        SELECT 'spark_and_table' AS facet_query,
+               CAST(sum(CASE WHEN list_contains(t, 'spark')
+                              AND list_contains(t, 'table')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+        FROM toks
+        UNION ALL
+        SELECT 'vector_not_shuffle',
+               CAST(sum(CASE WHEN list_contains(t, 'vector')
+                              AND NOT list_contains(t, 'shuffle')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+        FROM toks
+        UNION ALL
+        SELECT 'german_docs',
+               CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM toks""",
+    "Solr facet.query: three arbitrary boolean subqueries counted as "
+    "named buckets in ONE map-side-combined aggregate — N facet queries, "
+    "one scan",
+)
+def c9_query_facets(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query_facets(
+        {
+            "spark_and_table": "spark AND table",
+            "vector_not_shuffle": "vector -shuffle",
+            "german_docs": "lang:de",
+        }
+    )
 
 
 @_register(
