@@ -221,6 +221,43 @@ def main() -> None:
     tv = idx.term_vectors(["1", "2"]).orderBy("id", "term").limit(5)
     print("term vectors:", [(r["id"], r["term"], r["tf"]) for r in tv.collect()])
 
+    # 10. round-8 second pass: joins, facet family, rerankers ------------
+    # TermsComponent: raw term enumeration straight from the dictionary
+    print("terms s->t (index order):",
+          [r["term"] for r in idx.terms(lower="s", upper="t", mincount=2,
+                                        sort="index", limit=5).collect()])
+    # facet.interval (overlapping) + facet.query (arbitrary buckets) +
+    # multi-select (the lang selection excluded from its own facet)
+    iv = idx.interval_facet("n_chars", {"short": "[*,300)", "long": "[300,*]"},
+                            q="spark")
+    print("interval facet:", [(r["interval"], r["cnt"]) for r in iv.collect()])
+    qf = idx.query_facets({"spark+table": "spark AND table", "de": "lang:de"})
+    print("facet.query:", [(r["facet_query"], r["cnt"]) for r in qf.collect()])
+    ms = idx.facet("lang", q="spark", filters={"lang": "de"}, exclude="lang")
+    print("multi-select lang facet:", [(r["lang"], r["cnt"]) for r in ms.collect()[:3]])
+    # local-params: {!join}, {!terms} — and elevation / rerank over BM25
+    jq = idx.query("{!join from=source to=source}lang:de AND spark")
+    print("{!join} docs sharing a source with German spark docs:", jq.count())
+    print("{!terms} lang in (de,fr):", idx.query("{!terms f=lang}de,fr").count())
+    el = idx.elevated(["spark", "vector"], elevate=["7", "3"], exclude=["0"], k=5)
+    print("elevated page:", [(r["id"], r["elevated"]) for r in el.collect()])
+    rr = idx.rerank(["spark", "vector"], ["table"], k=5, rerank_docs=20,
+                    rerank_weight=2.0)
+    print("reranked page:", [r["id"] for r in rr.collect()])
+    # hybrid RRF + int8-SQ + MMR over the embeddings table
+    from solr_map_reduce_spark.extensions import hybrid, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    hy = hybrid.hybrid_rrf(idx, ["spark", "vector"], emb, qvec, k=5,
+                           out_id_col="id")
+    print("hybrid RRF top-5:", [r["id"] for r in hy.collect()])
+    mn, mx = similarity.sq_fit(emb)
+    sq = similarity.sq_topk(emb, qvec, k=5, mn=mn, mx=mx)
+    print("int8-SQ top-5:", [(r["vec_id"], r["score"]) for r in sq.collect()])
+    mmr = similarity.mmr_rerank(emb, qvec, k=5, pool=20, lam=0.7)
+    print("MMR top-5:", [r["vec_id"] for r in mmr.orderBy("mmr_rank").collect()])
+
     spark.stop()
 
 
