@@ -149,6 +149,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "group.limit)")
     qry.add_argument("--spellcheck", default=None, metavar="TERM",
                      help="did-you-mean suggestions from the term dictionary")
+    qry.add_argument("--terms", default=None, metavar="PREFIX", const="",
+                     nargs="?",
+                     help="TermsComponent: enumerate indexed terms with df "
+                          "from the term dictionary (optional prefix; "
+                          "--limit caps; sorted by df desc)")
     qry.add_argument("--cursor", default=None, metavar="MARK",
                      help="cursorMark deep paging: '*' starts a sweep; pass "
                           "the printed nextCursorMark for the next page "
@@ -345,7 +350,8 @@ def main(argv: list[str] | None = None) -> int:
                     ("--group", args.group),
                     ("--cursor", args.cursor),
                     ("--spellcheck", args.spellcheck),
-                ) if val
+                    ("--terms", args.terms),
+                ) if val is not None and val is not False
             ]
             if unsupported:
                 print(
@@ -379,6 +385,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(r.asDict(), default=str))
         elif args.spellcheck is not None:
             for r in idx.spellcheck(args.spellcheck, top=args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.terms is not None:
+            rows = idx.terms(
+                prefix=args.terms or None, limit=args.limit
+            ).collect()
+            for r in rows:
                 print(json.dumps(r.asDict(), default=str))
         elif args.stats is not None:
             row = idx.stats(args.stats, q=args.q).collect()[0]

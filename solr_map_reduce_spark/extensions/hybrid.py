@@ -50,7 +50,12 @@ def rrf_fuse(
     number of rankings (no join ladder); with two rankings the double sum
     is order-independent (IEEE addition is commutative), so the score is
     bit-deterministic.
+
+    The rankings' id columns must share one type — the union coerces
+    silently otherwise ("07" and 7 would fuse as different docs).
     """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     contribs = [
         r.select(
             F.col(id_col),

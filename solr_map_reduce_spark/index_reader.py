@@ -535,8 +535,11 @@ class SearchIndex:
         preds = [
             self._compile_predicate(qs, query_field)[0] for _label, qs in items
         ]
+        # coalesce: SQL sum over ZERO rows is NULL, but an empty result set
+        # must facet as honest zeros (Solr's contract)
         aggs = [
-            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"_q{i}")
+            F.coalesce(F.sum(F.when(p, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"_q{i}")
             for i, p in enumerate(preds)
         ]
         row = scan.agg(*aggs)
@@ -614,8 +617,11 @@ class SearchIndex:
             if hi is not None:
                 pred = pred & (col <= hi if hi_b == "]" else col < hi)
             preds.append(pred)
+        # coalesce: sum over an EMPTY (query-scoped) scan is NULL in SQL,
+        # but the facet must report honest zero counts
         aggs = [
-            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"_i{i}")
+            F.coalesce(F.sum(F.when(p, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"_i{i}")
             for i, p in enumerate(preds)
         ]
         row = scan.agg(*aggs)
@@ -1580,7 +1586,9 @@ class SearchIndex:
         if upper is not None:
             vocab = vocab.filter(t <= upper if upper_incl else t < upper)
         if regex is not None:
-            vocab = vocab.filter(t.rlike(regex))
+            # Lucene TermsComponent applies Pattern.matches() — the WHOLE
+            # term must match, not a substring (rlike alone is 'contains')
+            vocab = vocab.filter(t.rlike(f"^(?:{regex})$"))
         if mincount > 1:
             vocab = vocab.filter(F.col("df") >= mincount)
         if maxcount is not None:

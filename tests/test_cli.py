@@ -542,3 +542,32 @@ def test_cli_query_write_export(spark, sf_dir, schema_file, tmp_path, capsys):
     assert got.count() > 10  # the full filtered set, not --limit-capped
     # malformed spec is a usage error
     assert cli.main(["query", "--path", art, "--write", "xml:/nope"]) == 2
+
+
+def test_cli_terms_and_local_params_query(spark, sf_dir, schema_file, tmp_path, capsys):
+    """Round-8: `--terms` enumerates the term dictionary; local-params
+    queries ({!terms}/{!join}) pass straight through `--q`."""
+    import json as _json
+
+    out = str(tmp_path / "cli_idx_terms")
+    assert cli.main([
+        "index", "--input", f"{sf_dir}/documents.parquet", "--output", out,
+        "--schema", schema_file, "--shards", "2", "--dedup", "none",
+        "--generate-keys-from", "source", "--search-stats",
+    ]) == 0
+    capsys.readouterr()
+    # TermsComponent: prefix-filtered, df-ranked
+    assert cli.main(["query", "--path", out, "--terms", "s", "--limit", "5"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(rows) <= 5
+    assert all(r["term"].startswith("s") and r["df"] > 0 for r in rows)
+    # bare --terms (no prefix) enumerates from the top
+    assert cli.main(["query", "--path", out, "--terms", "--limit", "3"]) == 0
+    allrows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(allrows) == 3
+    # local-params through --q: raw column terms filter + count
+    assert cli.main([
+        "query", "--path", out, "--count", "--q", "{!terms f=lang}de,fr",
+    ]) == 0
+    n = _json.loads(capsys.readouterr().out)["count"]
+    assert n > 0

@@ -45,3 +45,11 @@ class TestRrfFuse:
         )
         ranks = {r["doc_id"]: r["rank"] for r in with_rank(df).collect()}
         assert ranks == {11: 1, 10: 2, 12: 3}
+
+    def test_empty_rankings_rejected(self, spark):
+        import pytest
+
+        from solr_map_reduce_spark.extensions.hybrid import rrf_fuse
+
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])

@@ -479,3 +479,65 @@ def test_parse_query_total_on_wildcard_soup(q):
         assert isinstance(ast, tuple) and ast
     except QuerySyntaxError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Local-params parser (round-8): render -> parse round-trip over arbitrary
+# key/value soup, and totality (parse never hangs or mis-splits) on the
+# quoted-value grammar.
+# ---------------------------------------------------------------------------
+
+from solr_map_reduce_spark.extensions.search import (  # noqa: E402
+    QuerySyntaxError,
+    parse_local_params,
+)
+
+_key_st = st.text(
+    alphabet=st.sampled_from("abcdefghij._"), min_size=1, max_size=8
+).filter(lambda s: s.strip("._") != "" and not s.startswith("."))
+_bare_val_st = st.text(
+    alphabet=st.sampled_from("abc0129:,*-[]"), min_size=1, max_size=10
+)
+_quote_val_st = st.text(
+    alphabet=st.sampled_from("abc 0129:,*-[]{}!"), max_size=12
+)
+
+
+@given(
+    qtype=st.sampled_from(["join", "parent", "child", "terms", "custom"]),
+    params=st.dictionaries(_key_st, st.tuples(st.booleans(), _bare_val_st | _quote_val_st),
+                           max_size=4),
+    rest=st.text(alphabet=st.sampled_from("abc :[]()*"), max_size=15),
+)
+@settings(max_examples=200, deadline=None)
+def test_local_params_render_parse_roundtrip(qtype, params, rest):
+    parts = []
+    rendered = {}
+    for k, (force_quote, v) in params.items():
+        needs_quote = force_quote or any(c in v for c in " }'\"") or v == ""
+        if needs_quote and ("'" in v):
+            v = v.replace("'", "")  # the grammar has no escapes (Solr parity)
+        parts.append(f"{k}='{v}'" if needs_quote else f"{k}={v}")
+        rendered[k] = v
+    q = "{!" + qtype + (" " + " ".join(parts) if parts else "") + "}" + rest
+    got = parse_local_params(q)
+    assert got is not None
+    g_type, g_params, g_rest = got
+    assert g_type == qtype
+    assert g_params == rendered
+    assert g_rest == rest.strip()
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_local_params_total_on_arbitrary_text(q):
+    """Never hangs; non-{! inputs pass through as None; {!-prefixed inputs
+    either parse or raise QuerySyntaxError — nothing else."""
+    if not q.lstrip().startswith("{!"):
+        assert parse_local_params(q) is None
+    else:
+        try:
+            out = parse_local_params(q)
+        except QuerySyntaxError:
+            return
+        assert out is not None and isinstance(out[1], dict)

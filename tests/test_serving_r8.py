@@ -730,3 +730,18 @@ class TestQueryFacets:
         )
         with pytest.raises(ValueError, match="at least one"):
             idx.query_facets({})
+
+
+class TestEmptyScopeFacets:
+    """Review regression: SQL sum over zero rows is NULL — an empty
+    query scope must facet as honest zeros, not nulls."""
+
+    def test_interval_and_query_facets_zero_not_null(self, idx):
+        iv = {r["interval"]: r["cnt"]
+              for r in idx.interval_facet("num", ["[0,10)"],
+                                          q="grp:zzznothing").collect()}
+        assert iv == {"[0,10)": 0}
+        qf = {r["facet_query"]: r["cnt"]
+              for r in idx.query_facets({"a": "grp:a"},
+                                        q="grp:zzznothing").collect()}
+        assert qf == {"a": 0}

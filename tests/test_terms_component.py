@@ -68,3 +68,11 @@ class TestTermsComponent:
     def test_bad_sort_rejected(self, idx):
         with pytest.raises(ValueError, match="terms.sort"):
             idx.terms(sort="df")
+
+
+def test_regex_is_full_match(idx):
+    # Lucene Pattern.matches(): 'oo' must NOT match 'moon' as a substring
+    got = _rows(idx.terms(regex="oo", limit=10))
+    assert got == []
+    got = _rows(idx.terms(regex=".*oo.*", sort="index", limit=10))
+    assert [t for t, _ in got] == ["moon"]
