@@ -544,6 +544,135 @@ def parse_local_params(q: str):
     return qtype, params, rest.strip()
 
 
+_FQ_TOKEN_RE = _re.compile(
+    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+    r"|(?P<name>[A-Za-z_][\w.]*)"
+    r"|(?P<punc>[(),]))"
+)
+
+
+def parse_function_query(s: str) -> F.Column:
+    """Solr function-query syntax → ONE Column expression: numeric
+    literals, bare field references, and the arithmetic core —
+    ``sum/sub/product/div/min/max/abs/sqrt/pow/log/ln/linear/recip``
+    (``log`` is base-10, Lucene's; ``recip(x,m,a,b) = a/(m*x+b)``,
+    the canonical recency boost; ``linear(x,m,c) = m*x+c``).  Field
+    refs cast to double so integer fields divide like Solr doubles.
+
+    Stays an expression tree (JVM whole-stage codegen) — a function
+    query never becomes a UDF."""
+    pos = 0
+    n = len(s)
+
+    def err(msg):
+        return QuerySyntaxError(f"function query {s!r}: {msg}")
+
+    def next_tok():
+        nonlocal pos
+        if pos >= n or not s[pos:].strip():
+            return None
+        m = _FQ_TOKEN_RE.match(s, pos)
+        if not m:
+            raise err(f"unexpected character at {pos}: {s[pos]!r}")
+        pos = m.end()
+        return m
+
+    def peek():
+        save = pos
+        m = next_tok()
+        restore(save)
+        return m
+
+    def restore(p):
+        nonlocal pos
+        pos = p
+
+    def parse_expr() -> F.Column:
+        m = next_tok()
+        if m is None:
+            raise err("unexpected end of input")
+        if m.group("num") is not None:
+            return F.lit(float(m.group("num")))
+        if m.group("name") is not None:
+            name = m.group("name")
+            nxt = peek()
+            if nxt is not None and nxt.group("punc") == "(":
+                next_tok()  # consume (
+                args = []
+                if (p := peek()) is not None and p.group("punc") == ")":
+                    next_tok()
+                else:
+                    while True:
+                        args.append(parse_expr())
+                        m2 = next_tok()
+                        if m2 is None:
+                            raise err("missing ')'")
+                        if m2.group("punc") == ")":
+                            break
+                        if m2.group("punc") != ",":
+                            raise err("expected ',' or ')'")
+                return apply_fn(name.lower(), args)
+            return F.col(name).cast("double")
+        raise err(f"unexpected token {m.group(0)!r}")
+
+    def need(fn, args, k):
+        if len(args) != k:
+            raise err(f"{fn}() takes {k} args, got {len(args)}")
+
+    def apply_fn(fn, args):
+        if fn == "sum":
+            if not args:
+                raise err("sum() needs args")
+            out = args[0]
+            for a in args[1:]:
+                out = out + a
+            return out
+        if fn in ("product", "mul"):
+            if not args:
+                raise err("product() needs args")
+            out = args[0]
+            for a in args[1:]:
+                out = out * a
+            return out
+        if fn == "sub":
+            need(fn, args, 2)
+            return args[0] - args[1]
+        if fn == "div":
+            need(fn, args, 2)
+            return args[0] / args[1]
+        if fn == "min":
+            return F.least(*args)
+        if fn == "max":
+            return F.greatest(*args)
+        if fn == "abs":
+            need(fn, args, 1)
+            return F.abs(args[0])
+        if fn == "sqrt":
+            need(fn, args, 1)
+            return F.sqrt(args[0])
+        if fn == "pow":
+            need(fn, args, 2)
+            return F.pow(args[0], args[1])
+        if fn == "log":  # Lucene: base 10
+            need(fn, args, 1)
+            return F.log10(args[0])
+        if fn == "ln":
+            need(fn, args, 1)
+            return F.log(args[0])
+        if fn == "linear":  # linear(x, m, c) = m*x + c
+            need(fn, args, 3)
+            return args[1] * args[0] + args[2]
+        if fn == "recip":  # recip(x, m, a, b) = a / (m*x + b)
+            need(fn, args, 4)
+            return args[2] / (args[1] * args[0] + args[3])
+        raise err(f"unknown function {fn!r}")
+
+    out = parse_expr()
+    if s[pos:].strip():
+        raise err(f"trailing input {s[pos:].strip()!r}")
+    return out
+
+
 def parse_query(q: str):
     """Parse a boolean query string into an AST of tuples:
     ``("term", text)``, ``("phrase", text)``, ``("and", [..])``,

@@ -1127,6 +1127,26 @@ class SearchIndex:
             if not f:
                 raise search.QuerySyntaxError("{!field} needs the f= param")
             return self.df().filter(F.col(f) == inner)
+        if qtype == "frange":
+            # FunctionRangeQParser {!frange l=.. u=.. incl=.. incu=..}func:
+            # docs whose function-query VALUE falls in [l, u] — one
+            # expression-tree predicate on one scan (no UDF)
+            fcol = search.parse_function_query(inner)
+            lo, hi = params.get("l"), params.get("u")
+            if lo is None and hi is None:
+                raise search.QuerySyntaxError(
+                    "{!frange} needs l= and/or u= bounds"
+                )
+            incl = params.get("incl", "true").lower() != "false"
+            incu = params.get("incu", "true").lower() != "false"
+            pred = F.lit(True)
+            if lo is not None:
+                b = float(lo)
+                pred = pred & (fcol >= b if incl else fcol > b)
+            if hi is not None:
+                b = float(hi)
+                pred = pred & (fcol <= b if incu else fcol < b)
+            return self.df().filter(pred)
         if qtype == "join":
             try:
                 f_from, f_to = params["from"], params["to"]
@@ -1182,7 +1202,7 @@ class SearchIndex:
             )
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
-            "supported: join, parent, child, terms, prefix, field"
+            "supported: join, parent, child, terms, prefix, field, frange"
         )
 
     def query(
@@ -1287,6 +1307,12 @@ class SearchIndex:
         from solr_map_reduce_spark.extensions import search
         from solr_map_reduce_spark.search_stats import term_dfs
 
+        if isinstance(kw.get("boost_col"), str):
+            # Solr function-query SYNTAX for boost= (edismax boost=recip(...)):
+            # parsed driver-side to the same Column expression a caller
+            # could pass directly
+            kw = dict(kw)
+            kw["boost_col"] = search.parse_function_query(kw["boost_col"])
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
         stats = self._load_stats()

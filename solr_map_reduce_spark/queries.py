@@ -1727,6 +1727,22 @@ def c9_join_query(spark, sf_dir):
 
 
 @_register(
+    "c9_frange",
+    """SELECT doc_id FROM documents
+       WHERE CAST(n_chars AS DOUBLE) / 300.0 >= 0.5
+         AND CAST(n_chars AS DOUBLE) / 300.0 < 2.0""",
+    "Solr FunctionRangeQParser {!frange l=0.5 u=2 incu=false}"
+    "div(n_chars,300): docs whose function-query VALUE lands in the "
+    "range — the function grammar compiled to one expression-tree "
+    "predicate (whole-stage codegen, no UDF), one scan",
+)
+def c9_frange(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query(
+        "{!frange l=0.5 u=2 incu=false}div(n_chars,300)"
+    )
+
+
+@_register(
     "c9_terms_filter",
     "SELECT doc_id FROM documents WHERE lang IN ('de', 'fr')",
     "Solr TermsQParser {!terms f=lang}de,fr: raw un-analyzed set-"
@@ -2235,6 +2251,24 @@ def ext_bm25_filtered(spark, sf_dir):
 def c9_boosted_query(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).bm25(
         _BM25_TERMS, k=10, exact_sum=True, boosts={"vector": 2.5}
+    )
+
+
+@_register(
+    "c9_parsed_boost",
+    search.bm25_oracle_sql(
+        _BM25_TERMS, k=10, exact_sum=True,
+        boost_sql="2.0 / (0.001 * CAST(doc.n_chars AS DOUBLE) + 1.0)",
+    ),
+    "edismax boost= given in Solr FUNCTION SYNTAX — "
+    "boost='recip(n_chars,0.001,2,1)' parsed driver-side to the same "
+    "multiplicative Column expression (a/(m*x+b), the canonical "
+    "recency/length damping) — identical one-scan plan",
+)
+def c9_parsed_boost(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).bm25(
+        _BM25_TERMS, k=10, exact_sum=True,
+        boost_col="recip(n_chars,0.001,2,1)",
     )
 
 

@@ -79,20 +79,29 @@ def test_entry_smoke(spark):
     assert sum(r["docs"] for r in rows) == 500
 
 
-def test_worker_zip_rebuilds_when_stale(spark, tmp_path, monkeypatch):
-    """The addPyFile zip must track package sources: a zip older than any
-    source would ship stale code to foreign-session workers."""
+def test_worker_zip_is_content_addressed(spark, tmp_path, monkeypatch):
+    """The addPyFile zip must track package sources WITHOUT reusing a
+    name: a stale zip ships outdated code, and rebuilding under one fixed
+    name breaks a live SparkContext's file cache ('exists and does not
+    match contents') when sources change mid-session."""
     import os
 
     monkeypatch.setattr(entry_mod.tempfile, "gettempdir", lambda: str(tmp_path))
     entry_mod._SHIPPED_SESSIONS.clear()
     entry_mod._ensure_workers_can_import(spark)
-    zp = tmp_path / "smrs_pkg.zip"
-    assert zp.exists()
-    os.utime(zp, (1, 1))  # pretend the zip predates every source
+    zips = sorted(tmp_path.glob("smrs_pkg_*.zip"))
+    assert len(zips) == 1
+    # unchanged sources -> same name reused, nothing rebuilt
     entry_mod._SHIPPED_SESSIONS.clear()
     entry_mod._ensure_workers_can_import(spark)
-    assert zp.stat().st_mtime > 1
+    assert sorted(tmp_path.glob("smrs_pkg_*.zip")) == zips
+    # newer sources -> a NEW name appears (the old one, possibly cached by
+    # a live SparkContext, is never overwritten)
+    real = os.path.getmtime
+    monkeypatch.setattr("os.path.getmtime", lambda p: real(p) + 10_000)
+    entry_mod._SHIPPED_SESSIONS.clear()
+    entry_mod._ensure_workers_can_import(spark)
+    assert len(list(tmp_path.glob("smrs_pkg_*.zip"))) == 2
     entry_mod._SHIPPED_SESSIONS.clear()
 
 
