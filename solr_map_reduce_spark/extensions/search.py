@@ -123,7 +123,11 @@ def match_phrase(
     if slop and len(terms) > 1:
         return df.filter(_slop_match(toks, terms, slop)).select(id_col)
     needle = " " + " ".join(terms) + " "
-    hay = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    # _visible_toks: text_general_rev interleaves \x01-marked reversed
+    # copies between the real tokens, which would break adjacency.
+    hay = F.concat(
+        F.lit(" "), F.array_join(_visible_toks(toks), " "), F.lit(" ")
+    )
     return df.filter(hay.contains(needle)).select(id_col)
 
 
@@ -368,7 +372,10 @@ def bm25_dismax(
         compact = compact.localCheckpoint(eager=False)
         aggs = []
         for f in fields:
-            aggs.append(F.count(F.col(f"_dl_{f}")).cast("double").alias(f"_n_{f}"))
+            # count(*), not count(dl): the stored-stats path's n_docs
+            # counts ALL rows (search_stats counts the corpus), so the
+            # derived path must too or idf diverges when a field is NULL
+            aggs.append(F.count(F.lit(1)).cast("double").alias(f"_n_{f}"))
             aggs.append(F.avg(f"_dl_{f}").alias(f"_avgdl_{f}"))
         for (_f, _t), i in tok_idx.items():
             aggs.append(
@@ -526,10 +533,12 @@ def parse_local_params(q: str):
 
     Returns ``(qtype, params, rest)`` when ``q`` starts with a local-params
     block, else ``None`` (the plain query path).  Values may be single- or
-    double-quoted (quotes stripped) — Solr's LocalParams syntax.  A
-    malformed block (``{!``... without a closing ``}``) raises
-    :class:`QuerySyntaxError` rather than silently parsing ``{!join`` as
-    terms."""
+    double-quoted (quotes stripped) — Solr's LocalParams syntax.  ``rest``
+    is returned VERBATIM (no whitespace strip): {!field}/{!prefix}/{!terms}
+    match the raw body exactly, spaces included; query-typed consumers
+    ({!join} inner queries etc.) strip it themselves.  A malformed block
+    (``{!``... without a closing ``}``) raises :class:`QuerySyntaxError`
+    rather than silently parsing ``{!join`` as terms."""
     if not q.lstrip().startswith("{!"):
         return None
     m = _LOCAL_PARAMS_RE.match(q)
@@ -541,7 +550,7 @@ def parse_local_params(q: str):
         if v and v[0] in "'\"" and v[-1] == v[0]:
             v = v[1:-1]
         params[k] = v
-    return qtype, params, rest.strip()
+    return qtype, params, rest
 
 
 _FQ_TOKEN_RE = _re.compile(
@@ -556,8 +565,14 @@ def parse_function_query(s: str) -> F.Column:
     literals, bare field references, and the arithmetic core —
     ``sum/sub/product/div/min/max/abs/sqrt/pow/log/ln/linear/recip``
     (``log`` is base-10, Lucene's; ``recip(x,m,a,b) = a/(m*x+b)``,
-    the canonical recency boost; ``linear(x,m,c) = m*x+c``).  Field
-    refs cast to double so integer fields divide like Solr doubles.
+    the canonical recency boost; ``linear(x,m,c) = m*x+c``) — plus the
+    conditional family: ``if(test,a,b)`` (test true when nonzero,
+    Solr's BoolFunction coercion), ``exists(f)`` (1 when the field has
+    a value), ``def(f,d)`` (field value or default — Solr's def),
+    ``map(x,min,max,target[,def])`` (range remap; untouched values
+    pass through unless ``def`` overrides), ``mod(a,b)``, ``not(x)``.
+    Field refs cast to double so integer fields divide like Solr
+    doubles.
 
     Stays an expression tree (JVM whole-stage codegen) — a function
     query never becomes a UDF."""
@@ -641,8 +656,12 @@ def parse_function_query(s: str) -> F.Column:
             need(fn, args, 2)
             return args[0] / args[1]
         if fn == "min":
+            if len(args) < 2:  # F.least would raise an opaque PySpark error
+                raise err(f"min() takes >=2 args, got {len(args)}")
             return F.least(*args)
         if fn == "max":
+            if len(args) < 2:
+                raise err(f"max() takes >=2 args, got {len(args)}")
             return F.greatest(*args)
         if fn == "abs":
             need(fn, args, 1)
@@ -659,6 +678,30 @@ def parse_function_query(s: str) -> F.Column:
         if fn == "ln":
             need(fn, args, 1)
             return F.log(args[0])
+        if fn == "mod":  # Java % semantics (sign of dividend), Lucene's
+            need(fn, args, 2)
+            return args[0] % args[1]
+        if fn == "if":  # if(test,a,b): test is true when NONZERO (and
+            need(fn, args, 3)  # false when missing) — Solr's BoolFunction
+            t = args[0]
+            return F.when(t.isNotNull() & (t != 0), args[1]).otherwise(args[2])
+        if fn == "exists":
+            need(fn, args, 1)
+            return F.when(args[0].isNotNull(), 1.0).otherwise(0.0)
+        if fn == "def":  # def(field, default) = value-or-default
+            need(fn, args, 2)
+            return F.coalesce(args[0], args[1])
+        if fn == "not":  # not(x): 1 when x is 0/missing, else 0
+            need(fn, args, 1)
+            x = args[0]
+            return F.when(x.isNotNull() & (x != 0), 0.0).otherwise(1.0)
+        if fn == "map":  # map(x,min,max,target[,def]): remap the range
+            if len(args) not in (4, 5):
+                raise err(f"map() takes 4 or 5 args, got {len(args)}")
+            x, lo, hi, target = args[:4]
+            in_range = x.isNotNull() & (x >= lo) & (x <= hi)
+            fallback = args[4] if len(args) == 5 else x
+            return F.when(in_range, target).otherwise(fallback)
         if fn == "linear":  # linear(x, m, c) = m*x + c
             need(fn, args, 3)
             return args[1] * args[0] + args[2]

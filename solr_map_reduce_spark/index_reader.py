@@ -356,13 +356,16 @@ class SearchIndex:
         missing: bool = False, sort: str = "count",
         filters: "Mapping[str, object] | None" = None,
         exclude: "str | Sequence[str] | None" = None,
+        prefix: str | None = None,
     ) -> DataFrame:
         """Value counts of ``field`` — over the whole collection, or
         (``q`` given) over a boolean query's result set, Solr's
         q + facet.field request shape.  ``missing=True`` appends the
         NULL-valued bucket (Solr ``facet.missing``; excluded by default,
         Solr's contract); ``sort="index"`` orders lexicographically by
-        value instead of by count (Solr ``facet.sort=index``).
+        value instead of by count (Solr ``facet.sort=index``);
+        ``prefix`` counts only values starting with it (``facet.prefix``,
+        one extra scan predicate — the missing bucket is independent).
 
         ``filters`` are fq equality filters (field -> value, or a list of
         admitted values); ``exclude`` names filter KEYS to ignore while
@@ -373,15 +376,15 @@ class SearchIndex:
         if sort not in ("count", "index"):
             raise ValueError(f"facet sort must be count|index, got {sort!r}")
         scan = self._query_scan(q, query_field) if q is not None else self.df()
-        if filters:
-            skip = (
-                {exclude} if isinstance(exclude, str) else set(exclude or ())
+        # validate exclude even with no filters — a typo'd/orphaned
+        # exclude must raise regardless of whether filters are present
+        skip = {exclude} if isinstance(exclude, str) else set(exclude or ())
+        unknown = skip - set(filters or {})
+        if unknown:
+            raise ValueError(
+                f"exclude names unknown filter keys: {sorted(unknown)}"
             )
-            unknown = skip - set(filters)
-            if unknown:
-                raise ValueError(
-                    f"exclude names unknown filter keys: {sorted(unknown)}"
-                )
+        if filters:
             for fkey, fval in filters.items():
                 if fkey in skip:
                     continue
@@ -391,6 +394,15 @@ class SearchIndex:
                     if isinstance(fval, (list, tuple, set))
                     else col == fval
                 )
+        if prefix is not None:
+            # Solr facet.prefix: only terms starting with the prefix are
+            # counted (a raw value startswith — one extra scan predicate);
+            # the missing bucket, when asked for, is unaffected (Solr
+            # counts facet.missing independently of facet.prefix)
+            keep = F.col(field).startswith(prefix)
+            scan = scan.filter(
+                keep | F.col(field).isNull() if missing else keep
+            )
         if not missing:
             scan = scan.filter(F.col(field).isNotNull())
         order = (
@@ -828,10 +840,12 @@ class SearchIndex:
     @staticmethod
     def _real_toks(tokens_col: str) -> F.Column:
         """The REAL tokens of a stored array: text_general_rev interleaves
-        U+0001-marked reversed copies (the leading-wildcard seek); term
-        dictionaries, term vectors, suggestions, and BM25 lengths must
-        ignore them.  No-op for ordinary fields."""
-        return F.filter(F.col(tokens_col), lambda t: ~t.startswith("\x01"))
+        reversed copies (the leading-wildcard seek); term dictionaries,
+        term vectors, suggestions, and BM25 lengths must ignore them.
+        Delegates to the ONE canonical filter (search._visible_toks)."""
+        from solr_map_reduce_spark.extensions.search import _visible_toks
+
+        return _visible_toks(F.col(tokens_col))
 
     def _tokens_col(self, field: str | None = None) -> str:
         analyzed: dict = self.manifest.get("analyzed", {})
@@ -1131,7 +1145,7 @@ class SearchIndex:
             # FunctionRangeQParser {!frange l=.. u=.. incl=.. incu=..}func:
             # docs whose function-query VALUE falls in [l, u] — one
             # expression-tree predicate on one scan (no UDF)
-            fcol = search.parse_function_query(inner)
+            fcol = search.parse_function_query(inner.strip())
             lo, hi = params.get("l"), params.get("u")
             if lo is None and hi is None:
                 raise search.QuerySyntaxError(
@@ -1154,6 +1168,7 @@ class SearchIndex:
                 raise search.QuerySyntaxError(
                     "{!join} needs from= and to= local params"
                 ) from None
+            inner = inner.strip()
             if not inner:
                 raise search.QuerySyntaxError("{!join} needs an inner query")
             keys = (
@@ -1164,6 +1179,7 @@ class SearchIndex:
             )
             return self.df().join(keys, on=f_to, how="left_semi")
         if qtype in ("parent", "child"):
+            inner = inner.strip()  # body is a query string, not a raw value
             root = params.get("root", self.ROOT_COL)
             anchor = "which" if qtype == "parent" else "of"
             pf = params.get(anchor)
@@ -1766,7 +1782,9 @@ class SearchIndex:
         rows = self.get(key).select(tokens_col).collect()
         if not rows or not rows[0][0]:
             raise KeyError(f"no document with {self.unique_key}={key!r} (or empty)")
-        toks = [t for t in rows[0][0] if not t.startswith("\x01")]
+        from solr_map_reduce_spark.extensions.search import REV_MARK
+
+        toks = [t for t in rows[0][0] if not t.startswith(REV_MARK)]
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
@@ -1929,10 +1947,94 @@ class MultiIndex:
         """Boolean query across the alias: each member compiles and
         Bloom-prunes INDEPENDENTLY (per-member dictionaries/bitmaps), so
         an artifact whose Blooms reject the query contributes a
-        zero-file scan."""
+        zero-file scan.  Relational local-params queries ({!join},
+        {!parent}, {!child}) match across the WHOLE alias (see
+        :meth:`_relational_scan`)."""
+        return self._alias_scan(q, field, synonyms).select(self.unique_key)
+
+    def _alias_scan(
+        self, q: str, field: str | None, synonyms,
+    ) -> DataFrame:
+        """Full-row result of ``q`` across the alias.  Non-relational
+        queries stay per-member (each member's Bloom pruning applies,
+        then union); relational local-params types route to
+        :meth:`_relational_scan` so cross-member keys are honored."""
+        from solr_map_reduce_spark.extensions import search
+
+        lp = search.parse_local_params(q)
+        if lp is not None and lp[0] in ("join", "parent", "child"):
+            return self._relational_scan(*lp, field=field, synonyms=synonyms)
         return self._union(
-            [m.query(q, field, synonyms) for m in self.members]
+            [m._query_scan(q, field, synonyms) for m in self.members]
         )
+
+    def _relational_scan(
+        self, qtype: str, params: "Mapping[str, str]", inner: str,
+        field: str | None, synonyms,
+    ) -> DataFrame:
+        """{!join}/{!parent}/{!child} over the ALIAS.  Compiling these
+        per member and unioning would silently drop cross-member matches
+        (a join key produced in one time slice must select docs in EVERY
+        slice) — so the inner query still compiles and Bloom-prunes per
+        member, but the key/root semi-join runs across the union: the
+        'results identical to the unpartitioned collection' contract."""
+        from solr_map_reduce_spark.extensions import search
+
+        inner = inner.strip()
+        if qtype == "join":
+            try:
+                f_from, f_to = params["from"], params["to"]
+            except KeyError:
+                raise search.QuerySyntaxError(
+                    "{!join} needs from= and to= local params"
+                ) from None
+            if not inner:
+                raise search.QuerySyntaxError("{!join} needs an inner query")
+            keys = (
+                self._alias_scan(inner, field, synonyms)
+                .filter(F.col(f_from).isNotNull())
+                .select(F.col(f_from).alias(f_to))
+                .distinct()
+            )
+            return self.df().join(keys, on=f_to, how="left_semi")
+        root = params.get("root", SearchIndex.ROOT_COL)
+        anchor = "which" if qtype == "parent" else "of"
+        pf = params.get(anchor)
+        if not pf:
+            raise search.QuerySyntaxError(
+                f"{{!{qtype}}} needs the {anchor}= parent-filter param"
+            )
+        # per-member compiled predicates (members may analyze differently)
+        parts = [
+            (m, m.df(), m._compile_predicate(pf, field, synonyms)[0])
+            for m in self.members
+        ]
+        if qtype == "parent":
+            matched = []
+            for m, base, ppred in parts:
+                mdf = base.filter(~ppred)
+                if inner:
+                    mdf = mdf.filter(
+                        m._compile_predicate(inner, field, synonyms)[0]
+                    )
+                matched.append(
+                    mdf.filter(F.col(root).isNotNull())
+                    .select(F.col(root).alias(self.unique_key))
+                )
+            roots = self._union(matched).distinct()
+            parents = self._union([b.filter(p) for _m, b, p in parts])
+            return parents.join(roots, on=self.unique_key, how="left_semi")
+        matched = []
+        for m, base, ppred in parts:
+            mdf = base.filter(ppred)
+            if inner:
+                mdf = mdf.filter(
+                    m._compile_predicate(inner, field, synonyms)[0]
+                )
+            matched.append(mdf.select(F.col(self.unique_key).alias(root)))
+        roots = self._union(matched).distinct()
+        children = self._union([b.filter(~p) for _m, b, p in parts])
+        return children.join(roots, on=root, how="left_semi")
 
     def search(
         self,
@@ -1952,11 +2054,11 @@ class MultiIndex:
         top-k)."""
         if start and not sort:
             raise ValueError("start= needs sort= (deterministic paging)")
-        scans = [
-            m._query_scan(q, field, synonyms) if q is not None else m.df()
-            for m in self.members
-        ]
-        out = self._union(scans)
+        out = (
+            self._alias_scan(q, field, synonyms)
+            if q is not None
+            else self.df()
+        )
         for col, val in (filters or {}).items():
             out = out.filter(F.col(col) == val)
         if where is not None:

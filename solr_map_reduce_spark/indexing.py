@@ -672,9 +672,12 @@ class IndexJob:
                         F.concat(base, F.array_except(uv, base)),
                     ).otherwise(sv)
                 else:  # remove
+                    # array_except would ALSO dedupe the survivors
+                    # (Solr's remove keeps existing dups that aren't in
+                    # the removal list) — filter preserves multiplicity
                     new = F.when(
                         uv.isNotNull() & sv.isNotNull(),
-                        F.array_except(sv, uv),
+                        F.filter(sv, lambda x: ~F.array_contains(uv, x)),
                     ).otherwise(sv)
                 out_cols.append(
                     F.when(F.col("_matched"), new).otherwise(sv).alias(c)

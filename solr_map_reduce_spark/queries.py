@@ -1596,86 +1596,79 @@ _TOKS_SQL = (
 # wrong cost model at scale.  The artifact stores `text__tokens`
 # (text_general analysis == the oracle's regex split, so DuckDB parity is
 # bit-identical) and every c9_*/bm25 query below reads it.
-_DOCS_INDEX_CACHE: dict[str, str] = {}
-_DOCS_INDEX_HANDLE: dict[str, object] = {}
+_INDEX_CACHE: dict[tuple, str] = {}
+_INDEX_HANDLE: dict[tuple, object] = {}
 
 
-def _docs_search_index(spark, sf_dir):
+def _cached_index(spark, sf_dir, name, schema, df_fn, **config_kw):
+    """Build-once / open-once artifact per ``(name, sf_dir)``: the
+    cache-staleness (isdir) revalidation, tempdir build, and handle
+    reuse live HERE once — every query-registry artifact builder is a
+    thin wrapper.  Reusing one handle per sf matters: its
+    instance-level bloom/stats/df caches make repeated queries (the
+    serving pattern, and the bench's best-of-N) skip sidecar re-reads."""
     import os
     import tempfile
 
     from solr_map_reduce_spark.index_reader import SearchIndex
     from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
 
-    # reuse one handle per sf: its instance-level bloom/stats/df caches make
-    # repeated queries (the serving pattern, and the bench's best-of-N) skip
-    # the sidecar re-reads
-    handle = _DOCS_INDEX_HANDLE.get(sf_dir)
-    if handle is not None and os.path.isdir(_DOCS_INDEX_CACHE.get(sf_dir, "")):
+    key = (name, sf_dir)
+    handle = _INDEX_HANDLE.get(key)
+    if handle is not None and os.path.isdir(_INDEX_CACHE.get(key, "")):
         return handle
-    path = _DOCS_INDEX_CACHE.get(sf_dir)
+    path = _INDEX_CACHE.get(key)
     if path is None or not os.path.isdir(path):
-        schema = IndexSchema(
-            fields=(
-                Field("doc_id", "long", required=True),
-                Field("text", "text_general"),
-                Field("lang", "string"),
-                Field("source", "string"),
-                Field("n_chars", "long"),
-            ),
-            unique_key="doc_id",
+        job = IndexJob(IndexJobConfig(schema=schema, **config_kw))
+        path = os.path.join(
+            tempfile.mkdtemp(prefix=f"smrs_{name}_idx_"), "index"
         )
-        job = IndexJob(
-            IndexJobConfig(
-                schema=schema, shards=4, micro_shards=8, dedup="none",
-                routing="native", term_blooms=True, search_stats=True,
-                key_ranges=True,
-            )
-        )
-        path = os.path.join(tempfile.mkdtemp(prefix="smrs_docs_idx_"), "index")
-        job.build(
-            t(spark, sf_dir, "documents").select(
-                "doc_id", "text", "lang", "source", "n_chars"
-            ),
-            path,
-        )
-        _DOCS_INDEX_CACHE[sf_dir] = path
-    _DOCS_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
-    return _DOCS_INDEX_HANDLE[sf_dir]
+        job.build(df_fn(), path)
+        _INDEX_CACHE[key] = path
+    _INDEX_HANDLE[key] = SearchIndex.open(spark, path)
+    return _INDEX_HANDLE[key]
+
+
+def _docs_search_index(spark, sf_dir):
+    schema = IndexSchema(
+        fields=(
+            Field("doc_id", "long", required=True),
+            Field("text", "text_general"),
+            Field("lang", "string"),
+            Field("source", "string"),
+            Field("n_chars", "long"),
+        ),
+        unique_key="doc_id",
+    )
+    return _cached_index(
+        spark, sf_dir, "docs", schema,
+        lambda: t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ),
+        shards=4, micro_shards=8, dedup="none", routing="native",
+        term_blooms=True, search_stats=True, key_ranges=True,
+    )
 
 
 # Nested (parent/child) artifact: orders as parent docs, their lineitems as
 # child docs carrying the parent key in `_root_` — Solr's nested-document
 # block contract, over which {!parent}/{!child} block joins run.  Built once
 # per sf_dir and process, like the docs artifact above.
-_NESTED_INDEX_CACHE: dict[str, str] = {}
-_NESTED_INDEX_HANDLE: dict[str, object] = {}
-
-
 def _nested_orders_index(spark, sf_dir):
-    import os
-    import tempfile
+    schema = IndexSchema(
+        fields=(
+            Field("id", "string", required=True),
+            Field("_root_", "string"),
+            Field("kind", "string"),
+            Field("orderkey", "long"),
+            Field("priority", "string"),
+            Field("totalprice", "double"),
+            Field("quantity", "double"),
+        ),
+        unique_key="id",
+    )
 
-    from solr_map_reduce_spark.index_reader import SearchIndex
-    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
-
-    handle = _NESTED_INDEX_HANDLE.get(sf_dir)
-    if handle is not None and os.path.isdir(_NESTED_INDEX_CACHE.get(sf_dir, "")):
-        return handle
-    path = _NESTED_INDEX_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(path):
-        schema = IndexSchema(
-            fields=(
-                Field("id", "string", required=True),
-                Field("_root_", "string"),
-                Field("kind", "string"),
-                Field("orderkey", "long"),
-                Field("priority", "string"),
-                Field("totalprice", "double"),
-                Field("quantity", "double"),
-            ),
-            unique_key="id",
-        )
+    def blocks():
         o = t(spark, sf_dir, "orders").select(
             F.concat(F.lit("o"), F.col("o_orderkey")).alias("id"),
             F.concat(F.lit("o"), F.col("o_orderkey")).alias("_root_"),
@@ -1696,14 +1689,12 @@ def _nested_orders_index(spark, sf_dir):
             F.lit(None).cast("double").alias("totalprice"),
             F.col("l_quantity").cast("double").alias("quantity"),
         )
-        job = IndexJob(
-            IndexJobConfig(schema=schema, shards=4, micro_shards=8, dedup="none")
-        )
-        path = os.path.join(tempfile.mkdtemp(prefix="smrs_nested_idx_"), "index")
-        job.build(o.unionByName(li), path)
-        _NESTED_INDEX_CACHE[sf_dir] = path
-    _NESTED_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
-    return _NESTED_INDEX_HANDLE[sf_dir]
+        return o.unionByName(li)
+
+    return _cached_index(
+        spark, sf_dir, "nested", schema, blocks,
+        shards=4, micro_shards=8, dedup="none",
+    )
 
 
 @_register(
@@ -2049,6 +2040,38 @@ def c9_search_request(spark, sf_dir):
 )
 def c9_facet_query(spark, sf_dir):
     return _docs_search_index(spark, sf_dir).facet("lang", q="spark OR vector")
+
+
+@_register(
+    "c9_facet_prefix",
+    """SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents
+       WHERE source LIKE 'src1%' GROUP BY source ORDER BY source""",
+    "Solr facet.prefix: only terms starting with the prefix are counted "
+    "(src1 matches src1, src10..src19) — one extra scan predicate, "
+    "facet.sort=index ordering",
+)
+def c9_facet_prefix(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).facet(
+        "source", prefix="src1", sort="index"
+    )
+
+
+@_register(
+    "c9_frange_func",
+    """SELECT doc_id FROM documents
+       WHERE (CASE WHEN n_chars % 7 <> 0
+                   THEN (CASE WHEN coalesce(n_chars, 0) BETWEEN 50 AND 150
+                              THEN 1.0 ELSE 0.0 END)
+                   ELSE 0.0 END) = 1.0""",
+    "Solr {!frange} over the conditional function-query family — "
+    "if(test,a,b) with nonzero-truth, map(x,min,max,target,def) range "
+    "remap, mod() — the whole body ONE codegen expression predicate",
+)
+def c9_frange_func(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query(
+        "{!frange l=1 u=1}if(mod(n_chars,7), "
+        "map(def(n_chars,0),50,150,1,0), 0)"
+    )
 
 
 @_register(
@@ -3963,47 +3986,24 @@ def c9_facet_stats(spark, sf_dir):
     )
 
 
-_DISMAX_INDEX_CACHE: dict[str, str] = {}
-_DISMAX_INDEX_HANDLE: dict[str, object] = {}
-
-
 def _dismax_search_index(spark, sf_dir):
     """A TWO-analyzed-field artifact (text: text_general, lang:
     lowercase) for the multi-field dismax entry — each qf field carries
     its own stored BM25 statistics (Lucene's per-field docCount/norms)."""
-    import os
-    import tempfile
-
-    from solr_map_reduce_spark.index_reader import SearchIndex
-    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
-
-    handle = _DISMAX_INDEX_HANDLE.get(sf_dir)
-    if handle is not None and os.path.isdir(_DISMAX_INDEX_CACHE.get(sf_dir, "")):
-        return handle
-    path = _DISMAX_INDEX_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(path):
-        schema = IndexSchema(
-            fields=(
-                Field("doc_id", "long", required=True),
-                Field("text", "text_general"),
-                Field("lang", "lowercase"),
-            ),
-            unique_key="doc_id",
-        )
-        job = IndexJob(
-            IndexJobConfig(
-                schema=schema, shards=4, micro_shards=8, dedup="none",
-                routing="native", search_stats=True,
-            )
-        )
-        path = os.path.join(tempfile.mkdtemp(prefix="smrs_dismax_idx_"), "index")
-        job.build(
-            t(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
-            path,
-        )
-        _DISMAX_INDEX_CACHE[sf_dir] = path
-    _DISMAX_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
-    return _DISMAX_INDEX_HANDLE[sf_dir]
+    schema = IndexSchema(
+        fields=(
+            Field("doc_id", "long", required=True),
+            Field("text", "text_general"),
+            Field("lang", "lowercase"),
+        ),
+        unique_key="doc_id",
+    )
+    return _cached_index(
+        spark, sf_dir, "dismax", schema,
+        lambda: t(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
+        shards=4, micro_shards=8, dedup="none", routing="native",
+        search_stats=True,
+    )
 
 
 def _dismax_word_sql(word: str, k1: float = 1.2, b: float = 0.75) -> str:
@@ -4141,41 +4141,35 @@ def ext_bigram_surprisal(spark, sf_dir):
     )
 
 
-_ALIAS_INDEX_CACHE: dict[str, list] = {}
-
-
 def _alias_index(spark, sf_dir):
     """A two-member collection alias (documents split by doc_id parity
-    into two artifacts — the time-partitioned-collections pattern)."""
-    import os
-    import tempfile
-
+    into two artifacts — the time-partitioned-collections pattern):
+    each slice is its own cached artifact, the alias facade re-wraps
+    the cached handles."""
     from solr_map_reduce_spark.index_reader import MultiIndex
-    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
 
-    paths = _ALIAS_INDEX_CACHE.get(sf_dir)
-    if paths is None or not all(os.path.isdir(p) for p in paths):
-        schema = IndexSchema(
-            fields=(
-                Field("doc_id", "long", required=True),
-                Field("text", "text_general"),
-                Field("lang", "string"),
+    schema = IndexSchema(
+        fields=(
+            Field("doc_id", "long", required=True),
+            Field("text", "text_general"),
+            Field("lang", "string"),
+        ),
+        unique_key="doc_id",
+    )
+    members = [
+        _cached_index(
+            spark, sf_dir, f"alias{part}", schema,
+            lambda part=part: (
+                t(spark, sf_dir, "documents")
+                .select("doc_id", "text", "lang")
+                .filter(F.col("doc_id") % 2 == part)
             ),
-            unique_key="doc_id",
+            shards=2, dedup="none", routing="native", term_blooms=True,
+            key_ranges=True,
         )
-        docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-        base = tempfile.mkdtemp(prefix="smrs_alias_")
-        paths = []
-        for part in (0, 1):
-            out = os.path.join(base, f"slice{part}")
-            IndexJob(
-                IndexJobConfig(schema=schema, shards=2, dedup="none",
-                               routing="native", term_blooms=True,
-                               key_ranges=True)
-            ).build(docs.filter(F.col("doc_id") % 2 == part), out)
-            paths.append(out)
-        _ALIAS_INDEX_CACHE[sf_dir] = paths
-    return MultiIndex.open(spark, paths)
+        for part in (0, 1)
+    ]
+    return MultiIndex(members)
 
 
 @_register(

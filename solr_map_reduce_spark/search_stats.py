@@ -135,12 +135,14 @@ def write_search_stats(
 
 
 def _real_toks(tokens_col: str) -> F.Column:
-    """The REAL tokens: text_general_rev interleaves U+0001-marked
-    reversed copies for the leading-wildcard seek; BM25 statistics
-    (document lengths, term dfs) and the term dictionary must ignore
-    them or scores skew and suggest/spellcheck surface reversed garbage.
-    A no-op filter for ordinary fields."""
-    return F.filter(F.col(tokens_col), lambda t: ~t.startswith("\x01"))
+    """The REAL tokens: text_general_rev interleaves marked reversed
+    copies for the leading-wildcard seek; BM25 statistics (document
+    lengths, term dfs) and the term dictionary must ignore them or
+    scores skew and suggest/spellcheck surface reversed garbage.
+    Delegates to the ONE canonical filter (search._visible_toks)."""
+    from solr_map_reduce_spark.extensions.search import _visible_toks
+
+    return _visible_toks(F.col(tokens_col))
 
 
 def _field_aggregates(df, tokens_col: str) -> tuple[int, int, int]:

@@ -37,6 +37,35 @@ class TestFunctionQueryParser:
         # scientific-notation literals (the canonical recency ms constant)
         assert _eval(spark, "product(2e2, 0.5)") == 100.0
 
+    def test_conditional_family(self, spark):
+        # if: test is TRUE when nonzero (Solr BoolFunction coercion)
+        assert _eval(spark, "if(1, 10, 20)") == 10.0
+        assert _eval(spark, "if(0, 10, 20)") == 20.0
+        assert _eval(spark, "if(sub(3,3), 10, 20)") == 20.0
+        # missing test -> false branch
+        assert _eval(spark, "if(a, 10, 20)", a=None) == 20.0
+        # exists / def over NULL field values
+        assert _eval(spark, "exists(a)", a=5.0) == 1.0
+        assert _eval(spark, "exists(a)", a=None) == 0.0
+        assert _eval(spark, "def(a, 7)", a=None) == 7.0
+        assert _eval(spark, "def(a, 7)", a=3.0) == 3.0
+        # not: 1 when zero/missing
+        assert _eval(spark, "not(0)") == 1.0
+        assert _eval(spark, "not(2)") == 0.0
+        assert _eval(spark, "not(a)", a=None) == 1.0
+        # mod: Java truncated semantics (sign of dividend)
+        assert _eval(spark, "mod(10, 3)") == 1.0
+        assert _eval(spark, "mod(-10, 3)") == -1.0
+        # map(x, min, max, target[, def]): in-range remaps, out-of-range
+        # passes through (or takes def)
+        assert _eval(spark, "map(5, 0, 10, 1)") == 1.0
+        assert _eval(spark, "map(15, 0, 10, 1)") == 15.0
+        assert _eval(spark, "map(15, 0, 10, 1, 0)") == 0.0
+        assert _eval(spark, "map(a, 0, 10, 1, 0)", a=None) == 0.0
+        # composition — one expression tree end-to-end
+        assert _eval(spark, "if(exists(a), map(def(a,0),0,10,1), 0)",
+                     a=5.0) == 1.0
+
     def test_errors_are_loud(self, spark):
         from solr_map_reduce_spark.extensions.search import (
             QuerySyntaxError,
@@ -44,7 +73,9 @@ class TestFunctionQueryParser:
         )
 
         for bad in ("nope(1)", "sum(1", "recip(1,2)", "div(1,2) trailing",
-                    "sum(1,)", "", "+", "sum()"):
+                    "sum(1,)", "", "+", "sum()", "min(1)", "max()",
+                    "if(1,2)", "map(1,2,3)", "map(1,2,3,4,5,6)",
+                    "mod(1)", "not()", "def(1)", "exists()"):
             with pytest.raises(QuerySyntaxError):
                 parse_function_query(bad)
 

@@ -525,7 +525,10 @@ def test_local_params_render_parse_roundtrip(qtype, params, rest):
     g_type, g_params, g_rest = got
     assert g_type == qtype
     assert g_params == rendered
-    assert g_rest == rest.strip()
+    # the body comes back VERBATIM — {!field}/{!prefix}/{!terms} match
+    # raw values, whitespace included (query-typed consumers strip it
+    # themselves)
+    assert g_rest == rest
 
 
 @given(st.text(max_size=30))

@@ -164,6 +164,30 @@ class TestFacetOptions:
         with pytest.raises(ValueError, match="count|index"):
             idx.facet("g", sort="weird")
 
+    def test_facet_prefix(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True), Field("g", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "apple"), ("2", "apricot"), ("3", "banana"), ("4", None)],
+            "id string, g string",
+        )
+        out = str(tmp_path / "fp")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        # facet.prefix counts only values starting with the prefix
+        got = {r["g"]: r["cnt"] for r in idx.facet("g", prefix="ap").collect()}
+        assert got == {"apple": 1, "apricot": 1}
+        # the missing bucket is independent of facet.prefix (Solr)
+        withm = {r["g"]: r["cnt"]
+                 for r in idx.facet("g", prefix="ap", missing=True).collect()}
+        assert withm == {"apple": 1, "apricot": 1, None: 1}
+
 
 class TestPivotStats:
     def test_pivot_levels_and_totals(self, idx):
