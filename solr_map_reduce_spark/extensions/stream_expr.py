@@ -1,0 +1,502 @@
+"""Solr STREAMING EXPRESSIONS → DataFrame plans.
+
+Solr's /stream handler exposes a composable dataflow DSL —
+``rollup(search(coll, q=..., fl=..., sort=...), over=..., sum(x))`` —
+whose operators are exactly Spark's relational algebra.  This module
+parses the expression language (public Solr syntax: function calls with
+positional sub-streams, ``key=value`` params, quoted values, metric
+calls like ``count(*)``) and compiles each decorator to the DataFrame
+operation it already is:
+
+==================  =====================================================
+expression          Spark plan
+==================  =====================================================
+search              the collection's (Bloom-pruned) scan: SearchIndex
+                    ``_query_scan`` when the source is an index handle,
+                    a plain filterable DataFrame otherwise; ``fl``
+                    projects, ``fq`` adds filter predicates
+select              select / alias (``field as alias``)
+rollup / facet      groupBy + agg (sum/min/max/avg|mean/count(*)), i.e.
+                    Spark's partial-agg shuffle — NOT Solr's
+                    sorted-stream single pass, same results
+unique              first tuple per ``over`` key in the stream's sort
+                    order (row_number over the tracked sort == Solr's
+                    sorted-stream contract, made explicit)
+top                 orderBy + limit (TakeOrdered)
+sort                orderBy (re-sorts the stream, tracked for unique)
+having              filter over boolean ops eq/gt/lt/gteq/lteq/and/or/not
+innerJoin /         equi-join on ``on="l=r,..."``; leftOuterJoin is the
+leftOuterJoin       left variant — Solr requires both inputs sorted by
+                    the join key, Spark's optimizer picks the strategy
+hashJoin            the same join with the ``hashed`` side BROADCAST —
+                    Solr's "fits in memory" contract is literally
+                    Spark's broadcast hint
+merge               unionByName of the streams + the ``on`` sort order
+fetch               left-join enrichment: pull ``fl`` fields from a
+                    collection by key for each stream tuple
+==================  =====================================================
+
+Scale: the DSL introduces ZERO new execution machinery — every compiled
+plan is the same Catalyst plan the native API produces (broadcast joins,
+partial aggregation, pruned scans), so the 100 TB story is unchanged.
+
+This is beyond-reference surface (the reference repo has no query DSL;
+its pipeline grammar is morphlines — see ``plans/hocon.py``); the
+grammar and operator semantics follow Solr's public streaming-expression
+documentation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+
+# --------------------------------------------------------------- parser
+@dataclass
+class Call:
+    """One function-call node: ``name(pos..., key=value...)`` where a
+    positional arg is either a nested :class:`Call` or a raw string."""
+
+    name: str
+    args: list = field(default_factory=list)
+    kwargs: dict = field(default_factory=dict)
+
+
+def parse_stream_expr(s: str) -> Call:
+    """Parse one streaming expression into its :class:`Call` tree."""
+    pos = 0
+    n = len(s)
+
+    def err(msg: str) -> QuerySyntaxError:
+        return QuerySyntaxError(f"stream expression {s!r}: {msg} (at {pos})")
+
+    def skip_ws() -> None:
+        nonlocal pos
+        while pos < n and s[pos].isspace():
+            pos += 1
+
+    def read_raw() -> str:
+        """A raw argument up to a top-level ',' or ')': quote-aware so
+        ``on="a=b"`` and ``sort="a asc, b desc"`` stay one token."""
+        nonlocal pos
+        out = []
+        while pos < n and s[pos] not in ",)":
+            c = s[pos]
+            if c == '"':
+                pos += 1
+                start = pos
+                while pos < n and s[pos] != '"':
+                    pos += 1
+                if pos >= n:
+                    raise err("unterminated string")
+                out.append(s[start:pos])
+                pos += 1
+            elif c == "(":
+                raise err("unexpected '('")
+            else:
+                out.append(c)
+                pos += 1
+        return "".join(out).strip()
+
+    def parse_call() -> Call:
+        nonlocal pos
+        skip_ws()
+        start = pos
+        while pos < n and (s[pos].isalnum() or s[pos] in "_*"):
+            pos += 1
+        name = s[start:pos]
+        if not name:
+            raise err("expected a function name")
+        skip_ws()
+        if pos >= n or s[pos] != "(":
+            raise err(f"expected '(' after {name!r}")
+        pos += 1
+        node = Call(name)
+        skip_ws()
+        if pos < n and s[pos] == ")":
+            pos += 1
+            return node
+        def read_ident() -> str:
+            nonlocal pos
+            start = pos
+            while pos < n and (s[pos].isalnum() or s[pos] in "_*."):
+                pos += 1
+            return s[start:pos]
+
+        while True:
+            skip_ws()
+            save = pos
+            word = read_ident()
+            if word and pos < n and s[pos] == "(":
+                # nested call as a positional arg (sub-stream / metric)
+                pos = save
+                node.args.append(parse_call())
+            elif word and pos < n and s[pos] == "=":
+                # key=value; the value may itself be a call
+                # (hashJoin's hashed=search(...)) or a raw/quoted token
+                pos += 1
+                save2 = pos
+                w2 = read_ident()
+                if w2 and pos < n and s[pos] == "(":
+                    pos = save2
+                    node.kwargs[word] = parse_call()
+                else:
+                    pos = save2
+                    node.kwargs[word] = read_raw()
+            else:
+                pos = save
+                raw = read_raw()
+                if not raw:
+                    raise err("empty argument")
+                node.args.append(raw)
+            skip_ws()
+            if pos < n and s[pos] == ",":
+                pos += 1
+                continue
+            if pos < n and s[pos] == ")":
+                pos += 1
+                return node
+            raise err("expected ',' or ')'")
+
+    node = parse_call()
+    skip_ws()
+    if pos != n:
+        raise err(f"trailing input {s[pos:]!r}")
+    return node
+
+
+# ------------------------------------------------------------- compiler
+_METRICS = {"sum", "min", "max", "avg", "mean", "count"}
+_BOOL_CMP = {"eq": "==", "gt": ">", "lt": "<", "gteq": ">=", "lteq": "<="}
+
+
+def _sort_spec(raw: str) -> list[tuple[str, str]]:
+    """``"a asc, b desc"`` -> [(a, asc), (b, desc)] (asc default)."""
+    out = []
+    for part in raw.split(","):
+        bits = part.split()
+        if not bits:
+            continue
+        d = bits[1].lower() if len(bits) > 1 else "asc"
+        if d not in ("asc", "desc"):
+            raise QuerySyntaxError(f"bad sort direction {part!r}")
+        out.append((bits[0], d))
+    return out
+
+
+def _order_cols(spec: list[tuple[str, str]]) -> list:
+    return [F.desc(c) if d == "desc" else F.asc(c) for c, d in spec]
+
+
+def _metric_col(node: Call) -> tuple[F.Column, str]:
+    """A metric call -> (agg Column, Solr's emitted field name)."""
+    if node.name not in _METRICS:
+        raise QuerySyntaxError(f"unknown metric {node.name!r}")
+    if len(node.args) != 1 or node.kwargs:
+        raise QuerySyntaxError(f"{node.name}() takes one field arg")
+    arg = node.args[0]
+    name = f"{node.name}({arg})"
+    if node.name == "count":
+        if arg != "*":
+            raise QuerySyntaxError("count() supports count(*) only")
+        return F.count(F.lit(1)), name
+    fn = {"sum": F.sum, "min": F.min, "max": F.max,
+          "avg": F.avg, "mean": F.avg}[node.name]
+    if not isinstance(arg, str):
+        raise QuerySyntaxError(f"{node.name}() field must be a name")
+    return fn(arg), name
+
+
+def _bool_col(node) -> F.Column:
+    """having()'s boolean sub-language -> one Column predicate."""
+    if not isinstance(node, Call):
+        raise QuerySyntaxError(f"having: expected a boolean call, got {node!r}")
+    if node.name in _BOOL_CMP:
+        if len(node.args) != 2:
+            raise QuerySyntaxError(f"{node.name}() takes 2 args")
+        l, r = node.args
+        lc = _operand(l)
+        rc = _operand(r)
+        op = _BOOL_CMP[node.name]
+        return {
+            "==": lc == rc, ">": lc > rc, "<": lc < rc,
+            ">=": lc >= rc, "<=": lc <= rc,
+        }[op]
+    if node.name == "and":
+        out = _bool_col(node.args[0])
+        for a in node.args[1:]:
+            out = out & _bool_col(a)
+        return out
+    if node.name == "or":
+        out = _bool_col(node.args[0])
+        for a in node.args[1:]:
+            out = out | _bool_col(a)
+        return out
+    if node.name == "not":
+        if len(node.args) != 1:
+            raise QuerySyntaxError("not() takes 1 arg")
+        return ~_bool_col(node.args[0])
+    raise QuerySyntaxError(f"unknown boolean op {node.name!r}")
+
+
+def _operand(a) -> F.Column:
+    if isinstance(a, Call):  # a metric name used as a column: count(*)
+        _c, name = _metric_col(a)
+        return F.col(f"`{name}`")
+    try:
+        return F.lit(float(a))
+    except (TypeError, ValueError):
+        return F.col(f"`{a}`") if any(ch in a for ch in "()*") else F.col(a)
+
+
+class StreamCompiler:
+    """Compiles parsed streaming expressions against a set of named
+    sources.  ``sources`` maps collection name -> ``SearchIndex`` (gets
+    Bloom-pruned ``q=`` scans) or plain ``DataFrame`` (``q`` limited to
+    ``*:*``).  ``run()`` returns the stream as a DataFrame with the
+    stream's final sort applied."""
+
+    def __init__(self, sources: "Mapping[str, object]"):
+        self.sources = dict(sources)
+
+    # -- public -------------------------------------------------------
+    def run(self, expr: str) -> DataFrame:
+        df, sort = self._compile(parse_stream_expr(expr))
+        return df.orderBy(*_order_cols(sort)) if sort else df
+
+    # -- dispatch -----------------------------------------------------
+    def _compile(self, node: Call):
+        fn = getattr(self, f"_c_{node.name}", None)
+        if fn is None:
+            raise QuerySyntaxError(
+                f"unknown stream decorator {node.name!r}; supported: "
+                "search, select, rollup, facet, unique, top, sort, "
+                "having, innerJoin, leftOuterJoin, hashJoin, merge, fetch"
+            )
+        return fn(node)
+
+    def _stream_arg(self, node: Call, i: int = 0):
+        subs = [a for a in node.args if isinstance(a, Call)
+                and a.name not in _METRICS]
+        if len(subs) <= i:
+            raise QuerySyntaxError(f"{node.name}() needs a stream argument")
+        return self._compile(subs[i])
+
+    def _source(self, name: str):
+        if name not in self.sources:
+            raise QuerySyntaxError(
+                f"unknown collection {name!r}; have {sorted(self.sources)}"
+            )
+        return self.sources[name]
+
+    # -- leaves -------------------------------------------------------
+    def _c_search(self, node: Call):
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("search() needs a collection name first")
+        src = self._source(node.args[0])
+        q = node.kwargs.get("q", "*:*")
+        if isinstance(src, DataFrame):
+            if q != "*:*":
+                raise QuerySyntaxError(
+                    "search(q=...) over a plain table source supports only "
+                    "q=\"*:*\"; register a SearchIndex for query pushdown"
+                )
+            df = src
+        else:  # SearchIndex: the Bloom-pruned compiled scan
+            df = src._query_scan(q) if q != "*:*" else src.df()
+            for fq in [v for k, v in node.kwargs.items() if k == "fq"]:
+                pred, _info, _f = src._compile_predicate(fq)
+                df = df.filter(pred)
+        if "fl" in node.kwargs:
+            df = df.select(*[c.strip() for c in node.kwargs["fl"].split(",")])
+        sort = _sort_spec(node.kwargs["sort"]) if "sort" in node.kwargs else None
+        return df, sort
+
+    # -- decorators ---------------------------------------------------
+    def _c_select(self, node: Call):
+        df, sort = self._stream_arg(node)
+        cols = []
+        for a in node.args:
+            if isinstance(a, Call):
+                continue
+            if " as " in a:
+                src_c, alias = a.split(" as ", 1)
+                cols.append(F.col(src_c.strip()).alias(alias.strip()))
+            else:
+                cols.append(F.col(a.strip()))
+        if not cols:
+            raise QuerySyntaxError("select() needs field args")
+        return df.select(*cols), None
+
+    def _agg(self, node: Call, keys: list[str], df: DataFrame):
+        metrics = [a for a in node.args
+                   if isinstance(a, Call) and a.name in _METRICS]
+        if not metrics:
+            raise QuerySyntaxError(f"{node.name}() needs metric args")
+        aggs = []
+        for m in metrics:
+            col, name = _metric_col(m)
+            aggs.append(col.alias(name))
+        return df.groupBy(*keys).agg(*aggs)
+
+    def _c_rollup(self, node: Call):
+        df, _sort = self._stream_arg(node)
+        over = node.kwargs.get("over")
+        if not over:
+            raise QuerySyntaxError("rollup() needs over=")
+        keys = [c.strip() for c in over.split(",")]
+        # Solr's rollup is a single pass over the sorted stream; the
+        # groupBy is Spark's partial-agg shuffle — same tuples, no
+        # pre-sort requirement
+        return self._agg(node, keys, df), [(k, "asc") for k in keys]
+
+    def _c_facet(self, node: Call):
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("facet() needs a collection name first")
+        src = self._source(node.args[0])
+        q = node.kwargs.get("q", "*:*")
+        if isinstance(src, DataFrame):
+            df = src
+            if q != "*:*":
+                raise QuerySyntaxError("facet(q=...) needs a SearchIndex source")
+        else:
+            df = src._query_scan(q) if q != "*:*" else src.df()
+        buckets = node.kwargs.get("buckets")
+        if not buckets:
+            raise QuerySyntaxError("facet() needs buckets=")
+        keys = [c.strip() for c in buckets.split(",")]
+        out = self._agg(node, keys, df)
+        sort = None
+        if "bucketSorts" in node.kwargs:
+            sort = _sort_spec(node.kwargs["bucketSorts"])
+        lim = node.kwargs.get("bucketSizeLimit")
+        if lim is not None:
+            out = (out.orderBy(*_order_cols(sort)) if sort else out).limit(int(lim))
+        return out, sort
+
+    def _c_unique(self, node: Call):
+        df, sort = self._stream_arg(node)
+        over = node.kwargs.get("over")
+        if not over:
+            raise QuerySyntaxError("unique() needs over=")
+        keys = [c.strip() for c in over.split(",")]
+        # Solr: first tuple per key in the stream's sort order — which
+        # requires the stream be sorted; make that contract explicit
+        order = _order_cols(sort) if sort else [F.asc(k) for k in keys]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        ), sort
+
+    def _c_top(self, node: Call):
+        df, _sort = self._stream_arg(node)
+        if "sort" not in node.kwargs or "n" not in node.kwargs:
+            raise QuerySyntaxError("top() needs n= and sort=")
+        sort = _sort_spec(node.kwargs["sort"])
+        return df.orderBy(*_order_cols(sort)).limit(int(node.kwargs["n"])), sort
+
+    def _c_sort(self, node: Call):
+        df, _old = self._stream_arg(node)
+        if "by" not in node.kwargs:
+            raise QuerySyntaxError("sort() needs by=")
+        return df, _sort_spec(node.kwargs["by"])
+
+    def _c_having(self, node: Call):
+        df, sort = self._stream_arg(node)
+        bools = [a for a in node.args
+                 if isinstance(a, Call) and a.name not in _METRICS
+                 and a.name in (*_BOOL_CMP, "and", "or", "not")]
+        if len(bools) != 1:
+            raise QuerySyntaxError("having() needs exactly one boolean arg")
+        return df.filter(_bool_col(bools[0])), sort
+
+    def _join_pairs(self, node: Call) -> list[tuple[str, str]]:
+        on = node.kwargs.get("on")
+        if not on:
+            raise QuerySyntaxError(f"{node.name}() needs on=")
+        pairs = []
+        for part in on.split(","):
+            if "=" in part:
+                l, r = part.split("=", 1)
+                pairs.append((l.strip(), r.strip()))
+            else:
+                pairs.append((part.strip(), part.strip()))
+        return pairs
+
+    def _equi_join(self, node: Call, how: str, broadcast_right: bool):
+        left, lsort = self._stream_arg(node, 0)
+        if node.name == "hashJoin":
+            hashed = node.kwargs.get("hashed")
+            if hashed is None:
+                raise QuerySyntaxError("hashJoin() needs hashed=<stream>")
+            right, _rs = self._compile(parse_stream_expr(hashed)) \
+                if isinstance(hashed, str) else self._compile(hashed)
+        else:
+            right, _rs = self._stream_arg(node, 1)
+        pairs = self._join_pairs(node)
+        if broadcast_right:
+            right = F.broadcast(right)
+        cond = None
+        for l, r in pairs:
+            c = left[l] == right[r]
+            cond = c if cond is None else cond & c
+        joined = left.join(right, cond, how)
+        # merged tuple: left's fields win on a name clash (one output
+        # column per name; right join keys drop — they equal left's)
+        rkeys = {r for _l, r in pairs}
+        keep = [left[c] for c in left.columns]
+        keep += [right[c] for c in right.columns
+                 if c not in set(left.columns) and c not in rkeys]
+        return joined.select(*keep), lsort
+
+    def _c_innerJoin(self, node: Call):  # noqa: N802 (Solr camelCase)
+        return self._equi_join(node, "inner", broadcast_right=False)
+
+    def _c_leftOuterJoin(self, node: Call):  # noqa: N802
+        return self._equi_join(node, "left", broadcast_right=False)
+
+    def _c_hashJoin(self, node: Call):  # noqa: N802
+        # the hashed side is Solr's fits-in-memory side == broadcast
+        return self._equi_join(node, "inner", broadcast_right=True)
+
+    def _c_merge(self, node: Call):
+        subs = [a for a in node.args if isinstance(a, Call)]
+        if len(subs) < 2:
+            raise QuerySyntaxError("merge() needs >=2 streams")
+        frames = [self._compile(sb)[0] for sb in subs]
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_, allowMissingColumns=True)
+        if "on" not in node.kwargs:
+            raise QuerySyntaxError("merge() needs on= (the merge sort order)")
+        return out, _sort_spec(node.kwargs["on"])
+
+    def _c_fetch(self, node: Call):
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("fetch() needs a collection name first")
+        src = self._source(node.args[0])
+        base = src if isinstance(src, DataFrame) else src.df()
+        stream, sort = self._stream_arg(node)
+        pairs = self._join_pairs(node)
+        fl = node.kwargs.get("fl")
+        if not fl:
+            raise QuerySyntaxError("fetch() needs fl= (fields to fetch)")
+        fetch_cols = [c.strip() for c in fl.split(",")]
+        rkeys = [r for _l, r in pairs]
+        proj = base.select(*rkeys, *fetch_cols)
+        cond = None
+        for l, r in pairs:
+            c = stream[l] == proj[r]
+            cond = c if cond is None else cond & c
+        joined = stream.join(F.broadcast(proj), cond, "left")
+        keep = [stream[c] for c in stream.columns]
+        keep += [proj[c] for c in fetch_cols if c not in set(stream.columns)]
+        return joined.select(*keep), sort

@@ -4327,5 +4327,78 @@ def c6_atomic_inc(spark, sf_dir):
     )
 
 
+# -- Solr streaming expressions (the /stream DSL) ----------------------
+# The expression string compiles to the SAME Catalyst plan the native
+# API produces (extensions/stream_expr.py): hashJoin's hashed side is a
+# broadcast, rollup is a partial-agg shuffle, search() over the docs
+# artifact is the Bloom-pruned compiled scan.
+
+
+def _stream_compiler(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    return StreamCompiler({
+        "documents": _docs_search_index(spark, sf_dir),
+        "orders": t(spark, sf_dir, "orders"),
+        "customer": t(spark, sf_dir, "customer"),
+    })
+
+
+@_register(
+    "ext_stream_rollup",
+    """SELECT lang,
+              count(*) AS "count(*)",
+              CAST(sum(n_chars) AS BIGINT) AS "sum(n_chars)",
+              avg(n_chars) AS "avg(n_chars)"
+       FROM documents GROUP BY lang""",
+    "Solr streaming expression rollup(search(...), over=lang, count(*), "
+    "sum, avg): the DSL string compiles to one groupBy/agg over the "
+    "artifact scan — Solr's sorted-stream single pass becomes Spark's "
+    "partial-agg shuffle, same tuples",
+)
+def ext_stream_rollup(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'rollup(search(documents, q="*:*", fl="lang,n_chars", '
+        'sort="lang asc"), over=lang, count(*), sum(n_chars), '
+        "avg(n_chars))"
+    )
+
+
+@_register(
+    "ext_stream_hashjoin",
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 10""",
+    "Solr streaming expression top(hashJoin(search(orders), "
+    "hashed=search(customer), on=...)): the hashed side — Solr's "
+    "fits-in-memory side — is literally Spark's broadcast hint; top is "
+    "TakeOrdered",
+)
+def ext_stream_hashjoin(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'top(hashJoin(search(orders, fl="o_orderkey,o_custkey,'
+        'o_totalprice"), hashed=search(customer, fl="c_custkey,c_name"), '
+        'on="o_custkey=c_custkey"), n=10, '
+        'sort="o_totalprice desc, o_orderkey asc")'
+    )
+
+
+@_register(
+    "ext_stream_having",
+    f"""SELECT lang, count(*) AS "count(*)", avg(n_chars) AS "avg(n_chars)"
+        FROM (SELECT doc_id, lang, n_chars, {_TOKS_SQL} AS tk FROM documents)
+        WHERE list_contains(tk, 'spark')
+        GROUP BY lang HAVING count(*) > 5""",
+    "Solr streaming expression having(facet(documents, q=spark, "
+    "buckets=lang, ...), gt(count(*), 5)): the q= rides the artifact's "
+    "Bloom-pruned compiled scan; having is a filter over the agg",
+)
+def ext_stream_having(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'having(facet(documents, q="spark", buckets="lang", count(*), '
+        "avg(n_chars)), gt(count(*), 5))"
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

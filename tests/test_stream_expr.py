@@ -1,0 +1,185 @@
+"""Solr streaming expressions (extensions/stream_expr.py): parser shapes
+and the compiled DataFrame semantics of each decorator."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+from solr_map_reduce_spark.extensions.stream_expr import (
+    Call,
+    StreamCompiler,
+    parse_stream_expr,
+)
+
+
+class TestParser:
+    def test_nested_calls_and_kwargs(self):
+        node = parse_stream_expr(
+            'rollup(search(c1, q="a:b AND c", fl="x,y", sort="x asc"), '
+            "over=x, count(*), sum(y))"
+        )
+        assert node.name == "rollup"
+        assert node.kwargs == {"over": "x"}
+        search, cnt, sm = node.args
+        assert (search.name, cnt.name, sm.name) == ("search", "count", "sum")
+        assert search.args == ["c1"]
+        assert search.kwargs == {"q": "a:b AND c", "fl": "x,y", "sort": "x asc"}
+        assert cnt.args == ["*"] and sm.args == ["y"]
+
+    def test_quoted_values_keep_commas_and_equals(self):
+        node = parse_stream_expr(
+            'innerJoin(search(a), search(b), on="k1=k2, k3")'
+        )
+        assert node.kwargs["on"] == "k1=k2, k3"
+
+    def test_kwarg_value_may_be_a_call(self):
+        node = parse_stream_expr(
+            "hashJoin(search(a), hashed=search(b), on=k)"
+        )
+        assert isinstance(node.kwargs["hashed"], Call)
+        assert node.kwargs["hashed"].name == "search"
+
+    def test_positional_alias_token(self):
+        node = parse_stream_expr("select(search(a), id, x as y)")
+        assert node.args[1:] == ["id", "x as y"]
+
+    def test_errors_are_loud(self):
+        for bad in ("", "rollup(", "rollup)", "search(a) trailing",
+                    "search(a,)", "(x)"):
+            with pytest.raises(QuerySyntaxError):
+                parse_stream_expr(bad)
+
+
+@pytest.fixture(scope="module")
+def comp(spark):
+    people = spark.createDataFrame(
+        [(1, "ada", "eng"), (2, "bob", "eng"), (3, "cy", "ops"), (4, "dee", None)],
+        "pid long, name string, dept string",
+    )
+    salaries = spark.createDataFrame(
+        [(1, 100.0), (2, 120.0), (3, 90.0)],
+        "person long, pay double",
+    )
+    depts = spark.createDataFrame(
+        [("eng", "building-1"), ("ops", "building-2")],
+        "dept string, site string",
+    )
+    return StreamCompiler(
+        {"people": people, "salaries": salaries, "depts": depts}
+    )
+
+
+class TestCompile:
+    def test_search_fl_projection(self, comp):
+        df = comp.run('search(people, q="*:*", fl="pid,name", sort="pid asc")')
+        assert df.columns == ["pid", "name"]
+        assert [r["pid"] for r in df.collect()] == [1, 2, 3, 4]
+
+    def test_search_q_needs_index(self, comp):
+        with pytest.raises(QuerySyntaxError, match="SearchIndex"):
+            comp.run('search(people, q="name:ada")')
+
+    def test_select_alias(self, comp):
+        rows = comp.run("select(search(people), pid, name as who)").collect()
+        assert rows[0].asDict().keys() == {"pid", "who"}
+
+    def test_rollup(self, comp):
+        got = {r["dept"]: (r["count(*)"], r["sum(pid)"])
+               for r in comp.run(
+                   "rollup(search(people), over=dept, count(*), sum(pid))"
+               ).collect()}
+        assert got == {"eng": (2, 3), "ops": (1, 3), None: (1, 4)}
+
+    def test_unique_takes_first_in_sort_order(self, comp):
+        rows = comp.run(
+            'unique(search(people, sort="pid desc"), over=dept)'
+        ).collect()
+        got = {r["dept"]: r["pid"] for r in rows}
+        # pid desc -> the FIRST tuple per dept is the highest pid
+        assert got == {"eng": 2, "ops": 3, None: 4}
+
+    def test_top(self, comp):
+        rows = comp.run(
+            'top(search(people), n=2, sort="pid desc")'
+        ).collect()
+        assert [r["pid"] for r in rows] == [4, 3]
+
+    def test_having_and_or(self, comp):
+        rows = comp.run(
+            "having(rollup(search(people), over=dept, count(*)), "
+            "and(gt(count(*), 1), lt(count(*), 3)))"
+        ).collect()
+        assert [r["dept"] for r in rows] == ["eng"]
+
+    def test_inner_and_left_join(self, comp):
+        inner = comp.run(
+            'innerJoin(search(people), search(salaries), on="pid=person")'
+        )
+        assert sorted(r["pid"] for r in inner.collect()) == [1, 2, 3]
+        assert "person" not in inner.columns  # right key drops
+        left = comp.run(
+            'leftOuterJoin(search(people), search(salaries), on="pid=person")'
+        )
+        got = {r["pid"]: r["pay"] for r in left.collect()}
+        assert got[4] is None and got[1] == 100.0
+
+    def test_hashjoin_broadcasts(self, comp):
+        df = comp.run(
+            'hashJoin(search(people), hashed=search(salaries), on="pid=person")'
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+        assert sorted(r["pid"] for r in df.collect()) == [1, 2, 3]
+
+    def test_merge_union_and_sort(self, comp):
+        rows = comp.run(
+            'merge(search(people, fl="pid"), search(salaries, fl="person"), '
+            'on="pid asc")'
+        ).collect()
+        # unionByName with missing columns null-filled, sorted by pid
+        assert len(rows) == 7
+
+    def test_fetch_enrichment(self, comp):
+        rows = comp.run(
+            'fetch(depts, search(people, fl="pid,dept"), fl="site", '
+            'on="dept=dept")'
+        ).collect()
+        got = {r["pid"]: r["site"] for r in rows}
+        assert got[1] == "building-1" and got[4] is None
+
+    def test_unknown_decorator_and_collection(self, comp):
+        with pytest.raises(QuerySyntaxError, match="unknown stream decorator"):
+            comp.run("nope(search(people))")
+        with pytest.raises(QuerySyntaxError, match="unknown collection"):
+            comp.run("search(ghosts)")
+
+
+class TestSearchIndexSource:
+    def test_q_rides_the_compiled_scan(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("grp", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "spark shuffle", "a"), ("2", "spark scan", "b"),
+             ("3", "other", "a")],
+            "id string, text string, grp string",
+        )
+        out = str(tmp_path / "sidx")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        comp = StreamCompiler({"docs": SearchIndex.open(spark, out)})
+        rows = comp.run(
+            'rollup(search(docs, q="spark"), over=grp, count(*))'
+        ).collect()
+        assert {r["grp"]: r["count(*)"] for r in rows} == {"a": 1, "b": 1}
+        # fq composes as an extra predicate on the same scan
+        rows = comp.run(
+            'search(docs, q="spark", fq="grp:a", fl="id")'
+        ).collect()
+        assert [r["id"] for r in rows] == ["1"]
