@@ -207,6 +207,22 @@ def build_parser() -> argparse.ArgumentParser:
     ana.add_argument("--text", required=True, nargs="+",
                      help="text to analyze (joined with spaces)")
 
+    stm = sub.add_parser(
+        "stream",
+        help="run a Solr streaming expression (the /stream DSL) over "
+             "named collections — rollup/hashJoin/having/... compile to "
+             "DataFrame plans",
+    )
+    stm.add_argument("--expr", required=True,
+                     help="the streaming expression string")
+    stm.add_argument(
+        "--collection", nargs="+", required=True, metavar="NAME=PATH",
+        help="collection bindings: an index-artifact path (gets q= "
+             "pushdown + Bloom pruning) or a plain parquet path",
+    )
+    stm.add_argument("--limit", type=int, default=None,
+                     help="cap printed rows (the plan is unchanged)")
+
     prof = sub.add_parser(
         "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
     )
@@ -447,6 +463,32 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for r in out.collect():
                     print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.command == "stream":
+        from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import MANIFEST
+
+        sources = {}
+        for binding in args.collection:
+            if "=" not in binding:
+                raise SystemExit(
+                    f"--collection takes NAME=PATH bindings, got {binding!r}"
+                )
+            name, path = binding.split("=", 1)
+            fs = get_fs(path, spark)
+            if fs.exists(fs_join(path, MANIFEST)):
+                sources[name] = SearchIndex.open(spark, path)
+            else:
+                sources[name] = spark.read.parquet(path)
+        out = StreamCompiler(sources).run(args.expr)
+        if args.limit is not None:
+            out = out.limit(args.limit)
+        for r in out.collect():
+            print(json.dumps(r.asDict(), default=str))
         return 0
 
     if args.command == "profile":

@@ -34,6 +34,11 @@ hashJoin            the same join with the ``hashed`` side BROADCAST —
 merge               unionByName of the streams + the ``on`` sort order
 fetch               left-join enrichment: pull ``fl`` fields from a
                     collection by key for each stream tuple
+intersect /         left-semi / left-anti join on the ``on`` keys
+complement
+stats               global aggregate row (no buckets)
+cartesianProduct    explode_outer of a multi-valued field
+timeseries          date_trunc bucket + agg (gap=+1HOUR/DAY/MONTH/YEAR)
 ==================  =====================================================
 
 Scale: the DSL introduces ZERO new execution machinery — every compiled
@@ -172,6 +177,9 @@ def parse_stream_expr(s: str) -> Call:
 
 
 # ------------------------------------------------------------- compiler
+import re as _re_mod
+
+_re_ts_gap = _re_mod.compile(r"^\+(\d+)(HOUR|DAY|MONTH|YEAR)S?$", _re_mod.I)
 _METRICS = {"sum", "min", "max", "avg", "mean", "count"}
 _BOOL_CMP = {"eq": "==", "gt": ">", "lt": "<", "gteq": ">=", "lteq": "<="}
 
@@ -277,7 +285,9 @@ class StreamCompiler:
             raise QuerySyntaxError(
                 f"unknown stream decorator {node.name!r}; supported: "
                 "search, select, rollup, facet, unique, top, sort, "
-                "having, innerJoin, leftOuterJoin, hashJoin, merge, fetch"
+                "having, innerJoin, leftOuterJoin, hashJoin, merge, "
+                "fetch, intersect, complement, stats, cartesianProduct, "
+                "timeseries"
             )
         return fn(node)
 
@@ -478,6 +488,102 @@ class StreamCompiler:
         if "on" not in node.kwargs:
             raise QuerySyntaxError("merge() needs on= (the merge sort order)")
         return out, _sort_spec(node.kwargs["on"])
+
+    def _c_intersect(self, node: Call):
+        # Solr intersect: LEFT tuples whose key appears in RIGHT — a
+        # left-semi join (never materializes right columns)
+        left, lsort = self._stream_arg(node, 0)
+        right, _rs = self._stream_arg(node, 1)
+        pairs = self._join_pairs(node)
+        cond = None
+        for l, r in pairs:
+            c = left[l] == right[r]
+            cond = c if cond is None else cond & c
+        return left.join(right, cond, "left_semi"), lsort
+
+    def _c_complement(self, node: Call):
+        # Solr complement: LEFT tuples whose key does NOT appear in
+        # RIGHT — a left-anti join
+        left, lsort = self._stream_arg(node, 0)
+        right, _rs = self._stream_arg(node, 1)
+        pairs = self._join_pairs(node)
+        cond = None
+        for l, r in pairs:
+            c = left[l] == right[r]
+            cond = c if cond is None else cond & c
+        return left.join(right, cond, "left_anti"), lsort
+
+    def _c_stats(self, node: Call):
+        # Solr stats(): the metrics over the whole query result — one
+        # global (map-side-combined) aggregate row
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("stats() needs a collection name first")
+        src = self._source(node.args[0])
+        q = node.kwargs.get("q", "*:*")
+        if isinstance(src, DataFrame):
+            if q != "*:*":
+                raise QuerySyntaxError("stats(q=...) needs a SearchIndex source")
+            df = src
+        else:
+            df = src._query_scan(q) if q != "*:*" else src.df()
+        metrics = [a for a in node.args
+                   if isinstance(a, Call) and a.name in _METRICS]
+        if not metrics:
+            raise QuerySyntaxError("stats() needs metric args")
+        aggs = []
+        for m in metrics:
+            col, name = _metric_col(m)
+            aggs.append(col.alias(name))
+        return df.agg(*aggs), None
+
+    def _c_cartesianProduct(self, node: Call):  # noqa: N802
+        # Solr cartesianProduct: one output tuple per VALUE of a
+        # multi-valued field — exactly explode_outer
+        df, sort = self._stream_arg(node)
+        flds = [a for a in node.args if not isinstance(a, Call)]
+        if len(flds) != 1:
+            raise QuerySyntaxError(
+                "cartesianProduct() takes one multi-valued field"
+            )
+        f_ = flds[0]
+        return df.withColumn(f_, F.explode_outer(F.col(f"`{f_}`"))), sort
+
+    def _c_timeseries(self, node: Call):
+        """Solr timeseries(): metrics per fixed time bucket.  ``gap``
+        accepts Solr's date-math units ``+Ng`` for g in HOUR/DAY/MONTH/
+        YEAR (e.g. ``+1DAY``); buckets are date_trunc'd — one groupBy
+        over the scan, identical shape to facet.range."""
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("timeseries() needs a collection name")
+        src = self._source(node.args[0])
+        df = src if isinstance(src, DataFrame) else src.df()
+        fld = node.kwargs.get("field")
+        gap = node.kwargs.get("gap", "+1DAY")
+        if not fld:
+            raise QuerySyntaxError("timeseries() needs field=")
+        m = _re_ts_gap.match(gap)
+        if not m or int(m.group(1)) != 1:
+            raise QuerySyntaxError(
+                f"unsupported gap {gap!r}; supported: +1HOUR/+1DAY/+1MONTH/+1YEAR"
+            )
+        unit = m.group(2).lower()
+        trunc = {"hour": "hour", "day": "day",
+                 "month": "month", "year": "year"}[unit]
+        start, end = node.kwargs.get("start"), node.kwargs.get("end")
+        if start:
+            df = df.filter(F.col(fld) >= F.lit(start).cast("timestamp"))
+        if end:
+            df = df.filter(F.col(fld) < F.lit(end).cast("timestamp"))
+        bucket = F.date_trunc(trunc, F.col(fld)).alias(fld)
+        metrics = [a for a in node.args
+                   if isinstance(a, Call) and a.name in _METRICS]
+        if not metrics:
+            raise QuerySyntaxError("timeseries() needs metric args")
+        aggs = []
+        for mt in metrics:
+            col, name = _metric_col(mt)
+            aggs.append(col.alias(name))
+        return df.groupBy(bucket).agg(*aggs), [(fld, "asc")]
 
     def _c_fetch(self, node: Call):
         if not node.args or isinstance(node.args[0], Call):

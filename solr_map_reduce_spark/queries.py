@@ -4400,5 +4400,58 @@ def ext_stream_having(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_stream_timeseries",
+    """SELECT date_trunc('day', ts) AS ts,
+              count(*) AS "count(*)", avg(value) AS "avg(value)"
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+       GROUP BY 1""",
+    "Solr streaming expression timeseries(events, field=ts, gap=+1DAY): "
+    "date_trunc bucket + one map-side-combined aggregate over the "
+    "start/end-pruned scan — the same shape as facet.range",
+)
+def ext_stream_timeseries(spark, sf_dir):
+    comp = _stream_compiler_events(spark, sf_dir)
+    return comp.run(
+        'timeseries(events, field=ts, gap="+1DAY", '
+        'start="2024-01-10 00:00:00", end="2024-01-20 00:00:00", '
+        "count(*), avg(value))"
+    )
+
+
+@_register(
+    "ext_stream_complement",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+       )""",
+    "Solr streaming expression complement(search(customer), "
+    "top(search(orders)...), on=...): customers with no high-value "
+    "order — a left-anti join, the set-difference the DSL's "
+    "sorted-stream complement computes (the inner stream is itself a "
+    "composed expression)",
+)
+def ext_stream_complement(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    comp = StreamCompiler({
+        "customer": t(spark, sf_dir, "customer"),
+        "big_orders": big,
+    })
+    return comp.run(
+        'complement(search(customer, fl="c_custkey,c_name"), '
+        'search(big_orders, fl="o_custkey"), on="c_custkey=o_custkey")'
+    )
+
+
+def _stream_compiler_events(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    return StreamCompiler({"events": t(spark, sf_dir, "events")})
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)

@@ -571,3 +571,29 @@ def test_cli_terms_and_local_params_query(spark, sf_dir, schema_file, tmp_path, 
     ]) == 0
     n = _json.loads(capsys.readouterr().out)["count"]
     assert n > 0
+
+
+def test_cli_stream_expression(capsys, sf_dir):
+    import json as _json
+
+    from solr_map_reduce_spark.cli import main
+
+    rc = main([
+        "stream",
+        "--expr",
+        'top(hashJoin(search(orders, fl="o_orderkey,o_custkey,'
+        'o_totalprice"), hashed=search(customer, fl="c_custkey,c_name"), '
+        'on="o_custkey=c_custkey"), n=3, sort="o_totalprice desc")',
+        "--collection",
+        f"orders={sf_dir}/orders.parquet",
+        f"customer={sf_dir}/customer.parquet",
+    ])
+    assert rc == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    assert len(rows) == 3
+    assert rows[0]["o_totalprice"] >= rows[1]["o_totalprice"]
+    assert "c_name" in rows[0] and "c_custkey" not in rows[0]
+
+    with pytest.raises(SystemExit, match="NAME=PATH"):
+        main(["stream", "--expr", "search(x)", "--collection", "nope"])

@@ -147,6 +147,57 @@ class TestCompile:
         got = {r["pid"]: r["site"] for r in rows}
         assert got[1] == "building-1" and got[4] is None
 
+    def test_intersect_and_complement(self, comp):
+        inter = comp.run(
+            'intersect(search(people, fl="pid,name"), search(salaries), '
+            'on="pid=person")'
+        )
+        assert sorted(r["pid"] for r in inter.collect()) == [1, 2, 3]
+        assert inter.columns == ["pid", "name"]  # semi: left cols only
+        comp_ = comp.run(
+            'complement(search(people, fl="pid,name"), search(salaries), '
+            'on="pid=person")'
+        )
+        assert [r["pid"] for r in comp_.collect()] == [4]
+
+    def test_stats_global_row(self, comp):
+        row = comp.run(
+            "stats(salaries, sum(pay), avg(pay), count(*))"
+        ).collect()
+        assert len(row) == 1
+        assert row[0]["sum(pay)"] == 310.0
+        assert row[0]["count(*)"] == 3
+
+    def test_cartesian_product_explodes(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, None)], "id long, tags array<string>"
+        )
+        c = StreamCompiler({"tagged": df})
+        rows = c.run("cartesianProduct(search(tagged), tags)").collect()
+        got = sorted((r["id"], r["tags"]) for r in rows)
+        # explode_outer: the NULL-array tuple survives with a null value
+        assert got == [(1, "a"), (1, "b"), (2, None)]
+
+    def test_timeseries_buckets(self, spark):
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1, 5), 1.0), (datetime(2024, 1, 1, 9), 3.0),
+             (datetime(2024, 1, 2, 1), 10.0), (datetime(2024, 1, 5, 1), 99.0)],
+            "ts timestamp, v double",
+        )
+        c = StreamCompiler({"ev": df})
+        rows = c.run(
+            'timeseries(ev, field=ts, gap="+1DAY", '
+            'start="2024-01-01 00:00:00", end="2024-01-03 00:00:00", '
+            "count(*), sum(v))"
+        ).collect()
+        got = {str(r["ts"]): (r["count(*)"], r["sum(v)"]) for r in rows}
+        assert got == {"2024-01-01 00:00:00": (2, 4.0),
+                       "2024-01-02 00:00:00": (1, 10.0)}
+        with pytest.raises(QuerySyntaxError, match="unsupported gap"):
+            c.run('timeseries(ev, field=ts, gap="+7DAYS", count(*))')
+
     def test_unknown_decorator_and_collection(self, comp):
         with pytest.raises(QuerySyntaxError, match="unknown stream decorator"):
             comp.run("nope(search(people))")
