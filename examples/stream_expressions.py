@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Tour of the Solr streaming-expression DSL (extensions/stream_expr.py):
+one expression string per section, each compiling to the DataFrame plan
+it already is — search over a built artifact (q= pushdown), rollup,
+hashJoin (broadcast), having, set ops, timeseries, fetch enrichment.
+
+Run:  python examples/stream_expressions.py [sf_dir]
+      (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import pyspark.sql.functions as F
+
+from solr_map_reduce_spark import (
+    Field,
+    IndexJob,
+    IndexJobConfig,
+    IndexSchema,
+    SearchIndex,
+    get_spark,
+)
+from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+
+def show(title: str, df, n: int = 5) -> None:
+    print(f"\n== {title}")
+    for r in df.limit(n).collect():
+        print("  ", r.asDict())
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="smrs-stream-tour")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # a docs ARTIFACT so search(q=...) rides the compiled, Bloom-prunable
+    # scan; the star-schema tables bind as plain parquet collections
+    schema = IndexSchema(
+        fields=(Field("doc_id", "long", required=True),
+                Field("text", "text_general"),
+                Field("lang", "string"),
+                Field("n_chars", "long")),
+        unique_key="doc_id",
+    )
+    work = tempfile.mkdtemp(prefix="smrs_stream_tour_")
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "lang", "n_chars"
+        ),
+        f"{work}/docs",
+    )
+    comp = StreamCompiler({
+        "docs": SearchIndex.open(spark, f"{work}/docs"),
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "events": spark.read.parquet(f"{sf_dir}/events.parquet"),
+    })
+
+    show("rollup over a query's result (q= hits the artifact scan)", comp.run(
+        'rollup(search(docs, q="spark"), over=lang, count(*), avg(n_chars))'
+    ))
+
+    show("hashJoin: the hashed side is a broadcast", comp.run(
+        'top(hashJoin(search(orders, fl="o_orderkey,o_custkey,o_totalprice"), '
+        'hashed=search(customer, fl="c_custkey,c_name"), '
+        'on="o_custkey=c_custkey"), n=3, sort="o_totalprice desc")'
+    ), n=3)
+
+    show("having over a facet", comp.run(
+        'having(facet(docs, q="*:*", buckets="lang", count(*)), '
+        "gt(count(*), 50))"
+    ))
+
+    show("complement: customers with no 400k+ order (having filters the "
+         "inner stream)", comp.run(
+        'complement(search(customer, fl="c_custkey,c_name"), '
+        'having(search(orders, fl="o_custkey,o_totalprice"), '
+        'gt(o_totalprice, 400000)), on="c_custkey=o_custkey")'
+    ), n=3)
+
+    show("timeseries: daily event buckets", comp.run(
+        'timeseries(events, field=ts, gap="+1DAY", count(*), avg(value))'
+    ))
+
+    show("unique: first doc per lang in n_chars desc order", comp.run(
+        'unique(search(docs, fl="doc_id,lang,n_chars", '
+        'sort="n_chars desc"), over=lang)'
+    ))
+
+    show("fetch: enrich order tuples with customer fields", comp.run(
+        'fetch(customer, top(search(orders, fl="o_orderkey,o_custkey"), '
+        'n=3, sort="o_orderkey asc"), fl="c_name", on="o_custkey=c_custkey")'
+    ), n=3)
+
+    print("\nstream-expression tour complete")
+
+
+if __name__ == "__main__":
+    main()
