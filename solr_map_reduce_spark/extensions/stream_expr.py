@@ -66,11 +66,14 @@ from solr_map_reduce_spark.extensions.search import QuerySyntaxError
 @dataclass
 class Call:
     """One function-call node: ``name(pos..., key=value...)`` where a
-    positional arg is either a nested :class:`Call` or a raw string."""
+    positional arg is either a nested :class:`Call` or a raw string.
+    ``alias`` carries a trailing ``as name`` (select's evaluators:
+    ``add(a,b) as total``)."""
 
     name: str
     args: list = field(default_factory=list)
     kwargs: dict = field(default_factory=dict)
+    alias: str | None = None
 
 
 def parse_stream_expr(s: str) -> Call:
@@ -139,9 +142,22 @@ def parse_stream_expr(s: str) -> Call:
             save = pos
             word = read_ident()
             if word and pos < n and s[pos] == "(":
-                # nested call as a positional arg (sub-stream / metric)
+                # nested call as a positional arg (sub-stream / metric /
+                # evaluator); an evaluator may carry a trailing alias:
+                # ``add(a,b) as total``
                 pos = save
-                node.args.append(parse_call())
+                sub = parse_call()
+                skip_ws()
+                save_as = pos
+                if read_ident() == "as":
+                    skip_ws()
+                    alias = read_ident()
+                    if not alias:
+                        raise err("expected an alias after 'as'")
+                    sub.alias = alias
+                else:
+                    pos = save_as
+                node.args.append(sub)
             elif word and pos < n and s[pos] == "=":
                 # key=value; the value may itself be a call
                 # (hashJoin's hashed=search(...)) or a raw/quoted token
@@ -253,6 +269,65 @@ def _bool_col(node) -> F.Column:
     raise QuerySyntaxError(f"unknown boolean op {node.name!r}")
 
 
+# select()'s stream EVALUATORS (Solr's math/conditional expression
+# language over tuple fields): compiled to plain Column expressions —
+# never a UDF.  Operands are numbers or field names (string literals
+# are not supported — the grammar strips quotes before we see them).
+_EVALUATORS = {"add", "sub", "mult", "div", "mod", "abs", "sqrt", "pow",
+               "if", "eq", "gt", "lt", "gteq", "lteq", "and", "or", "not"}
+
+
+def _eval_call(node: Call) -> F.Column:
+    def opnd(a) -> F.Column:
+        if isinstance(a, Call):
+            return _eval_call(a)
+        try:
+            return F.lit(float(a))
+        except (TypeError, ValueError):
+            return F.col(a)
+
+    name, args = node.name, node.args
+    if name not in _EVALUATORS:
+        raise QuerySyntaxError(f"unknown evaluator {name!r}")
+    if name in ("add", "mult"):
+        if len(args) < 2:
+            raise QuerySyntaxError(f"{name}() takes >=2 args")
+        out = opnd(args[0])
+        for a in args[1:]:
+            out = out + opnd(a) if name == "add" else out * opnd(a)
+        return out
+    if name in ("sub", "div", "mod", "pow", "eq", "gt", "lt", "gteq", "lteq"):
+        if len(args) != 2:
+            raise QuerySyntaxError(f"{name}() takes 2 args")
+        l, r = opnd(args[0]), opnd(args[1])
+        return {
+            "sub": lambda: l - r, "div": lambda: l / r,
+            "mod": lambda: l % r, "pow": lambda: F.pow(l, r),
+            "eq": lambda: l == r, "gt": lambda: l > r,
+            "lt": lambda: l < r, "gteq": lambda: l >= r,
+            "lteq": lambda: l <= r,
+        }[name]()
+    if name in ("abs", "sqrt", "not"):
+        if len(args) != 1:
+            raise QuerySyntaxError(f"{name}() takes 1 arg")
+        x = opnd(args[0])
+        return {"abs": lambda: F.abs(x), "sqrt": lambda: F.sqrt(x),
+                "not": lambda: ~x}[name]()
+    if name == "if":
+        if len(args) != 3:
+            raise QuerySyntaxError("if() takes 3 args (cond, then, else)")
+        return F.when(_eval_call(args[0]) if isinstance(args[0], Call)
+                      else opnd(args[0]).cast("boolean"),
+                      opnd(args[1])).otherwise(opnd(args[2]))
+    # and / or
+    if len(args) < 2:
+        raise QuerySyntaxError(f"{name}() takes >=2 args")
+    out = opnd(args[0])
+    for a in args[1:]:
+        out = out & opnd(a) if name == "and" else out | opnd(a)
+    return out
+
+
 def _operand(a) -> F.Column:
     if isinstance(a, Call):  # a metric name used as a column: count(*)
         _c, name = _metric_col(a)
@@ -293,7 +368,7 @@ class StreamCompiler:
 
     def _stream_arg(self, node: Call, i: int = 0):
         subs = [a for a in node.args if isinstance(a, Call)
-                and a.name not in _METRICS]
+                and a.name not in _METRICS and a.name not in _EVALUATORS]
         if len(subs) <= i:
             raise QuerySyntaxError(f"{node.name}() needs a stream argument")
         return self._compile(subs[i])
@@ -332,10 +407,18 @@ class StreamCompiler:
     def _c_select(self, node: Call):
         df, sort = self._stream_arg(node)
         cols = []
-        for a in node.args:
+        for i, a in enumerate(node.args):
             if isinstance(a, Call):
-                continue
-            if " as " in a:
+                if i == 0:
+                    continue  # the stream argument itself
+                # a stream EVALUATOR: add(a,b) as total — Solr requires
+                # the alias, and so do we (the expression has no name)
+                if a.alias is None:
+                    raise QuerySyntaxError(
+                        f"select evaluator {a.name}(...) needs 'as <name>'"
+                    )
+                cols.append(_eval_call(a).alias(a.alias))
+            elif " as " in a:
                 src_c, alias = a.split(" as ", 1)
                 cols.append(F.col(src_c.strip()).alias(alias.strip()))
             else:

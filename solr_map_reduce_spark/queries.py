@@ -4447,6 +4447,27 @@ def ext_stream_complement(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_stream_select_eval",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 300000
+                   THEN o_totalprice / 1000 ELSE 0.0 END AS bucket_k
+       FROM orders
+       ORDER BY bucket_k DESC, o_orderkey ASC LIMIT 10""",
+    "Solr streaming-expression select EVALUATORS (add/sub/mult/div/mod/"
+    "if/eq/gt/...): computed tuple fields compile to Column expressions "
+    "inside the same scan — if(gt(price,300000), div(price,1000), 0) "
+    "as bucket_k, then top",
+)
+def ext_stream_select_eval(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'top(select(search(orders, fl="o_orderkey,o_totalprice"), '
+        "o_orderkey, if(gt(o_totalprice, 300000), "
+        'div(o_totalprice, 1000), 0) as bucket_k), n=10, '
+        'sort="bucket_k desc, o_orderkey asc")'
+    )
+
+
 def _stream_compiler_events(spark, sf_dir):
     from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
 

@@ -83,6 +83,23 @@ class TestCompile:
         rows = comp.run("select(search(people), pid, name as who)").collect()
         assert rows[0].asDict().keys() == {"pid", "who"}
 
+    def test_select_evaluators(self, comp):
+        rows = comp.run(
+            "select(search(salaries), person, "
+            "add(pay, 10) as bumped, "
+            "if(gt(pay, 100), div(pay, 2), pay) as adjusted, "
+            "mult(sub(pay, 90), 2) as spread)"
+        ).collect()
+        got = {r["person"]: (r["bumped"], r["adjusted"], r["spread"])
+               for r in rows}
+        assert got[1] == (110.0, 100.0, 20.0)
+        assert got[2] == (130.0, 60.0, 60.0)
+        assert got[3] == (100.0, 90.0, 0.0)
+
+    def test_select_evaluator_requires_alias(self, comp):
+        with pytest.raises(QuerySyntaxError, match="needs 'as"):
+            comp.run("select(search(salaries), person, add(pay, 1))")
+
     def test_rollup(self, comp):
         got = {r["dept"]: (r["count(*)"], r["sum(pid)"])
                for r in comp.run(
