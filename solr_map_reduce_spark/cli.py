@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
                           "\"phrases\", AND/OR/NOT with prohibit '-', "
                           "parens, field:value, ranges n:[lo TO hi], "
                           "wildcards run*; default operator OR)")
+    qry.add_argument("--q-op", default="OR", choices=("OR", "AND"),
+                     help="default operator for juxtaposed clauses "
+                          "(Solr q.op)")
     qry.add_argument("--facet", default=None, metavar="FIELD", help="facet counts")
     qry.add_argument("--range-facet", default=None, nargs=4,
                      metavar=("FIELD", "START", "END", "GAP"),
@@ -445,7 +448,7 @@ def main(argv: list[str] | None = None) -> int:
             out = idx.search(
                 filters=filters or None, sort=sort,
                 limit=None if args.write else args.limit,
-                select=args.select, q=args.q,
+                select=args.select, q=args.q, op=args.q_op,
             )
             if args.write:
                 fmt, _, dest = args.write.partition(":")

@@ -716,7 +716,7 @@ def parse_function_query(s: str) -> F.Column:
     return out
 
 
-def parse_query(q: str):
+def parse_query(q: str, default_op: str = "OR"):
     """Parse a boolean query string into an AST of tuples:
     ``("term", text)``, ``("phrase", text)``, ``("and", [..])``,
     ``("or", [..])``, ``("not", node)``.  Precedence NOT > AND > OR;
@@ -725,6 +725,12 @@ def parse_query(q: str):
     shuffle``) is a Lucene prohibit: MUST_NOT over the clause list, i.e.
     ``(table) AND NOT (shuffle)``.  An explicitly OR-joined negation
     (``a OR NOT b``) stays a true disjunct.
+
+    ``default_op="AND"`` is Solr's ``q.op=AND``: juxtaposed clauses
+    conjoin instead (``a b c`` means ``a AND b AND c``), and explicit
+    ``OR`` still separates disjunct groups (``a OR b c`` parses as
+    ``a OR (b AND c)``).  The prohibit idiom is unchanged — it is
+    already a conjunction.
 
     Operators are recognized in UPPERCASE only (Lucene/Solr contract):
     ``black and white`` is three terms OR-ed, ``black AND white`` a
@@ -819,14 +825,34 @@ def parse_query(q: str):
         # surprising here; the spelled-out forms are where users expect
         # plain boolean behavior).
         prohibit = [n[1] for (n, direct, exp) in parts if direct and not exp]
-        others = [n for (n, direct, exp) in parts if not (direct and not exp)]
+        kept = [(n, exp) for (n, direct, exp) in parts
+                if not (direct and not exp)]
+
+        def combine(kept_parts):
+            nodes = [n for n, _e in kept_parts]
+            if len(nodes) == 1:
+                return nodes[0]
+            if default_op != "AND":
+                return ("or", nodes)
+            # q.op=AND: juxtaposed runs conjoin; explicit OR separates
+            # the runs into disjunct groups
+            groups, cur = [], []
+            for n, exp in kept_parts:
+                if exp and cur:
+                    groups.append(cur)
+                    cur = [n]
+                else:
+                    cur.append(n)
+            groups.append(cur)
+            gnodes = [g[0] if len(g) == 1 else ("and", g) for g in groups]
+            return gnodes[0] if len(gnodes) == 1 else ("or", gnodes)
+
         if not prohibit:
-            return ("or", others)
+            return combine(kept)
         nots = [("not", p) for p in prohibit]
-        if not others:  # pure-negative list (Solr allows it top-level)
+        if not kept:  # pure-negative list (Solr allows it top-level)
             return nots[0] if len(nots) == 1 else ("and", nots)
-        base = others[0] if len(others) == 1 else ("or", others)
-        return ("and", [base] + nots)
+        return ("and", [combine(kept)] + nots)
 
     def parse_and():
         # returns (node, direct_neg-of-single-clause)
@@ -1534,7 +1560,7 @@ def _can_match_term_free(node) -> bool:
 
 def boolean_predicate(
     q: str, analyze, toks_col: F.Column, resolver=None, fuzzy_expand=None,
-    default_field=None, synonyms=None,
+    default_field=None, synonyms=None, default_op: str = "OR",
 ) -> tuple[F.Column, dict]:
     """Compile a boolean query string to ONE Column predicate over the
     given token-array column, plus the pruning info dict (``required`` /
@@ -1545,8 +1571,8 @@ def boolean_predicate(
     field ``toks_col`` belongs to, letting UNFIELDED leading-wildcard
     clauses use its analyzer metadata (the reversed-token rewrite) — see
     :func:`_analyze_node`."""
-    ast = _analyze_node(parse_query(q), analyze, resolver, fuzzy_expand,
-                        default_field, synonyms)
+    ast = _analyze_node(parse_query(q, default_op), analyze, resolver,
+                        fuzzy_expand, default_field, synonyms)
     if ast is None:
         raise QuerySyntaxError(
             f"query {q!r} has no effective clauses after analysis "

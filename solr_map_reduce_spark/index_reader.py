@@ -311,13 +311,18 @@ class SearchIndex:
         field: str | None = None,
         start: int = 0,
         synonyms: "Mapping[str, Sequence[str]] | None" = None,
+        op: str = "OR",
     ) -> DataFrame:
         """The full Solr request shape in one call: ``q`` (boolean query
-        over the analyzed field, the :meth:`query` syntax), column
-        ``filters`` / arbitrary ``where`` (fq analogs), ``sort`` +
-        ``start``/``limit`` (C4 paging — Solr's start/rows params; page
-        boundaries are deterministic because the unique key is always
-        the final sort tiebreak), ``select`` (fl projection)."""
+        over the analyzed field, the :meth:`query` syntax; ``op="AND"``
+        is q.op=AND), column ``filters`` / arbitrary ``where`` (fq
+        analogs), ``sort`` + ``start``/``limit`` (C4 paging — Solr's
+        start/rows params; page boundaries are deterministic because the
+        unique key is always the final sort tiebreak), ``select`` (fl
+        projection).  A sort KEY containing ``(`` is Solr's
+        SORT-BY-FUNCTION (``sort=div(a,b) desc``): it compiles through
+        the function-query grammar to one Column expression — ordering
+        by a computed value never leaves the scan's plan."""
         if start and not sort:
             raise ValueError(
                 "start= (Solr's paging offset) needs sort= — an offset "
@@ -325,7 +330,7 @@ class SearchIndex:
                 "run"
             )
         out = (
-            self._query_scan(q, field, synonyms)
+            self._query_scan(q, field, synonyms, op)
             if q is not None
             else self.df()
         )
@@ -334,9 +339,17 @@ class SearchIndex:
         if where is not None:
             out = out.filter(where)
         if sort:
+            from solr_map_reduce_spark.extensions.search import (
+                parse_function_query,
+            )
+
+            def key_col(c: str) -> F.Column:
+                return parse_function_query(c) if "(" in c else F.col(c)
+
             out = out.orderBy(
                 *[
-                    F.desc(c) if d.lower().startswith("desc") else F.asc(c)
+                    key_col(c).desc() if d.lower().startswith("desc")
+                    else key_col(c).asc()
                     for c, d in sort
                 ],
                 F.asc(self.unique_key),  # deterministic page boundaries
@@ -357,6 +370,7 @@ class SearchIndex:
         filters: "Mapping[str, object] | None" = None,
         exclude: "str | Sequence[str] | None" = None,
         prefix: str | None = None,
+        mincount: int = 0, offset: int = 0,
     ) -> DataFrame:
         """Value counts of ``field`` — over the whole collection, or
         (``q`` given) over a boolean query's result set, Solr's
@@ -365,7 +379,10 @@ class SearchIndex:
         Solr's contract); ``sort="index"`` orders lexicographically by
         value instead of by count (Solr ``facet.sort=index``);
         ``prefix`` counts only values starting with it (``facet.prefix``,
-        one extra scan predicate — the missing bucket is independent).
+        one extra scan predicate — the missing bucket is independent);
+        ``mincount`` drops buckets below the floor (``facet.mincount``,
+        a HAVING filter on the aggregate); ``offset`` skips leading
+        buckets (``facet.offset``, facet paging — combine with ``top``).
 
         ``filters`` are fq equality filters (field -> value, or a list of
         admitted values); ``exclude`` names filter KEYS to ignore while
@@ -413,8 +430,15 @@ class SearchIndex:
             scan
             .groupBy(field)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(*order)
         )
+        if mincount > 0:
+            # Solr facet.mincount: buckets below the floor drop — a
+            # HAVING filter after the aggregate, before sort/paging
+            out = out.filter(F.col("cnt") >= mincount)
+        out = out.orderBy(*order)
+        if offset:
+            # Solr facet.offset: skip the first N buckets (facet paging)
+            out = out.offset(offset)
         return out.limit(top) if top is not None else out
 
     _FACET_AGGS = {
@@ -1007,6 +1031,7 @@ class SearchIndex:
     def _query_scan(
         self, q: str, field: str | None = None,
         synonyms: "Mapping[str, Sequence[str]] | None" = None,
+        op: str = "OR",
     ) -> DataFrame:
         """Full rows matching a boolean query string — the shared engine
         behind :meth:`query` (ids), :meth:`search` (q + filters/sort/
@@ -1019,7 +1044,7 @@ class SearchIndex:
 
         self._check_generation()
         memo_key = (
-            q, field,
+            q, field, op,
             tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
             if synonyms else None,
         )
@@ -1032,7 +1057,7 @@ class SearchIndex:
             qtype, params, inner = lp
             out = self._local_params_scan(qtype, params, inner, field, synonyms)
         else:
-            pred, info, fname = self._compile_predicate(q, field, synonyms)
+            pred, info, fname = self._compile_predicate(q, field, synonyms, op)
             if info["required"]:
                 scan = self._bloom_pruned(info["required"], fname, "all")
             elif info["prunable"] and info["positive"]:
@@ -1048,6 +1073,7 @@ class SearchIndex:
     def _compile_predicate(
         self, q: str, field: str | None = None,
         synonyms: "Mapping[str, Sequence[str]] | None" = None,
+        op: str = "OR",
     ):
         """``(Column predicate, pruning info, resolved default field)`` for
         a boolean query string — the parse/analyze/compile core of
@@ -1074,12 +1100,15 @@ class SearchIndex:
                 )
 
             toks_col = None
+        if op not in ("OR", "AND"):
+            raise search.QuerySyntaxError(f"q.op must be OR or AND, got {op!r}")
         pred, info = search.boolean_predicate(
             q, analyze, toks_col, resolver=self._field_resolver(),
             fuzzy_expand=self._fuzzy_expander(fname),
             default_field=fname if fname in analyzed else None,
             synonyms={k.lower(): list(v) for k, v in synonyms.items()}
             if synonyms else None,
+            default_op=op,
         )
         return pred, info, fname
 
@@ -1224,11 +1253,13 @@ class SearchIndex:
     def query(
         self, q: str, field: str | None = None,
         synonyms: "Mapping[str, Sequence[str]] | None" = None,
+        op: str = "OR",
     ) -> DataFrame:
         """Boolean query over the analyzed field — the Solr/Lucene syntax
         subset its users write: terms, ``"quoted phrases"``, AND / OR /
         NOT (also ``&&`` / ``||`` / ``-``), parentheses; default operator
-        OR.  Query text is analyzed with the FIELD'S analyzer driver-side
+        OR (``op="AND"`` is Solr's q.op=AND: juxtaposed clauses conjoin,
+        and the conjunctive spine then Bloom-prunes in 'all' mode).  Query text is analyzed with the FIELD'S analyzer driver-side
         (stopword-only clauses drop, Solr-style), the tree compiles to a
         single Column predicate (one scan regardless of query shape), and
         shard Bloom pruning applies automatically: 'all'-mode on the
@@ -1242,7 +1273,7 @@ class SearchIndex:
         match as PHRASES — SynonymGraphFilter's positional-run contract;
         stemming applies after expansion — the declared filter-chain
         order)."""
-        return self._query_scan(q, field, synonyms).select(self.unique_key)
+        return self._query_scan(q, field, synonyms, op).select(self.unique_key)
 
     def contains_all(self, terms: Sequence[str], field: str | None = None) -> DataFrame:
         from solr_map_reduce_spark.extensions import search
@@ -1943,6 +1974,7 @@ class MultiIndex:
     def query(
         self, q: str, field: str | None = None,
         synonyms: "Mapping[str, Sequence[str]] | None" = None,
+        op: str = "OR",
     ) -> DataFrame:
         """Boolean query across the alias: each member compiles and
         Bloom-prunes INDEPENDENTLY (per-member dictionaries/bitmaps), so
@@ -1950,10 +1982,10 @@ class MultiIndex:
         zero-file scan.  Relational local-params queries ({!join},
         {!parent}, {!child}) match across the WHOLE alias (see
         :meth:`_relational_scan`)."""
-        return self._alias_scan(q, field, synonyms).select(self.unique_key)
+        return self._alias_scan(q, field, synonyms, op).select(self.unique_key)
 
     def _alias_scan(
-        self, q: str, field: str | None, synonyms,
+        self, q: str, field: str | None, synonyms, op: str = "OR",
     ) -> DataFrame:
         """Full-row result of ``q`` across the alias.  Non-relational
         queries stay per-member (each member's Bloom pruning applies,
@@ -1965,7 +1997,7 @@ class MultiIndex:
         if lp is not None and lp[0] in ("join", "parent", "child"):
             return self._relational_scan(*lp, field=field, synonyms=synonyms)
         return self._union(
-            [m._query_scan(q, field, synonyms) for m in self.members]
+            [m._query_scan(q, field, synonyms, op) for m in self.members]
         )
 
     def _relational_scan(
@@ -2047,6 +2079,7 @@ class MultiIndex:
         field: str | None = None,
         start: int = 0,
         synonyms: "Mapping[str, Sequence[str]] | None" = None,
+        op: str = "OR",
     ) -> DataFrame:
         """The full request shape over the alias: per-member pruned scans
         union FIRST, then global sort/paging (one TakeOrdered over the
@@ -2055,7 +2088,7 @@ class MultiIndex:
         if start and not sort:
             raise ValueError("start= needs sort= (deterministic paging)")
         out = (
-            self._alias_scan(q, field, synonyms)
+            self._alias_scan(q, field, synonyms, op)
             if q is not None
             else self.df()
         )

@@ -2057,6 +2057,33 @@ def c9_facet_prefix(spark, sf_dir):
 
 
 @_register(
+    "c9_qop_and",
+    f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark') AND list_contains(t, 'data')""",
+    "Solr q.op=AND: juxtaposed clauses conjoin ('spark data' means "
+    "both) — the conjunctive spine then Bloom-prunes in 'all' mode",
+)
+def c9_qop_and(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).query("spark data", op="AND")
+
+
+@_register(
+    "c9_sort_function",
+    """SELECT doc_id FROM documents
+       ORDER BY ABS(CAST(n_chars AS DOUBLE) - 150.0) ASC, doc_id ASC
+       LIMIT 10""",
+    "Solr sort-by-function (sort=abs(sub(n_chars,150)) asc): the sort "
+    "key compiles through the function-query grammar to one Column "
+    "expression — a TakeOrdered by a computed value, no extra pass",
+)
+def c9_sort_function(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).search(
+        sort=[("abs(sub(n_chars,150))", "asc")], limit=10,
+        select=["doc_id"],
+    )
+
+
+@_register(
     "c9_frange_func",
     """SELECT doc_id FROM documents
        WHERE (CASE WHEN n_chars % 7 <> 0

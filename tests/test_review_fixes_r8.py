@@ -252,3 +252,108 @@ class TestDismaxNullFieldParity:
         assert stored.keys() == derived.keys()
         for d in stored:
             assert stored[d] == pytest.approx(derived[d], rel=1e-12)
+
+
+class TestQOpAnd:
+    """Solr q.op=AND: juxtaposed clauses conjoin; explicit OR still
+    separates disjunct groups; the prohibit idiom is unchanged."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "spark shuffle join"), ("2", "spark scan"),
+             ("3", "shuffle only"), ("4", "spark shuffle")],
+            "id string, text string",
+        )
+        out = str(tmp_path_factory.mktemp("qop") / "idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_juxtaposition_conjoins(self, idx):
+        # OR default: spark shuffle -> union
+        assert idx.query("spark shuffle").count() == 4
+        # AND: both terms required
+        got = sorted(r["id"] for r in
+                     idx.query("spark shuffle", op="AND").collect())
+        assert got == ["1", "4"]
+
+    def test_explicit_or_separates_groups(self, idx):
+        # scan OR (shuffle join) under q.op=AND
+        got = sorted(r["id"] for r in
+                     idx.query("scan OR shuffle join", op="AND").collect())
+        assert got == ["1", "2"]
+
+    def test_prohibit_unchanged(self, idx):
+        got = sorted(r["id"] for r in
+                     idx.query("spark -scan", op="AND").collect())
+        assert got == ["1", "4"]
+
+    def test_op_validated_and_memo_keyed(self, idx):
+        with pytest.raises(QuerySyntaxError, match="q.op must be"):
+            idx.query("spark", op="XOR").count()
+        # same q, different op -> different plans (memo keyed on op)
+        assert idx.query("spark shuffle").count() != \
+            idx.query("spark shuffle", op="AND").count()
+
+    def test_search_accepts_op(self, idx):
+        rows = idx.search(q="spark shuffle", op="AND",
+                          sort=[("id", "asc")], select=["id"]).collect()
+        assert [r["id"] for r in rows] == ["1", "4"]
+
+
+class TestSortByFunction:
+    def test_function_sort_key(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("a", "long"), Field("b", "long")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", 10, 2), ("2", 9, 1), ("3", 30, 10)],
+            "id string, a long, b long",
+        )
+        out = str(tmp_path / "fsort")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        # div(a,b): 5, 9, 3 -> desc = 2, 1, 3 (Solr sort-by-function)
+        rows = idx.search(sort=[("div(a,b)", "desc")], select=["id"]).collect()
+        assert [r["id"] for r in rows] == ["2", "1", "3"]
+
+
+class TestFacetMincountOffset:
+    def test_mincount_and_offset(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("g", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "a"), ("2", "a"), ("3", "a"), ("4", "b"), ("5", "b"),
+             ("6", "c")],
+            "id string, g string",
+        )
+        out = str(tmp_path / "fmc")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        got = {r["g"]: r["cnt"] for r in idx.facet("g", mincount=2).collect()}
+        assert got == {"a": 3, "b": 2}
+        # facet paging: skip the top bucket, take the next one
+        rows = idx.facet("g", offset=1, top=1).collect()
+        assert [(r["g"], r["cnt"]) for r in rows] == [("b", 2)]
