@@ -282,6 +282,33 @@ def bm25_search(
     return scored if with_score else scored.select(id_col)
 
 
+def resolve_mm(mm: "int | str", n_words: int) -> int:
+    """Solr's dismax ``mm`` (minimum-should-match) to a required word
+    count over ``n_words`` optional clauses: a positive int is absolute
+    (clamped to n), a negative int leaves that many optional (n - N),
+    ``"P%"`` rounds DOWN, ``"-P%"`` leaves floor(n*P/100) optional.
+    Results clamp to [1, n] — Lucene treats a non-positive computed mm
+    as no constraint, and a pure disjunction already needs one match.
+    Conditional expressions (``2<-25%``) are not supported."""
+    s = str(mm).strip()
+    try:
+        if s.endswith("%"):
+            pct = float(s[:-1])
+            req = (
+                n_words - int(n_words * (-pct) / 100.0)
+                if pct < 0
+                else int(n_words * pct / 100.0)
+            )
+        else:
+            v = int(s)
+            req = n_words + v if v < 0 else v
+    except ValueError:
+        raise QuerySyntaxError(
+            f"unsupported mm spec {mm!r} (int, -int, P%, -P% supported)"
+        ) from None
+    return max(1, min(req, n_words))
+
+
 def bm25_dismax(
     df: DataFrame,
     field_specs: "Mapping[str, dict]",
@@ -292,6 +319,7 @@ def bm25_dismax(
     tie: float = 0.0,
     exact_sum: bool = False,
     with_score: bool = True,
+    mm: "int | str | None" = None,
 ) -> DataFrame:
     """Multi-field DisMax ranking — Solr's (e)dismax ``qf=title^2 body``
     (Lucene DisjunctionMaxQuery): for each query WORD, every field scores
@@ -426,10 +454,31 @@ def bm25_dismax(
         total = total + s
     if exact_sum:
         total = total.cast("double")
-    hit = None
-    for i in range(len(tok_idx)):
-        c = F.col(f"_tf_{i}") > 0
-        hit = c if hit is None else (hit | c)
+    # per-WORD match predicates (a word matches when ANY qf field
+    # matches any of its analyzed tokens) — the units Solr's mm
+    # (minimum-should-match) counts; words that analyzed away don't
+    # count (Solr: removed clauses don't participate in mm)
+    word_hits = []
+    for w in range(n_words):
+        cond = None
+        for f in fields:
+            spec = field_specs[f]
+            wtoks = spec["word_tokens"][w] if w < len(spec["word_tokens"]) else []
+            for t_ in wtoks:
+                c = F.col(f"_tf_{tok_idx[(f, t_)]}") > 0
+                cond = c if cond is None else (cond | c)
+        if cond is not None:
+            word_hits.append(cond)
+    if mm is None:  # pure disjunction: any word matching admits the doc
+        hit = word_hits[0]
+        for c in word_hits[1:]:
+            hit = hit | c
+    else:
+        req = resolve_mm(mm, len(word_hits))
+        cnt = word_hits[0].cast("int")
+        for c in word_hits[1:]:
+            cnt = cnt + c.cast("int")
+        hit = cnt >= req
     scored = (
         compact.join(F.broadcast(stats))
         .filter(hit)

@@ -4104,6 +4104,61 @@ def ext_dismax_topk(spark, sf_dir):
 
 
 @_register(
+    "ext_dismax_mm",
+    f"""WITH t1 AS (
+          SELECT doc_id, {_TOKS_SQL} AS tt, lower(lang) AS lt FROM documents
+        ), staged AS (
+          SELECT doc_id,
+            CAST(length(tt) AS DOUBLE) AS dl_t, 1.0 AS dl_l,
+            CAST(length(list_filter(tt, x -> x = 'spark')) AS DOUBLE)
+              AS tf_t_spark,
+            CAST(length(list_filter(tt, x -> x = 'en')) AS DOUBLE)
+              AS tf_t_en,
+            CAST(length(list_filter(tt, x -> x = 'data')) AS DOUBLE)
+              AS tf_t_data,
+            CASE WHEN lt = 'spark' THEN 1.0 ELSE 0.0 END AS tf_l_spark,
+            CASE WHEN lt = 'en' THEN 1.0 ELSE 0.0 END AS tf_l_en,
+            CASE WHEN lt = 'data' THEN 1.0 ELSE 0.0 END AS tf_l_data
+          FROM t1
+        ), stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_t, avg(dl_t) AS avgdl_t,
+                 CAST(count(*) AS DOUBLE) AS n_l, 1.0 AS avgdl_l,
+                 sum(CASE WHEN tf_t_spark > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_t_spark,
+                 sum(CASE WHEN tf_t_en > 0 THEN 1.0 ELSE 0.0 END) AS df_t_en,
+                 sum(CASE WHEN tf_t_data > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_t_data,
+                 sum(CASE WHEN tf_l_spark > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_l_spark,
+                 sum(CASE WHEN tf_l_en > 0 THEN 1.0 ELSE 0.0 END) AS df_l_en,
+                 sum(CASE WHEN tf_l_data > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_l_data
+          FROM staged
+        ), scored AS (
+          SELECT doc_id,
+            CAST({_dismax_word_sql('spark')} + {_dismax_word_sql('en')}
+                 + {_dismax_word_sql('data')} AS DOUBLE) AS score,
+            ((CASE WHEN tf_t_spark > 0 OR tf_l_spark > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN tf_t_en > 0 OR tf_l_en > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN tf_t_data > 0 OR tf_l_data > 0 THEN 1 ELSE 0 END))
+              >= 2 AS hit
+          FROM staged CROSS JOIN stats
+        )
+       SELECT doc_id, score FROM scored WHERE hit
+       ORDER BY score DESC, doc_id LIMIT 10""",
+    "Solr edismax mm=2 (minimum-should-match): a document must match at "
+    "least 2 of the 3 query WORDS (a word matches when ANY qf field "
+    "matches it) — the hit predicate becomes a match-count floor, the "
+    "plan stays ONE scan + TakeOrdered",
+)
+def ext_dismax_mm(spark, sf_dir):
+    return _dismax_search_index(spark, sf_dir).dismax(
+        ["spark", "en", "data"], qf={"text": 1.0, "lang": 0.5}, k=10,
+        exact_sum=True, mm=2,
+    )
+
+
+@_register(
     "ext_unigram_surprisal",
     f"""WITH toks AS (
           SELECT doc_id, {_TOKS_SQL} AS t FROM documents

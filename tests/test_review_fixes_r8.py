@@ -357,3 +357,42 @@ class TestFacetMincountOffset:
         # facet paging: skip the top bucket, take the next one
         rows = idx.facet("g", offset=1, top=1).collect()
         assert [(r["g"], r["cnt"]) for r in rows] == [("b", 2)]
+
+
+class TestDismaxMinimumShouldMatch:
+    def test_resolve_mm(self):
+        from solr_map_reduce_spark.extensions.search import resolve_mm
+
+        assert resolve_mm(2, 3) == 2
+        assert resolve_mm(5, 3) == 3          # clamps to n
+        assert resolve_mm(-1, 3) == 2         # leave 1 optional
+        assert resolve_mm("75%", 4) == 3      # rounds DOWN
+        assert resolve_mm("75%", 3) == 2
+        assert resolve_mm("-25%", 4) == 3     # leave floor(25%) optional
+        assert resolve_mm("0%", 4) == 1       # non-positive -> 1
+        assert resolve_mm(-10, 3) == 1
+        with pytest.raises(QuerySyntaxError, match="unsupported mm"):
+            resolve_mm("2<-25%", 4)
+
+    def test_mm_filters_matches(self, spark):
+        from solr_map_reduce_spark.extensions.search import bm25_dismax
+
+        df = spark.createDataFrame(
+            [(1, ["spark", "data"]), (2, ["spark"]), (3, ["data"]),
+             (4, ["other"])],
+            "doc_id long, toks array<string>",
+        )
+        specs = {
+            "toks": {"weight": 1.0, "tokens_col": "toks",
+                     "word_tokens": [["spark"], ["data"]],
+                     "stored_stats": None, "stored_dfs": None},
+        }
+        any_hit = sorted(r["doc_id"] for r in
+                         bm25_dismax(df, specs, k=10).collect())
+        assert any_hit == [1, 2, 3]
+        both = sorted(r["doc_id"] for r in
+                      bm25_dismax(df, specs, k=10, mm=2).collect())
+        assert both == [1]
+        pct = sorted(r["doc_id"] for r in
+                     bm25_dismax(df, specs, k=10, mm="50%").collect())
+        assert pct == [1, 2, 3]
