@@ -462,19 +462,39 @@ class SearchIndex:
         nested stat facets): per-bucket metrics alongside the counts —
         ``metrics={"avg_len": ("avg", "n_chars"), "users": ("unique",
         "user_id")}``.  Supported: sum/avg/min/max/stddev (sample) /
-        unique (exact countDistinct).  ONE groupBy of the (optionally
-        query-scoped) corpus — every agg is algebraic, so the shuffle
-        carries map-side partials, and `unique` adds a partial-distinct
-        the same way SQL COUNT(DISTINCT) plans."""
+        unique (exact countDistinct) / ``("percentile", col, p)`` —
+        Solr's stats percentiles, computed EXACT with linear
+        interpolation (Spark ``percentile``, the same quantile_cont
+        definition the DuckDB oracle uses; Solr itself serves t-digest
+        approximations — we give the exact value the approximation
+        converges to).  ONE groupBy of the (optionally query-scoped)
+        corpus — sum/avg/min/max/stddev are algebraic (map-side
+        partials); `unique` adds a partial-distinct the way SQL
+        COUNT(DISTINCT) plans; percentile is holistic (per-group sort),
+        the one metric that buffers its group."""
         scan = self._query_scan(q, query_field) if q is not None else self.df()
         aggs = [F.count(F.lit(1)).alias("cnt")]
-        for name, (fn, col) in metrics.items():
+        for name, spec in metrics.items():
+            if len(spec) == 3:
+                fn, col, p = spec
+                if fn != "percentile":
+                    raise ValueError(
+                        f"3-tuple metric must be ('percentile', col, p), "
+                        f"got {spec!r}"
+                    )
+                if not 0.0 <= float(p) <= 1.0:
+                    raise ValueError(f"percentile p must be in [0,1], got {p!r}")
+                aggs.append(
+                    F.percentile(F.col(col), F.lit(float(p))).alias(name)
+                )
+                continue
+            fn, col = spec
             try:
                 agg = self._FACET_AGGS[fn]
             except KeyError:
                 raise ValueError(
                     f"unknown facet metric {fn!r}; supported: "
-                    f"{sorted(self._FACET_AGGS)}"
+                    f"{sorted(self._FACET_AGGS)} or ('percentile', col, p)"
                 ) from None
             aggs.append(agg(F.col(col)).alias(name))
         out = (

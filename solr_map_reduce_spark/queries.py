@@ -4013,6 +4013,30 @@ def c9_facet_stats(spark, sf_dir):
     )
 
 
+@_register(
+    "c9_stats_percentiles",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              round(quantile_cont(value, 0.50), 6) AS p50,
+              round(quantile_cont(value, 0.95), 6) AS p95
+       FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""",
+    "Solr stats percentiles (stats.field={!percentiles='50,95'}value): "
+    "exact linear-interpolated quantiles per bucket (Spark percentile == "
+    "SQL quantile_cont — the value Solr's t-digest approximates); the "
+    "one holistic metric, still ONE groupBy",
+)
+def c9_stats_percentiles(spark, sf_dir):
+    out = _events_search_index(spark, sf_dir).facet_stats(
+        "event_type",
+        {"p50": ("percentile", "value", 0.50),
+         "p95": ("percentile", "value", 0.95)},
+    )
+    return out.select(
+        "event_type", "cnt",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    )
+
+
 def _dismax_search_index(spark, sf_dir):
     """A TWO-analyzed-field artifact (text: text_general, lang:
     lowercase) for the multi-field dismax entry — each qf field carries

@@ -769,3 +769,16 @@ class TestEmptyScopeFacets:
               for r in idx.query_facets({"a": "grp:a"},
                                         q="grp:zzznothing").collect()}
         assert qf == {"a": 0}
+
+
+class TestStatsPercentiles:
+    def test_percentile_metric_and_validation(self, idx):
+        rows = idx.facet_stats(
+            "grp", {"p50": ("percentile", "num", 0.5),
+                    "mx": ("max", "num")},
+        ).collect()
+        assert all(r["p50"] is not None and r["mx"] >= r["p50"] for r in rows)
+        with pytest.raises(ValueError, match="percentile p must be"):
+            idx.facet_stats("grp", {"bad": ("percentile", "num", 1.5)})
+        with pytest.raises(ValueError, match="3-tuple metric"):
+            idx.facet_stats("grp", {"bad": ("avg", "num", 0.5)})
