@@ -39,6 +39,8 @@ complement
 stats               global aggregate row (no buckets)
 cartesianProduct    explode_outer of a multi-valued field
 timeseries          date_trunc bucket + agg (gap=+1HOUR/DAY/MONTH/YEAR)
+significantTerms    foreground explode/groupBy vs stored-dictionary
+                    background dfs, scored by lift * ln(1+fg)
 ==================  =====================================================
 
 Scale: the DSL introduces ZERO new execution machinery — every compiled
@@ -362,7 +364,7 @@ class StreamCompiler:
                 "search, select, rollup, facet, unique, top, sort, "
                 "having, innerJoin, leftOuterJoin, hashJoin, merge, "
                 "fetch, intersect, complement, stats, cartesianProduct, "
-                "timeseries"
+                "timeseries, significantTerms"
             )
         return fn(node)
 
@@ -667,6 +669,67 @@ class StreamCompiler:
             col, name = _metric_col(mt)
             aggs.append(col.alias(name))
         return df.groupBy(bucket).agg(*aggs), [(fld, "asc")]
+
+    def _c_significantTerms(self, node: Call):  # noqa: N802
+        """Solr significantTerms(): terms over-represented in the
+        FOREGROUND set (docs matching ``q``) relative to the whole
+        collection.  Our score is the classic LIFT —
+        ``(fg_df/fg_docs) / (bg_df/n_docs)`` — times ``ln(1+fg_df)``
+        (so one-doc flukes don't top the list); Solr's own scorer is a
+        different (undocumented-constant) blend, so the FORMULA here is
+        ours and pinned by the oracle, while the request shape
+        (q/field/limit/minDocFreq/maxDocFreq) is Solr's.
+
+        Plan: the foreground term counts are one explode/groupBy over
+        the (Bloom-pruned) query scan; the background dfs come from the
+        stored term dictionary when the artifact has one (a KB-scale
+        sidecar read, no corpus pass) — the same two-sided shape at any
+        scale, joined on the term key."""
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError(
+                "significantTerms() needs a collection name first"
+            )
+        src = self._source(node.args[0])
+        if isinstance(src, DataFrame):
+            raise QuerySyntaxError(
+                "significantTerms() needs a SearchIndex source (stored "
+                "term dictionary + analyzed tokens)"
+            )
+        q = node.kwargs.get("q", "*:*")
+        field = node.kwargs.get("field")
+        limit = int(node.kwargs.get("limit", 20))
+        min_df = int(node.kwargs.get("minDocFreq", 5))
+        max_df = node.kwargs.get("maxDocFreq")
+        fg = src._query_scan(q) if q != "*:*" else src.df()
+        tc = src._tokens_col(field)
+        fg_terms = (
+            fg.select(
+                F.explode(F.array_distinct(src._real_toks(tc))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("foreground"))
+        )
+        fg_docs = fg.count()
+        n_docs = src.count()
+        _fname, bg = src._term_dictionary(field)  # (term, df)
+        bg = bg.withColumnRenamed("df", "background")
+        joined = fg_terms.join(bg, on="term")
+        joined = joined.filter(F.col("background") >= min_df)
+        if max_df is not None:
+            joined = joined.filter(F.col("background") <= int(max_df))
+        lift = (F.col("foreground") / F.lit(float(fg_docs))) / (
+            F.col("background") / F.lit(float(n_docs))
+        )
+        out = (
+            joined.select(
+                "term", "foreground", "background",
+                (lift * F.log(F.lit(1.0) + F.col("foreground")))
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(limit)
+        )
+        return out, [("score", "desc"), ("term", "asc")]
 
     def _c_fetch(self, node: Call):
         if not node.args or isinstance(node.args[0], Call):

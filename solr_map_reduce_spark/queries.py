@@ -4574,6 +4574,49 @@ def ext_stream_select_eval(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_stream_sigterms",
+    f"""WITH toks AS (
+          SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents
+        ),
+        fgdocs AS (SELECT doc_id, t FROM toks WHERE lang = 'de'),
+        fg AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS foreground
+          FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM fgdocs)
+          GROUP BY term
+        ),
+        bg AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS background
+          FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+          GROUP BY term
+        ),
+        tot AS (
+          SELECT CAST((SELECT count(*) FROM fgdocs) AS DOUBLE) AS fgn,
+                 CAST((SELECT count(*) FROM toks) AS DOUBLE) AS n
+        )
+       SELECT term, foreground, background,
+              round((foreground / fgn) / (background / n)
+                    * ln(1.0 + foreground), 6) AS score
+       FROM fg JOIN bg USING (term) CROSS JOIN tot
+       WHERE background >= 5
+       ORDER BY (foreground / fgn) / (background / n) * ln(1.0 + foreground)
+                DESC, term LIMIT 10""",
+    "Solr significantTerms stream source: terms over-represented in the "
+    "q=lang:de foreground vs the collection — foreground counts from one "
+    "explode/groupBy over the pruned scan, background dfs straight from "
+    "the stored term-dictionary sidecar (no second corpus pass), scored "
+    "by lift * ln(1+fg)",
+)
+def ext_stream_sigterms(spark, sf_dir):
+    out = _stream_compiler(spark, sf_dir).run(
+        'significantTerms(documents, q="lang:de", limit=10, minDocFreq=5)'
+    )
+    return out.select(
+        "term", "foreground", "background",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _stream_compiler_events(spark, sf_dir):
     from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
 

@@ -251,3 +251,33 @@ class TestSearchIndexSource:
             'search(docs, q="spark", fq="grp:a", fl="id")'
         ).collect()
         assert [r["id"] for r in rows] == ["1"]
+
+    def test_significant_terms(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("grp", "string")),
+            unique_key="id",
+        )
+        # 'rare' appears in 2/2 foreground docs but 2/6 overall (high
+        # lift); 'common' appears everywhere (lift 1)
+        rows = [("1", "rare common", "fg"), ("2", "rare common", "fg"),
+                ("3", "common", "bg"), ("4", "common", "bg"),
+                ("5", "common", "bg"), ("6", "common", "bg")]
+        df = spark.createDataFrame(rows, "id string, text string, grp string")
+        out = str(tmp_path / "sig")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        comp = StreamCompiler({"docs": SearchIndex.open(spark, out)})
+        got = comp.run(
+            'significantTerms(docs, q="grp:fg", limit=5, minDocFreq=1)'
+        ).collect()
+        assert got[0]["term"] == "rare"
+        assert got[0]["foreground"] == 2 and got[0]["background"] == 2
+        by_term = {r["term"]: r["score"] for r in got}
+        assert by_term["rare"] > by_term["common"]
+        with pytest.raises(QuerySyntaxError, match="SearchIndex source"):
+            StreamCompiler({"plain": df}).run("significantTerms(plain)")
