@@ -41,6 +41,8 @@ cartesianProduct    explode_outer of a multi-valued field
 timeseries          date_trunc bucket + agg (gap=+1HOUR/DAY/MONTH/YEAR)
 significantTerms    foreground explode/groupBy vs stored-dictionary
                     background dfs, scored by lift * ln(1+fg)
+nodes               one graph hop: frontier semi-join + gather distinct
+                    (nest for multi-hop, Solr's own composition)
 ==================  =====================================================
 
 Scale: the DSL introduces ZERO new execution machinery — every compiled
@@ -364,7 +366,7 @@ class StreamCompiler:
                 "search, select, rollup, facet, unique, top, sort, "
                 "having, innerJoin, leftOuterJoin, hashJoin, merge, "
                 "fetch, intersect, complement, stats, cartesianProduct, "
-                "timeseries, significantTerms"
+                "timeseries, significantTerms, nodes"
             )
         return fn(node)
 
@@ -669,6 +671,50 @@ class StreamCompiler:
             col, name = _metric_col(mt)
             aggs.append(col.alias(name))
         return df.groupBy(bucket).agg(*aggs), [(fld, "asc")]
+
+    def _c_nodes(self, node: Call):
+        """Solr nodes()/gatherNodes: ONE breadth-first hop — from the
+        incoming stream's ``walk`` source values, find docs in the
+        collection whose walk-destination field matches, and emit the
+        distinct ``gather`` field values as ``node`` (nest nodes()
+        calls for multi-hop, Solr's own composition).  Optional metric
+        args (count(*), sum(x)...) aggregate per gathered node instead
+        of deduping.
+
+        Plan: the frontier (distinct walk values) semi-joins the
+        collection scan — AQE broadcasts small frontiers; per-hop cost
+        scales with the frontier's matches, not the collection."""
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("nodes() needs a collection name first")
+        src = self._source(node.args[0])
+        base = src if isinstance(src, DataFrame) else src.df()
+        stream, _sort = self._stream_arg(node)
+        walk = node.kwargs.get("walk")
+        gather = node.kwargs.get("gather")
+        if not walk or "->" not in walk:
+            raise QuerySyntaxError('nodes() needs walk="srcCol->destField"')
+        if not gather:
+            raise QuerySyntaxError("nodes() needs gather=<field>")
+        src_col, dest_f = (p.strip() for p in walk.split("->", 1))
+        frontier = (
+            stream.select(F.col(src_col).alias(dest_f))
+            .filter(F.col(dest_f).isNotNull())
+            .distinct()
+        )
+        matched = base.join(frontier, on=dest_f, how="left_semi")
+        metrics = [a for a in node.args
+                   if isinstance(a, Call) and a.name in _METRICS]
+        if metrics:
+            aggs = []
+            for m in metrics:
+                col, name = _metric_col(m)
+                aggs.append(col.alias(name))
+            out = (
+                matched.groupBy(F.col(gather).alias("node")).agg(*aggs)
+            )
+        else:
+            out = matched.select(F.col(gather).alias("node")).distinct()
+        return out, [("node", "asc")]
 
     def _c_significantTerms(self, node: Call):  # noqa: N802
         """Solr significantTerms(): terms over-represented in the

@@ -4447,6 +4447,7 @@ def _stream_compiler(spark, sf_dir):
         "documents": _docs_search_index(spark, sf_dir),
         "orders": t(spark, sf_dir, "orders"),
         "customer": t(spark, sf_dir, "customer"),
+        "lineitem": t(spark, sf_dir, "lineitem"),
     })
 
 
@@ -4614,6 +4615,31 @@ def ext_stream_sigterms(spark, sf_dir):
     return out.select(
         "term", "foreground", "background",
         F.round("score", 6).alias("score"),
+    )
+
+
+@_register(
+    "ext_stream_nodes",
+    """WITH cust AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
+        ords AS (
+          SELECT DISTINCT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM cust)
+        )
+       SELECT l_partkey AS node, CAST(count(*) AS BIGINT) AS "count(*)"
+       FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+       GROUP BY 1""",
+    "Solr graph expression nodes() nested two hops deep: nation-1 "
+    "customers -> their orders -> parts on those orders, with a count "
+    "aggregation on the final gather — each hop is a frontier semi-join "
+    "AQE broadcasts, per-hop cost scales with the frontier not the "
+    "collection",
+)
+def ext_stream_nodes(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'nodes(lineitem, nodes(orders, having(search(customer, '
+        'fl="c_custkey,c_nationkey"), eq(c_nationkey, 1)), '
+        'walk="c_custkey->o_custkey", gather="o_orderkey"), '
+        'walk="node->l_orderkey", gather="l_partkey", count(*))'
     )
 
 

@@ -215,6 +215,29 @@ class TestCompile:
         with pytest.raises(QuerySyntaxError, match="unsupported gap"):
             c.run('timeseries(ev, field=ts, gap="+7DAYS", count(*))')
 
+    def test_nodes_one_hop_and_nested(self, spark):
+        people = spark.createDataFrame(
+            [(1, "mgr1"), (2, "mgr1"), (3, "mgr2")], "pid long, mgr string"
+        )
+        mgrs = spark.createDataFrame(
+            [("mgr1", "dirA"), ("mgr2", "dirB"), ("mgr3", "dirA")],
+            "mid string, director string",
+        )
+        c = StreamCompiler({"people": people, "mgrs": mgrs})
+        # hop: people's mgr values -> mgrs docs -> gather director
+        got = [r["node"] for r in c.run(
+            'nodes(mgrs, search(people), walk="mgr->mid", gather="director")'
+        ).collect()]
+        assert got == ["dirA", "dirB"]  # distinct, sorted; mgr3 unreached
+        # with a metric: traversal counts per node
+        rows = c.run(
+            'nodes(mgrs, search(people), walk="mgr->mid", gather="director", '
+            "count(*))"
+        ).collect()
+        assert {r["node"]: r["count(*)"] for r in rows} == {"dirA": 1, "dirB": 1}
+        with pytest.raises(QuerySyntaxError, match="walk="):
+            c.run('nodes(mgrs, search(people), gather="director")')
+
     def test_unknown_decorator_and_collection(self, comp):
         with pytest.raises(QuerySyntaxError, match="unknown stream decorator"):
             comp.run("nope(search(people))")
