@@ -43,6 +43,8 @@ significantTerms    foreground explode/groupBy vs stored-dictionary
                     background dfs, scored by lift * ln(1+fg)
 nodes               one graph hop: frontier semi-join + gather distinct
                     (nest for multi-hop, Solr's own composition)
+shortestPath        level-synchronous BFS over an edge collection —
+                    one join per level, cycle-pruned, maxDepth-bounded
 ==================  =====================================================
 
 Scale: the DSL introduces ZERO new execution machinery — every compiled
@@ -366,7 +368,7 @@ class StreamCompiler:
                 "search, select, rollup, facet, unique, top, sort, "
                 "having, innerJoin, leftOuterJoin, hashJoin, merge, "
                 "fetch, intersect, complement, stats, cartesianProduct, "
-                "timeseries, significantTerms, nodes"
+                "timeseries, significantTerms, nodes, shortestPath"
             )
         return fn(node)
 
@@ -671,6 +673,61 @@ class StreamCompiler:
             col, name = _metric_col(mt)
             aggs.append(col.alias(name))
         return df.groupBy(bucket).agg(*aggs), [(fld, "asc")]
+
+    def _c_shortestPath(self, node: Call):  # noqa: N802
+        """Solr shortestPath(): all SHORTEST paths between two node ids
+        over an edge collection (each doc one edge,
+        ``edge="fromField=toField"``), bounded by ``maxDepth``
+        (Solr's default 4).  Level-synchronous BFS: each level is one
+        distributed join frontier×edges (cycle-pruned, deduped,
+        lineage-cut with localCheckpoint); the driver only tests
+        level-reached — the per-level barrier IS breadth-first search's
+        semantics, same shape as the IVF trainer's iterations.  Returns
+        ``path`` tuples (array of node ids, from AND to inclusive);
+        empty result when no path within maxDepth."""
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("shortestPath() needs a collection name")
+        src = self._source(node.args[0])
+        base = src if isinstance(src, DataFrame) else src.df()
+        frm, to = node.kwargs.get("from"), node.kwargs.get("to")
+        edge = node.kwargs.get("edge")
+        depth = int(node.kwargs.get("maxDepth", 4))
+        if not frm or not to or not edge or "=" not in edge:
+            raise QuerySyntaxError(
+                'shortestPath() needs from=, to=, edge="fromField=toField"'
+            )
+        f1, f2 = (p.strip() for p in edge.split("=", 1))
+        edges = (
+            base.select(
+                F.col(f1).cast("string").alias("_src"),
+                F.col(f2).cast("string").alias("_dst"),
+            )
+            .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+            .distinct()
+        )
+        spark = base.sparkSession
+        frontier = spark.createDataFrame(
+            [(frm, [frm])], "node string, path array<string>"
+        )
+        empty = spark.createDataFrame([], "path array<string>")
+        if frm == to:
+            return frontier.select("path"), None
+        for _level in range(depth):
+            stepped = (
+                frontier.join(edges, frontier.node == edges._src)
+                .filter(~F.array_contains(frontier.path, edges._dst))
+                .select(
+                    edges._dst.alias("node"),
+                    F.concat(frontier.path, F.array(edges._dst)).alias("path"),
+                )
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            hits = stepped.filter(F.col("node") == to).select("path")
+            if hits.limit(1).count():  # level reached: these ARE shortest
+                return hits, None
+            frontier = stepped
+        return empty, None
 
     def _c_nodes(self, node: Call):
         """Solr nodes()/gatherNodes: ONE breadth-first hop — from the

@@ -4643,6 +4643,52 @@ def ext_stream_nodes(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_stream_shortest_path",
+    """WITH RECURSIVE edges AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS f,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS t FROM customer
+          UNION ALL
+          SELECT 'n' || CAST(s_nationkey AS VARCHAR),
+                 's' || CAST(s_suppkey AS VARCHAR) FROM supplier
+        ),
+        walk AS (
+          SELECT 'c1' AS node, ['c1'] AS path, 0 AS d
+          UNION ALL
+          SELECT e.t, list_append(w.path, e.t), w.d + 1
+          FROM walk w JOIN edges e ON e.f = w.node
+          WHERE w.d < 4 AND NOT list_contains(w.path, e.t)
+            AND w.node <> 's11'
+        ),
+        hit AS (SELECT path, d FROM walk WHERE node = 's11'),
+        best AS (SELECT min(d) AS md FROM hit)
+       SELECT array_to_string(path, '->') AS path FROM hit, best
+       WHERE d = md""",
+    "Solr graph shortestPath() over a bipartite customer->nation->"
+    "supplier edge set: level-synchronous BFS, one distributed "
+    "frontier-x-edges join per level (cycle-pruned, lineage-cut), "
+    "mirrored by a DuckDB recursive CTE — c1 reaches s11 through their "
+    "shared nation in exactly 2 hops",
+)
+def ext_stream_shortest_path(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    c = t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("from_id"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("to_id"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("from_id"),
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("to_id"),
+    )
+    comp = StreamCompiler({"graph": c.unionByName(s)})
+    out = comp.run(
+        'shortestPath(graph, from="c1", to="s11", edge="from_id=to_id", '
+        "maxDepth=4)"
+    )
+    return out.select(F.array_join("path", "->").alias("path"))
+
+
 def _stream_compiler_events(spark, sf_dir):
     from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
 

@@ -238,6 +238,32 @@ class TestCompile:
         with pytest.raises(QuerySyntaxError, match="walk="):
             c.run('nodes(mgrs, search(people), gather="director")')
 
+    def test_shortest_path(self, spark):
+        # a -> b -> d and a -> c -> d (two shortest), plus a longer
+        # a -> e -> f -> d that must NOT be returned
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+             ("a", "e"), ("e", "f"), ("f", "d")],
+            "src string, dst string",
+        )
+        c = StreamCompiler({"g": edges})
+        rows = c.run(
+            'shortestPath(g, from="a", to="d", edge="src=dst", maxDepth=4)'
+        ).collect()
+        got = sorted(tuple(r["path"]) for r in rows)
+        assert got == [("a", "b", "d"), ("a", "c", "d")]
+        # no path within depth
+        assert c.run(
+            'shortestPath(g, from="d", to="a", edge="src=dst", maxDepth=3)'
+        ).count() == 0
+        # from == to: the trivial path
+        triv = c.run(
+            'shortestPath(g, from="a", to="a", edge="src=dst")'
+        ).collect()
+        assert [tuple(r["path"]) for r in triv] == [("a",)]
+        with pytest.raises(QuerySyntaxError, match="needs from="):
+            c.run('shortestPath(g, from="a", to="d")')
+
     def test_unknown_decorator_and_collection(self, comp):
         with pytest.raises(QuerySyntaxError, match="unknown stream decorator"):
             comp.run("nope(search(people))")
