@@ -99,6 +99,38 @@ def main() -> None:
         'n=3, sort="o_orderkey asc"), fl="c_name", on="o_custkey=c_custkey")'
     ), n=3)
 
+    show("select evaluators: computed tuple fields", comp.run(
+        'top(select(search(orders, fl="o_orderkey,o_totalprice"), '
+        "o_orderkey, if(gt(o_totalprice, 300000), div(o_totalprice, 1000), "
+        '0) as bucket_k), n=3, sort="bucket_k desc, o_orderkey asc")'
+    ), n=3)
+
+    show("significantTerms: German-doc terms vs the collection", comp.run(
+        'significantTerms(docs, q="lang:de", limit=5, minDocFreq=3)'
+    ))
+
+    show("nodes: customers of nation 1 -> their orders (one graph hop)",
+         comp.run(
+             'nodes(orders, having(search(customer, '
+             'fl="c_custkey,c_nationkey"), eq(c_nationkey, 1)), '
+             'walk="c_custkey->o_custkey", gather="o_orderkey", count(*))'
+         ), n=3)
+
+    # shortestPath over a customer->nation->supplier bipartite edge set
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("from_id"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("to_id"),
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("from_id"),
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("to_id"),
+    )
+    gcomp = StreamCompiler({"graph": c.unionByName(sup)})
+    show("shortestPath: customer c1 to a same-nation supplier", gcomp.run(
+        'shortestPath(graph, from="c1", to="s1", edge="from_id=to_id", '
+        "maxDepth=4)"
+    ).select(F.array_join("path", "->").alias("path")), n=3)
+
     print("\nstream-expression tour complete")
 
 
