@@ -153,11 +153,10 @@ _VERDICT_PRIORITY = [
     "ext_stream_timeseries", "ext_stream_complement",
     "ext_stream_select_eval", "c9_qop_and", "c9_sort_function",
     "ext_dismax_mm", "c9_stats_percentiles", "ext_stream_sigterms",
-    "ext_stream_nodes", "ext_stream_shortest_path",
+    "ext_stream_nodes", "ext_stream_shortest_path", "ext_topic_pull",
     # (c) last checked r05
-    "ext_percentiles",
-    # r05 overflow (window_rolling_sum, ext_multimodal_decode,
-    # q7_volume_shipping, q8_market_share,
+    # r05 overflow (ext_percentiles, window_rolling_sum,
+    # ext_multimodal_decode, q7_volume_shipping, q8_market_share,
     # q9_profit_by_nation, q10_returned_items,
     # q13_order_distribution, q15_top_supplier, q17_small_qty_revenue,
     # q19_discounted_revenue, q20_heavy_part_suppliers, q21_last_shipper,

@@ -2162,3 +2162,69 @@ class MultiIndex:
             .orderBy(*order)
         )
         return out.limit(top) if top is not None else out
+
+
+class Topic:
+    """Solr TopicStream analog: CHECKPOINTED incremental pull of
+    (query-matching) documents from a versioned artifact — subscribe-like
+    consumption without rescanning: each ``pull()`` returns only docs
+    whose ``_version_`` exceeds the checkpoint, and ``commit()`` advances
+    it after the caller has processed the batch (at-least-once delivery,
+    Solr's topic contract).
+
+    Requires the artifact be built with ``doc_versions=True``
+    (``_version_`` = the generation that wrote each doc; merges stamp
+    only their batch, atomic updates bump matched docs, compaction
+    preserves values — so a rewrite never re-delivers untouched docs).
+
+    Scale: the version filter is a plain pushed parquet predicate over
+    the (Bloom-pruned, when ``q`` is given) scan — a pull after a small
+    merge reads row groups whose ``_version_`` max admits the watermark,
+    not the corpus.  The checkpoint is one tiny JSON the consumer owns.
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, checkpoint: str,
+        q: str | None = None, field: str | None = None,
+    ):
+        from solr_map_reduce_spark.indexing import VERSION_COL
+
+        self.spark, self.path, self.checkpoint = spark, path, checkpoint
+        self.q, self.field = q, field
+        self._vcol = VERSION_COL
+
+    def _last(self) -> int:
+        from solr_map_reduce_spark.fs import get_fs
+
+        fs = get_fs(self.checkpoint, self.spark)
+        if fs.exists(self.checkpoint):
+            return int(json.loads(fs.read_text(self.checkpoint))["version"])
+        return 0
+
+    def pull(self) -> tuple[DataFrame, int]:
+        """``(batch, watermark)``: docs newer than the checkpoint, and
+        the version watermark to :meth:`commit` once they're processed.
+        An empty batch returns the current watermark unchanged-safe:
+        committing it is a no-op advance."""
+        idx = SearchIndex.open(self.spark, self.path)
+        scan = (
+            idx._query_scan(self.q, self.field)
+            if self.q is not None
+            else idx.df()
+        )
+        if self._vcol not in scan.columns:
+            raise ValueError(
+                f"artifact {self.path!r} has no {self._vcol} column — "
+                "build it with IndexJobConfig(doc_versions=True)"
+            )
+        last = self._last()
+        high = int(idx.manifest.get("generation", 0))
+        return scan.filter(F.col(self._vcol) > last), high
+
+    def commit(self, watermark: int) -> None:
+        """Advance the checkpoint (call AFTER processing the batch —
+        crashing before commit re-delivers, never loses)."""
+        from solr_map_reduce_spark.fs import get_fs
+
+        fs = get_fs(self.checkpoint, self.spark)
+        fs.write_text(self.checkpoint, json.dumps({"version": int(watermark)}))

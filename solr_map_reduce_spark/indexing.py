@@ -46,6 +46,7 @@ from solr_map_reduce_spark.schema import IndexSchema
 
 SHARD_COL = "shard"
 MICRO_COL = "_micro_shard"
+VERSION_COL = "_version_"  # Solr's per-doc version (the writing generation)
 MANIFEST = "_INDEX_MANIFEST.json"
 TOKENS_SUFFIX = "__tokens"
 # Solr fieldTypes whose values are analyzed at index time (schema.xml
@@ -115,6 +116,14 @@ class IndexJobConfig:
     # At 100 TB prefer "zstd": ~30-40% smaller files for a few % CPU — the
     # scan is I/O-bound at scale, so smaller wins.
     codec: str | None = None
+    # Stamp every document with `_version_` = the artifact generation that
+    # (re)wrote it — Solr's _version_ field.  merge_into stamps only the
+    # batch (replaced docs take the new version), update_fields bumps
+    # matched docs, compaction preserves values.  Enables Topic
+    # (checkpointed incremental pull): consumers read docs with
+    # _version_ > checkpoint — CDC-style downstream processing without
+    # rescanning the artifact.
+    doc_versions: bool = False
 
     def __post_init__(self) -> None:
         micro = self.micro_shards or self.shards
@@ -316,6 +325,26 @@ class IndexJob:
         writer.parquet(path)
         return self._manifest(out, path)
 
+    def _next_generation(self, path: str, mode: str = "append") -> int:
+        """The generation number the NEXT write to ``path`` will record —
+        ``_manifest``'s increment, computed up front so doc versions can
+        be stamped into the data before the manifest exists.  An
+        overwrite build wipes the directory (manifest included), so its
+        generation restarts at 1; append/merge continue the lineage."""
+        if mode == "overwrite":
+            return 1
+        try:
+            fs = get_fs(path, None)
+            if fs.exists(fs_join(path, MANIFEST)):
+                return 1 + int(
+                    json.loads(fs.read_text(fs_join(path, MANIFEST))).get(
+                        "generation", 0
+                    )
+                )
+        except Exception:
+            pass
+        return 1
+
     def build(
         self,
         df: DataFrame,
@@ -324,6 +353,13 @@ class IndexJob:
         mode: str = "overwrite",
     ) -> dict:
         routed = self.route(df, generate_keys_from)
+        if self.config.doc_versions:
+            # stamp AFTER route (the stamp is not a schema field); the
+            # value mirrors the generation this write will produce:
+            # overwrite restarts at 1, append continues the lineage
+            routed = routed.withColumn(
+                VERSION_COL, F.lit(self._next_generation(path, mode))
+            )
         if self.config.dedup in ("retain_most_recent", "none") and (
             self.config.dedup == "none" or self.config.order_field in routed.columns
         ):
@@ -427,6 +463,13 @@ class IndexJob:
             "merge_into",
         )
         prepared = self.route(df, generate_keys_from).drop(MICRO_COL)
+        if self.config.doc_versions:
+            # only the BATCH takes the new version; pre-existing rows keep
+            # theirs (replaced docs resolve to the batch row, so a replace
+            # bumps — Solr's _version_ contract)
+            prepared = prepared.withColumn(
+                VERSION_COL, F.lit(self._next_generation(path))
+            )
         touched = sorted(
             r[0] for r in prepared.select(SHARD_COL).distinct().collect()
         )
@@ -682,6 +725,15 @@ class IndexJob:
                 out_cols.append(
                     F.when(F.col("_matched"), new).otherwise(sv).alias(c)
                 )
+            elif c == VERSION_COL:
+                # a versioned artifact: an atomic update BUMPS the matched
+                # doc's _version_ (Solr's contract) so Topic consumers
+                # re-deliver it
+                out_cols.append(
+                    F.when(F.col("_matched"), F.lit(self._next_generation(path)))
+                    .otherwise(current[c])
+                    .alias(c)
+                )
             else:
                 out_cols.append(current[c])
         updated = joined.select(*out_cols)
@@ -689,6 +741,7 @@ class IndexJob:
             # absent keys become new docs: typed NULL for every
             # un-supplied column
             cur_schema = {f.name: f.dataType for f in current.schema.fields}
+            next_gen = self._next_generation(path)
             full = inserts.select(
                 *[
                     (
@@ -697,6 +750,8 @@ class IndexJob:
                         # with the removal list as the value
                         F.lit(None).cast(cur_schema[c])
                         if ops.get(c) == "remove"
+                        else F.lit(next_gen).cast(cur_schema[c])
+                        if c == VERSION_COL
                         else F.col(c)
                         if c in inserts.columns
                         else F.lit(None).cast(cur_schema[c])

@@ -4689,6 +4689,44 @@ def ext_stream_shortest_path(spark, sf_dir):
     return out.select(F.array_join("path", "->").alias("path"))
 
 
+@_register(
+    "ext_topic_pull",
+    """SELECT doc_id FROM documents WHERE doc_id % 5 = 0""",
+    "Solr TopicStream analog: checkpointed incremental pull over a "
+    "doc_versions artifact — after the first pull commits, a merge of "
+    "the doc_id%5==0 batch re-delivers EXACTLY those docs (replaced "
+    "evens bump their _version_, odd multiples of 5 are new); the "
+    "version filter is one pushed parquet predicate",
+)
+def ext_topic_pull(spark, sf_dir):
+    import os
+    import tempfile
+
+    from solr_map_reduce_spark.index_reader import Topic
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+    schema = IndexSchema(
+        fields=(Field("doc_id", "long", required=True),
+                Field("text", "text_general"),
+                Field("lang", "string")),
+        unique_key="doc_id",
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = tempfile.mkdtemp(prefix="smrs_topic_")
+    path = os.path.join(base, "idx")
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=2, dedup="none",
+                       doc_versions=True)
+    )
+    job.build(docs.filter(F.col("doc_id") % 2 == 0), path)
+    topic = Topic(spark, path, os.path.join(base, "ckpt.json"))
+    _first, wm = topic.pull()
+    topic.commit(wm)
+    job.merge_into(docs.filter(F.col("doc_id") % 5 == 0), path)
+    batch, _wm2 = topic.pull()
+    return batch.select("doc_id")
+
+
 def _stream_compiler_events(spark, sf_dir):
     from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
 
