@@ -226,6 +226,25 @@ def build_parser() -> argparse.ArgumentParser:
     stm.add_argument("--limit", type=int, default=None,
                      help="cap printed rows (the plan is unchanged)")
 
+    top = sub.add_parser(
+        "topic",
+        help="checkpointed incremental pull from a doc_versions artifact "
+             "(Solr TopicStream): prints docs newer than the checkpoint; "
+             "--commit advances it afterwards",
+    )
+    top.add_argument("--path", required=True, help="versioned artifact")
+    top.add_argument("--checkpoint", required=True,
+                     help="checkpoint JSON path (consumer-owned)")
+    top.add_argument("--q", default=None, help="optional boolean query scope")
+    top.add_argument("--field", default=None, help="default query field")
+    top.add_argument("--select", nargs="*", default=None, help="fl projection")
+    top.add_argument("--limit", type=int, default=None,
+                     help="cap printed rows (checkpoint still covers ALL "
+                          "pulled versions — use only with --no-commit "
+                          "inspection)")
+    top.add_argument("--commit", action="store_true",
+                     help="advance the checkpoint after printing")
+
     prof = sub.add_parser(
         "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
     )
@@ -492,6 +511,26 @@ def main(argv: list[str] | None = None) -> int:
             out = out.limit(args.limit)
         for r in out.collect():
             print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.command == "topic":
+        from solr_map_reduce_spark.index_reader import Topic
+
+        topic = Topic(spark, args.path, args.checkpoint,
+                      q=args.q, field=args.field)
+        batch, wm = topic.pull()
+        if args.select:
+            batch = batch.select(*args.select)
+        if args.limit is not None:
+            batch = batch.limit(args.limit)
+        n = 0
+        for r in batch.collect():
+            print(json.dumps(r.asDict(), default=str))
+            n += 1
+        if args.commit:
+            topic.commit(wm)
+        print(json.dumps({"pulled": n, "watermark": wm,
+                          "committed": bool(args.commit)}), file=sys.stderr)
         return 0
 
     if args.command == "profile":

@@ -597,3 +597,44 @@ def test_cli_stream_expression(capsys, sf_dir):
 
     with pytest.raises(SystemExit, match="NAME=PATH"):
         main(["stream", "--expr", "search(x)", "--collection", "nope"])
+
+
+def test_cli_topic_pull_commit(capsys, spark, sf_dir, tmp_path):
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.cli import main
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("doc_id", "long", required=True),
+                Field("text", "text_general")),
+        unique_key="doc_id",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt.json")
+    job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none",
+                                  doc_versions=True))
+    job.build(docs.filter(F.col("doc_id") % 2 == 0), path)
+    rc = main(["topic", "--path", path, "--checkpoint", ckpt,
+               "--select", "doc_id", "--commit"])
+    assert rc == 0
+    first = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert all(r["doc_id"] % 2 == 0 for r in first) and first
+
+    job.merge_into(docs.filter(F.col("doc_id") % 100 == 0), path)
+    rc = main(["topic", "--path", path, "--checkpoint", ckpt,
+               "--select", "doc_id"])
+    assert rc == 0
+    second = sorted(_json.loads(l)["doc_id"]
+                    for l in capsys.readouterr().out.splitlines()
+                    if l.startswith("{"))
+    want = sorted(r["doc_id"] for r in
+                  docs.filter(F.col("doc_id") % 100 == 0).collect())
+    assert second == want
