@@ -245,6 +245,22 @@ def build_parser() -> argparse.ArgumentParser:
     top.add_argument("--commit", action="store_true",
                      help="advance the checkpoint after printing")
 
+    bak = sub.add_parser(
+        "backup",
+        help="consistent point-in-time artifact copy (runs under the "
+             "mutation lock; crash-safe staged rename)",
+    )
+    bak.add_argument("--path", required=True, help="artifact to back up")
+    bak.add_argument("--dest", required=True, help="backup destination dir")
+
+    rst = sub.add_parser(
+        "restore",
+        help="promote a backup to the live location (atomic publish "
+             "swap; the backup stays intact)",
+    )
+    rst.add_argument("--backup", required=True, help="completed backup dir")
+    rst.add_argument("--path", required=True, help="live artifact location")
+
     prof = sub.add_parser(
         "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
     )
@@ -328,6 +344,28 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         print(json.dumps({"type": args.type, "text": text,
                           "tokens": kernel(text)}, ensure_ascii=False))
+        return 0
+
+    if args.command in ("backup", "restore"):
+        # control-plane only: local paths need no Spark session; URI
+        # schemes (hdfs://, s3a://) go through the session's Hadoop FS
+        from urllib.parse import urlparse
+
+        from solr_map_reduce_spark.indexing import backup, restore
+
+        paths = (
+            (args.path, args.dest) if args.command == "backup"
+            else (args.backup, args.path)
+        )
+        sess = None
+        if any(urlparse(str(p)).scheme for p in paths):
+            from solr_map_reduce_spark.session import get_spark
+
+            sess = get_spark(app_name=f"smrs-cli-{args.command}")
+        if args.command == "backup":
+            print(json.dumps(backup(args.path, args.dest, sess)))
+        else:
+            print(json.dumps(restore(args.backup, args.path, sess)))
         return 0
 
     if args.command == "unlock":

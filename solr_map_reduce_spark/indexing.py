@@ -1224,6 +1224,89 @@ def compact(
         bump_generation(fs, path)
 
 
+BACKUP_META = "_BACKUP_META.json"
+
+
+def _copy_tree(fs, src: str, dst: str, skip: "tuple[str, ...]" = ()) -> int:
+    """Recursive artifact copy through the control-plane FS (one code
+    path for local and Hadoop schemes).  Returns files copied."""
+    fs.mkdirs(dst)
+    n = 0
+    for name in fs.listdir(src):
+        if name in skip:
+            continue
+        s, d = fs_join(src, name), fs_join(dst, name)
+        if fs.isdir(s):
+            n += _copy_tree(fs, s, d)
+        else:
+            fs.copy_file(s, d)
+            n += 1
+    return n
+
+
+def backup(path: str, dest: str, spark: SparkSession | None = None) -> dict:
+    """Solr ``/replication?command=backup`` analog: a CONSISTENT
+    point-in-time copy of the artifact (data + manifest + every serving
+    sidecar) at ``dest``.
+
+    Consistency: the copy runs under the artifact's MUTATION LOCK, so a
+    concurrent merge/delete/update cannot swap shard directories
+    mid-copy (Solr pins the snapshot's file list against commits the
+    same way).  Crash-safe: files land in ``dest + '._tmp'`` and the
+    finished tree is atomically renamed into place with the backup
+    metadata (source generation + id, file count) written last — a
+    half-copied backup is never mistaken for a complete one.
+
+    The lock serializes backup against MUTATIONS (and other backups);
+    readers are unaffected (parquet files are immutable between swaps).
+    At 100 TB prefer filesystem-level snapshots where available; this
+    path is the portable contract."""
+    fs = get_fs(path, spark)
+    if not fs.exists(fs_join(path, MANIFEST)):
+        raise ValueError(f"{path!r} is not an index artifact (no manifest)")
+    if fs.exists(dest):
+        raise ValueError(f"backup dest {dest!r} already exists")
+    with _mutation_lock(fs, path, "backup"):
+        manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
+        tmp = dest.rstrip("/") + "._tmp"
+        if fs.exists(tmp):
+            fs.delete(tmp)
+        # the lock file itself must not be carried into the copy — a
+        # restored artifact would look locked by a long-dead mutator
+        n = _copy_tree(fs, path, tmp, skip=(MUTATION_LOCK,))
+        meta = {
+            "source": path,
+            "generation": manifest.get("generation"),
+            "generation_id": manifest.get("generation_id"),
+            "files": n,
+        }
+        fs.write_text(fs_join(tmp, BACKUP_META), json.dumps(meta, indent=2))
+        fs.rename(tmp, dest)
+        return meta
+
+
+def restore(backup_path: str, live_path: str,
+            spark: SparkSession | None = None) -> dict:
+    """Solr ``/replication?command=restore`` analog: promote a backup to
+    the live location via the atomic publish swap, leaving the BACKUP
+    intact (it copies to a staging sibling first — a failed restore
+    never consumes the backup).  The REPLACED live artifact is dropped
+    on success (publish's contract; it survives at ``._prev`` only if
+    the swap crashes mid-flight) — back it up first if it matters."""
+    fs = get_fs(backup_path, spark)
+    if not fs.exists(fs_join(backup_path, BACKUP_META)):
+        raise ValueError(
+            f"{backup_path!r} is not a completed backup (no {BACKUP_META})"
+        )
+    meta = json.loads(fs.read_text(fs_join(backup_path, BACKUP_META)))
+    staging = live_path.rstrip("/") + "._restore_tmp"
+    if fs.exists(staging):
+        fs.delete(staging)
+    _copy_tree(fs, backup_path, staging, skip=(BACKUP_META,))
+    publish(staging, live_path, spark)
+    return meta
+
+
 def publish(staging_path: str, live_path: str, spark: SparkSession | None = None) -> None:
     """A21/A22 publish: atomically promote a staged artifact to the live
     location (rename-swap + _SUCCESS marker) — the go-live analog.  Merging

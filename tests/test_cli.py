@@ -638,3 +638,35 @@ def test_cli_topic_pull_commit(capsys, spark, sf_dir, tmp_path):
     want = sorted(r["doc_id"] for r in
                   docs.filter(F.col("doc_id") % 100 == 0).collect())
     assert second == want
+
+
+def test_cli_backup_restore(capsys, spark, tmp_path):
+    import json as _json
+
+    from solr_map_reduce_spark.cli import main
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True),
+                Field("text", "text_general")),
+        unique_key="id",
+    )
+    live = str(tmp_path / "live")
+    bak = str(tmp_path / "bak")
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+        spark.createDataFrame([(str(i), "spark doc") for i in range(12)],
+                              "id string, text string"), live)
+    assert main(["backup", "--path", live, "--dest", bak]) == 0
+    meta = _json.loads([l for l in capsys.readouterr().out.splitlines()
+                        if l.startswith("{")][-1])
+    assert meta["generation"] == 1 and meta["files"] > 0
+
+    import shutil
+    shutil.rmtree(live)
+    assert main(["restore", "--backup", bak, "--path", live]) == 0
+    capsys.readouterr()
+    assert main(["query", "--path", live, "--count"]) == 0
+    count = _json.loads([l for l in capsys.readouterr().out.splitlines()
+                         if l.startswith("{")][-1])
+    assert count["count"] == 12
