@@ -239,9 +239,9 @@ def build_parser() -> argparse.ArgumentParser:
     top.add_argument("--field", default=None, help="default query field")
     top.add_argument("--select", nargs="*", default=None, help="fl projection")
     top.add_argument("--limit", type=int, default=None,
-                     help="cap printed rows (checkpoint still covers ALL "
-                          "pulled versions — use only with --no-commit "
-                          "inspection)")
+                     help="cap printed rows — inspection only; refuses to "
+                          "combine with --commit (the checkpoint would "
+                          "skip the unprinted rows)")
     top.add_argument("--commit", action="store_true",
                      help="advance the checkpoint after printing")
 
@@ -309,6 +309,12 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--fanout must be >= 2")
         if args.max_segments < 1:
             raise SystemExit("--max-segments must be >= 1")
+    elif args.command == "topic":
+        if args.limit is not None and args.commit:
+            raise SystemExit(
+                "--limit with --commit would advance the checkpoint past "
+                "rows that were never printed (permanent loss); drop one"
+            )
     elif args.command == "query":
         if args.q is not None and args.get is not None:
             raise SystemExit(

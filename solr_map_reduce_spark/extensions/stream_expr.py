@@ -172,10 +172,22 @@ def parse_stream_expr(s: str) -> Call:
                 w2 = read_ident()
                 if w2 and pos < n and s[pos] == "(":
                     pos = save2
-                    node.kwargs[word] = parse_call()
+                    val = parse_call()
                 else:
                     pos = save2
-                    node.kwargs[word] = read_raw()
+                    val = read_raw()
+                if word in node.kwargs:
+                    # Solr accepts REPEATED fq params (each an extra
+                    # filter); collapsing them in a dict would silently
+                    # drop filters.  Other duplicate keys are user error.
+                    if word != "fq":
+                        raise err(f"duplicate parameter {word!r}")
+                    prev = node.kwargs[word]
+                    node.kwargs[word] = (
+                        prev + [val] if isinstance(prev, list) else [prev, val]
+                    )
+                else:
+                    node.kwargs[word] = val
             else:
                 pos = save
                 raw = read_raw()
@@ -387,23 +399,37 @@ class StreamCompiler:
         return self.sources[name]
 
     # -- leaves -------------------------------------------------------
-    def _c_search(self, node: Call):
+    def _collection_scan(self, node: Call) -> DataFrame:
+        """THE one q/fq resolution for every collection-source decorator
+        (search/facet/stats/timeseries/significantTerms): args[0] names
+        the collection; a SearchIndex source gets the Bloom-pruned
+        compiled ``q=`` scan plus one filter per ``fq=``; a plain
+        DataFrame source accepts only ``q="*:*"`` and no ``fq`` — a
+        filter that cannot run is an ERROR, never silently unapplied."""
         if not node.args or isinstance(node.args[0], Call):
-            raise QuerySyntaxError("search() needs a collection name first")
+            raise QuerySyntaxError(
+                f"{node.name}() needs a collection name first"
+            )
         src = self._source(node.args[0])
         q = node.kwargs.get("q", "*:*")
+        fqs = node.kwargs.get("fq")
+        fqs = [] if fqs is None else (fqs if isinstance(fqs, list) else [fqs])
         if isinstance(src, DataFrame):
-            if q != "*:*":
+            if q != "*:*" or fqs:
                 raise QuerySyntaxError(
-                    "search(q=...) over a plain table source supports only "
-                    "q=\"*:*\"; register a SearchIndex for query pushdown"
+                    f"{node.name}(q=/fq=...) over a plain table source "
+                    "supports only q=\"*:*\" and no fq; register a "
+                    "SearchIndex for query pushdown"
                 )
-            df = src
-        else:  # SearchIndex: the Bloom-pruned compiled scan
-            df = src._query_scan(q) if q != "*:*" else src.df()
-            for fq in [v for k, v in node.kwargs.items() if k == "fq"]:
-                pred, _info, _f = src._compile_predicate(fq)
-                df = df.filter(pred)
+            return src
+        df = src._query_scan(q) if q != "*:*" else src.df()
+        for fq in fqs:
+            pred, _info, _f = src._compile_predicate(fq)
+            df = df.filter(pred)
+        return df
+
+    def _c_search(self, node: Call):
+        df = self._collection_scan(node)
         if "fl" in node.kwargs:
             df = df.select(*[c.strip() for c in node.kwargs["fl"].split(",")])
         sort = _sort_spec(node.kwargs["sort"]) if "sort" in node.kwargs else None
@@ -456,16 +482,7 @@ class StreamCompiler:
         return self._agg(node, keys, df), [(k, "asc") for k in keys]
 
     def _c_facet(self, node: Call):
-        if not node.args or isinstance(node.args[0], Call):
-            raise QuerySyntaxError("facet() needs a collection name first")
-        src = self._source(node.args[0])
-        q = node.kwargs.get("q", "*:*")
-        if isinstance(src, DataFrame):
-            df = src
-            if q != "*:*":
-                raise QuerySyntaxError("facet(q=...) needs a SearchIndex source")
-        else:
-            df = src._query_scan(q) if q != "*:*" else src.df()
+        df = self._collection_scan(node)
         buckets = node.kwargs.get("buckets")
         if not buckets:
             raise QuerySyntaxError("facet() needs buckets=")
@@ -605,16 +622,7 @@ class StreamCompiler:
     def _c_stats(self, node: Call):
         # Solr stats(): the metrics over the whole query result — one
         # global (map-side-combined) aggregate row
-        if not node.args or isinstance(node.args[0], Call):
-            raise QuerySyntaxError("stats() needs a collection name first")
-        src = self._source(node.args[0])
-        q = node.kwargs.get("q", "*:*")
-        if isinstance(src, DataFrame):
-            if q != "*:*":
-                raise QuerySyntaxError("stats(q=...) needs a SearchIndex source")
-            df = src
-        else:
-            df = src._query_scan(q) if q != "*:*" else src.df()
+        df = self._collection_scan(node)
         metrics = [a for a in node.args
                    if isinstance(a, Call) and a.name in _METRICS]
         if not metrics:
@@ -638,14 +646,12 @@ class StreamCompiler:
         return df.withColumn(f_, F.explode_outer(F.col(f"`{f_}`"))), sort
 
     def _c_timeseries(self, node: Call):
-        """Solr timeseries(): metrics per fixed time bucket.  ``gap``
-        accepts Solr's date-math units ``+Ng`` for g in HOUR/DAY/MONTH/
-        YEAR (e.g. ``+1DAY``); buckets are date_trunc'd — one groupBy
-        over the scan, identical shape to facet.range."""
-        if not node.args or isinstance(node.args[0], Call):
-            raise QuerySyntaxError("timeseries() needs a collection name")
-        src = self._source(node.args[0])
-        df = src if isinstance(src, DataFrame) else src.df()
+        """Solr timeseries(): metrics per fixed time bucket over the
+        ``q``-matching docs.  ``gap`` accepts Solr's date-math units
+        ``+Ng`` for g in HOUR/DAY/MONTH/YEAR (e.g. ``+1DAY``); buckets
+        are date_trunc'd — one groupBy over the (query-scoped) scan,
+        identical shape to facet.range."""
+        df = self._collection_scan(node)
         fld = node.kwargs.get("field")
         gap = node.kwargs.get("gap", "+1DAY")
         if not fld:
@@ -656,8 +662,7 @@ class StreamCompiler:
                 f"unsupported gap {gap!r}; supported: +1HOUR/+1DAY/+1MONTH/+1YEAR"
             )
         unit = m.group(2).lower()
-        trunc = {"hour": "hour", "day": "day",
-                 "month": "month", "year": "year"}[unit]
+        trunc = unit
         start, end = node.kwargs.get("start"), node.kwargs.get("end")
         if start:
             df = df.filter(F.col(fld) >= F.lit(start).cast("timestamp"))
@@ -798,12 +803,11 @@ class StreamCompiler:
                 "significantTerms() needs a SearchIndex source (stored "
                 "term dictionary + analyzed tokens)"
             )
-        q = node.kwargs.get("q", "*:*")
         field = node.kwargs.get("field")
         limit = int(node.kwargs.get("limit", 20))
         min_df = int(node.kwargs.get("minDocFreq", 5))
         max_df = node.kwargs.get("maxDocFreq")
-        fg = src._query_scan(q) if q != "*:*" else src.df()
+        fg = self._collection_scan(node)  # q= and fq= both honored
         tc = src._tokens_col(field)
         fg_terms = (
             fg.select(

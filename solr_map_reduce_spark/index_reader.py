@@ -1075,7 +1075,9 @@ class SearchIndex:
         lp = search.parse_local_params(q)
         if lp is not None:
             qtype, params, inner = lp
-            out = self._local_params_scan(qtype, params, inner, field, synonyms)
+            out = self._local_params_scan(
+                qtype, params, inner, field, synonyms, op
+            )
         else:
             pred, info, fname = self._compile_predicate(q, field, synonyms, op)
             if info["required"]:
@@ -1136,7 +1138,7 @@ class SearchIndex:
 
     def _local_params_scan(
         self, qtype: str, params: Mapping[str, str], inner: str,
-        field: str | None, synonyms,
+        field: str | None, synonyms, op: str = "OR",
     ) -> DataFrame:
         """Solr local-params query types over the artifact:
 
@@ -1221,7 +1223,7 @@ class SearchIndex:
             if not inner:
                 raise search.QuerySyntaxError("{!join} needs an inner query")
             keys = (
-                self._query_scan(inner, field, synonyms)
+                self._query_scan(inner, field, synonyms, op)
                 .filter(F.col(f_from).isNotNull())
                 .select(F.col(f_from).alias(f_to))
                 .distinct()
@@ -1236,13 +1238,15 @@ class SearchIndex:
                 raise search.QuerySyntaxError(
                     f"{{!{qtype}}} needs the {anchor}= parent-filter param"
                 )
-            parents_pred, _info, _f = self._compile_predicate(pf, field, synonyms)
+            parents_pred, _info, _f = self._compile_predicate(
+                pf, field, synonyms, op
+            )
             base = self.df()
             if qtype == "parent":
                 matched = base.filter(~parents_pred)
                 if inner:
                     child_pred, _i, _f2 = self._compile_predicate(
-                        inner, field, synonyms
+                        inner, field, synonyms, op
                     )
                     matched = matched.filter(child_pred)
                 roots = (
@@ -1256,7 +1260,7 @@ class SearchIndex:
             matched = base.filter(parents_pred)
             if inner:
                 parent_pred, _i, _f2 = self._compile_predicate(
-                    inner, field, synonyms
+                    inner, field, synonyms, op
                 )
                 matched = matched.filter(parent_pred)
             roots = matched.select(
@@ -2015,14 +2019,16 @@ class MultiIndex:
 
         lp = search.parse_local_params(q)
         if lp is not None and lp[0] in ("join", "parent", "child"):
-            return self._relational_scan(*lp, field=field, synonyms=synonyms)
+            return self._relational_scan(
+                *lp, field=field, synonyms=synonyms, op=op
+            )
         return self._union(
             [m._query_scan(q, field, synonyms, op) for m in self.members]
         )
 
     def _relational_scan(
         self, qtype: str, params: "Mapping[str, str]", inner: str,
-        field: str | None, synonyms,
+        field: str | None, synonyms, op: str = "OR",
     ) -> DataFrame:
         """{!join}/{!parent}/{!child} over the ALIAS.  Compiling these
         per member and unioning would silently drop cross-member matches
@@ -2043,7 +2049,7 @@ class MultiIndex:
             if not inner:
                 raise search.QuerySyntaxError("{!join} needs an inner query")
             keys = (
-                self._alias_scan(inner, field, synonyms)
+                self._alias_scan(inner, field, synonyms, op)
                 .filter(F.col(f_from).isNotNull())
                 .select(F.col(f_from).alias(f_to))
                 .distinct()
@@ -2058,7 +2064,7 @@ class MultiIndex:
             )
         # per-member compiled predicates (members may analyze differently)
         parts = [
-            (m, m.df(), m._compile_predicate(pf, field, synonyms)[0])
+            (m, m.df(), m._compile_predicate(pf, field, synonyms, op)[0])
             for m in self.members
         ]
         if qtype == "parent":
@@ -2067,7 +2073,7 @@ class MultiIndex:
                 mdf = base.filter(~ppred)
                 if inner:
                     mdf = mdf.filter(
-                        m._compile_predicate(inner, field, synonyms)[0]
+                        m._compile_predicate(inner, field, synonyms, op)[0]
                     )
                 matched.append(
                     mdf.filter(F.col(root).isNotNull())
@@ -2081,7 +2087,7 @@ class MultiIndex:
             mdf = base.filter(ppred)
             if inner:
                 mdf = mdf.filter(
-                    m._compile_predicate(inner, field, synonyms)[0]
+                    m._compile_predicate(inner, field, synonyms, op)[0]
                 )
             matched.append(mdf.select(F.col(self.unique_key).alias(root)))
         roots = self._union(matched).distinct()

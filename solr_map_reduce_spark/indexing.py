@@ -333,16 +333,15 @@ class IndexJob:
         generation restarts at 1; append/merge continue the lineage."""
         if mode == "overwrite":
             return 1
-        try:
-            fs = get_fs(path, None)
-            if fs.exists(fs_join(path, MANIFEST)):
-                return 1 + int(
-                    json.loads(fs.read_text(fs_join(path, MANIFEST))).get(
-                        "generation", 0
-                    )
+        # a read/parse failure RAISES: silently falling back to 1 would
+        # stamp new docs below any existing Topic checkpoint (data loss)
+        fs = get_fs(path, None)
+        if fs.exists(fs_join(path, MANIFEST)):
+            return 1 + int(
+                json.loads(fs.read_text(fs_join(path, MANIFEST))).get(
+                    "generation", 0
                 )
-        except Exception:
-            pass
+            )
         return 1
 
     def build(
@@ -463,13 +462,14 @@ class IndexJob:
             "merge_into",
         )
         prepared = self.route(df, generate_keys_from).drop(MICRO_COL)
+        stamped_gen = None
         if self.config.doc_versions:
             # only the BATCH takes the new version; pre-existing rows keep
             # theirs (replaced docs resolve to the batch row, so a replace
-            # bumps — Solr's _version_ contract)
-            prepared = prepared.withColumn(
-                VERSION_COL, F.lit(self._next_generation(path))
-            )
+            # bumps — Solr's _version_ contract).  The value is re-checked
+            # under the mutation lock before any write.
+            stamped_gen = self._next_generation(path)
+            prepared = prepared.withColumn(VERSION_COL, F.lit(stamped_gen))
         touched = sorted(
             r[0] for r in prepared.select(SHARD_COL).distinct().collect()
         )
@@ -517,6 +517,15 @@ class IndexJob:
         cfg = self.config
         key = cfg.schema.unique_key
         with _mutation_lock(fs, path, "merge_into"):
+            if stamped_gen is not None and self._next_generation(path) != stamped_gen:
+                # another mutation committed between our stamp and the
+                # lock: writing now would record a manifest generation
+                # ABOVE the stamped _version_, and Topic consumers would
+                # permanently skip this batch — abort loudly, retry-safe
+                raise RuntimeError(
+                    f"concurrent mutation of {path!r} detected "
+                    f"(stamped generation {stamped_gen} is stale); retry"
+                )
             tmp = path.rstrip("/") + "._merge_tmp"
             writer_df = (
                 resolved.repartition(len(touched), F.col(SHARD_COL))
@@ -686,6 +695,13 @@ class IndexJob:
             *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
         )
         joined = current.join(F.broadcast(u), current[key] == F.col("_uk"), "left")
+        # one generation read for BOTH stamp sites (bump + insert), and
+        # re-checked under the mutation lock before any write
+        stamped_gen = (
+            self._next_generation(path)
+            if VERSION_COL in current.columns
+            else None
+        )
         out_cols = []
         for c in current.columns:
             if c in upd_cols:
@@ -730,7 +746,7 @@ class IndexJob:
                 # doc's _version_ (Solr's contract) so Topic consumers
                 # re-deliver it
                 out_cols.append(
-                    F.when(F.col("_matched"), F.lit(self._next_generation(path)))
+                    F.when(F.col("_matched"), F.lit(stamped_gen))
                     .otherwise(current[c])
                     .alias(c)
                 )
@@ -741,7 +757,7 @@ class IndexJob:
             # absent keys become new docs: typed NULL for every
             # un-supplied column
             cur_schema = {f.name: f.dataType for f in current.schema.fields}
-            next_gen = self._next_generation(path)
+            next_gen = stamped_gen
             full = inserts.select(
                 *[
                     (
@@ -772,6 +788,11 @@ class IndexJob:
                     info["tokens_col"], ANALYZERS[info["type"]](F.col(field))
                 )
         with _mutation_lock(fs, path, "update_fields"):
+            if stamped_gen is not None and self._next_generation(path) != stamped_gen:
+                raise RuntimeError(
+                    f"concurrent mutation of {path!r} detected "
+                    f"(stamped generation {stamped_gen} is stale); retry"
+                )
             tmp = path.rstrip("/") + "._update_tmp"
             writer_df = (
                 updated.repartition(len(touched), F.col(SHARD_COL))
@@ -1262,6 +1283,14 @@ def backup(path: str, dest: str, spark: SparkSession | None = None) -> dict:
     At 100 TB prefer filesystem-level snapshots where available; this
     path is the portable contract."""
     fs = get_fs(path, spark)
+    if type(fs) is not type(get_fs(dest, spark)):
+        # LocalFS would treat "s3a://bucket/x" as a literal local dir and
+        # "succeed" without producing a backup — same-FS-kind is required
+        # (publish's contract); copy across filesystems explicitly
+        raise ValueError(
+            f"backup needs source and dest on the same filesystem kind "
+            f"({path!r} -> {dest!r}); copy across afterwards"
+        )
     if not fs.exists(fs_join(path, MANIFEST)):
         raise ValueError(f"{path!r} is not an index artifact (no manifest)")
     if fs.exists(dest):
@@ -1294,6 +1323,11 @@ def restore(backup_path: str, live_path: str,
     on success (publish's contract; it survives at ``._prev`` only if
     the swap crashes mid-flight) — back it up first if it matters."""
     fs = get_fs(backup_path, spark)
+    if type(fs) is not type(get_fs(live_path, spark)):
+        raise ValueError(
+            f"restore needs backup and live on the same filesystem kind "
+            f"({backup_path!r} -> {live_path!r}); copy across first"
+        )
     if not fs.exists(fs_join(backup_path, BACKUP_META)):
         raise ValueError(
             f"{backup_path!r} is not a completed backup (no {BACKUP_META})"
@@ -1303,7 +1337,15 @@ def restore(backup_path: str, live_path: str,
     if fs.exists(staging):
         fs.delete(staging)
     _copy_tree(fs, backup_path, staging, skip=(BACKUP_META,))
-    publish(staging, live_path, spark)
+    if fs.exists(fs_join(live_path, MANIFEST)):
+        # serialize against live mutators: a merge mid-shard-swap while
+        # we rename the live tree away would corrupt both artifacts.  The
+        # lock marker lives INSIDE the live dir and moves/dies with it —
+        # the restored tree never carries it (the backup excluded it).
+        with _mutation_lock(fs, live_path, "restore"):
+            publish(staging, live_path, spark)
+    else:
+        publish(staging, live_path, spark)
     return meta
 
 

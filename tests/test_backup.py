@@ -91,3 +91,15 @@ class TestBackupRestore:
         os.makedirs(half)
         with pytest.raises(ValueError, match="not a completed backup"):
             restore(half, str(tmp_path / "live4"))
+
+
+class TestCrossFilesystemGuards:
+    def test_backup_and_restore_refuse_cross_scheme(self, spark, tmp_path):
+        path = str(tmp_path / "live5")
+        _build(spark, path)
+        with pytest.raises(ValueError, match="same filesystem kind"):
+            backup(path, "hdfs://nowhere/bak", spark)
+        dest = str(tmp_path / "bak5")
+        backup(path, dest)
+        with pytest.raises(ValueError, match="same filesystem kind"):
+            restore(dest, "hdfs://nowhere/live", spark)

@@ -670,3 +670,11 @@ def test_cli_backup_restore(capsys, spark, tmp_path):
     count = _json.loads([l for l in capsys.readouterr().out.splitlines()
                          if l.startswith("{")][-1])
     assert count["count"] == 12
+
+
+def test_cli_topic_limit_commit_rejected():
+    from solr_map_reduce_spark.cli import main
+
+    with pytest.raises(SystemExit, match="limit"):
+        main(["topic", "--path", "x", "--checkpoint", "c",
+              "--limit", "5", "--commit"])

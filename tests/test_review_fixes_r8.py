@@ -396,3 +396,33 @@ class TestDismaxMinimumShouldMatch:
         pct = sorted(r["doc_id"] for r in
                      bm25_dismax(df, specs, k=10, mm="50%").collect())
         assert pct == [1, 2, 3]
+
+
+class TestQOpLocalParams:
+    def test_join_inner_query_honors_op(self, spark, tmp_path):
+        """q.op=AND must reach {!join}'s inner query (the memo keys on
+        op, so both plans cache separately)."""
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("grp", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "spark data", "g1"), ("2", "spark only", "g2"),
+             ("3", "other", "g1"), ("4", "other", "g2")],
+            "id string, text string, grp string",
+        )
+        out = str(tmp_path / "qopj")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        q = "{!join from=grp to=grp}spark data"
+        # OR: inner matches docs 1+2 -> groups g1,g2 -> all 4 docs
+        assert idx.query(q).count() == 4
+        # AND: inner matches only doc 1 -> group g1 -> docs 1,3
+        got = sorted(r["id"] for r in idx.query(q, op="AND").collect())
+        assert got == ["1", "3"]

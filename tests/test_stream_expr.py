@@ -330,3 +330,73 @@ class TestSearchIndexSource:
         assert by_term["rare"] > by_term["common"]
         with pytest.raises(QuerySyntaxError, match="SearchIndex source"):
             StreamCompiler({"plain": df}).run("significantTerms(plain)")
+
+
+class TestReviewFixesR8b:
+    """End-of-session review regressions: repeated fq accumulates,
+    un-runnable filters error instead of silently passing, timeseries
+    honors q."""
+
+    def test_duplicate_fq_accumulates(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        node = parse_stream_expr('search(c, fq="a:1", fq="b:2")')
+        assert node.kwargs["fq"] == ["a:1", "b:2"]
+        with pytest.raises(QuerySyntaxError, match="duplicate parameter"):
+            parse_stream_expr('search(c, q="x", q="y")')
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("grp", "string"), Field("lang", "string")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "spark", "a", "de"), ("2", "spark", "a", "en"),
+             ("3", "spark", "b", "de")],
+            "id string, text string, grp string, lang string",
+        )
+        out = str(tmp_path / "fq2")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        comp = StreamCompiler({"docs": SearchIndex.open(spark, out)})
+        rows = comp.run(
+            'search(docs, q="spark", fq="grp:a", fq="lang:de", fl="id")'
+        ).collect()
+        assert [r["id"] for r in rows] == ["1"]  # BOTH filters applied
+
+    def test_plain_source_fq_is_loud(self, comp):
+        with pytest.raises(QuerySyntaxError, match="q=/fq="):
+            comp.run('search(people, fq="dept:eng")')
+        with pytest.raises(QuerySyntaxError, match="q=/fq="):
+            comp.run('stats(salaries, q="pay:100", sum(pay))')
+
+    def test_timeseries_honors_q(self, spark, tmp_path):
+        from datetime import datetime
+
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("ts", "tdate")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("1", "click event", datetime(2024, 1, 1, 5)),
+             ("2", "view event", datetime(2024, 1, 1, 9)),
+             ("3", "click event", datetime(2024, 1, 2, 1))],
+            "id string, text string, ts timestamp",
+        )
+        out = str(tmp_path / "tsq")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        comp = StreamCompiler({"ev": SearchIndex.open(spark, out)})
+        rows = comp.run(
+            'timeseries(ev, q="click", field=ts, gap="+1DAY", count(*))'
+        ).collect()
+        got = {str(r["ts"]): r["count(*)"] for r in rows}
+        # only the two CLICK docs count — the view doc is filtered by q
+        assert got == {"2024-01-01 00:00:00": 1, "2024-01-02 00:00:00": 1}

@@ -132,3 +132,42 @@ class TestTopic:
                                   "id string, text string, rank long"), path)
         with pytest.raises(ValueError, match="doc_versions=True"):
             Topic(spark, path, str(tmp_path / "c.json")).pull()[0].count()
+
+
+class TestVersionRaceGuard:
+    def test_stale_stamp_aborts_merge(self, spark, tmp_path, monkeypatch):
+        """A mutation that commits between our version stamp and our lock
+        must abort the merge loudly (writing would strand the batch
+        below Topic checkpoints)."""
+        path = str(tmp_path / "race")
+        job = _job()
+        job.build(spark.createDataFrame(
+            [("1", "alpha", 1)], "id string, text string, rank long"), path)
+        real = IndexJob._next_generation
+        calls = {"n": 0}
+
+        def racy(self, p, mode="append"):
+            calls["n"] += 1
+            v = real(self, p, mode)
+            # the SECOND call happens under the lock: pretend another
+            # mutation committed in between
+            return v + 1 if calls["n"] > 1 else v
+
+        monkeypatch.setattr(IndexJob, "_next_generation", racy)
+        with pytest.raises(RuntimeError, match="concurrent mutation"):
+            job.merge_into(spark.createDataFrame(
+                [("2", "beta", 2)], "id string, text string, rank long"),
+                path)
+
+    def test_unreadable_manifest_is_loud(self, spark, tmp_path):
+        """_next_generation must RAISE on a torn manifest — falling back
+        to generation 1 would stamp docs below existing checkpoints."""
+        path = str(tmp_path / "torn")
+        job = _job()
+        job.build(spark.createDataFrame(
+            [("1", "alpha", 1)], "id string, text string, rank long"), path)
+        import os
+        with open(os.path.join(path, "_INDEX_MANIFEST.json"), "w") as f:
+            f.write("{torn")
+        with pytest.raises(Exception):
+            job._next_generation(path)
