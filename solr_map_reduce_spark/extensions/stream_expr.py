@@ -422,6 +422,13 @@ class StreamCompiler:
                     "SearchIndex for query pushdown"
                 )
             return src
+        if hasattr(src, "_alias_scan"):  # MultiIndex collection alias
+            if fqs:
+                raise QuerySyntaxError(
+                    f"{node.name}(fq=...) over a collection alias is not "
+                    "supported; fold the filter into q="
+                )
+            return src._alias_scan(q, None, None) if q != "*:*" else src.df()
         df = src._query_scan(q) if q != "*:*" else src.df()
         for fq in fqs:
             pred, _info, _f = src._compile_predicate(fq)

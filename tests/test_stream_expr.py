@@ -400,3 +400,36 @@ class TestReviewFixesR8b:
         got = {str(r["ts"]): r["count(*)"] for r in rows}
         # only the two CLICK docs count — the view doc is filtered by q
         assert got == {"2024-01-01 00:00:00": 1, "2024-01-02 00:00:00": 1}
+
+
+class TestAliasSource:
+    def test_alias_collection_in_stream(self, spark, tmp_path):
+        """A MultiIndex binds as a stream collection: q= fans out to each
+        member's pruned scan (fq= is rejected — fold it into q)."""
+        from solr_map_reduce_spark.index_reader import MultiIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("grp", "string")),
+            unique_key="id",
+        )
+        rows = [(str(i), "spark" if i % 2 else "other", "ab"[i % 2])
+                for i in range(10)]
+        df = spark.createDataFrame(rows, "id string, text string, grp string")
+        paths = []
+        for part in (0, 1):
+            out = str(tmp_path / f"s{part}")
+            IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(
+                df.filter(F.col("id").cast("long") % 2 == part), out)
+            paths.append(out)
+        alias = MultiIndex.open(spark, paths)
+        c = StreamCompiler({"docs": alias})
+        got = c.run(
+            'rollup(search(docs, q="spark"), over=grp, count(*))'
+        ).collect()
+        assert {r["grp"]: r["count(*)"] for r in got} == {"b": 5}
+        with pytest.raises(QuerySyntaxError, match="alias"):
+            c.run('search(docs, fq="grp:a")')
