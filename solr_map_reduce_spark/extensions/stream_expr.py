@@ -292,7 +292,8 @@ def _bool_col(node) -> F.Column:
 # never a UDF.  Operands are numbers or field names (string literals
 # are not supported — the grammar strips quotes before we see them).
 _EVALUATORS = {"add", "sub", "mult", "div", "mod", "abs", "sqrt", "pow",
-               "if", "eq", "gt", "lt", "gteq", "lteq", "and", "or", "not"}
+               "if", "eq", "gt", "lt", "gteq", "lteq", "and", "or", "not",
+               "analyze"}
 
 
 def _eval_call(node: Call) -> F.Column:
@@ -307,6 +308,23 @@ def _eval_call(node: Call) -> F.Column:
     name, args = node.name, node.args
     if name not in _EVALUATORS:
         raise QuerySyntaxError(f"unknown evaluator {name!r}")
+    if name == "analyze":
+        # Solr's analyze(field, fieldType) evaluator: tokenize a tuple
+        # field under a named analyzer — the same Column analyzers the
+        # index build uses (JVM expression chain, never a UDF)
+        from solr_map_reduce_spark.functions.analyzers import ANALYZERS
+
+        if len(args) != 2 or not all(isinstance(a, str) for a in args):
+            raise QuerySyntaxError(
+                "analyze() takes (field, fieldType) — e.g. "
+                "analyze(text, text_general)"
+            )
+        fld, ftype = args
+        if ftype not in ANALYZERS:
+            raise QuerySyntaxError(
+                f"unknown fieldType {ftype!r}; known: {sorted(ANALYZERS)}"
+            )
+        return ANALYZERS[ftype](F.col(fld))
     if name in ("add", "mult"):
         if len(args) < 2:
             raise QuerySyntaxError(f"{name}() takes >=2 args")

@@ -433,3 +433,19 @@ class TestAliasSource:
         assert {r["grp"]: r["count(*)"] for r in got} == {"b": 5}
         with pytest.raises(QuerySyntaxError, match="alias"):
             c.run('search(docs, fq="grp:a")')
+
+
+class TestAnalyzeEvaluator:
+    def test_analyze_tokenizes_with_named_analyzer(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, World! Running fast")], "id long, text string"
+        )
+        c = StreamCompiler({"t": df})
+        row = c.run(
+            "select(search(t), id, analyze(text, text_general) as toks)"
+        ).collect()[0]
+        assert row["toks"] == ["hello", "world", "running", "fast"]
+        with pytest.raises(QuerySyntaxError, match="unknown fieldType"):
+            c.run("select(search(t), analyze(text, nope) as x)")
+        with pytest.raises(QuerySyntaxError, match="takes \\(field"):
+            c.run("select(search(t), analyze(text) as x)")
