@@ -63,7 +63,7 @@ from collections.abc import Mapping
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from solr_map_reduce_spark.extensions.search import QuerySyntaxError
 
@@ -398,7 +398,7 @@ class StreamCompiler:
                 "search, select, rollup, facet, unique, top, sort, "
                 "having, innerJoin, leftOuterJoin, hashJoin, merge, "
                 "fetch, intersect, complement, stats, cartesianProduct, "
-                "timeseries, significantTerms, nodes, shortestPath"
+                "timeseries, significantTerms, nodes, shortestPath, echo, tuple"
             )
         return fn(node)
 
@@ -461,6 +461,32 @@ class StreamCompiler:
         return df, sort
 
     # -- decorators ---------------------------------------------------
+    def _c_echo(self, node: Call):
+        # Solr echo("text"): one tuple {echo: text} — the trivial leaf
+        # stream used to smoke-test expression plumbing
+        if len(node.args) != 1 or isinstance(node.args[0], Call):
+            raise QuerySyntaxError('echo() takes one text arg')
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame([(node.args[0],)], "echo string"), None
+
+    def _c_tuple(self, node: Call):
+        # Solr tuple(k=v, ...): a single literal tuple — numeric values
+        # become doubles, everything else strings
+        if not node.kwargs:
+            raise QuerySyntaxError("tuple() needs key=value args")
+        vals, fields = [], []
+        for k, v in node.kwargs.items():
+            if isinstance(v, Call):
+                raise QuerySyntaxError("tuple() values must be literals")
+            try:
+                vals.append(float(v))
+                fields.append(f"{k} double")
+            except ValueError:
+                vals.append(v)
+                fields.append(f"{k} string")
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame([tuple(vals)], ", ".join(fields)), None
+
     def _c_select(self, node: Call):
         df, sort = self._stream_arg(node)
         cols = []

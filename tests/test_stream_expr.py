@@ -449,3 +449,17 @@ class TestAnalyzeEvaluator:
             c.run("select(search(t), analyze(text, nope) as x)")
         with pytest.raises(QuerySyntaxError, match="takes \\(field"):
             c.run("select(search(t), analyze(text) as x)")
+
+
+class TestLiteralStreams:
+    def test_echo_and_tuple(self, comp):
+        assert comp.run('echo("hello world")').collect()[0]["echo"] == "hello world"
+        row = comp.run('tuple(id=7, name="x")').collect()[0]
+        assert row["id"] == 7.0 and row["name"] == "x"
+        # literal streams compose: join a tuple against a collection
+        got = comp.run(
+            'innerJoin(search(people), tuple(k="eng"), on="dept=k")'
+        ).collect()
+        assert sorted(r["pid"] for r in got) == [1, 2]
+        with pytest.raises(QuerySyntaxError, match="key=value"):
+            comp.run("tuple()")
