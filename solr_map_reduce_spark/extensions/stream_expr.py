@@ -45,6 +45,10 @@ nodes               one graph hop: frontier semi-join + gather distinct
                     (nest for multi-hop, Solr's own composition)
 shortestPath        level-synchronous BFS over an edge collection —
                     one join per level, cycle-pruned, maxDepth-bounded
+echo / tuple        literal one-tuple leaf streams
+(select evaluators) add/sub/mult/div/mod/abs/sqrt/pow, if/eq/gt/lt/
+                    gteq/lteq/and/or/not, analyze(field, fieldType) —
+                    computed tuple fields with ``as`` aliases
 ==================  =====================================================
 
 Scale: the DSL introduces ZERO new execution machinery — every compiled
