@@ -413,6 +413,23 @@ class StreamCompiler:
             raise QuerySyntaxError(f"{node.name}() needs a stream argument")
         return self._compile(subs[i])
 
+    def _session(self) -> SparkSession:
+        """The session literal leaf streams (echo/tuple) create rows on:
+        any registered source's session, else the active one — loud when
+        neither exists."""
+        for src in self.sources.values():
+            if isinstance(src, DataFrame):
+                return src.sparkSession
+            if hasattr(src, "spark"):
+                return src.spark
+        s = SparkSession.getActiveSession()
+        if s is None:
+            raise QuerySyntaxError(
+                "echo()/tuple() need an active SparkSession or at least "
+                "one registered collection"
+            )
+        return s
+
     def _source(self, name: str):
         if name not in self.sources:
             raise QuerySyntaxError(
@@ -470,8 +487,9 @@ class StreamCompiler:
         # stream used to smoke-test expression plumbing
         if len(node.args) != 1 or isinstance(node.args[0], Call):
             raise QuerySyntaxError('echo() takes one text arg')
-        spark = SparkSession.getActiveSession()
-        return spark.createDataFrame([(node.args[0],)], "echo string"), None
+        return self._session().createDataFrame(
+            [(node.args[0],)], "echo string"
+        ), None
 
     def _c_tuple(self, node: Call):
         # Solr tuple(k=v, ...): a single literal tuple — numeric values
@@ -488,8 +506,9 @@ class StreamCompiler:
             except ValueError:
                 vals.append(v)
                 fields.append(f"{k} string")
-        spark = SparkSession.getActiveSession()
-        return spark.createDataFrame([tuple(vals)], ", ".join(fields)), None
+        return self._session().createDataFrame(
+            [tuple(vals)], ", ".join(fields)
+        ), None
 
     def _c_select(self, node: Call):
         df, sort = self._stream_arg(node)
