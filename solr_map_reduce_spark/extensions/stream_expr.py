@@ -237,7 +237,13 @@ def _sort_spec(raw: str) -> list[tuple[str, str]]:
 
 
 def _order_cols(spec: list[tuple[str, str]]) -> list:
-    return [F.desc(c) if d == "desc" else F.asc(c) for c, d in spec]
+    def ref(name: str) -> F.Column:
+        # metric result columns are literally named "count(*)" etc. —
+        # backtick-quote anything a bare parse would mangle
+        return (F.col(f"`{name}`") if any(ch in name for ch in "()*")
+                else F.col(name))
+
+    return [ref(c).desc() if d == "desc" else ref(c).asc() for c, d in spec]
 
 
 def _metric_col(node: Call) -> tuple[F.Column, str]:
@@ -562,12 +568,22 @@ class StreamCompiler:
             raise QuerySyntaxError("facet() needs buckets=")
         keys = [c.strip() for c in buckets.split(",")]
         out = self._agg(node, keys, df)
-        sort = None
         if "bucketSorts" in node.kwargs:
             sort = _sort_spec(node.kwargs["bucketSorts"])
+        else:
+            # Solr's documented default bucketSorts is "count(*) desc";
+            # when count(*) isn't among the metrics fall back to bucket
+            # keys asc.  Either way the sort is ALWAYS defined, so a
+            # bucketSizeLimit truncation is deterministic — never an
+            # arbitrary subset of an unordered aggregate.  Bucket keys
+            # tie-break the default so equal counts are stable too.
+            if "count(*)" in out.columns:
+                sort = [("count(*)", "desc")] + [(k, "asc") for k in keys]
+            else:
+                sort = [(k, "asc") for k in keys]
         lim = node.kwargs.get("bucketSizeLimit")
         if lim is not None:
-            out = (out.orderBy(*_order_cols(sort)) if sort else out).limit(int(lim))
+            out = out.orderBy(*_order_cols(sort)).limit(int(lim))
         return out, sort
 
     def _c_unique(self, node: Call):
@@ -913,6 +929,16 @@ class StreamCompiler:
         return out, [("score", "desc"), ("term", "asc")]
 
     def _c_fetch(self, node: Call):
+        """Solr fetch(): enrich each stream tuple with ``fl`` fields from
+        a collection by key — Solr batches point lookups for the stream's
+        tuples against the (typically huge) collection.  The Spark shape
+        mirrors that sidedness: broadcast the STREAM'S distinct keys (the
+        bounded side) into a left-semi join that restricts the collection
+        scan first, then left-join the restricted projection back.  The
+        collection side is never broadcast and never a build side by
+        hint — AQE picks the final join strategy from the restricted
+        (post-semi-join) size.  Same frontier-semi-join shape as
+        ``nodes()`` above."""
         if not node.args or isinstance(node.args[0], Call):
             raise QuerySyntaxError("fetch() needs a collection name first")
         src = self._source(node.args[0])
@@ -924,12 +950,20 @@ class StreamCompiler:
             raise QuerySyntaxError("fetch() needs fl= (fields to fetch)")
         fetch_cols = [c.strip() for c in fl.split(",")]
         rkeys = [r for _l, r in pairs]
-        proj = base.select(*rkeys, *fetch_cols)
+        keys = stream.select(
+            *[F.col(l).alias(f"_fk{i}") for i, (l, _r) in enumerate(pairs)]
+        ).distinct()
+        semi = None
+        for i, (_l, r) in enumerate(pairs):
+            c = base[r] == keys[f"_fk{i}"]
+            semi = c if semi is None else semi & c
+        restricted = base.join(F.broadcast(keys), semi, "left_semi")
+        proj = restricted.select(*rkeys, *fetch_cols)
         cond = None
         for l, r in pairs:
             c = stream[l] == proj[r]
             cond = c if cond is None else cond & c
-        joined = stream.join(F.broadcast(proj), cond, "left")
+        joined = stream.join(proj, cond, "left")
         keep = [stream[c] for c in stream.columns]
         keep += [proj[c] for c in fetch_cols if c not in set(stream.columns)]
         return joined.select(*keep), sort

@@ -4491,6 +4491,21 @@ def ext_stream_hashjoin(spark, sf_dir):
 
 
 @_register(
+    "ext_stream_facet_limit",
+    """SELECT lang, count(*) AS "count(*)" FROM documents
+       GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 3""",
+    "Solr streaming expression facet(..., bucketSizeLimit=3) WITHOUT "
+    "bucketSorts: Solr's documented default count(*) desc applies "
+    "(bucket keys asc tiebreak), so the truncation is ordered and "
+    "deterministic — never an arbitrary subset of an unordered agg",
+)
+def ext_stream_facet_limit(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'facet(documents, buckets="lang", count(*), bucketSizeLimit=3)'
+    )
+
+
+@_register(
     "ext_stream_having",
     f"""SELECT lang, count(*) AS "count(*)", avg(n_chars) AS "avg(n_chars)"
         FROM (SELECT doc_id, lang, n_chars, {_TOKS_SQL} AS tk FROM documents)

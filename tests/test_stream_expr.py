@@ -164,6 +164,40 @@ class TestCompile:
         got = {r["pid"]: r["site"] for r in rows}
         assert got[1] == "building-1" and got[4] is None
 
+    def test_fetch_broadcasts_stream_keys_not_collection(self, comp):
+        # Plan shape: the one broadcast hint must land on the STREAM's
+        # bounded distinct-key side; the collection is restricted via a
+        # left-semi join, never broadcast wholesale (broadcasting the
+        # collection projection OOMs the driver at scale).
+        df = comp.run(
+            'fetch(depts, search(people, fl="pid,dept"), fl="site", '
+            'on="dept=dept")'
+        )
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 1
+        assert "LeftSemi" in analyzed
+        lines = analyzed.splitlines()
+        i = next(n for n, l in enumerate(lines) if "ResolvedHint" in l)
+        # the hinted subtree is the deduplicated stream-key projection
+        assert any("Deduplicate" in l for l in lines[i + 1 : i + 3])
+
+    def test_facet_limit_deterministic_without_bucketsorts(self, comp):
+        # bucketSizeLimit without bucketSorts uses Solr's documented
+        # default count(*) desc (bucket keys asc tiebreak): ordered
+        # before limiting, so two runs return the SAME buckets — never
+        # an arbitrary subset of an unordered aggregate.
+        expr = 'facet(people, buckets="dept", count(*), bucketSizeLimit=1)'
+        a = [tuple(r) for r in comp.run(expr).collect()]
+        b = [tuple(r) for r in comp.run(expr).collect()]
+        assert a == b == [("eng", 2)]  # the highest-count bucket
+
+    def test_facet_explicit_bucketsorts_on_metric(self, comp):
+        rows = comp.run(
+            'facet(salaries, buckets="person", sum(pay), '
+            'bucketSorts="sum(pay) desc", bucketSizeLimit=2)'
+        ).collect()
+        assert [r["person"] for r in rows] == [2, 1]
+
     def test_intersect_and_complement(self, comp):
         inter = comp.run(
             'intersect(search(people, fl="pid,name"), search(salaries), '
