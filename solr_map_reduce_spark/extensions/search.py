@@ -1392,21 +1392,28 @@ def _glob_to_regex(pattern: str) -> str:
 
 
 def _parse_solr_date(raw: str, where: str):
-    """A Solr date bound (ISO-8601, optional trailing ``Z`` — Solr dates
-    are always UTC) as a naive ``datetime`` (the engine pins the session
-    timezone to UTC, so a naive literal IS the UTC instant).  Refuses
-    anything non-ISO loudly: silently string-comparing a date bound
-    against a timestamp column is the bug this branch exists to kill."""
-    from datetime import datetime
+    """A Solr date bound — ISO-8601 (optional trailing ``Z``; Solr dates
+    are always UTC) or Solr DATE MATH (``NOW-7DAYS``, ``NOW/DAY``,
+    ``2024-01-01T00:00:00Z+6MONTHS/DAY``) — as a naive ``datetime`` (the
+    engine pins the session timezone to UTC, so a naive literal IS the
+    UTC instant).  ``NOW`` resolves through ``datemath.resolve_now`` —
+    pin it with ``datemath.fixed_now(...)`` (Solr's ``NOW=`` request
+    param) for deterministic queries.  Refuses anything non-ISO loudly:
+    silently string-comparing a date bound against a timestamp column is
+    the bug this branch exists to kill."""
+    from solr_map_reduce_spark.functions.datemath import (
+        DateMathError,
+        parse_datemath,
+    )
 
-    s = raw[:-1] if raw.endswith("Z") else raw
     try:
-        return datetime.fromisoformat(s)
-    except ValueError:
+        return parse_datemath(raw, where=where)
+    except DateMathError:
         raise QuerySyntaxError(
             f"range bound {raw!r} on {where} targets a date/timestamp "
             "field and must be ISO-8601 (e.g. 2024-01-01T00:00:00Z or "
-            "2024-01-01), or * for an open bound"
+            "2024-01-01), Solr date math (NOW-7DAYS, NOW/DAY), or * "
+            "for an open bound"
         ) from None
 
 

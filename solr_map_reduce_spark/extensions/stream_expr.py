@@ -38,7 +38,8 @@ intersect /         left-semi / left-anti join on the ``on`` keys
 complement
 stats               global aggregate row (no buckets)
 cartesianProduct    explode_outer of a multi-valued field
-timeseries          date_trunc bucket + agg (gap=+1HOUR/DAY/MONTH/YEAR)
+timeseries          start-anchored time buckets + agg (gap=+N UNIT via
+                    epoch / month-index arithmetic; date-math bounds)
 significantTerms    foreground explode/groupBy vs stored-dictionary
                     background dfs, scored by lift * ln(1+fg)
 nodes               one graph hop: frontier semi-join + gather distinct
@@ -215,9 +216,6 @@ def parse_stream_expr(s: str) -> Call:
 
 
 # ------------------------------------------------------------- compiler
-import re as _re_mod
-
-_re_ts_gap = _re_mod.compile(r"^\+(\d+)(HOUR|DAY|MONTH|YEAR)S?$", _re_mod.I)
 _METRICS = {"sum", "min", "max", "avg", "mean", "count"}
 _BOOL_CMP = {"eq": "==", "gt": ">", "lt": "<", "gteq": ">=", "lteq": "<="}
 
@@ -455,6 +453,21 @@ class StreamCompiler:
             raise QuerySyntaxError(
                 f"{node.name}() needs a collection name first"
             )
+        now_kw = node.kwargs.get("now")
+        if now_kw is not None:
+            # Solr's NOW= request param: pin date math (NOW-7DAYS/DAY in
+            # q/fq range bounds) for this node's compile — predicates
+            # capture their literals eagerly, so the context is enough
+            from solr_map_reduce_spark.functions.datemath import (
+                fixed_now,
+                parse_now_param,
+            )
+
+            with fixed_now(parse_now_param(now_kw)):
+                clean = Call(node.name, list(node.args),
+                             {k: v for k, v in node.kwargs.items()
+                              if k != "now"}, node.alias)
+                return self._collection_scan(clean)
         src = self._source(node.args[0])
         q = node.kwargs.get("q", "*:*")
         fqs = node.kwargs.get("fq")
@@ -737,28 +750,55 @@ class StreamCompiler:
 
     def _c_timeseries(self, node: Call):
         """Solr timeseries(): metrics per fixed time bucket over the
-        ``q``-matching docs.  ``gap`` accepts Solr's date-math units
-        ``+Ng`` for g in HOUR/DAY/MONTH/YEAR (e.g. ``+1DAY``); buckets
-        are date_trunc'd — one groupBy over the (query-scoped) scan,
-        identical shape to facet.range."""
+        ``q``-matching docs.  ``gap`` accepts Solr date-math gaps
+        ``+N UNIT`` for UNIT in SECOND/MINUTE/HOUR/DAY/MONTH/YEAR (e.g.
+        ``+1DAY``, ``+6HOURS``); ``start``/``end`` accept ISO-8601 or
+        date math (``NOW-7DAYS/DAY``) with ``NOW`` pinned by the
+        ``now=`` param (Solr's NOW= request param: epoch millis or ISO).
+
+        Bucketing follows Solr's range-facet contract — buckets are
+        ANCHORED AT ``start`` (``[start + k*gap, start + (k+1)*gap)``),
+        not calendar-truncated.  Fixed-width gaps bucket by pure epoch
+        arithmetic (timezone-independent by construction: the instant's
+        epoch, never a session-zone rendering — UTC edges regardless of
+        driver timezone, per Solr's UTC-only date semantics); month/year
+        gaps use calendar month-index arithmetic, which extracts
+        year/month and therefore REQUIRES the engine's UTC session pin —
+        asserted loudly, and the start must be month-aligned.  Without
+        ``start``/``end`` a single-unit gap falls back to date_trunc
+        calendar buckets over the whole scan (the scan-wide shape with
+        no anchor to honor).  Either way: one groupBy over the
+        (query-scoped, boundary-pruned) scan, same shape as facet.range."""
+        from solr_map_reduce_spark.functions.datemath import (
+            DateMathError,
+            add_months,
+            parse_datemath,
+            parse_gap,
+            parse_now_param,
+            resolve_now,
+            utc_epoch,
+        )
+
         df = self._collection_scan(node)
         fld = node.kwargs.get("field")
         gap = node.kwargs.get("gap", "+1DAY")
         if not fld:
             raise QuerySyntaxError("timeseries() needs field=")
-        m = _re_ts_gap.match(gap)
-        if not m or int(m.group(1)) != 1:
-            raise QuerySyntaxError(
-                f"unsupported gap {gap!r}; supported: +1HOUR/+1DAY/+1MONTH/+1YEAR"
-            )
-        unit = m.group(2).lower()
-        trunc = unit
-        start, end = node.kwargs.get("start"), node.kwargs.get("end")
-        if start:
-            df = df.filter(F.col(fld) >= F.lit(start).cast("timestamp"))
-        if end:
-            df = df.filter(F.col(fld) < F.lit(end).cast("timestamp"))
-        bucket = F.date_trunc(trunc, F.col(fld)).alias(fld)
+        try:
+            n, unit = parse_gap(gap, where="timeseries gap")
+        except DateMathError as e:
+            raise QuerySyntaxError(f"unsupported gap {gap!r}: {e}") from None
+        now_kw = node.kwargs.get("now")
+        now = parse_now_param(now_kw) if now_kw is not None else resolve_now()
+        start_s = node.kwargs.get("start")
+        end_s = node.kwargs.get("end")
+
+        def _bound(raw, which):
+            try:
+                return parse_datemath(raw, now=now, where=f"timeseries {which}")
+            except DateMathError as e:
+                raise QuerySyntaxError(str(e)) from None
+
         metrics = [a for a in node.args
                    if isinstance(a, Call) and a.name in _METRICS]
         if not metrics:
@@ -767,6 +807,67 @@ class StreamCompiler:
         for mt in metrics:
             col, name = _metric_col(mt)
             aggs.append(col.alias(name))
+
+        if start_s is None:
+            # no anchor: single-unit calendar buckets over the whole scan
+            if n != 1 or unit not in ("HOUR", "DAY", "MONTH", "YEAR"):
+                raise QuerySyntaxError(
+                    f"timeseries gap {gap!r} needs start= (multi-unit "
+                    "buckets are anchored at start, per Solr's range "
+                    "contract)"
+                )
+            if end_s is not None:
+                df = df.filter(F.col(fld) < F.lit(_bound(end_s, "end")))
+            bucket = F.date_trunc(unit.lower(), F.col(fld)).alias(fld)
+            return df.groupBy(bucket).agg(*aggs), [(fld, "asc")]
+
+        start = _bound(start_s, "start")
+        if end_s is None:
+            raise QuerySyntaxError("timeseries() with start= needs end=")
+        end = _bound(end_s, "end")
+        if unit in ("MONTH", "YEAR"):
+            months = n * (12 if unit == "YEAR" else 1)
+            if (start.day, start.hour, start.minute, start.second,
+                    start.microsecond) != (1, 0, 0, 0, 0):
+                raise QuerySyntaxError(
+                    f"timeseries month/year gaps need a month-aligned "
+                    f"start (got {start.isoformat()})"
+                )
+            spark = df.sparkSession
+            tz = spark.conf.get("spark.sql.session.timeZone", "")
+            if tz.upper() not in ("UTC", "ETC/UTC", "GMT", "Z", "+00:00"):
+                raise QuerySyntaxError(
+                    "timeseries month/year bucketing extracts calendar "
+                    "fields and requires spark.sql.session.timeZone=UTC "
+                    f"(Solr dates are UTC-only); session has {tz!r}"
+                )
+            df = df.filter(
+                (F.col(fld) >= F.lit(start)) & (F.col(fld) < F.lit(end))
+            )
+            start_mi = start.year * 12 + (start.month - 1)
+            midx = (F.year(fld) * 12 + F.month(fld) - 1) - F.lit(start_mi)
+            k = F.floor(midx / months).cast("int")
+            # bucket start = start + k*months (k*months month steps from a
+            # month-aligned anchor; add_months per-row via a small CASE-free
+            # expression: make_timestamp from the shifted index)
+            total = F.lit(start_mi) + k * months
+            bucket = F.make_timestamp(
+                F.floor(total / 12).cast("int"),
+                (total % 12 + 1).cast("int"),
+                F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+            ).alias(fld)
+            return df.groupBy(bucket).agg(*aggs), [(fld, "asc")]
+        # fixed-width gap: anchored epoch arithmetic, tz-independent
+        secs = n * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[unit]
+        s_ep, e_ep = utc_epoch(start), utc_epoch(end)
+        ep = F.col(fld).cast("long")
+        df = df.filter(
+            (F.col(fld) >= F.timestamp_seconds(F.lit(s_ep)))
+            & (F.col(fld) < F.timestamp_seconds(F.lit(e_ep)))
+        )
+        bucket = F.timestamp_seconds(
+            F.lit(s_ep) + F.floor((ep - F.lit(s_ep)) / secs) * secs
+        ).alias(fld)
         return df.groupBy(bucket).agg(*aggs), [(fld, "asc")]
 
     def _c_shortestPath(self, node: Call):  # noqa: N802

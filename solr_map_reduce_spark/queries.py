@@ -2015,6 +2015,29 @@ def c9_date_range(spark, sf_dir):
 
 
 @_register(
+    "c9_date_math",
+    """SELECT event_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+         AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         AND event_type = 'purchase'""",
+    "Solr date math in range bounds: ts:[NOW-7DAYS/DAY TO NOW/DAY} with "
+    "NOW pinned via datemath.fixed_now (Solr's NOW= request param) — "
+    "the math resolves driver-side to timestamp literals, so the range "
+    "still reaches the parquet scan as pushed filters",
+)
+def c9_date_math(spark, sf_dir):
+    from datetime import datetime
+
+    from solr_map_reduce_spark.functions.datemath import fixed_now
+
+    idx = _events_search_index(spark, sf_dir)
+    with fixed_now(datetime(2024, 1, 20, 15, 0, 0)):
+        return idx.query(
+            "ts:[NOW-7DAYS/DAY TO NOW/DAY} AND event_type:purchase"
+        )
+
+
+@_register(
     "c9_search_request",
     f"""SELECT doc_id, lang FROM (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
         WHERE (list_contains(t, 'spark') OR list_contains(t, 'vector'))
@@ -4540,6 +4563,30 @@ def ext_stream_timeseries(spark, sf_dir):
         'timeseries(events, field=ts, gap="+1DAY", '
         'start="2024-01-10 00:00:00", end="2024-01-20 00:00:00", '
         "count(*), avg(value))"
+    )
+
+
+@_register(
+    "ext_stream_timeseries_gap",
+    """SELECT TIMESTAMP '2024-01-10 00:00:00'
+              + to_hours(6 * CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-10 00:00:00')) / 21600) AS BIGINT)) AS ts,
+              count(*) AS "count(*)", avg(value) AS "avg(value)"
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-31 00:00:00'
+       GROUP BY 1""",
+    "Solr streaming expression timeseries(..., gap=+6HOURS, "
+    "start=NOW-21DAYS/DAY, end=NOW/DAY, now=...): multi-unit buckets "
+    "anchored at start via epoch arithmetic (timezone-independent by "
+    "construction), date-math bounds resolved against the pinned NOW= "
+    "request param — one boundary-pruned scan + groupBy",
+)
+def ext_stream_timeseries_gap(spark, sf_dir):
+    comp = _stream_compiler_events(spark, sf_dir)
+    return comp.run(
+        'timeseries(events, field=ts, gap="+6HOURS", '
+        'start="NOW-21DAYS/DAY", end="NOW/DAY", '
+        'now="2024-01-31T12:00:00Z", count(*), avg(value))'
     )
 
 

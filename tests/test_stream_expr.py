@@ -246,8 +246,75 @@ class TestCompile:
         got = {str(r["ts"]): (r["count(*)"], r["sum(v)"]) for r in rows}
         assert got == {"2024-01-01 00:00:00": (2, 4.0),
                        "2024-01-02 00:00:00": (1, 10.0)}
-        with pytest.raises(QuerySyntaxError, match="unsupported gap"):
+        # a multi-unit gap is anchored at start — it REQUIRES one
+        with pytest.raises(QuerySyntaxError, match="needs start="):
             c.run('timeseries(ev, field=ts, gap="+7DAYS", count(*))')
+        with pytest.raises(QuerySyntaxError, match="unsupported gap"):
+            c.run('timeseries(ev, field=ts, gap="DAY", count(*))')
+
+    def test_timeseries_multi_unit_gap_anchored(self, spark):
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1, 5), 1.0), (datetime(2024, 1, 1, 9), 3.0),
+             (datetime(2024, 1, 1, 13), 10.0), (datetime(2024, 1, 2, 2), 99.0)],
+            "ts timestamp, v double",
+        )
+        c = StreamCompiler({"ev": df})
+        rows = c.run(
+            'timeseries(ev, field=ts, gap="+6HOURS", '
+            'start="2024-01-01T00:00:00Z", end="2024-01-02T00:00:00Z", '
+            "count(*))"
+        ).collect()
+        got = {str(r["ts"]): r["count(*)"] for r in rows}
+        # 6h buckets anchored at midnight: [00,06) has 05h, [06,12) has
+        # 09h, [12,18) has 13h; the 01-02 row is outside [start, end)
+        assert got == {"2024-01-01 00:00:00": 1, "2024-01-01 06:00:00": 1,
+                       "2024-01-01 12:00:00": 1}
+
+    def test_timeseries_datemath_bounds_with_pinned_now(self, spark):
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [(datetime(2024, 3, 9, 12), 1.0), (datetime(2024, 3, 10, 6), 2.0),
+             (datetime(2024, 3, 11, 1), 4.0)],
+            "ts timestamp, v double",
+        )
+        c = StreamCompiler({"ev": df})
+        rows = c.run(
+            'timeseries(ev, field=ts, gap="+1DAY", start="NOW-2DAYS/DAY", '
+            'end="NOW/DAY", now="2024-03-11T15:00:00Z", count(*))'
+        ).collect()
+        got = {str(r["ts"]): r["count(*)"] for r in rows}
+        # NOW pinned at 03-11T15:00 -> window [03-09 00:00, 03-11 00:00)
+        assert got == {"2024-03-09 00:00:00": 1, "2024-03-10 00:00:00": 1}
+
+    def test_timeseries_month_gap(self, spark):
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 15), 1.0), (datetime(2024, 2, 20), 2.0),
+             (datetime(2024, 3, 2), 4.0), (datetime(2024, 5, 2), 8.0)],
+            "ts timestamp, v double",
+        )
+        c = StreamCompiler({"ev": df})
+        rows = c.run(
+            'timeseries(ev, field=ts, gap="+2MONTHS", '
+            'start="2024-01-01T00:00:00Z", end="2024-07-01T00:00:00Z", '
+            "sum(v))"
+        ).collect()
+        got = {str(r["ts"]): r["sum(v)"] for r in rows}
+        # 2-month buckets from Jan 1: [Jan,Mar) = 1+2, [Mar,May) = 4,
+        # [May,Jul) = 8
+        assert got == {"2024-01-01 00:00:00": 3.0,
+                       "2024-03-01 00:00:00": 4.0,
+                       "2024-05-01 00:00:00": 8.0}
+        with pytest.raises(QuerySyntaxError, match="month-aligned"):
+            c.run(
+                'timeseries(ev, field=ts, gap="+1MONTH", '
+                'start="2024-01-15T00:00:00Z", end="2024-07-01T00:00:00Z", '
+                "sum(v))"
+            )
 
     def test_nodes_one_hop_and_nested(self, spark):
         people = spark.createDataFrame(
