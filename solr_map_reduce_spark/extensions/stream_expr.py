@@ -979,11 +979,15 @@ class StreamCompiler:
         ours and pinned by the oracle, while the request shape
         (q/field/limit/minDocFreq/maxDocFreq) is Solr's.
 
-        Plan: the foreground term counts are one explode/groupBy over
-        the (Bloom-pruned) query scan; the background dfs come from the
-        stored term dictionary when the artifact has one (a KB-scale
-        sidecar read, no corpus pass) — the same two-sided shape at any
-        scale, joined on the term key."""
+        Plan: ONE pass over the (Bloom-pruned) query scan — a rollup
+        over the exploded (doc, distinct-term) pairs produces the
+        per-term foreground counts and the foreground doc count in the
+        same aggregation (grand-total row, broadcast back as a 1-row
+        crossJoin), so compiling the expression runs no eager driver
+        action; the background dfs come from the stored term dictionary
+        when the artifact has one (a KB-scale sidecar read, no corpus
+        pass) — the same two-sided shape at any scale, joined on the
+        term key."""
         if not node.args or isinstance(node.args[0], Call):
             raise QuerySyntaxError(
                 "significantTerms() needs a collection name first"
@@ -1000,23 +1004,52 @@ class StreamCompiler:
         max_df = node.kwargs.get("maxDocFreq")
         fg = self._collection_scan(node)  # q= and fq= both honored
         tc = src._tokens_col(field)
-        fg_terms = (
-            fg.select(
-                F.explode(F.array_distinct(src._real_toks(tc))).alias("term")
-            )
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("foreground"))
+        # ONE pass over the foreground scan: a rollup over the exploded
+        # (doc, distinct-term) pairs yields the per-term doc frequencies
+        # (grouping_id 0) AND the foreground doc count (the grand-total
+        # row, grouping_id 1, via count distinct doc) in the same
+        # aggregation — no separate fg.count() driver action, and the
+        # shared shuffle is computed once (ReusedExchange).  explode_outer
+        # keeps token-less docs in the doc count.
+        exploded = fg.select(
+            F.col(src.unique_key).alias("_doc"),
+            F.explode_outer(F.array_distinct(src._real_toks(tc))).alias("term"),
         )
-        fg_docs = fg.count()
-        n_docs = src.count()
+        agg = exploded.rollup("term").agg(
+            F.count(F.lit(1)).alias("foreground"),
+            F.countDistinct("_doc").alias("_docs"),
+            F.grouping_id().alias("_gid"),
+        )
+        fg_docs_row = agg.filter(F.col("_gid") == 1).select(
+            F.col("_docs").cast("double").alias("_fg_docs")
+        )
+        fg_terms = agg.filter(
+            (F.col("_gid") == 0) & F.col("term").isNotNull()
+        ).select("term", "foreground")
+        # n_docs: O(1) driver-side from the key-range sidecar when one is
+        # stored; otherwise fold a metadata-only count(*) into the plan
+        # as a broadcast 1-row crossJoin — either way compile stays free
+        # of eager scans
+        ranges = src._load_key_ranges()
+        if ranges is not None:
+            n_docs_col = F.lit(float(ranges.total_rows()))
+            n_docs_row = None
+        else:
+            n_docs_col = F.col("_n_docs")
+            n_docs_row = src.df().agg(
+                F.count(F.lit(1)).cast("double").alias("_n_docs")
+            )
         _fname, bg = src._term_dictionary(field)  # (term, df)
         bg = bg.withColumnRenamed("df", "background")
         joined = fg_terms.join(bg, on="term")
         joined = joined.filter(F.col("background") >= min_df)
         if max_df is not None:
             joined = joined.filter(F.col("background") <= int(max_df))
-        lift = (F.col("foreground") / F.lit(float(fg_docs))) / (
-            F.col("background") / F.lit(float(n_docs))
+        joined = joined.crossJoin(F.broadcast(fg_docs_row))
+        if n_docs_row is not None:
+            joined = joined.crossJoin(F.broadcast(n_docs_row))
+        lift = (F.col("foreground") / F.col("_fg_docs")) / (
+            F.col("background") / n_docs_col
         )
         out = (
             joined.select(

@@ -431,6 +431,18 @@ class TestSearchIndexSource:
         assert by_term["rare"] > by_term["common"]
         with pytest.raises(QuerySyntaxError, match="SearchIndex source"):
             StreamCompiler({"plain": df}).run("significantTerms(plain)")
+        # single-pass contract: COMPILING the expression runs no Spark
+        # job (the old shape ran fg.count() eagerly — an extra scan per
+        # query); the foreground doc count folds into the one rollup
+        sc = spark.sparkContext
+        sc.setJobGroup("sigterms_compile", "compile-only")
+        try:
+            comp.run('significantTerms(docs, q="grp:fg", limit=5, '
+                     "minDocFreq=1)")
+        finally:
+            sc.setJobGroup("default", "")
+        tracker = sc.statusTracker()
+        assert tracker.getJobIdsForGroup("sigterms_compile") == []
 
 
 class TestReviewFixesR8b:
