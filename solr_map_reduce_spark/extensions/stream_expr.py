@@ -47,6 +47,13 @@ nodes               one graph hop: frontier semi-join + gather distinct
 shortestPath        level-synchronous BFS over an edge collection —
                     one join per level, cycle-pruned, maxDepth-bounded
 echo / tuple        literal one-tuple leaf streams
+topic               checkpointed incremental pull (Topic class): only
+                    docs whose _version_ exceeds the checkpoint; commit
+                    via compiler.commit_topics() after processing
+update              index the stream into a destination via merge_into
+                    (O(touched shards)); emits a batchIndexed summary
+daemon              one iteration of the wrapped stream per run() —
+                    continuous operation is Structured Streaming's job
 (select evaluators) add/sub/mult/div/mod/abs/sqrt/pow, if/eq/gt/lt/
                     gteq/lteq/and/or/not, analyze(field, fieldType) —
                     computed tuple fields with ``as`` aliases
@@ -389,13 +396,32 @@ class StreamCompiler:
     ``*:*``).  ``run()`` returns the stream as a DataFrame with the
     stream's final sort applied."""
 
-    def __init__(self, sources: "Mapping[str, object]"):
+    def __init__(
+        self,
+        sources: "Mapping[str, object]",
+        checkpoint_dir: str | None = None,
+        destinations: "Mapping[str, tuple] | None" = None,
+    ):
         self.sources = dict(sources)
+        self.checkpoint_dir = checkpoint_dir
+        # update()'s write targets: name -> (IndexJob, artifact path)
+        self.destinations = dict(destinations or {})
+        # topic() pulls pending their watermark commit (at-least-once:
+        # the caller processes the batch, then commit_topics())
+        self._pending_topics: list = []
 
     # -- public -------------------------------------------------------
     def run(self, expr: str) -> DataFrame:
         df, sort = self._compile(parse_stream_expr(expr))
         return df.orderBy(*_order_cols(sort)) if sort else df
+
+    def commit_topics(self) -> None:
+        """Advance every topic() checkpoint pulled since the last commit
+        — call AFTER processing the batches (Solr's topic contract:
+        crashing before commit re-delivers, never loses)."""
+        pending, self._pending_topics = self._pending_topics, []
+        for topic, wm in pending:
+            topic.commit(wm)
 
     # -- dispatch -----------------------------------------------------
     def _compile(self, node: Call):
@@ -406,7 +432,8 @@ class StreamCompiler:
                 "search, select, rollup, facet, unique, top, sort, "
                 "having, innerJoin, leftOuterJoin, hashJoin, merge, "
                 "fetch, intersect, complement, stats, cartesianProduct, "
-                "timeseries, significantTerms, nodes, shortestPath, echo, tuple"
+                "timeseries, significantTerms, nodes, shortestPath, "
+                "echo, tuple, topic, update, daemon"
             )
         return fn(node)
 
@@ -1061,6 +1088,97 @@ class StreamCompiler:
             .limit(limit)
         )
         return out, [("score", "desc"), ("term", "asc")]
+
+    def _c_topic(self, node: Call):
+        """Solr topic(checkpointCollection, collection, id=, q=, fl=):
+        checkpointed incremental pull — each evaluation returns only docs
+        whose ``_version_`` exceeds the checkpoint (a pushed parquet
+        predicate over the Bloom-pruned scan, never a corpus rescan).
+        The checkpoint lives at
+        ``<checkpoint_dir>/<checkpointCollection>_<id>.json``; the pull's
+        watermark is committed by :meth:`commit_topics` after the caller
+        has processed the batch (at-least-once, Solr's contract —
+        TopicStream likewise persists checkpoints to a collection)."""
+        from solr_map_reduce_spark.index_reader import Topic
+
+        if self.checkpoint_dir is None:
+            raise QuerySyntaxError(
+                "topic() needs a StreamCompiler(checkpoint_dir=...) to "
+                "persist checkpoints"
+            )
+        names = [a for a in node.args if not isinstance(a, Call)]
+        if len(names) != 2:
+            raise QuerySyntaxError(
+                "topic() needs (checkpointCollection, collection)"
+            )
+        ckpt_coll, coll = names
+        src = self._source(coll)
+        if isinstance(src, DataFrame) or not hasattr(src, "path"):
+            raise QuerySyntaxError(
+                "topic() needs a SearchIndex collection (a versioned "
+                "artifact built with doc_versions=True)"
+            )
+        tid = node.kwargs.get("id")
+        if not tid:
+            raise QuerySyntaxError("topic() needs id= (the topic's name)")
+        import os
+
+        ckpt = os.path.join(self.checkpoint_dir, f"{ckpt_coll}_{tid}.json")
+        topic = Topic(
+            src.spark, src.path, ckpt, q=node.kwargs.get("q"),
+        )
+        batch, wm = topic.pull()
+        self._pending_topics.append((topic, wm))
+        if "fl" in node.kwargs:
+            batch = batch.select(
+                *[c.strip() for c in node.kwargs["fl"].split(",")]
+            )
+        return batch, None
+
+    def _c_update(self, node: Call):
+        """Solr update(destCollection, stream, batchSize=): index the
+        stream's tuples into the destination and emit a one-tuple
+        summary (``batchIndexed``) — evaluating the expression IS the
+        write, exactly as reading Solr's UpdateStream pushes tuples.
+        Destinations are registered as ``StreamCompiler(destinations=
+        {name: (IndexJob, path)})``; the write is ``merge_into`` (only
+        touched shards rewritten, O(batch) at any artifact size).
+        ``batchSize`` is accepted and ignored — Spark batches the write
+        itself."""
+        names = [a for a in node.args if not isinstance(a, Call)]
+        if len(names) != 1:
+            raise QuerySyntaxError("update() needs a destination name first")
+        dest = names[0]
+        if dest not in self.destinations:
+            raise QuerySyntaxError(
+                f"unknown update() destination {dest!r}; register it via "
+                "StreamCompiler(destinations={name: (IndexJob, path)})"
+            )
+        job, path = self.destinations[dest]
+        stream, _sort = self._stream_arg(node)
+        n = stream.count()
+        job.merge_into(stream, path)
+        summary = stream.sparkSession.createDataFrame(
+            [(n,)], "batchIndexed long"
+        )
+        return summary, None
+
+    def _c_daemon(self, node: Call):
+        """Solr daemon(id=, runInterval=, stream): wraps a stream (most
+        often ``update(topic(...))``) for repeated execution.  Each
+        ``run()`` of the expression is ONE daemon iteration — the
+        engine's continuous surface is Structured Streaming
+        (``streaming/ingest.py``), so the DSL maps the daemon's body,
+        not its scheduler; ``id``/``runInterval`` are validated for
+        request parity."""
+        if not node.kwargs.get("id"):
+            raise QuerySyntaxError("daemon() needs id=")
+        interval = node.kwargs.get("runInterval")
+        if interval is not None and not str(interval).isdigit():
+            raise QuerySyntaxError(
+                f"daemon() runInterval must be millis, got {interval!r}"
+            )
+        return self._stream_arg(node)
 
     def _c_fetch(self, node: Call):
         """Solr fetch(): enrich each stream tuple with ``fl`` fields from

@@ -4789,6 +4789,52 @@ def ext_topic_pull(spark, sf_dir):
     return batch.select("doc_id")
 
 
+@_register(
+    "ext_stream_topic",
+    """SELECT doc_id FROM documents WHERE doc_id % 5 = 0""",
+    "Solr streaming expression daemon(update(dst, topic(...)))'s read "
+    "side, expression-driven: topic() pulls docs whose _version_ "
+    "exceeds the checkpoint (pushed parquet predicate), "
+    "commit_topics() advances it, a merge re-delivers exactly the "
+    "merged batch — CDC consumption from the /stream surface",
+)
+def ext_stream_topic(spark, sf_dir):
+    import os
+    import tempfile
+
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+    schema = IndexSchema(
+        fields=(Field("doc_id", "long", required=True),
+                Field("text", "text_general"),
+                Field("lang", "string")),
+        unique_key="doc_id",
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = tempfile.mkdtemp(prefix="smrs_topic_dsl_")
+    path = os.path.join(base, "idx")
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=2, dedup="none",
+                       doc_versions=True)
+    )
+    job.build(docs.filter(F.col("doc_id") % 2 == 0), path)
+
+    def compiler():
+        return StreamCompiler(
+            {"src": SearchIndex.open(spark, path)},
+            checkpoint_dir=base,
+        )
+
+    expr = 'topic(ckpts, src, id="cdc", fl="doc_id")'
+    c1 = compiler()
+    c1.run(expr).count()  # first pull: the whole artifact
+    c1.commit_topics()
+    job.merge_into(docs.filter(F.col("doc_id") % 5 == 0), path)
+    return compiler().run(expr)
+
+
 def _stream_compiler_events(spark, sf_dir):
     from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
 

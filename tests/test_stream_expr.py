@@ -576,3 +576,119 @@ class TestLiteralStreams:
         assert sorted(r["pid"] for r in got) == [1, 2]
         with pytest.raises(QuerySyntaxError, match="key=value"):
             comp.run("tuple()")
+
+
+class TestTopicUpdateDaemon:
+    """The incremental-consumption tail of the DSL: topic() pulls only
+    docs newer than its checkpoint, update() writes a stream into an
+    artifact via merge_into, daemon() runs one iteration per run()."""
+
+    @pytest.fixture()
+    def setup(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+        from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("n", "long")),
+            unique_key="id",
+        )
+        job = IndexJob(IndexJobConfig(
+            schema=schema, shards=2, dedup="none", doc_versions=True,
+        ))
+        src_path = str(tmp_path / "src_idx")
+        dst_path = str(tmp_path / "dst_idx")
+        df = spark.createDataFrame(
+            [("1", "alpha", 1), ("2", "beta", 2), ("3", "gamma", 3)],
+            "id string, text string, n long",
+        )
+        job.build(df, src_path)
+        job.build(df.limit(0), dst_path)
+
+        def compiler():
+            return StreamCompiler(
+                {"src": SearchIndex.open(spark, src_path)},
+                checkpoint_dir=str(tmp_path / "ckpts"),
+                destinations={"dst": (job, dst_path)},
+            )
+
+        (tmp_path / "ckpts").mkdir()
+        return spark, job, src_path, dst_path, compiler
+
+    def test_topic_pull_commit_redelivery(self, setup):
+        spark, job, src_path, _dst, compiler = setup
+        c = compiler()
+        expr = 'topic(ckpts, src, id="t1", fl="id")'
+        first = c.run(expr)
+        assert sorted(r["id"] for r in first.collect()) == ["1", "2", "3"]
+        # NOT committed: a fresh compiler re-delivers (at-least-once)
+        again = compiler().run(expr)
+        assert again.count() == 3
+        c.commit_topics()
+        # committed: nothing new
+        assert compiler().run(expr).count() == 0
+        # merge a batch: only the merged docs re-deliver
+        batch = spark.createDataFrame(
+            [("2", "beta2", 2), ("4", "delta", 4)],
+            "id string, text string, n long",
+        )
+        job.merge_into(batch, src_path)
+        c2 = compiler()
+        got = sorted(r["id"] for r in c2.run(expr).collect())
+        assert got == ["2", "4"]
+        c2.commit_topics()
+        assert compiler().run(expr).count() == 0
+
+    def test_update_writes_stream_into_destination(self, setup):
+        spark, _job, _src, dst_path, compiler = setup
+        from solr_map_reduce_spark.index_reader import SearchIndex
+
+        c = compiler()
+        row = c.run(
+            'update(dst, search(src, fl="id,text,n"))'
+        ).collect()
+        assert row[0]["batchIndexed"] == 3
+        dst = SearchIndex.open(spark, dst_path)
+        assert dst.count() == 3
+
+    def test_daemon_iteration_topic_to_update(self, setup):
+        # the canonical Solr shape: daemon(update(dst, topic(...)))
+        # — each run() is one pull->index iteration
+        spark, job, src_path, dst_path, compiler = setup
+        from solr_map_reduce_spark.index_reader import SearchIndex
+
+        c = compiler()
+        expr = ('daemon(update(dst, topic(ckpts, src, id="d1", '
+                'fl="id,text,n")), id="d1", runInterval=1000)')
+        assert c.run(expr).collect()[0]["batchIndexed"] == 3
+        c.commit_topics()
+        dst = SearchIndex.open(spark, dst_path)
+        assert dst.count() == 3
+        # second iteration: nothing new -> empty batch indexed
+        c2 = compiler()
+        assert c2.run(expr).collect()[0]["batchIndexed"] == 0
+        c2.commit_topics()
+        assert SearchIndex.open(spark, dst_path).count() == 3
+
+    def test_errors_are_loud(self, setup, spark):
+        from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+        _spark, _job, _src, _dst, compiler = setup
+        c = compiler()
+        with pytest.raises(QuerySyntaxError, match="checkpoint_dir"):
+            StreamCompiler({"x": spark.range(1)}).run(
+                'topic(ck, x, id="t")')
+        with pytest.raises(QuerySyntaxError, match="needs id="):
+            c.run("topic(ckpts, src)")
+        with pytest.raises(QuerySyntaxError, match="SearchIndex collection"):
+            StreamCompiler({"x": spark.range(1)}, checkpoint_dir="/tmp").run(
+                'topic(ck, x, id="t")')
+        with pytest.raises(QuerySyntaxError, match="destination"):
+            c.run('update(nope, search(src))')
+        with pytest.raises(QuerySyntaxError, match="daemon\\(\\) needs id="):
+            c.run('daemon(search(src))')
+        with pytest.raises(QuerySyntaxError, match="runInterval"):
+            c.run('daemon(search(src), id="d", runInterval=fast)')
