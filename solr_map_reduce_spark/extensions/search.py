@@ -284,11 +284,15 @@ def bm25_search(
 
 def resolve_mm(mm: "int | str", n_words: int) -> int:
     """Solr's dismax ``mm`` (minimum-should-match) to a required word
-    count over ``n_words`` optional clauses: a positive int is absolute
-    (clamped to n), a negative int leaves that many optional (n - N),
-    ``"P%"`` rounds DOWN, ``"-P%"`` leaves floor(n*P/100) optional.
-    Results clamp to [1, n] — Lucene treats a non-positive computed mm
-    as no constraint, and a pure disjunction already needs one match.
+    count over ``n_words`` optional clauses: a positive int is absolute,
+    a negative int leaves that many optional (n - N), ``"P%"`` rounds
+    DOWN, ``"-P%"`` leaves floor(n*P/100) optional.  A non-positive
+    computed mm floors to 1 — Lucene treats it as no constraint, and a
+    pure disjunction already needs one match.  An mm ABOVE the clause
+    count is returned as-is: Lucene's minimumShouldMatch beyond the
+    optional-clause count matches NOTHING, and the caller's
+    ``matched_words >= req`` predicate is then unsatisfiable — clamping
+    down to "all words" would silently widen over-specified queries.
     Conditional expressions (``2<-25%``) are not supported."""
     s = str(mm).strip()
     try:
@@ -306,7 +310,7 @@ def resolve_mm(mm: "int | str", n_words: int) -> int:
         raise QuerySyntaxError(
             f"unsupported mm spec {mm!r} (int, -int, P%, -P% supported)"
         ) from None
-    return max(1, min(req, n_words))
+    return max(1, req)
 
 
 def bm25_dismax(

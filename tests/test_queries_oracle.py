@@ -95,10 +95,20 @@ def test_worker_zip_is_content_addressed(spark, tmp_path, monkeypatch):
     entry_mod._SHIPPED_SESSIONS.clear()
     entry_mod._ensure_workers_can_import(spark)
     assert sorted(tmp_path.glob("smrs_pkg_*.zip")) == zips
-    # newer sources -> a NEW name appears (the old one, possibly cached by
-    # a live SparkContext, is never overwritten)
-    real = os.path.getmtime
-    monkeypatch.setattr("os.path.getmtime", lambda p: real(p) + 10_000)
+    # DELETING a source — a change that can never raise the max mtime —
+    # must still produce a NEW name: the digest covers the full sorted
+    # (path, mtime, size) list, so a stale zip with the removed module
+    # is never reused (the old name, possibly cached by a live
+    # SparkContext, is never overwritten either)
+    real_walk = os.walk
+
+    def walk_without_datemath(top, *args, **kwargs):
+        for dirpath, dirnames, filenames in real_walk(top, *args, **kwargs):
+            yield dirpath, dirnames, [
+                f for f in filenames if f != "datemath.py"
+            ]
+
+    monkeypatch.setattr(entry_mod.os, "walk", walk_without_datemath)
     entry_mod._SHIPPED_SESSIONS.clear()
     entry_mod._ensure_workers_can_import(spark)
     assert len(list(tmp_path.glob("smrs_pkg_*.zip"))) == 2

@@ -364,7 +364,10 @@ class TestDismaxMinimumShouldMatch:
         from solr_map_reduce_spark.extensions.search import resolve_mm
 
         assert resolve_mm(2, 3) == 2
-        assert resolve_mm(5, 3) == 3          # clamps to n
+        # Lucene: mm above the optional-clause count matches NOTHING —
+        # the requirement is returned unclamped so 'matched >= req' is
+        # unsatisfiable (never silently widened to all-words)
+        assert resolve_mm(5, 3) == 5
         assert resolve_mm(-1, 3) == 2         # leave 1 optional
         assert resolve_mm("75%", 4) == 3      # rounds DOWN
         assert resolve_mm("75%", 3) == 2
@@ -396,6 +399,9 @@ class TestDismaxMinimumShouldMatch:
         pct = sorted(r["doc_id"] for r in
                      bm25_dismax(df, specs, k=10, mm="50%").collect())
         assert pct == [1, 2, 3]
+        # over-specified mm (3 required, 2 countable words): Lucene
+        # matches nothing — never silently clamps down to all-words
+        assert bm25_dismax(df, specs, k=10, mm=3).count() == 0
 
 
 class TestQOpLocalParams:
