@@ -293,8 +293,31 @@ def resolve_mm(mm: "int | str", n_words: int) -> int:
     optional-clause count matches NOTHING, and the caller's
     ``matched_words >= req`` predicate is then unsatisfiable — clamping
     down to "all words" would silently widen over-specified queries.
-    Conditional expressions (``2<-25%``) are not supported."""
+
+    Conditional expressions (Solr's ``2<-25% 9<-3``) follow the
+    documented contract: each space-separated ``N<spec`` applies when
+    the clause count EXCEEDS N; the spec of the greatest such N wins;
+    at or below the smallest N, ALL clauses are required."""
     s = str(mm).strip()
+    if "<" in s:
+        conds = []
+        for part in s.split():
+            n_str, _, spec = part.partition("<")
+            try:
+                thresh = int(n_str)
+            except ValueError:
+                thresh = None
+            if thresh is None or not spec or "<" in spec:
+                raise QuerySyntaxError(
+                    f"unsupported conditional mm {mm!r} (expected "
+                    "space-separated N<spec pairs, e.g. '2<-25% 9<-3')"
+                )
+            conds.append((thresh, spec))
+        conds.sort()
+        applicable = [spec for t_, spec in conds if n_words > t_]
+        if not applicable:
+            return n_words  # at or below the smallest N: all required
+        return resolve_mm(applicable[-1], n_words)
     try:
         if s.endswith("%"):
             pct = float(s[:-1])

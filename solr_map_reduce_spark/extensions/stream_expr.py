@@ -55,8 +55,10 @@ update              index the stream into a destination via merge_into
 daemon              one iteration of the wrapped stream per run() —
                     continuous operation is Structured Streaming's job
 (select evaluators) add/sub/mult/div/mod/abs/sqrt/pow, if/eq/gt/lt/
-                    gteq/lteq/and/or/not, analyze(field, fieldType) —
-                    computed tuple fields with ``as`` aliases
+                    gteq/lteq/and/or/not, analyze(field, fieldType),
+                    concat/upper/lower/trim/strlen/substring (quoted
+                    args are string literals) — computed tuple fields
+                    with ``as`` aliases
 ==================  =====================================================
 
 Scale: the DSL introduces ZERO new execution machinery — every compiled
@@ -92,6 +94,14 @@ class Call:
     args: list = field(default_factory=list)
     kwargs: dict = field(default_factory=dict)
     alias: str | None = None
+
+
+class Quoted(str):
+    """A positional argument that was FULLY quoted in the source —
+    string evaluators (``concat(name, "-")``) need to tell the literal
+    ``"-"`` from the field name ``dept``; everywhere else a Quoted IS
+    its str value (isinstance(str) holds), so existing kwarg/args
+    handling is unaffected."""
 
 
 def parse_stream_expr(s: str) -> Call:
@@ -202,6 +212,27 @@ def parse_stream_expr(s: str) -> Call:
                     node.kwargs[word] = val
             else:
                 pos = save
+                if pos < n and s[pos] == '"':
+                    # a FULLY-quoted positional arg is a string literal
+                    # (evaluators need to tell "-" from a field name);
+                    # quoted-then-more ("a"b) falls back to raw reading
+                    pos += 1
+                    qstart = pos
+                    while pos < n and s[pos] != '"':
+                        pos += 1
+                    if pos >= n:
+                        raise err("unterminated string")
+                    lit = s[qstart:pos]
+                    pos += 1
+                    skip_ws()
+                    if pos < n and s[pos] in ",)":
+                        node.args.append(Quoted(lit))
+                        if s[pos] == ",":
+                            pos += 1
+                            continue
+                        pos += 1
+                        return node
+                    pos = save  # mixed token: re-read as raw
                 raw = read_raw()
                 if not raw:
                     raise err("empty argument")
@@ -302,19 +333,23 @@ def _bool_col(node) -> F.Column:
     raise QuerySyntaxError(f"unknown boolean op {node.name!r}")
 
 
-# select()'s stream EVALUATORS (Solr's math/conditional expression
-# language over tuple fields): compiled to plain Column expressions —
-# never a UDF.  Operands are numbers or field names (string literals
-# are not supported — the grammar strips quotes before we see them).
+# select()'s stream EVALUATORS (Solr's math/conditional/string
+# expression language over tuple fields): compiled to plain Column
+# expressions — never a UDF.  Operands are numbers, field names, or
+# quoted string literals (the parser marks fully-quoted positional args
+# as Quoted so ``concat(name, "-")`` can tell the literal from a field).
 _EVALUATORS = {"add", "sub", "mult", "div", "mod", "abs", "sqrt", "pow",
                "if", "eq", "gt", "lt", "gteq", "lteq", "and", "or", "not",
-               "analyze"}
+               "analyze", "concat", "upper", "lower", "trim", "strlen",
+               "substring"}
 
 
 def _eval_call(node: Call) -> F.Column:
     def opnd(a) -> F.Column:
         if isinstance(a, Call):
             return _eval_call(a)
+        if isinstance(a, Quoted):
+            return F.lit(str(a))
         try:
             return F.lit(float(a))
         except (TypeError, ValueError):
@@ -364,6 +399,36 @@ def _eval_call(node: Call) -> F.Column:
         x = opnd(args[0])
         return {"abs": lambda: F.abs(x), "sqrt": lambda: F.sqrt(x),
                 "not": lambda: ~x}[name]()
+    # Solr string evaluators (all JVM-side expressions)
+    if name == "concat":
+        if len(args) < 2:
+            raise QuerySyntaxError("concat() takes >=2 args")
+        return F.concat(*[opnd(a).cast("string") for a in args])
+    if name in ("upper", "lower", "trim", "strlen"):
+        if len(args) != 1:
+            raise QuerySyntaxError(f"{name}() takes 1 arg")
+        x = opnd(args[0]).cast("string")
+        return {"upper": lambda: F.upper(x), "lower": lambda: F.lower(x),
+                "trim": lambda: F.trim(x),
+                "strlen": lambda: F.length(x)}[name]()
+    if name == "substring":
+        # Solr's substring(field, start, end): 0-based, end-exclusive
+        # (Java String.substring) — Spark's substr is 1-based by length
+        if len(args) != 3:
+            raise QuerySyntaxError("substring() takes (field, start, end)")
+        try:
+            start_i, end_i = int(args[1]), int(args[2])
+        except (TypeError, ValueError):
+            raise QuerySyntaxError(
+                "substring() start/end must be integer literals"
+            ) from None
+        if start_i < 0 or end_i < start_i:
+            raise QuerySyntaxError(
+                "substring() needs 0 <= start <= end"
+            )
+        return F.substring(
+            opnd(args[0]).cast("string"), start_i + 1, end_i - start_i
+        )
     if name == "if":
         if len(args) != 3:
             raise QuerySyntaxError("if() takes 3 args (cond, then, else)")
@@ -383,6 +448,8 @@ def _operand(a) -> F.Column:
     if isinstance(a, Call):  # a metric name used as a column: count(*)
         _c, name = _metric_col(a)
         return F.col(f"`{name}`")
+    if isinstance(a, Quoted):  # a quoted literal: eq(dept, "eng")
+        return F.lit(str(a))
     try:
         return F.lit(float(a))
     except (TypeError, ValueError):

@@ -496,7 +496,10 @@ def minhash_dedup(
         )
         out = out.localCheckpoint(eager=True)
     finally:
-        feats.unpersist()
+        # blocking: repeated calls (bench reps, batch loops) must not
+        # accumulate storage blocks that squeeze execution memory until
+        # an eventual async ContextCleaner pass
+        feats.unpersist(blocking=True)
     return out
 
 
@@ -709,7 +712,7 @@ def ngram_jaccard_pairs(
         )
         out = out.localCheckpoint(eager=True)
     finally:
-        hashed.unpersist()
+        hashed.unpersist(blocking=True)  # deterministic release (see above)
     return out
 
 

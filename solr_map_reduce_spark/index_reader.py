@@ -523,8 +523,47 @@ class SearchIndex:
 
         For timestamp columns pass datetimes for ``start``/``end`` and a
         ``timedelta`` (or seconds) ``gap``; buckets are computed on epoch
-        seconds, returned as ``bucket_start`` timestamps."""
+        seconds, returned as ``bucket_start`` timestamps.
+
+        Solr request-string forms are accepted too: ``start``/``end`` as
+        ISO-8601 or date math (``NOW-30DAYS/DAY``, pinned via
+        ``datemath.fixed_now``) and ``gap`` as ``"+N UNIT"`` for
+        fixed-width units (SECOND/MINUTE/HOUR/DAY).  Month/year gaps are
+        calendar-irregular — use the stream DSL's ``timeseries()``,
+        which implements them with month-index arithmetic."""
         from datetime import datetime, timedelta, timezone
+
+        def _math(v, which):
+            if not isinstance(v, str):
+                return v
+            try:  # numeric-string bounds stay numeric (numeric facets)
+                return float(v)
+            except ValueError:
+                pass
+            from solr_map_reduce_spark.functions.datemath import parse_datemath
+
+            return parse_datemath(v, where=f"facet.range.{which}")
+
+        start, end = _math(start, "start"), _math(end, "end")
+        if isinstance(gap, str):
+            try:  # numeric-string gaps stay numeric (numeric facets)
+                gap = float(gap)
+            except ValueError:
+                pass
+        if isinstance(gap, str):
+            from solr_map_reduce_spark.functions.datemath import parse_gap
+
+            n_g, unit_g = parse_gap(gap, where="facet.range.gap")
+            if unit_g in ("MONTH", "YEAR"):
+                raise ValueError(
+                    "facet.range month/year gaps are calendar-irregular; "
+                    "use the stream DSL timeseries() which buckets them "
+                    "by month-index arithmetic"
+                )
+            gap = timedelta(
+                seconds=n_g
+                * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[unit_g]
+            )
 
         def _epoch(dt: datetime) -> float:
             # a NAIVE bound is a UTC instant (the engine pins the session
@@ -1571,7 +1610,12 @@ class SearchIndex:
         With a stats sidecar covering every qf field, statistics and
         term dfs come from stored structures — ONE scan + TakeOrdered;
         otherwise one extra aggregate over the shared compact projection
-        derives all fields' statistics simultaneously."""
+        derives all fields' statistics simultaneously.
+
+        ``mm=`` (via ``**kw``) takes Solr's minimum-should-match specs:
+        int / -int / P% / -P% and conditional ``"2<-25% 9<-3"`` forms;
+        an mm above the countable word count matches NOTHING (Lucene's
+        contract — never silently clamped down to all-words)."""
         from solr_map_reduce_spark.extensions import search
         from solr_map_reduce_spark.search_stats import term_dfs
 

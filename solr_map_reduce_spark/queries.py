@@ -4150,9 +4150,10 @@ def ext_dismax_topk(spark, sf_dir):
     )
 
 
-@_register(
-    "ext_dismax_mm",
-    f"""WITH t1 AS (
+def _dismax_mm_sql(req: int) -> str:
+    """The mm-gated dismax oracle with a parameterized word-count floor
+    (shared by the absolute-mm and conditional-mm entries)."""
+    return f"""WITH t1 AS (
           SELECT doc_id, {_TOKS_SQL} AS tt, lower(lang) AS lt FROM documents
         ), staged AS (
           SELECT doc_id,
@@ -4188,11 +4189,16 @@ def ext_dismax_topk(spark, sf_dir):
             ((CASE WHEN tf_t_spark > 0 OR tf_l_spark > 0 THEN 1 ELSE 0 END)
              + (CASE WHEN tf_t_en > 0 OR tf_l_en > 0 THEN 1 ELSE 0 END)
              + (CASE WHEN tf_t_data > 0 OR tf_l_data > 0 THEN 1 ELSE 0 END))
-              >= 2 AS hit
+              >= {req} AS hit
           FROM staged CROSS JOIN stats
         )
        SELECT doc_id, score FROM scored WHERE hit
-       ORDER BY score DESC, doc_id LIMIT 10""",
+       ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+@_register(
+    "ext_dismax_mm",
+    _dismax_mm_sql(2),
     "Solr edismax mm=2 (minimum-should-match): a document must match at "
     "least 2 of the 3 query WORDS (a word matches when ANY qf field "
     "matches it) — the hit predicate becomes a match-count floor, the "
@@ -4202,6 +4208,21 @@ def ext_dismax_mm(spark, sf_dir):
     return _dismax_search_index(spark, sf_dir).dismax(
         ["spark", "en", "data"], qf={"text": 1.0, "lang": 0.5}, k=10,
         exact_sum=True, mm=2,
+    )
+
+
+@_register(
+    "ext_dismax_mm_conditional",
+    _dismax_mm_sql(3),
+    "Solr edismax conditional mm='2<-25%': 3 query words exceed the "
+    "N=2 threshold, so -25% applies — leave floor(3*25/100)=0 words "
+    "optional, i.e. ALL THREE required (the documented conditional "
+    "contract; at or below N every clause is required)",
+)
+def ext_dismax_mm_conditional(spark, sf_dir):
+    return _dismax_search_index(spark, sf_dir).dismax(
+        ["spark", "en", "data"], qf={"text": 1.0, "lang": 0.5}, k=10,
+        exact_sum=True, mm="2<-25%",
     )
 
 

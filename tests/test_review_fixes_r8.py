@@ -374,8 +374,24 @@ class TestDismaxMinimumShouldMatch:
         assert resolve_mm("-25%", 4) == 3     # leave floor(25%) optional
         assert resolve_mm("0%", 4) == 1       # non-positive -> 1
         assert resolve_mm(-10, 3) == 1
-        with pytest.raises(QuerySyntaxError, match="unsupported mm"):
-            resolve_mm("2<-25%", 4)
+
+    def test_conditional_mm(self):
+        """Solr's conditional format: N<spec applies when the clause
+        count exceeds N; greatest applicable N wins; at or below the
+        smallest N all clauses are required."""
+        from solr_map_reduce_spark.extensions.search import resolve_mm
+
+        assert resolve_mm("2<-25%", 2) == 2     # n <= 2: all required
+        assert resolve_mm("2<-25%", 1) == 1
+        assert resolve_mm("2<-25%", 4) == 3     # leave floor(25%) optional
+        assert resolve_mm("3<90%", 10) == 9
+        multi = "2<-25% 9<-3"
+        assert resolve_mm(multi, 2) == 2        # below both thresholds
+        assert resolve_mm(multi, 5) == 4        # 2<n<=9: -25%
+        assert resolve_mm(multi, 12) == 9       # n>9: leave 3 optional
+        for bad in ("x<2", "2<", "2<3<4"):
+            with pytest.raises(QuerySyntaxError, match="conditional mm"):
+                resolve_mm(bad, 4)
 
     def test_mm_filters_matches(self, spark):
         from solr_map_reduce_spark.extensions.search import bm25_dismax

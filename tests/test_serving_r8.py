@@ -137,6 +137,23 @@ class TestRangeFacet:
         with pytest.raises(ValueError, match="gap > 0"):
             idx.range_facet("num", 0, 10, 0)
 
+    def test_solr_request_string_form(self, idx):
+        """Solr's facet.range request strings: date-math bounds +
+        '+N UNIT' gap resolve to the same anchored-epoch buckets."""
+        from solr_map_reduce_spark.functions.datemath import fixed_now
+
+        with fixed_now(datetime(2024, 1, 4, 9, 30)):
+            got = idx.range_facet(
+                "ts", "NOW-3DAYS/DAY", "NOW/DAY", "+1DAY"
+            ).collect()
+        assert [r["cnt"] for r in got] == [24, 24, 12]
+        assert got[0]["bucket_start"] == datetime(2024, 1, 1)
+        # numeric-string bounds stay numeric
+        got = idx.range_facet("num", "0", "60", "10").collect()
+        assert [r["bucket_start"] for r in got] == [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+        with pytest.raises(ValueError, match="month-index"):
+            idx.range_facet("ts", "2024-01-01", "2024-07-01", "+1MONTH")
+
 
 class TestFacetOptions:
     def test_missing_bucket_and_index_sort(self, spark, tmp_path):

@@ -692,3 +692,41 @@ class TestTopicUpdateDaemon:
             c.run('daemon(search(src))')
         with pytest.raises(QuerySyntaxError, match="runInterval"):
             c.run('daemon(search(src), id="d", runInterval=fast)')
+
+
+class TestStringEvaluators:
+    def test_quoted_positional_args_are_literals(self):
+        node = parse_stream_expr('concat(name, "-", dept)')
+        from solr_map_reduce_spark.extensions.stream_expr import Quoted
+
+        assert node.args[0] == "name" and not isinstance(node.args[0], Quoted)
+        assert node.args[1] == "-" and isinstance(node.args[1], Quoted)
+        # a quoted-then-more token still reads as one raw arg
+        node2 = parse_stream_expr('f("a"b)')
+        assert node2.args == ["ab"]
+
+    def test_string_evaluators(self, comp):
+        rows = comp.run(
+            'select(search(people), pid, '
+            'concat(upper(name), "-", dept) as tag, '
+            "strlen(name) as nl, "
+            "substring(name, 0, 2) as pre, "
+            "trim(name) as t)"
+        ).collect()
+        got = {r["pid"]: (r["tag"], r["nl"], r["pre"]) for r in rows}
+        assert got[1] == ("ADA-eng", 3, "ad")
+        assert got[3] == ("CY-ops", 2, "cy")
+        # dee has NULL dept: concat of a null is null (SQL semantics)
+        assert got[4][0] is None
+
+    def test_having_string_equality(self, comp):
+        rows = comp.run(
+            'having(search(people), eq(dept, "eng"))'
+        ).collect()
+        assert sorted(r["pid"] for r in rows) == [1, 2]
+
+    def test_substring_validates(self, comp):
+        with pytest.raises(QuerySyntaxError, match="integer literals"):
+            comp.run('select(search(people), substring(name, x, 2) as s)')
+        with pytest.raises(QuerySyntaxError, match="0 <= start"):
+            comp.run('select(search(people), substring(name, 2, 1) as s)')
