@@ -70,6 +70,31 @@ def _calibrate() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _calibrate_io() -> float:
+    """Fixed disk micro-op: write 64 MB to the same tmp filesystem the
+    index-build bench writes its artifact to, fsync, read back, delete.
+    The build workload is I/O-bound; when its reps blow up while the CPU
+    calibration stays flat, this number shows whether the DISK was the
+    contended resource (r9 probe: build reps [3.5, 10.0, 7.1, 2.1, 3.5]
+    with flat CPU calibration — an I/O story the artifact couldn't
+    previously tell)."""
+    buf = b"\x5a" * (8 * 1024 * 1024)
+    t0 = time.perf_counter()
+    fd, path = tempfile.mkstemp(prefix="smrs_iocal_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(8):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        with open(path, "rb") as f:
+            while f.read(8 * 1024 * 1024):
+                pass
+    finally:
+        os.unlink(path)
+    return round(time.perf_counter() - t0, 4)
+
+
 def _loadavg() -> list[float]:
     try:
         return [round(x, 2) for x in os.getloadavg()]
@@ -201,7 +226,7 @@ def main() -> None:
     # calibration, sampled before and after the timed section — a noisy
     # run shows up as inflated calibration/load IN the artifact, so a
     # judge never has to re-run the harness to adjudicate a slow total
-    load_start, cal_start = _loadavg(), _calibrate()
+    load_start, cal_start, io_start = _loadavg(), _calibrate(), _calibrate_io()
 
     def _median_timed(run, warms: int = WARMS) -> tuple[float, float, list[float]]:
         for _ in range(warms):
@@ -247,7 +272,7 @@ def main() -> None:
     timings["index_build_lineitem"] = round(med, 3)
     spreads["index_build_lineitem"] = round(spread, 1)
     rep_times["index_build_lineitem"] = [round(r, 3) for r in reps]
-    load_end, cal_end = _loadavg(), _calibrate()
+    load_end, cal_end, io_end = _loadavg(), _calibrate(), _calibrate_io()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -270,6 +295,8 @@ def main() -> None:
                     "loadavg_end": load_end,
                     "calibration_sec_start": cal_start,
                     "calibration_sec_end": cal_end,
+                    "io_calibration_sec_start": io_start,
+                    "io_calibration_sec_end": io_end,
                 },
                 "protocol": f"median-of-{REPS} after {WARMS} untimed warmups",
                 "cold_build_docs_index_sec": cold_build,

@@ -258,6 +258,32 @@ def main() -> None:
     mmr = similarity.mmr_rerank(emb, qvec, k=5, pool=20, lam=0.7)
     print("MMR top-5:", [r["vec_id"] for r in mmr.orderBy("mmr_rank").collect()])
 
+    # 11. round-9: date math + streaming-expression CDC ------------------
+    # Solr date math in range bounds; NOW pinned for determinism (the
+    # public NOW= request-param mechanism)
+    from datetime import datetime
+
+    from solr_map_reduce_spark.functions.datemath import fixed_now
+
+    with fixed_now(datetime(2024, 6, 1)):
+        dm = idx.query("spark AND id:[* TO *]")  # date-math-capable grammar
+    print("date-math-pinned query:", dm.count(), "docs")
+    # the /stream DSL: facet with Solr's default bucketSorts, string
+    # evaluators, and the topic()/update() incremental-consumption tail
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    comp = StreamCompiler({"docs": idx}, checkpoint_dir=work)
+    top_langs = comp.run(
+        'facet(docs, q="spark", buckets="lang", count(*), bucketSizeLimit=3)'
+    )
+    print("stream facet top langs:",
+          [(r["lang"], r["count(*)"]) for r in top_langs.collect()])
+    tagged = comp.run(
+        'top(select(search(docs), id, concat(upper(lang), "-", id) as tag),'
+        ' n=3, sort="id asc")'
+    )
+    print("string evaluators:", [r["tag"] for r in tagged.collect()])
+
     spark.stop()
 
 

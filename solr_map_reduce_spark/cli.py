@@ -225,6 +225,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     stm.add_argument("--limit", type=int, default=None,
                      help="cap printed rows (the plan is unchanged)")
+    stm.add_argument(
+        "--checkpoint-dir", default=None,
+        help="directory for topic() checkpoints; topics commit after "
+             "the rows print (crash before print re-delivers — "
+             "at-least-once, Solr's topic contract)",
+    )
+    stm.add_argument(
+        "--now", default=None,
+        help="pin date-math NOW (Solr's NOW= request param): epoch "
+             "millis or an ISO-8601 instant",
+    )
 
     top = sub.add_parser(
         "topic",
@@ -550,11 +561,23 @@ def main(argv: list[str] | None = None) -> int:
                 sources[name] = SearchIndex.open(spark, path)
             else:
                 sources[name] = spark.read.parquet(path)
-        out = StreamCompiler(sources).run(args.expr)
+        comp = StreamCompiler(sources, checkpoint_dir=args.checkpoint_dir)
+        if args.now is not None:
+            from solr_map_reduce_spark.functions.datemath import (
+                fixed_now,
+                parse_now_param,
+            )
+
+            with fixed_now(parse_now_param(args.now)):
+                out = comp.run(args.expr)
+        else:
+            out = comp.run(args.expr)
         if args.limit is not None:
             out = out.limit(args.limit)
         for r in out.collect():
             print(json.dumps(r.asDict(), default=str))
+        # the rows are printed == consumed: advance topic() checkpoints
+        comp.commit_topics()
         return 0
 
     if args.command == "topic":

@@ -1223,8 +1223,23 @@ class StreamCompiler:
             )
         job, path = self.destinations[dest]
         stream, _sort = self._stream_arg(node)
-        n = stream.count()
-        job.merge_into(stream, path)
+        # the batch count rides the merge's own actions as an Observation
+        # — no extra scan of the stream just to report batchIndexed
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = stream.observe(
+            obs, F.count(F.lit(1)).alias("batchIndexed")
+        )
+        job.merge_into(observed, path)
+        try:
+            n = int(obs.get["batchIndexed"])
+        except Exception:
+            # AQE's runtime empty-relation propagation can drop the
+            # CollectMetrics node when the batch turns out empty (the
+            # observed row comes back field-less); fall back to a direct
+            # count — cheap exactly when the batch is tiny/empty
+            n = stream.count()
         summary = stream.sparkSession.createDataFrame(
             [(n,)], "batchIndexed long"
         )

@@ -599,6 +599,54 @@ def test_cli_stream_expression(capsys, sf_dir):
         main(["stream", "--expr", "search(x)", "--collection", "nope"])
 
 
+def test_cli_stream_now_and_topic_checkpoint(capsys, spark, sf_dir, tmp_path):
+    """--now pins date math for the expression; --checkpoint-dir enables
+    topic() with commit-after-print (a second invocation sees nothing)."""
+    import json as _json
+
+    from solr_map_reduce_spark.cli import main
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    # --now reaches timeseries bounds
+    rc = main([
+        "stream", "--expr",
+        'timeseries(events, field=ts, gap="+1DAY", start="NOW-21DAYS/DAY", '
+        'end="NOW-19DAYS/DAY", count(*))',
+        "--now", "2024-01-31T00:00:00Z",
+        "--collection", f"events={sf_dir}/events.parquet",
+    ])
+    assert rc == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    assert len(rows) == 2  # [Jan 10, Jan 12): two day buckets
+
+    # topic() via --checkpoint-dir: first pull delivers, commit-after-
+    # print makes the second pull empty
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("n", "long")),
+        unique_key="id",
+    )
+    df = spark.createDataFrame([("1", 1), ("2", 2)], "id string, n long")
+    art = str(tmp_path / "vidx")
+    IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none",
+                            doc_versions=True)).build(df, art)
+    argv = [
+        "stream", "--expr", 'topic(ck, src, id="t1", fl="id")',
+        "--collection", f"src={art}",
+        "--checkpoint-dir", str(tmp_path / "ckpts"),
+    ]
+    (tmp_path / "ckpts").mkdir()
+    assert main(argv) == 0
+    first = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(first) == 2
+    assert main(argv) == 0
+    second = [l for l in capsys.readouterr().out.splitlines()
+              if l.startswith("{")]
+    assert second == []
+
+
 def test_cli_topic_pull_commit(capsys, spark, sf_dir, tmp_path):
     import json as _json
 
