@@ -46,6 +46,14 @@ def cosine_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
     return dot_product(vd, qd) / (l2_norm(vd) * F.lit(qn))
 
 
+def dot_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
+    """Raw dot product against a literal query vector (Solr's
+    dot_product similarityFunction) — same deterministic sequential
+    fold as the cosine path, no normalization."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return dot_product(_as_double(vec_col), _as_double(q))
+
+
 def cosine_topk(
     df: DataFrame,
     query: Sequence[float],

@@ -47,6 +47,8 @@ nodes               one graph hop: frontier semi-join + gather distinct
 shortestPath        level-synchronous BFS over an edge collection —
                     one join per level, cycle-pruned, maxDepth-bounded
 echo / tuple        literal one-tuple leaf streams
+random              pseudo-random subset (seed= makes it a
+                    deterministic keyed md5 scramble)
 topic               checkpointed incremental pull (Topic class): only
                     docs whose _version_ exceeds the checkpoint; commit
                     via compiler.commit_topics() after processing
@@ -500,7 +502,7 @@ class StreamCompiler:
                 "having, innerJoin, leftOuterJoin, hashJoin, merge, "
                 "fetch, intersect, complement, stats, cartesianProduct, "
                 "timeseries, significantTerms, nodes, shortestPath, "
-                "echo, tuple, topic, update, daemon"
+                "echo, tuple, random, topic, update, daemon"
             )
         return fn(node)
 
@@ -1155,6 +1157,30 @@ class StreamCompiler:
             .limit(limit)
         )
         return out, [("score", "desc"), ("term", "asc")]
+
+    def _c_random(self, node: Call):
+        """Solr random(collection, q=, rows=, fl=): a pseudo-random
+        subset of the query's result set.  Engine extension ``seed=``
+        makes the draw DETERMINISTIC (and cross-engine reproducible):
+        tuples order by ``md5(fl-values + seed)`` — a keyed scramble,
+        the same trick hash-split uses — instead of ``rand()``.  Without
+        a seed it is Solr's per-call randomness (``F.rand()``).  Either
+        way: one scan + TakeOrdered, no full sort materialization."""
+        df = self._collection_scan(node)
+        rows = int(node.kwargs.get("rows", 500))
+        if "fl" in node.kwargs:
+            df = df.select(
+                *[c.strip() for c in node.kwargs["fl"].split(",")]
+            )
+        seed = node.kwargs.get("seed")
+        if seed is not None:
+            h = F.md5(F.concat_ws(
+                "\x1f",
+                *[F.col(c).cast("string") for c in df.columns],
+                F.lit(str(seed)),
+            ))
+            return df.orderBy(h).limit(rows), None
+        return df.orderBy(F.rand()).limit(rows), None
 
     def _c_topic(self, node: Call):
         """Solr topic(checkpointCollection, collection, id=, q=, fl=):

@@ -1308,9 +1308,59 @@ class SearchIndex:
             return base.filter(~parents_pred).join(
                 roots, on=root, how="left_semi"
             )
+        if qtype == "knn":
+            # KnnQParser (Solr 9): {!knn f=vector topK=10}[v1, v2, ...]
+            # — the topK rows by vector similarity to the literal query
+            # vector.  similarity= picks cosine (default) or dot
+            # (Solr's field-declared similarityFunction, made explicit
+            # as a param since our schema stores plain arrays).  Plan:
+            # ONE scan + TakeOrderedAndProject (k rows per partition) —
+            # the brute-force exact path; serve IVF/PQ/SQ variants via
+            # extensions/similarity.py when recall/speed tradeoffs are
+            # wanted.  Composed fq filters apply AFTER (Solr's default
+            # post-filtering for {!knn} as the main query).
+            from solr_map_reduce_spark.extensions import similarity as sim
+
+            f = params.get("f")
+            if not f:
+                raise search.QuerySyntaxError("{!knn} needs the f= param")
+            topk = int(params.get("topK", 10))
+            body = inner.strip()
+            if not (body.startswith("[") and body.endswith("]")):
+                raise search.QuerySyntaxError(
+                    "{!knn} takes a bracketed vector literal, e.g. "
+                    "{!knn f=emb topK=10}[0.1, 0.2]"
+                )
+            try:
+                qvec = [float(x) for x in body[1:-1].split(",") if x.strip()]
+            except ValueError:
+                raise search.QuerySyntaxError(
+                    f"{{!knn}} vector literal {body!r} has non-numeric "
+                    "components"
+                ) from None
+            if not qvec:
+                raise search.QuerySyntaxError("{!knn} vector is empty")
+            metric = params.get("similarity", "cosine")
+            if metric == "cosine":
+                score = sim.cosine_to_query(F.col(f), qvec)
+            elif metric in ("dot", "dot_product"):
+                score = sim.dot_to_query(F.col(f), qvec)
+            else:
+                raise search.QuerySyntaxError(
+                    f"{{!knn}} similarity {metric!r} unsupported "
+                    "(cosine, dot)"
+                )
+            return (
+                self.df()
+                .withColumn("_knn_score", score)
+                .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
+                .limit(topk)
+                .drop("_knn_score")
+            )
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
-            "supported: join, parent, child, terms, prefix, field, frange"
+            "supported: join, parent, child, terms, prefix, field, "
+            "frange, knn"
         )
 
     def query(

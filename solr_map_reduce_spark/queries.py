@@ -2014,6 +2014,69 @@ def c9_date_range(spark, sf_dir):
     )
 
 
+_EMB_INDEX_CACHE: dict = {}
+_EMB_INDEX_HANDLE: dict = {}
+
+
+def _embeddings_search_index(spark, sf_dir):
+    """Cached per-sf artifact over the embeddings table — the {!knn}
+    query parser's target (a vector column inside a search index)."""
+    import os
+    import tempfile
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+    handle = _EMB_INDEX_HANDLE.get(sf_dir)
+    if handle is not None and os.path.isdir(_EMB_INDEX_CACHE.get(sf_dir, "")):
+        return handle
+    path = _EMB_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        schema = IndexSchema(
+            fields=(
+                Field("vec_id", "long", required=True),
+                Field("embedding", "array<float>"),
+                Field("label", "int"),
+            ),
+            unique_key="vec_id",
+        )
+        job = IndexJob(
+            IndexJobConfig(schema=schema, shards=2, micro_shards=4,
+                           dedup="none")
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="smrs_emb_idx_"), "index")
+        job.build(
+            t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label"),
+            path,
+        )
+        _EMB_INDEX_CACHE[sf_dir] = path
+    _EMB_INDEX_HANDLE[sf_dir] = SearchIndex.open(spark, path)
+    return _EMB_INDEX_HANDLE[sf_dir]
+
+
+@_register(
+    "c9_knn_query",
+    """SELECT vec_id FROM embeddings
+       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC,
+         vec_id
+       LIMIT 10""",
+    "Solr 9 {!knn f=embedding topK=10}[...] query parser over a vector "
+    "column inside the artifact: brute-force exact cosine, one scan + "
+    "TakeOrderedAndProject (k rows per partition) — the IVF/PQ/SQ "
+    "serving tier covers the approximate path",
+)
+def c9_knn_query(spark, sf_dir):
+    idx = _embeddings_search_index(spark, sf_dir)
+    qvec = (
+        t(spark, sf_dir, "embeddings")
+        .orderBy("vec_id").select("embedding").first()["embedding"]
+    )
+    lit = ", ".join(repr(float(x)) for x in qvec)
+    return idx.query(f"{{!knn f=embedding topK=10}}[{lit}]")
+
+
 @_register(
     "c9_date_math",
     """SELECT event_id FROM events
@@ -4808,6 +4871,22 @@ def ext_topic_pull(spark, sf_dir):
     job.merge_into(docs.filter(F.col("doc_id") % 5 == 0), path)
     batch, _wm2 = topic.pull()
     return batch.select("doc_id")
+
+
+@_register(
+    "ext_stream_random",
+    """SELECT o_orderkey FROM orders
+       ORDER BY md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR), '7'))
+       LIMIT 20""",
+    "Solr streaming expression random(orders, fl=o_orderkey, rows=20, "
+    "seed=7): the engine's seeded variant orders by a keyed md5 "
+    "scramble — deterministic, cross-engine reproducible (md5 is "
+    "bit-identical everywhere), still one scan + TakeOrdered",
+)
+def ext_stream_random(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'random(orders, fl="o_orderkey", rows=20, seed=7)'
+    )
 
 
 @_register(

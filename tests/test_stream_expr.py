@@ -730,3 +730,22 @@ class TestStringEvaluators:
             comp.run('select(search(people), substring(name, x, 2) as s)')
         with pytest.raises(QuerySyntaxError, match="0 <= start"):
             comp.run('select(search(people), substring(name, 2, 1) as s)')
+
+
+class TestRandomStream:
+    def test_seeded_random_is_deterministic(self, comp):
+        expr = 'random(people, fl="pid", rows=2, seed=42)'
+        a = [r["pid"] for r in comp.run(expr).collect()]
+        b = [r["pid"] for r in comp.run(expr).collect()]
+        assert a == b and len(a) == 2
+        # a different seed draws a different order (4 ids, md5-scrambled)
+        c = [r["pid"] for r in comp.run(
+            'random(people, fl="pid", rows=4, seed=43)').collect()]
+        d = [r["pid"] for r in comp.run(
+            'random(people, fl="pid", rows=4, seed=42)').collect()]
+        assert sorted(c) == sorted(d) == [1, 2, 3, 4]
+        assert c != d  # astronomically unlikely to collide
+
+    def test_unseeded_respects_rows(self, comp):
+        got = comp.run('random(people, fl="pid", rows=3)').collect()
+        assert len(got) == 3
