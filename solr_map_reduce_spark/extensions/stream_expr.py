@@ -49,6 +49,10 @@ shortestPath        level-synchronous BFS over an edge collection —
 echo / tuple        literal one-tuple leaf streams
 random              pseudo-random subset (seed= makes it a
                     deterministic keyed md5 scramble)
+facet2D             top-dx x-buckets, top-dy y-buckets within each
+                    (one corpus shuffle + tiny re-agg + window)
+parallel            compatibility pass-through (Spark is already
+                    parallel); sort= becomes the merge order
 topic               checkpointed incremental pull (Topic class): only
                     docs whose _version_ exceeds the checkpoint; commit
                     via compiler.commit_topics() after processing
@@ -502,7 +506,8 @@ class StreamCompiler:
                 "having, innerJoin, leftOuterJoin, hashJoin, merge, "
                 "fetch, intersect, complement, stats, cartesianProduct, "
                 "timeseries, significantTerms, nodes, shortestPath, "
-                "echo, tuple, random, topic, update, daemon"
+                "echo, tuple, random, facet2D, parallel, topic, update, "
+                "daemon"
             )
         return fn(node)
 
@@ -694,6 +699,57 @@ class StreamCompiler:
         if lim is not None:
             out = out.orderBy(*_order_cols(sort)).limit(int(lim))
         return out, sort
+
+    def _c_facet2D(self, node: Call):  # noqa: N802 (Solr camelCase)
+        """Solr facet2D(collection, q=, x=, y=, dimensions="dx,dy",
+        metric): top-``dx`` x-buckets (by total count, Solr's default
+        bucket sort, bucket value tiebreak), and within each the
+        top-``dy`` y-buckets (by count desc, y asc).  One groupBy over
+        the (query-scoped) scan computes every cell; the x ranking
+        re-aggregates the CELL table (tiny), the top-x key set
+        broadcasts back, and the per-x truncation is a window over
+        cells — the corpus shuffles once."""
+        df = self._collection_scan(node)
+        x, y = node.kwargs.get("x"), node.kwargs.get("y")
+        if not x or not y:
+            raise QuerySyntaxError("facet2D() needs x= and y=")
+        dims = node.kwargs.get("dimensions", "10,10")
+        try:
+            dx, dy = (int(p) for p in dims.split(","))
+        except ValueError:
+            raise QuerySyntaxError(
+                f'facet2D dimensions must be "dx,dy", got {dims!r}'
+            ) from None
+        metrics = [a for a in node.args
+                   if isinstance(a, Call) and a.name in _METRICS]
+        aggs = [F.count(F.lit(1)).alias("_cnt")]
+        names = []
+        for m in metrics:
+            col, name = _metric_col(m)
+            if name != "count(*)":
+                aggs.append(col.alias(name))
+            names.append(name)
+        if not names:
+            names = ["count(*)"]
+        cells = df.groupBy(x, y).agg(*aggs)
+        top_x = (
+            cells.groupBy(x)
+            .agg(F.sum("_cnt").alias("_xcnt"))
+            .orderBy(F.desc("_xcnt"), F.asc(x))
+            .limit(dx)
+            .select(x)
+        )
+        w = Window.partitionBy(x).orderBy(F.desc("_cnt"), F.asc(y))
+        ranked = (
+            cells.join(F.broadcast(top_x), on=x)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= dy)
+        )
+        out_cols = [F.col(x), F.col(y)]
+        for name in names:
+            src_c = "_cnt" if name == "count(*)" else f"`{name}`"
+            out_cols.append(F.col(src_c).alias(name))
+        return ranked.select(*out_cols), [(x, "asc"), (y, "asc")]
 
     def _c_unique(self, node: Call):
         df, sort = self._stream_arg(node)
@@ -1157,6 +1213,26 @@ class StreamCompiler:
             .limit(limit)
         )
         return out, [("score", "desc"), ("term", "asc")]
+
+    def _c_parallel(self, node: Call):
+        """Solr parallel(collection, stream, workers=N, sort=...): ships
+        the wrapped stream to N workers and merges by ``sort``.  Spark
+        executes EVERY compiled stream distributed already, so this is a
+        compatibility pass-through: the inner stream compiles unchanged
+        (its partitioning is the parallelism), ``workers`` is validated
+        and otherwise ignored, and ``sort`` (when given) becomes the
+        stream's final order exactly as Solr's merging contract
+        requires.  Accepting the decorator keeps Solr /stream
+        expressions drop-in runnable."""
+        workers = node.kwargs.get("workers")
+        if workers is not None and not str(workers).isdigit():
+            raise QuerySyntaxError(
+                f"parallel() workers must be an int, got {workers!r}"
+            )
+        df, sort = self._stream_arg(node)
+        if "sort" in node.kwargs:
+            sort = _sort_spec(node.kwargs["sort"])
+        return df, sort
 
     def _c_random(self, node: Call):
         """Solr random(collection, q=, rows=, fl=): a pseudo-random

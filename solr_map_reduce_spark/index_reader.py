@@ -1350,8 +1350,20 @@ class SearchIndex:
                     f"{{!knn}} similarity {metric!r} unsupported "
                     "(cosine, dot)"
                 )
+            base = self.df()
+            prefilter = params.get("preFilter")
+            if prefilter:
+                # Solr 9.1 preFilter: restrict the candidate set BEFORE
+                # the topK selection (vs composed fq's post-filtering) —
+                # the predicate rides the same scan, so a selective
+                # prefilter SHRINKS the ranked set instead of starving
+                # the page
+                pred, _info, _f2 = self._compile_predicate(
+                    prefilter, field, synonyms, op
+                )
+                base = base.filter(pred)
             return (
-                self.df()
+                base
                 .withColumn("_knn_score", score)
                 .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
                 .limit(topk)

@@ -4874,6 +4874,36 @@ def ext_topic_pull(spark, sf_dir):
 
 
 @_register(
+    "ext_stream_facet2d",
+    """WITH cell AS (
+         SELECT lang, source, count(*) AS "count(*)"
+         FROM documents GROUP BY lang, source
+       ), topx AS (
+         SELECT lang FROM (
+           SELECT lang, sum("count(*)") AS xc FROM cell GROUP BY lang
+         ) ORDER BY xc DESC, lang LIMIT 3
+       ), ranked AS (
+         SELECT c.lang, c.source, c."count(*)",
+                row_number() OVER (
+                  PARTITION BY c.lang
+                  ORDER BY c."count(*)" DESC, c.source ASC
+                ) AS rn
+         FROM cell c JOIN topx USING (lang)
+       )
+       SELECT lang, source, "count(*)" FROM ranked WHERE rn <= 2""",
+    "Solr streaming expression facet2D(documents, x=lang, y=source, "
+    "dimensions=3,2): top-3 languages by count, top-2 sources within "
+    "each — one corpus shuffle for the cell table, a tiny re-aggregate "
+    "for the x ranking (broadcast back), a window for the per-x cut",
+)
+def ext_stream_facet2d(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'facet2D(documents, x="lang", y="source", dimensions="3,2", '
+        "count(*))"
+    )
+
+
+@_register(
     "ext_stream_random",
     """SELECT o_orderkey FROM orders
        ORDER BY md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR), '7'))

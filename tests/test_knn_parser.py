@@ -55,6 +55,16 @@ class TestKnnParser:
         )
         assert sorted(r["vec_id"] for r in out.collect()) == [1, 2, 5]
 
+    def test_prefilter_restricts_before_topk(self, vidx):
+        # Solr 9.1 preFilter: candidates restrict BEFORE topK — with
+        # label:y only the orthogonal/opposite vectors remain, and the
+        # page fills from them (post-filtering would return nothing:
+        # the global top-3 are all label x)
+        got = [r["vec_id"] for r in vidx.query(
+            "{!knn f=embedding topK=2 preFilter='label:y'}[1.0, 0.0]"
+        ).collect()]
+        assert got == [3, 4]
+
     def test_errors_are_loud(self, vidx):
         with pytest.raises(QuerySyntaxError, match="needs the f="):
             vidx.query("{!knn topK=3}[1.0, 0.0]")

@@ -749,3 +749,40 @@ class TestRandomStream:
     def test_unseeded_respects_rows(self, comp):
         got = comp.run('random(people, fl="pid", rows=3)').collect()
         assert len(got) == 3
+
+
+class TestParallelPassThrough:
+    def test_parallel_wraps_and_sorts(self, comp):
+        # Spark executes every stream distributed; parallel() is a
+        # compatibility pass-through whose sort= becomes the merge order
+        rows = comp.run(
+            'parallel(workers, top(search(people), n=3, sort="pid asc"), '
+            'workers=4, sort="pid desc")'
+        ).collect()
+        assert [r["pid"] for r in rows] == [3, 2, 1]
+        with pytest.raises(QuerySyntaxError, match="workers must be"):
+            comp.run('parallel(w, search(people), workers=many)')
+
+
+class TestFacet2D:
+    def test_top_x_then_top_y(self, spark):
+        df = spark.createDataFrame(
+            [("a", "p"), ("a", "p"), ("a", "q"), ("a", "r"),
+             ("b", "p"), ("b", "q"), ("c", "p")],
+            "x string, y string",
+        )
+        c = StreamCompiler({"t": df})
+        rows = c.run(
+            'facet2D(t, x="x", y="y", dimensions="2,1", count(*))'
+        ).collect()
+        got = [(r["x"], r["y"], r["count(*)"]) for r in rows]
+        # top-2 x by count: a(4), b(2); top-1 y within each by count
+        # desc then y asc: a->p(2), b->p(1)
+        assert got == [("a", "p", 2), ("b", "p", 1)]
+
+    def test_validates(self, spark):
+        c = StreamCompiler({"t": spark.range(1)})
+        with pytest.raises(QuerySyntaxError, match="x= and y="):
+            c.run("facet2D(t, count(*))")
+        with pytest.raises(QuerySyntaxError, match="dimensions"):
+            c.run('facet2D(t, x="id", y="id", dimensions="3", count(*))')
