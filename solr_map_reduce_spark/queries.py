@@ -4874,6 +4874,146 @@ def ext_topic_pull(spark, sf_dir):
 
 
 @_register(
+    "ext_stream_fetch",
+    """WITH topo AS (
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+       )
+       SELECT t.o_orderkey, t.o_custkey, t.o_totalprice, c.c_name
+       FROM topo t LEFT JOIN customer c ON t.o_custkey = c.c_custkey""",
+    "Solr streaming expression fetch(customer, top(search(orders)...), "
+    "fl=c_name, on=...): enrich the bounded stream by key lookups — "
+    "the stream's distinct keys broadcast into a left-semi join that "
+    "restricts the collection BEFORE the enrichment join (the r9 "
+    "sidedness fix, plan-asserted in tests)",
+)
+def ext_stream_fetch(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        'fetch(customer, top(search(orders, fl="o_orderkey,o_custkey,'
+        'o_totalprice"), n=10, sort="o_totalprice desc, o_orderkey asc"), '
+        'fl="c_name", on="o_custkey=c_custkey")'
+    )
+
+
+@_register(
+    "ext_stream_unique",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                ) AS rn
+         FROM orders WHERE o_custkey < 500
+       ) WHERE rn = 1""",
+    "Solr streaming expression unique(search(orders, sort=...), "
+    "over=o_custkey): first tuple per key in the stream's sort order — "
+    "the sorted-stream contract made explicit as a row_number window",
+)
+def ext_stream_unique(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    comp = StreamCompiler({
+        "o_small": t(spark, sf_dir, "orders").filter(
+            F.col("o_custkey") < 500),
+    })
+    return comp.run(
+        'unique(search(o_small, fl="o_custkey,o_orderkey,o_totalprice", '
+        'sort="o_custkey asc, o_orderkey asc"), over="o_custkey")'
+    )
+
+
+@_register(
+    "ext_stream_merge",
+    """SELECT o_orderkey AS okey FROM orders WHERE o_orderkey < 2000
+       UNION ALL
+       SELECT l_orderkey FROM lineitem WHERE l_orderkey < 2000""",
+    "Solr streaming expression merge(select(search(a), ... as okey), "
+    "select(search(b), ... as okey), on=okey): same-schema streams "
+    "union under the merge sort order (Solr's merging contract; the "
+    "driver's compare is order-insensitive); bounded key windows keep "
+    "the gate's hash set small",
+)
+def ext_stream_merge(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    comp = StreamCompiler({
+        "o_small": t(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") < 2000),
+        "l_small": t(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") < 2000),
+    })
+    return comp.run(
+        'merge(select(search(o_small), o_orderkey as okey), '
+        'select(search(l_small), l_orderkey as okey), on="okey asc")'
+    )
+
+
+@_register(
+    "ext_stream_intersect",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+       )""",
+    "Solr streaming expression intersect(search(customer), "
+    "search(big_orders), on=...): LEFT tuples whose key appears in "
+    "RIGHT — a left-semi join, right columns never materialize",
+)
+def ext_stream_intersect(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    comp = StreamCompiler({
+        "customer": t(spark, sf_dir, "customer"),
+        "big_orders": big,
+    })
+    return comp.run(
+        'intersect(search(customer, fl="c_custkey,c_name"), '
+        'search(big_orders, fl="o_custkey"), on="c_custkey=o_custkey")'
+    )
+
+
+@_register(
+    "ext_stream_stats",
+    """SELECT count(*) AS "count(*)",
+              min(l_extendedprice) AS "min(l_extendedprice)",
+              max(l_extendedprice) AS "max(l_extendedprice)"
+       FROM lineitem""",
+    "Solr streaming expression stats(lineitem, count(*), min, max): "
+    "one global map-side-combined aggregate row (order-independent "
+    "metrics only — double sums go through the decimal-exact entries)",
+)
+def ext_stream_stats(spark, sf_dir):
+    return _stream_compiler(spark, sf_dir).run(
+        "stats(lineitem, count(*), min(l_extendedprice), "
+        "max(l_extendedprice))"
+    )
+
+
+@_register(
+    "ext_stream_cartesian",
+    """SELECT o_orderkey,
+              unnest(generate_series(1, o_orderkey % 3 + 1)) AS ks
+       FROM orders WHERE o_orderkey < 1000""",
+    "Solr streaming expression cartesianProduct(search(...), ks): one "
+    "output tuple per VALUE of a multi-valued field — explode_outer, "
+    "the array built deterministically via sequence()",
+)
+def ext_stream_cartesian(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.sequence(F.lit(1).cast("long"),
+                       F.col("o_orderkey") % 3 + 1).alias("ks"),
+        )
+    )
+    comp = StreamCompiler({"src": src})
+    return comp.run("cartesianProduct(search(src), ks)")
+
+
+@_register(
     "ext_stream_facet2d",
     """WITH cell AS (
          SELECT lang, source, count(*) AS "count(*)"

@@ -786,3 +786,34 @@ class TestFacet2D:
             c.run("facet2D(t, count(*))")
         with pytest.raises(QuerySyntaxError, match="dimensions"):
             c.run('facet2D(t, x="id", y="id", dimensions="3", count(*))')
+
+
+class TestSearchNowParam:
+    def test_search_q_date_math_pinned_by_now(self, spark, tmp_path):
+        """now= on search() pins NOW for date-math range bounds in q=
+        (Solr's NOW= request param through the /stream surface)."""
+        from datetime import datetime
+
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("ts", "tdate")),
+            unique_key="id",
+        )
+        df = spark.createDataFrame(
+            [("old", datetime(2024, 3, 1)), ("mid", datetime(2024, 3, 9, 5)),
+             ("new", datetime(2024, 3, 10, 12))],
+            "id string, ts timestamp",
+        )
+        out = str(tmp_path / "tsidx")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+        c = StreamCompiler({"ev": SearchIndex.open(spark, out)})
+        rows = c.run(
+            'search(ev, q="ts:[NOW-2DAYS/DAY TO NOW]", fl="id", '
+            'now="2024-03-10T18:00:00Z")'
+        ).collect()
+        # window [2024-03-08 00:00, 2024-03-10 18:00]: mid and new
+        assert sorted(r["id"] for r in rows) == ["mid", "new"]
