@@ -136,17 +136,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotating verdict window (the harness checks the first 50 registry
 # entries per round), r09 rotation: every entry was green at its last
 # driver check (r08: 50/50 hash-exact).  As the r8 note promised:
-# (a) the 14 entries added this round (never externally checked) lead
+# (a) the 15 entries added this round (never externally checked) lead
 # — date math, facet bucketSizeLimit determinism, anchored multi-unit
 # timeseries, the topic() DSL read side, conditional mm, the {!knn}
-# vector parser, seeded random(), facet2D, and the fetch/unique/merge/
-# intersect/stats/cartesianProduct decorator entries; then (b) the
-# FULL 18-entry cohort whose last green check is oldest (r05 — the
-# TPC-H tail, pivots/windows/setops, multimodal, percentiles,
-# stratified sample); then (c) 18 of the 50-entry r06 cohort, led by
-# the four the r8 verdict named (b8_convert_timestamp, b12_detect_mime,
-# c9_suggest, ext_bm25_topk).  The r06 overflow (32 entries) + the r07
-# cohort lead the r10 rotation.  The repo's own oracle suite covers all entries
+# vector parser, seeded random(), facet2D, the JSON Facet API, and the
+# fetch/unique/merge/intersect/stats/cartesianProduct decorator
+# entries; then (b) the FULL 18-entry cohort whose last green check is
+# oldest (r05 — the TPC-H tail, pivots/windows/setops, multimodal,
+# percentiles, stratified sample); then (c) 17 of the 50-entry r06
+# cohort, led by the four the r8 verdict named (b8_convert_timestamp,
+# b12_detect_mime, c9_suggest, ext_bm25_topk).  The r06 overflow (33
+# entries) + the r07 cohort lead the r10 rotation.  The repo's own oracle suite covers all entries
 # every pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
     # (a) never checked: new this round
@@ -154,7 +154,7 @@ _VERDICT_PRIORITY = [
     "ext_stream_topic", "ext_dismax_mm_conditional", "c9_knn_query",
     "ext_stream_random", "ext_stream_facet2d", "ext_stream_fetch",
     "ext_stream_unique", "ext_stream_merge", "ext_stream_intersect",
-    "ext_stream_stats", "ext_stream_cartesian",
+    "ext_stream_stats", "ext_stream_cartesian", "c9_json_facet",
     # (b) last checked r05 — the full cohort
     "ext_percentiles", "window_rolling_sum", "ext_multimodal_decode",
     "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
@@ -169,8 +169,8 @@ _VERDICT_PRIORITY = [
     "facet_range_value", "pipeline_etl_events", "window_hourly_counts",
     "q1_pricing_summary", "q3_top_revenue", "q5_local_supplier",
     "q6_revenue_change", "exists_big_order_customers", "window_topn_orders",
-    "ext_asof_join", "ext_range_join",
-    # r06 overflow for r10: skew_salted_join, star_join_enrich,
+    "ext_asof_join",
+    # r06 overflow for r10: ext_range_join, skew_salted_join, star_join_enrich,
     # ext_exact_dedup, ext_token_count, ext_curation_pipeline,
     # ext_bpe_token_count,
     # ext_quality_features, ext_gopher_rules, ext_lang_id,

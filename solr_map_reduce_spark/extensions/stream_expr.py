@@ -336,6 +336,12 @@ def _bool_col(node) -> F.Column:
         if len(node.args) != 1:
             raise QuerySyntaxError("not() takes 1 arg")
         return ~_bool_col(node.args[0])
+    if node.name in ("isNull", "notNull"):
+        # Solr having's null probes: isNull(field) / notNull(field)
+        if len(node.args) != 1 or isinstance(node.args[0], Call):
+            raise QuerySyntaxError(f"{node.name}() takes one field arg")
+        col = _operand(node.args[0])
+        return col.isNull() if node.name == "isNull" else col.isNotNull()
     raise QuerySyntaxError(f"unknown boolean op {node.name!r}")
 
 
@@ -784,7 +790,8 @@ class StreamCompiler:
         df, sort = self._stream_arg(node)
         bools = [a for a in node.args
                  if isinstance(a, Call) and a.name not in _METRICS
-                 and a.name in (*_BOOL_CMP, "and", "or", "not")]
+                 and a.name in (*_BOOL_CMP, "and", "or", "not",
+                                "isNull", "notNull")]
         if len(bools) != 1:
             raise QuerySyntaxError("having() needs exactly one boolean arg")
         return df.filter(_bool_col(bools[0])), sort

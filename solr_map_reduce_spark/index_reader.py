@@ -25,7 +25,7 @@ import re
 from collections.abc import Mapping, Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from solr_map_reduce_spark.indexing import MANIFEST, SHARD_COL, read_index
 from solr_map_reduce_spark.operators.routing import ShardRouter
@@ -650,6 +650,147 @@ class SearchIndex:
         return row.select(F.explode(buckets).alias("b")).select(
             "b.facet_query", "b.cnt"
         )
+
+    _JF_AGG_RE = re.compile(r"^(sum|avg|min|max|unique)\((\w+)\)$")
+
+    def _jf_sort_cols(self, sort: str, count_col: str, bucket_col: str,
+                      available: "set[str]"):
+        bits = sort.split()
+        key = bits[0]
+        d = bits[1].lower() if len(bits) > 1 else "desc"
+        if key == "count":
+            col = F.col(count_col)
+        elif key == "index":
+            col = F.col(bucket_col)
+        elif key in available:
+            col = F.col(key)
+        else:
+            raise ValueError(
+                f"json_facet sort {sort!r}: unknown key {key!r} "
+                f"(count, index, or one of {sorted(available)})"
+            )
+        lead = col.desc() if d == "desc" else col.asc()
+        return [lead, F.asc(bucket_col)]
+
+    def json_facet(
+        self,
+        spec: "Mapping[str, object]",
+        q: str | None = None,
+        query_field: str | None = None,
+    ) -> DataFrame:
+        """Solr JSON Facet API (the modern ``json.facet`` request
+        syntax), relationally flattened.  Supported subset::
+
+            {"type": "terms", "field": f, "limit": 10, "mincount": 1,
+             "sort": "count desc" | "index asc" | "<aggname> desc",
+             "facet": {
+                name: "sum(f)" | "avg(f)" | "min(f)" | "max(f)"
+                      | "unique(f)"              # stat subfacet
+                      | {"type": "query", "q": "..."}   # query subfacet
+                      | {"type": "terms", ...}  # ONE nested terms facet
+             }}
+
+        Returns a FLAT DataFrame — Solr's nested bucket response
+        rendered relationally: one row per bucket (per innermost bucket
+        when a terms facet nests), with the parent bucket value, its
+        ``count`` and stat/query subfacet columns, and (when nested)
+        the child bucket column plus ``<name>_count`` and the child's
+        own stats repeated per child row.
+
+        Plan: ONE groupBy per level over the (Bloom-pruned, q-scoped)
+        scan; query subfacets are conditional counts inside the SAME
+        aggregate (never extra scans); the nested level restricts its
+        scan by the surviving parent buckets (broadcast key set) and
+        truncates per-parent with a window — facet2D's shape with the
+        JSON API's spec surface."""
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        return self._jf_terms(scan, spec)
+
+    def _jf_level(self, spec: "Mapping[str, object]", count_alias: str):
+        """(field, limit, mincount, agg columns, stat names, nested) for
+        one terms-facet level."""
+        if spec.get("type") != "terms":
+            raise ValueError(
+                f"json_facet supports type=terms at bucket levels, got "
+                f"{spec.get('type')!r}"
+            )
+        field = spec.get("field")
+        if not field:
+            raise ValueError("json_facet terms spec needs field=")
+        aggs = [F.count(F.lit(1)).alias(count_alias)]
+        names: list[str] = []
+        nested = None
+        for name, sub in (spec.get("facet") or {}).items():
+            if isinstance(sub, str):
+                m = self._JF_AGG_RE.match(sub.strip())
+                if not m:
+                    raise ValueError(
+                        f"json_facet stat {sub!r}: expected "
+                        "sum|avg|min|max|unique(field)"
+                    )
+                fn = {"sum": F.sum, "avg": F.avg, "min": F.min,
+                      "max": F.max, "unique": F.countDistinct}[m.group(1)]
+                aggs.append(fn(m.group(2)).alias(name))
+                names.append(name)
+            elif isinstance(sub, Mapping) and sub.get("type") == "query":
+                pred, _i, _f = self._compile_predicate(str(sub["q"]))
+                aggs.append(
+                    F.count(F.when(pred, F.lit(1))).alias(name)
+                )
+                names.append(name)
+            elif isinstance(sub, Mapping) and sub.get("type") == "terms":
+                if nested is not None:
+                    raise ValueError(
+                        "json_facet: one nested terms facet per level"
+                    )
+                nested = (name, sub)
+            else:
+                raise ValueError(
+                    f"json_facet subfacet {name!r}: expected an agg "
+                    "string, a query spec, or a terms spec"
+                )
+        return (str(field), int(spec.get("limit", 10)),
+                int(spec.get("mincount", 1)), aggs, names, nested)
+
+    def _jf_terms(self, scan: DataFrame, spec) -> DataFrame:
+        field, limit, mincount, aggs, names, nested = self._jf_level(
+            spec, "count"
+        )
+        l1 = scan.groupBy(field).agg(*aggs)
+        if mincount > 0:
+            l1 = l1.filter(F.col("count") >= mincount)
+        order = self._jf_sort_cols(
+            str(spec.get("sort", "count desc")), "count", field, set(names)
+        )
+        top = l1.orderBy(*order).limit(limit)
+        if nested is None:
+            return top
+        name2, sub = nested
+        f2, limit2, mincount2, aggs2, names2, nested2 = self._jf_level(
+            sub, f"{name2}_count"
+        )
+        if nested2 is not None:
+            raise ValueError("json_facet supports one nesting level")
+        if f2 == field:
+            raise ValueError("json_facet nested field equals parent field")
+        cells = (
+            scan.join(F.broadcast(top.select(field)), on=field)
+            .groupBy(field, f2)
+            .agg(*aggs2)
+        )
+        if mincount2 > 0:
+            cells = cells.filter(F.col(f"{name2}_count") >= mincount2)
+        order2 = self._jf_sort_cols(
+            str(sub.get("sort", "count desc")), f"{name2}_count", f2,
+            set(names2),
+        )
+        w = Window.partitionBy(field).orderBy(*order2)
+        sel = (
+            cells.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit2)
+            .drop("_rn")
+        )
+        return top.join(sel, on=field).orderBy(*order, F.asc(f2))
 
     _INTERVAL_RE = re.compile(
         r"^\s*([\[\(])\s*([^,]+?)\s*,\s*([^\]\)]+?)\s*([\]\)])\s*$"

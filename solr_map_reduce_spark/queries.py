@@ -2078,6 +2078,47 @@ def c9_knn_query(spark, sf_dir):
 
 
 @_register(
+    "c9_json_facet",
+    """WITH t1 AS (
+         SELECT lang, count(*) AS count, avg(n_chars) AS avg_len,
+                count(*) FILTER (WHERE n_chars >= 500) AS big
+         FROM documents GROUP BY lang
+       ), topl AS (
+         SELECT * FROM t1 ORDER BY count DESC, lang LIMIT 3
+       ), cells AS (
+         SELECT lang, source, count(*) AS by_source_count,
+                max(n_chars) AS max_len
+         FROM documents WHERE lang IN (SELECT lang FROM topl)
+         GROUP BY lang, source
+       ), ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY lang ORDER BY by_source_count DESC, source ASC
+         ) AS rn FROM cells
+       )
+       SELECT t.lang, t.count, t.avg_len, t.big,
+              r.source, r.by_source_count, r.max_len
+       FROM topl t JOIN ranked r USING (lang) WHERE r.rn <= 2""",
+    "Solr JSON Facet API (json.facet): terms facet with stat subfacets "
+    "(avg), a query subfacet (conditional count in the SAME aggregate), "
+    "and one nested terms facet — rendered relationally: one row per "
+    "innermost bucket, parent stats repeated; one groupBy per level, "
+    "parent keys broadcast into the nested scan",
+)
+def c9_json_facet(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).json_facet({
+        "type": "terms", "field": "lang", "limit": 3, "sort": "count desc",
+        "facet": {
+            "avg_len": "avg(n_chars)",
+            "big": {"type": "query", "q": "n_chars:[500 TO *]"},
+            "by_source": {
+                "type": "terms", "field": "source", "limit": 2,
+                "facet": {"max_len": "max(n_chars)"},
+            },
+        },
+    })
+
+
+@_register(
     "c9_date_math",
     """SELECT event_id FROM events
        WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'

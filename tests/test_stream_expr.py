@@ -817,3 +817,13 @@ class TestSearchNowParam:
         ).collect()
         # window [2024-03-08 00:00, 2024-03-10 18:00]: mid and new
         assert sorted(r["id"] for r in rows) == ["mid", "new"]
+
+
+class TestHavingNullProbes:
+    def test_isnull_notnull(self, comp):
+        rows = comp.run('having(search(people), isNull(dept))').collect()
+        assert [r["pid"] for r in rows] == [4]
+        rows = comp.run('having(search(people), notNull(dept))').collect()
+        assert sorted(r["pid"] for r in rows) == [1, 2, 3]
+        with pytest.raises(QuerySyntaxError, match="one field arg"):
+            comp.run('having(search(people), isNull(eq(pid, 1)))')
