@@ -531,6 +531,36 @@ class SearchIndex:
         fixed-width units (SECOND/MINUTE/HOUR/DAY).  Month/year gaps are
         calendar-irregular — use the stream DSL's ``timeseries()``,
         which implements them with month-index arithmetic."""
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        col, lo, hi, gap_s, n_buckets, is_time = self._range_spec(
+            field, start, end, gap
+        )
+        bucket = F.floor((col - F.lit(lo)) / F.lit(gap_s)).cast("long")
+        counts = (
+            scan.filter(col.isNotNull() & (col >= lo) & (col < hi))
+            .groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if include_empty:
+            spine = self.spark.range(n_buckets).select(F.col("id").alias("_b"))
+            counts = spine.join(F.broadcast(counts), "_b", "left").fillna(
+                0, subset=["cnt"]
+            )
+        start_expr = F.lit(lo) + F.col("_b") * F.lit(gap_s)
+        if is_time:
+            start_expr = F.timestamp_seconds(start_expr)
+        return (
+            counts.select(
+                start_expr.alias("bucket_start"), F.col("cnt").cast("long").alias("cnt")
+            )
+            .orderBy("bucket_start")
+        )
+
+    def _range_spec(self, field, start, end, gap):
+        """Resolve Solr range-facet bounds — numbers, datetimes, ISO /
+        date-math strings — and a gap (number, ``timedelta``, ``"+N
+        UNIT"``) to ``(value_col, lo, hi, gap_s, n_buckets, is_time)``;
+        shared by ``range_facet`` and the JSON Facet API ``type=range``."""
         from datetime import datetime, timedelta, timezone
 
         def _math(v, which):
@@ -574,7 +604,6 @@ class SearchIndex:
                 dt = dt.replace(tzinfo=timezone.utc)
             return dt.timestamp()
 
-        scan = self._query_scan(q, query_field) if q is not None else self.df()
         is_time = isinstance(start, datetime)
         if is_time:
             gap_s = gap.total_seconds() if isinstance(gap, timedelta) else float(gap)
@@ -589,26 +618,7 @@ class SearchIndex:
         if gap_s <= 0 or hi <= lo:
             raise ValueError("range_facet needs gap > 0 and end > start")
         n_buckets = int(-(-(hi - lo) // gap_s))  # ceil
-        bucket = F.floor((col - F.lit(lo)) / F.lit(gap_s)).cast("long")
-        counts = (
-            scan.filter(col.isNotNull() & (col >= lo) & (col < hi))
-            .groupBy(bucket.alias("_b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        if include_empty:
-            spine = self.spark.range(n_buckets).select(F.col("id").alias("_b"))
-            counts = spine.join(F.broadcast(counts), "_b", "left").fillna(
-                0, subset=["cnt"]
-            )
-        start_expr = F.lit(lo) + F.col("_b") * F.lit(gap_s)
-        if is_time:
-            start_expr = F.timestamp_seconds(start_expr)
-        return (
-            counts.select(
-                start_expr.alias("bucket_start"), F.col("cnt").cast("long").alias("cnt")
-            )
-            .orderBy("bucket_start")
-        )
+        return col, lo, hi, gap_s, n_buckets, is_time
 
     def query_facets(
         self,
@@ -651,7 +661,50 @@ class SearchIndex:
             "b.facet_query", "b.cnt"
         )
 
-    _JF_AGG_RE = re.compile(r"^(sum|avg|min|max|unique)\((\w+)\)$")
+    _JF_AGG_RE = re.compile(
+        r"^(sum|avg|min|max|unique|stddev|variance|sumsq|countvals|"
+        r"missing)\((\w+)\)$"
+    )
+    _JF_PCT_RE = re.compile(r"^percentile\((\w+)\s*,\s*([0-9.]+)\)$")
+
+    def _jf_stat_col(self, sub: str, name: str) -> F.Column:
+        """One JSON-Facet stat string -> an aliased agg Column.  All are
+        algebraic (map-side partials) except ``percentile``, which is
+        EXACT with linear interpolation (Spark ``percentile`` — the same
+        quantile_cont definition a SQL oracle uses; Solr itself serves
+        t-digest approximations of the same value) and holistic."""
+        s = sub.strip()
+        m = self._JF_PCT_RE.match(s)
+        if m:
+            p = float(m.group(2))
+            if not 0.0 <= p <= 100.0:
+                raise ValueError(
+                    f"json_facet percentile {sub!r}: p must be in 0..100"
+                )
+            return F.percentile(F.col(m.group(1)), F.lit(p / 100.0)).alias(name)
+        m = self._JF_AGG_RE.match(s)
+        if not m:
+            raise ValueError(
+                f"json_facet stat {sub!r}: expected "
+                "sum|avg|min|max|unique|stddev|variance|sumsq|countvals|"
+                "missing(field) or percentile(field, p)"
+            )
+        fn, f = m.groups()
+        col = F.col(f)
+        return {
+            "sum": lambda: F.sum(col),
+            "avg": lambda: F.avg(col),
+            "min": lambda: F.min(col),
+            "max": lambda: F.max(col),
+            "unique": lambda: F.countDistinct(col),
+            "stddev": lambda: F.stddev_samp(col),
+            "variance": lambda: F.var_samp(col),
+            # Solr's sumsq / countvals / missing: sum of squares,
+            # non-null value count, null count — single-pass algebraic
+            "sumsq": lambda: F.sum(col * col),
+            "countvals": lambda: F.count(col),
+            "missing": lambda: F.count(F.when(col.isNull(), F.lit(1))),
+        }[fn]().alias(name)
 
     def _jf_sort_cols(self, sort: str, count_col: str, bucket_col: str,
                       available: "set[str]"):
@@ -682,55 +735,77 @@ class SearchIndex:
         syntax), relationally flattened.  Supported subset::
 
             {"type": "terms", "field": f, "limit": 10, "mincount": 1,
+             "offset": 0, "prefix": "e",
+             "missing": true,        # null-bucket row appended last
+             "allBuckets": true,     # allBuckets_count column
+             "numBuckets": true,     # numBuckets column
+             "domain": {"filter": "<query>"},
              "sort": "count desc" | "index asc" | "<aggname> desc",
              "facet": {
                 name: "sum(f)" | "avg(f)" | "min(f)" | "max(f)"
-                      | "unique(f)"              # stat subfacet
+                      | "unique(f)" | "stddev(f)" | "variance(f)"
+                      | "sumsq(f)" | "countvals(f)" | "missing(f)"
+                      | "percentile(f, 50)"         # stat subfacet
                       | {"type": "query", "q": "..."}   # query subfacet
                       | {"type": "terms", ...}  # ONE nested terms facet
              }}
+
+            {"type": "range", "field": f, "start": s, "end": e,
+             "gap": g, "mincount": 0, "domain": {...},
+             "facet": {...stat/query subfacets...}}
 
         Returns a FLAT DataFrame — Solr's nested bucket response
         rendered relationally: one row per bucket (per innermost bucket
         when a terms facet nests), with the parent bucket value, its
         ``count`` and stat/query subfacet columns, and (when nested)
         the child bucket column plus ``<name>_count`` and the child's
-        own stats repeated per child row.
+        own stats repeated per child row.  ``missing: true`` appends
+        one row with a NULL bucket value carrying the null-keyed docs'
+        count and stats (Solr renders it after the value buckets; the
+        row is simply absent when no doc misses the field);
+        ``allBuckets``/``numBuckets`` render as constant columns
+        (``allBuckets_count`` = domain doc count across ALL value
+        buckets pre-mincount/pre-limit; ``numBuckets`` = bucket count
+        surviving mincount, pre-limit), NULL on the missing row.
 
-        Plan: ONE groupBy per level over the (Bloom-pruned, q-scoped)
-        scan; query subfacets are conditional counts inside the SAME
-        aggregate (never extra scans); the nested level restricts its
-        scan by the surviving parent buckets (broadcast key set) and
+        Plan: ONE groupBy per level over the (Bloom-pruned, q-scoped,
+        domain-filtered) scan; the missing bucket is the same
+        aggregate's null-key group (never a second scan); allBuckets/
+        numBuckets are windows over the post-agg bucket rows (tiny at
+        any corpus scale); query subfacets are conditional counts
+        inside the SAME aggregate; the nested level restricts its scan
+        by the surviving parent buckets (broadcast key set) and
         truncates per-parent with a window — facet2D's shape with the
-        JSON API's spec surface."""
+        JSON API's spec surface.  Range facets bucket by
+        floor((v-start)/gap) exactly like ``range_facet`` and left-join
+        the generated bucket spine so empty buckets stay at
+        mincount=0 (count/query-subfacet 0, stats NULL)."""
         scan = self._query_scan(q, query_field) if q is not None else self.df()
+        dom = spec.get("domain")
+        if dom is not None:
+            if not isinstance(dom, Mapping) or set(dom) != {"filter"}:
+                raise ValueError(
+                    "json_facet domain supports {'filter': <query string>}"
+                )
+            pred, _i, _f = self._compile_predicate(
+                str(dom["filter"]), query_field
+            )
+            scan = scan.filter(pred)
+        if spec.get("type") == "range":
+            return self._jf_range(scan, spec)
         return self._jf_terms(scan, spec)
 
-    def _jf_level(self, spec: "Mapping[str, object]", count_alias: str):
-        """(field, limit, mincount, agg columns, stat names, nested) for
-        one terms-facet level."""
-        if spec.get("type") != "terms":
-            raise ValueError(
-                f"json_facet supports type=terms at bucket levels, got "
-                f"{spec.get('type')!r}"
-            )
-        field = spec.get("field")
-        if not field:
-            raise ValueError("json_facet terms spec needs field=")
+    _JF_TERMS_OPTS = ("missing", "allBuckets", "numBuckets")
+
+    def _jf_subaggs(self, spec: "Mapping[str, object]", count_alias: str):
+        """The ``facet`` sub-spec dict -> ([agg Columns], [stat/query
+        names], nested-terms spec or None)."""
         aggs = [F.count(F.lit(1)).alias(count_alias)]
         names: list[str] = []
         nested = None
         for name, sub in (spec.get("facet") or {}).items():
             if isinstance(sub, str):
-                m = self._JF_AGG_RE.match(sub.strip())
-                if not m:
-                    raise ValueError(
-                        f"json_facet stat {sub!r}: expected "
-                        "sum|avg|min|max|unique(field)"
-                    )
-                fn = {"sum": F.sum, "avg": F.avg, "min": F.min,
-                      "max": F.max, "unique": F.countDistinct}[m.group(1)]
-                aggs.append(fn(m.group(2)).alias(name))
+                aggs.append(self._jf_stat_col(sub, name))
                 names.append(name)
             elif isinstance(sub, Mapping) and sub.get("type") == "query":
                 pred, _i, _f = self._compile_predicate(str(sub["q"]))
@@ -749,35 +824,108 @@ class SearchIndex:
                     f"json_facet subfacet {name!r}: expected an agg "
                     "string, a query spec, or a terms spec"
                 )
+        return aggs, names, nested
+
+    def _jf_level(self, spec: "Mapping[str, object]", count_alias: str):
+        """(field, limit, mincount, agg columns, stat names, nested,
+        opts) for one terms-facet level."""
+        if spec.get("type") != "terms":
+            raise ValueError(
+                f"json_facet supports type=terms at bucket levels, got "
+                f"{spec.get('type')!r}"
+            )
+        field = spec.get("field")
+        if not field:
+            raise ValueError("json_facet terms spec needs field=")
+        aggs, names, nested = self._jf_subaggs(spec, count_alias)
+        opts = {
+            "missing": bool(spec.get("missing", False)),
+            "allBuckets": bool(spec.get("allBuckets", False)),
+            "numBuckets": bool(spec.get("numBuckets", False)),
+            "offset": int(spec.get("offset", 0)),
+            "prefix": spec.get("prefix"),
+        }
         return (str(field), int(spec.get("limit", 10)),
-                int(spec.get("mincount", 1)), aggs, names, nested)
+                int(spec.get("mincount", 1)), aggs, names, nested, opts)
 
     def _jf_terms(self, scan: DataFrame, spec) -> DataFrame:
-        field, limit, mincount, aggs, names, nested = self._jf_level(
+        field, limit, mincount, aggs, names, nested, opts = self._jf_level(
             spec, "count"
         )
-        l1 = scan.groupBy(field).agg(*aggs)
+        grouped = scan.groupBy(field).agg(*aggs)
+        # Solr terms buckets never include the null key — it surfaces
+        # only as the missing bucket (same aggregate, no extra scan)
+        missing_row = (
+            grouped.filter(F.col(field).isNull()) if opts["missing"] else None
+        )
+        l1 = grouped.filter(F.col(field).isNotNull())
+        if opts["prefix"] is not None:
+            l1 = l1.filter(
+                F.col(field).cast("string").startswith(str(opts["prefix"]))
+            )
+        # post-agg bucket rows are term-cardinality small; a global
+        # window over them is cheap at any corpus scale
+        w_all = Window.partitionBy(F.lit(1))
+        if opts["allBuckets"]:
+            l1 = l1.withColumn(
+                "allBuckets_count",
+                F.sum("count").over(w_all).cast("long"),
+            )
         if mincount > 0:
             l1 = l1.filter(F.col("count") >= mincount)
+        if opts["numBuckets"]:
+            l1 = l1.withColumn(
+                "numBuckets", F.count(F.lit(1)).over(w_all).cast("long")
+            )
         order = self._jf_sort_cols(
             str(spec.get("sort", "count desc")), "count", field, set(names)
         )
-        top = l1.orderBy(*order).limit(limit)
+        top = l1.orderBy(*order)
+        if opts["offset"] > 0:
+            top = top.offset(opts["offset"])
+        top = top.limit(limit)
         if nested is None:
+            if missing_row is not None:
+                for c in ("allBuckets_count", "numBuckets"):
+                    if c in top.columns:
+                        missing_row = missing_row.withColumn(
+                            c, F.lit(None).cast("long")
+                        )
+                # union then re-sort: the NULL bucket value lands after
+                # the value buckets (Solr renders missing last)
+                top = top.unionByName(missing_row).orderBy(
+                    F.col(field).isNull().asc(), *order
+                )
             return top
+        if missing_row is not None or opts["allBuckets"] or opts["numBuckets"]:
+            raise ValueError(
+                "json_facet missing/allBuckets/numBuckets combine with "
+                "stat and query subfacets, not with a nested terms facet "
+                "(the flat rendering has no parent-only rows)"
+            )
         name2, sub = nested
-        f2, limit2, mincount2, aggs2, names2, nested2 = self._jf_level(
+        f2, limit2, mincount2, aggs2, names2, nested2, opts2 = self._jf_level(
             sub, f"{name2}_count"
         )
         if nested2 is not None:
             raise ValueError("json_facet supports one nesting level")
         if f2 == field:
             raise ValueError("json_facet nested field equals parent field")
+        if opts2["missing"] or opts2["allBuckets"] or opts2["numBuckets"]:
+            raise ValueError(
+                "json_facet missing/allBuckets/numBuckets are top-level "
+                "terms options"
+            )
         cells = (
             scan.join(F.broadcast(top.select(field)), on=field)
+            .filter(F.col(f2).isNotNull())
             .groupBy(field, f2)
             .agg(*aggs2)
         )
+        if opts2["prefix"] is not None:
+            cells = cells.filter(
+                F.col(f2).cast("string").startswith(str(opts2["prefix"]))
+            )
         if mincount2 > 0:
             cells = cells.filter(F.col(f"{name2}_count") >= mincount2)
         order2 = self._jf_sort_cols(
@@ -785,12 +933,65 @@ class SearchIndex:
             set(names2),
         )
         w = Window.partitionBy(field).orderBy(*order2)
+        lo2, hi2 = opts2["offset"], opts2["offset"] + limit2
         sel = (
             cells.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= limit2)
+            .filter((F.col("_rn") > lo2) & (F.col("_rn") <= hi2))
             .drop("_rn")
         )
         return top.join(sel, on=field).orderBy(*order, F.asc(f2))
+
+    def _jf_range(self, scan: DataFrame, spec) -> DataFrame:
+        """JSON Facet API ``type=range`` with stat/query subfacets: one
+        map-side-combined aggregate over floor-bucketed values, then a
+        broadcast left join against the generated bucket spine so empty
+        buckets survive at the default ``mincount: 0`` (count and query
+        subfacets 0, stats NULL)."""
+        field = spec.get("field")
+        if not field:
+            raise ValueError("json_facet range spec needs field=")
+        for k in ("start", "end", "gap"):
+            if k not in spec:
+                raise ValueError(f"json_facet range spec needs {k}=")
+        aggs, names, nested = self._jf_subaggs(spec, "count")
+        if nested is not None:
+            raise ValueError(
+                "json_facet range facets take stat/query subfacets only"
+            )
+        # query subfacets are conditional counts: empty buckets must
+        # report honest zeros for them, like count itself
+        zero_fill = ["count"] + [
+            n for n, sub in (spec.get("facet") or {}).items()
+            if isinstance(sub, Mapping)
+        ]
+        col, lo, hi, gap_s, n_buckets, is_time = self._range_spec(
+            str(field), spec["start"], spec["end"], spec["gap"]
+        )
+        bucket = F.floor((col - F.lit(lo)) / F.lit(gap_s)).cast("long")
+        cells = (
+            scan.filter(col.isNotNull() & (col >= lo) & (col < hi))
+            .groupBy(bucket.alias("_b"))
+            .agg(*aggs)
+        )
+        mincount = int(spec.get("mincount", 0))
+        if mincount > 0:
+            cells = cells.filter(F.col("count") >= mincount)
+        else:
+            spine = self.spark.range(n_buckets).select(
+                F.col("id").alias("_b")
+            )
+            cells = spine.join(F.broadcast(cells), "_b", "left").fillna(
+                0, subset=zero_fill
+            )
+        start_expr = F.lit(lo) + F.col("_b") * F.lit(gap_s)
+        if is_time:
+            start_expr = F.timestamp_seconds(start_expr)
+        return (
+            cells.withColumn("bucket_start", start_expr)
+            .drop("_b")
+            .select("bucket_start", "count", *names)
+            .orderBy("bucket_start")
+        )
 
     _INTERVAL_RE = re.compile(
         r"^\s*([\[\(])\s*([^,]+?)\s*,\s*([^\]\)]+?)\s*([\]\)])\s*$"

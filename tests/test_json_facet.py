@@ -83,9 +83,108 @@ class TestJsonFacet:
         ).collect()
         assert {r["grp"]: r["count"] for r in rows} == {"a": 3}
 
+    def test_percentile_stddev_sumsq_countvals(self, idx):
+        rows = idx.json_facet({
+            "type": "terms", "field": "grp", "sort": "index asc",
+            "facet": {
+                "p50": "percentile(n, 50)",
+                "sd": "stddev(n)",
+                "ss": "sumsq(n)",
+                "nv": "countvals(n)",
+            },
+        }).collect()
+        a = next(r for r in rows if r["grp"] == "a")
+        assert a["p50"] == pytest.approx(20.0)  # 10,20,30 interpolated
+        assert a["sd"] == pytest.approx(10.0)   # sample stddev
+        assert a["ss"] == 100 + 400 + 900
+        assert a["nv"] == 3
+
+    def test_offset_pages_buckets(self, idx):
+        rows = idx.json_facet({
+            "type": "terms", "field": "grp", "sort": "index asc",
+            "offset": 1, "limit": 1,
+        }).collect()
+        assert [r["grp"] for r in rows] == ["b"]
+
+    def test_prefix_restricts_buckets(self, idx):
+        rows = idx.json_facet({
+            "type": "terms", "field": "src", "prefix": "w",
+        }).collect()
+        assert [r["src"] for r in rows] == ["web"]
+
+    def test_num_and_all_buckets_columns(self, idx):
+        rows = idx.json_facet({
+            "type": "terms", "field": "grp", "limit": 1,
+            "numBuckets": True, "allBuckets": True,
+        }).collect()
+        assert len(rows) == 1  # limit truncates rows, not the metadata
+        r = rows[0]
+        assert (r["grp"], r["count"]) == ("a", 3)
+        assert r["numBuckets"] == 3       # a, b, c survive mincount
+        assert r["allBuckets_count"] == 6  # all docs across all buckets
+
+    def test_domain_filter_restricts_scan(self, idx):
+        rows = idx.json_facet({
+            "type": "terms", "field": "grp",
+            "domain": {"filter": "src:web"},
+        }).collect()
+        assert {r["grp"]: r["count"] for r in rows} == {
+            "a": 2, "b": 1, "c": 1
+        }
+
+    def test_range_facet_with_stats(self, idx):
+        rows = idx.json_facet({
+            "type": "range", "field": "n", "start": 0, "end": 80,
+            "gap": 20,
+            "facet": {
+                "avg_n": "avg(n)",
+                "webs": {"type": "query", "q": "src:web"},
+            },
+        }).collect()
+        assert [r["bucket_start"] for r in rows] == [0.0, 20.0, 40.0, 60.0]
+        # Solr range buckets are [lower, upper): 10 | 20,30 | 40,50 | 60
+        assert [r["count"] for r in rows] == [1, 2, 2, 1]
+        assert rows[0]["avg_n"] == pytest.approx(10.0)
+        assert rows[1]["avg_n"] == pytest.approx(25.0)
+        # web docs: n=10,20,40,60 -> buckets 0,1,2,3
+        assert [r["webs"] for r in rows] == [1, 1, 1, 1]
+
+    def test_range_facet_empty_bucket_zero_filled(self, idx):
+        rows = idx.json_facet({
+            "type": "range", "field": "n", "start": 0, "end": 200,
+            "gap": 100,
+            "facet": {"avg_n": "avg(n)"},
+        }).collect()
+        assert [r["count"] for r in rows] == [6, 0]
+        assert rows[1]["avg_n"] is None  # empty bucket: stats NULL
+
+    def test_range_facet_mincount_drops_empties(self, idx):
+        rows = idx.json_facet({
+            "type": "range", "field": "n", "start": 0, "end": 200,
+            "gap": 100, "mincount": 1,
+        }).collect()
+        assert [r["bucket_start"] for r in rows] == [0.0]
+
     def test_errors_are_loud(self, idx):
-        with pytest.raises(ValueError, match="type=terms"):
+        with pytest.raises(ValueError, match="needs start"):
             idx.json_facet({"type": "range", "field": "n"})
+        with pytest.raises(ValueError, match="stat/query subfacets only"):
+            idx.json_facet({
+                "type": "range", "field": "n", "start": 0, "end": 10,
+                "gap": 5,
+                "facet": {"x": {"type": "terms", "field": "grp"}},
+            })
+        with pytest.raises(ValueError, match="domain supports"):
+            idx.json_facet({"type": "terms", "field": "grp",
+                            "domain": {"query": "x"}})
+        with pytest.raises(ValueError, match="not with a nested"):
+            idx.json_facet({
+                "type": "terms", "field": "grp", "numBuckets": True,
+                "facet": {"by": {"type": "terms", "field": "src"}},
+            })
+        with pytest.raises(ValueError, match="p must be in 0..100"):
+            idx.json_facet({"type": "terms", "field": "grp",
+                            "facet": {"x": "percentile(n, 200)"}})
         with pytest.raises(ValueError, match="needs field"):
             idx.json_facet({"type": "terms"})
         with pytest.raises(ValueError, match="sum\\|avg"):
@@ -109,3 +208,55 @@ class TestJsonFacet:
         with pytest.raises(ValueError, match="unknown key"):
             idx.json_facet({"type": "terms", "field": "grp",
                             "sort": "nope desc"})
+
+
+@pytest.fixture(scope="module")
+def idx_nulls(spark, tmp_path_factory):
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True),
+                Field("grp", "string"),
+                Field("n", "long")),
+        unique_key="id",
+    )
+    rows = [("1", "a", 10), ("2", "a", 20), ("3", "b", 30),
+            ("4", None, 40), ("5", None, None)]
+    df = spark.createDataFrame(rows, "id string, grp string, n long")
+    out = str(tmp_path_factory.mktemp("jfn") / "idx")
+    IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(df, out)
+    return SearchIndex.open(spark, out)
+
+
+class TestJsonFacetMissing:
+    def test_missing_bucket_appended_last_with_stats(self, idx_nulls):
+        rows = idx_nulls.json_facet({
+            "type": "terms", "field": "grp", "missing": True,
+            "facet": {"mx": "max(n)", "nv": "countvals(n)"},
+        }).collect()
+        # value buckets in sort order, then ONE null-bucket row
+        assert [r["grp"] for r in rows] == ["a", "b", None]
+        m = rows[-1]
+        assert (m["count"], m["mx"], m["nv"]) == (2, 40, 1)
+
+    def test_null_key_never_a_value_bucket(self, idx_nulls):
+        rows = idx_nulls.json_facet({
+            "type": "terms", "field": "grp",
+        }).collect()
+        assert [r["grp"] for r in rows] == ["a", "b"]
+
+    def test_missing_with_metadata_columns(self, idx_nulls):
+        rows = idx_nulls.json_facet({
+            "type": "terms", "field": "grp", "missing": True,
+            "numBuckets": True, "allBuckets": True,
+        }).collect()
+        assert rows[0]["numBuckets"] == 2
+        assert rows[0]["allBuckets_count"] == 3  # null-keyed docs excluded
+        assert rows[-1]["grp"] is None
+        assert rows[-1]["numBuckets"] is None
+
+    def test_missing_agg_counts_nulls_per_bucket(self, idx_nulls):
+        rows = idx_nulls.json_facet({
+            "type": "terms", "field": "grp", "missing": True,
+            "facet": {"n_null": "missing(n)"},
+        }).collect()
+        got = {r["grp"]: r["n_null"] for r in rows}
+        assert got == {"a": 0, "b": 0, None: 1}
