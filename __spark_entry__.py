@@ -150,6 +150,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # every pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
     # (a) never checked: new this round
+    "c9_collapse", "c9_expand", "c9_json_facet_range",
+    "c9_json_facet_multiselect", "c9_jf_block_children",
     "c9_date_math", "ext_stream_facet_limit", "ext_stream_timeseries_gap",
     "ext_stream_topic", "ext_dismax_mm_conditional", "c9_knn_query",
     "ext_stream_random", "ext_stream_facet2d", "ext_stream_fetch",
@@ -163,14 +165,15 @@ _VERDICT_PRIORITY = [
     "q20_heavy_part_suppliers", "q21_last_shipper", "q22_idle_customers",
     "pivot_user_activity", "window_lag_delta", "setop_viewers_not_buyers",
     "ext_stratified_sample",
-    # (c) last checked r06 — 28 of 50, named-first
+    # (c) last checked r06 — named-first (cohort tail moved to the r10
+    # overflow to keep the window at exactly 50 after the 5 r09 additions)
     "b8_convert_timestamp", "b12_detect_mime", "c9_suggest", "ext_bm25_topk",
     "facet_event_counts", "ext_funnel_conversion", "ext_cohort_retention",
     "facet_range_value", "pipeline_etl_events", "window_hourly_counts",
-    "q1_pricing_summary", "q3_top_revenue", "q5_local_supplier",
-    "q6_revenue_change", "exists_big_order_customers", "window_topn_orders",
-    "ext_asof_join",
-    # r06 overflow for r10: ext_range_join, skew_salted_join, star_join_enrich,
+    "q1_pricing_summary", "q3_top_revenue",
+    # r06 overflow for r10: q5_local_supplier, q6_revenue_change,
+    # exists_big_order_customers, window_topn_orders, ext_asof_join,
+    # ext_range_join, skew_salted_join, star_join_enrich,
     # ext_exact_dedup, ext_token_count, ext_curation_pipeline,
     # ext_bpe_token_count,
     # ext_quality_features, ext_gopher_rules, ext_lang_id,

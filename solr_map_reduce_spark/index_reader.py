@@ -663,7 +663,7 @@ class SearchIndex:
 
     _JF_AGG_RE = re.compile(
         r"^(sum|avg|min|max|unique|stddev|variance|sumsq|countvals|"
-        r"missing)\((\w+)\)$"
+        r"missing|hll)\((\w+)\)$"
     )
     _JF_PCT_RE = re.compile(r"^percentile\((\w+)\s*,\s*([0-9.]+)\)$")
 
@@ -687,7 +687,7 @@ class SearchIndex:
             raise ValueError(
                 f"json_facet stat {sub!r}: expected "
                 "sum|avg|min|max|unique|stddev|variance|sumsq|countvals|"
-                "missing(field) or percentile(field, p)"
+                "missing|hll(field) or percentile(field, p)"
             )
         fn, f = m.groups()
         col = F.col(f)
@@ -704,6 +704,10 @@ class SearchIndex:
             "sumsq": lambda: F.sum(col * col),
             "countvals": lambda: F.count(col),
             "missing": lambda: F.count(F.when(col.isNull(), F.lit(1))),
+            # Solr's hll(): HyperLogLog distinct estimate — Spark's
+            # HLL++ sketch, mergeable map-side partials (use unique()
+            # for the exact count; hll is the 100-TB-cardinality path)
+            "hll": lambda: F.approx_count_distinct(col),
         }[fn]().alias(name)
 
     def _jf_sort_cols(self, sort: str, count_col: str, bucket_col: str,
@@ -730,6 +734,7 @@ class SearchIndex:
         spec: "Mapping[str, object]",
         q: str | None = None,
         query_field: str | None = None,
+        filters: "Mapping[str, object] | None" = None,
     ) -> DataFrame:
         """Solr JSON Facet API (the modern ``json.facet`` request
         syntax), relationally flattened.  Supported subset::
@@ -739,16 +744,28 @@ class SearchIndex:
              "missing": true,        # null-bucket row appended last
              "allBuckets": true,     # allBuckets_count column
              "numBuckets": true,     # numBuckets column
-             "domain": {"filter": "<query>"},
+             "domain": {"filter": "<query>",
+                        "excludeTags": ["fkey", ...],   # multiselect
+                        "blockChildren": "<parent filter>",  # to children
+                        "blockParent": "<parent filter>"},   # to parents
              "sort": "count desc" | "index asc" | "<aggname> desc",
              "facet": {
                 name: "sum(f)" | "avg(f)" | "min(f)" | "max(f)"
                       | "unique(f)" | "stddev(f)" | "variance(f)"
                       | "sumsq(f)" | "countvals(f)" | "missing(f)"
-                      | "percentile(f, 50)"         # stat subfacet
+                      | "hll(f)" | "percentile(f, 50)"  # stat subfacet
                       | {"type": "query", "q": "..."}   # query subfacet
                       | {"type": "terms", ...}  # ONE nested terms facet
              }}
+
+        ``filters`` are Solr's TAGGED fq analogs (key -> value or
+        admitted-value list); a spec's ``domain.excludeTags`` names
+        filter KEYS to ignore while faceting — the multi-select
+        contract (``fq={!tag=t}f:v`` + ``domain:{excludeTags:"t"}``):
+        a user's own selection must not collapse their facet's other
+        options.  ``blockChildren``/``blockParent`` re-map the domain
+        across the nested-document relation before bucketing (Solr's
+        block-join facet domains).
 
             {"type": "range", "field": f, "start": s, "end": e,
              "gap": g, "mincount": 0, "domain": {...},
@@ -782,18 +799,133 @@ class SearchIndex:
         mincount=0 (count/query-subfacet 0, stats NULL)."""
         scan = self._query_scan(q, query_field) if q is not None else self.df()
         dom = spec.get("domain")
+        allowed = {"filter", "excludeTags", "blockChildren", "blockParent"}
         if dom is not None:
-            if not isinstance(dom, Mapping) or set(dom) != {"filter"}:
+            if not isinstance(dom, Mapping) or not set(dom) <= allowed or not dom:
                 raise ValueError(
-                    "json_facet domain supports {'filter': <query string>}"
+                    "json_facet domain supports filter/excludeTags/"
+                    f"blockChildren/blockParent, got {dom!r}"
                 )
-            pred, _i, _f = self._compile_predicate(
-                str(dom["filter"]), query_field
+            if "blockChildren" in dom and "blockParent" in dom:
+                raise ValueError(
+                    "json_facet domain: blockChildren and blockParent are "
+                    "mutually exclusive (a domain maps one direction)"
+                )
+        ex = (dom or {}).get("excludeTags") or ()
+        skip = {ex} if isinstance(ex, str) else set(ex)
+        unknown = skip - set(filters or {})
+        if unknown:
+            raise ValueError(
+                "json_facet domain excludeTags names unknown filter keys: "
+                f"{sorted(unknown)}"
             )
-            scan = scan.filter(pred)
+        for fkey, fval in (filters or {}).items():
+            if fkey in skip:
+                continue
+            col = F.col(fkey)
+            scan = scan.filter(
+                col.isin(list(fval))
+                if isinstance(fval, (list, tuple, set))
+                else col == fval
+            )
+        if dom is not None:
+            if "filter" in dom:
+                pred, _i, _f = self._compile_predicate(
+                    str(dom["filter"]), query_field
+                )
+                scan = scan.filter(pred)
+            if "blockChildren" in dom or "blockParent" in dom:
+                scan = self._jf_block_domain(scan, dom, query_field)
         if spec.get("type") == "range":
             return self._jf_range(scan, spec)
+        if spec.get("type") == "query":
+            return self._jf_query(scan, spec, query_field)
         return self._jf_terms(scan, spec)
+
+    def _jf_query(
+        self, scan: DataFrame, spec, query_field: str | None
+    ) -> DataFrame:
+        """Top-level JSON Facet API ``type=query``: the domain restricted
+        by ``q``, with ``count``, stat/query subfacets (ONE aggregate
+        row), and optionally ONE nested terms facet whose rows repeat
+        the parent's stats — the parent aggregate is a single row, so
+        attaching it is a broadcast 1-row crossJoin (the TPC-H Q22
+        scalar-subquery shape), never a shuffle."""
+        if "q" not in spec:
+            raise ValueError("json_facet query spec needs q=")
+        pred, _i, _f = self._compile_predicate(str(spec["q"]), query_field)
+        dom = scan.filter(pred)
+        aggs, names, nested = self._jf_subaggs(spec, "count")
+        parent = dom.agg(*aggs)
+        if nested is None:
+            return parent
+        name2, sub = nested
+        f2, limit2, mincount2, aggs2, names2, nested2, opts2 = self._jf_level(
+            sub, f"{name2}_count"
+        )
+        if nested2 is not None:
+            raise ValueError("json_facet supports one nesting level")
+        if opts2["missing"] or opts2["allBuckets"] or opts2["numBuckets"]:
+            raise ValueError(
+                "json_facet missing/allBuckets/numBuckets are top-level "
+                "terms options"
+            )
+        cells = dom.filter(F.col(f2).isNotNull()).groupBy(f2).agg(*aggs2)
+        if opts2["prefix"] is not None:
+            cells = cells.filter(
+                F.col(f2).cast("string").startswith(str(opts2["prefix"]))
+            )
+        if mincount2 > 0:
+            cells = cells.filter(F.col(f"{name2}_count") >= mincount2)
+        order2 = self._jf_sort_cols(
+            str(sub.get("sort", "count desc")), f"{name2}_count", f2,
+            set(names2),
+        )
+        top = cells.orderBy(*order2)
+        if opts2["offset"] > 0:
+            top = top.offset(opts2["offset"])
+        top = top.limit(limit2)
+        return (
+            top.crossJoin(F.broadcast(parent))
+            .select("count", *names, f2, f"{name2}_count", *names2)
+            .orderBy(*order2)
+        )
+
+    def _jf_block_domain(
+        self, scan: DataFrame, dom: "Mapping[str, object]",
+        query_field: str | None,
+    ) -> DataFrame:
+        """Solr JSON-facet block-join domain mapping over the nested-
+        document model ({!parent}/{!child}'s ``_root_`` contract):
+        ``blockChildren: <parentFilter>`` maps a PARENT domain to all
+        its children; ``blockParent: <parentFilter>`` maps a CHILD
+        domain to its parents.  Same plan shape as the block-join query
+        parsers — predicates over one scan lineage, the only shuffle is
+        the distinct root-key semi-join, which AQE broadcasts when
+        small."""
+        root = self.ROOT_COL
+        if "blockChildren" in dom:
+            pf, _i, _f = self._compile_predicate(
+                str(dom["blockChildren"]), query_field
+            )
+            keys = (
+                scan.filter(pf)
+                .select(F.col(self.unique_key).alias(root))
+                .distinct()
+            )
+            return self.df().filter(~pf).join(keys, on=root, how="left_semi")
+        pf, _i, _f = self._compile_predicate(
+            str(dom["blockParent"]), query_field
+        )
+        roots = (
+            scan.filter(~pf)
+            .filter(F.col(root).isNotNull())
+            .select(F.col(root).alias(self.unique_key))
+            .distinct()
+        )
+        return self.df().filter(pf).join(
+            roots, on=self.unique_key, how="left_semi"
+        )
 
     _JF_TERMS_OPTS = ("missing", "allBuckets", "numBuckets")
 
@@ -1186,6 +1318,193 @@ class SearchIndex:
             out = out.select(group_field, "n_in_group", "_rk", *select)
         return out
 
+    def _collapse_metric_col(self, expr: str) -> F.Column:
+        """A collapse min=/max= argument — a field name or a function
+        query (Solr allows ``max=sum(boost,score)``) — to one Column."""
+        from solr_map_reduce_spark.extensions.search import (
+            parse_function_query,
+        )
+
+        return parse_function_query(expr) if "(" in expr else F.col(expr)
+
+    def _collapse_heads(
+        self,
+        scan: DataFrame,
+        field: str,
+        max: str | None,  # noqa: A002 - Solr's own param names
+        min: str | None,  # noqa: A002
+        sort: "Sequence[tuple[str, str]] | None",
+    ) -> DataFrame:
+        """One head row per non-null ``field`` group under the Solr
+        collapse head-selection contract (exactly one of max/min/sort).
+
+        min/max compile to ONE map-side-combined aggregate —
+        ``groupBy(field).agg(max_by(row, ordering))`` — so the shuffle
+        carries one candidate row per (group, input partition), never
+        the corpus: the shape that survives 100× scale.  A null metric
+        value never beats a real one (the leading not-null/null rank in
+        the ordering struct); an all-null group still yields a head.
+        Ties break on the unique key (greatest for max=, least for
+        min=) so the head is deterministic.  The compound ``sort`` path
+        needs full rows ordered per group and uses a window
+        (row_number = 1) — one shuffle on the collapse key."""
+        given = [p for p in ((max, "max"), (min, "min"), (sort, "sort")) if p[0]]
+        if len(given) != 1:
+            raise ValueError(
+                "collapse needs exactly one head criterion: max=, min=, "
+                f"or sort= (got {[n for _v, n in given] or 'none'})"
+            )
+        if sort:
+            order = [
+                F.desc(c) if d.lower().startswith("desc") else F.asc(c)
+                for c, d in sort
+            ]
+            w = Window.partitionBy(field).orderBy(
+                *order, F.asc(self.unique_key)
+            )
+            return (
+                scan.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .drop("_rk")
+            )
+        metric = self._collapse_metric_col(max or min)  # type: ignore[arg-type]
+        uk = F.col(self.unique_key)
+        if max:
+            pick = F.max_by(
+                F.struct(*scan.columns),
+                F.struct(metric.isNotNull(), metric, uk),
+            )
+        else:
+            pick = F.min_by(
+                F.struct(*scan.columns),
+                F.struct(metric.isNull(), metric, uk),
+            )
+        return scan.groupBy(field).agg(pick.alias("_h")).select("_h.*")
+
+    def collapse(
+        self,
+        field: str,
+        max: str | None = None,  # noqa: A002 - Solr's own param names
+        min: str | None = None,  # noqa: A002
+        sort: "Sequence[tuple[str, str]] | None" = None,
+        null_policy: str = "ignore",
+        q: str | None = None,
+        query_field: str | None = None,
+        filters: "Mapping[str, object] | None" = None,
+        select: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Solr field collapsing (CollapsingQParserPlugin,
+        ``fq={!collapse field=f max=g nullPolicy=p}``): ONE document —
+        the group head — per distinct value of ``field``, chosen by
+        ``max=``/``min=`` (a field or function query; ref
+        ``minimr/conf/solrconfig.xml`` query-parser surface) or a
+        compound ``sort=[(col, dir), ...]``.  Solr's score-based default
+        has no analog here (our scans are relational, score exists only
+        in the BM25 serving path) so the criterion is required.
+
+        ``null_policy`` is Solr's nullPolicy: ``"ignore"`` drops docs
+        whose ``field`` is null (Solr's default), ``"expand"`` passes
+        each null doc through as its own group, ``"collapse"`` pools
+        all null docs into one group.  ``q``/``filters`` scope the
+        domain first (the fq composition order Solr applies).  Returns
+        the head docs with the scan's full row (or ``select``)."""
+        if null_policy not in ("ignore", "expand", "collapse"):
+            raise ValueError(
+                "null_policy must be ignore|expand|collapse, got "
+                f"{null_policy!r}"
+            )
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        for fkey, fval in (filters or {}).items():
+            col = F.col(fkey)
+            scan = scan.filter(
+                col.isin(list(fval))
+                if isinstance(fval, (list, tuple, set))
+                else col == fval
+            )
+        nulls = None
+        if null_policy == "ignore":
+            scan = scan.filter(F.col(field).isNotNull())
+        elif null_policy == "expand":
+            nulls = scan.filter(F.col(field).isNull())
+            scan = scan.filter(F.col(field).isNotNull())
+        # "collapse": the null group rides the same groupBy (null key)
+        out = self._collapse_heads(scan, field, max, min, sort)
+        if nulls is not None:
+            out = out.unionByName(nulls)
+        return out.select(*select) if select else out
+
+    def expand(
+        self,
+        field: str,
+        max: str | None = None,  # noqa: A002
+        min: str | None = None,  # noqa: A002
+        sort: "Sequence[tuple[str, str]] | None" = None,
+        rows: int = 5,
+        expand_sort: "Sequence[tuple[str, str]] | None" = None,
+        q: str | None = None,
+        query_field: str | None = None,
+        filters: "Mapping[str, object] | None" = None,
+        select: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Solr's expand component (``expand=true`` alongside
+        ``{!collapse}``): for each collapsed group, the members HIDDEN
+        by the collapse — everything but the head — at most ``rows``
+        per group (``expand.rows``), ordered within the group by
+        ``expand_sort`` (``expand.sort``; defaults to the head
+        criterion's order).  Head selection mirrors :meth:`collapse`
+        exactly (same max=/min=/sort= contract, same null-metric and
+        unique-key tiebreaks), so ``collapse() ∪ expand()`` partitions
+        each group.  Null-``field`` docs never expand (no group —
+        Solr's contract for every nullPolicy).  Relational rendering:
+        one row per expanded member with ``_rk`` (1-based position
+        within its group's expanded section); one window shuffle on the
+        collapse key, no self-join."""
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        for fkey, fval in (filters or {}).items():
+            col = F.col(fkey)
+            scan = scan.filter(
+                col.isin(list(fval))
+                if isinstance(fval, (list, tuple, set))
+                else col == fval
+            )
+        scan = scan.filter(F.col(field).isNotNull())
+        given = [p for p in ((max, "max"), (min, "min"), (sort, "sort")) if p[0]]
+        if len(given) != 1:
+            raise ValueError(
+                "expand needs the collapse head criterion: exactly one "
+                "of max=, min=, or sort="
+            )
+        if sort:
+            head_order = [
+                F.desc(c) if d.lower().startswith("desc") else F.asc(c)
+                for c, d in sort
+            ] + [F.asc(self.unique_key)]
+        else:
+            metric = self._collapse_metric_col(max or min)  # type: ignore[arg-type]
+            uk = F.col(self.unique_key)
+            head_order = (
+                [F.struct(metric.isNotNull(), metric, uk).desc()]
+                if max
+                else [F.struct(metric.isNull(), metric, uk).asc()]
+            )
+        w_head = Window.partitionBy(field).orderBy(*head_order)
+        body = scan.withColumn("_hrk", F.row_number().over(w_head)).filter(
+            F.col("_hrk") > 1
+        )
+        if expand_sort:
+            order2 = [
+                F.desc(c) if d.lower().startswith("desc") else F.asc(c)
+                for c, d in expand_sort
+            ] + [F.asc(self.unique_key)]
+            w_exp = Window.partitionBy(field).orderBy(*order2)
+            body = body.withColumn("_rk", F.row_number().over(w_exp))
+        else:
+            body = body.withColumn("_rk", F.col("_hrk") - F.lit(1))
+        out = body.filter(F.col("_rk") <= rows).drop("_hrk")
+        if select:
+            out = out.select(field, "_rk", *select)
+        return out
+
     # -- cursorMark deep paging ----------------------------------------
     def cursor_page(
         self,
@@ -1545,6 +1864,43 @@ class SearchIndex:
         which AQE broadcasts when small."""
         from solr_map_reduce_spark.extensions import search
 
+        if qtype == "collapse":
+            # CollapsingQParserPlugin {!collapse field=f min=g|max=g
+            # nullPolicy=p} — one head doc per field value.  Solr uses it
+            # as an fq post-filter; standalone (the inner body empty) it
+            # collapses the whole collection.  sort= local param is the
+            # compound criterion ("a asc, b desc").
+            f = params.get("field")
+            if not f:
+                raise search.QuerySyntaxError(
+                    "{!collapse} needs the field= param"
+                )
+            sort_p = params.get("sort")
+            sort_spec = None
+            if sort_p:
+                sort_spec = []
+                for part in sort_p.split(","):
+                    toks = part.split()
+                    if not 1 <= len(toks) <= 2:
+                        raise search.QuerySyntaxError(
+                            f"{{!collapse}} sort clause {part!r} is not "
+                            "'field [asc|desc]'"
+                        )
+                    sort_spec.append(
+                        (toks[0], toks[1] if len(toks) == 2 else "asc")
+                    )
+            try:
+                return self.collapse(
+                    f,
+                    max=params.get("max"),
+                    min=params.get("min"),
+                    sort=sort_spec,
+                    null_policy=params.get("nullPolicy", "ignore"),
+                    q=inner.strip() or None,
+                    query_field=field,
+                )
+            except ValueError as exc:
+                raise search.QuerySyntaxError(f"{{!collapse}}: {exc}") from None
         if qtype == "terms":
             # TermsQParser {!terms f=field}v1,v2,v3 — a raw set-membership
             # filter over a PLAIN column (no analysis, Solr's docvalues IN
@@ -1714,7 +2070,7 @@ class SearchIndex:
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
             "supported: join, parent, child, terms, prefix, field, "
-            "frange, knn"
+            "frange, knn, collapse"
         )
 
     def query(

@@ -2119,6 +2119,117 @@ def c9_json_facet(spark, sf_dir):
 
 
 @_register(
+    "c9_collapse",
+    """SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars, row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id DESC
+         ) AS rn FROM documents WHERE source IS NOT NULL
+       ) WHERE rn = 1""",
+    "Solr field collapsing (CollapsingQParserPlugin {!collapse field=source "
+    "max=n_chars}): one head doc per source — a map-side-combined "
+    "groupBy + max_by(row, ordering) aggregate, never a full-row window "
+    "shuffle; ties break on the greatest unique key; nullPolicy=ignore "
+    "drops null-source docs (Solr's default)",
+)
+def c9_collapse(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).collapse(
+        "source", max="n_chars", select=["doc_id", "source", "n_chars"]
+    )
+
+
+@_register(
+    "c9_expand",
+    """SELECT source, CAST(rn - 1 AS INT) AS _rk, doc_id, n_chars FROM (
+         SELECT source, doc_id, n_chars, row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id DESC
+         ) AS rn FROM documents WHERE source IS NOT NULL
+       ) WHERE rn BETWEEN 2 AND 4""",
+    "Solr expand component (expand=true beside {!collapse}): per group, "
+    "the top expand.rows members HIDDEN by the collapse — same head "
+    "criterion (max=n_chars) and tiebreaks as c9_collapse, so "
+    "collapse union expand partitions each group; one window shuffle, "
+    "no self-join",
+)
+def c9_expand(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).expand(
+        "source", max="n_chars", rows=3, select=["doc_id", "n_chars"]
+    )
+
+
+@_register(
+    "c9_json_facet_range",
+    """WITH spine AS (SELECT 100.0 * i AS b FROM range(6) t(i)),
+       agg AS (
+         SELECT floor(n_chars / 100) * 100 AS b, count(*) AS c,
+                avg(n_chars) AS a, count(*) FILTER (WHERE lang = 'en') AS e
+         FROM documents WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 1
+       )
+       SELECT CAST(spine.b AS DOUBLE) AS bucket_start,
+              COALESCE(agg.c, 0) AS "count", agg.a AS avg_chars,
+              COALESCE(agg.e, 0) AS en
+       FROM spine LEFT JOIN agg ON spine.b = agg.b""",
+    "Solr JSON Facet API type=range with a stat subfacet and a query "
+    "subfacet: ONE map-side-combined aggregate over floor-bucketed "
+    "values; empty buckets survive at mincount=0 via a broadcast left "
+    "join against the generated bucket spine (count/query subfacets 0, "
+    "stats NULL)",
+)
+def c9_json_facet_range(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).json_facet({
+        "type": "range", "field": "n_chars", "start": 0, "end": 600,
+        "gap": 100,
+        "facet": {
+            "avg_chars": "avg(n_chars)",
+            "en": {"type": "query", "q": "lang:en"},
+        },
+    })
+
+
+@_register(
+    "c9_json_facet_multiselect",
+    """SELECT source, count(*) AS "count" FROM documents
+       WHERE lang IN ('en', 'de') AND source IS NOT NULL
+       GROUP BY source""",
+    "Multi-select faceting through the JSON Facet API: tagged fq analogs "
+    "(filters=) + domain excludeTags — the user's own source selection "
+    "is ignored while faceting source (their selection must not collapse "
+    "the facet's other options), the lang filter still applies; "
+    "exclusion happens at PLAN time (the filter is simply not composed), "
+    "zero extra scans",
+)
+def c9_json_facet_multiselect(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).json_facet(
+        {"type": "terms", "field": "source", "sort": "index asc",
+         "limit": 100, "domain": {"excludeTags": ["source"]}},
+        filters={"source": "src3", "lang": ["en", "de"]},
+    )
+
+
+@_register(
+    "c9_jf_block_children",
+    """SELECT CAST(l_quantity AS DOUBLE) AS quantity, count(*) AS "count"
+       FROM lineitem
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_orderkey = l_orderkey
+                       AND o_totalprice >= 180000)
+       GROUP BY 1""",
+    "Solr JSON-facet block-join domain (domain: {blockChildren}): a "
+    "parent domain (orders with totalprice >= 180000) re-mapped to its "
+    "child docs via the _root_ nested-document relation, then bucketed "
+    "— the only shuffle is the distinct root-key semi-join (AQE "
+    "broadcasts it when small), the facet aggregate rides the mapped "
+    "scan",
+)
+def c9_jf_block_children(spark, sf_dir):
+    return _nested_orders_index(spark, sf_dir).json_facet({
+        "type": "terms", "field": "quantity", "sort": "index asc",
+        "limit": 100,
+        "domain": {"filter": "totalprice:[180000 TO *]",
+                   "blockChildren": "kind:parent"},
+    })
+
+
+@_register(
     "c9_date_math",
     """SELECT event_id FROM events
        WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'

@@ -116,3 +116,43 @@ class TestRawFieldParsers:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PushedFilters" in plan and "In(grp" in plan, plan
+
+
+class TestJsonFacetBlockDomain:
+    def test_block_children_domain(self, nidx):
+        # domain grp:a restricted to parents (p1, p3) -> their children:
+        # c1-1 (grp a), c1-2 (grp b); the orphan and p2's child drop
+        rows = nidx.json_facet({
+            "type": "terms", "field": "grp", "sort": "index asc",
+            "domain": {"filter": "grp:a", "blockChildren": "kind:parent"},
+        }).collect()
+        assert {(r["grp"], r["count"]) for r in rows} == {("a", 1), ("b", 1)}
+
+    def test_block_parent_domain(self, nidx):
+        # child domain num:[7 TO *] = c1-2, c2-1, c3x (orphan, no root)
+        # -> parents p1 (grp a), p2 (grp b)
+        rows = nidx.json_facet({
+            "type": "terms", "field": "grp", "sort": "index asc",
+            "domain": {"filter": "num:[7 TO *]",
+                       "blockParent": "kind:parent"},
+        }).collect()
+        assert {(r["grp"], r["count"]) for r in rows} == {("a", 1), ("b", 1)}
+
+    def test_block_keys_mutually_exclusive(self, nidx):
+        import pytest
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            nidx.json_facet({
+                "type": "terms", "field": "grp",
+                "domain": {"blockChildren": "kind:parent",
+                           "blockParent": "kind:parent"},
+            })
+
+    def test_stats_ride_the_mapped_domain(self, nidx):
+        rows = nidx.json_facet({
+            "type": "terms", "field": "grp", "sort": "index asc",
+            "domain": {"filter": "grp:a", "blockChildren": "kind:parent"},
+            "facet": {"mx": "max(num)"},
+        }).collect()
+        got = {r["grp"]: r["mx"] for r in rows}
+        assert got == {"a": 5, "b": 50}

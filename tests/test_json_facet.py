@@ -260,3 +260,79 @@ class TestJsonFacetMissing:
         }).collect()
         got = {r["grp"]: r["n_null"] for r in rows}
         assert got == {"a": 0, "b": 0, None: 1}
+
+
+class TestJsonFacetMultiselect:
+    def test_exclude_tags_widens_own_facet(self, idx):
+        # the user selected src=web (tagged by its filter key); faceting
+        # src with that tag excluded still shows every src option — the
+        # other filters (grp=a) keep applying
+        rows = idx.json_facet(
+            {"type": "terms", "field": "src", "sort": "index asc",
+             "domain": {"excludeTags": "src"}},
+            filters={"src": "web", "grp": "a"},
+        ).collect()
+        # grp a docs: web(1,2), pdf(3)
+        assert {(r["src"], r["count"]) for r in rows} == {
+            ("pdf", 1), ("web", 2)}
+
+    def test_filters_apply_without_exclude(self, idx):
+        rows = idx.json_facet(
+            {"type": "terms", "field": "src", "sort": "index asc"},
+            filters={"src": "web"},
+        ).collect()
+        assert [(r["src"], r["count"]) for r in rows] == [("web", 4)]
+
+    def test_filter_value_lists_are_in_predicates(self, idx):
+        rows = idx.json_facet(
+            {"type": "terms", "field": "grp", "sort": "index asc"},
+            filters={"grp": ["a", "c"]},
+        ).collect()
+        assert [(r["grp"], r["count"]) for r in rows] == [("a", 3), ("c", 1)]
+
+    def test_exclude_unknown_key_raises(self, idx):
+        with pytest.raises(ValueError, match="unknown filter keys"):
+            idx.json_facet(
+                {"type": "terms", "field": "src",
+                 "domain": {"excludeTags": ["typo"]}},
+                filters={"src": "web"},
+            )
+
+    def test_hll_estimates_distinct(self, idx):
+        # HLL++ is exact at tiny cardinality; the point here is the
+        # grammar + column wiring (unique() remains the exact stat)
+        rows = idx.json_facet({
+            "type": "terms", "field": "grp", "sort": "index asc",
+            "facet": {"h": "hll(src)", "u": "unique(src)"},
+        }).collect()
+        assert all(r["h"] == r["u"] for r in rows)
+
+
+class TestJsonFacetQueryType:
+    def test_query_facet_one_row(self, idx):
+        rows = idx.json_facet({
+            "type": "query", "q": "src:web",
+            "facet": {"mx": "max(n)", "pdfish": {"type": "query",
+                                                 "q": "grp:a"}},
+        }).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["count"], r["mx"], r["pdfish"]) == (4, 60, 2)
+
+    def test_query_facet_with_nested_terms(self, idx):
+        rows = idx.json_facet({
+            "type": "query", "q": "src:web",
+            "facet": {
+                "mx": "max(n)",
+                "by_grp": {"type": "terms", "field": "grp",
+                           "sort": "index asc", "limit": 10},
+            },
+        }).collect()
+        # parent stats repeated on every child bucket row
+        assert [(r["grp"], r["by_grp_count"], r["count"], r["mx"])
+                for r in rows] == [("a", 2, 4, 60), ("b", 1, 4, 60),
+                                   ("c", 1, 4, 60)]
+
+    def test_query_facet_needs_q(self, idx):
+        with pytest.raises(ValueError, match="query spec needs q="):
+            idx.json_facet({"type": "query"})
