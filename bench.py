@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "ext_hybrid_rrf",
     "ext_sq_topk",
     "c9_block_join_parent",
+    "c9_collapse",
     "ext_sessionize",
 ]
 

@@ -60,6 +60,17 @@ update              index the stream into a destination via merge_into
                     (O(touched shards)); emits a batchIndexed summary
 daemon              one iteration of the wrapped stream per run() —
                     continuous operation is Structured Streaming's job
+list / plist        tuples of every wrapped stream (unionByName,
+                    missing columns null) — Spark runs the inputs in
+                    parallel either way, so both share one plan; Solr's
+                    list() cross-stream SEQUENCE is not an ordering
+                    guarantee here (wrap in sort() for one)
+null                consume the stream, emit ONE {nullCount} tuple —
+                    Solr's throughput-test sink (the count aggregate
+                    executes the full plan, nothing is collected)
+knnSearch           text k-nearest via MoreLikeThis: the id= doc's
+                    distinctive terms (tf-idf from the stored
+                    dictionary) fed to BM25, source doc excluded
 (select evaluators) add/sub/mult/div/mod/abs/sqrt/pow, if/eq/gt/lt/
                     gteq/lteq/and/or/not, analyze(field, fieldType),
                     concat/upper/lower/trim/strlen/substring (quoted
@@ -513,7 +524,7 @@ class StreamCompiler:
                 "fetch, intersect, complement, stats, cartesianProduct, "
                 "timeseries, significantTerms, nodes, shortestPath, "
                 "echo, tuple, random, facet2D, parallel, topic, update, "
-                "daemon"
+                "daemon, list, plist, null, knnSearch"
             )
         return fn(node)
 
@@ -1410,3 +1421,67 @@ class StreamCompiler:
         keep = [stream[c] for c in stream.columns]
         keep += [proj[c] for c in fetch_cols if c not in set(stream.columns)]
         return joined.select(*keep), sort
+
+    def _c_list(self, node: Call):
+        """Solr list(): every wrapped stream's tuples — relationally a
+        unionByName (missing columns null-filled, Solr's open tuple
+        model).  Spark executes the inputs in parallel, so Solr list()'s
+        cross-stream SEQUENCE is not an ordering guarantee here — wrap
+        in sort()/merge(on=) for a deterministic order."""
+        subs = [a for a in node.args if isinstance(a, Call)]
+        if len(subs) < 2:
+            raise QuerySyntaxError(f"{node.name}() needs >=2 streams")
+        frames = [self._compile(sb)[0] for sb in subs]
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_, allowMissingColumns=True)
+        return out, None
+
+    def _c_plist(self, node: Call):
+        # Solr plist(): list() with the inputs opened in parallel and NO
+        # ordering promise — in Spark the two are the SAME plan (every
+        # input already runs in parallel), so plist is exact parity and
+        # list shares it
+        return self._c_list(node)
+
+    def _c_null(self, node: Call):
+        # Solr null(): consume the stream, emit ONE {nullCount} tuple —
+        # the throughput-test sink.  The count aggregate executes the
+        # full upstream plan distributed (nothing collected); Solr's
+        # timer field is omitted (wall time is the caller's measurement,
+        # not a tuple value a deterministic oracle could check)
+        df, _s = self._stream_arg(node)
+        return df.agg(F.count(F.lit(1)).alias("nullCount")), None
+
+    def _c_knnSearch(self, node: Call):  # noqa: N802 (Solr camelCase)
+        """Solr knnSearch(collection, id=, qf=, k=): text k-nearest via
+        MoreLikeThis — the id= document's most distinctive terms (tf-idf
+        against the stored term dictionary) fed to BM25, the source doc
+        excluded.  Per-document operation: the lookup is shard-pruned,
+        term selection touches |doc| terms, and the scored scan is the
+        bounded BM25 top-k — never a corpus pairwise pass."""
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("knnSearch() needs a collection name first")
+        src = self._source(node.args[0])
+        if isinstance(src, DataFrame):
+            raise QuerySyntaxError(
+                "knnSearch() needs a SearchIndex source (stored tokens + "
+                "term dictionary)"
+            )
+        key = node.kwargs.get("id")
+        if key is None:
+            raise QuerySyntaxError("knnSearch() needs id= (the source doc)")
+        k = int(node.kwargs.get("k", 10))
+        mlt_kw = {}
+        if "qf" in node.kwargs:
+            mlt_kw["field"] = node.kwargs["qf"]
+        if "mindf" in node.kwargs:
+            mlt_kw["min_df"] = int(node.kwargs["mindf"])
+        if "maxterms" in node.kwargs:
+            mlt_kw["max_terms"] = int(node.kwargs["maxterms"])
+        out = src.more_like_this(key, k=k, **mlt_kw)
+        if "fl" in node.kwargs:
+            out = out.select(
+                *[c.strip() for c in node.kwargs["fl"].split(",")]
+            )
+        return out, None

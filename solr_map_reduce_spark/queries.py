@@ -5100,6 +5100,51 @@ def ext_stream_merge(spark, sf_dir):
 
 
 @_register(
+    "ext_stream_list",
+    """SELECT o_orderkey AS okey, 'o' AS src
+       FROM orders WHERE o_orderkey < 1000
+       UNION ALL
+       SELECT l_orderkey, 'l' FROM lineitem WHERE l_orderkey < 1000""",
+    "Solr streaming expression list(streamA, streamB): every wrapped "
+    "stream's tuples under the open tuple model — unionByName (plist "
+    "is the SAME plan: Spark runs the inputs in parallel either way; "
+    "mismatched-schema null-filling is unit-tested — the gate keeps "
+    "columns null-free so the value hash stays comparator-neutral)",
+)
+def ext_stream_list(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    comp = StreamCompiler({
+        "o_small": t(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") < 1000).withColumn("src", F.lit("o")),
+        "l_small": t(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") < 1000).withColumn("src", F.lit("l")),
+    })
+    return comp.run(
+        'list(select(search(o_small), o_orderkey as okey, src), '
+        'select(search(l_small), l_orderkey as okey, src))'
+    )
+
+
+@_register(
+    "ext_stream_null",
+    """SELECT count(*) AS nullCount FROM lineitem WHERE l_quantity >= 30""",
+    "Solr streaming expression null(stream): consume the stream and "
+    "emit ONE {nullCount} tuple — the throughput-test sink; the count "
+    "aggregate executes the full upstream plan distributed, nothing "
+    "collected",
+)
+def ext_stream_null(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    comp = StreamCompiler({
+        "li_q": t(spark, sf_dir, "lineitem").filter(
+            F.col("l_quantity") >= 30),
+    })
+    return comp.run("null(search(li_q))")
+
+
+@_register(
     "ext_stream_intersect",
     """SELECT c_custkey, c_name FROM customer
        WHERE c_custkey IN (

@@ -45,6 +45,15 @@ def _row_key(row, cols):
     return tuple(_norm(row[c]) for c in sorted(cols))
 
 
+def _sort_key(key_tuple):
+    # null-safe ORDERING only (equality still compares the normalized
+    # values): str() of equal values is identical across the Spark and
+    # pandas sides (datetime vs Timestamp both render ISO), so equal
+    # multisets sort identically and the positional zip stays aligned;
+    # mixed None/int columns must not TypeError the sort
+    return tuple((v is None, str(v)) for v in key_tuple)
+
+
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
@@ -62,9 +71,12 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     got_cols = sorted(got_df.columns)
     want_cols = sorted(want_pdf.columns)
     assert got_cols == want_cols, f"{name}: columns {got_cols} != {want_cols}"
-    got_keys = sorted(_row_key(r.asDict(), got_cols) for r in got)
+    got_keys = sorted(
+        (_row_key(r.asDict(), got_cols) for r in got), key=_sort_key
+    )
     want_keys = sorted(
-        _row_key(rec, want_cols) for rec in want_pdf.to_dict("records")
+        (_row_key(rec, want_cols) for rec in want_pdf.to_dict("records")),
+        key=_sort_key,
     )
     mismatches = [
         (g, w) for g, w in zip(got_keys, want_keys) if g != w

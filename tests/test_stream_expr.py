@@ -827,3 +827,62 @@ class TestHavingNullProbes:
         assert sorted(r["pid"] for r in rows) == [1, 2, 3]
         with pytest.raises(QuerySyntaxError, match="one field arg"):
             comp.run('having(search(people), isNull(eq(pid, 1)))')
+
+
+class TestListPlistNullKnn:
+    def test_list_unions_streams_null_filling(self, comp):
+        df = comp.run(
+            'list(search(people, fl="pid,name"), '
+            'search(salaries, fl="person,pay"))'
+        )
+        rows = df.collect()
+        assert len(rows) == 7
+        assert set(df.columns) == {"pid", "name", "person", "pay"}
+        # tuples keep their own fields; the other stream's are null
+        people_rows = [r for r in rows if r["pid"] is not None]
+        assert all(r["pay"] is None for r in people_rows)
+
+    def test_plist_is_the_same_plan(self, comp):
+        a = comp.run('list(search(people, fl="pid"), search(salaries, '
+                     'fl="person"))')
+        b = comp.run('plist(search(people, fl="pid"), search(salaries, '
+                     'fl="person"))')
+        key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        assert (sorted(map(tuple, a.collect()), key=key)
+                == sorted(map(tuple, b.collect()), key=key))
+
+    def test_list_needs_two_streams(self, comp):
+        with pytest.raises(QuerySyntaxError, match=">=2 streams"):
+            comp.run("list(search(people))")
+
+    def test_null_consumes_and_counts(self, comp):
+        rows = comp.run("null(search(people))").collect()
+        assert len(rows) == 1 and rows[0]["nullCount"] == 4
+
+    def test_knn_search_mlt(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        rows = [("1", "spark shuffle exchange partition"),
+                ("2", "spark shuffle exchange"),
+                ("3", "spark scan parquet"),
+                ("4", "gardening soil compost")]
+        df = spark.createDataFrame(rows, "id string, text string")
+        out = str(tmp_path / "knnidx")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(
+            df, out)
+        comp = StreamCompiler({"docs": SearchIndex.open(spark, out)})
+        got = comp.run('knnSearch(docs, id="1", k=2, fl="id")').collect()
+        ids = [r["id"] for r in got]
+        assert "1" not in ids          # source doc excluded
+        assert ids and ids[0] == "2"   # nearest by shared distinctive terms
+        with pytest.raises(QuerySyntaxError, match="needs id="):
+            comp.run("knnSearch(docs, k=2)")
+        with pytest.raises(QuerySyntaxError, match="SearchIndex source"):
+            StreamCompiler({"plain": df}).run('knnSearch(plain, id="1")')
