@@ -152,7 +152,8 @@ _VERDICT_PRIORITY = [
     # (a) never checked: new this round
     "c9_collapse", "c9_expand", "c9_json_facet_range",
     "c9_json_facet_multiselect", "c9_jf_block_children",
-    "ext_stream_list", "ext_stream_null",
+    "ext_stream_list", "ext_stream_null", "ext_ltr_linear",
+    "ext_ltr_trees",
     "c9_date_math", "ext_stream_facet_limit", "ext_stream_timeseries_gap",
     "ext_stream_topic", "ext_dismax_mm_conditional", "c9_knn_query",
     "ext_stream_random", "ext_stream_facet2d", "ext_stream_fetch",
@@ -170,8 +171,9 @@ _VERDICT_PRIORITY = [
     # overflow to keep the window at exactly 50 after the 5 r09 additions)
     "b8_convert_timestamp", "b12_detect_mime", "c9_suggest", "ext_bm25_topk",
     "facet_event_counts", "ext_funnel_conversion", "ext_cohort_retention",
-    "facet_range_value", "pipeline_etl_events", "window_hourly_counts",
-    # r06 overflow for r10: q1_pricing_summary, q3_top_revenue,
+    "facet_range_value",
+    # r06 overflow for r10: pipeline_etl_events, window_hourly_counts,
+    # q1_pricing_summary, q3_top_revenue,
     # q5_local_supplier, q6_revenue_change,
     # exists_big_order_customers, window_topn_orders, ext_asof_join,
     # ext_range_join, skew_salted_join, star_join_enrich,

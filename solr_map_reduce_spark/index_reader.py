@@ -1505,6 +1505,40 @@ class SearchIndex:
             out = out.select(field, "_rk", *select)
         return out
 
+    def ltr_rerank(
+        self,
+        model,
+        features: "Mapping[str, object]",
+        pool_sort: "Sequence[tuple[str, str]]",
+        rq: int = 100,
+        k: int = 10,
+        q: str | None = None,
+        query_field: str | None = None,
+        filters: "Mapping[str, object] | None" = None,
+        select: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Solr LTR rescoring (``rq={!ltr model=m reRankDocs=rq}``): the
+        main ranking's top ``rq`` docs — ``pool_sort`` is that ranking,
+        required explicitly since our scans are relational (Solr's
+        implicit score ordering lives in the BM25 path) — rescored by
+        the model over the features and re-sorted, top ``k`` returned
+        with ``ltr_score``.  Models/features/normalizers:
+        :mod:`solr_map_reduce_spark.extensions.ltr`.  One bounded
+        TakeOrdered pool + one codegen projection — no UDF, no second
+        scan."""
+        from solr_map_reduce_spark.extensions.ltr import ltr_rescore
+
+        pool = self.search(
+            q=q, field=query_field, filters=filters,
+            sort=list(pool_sort), limit=int(rq),
+        )
+        out = ltr_rescore(
+            pool, model, features, k=k, tiebreak=self.unique_key
+        )
+        if select:
+            out = out.select(*select, "ltr_score")
+        return out
+
     # -- cursorMark deep paging ----------------------------------------
     def cursor_page(
         self,

@@ -2230,6 +2230,91 @@ def c9_jf_block_children(spark, sf_dir):
 
 
 @_register(
+    "ext_ltr_linear",
+    """WITH pool AS (
+         SELECT doc_id, n_chars, lang FROM documents
+         ORDER BY n_chars DESC, doc_id ASC LIMIT 200
+       ), scored AS (
+         SELECT doc_id,
+                ((n_chars - 48.0) / 505.0) * 0.4
+                + (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) * 0.6
+                  AS ltr_score
+         FROM pool
+       )
+       SELECT doc_id, ltr_score FROM scored
+       ORDER BY ltr_score DESC, doc_id ASC LIMIT 20""",
+    "Solr LTR rescoring (rq={!ltr model=linear reRankDocs=200}): the "
+    "main ranking's top-200 pool (TakeOrdered, never a corpus sort) "
+    "rescored by a LinearModel over a MinMax-normalized length feature "
+    "and a lang indicator — the model compiles to ONE codegen Column, "
+    "no UDF; unique-key tiebreak keeps pages deterministic",
+)
+def ext_ltr_linear(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.ltr import Feature, LinearModel
+
+    return _docs_search_index(spark, sf_dir).ltr_rerank(
+        LinearModel({"len_n": 0.4, "is_en": 0.6}),
+        {"len_n": Feature("n_chars",
+                          norm={"type": "minmax", "min": 48, "max": 553}),
+         "is_en": Feature(F.when(F.col("lang") == "en", 1.0)
+                          .otherwise(0.0))},
+        pool_sort=[("n_chars", "desc")], rq=200, k=20,
+        select=["doc_id"],
+    )
+
+
+@_register(
+    "ext_ltr_trees",
+    """WITH pool AS (
+         SELECT doc_id, n_chars, lang FROM documents
+         ORDER BY n_chars DESC, doc_id ASC LIMIT 200
+       ), scored AS (
+         SELECT doc_id,
+                (CASE WHEN n_chars <= 300 THEN 0.1 ELSE 0.5 END) * 1.0
+                + (CASE WHEN (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+                          <= 0.5
+                     THEN CASE WHEN n_chars <= 100 THEN 0.0 ELSE 0.2 END
+                     ELSE 0.3 END) * 2.0 AS ltr_score
+         FROM pool
+       )
+       SELECT doc_id, ltr_score FROM scored
+       ORDER BY ltr_score DESC, doc_id ASC LIMIT 20""",
+    "Solr LTR MultipleAdditiveTreesModel (LambdaMART-style ensemble "
+    "from the model-store JSON): each tree compiles to nested CASE WHEN "
+    "(branch LEFT when feature <= threshold, Solr's rule), the ensemble "
+    "to one whole-stage-codegen Column — constant per-row compute over "
+    "the bounded rerank pool regardless of tree count",
+)
+def ext_ltr_trees(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.ltr import (
+        AdditiveTreesModel,
+        Feature,
+    )
+
+    model = AdditiveTreesModel.from_json({
+        "trees": [
+            {"weight": 1.0,
+             "root": {"feature": "len", "threshold": 300,
+                      "left": {"value": 0.1}, "right": {"value": 0.5}}},
+            {"weight": 2.0,
+             "root": {"feature": "is_en", "threshold": 0.5,
+                      "left": {"feature": "len", "threshold": 100,
+                               "left": {"value": 0.0},
+                               "right": {"value": 0.2}},
+                      "right": {"value": 0.3}}},
+        ]
+    })
+    return _docs_search_index(spark, sf_dir).ltr_rerank(
+        model,
+        {"len": Feature("n_chars"),
+         "is_en": Feature(F.when(F.col("lang") == "en", 1.0)
+                          .otherwise(0.0))},
+        pool_sort=[("n_chars", "desc")], rq=200, k=20,
+        select=["doc_id"],
+    )
+
+
+@_register(
     "c9_date_math",
     """SELECT event_id FROM events
        WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
