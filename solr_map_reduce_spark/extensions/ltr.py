@@ -59,14 +59,18 @@ class Feature:
     default: float = 0.0
     norm: "Mapping[str, float] | None" = None
 
-    def col(self) -> Column:
+    def col(self, context=None) -> Column:
         from solr_map_reduce_spark.extensions.search import (
             parse_function_query,
         )
 
         c = self.expr
         if isinstance(c, str):
-            c = parse_function_query(c) if "(" in c else F.col(c)
+            c = (
+                parse_function_query(c, context=context)
+                if "(" in c
+                else F.col(c)
+            )
         c = F.coalesce(c.cast("double"), F.lit(float(self.default)))
         n = self.norm
         if n is None:
@@ -89,11 +93,14 @@ class Feature:
 
 def _features(
     features: "Mapping[str, Feature | Column | str]",
+    context=None,
 ) -> "dict[str, Column]":
     out: dict[str, Column] = {}
     for name, f_ in features.items():
         out[name] = (
-            f_.col() if isinstance(f_, Feature) else Feature(f_).col()
+            f_.col(context)
+            if isinstance(f_, Feature)
+            else Feature(f_).col(context)
         )
     if not out:
         raise ValueError("LTR needs at least one feature")
@@ -207,6 +214,7 @@ def ltr_rescore(
     k: int | None = None,
     score_col: str = "ltr_score",
     tiebreak: str | None = None,
+    context=None,
 ) -> DataFrame:
     """Rescore an ALREADY-BOUNDED pool (Solr's reRankDocs window — the
     caller selects the top-``rq`` docs by the main ranking first) with
@@ -217,7 +225,7 @@ def ltr_rescore(
     The model compiles to one Column — whole-stage codegen, no UDF —
     so the rescore costs one projection over ``rq`` rows at any corpus
     size."""
-    feats = _features(features)
+    feats = _features(features, context)
     scored = pool.withColumn(score_col, model.score_col(feats))
     order = [F.desc(score_col)]
     if tiebreak is not None:

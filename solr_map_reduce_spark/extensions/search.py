@@ -632,11 +632,18 @@ def parse_local_params(q: str):
 _FQ_TOKEN_RE = _re.compile(
     r"\s*(?:(?P<num>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
     r"|(?P<name>[A-Za-z_][\w.]*)"
+    r"|(?P<str>'[^']*'|\"[^\"]*\")"
     r"|(?P<punc>[(),]))"
 )
 
+# relevance functions take a RAW (field, term) pair — the field is an
+# identity, not a value expression, and the term is the INDEXED form
+# (Solr's termfreq/docfreq contract: no query-time analysis) — and need
+# an index context (token columns + the stored term dictionary)
+_FQ_RELEVANCE_FNS = ("termfreq", "docfreq", "idf", "ttf", "tf", "norm")
 
-def parse_function_query(s: str) -> F.Column:
+
+def parse_function_query(s: str, context=None) -> F.Column:
     """Solr function-query syntax → ONE Column expression: numeric
     literals, bare field references, and the arithmetic core —
     ``sum/sub/product/div/min/max/abs/sqrt/pow/log/ln/linear/recip``
@@ -649,6 +656,19 @@ def parse_function_query(s: str) -> F.Column:
     pass through unless ``def`` overrides), ``mod(a,b)``, ``not(x)``.
     Field refs cast to double so integer fields divide like Solr
     doubles.
+
+    RELEVANCE functions — ``termfreq(f,t)`` / ``docfreq(f,t)`` /
+    ``idf(f,t)`` — take a raw (field, term) pair (the term in its
+    INDEXED form, optionally quoted — Solr applies no query-time
+    analysis here either) and need ``context``, an index adapter
+    providing the stored token columns and term dictionary; the
+    SearchIndex sort/frange/collapse paths supply it.  ``termfreq`` is
+    a per-row token count over the analyze-once ``__tokens`` column;
+    ``docfreq``/``idf`` fold to plan-time LITERALS from the dictionary
+    sidecar (a KB-scale driver lookup, the Solr/Lucene cost model);
+    ``idf`` is Lucene BM25's ``ln(1+(N-df+0.5)/(df+0.5))`` — the
+    default similarity; ``tf``/``norm``/``ttf`` raise (ClassicSimilarity
+    statistics this artifact does not store).
 
     Stays an expression tree (JVM whole-stage codegen) — a function
     query never becomes a UDF."""
@@ -684,11 +704,18 @@ def parse_function_query(s: str) -> F.Column:
             raise err("unexpected end of input")
         if m.group("num") is not None:
             return F.lit(float(m.group("num")))
+        if m.group("str") is not None:
+            raise err(
+                "string literals are only valid as the term argument of "
+                f"{'/'.join(_FQ_RELEVANCE_FNS[:3])}"
+            )
         if m.group("name") is not None:
             name = m.group("name")
             nxt = peek()
             if nxt is not None and nxt.group("punc") == "(":
                 next_tok()  # consume (
+                if name.lower() in _FQ_RELEVANCE_FNS:
+                    return parse_relevance(name.lower())
                 args = []
                 if (p := peek()) is not None and p.group("punc") == ")":
                     next_tok()
@@ -705,6 +732,38 @@ def parse_function_query(s: str) -> F.Column:
                 return apply_fn(name.lower(), args)
             return F.col(name).cast("double")
         raise err(f"unexpected token {m.group(0)!r}")
+
+    def parse_relevance(fn) -> F.Column:
+        # termfreq/docfreq/idf(field, term): '(' already consumed —
+        # field is an IDENTITY token, term a bare word / number /
+        # quoted string, both raw (indexed form, no analysis)
+        m1 = next_tok()
+        if m1 is None or m1.group("name") is None:
+            raise err(f"{fn}() needs a field name first")
+        fld = m1.group("name")
+        m2 = next_tok()
+        if m2 is None or m2.group("punc") != ",":
+            raise err(f"{fn}() takes (field, term)")
+        m3 = next_tok()
+        if m3 is None or m3.group("punc") is not None:
+            raise err(f"{fn}() needs a term argument")
+        term = m3.group(0).strip()
+        if m3.group("str") is not None:
+            term = term[1:-1]
+        m4 = next_tok()
+        if m4 is None or m4.group("punc") != ")":
+            raise err(f"{fn}() takes exactly (field, term)")
+        if fn in ("ttf", "tf", "norm"):
+            raise err(
+                f"{fn}() needs ClassicSimilarity statistics this artifact "
+                "does not store (termfreq/docfreq/idf are available)"
+            )
+        if context is None:
+            raise err(
+                f"{fn}() needs an index context — call through the "
+                "SearchIndex sort/frange/collapse paths, or pass context="
+            )
+        return context.relevance_col(fn, fld, term)
 
     def need(fn, args, k):
         if len(args) != k:

@@ -344,7 +344,9 @@ class SearchIndex:
             )
 
             def key_col(c: str) -> F.Column:
-                return parse_function_query(c) if "(" in c else F.col(c)
+                if "(" in c:
+                    return parse_function_query(c, context=self._fn_ctx())
+                return F.col(c)
 
             out = out.orderBy(
                 *[
@@ -1325,7 +1327,9 @@ class SearchIndex:
             parse_function_query,
         )
 
-        return parse_function_query(expr) if "(" in expr else F.col(expr)
+        if "(" in expr:
+            return parse_function_query(expr, context=self._fn_ctx())
+        return F.col(expr)
 
     def _collapse_heads(
         self,
@@ -1533,7 +1537,8 @@ class SearchIndex:
             sort=list(pool_sort), limit=int(rq),
         )
         out = ltr_rescore(
-            pool, model, features, k=k, tiebreak=self.unique_key
+            pool, model, features, k=k, tiebreak=self.unique_key,
+            context=self._fn_ctx(),
         )
         if select:
             out = out.select(*select, "ltr_score")
@@ -1624,6 +1629,31 @@ class SearchIndex:
         from solr_map_reduce_spark.extensions.search import _visible_toks
 
         return _visible_toks(F.col(tokens_col))
+
+    def _fn_ctx(self) -> "_FnQueryContext":
+        """The index adapter the function-query grammar's RELEVANCE
+        functions (termfreq/docfreq/idf) resolve through — token
+        columns for per-row counts, the dictionary sidecar for
+        plan-time df/idf literals."""
+        return _FnQueryContext(self)
+
+    def _dfs_for(self, fname: str, terms: "Sequence[str]") -> dict:
+        """Memoized term -> document-frequency lookup against the
+        ``_vocab`` dictionary sidecar (the same LRU the BM25 path
+        uses — a serving handle answering repeated function queries
+        never re-reads the bucket)."""
+        from solr_map_reduce_spark.search_stats import term_dfs
+
+        memo_key = (fname, tuple(sorted(terms)))
+        if memo_key in self._dfs_memo:
+            self._dfs_memo.move_to_end(memo_key)
+        else:
+            self._dfs_memo[memo_key] = term_dfs(
+                self.spark, self.path, fname, list(terms)
+            )
+            while len(self._dfs_memo) > self._dfs_memo_cap:
+                self._dfs_memo.popitem(last=False)
+        return self._dfs_memo[memo_key]
 
     def _tokens_col(self, field: str | None = None) -> str:
         analyzed: dict = self.manifest.get("analyzed", {})
@@ -1967,7 +1997,9 @@ class SearchIndex:
             # FunctionRangeQParser {!frange l=.. u=.. incl=.. incu=..}func:
             # docs whose function-query VALUE falls in [l, u] — one
             # expression-tree predicate on one scan (no UDF)
-            fcol = search.parse_function_query(inner.strip())
+            fcol = search.parse_function_query(
+                inner.strip(), context=self._fn_ctx()
+            )
             lo, hi = params.get("l"), params.get("u")
             if lo is None and hi is None:
                 raise search.QuerySyntaxError(
@@ -2216,7 +2248,9 @@ class SearchIndex:
             # parsed driver-side to the same Column expression a caller
             # could pass directly
             kw = dict(kw)
-            kw["boost_col"] = search.parse_function_query(kw["boost_col"])
+            kw["boost_col"] = search.parse_function_query(
+                kw["boost_col"], context=self._fn_ctx()
+            )
         analyzed: dict = self.manifest.get("analyzed", {})
         fname = field or (next(iter(analyzed)) if len(analyzed) == 1 else None)
         stats = self._load_stats()
@@ -2780,6 +2814,50 @@ class SearchIndex:
         from solr_map_reduce_spark.indexing import segment_counts
 
         return segment_counts(self.path)
+
+
+class _FnQueryContext:
+    """Adapter the function-query grammar's relevance functions resolve
+    through (``parse_function_query(context=)``): per-row term counts
+    over the analyze-once token columns; docfreq/idf as PLAN-TIME
+    literals from the ``_vocab`` dictionary sidecar (a KB-scale,
+    LRU-memoized driver lookup — the Lucene term-dictionary cost model,
+    never a corpus aggregation inside the expression)."""
+
+    def __init__(self, idx: "SearchIndex"):
+        self._idx = idx
+
+    def relevance_col(self, fn: str, field: str, term: str) -> F.Column:
+        from solr_map_reduce_spark.extensions import search
+
+        idx = self._idx
+        if fn == "termfreq":
+            # occurrences of the indexed-form term in this doc's field —
+            # a filtered size over the stored token array (one codegen
+            # expression; null token arrays count 0)
+            try:
+                tok = idx._tokens_col(field)
+            except ValueError as exc:
+                raise search.QuerySyntaxError(
+                    f"termfreq({field!r}, ...): {exc}"
+                ) from None
+            cnt = F.size(F.filter(F.col(tok), lambda x: x == F.lit(term)))
+            return F.coalesce(cnt.cast("double"), F.lit(0.0))
+        stats = idx._load_stats()
+        if not stats or field not in stats:
+            raise search.QuerySyntaxError(
+                f"{fn}({field!r}, ...) needs the search-stats sidecar "
+                "(build with search_stats=True)"
+            )
+        df_ = float(idx._dfs_for(field, [term]).get(term, 0))
+        if fn == "docfreq":
+            return F.lit(df_)
+        import math
+
+        # Lucene BM25 idf (the default similarity) — same formula as
+        # the bm25() scoring path
+        n_docs = float(stats[field]["n_docs"])
+        return F.lit(math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5)))
 
 
 class MultiIndex:

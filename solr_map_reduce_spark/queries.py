@@ -2230,6 +2230,26 @@ def c9_jf_block_children(spark, sf_dir):
 
 
 @_register(
+    "c9_termfreq_sort",
+    f"""SELECT doc_id FROM (
+          SELECT doc_id,
+                 length(list_filter({_TOKS_SQL}, x -> x = 'spark')) AS tf
+          FROM documents
+        ) ORDER BY tf DESC, doc_id ASC LIMIT 25""",
+    "Solr relevance function query termfreq(text,spark) as a sort key "
+    "(sort=termfreq(f,t) desc): a filtered size over the analyze-once "
+    "stored token array — one codegen expression on the scan, no second "
+    "tokenization pass; docfreq()/idf() siblings fold to plan-time "
+    "literals from the _vocab dictionary sidecar",
+)
+def c9_termfreq_sort(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).search(
+        sort=[("termfreq(text,spark)", "desc")], limit=25,
+        select=["doc_id"],
+    )
+
+
+@_register(
     "ext_ltr_linear",
     """WITH pool AS (
          SELECT doc_id, n_chars, lang FROM documents
