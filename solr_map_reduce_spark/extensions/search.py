@@ -657,6 +657,14 @@ def parse_function_query(s: str, context=None) -> F.Column:
     Field refs cast to double so integer fields divide like Solr
     doubles.
 
+    ``ms()`` is Solr's epoch-milliseconds family — ``ms()`` (NOW),
+    ``ms(a)``, ``ms(a,b) = a - b`` — where each arg is a
+    timestamp/date FIELD or a Solr date-math string (``NOW/DAY``,
+    ``2024-01-01T00:00:00Z+7DAYS``); date math resolves driver-side to
+    a millis literal (NOW through the deterministic ``fixed_now``
+    hook), so the canonical recency boost ``recip(ms(NOW,ts),m,a,b)``
+    is one codegen expression with a constant NOW.
+
     RELEVANCE functions — ``termfreq(f,t)`` / ``docfreq(f,t)`` /
     ``idf(f,t)`` — take a raw (field, term) pair (the term in its
     INDEXED form, optionally quoted — Solr applies no query-time
@@ -716,6 +724,8 @@ def parse_function_query(s: str, context=None) -> F.Column:
                 next_tok()  # consume (
                 if name.lower() in _FQ_RELEVANCE_FNS:
                     return parse_relevance(name.lower())
+                if name.lower() == "ms":
+                    return parse_ms()
                 args = []
                 if (p := peek()) is not None and p.group("punc") == ")":
                     next_tok()
@@ -732,6 +742,67 @@ def parse_function_query(s: str, context=None) -> F.Column:
                 return apply_fn(name.lower(), args)
             return F.col(name).cast("double")
         raise err(f"unexpected token {m.group(0)!r}")
+
+    _MS_IDENT_RE = _re.compile(r"^[A-Za-z_][\w.]*$")
+
+    def parse_ms() -> F.Column:
+        # Solr ms(): epoch milliseconds — ms() = NOW, ms(a) = millis of
+        # a, ms(a,b) = a - b.  Args are DATE sources (a timestamp/date
+        # field, or Solr date math: NOW/DAY, 2024-01-01T00:00:00Z+7DAYS)
+        # — raw-parsed, since date-math strings contain characters the
+        # expression tokenizer rejects.  Date-math resolves DRIVER-SIDE
+        # to a millis literal (NOW through resolve_now/fixed_now, the
+        # deterministic hook); field refs stay scan expressions
+        # (timestamp -> epoch millis).  The canonical recency boost
+        # recip(ms(NOW,ts),3.16e-11,1,1) therefore compiles to ONE
+        # codegen Column with a constant NOW.
+        nonlocal pos
+        end = s.find(")", pos)
+        if end < 0:
+            raise err("ms() missing ')'")
+        raw_args = s[pos:end]
+        pos = end + 1
+        parts = (
+            [p.strip() for p in raw_args.split(",")]
+            if raw_args.strip() else []
+        )
+        if len(parts) > 2 or any(not p for p in parts):
+            raise err("ms() takes 0-2 date args")
+
+        from datetime import timezone
+
+        from solr_map_reduce_spark.functions.datemath import (
+            parse_datemath,
+            resolve_now,
+        )
+
+        def millis_of(p: str) -> F.Column:
+            if p and p[0] in "'\"" and p[-1] == p[0]:
+                p = p[1:-1].strip()
+            if _MS_IDENT_RE.match(p) and p != "NOW":
+                # a field reference — date casts through timestamp at
+                # UTC midnight (the session is pinned UTC)
+                return (
+                    F.col(p).cast("timestamp").cast("double") * 1000.0
+                )
+            try:
+                dt = parse_datemath(p, where="ms()")
+            except QuerySyntaxError:
+                raise
+            except Exception as exc:
+                raise err(f"ms() arg {p!r}: {exc}") from None
+            return F.lit(
+                dt.replace(tzinfo=timezone.utc).timestamp() * 1000.0
+            )
+
+        if not parts:
+            now = resolve_now()
+            return F.lit(
+                now.replace(tzinfo=timezone.utc).timestamp() * 1000.0
+            )
+        if len(parts) == 1:
+            return millis_of(parts[0])
+        return millis_of(parts[0]) - millis_of(parts[1])
 
     def parse_relevance(fn) -> F.Column:
         # termfreq/docfreq/idf(field, term): '(' already consumed —

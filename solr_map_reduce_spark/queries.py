@@ -2230,6 +2230,31 @@ def c9_jf_block_children(spark, sf_dir):
 
 
 @_register(
+    "c9_recency_boost",
+    """SELECT event_id FROM events
+       WHERE event_type = 'view'
+       ORDER BY ts DESC, event_id ASC LIMIT 50""",
+    "Solr recency boost sort=recip(ms(NOW,ts),3.17e-11,1,1) desc — "
+    "ms() resolves NOW driver-side (fixed_now, Solr's NOW= param) to a "
+    "millis literal, the field ref stays a scan expression, and the "
+    "whole boost is one codegen Column; recip is monotone in ts, so "
+    "the oracle is the plain ts-desc ordering",
+)
+def c9_recency_boost(spark, sf_dir):
+    from datetime import datetime
+
+    from solr_map_reduce_spark.functions.datemath import fixed_now
+
+    idx = _events_search_index(spark, sf_dir)
+    with fixed_now(datetime(2024, 1, 20, 15, 0, 0)):
+        return idx.search(
+            q="event_type:view",
+            sort=[("recip(ms(NOW,ts),3.17e-11,1,1)", "desc")],
+            limit=50, select=["event_id"],
+        )
+
+
+@_register(
     "c9_termfreq_sort",
     f"""SELECT doc_id FROM (
           SELECT doc_id,

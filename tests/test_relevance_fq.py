@@ -5,6 +5,7 @@ through the function-query grammar's index context."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from solr_map_reduce_spark.extensions.search import (
     QuerySyntaxError,
@@ -111,3 +112,63 @@ class TestErrors:
             pool_sort=[("n", "asc")], rq=10, k=1, select=["id"],
         ).collect()
         assert rows[0]["id"] == "1" and rows[0]["ltr_score"] == 3.0
+
+
+class TestMs:
+    def test_ms_now_is_fixed_now_literal(self, spark):
+        from datetime import datetime, timezone
+
+        from solr_map_reduce_spark.functions.datemath import fixed_now
+
+        with fixed_now(datetime(2024, 1, 10)):
+            col = parse_function_query("ms()")
+        row = spark.range(1).select(col.alias("v")).collect()[0]
+        want = datetime(2024, 1, 10, tzinfo=timezone.utc).timestamp() * 1000
+        assert row["v"] == want
+
+    def test_ms_field_and_delta(self, spark):
+        from datetime import datetime
+
+        from solr_map_reduce_spark.functions.datemath import fixed_now
+
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 1, 9, 12))], "id long, ts timestamp"
+        )
+        with fixed_now(datetime(2024, 1, 10)):
+            col = parse_function_query("ms(NOW,ts)")
+        row = df.select(col.alias("v")).collect()[0]
+        assert row["v"] == 12 * 3600 * 1000.0  # half a day in millis
+
+    def test_ms_date_math_both_sides(self, spark):
+        from datetime import datetime
+
+        from solr_map_reduce_spark.functions.datemath import fixed_now
+
+        with fixed_now(datetime(2024, 1, 10, 7, 30)):
+            col = parse_function_query("ms(NOW/DAY+1DAY,NOW/DAY)")
+        row = spark.range(1).select(col.alias("v")).collect()[0]
+        assert row["v"] == 24 * 3600 * 1000.0
+
+    def test_recency_boost_composes(self, spark):
+        from datetime import datetime
+
+        from solr_map_reduce_spark.functions.datemath import fixed_now
+
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 1, 9)), (2, datetime(2024, 1, 5)),
+             (3, datetime(2024, 1, 10))],
+            "id long, ts timestamp",
+        )
+        with fixed_now(datetime(2024, 1, 10)):
+            col = parse_function_query("recip(ms(NOW,ts),3.17e-11,1,1)")
+        rows = df.select("id", col.alias("boost")).orderBy(
+            F.desc("boost")).collect()
+        assert [r["id"] for r in rows] == [3, 1, 2]  # newest first
+
+    def test_ms_errors(self):
+        with pytest.raises(QuerySyntaxError, match="0-2 date args"):
+            parse_function_query("ms(a,b,c)")
+        with pytest.raises(QuerySyntaxError, match="0-2 date args"):
+            parse_function_query("ms(a,)")
+        with pytest.raises(QuerySyntaxError, match="ms\\(\\) arg"):
+            parse_function_query("ms('not a date!')")
