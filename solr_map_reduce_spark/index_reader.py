@@ -757,6 +757,8 @@ class SearchIndex:
                       | "sumsq(f)" | "countvals(f)" | "missing(f)"
                       | "hll(f)" | "percentile(f, 50)"  # stat subfacet
                       | {"type": "query", "q": "..."}   # query subfacet
+                      | {"type": "relatedness",         # SKG score
+                         "fore": "...", "back": "*:*"}
                       | {"type": "terms", ...}  # ONE nested terms facet
              }}
 
@@ -857,14 +859,23 @@ class SearchIndex:
             raise ValueError("json_facet query spec needs q=")
         pred, _i, _f = self._compile_predicate(str(spec["q"]), query_field)
         dom = scan.filter(pred)
-        aggs, names, nested = self._jf_subaggs(spec, "count")
+        aggs, names, nested, rel = self._jf_subaggs(spec, "count")
         parent = dom.agg(*aggs)
+        if rel:
+            # sizes come from the PRE-query scan: the facet domain is
+            # the relatedness background universe (Solr's contract)
+            parent = self._jf_attach_relatedness(parent, scan, rel)
         if nested is None:
             return parent
         name2, sub = nested
-        f2, limit2, mincount2, aggs2, names2, nested2, opts2 = self._jf_level(
-            sub, f"{name2}_count"
+        f2, limit2, mincount2, aggs2, names2, nested2, opts2, rel2 = (
+            self._jf_level(sub, f"{name2}_count")
         )
+        if rel2:
+            raise ValueError(
+                "json_facet relatedness lives at the top terms/query "
+                "level (the nested flat rendering has no domain row)"
+            )
         if nested2 is not None:
             raise ValueError("json_facet supports one nesting level")
         if opts2["missing"] or opts2["allBuckets"] or opts2["numBuckets"]:
@@ -932,11 +943,16 @@ class SearchIndex:
     _JF_TERMS_OPTS = ("missing", "allBuckets", "numBuckets")
 
     def _jf_subaggs(self, spec: "Mapping[str, object]", count_alias: str):
-        """The ``facet`` sub-spec dict -> ([agg Columns], [stat/query
-        names], nested-terms spec or None)."""
+        """The ``facet`` sub-spec dict -> ([agg Columns], [stat/query/
+        relatedness names], nested-terms spec or None, relatedness
+        specs).  Relatedness contributes two conditional counts to the
+        SAME aggregate (``__<name>_fg``/``__<name>_bg``); the score
+        itself is computed post-agg by :meth:`_jf_attach_relatedness`
+        (it needs the domain-wide fg/bg sizes)."""
         aggs = [F.count(F.lit(1)).alias(count_alias)]
         names: list[str] = []
         nested = None
+        rel: list[tuple] = []
         for name, sub in (spec.get("facet") or {}).items():
             if isinstance(sub, str):
                 aggs.append(self._jf_stat_col(sub, name))
@@ -947,6 +963,24 @@ class SearchIndex:
                     F.count(F.when(pred, F.lit(1))).alias(name)
                 )
                 names.append(name)
+            elif isinstance(sub, Mapping) and sub.get("type") == "relatedness":
+                if "fore" not in sub:
+                    raise ValueError(
+                        f"json_facet relatedness {name!r} needs fore= "
+                        "(the foreground query)"
+                    )
+                fore, _i, _f = self._compile_predicate(str(sub["fore"]))
+                back, _i2, _f2 = self._compile_predicate(
+                    str(sub.get("back", "*:*"))
+                )
+                aggs.append(
+                    F.count(F.when(fore, F.lit(1))).alias(f"__{name}_fg")
+                )
+                aggs.append(
+                    F.count(F.when(back, F.lit(1))).alias(f"__{name}_bg")
+                )
+                rel.append((name, fore, back))
+                names.append(name)
             elif isinstance(sub, Mapping) and sub.get("type") == "terms":
                 if nested is not None:
                     raise ValueError(
@@ -956,9 +990,61 @@ class SearchIndex:
             else:
                 raise ValueError(
                     f"json_facet subfacet {name!r}: expected an agg "
-                    "string, a query spec, or a terms spec"
+                    "string, a query/relatedness spec, or a terms spec"
                 )
-        return aggs, names, nested
+        return aggs, names, nested, rel
+
+    def _jf_attach_relatedness(
+        self, grouped: DataFrame, scan: DataFrame, rel: "list[tuple]"
+    ) -> DataFrame:
+        """Solr's JSON-facet ``relatedness($fore,$back)`` (the Semantic
+        Knowledge Graph significance score — Grainger et al. 2016,
+        public): per bucket, how over-represented the foreground set is
+        against the background expectation.
+
+        Exact documented formula (deterministic, oracle-testable):
+        with ``fg_prob = fg_count/fg_size`` and ``bg_prob =
+        bg_count/bg_size`` (sizes are DOMAIN-wide), the one-sample
+        z-score ``z = (fg_prob - bg_prob) / sqrt(bg_prob*(1-bg_prob)/
+        fg_size)`` squashed to (-1, 1) by ``z/(1+|z|)`` — monotone in
+        z, the paper's significance ordering.  (Solr's RelatednessAgg
+        serves the same ordering under its own scaling; we pin OUR
+        formula precisely so a SQL oracle can reproduce it bit-exact.)
+        Degenerate cases score 0: empty foreground/background domains,
+        bg_prob of 0 or 1 (no variance to test against).
+
+        Plan: the per-bucket fg/bg counts ride the SAME groupBy; the
+        two domain sizes are ONE extra map-side-combined aggregate row
+        over the same scan, attached by broadcast crossJoin (the
+        scalar-subquery shape) — never a per-bucket rescan."""
+        size_aggs = []
+        for name, fore, back in rel:
+            size_aggs.append(
+                F.count(F.when(fore, F.lit(1))).alias(f"__{name}_fgsz")
+            )
+            size_aggs.append(
+                F.count(F.when(back, F.lit(1))).alias(f"__{name}_bgsz")
+            )
+        sizes = scan.agg(*size_aggs)
+        out = grouped.crossJoin(F.broadcast(sizes))
+        for name, _fore, _back in rel:
+            fg = F.col(f"__{name}_fg").cast("double")
+            bg = F.col(f"__{name}_bg").cast("double")
+            fgsz = F.col(f"__{name}_fgsz").cast("double")
+            bgsz = F.col(f"__{name}_bgsz").cast("double")
+            fg_prob = fg / fgsz
+            bg_prob = bg / bgsz
+            denom = F.sqrt(bg_prob * (F.lit(1.0) - bg_prob) / fgsz)
+            z = (fg_prob - bg_prob) / denom
+            score = F.when(
+                (fgsz > 0) & (bgsz > 0) & (bg > 0) & (bg < bgsz),
+                z / (F.lit(1.0) + F.abs(z)),
+            ).otherwise(F.lit(0.0))
+            out = out.withColumn(name, score).drop(
+                f"__{name}_fg", f"__{name}_bg",
+                f"__{name}_fgsz", f"__{name}_bgsz",
+            )
+        return out
 
     def _jf_level(self, spec: "Mapping[str, object]", count_alias: str):
         """(field, limit, mincount, agg columns, stat names, nested,
@@ -971,7 +1057,7 @@ class SearchIndex:
         field = spec.get("field")
         if not field:
             raise ValueError("json_facet terms spec needs field=")
-        aggs, names, nested = self._jf_subaggs(spec, count_alias)
+        aggs, names, nested, rel = self._jf_subaggs(spec, count_alias)
         opts = {
             "missing": bool(spec.get("missing", False)),
             "allBuckets": bool(spec.get("allBuckets", False)),
@@ -980,13 +1066,16 @@ class SearchIndex:
             "prefix": spec.get("prefix"),
         }
         return (str(field), int(spec.get("limit", 10)),
-                int(spec.get("mincount", 1)), aggs, names, nested, opts)
+                int(spec.get("mincount", 1)), aggs, names, nested, opts,
+                rel)
 
     def _jf_terms(self, scan: DataFrame, spec) -> DataFrame:
-        field, limit, mincount, aggs, names, nested, opts = self._jf_level(
-            spec, "count"
+        field, limit, mincount, aggs, names, nested, opts, rel = (
+            self._jf_level(spec, "count")
         )
         grouped = scan.groupBy(field).agg(*aggs)
+        if rel:
+            grouped = self._jf_attach_relatedness(grouped, scan, rel)
         # Solr terms buckets never include the null key — it surfaces
         # only as the missing bucket (same aggregate, no extra scan)
         missing_row = (
@@ -1038,9 +1127,14 @@ class SearchIndex:
                 "(the flat rendering has no parent-only rows)"
             )
         name2, sub = nested
-        f2, limit2, mincount2, aggs2, names2, nested2, opts2 = self._jf_level(
-            sub, f"{name2}_count"
+        f2, limit2, mincount2, aggs2, names2, nested2, opts2, rel2 = (
+            self._jf_level(sub, f"{name2}_count")
         )
+        if rel2:
+            raise ValueError(
+                "json_facet relatedness lives at the top terms/query "
+                "level (the nested flat rendering has no domain row)"
+            )
         if nested2 is not None:
             raise ValueError("json_facet supports one nesting level")
         if f2 == field:
@@ -1087,8 +1181,8 @@ class SearchIndex:
         for k in ("start", "end", "gap"):
             if k not in spec:
                 raise ValueError(f"json_facet range spec needs {k}=")
-        aggs, names, nested = self._jf_subaggs(spec, "count")
-        if nested is not None:
+        aggs, names, nested, rel = self._jf_subaggs(spec, "count")
+        if nested is not None or rel:
             raise ValueError(
                 "json_facet range facets take stat/query subfacets only"
             )

@@ -2230,6 +2230,48 @@ def c9_jf_block_children(spark, sf_dir):
 
 
 @_register(
+    "c9_jf_relatedness",
+    """WITH s AS (
+         SELECT CAST(count(*) FILTER (WHERE n_chars >= 300) AS DOUBLE)
+                  AS fgsz,
+                CAST(count(*) AS DOUBLE) AS bgsz
+         FROM documents
+       ), b AS (
+         SELECT lang, count(*) AS "count",
+                CAST(count(*) FILTER (WHERE n_chars >= 300) AS DOUBLE)
+                  AS fg,
+                CAST(count(*) AS DOUBLE) AS bg
+         FROM documents WHERE lang IS NOT NULL GROUP BY lang
+       ), z AS (
+         SELECT lang, "count",
+                (b.fg / s.fgsz - b.bg / s.bgsz)
+                / sqrt((b.bg / s.bgsz) * (1.0 - b.bg / s.bgsz) / s.fgsz)
+                  AS zv,
+                s.fgsz AS fgsz, s.bgsz AS bgsz, b.bg AS bg
+         FROM b, s
+       )
+       SELECT lang, "count",
+              CASE WHEN fgsz > 0 AND bgsz > 0 AND bg > 0 AND bg < bgsz
+                   THEN zv / (1.0 + abs(zv)) ELSE 0.0 END AS r
+       FROM z""",
+    "Solr JSON-facet relatedness($fore,$back) — the Semantic Knowledge "
+    "Graph significance score (Grainger et al. 2016): per bucket, the "
+    "one-sample z of the foreground proportion against the background "
+    "expectation, squashed to (-1,1) by z/(1+|z|) (our pinned, "
+    "oracle-exact formula).  Per-bucket fg/bg counts ride the SAME "
+    "groupBy; the two domain sizes are ONE extra aggregate row attached "
+    "by broadcast crossJoin — never a per-bucket rescan",
+)
+def c9_jf_relatedness(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).json_facet({
+        "type": "terms", "field": "lang", "sort": "index asc",
+        "limit": 100,
+        "facet": {"r": {"type": "relatedness",
+                        "fore": "n_chars:[300 TO *]"}},
+    })
+
+
+@_register(
     "c9_recency_boost",
     """SELECT event_id FROM events
        WHERE event_type = 'view'

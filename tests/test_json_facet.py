@@ -336,3 +336,73 @@ class TestJsonFacetQueryType:
     def test_query_facet_needs_q(self, idx):
         with pytest.raises(ValueError, match="query spec needs q="):
             idx.json_facet({"type": "query"})
+
+
+class TestRelatedness:
+    def test_skg_score_hand_computed(self, idx):
+        import math
+
+        rows = idx.json_facet({
+            "type": "terms", "field": "grp", "sort": "index asc",
+            "facet": {"r": {"type": "relatedness", "fore": "src:web"}},
+        }).collect()
+        got = {r["grp"]: r["r"] for r in rows}
+
+        def skg(fg, fgsz, bg, bgsz):
+            fgp, bgp = fg / fgsz, bg / bgsz
+            z = (fgp - bgp) / math.sqrt(bgp * (1 - bgp) / fgsz)
+            return z / (1 + abs(z))
+
+        # domain 6 docs, 4 web; a: fg 2/bg 3, b: fg 1/bg 2, c: fg 1/bg 1
+        assert got["a"] == pytest.approx(skg(2, 4, 3, 6))
+        assert got["b"] == pytest.approx(skg(1, 4, 2, 6))
+        assert got["c"] == pytest.approx(skg(1, 4, 1, 6))
+        assert got["c"] > got["a"] > got["b"]  # web over-represented in c
+
+    def test_sortable_by_relatedness(self, idx):
+        rows = idx.json_facet({
+            "type": "terms", "field": "grp", "sort": "r desc",
+            "facet": {"r": {"type": "relatedness", "fore": "src:web"}},
+        }).collect()
+        assert [r["grp"] for r in rows] == ["c", "a", "b"]
+
+    def test_degenerate_background_scores_zero(self, idx):
+        # back matches everything AND fore==back per bucket -> bg_prob
+        # of 1 has no variance; guarded to 0, never NaN/inf
+        rows = idx.json_facet({
+            "type": "terms", "field": "grp",
+            "facet": {"r": {"type": "relatedness", "fore": "src:web",
+                            "back": "src:nope"}},
+        }).collect()
+        assert all(r["r"] == 0.0 for r in rows)
+
+    def test_query_facet_relatedness(self, idx):
+        import math
+
+        rows = idx.json_facet({
+            "type": "query", "q": "grp:a",
+            "facet": {"r": {"type": "relatedness", "fore": "src:web"}},
+        }).collect()
+        assert len(rows) == 1
+        fgp, bgp = 2 / 4, 3 / 6
+        assert rows[0]["r"] == pytest.approx(0.0)  # z = 0 exactly
+
+    def test_errors(self, idx):
+        with pytest.raises(ValueError, match="needs fore="):
+            idx.json_facet({
+                "type": "terms", "field": "grp",
+                "facet": {"r": {"type": "relatedness"}},
+            })
+        with pytest.raises(ValueError, match="top terms/query level"):
+            idx.json_facet({
+                "type": "terms", "field": "grp",
+                "facet": {"by": {"type": "terms", "field": "src",
+                                 "facet": {"r": {"type": "relatedness",
+                                                 "fore": "src:web"}}}},
+            })
+        with pytest.raises(ValueError, match="stat/query subfacets only"):
+            idx.json_facet({
+                "type": "range", "field": "n", "start": 0, "end": 10,
+                "gap": 5,
+                "facet": {"r": {"type": "relatedness", "fore": "src:web"}},
+            })
