@@ -1506,12 +1506,31 @@ class SearchIndex:
         all null docs into one group.  ``q``/``filters`` scope the
         domain first (the fq composition order Solr applies).  Returns
         the head docs with the scan's full row (or ``select``)."""
+        scan = self._query_scan(q, query_field) if q is not None else self.df()
+        return self._collapse_frame(
+            scan, field, max, min, sort, null_policy, filters, select
+        )
+
+    def _collapse_frame(
+        self,
+        scan: DataFrame,
+        field: str,
+        max: str | None,  # noqa: A002
+        min: str | None,  # noqa: A002
+        sort: "Sequence[tuple[str, str]] | None",
+        null_policy: str,
+        filters: "Mapping[str, object] | None",
+        select: Sequence[str] | None,
+    ) -> DataFrame:
+        """Collapse an EXPLICIT scan — the engine behind
+        :meth:`collapse` and the alias facade's cross-member collapse
+        (a per-member collapse unioned would yield multiple heads for
+        a group spanning members, so MultiIndex collapses the union)."""
         if null_policy not in ("ignore", "expand", "collapse"):
             raise ValueError(
                 "null_policy must be ignore|expand|collapse, got "
                 f"{null_policy!r}"
             )
-        scan = self._query_scan(q, query_field) if q is not None else self.df()
         for fkey, fval in (filters or {}).items():
             col = F.col(fkey)
             scan = scan.filter(
@@ -2028,34 +2047,15 @@ class SearchIndex:
             # as an fq post-filter; standalone (the inner body empty) it
             # collapses the whole collection.  sort= local param is the
             # compound criterion ("a asc, b desc").
-            f = params.get("field")
-            if not f:
-                raise search.QuerySyntaxError(
-                    "{!collapse} needs the field= param"
-                )
-            sort_p = params.get("sort")
-            sort_spec = None
-            if sort_p:
-                sort_spec = []
-                for part in sort_p.split(","):
-                    toks = part.split()
-                    if not 1 <= len(toks) <= 2:
-                        raise search.QuerySyntaxError(
-                            f"{{!collapse}} sort clause {part!r} is not "
-                            "'field [asc|desc]'"
-                        )
-                    sort_spec.append(
-                        (toks[0], toks[1] if len(toks) == 2 else "asc")
-                    )
+            ckw = _parse_collapse_local_params(params)
+            inner = inner.strip()
+            scan = (
+                self._query_scan(inner, field, synonyms, op)
+                if inner else self.df()
+            )
             try:
-                return self.collapse(
-                    f,
-                    max=params.get("max"),
-                    min=params.get("min"),
-                    sort=sort_spec,
-                    null_policy=params.get("nullPolicy", "ignore"),
-                    q=inner.strip() or None,
-                    query_field=field,
+                return self._collapse_frame(
+                    scan, filters=None, select=None, **ckw
                 )
             except ValueError as exc:
                 raise search.QuerySyntaxError(f"{{!collapse}}: {exc}") from None
@@ -2910,6 +2910,36 @@ class SearchIndex:
         return segment_counts(self.path)
 
 
+def _parse_collapse_local_params(params: "Mapping[str, str]") -> dict:
+    """{!collapse} local params -> :meth:`SearchIndex._collapse_frame`
+    kwargs — shared by the single-artifact parser and the alias facade
+    (whose collapse must run over the member UNION)."""
+    from solr_map_reduce_spark.extensions import search
+
+    f = params.get("field")
+    if not f:
+        raise search.QuerySyntaxError("{!collapse} needs the field= param")
+    sort_p = params.get("sort")
+    sort_spec = None
+    if sort_p:
+        sort_spec = []
+        for part in sort_p.split(","):
+            toks = part.split()
+            if not 1 <= len(toks) <= 2:
+                raise search.QuerySyntaxError(
+                    f"{{!collapse}} sort clause {part!r} is not "
+                    "'field [asc|desc]'"
+                )
+            sort_spec.append((toks[0], toks[1] if len(toks) == 2 else "asc"))
+    return {
+        "field": f,
+        "max": params.get("max"),
+        "min": params.get("min"),
+        "sort": sort_spec,
+        "null_policy": params.get("nullPolicy", "ignore"),
+    }
+
+
 class _FnQueryContext:
     """Adapter the function-query grammar's relevance functions resolve
     through (``parse_function_query(context=)``): per-row term counts
@@ -3032,6 +3062,29 @@ class MultiIndex:
             return self._relational_scan(
                 *lp, field=field, synonyms=synonyms, op=op
             )
+        if lp is not None and lp[0] == "collapse":
+            # {!collapse} is RELATIONAL across the alias: per-member
+            # collapse unioned would emit one head per member for a
+            # group spanning time slices — collapse the UNION instead
+            # (each member's inner-query Bloom pruning still applies)
+            qtype_, params, inner = lp
+            ckw = _parse_collapse_local_params(params)
+            inner = inner.strip()
+            base = (
+                self._union(
+                    [m._query_scan(inner, field, synonyms, op)
+                     for m in self.members]
+                )
+                if inner else self.df()
+            )
+            try:
+                return self.members[0]._collapse_frame(
+                    base, filters=None, select=None, **ckw
+                )
+            except ValueError as exc:
+                raise search.QuerySyntaxError(
+                    f"{{!collapse}}: {exc}"
+                ) from None
         return self._union(
             [m._query_scan(q, field, synonyms, op) for m in self.members]
         )

@@ -165,3 +165,37 @@ class TestExpand:
     def test_select_projection(self, idx):
         rows = idx.expand("grp", max="n", select=["id"]).collect()
         assert set(rows[0].asDict()) == {"grp", "_rk", "id"}
+
+
+class TestAliasCollapse:
+    def test_collapse_is_relational_across_members(self, spark, tmp_path):
+        # a group spanning two alias members must yield ONE head — a
+        # per-member collapse unioned would emit two
+        from solr_map_reduce_spark.index_reader import MultiIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("grp", "string"),
+                    Field("n", "long")),
+            unique_key="id",
+        )
+        slices = [
+            [("d1", "spark a", "g1", 10), ("d2", "spark b", "g2", 5)],
+            [("d3", "spark c", "g1", 99), ("d4", "spark d", "g2", 1)],
+        ]
+        paths = []
+        for i, rows in enumerate(slices):
+            df = spark.createDataFrame(
+                rows, "id string, text string, grp string, n long")
+            out = str(tmp_path / f"m{i}")
+            IndexJob(IndexJobConfig(schema=schema, shards=1,
+                                    dedup="none")).build(df, out)
+            paths.append(out)
+        alias = MultiIndex.open(spark, paths)
+        ids = {r["id"] for r in
+               alias.query("{!collapse field=grp max=n}").collect()}
+        # g1 head: d3 (99, in member 2); g2 head: d2 (5, in member 1)
+        assert ids == {"d3", "d2"}
