@@ -1182,29 +1182,34 @@ class SearchIndex:
             if k not in spec:
                 raise ValueError(f"json_facet range spec needs {k}=")
         aggs, names, nested, rel = self._jf_subaggs(spec, "count")
-        if nested is not None or rel:
+        if rel:
             raise ValueError(
-                "json_facet range facets take stat/query subfacets only"
+                "json_facet relatedness lives at the top terms/query "
+                "level (the nested flat rendering has no domain row)"
             )
         # query subfacets are conditional counts: empty buckets must
         # report honest zeros for them, like count itself
         zero_fill = ["count"] + [
             n for n, sub in (spec.get("facet") or {}).items()
-            if isinstance(sub, Mapping)
+            if isinstance(sub, Mapping) and sub.get("type") == "query"
         ]
         col, lo, hi, gap_s, n_buckets, is_time = self._range_spec(
             str(field), spec["start"], spec["end"], spec["gap"]
         )
         bucket = F.floor((col - F.lit(lo)) / F.lit(gap_s)).cast("long")
+        in_range = col.isNotNull() & (col >= lo) & (col < hi)
         cells = (
-            scan.filter(col.isNotNull() & (col >= lo) & (col < hi))
+            scan.filter(in_range)
             .groupBy(bucket.alias("_b"))
             .agg(*aggs)
         )
         mincount = int(spec.get("mincount", 0))
         if mincount > 0:
             cells = cells.filter(F.col("count") >= mincount)
-        else:
+        elif nested is None:
+            # a nested terms facet has nothing to render for an empty
+            # bucket (the flat output is one row per CHILD bucket), so
+            # the spine join applies to the stat-only shape
             spine = self.spark.range(n_buckets).select(
                 F.col("id").alias("_b")
             )
@@ -1214,11 +1219,63 @@ class SearchIndex:
         start_expr = F.lit(lo) + F.col("_b") * F.lit(gap_s)
         if is_time:
             start_expr = F.timestamp_seconds(start_expr)
+        if nested is None:
+            return (
+                cells.withColumn("bucket_start", start_expr)
+                .drop("_b")
+                .select("bucket_start", "count", *names)
+                .orderBy("bucket_start")
+            )
+        # ONE nested terms facet inside range buckets: child cells
+        # aggregate over (bucket, child) in one groupBy of the same
+        # in-range scan; per-bucket truncation is a window over the
+        # post-agg rows — the facet2D shape with the range key as x
+        name2, sub = nested
+        f2, limit2, mincount2, aggs2, names2, nested2, opts2, rel2 = (
+            self._jf_level(sub, f"{name2}_count")
+        )
+        if nested2 is not None:
+            raise ValueError("json_facet supports one nesting level")
+        if rel2:
+            raise ValueError(
+                "json_facet relatedness lives at the top terms/query "
+                "level (the nested flat rendering has no domain row)"
+            )
+        if opts2["missing"] or opts2["allBuckets"] or opts2["numBuckets"]:
+            raise ValueError(
+                "json_facet missing/allBuckets/numBuckets are top-level "
+                "terms options"
+            )
+        child = (
+            scan.filter(in_range)
+            .filter(F.col(f2).isNotNull())
+            .groupBy(bucket.alias("_b"), F.col(f2))
+            .agg(*aggs2)
+        )
+        if opts2["prefix"] is not None:
+            child = child.filter(
+                F.col(f2).cast("string").startswith(str(opts2["prefix"]))
+            )
+        if mincount2 > 0:
+            child = child.filter(F.col(f"{name2}_count") >= mincount2)
+        order2 = self._jf_sort_cols(
+            str(sub.get("sort", "count desc")), f"{name2}_count", f2,
+            set(names2),
+        )
+        w = Window.partitionBy("_b").orderBy(*order2)
+        lo2, hi2 = opts2["offset"], opts2["offset"] + limit2
+        sel = (
+            child.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > lo2) & (F.col("_rn") <= hi2))
+            .drop("_rn")
+        )
         return (
-            cells.withColumn("bucket_start", start_expr)
+            cells.join(sel, on="_b")
+            .withColumn("bucket_start", start_expr)
             .drop("_b")
-            .select("bucket_start", "count", *names)
-            .orderBy("bucket_start")
+            .select("bucket_start", "count", *names, f2,
+                    f"{name2}_count", *names2)
+            .orderBy("bucket_start", F.asc(f2))
         )
 
     _INTERVAL_RE = re.compile(

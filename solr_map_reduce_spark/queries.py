@@ -2230,6 +2230,43 @@ def c9_jf_block_children(spark, sf_dir):
 
 
 @_register(
+    "c9_jf_range_nested",
+    """WITH cells AS (
+         SELECT floor(n_chars / 200) * 200 AS b, count(*) AS cnt,
+                max(n_chars) AS mx
+         FROM documents WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 1
+       ), child AS (
+         SELECT floor(n_chars / 200) * 200 AS b, lang, count(*) AS c2
+         FROM documents
+         WHERE n_chars >= 0 AND n_chars < 600 AND lang IS NOT NULL
+         GROUP BY 1, 2
+       ), ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY b ORDER BY c2 DESC, lang ASC
+         ) AS rn FROM child
+       )
+       SELECT CAST(cells.b AS DOUBLE) AS bucket_start,
+              cells.cnt AS "count", cells.mx AS mx,
+              r.lang, r.c2 AS by_lang_count
+       FROM cells JOIN ranked r ON cells.b = r.b WHERE r.rn <= 3""",
+    "JSON Facet API: ONE nested terms facet inside range buckets — "
+    "child cells aggregate over (bucket, child) in one groupBy of the "
+    "same in-range scan, per-bucket truncation is a window over the "
+    "post-agg rows (the facet2D shape with the range key as x); parent "
+    "count/stats repeat on every child row",
+)
+def c9_jf_range_nested(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).json_facet({
+        "type": "range", "field": "n_chars", "start": 0, "end": 600,
+        "gap": 200,
+        "facet": {
+            "mx": "max(n_chars)",
+            "by_lang": {"type": "terms", "field": "lang", "limit": 3},
+        },
+    })
+
+
+@_register(
     "c9_jf_relatedness",
     """WITH s AS (
          SELECT CAST(count(*) FILTER (WHERE n_chars >= 300) AS DOUBLE)

@@ -168,11 +168,13 @@ class TestJsonFacet:
     def test_errors_are_loud(self, idx):
         with pytest.raises(ValueError, match="needs start"):
             idx.json_facet({"type": "range", "field": "n"})
-        with pytest.raises(ValueError, match="stat/query subfacets only"):
+        with pytest.raises(ValueError, match="one nesting level"):
             idx.json_facet({
                 "type": "range", "field": "n", "start": 0, "end": 10,
                 "gap": 5,
-                "facet": {"x": {"type": "terms", "field": "grp"}},
+                "facet": {"x": {"type": "terms", "field": "grp",
+                                "facet": {"y": {"type": "terms",
+                                                "field": "src"}}}},
             })
         with pytest.raises(ValueError, match="domain supports"):
             idx.json_facet({"type": "terms", "field": "grp",
@@ -400,9 +402,49 @@ class TestRelatedness:
                                  "facet": {"r": {"type": "relatedness",
                                                  "fore": "src:web"}}}},
             })
-        with pytest.raises(ValueError, match="stat/query subfacets only"):
+        with pytest.raises(ValueError, match="top terms/query level"):
             idx.json_facet({
                 "type": "range", "field": "n", "start": 0, "end": 10,
                 "gap": 5,
                 "facet": {"r": {"type": "relatedness", "fore": "src:web"}},
             })
+
+
+class TestRangeNestedTerms:
+    def test_terms_inside_range_buckets(self, idx):
+        rows = idx.json_facet({
+            "type": "range", "field": "n", "start": 0, "end": 80,
+            "gap": 40,
+            "facet": {
+                "mx": "max(n)",
+                "by_src": {"type": "terms", "field": "src",
+                           "sort": "index asc", "limit": 10},
+            },
+        }).collect()
+        # [0,40): 10,20,30 -> web 2, pdf 1; [40,80): 40,50,60 -> web 2, pdf 1
+        got = [(r["bucket_start"], r["src"], r["by_src_count"], r["count"],
+                r["mx"]) for r in rows]
+        assert got == [
+            (0.0, "pdf", 1, 3, 30), (0.0, "web", 2, 3, 30),
+            (40.0, "pdf", 1, 3, 60), (40.0, "web", 2, 3, 60),
+        ]
+
+    def test_nested_limit_truncates_per_bucket(self, idx):
+        rows = idx.json_facet({
+            "type": "range", "field": "n", "start": 0, "end": 80,
+            "gap": 40,
+            "facet": {"by_src": {"type": "terms", "field": "src",
+                                 "limit": 1}},
+        }).collect()
+        # count desc, src asc tiebreak: web wins in both buckets
+        assert [(r["bucket_start"], r["src"]) for r in rows] == [
+            (0.0, "web"), (40.0, "web")]
+
+    def test_empty_buckets_absent_with_nested(self, idx):
+        rows = idx.json_facet({
+            "type": "range", "field": "n", "start": 0, "end": 200,
+            "gap": 100,
+            "facet": {"by_src": {"type": "terms", "field": "src"}},
+        }).collect()
+        # bucket [100,200) is empty -> no child rows to render
+        assert {r["bucket_start"] for r in rows} == {0.0}
