@@ -157,6 +157,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="TermsComponent: enumerate indexed terms with df "
                           "from the term dictionary (optional prefix; "
                           "--limit caps; sorted by df desc)")
+    qry.add_argument("--json-facet", default=None, metavar="JSON",
+                     help="Solr JSON Facet API request (json.facet=): a "
+                          "JSON spec — terms/range/query facets with "
+                          "stat/query/relatedness subfacets, domains, one "
+                          "nested level — rendered one row per innermost "
+                          "bucket")
     qry.add_argument("--cursor", default=None, metavar="MARK",
                      help="cursorMark deep paging: '*' starts a sweep; pass "
                           "the printed nextCursorMark for the next page "
@@ -444,6 +450,7 @@ def main(argv: list[str] | None = None) -> int:
                     ("--cursor", args.cursor),
                     ("--spellcheck", args.spellcheck),
                     ("--terms", args.terms),
+                    ("--json-facet", args.json_facet),
                 ) if val is not None and val is not False
             ]
             if unsupported:
@@ -475,6 +482,20 @@ def main(argv: list[str] | None = None) -> int:
         elif args.pivot is not None:
             pv = idx.pivot_facet(list(args.pivot), top=args.limit, q=args.q)
             for r in pv.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.json_facet is not None:
+            try:
+                spec = json.loads(args.json_facet)
+            except json.JSONDecodeError as exc:
+                print(f"--json-facet is not valid JSON: {exc}",
+                      file=sys.stderr)
+                return 2
+            jf = idx.json_facet(
+                spec, q=args.q,
+                filters=dict(kv.split("=", 1) for kv in args.filter)
+                or None,
+            )
+            for r in jf.collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.spellcheck is not None:
             for r in idx.spellcheck(args.spellcheck, top=args.limit).collect():

@@ -726,3 +726,33 @@ def test_cli_topic_limit_commit_rejected():
     with pytest.raises(SystemExit, match="limit"):
         main(["topic", "--path", "x", "--checkpoint", "c",
               "--limit", "5", "--commit"])
+
+
+def test_cli_json_facet_and_collapse(spark, sf_dir, schema_file, tmp_path,
+                                     capsys):
+    out = str(tmp_path / "jfidx")
+    cli.main([
+        "index", "--input", f"{sf_dir}/documents.parquet", "--output", out,
+        "--schema", schema_file, "--shards", "2", "--dedup", "none",
+        "--generate-keys-from", "source",
+    ])
+    capsys.readouterr()
+
+    # --json-facet: Solr's json.facet= request shape, one row per bucket
+    spec = ('{"type": "terms", "field": "lang", "sort": "index asc", '
+            '"limit": 100, "facet": {"mx": "max(n_chars)"}}')
+    assert cli.main(["query", "--path", out, "--json-facet", spec]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert sum(r["count"] for r in rows) == 500
+    assert all(r["mx"] >= 1 for r in rows)
+
+    # malformed JSON is a loud exit 2, not a stack trace
+    assert cli.main(["query", "--path", out, "--json-facet", "{nope"]) == 2
+    assert "not valid JSON" in capsys.readouterr().err
+
+    # {!collapse} rides the existing --q surface
+    assert cli.main(["query", "--path", out, "--count",
+                     "--q", "{!collapse field=lang max=n_chars}"]) == 0
+    n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["count"]
+    assert n == 5  # one head per lang
