@@ -395,6 +395,7 @@ class SearchIndex:
         if sort not in ("count", "index"):
             raise ValueError(f"facet sort must be count|index, got {sort!r}")
         scan = self._query_scan(q, query_field) if q is not None else self.df()
+        scan = self._explode_if_multivalued(scan, field)
         # validate exclude even with no filters — a typo'd/orphaned
         # exclude must raise regardless of whether filters are present
         skip = {exclude} if isinstance(exclude, str) else set(exclude or ())
@@ -883,7 +884,12 @@ class SearchIndex:
                 "json_facet missing/allBuckets/numBuckets are top-level "
                 "terms options"
             )
-        cells = dom.filter(F.col(f2).isNotNull()).groupBy(f2).agg(*aggs2)
+        cells = (
+            self._explode_if_multivalued(dom, f2)
+            .filter(F.col(f2).isNotNull())
+            .groupBy(f2)
+            .agg(*aggs2)
+        )
         if opts2["prefix"] is not None:
             cells = cells.filter(
                 F.col(f2).cast("string").startswith(str(opts2["prefix"]))
@@ -1069,13 +1075,36 @@ class SearchIndex:
                 int(spec.get("mincount", 1)), aggs, names, nested, opts,
                 rel)
 
+    def _explode_if_multivalued(self, scan: DataFrame, field: str) -> DataFrame:
+        """Solr facets a MULTI-VALUED field per VALUE: a doc with
+        ``["a","b"]`` counts once in bucket a AND once in b, duplicate
+        values within one doc count the doc once (hence array_distinct),
+        and a doc with no values lands only in the missing bucket
+        (explode_outer keeps it as a null row).  Plain columns pass
+        through untouched; the explode multiplies rows by the per-doc
+        DISTINCT value count — the same fan-out Solr's per-value
+        counting implies."""
+        from pyspark.sql.types import ArrayType
+
+        try:
+            dt = scan.schema[field].dataType
+        except Exception:
+            return scan  # unresolvable name: downstream raises its own
+        if isinstance(dt, ArrayType):
+            return scan.withColumn(
+                field, F.explode_outer(F.array_distinct(F.col(field)))
+            )
+        return scan
+
     def _jf_terms(self, scan: DataFrame, spec) -> DataFrame:
         field, limit, mincount, aggs, names, nested, opts, rel = (
             self._jf_level(spec, "count")
         )
+        domain = scan  # pre-explode: relatedness sizes count DOCS
+        scan = self._explode_if_multivalued(scan, field)
         grouped = scan.groupBy(field).agg(*aggs)
         if rel:
-            grouped = self._jf_attach_relatedness(grouped, scan, rel)
+            grouped = self._jf_attach_relatedness(grouped, domain, rel)
         # Solr terms buckets never include the null key — it surfaces
         # only as the missing bucket (same aggregate, no extra scan)
         missing_row = (
@@ -1145,7 +1174,9 @@ class SearchIndex:
                 "terms options"
             )
         cells = (
-            scan.join(F.broadcast(top.select(field)), on=field)
+            self._explode_if_multivalued(
+                scan.join(F.broadcast(top.select(field)), on=field), f2
+            )
             .filter(F.col(f2).isNotNull())
             .groupBy(field, f2)
             .agg(*aggs2)
@@ -1247,7 +1278,7 @@ class SearchIndex:
                 "terms options"
             )
         child = (
-            scan.filter(in_range)
+            self._explode_if_multivalued(scan.filter(in_range), f2)
             .filter(F.col(f2).isNotNull())
             .groupBy(bucket.alias("_b"), F.col(f2))
             .agg(*aggs2)

@@ -2229,6 +2229,50 @@ def c9_jf_block_children(spark, sf_dir):
     })
 
 
+def _mv_customer_index(spark, sf_dir):
+    """Customer docs with a MULTI-VALUED priorities field (the distinct
+    order priorities each customer has used) — the Solr multivalued-
+    field model over which per-value faceting runs."""
+    schema = IndexSchema(
+        fields=(
+            Field("custkey", "long", required=True),
+            Field("priorities", "string", multi_valued=True),
+            Field("n_orders", "long"),
+        ),
+        unique_key="custkey",
+    )
+    return _cached_index(
+        spark, sf_dir, "mvcust", schema,
+        lambda: t(spark, sf_dir, "orders").groupBy(
+            F.col("o_custkey").alias("custkey")
+        ).agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ),
+        shards=2, dedup="none",
+    )
+
+
+@_register(
+    "c9_facet_multivalued",
+    """SELECT o_orderpriority AS priorities,
+              count(DISTINCT o_custkey) AS "count"
+       FROM orders GROUP BY 1""",
+    "Solr multivalued-field faceting: a terms facet on an "
+    "array<string> field counts each doc once per DISTINCT value "
+    "(explode_outer(array_distinct) before the groupBy — duplicate "
+    "values within a doc count once, valueless docs reach only the "
+    "missing bucket); here one customer doc per o_custkey carries its "
+    "distinct order priorities, so bucket counts equal "
+    "count(DISTINCT custkey) per priority",
+)
+def c9_facet_multivalued(spark, sf_dir):
+    return _mv_customer_index(spark, sf_dir).json_facet({
+        "type": "terms", "field": "priorities", "sort": "index asc",
+        "limit": 100,
+    })
+
+
 @_register(
     "c9_jf_range_nested",
     """WITH cells AS (

@@ -448,3 +448,80 @@ class TestRangeNestedTerms:
         }).collect()
         # bucket [100,200) is empty -> no child rows to render
         assert {r["bucket_start"] for r in rows} == {0.0}
+
+
+@pytest.fixture(scope="module")
+def idx_mv(spark, tmp_path_factory):
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True),
+                Field("text", "text_general"),
+                Field("tags", "string", multi_valued=True),
+                Field("n", "long")),
+        unique_key="id",
+    )
+    rows = [
+        ("1", "alpha", ["red", "blue"], 10),
+        ("2", "beta", ["red", "red"], 20),   # dup value: doc counts ONCE
+        ("3", "gamma", ["blue"], 30),
+        ("4", "delta", [], 40),              # no values -> missing only
+        ("5", "omega", None, 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, text string, tags array<string>, n long"
+    )
+    out = str(tmp_path_factory.mktemp("jfmv") / "idx")
+    IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(
+        df, out)
+    return SearchIndex.open(spark, out)
+
+
+class TestMultivaluedFacet:
+    def test_terms_facet_counts_per_value(self, idx_mv):
+        rows = idx_mv.json_facet({
+            "type": "terms", "field": "tags", "sort": "index asc",
+        }).collect()
+        # red: docs 1,2 (dup in 2 counts once); blue: docs 1,3
+        assert [(r["tags"], r["count"]) for r in rows] == [
+            ("blue", 2), ("red", 2)]
+
+    def test_missing_bucket_is_docs_without_values(self, idx_mv):
+        rows = idx_mv.json_facet({
+            "type": "terms", "field": "tags", "missing": True,
+            "sort": "index asc",
+        }).collect()
+        # docs 4 (empty array) and 5 (null) have no values
+        assert rows[-1]["tags"] is None and rows[-1]["count"] == 2
+
+    def test_stats_aggregate_per_bucket_docs(self, idx_mv):
+        rows = idx_mv.json_facet({
+            "type": "terms", "field": "tags", "sort": "index asc",
+            "facet": {"mx": "max(n)"},
+        }).collect()
+        got = {r["tags"]: r["mx"] for r in rows}
+        assert got == {"blue": 30, "red": 20}
+
+    def test_plain_facet_method_explodes_too(self, idx_mv):
+        rows = idx_mv.facet("tags", sort="index").collect()
+        assert [(r["tags"], r["cnt"]) for r in rows] == [
+            ("blue", 2), ("red", 2)]
+
+    def test_relatedness_sizes_count_docs_not_values(self, idx_mv):
+        import math
+
+        rows = idx_mv.json_facet({
+            "type": "terms", "field": "tags", "sort": "index asc",
+            "facet": {"r": {"type": "relatedness", "fore": "n:[20 TO *]"}},
+        }).collect()
+        got = {r["tags"]: r["r"] for r in rows}
+
+        def skg(fg, fgsz, bg, bgsz):
+            fgp, bgp = fg / fgsz, bg / bgsz
+            if bg == 0 or bg == bgsz:
+                return 0.0
+            z = (fgp - bgp) / math.sqrt(bgp * (1 - bgp) / fgsz)
+            return z / (1 + abs(z))
+
+        # DOC domain: 5 docs, fore (n>=20): docs 2,3,4,5 -> fgsz 4, bgsz 5
+        # blue bucket: docs 1,3 -> fg 1, bg 2; red: docs 1,2 -> fg 1, bg 2
+        assert got["blue"] == pytest.approx(skg(1, 4, 2, 5))
+        assert got["red"] == pytest.approx(skg(1, 4, 2, 5))
