@@ -199,3 +199,42 @@ class TestAliasCollapse:
                alias.query("{!collapse field=grp max=n}").collect()}
         # g1 head: d3 (99, in member 2); g2 head: d2 (5, in member 1)
         assert ids == {"d3", "d2"}
+
+
+class TestCollapsePropertyParity:
+    def test_aggregate_path_equals_window_reference(self, spark, idx):
+        # hypothesis-driven: on random (group, metric-with-nulls) data,
+        # the map-side max_by/min_by head selection must pick EXACTLY
+        # the doc a row_number window over the documented ordering
+        # picks — including null-metric and unique-key tie rules
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+
+        rows_st = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),          # group
+                st.one_of(st.none(),
+                          st.integers(min_value=-5, max_value=5)),  # metric
+            ),
+            min_size=1, max_size=12,
+        )
+
+        @settings(max_examples=15, deadline=None)
+        @given(rows_st)
+        def run(rows):
+            data = [(f"d{i}", f"g{g}", n) for i, (g, n) in enumerate(rows)]
+            df = spark.createDataFrame(data, "id string, grp string, n long")
+            got = {r["grp"]: r["id"] for r in
+                   idx._collapse_heads(df, "grp", "n", None, None).collect()}
+            w = Window.partitionBy("grp").orderBy(
+                F.col("n").isNotNull().desc(), F.desc("n"), F.desc("id")
+            )
+            want = {r["grp"]: r["id"] for r in
+                    df.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") == 1).collect()}
+            assert got == want
+
+        run()

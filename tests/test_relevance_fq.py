@@ -172,3 +172,19 @@ class TestMs:
             parse_function_query("ms(a,)")
         with pytest.raises(QuerySyntaxError, match="ms\\(\\) arg"):
             parse_function_query("ms('not a date!')")
+
+
+class TestLuke:
+    def test_index_and_field_report(self, idx):
+        rpt = idx.luke(top_terms=3)
+        assert rpt["num_docs"] == 4
+        assert rpt["unique_key"] == "id"
+        f = rpt["fields"]
+        assert f["n"]["type"] == "bigint" and f["n"]["docs"] == 4
+        assert f["text"]["docs"] == 3  # one null text
+        assert not f["n"]["multi_valued"]
+        assert "__" not in "".join(f)  # internal/token columns hidden
+        # top terms ride the _vocab sidecar: df-ranked
+        tops = rpt["top_terms"]["text"]
+        assert tops and tops[0][0] in ("spark", "rows")
+        assert all(df_ >= 1 for _t, df_ in tops)
