@@ -58,6 +58,9 @@ topic               checkpointed incremental pull (Topic class): only
                     via compiler.commit_topics() after processing
 update              index the stream into a destination via merge_into
                     (O(touched shards)); emits a batchIndexed summary
+commit              pass-through wrapper (merge_into publishes
+                    atomically — no separate uncommitted state);
+                    cadence params accepted and ignored
 daemon              one iteration of the wrapped stream per run() —
                     continuous operation is Structured Streaming's job
 list / plist        tuples of every wrapped stream (unionByName,
@@ -524,7 +527,7 @@ class StreamCompiler:
                 "fetch, intersect, complement, stats, cartesianProduct, "
                 "timeseries, significantTerms, nodes, shortestPath, "
                 "echo, tuple, random, facet2D, parallel, topic, update, "
-                "daemon, list, plist, null, knnSearch"
+                "daemon, list, plist, null, knnSearch, commit"
             )
         return fn(node)
 
@@ -1321,6 +1324,25 @@ class StreamCompiler:
                 *[c.strip() for c in node.kwargs["fl"].split(",")]
             )
         return batch, None
+
+    def _c_commit(self, node: Call):
+        """Solr commit(destCollection, update(...), batchSize=/
+        waitFlush=/waitSearcher=/softCommit=): in Solr this wraps an
+        update stream and issues commits every batchSize tuples.  Our
+        write path (merge_into) publishes ATOMICALLY when the wrapped
+        update() evaluates — there is no separate uncommitted state —
+        so commit() validates its shape and passes the wrapped stream
+        through; the commit-cadence params are accepted and ignored
+        (documented no-ops, like update()'s batchSize)."""
+        names = [a for a in node.args if not isinstance(a, Call)]
+        if len(names) != 1:
+            raise QuerySyntaxError("commit() needs a destination name first")
+        if names[0] not in self.destinations:
+            raise QuerySyntaxError(
+                f"unknown destination {names[0]!r}; have "
+                f"{sorted(self.destinations)}"
+            )
+        return self._stream_arg(node)
 
     def _c_update(self, node: Call):
         """Solr update(destCollection, stream, batchSize=): index the

@@ -1115,19 +1115,39 @@ class SearchIndex:
             l1 = l1.filter(
                 F.col(field).cast("string").startswith(str(opts["prefix"]))
             )
-        # post-agg bucket rows are term-cardinality small; a global
-        # window over them is cheap at any corpus scale
-        w_all = Window.partitionBy(F.lit(1))
         if opts["allBuckets"]:
-            l1 = l1.withColumn(
-                "allBuckets_count",
-                F.sum("count").over(w_all).cast("long"),
+            # Solr's allBuckets is the DOCSET union of all value
+            # buckets: a multi-valued doc appearing in several buckets
+            # counts ONCE — so it must be a doc count over the
+            # pre-explode domain (docs with >= 1 value), not a sum of
+            # bucket counts.  One extra map-side-combined aggregate
+            # row, broadcast-crossJoined (the scalar-subquery shape).
+            from pyspark.sql.types import ArrayType
+
+            try:
+                is_arr = isinstance(
+                    domain.schema[field].dataType, ArrayType
+                )
+            except Exception:
+                is_arr = False
+            has_val = (
+                F.col(field).isNotNull() & (F.size(F.col(field)) > 0)
+                if is_arr else F.col(field).isNotNull()
             )
+            ab = domain.agg(
+                F.count(F.when(has_val, F.lit(1)))
+                .cast("long").alias("allBuckets_count")
+            )
+            l1 = l1.crossJoin(F.broadcast(ab))
         if mincount > 0:
             l1 = l1.filter(F.col("count") >= mincount)
         if opts["numBuckets"]:
+            # post-agg bucket rows are term-cardinality small; a global
+            # window over them is cheap at any corpus scale
             l1 = l1.withColumn(
-                "numBuckets", F.count(F.lit(1)).over(w_all).cast("long")
+                "numBuckets",
+                F.count(F.lit(1))
+                .over(Window.partitionBy(F.lit(1))).cast("long"),
             )
         order = self._jf_sort_cols(
             str(spec.get("sort", "count desc")), "count", field, set(names)

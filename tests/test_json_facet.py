@@ -525,3 +525,14 @@ class TestMultivaluedFacet:
         # blue bucket: docs 1,3 -> fg 1, bg 2; red: docs 1,2 -> fg 1, bg 2
         assert got["blue"] == pytest.approx(skg(1, 4, 2, 5))
         assert got["red"] == pytest.approx(skg(1, 4, 2, 5))
+
+
+class TestMultivaluedAllBuckets:
+    def test_all_buckets_is_doc_union_not_value_sum(self, idx_mv):
+        rows = idx_mv.json_facet({
+            "type": "terms", "field": "tags", "sort": "index asc",
+            "allBuckets": True,
+        }).collect()
+        # 3 docs have >=1 tag (1,2,3); bucket counts sum to 4 values —
+        # allBuckets must report the DOC union (Solr's docset), not 4
+        assert all(r["allBuckets_count"] == 3 for r in rows)

@@ -654,6 +654,21 @@ class TestTopicUpdateDaemon:
         dst = SearchIndex.open(spark, dst_path)
         assert dst.count() == 3
 
+    def test_commit_wraps_update_as_passthrough(self, setup):
+        # Solr's commit(dst, update(...)): our merge_into publishes
+        # atomically, so commit() validates and passes through
+        spark, job, src_path, dst_path, compiler = setup
+        from solr_map_reduce_spark.index_reader import SearchIndex
+
+        row = compiler().run(
+            'commit(dst, update(dst, search(src, fl="id,text,n")), '
+            'batchSize=100, waitFlush=true)'
+        ).collect()
+        assert row[0]["batchIndexed"] == 3
+        assert SearchIndex.open(spark, dst_path).count() == 3
+        with pytest.raises(QuerySyntaxError, match="unknown destination"):
+            compiler().run('commit(nope, update(dst, search(src)))')
+
     def test_daemon_iteration_topic_to_update(self, setup):
         # the canonical Solr shape: daemon(update(dst, topic(...)))
         # — each run() is one pull->index iteration
