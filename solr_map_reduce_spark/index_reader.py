@@ -670,12 +670,21 @@ class SearchIndex:
     )
     _JF_PCT_RE = re.compile(r"^percentile\((\w+)\s*,\s*([0-9.]+)\)$")
 
-    def _jf_stat_col(self, sub: str, name: str) -> F.Column:
+    def _jf_stat_col(
+        self, sub: str, name: str, mask: "F.Column | None" = None
+    ) -> F.Column:
         """One JSON-Facet stat string -> an aliased agg Column.  All are
         algebraic (map-side partials) except ``percentile``, which is
         EXACT with linear interpolation (Spark ``percentile`` — the same
         quantile_cont definition a SQL oracle uses; Solr itself serves
-        t-digest approximations of the same value) and holistic."""
+        t-digest approximations of the same value) and holistic.
+
+        ``mask`` conditions the stat on a predicate WITHIN one shared
+        aggregate (the arbitrary-``ranges`` facet shape: every range is
+        a conditional agg in the same pass) — the value column nulls
+        out where the mask fails, which every agg here ignores;
+        ``missing`` keeps its own explicit mask conjunction since its
+        probe IS null-ness."""
         s = sub.strip()
         m = self._JF_PCT_RE.match(s)
         if m:
@@ -684,7 +693,10 @@ class SearchIndex:
                 raise ValueError(
                     f"json_facet percentile {sub!r}: p must be in 0..100"
                 )
-            return F.percentile(F.col(m.group(1)), F.lit(p / 100.0)).alias(name)
+            pcol = F.col(m.group(1))
+            if mask is not None:
+                pcol = F.when(mask, pcol)
+            return F.percentile(pcol, F.lit(p / 100.0)).alias(name)
         m = self._JF_AGG_RE.match(s)
         if not m:
             raise ValueError(
@@ -694,6 +706,12 @@ class SearchIndex:
             )
         fn, f = m.groups()
         col = F.col(f)
+        if mask is not None:
+            if fn == "missing":
+                return F.count(
+                    F.when(mask & col.isNull(), F.lit(1))
+                ).alias(name)
+            col = F.when(mask, col)
         return {
             "sum": lambda: F.sum(col),
             "avg": lambda: F.avg(col),
@@ -1229,9 +1247,18 @@ class SearchIndex:
         field = spec.get("field")
         if not field:
             raise ValueError("json_facet range spec needs field=")
+        if "ranges" in spec:
+            if any(k in spec for k in ("start", "end", "gap")):
+                raise ValueError(
+                    "json_facet range: ranges= and start/end/gap are "
+                    "mutually exclusive (Solr's two range forms)"
+                )
+            return self._jf_ranges_list(scan, spec, str(field))
         for k in ("start", "end", "gap"):
             if k not in spec:
-                raise ValueError(f"json_facet range spec needs {k}=")
+                raise ValueError(
+                    f"json_facet range spec needs {k}= (or ranges=)"
+                )
         aggs, names, nested, rel = self._jf_subaggs(spec, "count")
         if rel:
             raise ValueError(
@@ -1327,6 +1354,104 @@ class SearchIndex:
             .select("bucket_start", "count", *names, f2,
                     f"{name2}_count", *names2)
             .orderBy("bucket_start", F.asc(f2))
+        )
+
+    def _jf_ranges_list(
+        self, scan: DataFrame, spec, field: str
+    ) -> DataFrame:
+        """Solr's arbitrary-ranges form (``ranges=[...]``, Solr 8.3+):
+        each entry is ``{"range": "[0,100)"}`` (interval syntax — ``[``
+        / ``]`` inclusive, ``(`` / ``)`` exclusive, ``*`` unbounded) or
+        ``{"from": a, "to": b, "inclusive_from": true, "inclusive_to":
+        false}`` (Solr's defaults).  Ranges may overlap or gap — a doc
+        counts in EVERY range admitting it.
+
+        Plan: every range is a CONDITIONAL aggregate (count + masked
+        stat/query subfacets) in ONE map-side-combined pass over the
+        scan — no shuffle grows with the range count — then the single
+        row unpivots to one row per range (array explode, the
+        interval_facet shape)."""
+        ranges = spec.get("ranges")
+        if not isinstance(ranges, Sequence) or not ranges:
+            raise ValueError("json_facet ranges= needs a non-empty list")
+        col = F.col(field)
+        facet_spec = spec.get("facet") or {}
+        items: list[tuple[str, F.Column]] = []
+        for r in ranges:
+            if not isinstance(r, Mapping):
+                raise ValueError(
+                    f"json_facet ranges entry {r!r}: expected a mapping"
+                )
+            if "range" in r:
+                m = self._INTERVAL_RE.match(str(r["range"]))
+                if not m:
+                    raise ValueError(
+                        f"bad range {r['range']!r}: expected Solr "
+                        "interval syntax like [0,100) or (5,*]"
+                    )
+                lo_b, lo_raw, hi_raw, hi_b = m.groups()
+                lo = None if lo_raw == "*" else float(lo_raw)
+                hi = None if hi_raw == "*" else float(hi_raw)
+                lo_incl, hi_incl = lo_b == "[", hi_b == "]"
+                label = str(r["range"])
+            else:
+                lo = r.get("from")
+                hi = r.get("to")
+                lo = None if lo in (None, "*") else float(lo)  # type: ignore[arg-type]
+                hi = None if hi in (None, "*") else float(hi)  # type: ignore[arg-type]
+                lo_incl = bool(r.get("inclusive_from", True))
+                hi_incl = bool(r.get("inclusive_to", False))
+                label = (
+                    ("[" if lo_incl else "(")
+                    + ("*" if lo is None else f"{lo:g}") + ","
+                    + ("*" if hi is None else f"{hi:g}")
+                    + ("]" if hi_incl else ")")
+                )
+            pred = col.isNotNull()
+            if lo is not None:
+                pred = pred & (col >= lo if lo_incl else col > lo)
+            if hi is not None:
+                pred = pred & (col <= hi if hi_incl else col < hi)
+            items.append((label, pred))
+        aggs = []
+        stat_names: list[str] = []
+        for i, (_label, pred) in enumerate(items):
+            aggs.append(
+                F.coalesce(
+                    F.count(F.when(pred, F.lit(1))), F.lit(0)
+                ).cast("long").alias(f"__r{i}_count")
+            )
+            for name, sub in facet_spec.items():
+                if isinstance(sub, str):
+                    aggs.append(
+                        self._jf_stat_col(sub, f"__r{i}_{name}", mask=pred)
+                    )
+                elif isinstance(sub, Mapping) and sub.get("type") == "query":
+                    qpred, _i2, _f = self._compile_predicate(str(sub["q"]))
+                    aggs.append(
+                        F.coalesce(
+                            F.count(F.when(pred & qpred, F.lit(1))),
+                            F.lit(0),
+                        ).cast("long").alias(f"__r{i}_{name}")
+                    )
+                else:
+                    raise ValueError(
+                        "json_facet ranges= takes stat/query subfacets "
+                        f"only, got {name!r}: {sub!r}"
+                    )
+                if i == 0:
+                    stat_names.append(name)
+        row = scan.agg(*aggs)
+        buckets = F.array(*[
+            F.struct(
+                F.lit(label).alias("range"),
+                F.col(f"__r{i}_count").alias("count"),
+                *[F.col(f"__r{i}_{n}").alias(n) for n in stat_names],
+            )
+            for i, (label, _p) in enumerate(items)
+        ])
+        return row.select(F.explode(buckets).alias("b")).select(
+            "b.range", "b.count", *[f"b.{n}" for n in stat_names]
         )
 
     _INTERVAL_RE = re.compile(

@@ -2254,6 +2254,50 @@ def _mv_customer_index(spark, sf_dir):
 
 
 @_register(
+    "c9_jf_ranges",
+    """SELECT '[0,150)' AS "range",
+              count(*) FILTER (WHERE n_chars >= 0 AND n_chars < 150)
+                AS "count",
+              avg(CASE WHEN n_chars >= 0 AND n_chars < 150
+                       THEN n_chars END) AS avg_chars,
+              count(*) FILTER (WHERE n_chars >= 0 AND n_chars < 150
+                               AND lang = 'en') AS en
+       FROM documents
+       UNION ALL
+       SELECT '[100,300]',
+              count(*) FILTER (WHERE n_chars >= 100 AND n_chars <= 300),
+              avg(CASE WHEN n_chars >= 100 AND n_chars <= 300
+                       THEN n_chars END),
+              count(*) FILTER (WHERE n_chars >= 100 AND n_chars <= 300
+                               AND lang = 'en')
+       FROM documents
+       UNION ALL
+       SELECT '(250,*)',
+              count(*) FILTER (WHERE n_chars > 250),
+              avg(CASE WHEN n_chars > 250 THEN n_chars END),
+              count(*) FILTER (WHERE n_chars > 250 AND lang = 'en')
+       FROM documents""",
+    "Solr JSON-facet arbitrary ranges (ranges=[...], Solr 8.3+): "
+    "OVERLAPPING intervals — a doc counts in every range admitting it "
+    "(what gapped start/end/gap cannot express); every range is a "
+    "conditional count + masked stat/query subfacets in ONE map-side-"
+    "combined aggregate pass, unpivoted to one row per range — no "
+    "shuffle grows with the range count",
+)
+def c9_jf_ranges(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).json_facet({
+        "type": "range", "field": "n_chars",
+        "ranges": [
+            {"from": 0, "to": 150},
+            {"from": 100, "to": 300, "inclusive_to": True},
+            {"from": 250, "inclusive_from": False},
+        ],
+        "facet": {"avg_chars": "avg(n_chars)",
+                  "en": {"type": "query", "q": "lang:en"}},
+    })
+
+
+@_register(
     "c9_facet_multivalued",
     """SELECT o_orderpriority AS priorities,
               count(DISTINCT o_custkey) AS "count"

@@ -536,3 +536,67 @@ class TestMultivaluedAllBuckets:
         # 3 docs have >=1 tag (1,2,3); bucket counts sum to 4 values —
         # allBuckets must report the DOC union (Solr's docset), not 4
         assert all(r["allBuckets_count"] == 3 for r in rows)
+
+
+class TestRangesListForm:
+    def test_arbitrary_overlapping_ranges(self, idx):
+        rows = idx.json_facet({
+            "type": "range", "field": "n",
+            "ranges": [
+                {"from": 0, "to": 30},                  # [0,30): 10,20
+                {"range": "[20,50]"},                   # 20,30,40,50
+                {"from": 45, "inclusive_from": False},  # (45,*]: 50,60
+            ],
+            "facet": {"avg_n": "avg(n)",
+                      "webs": {"type": "query", "q": "src:web"}},
+        }).collect()
+        got = [(r["range"], r["count"], r["avg_n"], r["webs"])
+               for r in rows]
+        assert got == [
+            ("[0,30)", 2, 15.0, 2),    # 10(web), 20(web)
+            ("[20,50]", 4, 35.0, 2),   # webs: 20, 40
+            ("(45,*)", 2, 55.0, 1),    # 50 is pdf, 60 is web
+        ]
+
+    def test_range_labels_and_bounds(self, idx):
+        rows = idx.json_facet({
+            "type": "range", "field": "n",
+            "ranges": [{"from": 10, "to": 10, "inclusive_to": True}],
+        }).collect()
+        assert [(r["range"], r["count"]) for r in rows] == [("[10,10]", 1)]
+
+    def test_empty_range_reports_zero(self, idx):
+        rows = idx.json_facet(
+            {"type": "range", "field": "n",
+             "ranges": [{"from": 1000, "to": 2000}],
+             "facet": {"mx": "max(n)"}},
+            q="spark",
+        ).collect()
+        assert rows[0]["count"] == 0 and rows[0]["mx"] is None
+
+    def test_single_pass_plan(self, idx):
+        df = idx.json_facet({
+            "type": "range", "field": "n",
+            "ranges": [{"from": 0, "to": 30}, {"range": "[20,50]"},
+                       {"from": 45}],
+            "facet": {"s": "sum(n)"},
+        })
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one aggregate over one scan, however many ranges
+        assert plan.count("Scan parquet") == 1
+
+    def test_errors(self, idx):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            idx.json_facet({"type": "range", "field": "n", "start": 0,
+                            "end": 1, "gap": 1, "ranges": [{"from": 0}]})
+        with pytest.raises(ValueError, match="non-empty list"):
+            idx.json_facet({"type": "range", "field": "n", "ranges": []})
+        with pytest.raises(ValueError, match="interval syntax"):
+            idx.json_facet({"type": "range", "field": "n",
+                            "ranges": [{"range": "0 to 5"}]})
+        with pytest.raises(ValueError, match="stat/query subfacets only"):
+            idx.json_facet({
+                "type": "range", "field": "n",
+                "ranges": [{"from": 0}],
+                "facet": {"x": {"type": "terms", "field": "grp"}},
+            })
