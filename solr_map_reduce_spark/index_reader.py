@@ -821,6 +821,20 @@ class SearchIndex:
         the generated bucket spine so empty buckets stay at
         mincount=0 (count/query-subfacet 0, stats NULL)."""
         scan = self._query_scan(q, query_field) if q is not None else self.df()
+        return self._jf_over(scan, spec, query_field, filters, self.df())
+
+    def _jf_over(
+        self,
+        scan: DataFrame,
+        spec: "Mapping[str, object]",
+        query_field: str | None,
+        filters: "Mapping[str, object] | None",
+        base: DataFrame,
+    ) -> DataFrame:
+        """The JSON-facet compiler over an EXPLICIT domain scan — the
+        engine behind :meth:`json_facet` and the alias facade's version
+        (whose domain is the member union and whose block-join universe
+        ``base`` spans every member)."""
         dom = spec.get("domain")
         allowed = {"filter", "excludeTags", "blockChildren", "blockParent"}
         if dom is not None:
@@ -858,7 +872,7 @@ class SearchIndex:
                 )
                 scan = scan.filter(pred)
             if "blockChildren" in dom or "blockParent" in dom:
-                scan = self._jf_block_domain(scan, dom, query_field)
+                scan = self._jf_block_domain(scan, dom, query_field, base)
         if spec.get("type") == "range":
             return self._jf_range(scan, spec)
         if spec.get("type") == "query":
@@ -930,7 +944,7 @@ class SearchIndex:
 
     def _jf_block_domain(
         self, scan: DataFrame, dom: "Mapping[str, object]",
-        query_field: str | None,
+        query_field: str | None, base: DataFrame,
     ) -> DataFrame:
         """Solr JSON-facet block-join domain mapping over the nested-
         document model ({!parent}/{!child}'s ``_root_`` contract):
@@ -950,7 +964,7 @@ class SearchIndex:
                 .select(F.col(self.unique_key).alias(root))
                 .distinct()
             )
-            return self.df().filter(~pf).join(keys, on=root, how="left_semi")
+            return base.filter(~pf).join(keys, on=root, how="left_semi")
         pf, _i, _f = self._compile_predicate(
             str(dom["blockParent"]), query_field
         )
@@ -960,7 +974,7 @@ class SearchIndex:
             .select(F.col(root).alias(self.unique_key))
             .distinct()
         )
-        return self.df().filter(pf).join(
+        return base.filter(pf).join(
             roots, on=self.unique_key, how="left_semi"
         )
 
@@ -1375,6 +1389,35 @@ class SearchIndex:
         if not isinstance(ranges, Sequence) or not ranges:
             raise ValueError("json_facet ranges= needs a non-empty list")
         col = F.col(field)
+
+        def _bound(raw, label_parts):
+            """A from/to value — number, ``*``, or a Solr date value
+            (ISO / date math, resolved deterministically via NOW
+            pinning) — to a comparison literal; dates compare against
+            the column's epoch seconds (the session is pinned UTC)."""
+            if raw in (None, "*"):
+                label_parts.append("*")
+                return None, False
+            if isinstance(raw, (int, float)):
+                label_parts.append(f"{float(raw):g}")
+                return float(raw), False
+            s_ = str(raw).strip()
+            try:
+                v = float(s_)
+                label_parts.append(f"{v:g}")
+                return v, False
+            except ValueError:
+                pass
+            from datetime import timezone
+
+            from solr_map_reduce_spark.functions.datemath import (
+                parse_datemath,
+            )
+
+            dt = parse_datemath(s_, where="json_facet ranges bound")
+            label_parts.append(s_)
+            return dt.replace(tzinfo=timezone.utc).timestamp(), True
+
         facet_spec = spec.get("facet") or {}
         items: list[tuple[str, F.Column]] = []
         for r in ranges:
@@ -1382,6 +1425,7 @@ class SearchIndex:
                 raise ValueError(
                     f"json_facet ranges entry {r!r}: expected a mapping"
                 )
+            parts: list[str] = []
             if "range" in r:
                 m = self._INTERVAL_RE.match(str(r["range"]))
                 if not m:
@@ -1390,28 +1434,30 @@ class SearchIndex:
                         "interval syntax like [0,100) or (5,*]"
                     )
                 lo_b, lo_raw, hi_raw, hi_b = m.groups()
-                lo = None if lo_raw == "*" else float(lo_raw)
-                hi = None if hi_raw == "*" else float(hi_raw)
+                (lo, lo_time), (hi, hi_time) = (
+                    _bound(lo_raw, parts), _bound(hi_raw, parts)
+                )
                 lo_incl, hi_incl = lo_b == "[", hi_b == "]"
                 label = str(r["range"])
             else:
-                lo = r.get("from")
-                hi = r.get("to")
-                lo = None if lo in (None, "*") else float(lo)  # type: ignore[arg-type]
-                hi = None if hi in (None, "*") else float(hi)  # type: ignore[arg-type]
+                (lo, lo_time), (hi, hi_time) = (
+                    _bound(r.get("from"), parts), _bound(r.get("to"), parts)
+                )
                 lo_incl = bool(r.get("inclusive_from", True))
                 hi_incl = bool(r.get("inclusive_to", False))
                 label = (
-                    ("[" if lo_incl else "(")
-                    + ("*" if lo is None else f"{lo:g}") + ","
-                    + ("*" if hi is None else f"{hi:g}")
-                    + ("]" if hi_incl else ")")
+                    ("[" if lo_incl else "(") + parts[0] + ","
+                    + parts[1] + ("]" if hi_incl else ")")
                 )
+            vcol = (
+                col.cast("timestamp").cast("double")
+                if (lo_time or hi_time) else col
+            )
             pred = col.isNotNull()
             if lo is not None:
-                pred = pred & (col >= lo if lo_incl else col > lo)
+                pred = pred & (vcol >= lo if lo_incl else vcol > lo)
             if hi is not None:
-                pred = pred & (col <= hi if hi_incl else col < hi)
+                pred = pred & (vcol <= hi if hi_incl else vcol < hi)
             items.append((label, pred))
         aggs = []
         stat_names: list[str] = []
@@ -3522,6 +3568,29 @@ class MultiIndex:
             .orderBy(*order)
         )
         return out.limit(top) if top is not None else out
+
+    def json_facet(
+        self,
+        spec: "Mapping[str, object]",
+        q: str | None = None,
+        query_field: str | None = None,
+        filters: "Mapping[str, object] | None" = None,
+    ) -> DataFrame:
+        """JSON Facet API over the ALIAS: the domain is the member
+        UNION (each member's own Bloom-pruned q scan) and the block-
+        join universe spans every member, so results match the
+        unpartitioned collection — the same cross-member contract as
+        the alias's {!join}/{!parent}/{!collapse} handling.  Spec
+        surface identical to :meth:`SearchIndex.json_facet`."""
+        scan = (
+            self._union(
+                [m._query_scan(q, query_field) for m in self.members]
+            )
+            if q is not None else self.df()
+        )
+        return self.members[0]._jf_over(
+            scan, spec, query_field, filters, self.df()
+        )
 
 
 class Topic:

@@ -600,3 +600,69 @@ class TestRangesListForm:
                 "ranges": [{"from": 0}],
                 "facet": {"x": {"type": "terms", "field": "grp"}},
             })
+
+
+class TestRangesDateBounds:
+    def test_date_math_bounds(self, spark, tmp_path_factory):
+        from datetime import datetime
+
+        from solr_map_reduce_spark.functions.datemath import fixed_now
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("ts", "tdate")),
+            unique_key="id",
+        )
+        rows = [("1", datetime(2024, 1, 18)), ("2", datetime(2024, 1, 19)),
+                ("3", datetime(2024, 1, 20)), ("4", datetime(2024, 1, 5))]
+        df = spark.createDataFrame(rows, "id string, ts timestamp")
+        out = str(tmp_path_factory.mktemp("jfd") / "idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=1,
+                                dedup="none")).build(df, out)
+        idx = SearchIndex.open(spark, out)
+        with fixed_now(datetime(2024, 1, 20, 12)):
+            got = idx.json_facet({
+                "type": "range", "field": "ts",
+                "ranges": [{"from": "NOW-7DAYS/DAY", "to": "NOW/DAY"},
+                           {"from": "2024-01-01T00:00:00Z",
+                            "to": "NOW-10DAYS"}],
+            }).collect()
+        # [Jan 13, Jan 20): docs 1,2; [Jan 1, Jan 10 12:00): doc 4
+        assert [(r["range"], r["count"]) for r in got] == [
+            ("[NOW-7DAYS/DAY,NOW/DAY)", 2),
+            ("[2024-01-01T00:00:00Z,NOW-10DAYS)", 1),
+        ]
+
+
+class TestAliasJsonFacet:
+    def test_alias_facets_the_member_union(self, spark, tmp_path):
+        from solr_map_reduce_spark.index_reader import MultiIndex
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("grp", "string"),
+                    Field("n", "long")),
+            unique_key="id",
+        )
+        slices = [
+            [("a1", "spark x", "g1", 10), ("a2", "other", "g2", 20)],
+            [("b1", "spark y", "g1", 30), ("b2", "spark z", "g3", 40)],
+        ]
+        paths = []
+        for i, rows in enumerate(slices):
+            df = spark.createDataFrame(
+                rows, "id string, text string, grp string, n long")
+            out = str(tmp_path / f"jm{i}")
+            IndexJob(IndexJobConfig(schema=schema, shards=1,
+                                    dedup="none")).build(df, out)
+            paths.append(out)
+        alias = MultiIndex.open(spark, paths)
+        rows = alias.json_facet(
+            {"type": "terms", "field": "grp", "sort": "index asc",
+             "facet": {"mx": "max(n)"}},
+            q="spark",
+        ).collect()
+        # spark docs: a1(g1,10), b1(g1,30), b2(g3,40) — g1 spans members
+        assert [(r["grp"], r["count"], r["mx"]) for r in rows] == [
+            ("g1", 2, 30), ("g3", 1, 40)]
