@@ -136,7 +136,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotating verdict window (the harness checks the first 50 registry
 # entries per round), r09 rotation: every entry was green at its last
 # driver check (r08: 50/50 hash-exact).  (a) the 25 never-externally-
-# checked entries lead — the 15 added in round 9 (collapse/expand, the
+# checked entries lead — the 16 added in round 9 (collapse/expand, the
 # JSON-facet range/multiselect/block-domain entries, stream list/null,
 # LTR linear/trees, termfreq sort) and the 15 from the r8 tail (date
 # math, facet bucketSizeLimit determinism, anchored multi-unit
@@ -145,9 +145,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # fetch/unique/merge/intersect/stats/cartesianProduct decorator
 # entries); then (b) the FULL 18-entry cohort whose last green check is
 # oldest (r05 — the TPC-H tail, pivots/windows/setops, multimodal,
-# percentiles, stratified sample); then (c) 2 of the r06 cohort, led by
+# percentiles, stratified sample); then (c) 1 of the r06 cohort, led by
 # the four the r8 verdict named (b8_convert_timestamp, b12_detect_mime,
-# c9_suggest, ext_bm25_topk).  The r06 overflow (48 entries) + the r07
+# c9_suggest, ext_bm25_topk).  The r06 overflow (49 entries) + the r07
 # cohort lead the r10 rotation.  The repo's own oracle suite covers all
 # entries every pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
@@ -158,6 +158,7 @@ _VERDICT_PRIORITY = [
     "ext_ltr_trees", "c9_termfreq_sort", "c9_recency_boost",
     "c9_jf_relatedness", "c9_jf_range_nested",
     "c9_facet_multivalued", "c9_jf_ranges",
+    "ext_stream_rollup_metrics",
     "c9_date_math", "ext_stream_facet_limit", "ext_stream_timeseries_gap",
     "ext_stream_topic", "ext_dismax_mm_conditional", "c9_knn_query",
     "ext_stream_random", "ext_stream_facet2d", "ext_stream_fetch",
@@ -173,8 +174,8 @@ _VERDICT_PRIORITY = [
     "ext_stratified_sample",
     # (c) last checked r06 — named-first (cohort tail moved to the r10
     # overflow to keep the window at exactly 50 after the 5 r09 additions)
-    "b8_convert_timestamp", "b12_detect_mime",
-    # r06 overflow for r10: c9_suggest, ext_bm25_topk,
+    "b8_convert_timestamp",
+    # r06 overflow for r10: b12_detect_mime, c9_suggest, ext_bm25_topk,
     # facet_event_counts, ext_funnel_conversion,
     # ext_cohort_retention, facet_range_value,
     # pipeline_etl_events, window_hourly_counts,

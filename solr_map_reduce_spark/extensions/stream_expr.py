@@ -274,7 +274,8 @@ def parse_stream_expr(s: str) -> Call:
 
 
 # ------------------------------------------------------------- compiler
-_METRICS = {"sum", "min", "max", "avg", "mean", "count"}
+_METRICS = {"sum", "min", "max", "avg", "mean", "count", "countDist",
+            "std", "per"}
 _BOOL_CMP = {"eq": "==", "gt": ">", "lt": "<", "gteq": ">=", "lteq": "<="}
 
 
@@ -303,9 +304,27 @@ def _order_cols(spec: list[tuple[str, str]]) -> list:
 
 
 def _metric_col(node: Call) -> tuple[F.Column, str]:
-    """A metric call -> (agg Column, Solr's emitted field name)."""
+    """A metric call -> (agg Column, Solr's emitted field name).
+    Solr's full rollup/stats metric set: sum/min/max/avg(mean)/
+    count(*)/countDist(f)/std(f — sample stddev, Solr's definition)/
+    per(f, N — Solr serves a t-digest estimate; ours is EXACT with
+    linear interpolation, the same quantile_cont a SQL oracle runs)."""
     if node.name not in _METRICS:
         raise QuerySyntaxError(f"unknown metric {node.name!r}")
+    if node.name == "per":
+        if len(node.args) != 2 or node.kwargs:
+            raise QuerySyntaxError("per() takes (field, percentile)")
+        f_, p_raw = node.args
+        try:
+            p = float(p_raw)
+        except (TypeError, ValueError):
+            raise QuerySyntaxError(
+                f"per() percentile must be numeric, got {p_raw!r}"
+            ) from None
+        if not 0.0 <= p <= 100.0:
+            raise QuerySyntaxError(f"per() percentile {p:g} not in 0..100")
+        name = f"per({f_},{p_raw})"
+        return F.percentile(F.col(str(f_)), F.lit(p / 100.0)), name
     if len(node.args) != 1 or node.kwargs:
         raise QuerySyntaxError(f"{node.name}() takes one field arg")
     arg = node.args[0]
@@ -315,7 +334,8 @@ def _metric_col(node: Call) -> tuple[F.Column, str]:
             raise QuerySyntaxError("count() supports count(*) only")
         return F.count(F.lit(1)), name
     fn = {"sum": F.sum, "min": F.min, "max": F.max,
-          "avg": F.avg, "mean": F.avg}[node.name]
+          "avg": F.avg, "mean": F.avg, "countDist": F.countDistinct,
+          "std": F.stddev_samp}[node.name]
     if not isinstance(arg, str):
         raise QuerySyntaxError(f"{node.name}() field must be a name")
     return fn(arg), name

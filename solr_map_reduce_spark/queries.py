@@ -5442,6 +5442,31 @@ def ext_stream_null(spark, sf_dir):
 
 
 @_register(
+    "ext_stream_rollup_metrics",
+    """SELECT l_returnflag,
+              count(*) AS "count(*)",
+              count(DISTINCT l_orderkey) AS "countDist(l_orderkey)",
+              stddev_samp(l_quantity) AS "std(l_quantity)",
+              quantile_cont(l_quantity, 0.5) AS "per(l_quantity,50)"
+       FROM lineitem GROUP BY l_returnflag""",
+    "Solr rollup() with the FULL metric set — count(*)/countDist/std/"
+    "per: countDist is exact, std is sample stddev (Solr's "
+    "definition), per is the exact linear-interpolation percentile "
+    "(Solr itself serves a t-digest estimate of the same value); all "
+    "but per are algebraic map-side partials in one groupBy",
+)
+def ext_stream_rollup_metrics(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.stream_expr import StreamCompiler
+
+    comp = StreamCompiler({"li": t(spark, sf_dir, "lineitem")})
+    return comp.run(
+        'rollup(search(li, fl="l_returnflag,l_quantity,l_orderkey"), '
+        "over=l_returnflag, count(*), countDist(l_orderkey), "
+        "std(l_quantity), per(l_quantity, 50))"
+    )
+
+
+@_register(
     "ext_stream_intersect",
     """SELECT c_custkey, c_name FROM customer
        WHERE c_custkey IN (

@@ -901,3 +901,30 @@ class TestListPlistNullKnn:
             comp.run("knnSearch(docs, k=2)")
         with pytest.raises(QuerySyntaxError, match="SearchIndex source"):
             StreamCompiler({"plain": df}).run('knnSearch(plain, id="1")')
+
+
+class TestExtendedMetrics:
+    def test_countdist_std_per(self, comp):
+        rows = comp.run(
+            "rollup(search(people), over=dept, count(*), countDist(pid), "
+            "std(pid), per(pid, 50))"
+        ).collect()
+        got = {r["dept"]: (r["countDist(pid)"], r["std(pid)"],
+                           r["per(pid,50)"]) for r in rows}
+        # eng: pids 1,2 -> dist 2, std ~0.707, median 1.5
+        assert got["eng"][0] == 2
+        assert abs(got["eng"][1] - 0.7071067811865476) < 1e-12
+        assert got["eng"][2] == 1.5
+
+    def test_stats_with_extended_metrics(self, comp):
+        row = comp.run(
+            "stats(salaries, per(pay, 50), std(pay), countDist(person))"
+        ).collect()[0]
+        assert row["per(pay,50)"] == 100.0   # 90,100,120 median
+        assert row["countDist(person)"] == 3
+
+    def test_per_errors(self, comp):
+        with pytest.raises(QuerySyntaxError, match="0..100"):
+            comp.run("stats(salaries, per(pay, 200))")
+        with pytest.raises(QuerySyntaxError, match="field, percentile"):
+            comp.run("stats(salaries, per(pay))")
