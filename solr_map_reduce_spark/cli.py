@@ -176,6 +176,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "csv:/out, json:/out) instead of printing rows — "
                           "the export path never collects to the driver")
     qry.add_argument("--segments", action="store_true", help="C7 layout introspection")
+    qry.add_argument("--luke", nargs="?", const=0, default=None, type=int,
+                     metavar="TOP_TERMS",
+                     help="index + per-field introspection (Solr "
+                          "/admin/luke): one aggregate pass; pass a "
+                          "number to add each analyzed field's top-df "
+                          "terms from the dictionary sidecar")
 
     upd = sub.add_parser(
         "update",
@@ -451,6 +457,7 @@ def main(argv: list[str] | None = None) -> int:
                     ("--spellcheck", args.spellcheck),
                     ("--terms", args.terms),
                     ("--json-facet", args.json_facet),
+                    ("--luke", args.luke),
                 ) if val is not None and val is not False
             ]
             if unsupported:
@@ -468,6 +475,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"count": n}))
         elif args.segments:
             print(json.dumps({"segments": idx.segment_counts()}))
+        elif args.luke is not None:
+            print(json.dumps(idx.luke(top_terms=args.luke), default=str))
         elif args.get is not None:
             for r in idx.get(args.get).collect():
                 print(json.dumps(r.asDict(), default=str))

@@ -44,6 +44,8 @@ __all__ = [
     "LinearModel",
     "TreeNode",
     "AdditiveTreesModel",
+    "load_solr_features",
+    "load_solr_model",
     "ltr_rescore",
 ]
 
@@ -205,6 +207,127 @@ class AdditiveTreesModel:
             term = root.col(feats) * F.lit(float(w))
             score = term if score is None else score + term
         return score
+
+
+_NORM_CLASSES = {
+    "minmaxnormalizer": ("minmax", ("min", "max")),
+    "standardnormalizer": ("standard", ("avg", "std")),
+}
+
+
+def _norm_from_store(norm: "Mapping[str, object] | None"):
+    """A model-store normalizer object ({"class": "...MinMaxNormalizer",
+    "params": {"min": "0", "max": "10"}}) -> a Feature norm dict."""
+    if norm is None:
+        return None
+    cls = str(norm.get("class", "")).rsplit(".", 1)[-1].lower()
+    if cls == "identitynormalizer":
+        return None
+    if cls not in _NORM_CLASSES:
+        raise ValueError(
+            f"unsupported normalizer class {norm.get('class')!r} "
+            "(MinMax, Standard, Identity — Solr's shipped set)"
+        )
+    kind, keys = _NORM_CLASSES[cls]
+    params = norm.get("params") or {}
+    try:
+        return {"type": kind, **{k: float(params[k]) for k in keys}}  # type: ignore[index]
+    except KeyError as exc:
+        raise ValueError(
+            f"normalizer {norm.get('class')!r} params need {keys}: "
+            f"missing {exc}"
+        ) from None
+
+
+def load_solr_features(
+    specs: "Sequence[Mapping[str, object]]",
+) -> "dict[str, Feature]":
+    """Solr LTR FEATURE-STORE JSON (the ``/schema/feature-store``
+    upload format, a list of feature objects) -> ``{name: Feature}``.
+
+    Supported classes (public Solr LTR contrib):
+    - ``FieldValueFeature`` (``params.field``) — the stored value;
+    - ``ValueFeature`` (``params.value``) — a constant;
+    - ``SolrFeature`` with a function query in ``params.q``
+      (``{!func}...`` or a bare function-query string) — compiled
+      through the same grammar as sort-by-function.
+    Score-dependent features (OriginalScoreFeature, SolrFeature with a
+    full query) have no relational analog here and raise."""
+    out: dict[str, Feature] = {}
+    for spec in specs:
+        name = spec.get("name")
+        if not name:
+            raise ValueError(f"feature spec needs name=: {spec!r}")
+        cls = str(spec.get("class", "")).rsplit(".", 1)[-1].lower()
+        params = spec.get("params") or {}
+        if cls == "fieldvaluefeature":
+            if "field" not in params:
+                raise ValueError(
+                    f"FieldValueFeature {name!r} needs params.field"
+                )
+            expr: "str | Column" = str(params["field"])  # type: ignore[index]
+        elif cls == "valuefeature":
+            if "value" not in params:
+                raise ValueError(f"ValueFeature {name!r} needs params.value")
+            expr = F.lit(float(params["value"]))  # type: ignore[arg-type]
+        elif cls == "solrfeature":
+            q = str(params.get("q", ""))
+            if q.startswith("{!func}"):
+                q = q[len("{!func}"):]
+            if not q or ":" in q.split("(")[0]:
+                raise ValueError(
+                    f"SolrFeature {name!r}: only function-query features "
+                    "are supported ({!func}... or a bare function query) "
+                    "— full-query/score features have no relational "
+                    "analog here"
+                )
+            expr = q
+        else:
+            raise ValueError(
+                f"unsupported feature class {spec.get('class')!r} for "
+                f"{name!r} (FieldValueFeature, ValueFeature, "
+                "SolrFeature{!func})"
+            )
+        out[str(name)] = Feature(
+            expr,
+            default=float(params.get("defaultValue", 0.0)),  # type: ignore[arg-type]
+            norm=None,
+        )
+    if not out:
+        raise ValueError("feature store is empty")
+    return out
+
+
+def load_solr_model(
+    model: "Mapping[str, object]",
+) -> "tuple[LinearModel | AdditiveTreesModel, dict[str, Mapping | None]]":
+    """Solr LTR MODEL-STORE JSON (the ``/schema/model-store`` upload
+    format) -> ``(model, per-feature norm specs)``: a user of the
+    reference stack can load the very file they PUT to Solr.
+
+    ``model["features"]`` entries may carry a ``norm`` object —
+    returned as ``{feature_name: norm-dict-or-None}`` for the caller
+    to fold into its Features (norms are model-scoped in Solr)."""
+    cls = str(model.get("class", "")).rsplit(".", 1)[-1].lower()
+    params = model.get("params") or {}
+    norms = {
+        str(f["name"]): _norm_from_store(f.get("norm"))  # type: ignore[index]
+        for f in (model.get("features") or ())
+    }
+    if cls == "linearmodel":
+        weights = params.get("weights")  # type: ignore[union-attr]
+        if not weights:
+            raise ValueError("LinearModel params need weights={...}")
+        return (
+            LinearModel({k: float(v) for k, v in weights.items()}),  # type: ignore[union-attr]
+            norms,
+        )
+    if cls == "multipleadditivetreesmodel":
+        return AdditiveTreesModel.from_json(params), norms  # type: ignore[arg-type]
+    raise ValueError(
+        f"unsupported model class {model.get('class')!r} "
+        "(LinearModel, MultipleAdditiveTreesModel)"
+    )
 
 
 def ltr_rescore(

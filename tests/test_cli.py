@@ -756,3 +756,17 @@ def test_cli_json_facet_and_collapse(spark, sf_dir, schema_file, tmp_path,
                      "--q", "{!collapse field=lang max=n_chars}"]) == 0
     n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["count"]
     assert n == 5  # one head per lang
+
+
+def test_cli_luke(spark, sf_dir, schema_file, tmp_path, capsys):
+    out = str(tmp_path / "lkidx")
+    cli.main([
+        "index", "--input", f"{sf_dir}/documents.parquet", "--output", out,
+        "--schema", schema_file, "--shards", "2", "--dedup", "none",
+        "--generate-keys-from", "source",
+    ])
+    capsys.readouterr()
+    assert cli.main(["query", "--path", out, "--luke"]) == 0
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rpt["num_docs"] == 500 and "lang" in rpt["fields"]
+    assert "top_terms" not in rpt  # only with an explicit count

@@ -176,3 +176,83 @@ class TestIndexIntegration:
         # scores: b .75, c 1.0, a .75+... a: .25+.5=.75 tie with b -> id asc
         assert [r["id"] for r in rows] == ["c", "a"]
         assert set(rows[0].asDict()) == {"id", "ltr_score"}
+
+
+class TestSolrStoreLoaders:
+    def test_load_linear_model_with_norms(self, pool):
+        from solr_map_reduce_spark.extensions.ltr import (
+            load_solr_features,
+            load_solr_model,
+        )
+
+        feats = load_solr_features([
+            {"name": "len", "class": "org.apache.solr.ltr.feature."
+             "FieldValueFeature", "params": {"field": "len"}},
+            {"name": "one", "class": "org.apache.solr.ltr.feature."
+             "ValueFeature", "params": {"value": 1.0}},
+            {"name": "lg", "class": "org.apache.solr.ltr.feature."
+             "SolrFeature", "params": {"q": "{!func}log(len)"}},
+        ])
+        model, norms = load_solr_model({
+            "class": "org.apache.solr.ltr.model.LinearModel",
+            "name": "m1",
+            "features": [
+                {"name": "len",
+                 "norm": {"class": "org.apache.solr.ltr.norm."
+                          "MinMaxNormalizer",
+                          "params": {"min": "0", "max": "400"}}},
+                {"name": "one",
+                 "norm": {"class": "org.apache.solr.ltr.norm."
+                          "IdentityNormalizer"}},
+            ],
+            "params": {"weights": {"len": "1.0", "one": "0.5"}},
+        })
+        # fold the model's norms into the features (model-scoped in Solr)
+        from solr_map_reduce_spark.extensions.ltr import Feature, ltr_rescore
+
+        feats = {n: Feature(f.expr, f.default, norms.get(n))
+                 for n, f in feats.items()}
+        rows = ltr_rescore(pool, model, feats, tiebreak="id").collect()
+        got = {r["id"]: r["ltr_score"] for r in rows}
+        # d2: 300/400 + 0.5 = 1.25 top
+        assert got["d2"] == pytest.approx(1.25)
+        assert rows[0]["id"] == "d2"
+
+    def test_load_trees_model(self, pool, feats):
+        from solr_map_reduce_spark.extensions.ltr import (
+            load_solr_model,
+            ltr_rescore,
+        )
+
+        model, norms = load_solr_model({
+            "class": "org.apache.solr.ltr.model."
+                     "MultipleAdditiveTreesModel",
+            "params": TREES_JSON,
+        })
+        assert norms == {}
+        got = {r["id"]: r["ltr_score"] for r in
+               ltr_rescore(pool, model, feats, tiebreak="id").collect()}
+        assert got["d2"] == pytest.approx(0.9)
+
+    def test_loader_errors_are_loud(self):
+        from solr_map_reduce_spark.extensions.ltr import (
+            load_solr_features,
+            load_solr_model,
+        )
+
+        with pytest.raises(ValueError, match="unsupported model class"):
+            load_solr_model({"class": "x.NeuralNetworkModel", "params": {}})
+        with pytest.raises(ValueError, match="weights="):
+            load_solr_model({"class": "x.LinearModel", "params": {}})
+        with pytest.raises(ValueError, match="unsupported feature class"):
+            load_solr_features([{"name": "f", "class": "x.Original"
+                                 "ScoreFeature", "params": {}}])
+        with pytest.raises(ValueError, match="function-query features"):
+            load_solr_features([{"name": "f", "class": "x.SolrFeature",
+                                 "params": {"q": "title:hello"}}])
+        with pytest.raises(ValueError, match="unsupported normalizer"):
+            load_solr_model({
+                "class": "x.LinearModel",
+                "features": [{"name": "f", "norm": {"class": "x.ZapNorm"}}],
+                "params": {"weights": {"f": 1.0}},
+            })
