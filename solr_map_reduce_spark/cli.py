@@ -249,6 +249,22 @@ def build_parser() -> argparse.ArgumentParser:
              "millis or an ISO-8601 instant",
     )
 
+    sq = sub.add_parser(
+        "sql",
+        help="run a Solr Parallel SQL statement (the /sql handler "
+             "dialect) over named collections — SELECT/WHERE/GROUP BY/"
+             "HAVING/ORDER BY/LIMIT compile to DataFrame plans; equality "
+             "on an analyzed text field is a full-text match",
+    )
+    sq.add_argument("--stmt", required=True, help="the SQL statement")
+    sq.add_argument(
+        "--collection", nargs="+", required=True, metavar="NAME=PATH",
+        help="collection bindings: an index-artifact path (text "
+             "predicates + Bloom pruning) or a plain parquet path",
+    )
+    sq.add_argument("--limit", type=int, default=None,
+                    help="cap printed rows (the plan is unchanged)")
+
     top = sub.add_parser(
         "topic",
         help="checkpointed incremental pull from a doc_versions artifact "
@@ -608,6 +624,32 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.asDict(), default=str))
         # the rows are printed == consumed: advance topic() checkpoints
         comp.commit_topics()
+        return 0
+
+    if args.command == "sql":
+        from solr_map_reduce_spark.extensions.sql import SqlEngine
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import MANIFEST
+
+        sources = {}
+        for binding in args.collection:
+            if "=" not in binding:
+                raise SystemExit(
+                    f"--collection takes NAME=PATH bindings, got {binding!r}"
+                )
+            name, path = binding.split("=", 1)
+            fs = get_fs(path, spark)
+            if fs.exists(fs_join(path, MANIFEST)):
+                sources[name] = SearchIndex.open(spark, path)
+            else:
+                sources[name] = spark.read.parquet(path)
+        out = SqlEngine(sources).sql(args.stmt)
+        if args.limit is not None:
+            out = out.limit(args.limit)
+        for r in out.collect():
+            print(json.dumps(r.asDict(), default=str))
         return 0
 
     if args.command == "topic":

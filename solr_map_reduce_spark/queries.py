@@ -5630,5 +5630,79 @@ def _stream_compiler_events(spark, sf_dir):
     return StreamCompiler({"events": t(spark, sf_dir, "events")})
 
 
+# ---------------------------------------------------------------------------
+# Solr Parallel SQL (the /sql handler dialect) — extensions/sql.py.  For the
+# pure-relational entries the STATEMENT ITSELF is the DuckDB oracle (one
+# string, two engines); the full-text entry mirrors the analyzed predicate
+# with the token-split the other c9 text oracles use.
+# ---------------------------------------------------------------------------
+
+_SQL_AGG_STMT = (
+    "SELECT lang, count(*) AS cnt, sum(n_chars) AS chars FROM documents "
+    "GROUP BY lang HAVING count(*) > 10 ORDER BY cnt DESC, lang LIMIT 5"
+)
+
+
+@_register(
+    "ext_sql_agg",
+    # the statement runs verbatim on DuckDB; the wrapper only folds
+    # DuckDB's sum(BIGINT) -> HUGEINT widening back to Spark's long
+    f"SELECT lang, cnt, CAST(chars AS BIGINT) AS chars "
+    f"FROM ({_SQL_AGG_STMT})",
+    "Solr Parallel SQL: GROUP BY + HAVING + ORDER BY aggregate over a "
+    "collection — compiles to ONE partial-agg shuffle + TakeOrdered; the "
+    "statement string itself is the oracle (same SQL, two engines)",
+)
+def ext_sql_agg(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.sql import SqlEngine
+
+    return SqlEngine({"documents": t(spark, sf_dir, "documents")}).sql(
+        _SQL_AGG_STMT
+    )
+
+
+_SQL_SELECT_STMT = (
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE n_chars BETWEEN 300 AND 600 AND lang IN ('en', 'de') "
+    "ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 5"
+)
+
+
+@_register(
+    "ext_sql_select",
+    _SQL_SELECT_STMT,
+    "Solr Parallel SQL: WHERE IN/BETWEEN + ORDER BY + LIMIT/OFFSET "
+    "paging — pushed parquet filters, TakeOrdered, deterministic pages "
+    "(unique-key tiebreak in the statement); statement doubles as oracle",
+)
+def ext_sql_select(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.sql import SqlEngine
+
+    return SqlEngine({"documents": t(spark, sf_dir, "documents")}).sql(
+        _SQL_SELECT_STMT
+    )
+
+
+@_register(
+    "ext_sql_text",
+    f"""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+        WHERE list_contains(toks, 'vector') AND lang <> 'fr'
+        ORDER BY doc_id LIMIT 50""",
+    "Solr Parallel SQL full-text predicate: equality on an ANALYZED "
+    "field is a term/phrase match (Solr's documented /sql mapping) — "
+    "compiles through the engine's query parser onto the Bloom-pruned "
+    "artifact scan; mixed with a plain column predicate in one "
+    "conjunction",
+)
+def ext_sql_text(spark, sf_dir):
+    from solr_map_reduce_spark.extensions.sql import SqlEngine
+
+    return SqlEngine({"docs": _docs_search_index(spark, sf_dir)}).sql(
+        "SELECT doc_id, lang FROM docs WHERE text = 'vector' AND "
+        "lang <> 'fr' ORDER BY doc_id LIMIT 50"
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
