@@ -152,7 +152,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries every pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
     # (a) never checked: new this round
-    "ext_sql_agg", "ext_sql_select", "ext_sql_text",
+    "ext_sql_agg", "ext_sql_select", "ext_sql_text", "c9_graph_query",
     "c9_collapse", "c9_expand", "c9_json_facet_range",
     "c9_json_facet_multiselect", "c9_jf_block_children",
     "ext_stream_list", "ext_stream_null", "ext_ltr_linear",
@@ -163,7 +163,7 @@ _VERDICT_PRIORITY = [
     "c9_date_math", "ext_stream_facet_limit", "ext_stream_timeseries_gap",
     "ext_stream_topic", "ext_dismax_mm_conditional", "c9_knn_query",
     "ext_stream_random", "ext_stream_facet2d", "ext_stream_fetch",
-    "ext_stream_stats", "ext_stream_cartesian", "c9_json_facet",
+    "ext_stream_cartesian", "c9_json_facet",
     # (b) last checked r05 — the full cohort
     "ext_percentiles", "window_rolling_sum", "ext_multimodal_decode",
     "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
@@ -176,8 +176,9 @@ _VERDICT_PRIORITY = [
     # overflow to keep the window at exactly 50 after the 5 r09 additions)
     "b8_convert_timestamp",
     # never-checked overflow for r10 (simple decorators with dedicated
-    # local DSL tests, displaced by the 3 new Parallel-SQL entries):
-    # ext_stream_unique, ext_stream_merge, ext_stream_intersect
+    # local DSL tests, displaced by the Parallel-SQL + {!graph} entries):
+    # ext_stream_unique, ext_stream_merge, ext_stream_intersect,
+    # ext_stream_stats
     # r06 overflow for r10: b12_detect_mime, c9_suggest, ext_bm25_topk,
     # facet_event_counts, ext_funnel_conversion,
     # ext_cohort_retention, facet_range_value,

@@ -2506,10 +2506,112 @@ class SearchIndex:
                 .limit(topk)
                 .drop("_knn_score")
             )
+        if qtype == "graph":
+            # GraphQParser {!graph from=f to=t maxDepth=N returnRoot=
+            # true|false returnOnlyLeaf=true|false traversalFilter='q'}
+            # rootQuery — breadth-first cyclic-aware reachability: root
+            # docs match the wrapped query; each hop matches docs whose
+            # ``to`` field holds any ``from`` value of the current set.
+            # Plan per hop: ONE equi semi-join of the (once-normalized)
+            # edge projection against the frontier's distinct values —
+            # AQE broadcasts small frontiers, the visited set grows by
+            # anti-join (cycle-safe), lineage is cut per level
+            # (localCheckpoint) exactly like shortestPath's BFS.  Hop
+            # cost scales with the frontier's matches, never the
+            # collection; unbounded maxDepth terminates at the fixpoint
+            # (visited is monotone and finite).
+            frm = params.get("from", "edge_ids")
+            to = params.get("to", "node_id")
+            max_depth = int(params.get("maxDepth", -1))
+            return_root = params.get("returnRoot", "true").lower() != "false"
+            only_leaf = (
+                params.get("returnOnlyLeaf", "false").lower() == "true"
+            )
+            inner = inner.strip()
+            if not inner:
+                raise search.QuerySyntaxError(
+                    "{!graph} needs a root query body"
+                )
+            base = self.df()
+            key = self.unique_key
+            dtypes = dict(base.dtypes)
+            for f in (frm, to):
+                if f not in dtypes:
+                    raise search.QuerySyntaxError(
+                        f"{{!graph}} field {f!r} not in the artifact "
+                        f"(have {sorted(dtypes)})"
+                    )
+            cand = base
+            trav = params.get("traversalFilter")
+            if trav:
+                tpred, _i, _f2 = self._compile_predicate(
+                    trav, field, synonyms, op
+                )
+                cand = cand.filter(tpred)
+
+            def _edge_vals(df: DataFrame) -> DataFrame:
+                # outgoing edge values of a doc set (multivalued from
+                # explodes; term matching is string-typed, Solr-style)
+                c = F.col(frm)
+                if dtypes.get(frm, "").startswith("array"):
+                    out = df.select(F.explode(c).alias("_gv"))
+                else:
+                    out = df.select(c.alias("_gv"))
+                return (
+                    out.filter(F.col("_gv").isNotNull())
+                    .select(F.col("_gv").cast("string").alias("_gv"))
+                    .distinct()
+                )
+
+            # normalize incoming edges ONCE: (key, _to) — multivalued
+            # ``to`` explodes here instead of re-exploding every hop
+            if dtypes.get(to, "").startswith("array"):
+                edges = cand.select(key, F.explode(F.col(to)).alias("_to"))
+            else:
+                edges = cand.select(key, F.col(to).alias("_to"))
+            edges = edges.filter(F.col("_to").isNotNull()).select(
+                key, F.col("_to").cast("string").alias("_to")
+            )
+
+            root = self._query_scan(inner, field, synonyms, op)
+            visited = root.select(key).distinct().localCheckpoint(
+                eager=False
+            )
+            frontier_docs = root
+            depth = 0
+            while max_depth < 0 or depth < max_depth:
+                vals = _edge_vals(frontier_docs)
+                stepped = (
+                    edges.join(vals, edges["_to"] == vals["_gv"], "inner")
+                    .select(key)
+                    .distinct()
+                )
+                new_keys = stepped.join(
+                    visited, on=key, how="left_anti"
+                ).localCheckpoint(eager=False)
+                if not new_keys.limit(1).count():
+                    break
+                visited = visited.union(new_keys).localCheckpoint(
+                    eager=False
+                )
+                frontier_docs = cand.join(new_keys, on=key, how="left_semi")
+                depth += 1
+            reached = visited
+            if not return_root:
+                reached = reached.join(
+                    root.select(key).distinct(), on=key, how="left_anti"
+                )
+            out = base.join(reached, on=key, how="left_semi")
+            if only_leaf:
+                leaf = F.col(frm).isNull()
+                if dtypes.get(frm, "").startswith("array"):
+                    leaf = leaf | (F.size(F.col(frm)) == 0)
+                out = out.filter(leaf)
+            return out
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
             "supported: join, parent, child, terms, prefix, field, "
-            "frange, knn, collapse"
+            "frange, knn, collapse, graph"
         )
 
     def query(

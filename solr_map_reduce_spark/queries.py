@@ -5637,6 +5637,51 @@ def _stream_compiler_events(spark, sf_dir):
 # with the token-split the other c9 text oracles use.
 # ---------------------------------------------------------------------------
 
+# {!graph} reachability artifact: documents as a binary tree (parent =
+# doc_id // 2) — build-once per sf like the other artifacts
+def _tree_docs_index(spark, sf_dir):
+    schema = IndexSchema(
+        fields=(Field("doc_id", "long", required=True),
+                Field("parent", "long"),
+                Field("lang", "string")),
+        unique_key="doc_id",
+    )
+    return _cached_index(
+        spark, sf_dir, "treedocs", schema,
+        lambda: t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(F.col("doc_id") >= 2, F.col("doc_id") / 2)
+            .cast("long").alias("parent"),
+            "lang",
+        ),
+        shards=4, micro_shards=8, dedup="none",
+    )
+
+
+@_register(
+    "c9_graph_query",
+    """WITH RECURSIVE walk AS (
+         SELECT doc_id, 0 AS d FROM documents WHERE doc_id = 3
+         UNION ALL
+         SELECT c.doc_id, w.d + 1
+         FROM documents c JOIN walk w ON c.doc_id // 2 = w.doc_id
+         WHERE c.doc_id >= 2 AND w.d < 3
+       )
+       SELECT DISTINCT w.doc_id, d.lang
+       FROM walk w JOIN documents d USING (doc_id)""",
+    "Solr {!graph from=doc_id to=parent maxDepth=3}doc_id:3 — breadth-"
+    "first reachability over a parent-link tree: per hop ONE equi "
+    "semi-join of the once-normalized edge projection against the "
+    "frontier's distinct values (AQE broadcasts small frontiers), "
+    "visited set anti-joined (cycle-safe), lineage cut per level",
+)
+def c9_graph_query(spark, sf_dir):
+    return _tree_docs_index(spark, sf_dir).search(
+        q="{!graph from=doc_id to=parent maxDepth=3}doc_id:3",
+        select=["doc_id", "lang"],
+    )
+
+
 _SQL_AGG_STMT = (
     "SELECT lang, count(*) AS cnt, sum(n_chars) AS chars FROM documents "
     "GROUP BY lang HAVING count(*) > 10 ORDER BY cnt DESC, lang LIMIT 5"
