@@ -547,7 +547,8 @@ class StreamCompiler:
                 "fetch, intersect, complement, stats, cartesianProduct, "
                 "timeseries, significantTerms, nodes, shortestPath, "
                 "echo, tuple, random, facet2D, parallel, topic, update, "
-                "daemon, list, plist, null, knnSearch, commit"
+                "daemon, list, plist, null, knnSearch, commit, features, "
+                "train, model, classify"
             )
         return fn(node)
 
@@ -1527,3 +1528,130 @@ class StreamCompiler:
                 *[c.strip() for c in node.kwargs["fl"].split(",")]
             )
         return out, None
+
+    # -- text-classification tier (Solr features/train/model/classify) --
+    def _ml_source(self, node: Call):
+        """The SearchIndex a features()/train() call selects terms
+        from — plain DataFrame sources have no analyzed token columns."""
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError(
+                f"{node.name}() needs a collection name first"
+            )
+        src = self._source(node.args[0])
+        if isinstance(src, DataFrame):
+            raise QuerySyntaxError(
+                f"{node.name}() needs a SearchIndex source (stored "
+                "analyzed tokens)"
+            )
+        return src
+
+    def _c_features(self, node: Call):
+        """Solr features(collection, q=, field=, outcome=, numTerms=,
+        positiveLabel=, minDocFreq=): information-gain term selection —
+        ONE rollup aggregation (per-term df/pos-df and the grand totals
+        share the shuffle), TakeOrdered top-N.  Formulas pinned in
+        extensions/text_ml.py."""
+        from solr_map_reduce_spark.extensions import text_ml
+
+        src = self._ml_source(node)
+        if "outcome" not in node.kwargs:
+            raise QuerySyntaxError("features() needs outcome=")
+        return text_ml.select_features(
+            src,
+            outcome=node.kwargs["outcome"],
+            field=node.kwargs.get("field"),
+            q=node.kwargs.get("q", "*:*"),
+            num_terms=int(node.kwargs.get("numTerms", 250)),
+            positive_label=node.kwargs.get("positiveLabel", "1"),
+            min_df=int(node.kwargs.get("minDocFreq", 1)),
+        ), [("score", "desc"), ("term", "asc")]
+
+    def _c_train(self, node: Call):
+        """Solr train(collection, <features-stream>, q=, field=,
+        outcome=, maxIterations=, alpha=, name=, positiveLabel=): batch
+        logistic regression over the feature terms, one tuple per
+        iteration (weights[0] = intercept).  Iterative by nature: each
+        iteration is one map-only margin pass fused into ONE
+        groupBy(term) returning ≤ |features|+1 rows — only that
+        gradient vector is collected (text_ml.train_logistic)."""
+        from solr_map_reduce_spark.extensions import text_ml
+
+        src = self._ml_source(node)
+        feats_df, _s = self._stream_arg(node)
+        if "outcome" not in node.kwargs:
+            raise QuerySyntaxError("train() needs outcome=")
+        return text_ml.train_logistic(
+            src,
+            features=feats_df,
+            outcome=node.kwargs["outcome"],
+            field=node.kwargs.get("field"),
+            q=node.kwargs.get("q", "*:*"),
+            max_iterations=int(node.kwargs.get("maxIterations", 25)),
+            alpha=float(node.kwargs.get("alpha", 0.5)),
+            positive_label=node.kwargs.get("positiveLabel", "1"),
+            name=node.kwargs.get("name", "model"),
+        ), [("iteration", "asc")]
+
+    def _c_model(self, node: Call):
+        """Solr model(collection, id=): the latest stored iteration of
+        a named train() model — one tuple.  The collection may be a
+        plain DataFrame source (models are rows, not analyzed text)."""
+        if not node.args or isinstance(node.args[0], Call):
+            raise QuerySyntaxError("model() needs a collection name first")
+        src = self._source(node.args[0])
+        mid = node.kwargs.get("id")
+        if mid is None:
+            raise QuerySyntaxError("model() needs id= (the model name)")
+        df = src if isinstance(src, DataFrame) else src.df()
+        return (
+            df.filter(F.col("name") == mid)
+            .orderBy(F.desc("iteration"))
+            .limit(1)
+        ), None
+
+    def _c_classify(self, node: Call):
+        """Solr classify(<model-stream>, <doc-stream>, field=): append
+        ``probability`` (sigmoid) and ``score`` (raw margin) to every
+        doc tuple.  The model (ONE bounded tuple) is collected and
+        folded into a single codegen Column — classification itself is
+        map-only, zero shuffles at any corpus size.  Token resolution:
+        the stream's stored ``<field>__tokens`` when present (Solr's
+        analyzerField), else text_general analysis of the raw field."""
+        from solr_map_reduce_spark.extensions import text_ml
+
+        model_df, _s1 = self._stream_arg(node, 0)
+        docs, _s2 = self._stream_arg(node, 1)
+        field = node.kwargs.get("field")
+        if field is None:
+            raise QuerySyntaxError("classify() needs field=")
+        rows = model_df.orderBy(F.desc("iteration")).limit(1).collect()
+        if not rows:
+            raise QuerySyntaxError("classify(): the model stream is empty")
+        r = rows[0].asDict()
+        model = {
+            "name": r.get("name"),
+            "terms": list(r["terms"]),
+            "weights": [float(x) for x in r["weights"]],
+            "idfs": [float(x) for x in r["idfs"]],
+        }
+        from solr_map_reduce_spark.indexing import TOKENS_SUFFIX
+
+        tc = field + TOKENS_SUFFIX
+        if tc in docs.columns:
+            from solr_map_reduce_spark.extensions.search import (
+                _visible_toks,
+            )
+
+            toks = _visible_toks(F.col(tc))
+        elif field in docs.columns:
+            from solr_map_reduce_spark.functions.analyzers import (
+                tokenize_text_general,
+            )
+
+            toks = tokenize_text_general(F.col(field))
+        else:
+            raise QuerySyntaxError(
+                f"classify(): the doc stream has neither {tc!r} nor "
+                f"{field!r} (columns: {docs.columns})"
+            )
+        return text_ml.classify_df(docs, toks, model), None

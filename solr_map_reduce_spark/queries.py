@@ -5749,5 +5749,141 @@ def ext_sql_text(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Text-classification tier (Solr features()/train()/classify() — the
+# /stream ML surface, doubling as the LLM-pipeline quality classifier).
+# Formulas pinned in extensions/text_ml.py; the oracles mirror them over
+# the same regex-split tokens the other c9 text oracles use.
+# ---------------------------------------------------------------------------
+
+# the CASE-heavy entropy mirror of extensions/text_ml.py's pinned
+# IG(t) = H(C) - H(C|t), 0·log0 = 0, natural log
+_IG_H = (
+    "(CASE WHEN {p} > 0 THEN -({p})*ln({p}) ELSE 0 END"
+    " + CASE WHEN 1-({p}) > 0 THEN -(1-({p}))*ln(1-({p})) ELSE 0 END)"
+)
+
+
+@_register(
+    "ext_features_ig",
+    f"""WITH pairs AS (
+          SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+                 unnest(list_distinct({_TOKS_SQL})) AS term
+          FROM documents),
+        tot AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS p
+          FROM documents),
+        pt AS (
+          SELECT term, CAST(count(*) AS DOUBLE) AS dft,
+                 CAST(sum(y) AS DOUBLE) AS post
+          FROM pairs GROUP BY term),
+        scored AS (
+          SELECT term,
+            {_IG_H.format(p="p/n")}
+            - ( (dft/n) * {_IG_H.format(p="post/dft")}
+              + CASE WHEN n-dft > 0 THEN
+                  ((n-dft)/n) * {_IG_H.format(p="(p-post)/(n-dft)")}
+                ELSE 0 END ) AS ig,
+            ln((n+1)/(dft+1)) AS idf, dft, post
+          FROM pt, tot)
+        SELECT term,
+               CAST(row_number() OVER
+                 (ORDER BY round(ig,10) DESC, term ASC) - 1 AS INT)
+                 AS index,
+               round(round(ig, 10), 6) AS score,
+               round(round(idf, 10), 6) AS idf,
+               CAST(dft AS BIGINT) AS df, CAST(post AS BIGINT) AS pos_df
+        FROM scored
+        ORDER BY round(ig,10) DESC, term ASC LIMIT 10""",
+    "Solr features(): information-gain term selection for predicting "
+    "lang='en' — ONE rollup aggregation (per-term df/pos-df AND the "
+    "grand totals share the shuffle, the significantTerms shape), "
+    "TakeOrdered top-N, index over the bounded result only",
+)
+def ext_features_ig(spark, sf_dir):
+    from solr_map_reduce_spark.extensions import text_ml
+
+    idx = _docs_search_index(spark, sf_dir)
+    f_ = text_ml.select_features(
+        idx, outcome="lang", positive_label="en", num_terms=10
+    )
+    return f_.select(
+        "term", "index",
+        F.round("score", 6).alias("score"),
+        F.round("idf", 6).alias("idf"),
+        "df", "pos_df",
+    )
+
+
+# classify() with a FIXED literal model (idfs 1.0 so the margin is pure
+# weight sums — the oracle mirrors it with list_contains arithmetic)
+_CLF_MODEL = {
+    "name": "clf", "terms": ["spark", "join", "slow"],
+    "weights": [0.1, 0.8, -0.5, 0.3], "idfs": [1.0, 1.0, 1.0],
+}
+
+
+@_register(
+    "ext_classify",
+    f"""SELECT doc_id,
+          round(round(m, 10), 6) AS score,
+          round(round(1/(1+exp(-m)), 10), 6) AS probability
+        FROM (
+          SELECT doc_id,
+            0.1 + 0.8*CAST(list_contains(toks,'spark') AS INT)
+                - 0.5*CAST(list_contains(toks,'join') AS INT)
+                + 0.3*CAST(list_contains(toks,'slow') AS INT) AS m
+          FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+        ORDER BY doc_id LIMIT 100""",
+    "Solr classify(): margin + sigmoid probability against a stored "
+    "model folded into ONE codegen Column over the stored token "
+    "arrays — map-only, zero shuffles at any corpus size",
+)
+def ext_classify(spark, sf_dir):
+    from solr_map_reduce_spark.extensions import text_ml
+
+    idx = _docs_search_index(spark, sf_dir)
+    out = text_ml.classify_df(
+        idx.df(), idx._real_toks(idx._tokens_col()), _CLF_MODEL
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.round("probability", 6).alias("probability"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@_register(
+    "ext_train_lr",
+    None,  # iterative (per-step driver weight updates) — rows-only gate;
+    # golden-tested against the pure-Python reference twin in
+    # tests/test_text_ml.py (same pinned formulas, 1e-8 agreement)
+    "Solr train(): batch logistic regression over IG features — per "
+    "iteration ONE map-only margin pass fused into ONE groupBy(term) "
+    "returning <= |features|+1 rows (a __bias__ sentinel row carries "
+    "intercept gradient/loss/accuracy); only that vector is collected",
+)
+def ext_train_lr(spark, sf_dir):
+    from solr_map_reduce_spark.extensions import text_ml
+
+    idx = _docs_search_index(spark, sf_dir)
+    out = text_ml.train_logistic(
+        idx, [("spark", 1.0), ("join", 1.0), ("slow", 1.0)],
+        outcome="lang", positive_label="en",
+        max_iterations=3, alpha=0.5, name="lr_docs",
+    )
+    return out.select(
+        "name", "iteration",
+        F.round("error", 6).alias("error"),
+        F.round("accuracy", 6).alias("accuracy"),
+    ).orderBy("iteration")
+
+
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
