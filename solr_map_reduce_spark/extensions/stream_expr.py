@@ -548,7 +548,7 @@ class StreamCompiler:
                 "timeseries, significantTerms, nodes, shortestPath, "
                 "echo, tuple, random, facet2D, parallel, topic, update, "
                 "daemon, list, plist, null, knnSearch, commit, features, "
-                "train, model, classify"
+                "train, model, classify, scoreNodes"
             )
         return fn(node)
 
@@ -1528,6 +1528,100 @@ class StreamCompiler:
                 *[c.strip() for c in node.kwargs["fl"].split(",")]
             )
         return out, None
+
+    def _c_scoreNodes(self, node: Call):  # noqa: N802 (Solr camelCase)
+        """Solr scoreNodes(nodes(...)): tf-idf relevance for gathered
+        nodes — ``nodeScore = count * ln((numDocs+1) / (docFreq+1))``
+        where count is the node's gathered ``count(*)`` (1 when the
+        inner nodes() deduped instead of counting), docFreq the number
+        of collection docs carrying the node value in the gather field,
+        and numDocs the collection size.  Solr's ScoreNodesStream blends
+        the same inputs with undocumented constants; the formula here is
+        pinned (the significantTerms/text_ml idf), the request shape is
+        Solr's — collection and field infer from the wrapped nodes()
+        call, with collection=/field= overrides for other stream shapes.
+
+        Plan: docFreq is a groupBy over the collection scan restricted
+        FIRST by a broadcast semi-join on the (bounded) node set — the
+        aggregation touches only matching docs, never the collection;
+        numDocs is O(1) from the key-range sidecar when the source is a
+        SearchIndex, else a metadata-only count folded in as a broadcast
+        1-row crossJoin."""
+        subs = [a for a in node.args if isinstance(a, Call)
+                and a.name not in _METRICS and a.name not in _EVALUATORS]
+        if not subs:
+            raise QuerySyntaxError("scoreNodes() needs a stream argument")
+        stream, _s = self._compile(subs[0])
+        coll = node.kwargs.get("collection")
+        field = node.kwargs.get("field")
+        if (coll is None or field is None) and subs[0].name == "nodes":
+            inner = subs[0]
+            if coll is None and inner.args and not isinstance(
+                inner.args[0], Call
+            ):
+                coll = inner.args[0]
+            field = field or inner.kwargs.get("gather")
+        if coll is None or field is None:
+            raise QuerySyntaxError(
+                "scoreNodes() could not infer the gather collection/"
+                "field; pass collection= and field="
+            )
+        if "node" not in stream.columns:
+            raise QuerySyntaxError(
+                "scoreNodes() needs a stream with a 'node' column "
+                "(nodes() output)"
+            )
+        src = self._source(coll)
+        base = src if isinstance(src, DataFrame) else src.df()
+        if field not in base.columns:
+            raise QuerySyntaxError(
+                f"scoreNodes(): field {field!r} not in collection "
+                f"{coll!r}"
+            )
+        count_col = (
+            F.col("count(*)") if "count(*)" in stream.columns
+            else F.lit(1).alias("count(*)")
+        )
+        # docFreq: restrict the collection by the bounded node set FIRST
+        # (broadcast semi-join), then ONE map-side-combined groupBy
+        fcol = F.col(field)
+        if dict(base.dtypes).get(field, "").startswith("array"):
+            vals = base.select(F.explode(fcol).alias(field))
+        else:
+            vals = base.select(fcol)
+        node_set = stream.select(
+            F.col("node").alias(field)
+        ).distinct()
+        dfreq = (
+            vals.join(F.broadcast(node_set), on=field, how="left_semi")
+            .groupBy(field)
+            .agg(F.count(F.lit(1)).alias("docFreq"))
+            .withColumnRenamed(field, "_sn_val")
+        )
+        joined = stream.join(
+            F.broadcast(dfreq), stream["node"] == F.col("_sn_val"), "left"
+        ).drop("_sn_val")
+        # numDocs: sidecar O(1), else a metadata-only broadcast 1-row
+        ranges = getattr(src, "_load_key_ranges", lambda: None)()
+        if ranges is not None:
+            n_docs = F.lit(float(ranges.total_rows()))
+        else:
+            n_docs = F.col("_sn_ndocs")
+            joined = joined.crossJoin(F.broadcast(
+                base.agg(
+                    F.count(F.lit(1)).cast("double").alias("_sn_ndocs")
+                )
+            ))
+        dfq = F.coalesce(F.col("docFreq"), F.lit(1)).cast("double")
+        score = count_col.cast("double") * F.log(
+            (n_docs + 1.0) / (dfq + 1.0)
+        )
+        out = joined.select(
+            "node", count_col,
+            F.coalesce(F.col("docFreq"), F.lit(1)).alias("docFreq"),
+            score.alias("nodeScore"),
+        )
+        return out, [("nodeScore", "desc"), ("node", "asc")]
 
     # -- text-classification tier (Solr features/train/model/classify) --
     def _ml_source(self, node: Call):

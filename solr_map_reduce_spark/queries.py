@@ -5239,6 +5239,42 @@ def ext_stream_nodes(spark, sf_dir):
 
 
 @_register(
+    "ext_score_nodes",
+    """WITH cust AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
+        ords AS (
+          SELECT DISTINCT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM cust)
+        ),
+        gathered AS (
+          SELECT l_partkey AS node, count(*) AS cnt
+          FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+          GROUP BY 1
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem),
+        dfq AS (SELECT l_partkey, count(*) AS dfreq FROM lineitem GROUP BY 1)
+       SELECT g.node, CAST(g.cnt AS BIGINT) AS "count(*)",
+              CAST(d.dfreq AS BIGINT) AS "docFreq",
+              round(g.cnt * ln((nd.n + 1) / (d.dfreq + 1)), 6) AS "nodeScore"
+       FROM gathered g JOIN dfq d ON d.l_partkey = g.node, nd""",
+    "Solr scoreNodes(): tf-idf relevance over gathered graph nodes — "
+    "count * ln((numDocs+1)/(docFreq+1)); docFreq from ONE groupBy over "
+    "the collection restricted FIRST by a broadcast semi-join on the "
+    "bounded node set, numDocs a metadata-only broadcast 1-row",
+)
+def ext_score_nodes(spark, sf_dir):
+    out = _stream_compiler(spark, sf_dir).run(
+        'scoreNodes(nodes(lineitem, nodes(orders, having(search(customer, '
+        'fl="c_custkey,c_nationkey"), eq(c_nationkey, 1)), '
+        'walk="c_custkey->o_custkey", gather="o_orderkey"), '
+        'walk="node->l_orderkey", gather="l_partkey", count(*)))'
+    )
+    return out.select(
+        "node", "count(*)", "docFreq",
+        F.round("nodeScore", 6).alias("nodeScore"),
+    )
+
+
+@_register(
     "ext_stream_shortest_path",
     """WITH RECURSIVE edges AS (
           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS f,

@@ -339,6 +339,47 @@ class TestCompile:
         with pytest.raises(QuerySyntaxError, match="walk="):
             c.run('nodes(mgrs, search(people), gather="director")')
 
+    def test_score_nodes(self, spark):
+        import math
+
+        people = spark.createDataFrame(
+            [(1, "mgr1"), (2, "mgr1"), (3, "mgr2")], "pid long, mgr string"
+        )
+        mgrs = spark.createDataFrame(
+            [("mgr1", "dirA"), ("mgr2", "dirB"), ("mgr3", "dirA")],
+            "mid string, director string",
+        )
+        c = StreamCompiler({"people": people, "mgrs": mgrs})
+        rows = c.run(
+            'scoreNodes(nodes(mgrs, search(people), walk="mgr->mid", '
+            'gather="director", count(*)))'
+        ).collect()
+        by = {r["node"]: r for r in rows}
+        # numDocs=3; dirA in 2 mgr docs, dirB in 1 — the rarer node
+        # outranks the common one at equal traversal counts
+        assert by["dirA"]["docFreq"] == 2 and by["dirB"]["docFreq"] == 1
+        assert by["dirA"]["nodeScore"] == pytest.approx(math.log(4 / 3))
+        assert by["dirB"]["nodeScore"] == pytest.approx(math.log(4 / 2))
+        assert [r["node"] for r in rows] == ["dirB", "dirA"]  # score desc
+        # count(*)-less nodes() stream: counts default to 1
+        rows = c.run(
+            'scoreNodes(nodes(mgrs, search(people), walk="mgr->mid", '
+            'gather="director"))'
+        ).collect()
+        assert all(r["count(*)"] == 1 for r in rows)
+        # explicit collection=/field= when inference has nothing to see
+        rows = c.run(
+            'scoreNodes(sort(nodes(mgrs, search(people), walk="mgr->mid", '
+            'gather="director"), by="node asc"), collection=mgrs, '
+            "field=director)"
+        ).collect()
+        assert len(rows) == 2
+        with pytest.raises(QuerySyntaxError, match="infer"):
+            c.run("scoreNodes(search(people))")
+        with pytest.raises(QuerySyntaxError, match="'node' column"):
+            c.run("scoreNodes(search(people), collection=mgrs, "
+                  "field=director)")
+
     def test_shortest_path(self, spark):
         # a -> b -> d and a -> c -> d (two shortest), plus a longer
         # a -> e -> f -> d that must NOT be returned
