@@ -347,6 +347,7 @@ def bm25_dismax(
     exact_sum: bool = False,
     with_score: bool = True,
     mm: "int | str | None" = None,
+    boost_col: "F.Column | None" = None,
 ) -> DataFrame:
     """Multi-field DisMax ranking — Solr's (e)dismax ``qf=title^2 body``
     (Lucene DisjunctionMaxQuery): for each query WORD, every field scores
@@ -388,8 +389,13 @@ def bm25_dismax(
         # bm25_search's _tf)
         return F.size(F.filter(toks_c, lambda x: x == F.lit(term)))
 
-    # compact projection: per field its dl + a tf per needed token
+    # compact projection: per field its dl + a tf per needed token.
+    # The multiplicative boost (edismax boost=) evaluates HERE, over the
+    # full row, so the function query may reference any document column
+    # without widening the projection beyond one extra double.
     proj: list = [F.col(id_col)]
+    if boost_col is not None:
+        proj.append(boost_col.cast("double").alias("_fnboost"))
     tok_idx: dict = {}
     for f in fields:
         spec = field_specs[f]
@@ -481,6 +487,10 @@ def bm25_dismax(
         total = total + s
     if exact_sum:
         total = total.cast("double")
+    if boost_col is not None:
+        # Solr's edismax boost=: multiplicative, AFTER the dismax
+        # combination (matching bm25_search's boost_col placement)
+        total = total * F.coalesce(F.col("_fnboost"), F.lit(1.0))
     # per-WORD match predicates (a word matches when ANY qf field
     # matches any of its analyzed tokens) — the units Solr's mm
     # (minimum-should-match) counts; words that analyzed away don't

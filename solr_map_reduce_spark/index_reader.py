@@ -2918,9 +2918,23 @@ class SearchIndex:
         ``mm=`` (via ``**kw``) takes Solr's minimum-should-match specs:
         int / -int / P% / -P% and conditional ``"2<-25% 9<-3"`` forms;
         an mm above the countable word count matches NOTHING (Lucene's
-        contract — never silently clamped down to all-words)."""
+        contract — never silently clamped down to all-words).
+
+        ``boost=`` (via ``**kw``) is Solr's edismax MULTIPLICATIVE
+        function-query boost ({!boost b=...} / boost=recip(...)): a
+        function-query string (or prepared Column) multiplied into the
+        final dismax score — recency/popularity boosting without
+        touching matching or the per-field statistics."""
         from solr_map_reduce_spark.extensions import search
         from solr_map_reduce_spark.search_stats import term_dfs
+
+        if "boost" in kw:
+            kw = dict(kw)
+            b_ = kw.pop("boost")
+            kw["boost_col"] = (
+                search.parse_function_query(b_, context=self._fn_ctx())
+                if isinstance(b_, str) else b_
+            )
 
         analyzed: dict = self.manifest.get("analyzed", {})
         stats = self._load_stats()

@@ -4581,12 +4581,15 @@ def _dismax_search_index(spark, sf_dir):
             Field("doc_id", "long", required=True),
             Field("text", "text_general"),
             Field("lang", "lowercase"),
+            Field("n_chars", "long"),  # the boost= function-query input
         ),
         unique_key="doc_id",
     )
     return _cached_index(
         spark, sf_dir, "dismax", schema,
-        lambda: t(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
+        lambda: t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        ),
         shards=4, micro_shards=8, dedup="none", routing="native",
         search_stats=True,
     )
@@ -4659,6 +4662,55 @@ def ext_dismax_topk(spark, sf_dir):
     return _dismax_search_index(spark, sf_dir).dismax(
         ["spark", "en"], qf={"text": 1.0, "lang": 0.5}, k=10,
         exact_sum=True,
+    )
+
+
+@_register(
+    "ext_dismax_boost",
+    f"""WITH t1 AS (
+          SELECT doc_id, n_chars, {_TOKS_SQL} AS tt, lower(lang) AS lt
+          FROM documents
+        ), staged AS (
+          SELECT doc_id, n_chars,
+            CAST(length(tt) AS DOUBLE) AS dl_t, 1.0 AS dl_l,
+            CAST(length(list_filter(tt, x -> x = 'spark')) AS DOUBLE)
+              AS tf_t_spark,
+            CAST(length(list_filter(tt, x -> x = 'en')) AS DOUBLE)
+              AS tf_t_en,
+            CASE WHEN lt = 'spark' THEN 1.0 ELSE 0.0 END AS tf_l_spark,
+            CASE WHEN lt = 'en' THEN 1.0 ELSE 0.0 END AS tf_l_en
+          FROM t1
+        ), stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_t, avg(dl_t) AS avgdl_t,
+                 CAST(count(*) AS DOUBLE) AS n_l, 1.0 AS avgdl_l,
+                 sum(CASE WHEN tf_t_spark > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_t_spark,
+                 sum(CASE WHEN tf_t_en > 0 THEN 1.0 ELSE 0.0 END) AS df_t_en,
+                 sum(CASE WHEN tf_l_spark > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_l_spark,
+                 sum(CASE WHEN tf_l_en > 0 THEN 1.0 ELSE 0.0 END) AS df_l_en
+          FROM staged
+        ), scored AS (
+          SELECT doc_id,
+            CAST({_dismax_word_sql('spark')} + {_dismax_word_sql('en')}
+                 AS DOUBLE)
+              * (CAST(n_chars AS DOUBLE) / 1000.0) AS score,
+            (tf_t_spark > 0 OR tf_l_spark > 0 OR tf_t_en > 0 OR tf_l_en > 0)
+              AS hit
+          FROM staged CROSS JOIN stats
+        )
+       SELECT doc_id, score FROM scored WHERE hit
+       ORDER BY score DESC, doc_id LIMIT 10""",
+    "Solr edismax boost= ({!boost b=...}): a MULTIPLICATIVE function "
+    "query (div(n_chars,1000)) folded into the final dismax score — "
+    "evaluated over the full row in the same compact projection, one "
+    "extra double column, matching and per-field statistics untouched; "
+    "exact IEEE ratio keeps the oracle bit-identical",
+)
+def ext_dismax_boost(spark, sf_dir):
+    return _dismax_search_index(spark, sf_dir).dismax(
+        ["spark", "en"], qf={"text": 1.0, "lang": 0.5}, k=10,
+        exact_sum=True, boost="div(n_chars,1000)",
     )
 
 

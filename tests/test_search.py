@@ -1387,6 +1387,21 @@ class TestDismax:
         with pytest.raises(ValueError, match="no analyzable words"):
             idx.dismax(["the"], qf={"body": 1.0})
 
+    def test_multiplicative_boost(self, dm):
+        idx, _ = dm
+        base = {r["id"]: r["score"] for r in idx.dismax(
+            ["spark"], qf={"title": 1.0, "body": 1.0}).collect()}
+        # boost=div(strlen-free constant) — use a function over a doc
+        # column: strlen of id ('1'..'4') is 1, so pick a numeric fn
+        # over the id via constant product: boost=product(2) doubles
+        boosted = {r["id"]: r["score"] for r in idx.dismax(
+            ["spark"], qf={"title": 1.0, "body": 1.0},
+            boost="product(2,1)").collect()}
+        for k, v in base.items():
+            assert boosted[k] == pytest.approx(2.0 * v, rel=1e-12)
+        # matching is untouched: the same doc set is admitted
+        assert set(boosted) == set(base)
+
 
 class TestGeneralWildcards:
     """Round-8: full Lucene WildcardQuery globs (? one char, * any run,
