@@ -389,6 +389,21 @@ _EVALUATORS = {"add", "sub", "mult", "div", "mod", "abs", "sqrt", "pow",
                "analyze", "concat", "upper", "lower", "trim", "strlen",
                "substring"}
 
+# the DRIVER-SIDE math-expression evaluators valid inside let() — Solr's
+# in-memory numeric tier (see _c_let); distinct from _EVALUATORS, which
+# compile to per-row Columns
+_MATH_FNS = {"col", "array", "sequence", "add", "sub", "mult", "div",
+             "pow", "log", "sqrt", "abs", "exp", "length", "mean", "sum",
+             "min", "max", "stddev", "var", "percentile", "corr", "cov",
+             "slope", "intercept", "rSquared", "rev", "asc", "desc",
+             "movingAvg"}
+
+
+def _np():
+    import numpy
+
+    return numpy
+
 
 def _eval_call(node: Call) -> F.Column:
     def opnd(a) -> F.Column:
@@ -548,7 +563,7 @@ class StreamCompiler:
                 "timeseries, significantTerms, nodes, shortestPath, "
                 "echo, tuple, random, facet2D, parallel, topic, update, "
                 "daemon, list, plist, null, knnSearch, commit, features, "
-                "train, model, classify, scoreNodes"
+                "train, model, classify, scoreNodes, let"
             )
         return fn(node)
 
@@ -1528,6 +1543,194 @@ class StreamCompiler:
                 *[c.strip() for c in node.kwargs["fl"].split(",")]
             )
         return out, None
+
+    # -- math expressions (Solr let/col + numeric evaluators) -----------
+    # Solr's math-expression tier runs DRIVER-SIDE by design: the /stream
+    # handler materializes variables as in-memory arrays on one node and
+    # evaluates numeric functions over them (ref guide "Math
+    # Expressions").  Parity here keeps that execution model — col()
+    # collects ONE column of a bounded stream — under a hard guard:
+    # pulling more than ``math_max_values`` raises with a pointer at the
+    # distributed stats()/rollup()/percentile paths, which are the right
+    # tool at corpus scale.  Evaluation itself is numpy (vectorized,
+    # never per-value Python loops).
+    math_max_values = 1_000_000
+
+    def _c_let(self, node: Call):
+        """Solr let(a=<stream|math>, b=..., tuple(...)): bind variables
+        in order — a stream expression compiles to a DataFrame, a math
+        expression evaluates to a scalar/array — then run the trailing
+        tuple() with the variables in scope, emitting ONE tuple whose
+        numeric/array values come from the math evaluators."""
+        variables: dict = {}
+        for name, val in node.kwargs.items():
+            variables[name] = self._let_value(val, variables)
+        subs = [a for a in node.args if isinstance(a, Call)]
+        if not subs:
+            raise QuerySyntaxError(
+                "let() needs a trailing stream (usually tuple(...)) to "
+                "emit the computed values"
+            )
+        out_node = subs[-1]
+        if out_node.name != "tuple":
+            raise QuerySyntaxError(
+                "let()'s trailing stream must be tuple(...) here (the "
+                "math-emitting shape); run other streams outside let()"
+            )
+        if not out_node.kwargs:
+            raise QuerySyntaxError("tuple() needs key=value args")
+        fields, vals = [], []
+        for k, v in out_node.kwargs.items():
+            r = self._math_eval(v, variables)
+            if isinstance(r, _np().ndarray) or isinstance(r, list):
+                arr = [float(x) for x in r]
+                fields.append(f"{k} array<double>")
+                vals.append(arr)
+            elif isinstance(r, (int, float)):
+                fields.append(f"{k} double")
+                vals.append(float(r))
+            else:
+                fields.append(f"{k} string")
+                vals.append(str(r))
+        return self._session().createDataFrame(
+            [tuple(vals)], ", ".join(fields)
+        ), None
+
+    def _let_value(self, val, variables):
+        if isinstance(val, Call):
+            if val.name in _MATH_FNS:
+                return self._math_eval(val, variables)
+            df, _s = self._compile(val)
+            return df
+        return self._math_eval(val, variables)
+
+    def _collect_col(self, df: DataFrame, field: str):
+        if field not in df.columns:
+            raise QuerySyntaxError(
+                f"col(): field {field!r} not in the stream "
+                f"(columns: {df.columns})"
+            )
+        rows = df.select(field).limit(self.math_max_values + 1).collect()
+        if len(rows) > self.math_max_values:
+            raise QuerySyntaxError(
+                f"col({field}) would materialize more than "
+                f"{self.math_max_values} values driver-side; math "
+                "expressions are Solr's in-memory tier — use the "
+                "distributed stats()/rollup()/percentile decorators at "
+                "corpus scale, or bound the stream first"
+            )
+        np = _np()
+        return np.array(
+            [float(r[0]) for r in rows if r[0] is not None], dtype=float
+        )
+
+    def _math_eval(self, node, variables):
+        """Numeric evaluation: scalars, variable refs, and the _MATH_FNS
+        tree — numpy-vectorized, sample (ddof=1) moments, linear-
+        interpolation percentiles (the stats()/DuckDB conventions)."""
+        np = _np()
+        if not isinstance(node, Call):
+            if isinstance(node, Quoted):
+                return str(node)
+            if node in variables:
+                return variables[node]
+            try:
+                return float(node)
+            except (TypeError, ValueError):
+                raise QuerySyntaxError(
+                    f"unknown math operand {node!r} (not a number or "
+                    f"bound variable; have {sorted(variables)})"
+                )
+        fn = node.name
+        if fn not in _MATH_FNS:
+            raise QuerySyntaxError(
+                f"unknown math evaluator {fn!r}; supported: "
+                + ", ".join(sorted(_MATH_FNS))
+            )
+        if fn == "col":
+            if len(node.args) != 2:
+                raise QuerySyntaxError("col() takes (streamVar, field)")
+            var, field = node.args
+            src = variables.get(var)
+            if not isinstance(src, DataFrame):
+                raise QuerySyntaxError(
+                    f"col(): {var!r} is not a bound stream variable"
+                )
+            return self._collect_col(src, field)
+        a = [self._math_eval(x, variables) for x in node.args]
+
+        def arr(x):
+            return np.asarray(x, dtype=float)
+
+        if fn == "array":
+            return np.array([float(x) for x in a])
+        if fn == "sequence":
+            n, start, stride = (int(a[0]), float(a[1]), float(a[2]))
+            return start + stride * np.arange(n)
+        if fn in ("add", "sub", "mult", "div", "pow"):
+            import operator
+
+            op = {"add": operator.add, "sub": operator.sub,
+                  "mult": operator.mul, "div": operator.truediv,
+                  "pow": operator.pow}[fn]
+            out = a[0]
+            for x in a[1:]:
+                out = op(
+                    arr(out) if isinstance(out, np.ndarray) else out, x
+                )
+            return out
+        if fn in ("log", "sqrt", "abs", "exp"):
+            return getattr(np, {"abs": "abs", "log": "log",
+                                "sqrt": "sqrt", "exp": "exp"}[fn])(a[0])
+        if fn == "length":
+            return float(len(arr(a[0])))
+        if fn == "mean":
+            return float(np.mean(arr(a[0])))
+        if fn == "sum":
+            return float(np.sum(arr(a[0])))
+        if fn == "min":
+            return float(np.min(arr(a[0])))
+        if fn == "max":
+            return float(np.max(arr(a[0])))
+        if fn == "stddev":
+            return float(np.std(arr(a[0]), ddof=1))
+        if fn == "var":
+            return float(np.var(arr(a[0]), ddof=1))
+        if fn == "percentile":
+            return float(np.percentile(arr(a[0]), float(a[1])))
+        if fn == "corr":
+            return float(np.corrcoef(arr(a[0]), arr(a[1]))[0, 1])
+        if fn == "cov":
+            return float(np.cov(arr(a[0]), arr(a[1]), ddof=1)[0, 1])
+        if fn in ("slope", "intercept", "rSquared"):
+            # OLS y~x — Solr's regress() map flattened to named
+            # evaluators (regress returns a tuple there; same numbers)
+            x, y = arr(a[0]), arr(a[1])
+            sl = float(np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1))
+            if fn == "slope":
+                return sl
+            ic = float(np.mean(y) - sl * np.mean(x))
+            if fn == "intercept":
+                return ic
+            pred = ic + sl * x
+            ss_res = float(np.sum((y - pred) ** 2))
+            ss_tot = float(np.sum((y - np.mean(y)) ** 2))
+            return 1.0 - ss_res / ss_tot if ss_tot else 1.0
+        if fn == "rev":
+            return arr(a[0])[::-1]
+        if fn == "asc":
+            return np.sort(arr(a[0]))
+        if fn == "desc":
+            return np.sort(arr(a[0]))[::-1]
+        if fn == "movingAvg":
+            x, w = arr(a[0]), int(a[1])
+            if w <= 0 or w > len(x):
+                raise QuerySyntaxError(
+                    "movingAvg window must be in [1, length]"
+                )
+            c = np.convolve(x, np.ones(w) / w, mode="valid")
+            return c
+        raise AssertionError(f"unhandled math fn {fn}")  # pragma: no cover
 
     def _c_scoreNodes(self, node: Call):  # noqa: N802 (Solr camelCase)
         """Solr scoreNodes(nodes(...)): tf-idf relevance for gathered

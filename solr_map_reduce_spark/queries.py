@@ -5291,6 +5291,59 @@ def ext_stream_nodes(spark, sf_dir):
 
 
 @_register(
+    "ext_math_describe",
+    """SELECT CAST(count(*) AS DOUBLE) AS n,
+              round(avg(n_chars), 6) AS mean,
+              round(stddev_samp(n_chars), 6) AS std,
+              round(quantile_cont(n_chars, 0.50), 6) AS p50,
+              round(quantile_cont(n_chars, 0.95), 6) AS p95
+       FROM documents""",
+    "Solr math expressions let(a=search(...), b=col(a, f), tuple(...)): "
+    "the driver-side in-memory numeric tier (Solr's own execution "
+    "model) — col() collects ONE column under a hard max-values guard, "
+    "numpy evaluators (sample moments, linear-interpolation "
+    "percentiles); corpus-scale stats belong to the distributed "
+    "stats()/rollup() decorators",
+)
+def ext_math_describe(spark, sf_dir):
+    out = _stream_compiler(spark, sf_dir).run(
+        'let(a=search(documents, fl="n_chars"), b=col(a, n_chars), '
+        "tuple(n=length(b), mean=mean(b), std=stddev(b), "
+        "p50=percentile(b, 50), p95=percentile(b, 95)))"
+    )
+    return out.select(
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    )
+
+
+@_register(
+    "ext_math_regress",
+    """SELECT round(corr(l_quantity, l_extendedprice), 6) AS c,
+              round(regr_slope(l_extendedprice, l_quantity), 6) AS sl,
+              round(regr_intercept(l_extendedprice, l_quantity), 6) AS ic
+       FROM lineitem""",
+    "Solr math expressions regression: corr/slope/intercept over two "
+    "col() pulls — OLS y~x via sample moments (regr_slope parity: "
+    "covar_samp/var_samp == covar_pop/var_pop)",
+)
+def ext_math_regress(spark, sf_dir):
+    out = _stream_compiler(spark, sf_dir).run(
+        'let(a=search(lineitem), x=col(a, l_quantity), '
+        "y=col(a, l_extendedprice), "
+        "tuple(c=corr(x, y), sl=slope(x, y), ic=intercept(x, y)))"
+    )
+    return out.select(
+        F.round("c", 6).alias("c"),
+        F.round("sl", 6).alias("sl"),
+        F.round("ic", 6).alias("ic"),
+    )
+
+
+@_register(
     "ext_score_nodes",
     """WITH cust AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
         ords AS (
