@@ -599,6 +599,26 @@ def test_cli_stream_expression(capsys, sf_dir):
         main(["stream", "--expr", "search(x)", "--collection", "nope"])
 
 
+def test_cli_stream_math_expression(capsys, sf_dir):
+    # the math tier (let/col/evaluators) is reachable from the CLI
+    import json as _json
+
+    from solr_map_reduce_spark.cli import main
+
+    rc = main([
+        "stream",
+        "--expr",
+        "let(a=search(documents), b=col(a, n_chars), "
+        "tuple(n=length(b), m=mean(b)))",
+        "--collection",
+        f"documents={sf_dir}/documents.parquet",
+    ])
+    assert rc == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    assert len(rows) == 1 and rows[0]["n"] > 0 and rows[0]["m"] > 0
+
+
 def test_cli_stream_now_and_topic_checkpoint(capsys, spark, sf_dir, tmp_path):
     """--now pins date math for the expression; --checkpoint-dir enables
     topic() with commit-after-print (a second invocation sees nothing)."""
