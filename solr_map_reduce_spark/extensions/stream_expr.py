@@ -563,7 +563,8 @@ class StreamCompiler:
                 "timeseries, significantTerms, nodes, shortestPath, "
                 "echo, tuple, random, facet2D, parallel, topic, update, "
                 "daemon, list, plist, null, knnSearch, commit, features, "
-                "train, model, classify, scoreNodes, let"
+                "train, model, classify, scoreNodes, let, reduce, "
+                "shuffle, outerHashJoin"
             )
         return fn(node)
 
@@ -861,10 +862,12 @@ class StreamCompiler:
 
     def _equi_join(self, node: Call, how: str, broadcast_right: bool):
         left, lsort = self._stream_arg(node, 0)
-        if node.name == "hashJoin":
+        if node.name in ("hashJoin", "outerHashJoin"):
             hashed = node.kwargs.get("hashed")
             if hashed is None:
-                raise QuerySyntaxError("hashJoin() needs hashed=<stream>")
+                raise QuerySyntaxError(
+                    f"{node.name}() needs hashed=<stream>"
+                )
             right, _rs = self._compile(parse_stream_expr(hashed)) \
                 if isinstance(hashed, str) else self._compile(hashed)
         else:
@@ -894,6 +897,92 @@ class StreamCompiler:
     def _c_hashJoin(self, node: Call):  # noqa: N802
         # the hashed side is Solr's fits-in-memory side == broadcast
         return self._equi_join(node, "inner", broadcast_right=True)
+
+    def _c_outerHashJoin(self, node: Call):  # noqa: N802 (Solr camelCase)
+        # Solr outerHashJoin(): leftOuterJoin with the hashed= side
+        # broadcast (the fits-in-memory side) — left rows always survive
+        return self._equi_join(node, "left", broadcast_right=True)
+
+    def _c_shuffle(self, node: Call):
+        """Solr shuffle(): identical request shape to search() but
+        forced through the /export handler (full sorted result set, no
+        rows cap).  Spark parity is EXACT ALIASING: our search() is
+        already a full scan-lineage with no implicit top-N — the
+        sorted-export "worker shuffle" is what the engine does natively,
+        so shuffle(c, q=, fl=, sort=) compiles to the same plan."""
+        return self._c_search(node)
+
+    def _c_reduce(self, node: Call):
+        """Solr reduce(stream, by="f,...", group(sort="s desc", n=N)):
+        one tuple per ``by`` group — the group's head tuple (first under
+        the group sort) flattened, plus ``group``: the top-N member
+        tuples as an array of structs (Solr's list-of-maps field,
+        rendered relationally).
+
+        Plan: ONE map-side-combined groupBy — members pack into a
+        collect_list of structs, sorted and sliced to N inside the
+        aggregate's finish expression (array_sort with a comparator +
+        slice), so the shuffle carries at most the group's members and
+        nothing is windowed over the whole stream.  N is the bound that
+        keeps per-group state small; an unbounded group() (no n=) keeps
+        every member — Solr's own contract — and is the caller's
+        explicit choice."""
+        stream, _s = self._stream_arg(node)
+        by = node.kwargs.get("by")
+        if not by:
+            raise QuerySyntaxError('reduce() needs by="field[,field...]"')
+        by_cols = [b.strip() for b in by.split(",")]
+        groups = [a for a in node.args
+                  if isinstance(a, Call) and a.name == "group"]
+        if len(groups) != 1:
+            raise QuerySyntaxError(
+                "reduce() needs exactly one group(sort=..., n=...) "
+                "operation"
+            )
+        g = groups[0]
+        sort = _sort_spec(g.kwargs.get("sort", ""))
+        if not sort:
+            raise QuerySyntaxError('group() needs sort="field asc|desc"')
+        n = int(g.kwargs["n"]) if "n" in g.kwargs else None
+        for c in by_cols + [s_[0] for s_ in sort]:
+            if c not in stream.columns:
+                raise QuerySyntaxError(
+                    f"reduce(): field {c!r} not in the stream "
+                    f"(columns: {stream.columns})"
+                )
+        payload = [c for c in stream.columns if c not in by_cols]
+        packed = F.struct(*[F.col(c) for c in stream.columns])
+
+        def _cmp(a, b):
+            # lexicographic comparator over the group sort spec —
+            # evaluated inside array_sort, so ordering happens on the
+            # packed per-group array, never a global window
+            expr = F.lit(0)
+            for col_, dir_ in reversed(sort):
+                lt = F.lit(-1) if dir_ == "asc" else F.lit(1)
+                gt = F.lit(1) if dir_ == "asc" else F.lit(-1)
+                expr = (
+                    F.when(a[col_] < b[col_], lt)
+                    .when(a[col_] > b[col_], gt)
+                    .otherwise(expr)
+                )
+            return expr
+
+        grouped = stream.groupBy(*by_cols).agg(
+            F.collect_list(packed).alias("_members")
+        )
+        ordered = F.array_sort(F.col("_members"), _cmp)
+        top = F.slice(ordered, 1, n) if n is not None else ordered
+        head = F.element_at(ordered, 1)
+        out = grouped.select(
+            *by_cols,
+            *[head[c].alias(c) for c in payload],
+            F.transform(
+                top,
+                lambda m: F.struct(*[m[c].alias(c) for c in stream.columns]),
+            ).alias("group"),
+        )
+        return out, [(b, "asc") for b in by_cols]
 
     def _c_merge(self, node: Call):
         subs = [a for a in node.args if isinstance(a, Call)]

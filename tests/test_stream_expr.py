@@ -339,6 +339,59 @@ class TestCompile:
         with pytest.raises(QuerySyntaxError, match="walk="):
             c.run('nodes(mgrs, search(people), gather="director")')
 
+    def test_reduce_group(self, comp):
+        # per-dept head tuple + top-n members under the group sort
+        rows = comp.run(
+            'reduce(search(people), by="dept", '
+            'group(sort="pid desc", n=2))'
+        ).collect()
+        by = {r["dept"]: r for r in rows}
+        assert set(by) == {"eng", "ops", None}
+        eng = by["eng"]
+        assert eng["pid"] == 2  # head = first under pid desc
+        assert [m["pid"] for m in eng["group"]] == [2, 1]
+        assert [m["name"] for m in eng["group"]] == ["bob", "ada"]
+        assert by["ops"]["pid"] == 3 and len(by["ops"]["group"]) == 1
+        # unbounded group(): every member kept
+        rows = comp.run(
+            'reduce(search(people), by="dept", group(sort="pid asc"))'
+        ).collect()
+        assert {r["dept"]: len(r["group"]) for r in rows} == {
+            "eng": 2, "ops": 1, None: 1}
+        with pytest.raises(QuerySyntaxError, match="by="):
+            comp.run('reduce(search(people), group(sort="pid asc"))')
+        with pytest.raises(QuerySyntaxError, match="group"):
+            comp.run('reduce(search(people), by="dept")')
+        with pytest.raises(QuerySyntaxError, match="not in the stream"):
+            comp.run('reduce(search(people), by="ghost", '
+                     'group(sort="pid asc"))')
+
+    def test_shuffle_aliases_search(self, comp):
+        a = comp.run('search(people, fl="pid,name", sort="pid asc")')
+        b = comp.run('shuffle(people, fl="pid,name", sort="pid asc")')
+        assert [tuple(r) for r in a.collect()] == [
+            tuple(r) for r in b.collect()]
+
+    def test_outer_hash_join(self, comp):
+        # left rows with no hashed match survive with nulls (vs hashJoin)
+        rows = comp.run(
+            'outerHashJoin(search(people), hashed=search(salaries), '
+            'on="pid=person")'
+        ).collect()
+        by = {r["pid"]: r for r in rows}
+        assert len(rows) == 4 and by[4]["pay"] is None
+        inner = comp.run(
+            'hashJoin(search(people), hashed=search(salaries), '
+            'on="pid=person")'
+        ).collect()
+        assert len(inner) == 3
+        # the hashed side carries the broadcast hint
+        plan = comp.run(
+            'outerHashJoin(search(people), hashed=search(salaries), '
+            'on="pid=person")'
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
     def test_score_nodes(self, spark):
         import math
 
