@@ -537,6 +537,9 @@ class StreamCompiler:
         # topic() pulls pending their watermark commit (at-least-once:
         # the caller processes the batch, then commit_topics())
         self._pending_topics: list = []
+        # drill()'s input() binding stack (nested drills each see their
+        # own collection scan)
+        self._drill_inputs: list = []
 
     # -- public -------------------------------------------------------
     def run(self, expr: str) -> DataFrame:
@@ -564,7 +567,7 @@ class StreamCompiler:
                 "echo, tuple, random, facet2D, parallel, topic, update, "
                 "daemon, list, plist, null, knnSearch, commit, features, "
                 "train, model, classify, scoreNodes, let, reduce, "
-                "shuffle, outerHashJoin"
+                "shuffle, outerHashJoin, drill"
             )
         return fn(node)
 
@@ -897,6 +900,40 @@ class StreamCompiler:
     def _c_hashJoin(self, node: Call):  # noqa: N802
         # the hashed side is Solr's fits-in-memory side == broadcast
         return self._equi_join(node, "inner", broadcast_right=True)
+
+    def _c_drill(self, node: Call):
+        """Solr drill(collection, q=, fl=, sort=, <expr over input()>):
+        Solr 8's pushed-down aggregation — each shard runs the inner
+        expression over its local sorted /export stream (``input()``),
+        the coordinator re-aggregates partials.  Spark parity: bind
+        ``input()`` to the (Bloom-pruned) collection scan and compile
+        the inner expression over it — a rollup() inner IS the
+        partial-agg + final-agg shuffle drill hand-builds in Solr, so
+        the plan is the pushed-down one by construction (map-side
+        combine on every groupBy)."""
+        subs = [a for a in node.args if isinstance(a, Call)
+                and a.name not in _METRICS and a.name not in _EVALUATORS]
+        if not subs:
+            raise QuerySyntaxError(
+                "drill() needs an inner expression over input()"
+            )
+        scan = self._collection_scan(node)
+        if "fl" in node.kwargs:
+            scan = scan.select(
+                *[c.strip() for c in node.kwargs["fl"].split(",")]
+            )
+        self._drill_inputs.append(scan)
+        try:
+            return self._compile(subs[-1])
+        finally:
+            self._drill_inputs.pop()
+
+    def _c_input(self, node: Call):
+        if not self._drill_inputs:
+            raise QuerySyntaxError(
+                "input() is only valid inside drill()'s inner expression"
+            )
+        return self._drill_inputs[-1], None
 
     def _c_outerHashJoin(self, node: Call):  # noqa: N802 (Solr camelCase)
         # Solr outerHashJoin(): leftOuterJoin with the hashed= side

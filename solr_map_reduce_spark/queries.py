@@ -5291,6 +5291,26 @@ def ext_stream_nodes(spark, sf_dir):
 
 
 @_register(
+    "ext_stream_drill",
+    """SELECT lang, source, count(*) AS "count(*)",
+              CAST(sum(n_chars) AS BIGINT) AS "sum(n_chars)"
+       FROM documents WHERE lang IN ('en','de','fr')
+       GROUP BY lang, source""",
+    "Solr 8 drill(): pushed-down aggregation — input() binds to the "
+    "Bloom-pruned collection scan, the inner rollup() compiles to the "
+    "partial-agg + final-agg shuffle drill hand-builds shard-side in "
+    "Solr (map-side combine by construction)",
+)
+def ext_stream_drill(spark, sf_dir):
+    out = _stream_compiler(spark, sf_dir).run(
+        'drill(documents, q="lang:(en OR de OR fr)", '
+        'fl="doc_id,lang,source,n_chars", '
+        "rollup(input(), over=\"lang,source\", count(*), sum(n_chars)))"
+    )
+    return out
+
+
+@_register(
     "ext_math_describe",
     """SELECT CAST(count(*) AS DOUBLE) AS n,
               round(avg(n_chars), 6) AS mean,

@@ -366,6 +366,24 @@ class TestCompile:
             comp.run('reduce(search(people), by="ghost", '
                      'group(sort="pid asc"))')
 
+    def test_drill_input(self, comp):
+        # drill's inner rollup over input() == rollup over search —
+        # Spark's partial-agg shuffle IS the pushed-down plan
+        a = comp.run(
+            'drill(people, q="*:*", fl="pid,dept", '
+            'rollup(input(), over=dept, count(*)))'
+        ).collect()
+        b = comp.run(
+            'rollup(search(people, fl="pid,dept"), over=dept, count(*))'
+        ).collect()
+        key = lambda t: tuple(str(x) for x in t)  # noqa: E731 (None dept)
+        assert sorted(map(tuple, a), key=key) == sorted(
+            map(tuple, b), key=key)
+        with pytest.raises(QuerySyntaxError, match="inner expression"):
+            comp.run("drill(people)")
+        with pytest.raises(QuerySyntaxError, match="only valid inside"):
+            comp.run("rollup(input(), over=dept, count(*))")
+
     def test_shuffle_aliases_search(self, comp):
         a = comp.run('search(people, fl="pid,name", sort="pid asc")')
         b = comp.run('shuffle(people, fl="pid,name", sort="pid asc")')
