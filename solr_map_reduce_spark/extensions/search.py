@@ -1528,6 +1528,57 @@ def _slop_match(toks_col: F.Column, toks: list, slop: int) -> F.Column:
     return F.coalesce(pred, F.lit(False))
 
 
+def _positions_matching(toks_col: F.Column, rx: str) -> F.Column:
+    """0-based positions of tokens matching an anchored regex — the
+    wildcard-term analog of :func:`_positions_of`, same transform +
+    filter shape, fully JVM-side."""
+    tagged = F.transform(
+        toks_col, lambda x, i: F.when(x.rlike(rx), i)
+    )
+    return F.filter(tagged, lambda p: p.isNotNull())
+
+
+def complex_phrase_match(
+    toks_col: F.Column, patterns: "list[tuple[str, str]]", slop: int = 0
+) -> F.Column:
+    """Lucene ComplexPhraseQueryParser's ordered window ({!complexphrase}
+    ``"jo* smyth*"~N``): the phrase positions match per-term PATTERNS —
+    ``("term", tok)`` exact analyzed tokens, ``("glob", pattern)``
+    Lucene wildcards — in order with total slack ``<= slop`` (the same
+    greedy earliest-witness argument as :func:`_slop_match`: greedy
+    minimizes the end position for a given start, over ARBITRARY
+    per-term position sets, so a witness exists iff greedy finds one).
+    All higher-order array functions over the stored tokens — JVM-side,
+    no dictionary expansion of the wildcards."""
+    vis = _visible_toks(toks_col)
+    pos = []
+    for kind, val in patterns:
+        if kind == "term":
+            pos.append(_positions_of(vis, val))
+        else:
+            pos.append(_positions_matching(vis, _glob_to_regex(val)))
+    m = len(patterns)
+    if m == 1:
+        return F.coalesce(F.size(pos[0]) > 0, F.lit(False))
+
+    def _earliest_after(arr: F.Column, prev: F.Column) -> F.Column:
+        return F.array_min(F.filter(arr, lambda p: p > prev))
+
+    def last_pos(i1):
+        cur = i1
+        for k in range(1, m):
+            cur = _earliest_after(pos[k], cur)
+        return cur
+
+    pred = F.exists(
+        pos[0],
+        lambda i1: F.coalesce(
+            last_pos(i1) - i1 - F.lit(m - 1) <= F.lit(slop), F.lit(False)
+        ),
+    )
+    return F.coalesce(pred, F.lit(False))
+
+
 def _fuzzy_match(toks_col: F.Column, needle: str, max_edits: int) -> F.Column:
     """Fuzzy term predicate (Lucene ``term~N``): any stored token within
     Levenshtein distance ``max_edits`` of the needle.  ``F.levenshtein``

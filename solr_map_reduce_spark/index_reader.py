@@ -2506,6 +2506,52 @@ class SearchIndex:
                 .limit(topk)
                 .drop("_knn_score")
             )
+        if qtype == "complexphrase":
+            # Lucene ComplexPhraseQueryParser ({!complexphrase
+            # inOrder=true}field:"jo* smyth*"~N): a phrase whose terms
+            # may be wildcards — matched as an ordered positional window
+            # over the stored token array (complex_phrase_match's greedy
+            # earliest-witness chase over per-term position sets;
+            # wildcards become anchored regex position filters, never a
+            # dictionary expansion).  inOrder=false (Lucene's unordered
+            # window) has no ordered-witness equivalent here — loud.
+            import re as _re
+
+            if params.get("inOrder", "true").lower() == "false":
+                raise search.QuerySyntaxError(
+                    "{!complexphrase inOrder=false} (unordered window) "
+                    "is not supported; the ordered contract is "
+                    "inOrder=true"
+                )
+            m = _re.match(
+                r'^\s*(?:([\w.]+):)?"([^"]+)"(?:~(\d+))?\s*$', inner
+            )
+            if not m:
+                raise search.QuerySyntaxError(
+                    '{!complexphrase} body must be [field:]"terms..."'
+                    f"[~slop], got {inner!r}"
+                )
+            fname = m.group(1) or field
+            phrase, slop = m.group(2), int(m.group(3) or 0)
+            tc = self._tokens_col(fname)
+            patterns: list = []
+            for w in phrase.split():
+                if "*" in w or "?" in w:
+                    # Lucene: wildcard terms are NOT analyzed (lowercase
+                    # only — the multiterm normalization)
+                    patterns.append(("glob", w.lower()))
+                else:
+                    for tok in self.analyze_terms([w], field=fname) or []:
+                        patterns.append(("term", tok))
+            if not patterns:
+                raise search.QuerySyntaxError(
+                    f"{{!complexphrase}} phrase {phrase!r} has no "
+                    "matchable terms after analysis"
+                )
+            pred = search.complex_phrase_match(
+                F.col(tc), patterns, slop=slop
+            )
+            return self.df().filter(pred)
         if qtype == "graph":
             # GraphQParser {!graph from=f to=t maxDepth=N returnRoot=
             # true|false returnOnlyLeaf=true|false traversalFilter='q'}
@@ -2611,7 +2657,7 @@ class SearchIndex:
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
             "supported: join, parent, child, terms, prefix, field, "
-            "frange, knn, collapse, graph"
+            "frange, knn, collapse, graph, complexphrase"
         )
 
     def query(

@@ -1838,6 +1838,24 @@ def c9_match_phrase(spark, sf_dir):
 
 
 @_register(
+    "c9_complex_phrase",
+    f"""SELECT doc_id FROM (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        WHERE len(list_filter(range(1, len(toks)),
+              i -> regexp_matches(toks[i], '^ha.*$')
+                   AND toks[i+1] = 'join')) > 0""",
+    "Lucene {!complexphrase}: a phrase whose terms are wildcards — "
+    "ordered positional window over stored tokens (greedy earliest-"
+    "witness chase over per-term position sets; wildcards are anchored "
+    "regex position filters, never a dictionary expansion)",
+)
+def c9_complex_phrase(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).search(
+        q='{!complexphrase}text:"ha* join"', select=["doc_id"]
+    )
+
+
+@_register(
     "c9_prefix_match",
     f"""SELECT doc_id FROM (
           SELECT doc_id, ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS hay

@@ -1403,6 +1403,68 @@ class TestDismax:
         assert set(boosted) == set(base)
 
 
+class TestComplexPhrase:
+    """Round-9: {!complexphrase} — phrases whose terms are wildcards,
+    matched as an ordered positional window over stored tokens."""
+
+    @pytest.fixture(scope="class")
+    def cp(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        docs = [("1", "john smith works here"),
+                ("2", "johnson smythe consulting"),
+                ("3", "smith john reversed"),
+                ("4", "jones smith and co"),
+                ("5", "john big smith gapped")]
+        df = spark.createDataFrame(docs, "id string, text string")
+        out = str(tmp_path_factory.mktemp("cp") / "idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(
+            df, out
+        )
+        return SearchIndex.open(spark, out)
+
+    def ids(self, cp, q):
+        return sorted(r["id"] for r in cp.search(q=q, select=["id"]).collect())
+
+    def test_wildcard_phrase_adjacent(self, cp):
+        # jo* immediately before smith: 1 (john smith), 4 (jones smith);
+        # NOT 3 (reversed), NOT 2 (smythe), NOT 5 (gapped)
+        assert self.ids(cp, '{!complexphrase}text:"jo* smith"') == ["1", "4"]
+
+    def test_slop_admits_gap(self, cp):
+        assert self.ids(cp, '{!complexphrase}text:"jo* smith"~1') == [
+            "1", "4", "5"]
+
+    def test_question_mark_and_multiterm(self, cp):
+        assert self.ids(cp, '{!complexphrase}text:"j?hn sm*"') == ["1", "5"] \
+            or self.ids(cp, '{!complexphrase}text:"j?hn sm*"') == ["1"]
+        # exact check: j?hn matches john only (not jones/johnson);
+        # sm* right after john: doc 1 (smith); doc 5 has 'big' between
+        assert self.ids(cp, '{!complexphrase}text:"j?hn sm*"') == ["1"]
+
+    def test_single_wildcard_term(self, cp):
+        assert self.ids(cp, '{!complexphrase}text:"smy*"') == ["2"]
+
+    def test_literal_terms_analyze(self, cp):
+        # no wildcards: behaves as a plain analyzed adjacency phrase
+        assert self.ids(cp, '{!complexphrase}text:"john smith"') == ["1"]
+
+    def test_errors_are_loud(self, cp):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="inOrder=false"):
+            cp.search(q='{!complexphrase inOrder=false}text:"a b"')
+        with pytest.raises(QuerySyntaxError, match="body must be"):
+            cp.search(q="{!complexphrase}text:nophrase")
+
+
 class TestGeneralWildcards:
     """Round-8: full Lucene WildcardQuery globs (? one char, * any run,
     anywhere in the term) as anchored regexes over stored tokens."""
