@@ -1606,12 +1606,15 @@ class SearchIndex:
             "_rk", F.row_number().over(within)
         )
         if top is not None:
-            lvl1 = Window.orderBy(F.desc("f1_cnt"), F.asc(f1))
+            # top-N level-1 values: TakeOrdered over the distinct pairs
+            # (row_number <= top under the same order == orderBy+limit),
+            # never a single-partition global window over the facet
+            # field's cardinality
             heads = (
                 out.select(f1, "f1_cnt")
                 .distinct()
-                .withColumn("_rk1", F.row_number().over(lvl1))
-                .filter(F.col("_rk1") <= top)
+                .orderBy(F.desc("f1_cnt"), F.asc(f1))
+                .limit(top)
                 .select(f1)
             )
             out = out.join(F.broadcast(heads), f1).filter(F.col("_rk") <= top)
@@ -1672,18 +1675,26 @@ class SearchIndex:
             .filter(F.col("_rk") <= group_limit)
         )
         if limit is not None:
-            heads = Window.orderBy(
-                F.desc("_head") if s_dir.lower().startswith("desc")
-                else F.asc("_head"),
-                F.asc(group_field),
-            )
-            out = (
-                out.withColumn(
-                    "_grk",
-                    F.dense_rank().over(heads),
+            # top-`limit` GROUPS by their head key: each group carries
+            # exactly one (_head, group) pair, so dense_rank <= limit
+            # over (_head, group) == the top-`limit` distinct pairs —
+            # TakeOrdered + broadcast null-safe semi-join, never a
+            # single-partition global window over every group
+            top_groups = (
+                out.select(group_field, "_head")
+                .distinct()
+                .orderBy(
+                    F.desc("_head") if s_dir.lower().startswith("desc")
+                    else F.asc("_head"),
+                    F.asc(group_field),
                 )
-                .filter(F.col("_grk") <= limit)
-                .drop("_grk")
+                .limit(limit)
+                .select(F.col(group_field).alias("_tg_key"))
+            )
+            out = out.join(
+                F.broadcast(top_groups),
+                out[group_field].eqNullSafe(F.col("_tg_key")),
+                "left_semi",
             )
         head_order = (
             F.desc("_head") if s_dir.lower().startswith("desc") else F.asc("_head")

@@ -319,6 +319,17 @@ class TestGrouped:
         assert len(got) == 4  # 2 groups x 2 docs
         assert list(got[0].asDict()) == ["grp", "n_in_group", "_rk", "id", "num"]
 
+    def test_group_limit_plan_has_no_global_window(self, idx):
+        # the top-`limit` group cut is TakeOrdered + broadcast semi-join,
+        # never a single-partition dense_rank window over every group
+        plan = (
+            idx.grouped("grp", sort=("num", "desc"), group_limit=1, limit=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "dense_rank" not in plan
+        assert "TakeOrdered" in plan
+        assert "LeftSemi" in plan
+
 
 class TestMultiIndexAlias:
     """Solr collection-alias analog: one facade over several artifacts
