@@ -275,7 +275,7 @@ def parse_stream_expr(s: str) -> Call:
 
 # ------------------------------------------------------------- compiler
 _METRICS = {"sum", "min", "max", "avg", "mean", "count", "countDist",
-            "std", "per"}
+            "std", "per", "approxPer"}
 _BOOL_CMP = {"eq": "==", "gt": ">", "lt": "<", "gteq": ">=", "lteq": "<="}
 
 
@@ -311,19 +311,32 @@ def _metric_col(node: Call) -> tuple[F.Column, str]:
     linear interpolation, the same quantile_cont a SQL oracle runs)."""
     if node.name not in _METRICS:
         raise QuerySyntaxError(f"unknown metric {node.name!r}")
-    if node.name == "per":
+    if node.name in ("per", "approxPer"):
         if len(node.args) != 2 or node.kwargs:
-            raise QuerySyntaxError("per() takes (field, percentile)")
+            raise QuerySyntaxError(
+                f"{node.name}() takes (field, percentile)"
+            )
         f_, p_raw = node.args
         try:
             p = float(p_raw)
         except (TypeError, ValueError):
             raise QuerySyntaxError(
-                f"per() percentile must be numeric, got {p_raw!r}"
+                f"{node.name}() percentile must be numeric, got {p_raw!r}"
             ) from None
         if not 0.0 <= p <= 100.0:
-            raise QuerySyntaxError(f"per() percentile {p:g} not in 0..100")
-        name = f"per({f_},{p_raw})"
+            raise QuerySyntaxError(
+                f"{node.name}() percentile {p:g} not in 0..100"
+            )
+        name = f"{node.name}({f_},{p_raw})"
+        if node.name == "approxPer":
+            # the corpus-scale variant: Spark's bounded-memory sketch
+            # (Greenwald-Khanna), the same cost model as the t-digest
+            # Solr's per() actually serves — EXACT per() shuffles every
+            # value of the group; approxPer() shuffles a fixed-size
+            # sketch per partition
+            return F.percentile_approx(
+                F.col(str(f_)), F.lit(p / 100.0), F.lit(10000)
+            ), name
         return F.percentile(F.col(str(f_)), F.lit(p / 100.0)), name
     if len(node.args) != 1 or node.kwargs:
         raise QuerySyntaxError(f"{node.name}() takes one field arg")

@@ -1040,3 +1040,15 @@ class TestExtendedMetrics:
             comp.run("stats(salaries, per(pay, 200))")
         with pytest.raises(QuerySyntaxError, match="field, percentile"):
             comp.run("stats(salaries, per(pay))")
+
+    def test_approx_per(self, comp):
+        # the corpus-scale sketch variant: exact on tiny data at this
+        # accuracy, and the plan carries the approx aggregate
+        row = comp.run(
+            "stats(salaries, approxPer(pay, 50), per(pay, 50))"
+        ).collect()[0]
+        assert row["approxPer(pay,50)"] == 100.0
+        assert row["per(pay,50)"] == 100.0
+        df = comp.run("stats(salaries, approxPer(pay, 95))")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "approx_percentile" in plan or "percentile_approx" in plan
