@@ -2060,7 +2060,9 @@ class StreamCompiler:
         field = node.kwargs.get("field")
         if field is None:
             raise QuerySyntaxError("classify() needs field=")
-        rows = model_df.orderBy(F.desc("iteration")).limit(1).collect()
+        if "iteration" in model_df.columns:
+            model_df = model_df.orderBy(F.desc("iteration"))
+        rows = model_df.limit(1).collect()
         if not rows:
             raise QuerySyntaxError("classify(): the model stream is empty")
         r = rows[0].asDict()

@@ -155,7 +155,11 @@ def _collect_features(features) -> list[tuple[str, float]]:
     """(term, idf) pairs from a features() DataFrame (bounded: the
     caller selected num_terms) or any (term, idf) sequence."""
     if isinstance(features, DataFrame):
-        rows = features.select("term", "idf").collect()
+        # pin the weight-vector ordering explicitly (collect order is
+        # not a DataFrame contract): features() index when present,
+        # else term
+        order = "index" if "index" in features.columns else "term"
+        rows = features.orderBy(order).select("term", "idf").collect()
         return [(r[0], float(r[1])) for r in rows]
     return [(str(t), float(i)) for t, i in features]
 
