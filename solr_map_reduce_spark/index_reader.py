@@ -1174,13 +1174,14 @@ class SearchIndex:
         if mincount > 0:
             l1 = l1.filter(F.col("count") >= mincount)
         if opts["numBuckets"]:
-            # post-agg bucket rows are term-cardinality small; a global
-            # window over them is cheap at any corpus scale
-            l1 = l1.withColumn(
-                "numBuckets",
-                F.count(F.lit(1))
-                .over(Window.partitionBy(F.lit(1))).cast("long"),
+            # bucket count as a map-side-combined aggregate row,
+            # broadcast-crossJoined (the allBuckets shape) — never a
+            # single-partition window funneling every bucket row
+            # through one task at high field cardinality
+            nb = l1.agg(
+                F.count(F.lit(1)).cast("long").alias("numBuckets")
             )
+            l1 = l1.crossJoin(F.broadcast(nb))
         order = self._jf_sort_cols(
             str(spec.get("sort", "count desc")), "count", field, set(names)
         )
