@@ -131,6 +131,24 @@ def main() -> None:
         "maxDepth=4)"
     ).select(F.array_join("path", "->").alias("path")), n=3)
 
+    # round-9 tail: the ML tier — IG features -> logistic regression ->
+    # map-only classification, all from expression strings
+    show("features: top IG terms for predicting lang=en", comp.run(
+        "features(docs, field=text, outcome=lang, positiveLabel=en, "
+        "numTerms=5)"
+    ), n=5)
+    show("train: 3 GD iterations over those features", comp.run(
+        "train(docs, features(docs, field=text, outcome=lang, "
+        "positiveLabel=en, numTerms=5), field=text, outcome=lang, "
+        'positiveLabel=en, maxIterations=3, name="quality")'
+    ).select("name", "iteration", "error", "accuracy"), n=3)
+
+    # math expressions: driver-side numeric tier over bounded pulls
+    show("let/col: descriptive stats of n_chars", comp.run(
+        'let(a=search(docs, fl="n_chars"), b=col(a, n_chars), '
+        "tuple(n=length(b), mean=mean(b), p95=percentile(b, 95)))"
+    ))
+
     print("\nstream-expression tour complete")
 
 
