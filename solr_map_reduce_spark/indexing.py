@@ -603,10 +603,13 @@ class IndexJob:
         absent contract); ``"add"`` appends the update's elements to a
         multiValued (array) column; ``"add-distinct"`` appends only absent
         elements; ``"remove"`` deletes every occurrence of the update's
-        elements.  Array ops take an ARRAY-typed update column (wrap a
-        scalar in ``F.array``); a NULL update value leaves the stored
-        value unchanged for inc/add/remove (no-op), unlike set's
-        explicit set-to-null.
+        elements; ``"removeregex"`` deletes every element FULLY matching
+        any of the update's regex patterns (Java ``matches()``
+        anchoring, Solr's contract).  Array ops take an ARRAY-typed
+        update column (wrap a scalar in ``F.array``); a NULL update
+        value leaves the stored value unchanged for
+        inc/add/remove/removeregex (no-op), unlike set's explicit
+        set-to-null.
 
         Scale shape: identical to :meth:`merge_into` — only the shards the
         update keys route to are read and rewritten (partition-pruned join
@@ -638,7 +641,8 @@ class IndexJob:
                 "column — tokens are recomputed from the new value"
             )
         ops = dict(ops or {})
-        _OPS = ("set", "inc", "add", "add-distinct", "remove")
+        _OPS = ("set", "inc", "add", "add-distinct", "remove",
+                "removeregex")
         for c, op in ops.items():
             if c not in upd_cols:
                 raise ValueError(
@@ -730,13 +734,34 @@ class IndexJob:
                         uv.isNotNull(),
                         F.concat(base, F.array_except(uv, base)),
                     ).otherwise(sv)
-                else:  # remove
+                elif op == "remove":
                     # array_except would ALSO dedupe the survivors
                     # (Solr's remove keeps existing dups that aren't in
                     # the removal list) — filter preserves multiplicity
                     new = F.when(
                         uv.isNotNull() & sv.isNotNull(),
                         F.filter(sv, lambda x: ~F.array_contains(uv, x)),
+                    ).otherwise(sv)
+                else:  # removeregex
+                    # drop elements FULLY matching any update pattern
+                    # (Java matches() anchoring); survivors keep
+                    # multiplicity.  Non-foldable regex is fine —
+                    # regexp_like compiles per row only for the
+                    # (bounded) pattern list of a matched doc.
+                    def _any_rx(x, patterns=uv):
+                        return F.exists(
+                            patterns,
+                            lambda rx: F.regexp_like(
+                                x,
+                                F.concat(
+                                    F.lit("^(?:"), rx, F.lit(")$")
+                                ),
+                            ),
+                        )
+
+                    new = F.when(
+                        uv.isNotNull() & sv.isNotNull(),
+                        F.filter(sv, lambda x: ~_any_rx(x)),
                     ).otherwise(sv)
                 out_cols.append(
                     F.when(F.col("_matched"), new).otherwise(sv).alias(c)

@@ -3294,6 +3294,49 @@ def c6_atomic_update(spark, sf_dir):
 
 
 @_register(
+    "c6_atomic_removeregex",
+    """SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           list_filter(ARRAY[lang, source],
+                       x -> NOT regexp_matches(x, '^(?:e.*)$'))
+         ELSE ARRAY[lang, source] END AS tags
+       FROM documents""",
+    "Solr atomic-update removeregex: drop every multivalued element "
+    "FULLY matching any update pattern (Java matches() anchoring) on "
+    "every fifth doc through the O(touched) update path; survivors "
+    "keep multiplicity — the oracle applies the same filter as a "
+    "list_filter CASE",
+)
+def c6_atomic_removeregex(spark, sf_dir):
+    import tempfile
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig, read_index
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True),
+                Field("tags", "string", multi_valued=True)),
+        unique_key="id",
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.array("lang", "source").alias("tags"),
+    )
+    out = tempfile.mkdtemp(prefix="smrs_rmrx_") + "/idx"
+    job = IndexJob(
+        IndexJobConfig(schema=schema, shards=4, dedup="none", routing="native")
+    )
+    job.build(docs, out)
+    upd = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.array(F.lit("e.*")).alias("tags"),
+    )
+    job.update_fields(upd, out, ops={"tags": "removeregex"})
+    return read_index(spark, out).select(
+        F.col("id").cast("long").alias("doc_id"), "tags"
+    )
+
+
+@_register(
     "ext_spatial_bbox",
     """SELECT event_type,
               CAST(COUNT(*) AS BIGINT) AS n,

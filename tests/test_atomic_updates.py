@@ -431,6 +431,26 @@ class TestAtomicOps:
         assert rows["1"]["tags"] == ["a"]
         assert rows["3"]["tags"] == ["x"]  # untouched
 
+    def test_removeregex(self, spark, tmp_path):
+        path = str(tmp_path / "rmrx")
+        job = self._build(spark, path)
+        # full-match anchoring (Java matches()): 'a.*' removes 'a' but
+        # 'b' survives a pattern that merely CONTAINS-matches it
+        upd = spark.createDataFrame(
+            [("1", ["a.*"]), ("3", ["[yz]"])],
+            "id string, tags array<string>",
+        )
+        job.update_fields(upd, path, ops={"tags": "removeregex"})
+        rows = self._rows(spark, path)
+        assert rows["1"]["tags"] == ["b"]
+        assert rows["3"]["tags"] == ["x"]  # no full match -> untouched
+        # multiplicity preserved for survivors, NULL update is a no-op
+        upd2 = spark.createDataFrame(
+            [("1", None)], "id string, tags array<string>"
+        )
+        job.update_fields(upd2, path, ops={"tags": "removeregex"})
+        assert self._rows(spark, path)["1"]["tags"] == ["b"]
+
     def test_remove_on_insert_creates_empty(self, spark, tmp_path):
         path = str(tmp_path / "rmins")
         job = self._build(spark, path)
