@@ -1,6 +1,6 @@
 """Property-based tests (hypothesis): invariants that golden cases can't
 cover — vectorized/scalar hash parity on arbitrary unicode, routing range
-totality, dedup resolver laws."""
+totality, dedup resolver laws, complex-phrase window vs brute force."""
 
 import pandas as pd
 from hypothesis import given, settings
@@ -544,3 +544,70 @@ def test_local_params_total_on_arbitrary_text(q):
         except QuerySyntaxError:
             return
         assert out is not None and isinstance(out[1], dict)
+
+
+# -- complex-phrase ordered window vs brute force ----------------------------
+
+_CP_TOKENS = ["aa", "ab", "ba", "bb", "a"]
+_CP_GLOBS = ["a*", "?b", "b?", "*a", "a?b"]
+
+
+def _cp_ref(toks, patterns, slop):
+    """Independent brute force: any strictly-increasing position tuple
+    (one per pattern, in order) with total slack <= slop."""
+    import itertools
+    import re
+
+    from solr_map_reduce_spark.extensions.search import _glob_to_regex
+
+    pos = []
+    for kind, v in patterns:
+        if kind == "term":
+            pos.append([i for i, t in enumerate(toks) if t == v])
+        else:
+            # the reference strips the engine's anchors and fullmatches
+            # — if _glob_to_regex ever stopped anchoring, Spark's rlike
+            # (a find) would admit substring hits and diverge here
+            rx = re.compile(_glob_to_regex(v).strip("^$"))
+            pos.append([i for i, t in enumerate(toks) if rx.fullmatch(t)])
+    m = len(patterns)
+    for combo in itertools.product(*pos):
+        if all(a < b for a, b in zip(combo, combo[1:])) and (
+            combo[-1] - combo[0] - (m - 1) <= slop
+        ):
+            return True
+    return False
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.lists(st.sampled_from(_CP_TOKENS), min_size=0, max_size=10),
+             min_size=1, max_size=8),
+    st.lists(
+        st.one_of(
+            st.sampled_from(_CP_TOKENS).map(lambda t: ("term", t)),
+            st.sampled_from(_CP_GLOBS).map(lambda g: ("glob", g)),
+        ),
+        min_size=1, max_size=3,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_complex_phrase_matches_brute_force(docs, patterns, slop):
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.extensions.search import complex_phrase_match
+    from solr_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name="smrs-tests", master="local[4]",
+                      shuffle_partitions=4)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id int, toks array<string>"
+    )
+    got = sorted(
+        r["id"]
+        for r in df.filter(
+            complex_phrase_match(F.col("toks"), patterns, slop=slop)
+        ).collect()
+    )
+    want = sorted(i for i, d in enumerate(docs) if _cp_ref(d, patterns, slop))
+    assert got == want, (docs, patterns, slop)
