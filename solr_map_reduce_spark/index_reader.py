@@ -3181,6 +3181,106 @@ class SearchIndex:
             .limit(top)
         )
 
+    def spellcheck_collate(
+        self,
+        words: "Sequence[str]",
+        field: str | None = None,
+        max_collations: int = 5,
+        top: int = 3,
+        max_edits: int = 2,
+        max_tries: int = 10,
+    ) -> DataFrame:
+        """Solr ``spellcheck.collate`` (+ collateExtendedResults): whole-
+        query corrections with verified hit counts.  Words found in the
+        term dictionary stand; each misspelled word contributes its
+        ``top`` correction candidates (the :meth:`spellcheck` ranking);
+        candidate combinations (capped at ``max_tries`` — Solr's
+        maxCollationTries cost knob) are counted in ONE pass as
+        conditional aggregates over the Bloom-pruned scan, and
+        collations with hits are returned ranked hits desc.
+
+        Cost model: dictionary membership is a sidecar lookup (the
+        memoized ``_dfs_for``), candidate generation reads the KB-scale
+        vocabulary, and ALL collations share one scan whose per-doc work
+        is ``array_contains`` per distinct term — never a query per
+        collation.  Returns (collation, hits); empty when every word is
+        already in the dictionary (Solr collates only misspelled
+        input)."""
+        import itertools
+
+        if not words:
+            raise ValueError("spellcheck_collate needs at least one word")
+        analyzed: dict = self.manifest.get("analyzed", {})
+        fname = field or (
+            next(iter(analyzed)) if len(analyzed) == 1 else None
+        )
+        needles = []
+        for w in words:
+            toks = self.analyze_terms([w], fname)
+            needles.append(toks[0] if toks else w.lower())
+        stats = self._load_stats()
+        if stats and fname in stats:
+            dfs = self._dfs_for(fname, sorted(set(needles)))
+        else:
+            # no vocab sidecar: one bounded dictionary probe (same
+            # fallback the spellcheck ranking itself uses)
+            _f, vocab = self._term_dictionary(fname)
+            probe = sorted(set(needles))
+            dfs = {
+                r["term"]: r["df"]
+                for r in vocab.filter(F.col("term").isin(probe)).collect()
+            }
+        candidates: list[list[str]] = []
+        any_misspelled = False
+        for nd in needles:
+            if dfs.get(nd, 0) > 0:
+                candidates.append([nd])
+                continue
+            any_misspelled = True
+            sugg = [
+                r["suggestion"]
+                for r in self.spellcheck(
+                    nd, field=fname, top=top, max_edits=max_edits
+                ).collect()
+            ]
+            candidates.append(sugg)
+        empty = self.spark.createDataFrame(
+            [], "collation string, hits long"
+        )
+        if not any_misspelled:
+            return empty
+        combos = list(itertools.islice(
+            itertools.product(*candidates), max_tries
+        ))
+        if not combos:
+            return empty
+        tc = self._tokens_col(fname)
+        all_terms = sorted({t for c in combos for t in c})
+        # union-pruning is safe for per-collation ALL-terms counts: a
+        # doc matching every term of some collation carries at least
+        # one union term, so "any" never prunes a counted doc
+        scan = self._bloom_pruned(all_terms, fname, "any")
+        toks = F.col(tc)
+        aggs = []
+        for i, combo in enumerate(combos):
+            cond = None
+            for t in sorted(set(combo)):
+                c = F.array_contains(toks, t)
+                cond = c if cond is None else (cond & c)
+            aggs.append(
+                F.sum(cond.cast("long")).alias(f"_c{i}")
+            )
+        row = scan.agg(*aggs).collect()[0]
+        out = [
+            (" ".join(combo), int(row[f"_c{i}"] or 0))
+            for i, combo in enumerate(combos)
+        ]
+        out = [x for x in out if x[1] > 0]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return self.spark.createDataFrame(
+            out[:max_collations], "collation string, hits long"
+        )
+
     def highlight(
         self,
         terms: "Sequence[str]",

@@ -1838,6 +1838,48 @@ def c9_match_phrase(spark, sf_dir):
 
 
 @_register(
+    "c9_spellcheck_collate",
+    f"""WITH toks_t AS (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        vocab AS (
+          SELECT term, count(*) AS df FROM (
+            SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks_t)
+          GROUP BY term),
+        c1 AS (
+          SELECT term AS s FROM (
+            SELECT term, df, levenshtein(term, 'sprak') AS d FROM vocab
+            WHERE term <> 'sprak' AND abs(length(term) - 5) <= 2
+              AND levenshtein(term, 'sprak') <= 2
+            ORDER BY d, df DESC, term LIMIT 3)),
+        c2 AS (
+          SELECT term AS s FROM (
+            SELECT term, df, levenshtein(term, 'scn') AS d FROM vocab
+            WHERE term <> 'scn' AND abs(length(term) - 3) <= 2
+              AND levenshtein(term, 'scn') <= 2
+            ORDER BY d, df DESC, term LIMIT 3)),
+        combos AS (SELECT c1.s AS w1, c2.s AS w2 FROM c1 CROSS JOIN c2),
+        verified AS (
+          SELECT w1, w2,
+            (SELECT count(*) FROM toks_t t
+             WHERE list_contains(t.toks, w1)
+               AND list_contains(t.toks, w2)) AS hits
+          FROM combos)
+        SELECT w1 || ' ' || w2 AS "collation", CAST(hits AS BIGINT) AS hits
+        FROM verified WHERE hits > 0
+        ORDER BY hits DESC, "collation" LIMIT 5""",
+    "Solr spellcheck.collate (+collateExtendedResults): whole-query "
+    "corrections — per-word candidates from the dictionary sidecar "
+    "(dist asc, df desc), ALL candidate combinations hit-counted in "
+    "ONE conditional-aggregate pass over the Bloom-pruned scan (never "
+    "a query per collation), ranked hits desc",
+)
+def c9_spellcheck_collate(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).spellcheck_collate(
+        ["sprak", "scn"], max_collations=5, top=3
+    )
+
+
+@_register(
     "c9_complex_phrase",
     f"""SELECT doc_id FROM (
           SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)

@@ -1403,6 +1403,59 @@ class TestDismax:
         assert set(boosted) == set(base)
 
 
+class TestSpellcheckCollate:
+    """Round-9: spellcheck.collate — whole-query corrections with
+    verified hit counts, one conditional-aggregate pass for ALL
+    collations."""
+
+    @pytest.fixture(scope="class")
+    def sc(self, spark, tmp_path_factory):
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        from solr_map_reduce_spark.schema import Field, IndexSchema
+
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        docs = [("1", "spark scan fast"),
+                ("2", "spark shuffle"),
+                ("3", "spork scan")]
+        df = spark.createDataFrame(docs, "id string, text string")
+        out = str(tmp_path_factory.mktemp("sc") / "idx")
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none",
+                                search_stats=True)).build(df, out)
+        return SearchIndex.open(spark, out)
+
+    def test_collations_ranked_and_counted(self, sc):
+        rows = sc.spellcheck_collate(["sprak", "scan"]).collect()
+        got = [(r["collation"], r["hits"]) for r in rows]
+        # sprak -> spark (df 2) and spork (df 1), both edit distance 2;
+        # 'scan' is in the dictionary and stands.  Both collations have
+        # exactly one verified hit -> tie broken by collation asc
+        assert got == [("spark scan", 1), ("spork scan", 1)]
+
+    def test_all_words_present_returns_empty(self, sc):
+        assert sc.spellcheck_collate(["spark", "scan"]).count() == 0
+
+    def test_zero_hit_collations_drop(self, sc):
+        # 'shuffle' never co-occurs with spork: only the spark collation
+        # survives the verification count
+        rows = sc.spellcheck_collate(["sprak", "shuffle"]).collect()
+        assert [(r["collation"], r["hits"]) for r in rows] == [
+            ("spark shuffle", 1)]
+
+    def test_max_collations_caps_output(self, sc):
+        rows = sc.spellcheck_collate(["sprak", "scan"],
+                                     max_collations=1).collect()
+        assert len(rows) == 1 and rows[0]["collation"] == "spark scan"
+
+    def test_empty_words_is_loud(self, sc):
+        with pytest.raises(ValueError, match="at least one word"):
+            sc.spellcheck_collate([])
+
+
 class TestComplexPhrase:
     """Round-9: {!complexphrase} — phrases whose terms are wildcards,
     matched as an ordered positional window over stored tokens."""
