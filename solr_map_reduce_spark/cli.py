@@ -152,6 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "group.limit)")
     qry.add_argument("--spellcheck", default=None, metavar="TERM",
                      help="did-you-mean suggestions from the term dictionary")
+    qry.add_argument("--collate", default=None, metavar="WORDS", nargs="+",
+                     help="spellcheck.collate: whole-query corrections "
+                          "with verified hit counts (--limit caps "
+                          "collations)")
     qry.add_argument("--terms", default=None, metavar="PREFIX", const="",
                      nargs="?",
                      help="TermsComponent: enumerate indexed terms with df "
@@ -471,6 +475,7 @@ def main(argv: list[str] | None = None) -> int:
                     ("--group", args.group),
                     ("--cursor", args.cursor),
                     ("--spellcheck", args.spellcheck),
+                    ("--collate", args.collate),
                     ("--terms", args.terms),
                     ("--json-facet", args.json_facet),
                     ("--luke", args.luke),
@@ -524,6 +529,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(r.asDict(), default=str))
         elif args.spellcheck is not None:
             for r in idx.spellcheck(args.spellcheck, top=args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.collate is not None:
+            rows = idx.spellcheck_collate(
+                args.collate, max_collations=args.limit
+            ).collect()
+            for r in rows:
                 print(json.dumps(r.asDict(), default=str))
         elif args.terms is not None:
             rows = idx.terms(
