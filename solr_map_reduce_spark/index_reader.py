@@ -372,6 +372,8 @@ class SearchIndex:
         filters: "Mapping[str, object] | None" = None,
         exclude: "str | Sequence[str] | None" = None,
         prefix: str | None = None,
+        contains: str | None = None, contains_ignore_case: bool = False,
+        matches: str | None = None,
         mincount: int = 0, offset: int = 0,
     ) -> DataFrame:
         """Value counts of ``field`` — over the whole collection, or
@@ -382,6 +384,11 @@ class SearchIndex:
         value instead of by count (Solr ``facet.sort=index``);
         ``prefix`` counts only values starting with it (``facet.prefix``,
         one extra scan predicate — the missing bucket is independent);
+        ``contains``/``contains_ignore_case`` restrict to values
+        containing a substring (``facet.contains`` /
+        ``facet.contains.ignoreCase``) and ``matches`` to values FULLY
+        matching a regex (``facet.matches``, Java ``matches()``
+        anchoring) — all compose as further scan predicates;
         ``mincount`` drops buckets below the floor (``facet.mincount``,
         a HAVING filter on the aggregate); ``offset`` skips leading
         buckets (``facet.offset``, facet paging — combine with ``top``).
@@ -414,12 +421,30 @@ class SearchIndex:
                     if isinstance(fval, (list, tuple, set))
                     else col == fval
                 )
+        # Solr's bucket-value restrictions (facet.prefix / facet.contains
+        # [+containsIgnoreCase] / facet.matches): each is one extra scan
+        # predicate; the missing bucket, when asked for, is independent
+        # (Solr counts facet.missing regardless of value restrictions)
+        keep = None
         if prefix is not None:
-            # Solr facet.prefix: only terms starting with the prefix are
-            # counted (a raw value startswith — one extra scan predicate);
-            # the missing bucket, when asked for, is unaffected (Solr
-            # counts facet.missing independently of facet.prefix)
             keep = F.col(field).startswith(prefix)
+        if contains is not None:
+            c = (
+                F.lower(F.col(field).cast("string")).contains(
+                    contains.lower()
+                )
+                if contains_ignore_case
+                else F.col(field).cast("string").contains(contains)
+            )
+            keep = c if keep is None else keep & c
+        if matches is not None:
+            # Solr facet.matches is a FULL-match regex (Java matches())
+            m = F.regexp_like(
+                F.col(field).cast("string"),
+                F.lit(f"^(?:{matches})$"),
+            )
+            keep = m if keep is None else keep & m
+        if keep is not None:
             scan = scan.filter(
                 keep | F.col(field).isNull() if missing else keep
             )

@@ -2652,6 +2652,23 @@ def c9_facet_prefix(spark, sf_dir):
 
 
 @_register(
+    "c9_facet_matches",
+    """SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents
+       WHERE regexp_matches(source, '^(?:src.[02468])$')
+         AND contains(source, 'rc')
+       GROUP BY source ORDER BY source""",
+    "Solr facet.matches + facet.contains: bucket values restricted to "
+    "a FULL-match regex (Java matches() anchoring — 'src?[02468]' "
+    "admits only two-digit-even sources) composed with a substring "
+    "restriction; each is one extra scan predicate",
+)
+def c9_facet_matches(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).facet(
+        "source", matches="src.[02468]", contains="rc", sort="index"
+    )
+
+
+@_register(
     "c9_qop_and",
     f"""SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
         WHERE list_contains(t, 'spark') AND list_contains(t, 'data')""",

@@ -204,6 +204,22 @@ class TestFacetOptions:
         withm = {r["g"]: r["cnt"]
                  for r in idx.facet("g", prefix="ap", missing=True).collect()}
         assert withm == {"apple": 1, "apricot": 1, None: 1}
+        # facet.contains / facet.contains.ignoreCase
+        got = {r["g"] for r in idx.facet("g", contains="an").collect()}
+        assert got == {"banana"}
+        got = {r["g"] for r in idx.facet(
+            "g", contains="AN", contains_ignore_case=True).collect()}
+        assert got == {"banana"}
+        assert not idx.facet("g", contains="AN").collect()
+        # facet.matches: FULL-match regex (Java matches() anchoring) —
+        # 'ap.' must not contains-match apple/apricot
+        got = {r["g"] for r in idx.facet("g", matches="ap.*").collect()}
+        assert got == {"apple", "apricot"}
+        assert not idx.facet("g", matches="ap.").collect()
+        # restrictions compose; missing stays independent
+        withm = {r["g"] for r in idx.facet(
+            "g", prefix="ap", matches=".*ot", missing=True).collect()}
+        assert withm == {"apricot", None}
 
 
 class TestPivotStats:
