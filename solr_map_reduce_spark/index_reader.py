@@ -3140,17 +3140,33 @@ class SearchIndex:
         return vocab.orderBy(*order).limit(limit)
 
     def suggest(
-        self, prefix: str, field: str | None = None, top: int = 10
+        self, prefix: str, field: str | None = None, top: int = 10,
+        infix: bool = False,
     ) -> DataFrame:
-        """Prefix autocomplete — the Solr suggester analog, served from the
+        """Autocomplete — the Solr suggester analog, served from the
         stored term dictionary (``_vocab/``) when present: a predicate-
-        pushdown ``startswith`` scan of a KB-scale parquet + TakeOrdered,
-        ranked by document frequency.  Falls back to one explode/groupBy
-        pass over the stored token column."""
+        pushdown scan of a KB-scale parquet + TakeOrdered, ranked by
+        document frequency.  Falls back to one explode/groupBy pass over
+        the stored token column.
+
+        ``infix=False`` (default) is the prefix lookup (Solr's
+        FuzzyLookup family); ``infix=True`` matches the needle ANYWHERE
+        in the term — Solr's default AnalyzingInfixSuggester contract —
+        with prefix hits ranked ABOVE pure-infix hits at equal df (the
+        infix suggester's own prefix preference)."""
         _fname, vocab = self._term_dictionary(field)
+        if not infix:
+            return (
+                vocab.filter(F.col("term").startswith(prefix))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(top)
+            )
         return (
-            vocab.filter(F.col("term").startswith(prefix))
-            .orderBy(F.desc("df"), F.asc("term"))
+            vocab.filter(F.col("term").contains(prefix))
+            .orderBy(
+                F.col("term").startswith(prefix).desc(),
+                F.desc("df"), F.asc("term"),
+            )
             .limit(top)
         )
 

@@ -2798,6 +2798,26 @@ def c9_suggest(spark, sf_dir):
 
 
 @_register(
+    "c9_suggest_infix",
+    f"""WITH toks AS (
+          SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents
+        ), u AS (SELECT unnest(t) AS term FROM toks),
+        v AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM u
+              GROUP BY term)
+        SELECT term, df FROM v WHERE contains(term, 'ar')
+        ORDER BY (term LIKE 'ar%') DESC, df DESC, term LIMIT 10""",
+    "infix autocomplete (Solr's default AnalyzingInfixSuggester "
+    "contract): the needle matches ANYWHERE in the term, prefix hits "
+    "ranked above pure-infix hits — still a pushdown dictionary scan + "
+    "TakeOrdered, never a corpus pass",
+)
+def c9_suggest_infix(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).suggest(
+        "ar", top=10, infix=True
+    )
+
+
+@_register(
     "c9_interval_facet",
     f"""WITH toks AS (
           SELECT doc_id, n_chars, {_TOKS_SQL} AS t FROM documents
