@@ -374,6 +374,7 @@ class SearchIndex:
         prefix: str | None = None,
         contains: str | None = None, contains_ignore_case: bool = False,
         matches: str | None = None,
+        exclude_terms: "Sequence[str] | None" = None,
         mincount: int = 0, offset: int = 0,
     ) -> DataFrame:
         """Value counts of ``field`` — over the whole collection, or
@@ -388,7 +389,9 @@ class SearchIndex:
         containing a substring (``facet.contains`` /
         ``facet.contains.ignoreCase``) and ``matches`` to values FULLY
         matching a regex (``facet.matches``, Java ``matches()``
-        anchoring) — all compose as further scan predicates;
+        anchoring), and ``exclude_terms`` drops listed bucket values
+        (``facet.excludeTerms``) — all compose as further scan
+        predicates;
         ``mincount`` drops buckets below the floor (``facet.mincount``,
         a HAVING filter on the aggregate); ``offset`` skips leading
         buckets (``facet.offset``, facet paging — combine with ``top``).
@@ -444,6 +447,12 @@ class SearchIndex:
                 F.lit(f"^(?:{matches})$"),
             )
             keep = m if keep is None else keep & m
+        if exclude_terms:
+            # Solr facet.excludeTerms: drop the listed bucket VALUES
+            e = ~F.col(field).cast("string").isin(
+                [str(t) for t in exclude_terms]
+            )
+            keep = e if keep is None else keep & e
         if keep is not None:
             scan = scan.filter(
                 keep | F.col(field).isNull() if missing else keep
@@ -1676,6 +1685,7 @@ class SearchIndex:
         q: str | None = None,
         query_field: str | None = None,
         select: Sequence[str] | None = None,
+        ngroups: bool = False,
     ) -> DataFrame:
         """Solr result grouping / field collapse (``group.field`` /
         ``group.limit``): the top ``group_limit`` docs per distinct
@@ -1683,7 +1693,10 @@ class SearchIndex:
         (Solr's contract), ``limit`` = number of groups returned.  One
         window over the grouping shuffle — no self-join, no collect.
         Output adds ``n_in_group`` (Solr's per-group numFound) and ``_rk``
-        (1-based position within the group)."""
+        (1-based position within the group); ``ngroups=True`` adds
+        Solr's ``group.ngroups`` — the TOTAL matched group count,
+        limit-independent, as one map-side-combined countDistinct row
+        broadcast-crossJoined on (the scalar-subquery shape)."""
         from pyspark.sql import Window
 
         scan = self._query_scan(q, query_field) if q is not None else self.df()
@@ -1722,12 +1735,25 @@ class SearchIndex:
                 out[group_field].eqNullSafe(F.col("_tg_key")),
                 "left_semi",
             )
+        if ngroups:
+            ng = scan.agg(
+                F.countDistinct(group_field).alias("_ng"),
+                F.max(F.col(group_field).isNull().cast("int")).alias("_hn"),
+            ).select(
+                # countDistinct skips NULL; Solr counts the null group
+                (F.col("_ng") + F.coalesce(F.col("_hn"), F.lit(0)))
+                .cast("long").alias("ngroups")
+            )
+            out = out.crossJoin(F.broadcast(ng))
         head_order = (
             F.desc("_head") if s_dir.lower().startswith("desc") else F.asc("_head")
         )
         out = out.orderBy(head_order, F.asc(group_field), F.asc("_rk")).drop("_head")
         if select:
-            out = out.select(group_field, "n_in_group", "_rk", *select)
+            cols = [group_field, "n_in_group", "_rk", *select]
+            if ngroups:
+                cols.append("ngroups")
+            out = out.select(*cols)
         return out
 
     def _collapse_metric_col(self, expr: str) -> F.Column:

@@ -335,6 +335,17 @@ class TestGrouped:
         assert len(got) == 4  # 2 groups x 2 docs
         assert list(got[0].asDict()) == ["grp", "n_in_group", "_rk", "id", "num"]
 
+    def test_ngroups_is_limit_independent(self, idx):
+        got = idx.grouped("grp", sort=("num", "desc"), group_limit=1,
+                          limit=2, ngroups=True).collect()
+        assert len(got) == 2           # limit caps the returned groups
+        assert all(r["ngroups"] == 3 for r in got)  # total matched groups
+
+    def test_facet_exclude_terms(self, idx):
+        vals = {r["grp"] for r in idx.facet(
+            "grp", exclude_terms=["a"]).collect()}
+        assert "a" not in vals and vals
+
     def test_group_limit_plan_has_no_global_window(self, idx):
         # the top-`limit` group cut is TakeOrdered + broadcast semi-join,
         # never a single-partition dense_rank window over every group
