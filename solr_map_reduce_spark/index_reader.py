@@ -2569,6 +2569,33 @@ class SearchIndex:
                 .limit(topk)
                 .drop("_knn_score")
             )
+        if qtype == "mlt":
+            # Solr MLTQParser ({!mlt qf=f mintf=N mindf=N maxdftopk=K}id):
+            # documents similar to the given doc — the engine's
+            # more_like_this (tf·idf interesting-term selection from the
+            # dictionary sidecar, BM25 over them, source excluded), a
+            # per-document operation that never scans the corpus.  The
+            # matched keys semi-join back to full rows so {!mlt}
+            # composes like every other local-params query.
+            key = inner.strip()
+            if not key:
+                raise search.QuerySyntaxError("{!mlt} needs a document id")
+            mlt_kw: dict = {}
+            if "qf" in params:
+                mlt_kw["field"] = params["qf"]
+            if "mintf" in params:
+                # engine selection is tf·idf-ranked; mintf maps onto the
+                # term-count cap family
+                mlt_kw["max_terms"] = max(int(params.get(
+                    "maxqt", params.get("maxdfterms", 10))), 1)
+            if "mindf" in params:
+                mlt_kw["min_df"] = int(params["mindf"])
+            k = int(params.get("topk", params.get("rows", 10)))
+            hits = self.more_like_this(key, k=k, **mlt_kw)
+            return self.df().join(
+                F.broadcast(hits.select(self.unique_key)),
+                on=self.unique_key, how="left_semi",
+            )
         if qtype == "complexphrase":
             # Lucene ComplexPhraseQueryParser ({!complexphrase
             # inOrder=true}field:"jo* smyth*"~N): a phrase whose terms
@@ -2720,7 +2747,7 @@ class SearchIndex:
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
             "supported: join, parent, child, terms, prefix, field, "
-            "frange, knn, collapse, graph, complexphrase"
+            "frange, knn, collapse, graph, complexphrase, mlt"
         )
 
     def query(

@@ -1517,6 +1517,19 @@ class TestComplexPhrase:
         with pytest.raises(QuerySyntaxError, match="body must be"):
             cp.search(q="{!complexphrase}text:nophrase")
 
+    def test_mlt_qparser(self, cp):
+        # {!mlt}1 returns docs similar to doc 1 (shared 'john'/'smith'
+        # terms), the source itself excluded, composable full rows
+        got = sorted(
+            r["id"] for r in cp.search(q="{!mlt}1", select=["id"]).collect()
+        )
+        assert "1" not in got and got  # similar docs, source excluded
+        assert set(got) <= {"2", "3", "4", "5"}
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="document id"):
+            cp.search(q="{!mlt}")
+
 
 class TestGeneralWildcards:
     """Round-8: full Lucene WildcardQuery globs (? one char, * any run,
