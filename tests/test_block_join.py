@@ -73,7 +73,7 @@ class TestBlockJoin:
         with pytest.raises(QuerySyntaxError, match="which="):
             nidx.query("{!parent}num:5")
         with pytest.raises(QuerySyntaxError, match="unsupported"):
-            nidx.query("{!mlt}x")
+            nidx.query("{!surround}x")
         with pytest.raises(QuerySyntaxError, match="malformed"):
             nidx.query("{!parent which=kind:parent oops")
 
