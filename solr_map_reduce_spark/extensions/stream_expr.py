@@ -2066,6 +2066,11 @@ class StreamCompiler:
         if not rows:
             raise QuerySyntaxError("classify(): the model stream is empty")
         r = rows[0].asDict()
+        if not all(k in r for k in ("terms", "weights", "idfs")):
+            raise QuerySyntaxError(
+                "classify(): the model stream must carry terms/weights/"
+                f"idfs (train()'s tuple shape); got {sorted(r)}"
+            )
         model = {
             "name": r.get("name"),
             "terms": list(r["terms"]),

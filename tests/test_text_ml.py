@@ -244,3 +244,8 @@ class TestStreamDSL:
                 'classify(model(models, id="ghost"), search(docs), '
                 "field=text)"
             )
+        with pytest.raises(QuerySyntaxError, match="tuple shape"):
+            comp.run(
+                'classify(tuple(name="m", iteration=1), search(docs), '
+                "field=text)"
+            )
