@@ -1984,8 +1984,8 @@ class StreamCompiler:
     def _c_features(self, node: Call):
         """Solr features(collection, q=, field=, outcome=, numTerms=,
         positiveLabel=, minDocFreq=): information-gain term selection —
-        ONE rollup aggregation (per-term df/pos-df and the grand totals
-        share the shuffle), TakeOrdered top-N.  Formulas pinned in
+        one map-side-combined groupBy(term) plus a broadcast 1-row
+        totals aggregate, TakeOrdered top-N.  Formulas pinned in
         extensions/text_ml.py."""
         from solr_map_reduce_spark.extensions import text_ml
 

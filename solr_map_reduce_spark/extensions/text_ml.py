@@ -27,10 +27,13 @@ undocumented constants):
 
 Scale shape (the part that must survive 100 TB):
 
-- ``select_features``: ONE aggregation — a ``rollup`` over the exploded
-  (doc, distinct-term) pairs yields per-term (df, positive-df) AND the
-  grand-total (n_docs, n_pos) in the same shuffle (the
-  ``significantTerms`` shape); the top-N cut is TakeOrdered.
+- ``select_features``: one map-side-combined groupBy(term) over the
+  exploded (doc, distinct-term) pairs (the shuffle is bounded by the
+  vocabulary) plus a 1-row (n_docs, n_pos) scalar aggregate over the
+  same pruned scan, broadcast-crossJoined on; the top-N cut is
+  TakeOrdered.  (A rollup-with-countDistinct single pass would pay
+  Catalyst's distinct Expand ×3 over every exploded pair — measured
+  strictly worse than the second scalar pass.)
 - ``train_logistic``: per iteration ONE map-only pass (the margin is a
   ``F.aggregate`` fold over the feature-intersected token array against
   a broadcast weight-map literal — no join, no shuffle) plus ONE
@@ -89,29 +92,29 @@ def select_features(
     fg = src._query_scan(q) if q != "*:*" else src.df()
     tc = src._tokens_col(field)
     y = _outcome_col(outcome, positive_label)
-    # ONE pass: rollup over (doc, distinct-term) pairs — per-term rows
-    # (gid 0) give df/pos_df, the grand row (gid 1) gives n/p via
-    # countDistinct; explode_outer keeps token-less docs in the totals.
+    # Two map-side-combined aggregations over the same pruned scan: the
+    # per-term (df, pos-df) groupBy (ONE exchange, bounded by the
+    # vocabulary after map-side combine) and a 1-row (n_docs, n_pos)
+    # doc-count broadcast-crossJoined on.  A single rollup with
+    # countDistinct totals would pay Catalyst's distinct Expand (×3
+    # rows through the exploded pairs) — strictly worse than this
+    # second scalar pass over the column-pruned scan.
     pairs = fg.select(
-        F.col(src.unique_key).alias("_doc"),
         y.alias("_y"),
-        F.explode_outer(F.array_distinct(src._real_toks(tc))).alias("term"),
+        F.explode(F.array_distinct(src._real_toks(tc))).alias("term"),
     )
-    agg = pairs.rollup("term").agg(
+    agg = pairs.groupBy("term").agg(
         F.count(F.lit(1)).alias("_df"),
         F.sum("_y").alias("_pos"),
-        F.countDistinct("_doc").alias("_n"),
-        F.countDistinct(F.when(F.col("_y") == 1, F.col("_doc"))).alias("_p"),
-        F.grouping_id().alias("_gid"),
     )
     totals = F.broadcast(
-        agg.filter(F.col("_gid") == 1).select(
-            F.col("_n").cast("double").alias("_nd"),
-            F.col("_p").cast("double").alias("_pd"),
+        fg.agg(
+            F.count(F.lit(1)).cast("double").alias("_nd"),
+            F.coalesce(F.sum(y), F.lit(0)).cast("double").alias("_pd"),
         )
     )
     terms = (
-        agg.filter((F.col("_gid") == 0) & F.col("term").isNotNull())
+        agg.filter(F.col("term").isNotNull())
         .filter(F.col("_df") >= int(min_df))
         .select(
             "term",

@@ -6099,8 +6099,8 @@ _IG_H = (
         FROM scored
         ORDER BY round(ig,10) DESC, term ASC LIMIT 10""",
     "Solr features(): information-gain term selection for predicting "
-    "lang='en' — ONE rollup aggregation (per-term df/pos-df AND the "
-    "grand totals share the shuffle, the significantTerms shape), "
+    "lang='en' — one map-side-combined groupBy(term) (shuffle bounded "
+    "by the vocabulary) + a broadcast 1-row totals aggregate, "
     "TakeOrdered top-N, index over the bounded result only",
 )
 def ext_features_ig(spark, sf_dir):

@@ -80,6 +80,17 @@ class TestFeatures:
         assert [r["term"] for r in rows] == ["noise", "signal"]
         assert [r["index"] for r in rows] == [0, 1]
 
+    def test_plan_shape(self, idx):
+        # groupBy(term) + broadcast 1-row totals + TakeOrdered — and no
+        # distinct-aggregate Expand (the rejected rollup shape would
+        # triple every exploded pair)
+        plan = (
+            text_ml.select_features(idx, outcome="label", num_terms=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Expand" not in plan
+        assert "TakeOrderedAndProject" in plan
+
     def test_min_df_and_q_domain(self, idx):
         rows = text_ml.select_features(
             idx, outcome="label", num_terms=10, min_df=2
