@@ -1517,6 +1517,17 @@ class TestComplexPhrase:
         with pytest.raises(QuerySyntaxError, match="body must be"):
             cp.search(q="{!complexphrase}text:nophrase")
 
+    def test_plan_is_shuffle_free_codegen(self, cp):
+        # the ordered-window predicate is higher-order array functions
+        # over the stored tokens: no Exchange, no Python, at any scale
+        plan = (
+            cp.search(q='{!complexphrase}text:"jo* smith"',
+                      select=["id"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
     def test_mlt_qparser(self, cp):
         # {!mlt}1 returns docs similar to doc 1 (shared 'john'/'smith'
         # terms), the source itself excluded, composable full rows

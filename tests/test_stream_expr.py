@@ -450,6 +450,23 @@ class TestCompile:
         with pytest.raises(QuerySyntaxError, match="'node' column"):
             c.run("scoreNodes(search(people), collection=mgrs, "
                   "field=director)")
+        # plan shape AFTER execution (AQE final): the docFreq
+        # restriction and the enrich join broadcast the bounded node
+        # side — no sort-merge join of the collection survives runtime
+        # re-planning (nodes()'s frontier join is AQE-broadcast; the
+        # scoreNodes joins carry explicit hints)
+        df = c.run(
+            'scoreNodes(nodes(mgrs, search(people), walk="mgr->mid", '
+            'gather="director", count(*)))'
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # AQE's toString appends the pre-runtime "Initial Plan" section
+        # — judge the FINAL plan only
+        final = plan.split("Initial Plan", 1)[0]
+        assert "SortMergeJoin" not in final
+        assert "BroadcastHashJoin" in final and "LeftSemi" in final
 
     def test_shortest_path(self, spark):
         # a -> b -> d and a -> c -> d (two shortest), plus a longer
