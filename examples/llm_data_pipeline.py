@@ -101,6 +101,47 @@ def main() -> None:
         )
     )
 
+    # 3a. model-based quality: distill the heuristic gate into a
+    # logistic classifier over text features (the fasttext-style
+    # quality-classifier recipe) — IG feature selection + batch GD
+    # training (one map pass + one tiny groupBy per iteration), then a
+    # MAP-ONLY classify over every doc; at 100 TB the classifier costs
+    # one codegen Column per row
+    import tempfile as _tf
+
+    from solr_map_reduce_spark.extensions import text_ml
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    lbl = docs.withColumn(
+        "label", (F.col("quality_score") > 0.3).cast("long")
+    ).select("doc_id", "text", "label")
+    qidx_path = _tf.mkdtemp(prefix="llm_quality_idx_") + "/idx"
+    IndexJob(IndexJobConfig(
+        schema=IndexSchema(
+            fields=(Field("doc_id", "long", required=True),
+                    Field("text", "text_general"),
+                    Field("label", "long")),
+            unique_key="doc_id"),
+        shards=2, dedup="none",
+    )).build(lbl, qidx_path)
+    qidx = SearchIndex.open(spark, qidx_path)
+    feats = text_ml.select_features(qidx, outcome="label", num_terms=30)
+    model_rows = text_ml.train_logistic(
+        qidx, feats, outcome="label", max_iterations=5, name="quality"
+    ).orderBy("iteration").collect()
+    final = model_rows[-1]
+    print(f"quality classifier: error {final['error']:.4f}, "
+          f"accuracy {final['accuracy']:.3f} after {len(model_rows)} iters")
+    scored = text_ml.classify_df(
+        qidx.df(), qidx._real_toks(qidx._tokens_col()),
+        {"name": "quality", "terms": list(final["terms"]),
+         "weights": list(final["weights"]), "idfs": list(final["idfs"])},
+    ).select("doc_id", "probability")
+    docs = docs.join(scored, "doc_id").filter(F.col("probability") > 0.5) \
+        .drop("probability")
+
     # 3b. per-source cap: keep at most 15 best docs per source (the
     # per-domain cap of web curation — deterministic, unlike sampling)
     docs = text_analysis.cap_per_group(
