@@ -2596,6 +2596,63 @@ class SearchIndex:
                 F.broadcast(hits.select(self.unique_key)),
                 on=self.unique_key, how="left_semi",
             )
+        if qtype == "surround":
+            # Lucene SurroundQueryParser, the ordered-W subset:
+            # {!surround}[field:]Nw(a, b*, c) and the binary infix
+            # {!surround}[field:]a Nw b — terms in order with total
+            # slack <= N-1 over the stored positions (N=1/w = adjacent;
+            # our pinned mapping of surround's "within N words, in
+            # order"), wildcard operands as anchored-regex position
+            # filters.  Surround does NOT analyze its operands
+            # (Lucene's raw parser) — lowercase-only normalization.
+            # The unordered N operator has no ordered-witness
+            # equivalent here — loud.
+            import re as _re
+
+            body = inner.strip()
+            if not body:
+                raise search.QuerySyntaxError("{!surround} needs a query")
+            m = _re.match(
+                r"^(?:([\w.]+):)?(\d*)([wWnN])\(([^)]*)\)$", body
+            )
+            if m:
+                fname, n_raw, op_, arglist = m.groups()
+                args = [a.strip() for a in arglist.split(",") if a.strip()]
+            else:
+                m = _re.match(
+                    r"^(?:([\w.]+):)?(\S+)\s+(\d*)([wWnN])\s+(\S+)$", body
+                )
+                if not m:
+                    raise search.QuerySyntaxError(
+                        "{!surround} supports Nw(a, b, ...) and the "
+                        f"binary infix 'a Nw b'; got {body!r}"
+                    )
+                fname, lhs, n_raw, op_, rhs = m.groups()
+                args = [lhs, rhs]
+            if op_ in ("n", "N"):
+                raise search.QuerySyntaxError(
+                    "{!surround} N (unordered proximity) is not "
+                    "supported; the ordered contract is W"
+                )
+            if len(args) < 2:
+                raise search.QuerySyntaxError(
+                    "{!surround} W takes at least two operands"
+                )
+            n_ = int(n_raw) if n_raw else 1
+            if n_ < 1:
+                raise search.QuerySyntaxError(
+                    "{!surround} distance must be >= 1"
+                )
+            fname = fname or field
+            tc = self._tokens_col(fname)
+            patterns = [
+                ("glob" if ("*" in a or "?" in a) else "term", a.lower())
+                for a in args
+            ]
+            pred = search.complex_phrase_match(
+                F.col(tc), patterns, slop=n_ - 1
+            )
+            return self.df().filter(pred)
         if qtype == "complexphrase":
             # Lucene ComplexPhraseQueryParser ({!complexphrase
             # inOrder=true}field:"jo* smyth*"~N): a phrase whose terms
@@ -2747,7 +2804,7 @@ class SearchIndex:
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
             "supported: join, parent, child, terms, prefix, field, "
-            "frange, knn, collapse, graph, complexphrase, mlt"
+            "frange, knn, collapse, graph, complexphrase, mlt, surround"
         )
 
     def query(

@@ -1898,6 +1898,26 @@ def c9_complex_phrase(spark, sf_dir):
 
 
 @_register(
+    "c9_surround_w",
+    f"""SELECT doc_id FROM (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        WHERE len(list_filter(range(1, len(toks)),
+              i -> regexp_matches(toks[i], '^ha.*$')
+                   AND (coalesce(toks[i+1] = 'join', false)
+                        OR coalesce(toks[i+2] = 'join', false)))) > 0""",
+    "Lucene {!surround} ordered-W subset (2w(ha*, join)): terms in "
+    "order with total slack <= N-1 over stored positions — the same "
+    "greedy earliest-witness window as complexphrase, wildcard "
+    "operands as anchored-regex position filters, raw (unanalyzed) "
+    "lowercase operands per Lucene's surround parser",
+)
+def c9_surround_w(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).search(
+        q="{!surround}text:2w(ha*, join)", select=["doc_id"]
+    )
+
+
+@_register(
     "c9_prefix_match",
     f"""SELECT doc_id FROM (
           SELECT doc_id, ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS hay

@@ -73,7 +73,7 @@ class TestBlockJoin:
         with pytest.raises(QuerySyntaxError, match="which="):
             nidx.query("{!parent}num:5")
         with pytest.raises(QuerySyntaxError, match="unsupported"):
-            nidx.query("{!surround}x")
+            nidx.query("{!xmlparser}x")
         with pytest.raises(QuerySyntaxError, match="malformed"):
             nidx.query("{!parent which=kind:parent oops")
 

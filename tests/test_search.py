@@ -1517,6 +1517,27 @@ class TestComplexPhrase:
         with pytest.raises(QuerySyntaxError, match="body must be"):
             cp.search(q="{!complexphrase}text:nophrase")
 
+    def test_surround_ordered_w(self, cp):
+        # prefix form: w() is adjacency; 2w() allows one gap
+        assert self.ids(cp, "{!surround}text:w(jo*, smith)") == ["1", "4"]
+        assert self.ids(cp, "{!surround}text:2w(jo*, smith)") == [
+            "1", "4", "5"]
+        # binary infix form compiles to the same window
+        assert self.ids(cp, "{!surround}text:jo* 2w smith") == [
+            "1", "4", "5"]
+        # three operands share one window; case-insensitive raw terms
+        assert self.ids(cp, "{!surround}text:w(JOHN, smith, works)") == ["1"]
+
+    def test_surround_errors_are_loud(self, cp):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="unordered"):
+            cp.search(q="{!surround}text:3n(a, b)")
+        with pytest.raises(QuerySyntaxError, match="two operands"):
+            cp.search(q="{!surround}text:2w(solo)")
+        with pytest.raises(QuerySyntaxError, match="supports"):
+            cp.search(q="{!surround}text:a AND b")
+
     def test_plan_is_shuffle_free_codegen(self, cp):
         # the ordered-window predicate is higher-order array functions
         # over the stored tokens: no Exchange, no Python, at any scale
