@@ -635,7 +635,13 @@ def parse_local_params(q: str):
     for k, v in _LOCAL_PARAM_KV_RE.findall(raw):
         if v and v[0] in "'\"" and v[-1] == v[0]:
             v = v[1:-1]
-        params[k] = v
+        if k in params:
+            # Solr local params repeat keys ({!bool must='a' must='b'});
+            # a repeated key becomes a list, a single one stays a str
+            prev = params[k]
+            params[k] = (prev if isinstance(prev, list) else [prev]) + [v]
+        else:
+            params[k] = v
     return qtype, params, rest
 
 

@@ -2596,6 +2596,53 @@ class SearchIndex:
                 F.broadcast(hits.select(self.unique_key)),
                 on=self.unique_key, how="left_semi",
             )
+        if qtype == "bool":
+            # Solr BoolQParser ({!bool must='q' must_not='q' should='q'
+            # filter='q'}, each repeatable as a list): Lucene
+            # BooleanQuery match semantics — every must/filter clause
+            # holds, no must_not holds, and when NO must/filter exists
+            # at least one should must hold (with musts present,
+            # shoulds are scoring-only and do not restrict matching).
+            # Every clause compiles through the SAME predicate compiler
+            # onto one scan lineage — {!bool} adds zero scans.
+            def _clauses(name: str) -> list:
+                v = params.get(name)
+                if v is None:
+                    return []
+                return v if isinstance(v, list) else [v]
+
+            musts = _clauses("must") + _clauses("filter")
+            shoulds = _clauses("should")
+            nots = _clauses("must_not")
+            if not (musts or shoulds or nots):
+                raise search.QuerySyntaxError(
+                    "{!bool} needs at least one must=/should=/"
+                    "must_not=/filter= clause"
+                )
+            pred = None
+
+            def _and(p, c):
+                return c if p is None else p & c
+
+            for c_ in musts:
+                cp_, _i, _f = self._compile_predicate(
+                    c_, field, synonyms, op
+                )
+                pred = _and(pred, cp_)
+            for c_ in nots:
+                cp_, _i, _f = self._compile_predicate(
+                    c_, field, synonyms, op
+                )
+                pred = _and(pred, ~F.coalesce(cp_, F.lit(False)))
+            if shoulds and not musts:
+                sp = None
+                for c_ in shoulds:
+                    cp_, _i, _f = self._compile_predicate(
+                        c_, field, synonyms, op
+                    )
+                    sp = cp_ if sp is None else (sp | cp_)
+                pred = _and(pred, sp)
+            return self.df().filter(pred)
         if qtype == "surround":
             # Lucene SurroundQueryParser, the ordered-W subset:
             # {!surround}[field:]Nw(a, b*, c) and the binary infix
@@ -2804,7 +2851,8 @@ class SearchIndex:
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
             "supported: join, parent, child, terms, prefix, field, "
-            "frange, knn, collapse, graph, complexphrase, mlt, surround"
+            "frange, knn, collapse, graph, complexphrase, mlt, surround, "
+            "bool"
         )
 
     def query(

@@ -1898,6 +1898,25 @@ def c9_complex_phrase(spark, sf_dir):
 
 
 @_register(
+    "c9_bool_query",
+    f"""SELECT doc_id FROM (
+          SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
+        WHERE list_contains(t, 'spark') AND lang = 'en'
+          AND NOT list_contains(t, 'slow')""",
+    "Solr BoolQParser ({!bool must= must= must_not=}): Lucene "
+    "BooleanQuery match semantics — every clause compiles through the "
+    "same predicate compiler onto ONE scan lineage, zero extra scans; "
+    "repeated local-params keys conjoin",
+)
+def c9_bool_query(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).search(
+        q="{!bool must='text:spark' must='lang:en' "
+          "must_not='text:slow'}",
+        select=["doc_id"],
+    )
+
+
+@_register(
     "c9_surround_w",
     f"""SELECT doc_id FROM (
           SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)

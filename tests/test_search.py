@@ -1517,6 +1517,28 @@ class TestComplexPhrase:
         with pytest.raises(QuerySyntaxError, match="body must be"):
             cp.search(q="{!complexphrase}text:nophrase")
 
+    def test_bool_qparser(self, cp):
+        # must + must_not: BooleanQuery match semantics on one scan
+        assert self.ids(
+            cp, "{!bool must='text:smith' must_not='text:works'}"
+        ) == ["3", "4", "5"]
+        # repeated must keys conjoin
+        assert self.ids(
+            cp, "{!bool must='text:john' must='text:smith'}"
+        ) == ["1", "3", "5"]
+        # shoulds alone: at least one must hold
+        assert self.ids(
+            cp, "{!bool should='text:reversed' should='text:gapped'}"
+        ) == ["3", "5"]
+        # with a must present, shoulds are scoring-only (don't restrict)
+        assert self.ids(
+            cp, "{!bool must='text:smith' should='text:nonexistent'}"
+        ) == ["1", "3", "4", "5"]
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="at least one"):
+            cp.search(q="{!bool}")
+
     def test_surround_ordered_w(self, cp):
         # prefix form: w() is adjacency; 2w() allows one gap
         assert self.ids(cp, "{!surround}text:w(jo*, smith)") == ["1", "4"]
