@@ -2415,6 +2415,16 @@ class SearchIndex:
             sep = params.get("separator", ",")
             vals = [v for v in inner.split(sep)]
             return self.df().filter(F.col(f).isin(vals))
+        if qtype == "term":
+            # TermQParser {!term f=field}value — ONE raw term, no
+            # analysis, no separator splitting (the single-valued
+            # {!terms}; Solr routes both to docvalues equality)
+            f = params.get("f")
+            if not f:
+                raise search.QuerySyntaxError("{!term} needs the f= param")
+            if not inner:
+                raise search.QuerySyntaxError("{!term} needs a value")
+            return self.df().filter(F.col(f) == inner)
         if qtype == "prefix":
             # PrefixQParser {!prefix f=field}val — raw startswith, no
             # analysis, no glob escaping (Solr's contract)
@@ -2850,7 +2860,7 @@ class SearchIndex:
             return out
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
-            "supported: join, parent, child, terms, prefix, field, "
+            "supported: join, parent, child, terms, term, prefix, field, "
             "frange, knn, collapse, graph, complexphrase, mlt, surround, "
             "bool"
         )

@@ -1517,6 +1517,17 @@ class TestComplexPhrase:
         with pytest.raises(QuerySyntaxError, match="body must be"):
             cp.search(q="{!complexphrase}text:nophrase")
 
+    def test_term_qparser(self, cp):
+        # {!term}: ONE raw value, no analysis, no separator split —
+        # the raw text field only equals itself exactly
+        assert self.ids(cp, "{!term f=text}john smith works here") == ["1"]
+        assert self.ids(cp, "{!term f=text}john") == []
+        assert self.ids(cp, "{!term f=id}3") == ["3"]
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="f= param"):
+            cp.search(q="{!term}x")
+
     def test_bool_qparser(self, cp):
         # must + must_not: BooleanQuery match semantics on one scan
         assert self.ids(
