@@ -2415,15 +2415,19 @@ class SearchIndex:
             sep = params.get("separator", ",")
             vals = [v for v in inner.split(sep)]
             return self.df().filter(F.col(f).isin(vals))
-        if qtype == "term":
-            # TermQParser {!term f=field}value — ONE raw term, no
-            # analysis, no separator splitting (the single-valued
-            # {!terms}; Solr routes both to docvalues equality)
+        if qtype in ("term", "raw"):
+            # TermQParser {!term f=field}value / RawQParser {!raw} —
+            # ONE raw term, no analysis, no separator splitting (the
+            # single-valued {!terms}; in Solr the two differ only in
+            # readable-vs-internal term encoding, which a columnar
+            # store doesn't have)
             f = params.get("f")
             if not f:
-                raise search.QuerySyntaxError("{!term} needs the f= param")
+                raise search.QuerySyntaxError(
+                    f"{{!{qtype}}} needs the f= param"
+                )
             if not inner:
-                raise search.QuerySyntaxError("{!term} needs a value")
+                raise search.QuerySyntaxError(f"{{!{qtype}}} needs a value")
             return self.df().filter(F.col(f) == inner)
         if qtype == "prefix":
             # PrefixQParser {!prefix f=field}val — raw startswith, no
@@ -2860,7 +2864,8 @@ class SearchIndex:
             return out
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
-            "supported: join, parent, child, terms, term, prefix, field, "
+            "supported: join, parent, child, terms, term, raw, prefix, "
+            "field, "
             "frange, knn, collapse, graph, complexphrase, mlt, surround, "
             "bool"
         )

@@ -1523,6 +1523,8 @@ class TestComplexPhrase:
         assert self.ids(cp, "{!term f=text}john smith works here") == ["1"]
         assert self.ids(cp, "{!term f=text}john") == []
         assert self.ids(cp, "{!term f=id}3") == ["3"]
+        # {!raw} is the same raw-equality contract
+        assert self.ids(cp, "{!raw f=id}3") == ["3"]
         from solr_map_reduce_spark.extensions.search import QuerySyntaxError
 
         with pytest.raises(QuerySyntaxError, match="f= param"):
