@@ -550,6 +550,7 @@ class SearchIndex:
         q: str | None = None,
         query_field: str | None = None,
         include_empty: bool = True,
+        other: "str | Sequence[str] | None" = None,
     ) -> DataFrame:
         """Solr ``facet.range``: counts per ``[start + i*gap, start +
         (i+1)*gap)`` bucket over a numeric or timestamp column, optionally
@@ -586,11 +587,53 @@ class SearchIndex:
         start_expr = F.lit(lo) + F.col("_b") * F.lit(gap_s)
         if is_time:
             start_expr = F.timestamp_seconds(start_expr)
-        return (
+        out = (
             counts.select(
                 start_expr.alias("bucket_start"), F.col("cnt").cast("long").alias("cnt")
             )
             .orderBy("bucket_start")
+        )
+        if other is None:
+            return out
+        # Solr facet.range.other (before/after/between/all/none): the
+        # out-of-range counts — ONE extra map-side-combined 1-row
+        # aggregate over the same scan, appended as labeled rows (the
+        # `other` column is NULL on normal buckets).  Pinned bounds:
+        # before = field < start, after = field >= end, between =
+        # [start, end) — consistent with the [lo, hi) bucketing above.
+        wanted = {other} if isinstance(other, str) else set(other)
+        if "none" in wanted:
+            wanted = set()
+        if "all" in wanted:
+            wanted = {"before", "after", "between"}
+        bad = wanted - {"before", "after", "between"}
+        if bad:
+            raise ValueError(
+                f"facet.range.other takes before/after/between/all/none, "
+                f"got {sorted(bad)}"
+            )
+        out = out.withColumn("other", F.lit(None).cast("string"))
+        if not wanted:
+            return out
+        row = F.broadcast(scan.agg(
+            F.sum((col < lo).cast("long")).alias("_before"),
+            F.sum((col >= hi).cast("long")).alias("_after"),
+            F.sum(((col >= lo) & (col < hi)).cast("long")).alias("_between"),
+        ))
+        extras = None
+        for name in ("before", "between", "after"):
+            if name not in wanted:
+                continue
+            one = row.select(
+                F.lit(None).cast(dict(out.dtypes)["bucket_start"])
+                .alias("bucket_start"),
+                F.coalesce(F.col(f"_{name}"), F.lit(0)).cast("long")
+                .alias("cnt"),
+                F.lit(name).alias("other"),
+            )
+            extras = one if extras is None else extras.unionByName(one)
+        return out.unionByName(extras).orderBy(
+            F.col("other").isNotNull().asc(), "other", "bucket_start"
         )
 
     def _range_spec(self, field, start, end, gap):

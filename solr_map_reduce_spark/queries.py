@@ -1898,6 +1898,49 @@ def c9_complex_phrase(spark, sf_dir):
 
 
 @_register(
+    "c9_facet_range_other",
+    """WITH buckets AS (
+          SELECT CAST(100 + FLOOR((n_chars - 100) / 100) * 100 AS BIGINT)
+                   AS bucket_start,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(NULL AS VARCHAR) AS other
+          FROM documents WHERE n_chars >= 100 AND n_chars < 500
+          GROUP BY 1),
+        others AS (
+          SELECT CAST(-1 AS BIGINT) AS bucket_start,
+                 CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cnt,
+                 'before' AS other FROM documents
+          UNION ALL
+          SELECT -1,
+                 CAST(sum(CASE WHEN n_chars >= 100 AND n_chars < 500
+                          THEN 1 ELSE 0 END) AS BIGINT),
+                 'between' FROM documents
+          UNION ALL
+          SELECT -1,
+                 CAST(sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)
+                      AS BIGINT),
+                 'after' FROM documents)
+       SELECT * FROM buckets UNION ALL SELECT * FROM others""",
+    "Solr facet.range.other=all: before/after/between out-of-range "
+    "counts — ONE extra map-side-combined 1-row aggregate over the "
+    "same scan, appended as labeled rows (pinned bounds: before < "
+    "start, after >= end, between [start,end))",
+)
+def c9_facet_range_other(spark, sf_dir):
+    out = _docs_search_index(spark, sf_dir).range_facet(
+        "n_chars", start=100, end=500, gap=100, other="all"
+    )
+    # -1 sentinel instead of NULL bucket_start: pandas would float-NaN
+    # a nullable integer column on the oracle side
+    return out.select(
+        F.coalesce(F.col("bucket_start").cast("long"), F.lit(-1))
+        .alias("bucket_start"),
+        "cnt", "other",
+    )
+
+
+@_register(
     "c9_bool_query",
     f"""SELECT doc_id FROM (
           SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents)
