@@ -551,6 +551,7 @@ class SearchIndex:
         query_field: str | None = None,
         include_empty: bool = True,
         other: "str | Sequence[str] | None" = None,
+        hardend: bool = False,
     ) -> DataFrame:
         """Solr ``facet.range``: counts per ``[start + i*gap, start +
         (i+1)*gap)`` bucket over a numeric or timestamp column, optionally
@@ -573,6 +574,14 @@ class SearchIndex:
         col, lo, hi, gap_s, n_buckets, is_time = self._range_spec(
             field, start, end, gap
         )
+        # Solr facet.range.hardend (default false): when gap does not
+        # divide (end - start), the LAST bucket keeps its full gap width
+        # — values in [end, start + n*gap) still count there; hardend=
+        # True truncates the range at end.  (Identical when gap divides
+        # evenly.)  The 'after' bucket starts at the effective end,
+        # Solr's own hardend=false contract.
+        if not hardend:
+            hi = lo + n_buckets * gap_s
         bucket = F.floor((col - F.lit(lo)) / F.lit(gap_s)).cast("long")
         counts = (
             scan.filter(col.isNotNull() & (col >= lo) & (col < hi))

@@ -341,6 +341,25 @@ class TestGrouped:
         assert len(got) == 2           # limit caps the returned groups
         assert all(r["ngroups"] == 3 for r in got)  # total matched groups
 
+    def test_range_facet_hardend_and_other(self, idx):
+        # num in [0, 49]; range 0..45 gap 20 -> buckets 0,20,40 with the
+        # last bucket full-width [40,60) under hardend=False (Solr's
+        # default): 45..49 still count there
+        soft = {int(r["bucket_start"]): r["cnt"] for r in
+                idx.range_facet("num", 0, 45, 20).collect()}
+        hard = {int(r["bucket_start"]): r["cnt"] for r in
+                idx.range_facet("num", 0, 45, 20, hardend=True).collect()}
+        assert soft[40] > hard[40]  # the 45..49 values
+        assert soft[0] == hard[0] and soft[20] == hard[20]
+        # other=all: after starts at the EFFECTIVE end under soft
+        others = {r["other"]: r["cnt"] for r in
+                  idx.range_facet("num", 0, 45, 20, other="all").collect()
+                  if r["other"]}
+        assert others["after"] == 0          # nothing >= 60
+        assert others["between"] == sum(soft.values())
+        with pytest.raises(ValueError, match="before/after/between"):
+            idx.range_facet("num", 0, 45, 20, other="sideways")
+
     def test_facet_exclude_terms(self, idx):
         vals = {r["grp"] for r in idx.facet(
             "grp", exclude_terms=["a"]).collect()}
