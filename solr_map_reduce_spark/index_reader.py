@@ -1375,6 +1375,10 @@ class SearchIndex:
         col, lo, hi, gap_s, n_buckets, is_time = self._range_spec(
             str(field), spec["start"], spec["end"], spec["gap"]
         )
+        # JSON Facet hardend (default false, like facet.range): an
+        # uneven gap keeps the last bucket full-width
+        if not spec.get("hardend", False):
+            hi = lo + n_buckets * gap_s
         bucket = F.floor((col - F.lit(lo)) / F.lit(gap_s)).cast("long")
         in_range = col.isNotNull() & (col >= lo) & (col < hi)
         cells = (
