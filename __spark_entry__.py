@@ -183,7 +183,7 @@ _VERDICT_PRIORITY = [
     # ext_math_regress, ext_stream_drill, c9_complex_phrase,
     # c6_atomic_removeregex, c9_spellcheck_collate, c9_facet_matches,
     # c9_suggest_infix, c9_surround_w, c9_bool_query,
-    # c9_facet_range_other
+    # c9_facet_range_other, ext_dismax_pf
     # r06 overflow for r10: b12_detect_mime, c9_suggest, ext_bm25_topk,
     # facet_event_counts, ext_funnel_conversion,
     # ext_cohort_retention, facet_range_value,

@@ -348,6 +348,7 @@ def bm25_dismax(
     with_score: bool = True,
     mm: "int | str | None" = None,
     boost_col: "F.Column | None" = None,
+    pf_specs: "Mapping[str, dict] | None" = None,
 ) -> DataFrame:
     """Multi-field DisMax ranking — Solr's (e)dismax ``qf=title^2 body``
     (Lucene DisjunctionMaxQuery): for each query WORD, every field scores
@@ -396,6 +397,21 @@ def bm25_dismax(
     proj: list = [F.col(id_col)]
     if boost_col is not None:
         proj.append(boost_col.cast("double").alias("_fnboost"))
+    # edismax pf= (phrase fields): an ADDITIVE bonus when the whole
+    # query appears as an adjacent phrase in the field.  Solr adds the
+    # Lucene phrase score; our PINNED formula is the field's pf weight
+    # itself per matched field (a constant, oracle-exact) — the ranking
+    # effect (adjacent-phrase docs first) is the same.  The indicator
+    # is the slop-0 token-join containment trick: one string op in the
+    # same projection, no positions scan.
+    for i, (pf_f, pf_spec) in enumerate((pf_specs or {}).items()):
+        tc_ = pf_spec["tokens_col"]
+        toks_ = F.col(tc_) if isinstance(tc_, str) else tc_
+        needle = " " + " ".join(pf_spec["phrase_tokens"]) + " "
+        hay = F.concat(
+            F.lit(" "), F.array_join(_visible_toks(toks_), " "), F.lit(" ")
+        )
+        proj.append(hay.contains(needle).alias(f"_pf_{i}"))
     tok_idx: dict = {}
     for f in fields:
         spec = field_specs[f]
@@ -487,6 +503,10 @@ def bm25_dismax(
         total = total + s
     if exact_sum:
         total = total.cast("double")
+    for i, (pf_f, pf_spec) in enumerate((pf_specs or {}).items()):
+        total = total + F.when(
+            F.col(f"_pf_{i}"), F.lit(float(pf_spec.get("weight", 1.0)))
+        ).otherwise(F.lit(0.0))
     if boost_col is not None:
         # Solr's edismax boost=: multiplicative, AFTER the dismax
         # combination (matching bm25_search's boost_col placement)

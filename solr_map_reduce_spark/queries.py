@@ -4936,6 +4936,57 @@ def ext_dismax_boost(spark, sf_dir):
     )
 
 
+@_register(
+    "ext_dismax_pf",
+    f"""WITH t1 AS (
+          SELECT doc_id, {_TOKS_SQL} AS tt, lower(lang) AS lt FROM documents
+        ), staged AS (
+          SELECT doc_id,
+            CAST(length(tt) AS DOUBLE) AS dl_t, 1.0 AS dl_l,
+            CAST(length(list_filter(tt, x -> x = 'spark')) AS DOUBLE)
+              AS tf_t_spark,
+            CAST(length(list_filter(tt, x -> x = 'data')) AS DOUBLE)
+              AS tf_t_data,
+            CASE WHEN lt = 'spark' THEN 1.0 ELSE 0.0 END AS tf_l_spark,
+            CASE WHEN lt = 'data' THEN 1.0 ELSE 0.0 END AS tf_l_data,
+            CASE WHEN contains(' ' || array_to_string(tt, ' ') || ' ',
+                               ' spark data ') THEN 3.0 ELSE 0.0 END AS pfb
+          FROM t1
+        ), stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_t, avg(dl_t) AS avgdl_t,
+                 CAST(count(*) AS DOUBLE) AS n_l, 1.0 AS avgdl_l,
+                 sum(CASE WHEN tf_t_spark > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_t_spark,
+                 sum(CASE WHEN tf_t_data > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_t_data,
+                 sum(CASE WHEN tf_l_spark > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_l_spark,
+                 sum(CASE WHEN tf_l_data > 0 THEN 1.0 ELSE 0.0 END)
+                   AS df_l_data
+          FROM staged
+        ), scored AS (
+          SELECT doc_id,
+            CAST({_dismax_word_sql('spark')} + {_dismax_word_sql('data')}
+                 AS DOUBLE) + pfb AS score,
+            (tf_t_spark > 0 OR tf_l_spark > 0 OR tf_t_data > 0
+             OR tf_l_data > 0) AS hit
+          FROM staged CROSS JOIN stats
+        )
+       SELECT doc_id, score FROM scored WHERE hit
+       ORDER BY score DESC, doc_id LIMIT 10""",
+    "Solr edismax pf= (phrase fields): an ADDITIVE bonus (our pinned "
+    "formula: the pf weight itself) when the whole query appears as an "
+    "adjacent phrase in the field — the slop-0 token-join containment "
+    "indicator, one string op in the same compact projection",
+)
+def ext_dismax_pf(spark, sf_dir):
+    return _dismax_search_index(spark, sf_dir).dismax(
+        ["spark", "data"], qf={"text": 1.0, "lang": 0.5}, k=10,
+        exact_sum=True, pf={"text": 3.0},
+    )
+
+
+
 def _dismax_mm_sql(req: int) -> str:
     """The mm-gated dismax oracle with a parameterized word-count floor
     (shared by the absolute-mm and conditional-mm entries)."""

@@ -1308,6 +1308,13 @@ class TestQuerySynonyms:
         assert [r["id"] for r in rows] == ["1", "2", "3"]
 
 
+def idx_dismax_all(self, dm, pf):
+    kw = {"pf": pf} if pf else {}
+    return dm[0].dismax(
+        ["spark", "internals"], qf={"title": 1.0, "body": 1.0}, **kw
+    ).collect()
+
+
 class TestDismax:
     """Round-8: Solr (e)dismax multi-field ranking — per-field analysis
     and statistics, DisjunctionMaxQuery (max + tie) per word, sum over
@@ -1386,6 +1393,24 @@ class TestDismax:
         idx, _ = dm
         with pytest.raises(ValueError, match="no analyzable words"):
             idx.dismax(["the"], qf={"body": 1.0})
+
+    def test_phrase_fields_bonus(self, dm):
+        # pf= adds the field weight when the whole query is an adjacent
+        # phrase: doc 1's title is 'Spark Internals' — the only
+        # adjacent 'spark internals'
+        base = {r["id"]: r["score"] for r in idx_dismax_all(
+            self, dm, pf=None)}
+        boosted = {r["id"]: r["score"] for r in idx_dismax_all(
+            self, dm, pf={"title": 5.0})}
+        assert boosted["1"] == pytest.approx(base["1"] + 5.0, rel=1e-12)
+        for k in ("2", "3"):
+            if k in base:
+                assert boosted[k] == pytest.approx(base[k], rel=1e-12)
+        with pytest.raises(ValueError, match="two analyzed query"):
+            dm[0].dismax(["spark"], qf={"title": 1.0}, pf={"title": 1.0})
+        with pytest.raises(ValueError, match="not an analyzed field"):
+            dm[0].dismax(["spark", "internals"], qf={"title": 1.0},
+                         pf={"nope": 1.0})
 
     def test_multiplicative_boost(self, dm):
         idx, _ = dm
