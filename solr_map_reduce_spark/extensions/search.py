@@ -404,14 +404,24 @@ def bm25_dismax(
     # effect (adjacent-phrase docs first) is the same.  The indicator
     # is the slop-0 token-join containment trick: one string op in the
     # same projection, no positions scan.
+    # pf2/pf3 ride the same projection: each spec carries a LIST of
+    # shingles (the full phrase for pf, consecutive pairs/triples for
+    # pf2/pf3) and the bonus counts matched shingles × weight.
     for i, (pf_f, pf_spec) in enumerate((pf_specs or {}).items()):
         tc_ = pf_spec["tokens_col"]
         toks_ = F.col(tc_) if isinstance(tc_, str) else tc_
-        needle = " " + " ".join(pf_spec["phrase_tokens"]) + " "
         hay = F.concat(
             F.lit(" "), F.array_join(_visible_toks(toks_), " "), F.lit(" ")
         )
-        proj.append(hay.contains(needle).alias(f"_pf_{i}"))
+        shingles = pf_spec.get(
+            "shingles", [pf_spec["phrase_tokens"]]
+        )
+        cnt = None
+        for sh in shingles:
+            needle = " " + " ".join(sh) + " "
+            c = hay.contains(needle).cast("int")
+            cnt = c if cnt is None else cnt + c
+        proj.append(cnt.alias(f"_pf_{i}"))
     tok_idx: dict = {}
     for f in fields:
         spec = field_specs[f]
@@ -504,9 +514,10 @@ def bm25_dismax(
     if exact_sum:
         total = total.cast("double")
     for i, (pf_f, pf_spec) in enumerate((pf_specs or {}).items()):
-        total = total + F.when(
-            F.col(f"_pf_{i}"), F.lit(float(pf_spec.get("weight", 1.0)))
-        ).otherwise(F.lit(0.0))
+        total = total + (
+            F.col(f"_pf_{i}").cast("double")
+            * F.lit(float(pf_spec.get("weight", 1.0)))
+        )
     if boost_col is not None:
         # Solr's edismax boost=: multiplicative, AFTER the dismax
         # combination (matching bm25_search's boost_col placement)

@@ -3247,37 +3247,46 @@ class SearchIndex:
                 search.parse_function_query(b_, context=self._fn_ctx())
                 if isinstance(b_, str) else b_
             )
-        if "pf" in kw:
-            # Solr edismax pf= ({"field": weight}): an additive bonus
-            # when ALL query words appear as an adjacent phrase in the
-            # field (each word analyzed with the pf field's own
-            # analyzer).  Our pinned bonus is the pf weight itself —
-            # see bm25_dismax's pf_specs note.
+        if "pf" in kw or "pf2" in kw or "pf3" in kw:
+            # Solr edismax pf=/pf2=/pf3= ({"field": weight}): additive
+            # bonuses when the whole query (pf) / consecutive word
+            # pairs (pf2) / triples (pf3) appear as adjacent phrases in
+            # the field (each word analyzed with the pf field's own
+            # analyzer).  Our pinned bonus is weight × matched-shingle
+            # count — see bm25_dismax's pf_specs note.
             kw = dict(kw)
-            pf_map = kw.pop("pf")
             analyzed_pf: dict = self.manifest.get("analyzed", {})
             pf_specs: dict = {}
-            for pfname, pweight in pf_map.items():
-                if pfname not in analyzed_pf:
-                    raise ValueError(
-                        f"dismax pf field {pfname!r} is not an analyzed "
-                        f"field (analyzed={sorted(analyzed_pf)})"
+            for pkey, size in (("pf", None), ("pf2", 2), ("pf3", 3)):
+                for pfname, pweight in (kw.pop(pkey, None) or {}).items():
+                    if pfname not in analyzed_pf:
+                        raise ValueError(
+                            f"dismax {pkey} field {pfname!r} is not an "
+                            f"analyzed field "
+                            f"(analyzed={sorted(analyzed_pf)})"
+                        )
+                    ptoks: list[str] = []
+                    for w in words:
+                        ptoks.extend(
+                            self.analyze_terms([w], field=pfname) or []
+                        )
+                    need = 2 if size is None else size
+                    if len(ptoks) < need:
+                        raise ValueError(
+                            f"dismax {pkey}= needs at least {need} "
+                            "analyzed query words"
+                        )
+                    shingles = (
+                        [ptoks] if size is None else
+                        [ptoks[i:i + size]
+                         for i in range(len(ptoks) - size + 1)]
                     )
-                ptoks: list[str] = []
-                for w in words:
-                    ptoks.extend(
-                        self.analyze_terms([w], field=pfname) or []
-                    )
-                if len(ptoks) < 2:
-                    raise ValueError(
-                        "dismax pf= needs at least two analyzed query "
-                        "words (a one-word phrase is the qf match itself)"
-                    )
-                pf_specs[pfname] = {
-                    "weight": float(pweight),
-                    "tokens_col": analyzed_pf[pfname]["tokens_col"],
-                    "phrase_tokens": ptoks,
-                }
+                    pf_specs[f"{pkey}:{pfname}"] = {
+                        "weight": float(pweight),
+                        "tokens_col": analyzed_pf[pfname]["tokens_col"],
+                        "phrase_tokens": ptoks,
+                        "shingles": shingles,
+                    }
             kw["pf_specs"] = pf_specs
 
         analyzed: dict = self.manifest.get("analyzed", {})

@@ -1406,11 +1406,22 @@ class TestDismax:
         for k in ("2", "3"):
             if k in base:
                 assert boosted[k] == pytest.approx(base[k], rel=1e-12)
-        with pytest.raises(ValueError, match="two analyzed query"):
+        with pytest.raises(ValueError, match="2 analyzed query"):
             dm[0].dismax(["spark"], qf={"title": 1.0}, pf={"title": 1.0})
         with pytest.raises(ValueError, match="not an analyzed field"):
             dm[0].dismax(["spark", "internals"], qf={"title": 1.0},
                          pf={"nope": 1.0})
+
+    def test_pf2_bigram_bonus(self, dm):
+        # 'deep dive into' in doc 1's body: pf2 counts matched PAIRS —
+        # (deep dive) and (dive into)... 'into' is a stopword under
+        # text_en, so analyzed words are deep/dive -> one pair
+        base = {r["id"]: r["score"] for r in dm[0].dismax(
+            ["deep", "dive"], qf={"body": 1.0}).collect()}
+        b2 = {r["id"]: r["score"] for r in dm[0].dismax(
+            ["deep", "dive"], qf={"body": 1.0},
+            pf2={"body": 4.0}).collect()}
+        assert b2["1"] == pytest.approx(base["1"] + 4.0, rel=1e-12)
 
     def test_multiplicative_boost(self, dm):
         idx, _ = dm
