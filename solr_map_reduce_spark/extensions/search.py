@@ -416,10 +416,18 @@ def bm25_dismax(
         shingles = pf_spec.get(
             "shingles", [pf_spec["phrase_tokens"]]
         )
+        slop = int(pf_spec.get("slop", 0))
         cnt = None
         for sh in shingles:
-            needle = " " + " ".join(sh) + " "
-            c = hay.contains(needle).cast("int")
+            if slop > 0 and len(sh) > 1:
+                # ps=/ps2=/ps3= (Solr's pf phrase slop): the sloppy
+                # ordered-window matcher instead of strict adjacency
+                c = F.coalesce(
+                    _slop_match(toks_, list(sh), slop), F.lit(False)
+                ).cast("int")
+            else:
+                needle = " " + " ".join(sh) + " "
+                c = hay.contains(needle).cast("int")
             cnt = c if cnt is None else cnt + c
         proj.append(cnt.alias(f"_pf_{i}"))
     tok_idx: dict = {}

@@ -3286,7 +3286,13 @@ class SearchIndex:
                         "tokens_col": analyzed_pf[pfname]["tokens_col"],
                         "phrase_tokens": ptoks,
                         "shingles": shingles,
+                        # ps/ps2/ps3: Solr's per-tier pf phrase slop
+                        "slop": int(kw.get(
+                            "ps" if pkey == "pf" else f"ps{size}", 0
+                        )),
                     }
+            for psk in ("ps", "ps2", "ps3"):
+                kw.pop(psk, None)
             kw["pf_specs"] = pf_specs
 
         analyzed: dict = self.manifest.get("analyzed", {})

@@ -1412,6 +1412,21 @@ class TestDismax:
             dm[0].dismax(["spark", "internals"], qf={"title": 1.0},
                          pf={"nope": 1.0})
 
+    def test_pf_with_ps_slop(self, dm):
+        # 'deep ... shuffle' is NOT adjacent in doc 1's body ('deep dive
+        # into shuffle behavior' -> analyzed deep dive shuffl behavior):
+        # pf alone adds nothing, pf with ps=1 admits the one-gap window
+        base = {r["id"]: r["score"] for r in dm[0].dismax(
+            ["deep", "shuffle"], qf={"body": 1.0}).collect()}
+        strict = {r["id"]: r["score"] for r in dm[0].dismax(
+            ["deep", "shuffle"], qf={"body": 1.0},
+            pf={"body": 4.0}).collect()}
+        sloppy = {r["id"]: r["score"] for r in dm[0].dismax(
+            ["deep", "shuffle"], qf={"body": 1.0},
+            pf={"body": 4.0}, ps=1).collect()}
+        assert strict["1"] == pytest.approx(base["1"], rel=1e-12)
+        assert sloppy["1"] == pytest.approx(base["1"] + 4.0, rel=1e-12)
+
     def test_pf2_bigram_bonus(self, dm):
         # 'deep dive into' in doc 1's body: pf2 counts matched PAIRS —
         # (deep dive) and (dive into)... 'into' is a stopword under
