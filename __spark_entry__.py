@@ -134,74 +134,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round), r09 rotation: every entry was green at its last
-# driver check (r08: 50/50 hash-exact).  (a) the 25 never-externally-
-# checked entries lead — the 16 added in round 9 (collapse/expand, the
-# JSON-facet range/multiselect/block-domain entries, stream list/null,
-# LTR linear/trees, termfreq sort) and the 15 from the r8 tail (date
-# math, facet bucketSizeLimit determinism, anchored multi-unit
-# timeseries, the topic() DSL read side, conditional mm, the {!knn}
-# vector parser, seeded random(), facet2D, the JSON Facet API, and the
-# fetch/unique/merge/intersect/stats/cartesianProduct decorator
-# entries); then (b) the FULL 18-entry cohort whose last green check is
-# oldest (r05 — the TPC-H tail, pivots/windows/setops, multimodal,
-# percentiles, stratified sample); then (c) 1 of the r06 cohort, led by
-# the four the r8 verdict named (b8_convert_timestamp, b12_detect_mime,
-# c9_suggest, ext_bm25_topk).  The r06 overflow (49 entries) + the r07
-# cohort lead the r10 rotation.  The repo's own oracle suite covers all
-# entries every pytest run regardless (tests/test_queries_oracle.py).
+# entries per round), r10 rotation per the r9 verdict's #1 directive:
+# (a) the 21 entries that have NEVER had an external CORRECTNESS row
+# (the late-r9 additions the r9 window couldn't fit: the bool/surround/
+# complexphrase/spellcheck-collate qparsers, the facet range-other/
+# matches long tail, infix suggest, atomic removeregex, the dismax
+# pf/boost extensions, the drill/unique/merge/intersect/stats stream
+# decorators, the math tier, scoreNodes, and the ML tier
+# features/train/classify); then (b) 29 of the 49-entry cohort whose
+# last external check is oldest (r06) — TPC-H heads, joins, the dedup
+# family, curation.  The remaining 20 r06-stale entries
+# (ext_simhash … ext_repetition, listed in the overflow comment below)
+# plus any r10 additions lead the r11 rotation, aging out everything
+# older than r8 by r11 per the verdict's #7.  The repo's own oracle
+# suite covers all entries every pytest run regardless
+# (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a) never checked: new this round
-    "ext_sql_agg", "ext_sql_select", "ext_sql_text", "c9_graph_query",
-    "c9_collapse", "c9_expand", "c9_json_facet_range",
-    "c9_json_facet_multiselect", "c9_jf_block_children",
-    "ext_stream_list", "ext_stream_null", "ext_ltr_linear",
-    "ext_ltr_trees", "c9_termfreq_sort", "c9_recency_boost",
-    "c9_jf_relatedness", "c9_jf_range_nested",
-    "c9_facet_multivalued", "c9_jf_ranges",
-    "ext_stream_rollup_metrics",
-    "c9_date_math", "ext_stream_facet_limit", "ext_stream_timeseries_gap",
-    "ext_stream_topic", "ext_dismax_mm_conditional", "c9_knn_query",
-    "ext_stream_random", "ext_stream_facet2d", "ext_stream_fetch",
-    "ext_stream_cartesian", "c9_json_facet",
-    # (b) last checked r05 — the full cohort
-    "ext_percentiles", "window_rolling_sum", "ext_multimodal_decode",
-    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
-    "q10_returned_items", "q13_order_distribution", "q15_top_supplier",
-    "q17_small_qty_revenue", "q19_discounted_revenue",
-    "q20_heavy_part_suppliers", "q21_last_shipper", "q22_idle_customers",
-    "pivot_user_activity", "window_lag_delta", "setop_viewers_not_buyers",
-    "ext_stratified_sample",
-    # (c) last checked r06 — named-first (cohort tail moved to the r10
-    # overflow to keep the window at exactly 50 after the 5 r09 additions)
-    "b8_convert_timestamp",
-    # never-checked overflow for r10 (simple decorators with dedicated
-    # local DSL tests, displaced by the Parallel-SQL + {!graph} entries):
-    # ext_stream_unique, ext_stream_merge, ext_stream_intersect,
-    # ext_stream_stats, ext_features_ig, ext_classify, ext_train_lr,
-    # ext_score_nodes, ext_dismax_boost, ext_math_describe,
-    # ext_math_regress, ext_stream_drill, c9_complex_phrase,
-    # c6_atomic_removeregex, c9_spellcheck_collate, c9_facet_matches,
-    # c9_suggest_infix, c9_surround_w, c9_bool_query,
-    # c9_facet_range_other, ext_dismax_pf
-    # r06 overflow for r10: b12_detect_mime, c9_suggest, ext_bm25_topk,
-    # facet_event_counts, ext_funnel_conversion,
-    # ext_cohort_retention, facet_range_value,
-    # pipeline_etl_events, window_hourly_counts,
-    # q1_pricing_summary, q3_top_revenue,
-    # q5_local_supplier, q6_revenue_change,
-    # exists_big_order_customers, window_topn_orders, ext_asof_join,
-    # ext_range_join, skew_salted_join, star_join_enrich,
-    # ext_exact_dedup, ext_token_count, ext_curation_pipeline,
-    # ext_bpe_token_count,
-    # ext_quality_features, ext_gopher_rules, ext_lang_id,
-    # ext_fingerprint, ext_ann_topk, ext_minhash_dedup, ext_simhash,
+    # (a) never externally checked — all 21, verbatim from VERDICT r9 #1
+    "c9_bool_query", "c9_surround_w", "c9_complex_phrase",
+    "c9_spellcheck_collate", "c9_facet_range_other", "c9_facet_matches",
+    "c9_suggest_infix", "c6_atomic_removeregex", "ext_dismax_pf",
+    "ext_dismax_boost", "ext_stream_drill", "ext_stream_unique",
+    "ext_stream_merge", "ext_stream_intersect", "ext_stream_stats",
+    "ext_math_describe", "ext_math_regress", "ext_score_nodes",
+    "ext_features_ig", "ext_classify", "ext_train_lr",
+    # (b) r06-stale cohort, 29 of 49
+    "b12_detect_mime", "c9_suggest", "ext_bm25_topk",
+    "facet_event_counts", "ext_funnel_conversion",
+    "ext_cohort_retention", "facet_range_value",
+    "pipeline_etl_events", "window_hourly_counts",
+    "q1_pricing_summary", "q3_top_revenue",
+    "q5_local_supplier", "q6_revenue_change",
+    "exists_big_order_customers", "window_topn_orders", "ext_asof_join",
+    "ext_range_join", "skew_salted_join", "star_join_enrich",
+    "ext_exact_dedup", "ext_token_count", "ext_curation_pipeline",
+    "ext_bpe_token_count", "ext_quality_features", "ext_gopher_rules",
+    "ext_lang_id", "ext_fingerprint", "ext_ann_topk", "ext_minhash_dedup",
+    # r06-stale overflow for the r11 window (20): ext_simhash,
     # ext_ngram_jaccard, ext_simhash_pairs, ext_cosine_pairs,
-    # ext_dedup_clusters, ext_sessionize, c9_contains_all, c9_contains_any,
-    # c9_match_phrase, c9_prefix_match, c9_contains_none, c9_term_facet,
-    # c9_highlight, ext_quantile_filter, ext_pack_sequences,
-    # ext_redact_pii, ext_profile, ext_source_mixture,
-    # window_sliding_counts, ext_repetition — then the r07 cohort
+    # ext_dedup_clusters, ext_sessionize, c9_contains_all,
+    # c9_contains_any, c9_match_phrase, c9_prefix_match,
+    # c9_contains_none, c9_term_facet, c9_highlight,
+    # ext_quantile_filter, ext_pack_sequences, ext_redact_pii,
+    # ext_profile, ext_source_mixture, window_sliding_counts,
+    # ext_repetition — then any r10 additions, then the r07 cohort
 ]
 
 
