@@ -342,6 +342,9 @@ class IvfIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.bucket_col = bucket_col
+        # schema of the persisted vectors table (set by save()/load());
+        # lets search_stored read without footer inference
+        self.vectors_schema: dict | None = None
 
     @classmethod
     def fit(
@@ -433,17 +436,20 @@ class IvfIndex:
             assigned.write.mode("overwrite").partitionBy(bucket_col).parquet(
                 fs_join(path, "vectors")
             )
-        fs.write_text(
-            fs_join(path, self.MANIFEST),
-            json.dumps(
-                {
-                    "centroids": self.centroids.tolist(),
-                    "id_col": self.id_col,
-                    "vec_col": self.vec_col,
-                    "bucket_col": bucket_col,
-                }
-            ),
-        )
+        manifest = {
+            "centroids": self.centroids.tolist(),
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "bucket_col": bucket_col,
+        }
+        if assigned is not None:
+            # pin the vectors schema so serving reads need ZERO
+            # planning-time footer inference — at scale that's one fewer
+            # listing+footer pass per query, and the read plan depends
+            # only on the manifest + the probed bucket dirs
+            self.vectors_schema = assigned.schema.jsonValue()
+            manifest["vectors_schema"] = self.vectors_schema
+        fs.write_text(fs_join(path, self.MANIFEST), json.dumps(manifest))
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
@@ -454,10 +460,12 @@ class IvfIndex:
 
         fs = get_fs(path, spark)
         m = json.loads(fs.read_text(fs_join(path, cls.MANIFEST)))
-        return cls(
+        out = cls(
             np.asarray(m["centroids"]), m["id_col"], m["vec_col"],
             m.get("bucket_col", "bucket"),
         )
+        out.vectors_schema = m.get("vectors_schema")
+        return out
 
     def add(self, df: DataFrame, path: str, batch_tag: str | None = None) -> None:
         """Incremental ANN ingest: assign the NEW vectors to their nearest
@@ -686,10 +694,17 @@ class IvfIndex:
         """Top-k over a saved index: the ``bucket isin(probe)`` filter hits
         the partition column, so only nprobe bucket directories are read —
         the IVF promise (touch 1/n_centroids of the data per probe) made
-        physical."""
+        physical.  With a manifest-pinned schema (save() records it) the
+        read also skips footer inference, so NO unprobed file is touched
+        at plan time either."""
         from solr_map_reduce_spark.fs import join as fs_join
 
-        assigned = spark.read.parquet(fs_join(path, "vectors"))
+        reader = spark.read
+        if self.vectors_schema:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(self.vectors_schema))
+        assigned = reader.parquet(fs_join(path, "vectors"))
         return self.search(
             assigned, query, k, nprobe, bucket_col or self.bucket_col
         )
@@ -1036,6 +1051,7 @@ class IvfPqIndex:
             raise ValueError("ivf and pq must agree on id/vec columns")
         self.ivf = ivf
         self.pq = pq
+        self.codes_schema: dict | None = None  # set by build()/load()
 
     @classmethod
     def fit(
@@ -1075,6 +1091,9 @@ class IvfPqIndex:
         encoded.write.mode("overwrite").partitionBy(self.ivf.bucket_col).parquet(
             fs_join(path, "codes")
         )
+        # pinned codes schema: serving reads skip footer inference (see
+        # IvfIndex.save)
+        self.codes_schema = encoded.schema.jsonValue()
         fs.write_text(
             fs_join(path, self.MANIFEST),
             json.dumps(
@@ -1084,6 +1103,7 @@ class IvfPqIndex:
                     "id_col": self.ivf.id_col,
                     "vec_col": self.ivf.vec_col,
                     "bucket_col": self.ivf.bucket_col,
+                    "codes_schema": self.codes_schema,
                 }
             ),
         )
@@ -1120,7 +1140,9 @@ class IvfPqIndex:
             m["bucket_col"],
         )
         pq = PqCodec(np.asarray(m["codebooks"]), m["id_col"], m["vec_col"])
-        return cls(ivf, pq)
+        out = cls(ivf, pq)
+        out.codes_schema = m.get("codes_schema")
+        return out
 
     def search_stored(
         self, spark, path: str, query: Sequence[float], k: int = 10,
@@ -1128,13 +1150,19 @@ class IvfPqIndex:
     ) -> DataFrame:
         """ADC top-k over the probed buckets of a built index: the bucket
         filter hits the partition column (partition-pruned scan) and the
-        scan reads only (id, code)."""
+        scan reads only (id, code).  A manifest-pinned codes schema skips
+        footer inference (no unprobed file touched at plan time)."""
         from solr_map_reduce_spark.fs import join as fs_join
 
         q = np.asarray(query, dtype=np.float64)
         d = ((self.ivf.centroids - q[None, :]) ** 2).sum(axis=1)
         probe = [int(b) for b in d.argsort()[:nprobe]]
-        codes = spark.read.parquet(fs_join(path, "codes")).filter(
+        reader = spark.read
+        if self.codes_schema:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(self.codes_schema))
+        codes = reader.parquet(fs_join(path, "codes")).filter(
             F.col(self.ivf.bucket_col).isin(probe)
         )
         return self.pq.topk(codes, query, k=k)

@@ -69,6 +69,9 @@ class SearchIndex:
         # not once per query (dropped by _check_generation on mutation)
         self._df_memo: DataFrame | None = None
         self._schema_memo = None  # parsed read schema, same lifetime
+        # ANN sidecar handles, keyed by field; dropped on generation
+        # change (a mutated artifact must not serve a stale vector index)
+        self._ann_memo: dict = {}
         # generation guard: every engine mutation rewrites the manifest
         # (with a bumped generation counter + fresh uuid), so a CONTENT
         # hash of it detects an artifact mutated UNDER a long-lived
@@ -112,6 +115,7 @@ class SearchIndex:
         self._plan_memo = OrderedDict()
         self._df_memo = None
         self._schema_memo = None
+        self._ann_memo = {}
         try:
             fs = get_fs(self.path, self.spark)
             self.manifest = json.loads(fs.read_text(fs_join(self.path, MANIFEST)))
@@ -2583,11 +2587,17 @@ class SearchIndex:
             # — the topK rows by vector similarity to the literal query
             # vector.  similarity= picks cosine (default) or dot
             # (Solr's field-declared similarityFunction, made explicit
-            # as a param since our schema stores plain arrays).  Plan:
-            # ONE scan + TakeOrderedAndProject (k rows per partition) —
-            # the brute-force exact path; serve IVF/PQ/SQ variants via
-            # extensions/similarity.py when recall/speed tradeoffs are
-            # wanted.  Composed fq filters apply AFTER (Solr's default
+            # as a param since our schema stores plain arrays).
+            # Serving: when the artifact has a generation-current ANN
+            # sidecar on the field (build_ann), topK routes through
+            # partition-pruned IVF probes — the sublinear contract Solr
+            # 9 meets with HNSW — with ``exact=true`` as the opt-out.
+            # Fallback (no sidecar / stale / exact= / preFilter= /
+            # dot similarity): ONE scan + TakeOrderedAndProject (k rows
+            # per partition), the brute-force exact plan.  preFilter
+            # stays on the exact path because candidate restriction
+            # must happen BEFORE topK and the sidecar stores no filter
+            # columns.  Composed fq filters apply AFTER (Solr's default
             # post-filtering for {!knn} as the main query).
             from solr_map_reduce_spark.extensions import similarity as sim
 
@@ -2620,8 +2630,15 @@ class SearchIndex:
                     f"{{!knn}} similarity {metric!r} unsupported "
                     "(cosine, dot)"
                 )
-            base = self.df()
             prefilter = params.get("preFilter")
+            exact = str(params.get("exact", "")).lower() in (
+                "true", "1", "yes", "on",
+            )
+            if not exact and not prefilter and metric == "cosine":
+                routed = self._knn_via_ann(f, qvec, topk, params)
+                if routed is not None:
+                    return routed
+            base = self.df()
             if prefilter:
                 # Solr 9.1 preFilter: restrict the candidate set BEFORE
                 # the topK selection (vs composed fq's post-filtering) —
@@ -3694,6 +3711,155 @@ class SearchIndex:
         terms = [t for t, _ in scored[:max_terms]]
         hits = self.bm25(terms, k=k + 1, field=fname, **kw)
         return hits.filter(F.col(self.unique_key) != key).limit(k)
+
+    # -- ANN serving sidecar (sublinear {!knn}) -------------------------
+    ANN_DIR = "_ann"
+    ANN_META = "_ANN_META.json"
+
+    def build_ann(
+        self,
+        field: str,
+        kind: str = "ivf",
+        n_centroids: int = 16,
+        nprobe: int = 2,
+        **fit_kw,
+    ) -> str:
+        """Build the ANN serving sidecar for a vector ``field`` — after
+        this, ``{!knn f=<field> ...}`` serves topK from partition-pruned
+        IVF probes (Solr 9's KnnQParser serves from an HNSW graph; the
+        partitioned-storage analog of that sublinear contract is IVF
+        bucket pruning) instead of a per-query corpus scan.
+
+        ``kind``: ``ivf`` stores raw vectors partitioned by coarse
+        bucket (exact distances within probed buckets); ``ivfpq``
+        stores m-byte PQ codes instead (~32x smaller probes, ADC
+        distances).  ``nprobe`` is the serving default, overridable
+        per-query via the ``nprobe=`` local param.
+
+        Staleness contract: the sidecar records the artifact generation
+        it was built from; any engine mutation (upsert/delete/merge)
+        changes the generation and the query path falls back to the
+        exact scan until ``build_ann`` runs again — approximate serving
+        is never stale-wrong, only absent."""
+        import json as _json
+
+        from solr_map_reduce_spark.extensions import similarity as sim
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        self._check_generation()
+        base = self.df().select(self.unique_key, field)
+        side = fs_join(self.path, self.ANN_DIR, field)
+        if kind == "ivf":
+            ivf = sim.IvfIndex.fit(
+                base, n_centroids=n_centroids, id_col=self.unique_key,
+                vec_col=field, **fit_kw,
+            )
+            ivf.save(side, assigned=ivf.assign(base))
+        elif kind == "ivfpq":
+            idx = sim.IvfPqIndex.fit(
+                base, n_centroids=n_centroids, id_col=self.unique_key,
+                vec_col=field, **fit_kw,
+            )
+            idx.build(base, side)
+        else:
+            raise ValueError(
+                f"build_ann kind {kind!r} unsupported (ivf, ivfpq)"
+            )
+        get_fs(self.path, self.spark).write_text(
+            fs_join(side, self.ANN_META),
+            _json.dumps(
+                {
+                    "kind": kind,
+                    "field": field,
+                    "nprobe": nprobe,
+                    "built_generation": self._generation,
+                }
+            ),
+        )
+        self._ann_memo.pop(field, None)
+        return side
+
+    def _ann_sidecar(self, field: str):
+        """(kind, loaded index, sidecar path, meta) when a
+        generation-current ANN sidecar exists for ``field``, else None
+        (missing, unreadable, or built against a mutated-away
+        generation)."""
+        import json as _json
+
+        from solr_map_reduce_spark.extensions import similarity as sim
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
+        self._check_generation()
+        memo = self._ann_memo.get(field)
+        if memo is not None:
+            return memo if memo != "absent" else None
+        side = fs_join(self.path, self.ANN_DIR, field)
+        try:
+            meta = _json.loads(
+                get_fs(self.path, self.spark).read_text(
+                    fs_join(side, self.ANN_META)
+                )
+            )
+        except Exception:
+            self._ann_memo[field] = "absent"
+            return None
+        if meta.get("built_generation") != self._generation:
+            # stale sidecar: the artifact mutated since the build —
+            # don't memoize "absent" (a rebuild under the same handle
+            # must be picked up), just decline to route
+            return None
+        kind = meta.get("kind", "ivf")
+        try:
+            if kind == "ivf":
+                idx = sim.IvfIndex.load(self.spark, side)
+            elif kind == "ivfpq":
+                idx = sim.IvfPqIndex.load(self.spark, side)
+            else:
+                self._ann_memo[field] = "absent"
+                return None
+        except Exception:
+            self._ann_memo[field] = "absent"
+            return None
+        handle = (kind, idx, side, meta)
+        self._ann_memo[field] = handle
+        return handle
+
+    def _knn_via_ann(
+        self, field: str, qvec: list, k: int, params: dict
+    ) -> DataFrame | None:
+        """Serve {!knn} from the field's ANN sidecar: nprobe
+        partition-pruned bucket reads -> bounded (id, score) topK ->
+        file-pruned key lookups for the full rows.  None when no
+        current sidecar exists (caller falls back to the exact scan).
+        Total IO: nprobe/n_centroids of the vector table + the O(k)
+        segment files holding the hit keys — never the corpus."""
+        handle = self._ann_sidecar(field)
+        if handle is None:
+            return None
+        kind, idx, side, meta = handle
+        nprobe = int(params.get("nprobe", meta.get("nprobe", 2)))
+        top = idx.search_stored(self.spark, side, qvec, k=k, nprobe=nprobe)
+        hits = top.collect()  # bounded: <= topK rows from probed buckets
+        if not hits:
+            return self.df().limit(0)
+        ids = [r[self.unique_key] for r in hits]
+        rows = self.get_many(ids)
+        # search_stored already ordered desc(score), asc(key): replay
+        # that order over the fetched rows via a k-entry literal rank map
+        rank = F.create_map(
+            *[
+                lit
+                for i, r in enumerate(hits)
+                for lit in (F.lit(r[self.unique_key]), F.lit(i))
+            ]
+        )
+        return (
+            rows.withColumn("_knn_rank", rank[F.col(self.unique_key)])
+            .orderBy(F.asc("_knn_rank"))
+            .drop("_knn_rank")
+        )
 
     # -- similarity search over an embedding column --------------------
     def knn(

@@ -1,0 +1,236 @@
+"""{!knn} routed through the ANN sidecar (build_ann): sublinear serving
+with partition-pruned IVF probes, exact-scan fallback on exact=/preFilter=/
+dot/stale-generation.  Reference parity: Solr 9 KnnQParser serves from an
+HNSW graph (sublinear per query); the partitioned-storage analog here is
+IVF bucket pruning, with the same approximate-topK contract."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solr_map_reduce_spark.extensions.similarity import IvfIndex
+from solr_map_reduce_spark.index_reader import SearchIndex
+from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+from solr_map_reduce_spark.schema import Field, IndexSchema
+
+N, DIM, NC = 200, 8, 8
+
+rng = np.random.RandomState(7)
+VECS = rng.randn(N, DIM).astype(np.float64)
+QUERIES = rng.randn(3, DIM).astype(np.float64)
+
+
+def _exact_ids(q, k):
+    """numpy oracle: cosine top-k ids, tiebreak id asc."""
+    norms = np.linalg.norm(VECS, axis=1) * np.linalg.norm(q)
+    cos = (VECS @ q) / norms
+    order = sorted(range(N), key=lambda i: (-cos[i], i))
+    return [i for i in order[:k]]
+
+
+def _build_artifact(spark, out):
+    schema = IndexSchema(
+        fields=(Field("vec_id", "long", required=True),
+                Field("embedding", "array<double>"),
+                Field("label", "string")),
+        unique_key="vec_id",
+    )
+    rows = [(i, [float(x) for x in VECS[i]], "even" if i % 2 == 0 else "odd")
+            for i in range(N)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+        df, out
+    )
+    return SearchIndex.open(spark, out)
+
+
+def _vec_literal(q):
+    return "[" + ", ".join(f"{x:.10f}" for x in q) + "]"
+
+
+@pytest.fixture(scope="module")
+def aidx(spark, tmp_path_factory):
+    idx = _build_artifact(
+        spark, str(tmp_path_factory.mktemp("knn_ann") / "idx")
+    )
+    side = idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=2)
+    assert os.path.exists(os.path.join(side, "_ANN_META.json"))
+    return idx
+
+
+class TestKnnAnnRouting:
+    def test_full_probe_equals_exact(self, aidx):
+        # nprobe = n_centroids probes every bucket: routed must be
+        # IDENTICAL to the brute-force scan, order and all
+        for q in QUERIES:
+            routed = [r["vec_id"] for r in aidx.query(
+                f"{{!knn f=embedding topK=10 nprobe={NC}}}{_vec_literal(q)}"
+            ).collect()]
+            assert routed == _exact_ids(q, 10)
+
+    def test_routed_schema_matches_exact_path(self, aidx):
+        q = QUERIES[0]
+        routed = aidx.query(
+            f"{{!knn f=embedding topK=5}}{_vec_literal(q)}"
+        )
+        exact = aidx.query(
+            f"{{!knn f=embedding topK=5 exact=true}}{_vec_literal(q)}"
+        )
+        assert routed.columns == exact.columns
+        assert routed.count() == 5
+
+    def test_default_nprobe_recall(self, aidx):
+        # golden recall: 2 of 8 buckets probed must still land a solid
+        # fraction of the true top-10
+        hits = total = 0
+        for q in QUERIES:
+            want = set(_exact_ids(q, 10))
+            got = {r["vec_id"] for r in aidx.query(
+                f"{{!knn f=embedding topK=10}}{_vec_literal(q)}"
+            ).collect()}
+            assert len(got) == 10
+            hits += len(got & want)
+            total += 10
+        assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+    def test_probe_plan_is_partition_pruned(self, aidx):
+        handle = aidx._ann_sidecar("embedding")
+        assert handle is not None
+        kind, ivf, side, meta = handle
+        got = ivf.search_stored(aidx.spark, side, QUERIES[0], k=5, nprobe=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+    def test_probe_reads_only_probed_buckets(self, aidx):
+        # physical IO boundary: fill every NON-probed bucket's parquet
+        # files with garbage — the routed query must not notice
+        q = QUERIES[1]
+        kind, ivf, side, meta = aidx._ann_sidecar("embedding")
+        d = ((ivf.centroids - q[None, :]) ** 2).sum(axis=1)
+        probe = {int(b) for b in d.argsort()[:2]}
+        before = [r["vec_id"] for r in aidx.query(
+            f"{{!knn f=embedding topK=7 nprobe=2}}{_vec_literal(q)}"
+        ).collect()]
+        vectors = os.path.join(side, "vectors")
+        tampered = 0
+        for bdir in os.listdir(vectors):
+            if not bdir.startswith("bucket="):
+                continue
+            if int(bdir.split("=", 1)[1]) in probe:
+                continue
+            for fn in os.listdir(os.path.join(vectors, bdir)):
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(vectors, bdir, fn), "wb") as fh:
+                        fh.write(b"\x00garbage\x00" * 16)
+                    tampered += 1
+        assert tampered > 0  # the tamper must have bitten something
+        # fresh handle: no memoized plan/sidecar state
+        fresh = SearchIndex.open(aidx.spark, aidx.path)
+        got = [r["vec_id"] for r in fresh.query(
+            f"{{!knn f=embedding topK=7 nprobe=2}}{_vec_literal(q)}"
+        ).collect()]
+        assert got == before
+
+    def test_exact_param_bypasses_sidecar(self, aidx):
+        # runs AFTER the tamper above in file order is not guaranteed —
+        # exact=true must never read the sidecar regardless
+        q = QUERIES[2]
+        got = [r["vec_id"] for r in aidx.query(
+            f"{{!knn f=embedding topK=10 exact=true}}{_vec_literal(q)}"
+        ).collect()]
+        assert got == _exact_ids(q, 10)
+
+    def test_prefilter_stays_exact(self, aidx):
+        # preFilter restricts BEFORE topK; the sidecar has no filter
+        # columns, so the exact path serves it — and the result is the
+        # numpy oracle over the even-labelled half
+        q = QUERIES[0]
+        got = [r["vec_id"] for r in aidx.query(
+            "{!knn f=embedding topK=5 preFilter='label:even'}"
+            + _vec_literal(q)
+        ).collect()]
+        norms = np.linalg.norm(VECS, axis=1) * np.linalg.norm(q)
+        cos = (VECS @ q) / norms
+        evens = [i for i in range(N) if i % 2 == 0]
+        want = sorted(evens, key=lambda i: (-cos[i], i))[:5]
+        assert got == want
+
+    def test_dot_similarity_stays_exact(self, aidx):
+        q = QUERIES[1]
+        got = [r["vec_id"] for r in aidx.query(
+            f"{{!knn f=embedding topK=5 similarity=dot}}{_vec_literal(q)}"
+        ).collect()]
+        dots = VECS @ q
+        want = sorted(range(N), key=lambda i: (-dots[i], i))[:5]
+        assert got == want
+
+
+class TestStalenessAndVariants:
+    def test_stale_generation_falls_back_to_exact(self, spark, tmp_path):
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[0]
+        top1 = _exact_ids(q, 1)[0]
+        # mutate the artifact: delete the true top-1 doc — generation bumps
+        job = IndexJob(IndexJobConfig(
+            schema=IndexSchema(
+                fields=(Field("vec_id", "long", required=True),
+                        Field("embedding", "array<double>"),
+                        Field("label", "string")),
+                unique_key="vec_id",
+            ),
+            shards=2, dedup="none",
+        ))
+        n = job.delete_where(spark, idx.path, F.col("vec_id") == top1)
+        assert n == 1
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5}}{_vec_literal(q)}"
+        ).collect()]
+        # a stale-routed answer would still contain the deleted doc; the
+        # generation guard must fall back to the exact scan of the NEW data
+        assert top1 not in got
+        assert got == [i for i in _exact_ids(q, 6) if i != top1][:5]
+
+    def test_rebuild_after_mutation_reroutes(self, spark, tmp_path):
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        job = IndexJob(IndexJobConfig(
+            schema=IndexSchema(
+                fields=(Field("vec_id", "long", required=True),
+                        Field("embedding", "array<double>"),
+                        Field("label", "string")),
+                unique_key="vec_id",
+            ),
+            shards=2, dedup="none",
+        ))
+        job.delete_where(spark, idx.path, F.col("vec_id") == 0)
+        assert idx._ann_sidecar("embedding") is None  # stale -> declined
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        assert idx._ann_sidecar("embedding") is not None
+        q = QUERIES[2]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        assert got == [i for i in _exact_ids(q, 6) if i != 0][:5]
+
+    def test_ivfpq_routing(self, spark, tmp_path):
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivfpq", n_centroids=4, nprobe=4,
+                      m=4, ksub=16)
+        q = QUERIES[0]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=10 nprobe=4}}{_vec_literal(q)}"
+        ).collect()]
+        assert len(got) == 10
+        # ADC-compressed full-probe search: coarse recall sanity
+        assert len(set(got) & set(_exact_ids(q, 10))) >= 3
+
+    def test_unknown_kind_is_loud(self, spark, tmp_path):
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        with pytest.raises(ValueError, match="unsupported"):
+            idx.build_ann("embedding", kind="hnsw")
