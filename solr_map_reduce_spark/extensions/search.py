@@ -1624,6 +1624,40 @@ def complex_phrase_match(
     return F.coalesce(pred, F.lit(False))
 
 
+def unordered_near_match(
+    toks_col: F.Column, patterns: "list[tuple[str, str]]", slop: int = 0
+) -> F.Column:
+    """Lucene unordered proximity (SpanNearQuery ``inOrder=false`` /
+    surround's ``N`` operator): a witness assigns each pattern a DISTINCT
+    position (modern Lucene forbids overlapping sub-spans in unordered
+    near) with window width ``(max - min) - (m-1) <= slop``.
+
+    Completeness by reduction to the ordered matcher: a distinct-position
+    witness sorted ascending IS an ordered witness (strictly increasing,
+    same width bound) for the term permutation it induces, and
+    :func:`complex_phrase_match`'s greedy earliest-witness chase is
+    complete for each fixed order — so the unordered predicate is the OR
+    over the (deduplicated) m! orderings.  m stays tiny in real proximity
+    queries (2-3); capped at 5 (120 JVM-side branches over position
+    arrays Catalyst computes once via subexpression elimination) with a
+    loud error beyond."""
+    import itertools
+
+    m = len(patterns)
+    if m == 1:
+        return complex_phrase_match(toks_col, patterns, slop)
+    if m > 5:
+        raise QuerySyntaxError(
+            "unordered proximity supports at most 5 terms "
+            f"(got {m}); use the ordered W / inOrder=true form"
+        )
+    orders = sorted(set(itertools.permutations(patterns)))
+    pred = complex_phrase_match(toks_col, list(orders[0]), slop)
+    for order in orders[1:]:
+        pred = pred | complex_phrase_match(toks_col, list(order), slop)
+    return pred
+
+
 def _fuzzy_match(toks_col: F.Column, needle: str, max_edits: int) -> F.Column:
     """Fuzzy term predicate (Lucene ``term~N``): any stored token within
     Levenshtein distance ``max_edits`` of the needle.  ``F.levenshtein``

@@ -2739,8 +2739,9 @@ class SearchIndex:
             # order"), wildcard operands as anchored-regex position
             # filters.  Surround does NOT analyze its operands
             # (Lucene's raw parser) — lowercase-only normalization.
-            # The unordered N operator has no ordered-witness
-            # equivalent here — loud.
+            # The unordered N operator matches DISTINCT positions in any
+            # order within the same width bound (unordered_near_match's
+            # permutation-OR over the ordered greedy chase).
             import re as _re
 
             body = inner.strip()
@@ -2763,14 +2764,9 @@ class SearchIndex:
                     )
                 fname, lhs, n_raw, op_, rhs = m.groups()
                 args = [lhs, rhs]
-            if op_ in ("n", "N"):
-                raise search.QuerySyntaxError(
-                    "{!surround} N (unordered proximity) is not "
-                    "supported; the ordered contract is W"
-                )
             if len(args) < 2:
                 raise search.QuerySyntaxError(
-                    "{!surround} W takes at least two operands"
+                    "{!surround} W/N takes at least two operands"
                 )
             n_ = int(n_raw) if n_raw else 1
             if n_ < 1:
@@ -2783,9 +2779,12 @@ class SearchIndex:
                 ("glob" if ("*" in a or "?" in a) else "term", a.lower())
                 for a in args
             ]
-            pred = search.complex_phrase_match(
-                F.col(tc), patterns, slop=n_ - 1
+            matcher = (
+                search.unordered_near_match
+                if op_ in ("n", "N")
+                else search.complex_phrase_match
             )
+            pred = matcher(F.col(tc), patterns, slop=n_ - 1)
             return self.df().filter(pred)
         if qtype == "complexphrase":
             # Lucene ComplexPhraseQueryParser ({!complexphrase
@@ -2795,15 +2794,11 @@ class SearchIndex:
             # earliest-witness chase over per-term position sets;
             # wildcards become anchored regex position filters, never a
             # dictionary expansion).  inOrder=false (Lucene's unordered
-            # window) has no ordered-witness equivalent here — loud.
+            # window) matches distinct positions in any order within
+            # the same width bound via unordered_near_match.
             import re as _re
 
-            if params.get("inOrder", "true").lower() == "false":
-                raise search.QuerySyntaxError(
-                    "{!complexphrase inOrder=false} (unordered window) "
-                    "is not supported; the ordered contract is "
-                    "inOrder=true"
-                )
+            in_order = params.get("inOrder", "true").lower() != "false"
             m = _re.match(
                 r'^\s*(?:([\w.]+):)?"([^"]+)"(?:~(\d+))?\s*$', inner
             )
@@ -2829,9 +2824,12 @@ class SearchIndex:
                     f"{{!complexphrase}} phrase {phrase!r} has no "
                     "matchable terms after analysis"
                 )
-            pred = search.complex_phrase_match(
-                F.col(tc), patterns, slop=slop
+            matcher = (
+                search.complex_phrase_match
+                if in_order
+                else search.unordered_near_match
             )
+            pred = matcher(F.col(tc), patterns, slop=slop)
             return self.df().filter(pred)
         if qtype == "graph":
             # GraphQParser {!graph from=f to=t maxDepth=N returnRoot=

@@ -1980,6 +1980,28 @@ def c9_surround_w(spark, sf_dir):
 
 
 @_register(
+    "c9_surround_n",
+    f"""SELECT doc_id FROM (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        WHERE len(list_filter(range(1, len(toks) + 1),
+              i -> coalesce(regexp_matches(toks[i], '^ha.*$'), false)
+                   AND len(list_filter(range(1, len(toks) + 1),
+                         j -> j <> i AND abs(j - i) <= 2
+                              AND coalesce(toks[j] = 'join', false))) > 0))
+              > 0""",
+    "Lucene {!surround} unordered-N operator (2n(ha*, join)): both "
+    "terms at DISTINCT positions within the W width bound, ANY order — "
+    "the permutation-OR over the ordered greedy chase "
+    "(unordered_near_match), catching the reversed 'join .. ha*' pairs "
+    "the ordered W query misses",
+)
+def c9_surround_n(spark, sf_dir):
+    return _docs_search_index(spark, sf_dir).search(
+        q="{!surround}text:2n(ha*, join)", select=["doc_id"]
+    )
+
+
+@_register(
     "c9_prefix_match",
     f"""SELECT doc_id FROM (
           SELECT doc_id, ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS hay

@@ -1563,10 +1563,36 @@ class TestComplexPhrase:
     def test_errors_are_loud(self, cp):
         from solr_map_reduce_spark.extensions.search import QuerySyntaxError
 
-        with pytest.raises(QuerySyntaxError, match="inOrder=false"):
-            cp.search(q='{!complexphrase inOrder=false}text:"a b"')
         with pytest.raises(QuerySyntaxError, match="body must be"):
             cp.search(q="{!complexphrase}text:nophrase")
+
+    def test_unordered_window(self, cp):
+        # inOrder=false (Lucene's unordered SpanNear): adjacent pair in
+        # ANY order — 1 (john smith), 3 (smith john), 4 (jones smith)
+        assert self.ids(
+            cp, '{!complexphrase inOrder=false}text:"smith jo*"'
+        ) == ["1", "3", "4"]
+        # slop widens the window symmetrically: 5 (john big smith)
+        assert self.ids(
+            cp, '{!complexphrase inOrder=false}text:"smith john"~1'
+        ) == ["1", "3", "5"]
+        # ordered form of the same phrase only matches the reversed doc
+        assert self.ids(cp, '{!complexphrase}text:"smith jo*"') == ["3"]
+
+    def test_unordered_requires_distinct_positions(self, cp):
+        # one 'john' token cannot witness both terms (Lucene unordered
+        # near forbids overlapping sub-spans)
+        assert self.ids(
+            cp, '{!complexphrase inOrder=false}text:"john john"~3'
+        ) == []
+
+    def test_unordered_term_cap_is_loud(self, cp):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="at most 5"):
+            cp.search(
+                q='{!complexphrase inOrder=false}text:"a b c d e f"'
+            )
 
     def test_term_qparser(self, cp):
         # {!term}: ONE raw value, no analysis, no separator split —
@@ -1614,11 +1640,20 @@ class TestComplexPhrase:
         # three operands share one window; case-insensitive raw terms
         assert self.ids(cp, "{!surround}text:w(JOHN, smith, works)") == ["1"]
 
+    def test_surround_unordered_n(self, cp):
+        # N: same width bound as W, any order, distinct positions
+        assert self.ids(cp, "{!surround}text:n(jo*, smith)") == [
+            "1", "3", "4"]
+        assert self.ids(cp, "{!surround}text:2n(john, smith)") == [
+            "1", "3", "5"]
+        # binary infix N form
+        assert self.ids(cp, "{!surround}text:smith 1n john") == ["1", "3"]
+        # three operands, any order, one shared window
+        assert self.ids(cp, "{!surround}text:n(works, smith, john)") == ["1"]
+
     def test_surround_errors_are_loud(self, cp):
         from solr_map_reduce_spark.extensions.search import QuerySyntaxError
 
-        with pytest.raises(QuerySyntaxError, match="unordered"):
-            cp.search(q="{!surround}text:3n(a, b)")
         with pytest.raises(QuerySyntaxError, match="two operands"):
             cp.search(q="{!surround}text:2w(solo)")
         with pytest.raises(QuerySyntaxError, match="supports"):
