@@ -1980,6 +1980,45 @@ def c9_surround_w(spark, sf_dir):
 
 
 @_register(
+    "c9_luke",
+    """SELECT 'doc_id' AS field, 'bigint' AS type,
+              (SELECT CAST(count(doc_id) AS BIGINT) FROM documents) AS docs,
+              false AS multi_valued,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS num_docs
+       UNION ALL SELECT 'lang', 'string',
+              (SELECT CAST(count(lang) AS BIGINT) FROM documents), false,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)
+       UNION ALL SELECT 'n_chars', 'bigint',
+              (SELECT CAST(count(n_chars) AS BIGINT) FROM documents), false,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)
+       UNION ALL SELECT 'source', 'string',
+              (SELECT CAST(count(source) AS BIGINT) FROM documents), false,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)
+       UNION ALL SELECT 'text', 'string',
+              (SELECT CAST(count(text) AS BIGINT) FROM documents), false,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)""",
+    "Solr Luke handler (/admin/luke) field report: per-field read-schema "
+    "type, non-null doc count, multi-valued flag + the O(1) sidecar "
+    "num_docs — the per-field stats ride ONE map-side-combined aggregate "
+    "pass; internal shard/tokens columns excluded.  The HLL distinct "
+    "estimate stays out of the oracled projection (approximate by "
+    "contract; exactness is not promised by Solr's luke either)",
+)
+def c9_luke(spark, sf_dir):
+    rep = _docs_search_index(spark, sf_dir).luke()
+    rows = [
+        (fname, v["type"], int(v["docs"]), bool(v["multi_valued"]),
+         int(rep["num_docs"]))
+        for fname, v in sorted(rep["fields"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "field string, type string, docs long, multi_valued boolean, "
+        "num_docs long",
+    )
+
+
+@_register(
     "c9_surround_n",
     f"""SELECT doc_id FROM (
           SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
