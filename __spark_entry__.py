@@ -170,14 +170,15 @@ _VERDICT_PRIORITY = [
     "ext_exact_dedup", "ext_token_count", "ext_curation_pipeline",
     "ext_bpe_token_count", "ext_quality_features", "ext_gopher_rules",
     "ext_lang_id", "ext_fingerprint", "ext_ann_topk", "ext_minhash_dedup",
-    # r06-stale overflow for the r11 window (20): ext_simhash,
-    # ext_ngram_jaccard, ext_simhash_pairs, ext_cosine_pairs,
-    # ext_dedup_clusters, ext_sessionize, c9_contains_all,
-    # c9_contains_any, c9_match_phrase, c9_prefix_match,
-    # c9_contains_none, c9_term_facet, c9_highlight,
+    # r11 window plan: the 3 r10 additions (c9_surround_n, c9_luke,
+    # c9_backup_restore — never externally checked) + the r06-stale
+    # overflow (20): ext_simhash, ext_ngram_jaccard, ext_simhash_pairs,
+    # ext_cosine_pairs, ext_dedup_clusters, ext_sessionize,
+    # c9_contains_all, c9_contains_any, c9_match_phrase,
+    # c9_prefix_match, c9_contains_none, c9_term_facet, c9_highlight,
     # ext_quantile_filter, ext_pack_sequences, ext_redact_pii,
     # ext_profile, ext_source_mixture, window_sliding_counts,
-    # ext_repetition — then any r10 additions, then the r07 cohort
+    # ext_repetition — then the r07 cohort (oldest-first)
 ]
 
 

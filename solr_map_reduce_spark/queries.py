@@ -1980,6 +1980,49 @@ def c9_surround_w(spark, sf_dir):
 
 
 @_register(
+    "c9_backup_restore",
+    """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+       ORDER BY doc_id LIMIT 20""",
+    "Solr /replication backup + restore lifecycle, externally checked: "
+    "build a dedicated artifact, point-in-time backup() under the "
+    "mutation lock, delete a third of the docs from live, restore() the "
+    "snapshot via the atomic publish swap — the served rows must equal "
+    "the pre-mutation table (a failed restore would leave the deleted "
+    "doc_id%3 rows missing from the page and hash-mismatch)",
+)
+def c9_backup_restore(spark, sf_dir):
+    import os
+    import tempfile
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+    from solr_map_reduce_spark.indexing import (
+        IndexJob, IndexJobConfig, backup, restore,
+    )
+
+    schema = IndexSchema(
+        fields=(Field("doc_id", "long", required=True),
+                Field("n_chars", "long")),
+        unique_key="doc_id",
+    )
+    base = tempfile.mkdtemp(prefix="smrs_bakres_")
+    path = os.path.join(base, "idx")
+    job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none"))
+    job.build(
+        t(spark, sf_dir, "documents").select("doc_id", "n_chars"), path
+    )
+    backup(path, os.path.join(base, "bak"), spark)
+    job.delete_where(spark, path, F.col("doc_id") % 3 == 0)
+    restore(os.path.join(base, "bak"), path, spark)
+    return (
+        SearchIndex.open(spark, path)
+        .df()
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+@_register(
     "c9_luke",
     """SELECT 'doc_id' AS field, 'bigint' AS type,
               (SELECT CAST(count(doc_id) AS BIGINT) FROM documents) AS docs,
