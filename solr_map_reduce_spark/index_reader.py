@@ -3755,6 +3755,19 @@ class SearchIndex:
             )
             ivf.save(side, assigned=ivf.assign(base))
         elif kind == "ivfpq":
+            # {!knn}'s metric is cosine: PQ-encode UNIT vectors so the
+            # ADC score (dot with the normalized query) ranks by cosine
+            # instead of ||v||·cos — without this, long vectors crowd
+            # the topK regardless of angle.  JVM-side transform; the
+            # zero vector stays zero (cosine undefined, ranks last).
+            v = sim._as_double(F.col(field))
+            nrm = sim.l2_norm(v)
+            base = base.withColumn(
+                field,
+                F.when(nrm == 0.0, v).otherwise(
+                    F.transform(v, lambda x: x / nrm)
+                ),
+            )
             idx = sim.IvfPqIndex.fit(
                 base, n_centroids=n_centroids, id_col=self.unique_key,
                 vec_col=field, **fit_kw,

@@ -227,8 +227,9 @@ class TestStalenessAndVariants:
             f"{{!knn f=embedding topK=10 nprobe=4}}{_vec_literal(q)}"
         ).collect()]
         assert len(got) == 10
-        # ADC-compressed full-probe search: coarse recall sanity
-        assert len(set(got) & set(_exact_ids(q, 10))) >= 3
+        # ADC over UNIT vectors (build_ann normalizes for the cosine
+        # contract): full-probe compressed recall floor
+        assert len(set(got) & set(_exact_ids(q, 10))) >= 5
 
     def test_unknown_kind_is_loud(self, spark, tmp_path):
         idx = _build_artifact(spark, str(tmp_path / "idx"))
