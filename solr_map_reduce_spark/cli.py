@@ -304,6 +304,25 @@ def build_parser() -> argparse.ArgumentParser:
     rst.add_argument("--backup", required=True, help="completed backup dir")
     rst.add_argument("--path", required=True, help="live artifact location")
 
+    ann = sub.add_parser(
+        "ann-build",
+        help="build the ANN serving sidecar for a vector field — after "
+             "this, {!knn f=<field>} serves from partition-pruned IVF "
+             "probes instead of a per-query corpus scan",
+    )
+    ann.add_argument("--path", required=True, help="artifact location")
+    ann.add_argument("--field", required=True, help="vector column name")
+    ann.add_argument(
+        "--kind", choices=("ivf", "ivfpq"), default="ivf",
+        help="ivf stores raw vectors per bucket (exact in-probe "
+             "distances); ivfpq stores ~32x-smaller PQ codes (ADC)",
+    )
+    ann.add_argument("--n-centroids", type=int, default=16)
+    ann.add_argument(
+        "--nprobe", type=int, default=2,
+        help="serving default, overridable per-query via nprobe=",
+    )
+
     prof = sub.add_parser(
         "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
     )
@@ -415,6 +434,22 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(backup(args.path, args.dest, sess)))
         else:
             print(json.dumps(restore(args.backup, args.path, sess)))
+        return 0
+
+    if args.command == "ann-build":
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.session import get_spark
+
+        sess = get_spark(app_name="smrs-cli-ann-build")
+        idx = SearchIndex.open(sess, args.path)
+        side = idx.build_ann(
+            args.field, kind=args.kind, n_centroids=args.n_centroids,
+            nprobe=args.nprobe,
+        )
+        print(json.dumps({
+            "sidecar": side, "field": args.field, "kind": args.kind,
+            "n_centroids": args.n_centroids, "nprobe": args.nprobe,
+        }))
         return 0
 
     if args.command == "unlock":

@@ -235,3 +235,22 @@ class TestStalenessAndVariants:
         idx = _build_artifact(spark, str(tmp_path / "idx"))
         with pytest.raises(ValueError, match="unsupported"):
             idx.build_ann("embedding", kind="hnsw")
+
+    def test_cli_ann_build(self, spark, tmp_path, capsys):
+        import json
+
+        from solr_map_reduce_spark import cli
+
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        rc = cli.main([
+            "ann-build", "--path", idx.path, "--field", "embedding",
+            "--n-centroids", str(NC), "--nprobe", str(NC),
+        ])
+        assert rc == 0
+        meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert meta["kind"] == "ivf" and os.path.isdir(meta["sidecar"])
+        q = QUERIES[0]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        assert got == _exact_ids(q, 5)
