@@ -690,13 +690,16 @@ class IvfIndex:
         k: int = 10,
         nprobe: int = 2,
         bucket_col: str | None = None,
+        exclude: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k over a saved index: the ``bucket isin(probe)`` filter hits
         the partition column, so only nprobe bucket directories are read —
         the IVF promise (touch 1/n_centroids of the data per probe) made
         physical.  With a manifest-pinned schema (save() records it) the
         read also skips footer inference, so NO unprobed file is touched
-        at plan time either."""
+        at plan time either.  ``exclude``: an (id) DataFrame anti-joined
+        BEFORE the top-k (tombstones from delta-maintained deletes) —
+        AQE broadcasts the typically-small exclusion set."""
         from solr_map_reduce_spark.fs import join as fs_join
 
         reader = spark.read
@@ -705,6 +708,8 @@ class IvfIndex:
 
             reader = reader.schema(StructType.fromJson(self.vectors_schema))
         assigned = reader.parquet(fs_join(path, "vectors"))
+        if exclude is not None:
+            assigned = assigned.join(exclude, on=self.id_col, how="left_anti")
         return self.search(
             assigned, query, k, nprobe, bucket_col or self.bucket_col
         )
@@ -1146,12 +1151,13 @@ class IvfPqIndex:
 
     def search_stored(
         self, spark, path: str, query: Sequence[float], k: int = 10,
-        nprobe: int = 3,
+        nprobe: int = 3, exclude: DataFrame | None = None,
     ) -> DataFrame:
         """ADC top-k over the probed buckets of a built index: the bucket
         filter hits the partition column (partition-pruned scan) and the
         scan reads only (id, code).  A manifest-pinned codes schema skips
-        footer inference (no unprobed file touched at plan time)."""
+        footer inference (no unprobed file touched at plan time).
+        ``exclude``: (id) tombstones anti-joined before the top-k."""
         from solr_map_reduce_spark.fs import join as fs_join
 
         q = np.asarray(query, dtype=np.float64)
@@ -1165,6 +1171,8 @@ class IvfPqIndex:
         codes = reader.parquet(fs_join(path, "codes")).filter(
             F.col(self.ivf.bucket_col).isin(probe)
         )
+        if exclude is not None:
+            codes = codes.join(exclude, on=self.ivf.id_col, how="left_anti")
         return self.pq.topk(codes, query, k=k)
 
 

@@ -3735,10 +3735,16 @@ class SearchIndex:
         per-query via the ``nprobe=`` local param.
 
         Staleness contract: the sidecar records the artifact generation
-        it was built from; any engine mutation (upsert/delete/merge)
-        changes the generation and the query path falls back to the
-        exact scan until ``build_ann`` runs again — approximate serving
-        is never stale-wrong, only absent."""
+        it was pinned to.  DELETES are delta-maintained — the engine
+        appends the deleted keys as tombstones (anti-joined before every
+        probe's top-k) and re-pins the generation, O(deleted) work, so
+        {!knn} stays routed (indexing._ann_delta_delete).  Upserts
+        (merge_into/update_fields) leave the meta on the old generation
+        — the query path falls back to the exact scan until
+        ``build_ann`` runs again (a replaced key's old vector row would
+        need versioned exclusion to coexist with its re-appended
+        replacement).  Either way approximate serving is never
+        stale-wrong, only absent."""
         import json as _json
 
         from solr_map_reduce_spark.extensions import similarity as sim
@@ -3777,6 +3783,12 @@ class SearchIndex:
             raise ValueError(
                 f"build_ann kind {kind!r} unsupported (ivf, ivfpq)"
             )
+        fs = get_fs(self.path, self.spark)
+        # a fresh build reflects the current corpus: stale tombstones
+        # from pre-rebuild deletes would wrongly exclude re-added keys
+        tomb = fs_join(side, "tombstones")
+        if fs.exists(tomb):
+            fs.delete(tomb)
         get_fs(self.path, self.spark).write_text(
             fs_join(side, self.ANN_META),
             _json.dumps(
@@ -3846,12 +3858,24 @@ class SearchIndex:
         current sidecar exists (caller falls back to the exact scan).
         Total IO: nprobe/n_centroids of the vector table + the O(k)
         segment files holding the hit keys — never the corpus."""
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.fs import join as fs_join
+
         handle = self._ann_sidecar(field)
         if handle is None:
             return None
         kind, idx, side, meta = handle
         nprobe = int(params.get("nprobe", meta.get("nprobe", 2)))
-        top = idx.search_stored(self.spark, side, qvec, k=k, nprobe=nprobe)
+        # tombstones: deletes delta-maintain the sidecar (indexing.py
+        # _ann_delta_delete) by appending deleted keys here — anti-joined
+        # before the top-k so a deleted doc can never serve
+        exclude = None
+        tomb = fs_join(side, "tombstones")
+        if get_fs(self.path, self.spark).exists(tomb):
+            exclude = self.spark.read.parquet(tomb)
+        top = idx.search_stored(
+            self.spark, side, qvec, k=k, nprobe=nprobe, exclude=exclude
+        )
         hits = top.collect()  # bounded: <= topK rows from probed buckets
         if not hits:
             return self.df().limit(0)

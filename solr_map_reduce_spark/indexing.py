@@ -885,6 +885,14 @@ class IndexJob:
         n_before = subset.count()
         kept = subset.filter(~matches)
         key = self.config.schema.unique_key
+        # ANN delta maintenance needs the deleted keys MATERIALIZED before
+        # the swap deletes the files the lazy plan reads (ids only — tiny)
+        deleted_ids = None
+        if _ann_sidecars(fs, path):
+            deleted_ids = (
+                subset.filter(matches).select(key)
+                .localCheckpoint(eager=True)
+            )
         with _mutation_lock(fs, path, "delete_where"):
             tmp = path.rstrip("/") + "._delete_tmp"
             (
@@ -923,6 +931,8 @@ class IndexJob:
             if sidecar_exists(fs, path):
                 write_key_ranges(spark, path, shards=touched)
             bump_generation(fs, path)  # live handles must drop caches
+            if deleted_ids is not None:
+                _ann_delta_delete(spark, fs, path, deleted_ids)
             return n_before - n_after
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
@@ -1086,6 +1096,78 @@ def clear_mutation_lock(path: str, spark: SparkSession | None = None) -> bool:
 
 
 _SWAP_TRASH = "_trash_swap"
+
+
+ANN_DIR = "_ann"
+ANN_META = "_ANN_META.json"
+ANN_TOMBSTONES = "tombstones"
+
+
+def _ann_sidecars(fs, path: str) -> "list[tuple[str, str]]":
+    """(field, sidecar_path) for every ANN serving sidecar under the
+    artifact (SearchIndex.build_ann's layout)."""
+    base = fs_join(path, ANN_DIR)
+    try:
+        names = fs.listdir(base)
+    except Exception:
+        return []
+    out = []
+    for d in names:
+        side = fs_join(base, d)
+        if fs.exists(fs_join(side, ANN_META)):
+            out.append((d, side))
+    return out
+
+
+def _manifest_generation_hash(fs, path: str) -> "str | None":
+    """sha1 of the manifest text — the SAME generation fingerprint
+    SearchIndex._current_generation computes, so a sidecar meta written
+    with this value reads as generation-current to live handles."""
+    import hashlib
+
+    try:
+        text = fs.read_text(fs_join(path, MANIFEST))
+    except Exception:
+        return None
+    return hashlib.sha1(text.encode("utf-8")).hexdigest()
+
+
+def _ann_delta_delete(spark, fs, path: str, deleted_ids: DataFrame) -> None:
+    """Delta-maintain ANN sidecars across a delete: the sidecar stores
+    only (id, vector/code, bucket) — file-layout-independent — so a
+    delete needs no vector rewrite, just (1) the deleted keys appended
+    as TOMBSTONES (anti-joined before every probe's top-k) and (2) the
+    meta re-pinned to the post-mutation generation so {!knn} stays on
+    the sublinear routed path.  O(deleted ids), never O(index).
+
+    Crash-safety: tombstones append FIRST, meta re-pin LAST — a crash
+    between them leaves the old generation in meta, which reads as
+    stale and falls the query back to the exact scan (never a stale
+    wrong answer).  Upserts (merge_into/update_fields) intentionally do
+    NOT delta-maintain: a replaced key's old vector row would need
+    versioned exclusion to coexist with its re-appended new row, so
+    they leave the meta stale (exact fallback) until build_ann runs —
+    documented contract, mirrors Solr's "reindex into the vector field
+    requires a graph rebuild" reality."""
+    import json as _json
+
+    sides = _ann_sidecars(fs, path)
+    if not sides:
+        return
+    new_gen = _manifest_generation_hash(fs, path)
+    if new_gen is None:
+        return
+    for field_name, side in sides:
+        meta_path = fs_join(side, ANN_META)
+        try:
+            meta = _json.loads(fs.read_text(meta_path))
+        except Exception:
+            continue
+        deleted_ids.write.mode("append").parquet(
+            fs_join(side, ANN_TOMBSTONES)
+        )
+        meta["built_generation"] = new_gen
+        fs.write_text(meta_path, _json.dumps(meta))
 
 
 def bump_generation(fs, path: str) -> None:

@@ -169,54 +169,87 @@ class TestKnnAnnRouting:
         assert got == want
 
 
+def _job():
+    return IndexJob(IndexJobConfig(
+        schema=IndexSchema(
+            fields=(Field("vec_id", "long", required=True),
+                    Field("embedding", "array<double>"),
+                    Field("label", "string")),
+            unique_key="vec_id",
+        ),
+        shards=2, dedup="none",
+    ))
+
+
 class TestStalenessAndVariants:
-    def test_stale_generation_falls_back_to_exact(self, spark, tmp_path):
+    def test_delete_delta_maintains_routing(self, spark, tmp_path):
+        # deletes don't stale the sidecar: tombstones + generation
+        # re-pin keep {!knn} on the routed path, deleted docs excluded
         idx = _build_artifact(spark, str(tmp_path / "idx"))
         idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
         q = QUERIES[0]
         top1 = _exact_ids(q, 1)[0]
-        # mutate the artifact: delete the true top-1 doc — generation bumps
-        job = IndexJob(IndexJobConfig(
-            schema=IndexSchema(
-                fields=(Field("vec_id", "long", required=True),
-                        Field("embedding", "array<double>"),
-                        Field("label", "string")),
-                unique_key="vec_id",
-            ),
-            shards=2, dedup="none",
-        ))
-        n = job.delete_where(spark, idx.path, F.col("vec_id") == top1)
+        n = _job().delete_where(spark, idx.path, F.col("vec_id") == top1)
         assert n == 1
-        got = [r["vec_id"] for r in idx.query(
-            f"{{!knn f=embedding topK=5}}{_vec_literal(q)}"
-        ).collect()]
-        # a stale-routed answer would still contain the deleted doc; the
-        # generation guard must fall back to the exact scan of the NEW data
-        assert top1 not in got
-        assert got == [i for i in _exact_ids(q, 6) if i != top1][:5]
-
-    def test_rebuild_after_mutation_reroutes(self, spark, tmp_path):
-        idx = _build_artifact(spark, str(tmp_path / "idx"))
-        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
-                             nprobe=NC)
-        job = IndexJob(IndexJobConfig(
-            schema=IndexSchema(
-                fields=(Field("vec_id", "long", required=True),
-                        Field("embedding", "array<double>"),
-                        Field("label", "string")),
-                unique_key="vec_id",
-            ),
-            shards=2, dedup="none",
-        ))
-        job.delete_where(spark, idx.path, F.col("vec_id") == 0)
-        assert idx._ann_sidecar("embedding") is None  # stale -> declined
-        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
-        assert idx._ann_sidecar("embedding") is not None
-        q = QUERIES[2]
+        assert idx._ann_sidecar("embedding") is not None  # still routed
         got = [r["vec_id"] for r in idx.query(
             f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
         ).collect()]
-        assert got == [i for i in _exact_ids(q, 6) if i != 0][:5]
+        assert top1 not in got
+        assert got == [i for i in _exact_ids(q, 6) if i != top1][:5]
+        # and so does the exact path, on the post-delete corpus
+        exact = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 exact=true}}{_vec_literal(q)}"
+        ).collect()]
+        assert exact == got
+
+    def test_delete_tombstones_accumulate(self, spark, tmp_path):
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[1]
+        doomed = _exact_ids(q, 3)
+        job = _job()
+        for d in doomed:  # three separate mutations, three appends
+            job.delete_where(spark, idx.path, F.col("vec_id") == d)
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        assert not set(got) & set(doomed)
+        assert got == [i for i in _exact_ids(q, 8) if i not in doomed][:5]
+
+    def test_upsert_stales_rebuild_reroutes(self, spark, tmp_path):
+        # upserts intentionally do NOT delta-maintain (a replaced key's
+        # old vector row would need versioned exclusion): merge_into
+        # stales the sidecar -> exact fallback; build_ann re-routes and
+        # clears the tombstones of earlier deletes
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        job = _job()
+        job.delete_where(spark, idx.path, F.col("vec_id") == 0)
+        assert os.path.isdir(os.path.join(side, "tombstones"))
+        batch = spark.createDataFrame(
+            [(500, [float(x) for x in VECS[0]], "new")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        job.merge_into(batch, idx.path)
+        assert idx._ann_sidecar("embedding") is None  # stale -> declined
+        q = QUERIES[2]
+        # exact fallback serves the post-upsert corpus (new doc visible)
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK={N}}}{_vec_literal(q)}"
+        ).collect()]
+        assert 500 in got and 0 not in got
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        assert idx._ann_sidecar("embedding") is not None
+        assert not os.path.exists(os.path.join(side, "tombstones"))
+        routed = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        exact = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 exact=true}}{_vec_literal(q)}"
+        ).collect()]
+        assert routed == exact
 
     def test_ivfpq_routing(self, spark, tmp_path):
         idx = _build_artifact(spark, str(tmp_path / "idx"))
