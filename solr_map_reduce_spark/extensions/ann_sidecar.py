@@ -1,0 +1,379 @@
+"""ANN serving sidecar for the {!knn} query parser: build, sublinear
+probe, and O(touched) delta maintenance across every engine mutation.
+
+Layout under ``<index>/_ann/<field>/``:
+
+- ``_IVF_MANIFEST.json`` / ``_IVFPQ_MANIFEST.json`` + ``vectors/`` or
+  ``codes/`` partitioned by coarse bucket — the
+  :class:`~solr_map_reduce_spark.extensions.similarity.IvfIndex` /
+  ``IvfPqIndex`` persistence (epoch-0 base).
+- ``_ANN_META.json`` — ``{kind, field, nprobe, built_generation,
+  epoch}``.  ``built_generation`` pins the sidecar to the artifact
+  manifest's content hash; a mismatch reads as STALE and the query
+  falls back to the exact scan (never a stale answer).  ``epoch`` is a
+  monotone mutation counter consumed by the delta rows below.
+- ``delta/`` (optional) — upserted vectors (IVF) or PQ codes (IVF-PQ),
+  partitioned by bucket like the base, each row carrying its
+  ``_ann_epoch``.
+- ``tombstones/`` (optional) — ``(key, tomb_epoch)`` rows appended by
+  deletes and upserts.
+
+Liveness rule (the versioned-exclusion contract): a stored row of key
+``k`` at epoch ``e`` is ALIVE iff no tombstone for ``k`` has
+``tomb_epoch > e``.  Every upsert tombstones its batch keys at the new
+epoch and appends the post-resolution rows at that same epoch, so
+exactly one row per present key is alive; a delete tombstones at a new
+epoch with no append, so none is.  The rule is applied BEFORE the
+top-k, over probe-pruned rows only.
+
+Crash-safety (two-phase meta): every mutation first writes the meta
+with the NEW epoch but the OLD generation (consuming the epoch — a
+crashed attempt's partial delta/tombstone rows can never be revived by
+a later mutation reusing the number), then appends delta/tombstones,
+then re-pins ``built_generation`` last.  A crash anywhere in between
+leaves the meta stale → exact fallback.
+
+Reference parity: Solr 9's KnnQParser serves from a Lucene HNSW graph
+(sublinear per query, rebuilt per segment on reindex); the
+partitioned-storage analog here is IVF bucket pruning with
+delta-maintained liveness instead of per-segment graph rebuilds.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
+
+from solr_map_reduce_spark.fs import get_fs
+from solr_map_reduce_spark.fs import join as fs_join
+
+ANN_DIR = "_ann"
+ANN_META = "_ANN_META.json"
+TOMBSTONES = "tombstones"
+DELTA = "delta"
+EPOCH_COL = "_ann_epoch"
+
+
+# -- meta ----------------------------------------------------------------
+
+def side_path(index_path: str, field: str) -> str:
+    return fs_join(index_path, ANN_DIR, field)
+
+
+def load_meta(fs, side: str) -> dict | None:
+    try:
+        return json.loads(fs.read_text(fs_join(side, ANN_META)))
+    except Exception:
+        return None
+
+
+def write_meta(fs, side: str, meta: dict) -> None:
+    fs.write_text(fs_join(side, ANN_META), json.dumps(meta))
+
+
+def manifest_generation_hash(fs, index_path: str) -> str | None:
+    """sha1 of the artifact manifest text — the same fingerprint
+    ``SearchIndex._current_generation`` computes, so metas written with
+    it read as generation-current to live handles."""
+    import hashlib
+
+    from solr_map_reduce_spark.indexing import MANIFEST
+
+    try:
+        text = fs.read_text(fs_join(index_path, MANIFEST))
+    except Exception:
+        return None
+    return hashlib.sha1(text.encode("utf-8")).hexdigest()
+
+
+def sidecars(fs, index_path: str) -> list[tuple[str, str]]:
+    """(field, side_path) for every sidecar present under the artifact."""
+    base = fs_join(index_path, ANN_DIR)
+    try:
+        names = fs.listdir(base)
+    except Exception:
+        return []
+    out = []
+    for d in names:
+        side = fs_join(base, d)
+        if fs.exists(fs_join(side, ANN_META)):
+            out.append((d, side))
+    return out
+
+
+# -- build ---------------------------------------------------------------
+
+def _unit_normalized(df: DataFrame, field: str) -> DataFrame:
+    """L2-normalize the vector column JVM-side (zero vectors stay zero):
+    PQ codes of unit vectors make the ADC score rank by cosine instead
+    of ||v||·cos."""
+    from solr_map_reduce_spark.extensions.similarity import _as_double, l2_norm
+
+    v = _as_double(F.col(field))
+    nrm = l2_norm(v)
+    return df.withColumn(
+        field, F.when(nrm == 0.0, v).otherwise(F.transform(v, lambda x: x / nrm))
+    )
+
+
+def build(
+    spark: SparkSession,
+    index_path: str,
+    base_rows: DataFrame,
+    key: str,
+    field: str,
+    kind: str = "ivf",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    **fit_kw,
+) -> str:
+    """Fit + persist the sidecar from ``base_rows`` (key, field), clear
+    any delta/tombstones from a previous generation, and pin the meta to
+    the CURRENT artifact generation at epoch 0."""
+    from solr_map_reduce_spark.extensions import similarity as sim
+
+    side = side_path(index_path, field)
+    if kind == "ivf":
+        ivf = sim.IvfIndex.fit(
+            base_rows, n_centroids=n_centroids, id_col=key, vec_col=field,
+            **fit_kw,
+        )
+        ivf.save(side, assigned=ivf.assign(base_rows))
+    elif kind == "ivfpq":
+        idx = sim.IvfPqIndex.fit(
+            _unit_normalized(base_rows, field), n_centroids=n_centroids,
+            id_col=key, vec_col=field, **fit_kw,
+        )
+        idx.build(_unit_normalized(base_rows, field), side)
+    else:
+        raise ValueError(f"build_ann kind {kind!r} unsupported (ivf, ivfpq)")
+    fs = get_fs(index_path, spark)
+    # a fresh build reflects the current corpus: stale tombstones/delta
+    # from pre-rebuild mutations would wrongly exclude or revive keys
+    for sub in (TOMBSTONES, DELTA):
+        p = fs_join(side, sub)
+        if fs.exists(p):
+            fs.delete(p)
+    write_meta(fs, side, {
+        "kind": kind,
+        "field": field,
+        "nprobe": nprobe,
+        "epoch": 0,
+        "built_generation": manifest_generation_hash(fs, index_path),
+    })
+    return side
+
+
+# -- serve ---------------------------------------------------------------
+
+def _tombstone_schema(key_field: StructField) -> StructType:
+    return StructType([key_field, StructField("tomb_epoch", LongType())])
+
+
+def _with_epoch_field(schema_json: dict | None) -> StructType | None:
+    if not schema_json:
+        return None
+    st = StructType.fromJson(schema_json)
+    return StructType(st.fields + [StructField(EPOCH_COL, LongType())])
+
+
+def probe_topk(
+    spark: SparkSession,
+    side: str,
+    meta: dict,
+    index,
+    qvec: list,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """(key, score) top-k over the probed buckets of base ∪ delta with
+    the liveness rule applied — all reads partition-pruned to nprobe
+    bucket dirs and schema-pinned (zero footer inference).  ``index`` is
+    the loaded IvfIndex / IvfPqIndex."""
+    import numpy as np
+
+    from solr_map_reduce_spark.extensions import similarity as sim
+
+    fs = get_fs(side, spark)
+    kind = meta.get("kind", "ivf")
+    ivf = index if kind == "ivf" else index.ivf
+    q = np.asarray(qvec, dtype=np.float64)
+    d = ((ivf.centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(b) for b in d.argsort()[:nprobe]]
+    key = ivf.id_col
+
+    pinned = index.vectors_schema if kind == "ivf" else index.codes_schema
+    sub = "vectors" if kind == "ivf" else "codes"
+    reader = spark.read
+    if pinned:
+        reader = reader.schema(StructType.fromJson(pinned))
+    rows = reader.parquet(fs_join(side, sub)).filter(
+        F.col(ivf.bucket_col).isin(probe)
+    ).withColumn(EPOCH_COL, F.lit(0).cast("long"))
+
+    delta_path = fs_join(side, DELTA)
+    if fs.exists(delta_path):
+        dschema = _with_epoch_field(pinned)
+        dreader = spark.read
+        if dschema is not None:
+            dreader = dreader.schema(dschema)
+        delta = dreader.parquet(delta_path).filter(
+            F.col(ivf.bucket_col).isin(probe)
+        )
+        rows = rows.unionByName(delta.select(rows.columns))
+
+    tomb_path = fs_join(side, TOMBSTONES)
+    if fs.exists(tomb_path):
+        kf = next(
+            (f for f in StructType.fromJson(pinned).fields if f.name == key),
+            None,
+        ) if pinned else None
+        treader = spark.read
+        if kf is not None:
+            treader = treader.schema(_tombstone_schema(kf))
+        tmax = (
+            treader.parquet(tomb_path)
+            .groupBy(key)
+            .agg(F.max("tomb_epoch").alias("_tmax"))
+        )
+        # liveness: alive iff no tombstone with tomb_epoch > row epoch.
+        # AQE broadcasts the (small) per-key tombstone maximum.
+        rows = (
+            rows.join(tmax, on=key, how="left")
+            .filter(
+                F.col("_tmax").isNull() | (F.col(EPOCH_COL) >= F.col("_tmax"))
+            )
+            .drop("_tmax")
+        )
+
+    rows = rows.drop(EPOCH_COL)
+    if kind == "ivf":
+        return sim.cosine_topk(rows, qvec, k, id_col=key, vec_col=ivf.vec_col)
+    return index.pq.topk(rows, qvec, k=k)
+
+
+# -- delta maintenance ---------------------------------------------------
+
+def delta_delete(
+    spark: SparkSession, index_path: str, deleted_ids: DataFrame, key: str
+) -> None:
+    """Delete-by-query delta: tombstone the deleted keys at a fresh
+    epoch and re-pin every sidecar — O(deleted), the sidecar stores no
+    file references so no vector rewrite is needed."""
+    fs = get_fs(index_path, spark)
+    new_gen = manifest_generation_hash(fs, index_path)
+    for _field, side in sidecars(fs, index_path):
+        meta = load_meta(fs, side)
+        if meta is None or new_gen is None:
+            continue
+        epoch = int(meta.get("epoch", 0)) + 1
+        # phase 1: consume the epoch (old generation kept — a crash
+        # below leaves the sidecar stale, and the number is never reused)
+        meta["epoch"] = epoch
+        write_meta(fs, side, meta)
+        (
+            deleted_ids.select(
+                F.col(key), F.lit(epoch).cast("long").alias("tomb_epoch")
+            )
+            .write.mode("append")
+            .parquet(fs_join(side, TOMBSTONES))
+        )
+        # phase 2: re-pin
+        meta["built_generation"] = new_gen
+        write_meta(fs, side, meta)
+
+
+def delta_upsert(
+    spark: SparkSession,
+    index_path: str,
+    upserted_rows: DataFrame,
+    batch_keys: DataFrame,
+    key: str,
+) -> None:
+    """Upsert delta (merge_into / vector-field update_fields):
+    tombstone every batch key at a fresh epoch and append the
+    POST-RESOLUTION rows' vectors (IVF) / codes (IVF-PQ) at that epoch —
+    the winner of the resolver is what serves, whichever side it came
+    from.  Batch rows with a NULL vector get only the tombstone (their
+    document has no vector → correctly absent from ANN results, the
+    Lucene contract).  ``upserted_rows`` must be MATERIALIZED by the
+    caller before the staging swap.  O(batch) work.
+
+    Sidecars whose pinned base schema predates the epoch layout are
+    left stale (exact fallback until rebuild)."""
+    from solr_map_reduce_spark.extensions import similarity as sim
+
+    fs = get_fs(index_path, spark)
+    new_gen = manifest_generation_hash(fs, index_path)
+    for field, side in sidecars(fs, index_path):
+        meta = load_meta(fs, side)
+        if meta is None or new_gen is None:
+            continue
+        if field not in upserted_rows.columns:
+            continue  # stale: the batch did not carry this vector column
+        kind = meta.get("kind", "ivf")
+        try:
+            if kind == "ivf":
+                index = sim.IvfIndex.load(spark, side)
+            else:
+                index = sim.IvfPqIndex.load(spark, side)
+        except Exception:
+            continue
+        epoch = int(meta.get("epoch", 0)) + 1
+        meta["epoch"] = epoch
+        write_meta(fs, side, meta)  # phase 1: consume the epoch
+        vec_rows = upserted_rows.select(key, field).filter(
+            F.col(field).isNotNull()
+        )
+        if kind == "ivf":
+            staged = sim.IvfIndex(
+                index.centroids, id_col=key, vec_col=field,
+                bucket_col=index.bucket_col,
+            ).assign(vec_rows)
+        else:
+            ivf = index.ivf
+            assigned = sim.IvfIndex(
+                ivf.centroids, id_col=key, vec_col=field,
+                bucket_col=ivf.bucket_col,
+            ).assign(_unit_normalized(vec_rows, field))
+            staged = index.pq.encode(assigned, code_col="pq_code").select(
+                key, ivf.bucket_col, "pq_code"
+            )
+        bucket_col = (index if kind == "ivf" else index.ivf).bucket_col
+        (
+            staged.withColumn(EPOCH_COL, F.lit(epoch).cast("long"))
+            .write.mode("append")
+            .partitionBy(bucket_col)
+            .parquet(fs_join(side, DELTA))
+        )
+        (
+            batch_keys.select(
+                F.col(key), F.lit(epoch).cast("long").alias("tomb_epoch")
+            )
+            .write.mode("append")
+            .parquet(fs_join(side, TOMBSTONES))
+        )
+        meta["built_generation"] = new_gen
+        write_meta(fs, side, meta)  # phase 2: re-pin
+
+
+def repin_only(spark: SparkSession, index_path: str,
+               changed_fields: "set[str]") -> None:
+    """A mutation that provably did not touch a sidecar's vector column
+    (update_fields on other columns) just re-pins the generation —
+    vectors, delta, and tombstones are all still exact."""
+    fs = get_fs(index_path, spark)
+    new_gen = manifest_generation_hash(fs, index_path)
+    if new_gen is None:
+        return
+    for field, side in sidecars(fs, index_path):
+        if field in changed_fields:
+            continue  # vector column rewritten: leave stale (rebuild)
+        meta = load_meta(fs, side)
+        if meta is None:
+            continue
+        meta["built_generation"] = new_gen
+        write_meta(fs, side, meta)

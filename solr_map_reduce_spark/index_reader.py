@@ -3734,71 +3734,24 @@ class SearchIndex:
         distances).  ``nprobe`` is the serving default, overridable
         per-query via the ``nprobe=`` local param.
 
-        Staleness contract: the sidecar records the artifact generation
-        it was pinned to.  DELETES are delta-maintained — the engine
-        appends the deleted keys as tombstones (anti-joined before every
-        probe's top-k) and re-pins the generation, O(deleted) work, so
-        {!knn} stays routed (indexing._ann_delta_delete).  Upserts
-        (merge_into/update_fields) leave the meta on the old generation
-        — the query path falls back to the exact scan until
-        ``build_ann`` runs again (a replaced key's old vector row would
-        need versioned exclusion to coexist with its re-appended
-        replacement).  Either way approximate serving is never
-        stale-wrong, only absent."""
-        import json as _json
-
-        from solr_map_reduce_spark.extensions import similarity as sim
-        from solr_map_reduce_spark.fs import get_fs
-        from solr_map_reduce_spark.fs import join as fs_join
+        Mutation contract (extensions/ann_sidecar.py): the sidecar is
+        generation-pinned and DELTA-MAINTAINED — deletes tombstone the
+        deleted keys (O(deleted)), upserts (merge_into / vector-field
+        update_fields) tombstone the batch keys and append the
+        post-resolution vectors at a fresh epoch (O(batch)), and
+        non-vector update_fields just re-pins — so {!knn} stays on the
+        sublinear routed path across every engine mutation.  The
+        two-phase meta write makes any crashed maintenance read as
+        stale (exact fallback): approximate serving is never
+        stale-wrong."""
+        from solr_map_reduce_spark.extensions import ann_sidecar
 
         self._check_generation()
-        base = self.df().select(self.unique_key, field)
-        side = fs_join(self.path, self.ANN_DIR, field)
-        if kind == "ivf":
-            ivf = sim.IvfIndex.fit(
-                base, n_centroids=n_centroids, id_col=self.unique_key,
-                vec_col=field, **fit_kw,
-            )
-            ivf.save(side, assigned=ivf.assign(base))
-        elif kind == "ivfpq":
-            # {!knn}'s metric is cosine: PQ-encode UNIT vectors so the
-            # ADC score (dot with the normalized query) ranks by cosine
-            # instead of ||v||·cos — without this, long vectors crowd
-            # the topK regardless of angle.  JVM-side transform; the
-            # zero vector stays zero (cosine undefined, ranks last).
-            v = sim._as_double(F.col(field))
-            nrm = sim.l2_norm(v)
-            base = base.withColumn(
-                field,
-                F.when(nrm == 0.0, v).otherwise(
-                    F.transform(v, lambda x: x / nrm)
-                ),
-            )
-            idx = sim.IvfPqIndex.fit(
-                base, n_centroids=n_centroids, id_col=self.unique_key,
-                vec_col=field, **fit_kw,
-            )
-            idx.build(base, side)
-        else:
-            raise ValueError(
-                f"build_ann kind {kind!r} unsupported (ivf, ivfpq)"
-            )
-        fs = get_fs(self.path, self.spark)
-        # a fresh build reflects the current corpus: stale tombstones
-        # from pre-rebuild deletes would wrongly exclude re-added keys
-        tomb = fs_join(side, "tombstones")
-        if fs.exists(tomb):
-            fs.delete(tomb)
-        get_fs(self.path, self.spark).write_text(
-            fs_join(side, self.ANN_META),
-            _json.dumps(
-                {
-                    "kind": kind,
-                    "field": field,
-                    "nprobe": nprobe,
-                    "built_generation": self._generation,
-                }
-            ),
+        side = ann_sidecar.build(
+            self.spark, self.path,
+            self.df().select(self.unique_key, field),
+            key=self.unique_key, field=field, kind=kind,
+            n_centroids=n_centroids, nprobe=nprobe, **fit_kw,
         )
         self._ann_memo.pop(field, None)
         return side
@@ -3808,24 +3761,17 @@ class SearchIndex:
         generation-current ANN sidecar exists for ``field``, else None
         (missing, unreadable, or built against a mutated-away
         generation)."""
-        import json as _json
-
+        from solr_map_reduce_spark.extensions import ann_sidecar
         from solr_map_reduce_spark.extensions import similarity as sim
         from solr_map_reduce_spark.fs import get_fs
-        from solr_map_reduce_spark.fs import join as fs_join
 
         self._check_generation()
         memo = self._ann_memo.get(field)
         if memo is not None:
             return memo if memo != "absent" else None
-        side = fs_join(self.path, self.ANN_DIR, field)
-        try:
-            meta = _json.loads(
-                get_fs(self.path, self.spark).read_text(
-                    fs_join(side, self.ANN_META)
-                )
-            )
-        except Exception:
+        side = ann_sidecar.side_path(self.path, field)
+        meta = ann_sidecar.load_meta(get_fs(self.path, self.spark), side)
+        if meta is None:
             self._ann_memo[field] = "absent"
             return None
         if meta.get("built_generation") != self._generation:
@@ -3856,25 +3802,19 @@ class SearchIndex:
         partition-pruned bucket reads -> bounded (id, score) topK ->
         file-pruned key lookups for the full rows.  None when no
         current sidecar exists (caller falls back to the exact scan).
-        Total IO: nprobe/n_centroids of the vector table + the O(k)
-        segment files holding the hit keys — never the corpus."""
-        from solr_map_reduce_spark.fs import get_fs
-        from solr_map_reduce_spark.fs import join as fs_join
+        Total IO: nprobe/n_centroids of the vector table (base ∪
+        upsert delta, tombstone liveness applied pre-top-k — see
+        extensions/ann_sidecar.py) + the O(k) segment files holding
+        the hit keys — never the corpus."""
+        from solr_map_reduce_spark.extensions import ann_sidecar
 
         handle = self._ann_sidecar(field)
         if handle is None:
             return None
         kind, idx, side, meta = handle
         nprobe = int(params.get("nprobe", meta.get("nprobe", 2)))
-        # tombstones: deletes delta-maintain the sidecar (indexing.py
-        # _ann_delta_delete) by appending deleted keys here — anti-joined
-        # before the top-k so a deleted doc can never serve
-        exclude = None
-        tomb = fs_join(side, "tombstones")
-        if get_fs(self.path, self.spark).exists(tomb):
-            exclude = self.spark.read.parquet(tomb)
-        top = idx.search_stored(
-            self.spark, side, qvec, k=k, nprobe=nprobe, exclude=exclude
+        top = ann_sidecar.probe_topk(
+            self.spark, side, meta, idx, qvec, k=k, nprobe=nprobe
         )
         hits = top.collect()  # bounded: <= topK rows from probed buckets
         if not hits:

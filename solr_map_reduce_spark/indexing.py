@@ -555,6 +555,28 @@ class IndexJob:
                 stats_finalize = prepare_stats_delta(
                     df.sparkSession, path, current, df.sparkSession.read.parquet(tmp)
                 )
+            # ANN delta maintenance: the batch keys + their POST-RESOLUTION
+            # rows (the resolver's winner is what must serve, whichever
+            # side it came from), materialized BEFORE the swap renames the
+            # staging files the lazy plans read.  O(batch keys) rows.
+            from solr_map_reduce_spark.extensions import ann_sidecar
+
+            ann_keys = ann_upserted = None
+            ann_fields = [f for f, _s in ann_sidecar.sidecars(fs, path)]
+            if ann_fields:
+                ann_keys = (
+                    prepared.select(key).distinct()
+                    .localCheckpoint(eager=True)
+                )
+                staged_rows = df.sparkSession.read.parquet(tmp)
+                cols = [key] + [
+                    f for f in ann_fields if f in staged_rows.columns
+                ]
+                ann_upserted = (
+                    staged_rows.select(*cols)
+                    .join(ann_keys, on=key, how="left_semi")
+                    .localCheckpoint(eager=True)
+                )
             _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
             fs.delete(tmp)
             manifest = self._manifest(resolved, path)
@@ -578,6 +600,13 @@ class IndexJob:
 
             if sidecar_exists(fs, path):
                 write_key_ranges(df.sparkSession, path, shards=touched)
+            if ann_upserted is not None:
+                # epoch append + tombstones + generation re-pin AFTER the
+                # manifest rewrite above fixed the new generation hash:
+                # {!knn} keeps serving sublinearly across the upsert
+                ann_sidecar.delta_upsert(
+                    df.sparkSession, path, ann_upserted, ann_keys, key
+                )
             return manifest
 
     def update_fields(
@@ -841,6 +870,28 @@ class IndexJob:
                 stats_finalize = prepare_stats_delta(
                     spark, path, current, spark.read.parquet(tmp)
                 )
+            # ANN delta: only sidecars whose vector column is among the
+            # updated columns need epoch maintenance (others re-pin below
+            # — their vectors are provably untouched); materialize the
+            # touched keys + post-update rows before the swap
+            from solr_map_reduce_spark.extensions import ann_sidecar
+
+            ann_keys = ann_upserted = None
+            vec_updated = [
+                f for f, _s in ann_sidecar.sidecars(fs, path)
+                if f in upd_cols
+            ]
+            if vec_updated:
+                ann_keys = (
+                    updates.select(key).distinct()
+                    .localCheckpoint(eager=True)
+                )
+                ann_upserted = (
+                    spark.read.parquet(tmp)
+                    .select(key, *vec_updated)
+                    .join(ann_keys, on=key, how="left_semi")
+                    .localCheckpoint(eager=True)
+                )
             _swap_shard_dirs(fs, path, tmp, [f"{SHARD_COL}={s}" for s in touched])
             fs.delete(tmp)
             # an update can ADD tokens to a shard: refresh blooms like merge
@@ -858,6 +909,14 @@ class IndexJob:
             if sidecar_exists(fs, path):
                 write_key_ranges(spark, path, shards=touched)
             bump_generation(fs, path)  # live handles must drop caches
+            if ann_upserted is not None:
+                ann_sidecar.delta_upsert(
+                    spark, path, ann_upserted, ann_keys, key
+                )
+            # sidecars whose vector column the update provably did not
+            # touch just re-pin to the new generation — vectors, delta,
+            # and tombstones all remain exact
+            ann_sidecar.repin_only(spark, path, set(upd_cols))
             return manifest
 
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
@@ -887,8 +946,10 @@ class IndexJob:
         key = self.config.schema.unique_key
         # ANN delta maintenance needs the deleted keys MATERIALIZED before
         # the swap deletes the files the lazy plan reads (ids only — tiny)
+        from solr_map_reduce_spark.extensions import ann_sidecar
+
         deleted_ids = None
-        if _ann_sidecars(fs, path):
+        if ann_sidecar.sidecars(fs, path):
             deleted_ids = (
                 subset.filter(matches).select(key)
                 .localCheckpoint(eager=True)
@@ -932,7 +993,9 @@ class IndexJob:
                 write_key_ranges(spark, path, shards=touched)
             bump_generation(fs, path)  # live handles must drop caches
             if deleted_ids is not None:
-                _ann_delta_delete(spark, fs, path, deleted_ids)
+                # O(deleted) tombstones + generation re-pin: {!knn}
+                # stays on the routed sublinear path across the delete
+                ann_sidecar.delta_delete(spark, path, deleted_ids, key)
             return n_before - n_after
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
@@ -1096,78 +1159,6 @@ def clear_mutation_lock(path: str, spark: SparkSession | None = None) -> bool:
 
 
 _SWAP_TRASH = "_trash_swap"
-
-
-ANN_DIR = "_ann"
-ANN_META = "_ANN_META.json"
-ANN_TOMBSTONES = "tombstones"
-
-
-def _ann_sidecars(fs, path: str) -> "list[tuple[str, str]]":
-    """(field, sidecar_path) for every ANN serving sidecar under the
-    artifact (SearchIndex.build_ann's layout)."""
-    base = fs_join(path, ANN_DIR)
-    try:
-        names = fs.listdir(base)
-    except Exception:
-        return []
-    out = []
-    for d in names:
-        side = fs_join(base, d)
-        if fs.exists(fs_join(side, ANN_META)):
-            out.append((d, side))
-    return out
-
-
-def _manifest_generation_hash(fs, path: str) -> "str | None":
-    """sha1 of the manifest text — the SAME generation fingerprint
-    SearchIndex._current_generation computes, so a sidecar meta written
-    with this value reads as generation-current to live handles."""
-    import hashlib
-
-    try:
-        text = fs.read_text(fs_join(path, MANIFEST))
-    except Exception:
-        return None
-    return hashlib.sha1(text.encode("utf-8")).hexdigest()
-
-
-def _ann_delta_delete(spark, fs, path: str, deleted_ids: DataFrame) -> None:
-    """Delta-maintain ANN sidecars across a delete: the sidecar stores
-    only (id, vector/code, bucket) — file-layout-independent — so a
-    delete needs no vector rewrite, just (1) the deleted keys appended
-    as TOMBSTONES (anti-joined before every probe's top-k) and (2) the
-    meta re-pinned to the post-mutation generation so {!knn} stays on
-    the sublinear routed path.  O(deleted ids), never O(index).
-
-    Crash-safety: tombstones append FIRST, meta re-pin LAST — a crash
-    between them leaves the old generation in meta, which reads as
-    stale and falls the query back to the exact scan (never a stale
-    wrong answer).  Upserts (merge_into/update_fields) intentionally do
-    NOT delta-maintain: a replaced key's old vector row would need
-    versioned exclusion to coexist with its re-appended new row, so
-    they leave the meta stale (exact fallback) until build_ann runs —
-    documented contract, mirrors Solr's "reindex into the vector field
-    requires a graph rebuild" reality."""
-    import json as _json
-
-    sides = _ann_sidecars(fs, path)
-    if not sides:
-        return
-    new_gen = _manifest_generation_hash(fs, path)
-    if new_gen is None:
-        return
-    for field_name, side in sides:
-        meta_path = fs_join(side, ANN_META)
-        try:
-            meta = _json.loads(fs.read_text(meta_path))
-        except Exception:
-            continue
-        deleted_ids.write.mode("append").parquet(
-            fs_join(side, ANN_TOMBSTONES)
-        )
-        meta["built_generation"] = new_gen
-        fs.write_text(meta_path, _json.dumps(meta))
 
 
 def bump_generation(fs, path: str) -> None:

@@ -169,7 +169,7 @@ class TestKnnAnnRouting:
         assert got == want
 
 
-def _job():
+def _job(dedup="none"):
     return IndexJob(IndexJobConfig(
         schema=IndexSchema(
             fields=(Field("vec_id", "long", required=True),
@@ -177,7 +177,7 @@ def _job():
                     Field("label", "string")),
             unique_key="vec_id",
         ),
-        shards=2, dedup="none",
+        shards=2, dedup=dedup,
     ))
 
 
@@ -217,39 +217,140 @@ class TestStalenessAndVariants:
         assert not set(got) & set(doomed)
         assert got == [i for i in _exact_ids(q, 8) if i not in doomed][:5]
 
-    def test_upsert_stales_rebuild_reroutes(self, spark, tmp_path):
-        # upserts intentionally do NOT delta-maintain (a replaced key's
-        # old vector row would need versioned exclusion): merge_into
-        # stales the sidecar -> exact fallback; build_ann re-routes and
-        # clears the tombstones of earlier deletes
+    def _routed_equals_exact(self, idx, q, k=5):
+        routed = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK={k} nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        exact = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK={k} exact=true}}{_vec_literal(q)}"
+        ).collect()]
+        assert routed == exact, (routed, exact)
+        return routed
+
+    def test_upsert_delta_maintains_routing(self, spark, tmp_path):
+        # merge_into appends the post-resolution vectors at a fresh
+        # epoch and tombstones the batch keys: {!knn} stays routed and
+        # serves the NEW corpus (new doc visible, replaced vector dead)
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[2]
+        top = _exact_ids(q, 2)
+        batch = spark.createDataFrame(
+            [
+                # NEW doc whose vector is exactly the query: must rank #1
+                (500, [float(x) for x in q], "new"),
+                # REPLACE the current #1 with an orthogonal-ish vector:
+                # must drop out of the page
+                (top[0], [float(-x) for x in q], "flipped"),
+            ],
+            "vec_id long, embedding array<double>, label string",
+        )
+        _job("retain_most_recent").merge_into(batch, idx.path)
+        assert idx._ann_sidecar("embedding") is not None  # still routed
+        got = self._routed_equals_exact(idx, q, k=5)
+        assert got[0] == 500          # the upserted doc serves
+        assert top[0] not in got      # its old vector is dead
+
+    def test_upsert_epoch_chain_same_key(self, spark, tmp_path):
+        # replace the same key twice: only the LATEST epoch's row serves
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[0]
+        job = _job("retain_most_recent")
+        mk = lambda vec: spark.createDataFrame(
+            [(777, [float(x) for x in vec], "v")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        job.merge_into(mk(q), idx.path)          # epoch 1: equals query
+        job.merge_into(mk(-np.asarray(q)), idx.path)  # epoch 2: opposite
+        got = self._routed_equals_exact(idx, q, k=5)
+        assert 777 not in got  # only the epoch-2 (opposite) row is alive
+        job.merge_into(mk(q), idx.path)          # epoch 3: back on top
+        got = self._routed_equals_exact(idx, q, k=5)
+        assert got[0] == 777
+
+    def test_delete_then_upsert_compose(self, spark, tmp_path):
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[1]
+        top = _exact_ids(q, 2)
+        job = _job("retain_most_recent")
+        job.delete_where(spark, idx.path, F.col("vec_id") == top[0])
+        batch = spark.createDataFrame(
+            [(top[0], [float(x) for x in q], "back")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        job.merge_into(batch, idx.path)  # re-insert the deleted key
+        got = self._routed_equals_exact(idx, q, k=5)
+        assert got[0] == top[0]  # resurrected at a later epoch -> alive
+
+    def test_update_fields_nonvector_repins(self, spark, tmp_path):
+        # updating a NON-vector column provably leaves vectors exact:
+        # the sidecar just re-pins and stays routed
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[0]
+        upd = spark.createDataFrame(
+            [(i, "relabelled") for i in _exact_ids(q, 3)],
+            "vec_id long, label string",
+        )
+        _job().update_fields(upd, idx.path)
+        assert idx._ann_sidecar("embedding") is not None
+        got = self._routed_equals_exact(idx, q, k=5)
+        assert got == _exact_ids(q, 5)
+
+    def test_update_fields_vector_delta_maintains(self, spark, tmp_path):
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[1]
+        victim = _exact_ids(q, 1)[0]
+        upd = spark.createDataFrame(
+            [(victim, [float(-x) for x in q])],
+            "vec_id long, embedding array<double>",
+        )
+        _job().update_fields(upd, idx.path)
+        assert idx._ann_sidecar("embedding") is not None
+        got = self._routed_equals_exact(idx, q, k=5)
+        assert victim not in got  # its vector now points the other way
+
+    def test_rebuild_clears_delta_and_tombstones(self, spark, tmp_path):
         idx = _build_artifact(spark, str(tmp_path / "idx"))
         side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
                              nprobe=NC)
-        job = _job()
+        job = _job("retain_most_recent")
         job.delete_where(spark, idx.path, F.col("vec_id") == 0)
-        assert os.path.isdir(os.path.join(side, "tombstones"))
         batch = spark.createDataFrame(
-            [(500, [float(x) for x in VECS[0]], "new")],
+            [(501, [float(x) for x in QUERIES[2]], "new")],
             "vec_id long, embedding array<double>, label string",
         )
         job.merge_into(batch, idx.path)
-        assert idx._ann_sidecar("embedding") is None  # stale -> declined
-        q = QUERIES[2]
-        # exact fallback serves the post-upsert corpus (new doc visible)
-        got = [r["vec_id"] for r in idx.query(
-            f"{{!knn f=embedding topK={N}}}{_vec_literal(q)}"
-        ).collect()]
-        assert 500 in got and 0 not in got
+        assert os.path.isdir(os.path.join(side, "tombstones"))
+        assert os.path.isdir(os.path.join(side, "delta"))
         idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
-        assert idx._ann_sidecar("embedding") is not None
         assert not os.path.exists(os.path.join(side, "tombstones"))
-        routed = [r["vec_id"] for r in idx.query(
-            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        assert not os.path.exists(os.path.join(side, "delta"))
+        got = self._routed_equals_exact(idx, QUERIES[2], k=5)
+        assert got[0] == 501
+
+    def test_upsert_delta_maintains_ivfpq(self, spark, tmp_path):
+        # the compressed sidecar delta-encodes upserts with the stored
+        # codebooks; approximate ranking must still surface the new doc
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        # m=8 on 8 dims (one subquantizer per component): reconstruction
+        # is fine enough that the ADC ranking must surface the new doc
+        idx.build_ann("embedding", kind="ivfpq", n_centroids=4, nprobe=4,
+                      m=8, ksub=16)
+        q = QUERIES[0]
+        batch = spark.createDataFrame(
+            [(600, [float(x) for x in q], "new")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        _job("retain_most_recent").merge_into(batch, idx.path)
+        assert idx._ann_sidecar("embedding") is not None
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe=4}}{_vec_literal(q)}"
         ).collect()]
-        exact = [r["vec_id"] for r in idx.query(
-            f"{{!knn f=embedding topK=5 exact=true}}{_vec_literal(q)}"
-        ).collect()]
-        assert routed == exact
+        assert 600 in got
 
     def test_ivfpq_routing(self, spark, tmp_path):
         idx = _build_artifact(spark, str(tmp_path / "idx"))
