@@ -323,6 +323,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="serving default, overridable per-query via nprobe=",
     )
 
+    annc = sub.add_parser(
+        "ann-compact",
+        help="fold an ANN sidecar's upsert delta + tombstones back into "
+             "its base buckets (the ANN analog of segment optimize)",
+    )
+    annc.add_argument("--path", required=True, help="artifact location")
+    annc.add_argument("--field", required=True, help="vector column name")
+
     prof = sub.add_parser(
         "profile", help="per-column stats (nulls, cardinality, ranges) in one pass"
     )
@@ -450,6 +458,15 @@ def main(argv: list[str] | None = None) -> int:
             "sidecar": side, "field": args.field, "kind": args.kind,
             "n_centroids": args.n_centroids, "nprobe": args.nprobe,
         }))
+        return 0
+
+    if args.command == "ann-compact":
+        from solr_map_reduce_spark.index_reader import SearchIndex
+        from solr_map_reduce_spark.session import get_spark
+
+        sess = get_spark(app_name="smrs-cli-ann-compact")
+        out = SearchIndex.open(sess, args.path).compact_ann(args.field)
+        print(json.dumps(out))
         return 0
 
     if args.command == "unlock":

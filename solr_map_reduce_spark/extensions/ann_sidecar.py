@@ -180,6 +180,35 @@ def _with_epoch_field(schema_json: dict | None) -> StructType | None:
     return StructType(st.fields + [StructField(EPOCH_COL, LongType())])
 
 
+def _read_tombstones(
+    spark, fs, side: str, pinned: dict | None, key: str
+) -> DataFrame | None:
+    """(key, tomb_epoch) rows, schema-pinned from the base's key field;
+    None when the sidecar has no tombstones."""
+    tomb_path = fs_join(side, TOMBSTONES)
+    if not fs.exists(tomb_path):
+        return None
+    kf = next(
+        (f for f in StructType.fromJson(pinned).fields if f.name == key),
+        None,
+    ) if pinned else None
+    reader = spark.read
+    if kf is not None:
+        reader = reader.schema(_tombstone_schema(kf))
+    return reader.parquet(tomb_path)
+
+
+def _apply_liveness(rows: DataFrame, tombstones: DataFrame, key: str) -> DataFrame:
+    """Keep rows alive under the versioned-exclusion rule: a row at
+    epoch e survives iff no tombstone for its key has tomb_epoch > e."""
+    tmax = tombstones.groupBy(key).agg(F.max("tomb_epoch").alias("_tmax"))
+    return (
+        rows.join(tmax, on=key, how="left")
+        .filter(F.col("_tmax").isNull() | (F.col(EPOCH_COL) >= F.col("_tmax")))
+        .drop("_tmax")
+    )
+
+
 def probe_topk(
     spark: SparkSession,
     side: str,
@@ -225,29 +254,11 @@ def probe_topk(
         )
         rows = rows.unionByName(delta.select(rows.columns))
 
-    tomb_path = fs_join(side, TOMBSTONES)
-    if fs.exists(tomb_path):
-        kf = next(
-            (f for f in StructType.fromJson(pinned).fields if f.name == key),
-            None,
-        ) if pinned else None
-        treader = spark.read
-        if kf is not None:
-            treader = treader.schema(_tombstone_schema(kf))
-        tmax = (
-            treader.parquet(tomb_path)
-            .groupBy(key)
-            .agg(F.max("tomb_epoch").alias("_tmax"))
-        )
-        # liveness: alive iff no tombstone with tomb_epoch > row epoch.
-        # AQE broadcasts the (small) per-key tombstone maximum.
-        rows = (
-            rows.join(tmax, on=key, how="left")
-            .filter(
-                F.col("_tmax").isNull() | (F.col(EPOCH_COL) >= F.col("_tmax"))
-            )
-            .drop("_tmax")
-        )
+    tomb = _read_tombstones(spark, fs, side, pinned, key)
+    if tomb is not None:
+        # liveness before the top-k; AQE broadcasts the (small)
+        # per-key tombstone maximum
+        rows = _apply_liveness(rows, tomb, key)
 
     rows = rows.drop(EPOCH_COL)
     if kind == "ivf":
@@ -358,6 +369,126 @@ def delta_upsert(
         )
         meta["built_generation"] = new_gen
         write_meta(fs, side, meta)  # phase 2: re-pin
+
+
+def compact(spark: SparkSession, index_path: str, field: str) -> dict:
+    """Fold the upsert delta + tombstones back into the base — the
+    lifecycle bound on serve-time overhead under continuous mutation
+    (the ANN analog of segment optimize).
+
+    Only AFFECTED buckets rewrite: those holding delta rows plus those
+    holding a tombstoned key's base row (found with one column-pruned
+    (key, bucket) scan of the base — maintenance-time cost, amortized
+    over the mutations it folds).  Unaffected bucket directories are
+    never read or written.
+
+    Crash-safety / concurrency: runs under the artifact MUTATION LOCK
+    (a concurrent delete's tombstone append must not race the
+    tombstone delete below), and the meta is STALED first — any crash
+    mid-compaction leaves the sidecar reading as stale (exact
+    fallback) until a rerun or rebuild; queries never see a
+    half-folded state.  The epoch counter is NOT reset: it stays
+    monotone for the sidecar's lifetime, so no later mutation can ever
+    collide with a crashed attempt's residue."""
+    from solr_map_reduce_spark.indexing import _mutation_lock
+
+    fs = get_fs(index_path, spark)
+    side = side_path(index_path, field)
+    meta = load_meta(fs, side)
+    if meta is None:
+        raise ValueError(f"no ANN sidecar for field {field!r}")
+    kind = meta.get("kind", "ivf")
+    from solr_map_reduce_spark.extensions import similarity as sim
+
+    index = (
+        sim.IvfIndex.load(spark, side) if kind == "ivf"
+        else sim.IvfPqIndex.load(spark, side)
+    )
+    ivf = index if kind == "ivf" else index.ivf
+    key = ivf.id_col
+    bucket_col = ivf.bucket_col
+    pinned = index.vectors_schema if kind == "ivf" else index.codes_schema
+    sub = "vectors" if kind == "ivf" else "codes"
+    has_delta = fs.exists(fs_join(side, DELTA))
+    has_tomb = fs.exists(fs_join(side, TOMBSTONES))
+    if not has_delta and not has_tomb:
+        return {"affected_buckets": [], "folded": False}
+
+    with _mutation_lock(fs, index_path, "ann_compact"):
+        # staleness re-checked UNDER the lock: a mutation committing
+        # between the caller's check and lock acquisition must not be
+        # compacted over
+        saved_gen = meta["built_generation"]
+        if saved_gen != manifest_generation_hash(fs, index_path):
+            raise ValueError(
+                f"ANN sidecar for {field!r} is stale — rebuild with "
+                "build_ann instead of compacting"
+            )
+        meta["built_generation"] = "__compacting__"
+        write_meta(fs, side, meta)  # stale while we rewrite
+
+        reader = spark.read
+        if pinned:
+            reader = reader.schema(StructType.fromJson(pinned))
+        base = reader.parquet(fs_join(side, sub))
+        delta = None
+        if has_delta:
+            dreader = spark.read
+            ds = _with_epoch_field(pinned)
+            if ds is not None:
+                dreader = dreader.schema(ds)
+            delta = dreader.parquet(fs_join(side, DELTA))
+        tomb = _read_tombstones(spark, fs, side, pinned, key)
+
+        affected = set()
+        if delta is not None:
+            affected |= {
+                r[0] for r in delta.select(bucket_col).distinct().collect()
+            }
+        if tomb is not None:
+            affected |= {
+                r[0]
+                for r in base.join(
+                    tomb.select(key).distinct(), on=key, how="left_semi"
+                ).select(bucket_col).distinct().collect()
+            }
+        affected = sorted(affected)
+        if not affected:
+            meta["built_generation"] = saved_gen
+            write_meta(fs, side, meta)
+            return {"affected_buckets": [], "folded": False}
+
+        rows = base.filter(F.col(bucket_col).isin(affected)).withColumn(
+            EPOCH_COL, F.lit(0).cast("long")
+        )
+        if delta is not None:
+            rows = rows.unionByName(
+                delta.filter(F.col(bucket_col).isin(affected))
+                .select(rows.columns)
+            )
+        if tomb is not None:
+            rows = _apply_liveness(rows, tomb, key)
+        alive = rows.drop(EPOCH_COL)
+        tmp = fs_join(side, f"{sub}__compact_tmp")
+        if fs.exists(tmp):
+            fs.delete(tmp)
+        alive.write.mode("overwrite").partitionBy(bucket_col).parquet(tmp)
+        for b in affected:
+            tgt = fs_join(side, sub, f"{bucket_col}={b}")
+            src = fs_join(tmp, f"{bucket_col}={b}")
+            if fs.exists(tgt):
+                fs.delete(tgt)
+            if fs.exists(src):
+                fs.rename(src, tgt)
+            # a bucket whose every row died simply loses its directory
+        fs.delete(tmp)
+        for subdir in (DELTA, TOMBSTONES):
+            p = fs_join(side, subdir)
+            if fs.exists(p):
+                fs.delete(p)
+        meta["built_generation"] = saved_gen
+        write_meta(fs, side, meta)
+        return {"affected_buckets": affected, "folded": True}
 
 
 def repin_only(spark: SparkSession, index_path: str,

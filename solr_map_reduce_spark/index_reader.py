@@ -3756,6 +3756,20 @@ class SearchIndex:
         self._ann_memo.pop(field, None)
         return side
 
+    def compact_ann(self, field: str) -> dict:
+        """Fold the ANN sidecar's upsert delta + tombstones back into
+        the base (extensions/ann_sidecar.compact): only affected bucket
+        directories rewrite, runs under the artifact mutation lock, and
+        the meta is staled during the fold so queries fall back to the
+        exact scan rather than see a half-folded state.  The ANN analog
+        of segment optimize — bounds serve-time liveness overhead under
+        continuous mutation."""
+        from solr_map_reduce_spark.extensions import ann_sidecar
+
+        out = ann_sidecar.compact(self.spark, self.path, field)
+        self._ann_memo.pop(field, None)
+        return out
+
     def _ann_sidecar(self, field: str):
         """(kind, loaded index, sidecar path, meta) when a
         generation-current ANN sidecar exists for ``field``, else None

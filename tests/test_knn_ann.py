@@ -332,6 +332,68 @@ class TestStalenessAndVariants:
         got = self._routed_equals_exact(idx, QUERIES[2], k=5)
         assert got[0] == 501
 
+    def test_compact_folds_delta_and_tombstones(self, spark, tmp_path):
+        # delete + replace + insert, then compact: delta/tombstones
+        # fold into the base buckets, serving results unchanged
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        q = QUERIES[0]
+        top = _exact_ids(q, 3)
+        job = _job("retain_most_recent")
+        job.delete_where(spark, idx.path, F.col("vec_id") == top[0])
+        batch = spark.createDataFrame(
+            [(top[1], [float(-x) for x in q], "flipped"),
+             (900, [float(x) for x in q], "new")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        job.merge_into(batch, idx.path)
+        before = self._routed_equals_exact(idx, q, k=7)
+        meta_before = __import__("json").loads(
+            open(os.path.join(side, "_ANN_META.json")).read()
+        )
+        out = idx.compact_ann("embedding")
+        assert out["folded"] and out["affected_buckets"]
+        assert not os.path.exists(os.path.join(side, "delta"))
+        assert not os.path.exists(os.path.join(side, "tombstones"))
+        meta_after = __import__("json").loads(
+            open(os.path.join(side, "_ANN_META.json")).read()
+        )
+        # epoch stays monotone (never reset); generation re-pinned
+        assert meta_after["epoch"] == meta_before["epoch"]
+        assert meta_after["built_generation"] == \
+            meta_before["built_generation"]
+        after = self._routed_equals_exact(idx, q, k=7)
+        assert after == before
+        assert after[0] == 900 and top[0] not in after and \
+            top[1] not in after
+        # base now holds exactly one row per present key
+        vecs = idx.spark.read.parquet(os.path.join(side, "vectors"))
+        assert vecs.count() == vecs.select("vec_id").distinct().count()
+        # mutations after a compact keep composing
+        job.delete_where(spark, idx.path, F.col("vec_id") == 900)
+        got = self._routed_equals_exact(idx, q, k=5)
+        assert 900 not in got
+
+    def test_compact_noop_and_stale_guard(self, spark, tmp_path):
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        out = idx.compact_ann("embedding")
+        assert out == {"affected_buckets": [], "folded": False}
+        with pytest.raises(ValueError, match="no ANN sidecar"):
+            idx.compact_ann("label")
+        # stale the sidecar via an out-of-band manifest bump
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.indexing import bump_generation
+
+        bump_generation(get_fs(idx.path, spark), idx.path)
+        # give it something to fold so the stale check is reached
+        import json as _json
+        side = os.path.join(idx.path, "_ann", "embedding")
+        os.makedirs(os.path.join(side, "tombstones"), exist_ok=True)
+        with pytest.raises(ValueError, match="stale"):
+            idx.compact_ann("embedding")
+
     def test_upsert_delta_maintains_ivfpq(self, spark, tmp_path):
         # the compressed sidecar delta-encodes upserts with the stored
         # codebooks; approximate ranking must still surface the new doc
@@ -388,3 +450,8 @@ class TestStalenessAndVariants:
             f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
         ).collect()]
         assert got == _exact_ids(q, 5)
+        rc = cli.main(["ann-compact", "--path", idx.path,
+                       "--field", "embedding"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out == {"affected_buckets": [], "folded": False}
