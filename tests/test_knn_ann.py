@@ -375,7 +375,29 @@ class TestStalenessAndVariants:
         got = self._routed_equals_exact(idx, q, k=5)
         assert 900 not in got
 
-    def test_compact_noop_and_stale_guard(self, spark, tmp_path):
+    def test_delta_probe_plan_stays_partition_pruned(self, spark, tmp_path):
+        # with delta + tombstones present, BOTH the base and the delta
+        # scans must still prune to the probed bucket dirs, and the
+        # tombstone liveness join must broadcast (never shuffle the probe)
+        from solr_map_reduce_spark.extensions import ann_sidecar
+
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        job = _job("retain_most_recent")
+        job.delete_where(spark, idx.path, F.col("vec_id") == 0)
+        batch = spark.createDataFrame(
+            [(901, [float(x) for x in QUERIES[0]], "new")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        job.merge_into(batch, idx.path)
+        kind, index, side, meta = idx._ann_sidecar("embedding")
+        top = ann_sidecar.probe_topk(
+            spark, side, meta, index, list(QUERIES[0]), k=5, nprobe=2
+        )
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("PartitionFilters: [bucket") >= 2, plan
+        assert "BroadcastHashJoin" in plan and \
+            "SortMergeJoin" not in plan, plan
         idx = _build_artifact(spark, str(tmp_path / "idx"))
         idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
         out = idx.compact_ann("embedding")

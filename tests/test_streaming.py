@@ -377,3 +377,55 @@ def test_stream_ingest_maintains_search_stats(spark, tmp_path):
     assert stats["text"]["n_docs"] == 3  # a upserted, b kept, c new
     rebuilt = write_search_stats(spark, out)
     assert stats == rebuilt
+
+
+def test_stream_ingest_delta_maintains_ann_sidecar(spark, tmp_path):
+    """Streaming upsert rides merge_into, which delta-maintains ANN
+    sidecars (extensions/ann_sidecar.py): after each micro-batch the
+    {!knn} query must STAY on the routed sublinear path and serve the
+    post-batch corpus — new vectors visible, replaced vectors dead."""
+    import numpy as np
+
+    from solr_map_reduce_spark.index_reader import SearchIndex
+
+    vschema = IndexSchema(
+        fields=(Field("id", "string", required=True),
+                Field("vec", "array<double>"),
+                Field("version", "long")),
+        unique_key="id",
+    )
+    rng = np.random.RandomState(11)
+    base = [(str(i), [float(x) for x in rng.randn(4)], 1) for i in range(40)]
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    ddl = "id string, vec array<double>, version long"
+    spark.createDataFrame(base, ddl).write.parquet(inp)
+    cfg = IndexJobConfig(schema=vschema, shards=2,
+                         dedup="retain_most_recent",
+                         order_field="version", tiebreak=("id",))
+    stream_ingest(spark, inp, spark.createDataFrame(base, ddl).schema,
+                  cfg, out, ckpt).awaitTermination(120)
+    idx = SearchIndex.open(spark, out)
+    idx.build_ann("vec", kind="ivf", n_centroids=4, nprobe=4)
+    q = rng.randn(4)
+    lit = "[" + ",".join(f"{x:.8f}" for x in q) + "]"
+
+    def routed():
+        assert idx._ann_sidecar("vec") is not None, "must stay routed"
+        return [r["id"] for r in idx.query(
+            f"{{!knn f=vec topK=3 nprobe=4}}{lit}"
+        ).collect()]
+
+    before = routed()
+    # micro-batch: new doc exactly on the query + flip the current #1
+    spark.createDataFrame(
+        [("neo", [float(x) for x in q], 2),
+         (before[0], [float(-x) for x in q], 2)], ddl
+    ).write.mode("append").parquet(inp)
+    stream_ingest(spark, inp, spark.createDataFrame(base, ddl).schema,
+                  cfg, out, ckpt).awaitTermination(120)
+    got = routed()
+    assert got[0] == "neo" and before[0] not in got
+    exact = [r["id"] for r in idx.query(
+        f"{{!knn f=vec topK=3 exact=true}}{lit}"
+    ).collect()]
+    assert got == exact
