@@ -2308,10 +2308,11 @@ def _embeddings_search_index(spark, sf_dir):
           WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC,
          vec_id
        LIMIT 10""",
-    "Solr 9 {!knn f=embedding topK=10}[...] query parser over a vector "
-    "column inside the artifact: brute-force exact cosine, one scan + "
-    "TakeOrderedAndProject (k rows per partition) — the IVF/PQ/SQ "
-    "serving tier covers the approximate path",
+    "Solr 9 {!knn f=embedding topK=10 exact=true}[...] query parser, "
+    "the EXACT serving contract: brute-force cosine, one scan + "
+    "TakeOrderedAndProject (k rows per partition).  exact=true is "
+    "pinned because the shared artifact carries the c9_knn_routed ANN "
+    "sidecar and the default path would route",
 )
 def c9_knn_query(spark, sf_dir):
     idx = _embeddings_search_index(spark, sf_dir)
@@ -2320,7 +2321,55 @@ def c9_knn_query(spark, sf_dir):
         .orderBy("vec_id").select("embedding").first()["embedding"]
     )
     lit = ", ".join(repr(float(x)) for x in qvec)
-    return idx.query(f"{{!knn f=embedding topK=10}}[{lit}]")
+    return idx.query(f"{{!knn f=embedding topK=10 exact=true}}[{lit}]")
+
+
+_ANN_SIDECAR_BUILT: set = set()
+
+
+def _embeddings_ann_index(spark, sf_dir):
+    """The shared embeddings artifact with its {!knn} ANN sidecar built
+    (once per process+sf, like _cached_index)."""
+    idx = _embeddings_search_index(spark, sf_dir)
+    if sf_dir not in _ANN_SIDECAR_BUILT:
+        idx.build_ann("embedding", kind="ivf", n_centroids=8, nprobe=8)
+        _ANN_SIDECAR_BUILT.add(sf_dir)
+    return idx
+
+
+@_register(
+    "c9_knn_routed",
+    """SELECT vec_id FROM embeddings
+       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+          WHERE vec_id = (SELECT max(vec_id) FROM embeddings))) DESC,
+         vec_id
+       LIMIT 10""",
+    "Solr 9 {!knn} served through the ANN sidecar (build_ann -> IVF "
+    "bucket probes + file-pruned key lookups, Solr's sublinear HNSW "
+    "contract): probed at nprobe = n_centroids, where the routed path "
+    "is provably EXACT (every bucket read, distances exact) — so the "
+    "whole routing machinery (sidecar build, partition-pruned probe, "
+    "liveness, rank-preserving key fetch) is externally hash-checked "
+    "against the DuckDB cosine oracle.  The entry asserts the sidecar "
+    "is live: a silent fallback to the exact scan FAILS loudly instead "
+    "of vacuously passing",
+)
+def c9_knn_routed(spark, sf_dir):
+    idx = _embeddings_ann_index(spark, sf_dir)
+    if idx._ann_sidecar("embedding") is None:
+        raise RuntimeError(
+            "c9_knn_routed: ANN sidecar missing/stale — the entry must "
+            "exercise the ROUTED path, not the exact fallback"
+        )
+    qvec = (
+        t(spark, sf_dir, "embeddings")
+        .orderBy(F.desc("vec_id")).select("embedding").first()["embedding"]
+    )
+    lit = ", ".join(repr(float(x)) for x in qvec)
+    return idx.query(
+        f"{{!knn f=embedding topK=10 nprobe=8}}[{lit}]"
+    ).select("vec_id")
 
 
 @_register(
