@@ -132,9 +132,15 @@ def build(
 ) -> str:
     """Fit + persist the sidecar from ``base_rows`` (key, field), clear
     any delta/tombstones from a previous generation, and pin the meta to
-    the CURRENT artifact generation at epoch 0."""
+    the artifact generation SNAPSHOTTED BEFORE the data scan: if a
+    concurrent mutation commits mid-build, the stored (pre-mutation)
+    hash no longer matches and the sidecar reads as stale — the safe
+    direction; pinning the post-mutation hash over pre-mutation data
+    would serve stale-wrong."""
     from solr_map_reduce_spark.extensions import similarity as sim
 
+    fs = get_fs(index_path, spark)
+    pinned_gen = manifest_generation_hash(fs, index_path)
     side = side_path(index_path, field)
     if kind == "ivf":
         ivf = sim.IvfIndex.fit(
@@ -150,7 +156,6 @@ def build(
         idx.build(_unit_normalized(base_rows, field), side)
     else:
         raise ValueError(f"build_ann kind {kind!r} unsupported (ivf, ivfpq)")
-    fs = get_fs(index_path, spark)
     # a fresh build reflects the current corpus: stale tombstones/delta
     # from pre-rebuild mutations would wrongly exclude or revive keys
     for sub in (TOMBSTONES, DELTA):
@@ -162,7 +167,7 @@ def build(
         "field": field,
         "nprobe": nprobe,
         "epoch": 0,
-        "built_generation": manifest_generation_hash(fs, index_path),
+        "built_generation": pinned_gen,
     })
     return side
 
@@ -332,6 +337,14 @@ def delta_upsert(
             else:
                 index = sim.IvfPqIndex.load(spark, side)
         except Exception:
+            continue
+        pinned = (
+            index.vectors_schema if kind == "ivf" else index.codes_schema
+        )
+        if not pinned:
+            # legacy sidecar without a pinned base schema: appending
+            # epoch-stamped delta would mix schemas — leave it stale
+            # (exact fallback until build_ann reruns)
             continue
         epoch = int(meta.get("epoch", 0)) + 1
         meta["epoch"] = epoch
