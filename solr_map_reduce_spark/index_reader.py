@@ -2933,12 +2933,38 @@ class SearchIndex:
                     leaf = leaf | (F.size(F.col(frm)) == 0)
                 out = out.filter(leaf)
             return out
+        if qtype == "func":
+            # Lucene FunctionQParser ({!func}recip(ms(NOW,ts),...)): a
+            # FunctionQuery MATCHES ALL documents — the function only
+            # contributes score.  In the match-composition context the
+            # correct result is every row; the expression still parses
+            # eagerly so a bad function fails loudly, and scoring uses
+            # the same parser via dismax's boost=/rerank/sort paths.
+            if not inner.strip():
+                raise search.QuerySyntaxError("{!func} needs a function")
+            search.parse_function_query(inner.strip(), context=self._fn_ctx())
+            return self.df()
+        if qtype == "boost":
+            # BoostQParser ({!boost b=func}query): multiplies the wrapped
+            # query's score by the function — matching is the WRAPPED
+            # query's matching, so in match composition it compiles to
+            # the inner query; b= parses eagerly (loud on bad syntax).
+            b_expr = params.get("b")
+            if b_expr:
+                search.parse_function_query(b_expr, context=self._fn_ctx())
+            if not inner.strip():
+                raise search.QuerySyntaxError(
+                    "{!boost} needs a wrapped query"
+                )
+            pred, _info, _f2 = self._compile_predicate(
+                inner, field, synonyms, op
+            )
+            return self.df().filter(pred)
         raise search.QuerySyntaxError(
             f"unsupported local-params query type {{!{qtype}}}; "
             "supported: join, parent, child, terms, term, raw, prefix, "
-            "field, "
-            "frange, knn, collapse, graph, complexphrase, mlt, surround, "
-            "bool"
+            "field, frange, knn, collapse, graph, complexphrase, mlt, "
+            "surround, bool, func, boost"
         )
 
     def query(

@@ -1651,6 +1651,19 @@ class TestComplexPhrase:
         # three operands, any order, one shared window
         assert self.ids(cp, "{!surround}text:n(works, smith, john)") == ["1"]
 
+    def test_func_and_boost_qparsers(self, cp):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        # {!func}: a FunctionQuery matches ALL docs (score-only effect)
+        assert self.ids(cp, "{!func}sum(1,2)") == ["1", "2", "3", "4", "5"]
+        # {!boost}: matching is the wrapped query's matching
+        assert self.ids(cp, "{!boost b=sum(1,1)}text:smith") == [
+            "1", "3", "4", "5"]
+        with pytest.raises(QuerySyntaxError):
+            cp.search(q="{!func}notafunction(")
+        with pytest.raises(QuerySyntaxError, match="wrapped"):
+            cp.search(q="{!boost b=sum(1,1)}")
+
     def test_surround_errors_are_loud(self, cp):
         from solr_map_reduce_spark.extensions.search import QuerySyntaxError
 
