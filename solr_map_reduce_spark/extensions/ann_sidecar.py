@@ -274,17 +274,26 @@ def probe_topk(
 # -- delta maintenance ---------------------------------------------------
 
 def delta_delete(
-    spark: SparkSession, index_path: str, deleted_ids: DataFrame, key: str
+    spark: SparkSession, index_path: str, deleted_ids: DataFrame,
+    key: str, pre_gen: str | None,
 ) -> None:
     """Delete-by-query delta: tombstone the deleted keys at a fresh
     epoch and re-pin every sidecar — O(deleted), the sidecar stores no
-    file references so no vector rewrite is needed."""
+    file references so no vector rewrite is needed.
+
+    ``pre_gen`` (the artifact generation BEFORE this mutation) gates
+    every maintenance function: a sidecar whose meta is NOT pinned to
+    pre_gen missed an earlier mutation (crashed phase, legacy skip,
+    vector-rewrite invalidation) — re-pinning it here would REVIVE
+    stale data, so it stays stale until build_ann."""
     fs = get_fs(index_path, spark)
     new_gen = manifest_generation_hash(fs, index_path)
     for _field, side in sidecars(fs, index_path):
         meta = load_meta(fs, side)
         if meta is None or new_gen is None:
             continue
+        if pre_gen is None or meta.get("built_generation") != pre_gen:
+            continue  # already stale before this mutation: stay stale
         epoch = int(meta.get("epoch", 0)) + 1
         # phase 1: consume the epoch (old generation kept — a crash
         # below leaves the sidecar stale, and the number is never reused)
@@ -308,6 +317,7 @@ def delta_upsert(
     upserted_rows: DataFrame,
     batch_keys: DataFrame,
     key: str,
+    pre_gen: str | None,
 ) -> None:
     """Upsert delta (merge_into / vector-field update_fields):
     tombstone every batch key at a fresh epoch and append the
@@ -318,8 +328,9 @@ def delta_upsert(
     Lucene contract).  ``upserted_rows`` must be MATERIALIZED by the
     caller before the staging swap.  O(batch) work.
 
-    Sidecars whose pinned base schema predates the epoch layout are
-    left stale (exact fallback until rebuild)."""
+    Sidecars whose pinned base schema predates the epoch layout, or
+    whose meta is not pinned to ``pre_gen`` (they missed an earlier
+    mutation), are left stale (exact fallback until rebuild)."""
     from solr_map_reduce_spark.extensions import similarity as sim
 
     fs = get_fs(index_path, spark)
@@ -328,6 +339,8 @@ def delta_upsert(
         meta = load_meta(fs, side)
         if meta is None or new_gen is None:
             continue
+        if pre_gen is None or meta.get("built_generation") != pre_gen:
+            continue  # already stale before this mutation: stay stale
         if field not in upserted_rows.columns:
             continue  # stale: the batch did not carry this vector column
         kind = meta.get("kind", "ivf")
@@ -505,10 +518,11 @@ def compact(spark: SparkSession, index_path: str, field: str) -> dict:
 
 
 def repin_only(spark: SparkSession, index_path: str,
-               changed_fields: "set[str]") -> None:
+               changed_fields: "set[str]", pre_gen: str | None) -> None:
     """A mutation that provably did not touch a sidecar's vector column
     (update_fields on other columns) just re-pins the generation —
-    vectors, delta, and tombstones are all still exact."""
+    vectors, delta, and tombstones are all still exact.  Sidecars not
+    pinned to ``pre_gen`` missed an earlier mutation and stay stale."""
     fs = get_fs(index_path, spark)
     new_gen = manifest_generation_hash(fs, index_path)
     if new_gen is None:
@@ -519,5 +533,7 @@ def repin_only(spark: SparkSession, index_path: str,
         meta = load_meta(fs, side)
         if meta is None:
             continue
+        if pre_gen is None or meta.get("built_generation") != pre_gen:
+            continue  # already stale before this mutation: stay stale
         meta["built_generation"] = new_gen
         write_meta(fs, side, meta)

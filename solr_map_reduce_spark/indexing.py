@@ -562,6 +562,7 @@ class IndexJob:
             from solr_map_reduce_spark.extensions import ann_sidecar
 
             ann_keys = ann_upserted = None
+            ann_pre_gen = ann_sidecar.manifest_generation_hash(fs, path)
             ann_fields = [f for f, _s in ann_sidecar.sidecars(fs, path)]
             if ann_fields:
                 ann_keys = (
@@ -605,7 +606,8 @@ class IndexJob:
                 # manifest rewrite above fixed the new generation hash:
                 # {!knn} keeps serving sublinearly across the upsert
                 ann_sidecar.delta_upsert(
-                    df.sparkSession, path, ann_upserted, ann_keys, key
+                    df.sparkSession, path, ann_upserted, ann_keys, key,
+                    ann_pre_gen,
                 )
             return manifest
 
@@ -877,6 +879,7 @@ class IndexJob:
             from solr_map_reduce_spark.extensions import ann_sidecar
 
             ann_keys = ann_upserted = None
+            ann_pre_gen = ann_sidecar.manifest_generation_hash(fs, path)
             vec_updated = [
                 f for f, _s in ann_sidecar.sidecars(fs, path)
                 if f in upd_cols
@@ -911,12 +914,12 @@ class IndexJob:
             bump_generation(fs, path)  # live handles must drop caches
             if ann_upserted is not None:
                 ann_sidecar.delta_upsert(
-                    spark, path, ann_upserted, ann_keys, key
+                    spark, path, ann_upserted, ann_keys, key, ann_pre_gen
                 )
             # sidecars whose vector column the update provably did not
             # touch just re-pin to the new generation — vectors, delta,
             # and tombstones all remain exact
-            ann_sidecar.repin_only(spark, path, set(upd_cols))
+            ann_sidecar.repin_only(spark, path, set(upd_cols), ann_pre_gen)
             return manifest
 
     def delete_where(self, spark: SparkSession, path: str, condition) -> int:
@@ -991,11 +994,17 @@ class IndexJob:
 
             if sidecar_exists(fs, path):
                 write_key_ranges(spark, path, shards=touched)
+            # pre-mutation generation gates the ANN maintenance below: a
+            # sidecar not pinned to it missed an earlier mutation and
+            # must stay stale rather than be revived
+            ann_pre_gen = ann_sidecar.manifest_generation_hash(fs, path)
             bump_generation(fs, path)  # live handles must drop caches
             if deleted_ids is not None:
                 # O(deleted) tombstones + generation re-pin: {!knn}
                 # stays on the routed sublinear path across the delete
-                ann_sidecar.delta_delete(spark, path, deleted_ids, key)
+                ann_sidecar.delta_delete(
+                    spark, path, deleted_ids, key, ann_pre_gen
+                )
             return n_before - n_after
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):

@@ -416,6 +416,47 @@ class TestStalenessAndVariants:
         with pytest.raises(ValueError, match="stale"):
             idx.compact_ann("embedding")
 
+    def test_already_stale_sidecar_is_never_revived(self, spark, tmp_path):
+        # a sidecar left stale by an earlier mutation (crashed phase,
+        # legacy skip, vector rewrite) must NOT be re-pinned by a later
+        # mutation's delta maintenance — that would revive stale data.
+        import json as _json
+
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        meta_path = os.path.join(side, "_ANN_META.json")
+        meta = _json.loads(open(meta_path).read())
+        # simulate the crashed phase-1 of an earlier mutation: epoch
+        # consumed, generation no longer current
+        meta["epoch"] = int(meta["epoch"]) + 1
+        meta["built_generation"] = "gone-generation"
+        open(meta_path, "w").write(_json.dumps(meta))
+        assert idx._ann_sidecar("embedding") is None  # stale
+        job = _job("retain_most_recent")
+        # delete, upsert, and non-vector update must all leave it stale
+        job.delete_where(spark, idx.path, F.col("vec_id") == 0)
+        assert idx._ann_sidecar("embedding") is None
+        job.merge_into(spark.createDataFrame(
+            [(950, [float(x) for x in QUERIES[0]], "x")],
+            "vec_id long, embedding array<double>, label string",
+        ), idx.path)
+        assert idx._ann_sidecar("embedding") is None
+        job.update_fields(spark.createDataFrame(
+            [(1, "y")], "vec_id long, label string"
+        ), idx.path)
+        assert idx._ann_sidecar("embedding") is None
+        # the exact fallback serves the true post-mutation corpus
+        q = QUERIES[0]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=3}}{_vec_literal(q)}"
+        ).collect()]
+        assert got[0] == 950 and 0 not in got
+        # and build_ann recovers the routed path
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        assert idx._ann_sidecar("embedding") is not None
+        assert self._routed_equals_exact(idx, q, k=3)[0] == 950
+
     def test_upsert_delta_maintains_ivfpq(self, spark, tmp_path):
         # the compressed sidecar delta-encodes upserts with the stored
         # codebooks; approximate ranking must still surface the new doc
