@@ -444,14 +444,24 @@ def compact(spark: SparkSession, index_path: str, field: str) -> dict:
         # staleness re-checked UNDER the lock: a mutation committing
         # between the caller's check and lock acquisition must not be
         # compacted over
-        saved_gen = meta["built_generation"]
-        if saved_gen != manifest_generation_hash(fs, index_path):
+        if meta["built_generation"] != manifest_generation_hash(
+            fs, index_path
+        ):
             raise ValueError(
                 f"ANN sidecar for {field!r} is stale — rebuild with "
                 "build_ann instead of compacting"
             )
+        # bump the ARTIFACT generation first: live SearchIndex handles
+        # memoize the loaded sidecar and would otherwise keep probing
+        # bucket dirs mid-swap; the bump drops every handle's caches,
+        # and the (still old-generation-pinned) meta reads as stale —
+        # every query runs the exact scan until the fold completes
+        from solr_map_reduce_spark.indexing import bump_generation
+
+        bump_generation(fs, index_path)
+        new_gen = manifest_generation_hash(fs, index_path)
         meta["built_generation"] = "__compacting__"
-        write_meta(fs, side, meta)  # stale while we rewrite
+        write_meta(fs, side, meta)  # belt + braces while we rewrite
 
         reader = spark.read
         if pinned:
@@ -480,7 +490,7 @@ def compact(spark: SparkSession, index_path: str, field: str) -> dict:
             }
         affected = sorted(affected)
         if not affected:
-            meta["built_generation"] = saved_gen
+            meta["built_generation"] = new_gen
             write_meta(fs, side, meta)
             return {"affected_buckets": [], "folded": False}
 
@@ -512,7 +522,7 @@ def compact(spark: SparkSession, index_path: str, field: str) -> dict:
             p = fs_join(side, subdir)
             if fs.exists(p):
                 fs.delete(p)
-        meta["built_generation"] = saved_gen
+        meta["built_generation"] = new_gen
         write_meta(fs, side, meta)
         return {"affected_buckets": affected, "folded": True}
 

@@ -359,10 +359,20 @@ class TestStalenessAndVariants:
         meta_after = __import__("json").loads(
             open(os.path.join(side, "_ANN_META.json")).read()
         )
-        # epoch stays monotone (never reset); generation re-pinned
+        # epoch stays monotone (never reset); compact BUMPS the artifact
+        # generation (live handles must drop caches during the fold) and
+        # re-pins the meta to the post-bump hash
         assert meta_after["epoch"] == meta_before["epoch"]
-        assert meta_after["built_generation"] == \
+        assert meta_after["built_generation"] != \
             meta_before["built_generation"]
+        from solr_map_reduce_spark.extensions.ann_sidecar import (
+            manifest_generation_hash,
+        )
+        from solr_map_reduce_spark.fs import get_fs
+
+        assert meta_after["built_generation"] == manifest_generation_hash(
+            get_fs(idx.path, spark), idx.path
+        )
         after = self._routed_equals_exact(idx, q, k=7)
         assert after == before
         assert after[0] == 900 and top[0] not in after and \
