@@ -31,7 +31,14 @@ with the NEW epoch but the OLD generation (consuming the epoch — a
 crashed attempt's partial delta/tombstone rows can never be revived by
 a later mutation reusing the number), then appends delta/tombstones,
 then re-pins ``built_generation`` last.  A crash anywhere in between
-leaves the meta stale → exact fallback.
+leaves the meta stale → exact fallback.  Staleness is STICKY: every
+maintenance function is gated on the meta being pinned to the
+generation its mutation started from (``pre_gen``), so a sidecar left
+behind by ANY earlier event — crashed phase, legacy-schema skip,
+vector-column rewrite — is never re-pinned by later mutations; only
+``build_ann`` recovers it.  ``compact`` bumps the artifact generation
+before folding so live handles drop their memoized sidecar and serve
+exact during the fold window.
 
 Reference parity: Solr 9's KnnQParser serves from a Lucene HNSW graph
 (sublinear per query, rebuilt per segment on reindex); the
