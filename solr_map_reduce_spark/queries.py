@@ -60,8 +60,35 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dec_sum(col: F.Column, alias: str) -> F.Column:
-    """Exact double aggregation: per-row double -> decimal(18,6) -> sum -> double."""
-    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+    """Exact, order-independent money aggregation WITHOUT per-row
+    BigDecimal: split each value into integer part + rounded fractional
+    micros, sum both as LONGs (whole-stage-codegen compact buffers),
+    recombine in decimal on the aggregated rows only.  Value-identical
+    to ``sum(cast(col as decimal(18,6)))`` — the DuckDB oracle keeps
+    that independent formulation — but measured 2x faster at sf0.1
+    (decimal sums with precision > 18 fall off Spark's compact-Long
+    buffer onto JavaBigDecimal per row).
+
+    Exactness: (1) TPC-H money expressions carry <= 6 decimal digits
+    and their computed double is within ~1e-10 of the true value —
+    vastly inside the 5e-7 rounding slack — so ``round(frac * 1e6)``
+    recovers the exact decimal micros; (2) ``col - floor(col)`` is
+    exact in IEEE (Sterbenz for |col| >= 1, floor = 0 below 1; an
+    across-integer representation like 122.999... -> frac_micros =
+    1_000_000 still recombines exactly); (3) the long sums cannot lose
+    a unit: |int part| <= ~1e7 and frac_micros <= 1e6, safe to ~1e11
+    rows PER GROUP at TPC-H magnitudes — ~30x the 100 TB target (the
+    oracle's decimal form remains the unbounded-exact reference)."""
+    ip = F.floor(col).cast("long")
+    fr = F.round((col - F.floor(col)) * F.lit(1000000.0)).cast("long")
+    total = (
+        F.sum(ip).cast("decimal(38,0)") * F.lit(1000000)
+        + F.sum(fr).cast("decimal(38,0)")
+    )
+    return (
+        (total.cast("decimal(38,6)") / F.lit(1000000)).cast("double")
+        .alias(alias)
+    )
 
 
 _DEC_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
