@@ -322,7 +322,11 @@ def main() -> None:
                     "io_calibration_sec_start": io_start,
                     "io_calibration_sec_end": io_end,
                 },
-                "protocol": f"median-of-{REPS} after {WARMS} untimed warmups",
+                "protocol": (
+                    f"median-of-{REPS} after {WARMS} untimed warmups; "
+                    f"extra warms {EXTRA_WARMS}, extra reps {EXTRA_REPS}; "
+                    "rep_loadavg samples 1-min load AT each rep"
+                ),
                 "cold_build_docs_index_sec": cold_build,
                 "cold_build_nested_index_sec": cold_build_nested,
                 "sf": sf_val,
