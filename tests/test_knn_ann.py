@@ -144,6 +144,17 @@ class TestKnnAnnRouting:
         ).collect()]
         assert got == _exact_ids(q, 10)
 
+    def test_fq_postfilters_compose_with_routed_path(self, aidx):
+        # Solr default: {!knn} as the main query ranks topK FIRST, fq
+        # filters after — identical composition on the routed path
+        q = QUERIES[0]
+        got = sorted(r["vec_id"] for r in aidx.search(
+            q=f"{{!knn f=embedding topK=10 nprobe={NC}}}{_vec_literal(q)}",
+            filters={"label": "even"}, select=["vec_id"],
+        ).collect())
+        want = sorted(i for i in _exact_ids(q, 10) if i % 2 == 0)
+        assert got == want
+
     def test_prefilter_stays_exact(self, aidx):
         # preFilter restricts BEFORE topK; the sidecar has no filter
         # columns, so the exact path serves it — and the result is the
