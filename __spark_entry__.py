@@ -170,9 +170,9 @@ _VERDICT_PRIORITY = [
     "ext_exact_dedup", "ext_token_count", "ext_curation_pipeline",
     "ext_bpe_token_count", "ext_quality_features", "ext_gopher_rules",
     "ext_lang_id", "ext_fingerprint", "ext_ann_topk", "ext_minhash_dedup",
-    # r11 window plan: the 4 r10 additions (c9_surround_n, c9_luke,
-    # c9_backup_restore, c9_knn_routed — never externally checked) +
-    # the r06-stale
+    # r11 window plan: the 5 r10 additions (c9_surround_n, c9_luke,
+    # c9_backup_restore, c9_knn_routed, c9_join_from_index — never
+    # externally checked) + the r06-stale
     # overflow (20): ext_simhash, ext_ngram_jaccard, ext_simhash_pairs,
     # ext_cosine_pairs, ext_dedup_clusters, ext_sessionize,
     # c9_contains_all, c9_contains_any, c9_match_phrase,

@@ -72,6 +72,11 @@ class SearchIndex:
         # ANN sidecar handles, keyed by field; dropped on generation
         # change (a mutated artifact must not serve a stale vector index)
         self._ann_memo: dict = {}
+        # named other-collection handles for {!join fromIndex=...}
+        # (attach_collection); handle-level registry, survives this
+        # artifact's generation changes (each attached handle guards
+        # its own generation)
+        self._collections: dict = {}
         # generation guard: every engine mutation rewrites the manifest
         # (with a bumped generation counter + fresh uuid), so a CONTENT
         # hash of it detects an artifact mutated UNDER a long-lived
@@ -2535,9 +2540,33 @@ class SearchIndex:
             inner = inner.strip()
             if not inner:
                 raise search.QuerySyntaxError("{!join} needs an inner query")
+            # Solr's fromIndex= cross-core join: the inner query runs
+            # against ANOTHER collection (an attach_collection()-
+            # registered handle, or an artifact path opened on the
+            # spot) UNDER THAT collection's analyzers/default field,
+            # and only its distinct from= keys come back — at scale a
+            # bounded key set AQE broadcasts into this side's semi-join
+            src = self
+            from_index = params.get("fromIndex")
+            if from_index:
+                src = self._collections.get(from_index)
+                if src is None:
+                    try:
+                        src = SearchIndex.open(self.spark, from_index)
+                    except Exception:
+                        raise search.QuerySyntaxError(
+                            f"{{!join}} fromIndex {from_index!r} is "
+                            "neither an attached collection "
+                            f"({sorted(self._collections)}) nor a "
+                            "readable artifact path"
+                        ) from None
+            scan = (
+                src._query_scan(inner, field, synonyms, op)
+                if src is self
+                else src._query_scan(inner)
+            )
             keys = (
-                self._query_scan(inner, field, synonyms, op)
-                .filter(F.col(f_from).isNotNull())
+                scan.filter(F.col(f_from).isNotNull())
                 .select(F.col(f_from).alias(f_to))
                 .distinct()
             )
@@ -3735,6 +3764,13 @@ class SearchIndex:
         terms = [t for t, _ in scored[:max_terms]]
         hits = self.bm25(terms, k=k + 1, field=fname, **kw)
         return hits.filter(F.col(self.unique_key) != key).limit(k)
+
+    def attach_collection(self, name: str, index: "SearchIndex") -> None:
+        """Register another artifact's handle under ``name`` for
+        {!join fromIndex=name} cross-collection joins (Solr's
+        cross-core join; the inner query compiles under the attached
+        collection's own analyzers and default field)."""
+        self._collections[name] = index
 
     # -- ANN serving sidecar (sublinear {!knn}) -------------------------
     ANN_DIR = "_ann"

@@ -2400,6 +2400,24 @@ def c9_knn_routed(spark, sf_dir):
 
 
 @_register(
+    "c9_join_from_index",
+    """SELECT doc_id FROM documents
+       WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label = 3)""",
+    "Solr cross-core join ({!join fromIndex=other from=f to=t}q): the "
+    "inner query runs against the ATTACHED collection under its own "
+    "analyzers/default field; only its distinct from= keys come back "
+    "and AQE broadcasts them into this side's semi-join — the "
+    "two-collection analog of the single-index {!join}",
+)
+def c9_join_from_index(spark, sf_dir):
+    docs = _docs_search_index(spark, sf_dir)
+    docs.attach_collection("emb", _embeddings_search_index(spark, sf_dir))
+    return docs.query(
+        "{!join fromIndex=emb from=vec_id to=doc_id}label:3"
+    )
+
+
+@_register(
     "c9_json_facet",
     """WITH t1 AS (
          SELECT lang, count(*) AS count, avg(n_chars) AS avg_len,

@@ -539,3 +539,43 @@ class TestStalenessAndVariants:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out == {"affected_buckets": [], "folded": False}
+
+
+class TestJoinFromIndex:
+    """{!join fromIndex=...} cross-collection join uses the vector
+    fixture artifacts (two handles over distinct corpora)."""
+
+    def test_attached_and_path_forms(self, spark, tmp_path):
+        a = _build_artifact(spark, str(tmp_path / "a"))
+        # second collection: a narrow "allowlist" of even ids
+        ddl = "vec_id long, embedding array<double>, label string"
+        rows = [(i, [0.0] * DIM, "keep" if i % 10 == 0 else "drop")
+                for i in range(50)]
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+        b_path = str(tmp_path / "b")
+        IndexJob(IndexJobConfig(
+            schema=IndexSchema(
+                fields=(Field("vec_id", "long", required=True),
+                        Field("embedding", "array<double>"),
+                        Field("label", "string")),
+                unique_key="vec_id"),
+            shards=1, dedup="none",
+        )).build(spark.createDataFrame(rows, ddl), b_path)
+        b = SearchIndex.open(spark, b_path)
+        a.attach_collection("allow", b)
+        got = sorted(r["vec_id"] for r in a.query(
+            "{!join fromIndex=allow from=vec_id to=vec_id}label:keep"
+        ).collect())
+        assert got == [0, 10, 20, 30, 40]
+        # unregistered name that is a readable artifact path: opens it
+        got2 = sorted(r["vec_id"] for r in a.query(
+            f"{{!join fromIndex={b_path} from=vec_id to=vec_id}}label:keep"
+        ).collect())
+        assert got2 == got
+
+    def test_unknown_from_index_is_loud(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        a = _build_artifact(spark, str(tmp_path / "a"))
+        with pytest.raises(QuerySyntaxError, match="fromIndex"):
+            a.query("{!join fromIndex=nope from=x to=y}foo:bar")
