@@ -139,6 +139,10 @@ def build_parser() -> argparse.ArgumentParser:
     qry.add_argument("--q-op", default="OR", choices=("OR", "AND"),
                      help="default operator for juxtaposed clauses "
                           "(Solr q.op)")
+    qry.add_argument("--attach", action="append", metavar="NAME=PATH",
+                     help="mount another artifact for {!join "
+                          "fromIndex=NAME ...} cross-collection joins "
+                          "(repeatable)")
     qry.add_argument("--facet", default=None, metavar="FIELD", help="facet counts")
     qry.add_argument("--range-facet", default=None, nargs=4,
                      metavar=("FIELD", "START", "END", "GAP"),
@@ -531,6 +535,7 @@ def main(argv: list[str] | None = None) -> int:
                     ("--terms", args.terms),
                     ("--json-facet", args.json_facet),
                     ("--luke", args.luke),
+                    ("--attach", args.attach),
                 ) if val is not None and val is not False
             ]
             if unsupported:
@@ -543,6 +548,14 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
         else:
             idx = SearchIndex.open(spark, args.path)
+        for spec in args.attach or []:
+            # {!join fromIndex=name} targets: name=path mounts
+            if "=" not in spec:
+                print(f"--attach wants name=path, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            cname, cpath = spec.split("=", 1)
+            idx.attach_collection(cname, SearchIndex.open(spark, cpath))
         if args.count:
             n = idx.query(args.q).count() if args.q else idx.count()
             print(json.dumps({"count": n}))

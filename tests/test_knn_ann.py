@@ -579,3 +579,34 @@ class TestJoinFromIndex:
         a = _build_artifact(spark, str(tmp_path / "a"))
         with pytest.raises(QuerySyntaxError, match="fromIndex"):
             a.query("{!join fromIndex=nope from=x to=y}foo:bar")
+
+    def test_cli_attach_cross_join(self, spark, tmp_path, capsys):
+        from solr_map_reduce_spark import cli
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+        a = _build_artifact(spark, str(tmp_path / "a"))
+        b_path = str(tmp_path / "b")
+        IndexJob(IndexJobConfig(
+            schema=IndexSchema(
+                fields=(Field("vec_id", "long", required=True),
+                        Field("embedding", "array<double>"),
+                        Field("label", "string")),
+                unique_key="vec_id"),
+            shards=1, dedup="none",
+        )).build(spark.createDataFrame(
+            [(i, [0.0] * DIM, "keep" if i < 3 else "drop")
+             for i in range(20)],
+            "vec_id long, embedding array<double>, label string"), b_path)
+        rc = cli.main([
+            "query", "--path", a.path, "--attach", f"allow={b_path}",
+            "--q", "{!join fromIndex=allow from=vec_id to=vec_id}"
+                   "label:keep",
+            "--select", "vec_id",
+        ])
+        assert rc == 0
+        import json as _json
+        got = sorted(
+            _json.loads(line)["vec_id"]
+            for line in capsys.readouterr().out.strip().splitlines()
+        )
+        assert got == [0, 1, 2]
