@@ -4207,6 +4207,47 @@ class MultiIndex:
             return self._relational_scan(
                 *lp, field=field, synonyms=synonyms, op=op
             )
+        if lp is not None and lp[0] == "knn":
+            # {!knn} is globally RANKED: per-member topK unioned would
+            # return up to members x topK rows.  The distributed top-k
+            # merge: each member serves its LOCAL topK (exact or
+            # ANN-routed, preFilter applied inside the member), and the
+            # global topK provably lives inside that bounded union —
+            # re-rank the <= members x k rows and cut to k ("results
+            # identical to the unpartitioned collection").
+            from solr_map_reduce_spark.extensions import similarity as sim
+
+            qtype_, params, inner = lp
+            fld = params.get("f")
+            if not fld:
+                raise search.QuerySyntaxError("{!knn} needs the f= param")
+            body = inner.strip()
+            try:
+                qvec = [
+                    float(x) for x in body.strip("[]").split(",") if x.strip()
+                ]
+            except ValueError:
+                raise search.QuerySyntaxError(
+                    f"{{!knn}} vector literal {body!r} has non-numeric "
+                    "components"
+                ) from None
+            topk = int(params.get("topK", 10))
+            metric = params.get("similarity", "cosine")
+            score = (
+                sim.dot_to_query(F.col(fld), qvec)
+                if metric in ("dot", "dot_product")
+                else sim.cosine_to_query(F.col(fld), qvec)
+            )
+            pool = self._union(
+                [m._query_scan(q, field, synonyms, op)
+                 for m in self.members]
+            )
+            return (
+                pool.withColumn("_knn_score", score)
+                .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
+                .limit(topk)
+                .drop("_knn_score")
+            )
         if lp is not None and lp[0] == "collapse":
             # {!collapse} is RELATIONAL across the alias: per-member
             # collapse unioned would emit one head per member for a

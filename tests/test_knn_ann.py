@@ -610,3 +610,45 @@ class TestJoinFromIndex:
             for line in capsys.readouterr().out.strip().splitlines()
         )
         assert got == [0, 1, 2]
+
+
+class TestMultiIndexKnn:
+    def test_alias_knn_is_global_topk(self, spark, tmp_path):
+        """{!knn} over a collection alias must return the GLOBAL topK
+        (the unpartitioned-collection contract), not the union of
+        per-member topKs."""
+        from solr_map_reduce_spark.index_reader import MultiIndex
+        from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+
+        schema = IndexSchema(
+            fields=(Field("vec_id", "long", required=True),
+                    Field("embedding", "array<double>"),
+                    Field("label", "string")),
+            unique_key="vec_id",
+        )
+        halves = []
+        for part in (0, 1):
+            rows = [
+                (i, [float(x) for x in VECS[i]], "x")
+                for i in range(N) if i % 2 == part
+            ]
+            p = str(tmp_path / f"m{part}")
+            IndexJob(IndexJobConfig(
+                schema=schema, shards=1, dedup="none",
+            )).build(spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, label string"
+            ), p)
+            halves.append(SearchIndex.open(spark, p))
+        alias = MultiIndex(halves)
+        q = QUERIES[0]
+        got = [r["vec_id"] for r in alias.query(
+            f"{{!knn f=embedding topK=7 exact=true}}{_vec_literal(q)}"
+        ).collect()]
+        assert got == _exact_ids(q, 7)  # exactly k rows, global order
+        # ANN-routed members merge the same way
+        for h in halves:
+            h.build_ann("embedding", kind="ivf", n_centroids=4, nprobe=4)
+        routed = [r["vec_id"] for r in alias.query(
+            f"{{!knn f=embedding topK=7 nprobe=4}}{_vec_literal(q)}"
+        ).collect()]
+        assert routed == _exact_ids(q, 7)
