@@ -134,52 +134,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round), r10 rotation per the r9 verdict's #1 directive:
-# (a) the 21 entries that have NEVER had an external CORRECTNESS row
-# (the late-r9 additions the r9 window couldn't fit: the bool/surround/
-# complexphrase/spellcheck-collate qparsers, the facet range-other/
-# matches long tail, infix suggest, atomic removeregex, the dismax
-# pf/boost extensions, the drill/unique/merge/intersect/stats stream
-# decorators, the math tier, scoreNodes, and the ML tier
-# features/train/classify); then (b) 29 of the 49-entry cohort whose
-# last external check is oldest (r06) — TPC-H heads, joins, the dedup
-# family, curation.  The remaining 20 r06-stale entries
-# (ext_simhash … ext_repetition, listed in the overflow comment below)
-# plus any r10 additions lead the r11 rotation, aging out everything
-# older than r8 by r11 per the verdict's #7.  The repo's own oracle
-# suite covers all entries every pytest run regardless
-# (tests/test_queries_oracle.py).
+# entries per round), r11 rotation per the r10 verdict's #1/#2
+# directives: (a) the 5 r10 additions that have never had an external
+# CORRECTNESS row, led by the round's flagship features, (b)
+# c6_atomic_removeregex — the r10 gate ERR (array column the harness
+# canonicalizer couldn't hash) is fixed to emit a '|'-joined string on
+# both sides (the r3 a11 precedent) and must get its green row, (c)
+# c9_knn_prefiltered — new this round (routed filtered vector search,
+# provably exact at full probe), (d) the full 20-entry r06-stale
+# cohort, (e) 23 of the 50-entry r07 cohort (oldest remaining) — the
+# other 27 r07 entries lead the r12 rotation.  After this round the
+# staleness floor is r8 and never-checked is 0 (minus any r11-close
+# additions).  The repo's own oracle suite covers all entries every
+# pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a) never externally checked — all 21, verbatim from VERDICT r9 #1
-    "c9_bool_query", "c9_surround_w", "c9_complex_phrase",
-    "c9_spellcheck_collate", "c9_facet_range_other", "c9_facet_matches",
-    "c9_suggest_infix", "c6_atomic_removeregex", "ext_dismax_pf",
-    "ext_dismax_boost", "ext_stream_drill", "ext_stream_unique",
-    "ext_stream_merge", "ext_stream_intersect", "ext_stream_stats",
-    "ext_math_describe", "ext_math_regress", "ext_score_nodes",
-    "ext_features_ig", "ext_classify", "ext_train_lr",
-    # (b) r06-stale cohort, 29 of 49
-    "b12_detect_mime", "c9_suggest", "ext_bm25_topk",
-    "facet_event_counts", "ext_funnel_conversion",
-    "ext_cohort_retention", "facet_range_value",
-    "pipeline_etl_events", "window_hourly_counts",
-    "q1_pricing_summary", "q3_top_revenue",
-    "q5_local_supplier", "q6_revenue_change",
-    "exists_big_order_customers", "window_topn_orders", "ext_asof_join",
-    "ext_range_join", "skew_salted_join", "star_join_enrich",
-    "ext_exact_dedup", "ext_token_count", "ext_curation_pipeline",
-    "ext_bpe_token_count", "ext_quality_features", "ext_gopher_rules",
-    "ext_lang_id", "ext_fingerprint", "ext_ann_topk", "ext_minhash_dedup",
-    # r11 window plan: the 5 r10 additions (c9_surround_n, c9_luke,
-    # c9_backup_restore, c9_knn_routed, c9_join_from_index — never
-    # externally checked) + the r06-stale
-    # overflow (20): ext_simhash, ext_ngram_jaccard, ext_simhash_pairs,
-    # ext_cosine_pairs, ext_dedup_clusters, ext_sessionize,
-    # c9_contains_all, c9_contains_any, c9_match_phrase,
-    # c9_prefix_match, c9_contains_none, c9_term_facet, c9_highlight,
-    # ext_quantile_filter, ext_pack_sequences, ext_redact_pii,
-    # ext_profile, ext_source_mixture, window_sliding_counts,
-    # ext_repetition — then the r07 cohort (oldest-first)
+    # (a) never externally checked — the 5 r10 additions
+    "c9_knn_routed", "c9_join_from_index", "c9_surround_n",
+    "c9_luke", "c9_backup_restore",
+    # (b) the r10 gate ERR, now harness-canonicalizable
+    "c6_atomic_removeregex",
+    # (c) new this round
+    "c9_knn_prefiltered",
+    # (d) r06-stale cohort, all 20
+    "ext_simhash", "ext_ngram_jaccard", "ext_simhash_pairs",
+    "ext_cosine_pairs", "ext_dedup_clusters", "ext_sessionize",
+    "c9_contains_all", "c9_contains_any", "c9_match_phrase",
+    "c9_prefix_match", "c9_contains_none", "c9_term_facet",
+    "c9_highlight", "ext_quantile_filter", "ext_pack_sequences",
+    "ext_redact_pii", "ext_profile", "ext_source_mixture",
+    "window_sliding_counts", "ext_repetition",
+    # (e) r07 cohort, 23 of 50 (oldest-first); the remaining 27
+    # (c9_fielded_query, c9_fuzzy_query, c9_phrase_slop,
+    # c9_range_query, c9_search_request, ext_bm25_filtered,
+    # ext_c4_clean, ext_chunk_docs, ext_cosine_pairs_lsh,
+    # ext_decontaminate, ext_hash_split, ext_ivf_topk, ext_ivfpq_topk,
+    # ext_knn_classify, ext_knn_join, ext_passage_dedup,
+    # ext_pixel_stats, ext_pq_topk, ext_source_cap, ext_spatial_bbox,
+    # ext_url_dedup, facet_cube_counts, q14_promo_revenue,
+    # q18_large_orders, q4_order_priority, c9_field_group,
+    # c7_segment_contract) lead r12
+    "a10_dedup_retain_most_recent", "a11_dedup_sort_updates",
+    "a12_collision_report", "a8_routing_shards", "agg_distinct_users",
+    "b2_sanitize_fields", "b3_sequence_key", "b4_tokenize_general",
+    "b4_tokenize_lowercase", "b6_extract_json", "c1_count_all",
+    "c2_key_range", "c2_point_lookup", "c2_segment_lookup",
+    "c3_delete_by_query", "c4_sort_page", "c5_projection",
+    "c6_atomic_update", "c6_upsert_latest", "c9_boolean_query",
+    "c9_boosted_query", "c9_date_range", "c9_facet_query",
 ]
 
 

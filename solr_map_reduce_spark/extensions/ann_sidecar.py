@@ -229,11 +229,19 @@ def probe_topk(
     qvec: list,
     k: int,
     nprobe: int,
+    filter_keys: DataFrame | None = None,
 ) -> DataFrame:
     """(key, score) top-k over the probed buckets of base ∪ delta with
     the liveness rule applied — all reads partition-pruned to nprobe
     bucket dirs and schema-pinned (zero footer inference).  ``index`` is
-    the loaded IvfIndex / IvfPqIndex."""
+    the loaded IvfIndex / IvfPqIndex.
+
+    ``filter_keys`` (one key column) restricts candidates BEFORE the
+    top-k — the routed form of Solr 9.1's {!knn preFilter=}: probed
+    rows semi-join the filter's key set, so the page is the true top-k
+    of (probed buckets ∩ filter), never a post-filtered underfill.  At
+    scale the probed side is the nprobe/n_centroids fraction and AQE
+    broadcasts whichever side is smaller."""
     import numpy as np
 
     from solr_map_reduce_spark.extensions import similarity as sim
@@ -242,6 +250,14 @@ def probe_topk(
     kind = meta.get("kind", "ivf")
     ivf = index if kind == "ivf" else index.ivf
     q = np.asarray(qvec, dtype=np.float64)
+    if kind == "ivfpq":
+        # the ivfpq base was fit on UNIT vectors (_unit_normalized in
+        # build/delta_upsert): rank probe buckets in that same space,
+        # else a long query vector picks suboptimal probes at low
+        # nprobe (ADC scores themselves are cosine-correct either way)
+        nrm = float(np.sqrt((q * q).sum()))
+        if nrm > 0.0:
+            q = q / nrm
     d = ((ivf.centroids - q[None, :]) ** 2).sum(axis=1)
     probe = [int(b) for b in d.argsort()[:nprobe]]
     key = ivf.id_col
@@ -273,6 +289,12 @@ def probe_topk(
         rows = _apply_liveness(rows, tomb, key)
 
     rows = rows.drop(EPOCH_COL)
+    if filter_keys is not None:
+        rows = rows.join(
+            filter_keys.select(F.col(filter_keys.columns[0]).alias(key)),
+            on=key,
+            how="left_semi",
+        )
     if kind == "ivf":
         return sim.cosine_topk(rows, qvec, k, id_col=key, vec_col=ivf.vec_col)
     return index.pq.topk(rows, qvec, k=k)

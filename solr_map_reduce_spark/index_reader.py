@@ -77,6 +77,12 @@ class SearchIndex:
         # artifact's generation changes (each attached handle guards
         # its own generation)
         self._collections: dict = {}
+        # {!join fromIndex=} resolves ONLY through attach_collection by
+        # default (Solr errors on an unknown core); opt in to let an
+        # unregistered name open as an artifact path — query text is
+        # often caller-supplied (CLI --q), and the silent open would
+        # both read arbitrary directories and mask a typo'd attach name
+        self.allow_path_from_index: bool = False
         # generation guard: every engine mutation rewrites the manifest
         # (with a bumped generation counter + fresh uuid), so a CONTENT
         # hash of it detects an artifact mutated UNDER a long-lived
@@ -2550,16 +2556,25 @@ class SearchIndex:
             from_index = params.get("fromIndex")
             if from_index:
                 src = self._collections.get(from_index)
-                if src is None:
+                if src is None and self.allow_path_from_index:
+                    # explicit opt-in only: query text is often
+                    # caller-supplied, and opening arbitrary readable
+                    # paths would bypass the attach registry (and make
+                    # a typo'd name silently join the wrong data)
                     try:
                         src = SearchIndex.open(self.spark, from_index)
                     except Exception:
-                        raise search.QuerySyntaxError(
-                            f"{{!join}} fromIndex {from_index!r} is "
-                            "neither an attached collection "
-                            f"({sorted(self._collections)}) nor a "
-                            "readable artifact path"
-                        ) from None
+                        src = None
+                if src is None:
+                    raise search.QuerySyntaxError(
+                        f"{{!join}} fromIndex {from_index!r} is not an "
+                        "attached collection "
+                        f"({sorted(self._collections)}) — register it "
+                        "with attach_collection()/--attach (Solr errors "
+                        "on an unknown core the same way); set "
+                        "allow_path_from_index=True to let names open "
+                        "as artifact paths"
+                    )
             scan = (
                 src._query_scan(inner, field, synonyms, op)
                 if src is self
@@ -2621,13 +2636,17 @@ class SearchIndex:
             # sidecar on the field (build_ann), topK routes through
             # partition-pruned IVF probes — the sublinear contract Solr
             # 9 meets with HNSW — with ``exact=true`` as the opt-out.
-            # Fallback (no sidecar / stale / exact= / preFilter= /
-            # dot similarity): ONE scan + TakeOrderedAndProject (k rows
-            # per partition), the brute-force exact plan.  preFilter
-            # stays on the exact path because candidate restriction
-            # must happen BEFORE topK and the sidecar stores no filter
-            # columns.  Composed fq filters apply AFTER (Solr's default
-            # post-filtering for {!knn} as the main query).
+            # preFilter= routes too (Solr 9.1 applies it DURING graph
+            # traversal): the filter compiles to a column-pruned
+            # key-set scan (predicate pushed down, vectors never read)
+            # semi-joined onto the probed rows BEFORE the top-k, with
+            # nprobe widening when the filtered pool underfills — at
+            # full probe the page is provably the exact filtered topK.
+            # Fallback (no sidecar / stale / exact= / dot similarity):
+            # ONE scan + TakeOrderedAndProject (k rows per partition),
+            # the brute-force exact plan.  Composed fq filters apply
+            # AFTER (Solr's default post-filtering for {!knn} as the
+            # main query).
             from solr_map_reduce_spark.extensions import similarity as sim
 
             f = params.get("f")
@@ -2663,21 +2682,34 @@ class SearchIndex:
             exact = str(params.get("exact", "")).lower() in (
                 "true", "1", "yes", "on",
             )
-            if not exact and not prefilter and metric == "cosine":
-                routed = self._knn_via_ann(f, qvec, topk, params)
-                if routed is not None:
-                    return routed
-            base = self.df()
+            pre_pred = None
             if prefilter:
                 # Solr 9.1 preFilter: restrict the candidate set BEFORE
                 # the topK selection (vs composed fq's post-filtering) —
-                # the predicate rides the same scan, so a selective
-                # prefilter SHRINKS the ranked set instead of starving
-                # the page
-                pred, _info, _f2 = self._compile_predicate(
+                # a selective prefilter SHRINKS the ranked set instead
+                # of starving the page
+                pre_pred, _info, _f2 = self._compile_predicate(
                     prefilter, field, synonyms, op
                 )
-                base = base.filter(pred)
+            if not exact and metric == "cosine":
+                filter_keys = None
+                if pre_pred is not None:
+                    # column-pruned key-set scan: the predicate pushes
+                    # down to parquet and only the key column returns —
+                    # the vector column (the scan's dominant bytes)
+                    # never reads on this side
+                    filter_keys = (
+                        self.df().filter(pre_pred).select(self.unique_key)
+                    )
+                routed = self._knn_via_ann(
+                    f, qvec, topk, params, filter_keys=filter_keys
+                )
+                if routed is not None:
+                    return routed
+            base = self.df()
+            if pre_pred is not None:
+                # exact path: the predicate rides the same scan
+                base = base.filter(pre_pred)
             return (
                 base
                 .withColumn("_knn_score", score)
@@ -3872,7 +3904,12 @@ class SearchIndex:
         return handle
 
     def _knn_via_ann(
-        self, field: str, qvec: list, k: int, params: dict
+        self,
+        field: str,
+        qvec: list,
+        k: int,
+        params: dict,
+        filter_keys: DataFrame | None = None,
     ) -> DataFrame | None:
         """Serve {!knn} from the field's ANN sidecar: nprobe
         partition-pruned bucket reads -> bounded (id, score) topK ->
@@ -3881,18 +3918,37 @@ class SearchIndex:
         Total IO: nprobe/n_centroids of the vector table (base ∪
         upsert delta, tombstone liveness applied pre-top-k — see
         extensions/ann_sidecar.py) + the O(k) segment files holding
-        the hit keys — never the corpus."""
+        the hit keys — never the corpus.
+
+        ``filter_keys`` is the routed {!knn preFilter=} candidate set
+        (semi-joined onto probed rows before the top-k).  Underfilled
+        pages WIDEN: when the probed (∩ filtered) pool returns fewer
+        than k rows, nprobe doubles and the probe reruns until the page
+        fills or every bucket has been read — at full probe the result
+        is provably the exact filtered top-k, so the guaranteed-k
+        fallback and the exactness fallback are the same loop end."""
         from solr_map_reduce_spark.extensions import ann_sidecar
 
         handle = self._ann_sidecar(field)
         if handle is None:
             return None
         kind, idx, side, meta = handle
-        nprobe = int(params.get("nprobe", meta.get("nprobe", 2)))
-        top = ann_sidecar.probe_topk(
-            self.spark, side, meta, idx, qvec, k=k, nprobe=nprobe
+        n_centroids = len((idx if kind == "ivf" else idx.ivf).centroids)
+        nprobe = min(
+            int(params.get("nprobe", meta.get("nprobe", 2))), n_centroids
         )
-        hits = top.collect()  # bounded: <= topK rows from probed buckets
+        while True:
+            top = ann_sidecar.probe_topk(
+                self.spark, side, meta, idx, qvec, k=k, nprobe=nprobe,
+                filter_keys=filter_keys,
+            )
+            hits = top.collect()  # bounded: <= topK rows, probed buckets
+            if len(hits) >= k or nprobe >= n_centroids:
+                break
+            # short page (deletes tombstoned the probed buckets, or the
+            # preFilter thinned them): widen — Solr's HNSW never
+            # short-pages while matches exist, and neither do we
+            nprobe = min(nprobe * 2, n_centroids)
         if not hits:
             return self.df().limit(0)
         ids = [r[self.unique_key] for r in hits]

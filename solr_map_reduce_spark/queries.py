@@ -78,9 +78,16 @@ def _dec_sum(col: F.Column, alias: str) -> F.Column:
     1_000_000 still recombines exactly); (3) the long sums cannot lose
     a unit: |int part| <= ~1e7 and frac_micros <= 1e6, safe to ~1e11
     rows PER GROUP at TPC-H magnitudes — ~30x the 100 TB target (the
-    oracle's decimal form remains the unbounded-exact reference)."""
-    ip = F.floor(col).cast("long")
-    fr = F.round((col - F.floor(col)) * F.lit(1000000.0)).cast("long")
+    oracle's decimal form remains the unbounded-exact reference);
+    (4) non-finite inputs match the decimal formulation: cast(NaN or
+    Infinity as decimal) is NULL (skipped by sum), so both parts are
+    NULLed for non-finite values — a group of only-NaN sums to NULL,
+    an Inf never saturates the long total."""
+    finite = ~(F.isnan(col) | (F.abs(col) == F.lit(float("inf"))))
+    ip = F.when(finite, F.floor(col).cast("long"))
+    fr = F.when(
+        finite, F.round((col - F.floor(col)) * F.lit(1000000.0)).cast("long")
+    )
     total = (
         F.sum(ip).cast("decimal(38,0)") * F.lit(1000000)
         + F.sum(fr).cast("decimal(38,0)")
@@ -2400,6 +2407,45 @@ def c9_knn_routed(spark, sf_dir):
 
 
 @_register(
+    "c9_knn_prefiltered",
+    """SELECT vec_id FROM embeddings
+       WHERE label BETWEEN 0 AND 4
+       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+          WHERE vec_id = (SELECT max(vec_id) FROM embeddings))) DESC,
+         vec_id
+       LIMIT 10""",
+    "Solr 9.1 {!knn preFilter=} ROUTED through the ANN sidecar (filtered "
+    "vector search — the most common production vector query shape): the "
+    "preFilter compiles to a column-pruned key-set scan semi-joined onto "
+    "the partition-pruned bucket probes BEFORE the topK, widening nprobe "
+    "when the filtered pool underfills.  Probed at nprobe = n_centroids, "
+    "where the routed filtered page is provably EXACT — so the whole "
+    "filtered-routing machinery (key semi-join, widening loop, "
+    "rank-preserving fetch) is externally hash-checked against the DuckDB "
+    "filtered-cosine oracle.  The entry asserts the sidecar is live: a "
+    "silent fallback to the exact scan FAILS loudly",
+)
+def c9_knn_prefiltered(spark, sf_dir):
+    idx = _embeddings_ann_index(spark, sf_dir)
+    if idx._ann_sidecar("embedding") is None:
+        raise RuntimeError(
+            "c9_knn_prefiltered: ANN sidecar missing/stale — the entry "
+            "must exercise the ROUTED filtered path, not the exact "
+            "fallback"
+        )
+    qvec = (
+        t(spark, sf_dir, "embeddings")
+        .orderBy(F.desc("vec_id")).select("embedding").first()["embedding"]
+    )
+    lit = ", ".join(repr(float(x)) for x in qvec)
+    return idx.query(
+        f"{{!knn f=embedding topK=10 nprobe=8 preFilter='label:[0 TO 4]'}}"
+        f"[{lit}]"
+    ).select("vec_id")
+
+
+@_register(
     "c9_join_from_index",
     """SELECT doc_id FROM documents
        WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label = 3)""",
@@ -3655,16 +3701,18 @@ def c6_atomic_update(spark, sf_dir):
 @_register(
     "c6_atomic_removeregex",
     """SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0 THEN
-           list_filter(ARRAY[lang, source],
-                       x -> NOT regexp_matches(x, '^(?:e.*)$'))
-         ELSE ARRAY[lang, source] END AS tags
+         array_to_string(
+           CASE WHEN doc_id % 5 = 0 THEN
+             list_filter(ARRAY[lang, source],
+                         x -> NOT regexp_matches(x, '^(?:e.*)$'))
+           ELSE ARRAY[lang, source] END, '|') AS tags
        FROM documents""",
     "Solr atomic-update removeregex: drop every multivalued element "
     "FULLY matching any update pattern (Java matches() anchoring) on "
     "every fifth doc through the O(touched) update path; survivors "
-    "keep multiplicity — the oracle applies the same filter as a "
-    "list_filter CASE",
+    "keep multiplicity in order — the oracle applies the same filter as "
+    "a list_filter CASE; both sides emit the array joined with '|' so "
+    "the harness canonicalizer can hash it (the r3 a11 precedent)",
 )
 def c6_atomic_removeregex(spark, sf_dir):
     import tempfile
@@ -3691,7 +3739,8 @@ def c6_atomic_removeregex(spark, sf_dir):
     )
     job.update_fields(upd, out, ops={"tags": "removeregex"})
     return read_index(spark, out).select(
-        F.col("id").cast("long").alias("doc_id"), "tags"
+        F.col("id").cast("long").alias("doc_id"),
+        F.array_join(F.col("tags"), "|").alias("tags"),
     )
 
 

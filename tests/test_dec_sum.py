@@ -55,3 +55,26 @@ def test_dec_sum_edges(spark):
     _check(spark, [0.0, -0.0, 1.0, -1.0, 0.000001, -0.000001,
                    122.99999999999999, 9999999.999999, -9999999.999999,
                    0.5, -0.5, 2.5, -2.5, 0.1 + 0.2])
+
+
+def test_dec_sum_nonfinite_matches_decimal(spark):
+    # cast(NaN/Infinity as decimal) is NULL (skipped by sum): the long
+    # formulation must NULL non-finite inputs the same way — a group of
+    # only-NaN sums to NULL, an Inf never saturates the long total
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(0, nan), (0, nan),          # all-NaN group -> NULL
+         (1, inf), (1, 2.5),          # Inf skipped -> 2.5
+         (2, -inf), (2, nan), (2, 1.25), (2, 0.75)],  # -> 2.0
+        "g int, v double",
+    )
+    new = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(_dec_sum(F.col("v"), "s")).collect()
+    }
+    old = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(_old_dec_sum(F.col("v"), "s")).collect()
+    }
+    assert new == old, (new, old)
+    assert new[0] is None and new[1] == 2.5 and new[2] == 2.0

@@ -105,6 +105,41 @@ class TestKnnAnnRouting:
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "bucket" in plan, plan
 
+    def test_prefilter_routes_full_probe_exact(self, aidx):
+        # preFilter routes through the sidecar (Solr 9.1 filters DURING
+        # traversal): filter keys semi-join probed rows BEFORE topK.
+        # At nprobe = n_centroids every bucket is read, so the routed
+        # page must equal the numpy oracle over the even-labelled half.
+        # (Defined before the tamper test below: it reads EVERY bucket.)
+        q = QUERIES[0]
+        norms = np.linalg.norm(VECS, axis=1) * np.linalg.norm(q)
+        cos = (VECS @ q) / norms
+        evens = [i for i in range(N) if i % 2 == 0]
+        want = sorted(evens, key=lambda i: (-cos[i], i))[:5]
+        got = [r["vec_id"] for r in aidx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC} "
+            "preFilter='label:even'}" + _vec_literal(q)
+        ).collect()]
+        assert got == want
+        # exact=true opts out of routing and serves the same oracle
+        got_exact = [r["vec_id"] for r in aidx.query(
+            "{!knn f=embedding topK=5 exact=true preFilter='label:even'}"
+            + _vec_literal(q)
+        ).collect()]
+        assert got_exact == want
+
+    def test_prefilter_low_nprobe_fills_page(self, aidx):
+        # a thinned probe pool widens nprobe instead of short-paging:
+        # the page is always k rows when >= k matches exist, all of
+        # them satisfying the preFilter
+        q = QUERIES[0]
+        got = [r["vec_id"] for r in aidx.query(
+            "{!knn f=embedding topK=5 nprobe=1 preFilter='label:even'}"
+            + _vec_literal(q)
+        ).collect()]
+        assert len(got) == 5
+        assert all(i % 2 == 0 for i in got)
+
     def test_probe_reads_only_probed_buckets(self, aidx):
         # physical IO boundary: fill every NON-probed bucket's parquet
         # files with garbage — the routed query must not notice
@@ -153,21 +188,6 @@ class TestKnnAnnRouting:
             filters={"label": "even"}, select=["vec_id"],
         ).collect())
         want = sorted(i for i in _exact_ids(q, 10) if i % 2 == 0)
-        assert got == want
-
-    def test_prefilter_stays_exact(self, aidx):
-        # preFilter restricts BEFORE topK; the sidecar has no filter
-        # columns, so the exact path serves it — and the result is the
-        # numpy oracle over the even-labelled half
-        q = QUERIES[0]
-        got = [r["vec_id"] for r in aidx.query(
-            "{!knn f=embedding topK=5 preFilter='label:even'}"
-            + _vec_literal(q)
-        ).collect()]
-        norms = np.linalg.norm(VECS, axis=1) * np.linalg.norm(q)
-        cos = (VECS @ q) / norms
-        evens = [i for i in range(N) if i % 2 == 0]
-        want = sorted(evens, key=lambda i: (-cos[i], i))[:5]
         assert got == want
 
     def test_dot_similarity_stays_exact(self, aidx):
@@ -567,11 +587,23 @@ class TestJoinFromIndex:
             "{!join fromIndex=allow from=vec_id to=vec_id}label:keep"
         ).collect())
         assert got == [0, 10, 20, 30, 40]
-        # unregistered name that is a readable artifact path: opens it
+        # an unregistered name is an error even when it happens to be a
+        # readable artifact path (Solr errors on an unknown core; the
+        # silent open would read arbitrary directories)
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+        with pytest.raises(QuerySyntaxError, match="fromIndex"):
+            a.query(
+                f"{{!join fromIndex={b_path} from=vec_id to=vec_id}}"
+                "label:keep"
+            )
+        # explicit opt-in restores the open-by-path form
+        a.allow_path_from_index = True
         got2 = sorted(r["vec_id"] for r in a.query(
             f"{{!join fromIndex={b_path} from=vec_id to=vec_id}}label:keep"
         ).collect())
         assert got2 == got
+        a.allow_path_from_index = False
 
     def test_unknown_from_index_is_loud(self, spark, tmp_path):
         from solr_map_reduce_spark.extensions.search import QuerySyntaxError
@@ -652,3 +684,79 @@ class TestMultiIndexKnn:
             f"{{!knn f=embedding topK=7 nprobe=4}}{_vec_literal(q)}"
         ).collect()]
         assert routed == _exact_ids(q, 7)
+
+
+class TestProbeWideningAndSpaces:
+    def test_underfilled_probe_widens_to_fill_page(self, spark, tmp_path):
+        # deletes tombstone most of the query's nearest bucket: at
+        # nprobe=1 the probed live pool holds < k rows, so the serving
+        # loop widens nprobe instead of short-paging (Solr's HNSW never
+        # returns fewer than k while k matches exist)
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=1)
+        assert os.path.exists(os.path.join(side, "_ANN_META.json"))
+        kind, ivf, _side, meta = idx._ann_sidecar("embedding")
+        q = QUERIES[0]
+        d = ((ivf.centroids - q[None, :]) ** 2).sum(axis=1)
+        b0 = int(d.argsort()[0])
+        # bucket assignment mirrors IvfIndex.assign: nearest centroid
+        assign = (
+            ((VECS[:, None, :] - ivf.centroids[None, :, :]) ** 2)
+            .sum(axis=2).argmin(axis=1)
+        )
+        members = [i for i in range(N) if assign[i] == b0]
+        keep = set(members[:2])  # leave only 2 alive in the bucket
+        doomed = [i for i in members if i not in keep]
+        assert len(doomed) > 0
+        _job().delete_where(
+            spark, idx.path,
+            F.col("vec_id").isin([int(i) for i in doomed]),
+        )
+        assert idx._ann_sidecar("embedding") is not None  # still routed
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe=1}}{_vec_literal(q)}"
+        ).collect()]
+        assert len(got) == 5, got
+        assert not set(got) & set(doomed)
+
+    def test_prefilter_underfill_widens_to_exact(self, spark, tmp_path):
+        # a preFilter so selective that NO single bucket holds k
+        # matches: widening must run out to the full probe, where the
+        # routed page is provably the exact filtered top-k
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=1)
+        q = QUERIES[1]
+        # filter to 6 specific ids spread over the corpus
+        norms = np.linalg.norm(VECS, axis=1) * np.linalg.norm(q)
+        cos = (VECS @ q) / norms
+        chosen = [5, 42, 97, 130, 166, 199]
+        upd = spark.createDataFrame(
+            [(i, "picked") for i in chosen], "vec_id long, label string"
+        )
+        _job().update_fields(upd, idx.path)
+        assert idx._ann_sidecar("embedding") is not None
+        got = [r["vec_id"] for r in idx.query(
+            "{!knn f=embedding topK=5 nprobe=1 preFilter='label:picked'}"
+            + _vec_literal(q)
+        ).collect()]
+        want = sorted(chosen, key=lambda i: (-cos[i], i))[:5]
+        assert got == want
+
+    def test_ivfpq_probe_selection_is_scale_invariant(self, spark, tmp_path):
+        # the ivfpq base is fit on UNIT vectors: probe-bucket ranking
+        # must normalize the query into that same space, so a scaled
+        # query (cosine is scale-invariant) probes the same buckets and
+        # returns the same page
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivfpq", n_centroids=4, nprobe=1,
+                      m=4, ksub=16)
+        q = QUERIES[2]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe=1}}{_vec_literal(q)}"
+        ).collect()]
+        scaled = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe=1}}"
+            + _vec_literal(1000.0 * q)
+        ).collect()]
+        assert got == scaled
