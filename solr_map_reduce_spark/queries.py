@@ -98,6 +98,22 @@ def _dec_sum(col: F.Column, alias: str) -> F.Column:
     )
 
 
+def _dec_sum_global(col: F.Column, alias: str) -> F.Column:
+    """Exact money aggregation for GLOBAL (ungrouped) single-sum
+    shapes: the plain decimal(18,6) sum.  The per-shape gate from the
+    r11 head-to-head (SCALING.md): on q6's single-sum-over-filtered-scan
+    shape the decimal cast is ~13% faster than the long-split
+    formulation (one compact-decimal buffer vs two long buffers +
+    floor/round per row), while on grouped shapes (q1: 7 sums x 6
+    groups over 590k rows) the long split wins ~18% — precision <= 18
+    keeps the decimal sum on Spark's compact-Long buffer, so the
+    BigDecimal escape `_dec_sum` exists for never applies to a single
+    global aggregate.  Value-identical to `_dec_sum` (both match the
+    oracle's decimal form bit-for-bit; non-finite inputs are NULL under
+    the cast exactly as `_dec_sum` guards them)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
 _DEC_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
@@ -706,7 +722,11 @@ def q6_revenue_change(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "_rev"))
+        .agg(
+            _dec_sum_global(
+                F.col("l_extendedprice") * F.col("l_discount"), "_rev"
+            )
+        )
         .select(F.coalesce(F.col("_rev"), F.lit(0.0)).alias("revenue"))
     )
 
