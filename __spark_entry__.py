@@ -141,9 +141,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # canonicalizer couldn't hash) is fixed to emit a '|'-joined string on
 # both sides (the r3 a11 precedent) and must get its green row, (c)
 # c9_knn_prefiltered — new this round (routed filtered vector search,
-# provably exact at full probe), (d) the full 20-entry r06-stale
-# cohort, (e) 23 of the 50-entry r07 cohort (oldest remaining) — the
-# other 27 r07 entries lead the r12 rotation.  After this round the
+# provably exact at full probe) — plus ext_train_lr, whose no_oracle
+# became a real recursive-CTE oracle this round, (d) the full 20-entry
+# r06-stale cohort, (e) 22 of the 50-entry r07 cohort (oldest
+# remaining) — the other 28 r07 entries lead the r12 rotation.  After this round the
 # staleness floor is r8 and never-checked is 0 (minus any r11-close
 # additions).  The repo's own oracle suite covers all entries every
 # pytest run regardless (tests/test_queries_oracle.py).
@@ -153,8 +154,10 @@ _VERDICT_PRIORITY = [
     "c9_luke", "c9_backup_restore",
     # (b) the r10 gate ERR, now harness-canonicalizable
     "c6_atomic_removeregex",
-    # (c) new this round
-    "c9_knn_prefiltered",
+    # (c) new this round; ext_train_lr's no_oracle is now a REAL
+    # recursive-CTE oracle (r10 verdict #5) and re-enters for its
+    # first hash-checked row
+    "c9_knn_prefiltered", "ext_train_lr",
     # (d) r06-stale cohort, all 20
     "ext_simhash", "ext_ngram_jaccard", "ext_simhash_pairs",
     "ext_cosine_pairs", "ext_dedup_clusters", "ext_sessionize",
@@ -163,7 +166,7 @@ _VERDICT_PRIORITY = [
     "c9_highlight", "ext_quantile_filter", "ext_pack_sequences",
     "ext_redact_pii", "ext_profile", "ext_source_mixture",
     "window_sliding_counts", "ext_repetition",
-    # (e) r07 cohort, 23 of 50 (oldest-first); the remaining 27
+    # (e) r07 cohort, 22 of 50 (oldest-first); the remaining 28
     # (c9_fielded_query, c9_fuzzy_query, c9_phrase_slop,
     # c9_range_query, c9_search_request, ext_bm25_filtered,
     # ext_c4_clean, ext_chunk_docs, ext_cosine_pairs_lsh,
@@ -172,7 +175,7 @@ _VERDICT_PRIORITY = [
     # ext_pixel_stats, ext_pq_topk, ext_source_cap, ext_spatial_bbox,
     # ext_url_dedup, facet_cube_counts, q14_promo_revenue,
     # q18_large_orders, q4_order_priority, c9_field_group,
-    # c7_segment_contract) lead r12
+    # c9_facet_query, c7_segment_contract) lead r12
     "a10_dedup_retain_most_recent", "a11_dedup_sort_updates",
     "a12_collision_report", "a8_routing_shards", "agg_distinct_users",
     "b2_sanitize_fields", "b3_sequence_key", "b4_tokenize_general",
@@ -180,7 +183,7 @@ _VERDICT_PRIORITY = [
     "c2_key_range", "c2_point_lookup", "c2_segment_lookup",
     "c3_delete_by_query", "c4_sort_page", "c5_projection",
     "c6_atomic_update", "c6_upsert_latest", "c9_boolean_query",
-    "c9_boosted_query", "c9_date_range", "c9_facet_query",
+    "c9_boosted_query", "c9_date_range",
 ]
 
 

@@ -6560,15 +6560,67 @@ def ext_classify(spark, sf_dir):
     )
 
 
+# ext_train_lr oracle: the GD loop IS SQL-expressible because the
+# entry's 3 binary features partition documents into <= 8 token
+# patterns x 2 labels — a 16-cell contingency table from which every
+# per-iteration sum (gradients, mean log loss, accuracy) is a weighted
+# cell aggregate.  A DuckDB recursive CTE replays the exact pinned
+# formulas (margin -> sigmoid -> eps-clamped log loss -> batch update,
+# alpha=0.5, idf=1, w=0 start); iteration i's recorded error/accuracy
+# use the PRE-update weights, exactly like train_logistic's history.
+# The anchor casts to DOUBLE (a bare 0.0 would type the recursion
+# DECIMAL(2,1)).  Precedent: the connected-components recursive-CTE
+# oracle; closes the gate's last LLM-pipeline blind spot.
+_LR_MARGIN = "(w0 + w1*f1 + w2*f2 + w3*f3)"
+_LR_PROB = f"(1.0/(1.0+exp(-{_LR_MARGIN})))"
+_TRAIN_LR_SQL = f"""WITH RECURSIVE cells AS (
+  SELECT
+    CAST(list_contains(toks, 'spark') AS INT) AS f1,
+    CAST(list_contains(toks, 'join') AS INT) AS f2,
+    CAST(list_contains(toks, 'slow') AS INT) AS f3,
+    CAST(lang = 'en' AS INT) AS y,
+    CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT list_distinct({{toks}}) AS toks, lang FROM documents)
+  GROUP BY 1, 2, 3, 4
+), tot AS (SELECT sum(c) AS n FROM cells),
+gd AS (
+  SELECT 0 AS it, CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+         CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+         CAST(0 AS DOUBLE) AS err, CAST(0 AS DOUBLE) AS acc
+  UNION ALL
+  SELECT it + 1,
+    w0 - 0.5 * (SELECT sum(c * ({_LR_PROB} - y)) FROM cells)
+             / (SELECT n FROM tot),
+    w1 - 0.5 * (SELECT sum(c * f1 * ({_LR_PROB} - y)) FROM cells)
+             / (SELECT n FROM tot),
+    w2 - 0.5 * (SELECT sum(c * f2 * ({_LR_PROB} - y)) FROM cells)
+             / (SELECT n FROM tot),
+    w3 - 0.5 * (SELECT sum(c * f3 * ({_LR_PROB} - y)) FROM cells)
+             / (SELECT n FROM tot),
+    (SELECT sum(c * -(y * ln(greatest({_LR_PROB}, 1e-15))
+                      + (1-y) * ln(greatest(1.0 - {_LR_PROB}, 1e-15))))
+     FROM cells) / (SELECT n FROM tot),
+    (SELECT sum(c * CASE WHEN CAST({_LR_PROB} >= 0.5 AS INT) = y
+                         THEN 1.0 ELSE 0.0 END)
+     FROM cells) / (SELECT n FROM tot)
+  FROM gd WHERE it < 3
+)
+SELECT 'lr_docs' AS name, CAST(it AS INT) AS iteration,
+       round(round(err, 10), 6) AS error,
+       round(round(acc, 10), 6) AS accuracy
+FROM gd WHERE it >= 1 ORDER BY iteration"""
+
+
 @_register(
     "ext_train_lr",
-    None,  # iterative (per-step driver weight updates) — rows-only gate;
-    # golden-tested against the pure-Python reference twin in
-    # tests/test_text_ml.py (same pinned formulas, 1e-8 agreement)
+    _TRAIN_LR_SQL.format(toks=_TOKS_SQL),
     "Solr train(): batch logistic regression over IG features — per "
     "iteration ONE map-only margin pass fused into ONE groupBy(term) "
     "returning <= |features|+1 rows (a __bias__ sentinel row carries "
-    "intercept gradient/loss/accuracy); only that vector is collected",
+    "intercept gradient/loss/accuracy); only that vector is collected. "
+    "Oracled: the 3-binary-feature GD loop reduces to weighted "
+    "aggregates over a 16-cell (token-pattern x label) contingency "
+    "table, replayed exactly by a DuckDB recursive CTE",
 )
 def ext_train_lr(spark, sf_dir):
     from solr_map_reduce_spark.extensions import text_ml
