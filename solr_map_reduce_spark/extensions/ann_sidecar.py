@@ -297,7 +297,7 @@ def probe_topk(
         )
     if kind == "ivf":
         return sim.cosine_topk(rows, qvec, k, id_col=key, vec_col=ivf.vec_col)
-    return index.pq.topk(rows, qvec, k=k)
+    return index.pq.topk(rows, qvec, k=k, bucket_col=ivf.bucket_col)
 
 
 # -- delta maintenance ---------------------------------------------------
@@ -405,9 +405,9 @@ def delta_upsert(
                 ivf.centroids, id_col=key, vec_col=field,
                 bucket_col=ivf.bucket_col,
             ).assign(_unit_normalized(vec_rows, field))
-            staged = index.pq.encode(assigned, code_col="pq_code").select(
-                key, ivf.bucket_col, "pq_code"
-            )
+            staged = index.pq.encode(
+                assigned, code_col="pq_code", bucket_col=ivf.bucket_col
+            ).select(key, ivf.bucket_col, "pq_code")
         bucket_col = (index if kind == "ivf" else index.ivf).bucket_col
         (
             staged.withColumn(EPOCH_COL, F.lit(epoch).cast("long"))

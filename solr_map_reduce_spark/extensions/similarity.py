@@ -921,15 +921,31 @@ class PqCodec:
     inner product approximates cosine.  Codebooks are fitted driver-side on
     a bounded sample (m * ksub * dsub floats — KBs); encode and search are
     vectorized Arrow-batch numpy, no per-row Python.
+
+    Residual mode (``coarse`` set — the standard IVF-PQ formulation,
+    Jégou et al. §IV): what gets PQ-encoded is ``v̂ − c_bucket(v)``, the
+    residual after the coarse quantizer, not v̂ itself.  Residuals
+    cluster far tighter than raw vectors (the coarse step removed the
+    between-bucket variance), so the same code budget quantizes finer —
+    better in-bucket ADC recall at identical storage.  The ADC score
+    recombines exactly: q̂·v̂ ≈ q̂·c_bucket + lut_sum(codes), with the
+    per-bucket constant precomputed driver-side (n_centroids dots).
+    Encode/score then REQUIRE the stored bucket column — the residual is
+    meaningless without knowing which centroid it is relative to.
     """
 
     def __init__(self, codebooks: np.ndarray, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
-        # codebooks: (m, ksub, dsub)
+                 vec_col: str = "embedding",
+                 coarse: "np.ndarray | None" = None):
+        # codebooks: (m, ksub, dsub); coarse: (n_centroids, d) or None
         self.codebooks = np.asarray(codebooks, dtype=np.float64)
         self.m, self.ksub, self.dsub = self.codebooks.shape
         self.id_col = id_col
         self.vec_col = vec_col
+        self.coarse = (
+            np.asarray(coarse, dtype=np.float64) if coarse is not None
+            else None
+        )
 
     @classmethod
     def fit(
@@ -942,6 +958,7 @@ class PqCodec:
         sample_size: int = 10_000,
         iters: int = 10,
         seed: int = 42,
+        coarse: "np.ndarray | None" = None,
     ) -> "PqCodec":
         n = df.count()
         frac = min(1.0, (sample_size * 1.2) / max(n, 1))
@@ -954,6 +971,15 @@ class PqCodec:
             dtype=np.float64,
         )
         sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        if coarse is not None:
+            # residual mode: codebooks are k-means of v̂ − c_nearest(v̂)
+            # (fit-time assignment approximates build-time's; both pick
+            # the nearest centroid, and fit quality only shapes recall)
+            co = np.asarray(coarse, dtype=np.float64)
+            d2 = (
+                -2.0 * (sample @ co.T) + (co**2).sum(axis=1)[None, :]
+            )
+            sample = sample - co[d2.argmin(axis=1)]
         d = sample.shape[1]
         if d % m:
             raise ValueError(f"dim {d} not divisible by m={m}")
@@ -972,21 +998,30 @@ class PqCodec:
                     if len(members):
                         cents[c] = members.mean(axis=0)
             books[s] = cents
-        return cls(books, id_col, vec_col)
+        return cls(books, id_col, vec_col, coarse=coarse)
 
-    def encode(self, df: DataFrame, code_col: str = "pq_code") -> DataFrame:
+    def encode(
+        self,
+        df: DataFrame,
+        code_col: str = "pq_code",
+        bucket_col: "str | None" = None,
+    ) -> DataFrame:
         """Vector → array<short> of ``m`` codebook indices (one matmul per
-        subspace per Arrow batch)."""
+        subspace per Arrow batch).  In residual mode the STORED bucket
+        assignment (``bucket_col``) picks the centroid to subtract —
+        recomputing it here could diverge from the partition layout on
+        argmin ties, and the score-side constant is keyed by the stored
+        bucket."""
         books = self.codebooks
         m, dsub = self.m, self.dsub
+        coarse = self.coarse
+        if coarse is not None and not bucket_col:
+            raise ValueError(
+                "residual PqCodec.encode needs bucket_col (the stored "
+                "coarse assignment the residual is relative to)"
+            )
 
-        @pandas_udf(T.ArrayType(T.ShortType()))
-        def _enc(vecs: pd.Series) -> pd.Series:
-            if len(vecs) == 0:
-                return pd.Series([], dtype=object)
-            X = np.array(vecs.tolist(), dtype=np.float64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        def _encode_batch(X: np.ndarray) -> pd.Series:
             codes = np.empty((X.shape[0], m), dtype=np.int16)
             for s in range(m):
                 sub = X[:, s * dsub : (s + 1) * dsub]
@@ -998,7 +1033,31 @@ class PqCodec:
                 codes[:, s] = dist.argmin(axis=1).astype(np.int16)
             return pd.Series(list(codes))
 
-        return df.withColumn(code_col, _enc(F.col(self.vec_col)))
+        def _normed(vecs: pd.Series) -> np.ndarray:
+            X = np.array(vecs.tolist(), dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+        if coarse is None:
+            @pandas_udf(T.ArrayType(T.ShortType()))
+            def _enc(vecs: pd.Series) -> pd.Series:
+                if len(vecs) == 0:
+                    return pd.Series([], dtype=object)
+                return _encode_batch(_normed(vecs))
+
+            return df.withColumn(code_col, _enc(F.col(self.vec_col)))
+
+        @pandas_udf(T.ArrayType(T.ShortType()))
+        def _enc_res(vecs: pd.Series, buckets: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            X = _normed(vecs) - coarse[buckets.to_numpy(dtype=np.int64)]
+            return _encode_batch(X)
+
+        return df.withColumn(
+            code_col,
+            _enc_res(F.col(self.vec_col), F.col(bucket_col).cast("long")),
+        )
 
     def topk(
         self,
@@ -1006,13 +1065,16 @@ class PqCodec:
         query: Sequence[float],
         k: int = 10,
         code_col: str = "pq_code",
+        bucket_col: "str | None" = None,
     ) -> DataFrame:
         """Approximate top-k by asymmetric distance: precompute the
         (m x ksub) inner-product lookup table from the query driver-side,
         then score each stored code with ``m`` table lookups — the scan
         reads only ids + m-byte codes (column pruning drops the raw
         vectors), and only k rows per partition survive into the final
-        TakeOrdered."""
+        TakeOrdered.  Residual mode adds the per-bucket constant
+        q̂·c_bucket (an n_centroids-long broadcast table) so the score
+        is q̂·(c + r) — cosine over the decoded vector."""
         q = np.asarray(query, dtype=np.float64)
         q = q / np.linalg.norm(q)
         lut = np.stack(
@@ -1021,17 +1083,38 @@ class PqCodec:
                 for s in range(self.m)
             ]
         )  # (m, ksub)
+        coarse = self.coarse
+        if coarse is not None and not bucket_col:
+            raise ValueError(
+                "residual PqCodec.topk needs bucket_col (the per-bucket "
+                "score constant is keyed by the stored assignment)"
+            )
+        bias = coarse @ q if coarse is not None else None  # (n_centroids,)
 
-        @pandas_udf(T.DoubleType())
-        def _adc(codes: pd.Series) -> pd.Series:
-            if len(codes) == 0:
-                return pd.Series([], dtype=np.float64)
+        def _lut_sum(codes: pd.Series) -> np.ndarray:
             C = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
-            return pd.Series(lut[np.arange(lut.shape[0])[None, :], C].sum(axis=1))
+            return lut[np.arange(lut.shape[0])[None, :], C].sum(axis=1)
 
-        scored = encoded.select(
-            F.col(self.id_col), _adc(F.col(code_col)).alias("score")
-        )
+        if bias is None:
+            @pandas_udf(T.DoubleType())
+            def _adc(codes: pd.Series) -> pd.Series:
+                if len(codes) == 0:
+                    return pd.Series([], dtype=np.float64)
+                return pd.Series(_lut_sum(codes))
+
+            score = _adc(F.col(code_col))
+        else:
+            @pandas_udf(T.DoubleType())
+            def _adc_res(codes: pd.Series, buckets: pd.Series) -> pd.Series:
+                if len(codes) == 0:
+                    return pd.Series([], dtype=np.float64)
+                return pd.Series(
+                    _lut_sum(codes)
+                    + bias[buckets.to_numpy(dtype=np.int64)]
+                )
+
+            score = _adc_res(F.col(code_col), F.col(bucket_col).cast("long"))
+        scored = encoded.select(F.col(self.id_col), score.alias("score"))
         return scored.orderBy(F.desc("score"), F.col(self.id_col)).limit(k)
 
 
@@ -1073,8 +1156,13 @@ class IvfPqIndex:
         ivf = IvfIndex.fit(
             df, n_centroids, id_col, vec_col, sample_size, seed=seed
         )
+        # residual-encode (the standard IVF-PQ formulation): the PQ
+        # codebooks quantize v̂ − c_bucket, whose variance the coarse
+        # step already shrank — measurably better in-bucket ADC recall
+        # at the same code size (SCALING.md r11)
         pq = PqCodec.fit(
-            df, m, ksub, id_col, vec_col, sample_size, seed=seed
+            df, m, ksub, id_col, vec_col, sample_size, seed=seed,
+            coarse=ivf.centroids,
         )
         return cls(ivf, pq)
 
@@ -1088,9 +1176,9 @@ class IvfPqIndex:
         from solr_map_reduce_spark.fs import join as fs_join
 
         assigned = self.ivf.assign(df, bucket_col=self.ivf.bucket_col)
-        encoded = self.pq.encode(assigned, code_col="pq_code").select(
-            self.ivf.id_col, self.ivf.bucket_col, "pq_code"
-        )
+        encoded = self.pq.encode(
+            assigned, code_col="pq_code", bucket_col=self.ivf.bucket_col
+        ).select(self.ivf.id_col, self.ivf.bucket_col, "pq_code")
         fs = get_fs(path, df.sparkSession)
         fs.mkdirs(path)
         encoded.write.mode("overwrite").partitionBy(self.ivf.bucket_col).parquet(
@@ -1109,6 +1197,10 @@ class IvfPqIndex:
                     "vec_col": self.ivf.vec_col,
                     "bucket_col": self.ivf.bucket_col,
                     "codes_schema": self.codes_schema,
+                    # residual flag: codes decode as c_bucket + r, so a
+                    # loader must know which space they live in (old
+                    # manifests without it read as plain-v̂ codes)
+                    "residual": self.pq.coarse is not None,
                 }
             ),
         )
@@ -1123,9 +1215,9 @@ class IvfPqIndex:
         from solr_map_reduce_spark.fs import join as fs_join
 
         assigned = self.ivf.assign(df, bucket_col=self.ivf.bucket_col)
-        encoded = self.pq.encode(assigned, code_col="pq_code").select(
-            self.ivf.id_col, self.ivf.bucket_col, "pq_code"
-        )
+        encoded = self.pq.encode(
+            assigned, code_col="pq_code", bucket_col=self.ivf.bucket_col
+        ).select(self.ivf.id_col, self.ivf.bucket_col, "pq_code")
         (
             encoded.write.mode("append")
             .partitionBy(self.ivf.bucket_col)
@@ -1144,7 +1236,12 @@ class IvfPqIndex:
             np.asarray(m["centroids"]), m["id_col"], m["vec_col"],
             m["bucket_col"],
         )
-        pq = PqCodec(np.asarray(m["codebooks"]), m["id_col"], m["vec_col"])
+        pq = PqCodec(
+            np.asarray(m["codebooks"]), m["id_col"], m["vec_col"],
+            coarse=(
+                np.asarray(m["centroids"]) if m.get("residual") else None
+            ),
+        )
         out = cls(ivf, pq)
         out.codes_schema = m.get("codes_schema")
         return out
@@ -1173,7 +1270,9 @@ class IvfPqIndex:
         )
         if exclude is not None:
             codes = codes.join(exclude, on=self.ivf.id_col, how="left_anti")
-        return self.pq.topk(codes, query, k=k)
+        return self.pq.topk(
+            codes, query, k=k, bucket_col=self.ivf.bucket_col
+        )
 
 
 def semantic_dedup(

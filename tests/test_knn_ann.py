@@ -760,3 +760,61 @@ class TestProbeWideningAndSpaces:
             + _vec_literal(1000.0 * q)
         ).collect()]
         assert got == scaled
+
+
+class TestAnnBackupLifecycle:
+    def test_restored_artifact_serves_routed_or_exact_loud(
+        self, spark, tmp_path
+    ):
+        # backup tree-copies the _ann sidecar; the restored artifact's
+        # manifest is byte-identical to the snapshot's, so the sidecar's
+        # pinned generation matches and {!knn} serves ROUTED — and a
+        # generation mismatch (tampered pin) must fall back to the exact
+        # scan, never a stale answer
+        from solr_map_reduce_spark.indexing import backup, restore
+
+        path = str(tmp_path / "live")
+        idx = _build_artifact(spark, path)
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[0]
+        want = _exact_ids(q, 5)
+        dest = str(tmp_path / "bak")
+        backup(path, dest)
+        # the backup itself serves routed (its manifest copied verbatim)
+        bidx = SearchIndex.open(spark, dest)
+        assert bidx._ann_sidecar("embedding") is not None
+        got_b = [r["vec_id"] for r in bidx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        assert got_b == want
+        # mutate live (delete the top hit) — delta-maintained, routed,
+        # and the answer reflects the mutation
+        _job().delete_where(spark, path, F.col("vec_id") == want[0])
+        idx2 = SearchIndex.open(spark, path)
+        got_m = [r["vec_id"] for r in idx2.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        assert want[0] not in got_m
+        # restore: a fresh handle serves ROUTED again, pre-mutation rows
+        restore(dest, path)
+        ridx = SearchIndex.open(spark, path)
+        assert ridx._ann_sidecar("embedding") is not None
+        got_r = [r["vec_id"] for r in ridx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        assert got_r == want
+        # generation-mismatch side: tamper the restored sidecar's pin —
+        # the handle must refuse to route (exact fallback, still correct)
+        import json
+        meta_path = os.path.join(
+            path, "_ann", "embedding", "_ANN_META.json"
+        )
+        m = json.loads(open(meta_path).read())
+        m["built_generation"] = "not-the-current-generation"
+        open(meta_path, "w").write(json.dumps(m))
+        tampered = SearchIndex.open(spark, path)
+        assert tampered._ann_sidecar("embedding") is None
+        got_t = [r["vec_id"] for r in tampered.query(
+            f"{{!knn f=embedding topK=5}}{_vec_literal(q)}"
+        ).collect()]
+        assert got_t == want
