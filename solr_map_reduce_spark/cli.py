@@ -143,6 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="mount another artifact for {!join "
                           "fromIndex=NAME ...} cross-collection joins "
                           "(repeatable)")
+    qry.add_argument("--allow-path-from-index", action="store_true",
+                     help="let {!join fromIndex=} open unregistered "
+                          "names as artifact paths (off by default: "
+                          "query text can read arbitrary directories; "
+                          "Solr errors on an unknown core)")
     qry.add_argument("--facet", default=None, metavar="FIELD", help="facet counts")
     qry.add_argument("--range-facet", default=None, nargs=4,
                      metavar=("FIELD", "START", "END", "GAP"),
@@ -556,6 +561,8 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             cname, cpath = spec.split("=", 1)
             idx.attach_collection(cname, SearchIndex.open(spark, cpath))
+        if getattr(args, "allow_path_from_index", False):
+            idx.allow_path_from_index = True
         if args.count:
             n = idx.query(args.q).count() if args.q else idx.count()
             print(json.dumps({"count": n}))

@@ -818,3 +818,38 @@ class TestAnnBackupLifecycle:
             f"{{!knn f=embedding topK=5}}{_vec_literal(q)}"
         ).collect()]
         assert got_t == want
+
+
+def test_cli_allow_path_from_index_flag(spark, tmp_path, capsys):
+    from solr_map_reduce_spark import cli
+
+    a = _build_artifact(spark, str(tmp_path / "a"))
+    b_path = str(tmp_path / "b")
+    IndexJob(IndexJobConfig(
+        schema=IndexSchema(
+            fields=(Field("vec_id", "long", required=True),
+                    Field("embedding", "array<double>"),
+                    Field("label", "string")),
+            unique_key="vec_id"),
+        shards=1, dedup="none",
+    )).build(spark.createDataFrame(
+        [(i, [0.0] * DIM, "keep" if i < 2 else "drop") for i in range(10)],
+        "vec_id long, embedding array<double>, label string"), b_path)
+    q = f"{{!join fromIndex={b_path} from=vec_id to=vec_id}}label:keep"
+    # without the flag: unregistered path = loud error
+    from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+    with pytest.raises(QuerySyntaxError, match="fromIndex"):
+        cli.main(["query", "--path", a.path, "--q", q,
+                  "--select", "vec_id"])
+    capsys.readouterr()
+    # with the flag: the path form serves
+    rc = cli.main(["query", "--path", a.path, "--allow-path-from-index",
+                   "--q", q, "--select", "vec_id"])
+    assert rc == 0
+    import json as _json
+    got = sorted(
+        _json.loads(line)["vec_id"]
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert got == [0, 1]
