@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "ext_token_count",
     "ext_minhash_dedup",
     "ext_ann_topk",
+    # r11: the serving-tier vector path — {!knn} routed through the ANN
+    # sidecar, unfiltered and preFiltered (the sidecar build is timed
+    # separately as cold_build_ann_sidecar_sec)
+    "c9_knn_routed",
+    "c9_knn_prefiltered",
     "ext_bm25_topk",
     "c9_search_request",
     "ext_dismax_topk",
@@ -205,6 +210,13 @@ def main() -> None:
     t0 = time.perf_counter()
     _nested_orders_index(spark, SF_DIR)
     cold_build_nested = round(time.perf_counter() - t0, 3)
+    # and the r11 embeddings artifact + ANN sidecar behind the routed
+    # {!knn} workloads (build_ann = IVF fit + bucket-partitioned rewrite)
+    from solr_map_reduce_spark.queries import _embeddings_ann_index
+
+    t0 = time.perf_counter()
+    _embeddings_ann_index(spark, SF_DIR)
+    cold_build_ann = round(time.perf_counter() - t0, 3)
     _release_leftovers(spark)
 
     # r6 protocol: per plan, 2 UNTIMED full-scale warmups (a 6-rep probe
@@ -329,6 +341,7 @@ def main() -> None:
                 ),
                 "cold_build_docs_index_sec": cold_build,
                 "cold_build_nested_index_sec": cold_build_nested,
+                "cold_build_ann_sidecar_sec": cold_build_ann,
                 "sf": sf_val,
             }
         )
