@@ -328,8 +328,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ann.add_argument("--n-centroids", type=int, default=16)
     ann.add_argument(
-        "--nprobe", type=int, default=2,
-        help="serving default, overridable per-query via nprobe=",
+        "--nprobe", default="2",
+        help="serving default (int, or 'auto' to pick the smallest "
+             "nprobe meeting --target-recall on a held-out sample), "
+             "overridable per-query via nprobe=",
     )
 
     annc = sub.add_parser(
@@ -459,13 +461,20 @@ def main(argv: list[str] | None = None) -> int:
 
         sess = get_spark(app_name="smrs-cli-ann-build")
         idx = SearchIndex.open(sess, args.path)
+        nprobe = args.nprobe if args.nprobe == "auto" else int(args.nprobe)
         side = idx.build_ann(
             args.field, kind=args.kind, n_centroids=args.n_centroids,
-            nprobe=args.nprobe,
+            nprobe=nprobe,
         )
+        from solr_map_reduce_spark.extensions.ann_sidecar import load_meta
+        from solr_map_reduce_spark.fs import get_fs
+
+        meta = load_meta(get_fs(side, sess), side) or {}
         print(json.dumps({
             "sidecar": side, "field": args.field, "kind": args.kind,
-            "n_centroids": args.n_centroids, "nprobe": args.nprobe,
+            "n_centroids": args.n_centroids, "nprobe": meta.get("nprobe"),
+            **({"nprobe_auto": meta["nprobe_auto"]}
+               if "nprobe_auto" in meta else {}),
         }))
         return 0
 

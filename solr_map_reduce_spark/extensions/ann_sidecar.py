@@ -126,6 +126,82 @@ def _unit_normalized(df: DataFrame, field: str) -> DataFrame:
     )
 
 
+def _auto_nprobe(
+    base_rows: DataFrame,
+    field: str,
+    centroids,
+    unit_space: bool,
+    target_recall: float = 0.9,
+    sample_n: int = 2048,
+    n_queries: int = 16,
+    k: int = 10,
+    seed: int = 7,
+) -> dict:
+    """Pick the smallest serving nprobe whose ESTIMATED recall@k meets
+    ``target_recall``, from one bounded held-out probe: sample ~sample_n
+    vectors (ONE pass over the vector column), compute each sample
+    query's exact cosine top-k WITHIN the sample, and measure what
+    fraction of those true neighbors live in the query's first-p probe
+    buckets, cumulatively over p.  Driver-side numpy on the bounded
+    sample — build-time maintenance cost, amortized over every query
+    the picked default serves.  Returns {nprobe, estimated_recall,
+    target_recall, sample_n, n_queries} for the meta (observability:
+    the pick is auditable)."""
+    import numpy as np
+
+    co = np.asarray(centroids, dtype=np.float64)
+    n_centroids = len(co)
+    n = base_rows.count()
+    frac = min(1.0, (sample_n * 1.2) / max(n, 1))
+    X = np.array(
+        base_rows.sample(fraction=frac, seed=seed)
+        .limit(sample_n)
+        .select(field)
+        .toPandas()[field]
+        .tolist(),
+        dtype=np.float64,
+    )
+    if len(X) < k + 1:
+        return {"nprobe": n_centroids, "estimated_recall": 1.0,
+                "target_recall": target_recall, "sample_n": int(len(X)),
+                "n_queries": 0}
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = np.nan_to_num(Xn)
+    # assignment in the space the sidecar stores (unit for ivfpq)
+    A = Xn if unit_space else X
+    assign = (
+        -2.0 * (A @ co.T) + (co**2).sum(axis=1)[None, :]
+    ).argmin(axis=1)
+    rng = np.random.RandomState(seed)
+    qidx = rng.choice(len(X), size=min(n_queries, len(X)), replace=False)
+    # hit_rank[h] = position of the true neighbor's bucket in its
+    # query's probe ranking; recall(p) = fraction with rank < p
+    ranks: list = []
+    for qi in qidx:
+        q = A[qi]
+        bucket_order = (
+            (co - q[None, :]) ** 2
+        ).sum(axis=1).argsort()
+        pos = np.empty(n_centroids, dtype=np.int64)
+        pos[bucket_order] = np.arange(n_centroids)
+        sims = Xn @ Xn[qi]
+        sims[qi] = -np.inf  # the query itself is not a neighbor
+        top = np.argsort(-sims)[:k]
+        ranks.extend(pos[assign[top]].tolist())
+    ranks_arr = np.asarray(ranks)
+    est = 1.0
+    for p in range(1, n_centroids + 1):
+        est = float((ranks_arr < p).mean())
+        if est >= target_recall:
+            return {"nprobe": p, "estimated_recall": round(est, 4),
+                    "target_recall": target_recall,
+                    "sample_n": int(len(X)), "n_queries": int(len(qidx))}
+    return {"nprobe": n_centroids, "estimated_recall": round(est, 4),
+            "target_recall": target_recall, "sample_n": int(len(X)),
+            "n_queries": int(len(qidx))}
+
+
 def build(
     spark: SparkSession,
     index_path: str,
@@ -134,7 +210,8 @@ def build(
     field: str,
     kind: str = "ivf",
     n_centroids: int = 16,
-    nprobe: int = 2,
+    nprobe: "int | str" = 2,
+    target_recall: float = 0.9,
     **fit_kw,
 ) -> str:
     """Fit + persist the sidecar from ``base_rows`` (key, field), clear
@@ -143,7 +220,12 @@ def build(
     concurrent mutation commits mid-build, the stored (pre-mutation)
     hash no longer matches and the sidecar reads as stale — the safe
     direction; pinning the post-mutation hash over pre-mutation data
-    would serve stale-wrong."""
+    would serve stale-wrong.
+
+    ``nprobe="auto"``: the serving default is picked by a held-out
+    recall probe (:func:`_auto_nprobe`) — the smallest nprobe whose
+    estimated recall@10 meets ``target_recall`` on a bounded sample;
+    the estimate and its inputs are recorded in the meta."""
     from solr_map_reduce_spark.extensions import similarity as sim
 
     fs = get_fs(index_path, spark)
@@ -169,13 +251,25 @@ def build(
         p = fs_join(side, sub)
         if fs.exists(p):
             fs.delete(p)
-    write_meta(fs, side, {
+    meta = {
         "kind": kind,
         "field": field,
         "nprobe": nprobe,
         "epoch": 0,
         "built_generation": pinned_gen,
-    })
+    }
+    if nprobe == "auto":
+        cents = (
+            sim.IvfIndex.load(spark, side) if kind == "ivf"
+            else sim.IvfPqIndex.load(spark, side).ivf
+        ).centroids
+        pick = _auto_nprobe(
+            base_rows, field, cents, unit_space=(kind == "ivfpq"),
+            target_recall=target_recall,
+        )
+        meta["nprobe"] = pick.pop("nprobe")
+        meta["nprobe_auto"] = pick
+    write_meta(fs, side, meta)
     return side
 
 

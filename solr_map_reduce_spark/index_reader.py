@@ -3813,7 +3813,7 @@ class SearchIndex:
         field: str,
         kind: str = "ivf",
         n_centroids: int = 16,
-        nprobe: int = 2,
+        nprobe: "int | str" = 2,
         **fit_kw,
     ) -> str:
         """Build the ANN serving sidecar for a vector ``field`` — after
@@ -3826,7 +3826,10 @@ class SearchIndex:
         bucket (exact distances within probed buckets); ``ivfpq``
         stores m-byte PQ codes instead (~32x smaller probes, ADC
         distances).  ``nprobe`` is the serving default, overridable
-        per-query via the ``nprobe=`` local param.
+        per-query via the ``nprobe=`` local param — or ``"auto"`` to
+        pick the smallest nprobe whose estimated recall@10 meets
+        ``target_recall`` (default 0.9) on a bounded held-out sample
+        (the estimate is recorded in the sidecar meta).
 
         Mutation contract (extensions/ann_sidecar.py): the sidecar is
         generation-pinned and DELTA-MAINTAINED — deletes tombstone the

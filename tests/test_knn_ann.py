@@ -853,3 +853,67 @@ def test_cli_allow_path_from_index_flag(spark, tmp_path, capsys):
         for line in capsys.readouterr().out.strip().splitlines()
     )
     assert got == [0, 1]
+
+
+class TestAutoNprobe:
+    def test_auto_picks_and_records(self, spark, tmp_path):
+        # nprobe="auto": the serving default comes from a held-out
+        # recall probe — the smallest p whose estimated recall@10 meets
+        # the target, recorded auditable in the meta
+        import json
+
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        side = idx.build_ann(
+            "embedding", kind="ivf", n_centroids=NC, nprobe="auto",
+            target_recall=0.9,
+        )
+        meta = json.loads(
+            open(os.path.join(side, "_ANN_META.json")).read()
+        )
+        p = meta["nprobe"]
+        assert isinstance(p, int) and 1 <= p <= NC
+        auto = meta["nprobe_auto"]
+        assert auto["target_recall"] == 0.9
+        assert auto["estimated_recall"] >= 0.9 or p == NC
+        assert auto["sample_n"] > 0 and auto["n_queries"] > 0
+        # the picked default serves (full page, routed)
+        q = QUERIES[0]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=10}}{_vec_literal(q)}"
+        ).collect()]
+        assert len(got) == 10
+
+    def test_auto_monotone_with_target(self, spark, tmp_path):
+        # a stricter target can never pick a SMALLER nprobe (recall(p)
+        # is cumulative in p); target 1.0 on random gaussian vectors
+        # needs more probes than target 0.5
+        import json
+
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        picks = {}
+        for tgt in (0.5, 1.0):
+            side = idx.build_ann(
+                "embedding", kind="ivf", n_centroids=NC, nprobe="auto",
+                target_recall=tgt,
+            )
+            meta = json.loads(
+                open(os.path.join(side, "_ANN_META.json")).read()
+            )
+            picks[tgt] = meta["nprobe"]
+        assert picks[0.5] <= picks[1.0], picks
+
+    def test_auto_cli(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from solr_map_reduce_spark import cli
+
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        rc = cli.main([
+            "ann-build", "--path", idx.path, "--field", "embedding",
+            "--kind", "ivf", "--n-centroids", str(NC),
+            "--nprobe", "auto",
+        ])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert isinstance(out["nprobe"], int)
+        assert "nprobe_auto" in out
