@@ -917,3 +917,35 @@ class TestAutoNprobe:
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert isinstance(out["nprobe"], int)
         assert "nprobe_auto" in out
+
+
+def test_ivfpq_residual_compact_preserves_page(spark, tmp_path):
+    # residual PQ codes are BUCKET-RELATIVE (v̂ − c_bucket): compact
+    # folds delta rows into their bucket directories without ever
+    # reassigning buckets, so the codes stay valid — the routed page at
+    # full probe is identical before and after the fold
+    idx = _build_artifact(spark, str(tmp_path / "idx"))
+    idx.build_ann("embedding", kind="ivfpq", n_centroids=4, nprobe=4,
+                  m=8, ksub=16)
+    q = QUERIES[0]
+    batch = spark.createDataFrame(
+        [(700, [float(x) for x in q], "new")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    _job("retain_most_recent").merge_into(batch, idx.path)
+    assert idx._ann_sidecar("embedding") is not None
+    before = [r["vec_id"] for r in idx.query(
+        f"{{!knn f=embedding topK=5 nprobe=4}}{_vec_literal(q)}"
+    ).collect()]
+    assert 700 in before  # the delta row serves (residual-encoded)
+    out = idx.compact_ann("embedding")
+    assert out["folded"] is True
+    assert not os.path.exists(
+        os.path.join(idx.path, "_ann", "embedding", "delta")
+    )
+    fresh = SearchIndex.open(spark, idx.path)
+    assert fresh._ann_sidecar("embedding") is not None
+    after = [r["vec_id"] for r in fresh.query(
+        f"{{!knn f=embedding topK=5 nprobe=4}}{_vec_literal(q)}"
+    ).collect()]
+    assert after == before
