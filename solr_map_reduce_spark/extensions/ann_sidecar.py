@@ -258,6 +258,15 @@ def build(
         "epoch": 0,
         "built_generation": pinned_gen,
     }
+    if kind == "ivf":
+        # unit_norms: whether EVERY stored vector has ||v|| == 1 (one
+        # exact map-side-combined min/max aggregate over the build
+        # scan).  When true, {!knn similarity=dot} routes through the
+        # same probes — for unit vectors the cosine bucket ranking IS
+        # dot's, and scoring over probed raw vectors is true dot.  A
+        # later upsert of a non-unit vector flips the flag off
+        # (delta_upsert) so dot falls back to the exact scan.
+        meta["unit_norms"] = _all_unit_norms(base_rows, field)
     if nprobe == "auto":
         cents = (
             sim.IvfIndex.load(spark, side) if kind == "ivf"
@@ -271,6 +280,25 @@ def build(
         meta["nprobe_auto"] = pick
     write_meta(fs, side, meta)
     return side
+
+
+def _all_unit_norms(
+    rows: DataFrame, field: str, tol: float = 1e-6, empty: bool = False
+) -> bool:
+    """True iff every non-null vector's L2 norm is within ``tol`` of 1 —
+    ONE map-side-combined min/max aggregate (JVM fold, no UDF).
+    ``empty`` is the vacuous-case answer: False at build (an all-null
+    corpus must not claim the invariant), True for an upsert batch that
+    added no vectors (nothing could have broken it)."""
+    from solr_map_reduce_spark.extensions.similarity import _as_double, l2_norm
+
+    nrm = l2_norm(_as_double(F.col(field)))
+    row = rows.filter(F.col(field).isNotNull()).agg(
+        F.min(nrm).alias("lo"), F.max(nrm).alias("hi")
+    ).first()
+    if row is None or row["lo"] is None:
+        return empty
+    return abs(row["lo"] - 1.0) <= tol and abs(row["hi"] - 1.0) <= tol
 
 
 # -- serve ---------------------------------------------------------------
@@ -324,6 +352,7 @@ def probe_topk(
     k: int,
     nprobe: int,
     filter_keys: DataFrame | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """(key, score) top-k over the probed buckets of base ∪ delta with
     the liveness rule applied — all reads partition-pruned to nprobe
@@ -390,7 +419,20 @@ def probe_topk(
             how="left_semi",
         )
     if kind == "ivf":
+        if metric == "dot":
+            # IVF stores RAW vectors, so any metric scores exactly over
+            # the probed candidates; only probe SELECTION is
+            # metric-sensitive — the caller routes dot here solely when
+            # the stored corpus is unit-norm (meta unit_norms), where
+            # the cosine bucket ranking is dot's too
+            scored = rows.select(
+                F.col(key),
+                sim.dot_to_query(F.col(ivf.vec_col), qvec).alias("score"),
+            )
+            return scored.orderBy(F.desc("score"), F.col(key)).limit(k)
         return sim.cosine_topk(rows, qvec, k, id_col=key, vec_col=ivf.vec_col)
+    if metric == "dot":
+        raise ValueError("ivfpq ADC serves cosine only (unit-encoded codes)")
     return index.pq.topk(rows, qvec, k=k, bucket_col=ivf.bucket_col)
 
 
@@ -484,10 +526,16 @@ def delta_upsert(
             continue
         epoch = int(meta.get("epoch", 0)) + 1
         meta["epoch"] = epoch
-        write_meta(fs, side, meta)  # phase 1: consume the epoch
         vec_rows = upserted_rows.select(key, field).filter(
             F.col(field).isNotNull()
         )
+        if kind == "ivf" and meta.get("unit_norms"):
+            # a non-unit upserted vector breaks the invariant dot
+            # routing rests on: flip the flag (dot falls back exact;
+            # cosine keeps routing) — O(batch) aggregate
+            if not _all_unit_norms(vec_rows, field, empty=True):
+                meta["unit_norms"] = False
+        write_meta(fs, side, meta)  # phase 1: consume the epoch
         if kind == "ivf":
             staged = sim.IvfIndex(
                 index.centroids, id_col=key, vec_col=field,

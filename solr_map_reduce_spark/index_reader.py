@@ -2642,7 +2642,12 @@ class SearchIndex:
             # semi-joined onto the probed rows BEFORE the top-k, with
             # nprobe widening when the filtered pool underfills — at
             # full probe the page is provably the exact filtered topK.
-            # Fallback (no sidecar / stale / exact= / dot similarity):
+            # similarity=dot routes too when the sidecar's build-time
+            # unit_norms invariant holds (every stored vector unit-norm
+            # — then the cosine bucket ranking IS dot's and probed raw
+            # vectors score true dot); a non-unit corpus or a flag
+            # flipped by a non-unit upsert keeps dot on the exact scan.
+            # Fallback (no sidecar / stale / exact= / non-unit dot):
             # ONE scan + TakeOrderedAndProject (k rows per partition),
             # the brute-force exact plan.  Composed fq filters apply
             # AFTER (Solr's default post-filtering for {!knn} as the
@@ -2691,7 +2696,7 @@ class SearchIndex:
                 pre_pred, _info, _f2 = self._compile_predicate(
                     prefilter, field, synonyms, op
                 )
-            if not exact and metric == "cosine":
+            if not exact:
                 filter_keys = None
                 if pre_pred is not None:
                     # column-pruned key-set scan: the predicate pushes
@@ -2702,7 +2707,9 @@ class SearchIndex:
                         self.df().filter(pre_pred).select(self.unique_key)
                     )
                 routed = self._knn_via_ann(
-                    f, qvec, topk, params, filter_keys=filter_keys
+                    f, qvec, topk, params, filter_keys=filter_keys,
+                    metric="dot" if metric in ("dot", "dot_product")
+                    else "cosine",
                 )
                 if routed is not None:
                     return routed
@@ -3913,6 +3920,7 @@ class SearchIndex:
         k: int,
         params: dict,
         filter_keys: DataFrame | None = None,
+        metric: str = "cosine",
     ) -> DataFrame | None:
         """Serve {!knn} from the field's ANN sidecar: nprobe
         partition-pruned bucket reads -> bounded (id, score) topK ->
@@ -3936,6 +3944,16 @@ class SearchIndex:
         if handle is None:
             return None
         kind, idx, side, meta = handle
+        if metric == "dot" and not (
+            kind == "ivf" and meta.get("unit_norms")
+        ):
+            # dot routes only when the stored corpus is unit-norm (the
+            # build-time invariant under which the cosine bucket
+            # ranking IS dot's; scoring over probed raw vectors is true
+            # dot either way) — otherwise exact scan (a long stored
+            # vector could top the dot ranking from a bucket the L2
+            # probe never reads)
+            return None
         n_centroids = len((idx if kind == "ivf" else idx.ivf).centroids)
         nprobe = min(
             int(params.get("nprobe", meta.get("nprobe", 2))), n_centroids
@@ -3943,7 +3961,7 @@ class SearchIndex:
         while True:
             top = ann_sidecar.probe_topk(
                 self.spark, side, meta, idx, qvec, k=k, nprobe=nprobe,
-                filter_keys=filter_keys,
+                filter_keys=filter_keys, metric=metric,
             )
             hits = top.collect()  # bounded: <= topK rows, probed buckets
             if len(hits) >= k or nprobe >= n_centroids:

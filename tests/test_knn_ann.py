@@ -949,3 +949,127 @@ def test_ivfpq_residual_compact_preserves_page(spark, tmp_path):
         f"{{!knn f=embedding topK=5 nprobe=4}}{_vec_literal(q)}"
     ).collect()]
     assert after == before
+
+
+class TestDotRouting:
+    """{!knn similarity=dot} routes through the sidecar iff the stored
+    corpus is unit-norm (build-time invariant, upsert-downgraded)."""
+
+    def _unit_artifact(self, spark, out):
+        schema = IndexSchema(
+            fields=(Field("vec_id", "long", required=True),
+                    Field("embedding", "array<double>"),
+                    Field("label", "string")),
+            unique_key="vec_id",
+        )
+        U = VECS / np.linalg.norm(VECS, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in U[i]], "x") for i in range(N)]
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, label string"
+            ), out)
+        return SearchIndex.open(spark, out), U
+
+    def test_unit_corpus_routes_dot_full_probe_exact(self, spark, tmp_path):
+        import json
+        idx, U = self._unit_artifact(spark, str(tmp_path / "u"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["unit_norms"] is True
+        q = QUERIES[0]
+        dots = U @ q
+        want = sorted(range(N), key=lambda i: (-dots[i], i))[:7]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=7 similarity=dot nprobe={NC}}}"
+            + _vec_literal(q)
+        ).collect()]
+        assert got == want
+        # routing proof: garbage every NON-probed bucket at nprobe=2 —
+        # a corpus scan would die, the routed read must not notice
+        kind, ivf, side_, _m = idx._ann_sidecar("embedding")
+        d = ((ivf.centroids - q[None, :]) ** 2).sum(axis=1)
+        probe = {int(b) for b in d.argsort()[:2]}
+        before = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 similarity=dot nprobe=2}}"
+            + _vec_literal(q)
+        ).collect()]
+        vectors = os.path.join(side_, "vectors")
+        for bdir in os.listdir(vectors):
+            if bdir.startswith("bucket=") and \
+                    int(bdir.split("=", 1)[1]) not in probe:
+                for fn in os.listdir(os.path.join(vectors, bdir)):
+                    if fn.endswith(".parquet"):
+                        with open(os.path.join(vectors, bdir, fn), "wb") as fh:
+                            fh.write(b"\x00garbage\x00" * 16)
+        fresh = SearchIndex.open(spark, idx.path)
+        got2 = [r["vec_id"] for r in fresh.query(
+            f"{{!knn f=embedding topK=5 similarity=dot nprobe=2}}"
+            + _vec_literal(q)
+        ).collect()]
+        assert got2 == before
+
+    def test_nonunit_corpus_keeps_dot_exact(self, spark, tmp_path):
+        import json
+        idx = _build_artifact(spark, str(tmp_path / "raw"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["unit_norms"] is False
+        q = QUERIES[1]
+        dots = VECS @ q
+        want = sorted(range(N), key=lambda i: (-dots[i], i))[:5]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 similarity=dot}}{_vec_literal(q)}"
+        ).collect()]
+        assert got == want  # exact fallback, correct
+
+    def test_nonunit_upsert_downgrades_dot_only(self, spark, tmp_path):
+        import json
+        idx, U = self._unit_artifact(spark, str(tmp_path / "u2"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        q = QUERIES[2]
+        # upsert a LONG (non-unit) vector aligned with the query: it
+        # must top the dot ranking but not cosine's by magnitude
+        batch = spark.createDataFrame(
+            [(900, [float(5.0 * x) for x in (q / np.linalg.norm(q))], "x")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        _job("retain_most_recent").merge_into(batch, idx.path)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["unit_norms"] is False  # invariant broken by batch
+        # dot: exact fallback serves the long vector first (correct)
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=3 similarity=dot}}{_vec_literal(q)}"
+        ).collect()]
+        assert got[0] == 900
+        # cosine: STILL routed (sidecar live) and the new doc serves
+        assert idx._ann_sidecar("embedding") is not None
+        got_c = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=3 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        assert got_c[0] == 900
+
+    def test_vacuous_upsert_keeps_dot_routed(self, spark, tmp_path):
+        import json
+        idx, U = self._unit_artifact(spark, str(tmp_path / "u3"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        # a batch that adds NO vectors (null embedding) cannot break
+        # the unit invariant
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, LongType, StringType, StructField,
+            StructType,
+        )
+        batch = spark.createDataFrame(
+            [(901, None, "x")],
+            StructType([
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+                StructField("label", StringType()),
+            ]),
+        )
+        _job("retain_most_recent").merge_into(batch, idx.path)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["unit_norms"] is True
