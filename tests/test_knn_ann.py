@@ -684,6 +684,20 @@ class TestMultiIndexKnn:
             f"{{!knn f=embedding topK=7 nprobe=4}}{_vec_literal(q)}"
         ).collect()]
         assert routed == _exact_ids(q, 7)
+        # preFilter composes through the alias: each member applies it
+        # inside its own routed topK (full probe here, so exact), and
+        # the global re-rank of the bounded union equals the filtered
+        # oracle
+        norms = np.linalg.norm(VECS, axis=1) * np.linalg.norm(q)
+        cos = (VECS @ q) / norms
+        filt = [r["vec_id"] for r in alias.query(
+            "{!knn f=embedding topK=7 nprobe=4 preFilter='vec_id:[0 TO 99]'}"
+            + _vec_literal(q)
+        ).collect()]
+        want = sorted(
+            (i for i in range(100)), key=lambda i: (-cos[i], i)
+        )[:7]
+        assert filt == want
 
 
 class TestProbeWideningAndSpaces:
