@@ -3954,22 +3954,9 @@ class SearchIndex:
             # vector could top the dot ranking from a bucket the L2
             # probe never reads)
             return None
-        n_centroids = len((idx if kind == "ivf" else idx.ivf).centroids)
-        nprobe = min(
-            int(params.get("nprobe", meta.get("nprobe", 2))), n_centroids
+        hits = self._ann_probe_hits(
+            handle, qvec, k, params, filter_keys, metric
         )
-        while True:
-            top = ann_sidecar.probe_topk(
-                self.spark, side, meta, idx, qvec, k=k, nprobe=nprobe,
-                filter_keys=filter_keys, metric=metric,
-            )
-            hits = top.collect()  # bounded: <= topK rows, probed buckets
-            if len(hits) >= k or nprobe >= n_centroids:
-                break
-            # short page (deletes tombstoned the probed buckets, or the
-            # preFilter thinned them): widen — Solr's HNSW never
-            # short-pages while matches exist, and neither do we
-            nprobe = min(nprobe * 2, n_centroids)
         if not hits:
             return self.df().limit(0)
         ids = [r[self.unique_key] for r in hits]
@@ -3989,6 +3976,35 @@ class SearchIndex:
             .drop("_knn_rank")
         )
 
+    def _ann_probe_hits(
+        self, handle, qvec: list, k: int, params: dict,
+        filter_keys: DataFrame | None, metric: str,
+    ) -> list:
+        """The sidecar probe + widening loop shared by the {!knn}
+        qparser and the DSL :meth:`knn`: (key, score) Rows, best first,
+        <= k of them — re-probing with doubled nprobe while the probed
+        (∩ filtered) pool underfills, so a page is never short while k
+        matches exist (full probe == provably exact)."""
+        from solr_map_reduce_spark.extensions import ann_sidecar
+
+        kind, idx, side, meta = handle
+        n_centroids = len((idx if kind == "ivf" else idx.ivf).centroids)
+        nprobe = min(
+            int(params.get("nprobe", meta.get("nprobe", 2))), n_centroids
+        )
+        while True:
+            top = ann_sidecar.probe_topk(
+                self.spark, side, meta, idx, qvec, k=k, nprobe=nprobe,
+                filter_keys=filter_keys, metric=metric,
+            )
+            hits = top.collect()  # bounded: <= topK rows, probed buckets
+            if len(hits) >= k or nprobe >= n_centroids:
+                return hits
+            # short page (deletes tombstoned the probed buckets, or the
+            # preFilter thinned them): widen — Solr's HNSW never
+            # short-pages while matches exist, and neither do we
+            nprobe = min(nprobe * 2, n_centroids)
+
     # -- similarity search over an embedding column --------------------
     def knn(
         self,
@@ -3997,11 +4013,38 @@ class SearchIndex:
         vec_col: str = "embedding",
         filters: dict | None = None,
     ) -> DataFrame:
-        """Exact cosine top-k over the artifact's embedding column, with
-        optional metadata pre-filters (pushed to the parquet scan before any
-        distance math — filtered ANN).  Single narrow pass + TakeOrdered."""
+        """Cosine top-k over the artifact's embedding column, with
+        optional metadata pre-filters applied BEFORE the top-k
+        (filtered ANN).  Serves from the generation-current ANN sidecar
+        when one exists on ``vec_col`` (the same probe + widening loop
+        as the {!knn} qparser; equality filters become a column-pruned
+        key-set semi-join on the probed rows); falls back to the exact
+        single-narrow-pass + TakeOrdered scan — identical (id, score)
+        output shape either way."""
         from solr_map_reduce_spark.extensions.similarity import cosine_topk
 
+        qvec = [float(x) for x in query]
+        handle = self._ann_sidecar(vec_col)
+        if handle is not None:
+            filter_keys = None
+            if filters:
+                fdf = self.df()
+                for col_name, value in filters.items():
+                    fdf = fdf.filter(F.col(col_name) == value)
+                filter_keys = fdf.select(self.unique_key)
+            hits = self._ann_probe_hits(
+                handle, qvec, k, {}, filter_keys, "cosine"
+            )
+            key_field = next(
+                f for f in self.df().schema.fields
+                if f.name == self.unique_key
+            )
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            return self.spark.createDataFrame(
+                [(r[self.unique_key], float(r["score"])) for r in hits],
+                StructType([key_field, StructField("score", DoubleType())]),
+            )
         df = self.df()
         if filters:
             for col_name, value in filters.items():

@@ -1087,3 +1087,26 @@ class TestDotRouting:
         _job("retain_most_recent").merge_into(batch, idx.path)
         meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
         assert meta["unit_norms"] is True
+
+
+def test_dsl_knn_routes_through_sidecar(spark, tmp_path):
+    # SearchIndex.knn (the DSL form) shares the qparser's probe +
+    # widening loop when a sidecar exists: same (id, score) shape, and
+    # at full probe the filtered page equals the exact path's
+    idx = _build_artifact(spark, str(tmp_path / "idx"))
+    q = QUERIES[0]
+    exact_all = [tuple(r) for r in idx.knn(q, k=5).collect()]
+    exact_even = [
+        tuple(r) for r in idx.knn(q, k=5, filters={"label": "even"}).collect()
+    ]
+    idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+    routed_all = [tuple(r) for r in idx.knn(q, k=5).collect()]
+    routed_even = [
+        tuple(r) for r in idx.knn(q, k=5, filters={"label": "even"}).collect()
+    ]
+    assert [r[0] for r in routed_all] == [r[0] for r in exact_all]
+    assert [r[0] for r in routed_even] == [r[0] for r in exact_even]
+    # scores agree to float noise; column shape identical
+    for a, b in zip(routed_all, exact_all):
+        assert abs(a[1] - b[1]) < 1e-9
+    assert len(routed_even) == 5
