@@ -35,6 +35,19 @@ import sys
 DEDUP_CHOICES = ("retain_most_recent", "sort_updates", "reject", "none")
 
 
+def _nprobe_arg(value: str):
+    """argparse type for --nprobe: an int or the literal 'auto' (clean
+    argparse error on anything else, not a ValueError traceback)."""
+    if value == "auto":
+        return value
+    try:
+        return int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer or 'auto', got {value!r}"
+        ) from None
+
+
 def load_schema(path: str):
     from solr_map_reduce_spark.schema import DynamicField, Field, IndexSchema
 
@@ -328,10 +341,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ann.add_argument("--n-centroids", type=int, default=16)
     ann.add_argument(
-        "--nprobe", default="2",
+        "--nprobe", default=2, type=_nprobe_arg,
         help="serving default (int, or 'auto' to pick the smallest "
              "nprobe meeting --target-recall on a held-out sample), "
              "overridable per-query via nprobe=",
+    )
+    ann.add_argument(
+        "--target-recall", type=float, default=0.9,
+        help="the recall@10 the auto nprobe pick must meet "
+             "(only used with --nprobe auto)",
     )
 
     annc = sub.add_parser(
@@ -461,10 +479,9 @@ def main(argv: list[str] | None = None) -> int:
 
         sess = get_spark(app_name="smrs-cli-ann-build")
         idx = SearchIndex.open(sess, args.path)
-        nprobe = args.nprobe if args.nprobe == "auto" else int(args.nprobe)
         side = idx.build_ann(
             args.field, kind=args.kind, n_centroids=args.n_centroids,
-            nprobe=nprobe,
+            nprobe=args.nprobe, target_recall=args.target_recall,
         )
         from solr_map_reduce_spark.extensions.ann_sidecar import load_meta
         from solr_map_reduce_spark.fs import get_fs

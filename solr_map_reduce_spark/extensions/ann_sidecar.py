@@ -149,18 +149,11 @@ def _auto_nprobe(
     the pick is auditable)."""
     import numpy as np
 
+    from solr_map_reduce_spark.extensions.similarity import _driver_sample
+
     co = np.asarray(centroids, dtype=np.float64)
     n_centroids = len(co)
-    n = base_rows.count()
-    frac = min(1.0, (sample_n * 1.2) / max(n, 1))
-    X = np.array(
-        base_rows.sample(fraction=frac, seed=seed)
-        .limit(sample_n)
-        .select(field)
-        .toPandas()[field]
-        .tolist(),
-        dtype=np.float64,
-    )
+    X = _driver_sample(base_rows, field, sample_n, seed)
     if len(X) < k + 1:
         return {"nprobe": n_centroids, "estimated_recall": 1.0,
                 "target_recall": target_recall, "sample_n": int(len(X)),
@@ -237,12 +230,14 @@ def build(
             **fit_kw,
         )
         ivf.save(side, assigned=ivf.assign(base_rows))
+        cents = ivf.centroids
     elif kind == "ivfpq":
         idx = sim.IvfPqIndex.fit(
             _unit_normalized(base_rows, field), n_centroids=n_centroids,
             id_col=key, vec_col=field, **fit_kw,
         )
         idx.build(_unit_normalized(base_rows, field), side)
+        cents = idx.ivf.centroids
     else:
         raise ValueError(f"build_ann kind {kind!r} unsupported (ivf, ivfpq)")
     # a fresh build reflects the current corpus: stale tombstones/delta
@@ -268,10 +263,6 @@ def build(
         # (delta_upsert) so dot falls back to the exact scan.
         meta["unit_norms"] = _all_unit_norms(base_rows, field)
     if nprobe == "auto":
-        cents = (
-            sim.IvfIndex.load(spark, side) if kind == "ivf"
-            else sim.IvfPqIndex.load(spark, side).ivf
-        ).centroids
         pick = _auto_nprobe(
             base_rows, field, cents, unit_space=(kind == "ivfpq"),
             target_recall=target_recall,

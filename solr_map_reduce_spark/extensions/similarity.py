@@ -54,6 +54,34 @@ def dot_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
     return dot_product(_as_double(vec_col), _as_double(q))
 
 
+def _driver_sample(
+    df: DataFrame, vec_col: str, sample_size: int, seed: int
+) -> np.ndarray:
+    """Bounded driver-side vector sample as a numpy matrix — the shared
+    recipe behind every k-means/codebook fit (capped regardless of table
+    size, so fitting stays cheap at 100 TB): count -> oversampled
+    fraction -> limit -> Arrow collect."""
+    n = df.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+    return np.array(
+        df.sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization (zero rows kept zero)."""
+    m = np.asarray(m, dtype=np.float64)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = m / nrm
+    return np.where(nrm > 0, out, m)
+
+
 def cosine_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -360,16 +388,7 @@ class IvfIndex:
         """Fit k-means centroids on a bounded driver-side sample.  The sample
         is capped regardless of table size, so this stays cheap at 100 TB;
         Lloyd iterations run in numpy."""
-        n = df.count()
-        frac = min(1.0, (sample_size * 1.2) / max(n, 1))
-        sample = np.array(
-            df.sample(fraction=frac, seed=seed)
-            .limit(sample_size)
-            .select(vec_col)
-            .toPandas()[vec_col]
-            .tolist(),
-            dtype=np.float64,
-        )
+        sample = _driver_sample(df, vec_col, sample_size, seed)
         rng = np.random.RandomState(seed)
         k = min(n_centroids, len(sample))
         centroids = sample[rng.choice(len(sample), size=k, replace=False)]
@@ -932,6 +951,14 @@ class PqCodec:
     per-bucket constant precomputed driver-side (n_centroids dots).
     Encode/score then REQUIRE the stored bucket column — the residual is
     meaningless without knowing which centroid it is relative to.
+
+    Space contract: vectors are normalized before encoding, so
+    ``coarse`` MUST live near the unit sphere too — the recombination
+    q̂·(c + r) is exact for ANY c, but a raw-space centroid subtracted
+    from a unit vector leaves a residual of magnitude ~||c|| (worse
+    than no residual at all).  :class:`IvfPqIndex` passes its coarse
+    centroids ROW-NORMALIZED for exactly this reason (its IVF layout
+    may be fit on raw vectors).
     """
 
     def __init__(self, codebooks: np.ndarray, id_col: str = "vec_id",
@@ -960,16 +987,7 @@ class PqCodec:
         seed: int = 42,
         coarse: "np.ndarray | None" = None,
     ) -> "PqCodec":
-        n = df.count()
-        frac = min(1.0, (sample_size * 1.2) / max(n, 1))
-        sample = np.array(
-            df.sample(fraction=frac, seed=seed)
-            .limit(sample_size)
-            .select(vec_col)
-            .toPandas()[vec_col]
-            .tolist(),
-            dtype=np.float64,
-        )
+        sample = _driver_sample(df, vec_col, sample_size, seed)
         sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
         if coarse is not None:
             # residual mode: codebooks are k-means of v̂ − c_nearest(v̂)
@@ -1157,12 +1175,16 @@ class IvfPqIndex:
             df, n_centroids, id_col, vec_col, sample_size, seed=seed
         )
         # residual-encode (the standard IVF-PQ formulation): the PQ
-        # codebooks quantize v̂ − c_bucket, whose variance the coarse
+        # codebooks quantize v̂ − ĉ_bucket, whose variance the coarse
         # step already shrank — measurably better in-bucket ADC recall
-        # at the same code size (SCALING.md r11)
+        # at the same code size (SCALING.md r11).  The centroids are
+        # ROW-NORMALIZED into the codec's unit space: the IVF layout
+        # may be fit on raw vectors, and a raw-space centroid
+        # subtracted from a unit vector would blow the residual up to
+        # ~||c|| instead of shrinking it (PqCodec's space contract)
         pq = PqCodec.fit(
             df, m, ksub, id_col, vec_col, sample_size, seed=seed,
-            coarse=ivf.centroids,
+            coarse=_unit_rows(ivf.centroids),
         )
         return cls(ivf, pq)
 
@@ -1238,8 +1260,11 @@ class IvfPqIndex:
         )
         pq = PqCodec(
             np.asarray(m["codebooks"]), m["id_col"], m["vec_col"],
+            # the residual space is the UNIT-normalized centroids (the
+            # same transform fit() applied — see the space contract)
             coarse=(
-                np.asarray(m["centroids"]) if m.get("residual") else None
+                _unit_rows(np.asarray(m["centroids"]))
+                if m.get("residual") else None
             ),
         )
         out = cls(ivf, pq)

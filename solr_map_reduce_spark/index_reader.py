@@ -3989,21 +3989,35 @@ class SearchIndex:
 
         kind, idx, side, meta = handle
         n_centroids = len((idx if kind == "ivf" else idx.ivf).centroids)
-        nprobe = min(
-            int(params.get("nprobe", meta.get("nprobe", 2))), n_centroids
+        # clamp to [1, n_centroids]: nprobe=0 would probe nothing AND
+        # never grow under doubling (an infinite loop on a malformed
+        # query param)
+        nprobe = max(
+            1,
+            min(int(params.get("nprobe", meta.get("nprobe", 2))),
+                n_centroids),
         )
-        while True:
-            top = ann_sidecar.probe_topk(
-                self.spark, side, meta, idx, qvec, k=k, nprobe=nprobe,
-                filter_keys=filter_keys, metric=metric,
-            )
-            hits = top.collect()  # bounded: <= topK rows, probed buckets
-            if len(hits) >= k or nprobe >= n_centroids:
-                return hits
-            # short page (deletes tombstoned the probed buckets, or the
-            # preFilter thinned them): widen — Solr's HNSW never
-            # short-pages while matches exist, and neither do we
-            nprobe = min(nprobe * 2, n_centroids)
+        if filter_keys is not None:
+            # the widening loop re-executes the probe plan per round:
+            # persist the filter's key-set scan so a selective filter
+            # over a large corpus is paid ONCE, not once per widening
+            filter_keys = filter_keys.persist()
+        try:
+            while True:
+                top = ann_sidecar.probe_topk(
+                    self.spark, side, meta, idx, qvec, k=k, nprobe=nprobe,
+                    filter_keys=filter_keys, metric=metric,
+                )
+                hits = top.collect()  # bounded: <= topK rows, probed buckets
+                if len(hits) >= k or nprobe >= n_centroids:
+                    return hits
+                # short page (deletes tombstoned the probed buckets, or
+                # the preFilter thinned them): widen — Solr's HNSW never
+                # short-pages while matches exist, and neither do we
+                nprobe = min(nprobe * 2, n_centroids)
+        finally:
+            if filter_keys is not None:
+                filter_keys.unpersist(blocking=False)
 
     # -- similarity search over an embedding column --------------------
     def knn(
@@ -4012,19 +4026,21 @@ class SearchIndex:
         k: int = 10,
         vec_col: str = "embedding",
         filters: dict | None = None,
+        exact: bool = False,
     ) -> DataFrame:
         """Cosine top-k over the artifact's embedding column, with
         optional metadata pre-filters applied BEFORE the top-k
         (filtered ANN).  Serves from the generation-current ANN sidecar
         when one exists on ``vec_col`` (the same probe + widening loop
         as the {!knn} qparser; equality filters become a column-pruned
-        key-set semi-join on the probed rows); falls back to the exact
-        single-narrow-pass + TakeOrdered scan — identical (id, score)
+        key-set semi-join on the probed rows); ``exact=True`` opts out
+        — the {!knn} ``exact=true`` equivalent — forcing the exact
+        single-narrow-pass + TakeOrdered scan.  Identical (id, score)
         output shape either way."""
         from solr_map_reduce_spark.extensions.similarity import cosine_topk
 
         qvec = [float(x) for x in query]
-        handle = self._ann_sidecar(vec_col)
+        handle = None if exact else self._ann_sidecar(vec_col)
         if handle is not None:
             filter_keys = None
             if filters:

@@ -1110,3 +1110,23 @@ def test_dsl_knn_routes_through_sidecar(spark, tmp_path):
     for a, b in zip(routed_all, exact_all):
         assert abs(a[1] - b[1]) < 1e-9
     assert len(routed_even) == 5
+
+
+def test_nprobe_zero_clamps_instead_of_hanging(aidx):
+    # nprobe=0 would probe nothing and never grow under doubling — the
+    # serving loop clamps to 1 instead of spinning forever
+    q = QUERIES[1]
+    got = [r["vec_id"] for r in aidx.query(
+        f"{{!knn f=embedding topK=3 nprobe=0}}{_vec_literal(q)}"
+    ).collect()]
+    assert len(got) == 3
+
+
+def test_dsl_knn_exact_param_opts_out(spark, tmp_path):
+    # knn(exact=True) is the {!knn} exact=true equivalent: the sidecar
+    # is never consulted even when present
+    idx = _build_artifact(spark, str(tmp_path / "idx"))
+    idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=1)
+    q = QUERIES[2]
+    got = [r["vec_id"] for r in idx.knn(q, k=5, exact=True).collect()]
+    assert got == _exact_ids(q, 5)

@@ -774,7 +774,12 @@ def test_ivfpq_residual_flag_roundtrips(spark, sf_dir, tmp_path):
     idx.build(emb, path)
     reloaded = IvfPqIndex.load(spark, path)
     assert reloaded.pq.coarse is not None
-    assert np.allclose(reloaded.pq.coarse, idx.ivf.centroids)
+    # the residual space is the UNIT-normalized centroids (PqCodec's
+    # space contract), reconstructed identically by load()
+    from solr_map_reduce_spark.extensions.similarity import _unit_rows
+
+    assert np.allclose(reloaded.pq.coarse, _unit_rows(idx.ivf.centroids))
+    assert np.allclose(reloaded.pq.coarse, idx.pq.coarse)
     # a pre-r11 manifest (no residual flag) loads as a plain-v̂ codec
     import json
     mpath = f"{path}/{IvfPqIndex.MANIFEST}"
@@ -846,3 +851,56 @@ def test_residual_beats_plain_on_clustered_corpus(spark):
         scores[name] = hits
     df.unpersist()
     assert scores["residual"] > scores["plain"], scores
+
+
+def test_residual_on_raw_corpus_stays_sane(spark):
+    # the space contract: IvfPqIndex normalizes its coarse centroids
+    # into the codec's unit space, so residual encoding on a RAW
+    # (non-unit) corpus — where the IVF layout is fit on raw vectors —
+    # must not collapse below the plain codec (a raw-space centroid
+    # subtracted from a unit vector would leave ~||c||-sized residuals)
+    from solr_map_reduce_spark.extensions.similarity import IvfPqIndex
+
+    rng = np.random.RandomState(13)
+    ncl, dim, n = 4, 32, 1200
+    centers = rng.randn(ncl, dim) * 5.0
+    X = centers[rng.randint(0, ncl, size=n)] + rng.randn(n, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    df.count()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    idx = IvfPqIndex.fit(df, n_centroids=ncl, m=8, ksub=64, seed=42)
+    assert idx.pq.coarse is not None
+    # every stored coarse row is unit-norm (the contract)
+    assert np.allclose(np.linalg.norm(idx.pq.coarse, axis=1), 1.0)
+
+    from solr_map_reduce_spark.extensions.similarity import PqCodec
+
+    def _hits(pq, with_bucket):
+        enc = pq.encode(
+            idx.ivf.assign(df),
+            bucket_col="bucket" if with_bucket else None,
+        ).select("vec_id", "bucket", "pq_code").cache()
+        enc.count()
+        hits = 0
+        for qi in range(0, n, n // 8):
+            q = Xn[qi]
+            exact = set(np.argsort(-(Xn @ q))[:10].tolist())
+            got = {r["vec_id"] for r in pq.topk(
+                enc, list(q), k=10,
+                bucket_col="bucket" if with_bucket else None,
+            ).collect()}
+            hits += len(exact & got)
+        enc.unpersist()
+        return hits
+
+    plain = PqCodec.fit(df, m=8, ksub=64, seed=42)
+    h_res = _hits(idx.pq, True)
+    h_plain = _hits(plain, False)
+    df.unpersist()
+    # measured on this seeded fixture: plain 13/80, unit-residual 20/80,
+    # raw-space residual (the pre-fix bug) 10/80 — the contract under
+    # test is residual >= plain on a raw clustered corpus
+    assert h_res >= h_plain, (h_res, h_plain)
