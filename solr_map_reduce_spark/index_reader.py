@@ -31,6 +31,21 @@ from solr_map_reduce_spark.indexing import MANIFEST, SHARD_COL, read_index
 from solr_map_reduce_spark.operators.routing import ShardRouter
 
 
+
+def _int_local_param(params: dict, name: str, default: int) -> int:
+    """Integer local param with a clean QuerySyntaxError on garbage
+    (int('abc') would surface as a raw ValueError traceback)."""
+    from solr_map_reduce_spark.extensions import search
+
+    raw = params.get(name, default)
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        raise search.QuerySyntaxError(
+            f"local param {name}={raw!r} is not an integer"
+        ) from None
+
+
 class SearchIndex:
     """Read-side handle on a sharded index artifact."""
 
@@ -2657,7 +2672,7 @@ class SearchIndex:
             f = params.get("f")
             if not f:
                 raise search.QuerySyntaxError("{!knn} needs the f= param")
-            topk = int(params.get("topK", 10))
+            topk = _int_local_param(params, "topK", 10)
             body = inner.strip()
             if not (body.startswith("[") and body.endswith("]")):
                 raise search.QuerySyntaxError(
@@ -3994,7 +4009,7 @@ class SearchIndex:
         # query param)
         nprobe = max(
             1,
-            min(int(params.get("nprobe", meta.get("nprobe", 2))),
+            min(_int_local_param(params, "nprobe", int(meta.get("nprobe", 2))),
                 n_centroids),
         )
         if filter_keys is not None:
@@ -4367,7 +4382,7 @@ class MultiIndex:
                     f"{{!knn}} vector literal {body!r} has non-numeric "
                     "components"
                 ) from None
-            topk = int(params.get("topK", 10))
+            topk = _int_local_param(params, "topK", 10)
             metric = params.get("similarity", "cosine")
             score = (
                 sim.dot_to_query(F.col(fld), qvec)

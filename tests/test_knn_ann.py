@@ -1130,3 +1130,13 @@ def test_dsl_knn_exact_param_opts_out(spark, tmp_path):
     q = QUERIES[2]
     got = [r["vec_id"] for r in idx.knn(q, k=5, exact=True).collect()]
     assert got == _exact_ids(q, 5)
+
+
+def test_malformed_int_params_are_clean_errors(aidx):
+    from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+
+    q = _vec_literal(QUERIES[0])
+    with pytest.raises(QuerySyntaxError, match="topK"):
+        aidx.query("{!knn f=embedding topK=ten}" + q)
+    with pytest.raises(QuerySyntaxError, match="nprobe"):
+        aidx.query("{!knn f=embedding topK=5 nprobe=two}" + q)
