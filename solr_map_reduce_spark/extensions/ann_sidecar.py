@@ -224,6 +224,25 @@ def build(
     fs = get_fs(index_path, spark)
     pinned_gen = manifest_generation_hash(fs, index_path)
     side = side_path(index_path, field)
+    # REBUILD ordering: stale the existing meta FIRST, then clear the
+    # old delta/tombstones, then write the new base, then the fresh
+    # meta last.  The old order (overwrite base, clear delta, write
+    # meta) left the OLD meta generation-current while vectors/ was
+    # half-overwritten and old tombstones still applied — a concurrent
+    # query (or a crash before the clear) served wrong results AS
+    # FRESH: e.g. a tombstone at epoch 3 from the previous lifecycle
+    # permanently hiding a live key from the rebuilt epoch-0 base.
+    # With the stale-first order, every window of the rebuild reads as
+    # stale -> exact fallback; only the final meta write re-enables
+    # routing.
+    old_meta = load_meta(fs, side)
+    if old_meta is not None:
+        old_meta["built_generation"] = "__rebuilding__"
+        write_meta(fs, side, old_meta)
+    for sub in (TOMBSTONES, DELTA):
+        p = fs_join(side, sub)
+        if fs.exists(p):
+            fs.delete(p)
     if kind == "ivf":
         ivf = sim.IvfIndex.fit(
             base_rows, n_centroids=n_centroids, id_col=key, vec_col=field,
@@ -240,12 +259,6 @@ def build(
         cents = idx.ivf.centroids
     else:
         raise ValueError(f"build_ann kind {kind!r} unsupported (ivf, ivfpq)")
-    # a fresh build reflects the current corpus: stale tombstones/delta
-    # from pre-rebuild mutations would wrongly exclude or revive keys
-    for sub in (TOMBSTONES, DELTA):
-        p = fs_join(side, sub)
-        if fs.exists(p):
-            fs.delete(p)
     meta = {
         "kind": kind,
         "field": field,
@@ -603,9 +616,15 @@ def compact(spark: SparkSession, index_path: str, field: str) -> dict:
         return {"affected_buckets": [], "folded": False}
 
     with _mutation_lock(fs, index_path, "ann_compact"):
-        # staleness re-checked UNDER the lock: a mutation committing
-        # between the caller's check and lock acquisition must not be
-        # compacted over
+        # RELOAD the meta under the lock before validating: a benign
+        # concurrent mutation may have advanced the epoch and correctly
+        # re-pinned the sidecar between our pre-lock load and here —
+        # comparing the stale in-memory copy would raise a false
+        # "stale, rebuild" (and writing it back below would discard the
+        # concurrent epoch bump, reviving dead rows)
+        meta = load_meta(fs, side)
+        if meta is None:
+            raise ValueError(f"no ANN sidecar for field {field!r}")
         if meta["built_generation"] != manifest_generation_hash(
             fs, index_path
         ):

@@ -351,6 +351,32 @@ class IndexJob:
         generate_keys_from: str | None = None,
         mode: str = "overwrite",
     ) -> dict:
+        if mode == "append":
+            # appending MUTATES an existing artifact: enforce the same
+            # two guards every other mutation path has.  (1) placement
+            # parity — new rows routed with a different shard count /
+            # routing mode would land in wrong directories AND the
+            # manifest rewrite below would re-describe the old rows'
+            # placement, silently breaking every pruned lookup;
+            # (2) the mutation lock — an unlocked append can interleave
+            # with a concurrent merge_into's shard-directory swap.
+            fs = get_fs(path, df.sparkSession)
+            if fs.exists(fs_join(path, MANIFEST)):
+                existing = json.loads(fs.read_text(fs_join(path, MANIFEST)))
+                _require_placement_parity(
+                    self.config, existing, "build(mode='append')"
+                )
+                with _mutation_lock(fs, path, "build_append"):
+                    return self._build_inner(df, path, generate_keys_from, mode)
+        return self._build_inner(df, path, generate_keys_from, mode)
+
+    def _build_inner(
+        self,
+        df: DataFrame,
+        path: str,
+        generate_keys_from: str | None,
+        mode: str,
+    ) -> dict:
         routed = self.route(df, generate_keys_from)
         if self.config.doc_versions:
             # stamp AFTER route (the stamp is not a schema field); the
@@ -817,11 +843,12 @@ class IndexJob:
             full = inserts.select(
                 *[
                     (
-                        # remove-on-absent creates the doc with the field
-                        # EMPTY (there is nothing to remove from), never
-                        # with the removal list as the value
+                        # remove/removeregex-on-absent creates the doc
+                        # with the field EMPTY (there is nothing to
+                        # remove from), never with the removal
+                        # list/patterns as the value
                         F.lit(None).cast(cur_schema[c])
-                        if ops.get(c) == "remove"
+                        if ops.get(c) in ("remove", "removeregex")
                         else F.lit(next_gen).cast(cur_schema[c])
                         if c == VERSION_COL
                         else F.col(c)
@@ -944,8 +971,18 @@ class IndexJob:
         if not touched:
             return 0
         subset = current.filter(F.col(SHARD_COL).isin(touched))
-        n_before = subset.count()
-        kept = subset.filter(~matches)
+        # ONE pass over the touched shards: the staging write's scan
+        # carries the before/deleted counters as an Observation instead
+        # of two extra count() scans under the mutation lock
+        from pyspark.sql import Observation
+
+        obs = Observation("delete_where")
+        observed = subset.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(matches, 1).otherwise(0)).alias("n_deleted"),
+        )
+        kept = observed.filter(~matches)
         key = self.config.schema.unique_key
         # ANN delta maintenance needs the deleted keys MATERIALIZED before
         # the swap deletes the files the lazy plan reads (ids only — tiny)
@@ -957,16 +994,26 @@ class IndexJob:
                 subset.filter(matches).select(key)
                 .localCheckpoint(eager=True)
             )
+        cfg = self.config
         with _mutation_lock(fs, path, "delete_where"):
             tmp = path.rstrip("/") + "._delete_tmp"
-            (
+            writer_df = (
                 kept.repartition(len(touched), F.col(SHARD_COL))
                 .sortWithinPartitions(SHARD_COL, key)
-                .write.mode("overwrite")
-                .partitionBy(SHARD_COL)
-                .parquet(tmp)
             )
-            n_after = kept.count()
+            # same writer contract as every other rewrite path: a delete
+            # must not drift touched shards off the artifact's
+            # compression codec / file-size bound
+            writer = writer_df.write.mode("overwrite").partitionBy(SHARD_COL)
+            if cfg.max_records_per_file:
+                writer = writer.option(
+                    "maxRecordsPerFile", cfg.max_records_per_file
+                )
+            if cfg.codec:
+                writer = writer.option("compression", cfg.codec)
+            writer.parquet(tmp)
+            counts = obs.get
+            n_deleted = int(counts["n_deleted"] or 0)
             # stored BM25 statistics are global — DELTA-maintain them like
             # merge_into (old = touched pre-swap, new = the kept rows; ``kept``
             # is a pure deterministic filter over the still-present old files,
@@ -1005,7 +1052,7 @@ class IndexJob:
                 ann_sidecar.delta_delete(
                     spark, path, deleted_ids, key, ann_pre_gen
                 )
-            return n_before - n_after
+            return n_deleted
 
     def dry_run(self, df: DataFrame, generate_keys_from: str | None = None, n: int = 20):
         """A24 dry-run: run the full logical pipeline client-side and return
@@ -1201,7 +1248,16 @@ def _swap_shard_dirs(
     between the two calls)."""
     trash = fs_join(path, _SWAP_TRASH)
     if fs.exists(trash):
-        fs.delete(trash)  # stale trash from an interrupted earlier swap
+        # leftover trash from an interrupted earlier swap can be the
+        # ONLY surviving copy of a shard (the crash window is exactly
+        # "old dir renamed aside, new dir not yet renamed in") —
+        # deleting it here would void the manual-recovery guarantee
+        # below.  Set it aside under a unique name instead; reclaiming
+        # the space is the operator's explicit call after inspection.
+        import uuid as _uuid
+
+        aside = f"{trash}_abandoned_{_uuid.uuid4().hex[:8]}"
+        fs.rename(trash, aside)
     fs.mkdirs(trash)
     for dirname in shard_names:
         src = fs_join(tmp, dirname)
@@ -1326,6 +1382,19 @@ def compact(
 
         if fs.isdir(fs_join(bak, _VOCAB)) and not fs.isdir(fs_join(path, _VOCAB)):
             fs.rename(fs_join(bak, _VOCAB), fs_join(path, _VOCAB))
+        # the ANN sidecar survives compaction the same way: it stores
+        # vectors/codes keyed by document id (no segment-file
+        # references), and compaction does not change content — losing
+        # it here would silently degrade every {!knn} to the O(corpus)
+        # exact scan until an expensive rebuild.  Re-pinned to the
+        # post-bump generation below.
+        from solr_map_reduce_spark.extensions import ann_sidecar as _ann
+
+        if fs.isdir(fs_join(bak, _ann.ANN_DIR)) and not fs.isdir(
+            fs_join(path, _ann.ANN_DIR)
+        ):
+            fs.rename(fs_join(bak, _ann.ANN_DIR), fs_join(path, _ann.ANN_DIR))
+        ann_pre_gen = _ann.manifest_generation_hash(fs, path)
         if not defer_deletion:
             fs.delete(bak)
         # every segment file was renamed by the rewrite: recompute the key-range
@@ -1350,6 +1419,11 @@ def compact(
         # the carry-over copied the manifest byte-identical; every segment
         # file was just renamed, so live handles MUST see a new generation
         bump_generation(fs, path)
+        # ANN sidecars carried across stay exact (content unchanged):
+        # re-pin them to the bumped generation — sidecars NOT pinned to
+        # the pre-compact generation missed an earlier mutation and stay
+        # stale per the sticky-staleness rule
+        _ann.repin_only(spark, path, set(), ann_pre_gen)
 
 
 BACKUP_META = "_BACKUP_META.json"

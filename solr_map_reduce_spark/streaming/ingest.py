@@ -56,8 +56,29 @@ def stream_ingest(
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         # per-batch incremental re-index: same-key docs replaced per the
-        # resolver, new keys appended (staging dir + atomic swap inside)
-        job.merge_into(batch_df, output_path)
+        # resolver, new keys appended (staging dir + atomic swap inside).
+        # Self-healing for the at-least-once replay: a hard crash
+        # mid-merge deliberately leaves the mutation lock on disk, and
+        # the replayed batch would otherwise raise ArtifactLockedError
+        # on every restart — permanently wedging the stream behind its
+        # own dead lock.  When the lock's owner is provably dead ON THIS
+        # HOST (pid liveness check), clear it and retry once; a foreign
+        # or live owner still raises (a real concurrent mutator).
+        from solr_map_reduce_spark.indexing import (
+            ArtifactLockedError,
+            clear_mutation_lock,
+            inspect_mutation_lock,
+        )
+
+        try:
+            job.merge_into(batch_df, output_path)
+        except ArtifactLockedError:
+            info = inspect_mutation_lock(output_path, batch_df.sparkSession)
+            if info is not None and info.get("pid_alive_here") is False:
+                clear_mutation_lock(output_path, batch_df.sparkSession)
+                job.merge_into(batch_df, output_path)
+            else:
+                raise
 
     writer = stream.writeStream.foreachBatch(_upsert).option(
         "checkpointLocation", checkpoint
@@ -251,19 +272,27 @@ def stream_ivf_ingest(
     ``index_path`` — assign to the STORED centroids, bucket-directory
     append, O(batch) per micro-batch.
 
-    Replay idempotence: each micro-batch appends under its Structured
-    Streaming batch id as a file-name tag (``IvfIndex.add(batch_tag=...)``)
+    Replay idempotence: each micro-batch appends under a file-name tag
+    of ``<checkpoint-hash>-<batch id>`` (``IvfIndex.add(batch_tag=...)``)
     — a batch re-delivered after a crash (foreachBatch's at-least-once
     contract) first sweeps its own partial files, so the index holds
-    exactly one copy of every vector.  Stored searches see each batch as
-    soon as its append completes."""
+    exactly one copy of every vector.  The checkpoint-hash component is
+    STABLE across restarts of the same checkpointed query (the replay
+    the sweep exists for) but distinct for a fresh checkpoint or a
+    second stream into the same index — a bare batch id would restart
+    at 0 there and the sweep would delete the EARLIER stream's batch-0
+    files.  Stored searches see each batch as soon as its append
+    completes."""
+    import hashlib
+
     from solr_map_reduce_spark.extensions.similarity import IvfIndex
 
     ivf = IvfIndex.load(spark, index_path)
     stream = spark.readStream.schema(input_schema).parquet(input_path)
+    stream_tag = hashlib.sha1(checkpoint.encode("utf-8")).hexdigest()[:8]
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
-        ivf.add(batch_df, index_path, batch_tag=str(batch_id))
+        ivf.add(batch_df, index_path, batch_tag=f"{stream_tag}-{batch_id}")
 
     writer = stream.writeStream.foreachBatch(_append).option(
         "checkpointLocation", checkpoint

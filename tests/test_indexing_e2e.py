@@ -849,3 +849,105 @@ class TestGoLive:
         )
         with pytest.raises(ValueError, match="places keys differently"):
             wrong.go_live(spark, staged, live)
+
+
+def test_append_requires_placement_parity(spark, tmp_path):
+    # mode="append" mutates an existing artifact: a different shard
+    # count would route new keys to wrong directories AND rewrite the
+    # manifest to mis-describe the old rows — refused loudly like every
+    # other mutation path
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("v", "long")),
+        unique_key="id",
+    )
+    path = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(str(i), i) for i in range(20)], "id string, v long"
+    )
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+        df, path
+    )
+    with pytest.raises(ValueError, match="placement|shards"):
+        IndexJob(IndexJobConfig(schema=schema, shards=4, dedup="none")).build(
+            df, path, mode="append"
+        )
+    # parity-matching append still works (and holds the mutation lock)
+    more = spark.createDataFrame(
+        [(str(i), i) for i in range(20, 30)], "id string, v long"
+    )
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+        more, path, mode="append"
+    )
+    from solr_map_reduce_spark.indexing import read_index
+
+    assert read_index(spark, path).count() == 30
+
+
+def test_swap_preserves_abandoned_trash(spark, tmp_path):
+    # leftover _trash_swap from a crashed swap can be the ONLY copy of
+    # a shard: the next mutation must set it aside, not delete it
+    import os
+
+    from solr_map_reduce_spark.indexing import (
+        IndexJob, IndexJobConfig, read_index,
+    )
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("v", "long")),
+        unique_key="id",
+    )
+    path = str(tmp_path / "idx")
+    job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none"))
+    job.build(spark.createDataFrame(
+        [(str(i), i) for i in range(20)], "id string, v long"), path)
+    # simulate a crashed earlier swap's surviving aside copy
+    trash = os.path.join(path, "_trash_swap")
+    os.makedirs(os.path.join(trash, "shard=0"))
+    with open(os.path.join(trash, "shard=0", "precious.parquet"), "wb") as fh:
+        fh.write(b"survivor")
+    job.update_fields(
+        spark.createDataFrame([("3", 999)], "id string, v long"), path
+    )
+    abandoned = [d for d in os.listdir(path)
+                 if d.startswith("_trash_swap_abandoned_")]
+    assert abandoned, os.listdir(path)
+    kept = os.path.join(path, abandoned[0], "shard=0", "precious.parquet")
+    assert open(kept, "rb").read() == b"survivor"
+    assert read_index(spark, path).filter("id = '3'").first()["v"] == 999
+
+
+def test_update_fields_insert_removeregex_absent_is_empty(spark, tmp_path):
+    # removeregex-on-absent must create the doc with the field EMPTY,
+    # never with the regex pattern list as the stored value (the same
+    # contract remove-on-absent already had)
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.indexing import (
+        IndexJob, IndexJobConfig, read_index,
+    )
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True),
+                Field("tags", "string", multi_valued=True)),
+        unique_key="id",
+    )
+    path = str(tmp_path / "idx")
+    job = IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none"))
+    job.build(spark.createDataFrame(
+        [(str(i), ["a", "ab"]) for i in range(10)],
+        "id string, tags array<string>"), path)
+    upd = spark.createDataFrame(
+        [("3", ["a.*"]), ("999", ["a.*"])],  # 999 is ABSENT
+        "id string, tags array<string>",
+    )
+    job.update_fields(upd, path, ops={"tags": "removeregex"},
+                      missing="insert")
+    rows = {r["id"]: r["tags"] for r in read_index(spark, path).collect()}
+    assert rows["3"] == []          # both elements fully match a.*
+    assert rows["999"] is None      # inserted EMPTY, not ['a.*']
+    assert len(rows) == 11

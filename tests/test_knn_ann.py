@@ -1140,3 +1140,62 @@ def test_malformed_int_params_are_clean_errors(aidx):
         aidx.query("{!knn f=embedding topK=ten}" + q)
     with pytest.raises(QuerySyntaxError, match="nprobe"):
         aidx.query("{!knn f=embedding topK=5 nprobe=two}" + q)
+
+
+class TestLifecycleHardening:
+    def test_failed_rebuild_reads_stale_not_wrong(self, spark, tmp_path,
+                                                  monkeypatch):
+        # rebuild ordering: the OLD meta is staled before anything else
+        # touches disk, so a rebuild that dies mid-fit leaves the
+        # sidecar reading as STALE (exact fallback) — never the old
+        # meta as generation-current over a half-rebuilt base
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[0]
+        top = _exact_ids(q, 1)[0]
+        # a mutation so the sidecar carries tombstones + delta
+        batch = spark.createDataFrame(
+            [(top, [float(x) for x in VECS[top]], "same")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        _job("retain_most_recent").merge_into(batch, idx.path)
+        assert idx._ann_sidecar("embedding") is not None
+        from solr_map_reduce_spark.extensions import similarity as sim
+
+        def _boom(*a, **k):
+            raise RuntimeError("injected mid-rebuild crash")
+
+        monkeypatch.setattr(sim.IvfIndex, "fit", _boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            idx.build_ann("embedding", kind="ivf", n_centroids=NC)
+        monkeypatch.undo()
+        fresh = SearchIndex.open(spark, idx.path)
+        assert fresh._ann_sidecar("embedding") is None  # stale, not live
+        got = [r["vec_id"] for r in fresh.query(
+            f"{{!knn f=embedding topK=5}}{_vec_literal(q)}"
+        ).collect()]
+        assert got == _exact_ids(q, 5)  # exact fallback, correct
+        # a real rebuild recovers routing
+        idx2 = SearchIndex.open(spark, idx.path)
+        idx2.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        assert idx2._ann_sidecar("embedding") is not None
+
+    def test_compact_preserves_ann_sidecar(self, spark, tmp_path):
+        # small-files compaction must not silently destroy the (often
+        # expensive) ANN sidecar: it rides across and re-pins, and the
+        # routed page is unchanged
+        from solr_map_reduce_spark.indexing import compact
+
+        idx = _build_artifact(spark, str(tmp_path / "idx"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = QUERIES[1]
+        before = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        compact(spark, idx.path)
+        fresh = SearchIndex.open(spark, idx.path)
+        assert fresh._ann_sidecar("embedding") is not None
+        after = [r["vec_id"] for r in fresh.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_vec_literal(q)}"
+        ).collect()]
+        assert after == before

@@ -904,3 +904,27 @@ def test_residual_on_raw_corpus_stays_sane(spark):
     # raw-space residual (the pre-fix bug) 10/80 — the contract under
     # test is residual >= plain on a raw clustered corpus
     assert h_res >= h_plain, (h_res, h_plain)
+
+
+def test_ivf_distinct_stream_tags_do_not_collide(spark, sf_dir, tmp_path):
+    """Two ingestion streams (or one restarted with a fresh checkpoint)
+    both start their Structured Streaming batch ids at 0 — the per-stream
+    tag component must keep their sweeps apart, or stream B's batch 0
+    deletes stream A's batch-0 vectors (the r11 review finding;
+    stream_ivf_ingest now tags with <checkpoint-hash>-<batch id>)."""
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    a = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    b = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+    ivf = IvfIndex.fit(base, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    ivf.save(path, assigned=ivf.assign(base))
+    ivf.add(a, path, batch_tag="streamA-0")
+    ivf.add(b, path, batch_tag="streamB-0")  # same batch id, other stream
+    stored = spark.read.parquet(path + "/vectors")
+    assert stored.count() == 200  # stream A's batch-0 vectors survived
+    # and a true replay of stream B's batch 0 still dedups itself
+    ivf.add(b, path, batch_tag="streamB-0")
+    assert spark.read.parquet(path + "/vectors").count() == 200
