@@ -32,6 +32,41 @@ from solr_map_reduce_spark.operators.routing import ShardRouter
 
 
 
+def _parse_mlt_local_params(params: dict) -> "tuple[int, dict]":
+    """(k, more_like_this kwargs) from Solr MLTQParser local params —
+    each param maps independently (qf -> field, mintf -> min_tf,
+    maxqt/maxdfterms -> max_terms, mindf -> min_df, topk/rows -> k)."""
+    mlt_kw: dict = {}
+    if "qf" in params:
+        mlt_kw["field"] = params["qf"]
+    if "mintf" in params:
+        mlt_kw["min_tf"] = _int_local_param(params, "mintf", 1)
+    if "maxqt" in params or "maxdfterms" in params:
+        mlt_kw["max_terms"] = max(
+            _int_local_param(
+                params, "maxqt" if "maxqt" in params else "maxdfterms", 10
+            ),
+            1,
+        )
+    if "mindf" in params:
+        mlt_kw["min_df"] = _int_local_param(params, "mindf", 1)
+    k = _int_local_param(params, "topk" if "topk" in params else "rows", 10)
+    return k, mlt_kw
+
+
+def _float_local_param(params: dict, name: str, default: float) -> float:
+    """Float local param with a clean QuerySyntaxError on garbage."""
+    from solr_map_reduce_spark.extensions import search
+
+    raw = params.get(name, default)
+    try:
+        return float(raw)
+    except (TypeError, ValueError):
+        raise search.QuerySyntaxError(
+            f"local param {name}={raw!r} is not a number"
+        ) from None
+
+
 def _int_local_param(params: dict, name: str, default: int) -> int:
     """Integer local param with a clean QuerySyntaxError on garbage
     (int('abc') would surface as a raw ValueError traceback)."""
@@ -133,7 +168,6 @@ class SearchIndex:
 
         from collections import OrderedDict
 
-        self._generation = gen
         self._blooms = False
         self._key_ranges = False
         self._stats_cache = False
@@ -154,8 +188,16 @@ class SearchIndex:
             self._router = ShardRouter(
                 shards=self.shards, num_partitions=self.shards
             )
+            # commit the new generation ONLY after the derived state
+            # matches it: committing first would pin an OLD
+            # manifest/router under the NEW hash on a transient reload
+            # failure — every later check would early-return and the
+            # handle would route lookups with a stale shard count
+            # forever (silent empty results)
+            self._generation = gen
         except Exception:
-            pass  # manifest mid-rewrite: keep the old one, caches cleared
+            pass  # manifest mid-rewrite: old generation kept -> next
+            # call retries the reload (caches already cleared)
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SearchIndex":
@@ -309,7 +351,24 @@ class SearchIndex:
             out = self.df()
         return out.filter(F.col(self.unique_key).startswith(prefix))
 
+    def _coerce_keys(self, keys: "Sequence[object]") -> list:
+        """Lookup keys coerced to the unique-key column's type family.
+        Against a STRING-keyed artifact a raw int key is a silent-miss
+        hazard: the equality filter makes Spark CAST the string column
+        (so '042' matches 42) while shard/segment pruning placed the
+        lookup by str(key) — the filter and the pruning disagree.
+        Coercing to str makes get(42) == get('42'), the same contract
+        get_many always had."""
+        try:
+            dt = self.df().schema[self.unique_key].dataType.simpleString()
+        except Exception:
+            return list(keys)
+        if dt == "string":
+            return [k if isinstance(k, str) else str(k) for k in keys]
+        return list(keys)
+
     def get(self, key: str) -> DataFrame:
+        key = self._coerce_keys([key])[0]
         cond = F.col(self.unique_key) == key
         pruned = self._segment_pruned([key])
         if pruned is not None:
@@ -320,8 +379,9 @@ class SearchIndex:
         return self.df().filter(cond)
 
     def get_many(self, keys: Sequence[str]) -> DataFrame:
-        cond = F.col(self.unique_key).isin([str(k) for k in keys])
-        pruned = self._segment_pruned(list(keys))
+        keys = self._coerce_keys(list(keys))
+        cond = F.col(self.unique_key).isin(keys)
+        pruned = self._segment_pruned(keys)
         if pruned is not None:
             return pruned.filter(cond)
         shards = {self._shard_of(str(k)) for k in keys}
@@ -2383,6 +2443,15 @@ class SearchIndex:
             out = self._local_params_scan(
                 qtype, params, inner, field, synonyms, op
             )
+            if "fromIndex" in q:
+                # NOT memoized: the plan embeds the ATTACHED collection's
+                # file listing, and this handle's generation guard only
+                # watches ITS OWN manifest — a mutation of (or re-attach
+                # under) the fromIndex name would keep serving the stale
+                # listing (FileNotFound on vacuumed files, or deleted
+                # rows).  Cross-collection plans recompile per query
+                # (string check so nested forms are covered too).
+                return out
         else:
             pred, info, fname = self._compile_predicate(q, field, synonyms, op)
             if info["required"]:
@@ -2545,10 +2614,10 @@ class SearchIndex:
             incu = params.get("incu", "true").lower() != "false"
             pred = F.lit(True)
             if lo is not None:
-                b = float(lo)
+                b = _float_local_param(params, "l", 0.0)
                 pred = pred & (fcol >= b if incl else fcol > b)
             if hi is not None:
-                b = float(hi)
+                b = _float_local_param(params, "u", 0.0)
                 pred = pred & (fcol <= b if incu else fcol < b)
             return self.df().filter(pred)
         if qtype == "join":
@@ -2750,17 +2819,11 @@ class SearchIndex:
             key = inner.strip()
             if not key:
                 raise search.QuerySyntaxError("{!mlt} needs a document id")
-            mlt_kw: dict = {}
-            if "qf" in params:
-                mlt_kw["field"] = params["qf"]
-            if "mintf" in params:
-                # engine selection is tf·idf-ranked; mintf maps onto the
-                # term-count cap family
-                mlt_kw["max_terms"] = max(int(params.get(
-                    "maxqt", params.get("maxdfterms", 10))), 1)
-            if "mindf" in params:
-                mlt_kw["min_df"] = int(params["mindf"])
-            k = int(params.get("topk", params.get("rows", 10)))
+            # each Solr MLT param maps independently (the old wiring
+            # used mintf only as a gate for reading maxqt — maxqt
+            # without mintf was silently ignored and mintf itself never
+            # applied)
+            k, mlt_kw = _parse_mlt_local_params(params)
             hits = self.more_like_this(key, k=k, **mlt_kw)
             return self.df().join(
                 F.broadcast(hits.select(self.unique_key)),
@@ -2930,7 +2993,7 @@ class SearchIndex:
             # (visited is monotone and finite).
             frm = params.get("from", "edge_ids")
             to = params.get("to", "node_id")
-            max_depth = int(params.get("maxDepth", -1))
+            max_depth = _int_local_param(params, "maxDepth", -1)
             return_root = params.get("returnRoot", "true").lower() != "false"
             only_leaf = (
                 params.get("returnOnlyLeaf", "false").lower() == "true"
@@ -3776,6 +3839,7 @@ class SearchIndex:
         field: str | None = None,
         max_terms: int = 10,
         min_df: int = 1,
+        min_tf: int = 1,
         **kw,
     ) -> DataFrame:
         """Solr's MoreLikeThis: find documents similar to the one with
@@ -3787,6 +3851,23 @@ class SearchIndex:
         The point-lookup fetch is shard-pruned (C2) and the interesting-term
         selection touches |doc| terms driver-side — MLT is a per-document
         operation, not a corpus scan."""
+        terms, fname = self._mlt_terms(key, field, max_terms, min_df, min_tf)
+        hits = self.bm25(terms, k=k + 1, field=fname, **kw)
+        return hits.filter(F.col(self.unique_key) != key).limit(k)
+
+    def _mlt_terms(
+        self,
+        key: str,
+        field: str | None = None,
+        max_terms: int = 10,
+        min_df: int = 1,
+        min_tf: int = 1,
+    ) -> "tuple[list[str], str | None]":
+        """MoreLikeThis interesting-term selection for the document with
+        unique key ``key``: (terms, resolved field).  Shared by
+        :meth:`more_like_this` and the alias's {!mlt} (which selects
+        terms from the member HOLDING the doc, then matches across every
+        member)."""
         import math
 
         from solr_map_reduce_spark.search_stats import term_dfs
@@ -3803,6 +3884,10 @@ class SearchIndex:
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
+        if min_tf > 1:
+            # Solr MLT mintf: terms below the in-document frequency
+            # threshold never become interesting terms
+            tf = {t: c for t, c in tf.items() if c >= min_tf}
         stats = self._load_stats()
         if stats and fname in stats:
             n_docs = stats[fname]["n_docs"]
@@ -3815,9 +3900,7 @@ class SearchIndex:
         else:
             scored = [(t, float(c)) for t, c in tf.items()]
         scored.sort(key=lambda x: (-x[1], x[0]))
-        terms = [t for t, _ in scored[:max_terms]]
-        hits = self.bm25(terms, k=k + 1, field=fname, **kw)
-        return hits.filter(F.col(self.unique_key) != key).limit(k)
+        return [t for t, _ in scored[:max_terms]], fname
 
     def attach_collection(self, name: str, index: "SearchIndex") -> None:
         """Register another artifact's handle under ``name`` for
@@ -3825,6 +3908,10 @@ class SearchIndex:
         cross-core join; the inner query compiles under the attached
         collection's own analyzers and default field)."""
         self._collections[name] = index
+        # belt-and-braces with _query_scan's no-memoize rule for
+        # fromIndex plans: a re-attach under an existing name must never
+        # serve a plan compiled against the previous collection
+        self._plan_memo.clear()
 
     # -- ANN serving sidecar (sublinear {!knn}) -------------------------
     ANN_DIR = "_ann"
@@ -3873,6 +3960,11 @@ class SearchIndex:
             n_centroids=n_centroids, nprobe=nprobe, **fit_kw,
         )
         self._ann_memo.pop(field, None)
+        # {!knn} plans served BEFORE this build were memoized as exact
+        # corpus scans (build_ann does not bump the artifact
+        # generation): drop them so the identical query text routes
+        # through the sidecar the caller just built
+        self._plan_memo.clear()
         return side
 
     def compact_ann(self, field: str) -> dict:
@@ -3887,6 +3979,7 @@ class SearchIndex:
 
         out = ann_sidecar.compact(self.spark, self.path, field)
         self._ann_memo.pop(field, None)
+        self._plan_memo.clear()  # routed plans pin pre-fold bucket files
         return out
 
     def _ann_sidecar(self, field: str):
@@ -4308,10 +4401,18 @@ class MultiIndex:
         self.members = list(members)
         self.unique_key = members[0].unique_key
         self.spark = members[0].spark
+        # {!join fromIndex=name} targets for the alias (attach_collection)
+        self._collections: dict = {}
 
     @classmethod
     def open(cls, spark: SparkSession, paths: "Sequence[str]") -> "MultiIndex":
         return cls([SearchIndex.open(spark, p) for p in paths])
+
+    def attach_collection(self, name: str, index) -> None:
+        """Register a {!join fromIndex=name} target for the alias (the
+        same contract as :meth:`SearchIndex.attach_collection`; the
+        target may itself be a SearchIndex or another alias)."""
+        self._collections[name] = index
 
     def _union(self, frames: "Sequence[DataFrame]") -> DataFrame:
         out = frames[0]
@@ -4399,6 +4500,59 @@ class MultiIndex:
                 .limit(topk)
                 .drop("_knn_score")
             )
+        if lp is not None and lp[0] == "mlt":
+            # {!mlt} over the alias: term selection happens on the
+            # member HOLDING the source doc, matching spans EVERY
+            # member (per-member BM25 statistics, exactly Solr's
+            # default non-distributed-idf behavior), and the bounded
+            # members×k pool re-ranks globally — the same distributed
+            # merge shape as {!knn}.  The old per-member union fallback
+            # raised KeyError from every member NOT holding the doc.
+            qtype_, params, inner = lp
+            key = inner.strip()
+            if not key:
+                raise search.QuerySyntaxError("{!mlt} needs a document id")
+            k, mlt_kw = _parse_mlt_local_params(params)
+            holder = None
+            for m in self.members:
+                if m.get(key).limit(1).count():
+                    holder = m
+                    break
+            if holder is None:
+                raise search.QuerySyntaxError(
+                    f"{{!mlt}}: no alias member holds document "
+                    f"{self.unique_key}={key!r}"
+                )
+            terms, fname = holder._mlt_terms(
+                key,
+                mlt_kw.get("field"),
+                mlt_kw.get("max_terms", 10),
+                mlt_kw.get("min_df", 1),
+                mlt_kw.get("min_tf", 1),
+            )
+            pool = self._union(
+                [m.bm25(terms, k=k + 1, field=fname) for m in self.members]
+            )
+            top = (
+                pool.filter(F.col(self.unique_key) != key)
+                .orderBy(F.desc("score"), F.asc(self.unique_key))
+                .limit(k)
+            )
+            return self.df().join(
+                F.broadcast(top.select(self.unique_key)),
+                on=self.unique_key, how="left_semi",
+            )
+        if lp is not None and lp[0] == "graph":
+            # Solr's GraphQParser is SINGLE-shard/-core only (its
+            # traversal cannot follow edges across shards); a per-member
+            # union here would silently drop every cross-member hop, so
+            # the alias refuses loudly — the reference-faithful contract
+            raise search.QuerySyntaxError(
+                "{!graph} is not supported across a collection alias "
+                "(Solr's graph query parser is single-shard only): open "
+                "the member artifact holding the graph, or materialize "
+                "the union into one artifact"
+            )
         if lp is not None and lp[0] == "collapse":
             # {!collapse} is RELATIONAL across the alias: per-member
             # collapse unioned would emit one head per member for a
@@ -4448,8 +4602,28 @@ class MultiIndex:
                 ) from None
             if not inner:
                 raise search.QuerySyntaxError("{!join} needs an inner query")
+            from_index = params.get("fromIndex")
+            if from_index:
+                # cross-collection join from the ALIAS: the inner query
+                # runs against the ATTACHED collection (silently
+                # self-joining the alias would return wrong rows)
+                src = self._collections.get(from_index)
+                if src is None:
+                    raise search.QuerySyntaxError(
+                        f"{{!join}} fromIndex {from_index!r} is not an "
+                        "attached collection on this alias "
+                        f"({sorted(self._collections)}) — register it "
+                        "with attach_collection()"
+                    )
+                src_scan = (
+                    src._alias_scan(inner, None, None)
+                    if isinstance(src, MultiIndex)
+                    else src._query_scan(inner)
+                )
+            else:
+                src_scan = self._alias_scan(inner, field, synonyms, op)
             keys = (
-                self._alias_scan(inner, field, synonyms, op)
+                src_scan
                 .filter(F.col(f_from).isNotNull())
                 .select(F.col(f_from).alias(f_to))
                 .distinct()
@@ -4523,9 +4697,23 @@ class MultiIndex:
         if where is not None:
             out = out.filter(where)
         if sort:
+            # function-query sort keys compile exactly like the
+            # single-artifact search (sort=[('div(a,b)','desc')])
+            from solr_map_reduce_spark.extensions.search import (
+                parse_function_query,
+            )
+
+            def key_col(c: str) -> F.Column:
+                if "(" in c:
+                    return parse_function_query(
+                        c, context=self.members[0]._fn_ctx()
+                    )
+                return F.col(c)
+
             out = out.orderBy(
                 *[
-                    F.desc(c) if d.lower().startswith("desc") else F.asc(c)
+                    key_col(c).desc() if d.lower().startswith("desc")
+                    else key_col(c).asc()
                     for c, d in sort
                 ],
                 F.asc(self.unique_key),
@@ -4555,6 +4743,11 @@ class MultiIndex:
             for m in self.members
         ]
         unioned = self._union([s.select(field) for s in scans])
+        # multivalued fields facet per VALUE exactly like the
+        # single-artifact path (a doc with ['a','b'] counts in both
+        # buckets) — grouping by the raw array column would bucket by
+        # whole-array identity, diverging from the unpartitioned result
+        unioned = self.members[0]._explode_if_multivalued(unioned, field)
         if not missing:
             unioned = unioned.filter(F.col(field).isNotNull())
         order = (
