@@ -43,6 +43,8 @@ def contains_all(
     tokens_col: str | None = None,
 ) -> DataFrame:
     """Docs whose token set contains ALL terms (AND term query)."""
+    if not terms:
+        raise ValueError("contains_all needs at least one term")
     toks = _toks(text_col, tokens_col)
     staged = df.withColumn("_toks", toks)
     cond = None
@@ -57,6 +59,8 @@ def contains_any(
     tokens_col: str | None = None,
 ) -> DataFrame:
     """Docs whose token set contains ANY term (OR term query)."""
+    if not terms:
+        raise ValueError("contains_any needs at least one term")
     toks = _toks(text_col, tokens_col)
     staged = df.withColumn("_toks", toks)
     cond = None
@@ -72,6 +76,8 @@ def contains_none(
 ) -> DataFrame:
     """Docs whose token set contains NONE of the terms (NOT term query —
     Solr's ``-term`` / prohibited clauses)."""
+    if not terms:
+        raise ValueError("contains_none needs at least one term")
     toks = _toks(text_col, tokens_col)
     staged = df.withColumn("_toks", toks)
     cond = None
@@ -198,6 +204,8 @@ def bm25_search(
     evaluated the tokenizer three times and shuffled twice (~4x slower at
     sf0.1).
     """
+    if not query_terms:
+        raise ValueError("bm25_search needs at least one term")
     terms = [t.lower() for t in query_terms]
     toks = _toks(text_col, tokens_col)
     boost_proj = (
@@ -671,7 +679,33 @@ def parse_local_params(q: str):
         raise QuerySyntaxError(f"malformed local params in {q!r}")
     qtype, raw, rest = m.group(1), m.group(2), m.group(3)
     params = {}
-    for k, v in _LOCAL_PARAM_KV_RE.findall(raw):
+    # SEQUENTIAL anchored scan, not findall: the block regex can accept
+    # a quoted-then-continued value (v='rock'n'roll') via its lazy \S+?
+    # alternative, and findall would silently re-extract just v='rock'
+    # — unconsumed garbage after a pair must be LOUD instead
+    pos2 = 0
+    while pos2 < len(raw):
+        while pos2 < len(raw) and raw[pos2].isspace():
+            pos2 += 1
+        if pos2 >= len(raw):
+            break
+        mkv = _LOCAL_PARAM_KV_RE.match(raw, pos2)
+        if not mkv:
+            raise QuerySyntaxError(
+                f"malformed local params near {raw[pos2:].strip()!r} "
+                f"in {q!r}"
+            )
+        k, v = mkv.group(1), mkv.group(2)
+        end = mkv.end()
+        if (
+            v and v[0] in "'\"" and v[-1] == v[0] and len(v) > 1
+            and end < len(raw) and not raw[end].isspace()
+        ):
+            raise QuerySyntaxError(
+                f"local param {k}= has trailing characters after its "
+                f"quoted value in {q!r} (escape interior quotes)"
+            )
+        pos2 = end
         if v and v[0] in "'\"" and v[-1] == v[0]:
             v = v[1:-1]
         if k in params:
@@ -781,6 +815,41 @@ def parse_function_query(s: str, context=None) -> F.Column:
                     return parse_relevance(name.lower())
                 if name.lower() == "ms":
                     return parse_ms()
+                if name.lower() in ("exists", "def"):
+                    # the field argument is an IDENTITY: presence tests
+                    # the RAW column — the generic path's double cast
+                    # reads present-but-non-numeric values as missing,
+                    # while Solr's exists()/def() see ANY value
+                    save = pos
+                    first = next_tok()
+                    raw0 = expr0 = None
+                    if first is not None and first.group("name") is not None:
+                        after = peek()
+                        if not (after is not None
+                                and after.group("punc") == "("):
+                            raw0 = F.col(first.group("name"))
+                    if raw0 is None:
+                        restore(save)
+                        expr0 = parse_expr()
+                    m2 = next_tok()
+                    if name.lower() == "exists":
+                        if m2 is None or m2.group("punc") != ")":
+                            raise err("exists() takes exactly 1 arg")
+                        probe = raw0 if raw0 is not None else expr0
+                        return F.when(probe.isNotNull(), 1.0).otherwise(0.0)
+                    if m2 is None or m2.group("punc") != ",":
+                        raise err("def() takes exactly 2 args")
+                    dflt = parse_expr()
+                    m3 = next_tok()
+                    if m3 is None or m3.group("punc") != ")":
+                        raise err("def() takes exactly 2 args")
+                    if raw0 is not None:
+                        # present-but-non-numeric yields NULL (the field
+                        # EXISTS, so the default must not apply)
+                        return F.when(
+                            raw0.isNotNull(), raw0.cast("double")
+                        ).otherwise(dflt)
+                    return F.coalesce(expr0, dflt)
                 args = []
                 if (p := peek()) is not None and p.group("punc") == ")":
                     next_tok()
@@ -1011,14 +1080,29 @@ def parse_query(q: str, default_op: str = "OR"):
             toks.append(("LP", c)); i += 1
         elif c == ")":
             toks.append(("RP", c)); i += 1
+            m = _re.match(r"~\d+(\.\d+)?", q[i:])
+            if m:
+                # '(a b)~2': Lucene's classic parser has no group
+                # proximity — lexing '~2' as a term silently added a
+                # match on the literal token '2'
+                raise QuerySyntaxError(
+                    f"proximity suffix after a group in {q!r} is not "
+                    'supported — use a quoted phrase "..."~N'
+                )
             m = _re.match(r"\^\d+(\.\d+)?", q[i:])
             if m:  # group boost (a OR b)^2: matching is boost-invariant
                 i += m.end()
         elif c == '"':
-            j = q.find('"', i + 1)
-            if j < 0:
+            # scan to the closing quote, honoring Lucene backslash
+            # escapes (\" stays inside the phrase; the old q.find()
+            # stopped at the escaped quote and shredded the phrase
+            # into unrelated OR clauses)
+            j = i + 1
+            while j < n and q[j] != '"':
+                j += 2 if q[j] == "\\" else 1
+            if j >= n:
                 raise QuerySyntaxError(f"unterminated phrase in {q!r}")
-            text = q[i + 1:j]
+            text = q[i + 1:j].replace('\\"', '"').replace("\\\\", "\\")
             i = j + 1
             slop = 0
             m = _re.match(r"~(\d+)", q[i:])
@@ -1031,12 +1115,21 @@ def parse_query(q: str, default_op: str = "OR"):
             toks.append(("PHRASE", (text, slop)))
         elif c == "-":
             toks.append(("NOT", c)); i += 1
+        elif c == "!":
+            # Lucene's unary prohibit operator (same as '-'); absorbing
+            # it into the term silently INVERTED the clause (analysis
+            # stripped the '!' and the term matched instead of excluding)
+            toks.append(("NOT", c)); i += 1
+        elif c == "+":
+            # Lucene's unary required operator; absorbed-and-stripped it
+            # silently degraded '+a b' to a plain disjunction
+            toks.append(("PLUS", c)); i += 1
         elif q.startswith("&&", i):
             toks.append(("AND", "&&")); i += 2
         elif q.startswith("||", i):
             toks.append(("OR", "||")); i += 2
         else:
-            m = _re.match(r"[^\s()\"]+", q[i:])
+            m = _re.match(r"(?:\\.|[^\s()\"])+", q[i:])
             word = m.group(0)
             i += len(word)
             # operators must be spelled in uppercase (Lucene/Solr):
@@ -1061,21 +1154,23 @@ def parse_query(q: str, default_op: str = "OR"):
         return t
 
     def parse_or():
-        # parts: (node, direct_neg, explicit_or) — direct_neg marks a
-        # clause the user wrote with NOT/- AT THIS LEVEL (a parenthesized
-        # sub-query that merely EVALUATES to a negation is not direct)
+        # parts: (node, direct_neg, required, explicit_or) — direct_neg
+        # marks a clause the user wrote with NOT/-/! AT THIS LEVEL (a
+        # parenthesized sub-query that merely EVALUATES to a negation is
+        # not direct); required marks Lucene's unary '+'
         parts = [parse_and() + (False,)]
         while True:
             k = peek()
             if k == "OR":
                 take()
                 parts.append(parse_and() + (True,))
-            elif k in ("TERM", "PHRASE", "NOT", "LP"):
+            elif k in ("TERM", "PHRASE", "NOT", "PLUS", "LP"):
                 parts.append(parse_and() + (False,))  # juxtaposition
             else:
                 break
         if len(parts) == 1:
-            return parts[0][0]
+            node, direct, req, _exp = parts[0]
+            return node
         # Lucene prohibit semantics for the standard exclusion idiom:
         # a JUXTAPOSED directly-negative clause ('table -shuffle',
         # 'table NOT shuffle') is a MUST_NOT over the whole clause list —
@@ -1085,9 +1180,23 @@ def parse_query(q: str, default_op: str = "OR"):
         # the user spelled out the algebra (Lucene itself is famously
         # surprising here; the spelled-out forms are where users expect
         # plain boolean behavior).
-        prohibit = [n[1] for (n, direct, exp) in parts if direct and not exp]
-        kept = [(n, exp) for (n, direct, exp) in parts
-                if not (direct and not exp)]
+        def _as_prohibited(node):
+            # a direct negation is ('not', x) or an AND chain of them
+            # ('NOT a AND NOT b' == NOT (a OR b))
+            if node[0] == "not":
+                return node[1]
+            return ("or", [c[1] for c in node[1]])
+
+        prohibit = [
+            _as_prohibited(n)
+            for (n, direct, req, exp) in parts if direct and not exp
+        ]
+        required = [
+            n for (n, direct, req, exp) in parts
+            if req and not (direct and not exp)
+        ]
+        kept = [(n, exp) for (n, direct, req, exp) in parts
+                if not (direct and not exp) and not req]
 
         def combine(kept_parts):
             nodes = [n for n, _e in kept_parts]
@@ -1108,15 +1217,25 @@ def parse_query(q: str, default_op: str = "OR"):
             gnodes = [g[0] if len(g) == 1 else ("and", g) for g in groups]
             return gnodes[0] if len(gnodes) == 1 else ("or", gnodes)
 
-        if not prohibit:
-            return combine(kept)
-        nots = [("not", p) for p in prohibit]
-        if not kept:  # pure-negative list (Solr allows it top-level)
-            return nots[0] if len(nots) == 1 else ("and", nots)
-        return ("and", [combine(kept)] + nots)
+        # Lucene '+' semantics: with any MUST clause present, plain
+        # (SHOULD) clauses stop restricting MATCHING — '+a b' matches
+        # the a-docs.  Under q.op=AND every clause is a MUST anyway, so
+        # required clauses just rejoin the conjunction.
+        if required and default_op == "AND":
+            kept = [(n, False) for n in required] + kept
+            required = []
+        conj: list = []
+        if required:
+            conj.extend(required)
+        elif kept:
+            conj.append(combine(kept))
+        conj.extend(("not", p) for p in prohibit)
+        if not conj:  # can't happen (parts is non-empty) — belt
+            return ("all",)
+        return conj[0] if len(conj) == 1 else ("and", conj)
 
     def parse_and():
-        # returns (node, direct_neg-of-single-clause)
+        # returns (node, direct_neg, required)
         first = parse_not()
         parts = [first]
         while peek() == "AND":
@@ -1124,15 +1243,25 @@ def parse_query(q: str, default_op: str = "OR"):
             parts.append(parse_not())
         if len(parts) == 1:
             return first
-        return ("and", [n for n, _ in parts]), False
+        # an AND chain of PURE negations is itself a direct negation
+        # ('table NOT shuffle AND NOT spill' must prohibit both — the
+        # old hardcoded False turned the chain into an OR disjunct
+        # matching nearly the whole corpus)
+        all_neg = all(d for _n, d, _r in parts)
+        return ("and", [n for n, _d, _r in parts]), all_neg, False
 
     def parse_not():
-        # returns (node, direct_neg)
+        # returns (node, direct_neg, required)
         if peek() == "NOT":
             take()
-            inner, _ = parse_not()
-            return ("not", inner), True
-        return parse_atom(), False
+            inner, _d, _r = parse_not()
+            return ("not", inner), True, False
+        if peek() == "PLUS":
+            take()
+            inner, direct, _r = parse_not()
+            # '+-x' keeps the negation (Lucene: the '-' wins)
+            return inner, direct, not direct
+        return parse_atom(), False, False
 
     def _term_node(word: str, fname: str | None = None):
         """A (possibly fuzzy/boosted/wildcard) term atom.  Boost suffixes
@@ -1143,6 +1272,22 @@ def parse_query(q: str, default_op: str = "OR"):
         m = _re.match(r"^(.*?)\^\d+(?:\.\d+)?$", word)
         if m and m.group(1):
             word = m.group(1)
+        if "\\" in word:
+            # Lucene escaping: a backslash makes the next char LITERAL —
+            # the whole word is a plain term (no wildcard/fuzzy parsing;
+            # leaving the backslashes in would wash out under analysis)
+            literal = _re.sub(r"\\(.)", r"\1", word)
+            if fname is not None:
+                return ("fterm", fname, literal)
+            return ("term", literal)
+        if _re.match(r"^.+?~\d*\.\d+$", word):
+            # Lucene 4+ removed fractional fuzzy distances (the old
+            # float similarity); silently splitting 'roam~0.8' into
+            # tokens ['roam','0','8'] matched nothing — be loud instead
+            raise QuerySyntaxError(
+                f"fuzzy term {word!r}: fractional edit distances are "
+                "not supported (use ~1 or ~2, Lucene 4+ contract)"
+            )
         m = _re.match(r"^(.+?)~(\d*)$", word)
         if m:
             base, n_s = m.group(1), m.group(2)
@@ -1244,8 +1389,11 @@ def parse_query(q: str, default_op: str = "OR"):
             word = take()[1]
             if word == "*:*":  # Solr's canonical match-all query
                 return ("all",)
-            if ":" in word:  # Solr fielded clause: field:value / field:"..."
-                fname, _, value = word.partition(":")
+            m_colon = _re.search(r"(?<!\\):", word)
+            if m_colon:  # Solr fielded clause: field:value / field:"..."
+                # (an ESCAPED colon 'foo\:bar' is part of the term)
+                fname = word[:m_colon.start()]
+                value = word[m_colon.end():]
                 if not fname:
                     raise QuerySyntaxError(f"empty field name in {word!r} ({q!r})")
                 if value.startswith("[") or value.startswith("{"):
@@ -1278,6 +1426,11 @@ def parse_query(q: str, default_op: str = "OR"):
                                 f"malformed range bound {b!r} in {q!r}"
                             )
                     return ("frange", fname, lo, hi, lo_incl, hi_incl)
+                if value == "*":
+                    # Solr's field-exists idiom (field:*) — a literal
+                    # '*' term would silently drop the clause on
+                    # analyzed fields or match the literal string '*'
+                    return ("fexists", fname)
                 if value:
                     return _term_node(value, fname=fname)
                 if peek() == "PHRASE":  # field:"quoted phrase"[~N]
@@ -1399,13 +1552,19 @@ def _analyze_node(node, analyze, resolver=None, fuzzy_expand=None,
                 return ("tokens_any", sorted(exp)) if exp else ("none",)
         return ("fuzzytoks", needle, node[2], None)
     if kind in ("fterm", "fphrase", "frange", "fprefix", "ffuzzy",
-                "fsuffix", "finfix", "fwild"):
+                "fsuffix", "finfix", "fwild", "fexists"):
         if resolver is None:
             raise QuerySyntaxError(
                 f"fielded clause on {node[1]!r} needs a field resolver "
                 "(query through SearchIndex.query/search)"
             )
         mode, *rest = resolver(node[1])
+        if kind == "fexists":
+            # Solr's field:* — the field has a value.  The stored raw
+            # column's null-ness is the engine's presence signal for
+            # analyzed and plain fields alike.
+            col = F.col(node[1]) if mode == "analyzed" else rest[0]
+            return ("fexists_c", col)
         if kind == "frange":
             if mode == "analyzed":
                 raise QuerySyntaxError(
@@ -1789,6 +1948,8 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
         return node[2].isNotNull() & node[2].startswith(node[1])
     if kind == "feq":
         return node[2].isNotNull() & (node[2] == F.lit(node[1]))
+    if kind == "fexists_c":
+        return node[1].isNotNull()
     if kind == "fcmp":
         _, col, lo, hi, lo_incl, hi_incl, *rest = node
         dtype = rest[0] if rest else None
@@ -1807,6 +1968,13 @@ def _compile_node(node, toks_col: F.Column) -> F.Column:
             if dtype is not None and dtype.startswith(("timestamp", "date")):
                 v = _parse_solr_date(raw, f"field {fname!r}")
                 return v.date() if dtype == "date" else v
+            if dtype == "string":
+                # Solr string ranges are LEXICOGRAPHIC: a numeric-looking
+                # bound coerced to int would make Spark cast the string
+                # COLUMN instead ('1.5.0' casts to NULL and silently
+                # drops out; '10' fails 10 > 2 where the string range
+                # matches) — keep the bound raw
+                return raw
             try:
                 return int(raw)
             except ValueError:
@@ -1854,7 +2022,7 @@ def _required_tokens(node) -> set:
         "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
         "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all", "none",
         "ftokens_any", "suffixtoks", "fsuftoks", "infixtoks", "finftoks",
-        "fsufcol", "finfcol",
+        "fsufcol", "finfcol", "fexists_c",
         "wildtoks", "fwildtoks", "fwildcol",
     ):
         return set()
@@ -1878,7 +2046,7 @@ def _positive_tokens(node) -> set:
         "not", "ftokens", "ftokens_slop", "feq", "fcmp", "prefix",
         "fptoks", "fpcol", "fuzzytoks", "fuzzycol", "all", "none",
         "ftokens_any", "suffixtoks", "fsuftoks", "infixtoks", "finftoks",
-        "fsufcol", "finfcol",
+        "fsufcol", "finfcol", "fexists_c",
         "wildtoks", "fwildtoks", "fwildcol",
     ):
         return set()
@@ -1900,7 +2068,7 @@ def _can_match_term_free(node) -> bool:
         "ftokens", "ftokens_slop", "feq", "fcmp", "prefix", "fptoks",
         "fpcol", "fuzzytoks", "fuzzycol", "all", "ftokens_any",
         "suffixtoks", "fsuftoks", "infixtoks", "finftoks", "fsufcol",
-        "finfcol",
+        "finfcol", "fexists_c",
         "wildtoks", "fwildtoks", "fwildcol",
     ):
         return True  # satisfiable regardless of default-field tokens

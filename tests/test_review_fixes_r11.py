@@ -204,3 +204,101 @@ class TestCleanParamErrors:
             a.query("{!graph from=tags to=id maxDepth=deep}text:spark")
         with pytest.raises(QuerySyntaxError, match="mindf"):
             a.query("{!mlt qf=text mindf=lots}a1")
+
+
+class TestParserFixes:
+    """search.py parser review: prohibit chains, unary +/!, field:*,
+    escapes, local-params truncation, string ranges, exists()/def()."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("parser_r11") / "idx")
+        rows = [
+            ("1", "table scan fast", "electronics", "1.5.0"),
+            ("2", "table shuffle heavy", "books", "10"),
+            ("3", "table spill disk", None, "2"),
+            ("4", "index seek", "toys", "0.9"),
+            ("5", 'say "hello world" twice', "games", "1"),
+        ]
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("category", "string"),
+                    Field("version", "string")),
+            unique_key="id",
+        )
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+            spark.createDataFrame(
+                rows, "id string, text string, category string, version string"
+            ), out)
+        return SearchIndex.open(spark, out)
+
+    def _ids(self, idx, q, **kw):
+        return sorted(r["id"] for r in idx.query(q, **kw).collect())
+
+    def test_and_chained_negations_prohibit(self, idx):
+        # 'table NOT shuffle AND NOT spill' must EXCLUDE both terms —
+        # the old parser turned the AND chain into an OR disjunct that
+        # matched nearly the whole corpus
+        assert self._ids(idx, "table NOT shuffle AND NOT spill") == ["1"]
+
+    def test_unary_bang_is_prohibit(self, idx):
+        assert self._ids(idx, "table !shuffle") == ["1", "3"]
+
+    def test_unary_plus_is_required(self, idx):
+        # '+shuffle table': shuffle is a MUST, plain clauses stop
+        # restricting matching (Lucene) — only doc 2 matches
+        assert self._ids(idx, "+shuffle table") == ["2"]
+        # q.op=AND: every clause is already a MUST
+        assert self._ids(idx, "+shuffle table", op="AND") == ["2"]
+
+    def test_field_star_is_exists(self, idx):
+        assert self._ids(idx, "category:*") == ["1", "2", "4", "5"]
+        assert self._ids(idx, "table AND category:*") == ["1", "2"]
+        assert self._ids(idx, "text:*") == ["1", "2", "3", "4", "5"]
+
+    def test_escaped_quote_inside_phrase(self, idx):
+        got = self._ids(idx, '"say \\"hello world\\" twice"')
+        assert got == ["5"]
+
+    def test_escaped_colon_stays_in_term(self, idx):
+        from solr_map_reduce_spark.extensions.search import parse_query
+        ast = parse_query("foo\\:bar")
+        assert ast == ("term", "foo:bar")  # literal, not a fielded clause
+
+    def test_string_column_range_is_lexicographic(self, idx):
+        # Solr string ranges compare lexicographically: '1.5.0' and
+        # '10' both fall in ['1' TO '2']; numeric coercion dropped them
+        got = self._ids(idx, "version:[1 TO 2]")
+        assert got == ["1", "2", "3", "5"]  # 1.5.0, 10, 2, 1
+
+    def test_exists_and_def_on_string_field(self, idx):
+        # exists(category) must be true for any value (the double cast
+        # read strings as missing); {!frange} over it selects the docs
+        # WITH a category
+        got = self._ids(idx, "{!frange l=1 u=1}exists(category)")
+        assert got == ["1", "2", "4", "5"]
+        got0 = self._ids(idx, "{!frange l=0 u=0}exists(category)")
+        assert got0 == ["3"]
+
+    def test_float_fuzzy_and_group_slop_are_loud(self, idx):
+        with pytest.raises(QuerySyntaxError, match="fractional"):
+            idx.query("roam~0.8")
+        with pytest.raises(QuerySyntaxError, match="group"):
+            idx.query("(quick fox)~2")
+
+    def test_local_params_quoted_truncation_is_loud(self):
+        from solr_map_reduce_spark.extensions.search import (
+            parse_local_params,
+        )
+        with pytest.raises(QuerySyntaxError, match="quoted value"):
+            parse_local_params("{!terms f=tags v='rock'n'roll'}x")
+
+    def test_empty_terms_guards(self, spark):
+        from solr_map_reduce_spark.extensions.search import (
+            bm25_search, contains_all, contains_any, contains_none,
+        )
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        for fn in (contains_all, contains_any, contains_none, bm25_search):
+            with pytest.raises(ValueError, match="at least one term"):
+                fn(df, [])
