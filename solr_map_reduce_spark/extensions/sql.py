@@ -453,7 +453,22 @@ class _Parser:
 
 def _like_to_wildcard(pattern: str) -> str:
     """SQL LIKE pattern -> Solr wildcard term (% -> *, _ -> ?), per the
-    documented Parallel-SQL mapping."""
+    documented Parallel-SQL mapping.
+
+    The translated term is interpolated into an engine query string, so
+    characters that would CHANGE ITS PARSE are rejected loudly instead
+    of silently injecting clauses (a space splits the pattern into
+    separate OR terms; ':'/'['/'(' start fielded/range/group syntax; a
+    literal '*'/'?' in the SQL pattern has no escape in this mapping)."""
+    import re as _re2
+
+    if _re2.search(r'[\s():"\\~^{}\[\]!+*?]|&&|\|\|', pattern) or \
+            pattern.startswith("-"):
+        raise SqlSyntaxError(
+            f"LIKE pattern {pattern!r} contains characters the wildcard "
+            "mapping cannot represent safely (engine query specials / "
+            "whitespace / literal * or ?)"
+        )
     return pattern.replace("%", "*").replace("_", "?")
 
 
@@ -709,9 +724,28 @@ class SqlEngine:
             c = F.col(node.col.name)
             return (c.isNotNull() if node.negate else c.isNull()), []
         if isinstance(node, InList):
+            if node.col.name in analyzed:
+                # IN on an analyzed field must mean the same as an OR of
+                # '=' (full-text matches): the raw-column isin matched
+                # only documents whose ENTIRE text equals a value —
+                # silently near-empty vs the equivalent equality form
+                preds = [
+                    self._text_pred(src, node.col.name, str(v.value))[0]
+                    for v in node.values
+                ]
+                c = preds[0]
+                for p in preds[1:]:
+                    c = c | p
+                return (~c if node.negate else c), [None]
             c = F.col(node.col.name).isin([v.value for v in node.values])
             return (~c if node.negate else c), []
         if isinstance(node, BetweenOp):
+            if node.col.name in analyzed:
+                raise SqlSyntaxError(
+                    f"BETWEEN on analyzed text field {node.col.name!r} is "
+                    "not supported (a range over stemmed tokens is rarely "
+                    "what anyone means); use a stored copy column"
+                )
             c = F.col(node.col.name).between(node.lo.value, node.hi.value)
             return (~c if node.negate else c), []
         if isinstance(node, LikeOp):
@@ -746,12 +780,21 @@ class SqlEngine:
     def _text_pred(self, src, fname: str, value: str,
                    wildcard: bool = False):
         """Compile one full-text leaf through the engine's query parser;
-        returns (Column, frozenset(required tokens) for pruning)."""
+        returns (Column, frozenset(required tokens) for pruning).
+
+        The leaf compiles UNFIELDED with ``fname`` as the default field:
+        semantics are identical to the fielded form, but the engine's
+        pruning info tracks the DEFAULT field's tokens only — the old
+        fielded interpolation made ``required`` always empty, so the
+        module's documented Bloom shard-pruning never actually ran.
+        Backslashes escape BEFORE quotes: a value containing ``\\\"``
+        would otherwise break out of the generated phrase and inject
+        arbitrary clauses."""
         if wildcard:
-            q = f"{fname}:{value}"
+            q = value
         else:
-            esc = value.replace('"', '\\"')
-            q = f'{fname}:"{esc}"'
+            esc = value.replace("\\", "\\\\").replace('"', '\\"')
+            q = f'"{esc}"'
         pred, info, _f = src._compile_predicate(q, fname)
         req = frozenset(info.get("required") or ())
         return pred, req

@@ -145,13 +145,22 @@ def parse_stream_expr(s: str) -> Call:
         while pos < n and s[pos] not in ",)":
             c = s[pos]
             if c == '"':
+                # quote-aware AND escape-aware: Solr's canonical nested
+                # form q="field:\"a b\"" must keep the escaped quotes
+                # inside the value (the old scan stopped at the first
+                # quote after a backslash and silently mangled the query)
                 pos += 1
-                start = pos
+                buf = []
                 while pos < n and s[pos] != '"':
-                    pos += 1
+                    if s[pos] == "\\" and pos + 1 < n and s[pos + 1] in '\\"':
+                        buf.append(s[pos + 1])
+                        pos += 2
+                    else:
+                        buf.append(s[pos])
+                        pos += 1
                 if pos >= n:
                     raise err("unterminated string")
-                out.append(s[start:pos])
+                out.append("".join(buf))
                 pos += 1
             elif c == "(":
                 raise err("unexpected '('")
@@ -556,7 +565,17 @@ class StreamCompiler:
 
     # -- public -------------------------------------------------------
     def run(self, expr: str) -> DataFrame:
-        df, sort = self._compile(parse_stream_expr(expr))
+        # topic() registers its (topic, watermark) while the expression
+        # is still compiling: roll the registrations back on a compile
+        # failure, or a later commit_topics() would advance the stale
+        # checkpoint past documents that were never returned (silent
+        # skip — a permanent at-least-once violation)
+        mark = len(self._pending_topics)
+        try:
+            df, sort = self._compile(parse_stream_expr(expr))
+        except Exception:
+            del self._pending_topics[mark:]
+            raise
         return df.orderBy(*_order_cols(sort)) if sort else df
 
     def commit_topics(self) -> None:
@@ -831,8 +850,17 @@ class StreamCompiler:
             raise QuerySyntaxError("unique() needs over=")
         keys = [c.strip() for c in over.split(",")]
         # Solr: first tuple per key in the stream's sort order — which
-        # requires the stream be sorted; make that contract explicit
-        order = _order_cols(sort) if sort else [F.asc(k) for k in keys]
+        # requires the stream be sorted; an untracked sort would order
+        # the window by the partition keys themselves (every row ties),
+        # making WHICH tuple survives nondeterministic between runs —
+        # loud beats silently-unstable
+        if not sort:
+            raise QuerySyntaxError(
+                "unique() needs a sorted input stream (Solr's contract: "
+                "the FIRST tuple per over= key in sort order) — wrap the "
+                "input in sort(...) or give search(...) a sort= param"
+            )
+        order = _order_cols(sort)
         w = Window.partitionBy(*keys).orderBy(*order)
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -1164,6 +1192,19 @@ class StreamCompiler:
                     "buckets are anchored at start, per Solr's range "
                     "contract)"
                 )
+            # date_trunc truncates in the SESSION timezone — the same
+            # UTC guard the anchored month/year path enforces applies
+            # here too (Solr dates are UTC-only; a non-UTC session would
+            # silently shift every bucket edge by the zone offset)
+            spark = df.sparkSession
+            tz = spark.conf.get("spark.sql.session.timeZone", "")
+            if tz.upper() not in ("UTC", "ETC/UTC", "GMT", "Z", "+00:00"):
+                raise QuerySyntaxError(
+                    "timeseries calendar bucketing truncates in the "
+                    "session timezone and requires "
+                    "spark.sql.session.timeZone=UTC (Solr dates are "
+                    f"UTC-only); session has {tz!r}"
+                )
             if end_s is not None:
                 df = df.filter(F.col(fld) < F.lit(_bound(end_s, "end")))
             bucket = F.date_trunc(unit.lower(), F.col(fld)).alias(fld)
@@ -1487,7 +1528,17 @@ class StreamCompiler:
         if not tid:
             raise QuerySyntaxError("topic() needs id= (the topic's name)")
         import os
+        import re as _re2
 
+        # both names become path components of the checkpoint file:
+        # restrict to identifier-ish characters so expression text can
+        # never traverse outside checkpoint_dir ('id=../../evil')
+        for label, val in (("checkpointCollection", ckpt_coll), ("id", tid)):
+            if not _re2.fullmatch(r"[A-Za-z0-9_.-]+", val) or ".." in val:
+                raise QuerySyntaxError(
+                    f"topic() {label}={val!r} must be a plain name "
+                    "(letters, digits, '_', '-', '.')"
+                )
         ckpt = os.path.join(self.checkpoint_dir, f"{ckpt_coll}_{tid}.json")
         topic = Topic(
             src.spark, src.path, ckpt, q=node.kwargs.get("q"),
@@ -1610,6 +1661,20 @@ class StreamCompiler:
             semi = c if semi is None else semi & c
         restricted = base.join(F.broadcast(keys), semi, "left_semi")
         proj = restricted.select(*rkeys, *fetch_cols)
+        # Solr FetchStream builds a key -> doc MAP: one fetched doc per
+        # key, stream cardinality preserved.  A plain left join would
+        # MULTIPLY stream tuples when the fetched collection holds
+        # duplicate keys (silently inflating downstream rollups) — keep
+        # one deterministic winner per key (first by the fetched
+        # columns' natural order).
+        w = Window.partitionBy(*[F.col(r) for r in rkeys]).orderBy(
+            *[F.col(c) for c in fetch_cols]
+        )
+        proj = (
+            proj.withColumn("_fetch_rn", F.row_number().over(w))
+            .filter(F.col("_fetch_rn") == 1)
+            .drop("_fetch_rn")
+        )
         cond = None
         for l, r in pairs:
             c = stream[l] == proj[r]

@@ -302,3 +302,155 @@ class TestParserFixes:
         for fn in (contains_all, contains_any, contains_none, bm25_search):
             with pytest.raises(ValueError, match="at least one term"):
                 fn(df, [])
+
+
+class TestStreamSqlFixes:
+    """stream_expr/sql review: injection hardening, Solr-semantics
+    divergences, topic checkpoint safety."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("sqlfix") / "idx")
+        rows = [("1", "spark join engine", 5), ("2", "slow scan", 7),
+                ("3", "spark", 9), ("4", "entirely different", 11)]
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general"),
+                    Field("n", "long")),
+            unique_key="id",
+        )
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none",
+                                search_stats=True)).build(
+            spark.createDataFrame(rows, "id string, text string, n long"),
+            out)
+        return SearchIndex.open(spark, out)
+
+    def test_sql_equality_backslash_quote_no_injection(self, docs):
+        from solr_map_reduce_spark.extensions.sql import SqlEngine
+
+        eng = SqlEngine({"docs": docs})
+        # a literal containing \" must stay INSIDE the phrase — the old
+        # escaping let it break out and inject OR clauses
+        got = eng.sql(
+            'SELECT id FROM docs WHERE text = \'x\\" OR id:1 OR y\''
+        ).collect()
+        assert got == []  # nothing contains that literal; no injection
+
+    def test_sql_like_rejects_unsafe_patterns(self, docs):
+        from solr_map_reduce_spark.extensions.sql import (
+            SqlEngine, SqlSyntaxError,
+        )
+
+        eng = SqlEngine({"docs": docs})
+        ok = {r["id"] for r in eng.sql(
+            "SELECT id FROM docs WHERE text LIKE 'spar%'"
+        ).collect()}
+        assert ok == {"1", "3"}
+        for bad in ("foo bar%", "x OR n:[1 TO *]", "lit*eral"):
+            with pytest.raises(SqlSyntaxError, match="LIKE pattern"):
+                eng.sql(f"SELECT id FROM docs WHERE text LIKE '{bad}'")
+
+    def test_sql_in_on_analyzed_matches_like_equality(self, docs):
+        from solr_map_reduce_spark.extensions.sql import (
+            SqlEngine, SqlSyntaxError,
+        )
+
+        eng = SqlEngine({"docs": docs})
+        eq = {r["id"] for r in eng.sql(
+            "SELECT id FROM docs WHERE text = 'spark'").collect()}
+        inn = {r["id"] for r in eng.sql(
+            "SELECT id FROM docs WHERE text IN ('spark')").collect()}
+        assert inn == eq == {"1", "3"}
+        both = {r["id"] for r in eng.sql(
+            "SELECT id FROM docs WHERE text IN ('spark', 'scan')"
+        ).collect()}
+        assert both == {"1", "2", "3"}
+        with pytest.raises(SqlSyntaxError, match="BETWEEN"):
+            eng.sql("SELECT id FROM docs WHERE text BETWEEN 'a' AND 'b'")
+
+    def test_stream_quoted_escape_in_q(self, docs):
+        from solr_map_reduce_spark.extensions.stream_expr import (
+            StreamCompiler,
+        )
+
+        eng = StreamCompiler({"docs": docs})
+        got = {r["id"] for r in eng.run(
+            'search(docs, q="text:\\"spark join\\"", fl="id")'
+        ).collect()}
+        assert got == {"1"}  # the exact phrase, not mangled tokens
+
+    def test_stream_unique_without_sort_is_loud(self, docs):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+        from solr_map_reduce_spark.extensions.stream_expr import (
+            StreamCompiler,
+        )
+
+        eng = StreamCompiler({"docs": docs})
+        with pytest.raises(QuerySyntaxError, match="sorted input"):
+            eng.run('unique(search(docs, q="*:*", fl="id,n"), over="n")')
+
+    def test_stream_fetch_dedupes_collection_keys(self, spark, docs,
+                                                  tmp_path):
+        from solr_map_reduce_spark.extensions.stream_expr import (
+            StreamCompiler,
+        )
+
+        # lookup collection with a DUPLICATE key (two rows k=5)
+        lk = str(tmp_path / "lk")
+        schema = IndexSchema(
+            fields=(Field("lid", "string", required=True),
+                    Field("k", "long"), Field("name", "string")),
+            unique_key="lid",
+        )
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none")).build(
+            spark.createDataFrame(
+                [("a", 5, "first"), ("b", 5, "second"), ("c", 7, "only")],
+                "lid string, k long, name string"), lk)
+        eng = StreamCompiler({"docs": docs,
+                              "lk": SearchIndex.open(spark, lk)})
+        rows = eng.run(
+            'fetch(lk, search(docs, q="*:*", fl="id,n", '
+            'sort="id asc"), on="n=k", fl="name")'
+        ).collect()
+        # Solr FetchStream: one output tuple per input tuple (map
+        # semantics) — the duplicate k=5 must not multiply the stream
+        assert len(rows) == 4
+        by_id = {r["id"]: r["name"] for r in rows}
+        assert by_id["1"] == "first"  # deterministic winner
+        assert by_id["2"] == "only"
+
+    def test_topic_failed_run_does_not_pend_checkpoint(self, spark,
+                                                       tmp_path):
+        import json, os
+
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+        from solr_map_reduce_spark.extensions.stream_expr import (
+            StreamCompiler,
+        )
+
+        out = str(tmp_path / "vidx")
+        schema = IndexSchema(
+            fields=(Field("id", "string", required=True),
+                    Field("text", "text_general")),
+            unique_key="id",
+        )
+        IndexJob(IndexJobConfig(schema=schema, shards=1, dedup="none",
+                                doc_versions=True)).build(
+            spark.createDataFrame([(str(i), "w") for i in range(5)],
+                                  "id string, text string"), out)
+        ck = str(tmp_path / "ck")
+        os.makedirs(ck)
+        eng = StreamCompiler(
+            {"c": SearchIndex.open(spark, out)}, checkpoint_dir=ck,
+        )
+        # a run whose OUTER decorator fails after topic() pulled
+        with pytest.raises(QuerySyntaxError):
+            eng.run('unique(topic(ckc, c, id=t1, q="*:*"))')  # no over=
+        assert eng._pending_topics == []  # rolled back
+        eng.commit_topics()  # must be a no-op
+        # the never-delivered docs arrive on the next good pull
+        got = eng.run('topic(ckc, c, id=t1, q="*:*")')
+        assert got.count() == 5
+        # and the id is sanitized against traversal
+        with pytest.raises(QuerySyntaxError, match="plain name"):
+            eng.run('topic(ckc, c, id=../../evil, q="*:*")')
