@@ -138,12 +138,19 @@ class MinHashIndex:
             else self._features(docs, text_col, id_col).localCheckpoint(eager=True)
         )
         n = feats.count()
-        self._banded(feats, id_col).withColumnRenamed(id_col, "doc_id").write.mode(
-            "append"
-        ).parquet(self._bands_path)
+        # FEATURES first, bands LAST: a crash between the writes must
+        # fail SAFE.  Band rows without features would generate
+        # candidates that verified_jaccard's inner feature join silently
+        # drops forever; feature rows without bands are merely invisible
+        # until a replay re-adds the doc (add_unique's replay guard keys
+        # on the BANDS table for exactly this reason, and match()
+        # dedupes the then-duplicated feature rows per id).
         feats.select(
             F.col(id_col).alias("doc_id"), "shingle_hashes"
         ).write.mode("append").parquet(self._features_path)
+        self._banded(feats, id_col).withColumnRenamed(id_col, "doc_id").write.mode(
+            "append"
+        ).parquet(self._bands_path)
         return n
 
     def match(
@@ -163,6 +170,14 @@ class MinHashIndex:
         ``"corpus"`` (``id_a`` = batch id, ``id_b`` = indexed id).  The
         corpus band table is probed via a broadcast of the batch's bands —
         history never shuffles."""
+        from solr_map_reduce_spark.extensions.text_dedup import (
+            _warn_banding_gap,
+        )
+
+        _warn_banding_gap(
+            threshold, self.params.bands,
+            self.params.num_perm // self.params.bands, "MinHashIndex.match",
+        )
         if _feats is not None:
             feats = _feats
         else:
@@ -265,6 +280,27 @@ class MinHashIndex:
         min-id-wins within the batch, corpus-wins across).  Returns
         ``(n_indexed, dup_pairs)``."""
         feats = self._features(docs, text_col, id_col).localCheckpoint(eager=True)
+        if self._has_data():
+            # REPLAY GUARD (at-least-once ingest): a batch doc whose id
+            # is already indexed was absorbed by a previous attempt of
+            # this batch — re-adding would duplicate its band/feature
+            # rows, and the corpus-candidate filter cannot flag it (the
+            # identity pair is exactly what _query_id != doc_id
+            # suppresses).  Keyed on the BANDS table: bands are written
+            # LAST (see add()), so presence there means fully indexed.
+            # The probe is a column-pruned scan semi-joined against the
+            # broadcast batch ids — the bounded result (<= batch) then
+            # anti-joins the batch.
+            batch_ids = feats.select(F.col(id_col)).distinct()
+            already = (
+                self.spark.read.parquet(self._bands_path)
+                .select(F.col("doc_id").alias(id_col)).distinct()
+                .join(F.broadcast(batch_ids), id_col, "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            feats = feats.join(
+                F.broadcast(already), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
         pairs = self.match(docs, text_col, id_col, threshold=threshold, _feats=feats)
         dup_ids = (
             pairs.select(

@@ -218,7 +218,12 @@ def minhash_signatures(
     """id → minhash signature (array<long> of length num_perm).
 
     Shingle hashing is JVM-side; the Python stage is the whole-batch
-    vectorized ``min((a*x + b) mod p)`` kernel — Arrow in, Arrow out.
+    vectorized ``min(((a*x + b) mod 2^64) mod p)`` kernel — Arrow in,
+    Arrow out.  (a*x wraps uint64 BEFORE the Mersenne mod — the same
+    family datasketch computes: deterministic and consistent across the
+    one-shot and incremental kernels, but not the textbook universal
+    hash; the banding curve is empirical, not a pairwise-independence
+    theorem.)
     """
     a, b = _perm_params(num_perm, seed)
 
@@ -230,6 +235,25 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), _minhash(F.col("_sh")).alias(sig_col))
 
 
+def _warn_banding_gap(threshold: float, bands: int, rows: int,
+                      where: str) -> None:
+    """Loud (but non-fatal) when the verify threshold sits far below the
+    LSH banding operating point (1/b)^(1/r): candidate RECALL collapses
+    there — a true pair at jaccard = threshold rarely shares any band —
+    and the silent miss reads as 'no duplicates found'."""
+    import warnings
+
+    op = (1.0 / bands) ** (1.0 / rows)
+    if threshold < op - 0.1:
+        warnings.warn(
+            f"{where}: threshold={threshold} is well below the "
+            f"{bands}x{rows} banding operating point (~{op:.2f}); most "
+            "true pairs near the threshold never become candidates — "
+            "raise bands (fewer rows per band) to match the threshold",
+            stacklevel=3,
+        )
+
+
 def lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -238,7 +262,21 @@ def lsh_candidates(
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash) → candidate
     pairs (a < b).  Only (id, band_hash) rows shuffle — at 100 TB the
-    signature table is orders of magnitude smaller than the corpus."""
+    signature table is orders of magnitude smaller than the corpus.
+
+    ``bands`` must divide the signature length (checked against the
+    first row): a silent floor would band only a prefix of the
+    signature (a very different threshold curve), and bands > num_perm
+    would give every doc an EMPTY band slice — identical band hashes
+    corpus-wide, an O(n²) self-join."""
+    first = sigs.select(F.size(F.col(sig_col)).alias("_n")).first()
+    if first is not None:
+        num_perm = int(first["_n"])
+        if bands > num_perm or num_perm % bands:
+            raise ValueError(
+                f"bands={bands} must divide the signature length "
+                f"({num_perm}) — same contract as minhash_features"
+            )
     num_perm_col = F.size(F.col(sig_col))
     rows_per_band = (num_perm_col / bands).cast("int")
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -308,11 +346,17 @@ def verified_jaccard(
     joined = a.join(p, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("_ha", "_hb"))
     union = F.size(F.array_union("_ha", "_hb"))
-    return joined.select(
-        "id_a",
-        "id_b",
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
-    )
+    # two EMPTY shingle sets (punctuation-only / empty docs — they all
+    # share identical zero signatures, so they always become candidates)
+    # would divide 0.0/0.0 = NaN, and Spark's NaN-is-greatest ordering
+    # makes NaN >= threshold TRUE — every pair of empty docs would be
+    # reported a near-dup, a QUADRATIC blowup on boilerplate-stripped
+    # web corpora.  Empty vs empty is jaccard 0 here: no shingles, no
+    # textual evidence of duplication.
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return joined.select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def minhash_features(
@@ -649,7 +693,23 @@ def simhash_candidates(
     Blocking: split the 64-bit hash into 4 16-bit chunks; any pair within
     hamming distance 3 must agree on >= 1 chunk (pigeonhole), so a self-join
     per chunk finds all candidates without a cross join.  Verification is
-    ``bit_count(a XOR b)`` — pure JVM."""
+    ``bit_count(a XOR b)`` — pure JVM.
+
+    The 4-chunk pigeonhole is COMPLETE only for ``max_hamming <= 3`` (4
+    differing bits can land one per chunk and agree nowhere); larger
+    values still run — the chunk-agreement blocking then finds MOST but
+    not provably all qualifying pairs — with a loud warning, since the
+    docstring contract weakens to best-effort there."""
+    if max_hamming > 3:
+        import warnings
+
+        warnings.warn(
+            f"simhash_candidates(max_hamming={max_hamming}): the 4x16-bit "
+            "pigeonhole blocking is complete only for distances <= 3 — "
+            "pairs whose differing bits spread across all four chunks "
+            "will be missed (best-effort candidates at this distance)",
+            stacklevel=2,
+        )
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col(sim_col), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
@@ -698,6 +758,8 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard >= threshold, LSH-blocked so it never cross-joins
     the corpus (block_bands minhash bands generate candidates; a lower
     threshold needs more bands)."""
+    _warn_banding_gap(threshold, block_bands, 64 // block_bands,
+                      "ngram_jaccard_pairs")
     df = ensure_parallelism(df)
     hashed = (
         shingle_hashes(df, text_col, k, "shingle_hashes")
@@ -782,8 +844,9 @@ def dedup_passages(
     delimiter: str = " ",
 ) -> DataFrame:
     """Corpus-wide passage-level exact dedup — the C4/CCNet "line dedup"
-    pass, generalized: split each document into passages (newline lines when
-    the text has them, else fixed ``chunk_words``-word chunks), keep each
+    pass, generalized to fixed ``chunk_words``-word chunks split on
+    ``delimiter`` (for true LINE dedup pass ``delimiter="\n"`` with
+    ``chunk_words=1`` — there is no implicit newline mode).  Keep each
     distinct passage only at its FIRST occurrence in corpus order
     (min ``(id, position)``), and reassemble the surviving text per doc.
 

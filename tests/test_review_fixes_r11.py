@@ -454,3 +454,79 @@ class TestStreamSqlFixes:
         # and the id is sanitized against traversal
         with pytest.raises(QuerySyntaxError, match="plain name"):
             eng.run('topic(ckc, c, id=../../evil, q="*:*")')
+
+
+class TestDedupFixes:
+    """text_dedup/minhash_index review: NaN-jaccard empty docs, replay
+    idempotence, simhash blocking bound, lsh banding validation."""
+
+    def test_empty_docs_are_not_mutual_near_dups(self, spark):
+        from solr_map_reduce_spark.extensions.text_dedup import minhash_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "!!!"), (2, "???"), (3, ""), (4, "real words here today"),
+             (5, "real words here today")],
+            "doc_id long, text string",
+        )
+        pairs = minhash_dedup(docs, threshold=0.8).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        # the true duplicate pair survives; the punctuation-only/empty
+        # docs (identical zero signatures, 0/0 jaccard = NaN pre-fix,
+        # and NaN >= 0.8 is TRUE under Spark's NaN-is-greatest) must not
+        assert (4, 5) in got
+        assert not any(a in (1, 2, 3) or b in (1, 2, 3) for a, b in got)
+
+    def test_add_unique_replay_does_not_reindex(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.minhash_index import (
+            MinHashIndex, MinHashParams,
+        )
+
+        idx = MinHashIndex.create(spark, str(tmp_path / "mh"),
+                                  MinHashParams())
+        batch = spark.createDataFrame(
+            [(i, f"totally unique document number {i} with words {i*7}")
+             for i in range(10)],
+            "doc_id long, text string",
+        )
+        n1, _ = idx.add_unique(batch)
+        assert n1 == 10
+        # at-least-once replay of the SAME batch: nothing re-indexed
+        n2, _ = idx.add_unique(batch)
+        assert n2 == 0
+        stored = spark.read.parquet(str(tmp_path / "mh" / "features"))
+        assert stored.count() == 10  # no duplicate feature rows
+        assert stored.select("doc_id").distinct().count() == 10
+
+    def test_simhash_blocking_bound_is_loud(self, spark):
+        import warnings
+
+        from solr_map_reduce_spark.extensions.text_dedup import (
+            simhash64, simhash_candidates,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+        sims = simhash64(docs)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            simhash_candidates(sims, max_hamming=4)
+        assert any("pigeonhole" in str(x.message) for x in w)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            simhash_candidates(sims, max_hamming=3)
+        assert not w  # complete blocking: no warning
+
+    def test_lsh_candidates_validates_banding(self, spark):
+        from solr_map_reduce_spark.extensions.text_dedup import (
+            lsh_candidates, minhash_signatures,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four"), (2, "five six seven eight")],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(docs, num_perm=64)
+        with pytest.raises(ValueError, match="divide"):
+            lsh_candidates(sigs, bands=24)
+        with pytest.raises(ValueError, match="divide"):
+            lsh_candidates(sigs, bands=100)
