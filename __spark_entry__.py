@@ -134,56 +134,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round), r11 rotation per the r10 verdict's #1/#2
-# directives: (a) the 5 r10 additions that have never had an external
-# CORRECTNESS row, led by the round's flagship features, (b)
-# c6_atomic_removeregex — the r10 gate ERR (array column the harness
-# canonicalizer couldn't hash) is fixed to emit a '|'-joined string on
-# both sides (the r3 a11 precedent) and must get its green row, (c)
-# c9_knn_prefiltered — new this round (routed filtered vector search,
-# provably exact at full probe) — plus ext_train_lr, whose no_oracle
-# became a real recursive-CTE oracle this round, (d) the full 20-entry
-# r06-stale cohort, (e) 22 of the 50-entry r07 cohort (oldest
-# remaining) — the other 28 r07 entries lead the r12 rotation.  After this round the
-# staleness floor is r8 and never-checked is 0 (minus any r11-close
-# additions).  The repo's own oracle suite covers all entries every
-# pytest run regardless (tests/test_queries_oracle.py).
+# entries per round), r12 rotation per the r11 verdict's #1 directive,
+# recounted from CORRECTNESS_r01..r11 at round start (ledger after
+# r11: never-checked 0; cohorts r7=28, r8=50, r9=50, r10=48, r11=50):
+# (a) the FULL 28-entry r07-stale cohort — the only thing older than
+# r8, four rounds without an external check, including the
+# LLM-pipeline staples (ext_passage_dedup, ext_decontaminate,
+# ext_knn_join, ext_c4_clean) and the core text-surface queries
+# (c9_search_request, c9_fielded_query); (b) 22 of the 50-entry r08
+# cohort (alphabetical within the equally-stale cohort) — the
+# remaining 28 r08 entries (c9_spellcheck, c9_stats_field,
+# c9_stats_percentiles, c9_synonym_query, c9_term_vectors,
+# c9_terms_component, c9_terms_filter, c9_wildcard_general,
+# ext_bigram_surprisal, ext_dismax_mm, ext_dismax_topk, ext_geofilt,
+# ext_hybrid_rrf, ext_mmr_rerank, ext_rerank_query, ext_semdedup,
+# ext_sq_topk, ext_stream_complement, ext_stream_hashjoin,
+# ext_stream_having, ext_stream_nodes, ext_stream_rollup,
+# ext_stream_select_eval, ext_stream_shortest_path,
+# ext_stream_sigterms, ext_stream_timeseries, ext_topic_pull,
+# ext_unigram_surprisal) lead the r13 rotation.  After this round the
+# staleness floor is r8 (28 entries left at r8) and never-checked
+# stays 0 (minus any r12-close additions).  The repo's own oracle
+# suite covers all entries every pytest run regardless
+# (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a) never externally checked — the 5 r10 additions
-    "c9_knn_routed", "c9_join_from_index", "c9_surround_n",
-    "c9_luke", "c9_backup_restore",
-    # (b) the r10 gate ERR, now harness-canonicalizable
-    "c6_atomic_removeregex",
-    # (c) new this round; ext_train_lr's no_oracle is now a REAL
-    # recursive-CTE oracle (r10 verdict #5) and re-enters for its
-    # first hash-checked row
-    "c9_knn_prefiltered", "ext_train_lr",
-    # (d) r06-stale cohort, all 20
-    "ext_simhash", "ext_ngram_jaccard", "ext_simhash_pairs",
-    "ext_cosine_pairs", "ext_dedup_clusters", "ext_sessionize",
-    "c9_contains_all", "c9_contains_any", "c9_match_phrase",
-    "c9_prefix_match", "c9_contains_none", "c9_term_facet",
-    "c9_highlight", "ext_quantile_filter", "ext_pack_sequences",
-    "ext_redact_pii", "ext_profile", "ext_source_mixture",
-    "window_sliding_counts", "ext_repetition",
-    # (e) r07 cohort, 22 of 50 (oldest-first); the remaining 28
-    # (c9_fielded_query, c9_fuzzy_query, c9_phrase_slop,
-    # c9_range_query, c9_search_request, ext_bm25_filtered,
-    # ext_c4_clean, ext_chunk_docs, ext_cosine_pairs_lsh,
-    # ext_decontaminate, ext_hash_split, ext_ivf_topk, ext_ivfpq_topk,
-    # ext_knn_classify, ext_knn_join, ext_passage_dedup,
-    # ext_pixel_stats, ext_pq_topk, ext_source_cap, ext_spatial_bbox,
-    # ext_url_dedup, facet_cube_counts, q14_promo_revenue,
-    # q18_large_orders, q4_order_priority, c9_field_group,
-    # c9_facet_query, c7_segment_contract) lead r12
-    "a10_dedup_retain_most_recent", "a11_dedup_sort_updates",
-    "a12_collision_report", "a8_routing_shards", "agg_distinct_users",
-    "b2_sanitize_fields", "b3_sequence_key", "b4_tokenize_general",
-    "b4_tokenize_lowercase", "b6_extract_json", "c1_count_all",
-    "c2_key_range", "c2_point_lookup", "c2_segment_lookup",
-    "c3_delete_by_query", "c4_sort_page", "c5_projection",
-    "c6_atomic_update", "c6_upsert_latest", "c9_boolean_query",
-    "c9_boosted_query", "c9_date_range",
+    # (a) r07-stale cohort, all 28 — unchecked since round 7
+    "c7_segment_contract", "c9_facet_query", "c9_field_group",
+    "c9_fielded_query", "c9_fuzzy_query", "c9_phrase_slop",
+    "c9_range_query", "c9_search_request", "ext_bm25_filtered",
+    "ext_c4_clean", "ext_chunk_docs", "ext_cosine_pairs_lsh",
+    "ext_decontaminate", "ext_hash_split", "ext_ivf_topk",
+    "ext_ivfpq_topk", "ext_knn_classify", "ext_knn_join",
+    "ext_passage_dedup", "ext_pixel_stats", "ext_pq_topk",
+    "ext_source_cap", "ext_spatial_bbox", "ext_url_dedup",
+    "facet_cube_counts", "q14_promo_revenue", "q18_large_orders",
+    "q4_order_priority",
+    # (b) r08 cohort, 22 of 50 (alphabetical; rest lead r13)
+    "c6_atomic_inc", "c9_alias_query", "c9_block_join_child",
+    "c9_block_join_parent", "c9_boost_function", "c9_cursor_page",
+    "c9_elevated_query", "c9_facet_prefix", "c9_facet_stats",
+    "c9_frange", "c9_frange_func", "c9_grouped", "c9_interval_facet",
+    "c9_join_query", "c9_leading_wildcard", "c9_multiselect_facet",
+    "c9_parsed_boost", "c9_pivot_facet", "c9_qop_and",
+    "c9_query_facets", "c9_range_facet", "c9_sort_function",
 ]
 
 
