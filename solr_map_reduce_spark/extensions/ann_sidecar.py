@@ -266,15 +266,15 @@ def build(
         "epoch": 0,
         "built_generation": pinned_gen,
     }
-    if kind == "ivf":
-        # unit_norms: whether EVERY stored vector has ||v|| == 1 (one
-        # exact map-side-combined min/max aggregate over the build
-        # scan).  When true, {!knn similarity=dot} routes through the
-        # same probes — for unit vectors the cosine bucket ranking IS
-        # dot's, and scoring over probed raw vectors is true dot.  A
-        # later upsert of a non-unit vector flips the flag off
-        # (delta_upsert) so dot falls back to the exact scan.
-        meta["unit_norms"] = _all_unit_norms(base_rows, field)
+    # unit_norms: whether EVERY stored vector has ||v|| == 1 (one
+    # exact map-side-combined min/max aggregate over the build scan).
+    # When true, {!knn similarity=dot} routes through the same probes
+    # for BOTH kinds — for unit vectors the cosine bucket ranking IS
+    # dot's; IVF scores true dot over probed raw vectors, and IVF-PQ's
+    # ADC score (cosine over unit-encoded codes) EQUALS dot under the
+    # invariant.  A later upsert of a non-unit vector flips the flag
+    # off (delta_upsert) so dot falls back to the exact scan.
+    meta["unit_norms"] = _all_unit_norms(base_rows, field)
     if nprobe == "auto":
         pick = _auto_nprobe(
             base_rows, field, cents, unit_space=(kind == "ivfpq"),
@@ -435,8 +435,14 @@ def probe_topk(
             )
             return scored.orderBy(F.desc("score"), F.col(key)).limit(k)
         return sim.cosine_topk(rows, qvec, k, id_col=key, vec_col=ivf.vec_col)
-    if metric == "dot":
-        raise ValueError("ivfpq ADC serves cosine only (unit-encoded codes)")
+    if metric == "dot" and not meta.get("unit_norms"):
+        # PQ codes are unit-encoded: stored norms are gone, so ADC can
+        # rank dot only when every stored vector's norm is 1 (where
+        # cosine == dot).  The caller gates on meta["unit_norms"] too;
+        # this is the defense-in-depth raise.
+        raise ValueError(
+            "ivfpq ADC serves dot only on a unit-norm corpus"
+        )
     return index.pq.topk(rows, qvec, k=k, bucket_col=ivf.bucket_col)
 
 
@@ -533,10 +539,10 @@ def delta_upsert(
         vec_rows = upserted_rows.select(key, field).filter(
             F.col(field).isNotNull()
         )
-        if kind == "ivf" and meta.get("unit_norms"):
+        if meta.get("unit_norms"):
             # a non-unit upserted vector breaks the invariant dot
-            # routing rests on: flip the flag (dot falls back exact;
-            # cosine keeps routing) — O(batch) aggregate
+            # routing rests on (either kind): flip the flag (dot falls
+            # back exact; cosine keeps routing) — O(batch) aggregate
             if not _all_unit_norms(vec_rows, field, empty=True):
                 meta["unit_norms"] = False
         write_meta(fs, side, meta)  # phase 1: consume the epoch

@@ -4052,15 +4052,14 @@ class SearchIndex:
         if handle is None:
             return None
         kind, idx, side, meta = handle
-        if metric == "dot" and not (
-            kind == "ivf" and meta.get("unit_norms")
-        ):
+        if metric == "dot" and not meta.get("unit_norms"):
             # dot routes only when the stored corpus is unit-norm (the
             # build-time invariant under which the cosine bucket
-            # ranking IS dot's; scoring over probed raw vectors is true
-            # dot either way) — otherwise exact scan (a long stored
-            # vector could top the dot ranking from a bucket the L2
-            # probe never reads)
+            # ranking IS dot's; IVF scores true dot over probed raw
+            # vectors, IVF-PQ's ADC score equals dot under the
+            # invariant) — otherwise exact scan (a long stored vector
+            # could top the dot ranking from a bucket the L2 probe
+            # never reads)
             return None
         hits = self._ann_probe_hits(
             handle, qvec, k, params, filter_keys, metric

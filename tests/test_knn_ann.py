@@ -1089,6 +1089,127 @@ class TestDotRouting:
         assert meta["unit_norms"] is True
 
 
+class TestDotRoutingIvfPq:
+    """Unit-norm dot routes on ivfpq-kind sidecars too: PQ codes are
+    unit-encoded, so the ADC score (cosine over the decoded vector)
+    EQUALS dot under the stored-corpus unit-norm invariant — the
+    ``kind == "ivf"`` conjunct was one stricter than the math
+    requires (r11 verdict Missing #2 sub-case)."""
+
+    def _unit_artifact(self, spark, out):
+        schema = IndexSchema(
+            fields=(Field("vec_id", "long", required=True),
+                    Field("embedding", "array<double>"),
+                    Field("label", "string")),
+            unique_key="vec_id",
+        )
+        U = VECS / np.linalg.norm(VECS, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in U[i]], "x") for i in range(N)]
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, label string"
+            ), out)
+        return SearchIndex.open(spark, out), U
+
+    def test_unit_corpus_routes_dot_ivfpq(self, spark, tmp_path):
+        import json
+        idx, U = self._unit_artifact(spark, str(tmp_path / "pq_u"))
+        side = idx.build_ann("embedding", kind="ivfpq", n_centroids=4,
+                             nprobe=4, m=8, ksub=16)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["unit_norms"] is True
+        q = QUERIES[0]
+        dots = U @ q
+        want = sorted(range(N), key=lambda i: (-dots[i], i))[:10]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=10 similarity=dot nprobe=4}}"
+            + _vec_literal(q)
+        ).collect()]
+        # ADC is approximate: full-probe compressed recall floor (same
+        # bound the cosine ivfpq routing test uses)
+        assert len(got) == 10
+        assert len(set(got) & set(want)) >= 5
+        # the ADC scores ARE the cosine scores, so the dot page must
+        # equal the cosine page at the same nprobe — the equality that
+        # justifies routing
+        got_cos = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=10 nprobe=4}}" + _vec_literal(q)
+        ).collect()]
+        assert got == got_cos
+
+    def test_ivfpq_dot_probe_is_pruned(self, spark, tmp_path):
+        # routing proof: garbage every NON-probed codes bucket at
+        # nprobe=1 — an exact corpus fallback or unpruned read would
+        # die, the routed read must not notice
+        idx, U = self._unit_artifact(spark, str(tmp_path / "pq_t"))
+        side = idx.build_ann("embedding", kind="ivfpq", n_centroids=4,
+                             nprobe=4, m=8, ksub=16)
+        q = QUERIES[1]
+        kind, index, side_, _m = idx._ann_sidecar("embedding")
+        assert kind == "ivfpq"
+        qn = q / np.linalg.norm(q)  # probe selection is in unit space
+        d = ((index.ivf.centroids - qn[None, :]) ** 2).sum(axis=1)
+        probe = {int(d.argsort()[0])}
+        before = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=3 similarity=dot nprobe=1}}"
+            + _vec_literal(q)
+        ).collect()]
+        codes = os.path.join(side_, "codes")
+        for bdir in os.listdir(codes):
+            if bdir.startswith("bucket=") and \
+                    int(bdir.split("=", 1)[1]) not in probe:
+                for fn in os.listdir(os.path.join(codes, bdir)):
+                    if fn.endswith(".parquet"):
+                        with open(os.path.join(codes, bdir, fn), "wb") as fh:
+                            fh.write(b"\x00garbage\x00" * 16)
+        fresh = SearchIndex.open(spark, idx.path)
+        got = [r["vec_id"] for r in fresh.query(
+            f"{{!knn f=embedding topK=3 similarity=dot nprobe=1}}"
+            + _vec_literal(q)
+        ).collect()]
+        assert got == before
+
+    def test_nonunit_ivfpq_keeps_dot_exact(self, spark, tmp_path):
+        import json
+        idx = _build_artifact(spark, str(tmp_path / "pq_raw"))
+        side = idx.build_ann("embedding", kind="ivfpq", n_centroids=4,
+                             nprobe=4, m=8, ksub=16)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["unit_norms"] is False
+        q = QUERIES[2]
+        dots = VECS @ q
+        want = sorted(range(N), key=lambda i: (-dots[i], i))[:5]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 similarity=dot}}{_vec_literal(q)}"
+        ).collect()]
+        assert got == want  # exact fallback, correct
+
+    def test_nonunit_upsert_downgrades_ivfpq_dot(self, spark, tmp_path):
+        import json
+        idx, U = self._unit_artifact(spark, str(tmp_path / "pq_u2"))
+        side = idx.build_ann("embedding", kind="ivfpq", n_centroids=4,
+                             nprobe=4, m=8, ksub=16)
+        q = QUERIES[2]
+        batch = spark.createDataFrame(
+            [(900, [float(5.0 * x) for x in (q / np.linalg.norm(q))], "x")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        _job("retain_most_recent").merge_into(batch, idx.path)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["unit_norms"] is False  # invariant broken by batch
+        # dot: exact fallback serves the long vector first (correct)
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=3 similarity=dot}}{_vec_literal(q)}"
+        ).collect()]
+        assert got[0] == 900
+        # cosine: STILL routed (sidecar live) and the new doc serves
+        assert idx._ann_sidecar("embedding") is not None
+        got_c = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=3 nprobe=4}}{_vec_literal(q)}"
+        ).collect()]
+        assert got_c[0] == 900
+
+
 def test_dsl_knn_routes_through_sidecar(spark, tmp_path):
     # SearchIndex.knn (the DSL form) shares the qparser's probe +
     # widening loop when a sidecar exists: same (id, score) shape, and
