@@ -195,6 +195,111 @@ def _auto_nprobe(
             "n_queries": int(len(qidx))}
 
 
+def _dot_route_stats(spark: SparkSession, side: str, ivf) -> "dict | None":
+    """Per-bucket norm statistics for MIPS (inner-product) probe
+    ranking on a NON-unit corpus — the norm-augmented-centroid form of
+    the public MIPS→cosine reduction (Bachrach et al. 2014, Neyshabur
+    & Srebro 2015): augmenting every stored v to [v; sqrt(M² − ‖v‖²)]
+    (M = max corpus norm) makes every augmented norm equal M, so
+    cosine bucket ranking in the augmented space ranks DOT in the
+    original space.  Rather than materialize augmented vectors, the
+    probe ranks buckets by dot(q, c_b) / sqrt(‖c_b‖² + aug_b²) with
+    aug_b² = max(0, M² − mean_b ‖v‖²) — only the per-bucket
+    (count, Σ‖v‖², max ‖v‖) scalars are kept: ONE map-side-combined
+    JVM aggregate over the written vectors table, n_centroids rows
+    out.  Upserts fold their batch's stats in (O(batch),
+    :func:`_fold_dot_route`); deletes leave them a superset — the
+    stats steer probe-ranking QUALITY only, never correctness
+    (full-probe exactness and the widening loop don't depend on
+    them).  ``None`` when the corpus holds no vectors."""
+    from solr_map_reduce_spark.extensions.similarity import _as_double, l2_norm
+
+    reader = spark.read
+    if ivf.vectors_schema:
+        reader = reader.schema(StructType.fromJson(ivf.vectors_schema))
+    rows = reader.parquet(fs_join(side, "vectors"))
+    nrm = l2_norm(_as_double(F.col(ivf.vec_col)))
+    got = (
+        rows.filter(F.col(ivf.vec_col).isNotNull())
+        .groupBy(ivf.bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(nrm * nrm).alias("s2"),
+            F.max(nrm).alias("mx"),
+        )
+        .collect()
+    )
+    if not got:
+        return None
+    k = len(ivf.centroids)
+    n = [0] * k
+    s2 = [0.0] * k
+    mx = 0.0
+    for r in got:
+        b = int(r[ivf.bucket_col])
+        if 0 <= b < k:
+            n[b] = int(r["n"])
+            s2[b] = float(r["s2"])
+            mx = max(mx, float(r["mx"]))
+    return {"max_norm": mx, "n": n, "sum_nrm2": s2}
+
+
+def _fold_dot_route(meta: dict, staged: DataFrame, field: str,
+                    bucket_col: str) -> None:
+    """Fold an upsert batch's per-bucket norm stats into the MIPS
+    probe-ranking stats (meta["dot_route"]) — O(batch) aggregate,
+    ≤ n_centroids rows collected.  Additive-only: replaced/deleted
+    rows are never subtracted, leaving the stats a superset of the
+    live corpus — acceptable because they steer probe ranking only;
+    build_ann recomputes them exactly."""
+    from solr_map_reduce_spark.extensions.similarity import _as_double, l2_norm
+
+    nrm = l2_norm(_as_double(F.col(field)))
+    got = (
+        staged.groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(nrm * nrm).alias("s2"),
+            F.max(nrm).alias("mx"),
+        )
+        .collect()
+    )
+    dr = meta["dot_route"]
+    for r in got:
+        b = int(r[bucket_col])
+        if 0 <= b < len(dr["n"]):
+            dr["n"][b] += int(r["n"])
+            dr["sum_nrm2"][b] += float(r["s2"])
+            dr["max_norm"] = max(float(dr["max_norm"]), float(r["mx"]))
+
+
+def _mips_probe_order(meta: dict, centroids) -> "callable":
+    """Return probe_order(q) -> bucket ids best-first for an
+    inner-product query over a non-unit corpus, ranking by the cosine
+    between the augmented query [q; 0] and the norm-augmented bucket
+    centroid [c_b; aug_b] (see :func:`_dot_route_stats`).  Since the
+    query's augmented coordinate is 0, that cosine is
+    dot(q, c_b) / ‖[c_b; aug_b]‖ — buckets of short vectors (large
+    aug_b) are deprioritized exactly as the MIPS reduction requires.
+    Empty buckets get the maximal aug (M²), ranking last."""
+    import numpy as np
+
+    dr = meta["dot_route"]
+    co = np.asarray(centroids, dtype=np.float64)
+    n = np.asarray(dr["n"], dtype=np.float64)
+    s2 = np.asarray(dr["sum_nrm2"], dtype=np.float64)
+    m2 = float(dr["max_norm"]) ** 2
+    mean2 = np.where(n > 0, s2 / np.maximum(n, 1.0), 0.0)
+    aug2 = np.maximum(m2 - mean2, 0.0)
+    denom = np.maximum(np.sqrt((co**2).sum(axis=1) + aug2), 1e-12)
+
+    def order(q) -> list:
+        score = (co @ np.asarray(q, dtype=np.float64)) / denom
+        return [int(b) for b in np.argsort(-score, kind="stable")]
+
+    return order
+
+
 def build(
     spark: SparkSession,
     index_path: str,
@@ -243,6 +348,7 @@ def build(
         p = fs_join(side, sub)
         if fs.exists(p):
             fs.delete(p)
+    dot_route = None
     if kind == "ivf":
         ivf = sim.IvfIndex.fit(
             base_rows, n_centroids=n_centroids, id_col=key, vec_col=field,
@@ -250,6 +356,10 @@ def build(
         )
         ivf.save(side, assigned=ivf.assign(base_rows))
         cents = ivf.centroids
+        # MIPS probe-ranking stats: lets {!knn similarity=dot} route on
+        # NON-unit corpora too (norm-augmented centroids); reads the
+        # just-written vectors back (pinned schema, one aggregate)
+        dot_route = _dot_route_stats(spark, side, ivf)
     elif kind == "ivfpq":
         idx = sim.IvfPqIndex.fit(
             _unit_normalized(base_rows, field), n_centroids=n_centroids,
@@ -266,6 +376,8 @@ def build(
         "epoch": 0,
         "built_generation": pinned_gen,
     }
+    if dot_route is not None:
+        meta["dot_route"] = dot_route
     # unit_norms: whether EVERY stored vector has ||v|| == 1 (one
     # exact map-side-combined min/max aggregate over the build scan).
     # When true, {!knn similarity=dot} routes through the same probes
@@ -385,8 +497,15 @@ def probe_topk(
         nrm = float(np.sqrt((q * q).sum()))
         if nrm > 0.0:
             q = q / nrm
-    d = ((ivf.centroids - q[None, :]) ** 2).sum(axis=1)
-    probe = [int(b) for b in d.argsort()[:nprobe]]
+    if metric == "dot" and kind == "ivf" and not meta.get("unit_norms"):
+        # non-unit inner-product query: L2-to-centroid ranking tracks
+        # cosine, not dot — rank buckets via the norm-augmented
+        # centroids instead (the MIPS→cosine reduction; the caller
+        # gated on meta["dot_route"] being present)
+        probe = _mips_probe_order(meta, ivf.centroids)(q)[:nprobe]
+    else:
+        d = ((ivf.centroids - q[None, :]) ** 2).sum(axis=1)
+        probe = [int(b) for b in d.argsort()[:nprobe]]
     key = ivf.id_col
 
     pinned = index.vectors_schema if kind == "ivf" else index.codes_schema
@@ -561,6 +680,11 @@ def delta_upsert(
                 assigned, code_col="pq_code", bucket_col=ivf.bucket_col
             ).select(key, ivf.bucket_col, "pq_code")
         bucket_col = (index if kind == "ivf" else index.ivf).bucket_col
+        if kind == "ivf" and meta.get("dot_route"):
+            # keep the MIPS probe-ranking stats current: fold the
+            # batch's per-bucket norms in (persisted by the phase-2
+            # re-pin write below)
+            _fold_dot_route(meta, staged, field, bucket_col)
         (
             staged.withColumn(EPOCH_COL, F.lit(epoch).cast("long"))
             .write.mode("append")

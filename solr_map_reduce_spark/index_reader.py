@@ -4053,14 +4053,15 @@ class SearchIndex:
             return None
         kind, idx, side, meta = handle
         if metric == "dot" and not meta.get("unit_norms"):
-            # dot routes only when the stored corpus is unit-norm (the
-            # build-time invariant under which the cosine bucket
-            # ranking IS dot's; IVF scores true dot over probed raw
-            # vectors, IVF-PQ's ADC score equals dot under the
-            # invariant) — otherwise exact scan (a long stored vector
-            # could top the dot ranking from a bucket the L2 probe
-            # never reads)
-            return None
+            # non-unit corpus: dot routes via MIPS probe ranking
+            # (norm-augmented centroids, ivf-kind only — raw stored
+            # vectors score true dot over probed candidates; full
+            # probe stays provably exact).  ivfpq can't serve non-unit
+            # dot (codes are unit-encoded, norms lost) and legacy ivf
+            # sidecars without the dot_route stats fall back to the
+            # exact scan — never stale-wrong.
+            if not (kind == "ivf" and meta.get("dot_route")):
+                return None
         hits = self._ann_probe_hits(
             handle, qvec, k, params, filter_keys, metric
         )

@@ -190,10 +190,17 @@ class TestKnnAnnRouting:
         want = sorted(i for i in _exact_ids(q, 10) if i % 2 == 0)
         assert got == want
 
-    def test_dot_similarity_stays_exact(self, aidx):
+    def test_dot_full_probe_equals_exact(self, spark, tmp_path):
+        # non-unit corpus: dot ROUTES via MIPS probe ranking (r12);
+        # full probe is provably the exact inner-product top-k.  Fresh
+        # artifact: aidx's non-probed buckets get garbaged by the
+        # pruning test above, and a FULL probe reads every bucket.
+        idx = _build_artifact(spark, str(tmp_path / "dotfp"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=2)
         q = QUERIES[1]
-        got = [r["vec_id"] for r in aidx.query(
-            f"{{!knn f=embedding topK=5 similarity=dot}}{_vec_literal(q)}"
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 similarity=dot nprobe={NC}}}"
+            + _vec_literal(q)
         ).collect()]
         dots = VECS @ q
         want = sorted(range(N), key=lambda i: (-dots[i], i))[:5]
@@ -1023,20 +1030,21 @@ class TestDotRouting:
         ).collect()]
         assert got2 == before
 
-    def test_nonunit_corpus_keeps_dot_exact(self, spark, tmp_path):
+    def test_nonunit_corpus_dot_exact_at_full_probe(self, spark, tmp_path):
         import json
         idx = _build_artifact(spark, str(tmp_path / "raw"))
         side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
                              nprobe=NC)
         meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
         assert meta["unit_norms"] is False
+        assert "dot_route" in meta  # r12: MIPS stats recorded at build
         q = QUERIES[1]
         dots = VECS @ q
         want = sorted(range(N), key=lambda i: (-dots[i], i))[:5]
         got = [r["vec_id"] for r in idx.query(
             f"{{!knn f=embedding topK=5 similarity=dot}}{_vec_literal(q)}"
         ).collect()]
-        assert got == want  # exact fallback, correct
+        assert got == want  # routed MIPS at full probe == exact
 
     def test_nonunit_upsert_downgrades_dot_only(self, spark, tmp_path):
         import json
@@ -1053,7 +1061,8 @@ class TestDotRouting:
         _job("retain_most_recent").merge_into(batch, idx.path)
         meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
         assert meta["unit_norms"] is False  # invariant broken by batch
-        # dot: exact fallback serves the long vector first (correct)
+        # dot: serves the long vector first (r12: routed MIPS at full
+        # probe — was the exact fallback before the dot_route stats)
         got = [r["vec_id"] for r in idx.query(
             f"{{!knn f=embedding topK=3 similarity=dot}}{_vec_literal(q)}"
         ).collect()]
@@ -1208,6 +1217,160 @@ class TestDotRoutingIvfPq:
             f"{{!knn f=embedding topK=3 nprobe=4}}{_vec_literal(q)}"
         ).collect()]
         assert got_c[0] == 900
+
+
+class TestMipsDotRouting:
+    """{!knn similarity=dot} on a NON-unit corpus routes via
+    norm-augmented centroids — the public MIPS→cosine reduction
+    (Bachrach et al. 2014; Neyshabur & Srebro 2015).  The fixture is
+    adversarial for plain centroid ranking: a unit-norm cluster hugs
+    the query direction (cosine-favored) while a norm-10 cluster sits
+    36.9° off it (dot-favored, dot ≈ 8 vs ≈ 1) — L2/cosine probe
+    ranking picks the WRONG bucket at nprobe=1, the augmented ranking
+    must pick the right one."""
+
+    N_EACH = 40
+    Q = np.array([1.0, 0.0, 0.0, 0.0])
+
+    def _mips_fixture(self, spark, out):
+        r = np.random.RandomState(11)
+        a = np.tile([1.0, 0, 0, 0], (self.N_EACH, 1)) \
+            + 0.02 * r.randn(self.N_EACH, 4)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b = np.tile(10.0 * np.array([0.8, 0.6, 0.0, 0.0]),
+                    (self.N_EACH, 1)) + 0.05 * r.randn(self.N_EACH, 4)
+        V = np.vstack([a, b])
+        schema = IndexSchema(
+            fields=(Field("vec_id", "long", required=True),
+                    Field("embedding", "array<double>")),
+            unique_key="vec_id",
+        )
+        rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ), out)
+        return SearchIndex.open(spark, out), V
+
+    def _exact_dot(self, V, q, k):
+        dots = V @ q
+        return sorted(range(len(V)), key=lambda i: (-dots[i], i))[:k]
+
+    def test_full_probe_equals_exact(self, spark, tmp_path):
+        import json
+        idx, V = self._mips_fixture(spark, str(tmp_path / "m"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=2,
+                             nprobe=2)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["unit_norms"] is False
+        dr = meta["dot_route"]
+        assert len(dr["n"]) == 2 and sum(dr["n"]) == len(V)
+        assert abs(dr["max_norm"] - np.linalg.norm(V, axis=1).max()) < 1e-9
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=7 similarity=dot nprobe=2}}"
+            + _vec_literal(self.Q)
+        ).collect()]
+        assert got == self._exact_dot(V, self.Q, 7)
+
+    def test_low_nprobe_picks_the_dot_bucket(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.ann_sidecar import (
+            _mips_probe_order,
+        )
+        idx, V = self._mips_fixture(spark, str(tmp_path / "m1"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=2, nprobe=2)
+        kind, ivf, side_, meta = idx._ann_sidecar("embedding")
+        # plain L2-to-centroid ranking picks the SHORT aligned cluster
+        # (the wrong bucket for dot) — this is what makes the fixture a
+        # real MIPS test rather than one cosine would also pass
+        d = ((ivf.centroids - self.Q[None, :]) ** 2).sum(axis=1)
+        l2_first = int(d.argsort()[0])
+        assert np.linalg.norm(ivf.centroids[l2_first]) < 2.0
+        mips_first = _mips_probe_order(meta, ivf.centroids)(self.Q)[0]
+        assert mips_first != l2_first
+        # the routed page at nprobe=1 is the LONG cluster's exact top-k
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=3 similarity=dot nprobe=1}}"
+            + _vec_literal(self.Q)
+        ).collect()]
+        assert got == self._exact_dot(V, self.Q, 3)
+        assert all(i >= self.N_EACH for i in got)  # all from cluster B
+
+    def test_mips_probe_is_pruned(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.ann_sidecar import (
+            _mips_probe_order,
+        )
+        idx, V = self._mips_fixture(spark, str(tmp_path / "m2"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=2, nprobe=2)
+        kind, ivf, side_, meta = idx._ann_sidecar("embedding")
+        probe = {_mips_probe_order(meta, ivf.centroids)(self.Q)[0]}
+        before = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=3 similarity=dot nprobe=1}}"
+            + _vec_literal(self.Q)
+        ).collect()]
+        vectors = os.path.join(side_, "vectors")
+        for bdir in os.listdir(vectors):
+            if bdir.startswith("bucket=") and \
+                    int(bdir.split("=", 1)[1]) not in probe:
+                for fn in os.listdir(os.path.join(vectors, bdir)):
+                    if fn.endswith(".parquet"):
+                        with open(os.path.join(vectors, bdir, fn), "wb") as fh:
+                            fh.write(b"\x00garbage\x00" * 16)
+        fresh = SearchIndex.open(spark, idx.path)
+        got = [r["vec_id"] for r in fresh.query(
+            f"{{!knn f=embedding topK=3 similarity=dot nprobe=1}}"
+            + _vec_literal(self.Q)
+        ).collect()]
+        assert got == before
+
+    def test_upsert_folds_stats_and_stays_exact(self, spark, tmp_path):
+        import json
+        idx, V = self._mips_fixture(spark, str(tmp_path / "m3"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=2,
+                             nprobe=2)
+        job = IndexJob(IndexJobConfig(
+            schema=IndexSchema(
+                fields=(Field("vec_id", "long", required=True),
+                        Field("embedding", "array<double>")),
+                unique_key="vec_id",
+            ), shards=2, dedup="retain_most_recent",
+        ))
+        batch = spark.createDataFrame(
+            [(900, [20.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        job.merge_into(batch, idx.path)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert abs(meta["dot_route"]["max_norm"] - 20.0) < 1e-9
+        assert sum(meta["dot_route"]["n"]) == len(V) + 1
+        assert idx._ann_sidecar("embedding") is not None  # still routed
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=1 similarity=dot nprobe=2}}"
+            + _vec_literal(self.Q)
+        ).collect()]
+        assert got == [900]  # full probe: the new 20-norm doc tops dot
+
+    def test_legacy_sidecar_without_stats_falls_back_exact(
+        self, spark, tmp_path
+    ):
+        import json
+        import shutil
+        idx, V = self._mips_fixture(spark, str(tmp_path / "m4"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=2,
+                             nprobe=2)
+        mpath = os.path.join(side, "_ANN_META.json")
+        meta = json.loads(open(mpath).read())
+        del meta["dot_route"]  # simulate a pre-r12 sidecar
+        with open(mpath, "w") as fh:
+            fh.write(json.dumps(meta))
+        # destroy the sidecar's vectors: a routed dot read would die,
+        # the exact corpus-scan fallback must not notice
+        shutil.rmtree(os.path.join(side, "vectors"))
+        fresh = SearchIndex.open(spark, idx.path)
+        got = [r["vec_id"] for r in fresh.query(
+            f"{{!knn f=embedding topK=5 similarity=dot}}"
+            + _vec_literal(self.Q)
+        ).collect()]
+        assert got == self._exact_dot(V, self.Q, 5)
 
 
 def test_dsl_knn_routes_through_sidecar(spark, tmp_path):
