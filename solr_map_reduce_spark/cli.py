@@ -36,15 +36,16 @@ DEDUP_CHOICES = ("retain_most_recent", "sort_updates", "reject", "none")
 
 
 def _nprobe_arg(value: str):
-    """argparse type for --nprobe: an int or the literal 'auto' (clean
-    argparse error on anything else, not a ValueError traceback)."""
-    if value == "auto":
+    """argparse type for --nprobe: an int, 'auto' (build-time pick), or
+    'adaptive' (per-query ε-ball closure) — clean argparse error on
+    anything else, not a ValueError traceback."""
+    if value in ("auto", "adaptive"):
         return value
     try:
         return int(value)
     except ValueError:
         raise argparse.ArgumentTypeError(
-            f"expected an integer or 'auto', got {value!r}"
+            f"expected an integer, 'auto', or 'adaptive', got {value!r}"
         ) from None
 
 
@@ -342,14 +343,16 @@ def build_parser() -> argparse.ArgumentParser:
     ann.add_argument("--n-centroids", type=int, default=16)
     ann.add_argument(
         "--nprobe", default=2, type=_nprobe_arg,
-        help="serving default (int, or 'auto' to pick the smallest "
-             "nprobe meeting --target-recall on a held-out sample), "
+        help="serving default (int; 'auto' picks the smallest nprobe "
+             "meeting --target-recall on a held-out sample; 'adaptive' "
+             "calibrates a per-query closure ratio — each query probes "
+             "the buckets within tau x its nearest-centroid distance), "
              "overridable per-query via nprobe=",
     )
     ann.add_argument(
         "--target-recall", type=float, default=0.9,
-        help="the recall@10 the auto nprobe pick must meet "
-             "(only used with --nprobe auto)",
+        help="the recall@10 the auto/adaptive nprobe calibration must "
+             "meet (only used with --nprobe auto|adaptive)",
     )
 
     annc = sub.add_parser(
@@ -492,6 +495,8 @@ def main(argv: list[str] | None = None) -> int:
             "n_centroids": args.n_centroids, "nprobe": meta.get("nprobe"),
             **({"nprobe_auto": meta["nprobe_auto"]}
                if "nprobe_auto" in meta else {}),
+            **({"adaptive": meta["adaptive"]}
+               if "adaptive" in meta else {}),
         }))
         return 0
 

@@ -195,6 +195,109 @@ def _auto_nprobe(
             "n_queries": int(len(qidx))}
 
 
+def _auto_adaptive_tau(
+    base_rows: DataFrame,
+    field: str,
+    centroids,
+    unit_space: bool,
+    target_recall: float = 0.9,
+    sample_n: int = 2048,
+    n_queries: int = 16,
+    k: int = 10,
+    seed: int = 7,
+) -> dict:
+    """Calibrate the PER-QUERY adaptive-nprobe closure ratio ``tau``:
+    at serve time the probe reads every bucket whose coarse
+    (Euclidean) centroid distance is within ``tau ×`` the query's own
+    nearest-centroid distance — the ε-ball closure rule SPANN serves
+    with (Chen et al., NeurIPS 2021, §4: "query-aware dynamic
+    pruning").  A fixed nprobe pays the boundary-query worst case on
+    every query; the ratio rule probes 1–2 buckets when one centroid
+    dominates and widens only where the query actually sits between
+    buckets.
+
+    Calibration mirrors :func:`_auto_nprobe`'s bounded held-out
+    probe: sample ~``sample_n`` vectors, take ``n_queries`` of them
+    as queries, compute each query's exact top-``k`` within the
+    sample, and record for every true neighbor the ratio
+    d(query, centroid_of(neighbor's bucket)) / d(query, nearest
+    centroid).  ``tau`` is the ``target_recall`` quantile of those
+    ratios; the estimated recall, the ratio distribution inputs, and
+    the resulting mean/max nprobe on the sample are recorded in the
+    meta (the pick is auditable, and mean_nprobe doubles as the
+    integer fallback default for paths the ratio rule doesn't cover).
+    A too-small sample returns ``tau=None`` — serve treats that as
+    full probe (never silently under-probes)."""
+    import numpy as np
+
+    from solr_map_reduce_spark.extensions.similarity import _driver_sample
+
+    co = np.asarray(centroids, dtype=np.float64)
+    n_centroids = len(co)
+    X = _driver_sample(base_rows, field, sample_n, seed)
+    base = {"target_recall": target_recall, "sample_n": int(len(X))}
+    if len(X) < k + 1:
+        return {**base, "tau": None, "estimated_recall": 1.0,
+                "n_queries": 0, "mean_nprobe": n_centroids,
+                "max_nprobe": n_centroids}
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = np.nan_to_num(Xn)
+    A = Xn if unit_space else X
+    assign = (
+        -2.0 * (A @ co.T) + (co**2).sum(axis=1)[None, :]
+    ).argmin(axis=1)
+    rng = np.random.RandomState(seed)
+    qidx = rng.choice(len(X), size=min(n_queries, len(X)), replace=False)
+    ratios: list = []
+    profiles: list = []
+    for qi in qidx:
+        q = A[qi]
+        d = np.sqrt(((co - q[None, :]) ** 2).sum(axis=1))
+        dmin = max(float(d.min()), 1e-12)
+        sims = Xn @ Xn[qi]
+        sims[qi] = -np.inf
+        top = np.argsort(-sims)[:k]
+        ratios.extend((d[assign[top]] / dmin).tolist())
+        profiles.append(d / dmin)
+    r = np.sort(np.asarray(ratios))
+    # smallest tau covering target_recall of the true-neighbor buckets
+    pos = min(int(np.ceil(target_recall * len(r))) - 1, len(r) - 1)
+    tau = float(r[max(pos, 0)])
+    est = float((np.asarray(ratios) <= tau).mean())
+    per_q = [int((p <= tau).sum()) for p in profiles]
+    return {**base, "tau": tau, "estimated_recall": round(est, 4),
+            "n_queries": int(len(qidx)),
+            "mean_nprobe": max(1, int(round(float(np.mean(per_q))))),
+            "max_nprobe": int(max(per_q))}
+
+
+def adaptive_nprobe(meta: dict, index, qvec) -> int:
+    """Per-query nprobe from the query's own coarse-distance profile:
+    the number of buckets within ``tau ×`` the nearest-centroid
+    distance (calibrated by :func:`_auto_adaptive_tau`), clamped to
+    [1, n_centroids].  ``tau=None`` (calibration had no sample) means
+    full probe.  Pure driver-side numpy over the (small) centroid
+    table — no data read; the widening loop still applies after, so a
+    tombstone-thinned or filtered page can never come back short."""
+    import numpy as np
+
+    kind = meta.get("kind", "ivf")
+    ivf = index if kind == "ivf" else index.ivf
+    n_centroids = len(ivf.centroids)
+    tau = meta.get("adaptive", {}).get("tau")
+    if tau is None:
+        return n_centroids
+    q = np.asarray(qvec, dtype=np.float64)
+    if kind == "ivfpq":
+        nrm = float(np.sqrt((q * q).sum()))
+        if nrm > 0.0:
+            q = q / nrm
+    d = np.sqrt(((ivf.centroids - q[None, :]) ** 2).sum(axis=1))
+    dmin = max(float(d.min()), 1e-12)
+    return max(1, min(int((d <= tau * dmin).sum()), n_centroids))
+
+
 def _dot_route_stats(spark: SparkSession, side: str, ivf) -> "dict | None":
     """Per-bucket norm statistics for MIPS (inner-product) probe
     ranking on a NON-unit corpus — the norm-augmented-centroid form of
@@ -394,6 +497,18 @@ def build(
         )
         meta["nprobe"] = pick.pop("nprobe")
         meta["nprobe_auto"] = pick
+    elif nprobe == "adaptive":
+        # PER-QUERY serving default: probe the buckets within tau× the
+        # query's nearest-centroid distance (SPANN ε-ball closure);
+        # meta["nprobe"] keeps the sample-mean as the integer fallback
+        # for paths the ratio rule doesn't cover (non-unit dot) and
+        # for explicit integer overrides
+        pick = _auto_adaptive_tau(
+            base_rows, field, cents, unit_space=(kind == "ivfpq"),
+            target_recall=target_recall,
+        )
+        meta["nprobe"] = int(pick["mean_nprobe"])
+        meta["adaptive"] = pick
     write_meta(fs, side, meta)
     return side
 

@@ -3937,8 +3937,12 @@ class SearchIndex:
         distances).  ``nprobe`` is the serving default, overridable
         per-query via the ``nprobe=`` local param — or ``"auto"`` to
         pick the smallest nprobe whose estimated recall@10 meets
-        ``target_recall`` (default 0.9) on a bounded held-out sample
-        (the estimate is recorded in the sidecar meta).
+        ``target_recall`` (default 0.9) on a bounded held-out sample,
+        or ``"adaptive"`` to calibrate a PER-QUERY closure ratio
+        instead: each query probes the buckets within ``tau ×`` its
+        own nearest-centroid distance (SPANN's ε-ball rule), so easy
+        queries probe 1–2 buckets and only boundary queries pay more
+        (estimates recorded in the sidecar meta either way).
 
         Mutation contract (extensions/ann_sidecar.py): the sidecar is
         generation-pinned and DELTA-MAINTAINED — deletes tombstone the
@@ -4097,14 +4101,42 @@ class SearchIndex:
 
         kind, idx, side, meta = handle
         n_centroids = len((idx if kind == "ivf" else idx.ivf).centroids)
-        # clamp to [1, n_centroids]: nprobe=0 would probe nothing AND
-        # never grow under doubling (an infinite loop on a malformed
-        # query param)
-        nprobe = max(
-            1,
-            min(_int_local_param(params, "nprobe", int(meta.get("nprobe", 2))),
-                n_centroids),
+        # per-query ADAPTIVE nprobe (SPANN ε-ball closure): on when the
+        # query asks for nprobe=adaptive explicitly, or when the
+        # sidecar was calibrated with build_ann(nprobe="adaptive") and
+        # the query passes no explicit nprobe.  Non-unit dot keeps the
+        # integer default — its probe ranking is the MIPS-augmented
+        # score, not the distance profile tau was calibrated on.
+        raw_np = params.get("nprobe")
+        explicit_adaptive = (
+            isinstance(raw_np, str) and raw_np.strip().lower() == "adaptive"
         )
+        if explicit_adaptive and not meta.get("adaptive"):
+            from solr_map_reduce_spark.extensions import search
+
+            raise search.QuerySyntaxError(
+                "nprobe=adaptive needs a sidecar calibrated with "
+                "build_ann(nprobe='adaptive')"
+            )
+        mips_dot = metric == "dot" and not meta.get("unit_norms")
+        if (
+            (explicit_adaptive or (raw_np is None and meta.get("adaptive")))
+            and not mips_dot
+        ):
+            nprobe = ann_sidecar.adaptive_nprobe(meta, idx, qvec)
+        else:
+            # clamp to [1, n_centroids]: nprobe=0 would probe nothing
+            # AND never grow under doubling (an infinite loop on a
+            # malformed query param)
+            nprobe = max(
+                1,
+                min(
+                    _int_local_param(
+                        params, "nprobe", int(meta.get("nprobe", 2))
+                    ) if not explicit_adaptive else int(meta.get("nprobe", 2)),
+                    n_centroids,
+                ),
+            )
         if filter_keys is not None:
             # the widening loop re-executes the probe plan per round:
             # persist the filter's key-set scan so a selective filter

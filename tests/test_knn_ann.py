@@ -940,6 +940,119 @@ class TestAutoNprobe:
         assert "nprobe_auto" in out
 
 
+class TestAdaptiveNprobe:
+    """nprobe='adaptive': per-query probe width from the query's own
+    coarse-distance profile — probe the buckets within tau× the
+    nearest-centroid distance (SPANN's ε-ball closure rule), tau
+    calibrated at build from the same held-out sample machinery as
+    nprobe='auto'."""
+
+    def _clustered_artifact(self, spark, out, n_clusters=4, per=50):
+        # well-separated clusters so "query at a centroid" vs "query
+        # between two centroids" have sharply different profiles
+        r = np.random.RandomState(13)
+        centers = 20.0 * np.eye(n_clusters, DIM)
+        V = np.vstack([
+            centers[c] + 0.5 * r.randn(per, DIM) for c in range(n_clusters)
+        ])
+        schema = IndexSchema(
+            fields=(Field("vec_id", "long", required=True),
+                    Field("embedding", "array<double>")),
+            unique_key="vec_id",
+        )
+        rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ), out)
+        return SearchIndex.open(spark, out), V, centers
+
+    def test_adaptive_calibrates_and_serves(self, spark, tmp_path):
+        import json
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "a"))
+        side = idx.build_ann(
+            "embedding", kind="ivf", n_centroids=4, nprobe="adaptive",
+            target_recall=0.9,
+        )
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        ad = meta["adaptive"]
+        assert ad["tau"] is not None and ad["tau"] >= 1.0
+        assert ad["estimated_recall"] >= 0.9
+        assert isinstance(meta["nprobe"], int)  # integer fallback kept
+        assert 1 <= ad["mean_nprobe"] <= ad["max_nprobe"] <= 4
+        # the adaptive default serves a full correct page with NO
+        # explicit nprobe param
+        q = centers[0]
+        cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+        want = sorted(range(len(V)), key=lambda i: (-cos[i], i))[:10]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=10}}{_vec_literal(q)}"
+        ).collect()]
+        assert len(got) == 10
+        assert len(set(got) & set(want)) >= 8  # easy centroid query
+
+    def test_per_query_width_tracks_the_profile(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.ann_sidecar import (
+            adaptive_nprobe,
+        )
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "b"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=4,
+                      nprobe="adaptive")
+        kind, ivf, side_, meta = idx._ann_sidecar("embedding")
+        # a query AT a fitted centroid has one dominant bucket; a query
+        # at the midpoint of two centroids is ambiguous between them —
+        # its probe width must be strictly larger
+        easy = adaptive_nprobe(meta, ivf, ivf.centroids[0])
+        mid = 0.5 * (ivf.centroids[0] + ivf.centroids[1])
+        hard = adaptive_nprobe(meta, ivf, mid)
+        assert easy < hard, (easy, hard)
+        assert hard >= 2
+
+    def test_explicit_params_override_and_validate(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "c"))
+        # uncalibrated sidecar: nprobe=adaptive must refuse loudly
+        idx.build_ann("embedding", kind="ivf", n_centroids=4, nprobe=2)
+        q = centers[1]
+        with pytest.raises(QuerySyntaxError, match="adaptive"):
+            idx.query(
+                f"{{!knn f=embedding topK=5 nprobe=adaptive}}"
+                + _vec_literal(q)
+            )
+        # calibrated sidecar: explicit INTEGER nprobe still overrides
+        idx2 = SearchIndex.open(spark, idx.path)
+        idx2.build_ann("embedding", kind="ivf", n_centroids=4,
+                       nprobe="adaptive")
+        got = [r["vec_id"] for r in idx2.query(
+            f"{{!knn f=embedding topK=5 nprobe=4}}" + _vec_literal(q)
+        ).collect()]
+        cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+        want = sorted(range(len(V)), key=lambda i: (-cos[i], i))[:5]
+        assert got == want  # full probe == exact
+        # and nprobe=adaptive as an explicit param works when calibrated
+        got_a = [r["vec_id"] for r in idx2.query(
+            f"{{!knn f=embedding topK=5 nprobe=adaptive}}" + _vec_literal(q)
+        ).collect()]
+        assert len(got_a) == 5
+
+    def test_adaptive_cli(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from solr_map_reduce_spark import cli
+
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "d"))
+        rc = cli.main([
+            "ann-build", "--path", idx.path, "--field", "embedding",
+            "--kind", "ivf", "--n-centroids", "4",
+            "--nprobe", "adaptive", "--target-recall", "0.85",
+        ])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert isinstance(out["nprobe"], int)
+        assert out["adaptive"]["target_recall"] == 0.85
+        assert out["adaptive"]["tau"] >= 1.0
+
+
 def test_ivfpq_residual_compact_preserves_page(spark, tmp_path):
     # residual PQ codes are BUCKET-RELATIVE (v̂ − c_bucket): compact
     # folds delta rows into their bucket directories without ever
