@@ -298,6 +298,14 @@ def adaptive_nprobe(meta: dict, index, qvec) -> int:
     return max(1, min(int((d <= tau * dmin).sum()), n_centroids))
 
 
+def _finite(col: F.Column) -> F.Column:
+    """Finite-double predicate: a single NaN/Inf vector norm must not
+    poison a SUM aggregate (one poisoned row would NaN the MIPS stats
+    and silently degrade EVERY later probe ranking — the same failure
+    shape as the r11 NaN-jaccard finding)."""
+    return col.isNotNull() & ~F.isnan(col) & (col != float("inf"))
+
+
 def _dot_route_stats(spark: SparkSession, side: str, ivf) -> "dict | None":
     """Per-bucket norm statistics for MIPS (inner-product) probe
     ranking on a NON-unit corpus — the norm-augmented-centroid form of
@@ -323,7 +331,9 @@ def _dot_route_stats(spark: SparkSession, side: str, ivf) -> "dict | None":
     rows = reader.parquet(fs_join(side, "vectors"))
     nrm = l2_norm(_as_double(F.col(ivf.vec_col)))
     got = (
-        rows.filter(F.col(ivf.vec_col).isNotNull())
+        rows.filter(
+            F.col(ivf.vec_col).isNotNull() & _finite(nrm)
+        )
         .groupBy(ivf.bucket_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -359,7 +369,8 @@ def _fold_dot_route(meta: dict, staged: DataFrame, field: str,
 
     nrm = l2_norm(_as_double(F.col(field)))
     got = (
-        staged.groupBy(bucket_col)
+        staged.filter(_finite(nrm))
+        .groupBy(bucket_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(nrm * nrm).alias("s2"),
@@ -615,8 +626,14 @@ def probe_topk(
     if metric == "dot" and kind == "ivf" and not meta.get("unit_norms"):
         # non-unit inner-product query: L2-to-centroid ranking tracks
         # cosine, not dot — rank buckets via the norm-augmented
-        # centroids instead (the MIPS→cosine reduction; the caller
-        # gated on meta["dot_route"] being present)
+        # centroids instead (the MIPS→cosine reduction).  The serving
+        # caller gates on the stats; this raise keeps a direct caller
+        # from getting a raw KeyError.
+        if not meta.get("dot_route"):
+            raise ValueError(
+                "non-unit dot probe needs the sidecar's MIPS stats "
+                "(dot_route) — rebuild with build_ann"
+            )
         probe = _mips_probe_order(meta, ivf.centroids)(q)[:nprobe]
     else:
         d = ((ivf.centroids - q[None, :]) ** 2).sum(axis=1)
@@ -666,7 +683,7 @@ def probe_topk(
             scored = rows.select(
                 F.col(key),
                 sim.dot_to_query(F.col(ivf.vec_col), qvec).alias("score"),
-            )
+            ).filter(sim.finite_score(F.col("score")))
             return scored.orderBy(F.desc("score"), F.col(key)).limit(k)
         return sim.cosine_topk(rows, qvec, k, id_col=key, vec_col=ivf.vec_col)
     if metric == "dot" and not meta.get("unit_norms"):

@@ -39,11 +39,19 @@ def l2_norm(a: F.Column) -> F.Column:
 
 
 def cosine_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
+    """NULL (not an error, not NaN) for a zero-norm stored vector:
+    under ANSI mode (the Spark 4 default) the bare division raised
+    DIVIDE_BY_ZERO — ONE all-zeros embedding hard-failed every exact
+    kNN query over the corpus — and with ANSI off it yielded NaN,
+    which sorts GREATEST and topped every page.  NULL rows are
+    dropped by :func:`finite_score` (the Lucene contract: a document
+    without a usable vector is absent from vector results)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     qd = _as_double(q)
     vd = _as_double(vec_col)
     qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
-    return dot_product(vd, qd) / (l2_norm(vd) * F.lit(qn))
+    den = l2_norm(vd) * F.lit(qn)
+    return F.when(den != 0.0, dot_product(vd, qd) / den)
 
 
 def dot_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
@@ -82,6 +90,18 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return np.where(nrm > 0, out, m)
 
 
+def finite_score(col: F.Column) -> F.Column:
+    """Keep only rows whose similarity score is a finite number.
+    Spark sorts NaN as the GREATEST double, so a single zero-norm
+    vector (cosine 0/0 → NaN), NaN component, or Inf overflow would
+    TOP every kNN page it survives into.  Lucene rejects non-finite
+    vectors at index time (KnnFloatVectorField checks finiteness);
+    the serving-side equivalent is excluding them from ranked pages —
+    the same "document has no usable vector" contract NULL vectors
+    already get."""
+    return col.isNotNull() & ~F.isnan(col) & (F.abs(col) != float("inf"))
+
+
 def cosine_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -93,10 +113,11 @@ def cosine_topk(
     """Exact brute-force top-k by cosine similarity; deterministic tiebreak on
     id.  The scan is a single stage with no shuffle until the final top-k
     (``orderBy ... limit`` → TakeOrderedAndProject, which keeps only k rows
-    per partition)."""
+    per partition).  Zero-norm/NaN/Inf vectors are excluded (see
+    :func:`finite_score`)."""
     scored = df.select(
         F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("score")
-    )
+    ).filter(finite_score(F.col("score")))
     out = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
     return out if with_score else out.select(id_col)
 

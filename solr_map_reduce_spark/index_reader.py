@@ -21,6 +21,7 @@ work of the inverted index:
 from __future__ import annotations
 
 import json
+import math
 import re
 from collections.abc import Mapping, Sequence
 
@@ -2757,6 +2758,13 @@ class SearchIndex:
                 ) from None
             if not qvec:
                 raise search.QuerySyntaxError("{!knn} vector is empty")
+            if not all(math.isfinite(x) for x in qvec):
+                # Lucene rejects non-finite query vectors; a NaN/Inf
+                # component would NaN every score (NaN sorts GREATEST,
+                # so the page would be arbitrary rows, not an error)
+                raise search.QuerySyntaxError(
+                    "{!knn} vector has non-finite components"
+                )
             metric = params.get("similarity", "cosine")
             if metric == "cosine":
                 score = sim.cosine_to_query(F.col(f), qvec)
@@ -2801,9 +2809,14 @@ class SearchIndex:
             if pre_pred is not None:
                 # exact path: the predicate rides the same scan
                 base = base.filter(pre_pred)
+            from solr_map_reduce_spark.extensions.similarity import (
+                finite_score,
+            )
+
             return (
                 base
                 .withColumn("_knn_score", score)
+                .filter(finite_score(F.col("_knn_score")))
                 .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
                 .limit(topk)
                 .drop("_knn_score")
@@ -4180,6 +4193,8 @@ class SearchIndex:
         from solr_map_reduce_spark.extensions.similarity import cosine_topk
 
         qvec = [float(x) for x in query]
+        if not all(math.isfinite(x) for x in qvec):
+            raise ValueError("knn query vector has non-finite components")
         handle = None if exact else self._ann_sidecar(vec_col)
         if handle is not None:
             filter_keys = None
@@ -4515,6 +4530,10 @@ class MultiIndex:
                     f"{{!knn}} vector literal {body!r} has non-numeric "
                     "components"
                 ) from None
+            if not all(math.isfinite(x) for x in qvec):
+                raise search.QuerySyntaxError(
+                    "{!knn} vector has non-finite components"
+                )
             topk = _int_local_param(params, "topK", 10)
             metric = params.get("similarity", "cosine")
             score = (
@@ -4528,6 +4547,7 @@ class MultiIndex:
             )
             return (
                 pool.withColumn("_knn_score", score)
+                .filter(sim.finite_score(F.col("_knn_score")))
                 .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
                 .limit(topk)
                 .drop("_knn_score")

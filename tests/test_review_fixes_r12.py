@@ -1,0 +1,163 @@
+"""Regression tests for the r12 adversarial review of the ANN serving
+tier (MIPS routing, adaptive nprobe, score finiteness).
+
+The headline finding: Spark sorts NaN as the GREATEST double, so a
+zero-norm vector (cosine 0/0 → NaN) or a NaN/Inf component survived
+into every ranked page — and TOPPED it — on the exact scan, the
+routed probe, the alias merge, and the DSL path alike.  Lucene
+rejects non-finite vectors at index time; the serving-side contract
+here is exclusion (same as NULL vectors).  Reference parity: Lucene
+KnnFloatVectorField/VectorUtil reject NaN/Inf at index time."""
+
+import os
+
+import numpy as np
+import pytest
+
+from solr_map_reduce_spark.index_reader import SearchIndex
+from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+from solr_map_reduce_spark.schema import Field, IndexSchema
+
+N, DIM, NC = 120, 8, 4
+
+rng = np.random.RandomState(31)
+VECS = rng.randn(N, DIM).astype(np.float64)
+
+
+def _lit(q):
+    return "[" + ", ".join(f"{x:.8f}" for x in q) + "]"
+
+
+def _build(spark, out, extra_rows=()):
+    schema = IndexSchema(
+        fields=(Field("vec_id", "long", required=True),
+                Field("embedding", "array<double>")),
+        unique_key="vec_id",
+    )
+    rows = [(i, [float(x) for x in VECS[i]]) for i in range(N)]
+    rows += list(extra_rows)
+    IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        out)
+    return SearchIndex.open(spark, out)
+
+
+def _exact_cos_ids(q, k):
+    cos = (VECS @ q) / (np.linalg.norm(VECS, axis=1) * np.linalg.norm(q))
+    return [i for i in sorted(range(N), key=lambda i: (-cos[i], i))[:k]]
+
+
+class TestFiniteScores:
+    def test_zero_vector_never_tops_exact_page(self, spark, tmp_path):
+        # a zero-norm vector scores cosine 0/0 = NaN; NaN sorts
+        # GREATEST under desc, so it used to TOP every exact page
+        idx = _build(spark, str(tmp_path / "z"),
+                     extra_rows=[(999, [0.0] * DIM)])
+        q = VECS[3]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 exact=true}}{_lit(q)}"
+        ).collect()]
+        assert 999 not in got
+        assert got == _exact_cos_ids(q, 5)
+
+    def test_nan_vector_excluded_from_routed_page(self, spark, tmp_path):
+        idx = _build(spark, str(tmp_path / "n"),
+                     extra_rows=[(998, [float("nan")] * DIM)])
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = VECS[7]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC}}}{_lit(q)}"
+        ).collect()]
+        assert 998 not in got
+        assert got == _exact_cos_ids(q, 5)
+
+    def test_nan_vector_excluded_from_routed_dot_page(self, spark, tmp_path):
+        idx = _build(spark, str(tmp_path / "nd"),
+                     extra_rows=[(997, [float("inf")] * DIM)])
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = VECS[11]
+        dots = VECS @ q
+        want = [i for i in sorted(range(N), key=lambda i: (-dots[i], i))[:5]]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 similarity=dot nprobe={NC}}}{_lit(q)}"
+        ).collect()]
+        assert 997 not in got
+        assert got == want
+
+    def test_dsl_knn_excludes_zero_vector(self, spark, tmp_path):
+        idx = _build(spark, str(tmp_path / "d"),
+                     extra_rows=[(996, [0.0] * DIM)])
+        got = [r["vec_id"] for r in idx.knn(VECS[2], k=5).collect()]
+        assert 996 not in got
+        assert got == _exact_cos_ids(VECS[2], 5)
+
+    def test_upsert_nan_vector_keeps_mips_stats_finite(
+        self, spark, tmp_path
+    ):
+        import json
+        idx = _build(spark, str(tmp_path / "s"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=NC,
+                             nprobe=NC)
+        job = IndexJob(IndexJobConfig(
+            schema=IndexSchema(
+                fields=(Field("vec_id", "long", required=True),
+                        Field("embedding", "array<double>")),
+                unique_key="vec_id",
+            ), shards=2, dedup="retain_most_recent",
+        ))
+        batch = spark.createDataFrame(
+            [(995, [float("nan")] * DIM)],
+            "vec_id long, embedding array<double>",
+        )
+        job.merge_into(batch, idx.path)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        dr = meta["dot_route"]
+        # one poisoned vector must not NaN the SUM stats (it would
+        # silently degrade EVERY later MIPS probe ranking)
+        assert all(np.isfinite(x) for x in dr["sum_nrm2"])
+        assert np.isfinite(dr["max_norm"])
+        # and dot still serves exact-correct at full probe
+        q = VECS[5]
+        dots = VECS @ q
+        want = [i for i in sorted(range(N), key=lambda i: (-dots[i], i))[:5]]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 similarity=dot nprobe={NC}}}{_lit(q)}"
+        ).collect()]
+        assert got == want
+
+
+class TestNonFiniteQueryVectors:
+    def test_qparser_rejects_nan_query(self, spark, tmp_path):
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+        idx = _build(spark, str(tmp_path / "q"))
+        # float('nan') PARSES — the numeric-literal check alone let a
+        # NaN query through to NaN every score silently
+        with pytest.raises(QuerySyntaxError, match="non-finite"):
+            idx.query("{!knn f=embedding topK=5}[nan, 1, 1, 1, 1, 1, 1, 1]")
+        with pytest.raises(QuerySyntaxError, match="non-finite"):
+            idx.query("{!knn f=embedding topK=5}[inf, 1, 1, 1, 1, 1, 1, 1]")
+
+    def test_dsl_knn_rejects_nan_query(self, spark, tmp_path):
+        idx = _build(spark, str(tmp_path / "q2"))
+        with pytest.raises(ValueError, match="non-finite"):
+            idx.knn([float("nan")] * DIM, k=3)
+
+
+def test_probe_topk_mips_without_stats_is_loud(spark, tmp_path):
+    # a direct probe_topk(metric='dot') call on a legacy sidecar whose
+    # meta lacks the MIPS stats must be a clean error, not a KeyError
+    import json
+    from solr_map_reduce_spark.extensions import ann_sidecar
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    idx = _build(spark, str(tmp_path / "p"))
+    side = idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+    mpath = os.path.join(side, "_ANN_META.json")
+    meta = json.loads(open(mpath).read())
+    del meta["dot_route"]
+    index = IvfIndex.load(spark, side)
+    with pytest.raises(ValueError, match="dot_route"):
+        ann_sidecar.probe_topk(
+            spark, side, meta, index, list(VECS[0]), k=3, nprobe=1,
+            metric="dot",
+        )
