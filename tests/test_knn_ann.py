@@ -1035,6 +1035,21 @@ class TestAdaptiveNprobe:
         ).collect()]
         assert len(got_a) == 5
 
+    def test_adaptive_on_ivfpq(self, spark, tmp_path):
+        # the calibration and the per-query pick both run in the
+        # ivfpq's unit space (same convention as probe selection)
+        import json
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "e"))
+        side = idx.build_ann("embedding", kind="ivfpq", n_centroids=4,
+                             nprobe="adaptive", m=4, ksub=16)
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert meta["adaptive"]["tau"] is not None
+        q = centers[2]
+        got = idx.query(
+            f"{{!knn f=embedding topK=10}}{_vec_literal(q)}"
+        ).collect()
+        assert len(got) == 10
+
     def test_adaptive_cli(self, spark, tmp_path, capsys):
         import json as _json
 

@@ -143,6 +143,56 @@ class TestNonFiniteQueryVectors:
             idx.knn([float("nan")] * DIM, k=3)
 
 
+class TestMipsPreFilterComposition:
+    """similarity=dot composes with preFilter= on the routed MIPS
+    path: the key-set semi-join applies BEFORE the top-k, and the
+    widening loop still guarantees the page when the filter thins the
+    probed buckets."""
+
+    def _nonunit(self, spark, out):
+        schema = IndexSchema(
+            fields=(Field("vec_id", "long", required=True),
+                    Field("grp", "long"),
+                    Field("embedding", "array<double>")),
+            unique_key="vec_id",
+        )
+        rows = [(i, i % 10, [float(x) for x in VECS[i]]) for i in range(N)]
+        IndexJob(IndexJobConfig(schema=schema, shards=2, dedup="none")).build(
+            spark.createDataFrame(
+                rows, "vec_id long, grp long, embedding array<double>"
+            ), out)
+        return SearchIndex.open(spark, out)
+
+    def test_dot_prefilter_full_probe_equals_exact(self, spark, tmp_path):
+        idx = self._nonunit(spark, str(tmp_path / "pf"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = VECS[9]
+        dots = VECS @ q
+        pool = [i for i in range(N) if i % 10 == 3]
+        want = sorted(pool, key=lambda i: (-dots[i], i))[:5]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 similarity=dot nprobe={NC} "
+            f"preFilter='grp:3'}}{_lit(q)}"
+        ).collect()]
+        assert got == want
+
+    def test_dot_prefilter_underfill_widens(self, spark, tmp_path):
+        idx = self._nonunit(spark, str(tmp_path / "pw"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=NC)
+        q = VECS[13]
+        dots = VECS @ q
+        # a 4-key filter: at nprobe=1 the probed bucket almost surely
+        # lacks most of them — the page must widen and return ALL 4
+        keys = [2, 31, 67, 103]
+        want = sorted(keys, key=lambda i: (-dots[i], i))
+        got = [r["vec_id"] for r in idx.query(
+            "{!knn f=embedding topK=4 similarity=dot nprobe=1 "
+            "preFilter='vec_id:(" + " OR ".join(map(str, keys)) + ")'}"
+            + _lit(q)
+        ).collect()]
+        assert got == want
+
+
 def test_probe_topk_mips_without_stats_is_loud(spark, tmp_path):
     # a direct probe_topk(metric='dot') call on a legacy sidecar whose
     # meta lacks the MIPS stats must be a clean error, not a KeyError
