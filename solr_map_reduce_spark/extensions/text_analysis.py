@@ -256,6 +256,11 @@ def chunk_documents(
         raise ValueError(
             f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
         )
+    if overlap < 0:
+        # a negative overlap makes stride > chunk_tokens: windows would
+        # SKIP tokens between neighbors — silently violating the
+        # no-span-lost contract this op exists for
+        raise ValueError(f"overlap ({overlap}) must be >= 0")
     stride = chunk_tokens - overlap
     toks = ws_tokens(F.col(text_col))
     n = F.size(toks).cast("long")

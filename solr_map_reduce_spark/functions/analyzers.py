@@ -76,8 +76,12 @@ def tokenize_text_general(col: Column, remove_stopwords: bool = False) -> Column
     """
     toks = _split_tokens(col)
     if remove_stopwords:
+        # NOT array_except: that would DEDUPLICATE the surviving tokens
+        # ("hello world hello" -> [hello, world]), silently corrupting
+        # every downstream position/frequency consumer — stop removal
+        # must preserve the non-stop token stream verbatim
         stops = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
-        toks = F.array_except(toks, stops)
+        toks = F.filter(toks, lambda x: ~F.array_contains(stops, x))
     return toks
 
 

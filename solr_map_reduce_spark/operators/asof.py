@@ -48,13 +48,20 @@ def asof_join(
     rts = right_ts or ts
     payload = [c for c in right.columns if c not in (on, rts)]
 
+    # the right row travels as ONE struct so the window fill attaches the
+    # latest right ROW atomically — per-column last(ignorenulls) would
+    # build a frankenstein match (a NULL payload cell in the latest right
+    # row silently back-filled from an OLDER right row, which no real
+    # as-of join — pandas merge_asof, DuckDB ASOF JOIN — ever does)
     lt = left.withColumn("_tag", F.lit(1))
     rt = right.select(
         F.col(on),
         F.col(rts).alias(ts),
         F.lit(0).alias("_tag"),
-        F.col(rts).alias(f"{ts}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(
+            F.col(rts).alias(f"{ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        ).alias("_asof_row"),
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
@@ -63,21 +70,21 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = filled.filter(F.col("_tag") == 1).drop("_tag")
+    filled = unioned.withColumn(
+        "_asof_row", F.last("_asof_row", ignorenulls=True).over(w)
+    )
+    row = F.col("_asof_row")
     if tolerance_seconds is not None:
-        # materialize the flag FIRST: nulling ts_r in-place would turn the
-        # predicate NULL for the remaining payload columns
-        out = out.withColumn(
-            "_stale",
-            (epoch_seconds(F.col(ts)) - epoch_seconds(F.col(f"{ts}{suffix}")))
-            > tolerance_seconds,
+        stale = (
+            epoch_seconds(F.col(ts))
+            - epoch_seconds(row.getField(f"{ts}{suffix}"))
+        ) > tolerance_seconds
+        row = F.when(~F.coalesce(stale, F.lit(False)), row)
+    out_cols = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload]
+    return (
+        filled.filter(F.col("_tag") == 1)
+        .select(
+            *[c for c in filled.columns if c not in ("_tag", "_asof_row")],
+            *[row.getField(c).alias(c) for c in out_cols],
         )
-        for c in [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload]:
-            out = out.withColumn(
-                c, F.when(F.col("_stale"), F.lit(None)).otherwise(F.col(c))
-            )
-        out = out.drop("_stale")
-    return out
+    )

@@ -44,6 +44,17 @@ def range_join(
 ) -> DataFrame:
     """Join left rows to right intervals with ``start <= ts <= end``
     (inclusive bounds), equi-keyed on ``on`` when given."""
+    if how != "inner":
+        # the containment filter runs AFTER the bin equi-join, so an
+        # outer join's null-extended rows would be silently dropped —
+        # how="left" would behave exactly like inner instead of keeping
+        # unmatched left rows.  Refuse loudly rather than lie.
+        raise ValueError(
+            f"range_join supports how='inner' only (got {how!r}); an outer "
+            "range join needs the containment predicate inside the join "
+            "condition — anti-join the inner result against the left side "
+            "to find unmatched rows"
+        )
     keys = [on] if isinstance(on, str) else list(on or [])
     lsec = epoch_seconds(F.col(ts))
     lb = left.withColumn(_BIN, F.floor(lsec / bin_seconds))

@@ -13,6 +13,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from solr_map_reduce_spark.index_reader import SearchIndex
 from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
@@ -191,6 +192,74 @@ class TestMipsPreFilterComposition:
             + _lit(q)
         ).collect()]
         assert got == want
+
+
+class TestOperatorReviewFixes:
+    """r12 review pass over operators/ and functions/ (surfaces last
+    reviewed before r8)."""
+
+    def test_asof_attaches_the_latest_row_atomically(self, spark):
+        # a NULL payload cell in the LATEST right row must stay NULL —
+        # per-column last(ignorenulls) back-filled it from an OLDER
+        # right row, a frankenstein match no real as-of join produces
+        from solr_map_reduce_spark.operators.asof import asof_join
+        left = spark.createDataFrame(
+            [("k", 6)], "k string, ts long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [("k", 1, 1, 2), ("k", 5, 9, None)],
+            "k string, ts long, a long, b long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = asof_join(left, right, on="k").collect()[0]
+        assert got["a_r"] == 9
+        assert got["b_r"] is None  # NOT 2 (the older row's value)
+
+    def test_asof_no_match_and_tolerance(self, spark):
+        from solr_map_reduce_spark.operators.asof import asof_join
+        left = spark.createDataFrame(
+            [("k", 100), ("q", 5)], "k string, ts long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [("k", 10, 7)], "k string, ts long, a long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        rows = {r["k"]: r for r in asof_join(
+            left, right, on="k", tolerance_seconds=30
+        ).collect()}
+        assert rows["q"]["a_r"] is None  # no right row at all
+        assert rows["k"]["a_r"] is None  # match exists but is stale (90s)
+        rows2 = {r["k"]: r for r in asof_join(
+            left, right, on="k", tolerance_seconds=200
+        ).collect()}
+        assert rows2["k"]["a_r"] == 7  # inside tolerance
+
+    def test_range_join_refuses_outer(self, spark):
+        from solr_map_reduce_spark.operators.range_join import range_join
+        df = spark.createDataFrame([("k", 1)], "k string, ts long")
+        with pytest.raises(ValueError, match="inner"):
+            range_join(df, df, ts="ts", start="ts", end="ts", how="left")
+
+    def test_chunk_documents_rejects_negative_overlap(self, spark):
+        from solr_map_reduce_spark.extensions.text_analysis import (
+            chunk_documents,
+        )
+        df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+        with pytest.raises(ValueError, match=">= 0"):
+            chunk_documents(df, chunk_tokens=4, overlap=-2)
+
+    def test_stopword_removal_preserves_duplicates(self, spark):
+        # array_except DEDUPLICATED the survivors ("hello world hello"
+        # -> [hello, world]), corrupting every frequency consumer
+        from solr_map_reduce_spark.functions.analyzers import (
+            tokenize_text_general,
+        )
+        df = spark.createDataFrame(
+            [("the hello world hello",)], "t string"
+        )
+        got = df.select(
+            tokenize_text_general(F.col("t"), remove_stopwords=True)
+            .alias("toks")
+        ).first()["toks"]
+        assert got == ["hello", "world", "hello"]
 
 
 def test_probe_topk_mips_without_stats_is_loud(spark, tmp_path):
