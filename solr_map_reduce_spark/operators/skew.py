@@ -60,6 +60,15 @@ def salted_join(
     (big row, small row) key match meets exactly once.  The hot key's rows
     spread over ``buckets`` tasks instead of one.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "semi", "anti"):
+        # the small side is REPLICATED once per salt: any join that can
+        # emit unmatched small-side rows (right/full) would emit each of
+        # them ``buckets`` times — silently wrong, so refuse loudly
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins only (got "
+            f"{how!r}); for a right/full join, salt the other side"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big_salted = big.withColumn(
         SALT_COL, (F.rand(seed) * buckets).cast("int")

@@ -232,6 +232,18 @@ class TestOperatorReviewFixes:
         ).collect()}
         assert rows2["k"]["a_r"] == 7  # inside tolerance
 
+    def test_salted_join_refuses_small_side_outer(self, spark):
+        # the small side is replicated once per salt: a right/full join
+        # would emit each unmatched small row `buckets` times
+        from solr_map_reduce_spark.operators.skew import salted_join
+        df = spark.createDataFrame([("k", 1)], "k string, v long")
+        with pytest.raises(ValueError, match="salt the other side"):
+            salted_join(df, df, on="k", how="right")
+        with pytest.raises(ValueError, match="salt the other side"):
+            salted_join(df, df, on="k", how="full")
+        # left stays allowed (each big row carries exactly one salt)
+        assert salted_join(df, df, on="k", how="left").count() == 1
+
     def test_range_join_refuses_outer(self, spark):
         from solr_map_reduce_spark.operators.range_join import range_join
         df = spark.createDataFrame([("k", 1)], "k string, ts long")
