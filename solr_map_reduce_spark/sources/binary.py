@@ -212,24 +212,42 @@ def unpack(
                     rows.append({**base, "entry_name": None, "entry_content": None})
                     continue
                 b = bytes(raw)
+                # entries collect into a LOCAL list and extend rows only
+                # after the whole archive read succeeds: a corrupt zip
+                # (BadZipFile — previously UNCAUGHT, killing the task
+                # against the module's B22 fault-tolerance stance) or a
+                # tar truncated mid-entry must fall back to the single
+                # passthrough record ATOMICALLY, never emit partial
+                # entries plus the passthrough duplicate
                 if b.startswith(b"PK\x03\x04") or b.startswith(b"PK\x05\x06"):
-                    with zipfile.ZipFile(io.BytesIO(b)) as zf:
-                        for info in zf.infolist():
-                            if info.is_dir():
-                                continue
-                            rows.append(
-                                {**base, "entry_name": info.filename,
-                                 "entry_content": zf.read(info)}
-                            )
+                    try:
+                        with zipfile.ZipFile(io.BytesIO(b)) as zf:
+                            entries = [
+                                (info.filename, zf.read(info))
+                                for info in zf.infolist()
+                                if not info.is_dir()
+                            ]
+                    except Exception:
+                        rows.append(
+                            {**base, "entry_name": None, "entry_content": b}
+                        )
+                        continue
+                    rows.extend(
+                        {**base, "entry_name": n, "entry_content": c}
+                        for n, c in entries
+                    )
                     continue
                 try:
                     with tarfile.open(fileobj=io.BytesIO(b)) as tf:
-                        members = [m for m in tf.getmembers() if m.isfile()]
-                        for m in members:
-                            rows.append(
-                                {**base, "entry_name": m.name,
-                                 "entry_content": tf.extractfile(m).read()}
-                            )
+                        entries = [
+                            (m.name, tf.extractfile(m).read())
+                            for m in tf.getmembers()
+                            if m.isfile()
+                        ]
+                    rows.extend(
+                        {**base, "entry_name": n, "entry_content": c}
+                        for n, c in entries
+                    )
                     continue
                 except tarfile.TarError:
                     pass

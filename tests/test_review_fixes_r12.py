@@ -258,6 +258,34 @@ class TestOperatorReviewFixes:
         with pytest.raises(ValueError, match=">= 0"):
             chunk_documents(df, chunk_tokens=4, overlap=-2)
 
+    def test_unpack_corrupt_zip_passes_through(self, spark):
+        # a truncated zip raised BadZipFile UNCAUGHT (task death); a tar
+        # failing mid-read emitted partial entries PLUS the passthrough
+        # row — both must fall back to one passthrough record atomically
+        import io
+        import zipfile
+        from solr_map_reduce_spark.sources.binary import unpack
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("a.txt", b"hello")
+            zf.writestr("b.txt", b"world")
+        good = buf.getvalue()
+        corrupt = good[: len(good) // 2]  # keeps the PK magic, breaks the dir
+        df = spark.createDataFrame(
+            [("good", bytearray(good)), ("bad", bytearray(corrupt))],
+            "path string, content binary",
+        )
+        rows = unpack(df, id_cols=("path",)).collect()
+        by_path = {}
+        for r in rows:
+            by_path.setdefault(r["path"], []).append(r)
+        assert sorted(e["entry_name"] for e in by_path["good"]) == [
+            "a.txt", "b.txt"
+        ]
+        assert len(by_path["bad"]) == 1
+        assert by_path["bad"][0]["entry_name"] is None
+        assert bytes(by_path["bad"][0]["entry_content"]) == corrupt
+
     def test_stopword_removal_preserves_duplicates(self, spark):
         # array_except DEDUPLICATED the survivors ("hello world hello"
         # -> [hello, world]), corrupting every frequency consumer
