@@ -611,3 +611,129 @@ def test_complex_phrase_matches_brute_force(docs, patterns, slop):
     )
     want = sorted(i for i, d in enumerate(docs) if _cp_ref(d, patterns, slop))
     assert got == want, (docs, patterns, slop)
+
+
+# -- r12 ANN serving helpers (pure driver-side numpy) -------------------------
+
+_dims = st.integers(min_value=1, max_value=6)
+
+
+@st.composite
+def _mips_meta(draw):
+    import numpy as np
+
+    k = draw(st.integers(min_value=1, max_value=12))
+    dim = draw(_dims)
+    co = np.asarray(
+        draw(
+            st.lists(
+                st.lists(
+                    st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+                    min_size=dim, max_size=dim,
+                ),
+                min_size=k, max_size=k,
+            )
+        )
+    )
+    n = draw(st.lists(st.integers(0, 1000), min_size=k, max_size=k))
+    # sum_nrm2 consistent-ish with counts (0 for empty buckets)
+    s2 = [
+        (draw(st.floats(0, 1e4, allow_nan=False)) if cnt > 0 else 0.0)
+        for cnt in n
+    ]
+    mx = draw(st.floats(0.1, 200, allow_nan=False))
+    meta = {"kind": "ivf",
+            "dot_route": {"max_norm": mx, "n": n, "sum_nrm2": s2}}
+    q = np.asarray(
+        draw(st.lists(
+            st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+            min_size=dim, max_size=dim,
+        ))
+    )
+    return meta, co, q
+
+
+@settings(max_examples=150, deadline=None)
+@given(_mips_meta())
+def test_mips_probe_order_is_total_permutation(mq):
+    # every bucket appears exactly once, whatever the stats look like —
+    # a dropped bucket would make "full probe" silently partial (the
+    # provably-exact loop end depends on totality)
+    from solr_map_reduce_spark.extensions.ann_sidecar import _mips_probe_order
+
+    meta, co, q = mq
+    order = _mips_probe_order(meta, co)(q)
+    assert sorted(order) == list(range(len(co)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(_mips_meta(), st.floats(0.001, 1000, allow_nan=False))
+def test_mips_probe_order_is_query_scale_invariant(mq, scale):
+    # dot(aq, v) = a*dot(q, v) for a > 0: the ranking must not depend on
+    # the query's magnitude (Solr's dot ranking doesn't either)
+    from solr_map_reduce_spark.extensions.ann_sidecar import _mips_probe_order
+
+    meta, co, q = mq
+    fn = _mips_probe_order(meta, co)
+    assert fn(q) == fn(q * scale)
+
+
+@st.composite
+def _adaptive_index(draw):
+    import numpy as np
+
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+
+    k = draw(st.integers(min_value=1, max_value=10))
+    dim = draw(_dims)
+    co = np.asarray(
+        draw(
+            st.lists(
+                st.lists(
+                    st.floats(-20, 20, allow_nan=False, allow_infinity=False),
+                    min_size=dim, max_size=dim,
+                ),
+                min_size=k, max_size=k,
+            )
+        )
+    )
+    q = draw(st.lists(
+        st.floats(-20, 20, allow_nan=False, allow_infinity=False),
+        min_size=dim, max_size=dim,
+    ))
+    tau = draw(
+        st.one_of(st.none(), st.floats(1.0, 100.0, allow_nan=False))
+    )
+    return IvfIndex(co), tau, q
+
+
+@settings(max_examples=150, deadline=None)
+@given(_adaptive_index())
+def test_adaptive_nprobe_bounds_and_none_tau(itq):
+    # always within [1, n_centroids]; tau=None (calibration had no
+    # sample) means full probe — never a silent under-probe
+    from solr_map_reduce_spark.extensions.ann_sidecar import adaptive_nprobe
+
+    index, tau, q = itq
+    meta = {"kind": "ivf", "adaptive": {"tau": tau}}
+    got = adaptive_nprobe(meta, index, q)
+    n = len(index.centroids)
+    assert 1 <= got <= n
+    if tau is None:
+        assert got == n
+
+
+@settings(max_examples=100, deadline=None)
+@given(_adaptive_index(), st.floats(0.0, 50.0, allow_nan=False))
+def test_adaptive_nprobe_monotone_in_tau(itq, bump):
+    # widening the closure ratio can only ADD buckets
+    from solr_map_reduce_spark.extensions.ann_sidecar import adaptive_nprobe
+
+    index, tau, q = itq
+    if tau is None:
+        return
+    lo = adaptive_nprobe(
+        {"kind": "ivf", "adaptive": {"tau": tau}}, index, q)
+    hi = adaptive_nprobe(
+        {"kind": "ivf", "adaptive": {"tau": tau + bump}}, index, q)
+    assert lo <= hi
