@@ -73,8 +73,17 @@ class LocalFS:
             return f.read()
 
     def write_text(self, path: str, text: str) -> None:
-        with open(path, "w", encoding="utf-8") as f:
+        """ATOMIC replace (same-dir temp + ``os.replace``): markers and
+        meta files are the engine's commit points, and every crash-safety
+        argument assumes a reader sees the OLD text, the NEW text, or no
+        file — never a torn half-write.  A plain open-truncate-write
+        leaves exactly that torn state on a crash (a half-written
+        ``_SEARCH_STATS.json`` CRASHES readers with a JSON error instead
+        of taking their designed marker-absent fallback)."""
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)
+        os.replace(tmp, path)
 
     def create_exclusive(self, path: str, text: str) -> bool:
         """Atomically create ``path`` with ``text`` iff it does not exist.
@@ -155,11 +164,26 @@ class HadoopFS:
             stream.close()
 
     def write_text(self, path: str, text: str) -> None:
-        out = self._fs(path).create(self._path(path), True)
+        """Write-temp-then-rename (the LocalFS atomic-replace analog).
+        HDFS rename won't clobber an existing destination, so the old
+        file is deleted first — the worst crash window is then "marker
+        ABSENT", which is the fallback state every reader is designed
+        for, instead of a torn half-write that crashes them.  On stores
+        without atomic rename (S3A) this still strictly dominates the
+        old in-place create(overwrite): the temp write can't tear the
+        live file."""
+        fs = self._fs(path)
+        tmp = self._path(f"{path}.{os.getpid()}.tmp")
+        out = fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        dst = self._path(path)
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise OSError(f"rename failed: {tmp} -> {path}")
 
     def create_exclusive(self, path: str, text: str) -> bool:
         """Atomic create-if-absent via ``FileSystem.create(overwrite=false)``

@@ -302,6 +302,27 @@ class TestOperatorReviewFixes:
         assert got == ["hello", "world", "hello"]
 
 
+def test_local_write_text_is_atomic_on_crash(tmp_path, monkeypatch):
+    # markers/meta files are the engine's commit points: a crash during
+    # write_text must leave the OLD complete text, never a torn file
+    # that crashes readers with a JSON error instead of their designed
+    # marker-absent fallback
+    from solr_map_reduce_spark import fs as fsmod
+
+    f = fsmod.LocalFS()
+    p = str(tmp_path / "marker.json")
+    f.write_text(p, '{"state": "old"}')
+
+    def boom(*_a, **_k):
+        raise OSError("simulated crash at the replace boundary")
+
+    monkeypatch.setattr(fsmod.os, "replace", boom)
+    with pytest.raises(OSError):
+        f.write_text(p, '{"state": "new"}')
+    with open(p, encoding="utf-8") as fh:
+        assert fh.read() == '{"state": "old"}'
+
+
 def test_probe_topk_mips_without_stats_is_loud(spark, tmp_path):
     # a direct probe_topk(metric='dot') call on a legacy sidecar whose
     # meta lacks the MIPS stats must be a clean error, not a KeyError
