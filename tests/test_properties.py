@@ -667,15 +667,20 @@ def test_mips_probe_order_is_total_permutation(mq):
 
 
 @settings(max_examples=100, deadline=None)
-@given(_mips_meta(), st.floats(0.001, 1000, allow_nan=False))
-def test_mips_probe_order_is_query_scale_invariant(mq, scale):
+@given(_mips_meta(), st.integers(min_value=-8, max_value=8))
+def test_mips_probe_order_is_query_scale_invariant(mq, exp):
     # dot(aq, v) = a*dot(q, v) for a > 0: the ranking must not depend on
-    # the query's magnitude (Solr's dot ranking doesn't either)
+    # the query's magnitude (Solr's dot ranking doesn't either).  Scale
+    # by exact powers of two: multiplying doubles by 2^k only shifts the
+    # exponent, so near-tied scores can't FLIP from rounding — an
+    # arbitrary scalar can reorder fp-ties, which is noise, not a
+    # formula defect (hypothesis found exactly that with duplicate
+    # centroids)
     from solr_map_reduce_spark.extensions.ann_sidecar import _mips_probe_order
 
     meta, co, q = mq
     fn = _mips_probe_order(meta, co)
-    assert fn(q) == fn(q * scale)
+    assert fn(q) == fn(q * (2.0 ** exp))
 
 
 @st.composite
