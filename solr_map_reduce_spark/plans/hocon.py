@@ -54,6 +54,18 @@ class _Subst:
         self.path = path
 
 
+def _merge_values(old, new):
+    """HOCON duplicate-key semantics: two object values merge
+    recursively (later wins per leaf); any other combination is
+    last-value-wins."""
+    if isinstance(old, dict) and isinstance(new, dict):
+        out = dict(old)
+        for k, v in new.items():
+            out[k] = _merge_values(out[k], v) if k in out else v
+        return out
+    return new
+
+
 class _Parser:
     def __init__(self, text: str):
         self.s = text
@@ -108,13 +120,18 @@ class _Parser:
             self._skip(separators=False)
             c = self._peek()
             if c == "{":  # "key { ... }" implies object merge syntax
-                out[key] = self.parse_object()
+                val = self.parse_object()
             elif c in ":=":
                 self.i += 1
                 self._skip(separators=False)
-                out[key] = self.parse_value()
+                val = self.parse_value()
             else:
                 raise ValueError(f"expected ':' after key {key!r} at {self.i}")
+            # HOCON duplicate-key rule (spec §"Duplicate keys and object
+            # merging"): object values MERGE field-by-field (later wins
+            # per leaf), anything else replaces.  Plain replacement
+            # silently dropped every earlier field of a re-opened block.
+            out[key] = _merge_values(out[key], val) if key in out else val
 
     def _parse_key(self) -> str:
         if self._peek() == '"':
@@ -173,7 +190,11 @@ class _Parser:
             path = self.s[self.i + 2 : end]
             self.i = end + 1
             return _Subst(path)
-        # unquoted scalar: up to a structural char / separator / comment
+        # unquoted scalar: up to a structural char / separator / comment.
+        # Subset limit (fine for the reference's newline-separated
+        # configs): an unquoted scalar runs to end-of-line, so a SIBLING
+        # key on the same line ("port : 1 zk { ... }") would be swallowed
+        # into the value — put each key on its own line.
         start = self.i
         while self.i < len(self.s):
             ch = self.s[self.i]

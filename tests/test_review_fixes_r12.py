@@ -302,6 +302,39 @@ class TestOperatorReviewFixes:
         assert got == ["hello", "world", "hello"]
 
 
+def test_hocon_duplicate_object_keys_merge():
+    # HOCON spec: duplicate keys with object values MERGE field-by-field
+    # (later wins per leaf); plain replacement silently dropped every
+    # earlier field of a re-opened block
+    from solr_map_reduce_spark.plans.hocon import parse_hocon
+
+    cfg = parse_hocon(
+        """
+        solr {
+          host : "a"
+          port : 8983
+        }
+        solr {
+          port : 9999
+          zk {
+            quorum : "q1"
+          }
+        }
+        solr {
+          zk {
+            timeout : 5
+          }
+        }
+        scalar : 1
+        scalar : 2
+        """
+    )
+    assert cfg["solr"] == {
+        "host": "a", "port": 9999, "zk": {"quorum": "q1", "timeout": 5},
+    }
+    assert cfg["scalar"] == 2  # non-object duplicates: last wins
+
+
 def test_local_write_text_is_atomic_on_crash(tmp_path, monkeypatch):
     # markers/meta files are the engine's commit points: a crash during
     # write_text must leave the OLD complete text, never a torn file
