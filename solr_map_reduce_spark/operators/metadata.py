@@ -56,7 +56,16 @@ def enrich_file_metadata(df: DataFrame, with_posix: bool = False) -> DataFrame:
         .withColumn("file_upload_url", url)
         .withColumn(
             "file_scheme",
-            F.coalesce(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1), F.lit("file")),
+            # regexp_extract yields "" (not NULL) on no match, so a
+            # coalesce default never fires — scheme-less local paths
+            # must still report "file" (PathParts' default scheme)
+            F.when(
+                F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+                == "",
+                F.lit("file"),
+            ).otherwise(
+                F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+            ),
         )
         .withColumn("file_host", F.coalesce(parsed, F.lit("")))
         .withColumn("file_port", F.lit(-1).cast("int"))

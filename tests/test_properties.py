@@ -742,3 +742,59 @@ def test_adaptive_nprobe_monotone_in_tau(itq, bump):
     hi = adaptive_nprobe(
         {"kind": "ivf", "adaptive": {"tau": tau + bump}}, index, q)
     assert lo <= hi
+
+
+# -- URL canonicalization must be a FIXED POINT -------------------------------
+
+_url_parts = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="-._~"
+    ),
+    min_size=0, max_size=12,
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HtTpS"]))
+    host = draw(_url_parts) or "h"
+    path = "/".join(draw(st.lists(_url_parts, max_size=3)))
+    params = draw(st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["utm_source", "utm_x", "fbclid", "gclid", "ref", "a", "b",
+                 "Q", "page"]
+            ),
+            _url_parts,
+        ),
+        max_size=4,
+    ))
+    frag = draw(_url_parts)
+    url = f"{scheme}://{host}/{path}"
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if frag:
+        url += "#" + frag
+    return url
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_urls(), min_size=1, max_size=8))
+def test_normalize_url_is_idempotent(urls):
+    # canonical forms must be FIXED POINTS: if normalize(normalize(u))
+    # != normalize(u), re-canonicalizing an already-deduped corpus
+    # would silently re-split its URL-dedup groups
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.extensions.text_analysis import normalize_url
+    from solr_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name="smrs-tests", master="local[4]",
+                      shuffle_partitions=4)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = df.select(
+        normalize_url(F.col("url")).alias("once"),
+        normalize_url(normalize_url(F.col("url"))).alias("twice"),
+    ).collect()
+    for r in got:
+        assert r["once"] == r["twice"], urls
