@@ -68,13 +68,22 @@ def _driver_sample(
     """Bounded driver-side vector sample as a numpy matrix — the shared
     recipe behind every k-means/codebook fit (capped regardless of table
     size, so fitting stays cheap at 100 TB): count -> oversampled
-    fraction -> limit -> Arrow collect."""
+    fraction -> sort -> limit -> Arrow collect.
+
+    The sort between sample and limit is what makes the fit
+    REPRODUCIBLE: a bare ``sample(seed).limit(n)`` takes whichever
+    partitions return first, so two identical builds fitted different
+    centroids (measured: 1M-corpus MIPS recall@4 swung 0.75↔0.92
+    across runs).  The sort runs over the ~1.2×sample_size SAMPLED rows
+    only — ≤ a few thousand at any corpus size — never the table."""
     n = df.count()
     frac = min(1.0, (sample_size * 1.2) / max(n, 1))
     return np.array(
-        df.sample(fraction=frac, seed=seed)
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .sample(fraction=frac, seed=seed)
+        .orderBy(F.col(vec_col))
         .limit(sample_size)
-        .select(vec_col)
         .toPandas()[vec_col]
         .tolist(),
         dtype=np.float64,

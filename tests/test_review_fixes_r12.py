@@ -302,6 +302,20 @@ class TestOperatorReviewFixes:
         assert got == ["hello", "world", "hello"]
 
 
+def test_fit_sample_is_run_deterministic(spark):
+    # sample(seed).limit(n) took whichever partitions returned first, so
+    # two identical fits produced different centroids despite the seed;
+    # the sorted bounded sample makes refits bit-identical
+    from solr_map_reduce_spark.extensions.similarity import IvfIndex
+    rows = [(i, [float(x) for x in VECS[i % N]]) for i in range(N)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    c1 = IvfIndex.fit(df, n_centroids=NC).centroids
+    c2 = IvfIndex.fit(df, n_centroids=NC).centroids
+    assert np.array_equal(c1, c2)
+
+
 def test_hocon_duplicate_object_keys_merge():
     # HOCON spec: duplicate keys with object values MERGE field-by-field
     # (later wins per leaf); plain replacement silently dropped every
