@@ -350,7 +350,14 @@ def ltr_rescore(
     size."""
     feats = _features(features, context)
     scored = pool.withColumn(score_col, model.score_col(feats))
-    order = [F.desc(score_col)]
+    # NaN model scores sort GREATEST under desc, so one sqrt(-x)/pow
+    # feature value would TOP every rescored page (the same
+    # NaN-is-greatest failure shape as the kNN serving fix; Lucene
+    # forbids NaN scores outright).  The feature-level coalesce can't
+    # catch it — NaN is not NULL.  Sort on a NaN-nulled twin (desc
+    # places NULLs last), keep the raw score column for observability.
+    sortable = F.when(~F.isnan(F.col(score_col)), F.col(score_col))
+    order = [F.desc(sortable)]
     if tiebreak is not None:
         order.append(F.asc(tiebreak))
     scored = scored.orderBy(*order)

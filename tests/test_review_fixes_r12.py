@@ -302,6 +302,27 @@ class TestOperatorReviewFixes:
         assert got == ["hello", "world", "hello"]
 
 
+def test_ltr_nan_scores_rank_last(spark):
+    # a sqrt(-x)-style feature yields NaN, which is NOT NULL (the
+    # feature default coalesce passes it through) and sorts GREATEST
+    # under desc — one bad feature value topped every rescored page
+    from solr_map_reduce_spark.extensions.ltr import (
+        Feature, LinearModel, ltr_rescore,
+    )
+    pool = spark.createDataFrame(
+        [("a", 4.0), ("b", 9.0), ("c", -1.0)], "id string, x double"
+    )
+    got = ltr_rescore(
+        pool,
+        LinearModel({"f": 1.0}),
+        {"f": Feature("sqrt(x)")},
+        tiebreak="id",
+    ).collect()
+    assert [r["id"] for r in got] == ["b", "a", "c"]  # NaN last, not first
+    import math
+    assert math.isnan(got[-1]["ltr_score"])  # raw score still observable
+
+
 def test_fit_sample_is_run_deterministic(spark):
     # sample(seed).limit(n) took whichever partitions returned first, so
     # two identical fits produced different centroids despite the seed;
