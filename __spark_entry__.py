@@ -134,49 +134,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round), r12 rotation per the r11 verdict's #1 directive,
-# recounted from CORRECTNESS_r01..r11 at round start (ledger after
-# r11: never-checked 0; cohorts r7=28, r8=50, r9=50, r10=48, r11=50):
-# (a) the FULL 28-entry r07-stale cohort — the only thing older than
-# r8, four rounds without an external check, including the
-# LLM-pipeline staples (ext_passage_dedup, ext_decontaminate,
-# ext_knn_join, ext_c4_clean) and the core text-surface queries
-# (c9_search_request, c9_fielded_query); (b) 22 of the 50-entry r08
-# cohort (alphabetical within the equally-stale cohort) — the
-# remaining 28 r08 entries (c9_spellcheck, c9_stats_field,
-# c9_stats_percentiles, c9_synonym_query, c9_term_vectors,
-# c9_terms_component, c9_terms_filter, c9_wildcard_general,
-# ext_bigram_surprisal, ext_dismax_mm, ext_dismax_topk, ext_geofilt,
-# ext_hybrid_rrf, ext_mmr_rerank, ext_rerank_query, ext_semdedup,
-# ext_sq_topk, ext_stream_complement, ext_stream_hashjoin,
-# ext_stream_having, ext_stream_nodes, ext_stream_rollup,
-# ext_stream_select_eval, ext_stream_shortest_path,
-# ext_stream_sigterms, ext_stream_timeseries, ext_topic_pull,
-# ext_unigram_surprisal) lead the r13 rotation.  After this round the
-# staleness floor is r8 (28 entries left at r8) and never-checked
-# stays 0 (minus any r12-close additions).  The repo's own oracle
-# suite covers all entries every pytest run regardless
-# (tests/test_queries_oracle.py).
+# entries per round), r13 rotation per the r12 verdict's #1 directive,
+# recounted from CORRECTNESS_r01..r12 at round start (ledger after
+# r12: never-checked 0; cohorts r8=28, r9=50, r10=48, r11=50,
+# r12=50): (a) the FULL 28-entry r08-stale cohort — the only thing
+# older than r9, four rounds without an external check, including the
+# bench headliners whose code paths the r12 finite-score guards
+# touched (ext_hybrid_rrf, ext_sq_topk, ext_dismax_topk), the whole
+# stream-expression family, and the spellcheck/stats/terms query
+# surface; (b) 22 of the 50-entry r09 cohort (alphabetical within the
+# equally-stale cohort) — the remaining 28 r09 entries
+# (ext_sql_select, ext_sql_text, ext_stratified_sample,
+# ext_stream_cartesian, ext_stream_facet2d, ext_stream_facet_limit,
+# ext_stream_fetch, ext_stream_list, ext_stream_null,
+# ext_stream_random, ext_stream_rollup_metrics,
+# ext_stream_timeseries_gap, ext_stream_topic, pivot_user_activity,
+# q10_returned_items, q13_order_distribution, q15_top_supplier,
+# q17_small_qty_revenue, q19_discounted_revenue,
+# q20_heavy_part_suppliers, q21_last_shipper, q22_idle_customers,
+# q7_volume_shipping, q8_market_share, q9_profit_by_nation,
+# setop_viewers_not_buyers, window_lag_delta, window_rolling_sum)
+# lead the r14 rotation.  After this round the staleness floor is r9
+# (28 entries left at r9) and never-checked stays 0 (minus any
+# r13-close additions).  The repo's own oracle suite covers all
+# entries every pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a) r07-stale cohort, all 28 — unchecked since round 7
-    "c7_segment_contract", "c9_facet_query", "c9_field_group",
-    "c9_fielded_query", "c9_fuzzy_query", "c9_phrase_slop",
-    "c9_range_query", "c9_search_request", "ext_bm25_filtered",
-    "ext_c4_clean", "ext_chunk_docs", "ext_cosine_pairs_lsh",
-    "ext_decontaminate", "ext_hash_split", "ext_ivf_topk",
-    "ext_ivfpq_topk", "ext_knn_classify", "ext_knn_join",
-    "ext_passage_dedup", "ext_pixel_stats", "ext_pq_topk",
-    "ext_source_cap", "ext_spatial_bbox", "ext_url_dedup",
-    "facet_cube_counts", "q14_promo_revenue", "q18_large_orders",
-    "q4_order_priority",
-    # (b) r08 cohort, 22 of 50 (alphabetical; rest lead r13)
-    "c6_atomic_inc", "c9_alias_query", "c9_block_join_child",
-    "c9_block_join_parent", "c9_boost_function", "c9_cursor_page",
-    "c9_elevated_query", "c9_facet_prefix", "c9_facet_stats",
-    "c9_frange", "c9_frange_func", "c9_grouped", "c9_interval_facet",
-    "c9_join_query", "c9_leading_wildcard", "c9_multiselect_facet",
-    "c9_parsed_boost", "c9_pivot_facet", "c9_qop_and",
-    "c9_query_facets", "c9_range_facet", "c9_sort_function",
+    # (a) r08-stale cohort, all 28 — unchecked since round 8
+    "c9_spellcheck", "c9_stats_field", "c9_stats_percentiles",
+    "c9_synonym_query", "c9_term_vectors", "c9_terms_component",
+    "c9_terms_filter", "c9_wildcard_general", "ext_bigram_surprisal",
+    "ext_dismax_mm", "ext_dismax_topk", "ext_geofilt",
+    "ext_hybrid_rrf", "ext_mmr_rerank", "ext_rerank_query",
+    "ext_semdedup", "ext_sq_topk", "ext_stream_complement",
+    "ext_stream_hashjoin", "ext_stream_having", "ext_stream_nodes",
+    "ext_stream_rollup", "ext_stream_select_eval",
+    "ext_stream_shortest_path", "ext_stream_sigterms",
+    "ext_stream_timeseries", "ext_topic_pull",
+    "ext_unigram_surprisal",
+    # (b) r09 cohort, 22 of 50 (alphabetical; rest lead r14)
+    "b8_convert_timestamp", "c9_collapse", "c9_date_math",
+    "c9_expand", "c9_facet_multivalued", "c9_graph_query",
+    "c9_jf_block_children", "c9_jf_range_nested", "c9_jf_ranges",
+    "c9_jf_relatedness", "c9_json_facet", "c9_json_facet_multiselect",
+    "c9_json_facet_range", "c9_knn_query", "c9_recency_boost",
+    "c9_termfreq_sort", "ext_dismax_mm_conditional", "ext_ltr_linear",
+    "ext_ltr_trees", "ext_multimodal_decode", "ext_percentiles",
+    "ext_sql_agg",
 ]
 
 
