@@ -38,6 +38,21 @@ def l2_norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _query_norm(query: Sequence[float]) -> float:
+    """Driver-side L2 norm of the query vector, rejecting the
+    zero-magnitude case loudly: Lucene raises on a zero-norm cosine
+    query (VectorUtil cosine requires non-zero magnitude) rather than
+    serving the silently-empty page a NULL-everywhere score column
+    would produce."""
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    if qn == 0.0:
+        raise ValueError(
+            "cosine similarity is undefined for a zero-magnitude query "
+            "vector (Lucene rejects it; every score would be NULL)"
+        )
+    return qn
+
+
 def cosine_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
     """NULL (not an error, not NaN) for a zero-norm stored vector:
     under ANSI mode (the Spark 4 default) the bare division raised
@@ -45,13 +60,63 @@ def cosine_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
     kNN query over the corpus — and with ANSI off it yielded NaN,
     which sorts GREATEST and topped every page.  NULL rows are
     dropped by :func:`finite_score` (the Lucene contract: a document
-    without a usable vector is absent from vector results)."""
+    without a usable vector is absent from vector results).
+
+    Prefer :func:`attach_cosine_score` on any corpus-wide scan: as a
+    single Column this expression evaluates the norm fold twice (the
+    guard and the denominator), and a Filter referencing the aliased
+    score gets the whole fold substituted into its predicate by
+    Catalyst — measured ~2x on the sf0.1 exact scan.  A zero-magnitude
+    QUERY vector raises (Lucene parity)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     qd = _as_double(q)
     vd = _as_double(vec_col)
-    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    qn = _query_norm(query)
     den = l2_norm(vd) * F.lit(qn)
     return F.when(den != 0.0, dot_product(vd, qd) / den)
+
+
+def attach_cosine_score(
+    df: DataFrame,
+    query: Sequence[float],
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    drop_nonfinite: bool = True,
+) -> DataFrame:
+    """Cosine-to-query as a score COLUMN with the array folds evaluated
+    exactly once per row — the fast shape for corpus-wide exact scans.
+
+    Two stacked projections: the inner computes the expensive folds
+    (dot product and sum of squares) as scalar columns; the outer
+    derives the guarded score from the scalars.  The shape matters:
+    Catalyst pushes a Filter through a Project by SUBSTITUTING each
+    alias's defining expression into the predicate, so filtering on a
+    single-Column score re-evaluates the folds per reference (measured
+    ~2x wall-clock on the sf0.1 brute-force scan), while
+    CollapseProject declines to merge these two projects because the
+    scalar aliases are non-cheap and multiply-referenced — the folds
+    stay put.  Zero-norm stored vectors score NULL and NaN/Inf scores
+    are dropped when ``drop_nonfinite`` (the Lucene "no usable vector"
+    contract); a zero-magnitude QUERY vector raises (Lucene parity)."""
+    qn = _query_norm(query)
+    qd = _as_double(F.array(*[F.lit(float(x)) for x in query]))
+    vd = _as_double(F.col(vec_col))
+    keep = [F.col(c) for c in df.columns]
+    inner = df.select(
+        *keep,
+        dot_product(vd, qd).alias("__smrs_dot"),
+        F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x).alias(
+            "__smrs_nn"
+        ),
+    )
+    score = F.when(
+        F.col("__smrs_nn") != 0.0,
+        F.col("__smrs_dot") / (F.sqrt(F.col("__smrs_nn")) * F.lit(qn)),
+    )
+    out = inner.select(*keep, score.alias(score_col))
+    if drop_nonfinite:
+        out = out.filter(finite_score(F.col(score_col)))
+    return out
 
 
 def dot_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
@@ -124,9 +189,10 @@ def cosine_topk(
     (``orderBy ... limit`` → TakeOrderedAndProject, which keeps only k rows
     per partition).  Zero-norm/NaN/Inf vectors are excluded (see
     :func:`finite_score`)."""
-    scored = df.select(
-        F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("score")
-    ).filter(finite_score(F.col("score")))
+    scored = attach_cosine_score(
+        df.select(id_col, vec_col), query, score_col="score",
+        vec_col=vec_col,
+    ).select(id_col, "score")
     out = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
     return out if with_score else out.select(id_col)
 
@@ -259,10 +325,9 @@ def mmr_rerank(
     if k > pool:
         raise ValueError(f"k ({k}) cannot exceed the candidate pool ({pool})")
     scored = (
-        df.select(
-            F.col(id_col),
-            _as_double(F.col(vec_col)).alias("_v"),
-            cosine_to_query(F.col(vec_col), query).alias("rel"),
+        attach_cosine_score(
+            df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")),
+            query, score_col="rel", vec_col="_v", drop_nonfinite=False,
         )
         .orderBy(F.desc("rel"), F.col(id_col))
         .limit(pool)

@@ -2767,10 +2767,15 @@ class SearchIndex:
                 )
             metric = params.get("similarity", "cosine")
             if metric == "cosine":
-                score = sim.cosine_to_query(F.col(f), qvec)
-            elif metric in ("dot", "dot_product"):
-                score = sim.dot_to_query(F.col(f), qvec)
-            else:
+                if all(x == 0.0 for x in qvec):
+                    # Lucene raises on a zero-magnitude cosine query;
+                    # serving it would yield NULL scores everywhere —
+                    # a silently empty page instead of an error
+                    raise search.QuerySyntaxError(
+                        "{!knn} cosine is undefined for a "
+                        "zero-magnitude query vector"
+                    )
+            elif metric not in ("dot", "dot_product"):
                 raise search.QuerySyntaxError(
                     f"{{!knn}} similarity {metric!r} unsupported "
                     "(cosine, dot)"
@@ -2809,14 +2814,20 @@ class SearchIndex:
             if pre_pred is not None:
                 # exact path: the predicate rides the same scan
                 base = base.filter(pre_pred)
-            from solr_map_reduce_spark.extensions.similarity import (
-                finite_score,
-            )
-
+            if metric == "cosine":
+                # two-projection shape: the array folds evaluate ONCE
+                # per row (a finite filter on a single-Column score
+                # gets the folds substituted into its predicate —
+                # measured ~2x on the sf0.1 exact scan)
+                scored = sim.attach_cosine_score(
+                    base, qvec, score_col="_knn_score", vec_col=f
+                )
+            else:
+                scored = base.withColumn(
+                    "_knn_score", sim.dot_to_query(F.col(f), qvec)
+                ).filter(sim.finite_score(F.col("_knn_score")))
             return (
-                base
-                .withColumn("_knn_score", score)
-                .filter(finite_score(F.col("_knn_score")))
+                scored
                 .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
                 .limit(topk)
                 .drop("_knn_score")
@@ -4536,18 +4547,27 @@ class MultiIndex:
                 )
             topk = _int_local_param(params, "topK", 10)
             metric = params.get("similarity", "cosine")
-            score = (
-                sim.dot_to_query(F.col(fld), qvec)
-                if metric in ("dot", "dot_product")
-                else sim.cosine_to_query(F.col(fld), qvec)
-            )
             pool = self._union(
                 [m._query_scan(q, field, synonyms, op)
                  for m in self.members]
             )
+            if metric in ("dot", "dot_product"):
+                scored = pool.withColumn(
+                    "_knn_score", sim.dot_to_query(F.col(fld), qvec)
+                ).filter(sim.finite_score(F.col("_knn_score")))
+            else:
+                if all(x == 0.0 for x in qvec):
+                    raise search.QuerySyntaxError(
+                        "{!knn} cosine is undefined for a "
+                        "zero-magnitude query vector"
+                    )
+                # two-projection shape — folds evaluate once per row
+                # (see the single-index {!knn} exact path)
+                scored = sim.attach_cosine_score(
+                    pool, qvec, score_col="_knn_score", vec_col=fld
+                )
             return (
-                pool.withColumn("_knn_score", score)
-                .filter(sim.finite_score(F.col("_knn_score")))
+                scored
                 .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
                 .limit(topk)
                 .drop("_knn_score")
