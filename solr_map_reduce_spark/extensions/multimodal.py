@@ -101,6 +101,13 @@ def _builtin_image_meta(b: bytes) -> tuple[int, int, str, str] | None:
                 w = int.from_bytes(b[i + 7 : i + 9], "big")
                 ncomp = b[i + 9]
                 return (w, h, {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, "RGB"), "JPEG")
+            if marker in (0xD9, 0xDA):
+                # SOS/EOI with no SOF seen: a valid JPEG always carries a
+                # frame header before the scan — walking INTO the
+                # entropy-coded data would read stuffed 0xFF bytes as
+                # bogus segment lengths and could false-match a "SOF"
+                # inside compressed data, returning garbage dimensions
+                return None
             i += 2 + seglen
         return None
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
@@ -603,8 +610,15 @@ def feature_extract(
     needs no Python."""
     return decoded.select(
         F.col(id_col),
-        (F.col("width") / F.col("height")).alias("aspect_ratio"),
-        F.when(F.col("width") * F.col("height") >= 128 * 128, "large")
+        # guarded: a degenerate 0-height row (e.g. the fake decoder's
+        # (0, 0) for empty payloads) raised DIVIDE_BY_ZERO under ANSI
+        # (the Spark 4 default) and killed the whole stage; undefined
+        # geometry yields NULL, matching the decode-tier null contract
+        F.when(
+            F.col("height") != 0, F.col("width") / F.col("height")
+        ).alias("aspect_ratio"),
+        F.when(F.col("width").isNull() | F.col("height").isNull(), None)
+        .when(F.col("width") * F.col("height") >= 128 * 128, "large")
         .otherwise("small")
         .alias("size_bucket"),
     )

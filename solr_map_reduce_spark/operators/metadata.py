@@ -68,13 +68,32 @@ def enrich_file_metadata(df: DataFrame, with_posix: bool = False) -> DataFrame:
             ),
         )
         .withColumn("file_host", F.coalesce(parsed, F.lit("")))
-        .withColumn("file_port", F.lit(-1).cast("int"))
+        .withColumn(
+            "file_port",
+            # PathParts.getPort: the URI's explicit port, -1 when absent
+            # (parse_url has no PORT part, so extract from AUTHORITY —
+            # "host:8020" — with -1 for portless/authority-less URLs)
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        F.parse_url(url, F.lit("AUTHORITY")), r":(\d+)$", 1
+                    ),
+                    F.lit(""),
+                ).cast("int"),
+                F.lit(-1),
+            ),
+        )
         .withColumn("file_path", meta["file_path"])
         .withColumn("file_name", meta["file_name"])
         .withColumn("file_length", meta["file_size"].cast("long"))
         .withColumn(
             "file_last_modified",
-            (F.unix_timestamp(meta["file_modification_time"]) * 1000).cast("long"),
+            # millisecond precision: the reference reports HDFS mtime in
+            # epoch millis; unix_timestamp() truncates to seconds, which
+            # collapsed sub-second mtime ordering (retain-most-recent over
+            # files written in the same second saw equal order keys)
+            (meta["file_modification_time"].cast("double") * 1000)
+            .cast("long"),
         )
         .withColumn("base_id", url)
     )

@@ -211,6 +211,11 @@ def docx_extract(data: bytes) -> DocumentContent:
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         xml = zf.read("word/document.xml").decode("utf-8", "replace")
         meta = _ooxml_core_props(zf)
+    # explicit tab/line-break runs become whitespace BEFORE run extraction
+    # (Tika parity): without this, "cell1<w:tab/>cell2" merges into
+    # "cell1cell2" — adjacent words silently concatenate
+    xml = re.sub(r"<w:tab(?:\s[^>]*)?/>", "<w:t>\t</w:t>", xml)
+    xml = re.sub(r"<w:(?:br|cr)(?:\s[^>]*)?/>", "<w:t>\n</w:t>", xml)
     # paragraph boundaries -> newlines; runs within a paragraph concatenate
     paras = [
         "".join(_runs(p, "w:t")) for p in re.split(r"</w:p>", xml)
@@ -369,6 +374,15 @@ def rtf_extract(data: bytes) -> DocumentContent:
                 i += 1
                 continue
             i = m.end()
+            if m.group(1) == "bin" and m.group(2) is not None:
+                # \binN: N bytes of RAW binary follow — unescaped, so a
+                # 0x7D byte inside would otherwise close the enclosing
+                # group and corrupt skip tracking for the rest of the
+                # file (latin-1 decode is 1 char per byte, so a char
+                # skip IS a byte skip).  Must run even inside a skipped
+                # destination (\bin lives in \pict, which IS skipped).
+                i += max(int(m.group(2)), 0)
+                continue
             if skip_depth is not None:
                 continue
             word, num, hexv, sym = m.group(1), m.group(2), m.group(3), m.group(4)
@@ -522,9 +536,16 @@ def _xls_sst_strings(book: bytes) -> list[str]:
         wide = bool(flags & 0x01)
         remaining = cch
         while remaining > 0:
-            if seg_idx < len(segs) and pos == 0 and chars:
-                # crossed into a CONTINUE: first byte is a fresh width flag
-                wide = bool(read(1)[0] & 0x01)
+            if seg_idx < len(segs) and pos == 0:
+                # crossed into a CONTINUE: first byte is a fresh width
+                # flag (MS-XLS §2.5.293 — repeated at the start of EVERY
+                # CONTINUE that splits character data, including when the
+                # string header exactly filled the previous segment, i.e.
+                # before any char of this string was read)
+                flag_byte = read(1)
+                if not flag_byte:
+                    break
+                wide = bool(flag_byte[0] & 0x01)
             if seg_idx >= len(segs):
                 break
             avail_bytes = len(segs[seg_idx]) - pos

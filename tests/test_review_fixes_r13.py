@@ -136,3 +136,140 @@ def test_exact_knn_page_still_drops_poisoned_rows(spark, vecs, tmp_path):
     ]
     assert "4" not in page and "5" not in page
     assert page[0] == "2"
+
+
+# ---------------------------------------------------------------------------
+# Adversarial review pass over the extractor surfaces (r12 verdict item 3):
+# documents.py / cfb.py / multimodal.py / metadata.py
+# ---------------------------------------------------------------------------
+
+def _docx_bytes(document_xml: str) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", document_xml)
+    return buf.getvalue()
+
+
+def test_docx_tab_and_break_become_whitespace():
+    """<w:tab/> / <w:br/> runs previously vanished, merging adjacent words
+    ("cell1cell2") — Tika emits tab/newline for them."""
+    from solr_map_reduce_spark.sources.documents import docx_extract
+
+    xml = (
+        '<w:document><w:body><w:p>'
+        '<w:r><w:t>cell1</w:t></w:r><w:r><w:tab/></w:r>'
+        '<w:r><w:t>cell2</w:t></w:r><w:r><w:br/></w:r>'
+        '<w:r><w:t>line2</w:t></w:r>'
+        '</w:p></w:body></w:document>'
+    )
+    doc = docx_extract(_docx_bytes(xml))
+    assert doc.text == "cell1\tcell2\nline2"
+
+
+def test_xls_sst_flag_when_string_starts_at_continue_boundary():
+    """MS-XLS §2.5.293: EVERY continue boundary that splits character data
+    repeats the width-flag byte — including when the string HEADER exactly
+    filled the previous record, so no chars had been read yet (the old
+    ``and chars`` conjunct skipped the flag and shifted the text one byte)."""
+    import struct
+
+    from solr_map_reduce_spark.sources.documents import _xls_sst_strings
+
+    # SST body: cstTotal + cstUnique + one header (cch=4, flags=0) = 11 bytes,
+    # char data entirely in the CONTINUE (fresh flag byte + "abcd")
+    sst_body = struct.pack("<iiHB", 1, 1, 4, 0x00)
+    cont_body = b"\x00" + b"abcd"
+    book = (
+        struct.pack("<HH", 0x00FC, len(sst_body)) + sst_body
+        + struct.pack("<HH", 0x003C, len(cont_body)) + cont_body
+    )
+    assert _xls_sst_strings(book) == ["abcd"]
+
+
+def test_rtf_bin_bytes_do_not_corrupt_group_tracking():
+    """\\binN raw bytes are unescaped — a 0x7D byte inside previously closed
+    the enclosing skip group, leaking binary garbage into the text."""
+    from solr_map_reduce_spark.sources.documents import rtf_extract
+
+    doc = rtf_extract(b"{\\rtf1 A{\\pict\\bin3 }x}B}")
+    assert doc.text == "A"
+
+
+def test_jpeg_meta_stops_at_sos():
+    """A SOF-less JPEG must yield None, not garbage dimensions parsed from
+    stuffed 0xFF bytes inside the entropy-coded data."""
+    from solr_map_reduce_spark.extensions.multimodal import _builtin_image_meta
+
+    # SOI + SOS, then compressed-looking data containing a fake SOF0 marker
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xda\x00\x04\x01\x00"
+        + b"\x12\x34\xff\xc0\x00\x11\x08\x00\x10\x00\x10\x03"
+    )
+    assert _builtin_image_meta(data) is None
+
+
+def _fake_meta_df(spark, path, mtime):
+    import datetime
+
+    rows = [
+        (
+            {
+                "file_path": path,
+                "file_name": path.rsplit("/", 1)[-1],
+                "file_size": 123,
+                "file_modification_time": mtime,
+            },
+        )
+    ]
+    schema = (
+        "_metadata struct<file_path:string,file_name:string,"
+        "file_size:long,file_modification_time:timestamp>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_file_port_extracted_from_authority(spark):
+    import datetime
+
+    from solr_map_reduce_spark.operators.metadata import enrich_file_metadata
+
+    mt = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    with_port = enrich_file_metadata(
+        _fake_meta_df(spark, "hdfs://namenode:8020/data/part-0.parquet", mt)
+    ).first()
+    assert with_port["file_port"] == 8020
+    assert with_port["file_host"] == "namenode"
+    portless = enrich_file_metadata(
+        _fake_meta_df(spark, "file:/tmp/x.parquet", mt)
+    ).first()
+    assert portless["file_port"] == -1
+
+
+def test_file_last_modified_keeps_milliseconds(spark):
+    import datetime
+
+    from solr_map_reduce_spark.operators.metadata import enrich_file_metadata
+
+    mt = datetime.datetime(2024, 5, 1, 12, 0, 0, 500_000)  # .5 s
+    row = enrich_file_metadata(_fake_meta_df(spark, "file:/tmp/y", mt)).first()
+    assert row["file_last_modified"] % 1000 == 500
+
+
+def test_feature_extract_survives_degenerate_dimensions(spark):
+    from solr_map_reduce_spark.extensions.multimodal import feature_extract
+
+    df = spark.createDataFrame(
+        [("a", 128, 256), ("b", 0, 0), ("c", None, None)],
+        "media_id string, width int, height int",
+    )
+    rows = {r["media_id"]: r for r in feature_extract(df).collect()}
+    assert rows["a"]["aspect_ratio"] == 0.5
+    assert rows["a"]["size_bucket"] == "large"
+    assert rows["b"]["aspect_ratio"] is None      # was: DIVIDE_BY_ZERO
+    assert rows["b"]["size_bucket"] == "small"
+    assert rows["c"]["aspect_ratio"] is None
+    assert rows["c"]["size_bucket"] is None
