@@ -227,7 +227,22 @@ def _auto_adaptive_tau(
     meta (the pick is auditable, and mean_nprobe doubles as the
     integer fallback default for paths the ratio rule doesn't cover).
     A too-small sample returns ``tau=None`` — serve treats that as
-    full probe (never silently under-probes)."""
+    full probe (never silently under-probes).
+
+    Query space: cosine's answer depends only on the query's
+    DIRECTION, but the raw coarse-distance profile depends on its
+    NORM — a query far outside the corpus norm distribution skews
+    the ratio profile (a tiny norm collapses to ~1 probed bucket, a
+    huge one forces near-full probe) even though the true result is
+    unchanged.  The profile is therefore computed with every query
+    rescaled to the corpus RMS norm (recorded as ``rms_norm`` in the
+    meta; serve and probe ordering apply the same rescale), which is
+    (a) a no-op for in-distribution queries, (b) scale-invariant, and
+    (c) exactly unit-normalization when the corpus itself is
+    unit-norm — NOT plain unit-normalization, which against raw
+    centroids at corpus radius R flattens every ratio toward 1 and
+    destroys the rule's discrimination.  ivfpq calibrates in its
+    stored unit space as before."""
     import numpy as np
 
     from solr_map_reduce_spark.extensions.similarity import _driver_sample
@@ -235,24 +250,30 @@ def _auto_adaptive_tau(
     co = np.asarray(centroids, dtype=np.float64)
     n_centroids = len(co)
     X = _driver_sample(base_rows, field, sample_n, seed)
-    base = {"target_recall": target_recall, "sample_n": int(len(X))}
+    base = {"target_recall": target_recall, "sample_n": int(len(X)),
+            "query_space": "unit" if unit_space else "corpus_rms"}
     if len(X) < k + 1:
         return {**base, "tau": None, "estimated_recall": 1.0,
                 "n_queries": 0, "mean_nprobe": n_centroids,
                 "max_nprobe": n_centroids}
+    norms = np.linalg.norm(X, axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / norms[:, None]
     Xn = np.nan_to_num(Xn)
     A = Xn if unit_space else X
     assign = (
         -2.0 * (A @ co.T) + (co**2).sum(axis=1)[None, :]
     ).argmin(axis=1)
+    finite = norms[np.isfinite(norms) & (norms > 0.0)]
+    rms = float(np.sqrt((finite**2).mean())) if len(finite) else 1.0
+    if not unit_space:
+        base["rms_norm"] = rms
     rng = np.random.RandomState(seed)
     qidx = rng.choice(len(X), size=min(n_queries, len(X)), replace=False)
     ratios: list = []
     profiles: list = []
     for qi in qidx:
-        q = A[qi]
+        q = Xn[qi] * (1.0 if unit_space else rms)
         d = np.sqrt(((co - q[None, :]) ** 2).sum(axis=1))
         dmin = max(float(d.min()), 1e-12)
         sims = Xn @ Xn[qi]
@@ -261,15 +282,45 @@ def _auto_adaptive_tau(
         ratios.extend((d[assign[top]] / dmin).tolist())
         profiles.append(d / dmin)
     r = np.sort(np.asarray(ratios))
-    # smallest tau covering target_recall of the true-neighbor buckets
+    # smallest tau covering target_recall of the true-neighbor buckets,
+    # floored at a 1% closure slack: a sample of in-distribution
+    # (cluster-interior) queries can yield tau == 1.0 exactly — zero
+    # tolerance, so EVERY query would probe exactly one bucket and a
+    # genuinely ambiguous boundary query (the case the ratio rule
+    # exists for, absent from such a sample by construction)
+    # under-probes on any sub-percent asymmetry.  Near-ties within 1%
+    # probe both buckets; well-separated queries (ratios >> 1) are
+    # unaffected.
     pos = min(int(np.ceil(target_recall * len(r))) - 1, len(r) - 1)
-    tau = float(r[max(pos, 0)])
+    tau = max(float(r[max(pos, 0)]), 1.01)
     est = float((np.asarray(ratios) <= tau).mean())
     per_q = [int((p <= tau).sum()) for p in profiles]
     return {**base, "tau": tau, "estimated_recall": round(est, 4),
             "n_queries": int(len(qidx)),
             "mean_nprobe": max(1, int(round(float(np.mean(per_q))))),
             "max_nprobe": int(max(per_q))}
+
+
+def _rescale_query(meta: dict, kind: str, q):
+    """Put a cosine/unit-dot query into the space its sidecar's probe
+    profile was calibrated in: unit for ivfpq (the stored space), the
+    corpus RMS norm for an adaptively-calibrated ivf sidecar (scale
+    invariance without flattening the ratio profile — see
+    :func:`_auto_adaptive_tau`).  Metas without ``rms_norm`` (fixed
+    nprobe, or calibrated before the field existed) keep the raw
+    query — behavior-stable."""
+    import numpy as np
+
+    q = np.asarray(q, dtype=np.float64)
+    nrm = float(np.sqrt((q * q).sum()))
+    if nrm <= 0.0:
+        return q
+    if kind == "ivfpq":
+        return q / nrm
+    rms = (meta.get("adaptive") or {}).get("rms_norm")
+    if rms:
+        return q * (float(rms) / nrm)
+    return q
 
 
 def adaptive_nprobe(meta: dict, index, qvec) -> int:
@@ -279,7 +330,10 @@ def adaptive_nprobe(meta: dict, index, qvec) -> int:
     [1, n_centroids].  ``tau=None`` (calibration had no sample) means
     full probe.  Pure driver-side numpy over the (small) centroid
     table — no data read; the widening loop still applies after, so a
-    tombstone-thinned or filtered page can never come back short."""
+    tombstone-thinned or filtered page can never come back short.
+    The query is rescaled into the calibration space first
+    (:func:`_rescale_query`) so an out-of-distribution query NORM
+    cannot skew the profile cosine's answer doesn't depend on."""
     import numpy as np
 
     kind = meta.get("kind", "ivf")
@@ -288,12 +342,140 @@ def adaptive_nprobe(meta: dict, index, qvec) -> int:
     tau = meta.get("adaptive", {}).get("tau")
     if tau is None:
         return n_centroids
-    q = np.asarray(qvec, dtype=np.float64)
-    if kind == "ivfpq":
-        nrm = float(np.sqrt((q * q).sum()))
-        if nrm > 0.0:
-            q = q / nrm
+    q = _rescale_query(meta, kind, qvec)
     d = np.sqrt(((ivf.centroids - q[None, :]) ** 2).sum(axis=1))
+    dmin = max(float(d.min()), 1e-12)
+    return max(1, min(int((d <= tau * dmin).sum()), n_centroids))
+
+
+def _mips_aug_denoms(dot_route: dict, centroids):
+    """Norm-augmented centroid magnitudes ``‖[c_b; aug_b]‖`` shared by
+    the MIPS probe ranking and the MIPS adaptive profile (one formula,
+    two call sites — they MUST agree or the adaptive count stops being
+    a prefix of the probe order)."""
+    import numpy as np
+
+    co = np.asarray(centroids, dtype=np.float64)
+    n = np.asarray(dot_route["n"], dtype=np.float64)
+    s2 = np.asarray(dot_route["sum_nrm2"], dtype=np.float64)
+    m2 = float(dot_route["max_norm"]) ** 2
+    mean2 = np.where(n > 0, s2 / np.maximum(n, 1.0), 0.0)
+    aug2 = np.maximum(m2 - mean2, 0.0)
+    return co, np.maximum(np.sqrt((co**2).sum(axis=1) + aug2), 1e-12)
+
+
+def _mips_profile(dot_route: dict, centroids, q):
+    """Per-bucket ANGULAR distance profile in the MIPS-augmented space:
+    the augmented cosine between [q; 0] and [c_b; aug_b] is
+    ŝ_b = dot(q, c_b) / (‖[c_b; aug_b]‖ · ‖q‖) ∈ [−1, 1], and
+    d_b = sqrt(2 − 2·ŝ_b) is the Euclidean distance between the two
+    unit-normalized augmented vectors — a genuine distance the SPANN
+    ε-ball ratio rule applies to unchanged.  Monotone-decreasing in
+    the probe-ranking score, so the τ-ball is always a PREFIX of
+    :func:`_mips_probe_order`'s bucket order.  Scale-invariant in the
+    query by construction.  ``None`` for a zero-norm query (dot's
+    degenerate case — caller full-probes)."""
+    import numpy as np
+
+    q = np.asarray(q, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    if qn <= 0.0 or not np.isfinite(qn):
+        return None
+    co, denom = _mips_aug_denoms(dot_route, centroids)
+    s_hat = np.clip((co @ q) / (denom * qn), -1.0, 1.0)
+    return np.sqrt(np.maximum(2.0 - 2.0 * s_hat, 0.0))
+
+
+def _auto_adaptive_tau_dot(
+    base_rows: DataFrame,
+    field: str,
+    centroids,
+    dot_route: dict,
+    target_recall: float = 0.9,
+    sample_n: int = 2048,
+    n_queries: int = 16,
+    k: int = 10,
+    seed: int = 7,
+) -> dict:
+    """Calibrate the adaptive-nprobe closure ratio for NON-unit
+    inner-product ({!knn similarity=dot} MIPS) queries.  The L2
+    centroid-distance profile :func:`_auto_adaptive_tau` calibrates on
+    does not rank buckets for dot — the MIPS probe order is the
+    norm-augmented-centroid score (:func:`_mips_probe_order`) — so τ
+    is calibrated on THAT profile, mapped to a proper distance via the
+    augmented angular form (:func:`_mips_profile`): sample vectors,
+    take queries, compute each query's exact DOT top-k within the
+    sample, and record d(neighbor's bucket)/d(nearest bucket) ratios;
+    τ is the ``target_recall`` quantile.  Same bounded build-time
+    cost and the same auditable meta shape as the cosine calibration;
+    ``tau=None`` (no usable sample/queries) means serve full-probes —
+    never a silent under-probe."""
+    import numpy as np
+
+    from solr_map_reduce_spark.extensions.similarity import _driver_sample
+
+    co = np.asarray(centroids, dtype=np.float64)
+    n_centroids = len(co)
+    X = _driver_sample(base_rows, field, sample_n, seed)
+    base = {"target_recall": target_recall, "sample_n": int(len(X)),
+            "query_space": "mips_augmented"}
+    if len(X) < k + 1:
+        return {**base, "tau": None, "estimated_recall": 1.0,
+                "n_queries": 0, "mean_nprobe": n_centroids,
+                "max_nprobe": n_centroids}
+    # ivf assignment rule: raw-L2 nearest centroid (matches build)
+    assign = (
+        -2.0 * (X @ co.T) + (co**2).sum(axis=1)[None, :]
+    ).argmin(axis=1)
+    rng = np.random.RandomState(seed)
+    qidx = rng.choice(len(X), size=min(n_queries, len(X)), replace=False)
+    ratios: list = []
+    profiles: list = []
+    for qi in qidx:
+        d = _mips_profile(dot_route, co, X[qi])
+        if d is None:
+            continue  # zero/non-finite sample query: no profile
+        dmin = max(float(d.min()), 1e-12)
+        sims = X @ X[qi]  # true inner product, raw space
+        sims[qi] = -np.inf
+        top = np.argsort(-sims)[:k]
+        ratios.extend((d[assign[top]] / dmin).tolist())
+        profiles.append(d / dmin)
+    if not ratios:
+        return {**base, "tau": None, "estimated_recall": 1.0,
+                "n_queries": 0, "mean_nprobe": n_centroids,
+                "max_nprobe": n_centroids}
+    r = np.sort(np.asarray(ratios))
+    pos = min(int(np.ceil(target_recall * len(r))) - 1, len(r) - 1)
+    # same 1% closure-slack floor as the cosine calibration (see
+    # _auto_adaptive_tau: tau == 1.0 exactly means boundary queries
+    # under-probe on any sub-percent asymmetry)
+    tau = max(float(r[max(pos, 0)]), 1.01)
+    est = float((np.asarray(ratios) <= tau).mean())
+    per_q = [int((p <= tau).sum()) for p in profiles]
+    return {**base, "tau": tau, "estimated_recall": round(est, 4),
+            "n_queries": int(len(profiles)),
+            "mean_nprobe": max(1, int(round(float(np.mean(per_q))))),
+            "max_nprobe": int(max(per_q))}
+
+
+def adaptive_nprobe_dot(meta: dict, index, qvec) -> int:
+    """Per-query nprobe for a MIPS (non-unit dot) query: the number of
+    buckets within ``tau ×`` the best bucket's augmented angular
+    distance (calibrated by :func:`_auto_adaptive_tau_dot`), clamped
+    to [1, n_centroids].  Profile computed from the CURRENT dot_route
+    stats (upsert folds included), so the adaptive width tracks the
+    corpus the probe ranking itself sees.  ``tau=None`` or a zero-norm
+    query means full probe — never a silent under-probe."""
+    ivf = index if meta.get("kind", "ivf") == "ivf" else index.ivf
+    n_centroids = len(ivf.centroids)
+    tau = meta.get("adaptive_dot", {}).get("tau")
+    dr = meta.get("dot_route")
+    if tau is None or not dr:
+        return n_centroids
+    d = _mips_profile(dr, ivf.centroids, qvec)
+    if d is None:
+        return n_centroids
     dmin = max(float(d.min()), 1e-12)
     return max(1, min(int((d <= tau * dmin).sum()), n_centroids))
 
@@ -398,14 +580,7 @@ def _mips_probe_order(meta: dict, centroids) -> "callable":
     Empty buckets get the maximal aug (M²), ranking last."""
     import numpy as np
 
-    dr = meta["dot_route"]
-    co = np.asarray(centroids, dtype=np.float64)
-    n = np.asarray(dr["n"], dtype=np.float64)
-    s2 = np.asarray(dr["sum_nrm2"], dtype=np.float64)
-    m2 = float(dr["max_norm"]) ** 2
-    mean2 = np.where(n > 0, s2 / np.maximum(n, 1.0), 0.0)
-    aug2 = np.maximum(m2 - mean2, 0.0)
-    denom = np.maximum(np.sqrt((co**2).sum(axis=1) + aug2), 1e-12)
+    co, denom = _mips_aug_denoms(meta["dot_route"], centroids)
 
     def order(q) -> list:
         score = (co @ np.asarray(q, dtype=np.float64)) / denom
@@ -520,6 +695,14 @@ def build(
         )
         meta["nprobe"] = int(pick["mean_nprobe"])
         meta["adaptive"] = pick
+        if dot_route is not None:
+            # non-unit dot gets its own τ, calibrated on the
+            # MIPS-augmented profile its probe ranking actually uses
+            # (the L2 τ above would count the wrong ball)
+            meta["adaptive_dot"] = _auto_adaptive_tau_dot(
+                base_rows, field, cents, dot_route,
+                target_recall=target_recall,
+            )
     write_meta(fs, side, meta)
     return side
 
@@ -614,15 +797,14 @@ def probe_topk(
     fs = get_fs(side, spark)
     kind = meta.get("kind", "ivf")
     ivf = index if kind == "ivf" else index.ivf
-    q = np.asarray(qvec, dtype=np.float64)
-    if kind == "ivfpq":
-        # the ivfpq base was fit on UNIT vectors (_unit_normalized in
-        # build/delta_upsert): rank probe buckets in that same space,
-        # else a long query vector picks suboptimal probes at low
-        # nprobe (ADC scores themselves are cosine-correct either way)
-        nrm = float(np.sqrt((q * q).sum()))
-        if nrm > 0.0:
-            q = q / nrm
+    # probe-ranking space: unit for ivfpq (the base was fit on UNIT
+    # vectors — _unit_normalized in build/delta_upsert), corpus-RMS
+    # for an adaptively-calibrated ivf sidecar, raw otherwise — the
+    # SAME rescale the adaptive count uses, so the counted τ-ball is
+    # exactly a prefix of the probe order (scores themselves are
+    # metric-correct in any case).  Scale-invariant where the metric
+    # is (cosine, unit dot); a no-op multiple for the MIPS order.
+    q = _rescale_query(meta, kind, np.asarray(qvec, dtype=np.float64))
     if metric == "dot" and kind == "ivf" and not meta.get("unit_norms"):
         # non-unit inner-product query: L2-to-centroid ranking tracks
         # cosine, not dot — rank buckets via the norm-augmented

@@ -2727,12 +2727,15 @@ class SearchIndex:
             # semi-joined onto the probed rows BEFORE the top-k, with
             # nprobe widening when the filtered pool underfills — at
             # full probe the page is provably the exact filtered topK.
-            # similarity=dot routes too when the sidecar's build-time
-            # unit_norms invariant holds (every stored vector unit-norm
-            # — then the cosine bucket ranking IS dot's and probed raw
-            # vectors score true dot); a non-unit corpus or a flag
-            # flipped by a non-unit upsert keeps dot on the exact scan.
-            # Fallback (no sidecar / stale / exact= / non-unit dot):
+            # similarity=dot routes on BOTH corpus shapes: a unit-norm
+            # corpus (meta unit_norms — cosine bucket ranking IS dot's,
+            # either sidecar kind) and a NON-unit ivf corpus whose meta
+            # carries the MIPS stats (dot_route — norm-augmented
+            # centroid probe ranking, true dot scored over probed raw
+            # vectors).  Exact fallback remains for ivfpq non-unit
+            # (codes are unit-encoded, norms lost) and legacy ivf
+            # sidecars without dot_route — never stale-wrong.
+            # Fallback (no sidecar / stale / exact= / the above):
             # ONE scan + TakeOrderedAndProject (k rows per partition),
             # the brute-force exact plan.  Composed fq filters apply
             # AFTER (Solr's default post-filtering for {!knn} as the
@@ -4128,26 +4131,35 @@ class SearchIndex:
         # per-query ADAPTIVE nprobe (SPANN ε-ball closure): on when the
         # query asks for nprobe=adaptive explicitly, or when the
         # sidecar was calibrated with build_ann(nprobe="adaptive") and
-        # the query passes no explicit nprobe.  Non-unit dot keeps the
-        # integer default — its probe ranking is the MIPS-augmented
-        # score, not the distance profile tau was calibrated on.
+        # the query passes no explicit nprobe.  Non-unit dot uses its
+        # OWN τ (meta adaptive_dot), calibrated on the MIPS-augmented
+        # angular profile its probe ranking ranks by — the L2 τ would
+        # count the wrong ball; a sidecar calibrated before that field
+        # existed keeps the integer fallback (never silently wrong).
         raw_np = params.get("nprobe")
         explicit_adaptive = (
             isinstance(raw_np, str) and raw_np.strip().lower() == "adaptive"
         )
-        if explicit_adaptive and not meta.get("adaptive"):
+        mips_dot = metric == "dot" and not meta.get("unit_norms")
+        adaptive_key = "adaptive_dot" if mips_dot else "adaptive"
+        if explicit_adaptive and not meta.get(adaptive_key):
             from solr_map_reduce_spark.extensions import search
 
             raise search.QuerySyntaxError(
                 "nprobe=adaptive needs a sidecar calibrated with "
                 "build_ann(nprobe='adaptive')"
+                + (" (this sidecar predates MIPS-dot calibration — "
+                   "rebuild it)" if mips_dot and meta.get("adaptive")
+                   else "")
             )
-        mips_dot = metric == "dot" and not meta.get("unit_norms")
         if (
             (explicit_adaptive or (raw_np is None and meta.get("adaptive")))
-            and not mips_dot
+            and meta.get(adaptive_key)
         ):
-            nprobe = ann_sidecar.adaptive_nprobe(meta, idx, qvec)
+            nprobe = (
+                ann_sidecar.adaptive_nprobe_dot if mips_dot
+                else ann_sidecar.adaptive_nprobe
+            )(meta, idx, qvec)
         else:
             # clamp to [1, n_centroids]: nprobe=0 would probe nothing
             # AND never grow under doubling (an infinite loop on a
@@ -4206,6 +4218,13 @@ class SearchIndex:
         qvec = [float(x) for x in query]
         if not all(math.isfinite(x) for x in qvec):
             raise ValueError("knn query vector has non-finite components")
+        if all(x == 0.0 for x in qvec):
+            # Lucene raises on a zero-magnitude cosine query; serving
+            # it would NULL every score — a silently empty page
+            raise ValueError(
+                "cosine knn is undefined for a zero-magnitude query "
+                "vector"
+            )
         handle = None if exact else self._ann_sidecar(vec_col)
         if handle is not None:
             filter_keys = None

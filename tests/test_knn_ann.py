@@ -1050,6 +1050,147 @@ class TestAdaptiveNprobe:
         ).collect()
         assert len(got) == 10
 
+    def test_adaptive_mips_dot_calibrates_and_serves(self, spark, tmp_path):
+        # a NON-unit corpus calibrated with nprobe="adaptive" gets a
+        # SECOND tau (meta adaptive_dot) on the MIPS-augmented profile,
+        # and {!knn similarity=dot} with no nprobe serves through it
+        import json
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "m"))
+        side = idx.build_ann(
+            "embedding", kind="ivf", n_centroids=4, nprobe="adaptive",
+        )
+        meta = json.loads(open(os.path.join(side, "_ANN_META.json")).read())
+        assert not meta["unit_norms"]
+        ad = meta["adaptive_dot"]
+        assert ad["query_space"] == "mips_augmented"
+        assert ad["tau"] is not None and ad["tau"] >= 1.01
+        assert ad["estimated_recall"] >= 0.9
+        q = centers[1]
+        dots = V @ q
+        want = sorted(range(len(V)), key=lambda i: (-dots[i], i))[:10]
+        got = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=10 similarity=dot}}{_vec_literal(q)}"
+        ).collect()]
+        assert len(got) == 10
+        assert len(set(got) & set(want)) >= 8
+
+    def test_adaptive_mips_ball_is_probe_order_prefix(self, spark, tmp_path):
+        # the tau-ball adaptive_nprobe_dot counts must be a PREFIX of
+        # _mips_probe_order's bucket ranking (monotone map between the
+        # augmented score and the angular distance) — otherwise the
+        # counted width and the probed set diverge
+        from solr_map_reduce_spark.extensions.ann_sidecar import (
+            _mips_probe_order,
+            _mips_profile,
+            adaptive_nprobe_dot,
+        )
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "p"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=4,
+                      nprobe="adaptive")
+        kind, ivf, side_, meta = idx._ann_sidecar("embedding")
+        r = np.random.RandomState(5)
+        for _ in range(10):
+            q = r.randn(DIM) * r.uniform(0.1, 30.0)
+            n = adaptive_nprobe_dot(meta, ivf, q)
+            order = _mips_probe_order(meta, ivf.centroids)(q)
+            d = _mips_profile(meta["dot_route"], ivf.centroids, q)
+            ball = set(np.where(
+                d <= meta["adaptive_dot"]["tau"] * max(d.min(), 1e-12)
+            )[0].tolist())
+            assert 1 <= n <= 4
+            assert set(order[:n]) == ball or n == len(ball)
+
+    def test_adaptive_dot_width_tracks_the_profile(self, spark, tmp_path):
+        # a dot query aligned with one cluster's direction probes fewer
+        # buckets than one aimed between two clusters
+        from solr_map_reduce_spark.extensions.ann_sidecar import (
+            adaptive_nprobe_dot,
+        )
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "w"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=4,
+                      nprobe="adaptive")
+        kind, ivf, side_, meta = idx._ann_sidecar("embedding")
+        easy = adaptive_nprobe_dot(meta, ivf, ivf.centroids[0])
+        mid = 0.5 * (ivf.centroids[0] + ivf.centroids[1])
+        hard = adaptive_nprobe_dot(meta, ivf, mid)
+        assert easy <= hard
+        assert hard >= 2
+
+    def test_adaptive_dot_scale_invariant(self, spark, tmp_path):
+        # dot's top-k and the MIPS-augmented profile are both invariant
+        # to a positive rescale of the query — the adaptive width must
+        # be too
+        from solr_map_reduce_spark.extensions.ann_sidecar import (
+            adaptive_nprobe_dot,
+        )
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "s"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=4,
+                      nprobe="adaptive")
+        kind, ivf, side_, meta = idx._ann_sidecar("embedding")
+        q = 0.7 * centers[0] + 0.3 * centers[2]
+        widths = {adaptive_nprobe_dot(meta, ivf, s * q)
+                  for s in (1e-4, 1.0, 1e4)}
+        assert len(widths) == 1
+
+    def test_adaptive_cosine_scale_invariant(self, spark, tmp_path):
+        # cosine's answer depends only on the query DIRECTION: the
+        # corpus-RMS rescale (query_space=corpus_rms) makes the
+        # adaptive width invariant to the query's norm too — the raw
+        # profile collapsed tiny-norm queries to ~1 bucket and forced
+        # huge-norm ones toward full probe
+        from solr_map_reduce_spark.extensions.ann_sidecar import (
+            adaptive_nprobe,
+        )
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "c2"))
+        idx.build_ann("embedding", kind="ivf", n_centroids=4,
+                      nprobe="adaptive")
+        kind, ivf, side_, meta = idx._ann_sidecar("embedding")
+        assert meta["adaptive"]["query_space"] == "corpus_rms"
+        assert meta["adaptive"]["rms_norm"] > 0
+        q = 0.5 * (ivf.centroids[0] + ivf.centroids[1])
+        widths = {adaptive_nprobe(meta, ivf, s * q)
+                  for s in (1e-4, 1.0, 1e4)}
+        assert len(widths) == 1
+        # and the served page is identical across query scales
+        pages = [
+            tuple(r["vec_id"] for r in idx.query(
+                f"{{!knn f=embedding topK=10}}{_vec_literal(s * centers[3])}"
+            ).collect())
+            for s in (1e-3, 1.0, 1e3)
+        ]
+        assert pages[0] == pages[1] == pages[2]
+
+    def test_adaptive_dot_explicit_refuses_without_calibration(
+        self, spark, tmp_path
+    ):
+        # a sidecar calibrated BEFORE the MIPS tau existed (meta has
+        # adaptive but not adaptive_dot): explicit nprobe=adaptive on a
+        # non-unit dot query refuses loudly instead of silently using
+        # the wrong-space tau; implicit queries keep the integer
+        # fallback
+        import json
+        from solr_map_reduce_spark.extensions.search import QuerySyntaxError
+        idx, V, centers = self._clustered_artifact(spark, str(tmp_path / "l"))
+        side = idx.build_ann("embedding", kind="ivf", n_centroids=4,
+                             nprobe="adaptive")
+        mp = os.path.join(side, "_ANN_META.json")
+        meta = json.loads(open(mp).read())
+        del meta["adaptive_dot"]
+        with open(mp, "w") as f:
+            f.write(json.dumps(meta))
+        idx2 = SearchIndex.open(spark, idx.path)
+        q = centers[0]
+        with pytest.raises(QuerySyntaxError, match="MIPS"):
+            idx2.query(
+                "{!knn f=embedding topK=5 similarity=dot nprobe=adaptive}"
+                + _vec_literal(q)
+            )
+        # implicit: integer fallback still serves a full page
+        got = idx2.query(
+            f"{{!knn f=embedding topK=5 similarity=dot}}{_vec_literal(q)}"
+        ).collect()
+        assert len(got) == 5
+
     def test_adaptive_cli(self, spark, tmp_path, capsys):
         import json as _json
 
