@@ -81,9 +81,16 @@ class LocalFS:
         ``_SEARCH_STATS.json`` CRASHES readers with a JSON error instead
         of taking their designed marker-absent fallback)."""
         tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(text)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(text)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
 
     def create_exclusive(self, path: str, text: str) -> bool:
         """Atomically create ``path`` with ``text`` iff it does not exist.
@@ -109,6 +116,7 @@ class HadoopFS:
     def __init__(self, spark):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        self._gateway = spark.sparkContext._gateway
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -164,26 +172,58 @@ class HadoopFS:
             stream.close()
 
     def write_text(self, path: str, text: str) -> None:
-        """Write-temp-then-rename (the LocalFS atomic-replace analog).
-        HDFS rename won't clobber an existing destination, so the old
-        file is deleted first — the worst crash window is then "marker
-        ABSENT", which is the fallback state every reader is designed
-        for, instead of a torn half-write that crashes them.  On stores
-        without atomic rename (S3A) this still strictly dominates the
-        old in-place create(overwrite): the temp write can't tear the
-        live file."""
+        """Write-temp-then-ATOMIC-replace (the LocalFS ``os.replace``
+        analog): ``FileContext.rename(..., Options.Rename.OVERWRITE)``
+        is an atomic replace with NO absent-destination window on HDFS.
+        The previous delete-then-``FileSystem.rename`` had two real
+        holes: a crash between the delete and the rename lost the
+        destination file ENTIRELY (not just left it stale), and a
+        concurrent writer re-creating the destination inside the window
+        turned the rename into an error where create(overwrite) used to
+        succeed.  Schemes without an ``AbstractFileSystem`` binding
+        (e.g. plain S3A) fall back to delete-then-rename, whose worst
+        crash window is "marker ABSENT" — the designed reader-fallback
+        state, never a torn half-write.  The temp file is deleted on
+        any in-process failure (crash-orphaned temps are unreachable by
+        definition; readers never look at ``*.tmp``)."""
         fs = self._fs(path)
-        tmp = self._path(f"{path}.{os.getpid()}.tmp")
+        tmp_s = f"{path}.{os.getpid()}.tmp"
+        tmp = self._path(tmp_s)
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
         dst = self._path(path)
-        if fs.exists(dst):
-            fs.delete(dst, False)
-        if not fs.rename(tmp, dst):
-            raise OSError(f"rename failed: {tmp} -> {path}")
+        try:
+            renamed = False
+            try:
+                fc = self._jvm.org.apache.hadoop.fs.FileContext \
+                    .getFileContext(dst.toUri(), self._conf)
+                ren = self._jvm.org.apache.hadoop.fs.Options.Rename
+                opts = self._gateway.new_array(ren, 1)
+                opts[0] = ren.OVERWRITE
+                fc.rename(tmp, dst, opts)
+                renamed = True
+            except Exception as e:
+                # fall back ONLY when the scheme has no FileContext
+                # binding; a REAL rename failure must surface here —
+                # falling through to delete-then-rename after one
+                # would risk deleting dst and then failing again,
+                # losing the live file the atomic path exists to keep
+                if "UnsupportedFileSystem" not in str(e):
+                    raise
+            if not renamed:
+                if fs.exists(dst):
+                    fs.delete(dst, False)
+                if not fs.rename(tmp, dst):
+                    raise OSError(f"rename failed: {tmp_s} -> {path}")
+        except BaseException:
+            try:
+                fs.delete(tmp, False)
+            except Exception:
+                pass
+            raise
 
     def create_exclusive(self, path: str, text: str) -> bool:
         """Atomic create-if-absent via ``FileSystem.create(overwrite=false)``

@@ -273,3 +273,79 @@ def test_feature_extract_survives_degenerate_dimensions(spark):
     assert rows["b"]["size_bucket"] == "small"
     assert rows["c"]["aspect_ratio"] is None
     assert rows["c"]["size_bucket"] is None
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12: HadoopFS.write_text delete-then-rename window
+# ---------------------------------------------------------------------------
+# The old shape deleted the destination and then FileSystem.rename'd the
+# temp in: a crash between the two lost the destination ENTIRELY (not
+# just stale), and a concurrent re-create of dst inside the window made
+# the rename error.  write_text now replaces atomically via
+# FileContext.rename(OVERWRITE) (no absent-dst window) and cleans the
+# temp up on failure; real rename failures surface without touching dst.
+
+
+class TestHadoopFsAtomicWriteText:
+    def _fs(self, spark):
+        from solr_map_reduce_spark.fs import HadoopFS, get_fs
+
+        fs = get_fs("file:///tmp", spark)
+        assert isinstance(fs, HadoopFS)
+        return fs
+
+    def test_replaces_existing_destination_atomically(self, spark, tmp_path):
+        import os
+
+        fs = self._fs(spark)
+        dst = f"file://{tmp_path}/m/_MARKER.json"
+        fs.mkdirs(f"file://{tmp_path}/m")
+        fs.write_text(dst, "OLD")
+        fs.write_text(dst, "NEW")
+        assert fs.read_text(dst) == "NEW"
+        # no orphaned temp (Hadoop's local .crc sidecar is fine)
+        assert [p for p in os.listdir(tmp_path / "m")
+                if ".tmp" in p] == []
+
+    def test_creates_absent_destination(self, spark, tmp_path):
+        fs = self._fs(spark)
+        dst = f"file://{tmp_path}/n/_META.json"
+        fs.mkdirs(f"file://{tmp_path}/n")
+        fs.write_text(dst, "{}")
+        assert fs.read_text(dst) == "{}"
+
+    def test_failed_replace_keeps_destination_and_cleans_temp(
+        self, spark, tmp_path
+    ):
+        # dst is a NON-EMPTY DIRECTORY: the atomic replace must fail
+        # LOUDLY, leave the directory untouched (the old code deleted
+        # dst first — here it would have errored AFTER the delete on a
+        # file dst, and lost it), and remove the temp file
+        import os
+
+        import pytest as _pytest
+
+        fs = self._fs(spark)
+        d = tmp_path / "o" / "_MARKER.json"
+        d.mkdir(parents=True)
+        (d / "keep.txt").write_text("x")
+        with _pytest.raises(Exception):
+            fs.write_text(f"file://{d}", "clobber")
+        assert (d / "keep.txt").read_text() == "x"   # dst untouched
+        assert [p for p in os.listdir(tmp_path / "o")
+                if p.endswith(".tmp")] == []         # temp cleaned
+
+    def test_local_fs_write_text_cleans_temp_on_failure(self, tmp_path):
+        import os
+
+        from solr_map_reduce_spark.fs import LocalFS
+
+        fs = LocalFS()
+        d = tmp_path / "p" / "_MARKER.json"
+        d.mkdir(parents=True)
+        (d / "keep.txt").write_text("x")
+        with pytest.raises(OSError):
+            fs.write_text(str(d), "clobber")     # os.replace onto a dir
+        assert (d / "keep.txt").read_text() == "x"
+        assert [p for p in os.listdir(tmp_path / "p")
+                if p.endswith(".tmp")] == []
