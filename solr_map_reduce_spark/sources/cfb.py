@@ -31,11 +31,22 @@ class DirEntry:
 
 class CfbFile:
     def __init__(self, data: bytes):
-        if not data.startswith(_MAGIC):
+        if len(data) < 512 or not data.startswith(_MAGIC):
             raise ValueError("not a CFB (OLE2) file")
         self.data = data
+        (self.major,) = struct.unpack_from("<H", data, 0x1A)
         (self.sector_shift,) = struct.unpack_from("<H", data, 0x1E)
         (self.mini_shift,) = struct.unpack_from("<H", data, 0x20)
+        # MS-CFB 2.2: sector shift MUST be 9 (v3) or 12 (v4), mini 6 —
+        # anything else is a corrupt/hostile header; without the check a
+        # garbage shift (say 31) sizes every later read off a 2 GB
+        # "sector" and fails with an opaque struct.error deep in FAT
+        # parsing (or allocates absurdly) instead of a loud type error
+        if self.sector_shift not in (9, 12) or self.mini_shift != 6:
+            raise ValueError(
+                f"corrupt CFB header: sector shift {self.sector_shift}, "
+                f"mini shift {self.mini_shift}"
+            )
         (self.n_fat,) = struct.unpack_from("<I", data, 0x2C)
         (self.first_dir,) = struct.unpack_from("<I", data, 0x30)
         (self.mini_cutoff,) = struct.unpack_from("<I", data, 0x38)
@@ -45,10 +56,17 @@ class CfbFile:
         (self.n_difat,) = struct.unpack_from("<I", data, 0x48)
         self.ssz = 1 << self.sector_shift
         self.mssz = 1 << self.mini_shift
+        # every chain walk is bounded by the number of sectors that can
+        # physically exist in the payload — header counts (n_minifat,
+        # n_difat) are attacker-controlled and a cyclic FAT otherwise
+        # turns a bounded loop into a memory-blowup hang
+        self.max_sectors = len(data) // self.ssz + 1
         self.fat = self._read_fat()
         self.minifat = self._read_minifat()
         self.entries = self._read_dir()
-        root = next(e for e in self.entries if e.type == 5)
+        root = next((e for e in self.entries if e.type == 5), None)
+        if root is None:
+            raise ValueError("CFB has no root directory entry")
         self.mini_stream = self._read_chain(root.start, root.size)
 
     # -- sector plumbing -------------------------------------------------
@@ -56,30 +74,50 @@ class CfbFile:
         off = self.ssz * (sid + 1)
         return self.data[off : off + self.ssz]
 
+    def _sids(self, sid: int) -> tuple:
+        """Sector-ids packed in a FAT/DIFAT/miniFAT sector — whole
+        4-byte words only, so a sector truncated by a short file yields
+        the ids it holds instead of a struct.error five frames deep."""
+        sec = self._sector(sid)
+        n = len(sec) // 4
+        return struct.unpack(f"<{n}I", sec[: n * 4])
+
     def _read_fat(self) -> list[int]:
         difat: list[int] = list(struct.unpack_from("<109I", self.data, 0x4C))
         sid = self.first_difat
         per = self.ssz // 4 - 1
-        for _ in range(self.n_difat):
+        # bound by physical sector count, not the header's n_difat: a
+        # lying count plus a cyclic next-pointer otherwise appends ~127
+        # entries per iteration for 4 billion iterations
+        for _ in range(min(self.n_difat, self.max_sectors)):
             if sid > _MAXREGSECT:
                 break
-            sec = self._sector(sid)
-            vals = struct.unpack(f"<{per + 1}I", sec)
+            vals = self._sids(sid)
+            if len(vals) < per + 1:  # truncated: no next-pointer word
+                difat.extend(vals)
+                break
             difat.extend(vals[:-1])
             sid = vals[-1]
         fat: list[int] = []
         for fsid in difat:
             if fsid > _MAXREGSECT:
                 continue
-            fat.extend(struct.unpack(f"<{self.ssz // 4}I", self._sector(fsid)))
+            fat.extend(self._sids(fsid))
         return fat
 
     def _read_minifat(self) -> list[int]:
         out: list[int] = []
         sid = self.first_minifat
-        while sid <= _MAXREGSECT and len(out) // (self.ssz // 4) < self.n_minifat:
-            out.extend(struct.unpack(f"<{self.ssz // 4}I", self._sector(sid)))
+        guard = 0
+        # same cycle bound as _read_fat: n_minifat is header-claimed
+        while (sid <= _MAXREGSECT and guard < self.max_sectors
+               and len(out) // (self.ssz // 4) < self.n_minifat):
+            got = self._sids(sid)
+            if not got:
+                break
+            out.extend(got)
             sid = self.fat[sid] if sid < len(self.fat) else _ENDOFCHAIN
+            guard += 1
         return out
 
     def _read_chain(self, start: int, size: int) -> bytes:
@@ -114,6 +152,13 @@ class CfbFile:
             name = raw[off : off + name_len - 2].decode("utf-16-le", "replace")
             (start,) = struct.unpack_from("<I", raw, off + 0x74)
             (size,) = struct.unpack_from("<Q", raw, off + 0x78)
+            if self.major == 3:
+                # MS-CFB 2.6.1: version-3 writers are only required to
+                # initialize the LOW 32 bits of stream size; garbage in
+                # the high word otherwise inflates size past the mini
+                # cutoff, so open_stream reads the mini-sid as a FAT
+                # sid — silently returning the WRONG stream bytes
+                size &= 0xFFFFFFFF
             entries.append(DirEntry(name, etype, start, size))
         return entries
 

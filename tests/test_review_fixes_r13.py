@@ -349,3 +349,146 @@ class TestHadoopFsAtomicWriteText:
         assert (d / "keep.txt").read_text() == "x"
         assert [p for p in os.listdir(tmp_path / "p")
                 if p.endswith(".tmp")] == []
+
+
+# ---------------------------------------------------------------------------
+# cfb.py adversarial review (r13): hand-rolled v3 container fixtures
+# ---------------------------------------------------------------------------
+
+def _cfb_v3(small_size=10, sector_shift=9, root_type=5, minifat_next=None,
+            n_minifat=1, trunc=None):
+    """Minimal valid CFB v3: 1 FAT sector, 1 dir sector (root + 'Small'
+    mini stream + 'Big' FAT stream), 1 miniFAT sector, 1 mini-stream
+    sector, 8 big sectors.  Knobs poison specific fields."""
+    import struct as st
+
+    FREE, END, FATS = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    head = bytearray(512)
+    head[0:8] = bytes.fromhex("d0cf11e0a1b11ae1")
+    st.pack_into("<H", head, 0x18, 0x3E)        # minor
+    st.pack_into("<H", head, 0x1A, 3)           # major v3
+    st.pack_into("<H", head, 0x1C, 0xFFFE)      # byte order
+    st.pack_into("<H", head, 0x1E, sector_shift)
+    st.pack_into("<H", head, 0x20, 6)           # mini shift
+    st.pack_into("<I", head, 0x2C, 1)           # n_fat
+    st.pack_into("<I", head, 0x30, 1)           # first_dir
+    st.pack_into("<I", head, 0x38, 4096)        # mini cutoff
+    st.pack_into("<I", head, 0x3C, 2)           # first_minifat
+    st.pack_into("<I", head, 0x40, n_minifat)
+    st.pack_into("<I", head, 0x44, END)         # first_difat
+    st.pack_into("<I", head, 0x48, 0)           # n_difat
+    st.pack_into("<I", head, 0x4C, 0)           # difat[0] -> FAT sector 0
+    for i in range(1, 109):
+        st.pack_into("<I", head, 0x4C + 4 * i, FREE)
+
+    fat = [FREE] * 128
+    fat[0] = FATS
+    fat[1] = END                                # dir chain
+    fat[2] = END if minifat_next is None else minifat_next
+    fat[3] = END                                # mini-stream data chain
+    for s in range(4, 11):
+        fat[s] = s + 1
+    fat[11] = END                               # big chain 4..11
+    fat_sec = st.pack("<128I", *fat)
+
+    def entry(name, etype, start, size):
+        e = bytearray(128)
+        nb = name.encode("utf-16-le")
+        e[0:len(nb)] = nb
+        st.pack_into("<H", e, 0x40, len(nb) + 2)
+        e[0x42] = etype
+        st.pack_into("<III", e, 0x44, FREE, FREE, FREE)  # left/right/child
+        st.pack_into("<I", e, 0x74, start)
+        st.pack_into("<Q", e, 0x78, size)
+        return bytes(e)
+
+    dir_sec = (
+        entry("Root Entry", root_type, 3, 512)
+        + entry("Small", 2, 0, small_size)
+        + entry("Big", 2, 4, 4096)
+        + bytes(128)
+    )
+    minifat = [END] + [FREE] * 127
+    minifat_sec = st.pack("<128I", *minifat)
+    mini_data = (b"hello-mini" + bytes(54)) + bytes(448)
+    big = (b"B" * 512) * 8
+    data = bytes(head) + fat_sec + dir_sec + minifat_sec + mini_data + big
+    return data[:trunc] if trunc else data
+
+
+class TestCfbReview:
+    def test_baseline_fixture_parses(self):
+        from solr_map_reduce_spark.sources.cfb import CfbFile
+
+        f = CfbFile(_cfb_v3())
+        assert f.open_stream("Small") == b"hello-mini"
+        assert f.open_stream("Big") == b"B" * 4096
+
+    def test_v3_size_high_dword_garbage_masked(self):
+        # MS-CFB 2.6.1: v3 writers may leave garbage in the high 32 size
+        # bits.  Pre-fix, the inflated size crossed the mini cutoff and
+        # open_stream read mini-sid 0 as FAT sector 0 — silently WRONG
+        # bytes (the FAT table), not an error
+        from solr_map_reduce_spark.sources.cfb import CfbFile
+
+        f = CfbFile(_cfb_v3(small_size=10 | (0xDEAD << 32)))
+        assert f.open_stream("Small") == b"hello-mini"
+
+    def test_corrupt_sector_shift_is_loud_value_error(self):
+        from solr_map_reduce_spark.sources.cfb import CfbFile
+
+        for shift in (0, 5, 31, 0xFFFF):
+            with pytest.raises(ValueError, match="corrupt CFB header"):
+                CfbFile(_cfb_v3(sector_shift=shift))
+
+    def test_missing_root_is_value_error_not_stopiteration(self):
+        from solr_map_reduce_spark.sources.cfb import CfbFile
+
+        with pytest.raises(ValueError, match="root"):
+            CfbFile(_cfb_v3(root_type=0))
+
+    def test_cyclic_minifat_chain_is_bounded(self):
+        # miniFAT chain pointing at itself + a header claiming 16M
+        # miniFAT sectors: pre-fix this looped n_minifat times appending
+        # 512 bytes per round (a multi-GB allocation masquerading as a
+        # parse); now bounded by the file's physical sector count
+        from solr_map_reduce_spark.sources.cfb import CfbFile
+
+        f = CfbFile(_cfb_v3(minifat_next=2, n_minifat=0x1000000))
+        assert len(f.minifat) <= f.max_sectors * 128
+        assert f.open_stream("Small") == b"hello-mini"
+
+    def test_truncated_container_never_struct_errors(self):
+        import struct as st
+
+        from solr_map_reduce_spark.sources.cfb import CfbFile
+
+        full = _cfb_v3()
+        for cut in (512, 600, 1024, 1500, 2048, 3000):
+            try:
+                f = CfbFile(full[:cut])
+                f.stream_names()
+                for n in f.stream_names():
+                    f.open_stream(n)
+            except (ValueError, KeyError):
+                pass  # loud, typed — fine
+            except st.error as e:  # pragma: no cover
+                raise AssertionError(f"struct.error leaked at cut={cut}") from e
+
+    def test_reference_corpus_unchanged(self):
+        # the review fixes must not change what the real corpus extracts
+        import glob
+
+        from solr_map_reduce_spark.sources.documents import extract_document
+
+        corpus = glob.glob(
+            "/root/reference/morphlines-core/src/test/resources/"
+            "test-documents/*.doc"
+        ) + glob.glob(
+            "/root/reference/morphlines-core/src/test/resources/"
+            "test-documents/*.xls"
+        )
+        assert corpus, "reference corpus not found"
+        for p in corpus:
+            doc = extract_document(open(p, "rb").read())
+            assert doc is not None and doc.text, p
