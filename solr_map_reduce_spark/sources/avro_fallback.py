@@ -37,6 +37,13 @@ from pyspark.sql import functions as F
 
 MAGIC = b"Obj\x01"
 
+# per-block item-count ceiling (matches the spirit of Apache Avro's
+# system limits, AVRO-3819): items of zero encoded width (null, empty
+# records) let a corrupt count claim 2^60 elements that "decode"
+# without ever touching the buffer — an unbounded allocation loop, not
+# an EOFError.  No realistic container packs more items in one block.
+_MAX_BLOCK_ITEMS = 1 << 24
+
 
 class _Cursor:
     """Byte cursor implementing Avro binary primitive decoding."""
@@ -52,13 +59,23 @@ class _Cursor:
         shift = 0
         buf = self.buf
         pos = self.pos
+        end = len(buf)
         while True:
+            if pos >= end:
+                # typed like raw(): a truncated varint is the same
+                # corruption as truncated fixed-width data, not an
+                # IndexError five frames deep
+                raise EOFError("truncated avro varint")
             b = buf[pos]
             pos += 1
             acc |= (b & 0x7F) << shift
             if not (b & 0x80):
                 break
             shift += 7
+            if shift > 63:
+                # spec: a long is at most 10 varint bytes; an endless
+                # 0x80 run is corruption, not a big number
+                raise ValueError("avro varint longer than 10 bytes")
         self.pos = pos
         return (acc >> 1) ^ -(acc & 1)  # zigzag
 
@@ -105,6 +122,10 @@ def parse_header(buf: bytes) -> tuple[dict, str, bytes, int]:
             key = cur.string()
             meta[key] = cur.bytes_()
     sync = cur.raw(16)
+    if "avro.schema" not in meta:
+        # typed: a magic-valid container without the mandatory schema
+        # key is corrupt — KeyError here reads as a code bug upstream
+        raise ValueError("avro container header has no avro.schema")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     return schema, codec, sync, cur.pos
@@ -181,9 +202,19 @@ def decode_value(cur: _Cursor, schema):
     if kind == "fixed":
         return cur.raw(node["size"])
     if kind == "enum":
-        return node["symbols"][cur.long()]
+        # explicit bounds check: Python's negative indexing would
+        # silently map a corrupt index of -1 to the LAST symbol —
+        # wrong data, no error
+        i = cur.long()
+        symbols = node["symbols"]
+        if not 0 <= i < len(symbols):
+            raise ValueError(f"avro enum index {i} out of range")
+        return symbols[i]
     if kind == "union":
-        return decode_value(cur, node[cur.long()])
+        i = cur.long()
+        if not 0 <= i < len(node):  # same negative-index trap as enum
+            raise ValueError(f"avro union branch {i} out of range")
+        return decode_value(cur, node[i])
     if kind == "record":
         return {f["name"]: decode_value(cur, f["type"]) for f in node["fields"]}
     if kind == "array":
@@ -195,6 +226,8 @@ def decode_value(cur: _Cursor, schema):
             if n < 0:
                 cur.long()  # block byte size — unused for sequential decode
                 n = -n
+            if n > _MAX_BLOCK_ITEMS:
+                raise ValueError(f"avro array block count {n} exceeds limit")
             out.extend(decode_value(cur, node["items"]) for _ in range(n))
         return out
     if kind == "map":
@@ -206,6 +239,8 @@ def decode_value(cur: _Cursor, schema):
             if n < 0:
                 cur.long()
                 n = -n
+            if n > _MAX_BLOCK_ITEMS:
+                raise ValueError(f"avro map block count {n} exceeds limit")
             for _ in range(n):
                 # key must decode before the value (assignment would
                 # evaluate the right-hand side first)
@@ -226,6 +261,11 @@ def iter_records(data: bytes) -> Iterator[dict]:
     cur = _Cursor(data, pos)
     while not cur.at_end():
         n_records = cur.long()
+        if n_records < 0 or n_records > _MAX_BLOCK_ITEMS:
+            # a negative count would make range() silently skip the
+            # block (dropped records, no error); a huge one with a
+            # zero-width schema would yield it 2^60 times
+            raise ValueError(f"avro block record count {n_records} invalid")
         block = cur.raw(cur.long())
         if codec == "deflate":
             block = zlib.decompress(block, -15)  # raw deflate, no zlib header

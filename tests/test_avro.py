@@ -273,3 +273,67 @@ def test_read_input_avro_with_metadata_enrichment(spark):
     assert row["file_name"] == "sample-statuses-20120521-100919.avro"
     assert row["file_length"] == os.path.getsize(path)
     assert row["file_last_modified"] > 0
+
+
+# -- adversarial decode (r13 review) -----------------------------------------
+# Negative enum/union indexes previously hit Python negative indexing and
+# silently decoded the WRONG symbol/branch; zero-width item types (null)
+# let a corrupt block count claim 2^40 elements that "decode" without
+# touching the buffer (unbounded allocation); a negative top-level record
+# count made range() silently skip the block; truncated varints leaked
+# IndexError.
+
+def test_corrupt_enum_index_is_loud_not_wrong():
+    schema = {"type": "enum", "name": "E", "symbols": ["a", "b", "c"]}
+    for idx in (-1, 3, 100):
+        data = _container(schema, [_zz(idx)])
+        with pytest.raises(ValueError, match="enum index"):
+            list(iter_records(data))
+
+
+def test_corrupt_union_branch_is_loud_not_wrong():
+    schema = ["null", "string"]
+    data = _container(schema, [_zz(-1)])
+    with pytest.raises(ValueError, match="union branch"):
+        list(iter_records(data))
+
+
+def test_zero_width_record_count_bounded():
+    data = _container("null", [])
+    # patch the block record count to 2^40 with an empty body
+    head, _tail = data.rsplit(_zz(0) + _zz(0), 1)
+    data = head + _zz(1 << 40) + _zz(0) + b"S" * 16
+    with pytest.raises(ValueError, match="record count"):
+        list(iter_records(data))
+
+
+def test_zero_width_array_block_bounded():
+    schema = {"type": "array", "items": "null"}
+    data = _container(schema, [_zz(1 << 40)])
+    with pytest.raises(ValueError, match="array block count"):
+        list(iter_records(data))
+
+
+def test_negative_record_count_is_loud_not_skipped():
+    schema = "string"
+    rec = _enc_str("x")
+    data = _container(schema, [rec])
+    head, _tail = data.rsplit(_zz(1) + _zz(len(rec)), 1)
+    data = head + _zz(-1) + _zz(len(rec)) + rec + b"S" * 16
+    with pytest.raises(ValueError, match="record count"):
+        list(iter_records(data))
+
+
+def test_truncated_varint_typed_eoferror():
+    schema = "long"
+    data = _container(schema, [b"\x80"])  # continuation byte, then sync
+    # the trailing sync bytes continue the varint; truncate mid-stream
+    with pytest.raises((EOFError, ValueError)):
+        list(iter_records(data[: len(data) - 17] + b"\x80"))
+
+
+def test_endless_varint_rejected():
+    schema = "long"
+    data = _container(schema, [b"\xff" * 11 + b"\x00"])
+    with pytest.raises(ValueError, match="varint"):
+        list(iter_records(data))
