@@ -644,9 +644,14 @@ def _mips_meta(draw):
     mx = draw(st.floats(0.1, 200, allow_nan=False))
     meta = {"kind": "ivf",
             "dot_route": {"max_norm": mx, "n": n, "sum_nrm2": s2}}
+    # no subnormals: a 5e-324 component's score underflows to 0 at one
+    # power-of-two scale and not another, flipping a zero-tie — fp
+    # degeneracy of denormal division, same noise class as the fp-tie
+    # reorders the power-of-two scaling already excludes
     q = np.asarray(
         draw(st.lists(
-            st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+            st.floats(-50, 50, allow_nan=False, allow_infinity=False,
+                      allow_subnormal=False),
             min_size=dim, max_size=dim,
         ))
     )
