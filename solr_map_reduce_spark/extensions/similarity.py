@@ -81,23 +81,36 @@ def attach_cosine_score(
     query: Sequence[float],
     score_col: str = "score",
     vec_col: str = "embedding",
-    drop_nonfinite: bool = True,
+    nonfinite: str = "drop",
 ) -> DataFrame:
     """Cosine-to-query as a score COLUMN with the array folds evaluated
-    exactly once per row — the fast shape for corpus-wide exact scans.
+    once per projection pass — the fast shape for corpus-wide exact
+    scans.  Two stacked projections: the inner computes the expensive
+    folds (dot product and sum of squares) as scalar columns; the
+    outer derives the ANSI-safe guarded score from the scalars.
 
-    Two stacked projections: the inner computes the expensive folds
-    (dot product and sum of squares) as scalar columns; the outer
-    derives the guarded score from the scalars.  The shape matters:
-    Catalyst pushes a Filter through a Project by SUBSTITUTING each
-    alias's defining expression into the predicate, so filtering on a
-    single-Column score re-evaluates the folds per reference (measured
-    ~2x wall-clock on the sf0.1 brute-force scan), while
-    CollapseProject declines to merge these two projects because the
-    scalar aliases are non-cheap and multiply-referenced — the folds
-    stay put.  Zero-norm stored vectors score NULL and NaN/Inf scores
-    are dropped when ``drop_nonfinite`` (the Lucene "no usable vector"
-    contract); a zero-magnitude QUERY vector raises (Lucene parity)."""
+    ``nonfinite`` picks what happens to unusable scores (zero-norm
+    stored vector -> NULL; NaN/Inf component -> non-finite):
+
+    - ``"null"`` — the score is NULL, rows kept.  THE SHAPE FOR TOP-K:
+      NULL sorts last under ``desc``, so ``orderBy(desc).limit(k)``
+      never pages an unusable vector while k usable ones exist, and a
+      post-LIMIT ``isNotNull`` filter (predicates do not push through
+      a Limit) removes the underfill padding at O(k).  Total cost: ONE
+      fold evaluation per row.
+    - ``"drop"`` — rows filtered out here (the Lucene "no usable
+      vector" contract as a corpus-wide frame).  NOTE the tax: Catalyst
+      pushes the Filter through BOTH projections, SUBSTITUTING the
+      fold expressions into the predicate (PushDownPredicate has no
+      cheapness heuristic — CollapseProject's is irrelevant to it), so
+      the folds evaluate ~twice per row.  Use "null" + post-limit
+      filter on any path that ends in a top-k.
+    - ``"keep"`` — raw score incl. NaN/Inf (rerankers that guard
+      downstream).
+
+    A zero-magnitude QUERY vector raises (Lucene parity)."""
+    if nonfinite not in ("drop", "null", "keep"):
+        raise ValueError(f"nonfinite mode {nonfinite!r} unsupported")
     qn = _query_norm(query)
     qd = _as_double(F.array(*[F.lit(float(x)) for x in query]))
     vd = _as_double(F.col(vec_col))
@@ -109,14 +122,50 @@ def attach_cosine_score(
             "__smrs_nn"
         ),
     )
-    score = F.when(
+    # nested WHEN: the division only evaluates under the nonzero guard
+    # (ANSI DIVIDE_BY_ZERO), and the finiteness test references the
+    # raw CASE — all cheap scalar refs at this level
+    raw = F.when(
         F.col("__smrs_nn") != 0.0,
         F.col("__smrs_dot") / (F.sqrt(F.col("__smrs_nn")) * F.lit(qn)),
     )
+    if nonfinite == "keep":
+        score = raw
+    else:
+        score = F.when(
+            ~F.isnan(raw)
+            & (raw != float("inf"))
+            & (raw != float("-inf")),
+            raw,
+        )
     out = inner.select(*keep, score.alias(score_col))
-    if drop_nonfinite:
-        out = out.filter(finite_score(F.col(score_col)))
+    if nonfinite == "drop":
+        out = out.filter(F.col(score_col).isNotNull())
     return out
+
+
+def attach_dot_score(
+    df: DataFrame,
+    query: Sequence[float],
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    nonfinite: str = "null",
+) -> DataFrame:
+    """Inner-product score column in the same two-projection,
+    NULL-on-nonfinite shape as :func:`attach_cosine_score` — a finite
+    FILTER on a single-Column dot score pays the fold twice via
+    predicate pushdown substitution just like cosine's did."""
+    if nonfinite not in ("null", "keep"):
+        raise ValueError(f"nonfinite mode {nonfinite!r} unsupported")
+    qd = _as_double(F.array(*[F.lit(float(x)) for x in query]))
+    vd = _as_double(F.col(vec_col))
+    keep = [F.col(c) for c in df.columns]
+    inner = df.select(*keep, dot_product(vd, qd).alias("__smrs_dot"))
+    d = F.col("__smrs_dot")
+    score = d if nonfinite == "keep" else F.when(
+        ~F.isnan(d) & (d != float("inf")) & (d != float("-inf")), d
+    )
+    return inner.select(*keep, score.alias(score_col))
 
 
 def dot_to_query(vec_col: F.Column, query: Sequence[float]) -> F.Column:
@@ -187,13 +236,20 @@ def cosine_topk(
     """Exact brute-force top-k by cosine similarity; deterministic tiebreak on
     id.  The scan is a single stage with no shuffle until the final top-k
     (``orderBy ... limit`` → TakeOrderedAndProject, which keeps only k rows
-    per partition).  Zero-norm/NaN/Inf vectors are excluded (see
-    :func:`finite_score`)."""
+    per partition).  Zero-norm/NaN/Inf vectors are excluded via the
+    NULL-score shape: unusable vectors score NULL (sorting last under
+    ``desc``), and the O(k) post-limit ``isNotNull`` filter removes any
+    underfill padding — a pre-limit finite FILTER would get the array
+    folds substituted into its pushed-down predicate and pay the scan
+    twice (measured ~1.4x on the sf0.1 exact scan)."""
     scored = attach_cosine_score(
         df.select(id_col, vec_col), query, score_col="score",
-        vec_col=vec_col,
+        vec_col=vec_col, nonfinite="null",
     ).select(id_col, "score")
-    out = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    out = (
+        scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+        .filter(F.col("score").isNotNull())
+    )
     return out if with_score else out.select(id_col)
 
 
@@ -327,7 +383,7 @@ def mmr_rerank(
     scored = (
         attach_cosine_score(
             df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")),
-            query, score_col="rel", vec_col="_v", drop_nonfinite=False,
+            query, score_col="rel", vec_col="_v", nonfinite="keep",
         )
         .orderBy(F.desc("rel"), F.col(id_col))
         .limit(pool)

@@ -2817,22 +2817,24 @@ class SearchIndex:
             if pre_pred is not None:
                 # exact path: the predicate rides the same scan
                 base = base.filter(pre_pred)
-            if metric == "cosine":
-                # two-projection shape: the array folds evaluate ONCE
-                # per row (a finite filter on a single-Column score
-                # gets the folds substituted into its predicate —
-                # measured ~2x on the sf0.1 exact scan)
-                scored = sim.attach_cosine_score(
-                    base, qvec, score_col="_knn_score", vec_col=f
-                )
-            else:
-                scored = base.withColumn(
-                    "_knn_score", sim.dot_to_query(F.col(f), qvec)
-                ).filter(sim.finite_score(F.col("_knn_score")))
+            # NULL-score shape: unusable vectors (zero-norm/NaN/Inf)
+            # score NULL, which sorts LAST under desc, and the O(topk)
+            # post-limit isNotNull filter strips underfill padding — a
+            # pre-limit finite filter gets the array folds substituted
+            # into its pushed-down predicate and pays the scan twice
+            attach = (
+                sim.attach_cosine_score if metric == "cosine"
+                else sim.attach_dot_score
+            )
+            scored = attach(
+                base, qvec, score_col="_knn_score", vec_col=f,
+                nonfinite="null",
+            )
             return (
                 scored
                 .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
                 .limit(topk)
+                .filter(F.col("_knn_score").isNotNull())
                 .drop("_knn_score")
             )
         if qtype == "mlt":
@@ -4571,24 +4573,27 @@ class MultiIndex:
                  for m in self.members]
             )
             if metric in ("dot", "dot_product"):
-                scored = pool.withColumn(
-                    "_knn_score", sim.dot_to_query(F.col(fld), qvec)
-                ).filter(sim.finite_score(F.col("_knn_score")))
+                scored = sim.attach_dot_score(
+                    pool, qvec, score_col="_knn_score", vec_col=fld,
+                    nonfinite="null",
+                )
             else:
                 if all(x == 0.0 for x in qvec):
                     raise search.QuerySyntaxError(
                         "{!knn} cosine is undefined for a "
                         "zero-magnitude query vector"
                     )
-                # two-projection shape — folds evaluate once per row
-                # (see the single-index {!knn} exact path)
+                # NULL-score shape + post-limit filter — see the
+                # single-index {!knn} exact path
                 scored = sim.attach_cosine_score(
-                    pool, qvec, score_col="_knn_score", vec_col=fld
+                    pool, qvec, score_col="_knn_score", vec_col=fld,
+                    nonfinite="null",
                 )
             return (
                 scored
                 .orderBy(F.desc("_knn_score"), F.asc(self.unique_key))
                 .limit(topk)
+                .filter(F.col("_knn_score").isNotNull())
                 .drop("_knn_score")
             )
         if lp is not None and lp[0] == "mlt":

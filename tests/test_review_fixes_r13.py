@@ -53,11 +53,33 @@ def test_attach_cosine_score_matches_column_form(spark, vecs):
 
 def test_attach_cosine_score_keeps_nonfinite_when_asked(spark, vecs):
     q = [1.0, 0.0, 0.0, 0.0]
-    out = sim.attach_cosine_score(vecs, q, drop_nonfinite=False).collect()
+    out = sim.attach_cosine_score(vecs, q, nonfinite="keep").collect()
     by_id = {r["vec_id"]: r["score"] for r in out}
     assert len(out) == 6              # nothing dropped
     assert by_id[4] is None           # zero-norm stored vector -> NULL
     assert math.isnan(by_id[5])       # NaN component flows through
+
+
+def test_attach_cosine_score_null_mode_keeps_rows_nulls_unusable(spark, vecs):
+    # the top-k shape: unusable vectors score NULL (sort last under
+    # desc) instead of being filtered — a pre-limit finite filter gets
+    # the folds substituted into its pushed-down predicate and pays the
+    # scan twice
+    q = [1.0, 0.0, 0.0, 0.0]
+    out = sim.attach_cosine_score(vecs, q, nonfinite="null").collect()
+    by_id = {r["vec_id"]: r["score"] for r in out}
+    assert len(out) == 6                      # rows kept
+    assert by_id[4] is None and by_id[5] is None   # zero-norm AND NaN -> NULL
+    assert by_id[1] is not None
+
+
+def test_attach_dot_score_null_mode(spark, vecs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    out = sim.attach_dot_score(vecs, q, nonfinite="null").collect()
+    by_id = {r["vec_id"]: r["score"] for r in out}
+    assert by_id[5] is None            # NaN dot -> NULL
+    assert by_id[4] == 0.0             # zero vector has a legal dot of 0
+    assert by_id[1] == 1.0 and by_id[6] == -1.0
 
 
 def test_cosine_topk_unchanged_by_fast_shape(spark, vecs):
