@@ -859,14 +859,18 @@ def probe_topk(
         if metric == "dot":
             # IVF stores RAW vectors, so any metric scores exactly over
             # the probed candidates; only probe SELECTION is
-            # metric-sensitive — the caller routes dot here solely when
-            # the stored corpus is unit-norm (meta unit_norms), where
-            # the cosine bucket ranking is dot's too
-            scored = rows.select(
-                F.col(key),
-                sim.dot_to_query(F.col(ivf.vec_col), qvec).alias("score"),
-            ).filter(sim.finite_score(F.col("score")))
-            return scored.orderBy(F.desc("score"), F.col(key)).limit(k)
+            # metric-sensitive.  NULL-score shape + post-limit filter
+            # (see cosine_topk): a pre-limit finite filter would get
+            # the dot fold substituted into its pushed-down predicate
+            # and score every probed row twice.
+            scored = sim.attach_dot_score(
+                rows.select(key, ivf.vec_col), qvec, score_col="score",
+                vec_col=ivf.vec_col, nonfinite="null",
+            ).select(key, "score")
+            return (
+                scored.orderBy(F.desc("score"), F.col(key)).limit(k)
+                .filter(F.col("score").isNotNull())
+            )
         return sim.cosine_topk(rows, qvec, k, id_col=key, vec_col=ivf.vec_col)
     if metric == "dot" and not meta.get("unit_norms"):
         # PQ codes are unit-encoded: stored norms are gone, so ADC can
