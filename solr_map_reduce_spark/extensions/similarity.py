@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import numpy as np
@@ -181,22 +182,33 @@ def _driver_sample(
 ) -> np.ndarray:
     """Bounded driver-side vector sample as a numpy matrix — the shared
     recipe behind every k-means/codebook fit (capped regardless of table
-    size, so fitting stays cheap at 100 TB): count -> oversampled
-    fraction -> sort -> limit -> Arrow collect.
+    size, so fitting stays cheap at 100 TB): count -> content-hash band
+    filter -> bottom-k by hash -> Arrow collect.
 
-    The sort between sample and limit is what makes the fit
-    REPRODUCIBLE: a bare ``sample(seed).limit(n)`` takes whichever
-    partitions return first, so two identical builds fitted different
-    centroids (measured: 1M-corpus MIPS recall@4 swung 0.75↔0.92
-    across runs).  The sort runs over the ~1.2×sample_size SAMPLED rows
-    only — ≤ a few thousand at any corpus size — never the table."""
+    Selection is CONTENT-KEYED (``xxhash64(vector, seed)``), not
+    position-keyed: a row is in or out of the sample based on its own
+    bytes, so the fit is identical run-to-run AND across partition
+    layouts — a rebuild after compaction/repartitioning (which reshapes
+    partitions but not content) refits the SAME centroids.  The
+    previous per-partition Bernoulli ``sample(seed)`` was only
+    run-stable after the r12 sort fix; a different layout still drew a
+    different (equally valid) sample.  The band filter keeps the sort
+    bounded (~1.2×sample_size rows in expectation — same variance as
+    the Bernoulli draw it replaces) and the bottom-k-by-hash makes the
+    final pick a canonical uniform sample of distinct contents;
+    duplicate vectors share a hash and enter together, which is
+    harmless for fitting (duplicates add no centroid information).
+    The limit runs as a per-partition top-k (TakeOrdered), never a
+    table-wide shuffle."""
     n = df.count()
     frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+    band = 1 << 20
+    h = F.pmod(F.xxhash64(F.col(vec_col), F.lit(int(seed))), F.lit(band))
     return np.array(
         df.select(vec_col)
         .filter(F.col(vec_col).isNotNull())
-        .sample(fraction=frac, seed=seed)
-        .orderBy(F.col(vec_col))
+        .filter(h < F.lit(int(math.ceil(frac * band))))
+        .orderBy(h.asc(), F.col(vec_col))
         .limit(sample_size)
         .toPandas()[vec_col]
         .tolist(),

@@ -1,16 +1,20 @@
 """Round-13 review regressions.
 
 Perf claw-back (r12 verdict "what's wrong #1"): the finite-score kNN
-guards cost ~2x on the exact-cosine scans because (a) the single-Column
+guards cost ~2x on the exact-cosine scans because the single-Column
 ``cosine_to_query`` evaluated the norm fold twice (guard + denominator)
-and (b) Catalyst pushes a Filter through a Project by substituting the
-aliased score's whole fold expression into the predicate.  The fix is
-the two-projection ``attach_cosine_score`` shape (folds in the inner
-project as scalar columns, guard on the scalars) used by every
-corpus-wide exact scan — ``cosine_topk``, the mmr pool, and both exact
-``{!knn}`` paths.  Plus the ADVICE items: a zero-magnitude cosine QUERY
-vector is rejected loudly (Lucene raises; a NULL-everywhere score column
-would serve a silently empty page instead).
+and Catalyst pushes a finite Filter through ANY projection stack by
+substituting the aliased score's whole fold expression into the
+predicate (PushDownPredicate has no cheapness heuristic).  The working
+fix is the NULL-score shape: ``attach_cosine_score(nonfinite="null")``
+computes the folds once as scalar columns, maps unusable scores to
+NULL (sorting last under desc), and every top-k path filters
+``isNotNull`` AFTER its limit — predicates don't push through a Limit.
+Used by ``cosine_topk``, both exact ``{!knn}`` paths, and the dot arms
+(``attach_dot_score``).  Plus the ADVICE items: a zero-magnitude
+cosine QUERY vector is rejected loudly (Lucene raises; a
+NULL-everywhere score column would serve a silently empty page
+instead), and the fit sample is content-hash-keyed (layout-invariant).
 """
 
 import math
@@ -514,3 +518,53 @@ class TestCfbReview:
         for p in corpus:
             doc = extract_document(open(p, "rb").read())
             assert doc is not None and doc.text, p
+
+
+# ---------------------------------------------------------------------------
+# r13: layout-invariant fit sampling (content-hash selection)
+# ---------------------------------------------------------------------------
+
+def test_fit_sample_is_layout_invariant(spark):
+    # the r12 fix made refits of ONE layout bit-identical; selection was
+    # still per-partition Bernoulli, so compaction/repartitioning (same
+    # content, different layout) drew a different sample and refit
+    # different centroids.  Content-hash selection keys membership on
+    # the row's own bytes: same content -> same sample -> same fit,
+    # whatever the partitioning.
+    import numpy as np
+
+    from solr_map_reduce_spark.extensions.similarity import (
+        IvfIndex,
+        _driver_sample,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(400)]
+    layouts = [
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(p)
+        for p in (1, 7, 32)
+    ]
+    samples = [
+        _driver_sample(df, "embedding", 64, seed=11) for df in layouts
+    ]
+    assert np.array_equal(samples[0], samples[1])
+    assert np.array_equal(samples[0], samples[2])
+    cents = [IvfIndex.fit(df, n_centroids=4).centroids for df in layouts]
+    assert np.array_equal(cents[0], cents[1])
+    assert np.array_equal(cents[0], cents[2])
+
+
+def test_fit_sample_is_seed_sensitive(spark):
+    # different seeds must still draw different samples (the hash is
+    # seed-keyed, not a fixed content digest)
+    import numpy as np
+
+    from solr_map_reduce_spark.extensions.similarity import _driver_sample
+
+    rng = np.random.RandomState(4)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s1 = _driver_sample(df, "embedding", 64, seed=1)
+    s2 = _driver_sample(df, "embedding", 64, seed=2)
+    assert not np.array_equal(s1, s2)
