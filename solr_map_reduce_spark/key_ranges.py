@@ -532,12 +532,21 @@ def drop_key_ranges(spark: SparkSession, path: str) -> None:
 def next_prefix(prefix: str) -> str | None:
     """Smallest string strictly greater than every string with ``prefix``
     (increment-with-carry on the last codepoint); None when no such string
-    exists (prefix is all U+10FFFF)."""
+    exists (prefix is all U+10FFFF).
+
+    The increment SKIPS the surrogate range (U+D800–U+DFFF): a lone
+    surrogate is not encodable as UTF-8, so using it in a Spark literal
+    raises deep in py4j — and no VALID string orders inside the gap, so
+    jumping U+D7FF -> U+E000 loses nothing (stored parquet keys are
+    valid UTF-8)."""
     chars = list(prefix)
     while chars:
         cp = ord(chars[-1])
         if cp < 0x10FFFF:
-            chars[-1] = chr(cp + 1)
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            chars[-1] = chr(nxt)
             return "".join(chars)
         chars.pop()
     return None

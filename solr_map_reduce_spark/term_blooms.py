@@ -167,6 +167,17 @@ def candidate_shards(
     bitmaps = {
         int(s): base64.b64decode(b64) for s, b64 in info["shards"].items()
     }
+    for s, bm in bitmaps.items():
+        if len(bm) != m // 8:
+            # loud, typed: a truncated/tampered bitmap previously hit a
+            # bare IndexError mid-probe — and a silently-short bitmap
+            # read as "bit clear" would PRUNE a matching shard (a false
+            # negative, the one thing the Bloom contract forbids)
+            raise ValueError(
+                f"term-bloom bitmap for field {field!r} shard {s} is "
+                f"{len(bm)} bytes, expected {m // 8} — sidecar corrupt; "
+                "rebuild with write_term_blooms"
+            )
 
     def has(bm: bytes, term: str) -> bool:
         return all(bm[p // 8] & (1 << (p % 8)) for p in positions[term])

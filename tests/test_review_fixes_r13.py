@@ -568,3 +568,43 @@ def test_fit_sample_is_seed_sensitive(spark):
     s1 = _driver_sample(df, "embedding", 64, seed=1)
     s2 = _driver_sample(df, "embedding", 64, seed=2)
     assert not np.array_equal(s1, s2)
+
+
+# ---------------------------------------------------------------------------
+# r13: sidecar review pass (term_blooms / key_ranges)
+# ---------------------------------------------------------------------------
+
+def test_truncated_bloom_bitmap_is_loud_not_false_negative(spark, tmp_path):
+    # a tampered/truncated bitmap previously hit a bare IndexError
+    # mid-probe — and a short bitmap read as "bit clear" would PRUNE a
+    # matching shard, the one thing the Bloom contract forbids
+    import base64
+
+    from solr_map_reduce_spark.term_blooms import candidate_shards
+
+    blooms = {
+        "text": {
+            "m": 1 << 16,
+            "k": 4,
+            "shards": {"0": base64.b64encode(b"\xff" * 10).decode()},
+        }
+    }
+    with pytest.raises(ValueError, match="corrupt"):
+        candidate_shards(spark, blooms, "text", ["hello"])
+
+
+def test_next_prefix_skips_surrogate_gap():
+    from solr_map_reduce_spark.key_ranges import next_prefix
+
+    # normal increments unchanged
+    assert next_prefix("ab") == "ac"
+    assert next_prefix("a\x7f") == "a\x80"
+    # U+D7FF + 1 would be a lone surrogate — unencodable as UTF-8, so
+    # a Spark literal built from it raises; no valid key orders inside
+    # the gap, so the exclusive bound jumps to U+E000 exactly
+    out = next_prefix("a퟿")
+    assert out == "a"
+    out.encode("utf-8")  # must be a valid Spark literal
+    # carry still works
+    assert next_prefix(chr(0x10FFFF)) is None
+    assert next_prefix("a" + chr(0x10FFFF)) == "b"
