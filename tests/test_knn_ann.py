@@ -743,15 +743,21 @@ class TestProbeWideningAndSpaces:
 
     def test_prefilter_underfill_widens_to_exact(self, spark, tmp_path):
         # a preFilter so selective that NO single bucket holds k
-        # matches: widening must run out to the full probe, where the
-        # routed page is provably the exact filtered top-k
+        # matches: widening must keep doubling until the page fills.
+        # EXACTLY k matching ids makes the assertion centroid-geometry-
+        # robust: the loop cannot stop before it has found all k (any
+        # probed subset is short), so the page must be precisely the k
+        # matches in cosine order — whatever buckets the fitted
+        # centroids happened to spread them over.  (The earlier 6-id
+        # form silently depended on the k-means draw never co-locating
+        # 5 of them below full probe; the widening contract only
+        # guarantees FULL pages, with exactness at full probe.)
         idx = _build_artifact(spark, str(tmp_path / "idx"))
         idx.build_ann("embedding", kind="ivf", n_centroids=NC, nprobe=1)
         q = QUERIES[1]
-        # filter to 6 specific ids spread over the corpus
         norms = np.linalg.norm(VECS, axis=1) * np.linalg.norm(q)
         cos = (VECS @ q) / norms
-        chosen = [5, 42, 97, 130, 166, 199]
+        chosen = [5, 42, 97, 130, 166]
         upd = spark.createDataFrame(
             [(i, "picked") for i in chosen], "vec_id long, label string"
         )
@@ -761,8 +767,23 @@ class TestProbeWideningAndSpaces:
             "{!knn f=embedding topK=5 nprobe=1 preFilter='label:picked'}"
             + _vec_literal(q)
         ).collect()]
-        want = sorted(chosen, key=lambda i: (-cos[i], i))[:5]
+        want = sorted(chosen, key=lambda i: (-cos[i], i))
         assert got == want
+        # and an explicit FULL probe is the provably exact filtered
+        # top-k even with more matches than k
+        upd2 = spark.createDataFrame(
+            [(i, "picked") for i in chosen + [199, 23]],
+            "vec_id long, label string",
+        )
+        _job().update_fields(upd2, idx.path)
+        got_full = [r["vec_id"] for r in idx.query(
+            f"{{!knn f=embedding topK=5 nprobe={NC} "
+            "preFilter='label:picked'}" + _vec_literal(q)
+        ).collect()]
+        want_full = sorted(
+            chosen + [199, 23], key=lambda i: (-cos[i], i)
+        )[:5]
+        assert got_full == want_full
 
     def test_ivfpq_probe_selection_is_scale_invariant(self, spark, tmp_path):
         # the ivfpq base is fit on UNIT vectors: probe-bucket ranking
