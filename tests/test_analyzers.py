@@ -573,3 +573,37 @@ def test_r7_analyzed_types_registered():
     for atype in ("text_ru", "text_ro", "text_hu", "text_tr"):
         assert atype in indexing.ANALYZED_TYPES
         assert atype in schema._TYPE_ALIASES
+
+
+def test_jvm_python_tokenizer_parity_on_adversarial_unicode(spark):
+    """The Column tokenizer (JVM regex [^\\p{L}\\p{N}]+) and its Python
+    row kernel (re [^\\w]+|_) must agree on EVERY Unicode category edge:
+    query-time analysis uses the Python twin while stored tokens come
+    from the JVM one — any divergence is a term that can never match
+    itself.  Cases cover Mn (combining marks), No/Nl (superscripts,
+    circled digits, roman numerals), Cf (zero-width joiner), Pc
+    (underscore — Python \\w includes it, hence the explicit |_),
+    fullwidth forms, non-Latin digits, and curly apostrophes."""
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.functions import analyzers as A
+
+    cases = [
+        "étude",            # e + combining acute (Mn)
+        "x² y① z",          # superscript two, circled one (No)
+        "a_b c_d", "_lead trail_",
+        "Ⅵ roman",          # roman numeral (Nl)
+        "km³ ⁰",
+        "a‍b",          # zero-width joiner (Cf)
+        "mc²e",
+        "ＡＢ full",         # fullwidth (Lo/Lu variants)
+        "१२३ देवनागरी",       # Devanagari digits + Mc vowel signs
+        "store’s",           # curly apostrophe
+        "", " ", "___",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    rows = df.select(
+        "t", A.tokenize_text_general(F.col("t")).alias("toks")
+    ).collect()
+    for r in rows:
+        assert list(r["toks"]) == A._py_text_general(r["t"]), repr(r["t"])
