@@ -4113,7 +4113,13 @@ class SearchIndex:
         )
         return (
             rows.withColumn("_knn_rank", rank[F.col(self.unique_key)])
+            # limit(len(ids)) is a semantic no-op (get_many returns at
+            # most one row per id) but turns the global Sort into a
+            # TakeOrderedAndProject: a bare orderBy plans a range
+            # Exchange whose boundary-sampling pass EXECUTES the pruned
+            # lookup scan twice (r13 plan audit: 2 jobs -> 1)
             .orderBy(F.asc("_knn_rank"))
+            .limit(len(ids))
             .drop("_knn_rank")
         )
 
