@@ -4113,7 +4113,10 @@ class SearchIndex:
         )
         return (
             rows.withColumn("_knn_rank", rank[F.col(self.unique_key)])
-            # limit(len(ids)) is a semantic no-op (get_many returns at
+            # limit(len(ids)) is a semantic no-op under the serving
+            # contract (unique_key is unique in a served artifact — the
+            # same invariant the key-range bisect and the ANN sidecar's
+            # key->vector map already rely on, so get_many returns at
             # most one row per id) but turns the global Sort into a
             # TakeOrderedAndProject: a bare orderBy plans a range
             # Exchange whose boundary-sampling pass EXECUTES the pruned
