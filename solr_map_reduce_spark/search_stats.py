@@ -58,7 +58,7 @@ import json
 import zlib
 
 import pyspark.sql.functions as F
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 
 STATS = "_SEARCH_STATS.json"
 VOCAB_DIR = "_vocab"
@@ -115,10 +115,24 @@ def write_search_stats(
     stats: dict = {}
     for field, info in analyzed.items():
         tokens_col = info["tokens_col"]
-        n_docs, sum_dl, n_dl = _field_aggregates(idx, tokens_col)
-        stats[field] = {"n_docs": n_docs, "sum_dl": sum_dl, "n_dl": n_dl}
+        # The scalar aggregates ride the vocab-write job as an Observation
+        # on the pre-explode rows instead of running their own corpus scan
+        # (r13: 2 scans/field -> 1; at 100 TB one full corpus pass per
+        # analyzed field).  The observed expressions are byte-identical to
+        # _field_aggregates' (count all rows / sum+count of visible token
+        # lengths), and they see exactly the rows that job scans: the
+        # observe node sits ABOVE the scan and BELOW the explode, and this
+        # is a full unfiltered read of the artifact, same as before.
+        toks = _real_toks(tokens_col)
+        obs = Observation()
+        observed = idx.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).alias("sum_dl"),
+            F.count(F.size(toks)).alias("n_dl"),
+        )
         (
-            _term_df(idx, tokens_col, "df")
+            _term_df(observed, tokens_col, "df")
             .withColumn("bucket", _bucket_expr(n_buckets))
             .repartition(F.col("bucket"))
             .sortWithinPartitions("bucket", "term")
@@ -126,6 +140,12 @@ def write_search_stats(
             .partitionBy("bucket")
             .parquet(fs_join(path, f"{VOCAB_DIR}/{field}"))
         )
+        row = obs.get
+        stats[field] = {
+            "n_docs": int(row["n_docs"]),
+            "sum_dl": int(row["sum_dl"] or 0),
+            "n_dl": int(row["n_dl"]),
+        }
     fs.write_text(
         fs_join(path, VOCAB_DIR, VOCAB_META),
         json.dumps({"n_buckets": int(n_buckets), "hash": "crc32"}),

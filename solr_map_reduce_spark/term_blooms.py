@@ -110,7 +110,13 @@ def write_term_blooms(
     sidecar: dict = {}
     for field, info in analyzed.items():
         tokens_col = info["tokens_col"]
-        per_shard = (
+        # The distinct (shard, position) pairs are collected directly and
+        # grouped into bitmaps driver-side (r13): the former
+        # groupBy(shard).collect_set added a THIRD full exchange of the
+        # position set only to reshape rows the driver unpacks anyway —
+        # the collected volume is identical either way (bounded by
+        # shards x m positions, the same bound the bitmap itself has).
+        per_shard_pos = (
             idx.select(
                 F.col(SHARD_COL).alias("_s"),
                 F.explode(F.array_distinct(F.col(tokens_col))).alias("_t"),
@@ -118,19 +124,22 @@ def write_term_blooms(
             .distinct()
             .select("_s", F.explode(_positions_col(F.col("_t"), m, k)).alias("_p"))
             .distinct()
-            .groupBy("_s")
-            .agg(F.collect_set("_p").alias("_ps"))
             .collect()
         )
         prev = existing.get(field, {})
         if prev and (prev.get("m") != m or prev.get("k") != k):
             prev = {}  # parameter change: full rebuild semantics
         shard_maps: dict = dict(prev.get("shards", {})) if prev else {}
-        for row in per_shard:
-            bitmap = bytearray(m // 8)
-            for p in row["_ps"]:
-                bitmap[p // 8] |= 1 << (p % 8)
-            shard_maps[str(int(row["_s"]))] = base64.b64encode(bytes(bitmap)).decode()
+        bitmaps: dict[str, bytearray] = {}
+        for row in per_shard_pos:
+            s = str(int(row["_s"]))
+            bm = bitmaps.get(s)
+            if bm is None:
+                bm = bitmaps[s] = bytearray(m // 8)
+            p = row["_p"]
+            bm[p // 8] |= 1 << (p % 8)
+        for s, bm in bitmaps.items():
+            shard_maps[s] = base64.b64encode(bytes(bm)).decode()
         sidecar[field] = {"m": m, "k": k, "shards": shard_maps}
 
     fs.write_text(fs_join(path, BLOOMS), json.dumps(sidecar))
