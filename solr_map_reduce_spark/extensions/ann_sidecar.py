@@ -638,12 +638,32 @@ def build(
         if fs.exists(p):
             fs.delete(p)
     dot_route = None
+    unit_norms: "bool | None" = None
     if kind == "ivf":
         ivf = sim.IvfIndex.fit(
             base_rows, n_centroids=n_centroids, id_col=key, vec_col=field,
             **fit_kw,
         )
-        ivf.save(side, assigned=ivf.assign(base_rows))
+        # the unit_norms min/max ride the save-write job as an Observation
+        # (r13: one fewer full corpus scan at build); min/max ignore NULL
+        # vectors' NULL norms, matching _all_unit_norms' isNotNull filter,
+        # and the write executes the observed node over every base row
+        from pyspark.sql import Observation
+
+        nrm = sim.l2_norm(sim._as_double(F.col(field)))
+        obs = Observation()
+        ivf.save(
+            side,
+            assigned=ivf.assign(base_rows).observe(
+                obs, F.min(nrm).alias("lo"), F.max(nrm).alias("hi")
+            ),
+        )
+        row = obs.get
+        unit_norms = (
+            row["lo"] is not None
+            and abs(row["lo"] - 1.0) <= 1e-6
+            and abs(row["hi"] - 1.0) <= 1e-6
+        )
         cents = ivf.centroids
         # MIPS probe-ranking stats: lets {!knn similarity=dot} route on
         # NON-unit corpora too (norm-augmented centroids); reads the
@@ -667,15 +687,18 @@ def build(
     }
     if dot_route is not None:
         meta["dot_route"] = dot_route
-    # unit_norms: whether EVERY stored vector has ||v|| == 1 (one
-    # exact map-side-combined min/max aggregate over the build scan).
+    # unit_norms: whether EVERY stored vector has ||v|| == 1 (an exact
+    # map-side-combined min/max aggregate — observed on the ivf save
+    # write above, its own pass only on the ivfpq branch).
     # When true, {!knn similarity=dot} routes through the same probes
     # for BOTH kinds — for unit vectors the cosine bucket ranking IS
     # dot's; IVF scores true dot over probed raw vectors, and IVF-PQ's
     # ADC score (cosine over unit-encoded codes) EQUALS dot under the
     # invariant.  A later upsert of a non-unit vector flips the flag
     # off (delta_upsert) so dot falls back to the exact scan.
-    meta["unit_norms"] = _all_unit_norms(base_rows, field)
+    meta["unit_norms"] = (
+        unit_norms if unit_norms is not None else _all_unit_norms(base_rows, field)
+    )
     if nprobe == "auto":
         pick = _auto_nprobe(
             base_rows, field, cents, unit_space=(kind == "ivfpq"),
