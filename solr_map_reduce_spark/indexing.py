@@ -403,17 +403,29 @@ class IndexJob:
         # pruned lookups (false negatives) and count() would undercount.
         # (mode="overwrite" wipes the directory, so exists() is False there.)
         fs = get_fs(path, df.sparkSession)
+        from solr_map_reduce_spark.search_stats import (
+            STATS,
+            write_search_sidecars,
+            write_search_stats,
+        )
         from solr_map_reduce_spark.term_blooms import BLOOMS, write_term_blooms
 
-        if manifest.get("analyzed") and (
+        want_blooms = manifest.get("analyzed") and (
             self.config.term_blooms or fs.exists(fs_join(path, BLOOMS))
-        ):
-            write_term_blooms(df.sparkSession, path)
-        from solr_map_reduce_spark.search_stats import STATS, write_search_stats
-
-        if manifest.get("analyzed") and (
+        )
+        want_stats = manifest.get("analyzed") and (
             self.config.search_stats or fs.exists(fs_join(path, STATS))
-        ):
+        )
+        if want_blooms and want_stats:
+            # full rebuild of both serving sidecars: ONE tokenized corpus
+            # pass per analyzed field instead of two (r13, guide §2.4) —
+            # the shared (term, shard) aggregate serves bitmaps and vocab.
+            # Self-gating: small corpora delegate back to the separate
+            # writers, which measure faster below ~128 MB of artifact.
+            write_search_sidecars(df.sparkSession, path)
+        elif want_blooms:
+            write_term_blooms(df.sparkSession, path)
+        elif want_stats:
             write_search_stats(df.sparkSession, path)
         from solr_map_reduce_spark.key_ranges import (
             sidecar_exists,

@@ -154,6 +154,172 @@ def write_search_stats(
     return stats
 
 
+# Corpus-size gate for the fused sidecar build: below this many bytes of
+# artifact data the separate writers win (the fused plan's extra exchange
+# + persisted (term, shard) aggregate cost more than the corpus scan they
+# save — measured r13: 1.2 MB docs fixture −3.5% for fused, 86 MB a wash,
+# 323 MB fused wins 25%, and at 100 TB the saved corpus pass dominates by
+# orders of magnitude).  Env-overridable so deployments can move the
+# crossover without a code change; the default keeps fixture-scale builds
+# (and the driver's bench) on the measured-faster path at each scale.
+_FUSED_MIN_BYTES = int(
+    __import__("os").environ.get("SMRS_FUSED_SIDECAR_MIN_BYTES", 128 << 20)
+)
+
+
+def write_search_sidecars(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = N_VOCAB_BUCKETS,
+    m: int | None = None,
+    k: int | None = None,
+    min_bytes: int | None = None,
+) -> tuple[dict | None, dict | None]:
+    """Full rebuild of BOTH serving sidecars (term blooms + BM25
+    stats/vocab) from ONE tokenized corpus pass per analyzed field —
+    when the corpus is big enough for that pass to matter (the
+    ``min_bytes`` gate above, Catalyst's scan-size estimate); smaller
+    artifacts delegate to the separate writers, which measure faster
+    there.  Outputs are byte-identical on every path.
+
+    ``write_term_blooms`` and ``write_search_stats`` each scan + explode
+    the stored token column; when a full build wants both, the shared
+    per-``(term, shard)`` doc-count aggregate below serves the two of
+    them — the bloom bitmaps need term PRESENCE per shard (all tokens,
+    reversed-copy markers included), the vocab needs the per-term doc
+    count (visible tokens only), and both are projections of that one
+    aggregate.  The scalar BM25 stats ride the same job as an
+    ``Observation`` on the pre-explode rows, exactly as in
+    ``write_search_stats``.  Per analyzed field the build pays one
+    corpus scan + explode instead of two; the aggregate itself (|vocab|
+    x |shards| rows, far smaller than the corpus) is persisted across
+    the two projections and unpersisted before the next field.
+
+    Equivalences (vs the separate writers, verified byte-identical in
+    tests): a visible term appears in ``array_distinct(tokens)`` iff it
+    appears in ``array_distinct(visible(tokens))`` — the reversed copies
+    are DISTINCT marked tokens, so filtering visibility on the exploded
+    term column commutes with filtering the array before exploding; and
+    ``sum_shards(count_docs(term, shard)) == count_docs(term)`` because
+    every doc lives in exactly one shard.
+
+    Subset refreshes (``write_term_blooms(shards=...)``) and delta
+    maintenance keep the dedicated writers — this is the full-rebuild
+    fast path only.  Crash consistency is the stats writer's: the
+    ``_SEARCH_STATS.json`` commit marker goes DOWN before any vocab dir
+    is in flux and UP last; the blooms JSON stays a single atomic write.
+
+    Returns ``(blooms_sidecar, stats)`` (both None when the artifact has
+    no analyzed fields)."""
+    import base64
+
+    from solr_map_reduce_spark.fs import get_fs
+    from solr_map_reduce_spark.fs import join as fs_join
+    from solr_map_reduce_spark.indexing import MANIFEST, SHARD_COL, read_index
+    from solr_map_reduce_spark.term_blooms import (
+        BLOOMS,
+        DEFAULT_K,
+        DEFAULT_M,
+        _positions_col,
+    )
+
+    from solr_map_reduce_spark.term_blooms import write_term_blooms
+
+    m = DEFAULT_M if m is None else m
+    k = DEFAULT_K if k is None else k
+    fs = get_fs(path, spark)
+    manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
+    analyzed: dict = manifest.get("analyzed", {})
+    if not analyzed:
+        return None, None
+    idx = read_index(spark, path)
+    threshold = _FUSED_MIN_BYTES if min_bytes is None else min_bytes
+    if threshold > 0:
+        raw = idx._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = raw if isinstance(raw, int) else int(raw.toString())
+        if est < threshold:
+            blooms = write_term_blooms(spark, path, m=m, k=k)
+            stats_only = write_search_stats(spark, path, n_buckets)
+            return blooms, stats_only
+    # commit marker DOWN while the vocab dirs are in flux (same protocol
+    # as write_search_stats)
+    if fs.exists(fs_join(path, STATS)):
+        fs.delete(fs_join(path, STATS))
+    from solr_map_reduce_spark.extensions.search import REV_MARK
+
+    blooms_sidecar: dict = {}
+    stats: dict = {}
+    for field, info in analyzed.items():
+        tokens_col = info["tokens_col"]
+        toks = _real_toks(tokens_col)
+        obs = Observation()
+        observed = idx.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).alias("sum_dl"),
+            F.count(F.size(toks)).alias("n_dl"),
+        )
+        placement = (
+            observed.select(
+                F.col(SHARD_COL).alias("_s"),
+                F.explode(F.array_distinct(F.col(tokens_col))).alias("term"),
+            )
+            .groupBy("term", "_s")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .persist()
+        )
+        try:
+            (
+                placement.filter(~F.col("term").startswith(REV_MARK))
+                .groupBy("term")
+                .agg(F.sum("_n").alias("df"))
+                .withColumn("bucket", _bucket_expr(n_buckets))
+                .repartition(F.col("bucket"))
+                .sortWithinPartitions("bucket", "term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(fs_join(path, f"{VOCAB_DIR}/{field}"))
+            )
+            row = obs.get
+            stats[field] = {
+                "n_docs": int(row["n_docs"]),
+                "sum_dl": int(row["sum_dl"] or 0),
+                "n_dl": int(row["n_dl"]),
+            }
+            per_shard_pos = (
+                placement.select(
+                    "_s", F.explode(_positions_col(F.col("term"), m, k)).alias("_p")
+                )
+                .distinct()
+                .collect()
+            )
+        finally:
+            placement.unpersist()
+        bitmaps: dict[str, bytearray] = {}
+        for r in per_shard_pos:
+            s = str(int(r["_s"]))
+            bm = bitmaps.get(s)
+            if bm is None:
+                bm = bitmaps[s] = bytearray(m // 8)
+            p = r["_p"]
+            bm[p // 8] |= 1 << (p % 8)
+        blooms_sidecar[field] = {
+            "m": m,
+            "k": k,
+            "shards": {
+                s: base64.b64encode(bytes(bm)).decode()
+                for s, bm in bitmaps.items()
+            },
+        }
+    fs.write_text(fs_join(path, BLOOMS), json.dumps(blooms_sidecar))
+    fs.write_text(
+        fs_join(path, VOCAB_DIR, VOCAB_META),
+        json.dumps({"n_buckets": int(n_buckets), "hash": "crc32"}),
+    )
+    fs.write_text(fs_join(path, STATS), json.dumps(stats))  # marker UP last
+    return blooms_sidecar, stats
+
+
 def _real_toks(tokens_col: str) -> F.Column:
     """The REAL tokens: text_general_rev interleaves marked reversed
     copies for the leading-wildcard seek; BM25 statistics (document
