@@ -63,8 +63,40 @@ from pyspark.sql import Observation, SparkSession
 STATS = "_SEARCH_STATS.json"
 VOCAB_DIR = "_vocab"
 VOCAB_META = "_VOCAB_META.json"
+# Legacy/default bucket count: reads of a meta-less vocab dir assume it, and
+# callers may pass it explicitly.  WRITES size the count adaptively instead
+# (``_auto_buckets``) — a fixed 64 writes 64 near-empty files per field at
+# fixture scale and multi-GB bucket files at 100 TB; the right count scales
+# with the corpus.  Readers take the count from _VOCAB_META.json, so any
+# value is served correctly.
 N_VOCAB_BUCKETS = 64
 _VOCAB_SCHEMA = "term string, df bigint, bucket int"
+
+# ~bytes of SOURCE artifact per vocab bucket.  The vocab is a sublinear
+# projection of the corpus, so this is an order-of-magnitude dial, not a
+# file-size promise: 8 MB/bucket puts a ~0.5 GB artifact at the old default
+# (64) and covers [floor 8 .. cap 4096] over fixture scale to 100 TB-ish
+# estimates.  Env-overridable (deployments with atypically rich vocabularies
+# can lower it) — parameterised, not a local[32] constant.
+_VOCAB_BUCKET_TARGET_BYTES = int(
+    __import__("os").environ.get("SMRS_VOCAB_BUCKET_TARGET_BYTES", 8 << 20)
+)
+
+
+def _auto_buckets(idx) -> int:
+    """Scale-adaptive vocab bucket count from Catalyst's scan-size estimate
+    of the artifact (same estimator the fused-build gate uses): the smallest
+    power of two n in [8, 4096] with n * target >= estimate.  Power-of-two
+    steps keep the count stable under small estimate drift; the floor stops
+    fixture-scale builds from writing dozens of near-empty files (measured
+    r13: 64 -> 8 buckets cut the sf0.1 docs vocab write ~32%); the cap
+    bounds the partition-dir fanout a point lookup must list."""
+    raw = idx._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    est = raw if isinstance(raw, int) else int(raw.toString())
+    n = 8
+    while n < 4096 and est > n * _VOCAB_BUCKET_TARGET_BYTES:
+        n *= 2
+    return n
 
 
 def _bucket_expr(n_buckets: int):
@@ -93,11 +125,13 @@ def load_vocab_meta(fs, path: str) -> dict | None:
 
 
 def write_search_stats(
-    spark: SparkSession, path: str, n_buckets: int = N_VOCAB_BUCKETS
+    spark: SparkSession, path: str, n_buckets: int | None = None
 ) -> dict | None:
     """Compute and persist BM25 statistics + the term dictionary for every
     analyzed field of the artifact at ``path``.  Returns the stats dict
-    (None when the artifact has no analyzed fields)."""
+    (None when the artifact has no analyzed fields).  ``n_buckets=None``
+    sizes the bucket count from the artifact's scan estimate
+    (:func:`_auto_buckets`); an explicit count is honored as given."""
     from solr_map_reduce_spark.fs import get_fs
     from solr_map_reduce_spark.fs import join as fs_join
     from solr_map_reduce_spark.indexing import MANIFEST, read_index
@@ -112,6 +146,8 @@ def write_search_stats(
     if fs.exists(fs_join(path, STATS)):
         fs.delete(fs_join(path, STATS))
     idx = read_index(spark, path)
+    if n_buckets is None:
+        n_buckets = _auto_buckets(idx)
     stats: dict = {}
     for field, info in analyzed.items():
         tokens_col = info["tokens_col"]
@@ -170,7 +206,7 @@ _FUSED_MIN_BYTES = int(
 def write_search_sidecars(
     spark: SparkSession,
     path: str,
-    n_buckets: int = N_VOCAB_BUCKETS,
+    n_buckets: int | None = None,
     m: int | None = None,
     k: int | None = None,
     min_bytes: int | None = None,
@@ -233,6 +269,8 @@ def write_search_sidecars(
     if not analyzed:
         return None, None
     idx = read_index(spark, path)
+    if n_buckets is None:
+        n_buckets = _auto_buckets(idx)  # same estimator on both paths below
     threshold = _FUSED_MIN_BYTES if min_bytes is None else min_bytes
     if threshold > 0:
         raw = idx._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()

@@ -390,7 +390,9 @@ class TestBucketedVocab:
         base = os.path.join(built, "_vocab")
         with open(os.path.join(base, "_VOCAB_META.json")) as f:
             meta = json.load(f)
-        assert meta["n_buckets"] == 64 and meta["hash"] == "crc32"
+        # adaptive sizing: the tiny fixture lands on the floor count — the
+        # meta records whatever the writer chose, and readers follow it
+        assert meta["n_buckets"] == 8 and meta["hash"] == "crc32"
         buckets = [
             d for d in os.listdir(os.path.join(base, "text"))
             if d.startswith("bucket=")
@@ -402,12 +404,14 @@ class TestBucketedVocab:
         or point df-lookups would look in the wrong partition dir."""
         import os
 
-        from solr_map_reduce_spark.search_stats import term_bucket
+        from solr_map_reduce_spark.search_stats import load_vocab_meta, term_bucket
+        from solr_map_reduce_spark.fs import get_fs
 
+        n = int(load_vocab_meta(get_fs(built, spark), built)["n_buckets"])
         # every on-disk term must live in the dir the driver would probe
         vocab = spark.read.parquet(os.path.join(built, "_vocab", "text"))
         for r in vocab.select("term", "bucket").collect():
-            assert term_bucket(r["term"], 64) == int(r["bucket"]), r["term"]
+            assert term_bucket(r["term"], n) == int(r["bucket"]), r["term"]
 
     def test_merge_rewrites_only_changed_term_buckets(self, spark, built, tmp_path):
         """Tamper test (the bucket analog of the untouched-shards proof):
@@ -420,15 +424,17 @@ class TestBucketedVocab:
         import os
         import shutil
 
-        from solr_map_reduce_spark.search_stats import term_bucket
+        from solr_map_reduce_spark.search_stats import load_vocab_meta, term_bucket
+        from solr_map_reduce_spark.fs import get_fs
 
         path = str(tmp_path / "index")
         shutil.copytree(built, path)
+        n = int(load_vocab_meta(get_fs(path, spark), path)["n_buckets"])
         add = spark.createDataFrame(
             [("bk-new", "alpha freshbucketterm")], "id string, text string"
         )
         changed = {"alpha", "freshbucketterm"}
-        changed_buckets = {term_bucket(t, 64) for t in changed}
+        changed_buckets = {term_bucket(t, n) for t in changed}
         vocab_dir = os.path.join(path, "_vocab", "text")
         poisoned = {}
         for d in os.listdir(vocab_dir):
@@ -703,3 +709,81 @@ class TestServingHandleHygiene:
                              logger="solr_map_reduce_spark.index_reader"):
             SearchIndex.open(spark, path).bm25(["alpha"], k=2, fq="beta").collect()
         assert not [r for r in caplog.records if "search_stats" in r.getMessage()]
+
+
+class TestAdaptiveBucketCount:
+    """Round-13: the vocab bucket count scales with the artifact instead of
+    a fixed 64 — a tiny corpus writes 8 bucket files per field (not 64
+    near-empty ones), a huge one gets up to 4096 (bounding bucket-file
+    size); readers always follow _VOCAB_META.json, so any count serves
+    correctly."""
+
+    def test_explicit_count_is_honored(self, spark, built, tmp_path):
+        import os
+        import shutil
+
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.search_stats import (
+            load_vocab_meta,
+            term_dfs,
+            write_search_stats,
+        )
+
+        path = str(tmp_path / "index")
+        shutil.copytree(built, path)
+        write_search_stats(spark, path, n_buckets=16)
+        meta = load_vocab_meta(get_fs(path, spark), path)
+        assert int(meta["n_buckets"]) == 16
+        dirs = [
+            d for d in os.listdir(os.path.join(path, "_vocab", "text"))
+            if d.startswith("bucket=")
+        ]
+        assert all(int(d.split("=")[1]) < 16 for d in dirs)
+        assert term_dfs(spark, path, "text", ["alpha"])["alpha"] == 120
+
+    def test_count_scales_with_estimate(self, spark, built, tmp_path,
+                                        monkeypatch):
+        import shutil
+
+        import solr_map_reduce_spark.search_stats as ss
+        from solr_map_reduce_spark.fs import get_fs
+        from solr_map_reduce_spark.indexing import read_index
+
+        path = str(tmp_path / "index")
+        shutil.copytree(built, path)
+        est_raw = (
+            read_index(spark, path)
+            ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        est = est_raw if isinstance(est_raw, int) else int(est_raw.toString())
+        assert est > 0
+        # target chosen so the SAME artifact now wants 4 doublings past the
+        # floor: smallest power of two n with n * target >= est
+        target = max(1, est // 100)
+        monkeypatch.setattr(ss, "_VOCAB_BUCKET_TARGET_BYTES", target)
+        expect = 8
+        while expect < 4096 and est > expect * target:
+            expect *= 2
+        assert expect > 8  # the test actually exercises the scaling loop
+        ss.write_search_stats(spark, path)
+        meta = ss.load_vocab_meta(get_fs(path, spark), path)
+        assert int(meta["n_buckets"]) == expect
+        # served values are count-independent
+        assert ss.term_dfs(spark, path, "text", ["target"])["target"] == 80
+
+    def test_floor_and_cap(self):
+        """The sizing arithmetic alone: floor 8 below one target's worth,
+        cap 4096 no matter how large the estimate."""
+        import solr_map_reduce_spark.search_stats as ss
+
+        target = ss._VOCAB_BUCKET_TARGET_BYTES
+
+        def size(est):
+            n = 8
+            while n < 4096 and est > n * target:
+                n *= 2
+            return n
+
+        assert size(0) == 8 and size(target * 8) == 8
+        assert size(target * 8 + 1) == 16
+        assert size(10**15) == 4096
