@@ -259,9 +259,10 @@ def write_search_sidecars(
         _positions_col,
     )
 
+    from solr_map_reduce_spark import term_blooms as _tb
     from solr_map_reduce_spark.term_blooms import write_term_blooms
 
-    m = DEFAULT_M if m is None else m
+    explicit_m = m is not None
     k = DEFAULT_K if k is None else k
     fs = get_fs(path, spark)
     manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
@@ -271,14 +272,20 @@ def write_search_sidecars(
     idx = read_index(spark, path)
     if n_buckets is None:
         n_buckets = _auto_buckets(idx)  # same estimator on both paths below
+    raw = idx._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    est = raw if isinstance(raw, int) else int(raw.toString())
     threshold = _FUSED_MIN_BYTES if min_bytes is None else min_bytes
-    if threshold > 0:
-        raw = idx._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        est = raw if isinstance(raw, int) else int(raw.toString())
-        if est < threshold:
-            blooms = write_term_blooms(spark, path, m=m, k=k)
-            stats_only = write_search_stats(spark, path, n_buckets)
-            return blooms, stats_only
+    if threshold > 0 and est < threshold:
+        blooms = write_term_blooms(
+            spark, path, m=(m if explicit_m else None), k=k
+        )
+        stats_only = write_search_stats(spark, path, n_buckets)
+        return blooms, stats_only
+    # bloom width for the auto path: gate + data-driven sizing IDENTICAL
+    # to write_term_blooms (same Catalyst estimate, and the per-shard
+    # distinct-term counts below come from the same distinct (term, shard)
+    # set) — the fused and delegated builds stay byte-equal at every scale
+    auto_small_m = (not explicit_m) and est < _tb._ADAPTIVE_BLOOM_MIN_BYTES
     # commit marker DOWN while the vocab dirs are in flux (same protocol
     # as write_search_stats)
     if fs.exists(fs_join(path, STATS)):
@@ -324,9 +331,25 @@ def write_search_sidecars(
                 "sum_dl": int(row["sum_dl"] or 0),
                 "n_dl": int(row["n_dl"]),
             }
+            if explicit_m:
+                m_f = m
+            elif auto_small_m:
+                m_f = DEFAULT_M
+            else:
+                # per-shard distinct-term count is a cheap job over the
+                # already-persisted aggregate (|vocab| x |shards| rows)
+                m_f = _tb._auto_bloom_m(
+                    max(
+                        (
+                            int(r["count"])
+                            for r in placement.groupBy("_s").count().collect()
+                        ),
+                        default=0,
+                    )
+                )
             per_shard_pos = (
                 placement.select(
-                    "_s", F.explode(_positions_col(F.col("term"), m, k)).alias("_p")
+                    "_s", F.explode(_positions_col(F.col("term"), m_f, k)).alias("_p")
                 )
                 .distinct()
                 .collect()
@@ -338,11 +361,11 @@ def write_search_sidecars(
             s = str(int(r["_s"]))
             bm = bitmaps.get(s)
             if bm is None:
-                bm = bitmaps[s] = bytearray(m // 8)
+                bm = bitmaps[s] = bytearray(m_f // 8)
             p = r["_p"]
             bm[p // 8] |= 1 << (p % 8)
         blooms_sidecar[field] = {
-            "m": m,
+            "m": m_f,
             "k": k,
             "shards": {
                 s: base64.b64encode(bytes(bm)).decode()

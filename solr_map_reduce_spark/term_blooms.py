@@ -34,6 +34,39 @@ from pyspark.sql import SparkSession
 BLOOMS = "_TERM_BLOOMS.json"
 DEFAULT_M = 1 << 16  # bits per shard bitmap (8 KiB)
 DEFAULT_K = 4
+MAX_M = 1 << 24  # adaptive cap: 2 MiB bitmap per shard per field
+
+# Scale-adaptive bitmap width (r13, same pattern as the fused-build gate
+# and the vocab bucket count): a fixed m saturates on a large corpus —
+# at m=2^16/k=4 a shard with 1 M distinct terms drives the false-positive
+# rate to ~1.0 and candidate_shards degenerates to "all shards", i.e. the
+# pruning the sidecar exists for silently stops working.  Above the gate
+# the writer sizes m from the OBSERVED per-shard distinct-term count
+# (bits-per-term target below; 16 bits/term at k=4 gives FP ~0.24%);
+# below it the fixture-scale default (2^16, today's bytes) is provably
+# sufficient and the build keeps its single-job shape.  Both knobs are
+# env-overridable so deployments can move them without a code change.
+_BLOOM_BITS_PER_TERM = int(
+    __import__("os").environ.get("SMRS_BLOOM_BITS_PER_TERM", 16)
+)
+_ADAPTIVE_BLOOM_MIN_BYTES = int(
+    __import__("os").environ.get("SMRS_ADAPTIVE_BLOOM_MIN_BYTES", 128 << 20)
+)
+
+
+def _auto_bloom_m(n_terms: int, bits_per_term: int | None = None) -> int:
+    """Smallest power-of-two bitmap width in [DEFAULT_M, MAX_M] giving at
+    least ``bits_per_term`` bits per distinct term (the max over shards).
+    Powers of two keep ``pmod(xxhash64, m)`` a mask and make any two
+    widths fold-compatible; the cap bounds the sidecar JSON (base64 of
+    m/8 bytes per shard per field) at 100 TB scale, degrading FP
+    gracefully instead of growing the artifact without bound."""
+    bpt = _BLOOM_BITS_PER_TERM if bits_per_term is None else bits_per_term
+    need = max(int(n_terms), 0) * max(int(bpt), 1)
+    m = DEFAULT_M
+    while m < MAX_M and m < need:
+        m <<= 1
+    return m
 
 
 def _positions_col(token: F.Column, m: int, k: int) -> F.Column:
@@ -68,19 +101,29 @@ def _terms_positions(
 def write_term_blooms(
     spark: SparkSession,
     path: str,
-    m: int = DEFAULT_M,
-    k: int = DEFAULT_K,
+    m: int | None = None,
+    k: int | None = None,
     shards: list[int] | None = None,
 ) -> dict | None:
     """Compute and persist per-shard bitmaps for every analyzed field of the
     artifact at ``path``.  ``shards`` restricts the recompute to those shard
     dirs (partition-pruned scan) and merges into the existing sidecar — the
     ``merge_into`` refresh path.  Returns the sidecar dict (None when the
-    artifact has no analyzed fields)."""
+    artifact has no analyzed fields).
+
+    ``m=None`` (the default) sizes the bitmap: a subset refresh ADOPTS the
+    stored sidecar's per-field (m, k) — recomputing touched shards at the
+    params the untouched bitmaps already have, instead of escalating a
+    custom-m artifact to an O(corpus) full rebuild on every delta touch;
+    a full rebuild takes DEFAULT_M below the adaptive gate (fixture-scale
+    bytes unchanged) and :func:`_auto_bloom_m` of the observed per-shard
+    distinct-term count above it.  An explicit ``m`` is honored exactly as
+    before, including the escalate-on-mismatch subset semantics."""
     from solr_map_reduce_spark.fs import get_fs
     from solr_map_reduce_spark.fs import join as fs_join
     from solr_map_reduce_spark.indexing import MANIFEST, SHARD_COL, read_index
 
+    k0 = DEFAULT_K if k is None else k
     fs = get_fs(path, spark)
     manifest = json.loads(fs.read_text(fs_join(path, MANIFEST)))
     analyzed: dict = manifest.get("analyzed", {})
@@ -88,16 +131,32 @@ def write_term_blooms(
         return None
 
     existing: dict = {}
+    adopted: dict[str, tuple[int, int]] | None = None
     if shards is not None:
         if fs.exists(fs_join(path, BLOOMS)):
             existing = json.loads(fs.read_text(fs_join(path, BLOOMS)))
-        # a subset refresh can only MERGE into a compatible sidecar: if the
-        # sidecar is absent or any field's (m, k) differ, the untouched
-        # shards' bitmaps can't be kept (params changed) nor recomputed from
-        # the filtered scan — escalate to a full rebuild, else the missing
-        # shards would silently become query false negatives
-        if not existing or any(
-            existing.get(f, {}).get("m") != m or existing.get(f, {}).get("k") != k
+        if m is None:
+            # auto: adopt the stored per-field params — the untouched
+            # shards' bitmaps stay valid by construction
+            if existing and all(
+                "m" in existing.get(f, {}) and "k" in existing.get(f, {})
+                for f in analyzed
+            ):
+                adopted = {
+                    f: (int(existing[f]["m"]), int(existing[f]["k"]))
+                    for f in analyzed
+                }
+            else:
+                shards = None
+                existing = {}
+        # an explicit-m subset refresh can only MERGE into a compatible
+        # sidecar: if the sidecar is absent or any field's (m, k) differ,
+        # the untouched shards' bitmaps can't be kept (params changed) nor
+        # recomputed from the filtered scan — escalate to a full rebuild,
+        # else the missing shards would silently become query false
+        # negatives
+        elif not existing or any(
+            existing.get(f, {}).get("m") != m or existing.get(f, {}).get("k") != k0
             for f in analyzed
         ):
             shards = None
@@ -106,6 +165,23 @@ def write_term_blooms(
     idx = read_index(spark, path)
     if shards is not None:
         idx = idx.filter(F.col(SHARD_COL).isin([int(s) for s in shards]))
+
+    # bitmap-width resolution for the full-rebuild auto path: DEFAULT_M
+    # below the adaptive gate (same Catalyst estimator as the fused-build
+    # and vocab-bucket gates), data-driven per field above it (params=None
+    # marks "size from the observed distinct-term count in the loop")
+    params: dict[str, tuple[int, int]] | None
+    if adopted is not None:
+        params = adopted
+    elif m is not None:
+        params = {f: (m, k0) for f in analyzed}
+    else:
+        raw = idx._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = raw if isinstance(raw, int) else int(raw.toString())
+        if est < _ADAPTIVE_BLOOM_MIN_BYTES:
+            params = {f: (DEFAULT_M, k0) for f in analyzed}
+        else:
+            params = None
 
     sidecar: dict = {}
     for field, info in analyzed.items():
@@ -116,18 +192,39 @@ def write_term_blooms(
         # position set only to reshape rows the driver unpacks anyway —
         # the collected volume is identical either way (bounded by
         # shards x m positions, the same bound the bitmap itself has).
-        per_shard_pos = (
+        terms_df = (
             idx.select(
                 F.col(SHARD_COL).alias("_s"),
                 F.explode(F.array_distinct(F.col(tokens_col))).alias("_t"),
             )
             .distinct()
-            .select("_s", F.explode(_positions_col(F.col("_t"), m, k)).alias("_p"))
+        )
+        if params is None:
+            # adaptive width: one cheap count job over the persisted
+            # distinct (shard, term) set the positions job reads anyway —
+            # NOT a second corpus pass
+            terms_df = terms_df.persist()
+            n_max = max(
+                (
+                    int(r["count"])
+                    for r in terms_df.groupBy("_s").count().collect()
+                ),
+                default=0,
+            )
+            m_f, k_f = _auto_bloom_m(n_max), k0
+        else:
+            m_f, k_f = params[field]
+        per_shard_pos = (
+            terms_df.select(
+                "_s", F.explode(_positions_col(F.col("_t"), m_f, k_f)).alias("_p")
+            )
             .distinct()
             .collect()
         )
+        if params is None:
+            terms_df.unpersist()
         prev = existing.get(field, {})
-        if prev and (prev.get("m") != m or prev.get("k") != k):
+        if prev and (prev.get("m") != m_f or prev.get("k") != k_f):
             prev = {}  # parameter change: full rebuild semantics
         shard_maps: dict = dict(prev.get("shards", {})) if prev else {}
         bitmaps: dict[str, bytearray] = {}
@@ -135,12 +232,12 @@ def write_term_blooms(
             s = str(int(row["_s"]))
             bm = bitmaps.get(s)
             if bm is None:
-                bm = bitmaps[s] = bytearray(m // 8)
+                bm = bitmaps[s] = bytearray(m_f // 8)
             p = row["_p"]
             bm[p // 8] |= 1 << (p % 8)
         for s, bm in bitmaps.items():
             shard_maps[s] = base64.b64encode(bytes(bm)).decode()
-        sidecar[field] = {"m": m, "k": k, "shards": shard_maps}
+        sidecar[field] = {"m": m_f, "k": k_f, "shards": shard_maps}
 
     fs.write_text(fs_join(path, BLOOMS), json.dumps(sidecar))
     return sidecar

@@ -106,6 +106,41 @@ def test_size_gate_delegates_below_threshold(spark, pair, monkeypatch):
     assert calls, "expected delegation to write_term_blooms below the gate"
 
 
+def test_adaptive_bloom_m_identical_on_both_paths(spark, tmp_path, monkeypatch):
+    """With the r13 adaptive bitmap width forced on (gate at 0 and an
+    inflated bits-per-term target so the tiny corpus still outgrows the
+    floor), the fused and delegated builders must pick the SAME width from
+    the same per-shard distinct-term counts and stay byte-identical —
+    including the rev field, whose marked reversed copies DOUBLE its
+    distinct-term count on both paths alike."""
+    import solr_map_reduce_spark.term_blooms as tb
+
+    rows = [
+        (str(i), f"alpha beta word{i % 7} " + ("target " * (i % 3)),
+         f"title{i % 5} wildcard")
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "id string, text string, title string")
+    a = str(tmp_path / "a")
+    job = IndexJob(
+        IndexJobConfig(schema=SCHEMA, shards=4, dedup="none", routing="native")
+    )
+    job.build(df, a)
+    b = str(tmp_path / "b")
+    shutil.copytree(a, b)
+    monkeypatch.setattr(tb, "_ADAPTIVE_BLOOM_MIN_BYTES", 0)
+    monkeypatch.setattr(tb, "_BLOOM_BITS_PER_TERM", 50_000)
+    write_term_blooms(spark, a)
+    write_search_stats(spark, a)
+    write_search_sidecars(spark, b, min_bytes=0)  # force the fused path
+    ba, bb = load_term_blooms(spark, a), load_term_blooms(spark, b)
+    assert set(ba) == set(bb) == {"text", "title"}
+    for f in ba:
+        assert ba[f]["m"] == bb[f]["m"] and ba[f]["k"] == bb[f]["k"]
+        assert ba[f]["m"] > tb.DEFAULT_M  # the width actually grew
+        assert dict(ba[f]["shards"]) == dict(bb[f]["shards"])
+
+
 def test_build_inner_routes_both_through_dispatcher(spark, tmp_path):
     """A build with both sidecar flags produces a complete, loadable pair
     through write_search_sidecars — at this tiny scale the size gate

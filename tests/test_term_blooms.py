@@ -176,9 +176,115 @@ def test_subset_refresh_with_param_change_escalates_to_full(spark, tmp_path):
         IndexJobConfig(schema=schema, shards=4, micro_shards=8, dedup="none")
     ).build(df, out)
     write_term_blooms(spark, out, m=1 << 14)  # non-default params
-    # subset refresh with DEFAULT params (what merge_into issues)
-    write_term_blooms(spark, out, shards=[0])
+    # subset refresh with an EXPLICIT mismatching m
+    write_term_blooms(spark, out, m=1 << 16, shards=[0])
     blooms = load_term_blooms(spark, out)
     info = blooms["text"]
     assert info["m"] == 1 << 16  # rebuilt at the requested params
     assert set(info["shards"]) == {"0", "1", "2", "3"}  # NO shard lost
+
+
+def test_subset_refresh_auto_adopts_stored_params(spark, tmp_path):
+    """A shards= refresh with m=None (what merge_into issues, r13) ADOPTS
+    the stored sidecar's (m, k) instead of escalating a custom-m artifact
+    to an O(corpus) full rebuild on every delta touch: touched shards are
+    recomputed at the stored width, untouched bitmaps survive byte-for-
+    byte, and every shard stays present (no query false negatives)."""
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+    from solr_map_reduce_spark.term_blooms import load_term_blooms, write_term_blooms
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("text", "text_general")),
+        unique_key="id",
+    )
+    out = str(tmp_path / "idx")
+    df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    IndexJob(
+        IndexJobConfig(schema=schema, shards=4, micro_shards=8, dedup="none")
+    ).build(df, out)
+    write_term_blooms(spark, out, m=1 << 14)  # non-default params
+    before = load_term_blooms(spark, out)["text"]
+    write_term_blooms(spark, out, shards=[0])  # auto m -> adopt stored
+    info = load_term_blooms(spark, out)["text"]
+    assert info["m"] == 1 << 14 and info["k"] == before["k"]
+    assert set(info["shards"]) == {"0", "1", "2", "3"}
+    for s, bm in before["shards"].items():
+        if s != "0":
+            assert info["shards"][s] == bm  # untouched bitmaps preserved
+    # same data re-hashed at the same params: shard 0's bitmap is unchanged
+    assert info["shards"]["0"] == before["shards"]["0"]
+
+
+def test_auto_bloom_m_sizing():
+    """Floor, cap, power-of-two, and the bits-per-term scaling of the
+    adaptive width."""
+    from solr_map_reduce_spark.term_blooms import (
+        DEFAULT_M,
+        MAX_M,
+        _auto_bloom_m,
+    )
+
+    assert _auto_bloom_m(0) == DEFAULT_M
+    assert _auto_bloom_m(4096) == DEFAULT_M  # 4096*16 == 2^16, floor holds
+    assert _auto_bloom_m(4097) == 1 << 17
+    assert _auto_bloom_m(1_000_000) == 1 << 24  # 16M bits for 1M terms
+    assert _auto_bloom_m(10**12) == MAX_M  # capped, graceful FP degradation
+    assert _auto_bloom_m(4097, bits_per_term=8) == DEFAULT_M
+    m = _auto_bloom_m(123_456)
+    assert m & (m - 1) == 0 and DEFAULT_M <= m <= MAX_M
+
+
+def test_adaptive_m_above_gate_no_false_negatives(spark, tmp_path, monkeypatch):
+    """With the adaptive gate forced on, a full rebuild sizes m from the
+    observed per-shard distinct-term count (> DEFAULT_M when the target
+    calls for it), candidate_shards serves from the stored width, and the
+    Bloom no-false-negative guarantee holds for every present term."""
+    import pyspark.sql.functions as F
+
+    from solr_map_reduce_spark import term_blooms as tb
+    from solr_map_reduce_spark.indexing import IndexJob, IndexJobConfig
+    from solr_map_reduce_spark.schema import Field, IndexSchema
+
+    schema = IndexSchema(
+        fields=(Field("id", "string", required=True), Field("text", "text_general")),
+        unique_key="id",
+    )
+    out = str(tmp_path / "idx")
+    # 20k distinct terms over 2 shards (~10k/shard): 10k*16 bits > 2^16,
+    # so the adaptive width must grow past the floor
+    df = spark.range(0, 20000).select(
+        F.col("id").cast("string").alias("id"),
+        F.concat(F.lit("term"), F.col("id").cast("string")).alias("text"),
+    )
+    IndexJob(
+        IndexJobConfig(schema=schema, shards=2, micro_shards=4, dedup="none")
+    ).build(df, out)
+    monkeypatch.setattr(tb, "_ADAPTIVE_BLOOM_MIN_BYTES", 0)
+    sidecar = tb.write_term_blooms(spark, out)
+    info = sidecar["text"]
+    # the observed per-shard max (~10k terms) needs > 2^16 bits at
+    # 16 bits/term, so the width grew past the floor and stayed a power
+    # of two under the cap
+    assert info["m"] > tb.DEFAULT_M
+    assert info["m"] & (info["m"] - 1) == 0 and info["m"] <= tb.MAX_M
+    blooms = tb.load_term_blooms(spark, out)
+    # no false negatives: every sampled present term must include its shard
+    from solr_map_reduce_spark.indexing import SHARD_COL, read_index
+
+    rows = (
+        read_index(spark, out)
+        .select(F.col(SHARD_COL).alias("s"), F.explode("text__tokens").alias("t"))
+        .distinct()
+        .limit(200)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        cand = tb.candidate_shards(spark, blooms, "text", [r["t"]], "all")
+        assert cand is not None and int(r["s"]) in cand
