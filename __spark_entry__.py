@@ -134,52 +134,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rotating verdict window (the harness checks the first 50 registry
-# entries per round), r13 rotation per the r12 verdict's #1 directive,
-# recounted from CORRECTNESS_r01..r12 at round start (ledger after
-# r12: never-checked 0; cohorts r8=28, r9=50, r10=48, r11=50,
-# r12=50): (a) the FULL 28-entry r08-stale cohort — the only thing
-# older than r9, four rounds without an external check, including the
-# bench headliners whose code paths the r12 finite-score guards
-# touched (ext_hybrid_rrf, ext_sq_topk, ext_dismax_topk), the whole
-# stream-expression family, and the spellcheck/stats/terms query
-# surface; (b) 22 of the 50-entry r09 cohort (alphabetical within the
-# equally-stale cohort) — the remaining 28 r09 entries
-# (ext_sql_select, ext_sql_text, ext_stratified_sample,
-# ext_stream_cartesian, ext_stream_facet2d, ext_stream_facet_limit,
-# ext_stream_fetch, ext_stream_list, ext_stream_null,
-# ext_stream_random, ext_stream_rollup_metrics,
-# ext_stream_timeseries_gap, ext_stream_topic, pivot_user_activity,
-# q10_returned_items, q13_order_distribution, q15_top_supplier,
-# q17_small_qty_revenue, q19_discounted_revenue,
-# q20_heavy_part_suppliers, q21_last_shipper, q22_idle_customers,
-# q7_volume_shipping, q8_market_share, q9_profit_by_nation,
-# setop_viewers_not_buyers, window_lag_delta, window_rolling_sum)
-# lead the r14 rotation.  After this round the staleness floor is r9
-# (28 entries left at r9) and never-checked stays 0 (minus any
-# r13-close additions).  The repo's own oracle suite covers all
+# entries per round), r14 rotation per the r13 verdict's #1 directive,
+# recounted from CORRECTNESS_r01..r13 at round start (ledger after
+# r13: never-checked 0; cohorts r9=28, r10=48, r11=50, r12=50,
+# r13=50): (a) the remaining 28-entry r09-stale cohort — the oldest
+# anything in the registry, five rounds without an external check,
+# and it contains six of the thirteen `_dec_sum` money-sum queries
+# whose floor-rounding rewrite (r13 change 1) the r13 verdict flagged
+# as builder-verified only (q7/q9/q10/q15/q19/q20); (b) the SEVEN
+# remaining `_dec_sum` beneficiaries the r13 verdict pinned by name —
+# q1_pricing_summary, q3_top_revenue, q5_local_supplier,
+# q18_large_orders, facet_range_value, skew_salted_join,
+# star_join_enrich — so every money-sum query the rewrite touched
+# gets an external rows+schema+hash check this round; (c) 15 of the
+# 48-entry r10 cohort (alphabetical within the equally-stale cohort,
+# minus the six already pinned in (b)) to fill the 50-window.  After
+# this round the staleness floor is r10 (27 r10 entries left) and
+# never-checked stays 0.  The repo's own oracle suite covers all
 # entries every pytest run regardless (tests/test_queries_oracle.py).
 _VERDICT_PRIORITY = [
-    # (a) r08-stale cohort, all 28 — unchecked since round 8
-    "c9_spellcheck", "c9_stats_field", "c9_stats_percentiles",
-    "c9_synonym_query", "c9_term_vectors", "c9_terms_component",
-    "c9_terms_filter", "c9_wildcard_general", "ext_bigram_surprisal",
-    "ext_dismax_mm", "ext_dismax_topk", "ext_geofilt",
-    "ext_hybrid_rrf", "ext_mmr_rerank", "ext_rerank_query",
-    "ext_semdedup", "ext_sq_topk", "ext_stream_complement",
-    "ext_stream_hashjoin", "ext_stream_having", "ext_stream_nodes",
-    "ext_stream_rollup", "ext_stream_select_eval",
-    "ext_stream_shortest_path", "ext_stream_sigterms",
-    "ext_stream_timeseries", "ext_topic_pull",
-    "ext_unigram_surprisal",
-    # (b) r09 cohort, 22 of 50 (alphabetical; rest lead r14)
-    "b8_convert_timestamp", "c9_collapse", "c9_date_math",
-    "c9_expand", "c9_facet_multivalued", "c9_graph_query",
-    "c9_jf_block_children", "c9_jf_range_nested", "c9_jf_ranges",
-    "c9_jf_relatedness", "c9_json_facet", "c9_json_facet_multiselect",
-    "c9_json_facet_range", "c9_knn_query", "c9_recency_boost",
-    "c9_termfreq_sort", "ext_dismax_mm_conditional", "ext_ltr_linear",
-    "ext_ltr_trees", "ext_multimodal_decode", "ext_percentiles",
-    "ext_sql_agg",
+    # (a) r09-stale cohort, all 28 — unchecked since round 9
+    "ext_sql_select", "ext_sql_text", "ext_stratified_sample",
+    "ext_stream_cartesian", "ext_stream_facet2d",
+    "ext_stream_facet_limit", "ext_stream_fetch", "ext_stream_list",
+    "ext_stream_null", "ext_stream_random",
+    "ext_stream_rollup_metrics", "ext_stream_timeseries_gap",
+    "ext_stream_topic", "pivot_user_activity", "q10_returned_items",
+    "q13_order_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q20_heavy_part_suppliers", "q21_last_shipper",
+    "q22_idle_customers", "q7_volume_shipping", "q8_market_share",
+    "q9_profit_by_nation", "setop_viewers_not_buyers",
+    "window_lag_delta", "window_rolling_sum",
+    # (b) the r13-verdict-pinned `_dec_sum` rewrite beneficiaries
+    "q1_pricing_summary", "q3_top_revenue", "q5_local_supplier",
+    "q18_large_orders", "facet_range_value", "skew_salted_join",
+    "star_join_enrich",
+    # (c) r10 cohort, 15 of 48 (alphabetical; rest lead r15)
+    "b12_detect_mime", "c9_bool_query", "c9_complex_phrase",
+    "c9_facet_matches", "c9_facet_range_other",
+    "c9_spellcheck_collate", "c9_suggest", "c9_suggest_infix",
+    "c9_surround_w", "exists_big_order_customers", "ext_ann_topk",
+    "ext_asof_join", "ext_bm25_topk", "ext_bpe_token_count",
+    "ext_classify",
 ]
 
 

@@ -170,7 +170,11 @@ def main() -> None:
     from solr_map_reduce_spark.session import get_spark
 
     spark = get_spark(
-        app_name="smrs-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        app_name="smrs-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        # keep stage-progress bars out of the output streams: the final
+        # JSON line must be the last thing printed, with nothing after it
+        # (r12/r13 PERF comparisons both failed on a truncated tail)
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
@@ -315,6 +319,47 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
+    env = {
+        "cpus": CPUS,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "calibration_sec_start": cal_start,
+        "calibration_sec_end": cal_end,
+        "io_calibration_sec_start": io_start,
+        "io_calibration_sec_end": io_end,
+    }
+    # Bulky per-rep diagnostics go to a FILE artifact, not the JSON line:
+    # the driver's round-over-round comparator stores only a 2000-char tail
+    # of stdout, and r12/r13 both became uncomparable because the in-line
+    # rep_times/rep_loadavg detail pushed the line past that window.  The
+    # numbers are unchanged and still recorded — just in a sidecar the
+    # repo archives per round (plans/rNN/bench/).
+    detail = {
+        "rep_spread_pct": spreads,
+        "rep_times": rep_times,
+        "rep_loadavg": rep_loads,
+        "env": env,
+        "protocol": (
+            f"median-of-{REPS} after {WARMS} untimed warmups; "
+            f"extra warms {EXTRA_WARMS}, extra reps {EXTRA_REPS}; "
+            "rep_loadavg samples 1-min load AT each rep"
+        ),
+    }
+    detail_file = os.environ.get(
+        "SMRS_BENCH_DETAIL_FILE",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail_last.json"
+        ),
+    )
+    try:
+        with open(detail_file, "w") as f:
+            json.dump(detail, f)
+    except OSError:
+        detail_file = None  # read-only checkout: the headline line stands alone
+    spark.stop()
+    # ONE compact JSON line, printed LAST with nothing after it (~1.4 KB,
+    # inside the driver's tail window).  env stays in-line: the cpu/io
+    # calibration keys are how a slow run is adjudicated ambient-vs-code.
     print(
         json.dumps(
             {
@@ -322,31 +367,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "rep_spread_pct": spreads,
-                "rep_times": rep_times,
-                "rep_loadavg": rep_loads,
-                "env": {
-                    "cpus": CPUS,
-                    "loadavg_start": load_start,
-                    "loadavg_end": load_end,
-                    "calibration_sec_start": cal_start,
-                    "calibration_sec_end": cal_end,
-                    "io_calibration_sec_start": io_start,
-                    "io_calibration_sec_end": io_end,
-                },
-                "protocol": (
-                    f"median-of-{REPS} after {WARMS} untimed warmups; "
-                    f"extra warms {EXTRA_WARMS}, extra reps {EXTRA_REPS}; "
-                    "rep_loadavg samples 1-min load AT each rep"
-                ),
+                "env": env,
                 "cold_build_docs_index_sec": cold_build,
                 "cold_build_nested_index_sec": cold_build_nested,
                 "cold_build_ann_sidecar_sec": cold_build_ann,
+                "detail_file": detail_file,
                 "sf": sf_val,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -45,9 +45,9 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import Column
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 
 _MASK32 = 0xFFFFFFFF
@@ -94,6 +94,28 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return h1 - (1 << 32) if h1 >= (1 << 31) else h1
 
 
+def _utf8_flat(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row byte offsets int64[n+1], flat utf8 bytes uint8[]) of an
+    Arrow string array — zero-copy views over the Arrow buffers.  Accepts
+    string or large_string (Spark ships either depending on
+    ``arrow.useLargeVarTypes``); ChunkedArray is combined first."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data_buf = arr.buffers()[2]
+    flat = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return offsets, flat
+
+
 def murmur3_x86_32_batch(strings: "pd.Series", seed: int = 0) -> np.ndarray:
     """Vectorized murmur3_x86_32 over the UTF-8 bytes of a string batch.
 
@@ -104,21 +126,21 @@ def murmur3_x86_32_batch(strings: "pd.Series", seed: int = 0) -> np.ndarray:
     ``[s.encode() for s in batch]`` loop on 600k short keys.  Returns int32
     array.
     """
-    import pyarrow as pa
-
-    n = len(strings)
-    if n == 0:
+    if len(strings) == 0:
         return np.empty(0, dtype=np.int32)
     arr = pa.Array.from_pandas(strings, type=pa.large_string())
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
-        arr.offset : arr.offset + n + 1
-    ]
-    data_buf = arr.buffers()[2]
-    flat = (
-        np.frombuffer(data_buf, dtype=np.uint8)
-        if data_buf is not None
-        else np.empty(0, dtype=np.uint8)
-    )
+    return murmur3_x86_32_arrow(arr, seed)
+
+
+def murmur3_x86_32_arrow(arr, seed: int = 0) -> np.ndarray:
+    """:func:`murmur3_x86_32_batch` for an Arrow string array — the same
+    lane-parallel kernel reading the Arrow offsets/data buffers directly,
+    with NO pandas materialization (an ``arrow_udf`` feeds this without
+    ever constructing per-row Python strings).  Returns int32 array."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    offsets, flat = _utf8_flat(arr)
     lengths = np.diff(offsets)
     maxlen = int(lengths.max()) if n else 0
     buf = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
@@ -312,32 +334,52 @@ class ShardRouter:
 def shard_id_column(key: Column | str, shards: int, num_partitions: int | None = None) -> Column:
     """Column expression: SolrCloud-parity micro-shard id for a key column.
 
-    Arrow-batched pandas UDF (the hash is not expressible bit-exactly with
-    builtin functions — Spark's ``hash()`` uses seed 42 and a different tail
-    mix).  Returns int32.
+    Arrow-NATIVE scalar UDF (the hash is not expressible bit-exactly with
+    builtin functions — Spark's ``hash()`` uses seed 42 and a different
+    tail mix).  The kernel reads the Arrow string buffers directly
+    (:func:`murmur3_x86_32_arrow`), so no per-row Python string is ever
+    constructed on the plain-id fast path — the pandas_udf predecessor
+    materialized every key as a Python str on both the Arrow→pandas and
+    the ``astype(str)``/``str.contains`` steps (r14, guide §4.1/§4.3).
+    Returns int32.
     """
+    from pyspark.sql.functions import arrow_udf
+
     router = ShardRouter(shards=shards, num_partitions=num_partitions)
     starts = [r[0] for r in router._ranges]
     starts_arr = np.array(starts, dtype=np.int64)
     per_shard = router.partitions // router.shards
 
-    @pandas_udf(IntegerType())
-    def _route(ids: pd.Series) -> pd.Series:
-        # vectorized murmur3 for plain ids; scalar fallback for composite
-        # "shard!doc" ids (rare — one pass flags them).  The root shard uses
-        # the composite-spliced hash; the within-shard offset always uses the
-        # full-key murmur3 (the raw batch hash), matching micro_shard_of.
-        values = ids.astype(str)
-        raw = murmur3_x86_32_batch(values).astype(np.int64)
+    @arrow_udf(IntegerType())
+    def _route(ids: pa.Array) -> pa.Array:
+        # Null/type parity with the pandas predecessor: a NULL key hashed
+        # as the string "None" (pandas astype(str)), non-string inputs as
+        # their string rendering (all library callers cast JVM-side).
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if not pa.types.is_large_string(ids.type):
+            ids = ids.cast(pa.large_string())
+        if ids.null_count:
+            ids = ids.fill_null("None")
+        raw = murmur3_x86_32_arrow(ids).astype(np.int64)
         hashes = raw
-        composite = values.str.contains("!", regex=False).to_numpy()
-        if composite.any():
+        # composite "shard!doc" ids (rare): '!' is 0x21, a single UTF-8
+        # byte that never occurs inside a multi-byte sequence, so one
+        # vectorized scan of the flat buffer flags the batch; only then
+        # are the affected rows materialized for the spliced hash.  The
+        # root shard uses the composite-spliced hash; the within-shard
+        # offset always uses the full-key murmur3 (the raw batch hash),
+        # matching micro_shard_of.
+        offsets, flat = _utf8_flat(ids)
+        bang = np.flatnonzero(flat == 0x21)
+        if bang.size:
+            rows = np.unique(np.searchsorted(offsets, bang, side="right") - 1)
             hashes = raw.copy()
-            fixes = [composite_id_hash(s) for s in values[composite]]
-            hashes[composite] = np.array(fixes, dtype=np.int64)
+            fixes = [composite_id_hash(ids[int(i)].as_py()) for i in rows]
+            hashes[rows] = np.array(fixes, dtype=np.int64)
         roots = np.searchsorted(starts_arr, hashes, side="right") - 1
         micro = roots * per_shard + ((raw & INT_MAX) % per_shard)
-        return pd.Series(micro.astype(np.int32))
+        return pa.array(micro.astype(np.int32), type=pa.int32())
 
     return _route(F.col(key) if isinstance(key, str) else key)
 

@@ -118,7 +118,13 @@ def write_term_blooms(
     a full rebuild takes DEFAULT_M below the adaptive gate (fixture-scale
     bytes unchanged) and :func:`_auto_bloom_m` of the observed per-shard
     distinct-term count above it.  An explicit ``m`` is honored exactly as
-    before, including the escalate-on-mismatch subset semantics."""
+    before, including the escalate-on-mismatch subset semantics; an
+    explicit ``k`` that differs from the stored per-field k likewise
+    escalates a subset refresh to a full rebuild (the untouched bitmaps
+    were probed at different positions, so they cannot be merged into).
+    Adopted refreshes re-check saturation: when the touched shards'
+    distinct-term count leaves the stored width under half the
+    bits-per-term target, a loud warning recommends a full re-size."""
     from solr_map_reduce_spark.fs import get_fs
     from solr_map_reduce_spark.fs import join as fs_join
     from solr_map_reduce_spark.indexing import MANIFEST, SHARD_COL, read_index
@@ -137,10 +143,21 @@ def write_term_blooms(
             existing = json.loads(fs.read_text(fs_join(path, BLOOMS)))
         if m is None:
             # auto: adopt the stored per-field params — the untouched
-            # shards' bitmaps stay valid by construction
-            if existing and all(
-                "m" in existing.get(f, {}) and "k" in existing.get(f, {})
-                for f in analyzed
+            # shards' bitmaps stay valid by construction.  An EXPLICIT k
+            # that differs from any stored field's k cannot be adopted
+            # (the untouched bitmaps were built with different probe
+            # positions): fall through to the escalate-to-full-rebuild
+            # path, same as an explicit-m mismatch (ADVICE r13).
+            if (
+                existing
+                and all(
+                    "m" in existing.get(f, {}) and "k" in existing.get(f, {})
+                    for f in analyzed
+                )
+                and (
+                    k is None
+                    or all(int(existing[f]["k"]) == k0 for f in analyzed)
+                )
             ):
                 adopted = {
                     f: (int(existing[f]["m"]), int(existing[f]["k"]))
@@ -199,10 +216,10 @@ def write_term_blooms(
             )
             .distinct()
         )
-        if params is None:
-            # adaptive width: one cheap count job over the persisted
-            # distinct (shard, term) set the positions job reads anyway —
-            # NOT a second corpus pass
+        if params is None or adopted is not None:
+            # adaptive width / adoption saturation check: one cheap count
+            # job over the persisted distinct (shard, term) set the
+            # positions job reads anyway — NOT a second corpus pass
             terms_df = terms_df.persist()
             n_max = max(
                 (
@@ -211,9 +228,32 @@ def write_term_blooms(
                 ),
                 default=0,
             )
+        if params is None:
             m_f, k_f = _auto_bloom_m(n_max), k0
         else:
             m_f, k_f = params[field]
+            if adopted is not None and n_max and m_f < n_max * max(
+                _BLOOM_BITS_PER_TERM // 2, 1
+            ):
+                # Adopted refreshes keep the stored width forever, so a
+                # corpus that grew past the width's design point would
+                # silently decay to FP ~1 — pruning dies while the build
+                # cost stays (ADVICE r13).  The touched shards' distinct-
+                # term count is already in hand; warn loudly when the
+                # stored m gives under HALF the bits-per-term target so
+                # the operator re-sizes with one full rebuild instead of
+                # this path escalating O(corpus) work on every delta.
+                import warnings
+
+                warnings.warn(
+                    f"term-bloom sidecar for field {field!r}: stored "
+                    f"m={m_f} gives {m_f / n_max:.1f} bits/term for "
+                    f"{n_max} distinct terms in the refreshed shards "
+                    f"(target {_BLOOM_BITS_PER_TERM}); shard pruning is "
+                    "degrading — run a full write_term_blooms(spark, "
+                    "path) to re-size the bitmaps",
+                    stacklevel=2,
+                )
         per_shard_pos = (
             terms_df.select(
                 "_s", F.explode(_positions_col(F.col("_t"), m_f, k_f)).alias("_p")
@@ -221,7 +261,7 @@ def write_term_blooms(
             .distinct()
             .collect()
         )
-        if params is None:
+        if params is None or adopted is not None:
             terms_df.unpersist()
         prev = existing.get(field, {})
         if prev and (prev.get("m") != m_f or prev.get("k") != k_f):

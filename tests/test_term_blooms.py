@@ -288,3 +288,65 @@ def test_adaptive_m_above_gate_no_false_negatives(spark, tmp_path, monkeypatch):
     for r in rows:
         cand = tb.candidate_shards(spark, blooms, "text", [r["t"]], "all")
         assert cand is not None and int(r["s"]) in cand
+
+
+def test_subset_refresh_explicit_k_mismatch_escalates(spark, tmp_path):
+    """auto-m + EXPLICIT k that differs from the stored per-field k must
+    escalate to a full rebuild, not silently adopt the stored k (r13
+    ADVICE): the untouched bitmaps were probed at different positions, so
+    a merge would leave probe-position-incompatible bitmaps behind."""
+    out = str(tmp_path / "idx")
+    df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    IndexJob(
+        IndexJobConfig(schema=SCHEMA, shards=4, micro_shards=8, dedup="none")
+    ).build(df, out)
+    write_term_blooms(spark, out, m=1 << 14, k=4)
+    before = load_term_blooms(spark, out)["text"]
+    # auto m, explicit DIFFERENT k -> full rebuild at (gate-resolved m, k=8)
+    write_term_blooms(spark, out, k=8, shards=[0])
+    info = load_term_blooms(spark, out)["text"]
+    assert info["k"] == 8  # the caller's k, not the adopted stored k
+    assert set(info["shards"]) == {"0", "1", "2", "3"}  # NO shard lost
+    # every bitmap re-derived at the new k (k=8 sets more positions than
+    # k=4 over the same terms, so equality would mean a stale merge)
+    assert any(info["shards"][s] != before["shards"][s] for s in info["shards"])
+    # matching explicit k still adopts (m stays the stored non-default)
+    write_term_blooms(spark, out, k=8, shards=[1])
+    again = load_term_blooms(spark, out)["text"]
+    assert again["m"] == info["m"] and again["k"] == 8
+
+
+def test_adopted_refresh_warns_on_saturated_width(spark, tmp_path, monkeypatch):
+    """An adopted subset refresh re-checks saturation: a stored width under
+    half the bits-per-term target for the touched shards' distinct-term
+    count warns loudly (the silent-FP-decay failure mode the r13 ADVICE
+    named), while a healthy width stays silent."""
+    import warnings
+
+    import solr_map_reduce_spark.term_blooms as tb
+
+    out = str(tmp_path / "idx")
+    # ~600 distinct terms over 4 shards (~150+/shard)
+    df = spark.range(0, 600).select(
+        F.col("id").cast("string").alias("id"),
+        F.concat(F.lit("term"), F.col("id").cast("string")).alias("text"),
+    )
+    IndexJob(
+        IndexJobConfig(schema=SCHEMA, shards=4, micro_shards=8, dedup="none")
+    ).build(df, out)
+    # healthy width: DEFAULT_M (2^16) over ~150 terms/shard -> silent
+    write_term_blooms(spark, out)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        write_term_blooms(spark, out, shards=[0])
+    # force saturation: target 16 bits/term needs m >= 150*8 to stay
+    # quiet at the half-target line; a 1024-bit stored width is far under
+    write_term_blooms(spark, out, m=1 << 10, k=2)
+    with pytest.warns(UserWarning, match="bits/term .* shard pruning is degrading"):
+        write_term_blooms(spark, out, shards=[0])
+    # the adopted refresh still merged correctly despite the warning
+    info = load_term_blooms(spark, out)["text"]
+    assert info["m"] == 1 << 10 and set(info["shards"]) == {"0", "1", "2", "3"}
