@@ -85,6 +85,7 @@ def test_valid_micro_shard_multiples_pass_validation():
 
 # -- end-to-end --------------------------------------------------------------
 
+@pytest.mark.slow  # CLI index/merge medium variant; library merge covered by test_indexing_e2e, CLI surface by the query/update/publish tests
 def test_cli_index_build_and_merge(spark, sf_dir, schema_file, tmp_path, capsys):
     out = str(tmp_path / "cli_idx")
     rc = cli.main([
@@ -114,6 +115,7 @@ def test_cli_index_build_and_merge(spark, sf_dir, schema_file, tmp_path, capsys)
     assert set(merged["segments"].values()) == {1}
 
 
+@pytest.mark.slow  # CLI --merge medium variant; merge_into covered by test_indexing_e2e::test_merge_into_rewrites_only_touched_shards
 def test_cli_index_merge_into_existing(spark, sf_dir, schema_file, tmp_path, capsys):
     """`index --merge` against an existing artifact: the reference tool's
     rerun-over-existing-output behavior — same keys replaced, count stable."""

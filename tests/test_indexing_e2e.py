@@ -576,6 +576,7 @@ def test_compact_sorts_by_manifest_unique_key(spark, tmp_path):
         assert ids == sorted(ids), f
 
 
+@pytest.mark.slow  # hadoop-URI medium variant of the local-path lifecycle the rest of the file covers
 def test_artifact_lifecycle_over_hadoop_fs_uri(spark, tmp_path):
     """Full mutation lifecycle against a file:// URI — every control-plane
     operation runs through the Hadoop FileSystem abstraction rather than

@@ -785,6 +785,7 @@ class TestProbeWideningAndSpaces:
         )[:5]
         assert got_full == want_full
 
+    @pytest.mark.slow  # scale-invariance sweep; probe selection covered by the fixed-scale probe/widening tests
     def test_ivfpq_probe_selection_is_scale_invariant(self, spark, tmp_path):
         # the ivfpq base is fit on UNIT vectors: probe-bucket ranking
         # must normalize the query into that same space, so a scaled

@@ -55,6 +55,7 @@ def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
     assert not any(r[0] == 200 and r[1] == _m(180) for r in rows)
 
 
+@pytest.mark.slow  # multi-user scale variant; single-user closed-session emission covered fast
 def test_sessionize_multiple_users_partitioned_state(spark, tmp_path):
     """Many users in one batch: per-key state isolation."""
     inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")

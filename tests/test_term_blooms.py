@@ -125,6 +125,7 @@ def test_write_term_blooms_subset_merges(spark, built, tmp_path):
             assert after[s] == before[s]
 
 
+@pytest.mark.slow  # randomized scale variant; deterministic no-false-negative contract covered by the rare-term/identical-results tests
 def test_no_false_negatives_randomized(spark, tmp_path):
     """Property: for every term actually present in some shard, that shard
     must be in the candidate set (Bloom guarantees it; this guards the
@@ -240,6 +241,7 @@ def test_auto_bloom_m_sizing():
     assert m & (m - 1) == 0 and DEFAULT_M <= m <= MAX_M
 
 
+@pytest.mark.slow  # forced-gate 20k-term scale variant; sizing arithmetic + both-path byte-equality covered fast
 def test_adaptive_m_above_gate_no_false_negatives(spark, tmp_path, monkeypatch):
     """With the adaptive gate forced on, a full rebuild sizes m from the
     observed per-shard distinct-term count (> DEFAULT_M when the target
