@@ -505,18 +505,29 @@ def minhash_dedup(
     """Full near-dup pipeline: pairs (id_a < id_b, jaccard) with verified
     Jaccard >= threshold.
 
-    The feature table (shingle hashes + signature + band hashes) is computed
-    ONCE by :func:`minhash_features` and persisted: the LSH self-join reuses
-    it on both sides and verification joins back to it.  Only (id,
-    band_hash) rows shuffle for candidate generation — at 100 TB the feature
-    table is orders of magnitude smaller than the corpus."""
+    The feature table (shingle hashes + band hashes) is computed ONCE by
+    :func:`minhash_features` and persisted: the LSH self-join reuses it on
+    both sides and verification joins back to it.  The signature column is
+    consumed inside the feature kernel and never read again, so it is
+    projected OUT before the persist (num_perm longs/doc of storage that
+    only squeezed execution memory — guide §5).  Only (id, band_hash)
+    rows shuffle for candidate generation — at 100 TB the feature table
+    is orders of magnitude smaller than the corpus.  The band index is
+    already folded into each band hash (the FNV offset is seeded with the
+    band number), so the self-join keys on the single 8-byte hash — the
+    former separate band column was redundant exchange payload and a
+    second join key (guide §2.2/§2.3); a cross-band FNV collision could
+    only ADD a candidate, which exact-Jaccard verification then filters
+    like any other false positive."""
     df = ensure_parallelism(df)
-    feats = minhash_features(
-        df, text_col, id_col, num_perm, bands, shingle_k, seed
-    ).persist()
+    feats = (
+        minhash_features(df, text_col, id_col, num_perm, bands, shingle_k, seed)
+        .select(id_col, "shingle_hashes", "band_hashes")
+        .persist()
+    )
     try:
         banded = feats.select(
-            F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash")
+            F.col(id_col), F.explode("band_hashes").alias("band_hash")
         )
         left = banded.alias("l")
         right = banded.alias("r")
@@ -524,7 +535,6 @@ def minhash_dedup(
             left.join(
                 right,
                 on=[
-                    F.col("l.band") == F.col("r.band"),
                     F.col("l.band_hash") == F.col("r.band_hash"),
                     F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
                 ],
